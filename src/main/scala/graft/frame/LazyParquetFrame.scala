@@ -1,0 +1,120 @@
+package graft.frame
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.expr.SparkCompiler
+import graft.io.ParquetIO
+
+/** Thin facade mirroring the reference's `LazyParquetDF` surface (SURVEY
+  * §2.12; reference /root/reference/parq_tools/lazy_parquet.py:18-570).
+  *
+  * A Spark `DataFrame` is already lazy and column-pruned by Catalyst, so the
+  * reference's column-on-demand machinery (cache frame, positional splicing,
+  * mutation tracking) collapses to a held plan + `withColumn`. We keep the
+  * API: per-column lazy/loaded status (= has an action touched it), add/set
+  * columns, tuple filters, expression-language query, head/describe/info,
+  * overwrite-guarded save.
+  */
+final class LazyParquetFrame private (
+    val spark: SparkSession,
+    val path: String,
+    val indexColumns: Seq[String],
+    private var current: DataFrame,
+    private var loaded: Set[String]) {
+
+  def df: DataFrame = current
+  def columns: Seq[String] = current.columns.toSeq
+  def dtypes: Seq[(String, String)] = current.dtypes.toSeq
+
+  /** (rows, cols). Row count runs a count job (the reference reads footer
+    * num_rows; for file-backed frames that is what Spark's count compiles to
+    * — a metadata-only scan). */
+  def shape: (Long, Int) = (current.count(), current.columns.length)
+
+  /** Select one or more columns; marks them loaded (reference __getitem__,
+    * lazy_parquet.py:187-220). Unknown column → KeyError analogue. */
+  def apply(cols: String*): DataFrame = {
+    val missing = cols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(s"Columns not found: ${missing.mkString(", ")}")
+    loaded ++= cols
+    current.select(cols.map(col): _*)
+  }
+
+  /** Add or replace a column (reference __setitem__/add_column,
+    * lazy_parquet.py:222-250). */
+  def update(name: String, value: Column): Unit = {
+    current = current.withColumn(name, value)
+    loaded += name
+  }
+  def addColumn(name: String, value: Column): Unit = {
+    if (columns.contains(name))
+      throw new IllegalArgumentException(s"Column '$name' already exists")
+    update(name, value)
+  }
+
+  def loadColumns(cols: Seq[String]): Unit = { apply(cols: _*).collect(); () }
+
+  def head(n: Int = 5): DataFrame = current.limit(n)
+
+  def describe(): DataFrame = current.summary()
+
+  /** Conjunctive tuple-predicate filter; returns ONLY the predicate columns
+    * (reference lazy_parquet.py:389-406, P7). */
+  def filter(preds: (String, String, Any)*): DataFrame = {
+    val predCols = preds.map(_._1).distinct
+    val missing = predCols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(s"Columns not found: ${missing.mkString(", ")}")
+    val cond = preds.map { case (c, op, v) =>
+      op match {
+        case ">"  => col(c) > lit(v)
+        case "<"  => col(c) < lit(v)
+        case ">=" => col(c) >= lit(v)
+        case "<=" => col(c) <= lit(v)
+        case "==" => col(c) === lit(v)
+        case "!=" => col(c) =!= lit(v)
+        case other => throw new IllegalArgumentException(s"Unsupported operator: $other")
+      }
+    }.reduce(_ && _)
+    current.filter(cond).select(predCols.map(col): _*)
+  }
+
+  /** Expression-language filter — same dialect as FilterOps (reference
+    * query(), lazy_parquet.py:408-412). */
+  def query(expression: String): DataFrame =
+    current.filter(SparkCompiler.compileValidated(expression, current))
+
+  /** Per-column lazy/loaded status (reference info(),
+    * lazy_parquet.py:340-383). */
+  def info: Seq[(String, String, String)] =
+    dtypes.map { case (c, t) => (c, t, if (loaded.contains(c)) "loaded" else "lazy") }
+
+  /** Overwrite-guarded save (reference to_parquet/save,
+    * lazy_parquet.py:480-524). */
+  def toParquet(output: String, allowOverwrite: Boolean = false,
+      singleFile: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(output)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p) && !allowOverwrite)
+      throw new IllegalArgumentException(s"Output exists and allow_overwrite is false: $output")
+    if (singleFile) ParquetIO.writeSingleFile(current, output)
+    else ParquetIO.write(current, output)
+  }
+
+  def save(): Unit = toParquet(path, allowOverwrite = true)
+}
+
+object LazyParquetFrame {
+  def apply(spark: SparkSession, path: String, indexColumns: Seq[String] = Nil): LazyParquetFrame = {
+    val df = ParquetIO.read(spark, path)
+    val missing = indexColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"Index columns not in file: ${missing.mkString(", ")}")
+    // The reference eagerly loads index columns at construction
+    // (lazy_parquet.py:61-122); marking them loaded mirrors that status.
+    new LazyParquetFrame(spark, path, indexColumns, df, indexColumns.toSet)
+  }
+}

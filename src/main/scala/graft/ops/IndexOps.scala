@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.ParquetIO
+
+/** Index-column operations: global sort, reindex, dedup, alignment validation
+  * (SURVEY §2.3 J1/J4, §2.4 A4, §2.6 O1).
+  *
+  * Reference: /root/reference/parq_tools/utils/index_utils.py.
+  */
+object IndexOps {
+
+  /** Global multi-column ascending sort (reference sort_parquet_file,
+    * index_utils.py:62-102). Spark range-partitions on the sort keys and
+    * external-sorts each partition with spill — strictly better at scale than
+    * the reference's concat-everything-then-sort-in-memory merge. */
+  def sort(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.orderBy(columns.map(col): _*)
+
+  def sortFile(spark: SparkSession, input: String, output: String,
+      columns: Seq[String], singleFile: Boolean = false): Unit = {
+    val out = sort(ParquetIO.read(spark, input), columns)
+    if (singleFile) ParquetIO.writeSingleFile(out, output) else ParquetIO.write(out, output)
+  }
+
+  /** Reindex = left outer join of the new index against the data, with typed
+    * null-fill, then sort (reference reindex_parquet, index_utils.py:105-164).
+    * Join keys = intersection of the new index's columns and the data's
+    * columns (index_utils.py:121). Fill semantics (index_utils.py:139-151):
+    * float/double → NaN; everything else keeps SQL null.
+    *
+    * NOTE: a single global join, not the reference's per-chunk join — the
+    * per-chunk version duplicates unmatched index rows once per chunk, a bug
+    * we deliberately do not replicate (SURVEY §7.4 hard part 6). */
+  def reindex(
+      newIndex: DataFrame,
+      data: DataFrame,
+      sortAfterReindex: Boolean = true): DataFrame = {
+    val keys = newIndex.columns.filter(data.columns.contains).toSeq
+    if (keys.isEmpty)
+      throw new IllegalArgumentException(
+        "new index shares no columns with the data schema")
+    val joined = newIndex.join(data, keys, "left")
+    val filled = data.schema.fields.filterNot(f => keys.contains(f.name))
+      .foldLeft(joined) { (df, f) =>
+        f.dataType match {
+          case DoubleType => df.withColumn(f.name, coalesce(col(f.name), lit(Double.NaN)))
+          case FloatType  => df.withColumn(f.name, coalesce(col(f.name), lit(Float.NaN)))
+          case _          => df // ints/strings/etc. keep SQL null
+        }
+      }
+    if (sortAfterReindex) filled.orderBy(keys.map(col): _*) else filled
+  }
+
+  /** First-occurrence-wins dedup on the index columns (reference
+    * dedup_index_parquet, index_utils.py:167-205 — a driver-side seen-set;
+    * here a distributed window). "First" needs a stable order: callers pass
+    * an explicit `orderColumns`; if empty we fall back to
+    * `monotonically_increasing_id` over the scan, which follows file/row-group
+    * order for a single input file. */
+  def dedupFirstWins(
+      df: DataFrame,
+      indexColumns: Seq[String],
+      orderColumns: Seq[String] = Nil): DataFrame = {
+    val ord = "__graft_ord"
+    val withOrd =
+      if (orderColumns.nonEmpty) df.withColumn(ord, struct(orderColumns.map(col): _*))
+      else df.withColumn(ord, monotonically_increasing_id())
+    val w = Window.partitionBy(indexColumns.map(col): _*).orderBy(col(ord))
+    withOrd.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop(ord, "__graft_rn")
+  }
+
+  /** Validate that all datasets have identical index-column content
+    * (reference validate_index_alignment, index_utils.py:15-59). The
+    * reference checks batch-by-batch positional equality; inputs are required
+    * to be sorted/aligned, so set equality (count + symmetric exceptAll) is
+    * the order-insensitive equivalent. Throws on first mismatch. */
+  def validateIndexAlignment(dfs: Seq[DataFrame], indexColumns: Seq[String]): Unit = {
+    require(dfs.nonEmpty)
+    val keyed = dfs.map(_.select(indexColumns.map(col): _*))
+    val first = keyed.head
+    keyed.zipWithIndex.tail.foreach { case (k, i) =>
+      if (k.count() != first.count() || !first.exceptAll(k).isEmpty || !k.exceptAll(first).isEmpty)
+        throw new IllegalArgumentException(
+          s"Index columns (${indexColumns.mkString(", ")}) of dataset $i are not aligned with dataset 0")
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+
+import graft.io.ParquetIO
+
+/** Column rename + schema metadata (SURVEY §2.8 F3/F4; reference
+  * /root/reference/parq_tools/parq_schema_tools.py).
+  *
+  * Column-level key→value metadata rides on Spark's per-field `Metadata` and
+  * round-trips through the Parquet writer. Table-level key→value metadata has
+  * no Spark surface; we carry it on a reserved field-metadata key of the
+  * first column (best-effort, documented deviation — SURVEY §7.4 hard
+  * part 2).
+  */
+object SchemaOps {
+
+  val TableMetadataKey = "graft.table.metadata"
+
+  /** Rename columns by map (reference parq_schema_tools.py:69-70). Unknown
+    * source names raise. */
+  def rename(df: DataFrame, renames: Map[String, String]): DataFrame = {
+    val missing = renames.keys.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot rename missing columns: ${missing.toSeq.sorted.mkString(", ")}")
+    df.withColumnsRenamed(renames)
+  }
+
+  def renameFile(spark: SparkSession, input: String, output: String,
+      renames: Map[String, String], singleFile: Boolean = false): Unit = {
+    val out = rename(ParquetIO.read(spark, input), renames)
+    if (singleFile) ParquetIO.writeSingleFile(out, output) else ParquetIO.write(out, output)
+  }
+
+  /** Attach per-column metadata (reference parq_schema_tools.py:71-85). */
+  def withColumnMetadata(df: DataFrame, metadata: Map[String, Map[String, String]]): DataFrame = {
+    val missing = metadata.keys.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot attach metadata to missing columns: ${missing.toSeq.sorted.mkString(", ")}")
+    df.select(df.columns.map { c =>
+      metadata.get(c) match {
+        case Some(kv) =>
+          val existing = df.schema(c).metadata
+          val b = new MetadataBuilder().withMetadata(existing)
+          kv.foreach { case (k, v) => b.putString(k, v) }
+          col(c).as(c, b.build())
+        case None => col(c)
+      }
+    }.toSeq: _*)
+  }
+
+  /** Best-effort table-level metadata: stored under a reserved key on the
+    * first column's field metadata. */
+  def withTableMetadata(df: DataFrame, kv: Map[String, String]): DataFrame = {
+    require(df.columns.nonEmpty, "cannot attach table metadata to a zero-column frame")
+    val json = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    val first = df.columns.head
+    val b = new MetadataBuilder().withMetadata(df.schema(first).metadata)
+      .putString(TableMetadataKey, json)
+    df.select((col(first).as(first, b.build()) +: df.columns.tail.map(col).toSeq): _*)
+  }
+
+  def columnMetadata(df: DataFrame, column: String): Metadata = df.schema(column).metadata
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+}

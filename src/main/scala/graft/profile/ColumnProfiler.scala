@@ -1,0 +1,128 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column statistical profiling (SURVEY §2.4 A1/A2; reference
+  * /root/reference/parq_tools/utils/profile_utils.py:286-309 — the metric set
+  * compared downstream is exactly profile_compare_utils.py:8-16:
+  * mean, std, min, max, n_missing, p_missing, n_distinct).
+  *
+  * One single `agg` pass computes every metric for every requested column —
+  * one job, one shuffle-free scan with partial aggregation (vs the
+  * reference's one-column-at-a-time batched profiling, parq_profile.py:133-156,
+  * which exists only because pandas is memory-bound).
+  *
+  * `exactDistinct = false` switches `count_distinct` (exact, but one expand
+  * per column) to `approx_count_distinct` (HLL, single-pass mergeable sketch)
+  * — the right default at 100 TB; the comparison layer's tolerances absorb
+  * the ≤ rsd error (SURVEY §7.4 hard part 5).
+  */
+object ColumnProfiler {
+
+  final case class ColumnProfile(
+      name: String,
+      dtype: String,
+      n: Long,
+      nMissing: Long,
+      pMissing: Double,
+      nDistinct: Long,
+      mean: Option[Double],
+      std: Option[Double],
+      min: Option[Any],
+      max: Option[Any],
+      memorySize: Long)
+
+  final case class TableProfile(
+      n: Long,
+      nVar: Int,
+      variables: Map[String, ColumnProfile]) {
+    /** Column-batched profiling merge (reference parq_profile.py:133-156):
+      * later batches overwrite same-named variables; table stats recomputed. */
+    def merge(other: TableProfile): TableProfile =
+      TableProfile(math.max(n, other.n), (variables ++ other.variables).size,
+        variables ++ other.variables)
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isOrderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  def profile(df: DataFrame, columns: Option[Seq[String]] = None,
+      exactDistinct: Boolean = true): TableProfile = {
+    val fields = columns match {
+      case Some(cs) =>
+        val missing = cs.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(s"Columns not in frame: ${missing.mkString(", ")}")
+        cs.map(c => df.schema(c))
+      case None => df.schema.fields.toSeq
+    }
+
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+      Seq(
+        sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss"),
+        distinct.as(s"${f.name}__dist")) ++
+        (if (isNumeric(f.dataType))
+           Seq(avg(c).as(s"${f.name}__mean"), stddev_samp(c).as(s"${f.name}__std"))
+         else Nil) ++
+        (if (isOrderable(f.dataType))
+           Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
+         else Nil)
+    }
+
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def get[T](name: String): Option[T] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    val n = row.getAs[Long]("__n")
+
+    val profiles = fields.map { f =>
+      val miss = get[Long](s"${f.name}__miss").getOrElse(0L)
+      f.name -> ColumnProfile(
+        name = f.name,
+        dtype = f.dataType.simpleString,
+        n = n,
+        nMissing = miss,
+        pMissing = if (n == 0) 0.0 else miss.toDouble / n,
+        nDistinct = get[Long](s"${f.name}__dist").getOrElse(0L),
+        mean = if (isNumeric(f.dataType)) get[Any](s"${f.name}__mean").map(toD) else None,
+        std = if (isNumeric(f.dataType)) get[Any](s"${f.name}__std").map(toD) else None,
+        min = if (isOrderable(f.dataType)) get[Any](s"${f.name}__min") else None,
+        max = if (isOrderable(f.dataType)) get[Any](s"${f.name}__max") else None,
+        memorySize = 0L)
+    }.toMap
+
+    TableProfile(n = n, nVar = fields.size, variables = profiles)
+  }
+
+  /** NaN counts as missing for float columns (pandas semantics the reference
+    * inherits via ydata-profiling). */
+  private def missingPred(f: StructField, c: Column): Column = f.dataType match {
+    case DoubleType | FloatType => c.isNull || isnan(c)
+    case _ => c.isNull
+  }
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case bd: java.math.BigDecimal => bd.doubleValue
+    case bd: BigDecimal => bd.doubleValue
+    case other => throw new IllegalArgumentException(s"non-numeric stat value: $other")
+  }
+}

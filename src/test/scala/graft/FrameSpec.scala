@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.frame.{CalculatedColumn, LazyParquetFrame}
+import graft.ops.SchemaOps
+
+/** Mirrors /root/reference/test/lazy_parquet/ + calculated_columns tests. */
+class FrameSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("lazy frame: columns, getitem, status tracking") {
+    val lp = LazyParquetFrame(spark, sf("region"), Seq("r_regionkey"))
+    assert(lp.columns == Seq("r_regionkey", "r_name"))
+    assert(lp.info.exists { case (c, _, st) => c == "r_regionkey" && st == "loaded" })
+    assert(lp.info.exists { case (c, _, st) => c == "r_name" && st == "lazy" })
+    assert(lp("r_name").count() == 5)
+    assert(lp.info.forall(_._3 == "loaded"))
+  }
+
+  test("lazy frame: unknown column raises, setitem adds") {
+    val lp = LazyParquetFrame(spark, sf("region"))
+    assertThrows[NoSuchElementException](lp("nope"))
+    lp.update("upper_name", upper($"r_name"))
+    assert(lp.columns.contains("upper_name"))
+    assertThrows[IllegalArgumentException](lp.addColumn("upper_name", lit(1)))
+  }
+
+  test("lazy frame: tuple filter returns only predicate columns") {
+    val lp = LazyParquetFrame(spark, sf("customer"))
+    val out = lp.filter(("c_acctbal", ">", 0.0), ("c_nationkey", "<=", 10))
+    assert(out.columns.toSeq == Seq("c_acctbal", "c_nationkey"))
+  }
+
+  test("lazy frame: query uses the expression dialect") {
+    val lp = LazyParquetFrame(spark, sf("customer"))
+    val n = lp.query("c_mktsegment == 'BUILDING' and c_acctbal > 0.0").count()
+    val expected = spark.read.parquet(sf("customer"))
+      .filter($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 0.0).count()
+    assert(n == expected)
+  }
+
+  test("lazy frame: overwrite guard on save") {
+    val out = tmpDir("lpf") + "/out.parquet"
+    val lp = LazyParquetFrame(spark, sf("region"))
+    lp.toParquet(out)
+    assertThrows[IllegalArgumentException](lp.toParquet(out))
+    lp.toParquet(out, allowOverwrite = true)
+  }
+
+  test("calculated columns: placement after last dependency") {
+    val df = Seq((1.0, 2.0, "z")).toDF("a", "b", "s")
+    val out = CalculatedColumn(df, Seq(CalculatedColumn("ab", "a + b")))
+    assert(out.columns.toSeq == Seq("a", "b", "ab", "s"))
+    assert(out.head().getDouble(2) == 3.0)
+  }
+
+  test("calculated columns: sequential insert-after-last-dependency order") {
+    // Matches the reference's order.insert(last_dep + 1, name) behavior:
+    // s (deps a,b) → (a,b,s); s2 (dep a) → inserted right after a.
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val out = CalculatedColumn(df, Seq(
+      CalculatedColumn("s", "a + b"),
+      CalculatedColumn("s2", "a * 2")))
+    assert(out.columns.toSeq == Seq("a", "s2", "b", "s"))
+    // a calc column depending on an earlier calc column lands after it
+    val chained = CalculatedColumn(df, Seq(
+      CalculatedColumn("c", "a + b"),
+      CalculatedColumn("d", "c * 2")))
+    assert(chained.columns.toSeq == Seq("a", "b", "c", "d"))
+    assert(chained.head().getDouble(3) == 6.0)
+  }
+
+  test("schema ops: rename and metadata") {
+    val df = Seq((1, "x")).toDF("k", "v")
+    val renamed = SchemaOps.rename(df, Map("k" -> "key"))
+    assert(renamed.columns.toSeq == Seq("key", "v"))
+    assertThrows[IllegalArgumentException](SchemaOps.rename(df, Map("zz" -> "y")))
+
+    val md = SchemaOps.withColumnMetadata(df, Map("k" -> Map("unit" -> "meters")))
+    assert(SchemaOps.columnMetadata(md, "k").getString("unit") == "meters")
+
+    val tm = SchemaOps.withTableMetadata(df, Map("origin" -> "graft"))
+    assert(SchemaOps.columnMetadata(tm, "k").getString(SchemaOps.TableMetadataKey)
+      .contains("origin"))
+  }
+
+  test("column metadata round-trips through parquet") {
+    val out = tmpDir("meta") + "/m.parquet"
+    val df = SchemaOps.withColumnMetadata(Seq((1, "x")).toDF("k", "v"),
+      Map("k" -> Map("unit" -> "meters")))
+    df.write.parquet(out)
+    val back = spark.read.parquet(out)
+    assert(SchemaOps.columnMetadata(back, "k").getString("unit") == "meters")
+  }
+}

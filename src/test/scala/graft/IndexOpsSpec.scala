@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.IndexOps
+
+/** Mirrors /root/reference/test/indexes/test_indexes.py semantics. */
+class IndexOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("global multi-column sort") {
+    val df = Seq((2, 1, "b"), (1, 2, "a"), (1, 1, "c")).toDF("x", "y", "v")
+    val got = IndexOps.sort(df, Seq("x", "y")).collect().map(_.getString(2)).toSeq
+    assert(got == Seq("c", "a", "b"))
+  }
+
+  test("reindex: left join on intersecting keys, float→NaN, int→null, then sort") {
+    val data = Seq((1, 10.0, 100L), (3, 30.0, 300L)).toDF("x", "f", "i")
+    val newIndex = Seq(3, 2, 1).toDF("x")
+    val out = IndexOps.reindex(newIndex, data).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3)) // sorted after reindex
+    val missingRow = out(1)
+    assert(missingRow.getDouble(1).isNaN)  // float fill = NaN
+    assert(missingRow.isNullAt(2))         // int fill = null
+    assert(out(0).getDouble(1) == 10.0 && out(2).getLong(2) == 300L)
+  }
+
+  test("reindex with no shared columns raises") {
+    val data = Seq((1, 10.0)).toDF("x", "f")
+    val newIndex = Seq(1).toDF("z")
+    assertThrows[IllegalArgumentException](IndexOps.reindex(newIndex, data))
+  }
+
+  test("dedup keeps first occurrence by explicit order") {
+    val df = Seq((1, 1, "first"), (1, 2, "dup"), (2, 1, "only")).toDF("k", "seq", "v")
+    val out = IndexOps.dedupFirstWins(df, Seq("k"), orderColumns = Seq("seq"))
+    assert(out.count() == 2)
+    assert(out.filter($"k" === 1).head().getString(2) == "first")
+    assert(out.columns.toSeq == Seq("k", "seq", "v")) // helper columns dropped
+  }
+
+  test("alignment validation passes on aligned, fails on misaligned") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, 9.0), (1, 8.0)).toDF("k", "w")
+    IndexOps.validateIndexAlignment(Seq(a, b), Seq("k")) // order-insensitive: ok
+    val c = Seq((1, 1.0), (3, 2.0)).toDF("k", "w")
+    assertThrows[IllegalArgumentException](
+      IndexOps.validateIndexAlignment(Seq(a, c), Seq("k")))
+    // duplicate-count mismatch also fails (multiset semantics)
+    val d = Seq((1, 1.0), (1, 2.0)).toDF("k", "w")
+    assertThrows[IllegalArgumentException](
+      IndexOps.validateIndexAlignment(Seq(a, d), Seq("k")))
+  }
+}

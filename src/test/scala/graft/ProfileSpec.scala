@@ -1,0 +1,83 @@
+package graft
+
+import graft.profile.{ColumnProfiler, ProfileComparison}
+
+/** Mirrors /root/reference/test/profile/ semantics. */
+class ProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Some(1.0), "a"), (Some(2.0), "b"), (Some(3.0), "a"), (None, "c"))
+    .toDF("v", "s")
+
+  test("profile computes the compared metric set") {
+    val p = ColumnProfiler.profile(df).variables
+    val v = p("v")
+    assert(v.n == 4 && v.nMissing == 1 && math.abs(v.pMissing - 0.25) < 1e-12)
+    assert(v.nDistinct == 3)
+    assert(math.abs(v.mean.get - 2.0) < 1e-12)
+    assert(math.abs(v.std.get - 1.0) < 1e-12)
+    assert(v.min.get == 1.0 && v.max.get == 3.0)
+    val s = p("s")
+    assert(s.nDistinct == 3 && s.mean.isEmpty && s.min.contains("a"))
+  }
+
+  test("NaN counts as missing for doubles") {
+    val d = Seq(1.0, Double.NaN, 3.0).toDF("v")
+    assert(ColumnProfiler.profile(d).variables("v").nMissing == 1)
+  }
+
+  test("column-batched profiling merges to the same result") {
+    val whole = ColumnProfiler.profile(df)
+    val merged = ColumnProfiler.profile(df, Some(Seq("v")))
+      .merge(ColumnProfiler.profile(df, Some(Seq("s"))))
+    assert(merged.variables == whole.variables)
+  }
+
+  test("comparison statuses: equal, different, missing, type mismatch") {
+    val a = ColumnProfiler.profile(Seq((1.0, "x", 1L)).toDF("same", "gone", "typed"))
+    val b = ColumnProfiler.profile(Seq((1.0, 2.0)).toDF("same", "typed"))
+    val s = ProfileComparison.compare(Seq(a, b), Seq("a", "b"))
+    assert(s.columns("same").status == "equal")
+    assert(s.columns("gone").status == "missing_in_some")
+    assert(s.columns("typed").status == "type_mismatch")
+    assert(s.overview.totalColumns == 3)
+    assert(s.changedColumns == Seq("gone", "typed"))
+  }
+
+  test("tolerances absorb small deltas; rel delta inf when baseline 0") {
+    val a = ColumnProfiler.profile(Seq(0.0, 0.0).toDF("v"))
+    val b = ColumnProfiler.profile(Seq(0.05, -0.05).toDF("v"))
+    val strict = ProfileComparison.compare(Seq(a, b), Seq("a", "b"))
+    assert(strict.columns("v").status == "different")
+    // baseline mean = 0, new mean = 0 → equal; but std differs: 0 vs ~0.07
+    val tolerant = ProfileComparison.compare(Seq(a, b), Seq("a", "b"), absTol = 1.0)
+    assert(tolerant.columns("v").status == "equal")
+    // rel = inf when baseline is 0 and delta nonzero
+    val std = strict.columns("v").metrics("std")
+    assert(std.deltasFromFirst(1).exists(_._2.isPosInfinity))
+  }
+
+  test("NaN == NaN is within tolerance") {
+    assert(ProfileComparison.withinTolerance(
+      Some(Double.NaN), Some(Double.NaN), 0.0, 0.0))
+    assert(!ProfileComparison.withinTolerance(Some(Double.NaN), Some(1.0), 0.0, 0.0))
+  }
+
+  test("json export round-trips through a parser") {
+    val a = ColumnProfiler.profile(df)
+    val b = ColumnProfiler.profile(df.filter($"s" =!= "c"))
+    val json = ProfileComparison.toJson(ProfileComparison.compare(Seq(a, b), Seq("a", "b")))
+    assert(json.contains("\"overview\"") && json.contains("\"tolerance\""))
+    // sanity: it parses as JSON (driver-side python will do the same)
+    assert(json.startsWith("{") && json.endsWith("}"))
+  }
+
+  test("profile of real lineitem matches direct SQL aggregates") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val p = ColumnProfiler.profile(li, Some(Seq("l_quantity"))).variables("l_quantity")
+    val expected = li.selectExpr("avg(l_quantity)", "count(distinct l_quantity)").head()
+    assert(math.abs(p.mean.get - expected.getDouble(0)) < 1e-9)
+    assert(p.nDistinct == expected.getLong(1))
+  }
+}
