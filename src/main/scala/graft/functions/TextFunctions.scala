@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines (north-star
+  * extensions beyond the reference surface — SURVEY §7.2 step 10).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._` only
+  * (codegen'd, whole-stage-compatible, no UDFs): at 100 TB these run inside
+  * the scan stage with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed, lowercased text; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Number of whitespace-separated tokens (0 for blank text). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens further split on
+    * letter/digit/punctuation boundaries — a cheap, deterministic proxy for
+    * tokenizer cost without shipping a vocab. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(t) > 0))
+
+  /** Word n-gram shingles joined by single spaces (basis for MinHash /
+    * Jaccard dedup). Returns an empty array when there are fewer than `n`
+    * tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle set (order-insensitive). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** 64-bit document fingerprint: xxhash64 of the token-normalized text
+    * (whitespace squashed, lowercased) — robust to formatting-only changes. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Rolling n-gram fingerprints: one 64-bit hash per shingle. Winnowing-style
+    * selection = `array_min` over a window of these. */
+  def ngramFingerprints(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  // Small public stopword lists per language for the lang-id heuristic.
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "are", "be", "this", "at", "by"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "zu", "den",
+      "mit", "von", "auf", "für", "ein", "eine", "im", "dem", "sich", "des", "er"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pas", "que",
+      "pour", "dans", "qui", "sur", "avec", "au", "du", "des", "ce", "il"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+      "es", "no", "por", "con", "para", "del", "se", "su", "al", "lo"))
+
+  /** N-gram/stopword language-ID heuristic: score each language by the share
+    * of tokens that are that language's stopwords; emit the argmax, "und"
+    * (undetermined) when no stopword hits at all. Pure column expressions —
+    * lexicographic `array_max` over (score, lang) structs picks the winner
+    * deterministically (ties → lexicographically larger code). */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(ts, array(words.map(lit): _*))).cast("double") /
+          greatest(size(ts), lit(1)).cast("double"),
+        lit(lang))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("col1") > 0.0, best.getField("col2")).otherwise(lit("und"))
+  }
+
+  /** Ratio of punctuation characters to all characters (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val total = greatest(length(text), lit(1)).cast("double")
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / total
+  }
+
+  /** Ratio of alphabetic characters to all characters. */
+  def alphaRatio(text: Column): Column = {
+    val total = greatest(length(text), lit(1)).cast("double")
+    length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / total
+  }
+
+  /** Ratio of tokens that are (any-language) stopwords — a fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val all = stopwords.values.flatten.toSeq.distinct.sorted
+    size(array_intersect(ts, array(all.map(lit): _*))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters (0 for blank text). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: documents with reasonable length,
+    * low punctuation noise, high alphabetic share and some stopword glue
+    * score high. Deterministic, documented weights. */
+  def qualityScore(text: Column): Column = {
+    val lengthSignal = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+    val punctSignal = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val alphaSignal = alphaRatio(text)
+    val stopSignal = least(stopwordRatio(text) * 3.0, lit(1.0))
+    round(lengthSignal * 0.25 + punctSignal * 0.25 + alphaSignal * 0.25 + stopSignal * 0.25, 6)
+  }
+}

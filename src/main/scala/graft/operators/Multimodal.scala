@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extensions, SURVEY §7.2 step 10).
+  *
+  * Media (image/audio/video) rides as opaque `binary` columns with a typed
+  * metadata struct alongside. The Spark-side plumbing — schema, batched
+  * per-partition processing, partition sizing — is real; the actual
+  * image/audio decoding is STUBBED with a deterministic fake (the codec
+  * libraries are not in this container). Swap [[decodeStub]] for a real
+  * decoder (e.g. a JNI codec or an `mapInArrow` hand-off) without touching
+  * the pipeline shape.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** Attach a deterministic fake binary payload + metadata struct derived
+    * from an existing column — used to exercise the pipeline where no real
+    * media exists. Payload bytes = UTF-8 of the source column (stand-in for
+    * encoded media). */
+  def withFakeMedia(df: DataFrame, sourceCol: String, modality: String = "image"): DataFrame =
+    df.withColumn("media_bytes", encode(col(sourceCol).cast("string"), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(modality).as("modality"),
+        lit("fake/v1").as("format"),
+        (pmod(xxhash64(col(sourceCol)), lit(1920)) + 32).cast("int").as("width"),
+        (pmod(xxhash64(col(sourceCol), lit(1)), lit(1080)) + 32).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        length(col("media_bytes")).cast("long").as("size_bytes")))
+
+  /** STUB decode + feature-extract: media bytes → fixed-size float feature
+    * vector. Deterministic fake (hash-seeded), NOT a real decoder — the
+    * real implementation plugs in here. Runs as batched per-partition
+    * processing (`mapPartitions`), the same execution shape a real
+    * vectorized decoder needs: one decoder init per partition, streaming
+    * over rows, no per-row JVM↔native churn. */
+  def decodeStub(df: DataFrame, bytesCol: String, idCol: String, featureDim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens here in a real decoder (codec contexts,
+        // thread-local buffers); the stub needs none
+        rows.map { case (id, bytes) =>
+          // ??? real decode goes here; deterministic fake features instead:
+          (id, fakeFeatures(bytes, featureDim))
+        }
+      }
+      .toDF("id", "features")
+  }
+
+  /** Deterministic fake feature vector from payload bytes (FNV-1a seeded). */
+  private[operators] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1469598103934665603L // FNV offset basis
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
+    val out = new Array[Float](dim)
+    var k = 0
+    var s = h
+    while (k < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(k) = ((s >>> 40).toInt / 16777216.0f) - 0.5f
+      k += 1
+    }
+    out
+  }
+
+  /** Frame-sampling stub for video-like payloads: emit `n` (frame_index,
+    * frame_bytes) rows per media row — the explode shape a real frame
+    * sampler produces. Frame bytes are slices of the payload (fake). */
+  def sampleFrames(df: DataFrame, bytesCol: String, n: Int): DataFrame =
+    df.withColumn("frame_index", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_bytes", expr(s"substring($bytesCol, frame_index * 8 + 1, 8)"))
+
+  /** Partition-size guidance for binary columns: target ≤ `targetMB` of
+    * payload per partition so decode stages never hold more than one
+    * batch's worth of frames in memory. */
+  def repartitionForMedia(df: DataFrame, bytesCol: String, targetMB: Int = 64): DataFrame = {
+    val totalBytes = df.agg(sum(length(col(bytesCol)))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / (targetMB * 1024L * 1024L)).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column (north-star
+  * extensions, SURVEY §7.2 step 10).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; one scan, no shuffle of the corpus, a final
+  *    per-query top-k. The correctness baseline, and the right choice
+  *    whenever |queries| is small.
+  *  - [[lshTopK]] — sign-projection LSH bucketing: corpus is bucketed once
+  *    (can be precomputed and written as a bucketed table), queries probe
+  *    only their buckets, exact cosine re-ranks the candidates. The 100 TB
+  *    path: candidate set per query is ~corpus/2^bitsPerBand · numBands.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. Queries must be small
+    * enough to broadcast (they are, by construction: a query batch).
+    * Output: (query id, neighbor id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("nbr_vec"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("query_vec"), col("nbr_vec")).as("cosine"))
+    // rank within query: top-k per group; sort-based TopK via window + filter
+    // (AQE compiles this into a partial top-k before the shuffle)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one band bucket with the
+    * query, re-ranked by exact cosine. Recall is tuned by
+    * (numBits, numBands): more bands → more probes → higher recall. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int,
+      numBits: Int = 32, numBands: Int = 8, seed: Long = 42L): DataFrame = {
+    val bitsPerBand = numBits / numBands
+    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), col(vec).as(vecAs))
+        .withColumn("__bits", VectorFunctions.signProjectionBits(col(vecAs), dim, numBits, seed))
+        .select(col(idAs), col(vecAs),
+          posexplode(VectorFunctions.bandBuckets(col("__bits"), numBands, bitsPerBand))
+            .as(Seq("band", "bucket")))
+
+    val c = banded(corpus, corpusId, corpusVec, "nbr_id", "nbr_vec")
+    val q = banded(queries, queryId, queryVec, "query_id", "query_vec")
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+      .select("query_id", "query_vec", "nbr_id", "nbr_vec").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    candidates
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("query_vec"), col("nbr_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

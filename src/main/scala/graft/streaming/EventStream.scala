@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface over the `events` table shape (north-star
+  * extension — the reference has no streaming at all, SURVEY §2.9; its
+  * "chunked" processing is bounded batch iteration, which Spark subsumes).
+  *
+  * The same windowed aggregation is exposed twice:
+  *  - [[hourlyAggBatch]] — the batch twin (oracle-checkable)
+  *  - [[hourlyAggStream]] — `readStream` + watermark, for continuous
+  *    ingestion. Identical logic → identical results on a closed input set.
+  */
+object EventStream {
+
+  /** Tumbling-window aggregation per (hour, event_type) — batch form. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  /** Streaming form: parquet source, 1-hour watermark, append mode. The
+    * window column is kept as (start, end) struct per streaming semantics. */
+  def hourlyAggStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  /** Run the streaming query to completion over a static directory (memory
+    * sink) and return the result — used by tests to prove stream/batch
+    * equivalence. */
+  def runStreamToCompletion(spark: SparkSession, dir: String, schema: StructType,
+      queryName: String = "graft_events_stream"): DataFrame = {
+    val q = hourlyAggStream(spark, dir, schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

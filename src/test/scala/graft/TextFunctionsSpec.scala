@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token count: whitespace splitting, blank handling") {
+    val df = Seq("one two  three", "  ", "", "single").toDF("t")
+    val got = df.select(tokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("shingles: word n-grams, short-text empty") {
+    val df = Seq("a b c d").toDF("t")
+    assert(df.select(shingles($"t", 2)).head().getSeq[String](0) ==
+      Seq("a b", "b c", "c d"))
+    assert(Seq("a b").toDF("t").select(shingles($"t", 3)).head().getSeq[String](0).isEmpty)
+  }
+
+  test("fingerprint is formatting-invariant") {
+    val df = Seq(("The  QUICK fox", "the quick   fox")).toDF("a", "b")
+    val r = df.select(fingerprint($"a"), fingerprint($"b")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    val diff = Seq(("the quick fox", "the slow fox")).toDF("a", "b")
+      .select(fingerprint($"a"), fingerprint($"b")).head()
+    assert(diff.getLong(0) != diff.getLong(1))
+  }
+
+  test("lang id picks stopword-dominant language") {
+    val df = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund ist nicht zu haus und ich bin da", "de"),
+      ("le chat est dans la maison avec le chien", "fr"),
+      ("el perro es grande y la casa es bonita", "es"),
+      ("zxcv qwer asdf", "und")).toDF("t", "expected")
+    val got = df.select(langId($"t").as("got"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score ranges and ordering") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on through the quiet field to the barn",
+      "@@@ ### !!! $$$ %%%").toDF("t")
+    val scores = df.select(qualityScore($"t")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("ratios: punctuation, alpha, mean token length") {
+    val r = Seq("ab, cd!").toDF("t")
+      .select(punctRatio($"t"), alphaRatio($"t"), meanTokenLength($"t")).head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 7.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 4.0 / 7.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9) // "ab," and "cd!" → 3 chars each
+  }
+
+  test("text functions stay inside whole-stage codegen (no UDFs)") {
+    val df = Seq("a b c").toDF("t")
+      .select(tokenCount($"t"), fingerprint($"t"), qualityScore($"t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
