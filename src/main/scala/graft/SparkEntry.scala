@@ -1,13 +1,495 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.frame.CalculatedColumn
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops._
+import graft.profile.ColumnProfiler
+import graft.sources.EventsSource
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), with a DuckDB
+  * oracle for every SQL-expressible one.
+  *
+  * Conventions shared by query and oracle (the driver hash-compares values
+  * after sorting columns by name):
+  *  - every computed column aliased identically on both sides;
+  *  - deterministic ORDER BY on both sides;
+  *  - multi-row double aggregates rounded (2–4 dp) on both sides — the
+  *    underlying float error is ~1e-12 relative, far below the rounding
+  *    grain, so both engines land on the same rounded value;
+  *  - timestamps exported as formatted strings (engine-native binary
+  *    encodings differ);
+  *  - DuckDB integer SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Exact money aggregation: cast to DECIMAL(18,4) (per-row doubles are
+    * bit-identical across engines, so the cast is deterministic), sum
+    * exactly, round on the exact decimal, then one deterministic
+    * decimal→double conversion. Avoids float-accumulation-order divergence
+    * between Spark's partial aggregation and DuckDB's sequential sum, and
+    * the exact-half rounding boundary (sums of 4-decimal-exact values land
+    * on .xx50 halves ~1% of the time, where double rounding is ambiguous). */
+  private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FilterOps.filter(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      Some("l_quantity > 30 and l_discount <= 0.05"),
+      Some(Seq("l_orderkey", "l_quantity", "l_discount")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S1, P1–P5) ----------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_filter_expression" -> ((s, dir) => {
+      FilterOps.filter(read(s, dir, "lineitem"),
+        Some("l_quantity > 45.0 and l_discount <= 0.02 or l_returnflag == 'R' and l_quantity < 5.0"),
+        Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q03_filter_in_list" -> ((s, dir) => {
+      FilterOps.filter(read(s, dir, "lineitem"),
+        Some("l_returnflag in ['A', 'R'] and l_linenumber in [1, 2] and l_quantity >= 48.0"),
+        Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q04_project_index" -> ((s, dir) => {
+      FilterOps.project(read(s, dir, "lineitem"),
+        Some(Seq("l_quantity", "l_extendedprice")),
+        indexColumns = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- joins (J-series + extensions) ----------------------------------
+    "q05_join_revenue_nation" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q06_join_broadcast_part" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .join(broadcast(read(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 4).as("avg_price"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- sort / top-k (O1) ----------------------------------------------
+    "q07_topk_orders" -> ((s, dir) => {
+      read(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total_price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    }),
+    "q08_global_sort" -> ((s, dir) => {
+      IndexOps.sort(
+        read(s, dir, "lineitem")
+          .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_partkey", "l_orderkey", "l_linenumber"))
+    }),
+
+    // ---- set ops / concat (U1, J2, J3) ----------------------------------
+    "q09_tall_concat" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val a = li.select("l_orderkey", "l_linenumber", "l_quantity").filter(col("l_quantity") > 45.0)
+      val b = li.select("l_orderkey", "l_linenumber", "l_discount").filter(col("l_discount") < 0.01)
+      ConcatOps.tall(Seq(a, b))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("l_quantity"), lit(-1.0)))
+    }),
+    "q10_wide_concat" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      ConcatOps.wide(
+        Seq(c.select("c_custkey", "c_name"),
+          c.select("c_custkey", "c_acctbal", "c_mktsegment")),
+        indexColumns = Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q11_concat_with_df" -> ((s, dir) => {
+      val segments = Seq(("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 3),
+        ("HOUSEHOLD", 4), ("FURNITURE", 5))
+      val mem = s.createDataFrame(segments).toDF("c_mktsegment", "segment_code")
+      ConcatOps.withDataFrame(read(s, dir, "customer"), mem, Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("segment_code"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- reindex / dedup (J1, A4) ---------------------------------------
+    "q12_reindex" -> ((s, dir) => {
+      val newIndex = s.range(0, 30).toDF("c_nationkey")
+      val data = read(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("bigint").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).cast("decimal(18,2)").as("total_bal"))
+      IndexOps.reindex(newIndex, data)
+    }),
+    "q13_dedup_first_wins" -> ((s, dir) => {
+      IndexOps.dedupFirstWins(read(s, dir, "events"), Seq("user_id"),
+        orderColumns = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"))
+    }),
+    "q14_dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(read(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("keeper_id"), col("group_size"))
+        .orderBy(col("keeper_id"))
+    }),
+
+    // ---- windows ---------------------------------------------------------
+    "q15_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      read(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q16_rank_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      read(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // ---- profiling / compare (A1, C1) -----------------------------------
+    "q17_profile_stats" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val p = ColumnProfiler.profile(read(s, dir, "lineitem"), Some(cols))
+      val rows = cols.map { c =>
+        val v = p.variables(c)
+        (c, v.n, v.nMissing, v.nDistinct,
+          BigDecimal(v.mean.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(v.std.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double])
+      }
+      import s.implicits._
+      rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std", "min_val", "max_val")
+        .orderBy(col("column_name"))
+    }),
+    "q18_compare_diff" -> ((s, dir) => {
+      val o = read(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val big = read(s, dir, "orders")
+      CompareOps.diffCounts(
+        big.filter(col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus"),
+        big.filter(col("o_totalprice") > 150000).select("o_orderkey", "o_orderstatus"))
+    }),
+
+    // ---- text analysis (extensions) -------------------------------------
+    "q19_text_stats" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("text_len"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(read(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search (extensions) ---------------------------------
+    "q21_knn_bruteforce" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- events / streaming twin ----------------------------------------
+    "q22_events_hourly" -> ((s, dir) => {
+      EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- schema ops / calculated columns (F3, P9) -----------------------
+    "q23_schema_rename" -> ((s, dir) => {
+      SchemaOps.rename(read(s, dir, "region"),
+        Map("r_regionkey" -> "region_id", "r_name" -> "region_name"))
+        .orderBy(col("region_id"))
+    }),
+    "q24_calc_columns" -> ((s, dir) => {
+      CalculatedColumn(
+        read(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"),
+        Seq(
+          CalculatedColumn("disc_price", "l_extendedprice * (1 - l_discount)"),
+          CalculatedColumn("charge", "disc_price * (1 + l_tax)")))
+        // per-row products of identical input doubles are bit-identical
+        // across engines — no rounding (rounding would *introduce* exact-half
+        // ambiguity: these products are 6-decimal-exact values)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("disc_price"), col("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- non-SQL-expressible operators (rows-only checks) ---------------
+    "q25_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(read(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q26_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10, numChunks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q27_lang_quality" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+    "q28_fingerprint" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        size(TextFunctions.ngramFingerprints(col("text"), 3)).as("n_ngram_fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q29_lsh_ann" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        dim = 64, k = 5, numBits = 32, numBands = 16)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q30_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(read(s, dir, "documents"), "text")
+      Multimodal.decodeStub(media, "media_bytes", "doc_id", featureDim = 16)
+        .select(col("id"), size(col("features")).as("feature_dim"))
+        .orderBy(col("id"))
+    }),
+    "q31_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(read(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numBits = 16, numBands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q32_memory_report" -> ((s, dir) => {
+      val report = MemoryOps.memoryUsage(s, s"$dir/lineitem.parquet")
+      import s.implicits._
+      report.columns.map(c => (c.column, c.numValues))
+        .toDF("column_name", "num_values")
+        .orderBy(col("column_name"))
+    }))
+
+  /** DuckDB-runnable oracle per SQL-expressible query (driver runs these on
+    * the same parquet tables at sf0.01). Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_expression" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+         FROM lineitem
+         WHERE (l_quantity > 45.0 AND l_discount <= 0.02)
+            OR (l_returnflag = 'R' AND l_quantity < 5.0)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_filter_in_list" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)
+           AND l_quantity >= 48.0
+         ORDER BY l_orderkey, l_linenumber""",
+    "q04_project_index" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q05_join_revenue_nation" ->
+      """SELECT n_name,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q06_join_broadcast_part" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / count(*), 4) AS avg_price,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q08_global_sort" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber""",
+    "q09_tall_concat" ->
+      """SELECT * FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity, NULL::DOUBLE AS l_discount
+           FROM lineitem WHERE l_quantity > 45.0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, NULL::DOUBLE AS l_quantity, l_discount
+           FROM lineitem WHERE l_discount < 0.01) t
+         ORDER BY l_orderkey, l_linenumber, coalesce(l_quantity, -1.0)""",
+    "q10_wide_concat" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "q11_concat_with_df" ->
+      """SELECT c_custkey, c_mktsegment,
+         CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+           WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+           WHEN 'FURNITURE' THEN 5 END AS segment_code
+         FROM customer ORDER BY c_custkey""",
+    "q12_reindex" ->
+      """SELECT r.range AS c_nationkey, agg.n_cust, agg.total_bal
+         FROM range(0, 30) r
+         LEFT JOIN (
+           SELECT c_nationkey::BIGINT AS ck, count(*) AS n_cust,
+                  round(sum(c_acctbal), 2)::DECIMAL(18,2) AS total_bal
+           FROM customer GROUP BY 1) agg
+         ON r.range = agg.ck
+         ORDER BY c_nationkey""",
+    "q13_dedup_first_wins" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q14_dedup_exact_groups" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS group_size
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "q15_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q16_rank_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rank
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+               FROM orders) t
+         WHERE rank <= 3 ORDER BY o_custkey, rank""",
+    "q17_profile_stats" ->
+      """SELECT column_name, n, n_missing, n_distinct, mean, std, min_val, max_val FROM (
+         SELECT 'l_quantity' AS column_name, count(*) AS n,
+           count(*) - count(l_quantity) AS n_missing,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+           min(l_extendedprice), max(l_extendedprice) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+           min(l_discount), max(l_discount) FROM lineitem) t
+         ORDER BY column_name""",
+    "q18_compare_diff" ->
+      """SELECT
+         ((SELECT count(*) FROM orders WHERE o_totalprice > 100000)
+          - (SELECT count(*) FROM orders WHERE o_totalprice > 150000))::BIGINT AS only_in_left,
+         0::BIGINT AS only_in_right,
+         (SELECT count(*) FROM orders WHERE o_totalprice > 150000)::BIGINT AS in_both""",
+    "q19_text_stats" ->
+      """SELECT doc_id, length(text) AS text_len,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+         FROM documents ORDER BY doc_id""",
+    "q20_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
+         ORDER BY id_a, id_b""",
+    "q21_knn_bruteforce" ->
+      """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q22_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q23_schema_rename" ->
+      """SELECT r_regionkey AS region_id, r_name AS region_name
+         FROM region ORDER BY region_id""",
+    "q24_calc_columns" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
 }
