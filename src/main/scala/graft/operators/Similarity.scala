@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.functions.kernels.VectorKernelFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column (north-star
   * extensions, SURVEY §7.2 step 10).
@@ -18,6 +19,11 @@ import graft.functions.VectorFunctions
   *    (can be precomputed and written as a bucketed table), queries probe
   *    only their buckets, exact cosine re-ranks the candidates. The 100 TB
   *    path: candidate set per query is ~corpus/2^bitsPerBand · numBands.
+  *
+  * Cosine runs as a compiled Catalyst kernel
+  * ([[VectorKernelFunctions.cosineSimilarity]]) — the interpreted
+  * `zip_with`/`aggregate` form costs ~100× more per pair and dominates the
+  * scan otherwise.
   */
 object Similarity {
 
@@ -32,9 +38,9 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("nbr_id"),
-        VectorFunctions.cosine(col("query_vec"), col("nbr_vec")).as("cosine"))
-    // rank within query: top-k per group; sort-based TopK via window + filter
-    // (AQE compiles this into a partial top-k before the shuffle)
+        VectorKernelFunctions.cosineSimilarity(col("query_vec"), col("nbr_vec")).as("cosine"))
+    // rank within query: top-k per group (window after a single shuffle on
+    // query_id; AQE coalesces the tiny post-shuffle partitions)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -48,10 +54,11 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int,
       numBits: Int = 32, numBands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     val bitsPerBand = numBits / numBands
     def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs), col(vec).as(vecAs))
-        .withColumn("__bits", VectorFunctions.signProjectionBits(col(vecAs), dim, numBits, seed))
+        .withColumn("__bits", VectorKernelFunctions.signBits(col(vecAs), dim, numBits, seed))
         .select(col(idAs), col(vecAs),
           posexplode(VectorFunctions.bandBuckets(col("__bits"), numBands, bitsPerBand))
             .as(Seq("band", "bucket")))
@@ -64,7 +71,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     candidates
       .select(col("query_id"), col("nbr_id"),
-        VectorFunctions.cosine(col("query_vec"), col("nbr_vec")).as("cosine"))
+        VectorKernelFunctions.cosineSimilarity(col("query_vec"), col("nbr_vec")).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

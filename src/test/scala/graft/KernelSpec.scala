@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.functions.kernels.{TextKernelFunctions, VectorKernelFunctions}
+
+/** Compiled kernels must agree with their declarative reference
+  * implementations. */
+class KernelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine kernel matches the zip_with/aggregate reference") {
+    val df = spark.read.parquet(sf("embeddings")).limit(20)
+      .select($"vec_id", $"embedding")
+    val pairs = df.crossJoin(df.select($"vec_id".as("id2"), $"embedding".as("e2")))
+    val both = pairs.select(
+      VectorKernelFunctions.cosineSimilarity($"embedding", $"e2").as("kernel"),
+      VectorFunctions.cosine($"embedding", $"e2").as("reference"))
+    val rows = both.collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("dot kernel matches reference dot") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(VectorKernelFunctions.dotProduct($"a", $"b"),
+      VectorFunctions.dot($"a", $"b")).head()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
+  }
+
+  test("sign bits kernel matches the literal-plane reference") {
+    val df = spark.read.parquet(sf("embeddings")).limit(10)
+    val both = df.select(
+      VectorKernelFunctions.signBits($"embedding", 64, 16).as("kernel"),
+      VectorFunctions.signProjectionBits($"embedding", 64, 16).as("reference"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
+  test("shingle hash set: distinct, sorted, text-normalization invariant") {
+    val df = Seq("a b c a b c a b", "  A  B   c a b C a B ").toDF("t")
+    val sets = df.select(TextKernelFunctions.shingleHashSet($"t", 3)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sets(0) == sets(1))        // same shingle set after normalization
+    assert(sets(0) == sets(0).sorted) // canonical order
+    assert(sets(0).size == 3)         // abc, bca, cab
+    // short text → empty
+    assert(Seq("a b").toDF("t").select(TextKernelFunctions.shingleHashSet($"t", 3))
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("minhash signature: identical sets → identical sigs; empty → MaxValue") {
+    val df = Seq("x y z w v", "x y z w v", "totally different words here now").toDF("t")
+    val sigs = df.select(TextKernelFunctions.minhashSignature(
+      TextKernelFunctions.shingleHashSet($"t", 2), 16)).collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).size == 16)
+    val empty = Seq("x").toDF("t").select(TextKernelFunctions.minhashSignature(
+      TextKernelFunctions.shingleHashSet($"t", 2), 4)).head().getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
+  test("simhash kernel: formatting-invariant, near texts closer than far ones") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "The  quick BROWN fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog", "completely unrelated content about engines")).toDF("a", "b")
+    val rows = df.select(graft.operators.Dedup.hammingDistance(
+      TextKernelFunctions.simhash64($"a"), TextKernelFunctions.simhash64($"b"))).collect()
+    assert(rows(0).getInt(0) == 0)
+    assert(rows(1).getInt(0) > 10)
+  }
+
+  test("kernels are null-safe") {
+    val df = Seq[(String, Option[String])](("a b c", None)).toDF("a", "b")
+    val r = df.select(TextKernelFunctions.simhash64($"b"),
+      TextKernelFunctions.shingleHashSet($"b", 2)).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape assertions: the optimizations we rely on at 100 TB must be
+  * visible in the physical plan, not assumed. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("filter expression is pushed into the parquet scan") {
+    val p = plan("q02_filter_expression")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("q04_project_index")
+    // ReadSchema carries only the four projected columns, not l_comment etc.
+    assert(p.contains("l_orderkey") && !p.contains("l_shipdate"))
+  }
+
+  test("dimension joins broadcast, fact side does not shuffle for the join") {
+    assert(plan("q06_join_broadcast_part").contains("BroadcastHashJoin"))
+    assert(plan("q05_join_revenue_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial"), s"no partial aggregation in:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q07_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("queries stay on codegen'd paths — no interpreted lambda hot spots") {
+    // the rewritten text/vector pipelines must not contain higher-order
+    // function nodes in their plans (kernels replaced them)
+    for (q <- Seq("q25_minhash_lsh", "q26_simhash_pairs", "q21_knn_bruteforce")) {
+      val p = plan(q)
+      assert(!p.contains("ArrayFilter") && !p.contains("ArrayAggregate"),
+        s"$q still uses interpreted higher-order functions")
+    }
+  }
+}
