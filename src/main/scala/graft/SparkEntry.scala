@@ -326,6 +326,11 @@ object SparkEntry {
       report.columns.map(c => (c.column, c.numValues))
         .toDF("column_name", "num_values")
         .orderBy(col("column_name"))
+    }),
+    "q33_demo_blockmodel" -> ((s, _) => {
+      graft.sources.DemoBlockModel.create(s,
+        shape = (20, 10, 5), blockSize = (2.0, 1.0, 0.5), corner = (100.0, 200.0, 300.0))
+        .orderBy(col("c_order_xyz"))
     }))
 
   /** DuckDB-runnable oracle per SQL-expressible query (driver runs these on
@@ -491,5 +496,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // block sizes/corners chosen binary-representable → coordinates are
+    // exact doubles in both engines, no rounding needed
+    "q33_demo_blockmodel" ->
+      """SELECT
+         100.0 + 1.0 + (r.range // 50) * 2.0 AS x,
+         200.0 + 0.5 + ((r.range // 5) % 10) * 1.0 AS y,
+         300.0 + 0.25 + (r.range % 5) * 0.5 AS z,
+         r.range AS c_order_xyz,
+         (r.range % 5) * 200 + ((r.range // 5) % 10) * 20 + (r.range // 50) AS f_order_zyx,
+         302.5 - (300.0 + 0.25 + (r.range % 5) * 0.5) AS depth
+         FROM range(0, 1000) r ORDER BY c_order_xyz""")
 }

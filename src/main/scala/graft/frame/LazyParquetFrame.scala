@@ -1,5 +1,7 @@
 package graft.frame
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -90,6 +92,20 @@ final class LazyParquetFrame private (
     * lazy_parquet.py:340-383). */
   def info: Seq[(String, String, String)] =
     dtypes.map { case (c, t) => (c, t, if (loaded.contains(c)) "loaded" else "lazy") }
+
+  /** Bounded-memory row iteration (reference iter_row_chunks,
+    * lazy_parquet.py:418-478): streams partitions to the driver one at a
+    * time via `toLocalIterator`, grouped into fixed-size chunks. Computed
+    * columns are plain plan columns, so they arrive spliced in naturally. */
+  def iterRowChunks(chunkSize: Int = 100000,
+      columns: Option[Seq[String]] = None): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    val selected = columns match {
+      case Some(cs) => apply(cs: _*)
+      case None => current
+    }
+    selected.toLocalIterator().asInstanceOf[java.util.Iterator[org.apache.spark.sql.Row]]
+      .asScala.grouped(chunkSize)
+  }
 
   /** Overwrite-guarded save (reference to_parquet/save,
     * lazy_parquet.py:480-524). */

@@ -161,6 +161,42 @@ object ProfileComparison {
       columns, absTol, relTol, metrics)
   }
 
+  /** Diff-only view (SURVEY §2.11 C4; reference parq_profile.py:321-367 +
+    * profile_compare_utils.py:231-252): prune to changed columns, recompute
+    * the overview over the pruned set, keep tolerance settings. */
+  def diffOnly(s: ComparisonSummary): ComparisonSummary = {
+    val changed = s.columns.filter { case (_, cc) => cc.status != "equal" }
+    ComparisonSummary(
+      labels = s.labels,
+      overview = Overview(
+        equal = 0,
+        different = changed.values.count(_.status == "different"),
+        missingInSome = changed.values.count(_.status == "missing_in_some"),
+        typeMismatch = changed.values.count(_.status == "type_mismatch"),
+        totalColumns = changed.size),
+      columns = changed,
+      absTol = s.absTol, relTol = s.relTol, metricsCompared = s.metricsCompared)
+  }
+
+  /** Human-readable diff report with status prefixes (🟢 equal / 🔴 changed)
+    * and a tolerance footer — the reference's text rendering shape. */
+  def renderReport(s: ComparisonSummary, diffsOnly: Boolean = false): String = {
+    val view = if (diffsOnly) diffOnly(s) else s
+    val sb = new StringBuilder
+    sb.append(s"Profile comparison: ${view.labels.mkString(" vs ")}\n")
+    sb.append(s"columns: ${view.overview.totalColumns}  equal: ${view.overview.equal}  " +
+      s"different: ${view.overview.different}  missing: ${view.overview.missingInSome}  " +
+      s"type-mismatch: ${view.overview.typeMismatch}\n")
+    view.columns.toSeq.sortBy(_._1).foreach { case (name, cc) =>
+      val prefix = if (cc.status == "equal") "🟢" else "🔴"
+      sb.append(s"$prefix $name [${cc.status}]")
+      if (cc.reasons.nonEmpty) sb.append(s" ${cc.reasons.mkString("; ")}")
+      sb.append('\n')
+    }
+    sb.append(s"tolerances: abs_tol=${view.absTol} rel_tol=${view.relTol}\n")
+    sb.toString
+  }
+
   /** JSON export of the summary (reference parq_profile.py:289-319 JSON path).
     * NaN → null, ±∞ → "inf"/"-inf" (normalize_for_export,
     * profile_compare_utils.py:28-40). */

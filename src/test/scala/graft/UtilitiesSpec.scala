@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.io.{ArchiveUtils, FileHash, ParquetIO}
+import graft.profile.{ColumnProfiler, ProfileComparison}
+import graft.sources.DemoBlockModel
+
+/** S4/S6/S7/C2/C4 + iterRowChunks coverage. */
+class UtilitiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("demo block model: grid coords, c/f order, depth (reference semantics)") {
+    val df = DemoBlockModel.create(spark, shape = (3, 3, 3)).orderBy("c_order_xyz")
+    assert(df.count() == 27)
+    val rows = df.collect()
+    // first block centered at (0.5, 0.5, 0.5); c-order varies z fastest
+    assert(rows(0).getDouble(0) == 0.5 && rows(0).getDouble(1) == 0.5 && rows(0).getDouble(2) == 0.5)
+    assert(rows(1).getDouble(2) == 1.5) // next z layer
+    // f_order sorted by (z,y,x) must be 0..n-1
+    val fSorted = df.orderBy("z", "y", "x").select("f_order_zyx").as[Long].collect()
+    assert(fSorted.toSeq == (0L until 27L))
+    // depth = surface − z; top layer depth = half block
+    assert(df.filter($"z" === 2.5).head().getAs[Double]("depth") == 0.5)
+  }
+
+  test("parquet validity check: true for parquet, false for junk") {
+    assert(ParquetIO.isValidParquet(spark, sf("region")))
+    val junk = tmpDir("junk") + "/notparquet.parquet"
+    Files.write(Paths.get(junk), "not a parquet file".getBytes)
+    assert(!ParquetIO.isValidParquet(spark, junk))
+  }
+
+  test("file hash: fast, sha256, xxhash, custom digest, missing-src error") {
+    val dir = tmpDir("hash")
+    val a = s"$dir/a.bin"; val b = s"$dir/b.bin"; val c = s"$dir/c.bin"
+    Files.write(Paths.get(a), Array.fill(100000)(7.toByte))
+    Files.write(Paths.get(b), Array.fill(100000)(7.toByte))
+    Files.write(Paths.get(c), Array.fill(100000)(8.toByte))
+    for (m <- Seq("fast", "sha256", "xxhash")) {
+      assert(FileHash.filesMatch(a, b, m), m)
+      assert(!FileHash.filesMatch(a, c, m), m)
+    }
+    assert(!FileHash.filesMatch(a, s"$dir/nope.bin"))
+    assertThrows[java.io.FileNotFoundException](FileHash.filesMatch(s"$dir/nope.bin", a))
+    // custom digest strategy plug-in
+    val sizeDigest: FileHash.Digest = in => Iterator.continually(in.read())
+      .takeWhile(_ >= 0).size.toString
+    assert(FileHash.filesMatch(a, c, sizeDigest)) // same size → same custom digest
+  }
+
+  test("archive extraction: zip in, files out, zip-slip rejected") {
+    val dir = tmpDir("arc")
+    val zipPath = s"$dir/data.zip"
+    val z = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    z.putNextEntry(new ZipEntry("inner/file.txt"))
+    z.write("hello".getBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("top.txt"))
+    z.write("world".getBytes); z.closeEntry()
+    z.close()
+    val out = ArchiveUtils.extractArchive(zipPath, s"$dir/out")
+    assert(out.size == 2)
+    assert(new String(Files.readAllBytes(Paths.get(s"$dir/out/inner/file.txt"))) == "hello")
+    val sevenZip = s"$dir/data.7z"
+    Files.write(Paths.get(sevenZip), "fake".getBytes)
+    assertThrows[UnsupportedOperationException](
+      ArchiveUtils.extractArchive(sevenZip, s"$dir/out2"))
+
+    val evil = s"$dir/evil.zip"
+    val ez = new ZipOutputStream(new java.io.FileOutputStream(evil))
+    ez.putNextEntry(new ZipEntry("../escape.txt")); ez.write("x".getBytes)
+    ez.closeEntry(); ez.close()
+    assertThrows[SecurityException](ArchiveUtils.extractArchive(evil, s"$dir/out3"))
+  }
+
+  test("diff-only report prunes equal columns and renders with prefixes") {
+    val a = ColumnProfiler.profile(Seq((1.0, "x")).toDF("same", "changed"))
+    val b = ColumnProfiler.profile(Seq((1.0, "y")).toDF("same", "changed"))
+    val s = ProfileComparison.compare(Seq(a, b), Seq("a", "b"))
+    val pruned = ProfileComparison.diffOnly(s)
+    assert(pruned.columns.keySet == Set("changed"))
+    assert(pruned.overview.totalColumns == 1 && pruned.overview.equal == 0)
+    val text = ProfileComparison.renderReport(s)
+    assert(text.contains("🟢 same") && text.contains("🔴 changed"))
+    assert(text.contains("abs_tol"))
+    val diffText = ProfileComparison.renderReport(s, diffsOnly = true)
+    assert(!diffText.contains("same ["))
+  }
+
+  test("lazy frame iterRowChunks streams fixed-size chunks") {
+    val lp = graft.frame.LazyParquetFrame(spark, sf("customer"))
+    val chunks = lp.iterRowChunks(chunkSize = 60).toSeq
+    assert(chunks.map(_.size).sum == 150)
+    assert(chunks.forall(_.size <= 60))
+    val cols = lp.iterRowChunks(50, Some(Seq("c_custkey"))).next()
+    assert(cols.head.schema.fieldNames.toSeq == Seq("c_custkey"))
+  }
+}
