@@ -79,14 +79,20 @@ object IndexOps {
   /** Validate that all datasets have identical index-column content
     * (reference validate_index_alignment, index_utils.py:15-59). The
     * reference checks batch-by-batch positional equality; inputs are required
-    * to be sorted/aligned, so set equality (count + symmetric exceptAll) is
-    * the order-insensitive equivalent. Throws on first mismatch. */
+    * to be sorted/aligned, so multiset equality is the order-insensitive
+    * equivalent. One job per pair: per-key counts full-outer-joined — any
+    * null or unequal count row proves misalignment (vs 4 jobs for the naive
+    * count + two-sided exceptAll). Throws on first mismatch. */
   def validateIndexAlignment(dfs: Seq[DataFrame], indexColumns: Seq[String]): Unit = {
     require(dfs.nonEmpty)
-    val keyed = dfs.map(_.select(indexColumns.map(col): _*))
-    val first = keyed.head
-    keyed.zipWithIndex.tail.foreach { case (k, i) =>
-      if (k.count() != first.count() || !first.exceptAll(k).isEmpty || !k.exceptAll(first).isEmpty)
+    val keyCols = indexColumns.map(col)
+    val counted = dfs.map(_.groupBy(keyCols: _*).agg(count(lit(1)).as("__n")))
+    val first = counted.head
+    counted.zipWithIndex.tail.foreach { case (k, i) =>
+      val mismatch = first.withColumnRenamed("__n", "__n0")
+        .join(k.withColumnRenamed("__n", "__n1"), indexColumns, "full_outer")
+        .filter(col("__n0").isNull || col("__n1").isNull || col("__n0") =!= col("__n1"))
+      if (!mismatch.isEmpty)
         throw new IllegalArgumentException(
           s"Index columns (${indexColumns.mkString(", ")}) of dataset $i are not aligned with dataset 0")
     }

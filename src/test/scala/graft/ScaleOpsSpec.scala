@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+import graft.streaming.EventStream
+
+class ScaleOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted join matches plain join on skewed data") {
+    // one hot key with 10k rows, plus a long tail
+    val skewed = (Seq.fill(10000)(1) ++ (2 to 100)).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val dim = (1 to 100).map(k => (k, s"name_$k")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).groupBy("k").count()
+    val salted = ScaleOps.saltedJoin(skewed, dim, Seq("k")).groupBy("k").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join left semantics preserve unmatched rows") {
+    val skewed = Seq(1, 1, 2, 3).toDF("k")
+    val dim = Seq((1, "a")).toDF("k", "name")
+    val out = ScaleOps.saltedJoin(skewed, dim, Seq("k"), saltFactor = 4, joinType = "left")
+    assert(out.count() == 4)
+    assert(out.filter($"name".isNull).count() == 2)
+  }
+
+  test("salted two-phase aggregation matches direct groupBy") {
+    val df = (Seq.fill(5000)(("hot", 1.0)) ++ Seq(("a", 2.0), ("b", 3.0))).toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("count_all"), sum("v").as("sum_v"))
+    val salted = ScaleOps.saltedCountSum(df, Seq("k"), Seq("v"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed table round-trips and joins without exchange on the bucketed side") {
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    ScaleOps.writeBucketed(df, "graft_bucket_test", Seq("id"), numBuckets = 4)
+    val back = ScaleOps.readTable(spark, "graft_bucket_test")
+    assert(back.count() == 1000)
+    // self-join on the bucket key: bucketed scan sides need no shuffle
+    val joined = back.join(ScaleOps.readTable(spark, "graft_bucket_test")
+      .withColumnRenamed("v", "v2"), Seq("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(joined.count() == 1000)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("sessionization: gap splits sessions, aggregates per session") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),  // session 1 (gap 30 → same)
+      (1L, ts(60), 3.0),                     // session 2
+      (2L, ts(5), 4.0))                      // user 2, one session
+      .toDF("user_id", "ts", "value")
+    val s = EventStream.sessionize(events, gapMinutes = 30).orderBy("user_id", "session_start")
+    val rows = s.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("session_value") == 3.0)
+    assert(rows(1).getAs[Long]("n_events") == 1 && rows(1).getAs[Double]("session_value") == 3.0)
+    assert(rows(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("sessionization on real events produces sane sessions") {
+    val events = graft.sources.EventsSource.read(spark, sf("events"))
+    val s = EventStream.sessionize(events, gapMinutes = 60)
+    val total = s.agg(sum("n_events")).head().getLong(0)
+    assert(total == events.count()) // every event lands in exactly one session
+  }
+}
