@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Hashing uses Spark's own XXH64 (the engine behind `xxhash64()`), seed 42.
   */
-private[graft] object TextKernels {
+object TextKernels { // public: generated code references it by name
   val Seed = 42L
   private val Whitespace = Pattern.compile("\\s+")
 
@@ -164,10 +164,16 @@ case class MinHashExpr(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
-/** 64-bit SimHash of a text column's token multiset. */
-case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+/** 64-bit SimHash of a text column's token multiset. Generates code (a call
+  * into the compiled kernel) so it doesn't split whole-stage-codegen spans. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = TextKernels.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.TextKernels.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
   override def prettyName: String = "simhash64"
 }

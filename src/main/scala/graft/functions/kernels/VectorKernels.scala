@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * the inner loop compiled — the difference between ~10 µs and ~100 ns per
   * 64-dim cosine, which dominates candidate verification in ANN/near-dup
   * pipelines at scale. */
-private[graft] object VectorKernels {
+object VectorKernels { // public: generated code references it by name
 
   def toDoubles(a: ArrayData, elem: DataType): Array[Double] = elem match {
     case DoubleType => a.toDoubleArray()
@@ -31,6 +31,23 @@ private[graft] object VectorKernels {
     var i = 0
     while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
+  }
+
+  /** One-pass cosine over raw ArrayData — called from both interpreted eval
+    * and generated code (hence public, JVM-simple signature). */
+  def cosine(a: ArrayData, aIsFloat: Boolean, b: ArrayData, bIsFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
   }
 }
 
@@ -51,19 +68,24 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorBin
 }
 
 /** Cosine similarity (0.0 when either norm is zero) — one pass computing
-  * dot, ‖a‖², ‖b‖². */
+  * dot, ‖a‖², ‖b‖². Generates code (a kernel call) so it doesn't split
+  * whole-stage-codegen spans in candidate-verification projections. */
 case class CosineSimExpr(left: Expression, right: Expression) extends VectorBinary {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = vec(left, a)
-    val y = vec(right, b)
-    require(x.length == y.length, s"vector length mismatch: ${x.length} vs ${y.length}")
-    var d = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < x.length) { d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else d / denom
-  }
+
+  private def isFloat(e: Expression): Boolean = elemType(e) == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.kernels.VectorKernels.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "cosine_similarity"
 }

@@ -34,6 +34,18 @@ class ScaleOpsSpec extends SparkSpecBase {
 
   test("bucketed table round-trips and joins without exchange on the bucketed side") {
     spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
+    // the metastore is per-JVM but the warehouse dir persists across runs —
+    // clear any orphaned location from a previous test JVM
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_bucket_test")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(warehouse)
+    }
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     ScaleOps.writeBucketed(df, "graft_bucket_test", Seq("id"), numBuckets = 4)
     val back = ScaleOps.readTable(spark, "graft_bucket_test")
