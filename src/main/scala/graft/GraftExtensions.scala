@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.kernels._
+
+/** Session extension registering the kernel expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works next to the Column API.
+  *
+  * Install via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the token multiset"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64 takes 1 argument")
+        SimHashExpr(args.head)
+      }))
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two dense vectors"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cosine_similarity takes 2 arguments")
+        CosineSimExpr(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two dense vectors"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot_product takes 2 arguments")
+        DotProductExpr(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - hashes of word n-grams, in order"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hashes takes 2 arguments")
+        ShingleHashesExpr(args.head, intLit(args(1), "shingle_hashes"))
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hash_set"),
+      info("shingle_hash_set", "shingle_hash_set(text, n) - distinct sorted n-gram hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hash_set takes 2 arguments")
+        ShingleHashSetExpr(args.head, intLit(args(1), "shingle_hash_set"))
+      }))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(hashes, k) - k-slot MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "minhash_signature takes 2 arguments")
+        MinHashExpr(args.head, intLit(args(1), "minhash_signature"))
+      }))
+  }
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got: $other")
+  }
+}

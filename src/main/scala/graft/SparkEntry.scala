@@ -331,6 +331,19 @@ object SparkEntry {
       graft.sources.DemoBlockModel.create(s,
         shape = (20, 10, 5), blockSize = (2.0, 1.0, 0.5), corner = (100.0, 200.0, 300.0))
         .orderBy(col("c_order_xyz"))
+    }),
+    "q34_profile_compare" -> ((s, dir) => {
+      // C3: profile two slices of lineitem, emit per-column status
+      val li = read(s, dir, "lineitem")
+      val cols = Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))
+      val p1 = ColumnProfiler.profile(li, cols)
+      val p2 = ColumnProfiler.profile(li.filter(col("l_quantity") > 25.0), cols)
+      val summary = graft.profile.ProfileComparison.compare(
+        Seq(p1, p2), Seq("all", "high_qty"), absTol = 0.0, relTol = 0.0)
+      import s.implicits._
+      summary.columns.toSeq.map { case (c, cc) => (c, cc.status) }
+        .toDF("column_name", "status")
+        .orderBy(col("column_name"))
     }))
 
   /** DuckDB-runnable oracle per SQL-expressible query (driver runs these on

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-function registration via SparkSessionExtensions. Own session: the
+  * extension must be installed at build time. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate returns any pre-existing default session and silently
+    // drops withExtensions — clear first so this builder really applies it
+    // (the underlying SparkContext is still shared with other suites)
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("kernel functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS sh,
+                simhash64('the  QUICK brown fox') AS sh2,
+                cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+                dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+                size(shingle_hash_set('a b c d', 2)) AS n_shingles,
+                size(minhash_signature(shingle_hash_set('a b c d', 2), 8)) AS sig_len
+      """).head()
+    assert(r.getAs[Long]("sh") == r.getAs[Long]("sh2")) // normalization-invariant
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Int]("n_shingles") == 3)
+    assert(r.getAs[Int]("sig_len") == 8)
+  }
+
+  test("non-literal size parameter raises a clear error") {
+    val ex = intercept[Exception](
+      spark.sql("SELECT shingle_hash_set('a b c', 1 + 1)").head())
+    assert(ex.getMessage.contains("literal integer"))
+  }
+}
