@@ -280,8 +280,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q26_simhash_pairs" -> ((s, dir) => {
+      // 16 chunks of 4 bits: pigeonhole covers hamming ≤ 15, so maxHamming=10
+      // has exact recall
       Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10, numChunks = 4)
+        maxHamming = 10, numChunks = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q27_lang_quality" -> ((s, dir) => {

@@ -26,11 +26,14 @@ object TextKernels { // public: generated code references it by name
   val Seed = 42L
   private val Whitespace = Pattern.compile("\\s+")
 
-  /** Lowercased whitespace tokens; empty array for blank text. */
+  /** Lowercased whitespace tokens; empty array for blank text. Lowercasing
+    * uses Locale.ROOT to match Spark's locale-independent `lower()` (a
+    * tr-TR default locale would otherwise produce dotless-i tokens and
+    * machine-dependent dedup results). */
   def tokenize(s: UTF8String): Array[String] = {
     val t = s.toString.trim
     if (t.isEmpty) Array.empty[String]
-    else Whitespace.split(t.toLowerCase)
+    else Whitespace.split(t.toLowerCase(java.util.Locale.ROOT))
   }
 
   def hashToken(t: String): Long = {

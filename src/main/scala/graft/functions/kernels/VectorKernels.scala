@@ -106,6 +106,8 @@ case class SignBitsExpr(child: Expression, dim: Int, numBits: Int, seed: Long)
   override def nullSafeEval(v: Any): Any = {
     val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
       child.dataType.asInstanceOf[ArrayType].elementType)
+    require(x.length == dim,
+      s"sign_projection_bits: vector has ${x.length} elements but dim=$dim was declared")
     val bits = new Array[Int](numBits)
     var p = 0
     while (p < numBits) {

@@ -60,10 +60,19 @@ object Dedup {
     require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
     val rowsPerBand = numHashes / numBands
 
+    // Docs with no shingles (shorter than shingleSize) can never be
+    // near-dups, but they all share the identical all-MaxValue signature —
+    // banding them would put every such doc in one bucket (a k² candidate
+    // bomb on short-doc-heavy corpora). Drop them before banding.
+    // base is persisted: its kernel columns feed the banding plan AND both
+    // sides of the verification join — without caching the per-row kernel
+    // work runs three times.
     val base = df.select(
       col(idCol).as("id"),
       TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
@@ -141,6 +150,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       numChunks: Int = 4): DataFrame = {
+    require(maxHamming < numChunks,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < numChunks ($numChunks): " +
+        "a pair differing by one bit in every chunk would be silently missed otherwise")
+    require(64 % numChunks == 0, "numChunks must divide 64")
     val bitsPerChunk = 64 / numChunks
     val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunked = base.select(col("id"), col("sh"),
@@ -172,9 +185,12 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     val bitsPerBand = numBits / numBands
+    // persisted: feeds banding and both verification-join sides (see
+    // minhashLsh note)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bits", VectorKernelFunctions.signBits(col("vec"), dim, numBits, seed))
       .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))

@@ -80,16 +80,21 @@ object Multimodal {
   /** Frame-sampling stub for video-like payloads: emit `n` (frame_index,
     * frame_bytes) rows per media row — the explode shape a real frame
     * sampler produces. Frame bytes are slices of the payload (fake). */
-  def sampleFrames(df: DataFrame, bytesCol: String, n: Int): DataFrame =
+  def sampleFrames(df: DataFrame, bytesCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"frame count must be >= 1, got $n") // sequence(0, -1) would count down
     df.withColumn("frame_index", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_bytes", expr(s"substring($bytesCol, frame_index * 8 + 1, 8)"))
+  }
 
   /** Partition-size guidance for binary columns: target ≤ `targetMB` of
     * payload per partition so decode stages never hold more than one
     * batch's worth of frames in memory. */
   def repartitionForMedia(df: DataFrame, bytesCol: String, targetMB: Int = 64): DataFrame = {
-    val totalBytes = df.agg(sum(length(col(bytesCol)))).head().getLong(0)
-    val parts = math.max(1, (totalBytes / (targetMB * 1024L * 1024L)).toInt)
+    val row = df.agg(sum(length(col(bytesCol)))).head()
+    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0) // empty frame → NULL sum
+    val targetBytes = targetMB * 1024L * 1024L
+    // ceil, not floor: floor would leave partitions up to 2× the target
+    val parts = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
     df.repartition(parts)
   }
 }

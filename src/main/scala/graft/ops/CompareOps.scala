@@ -63,9 +63,9 @@ object CompareOps {
         else if (!dtypes(c).matches) false
         else if (nLeft != nRight) false
         else {
-          val a = left.select(col(c))
-          val b = right.select(col(c))
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+          // equal cardinalities: a ⊆ b (multiset) already implies equality,
+          // so one exceptAll suffices — half the jobs of the two-sided check
+          left.select(col(c)).exceptAll(right.select(col(c))).isEmpty
         }
       c -> eq
     }.toMap
@@ -88,8 +88,14 @@ object CompareOps {
     * One aggregation pass — no exceptAll double-scan. */
   def diffCounts(left: DataFrame, right: DataFrame): DataFrame = {
     val l = left.groupBy(left.columns.map(col): _*).agg(count(lit(1)).as("__l"))
-    val r = right.groupBy(right.columns.map(col): _*).agg(count(lit(1)).as("__r"))
-    l.join(r, left.columns.toSeq, "full_outer")
+    val rRenamed = right.columns.foldLeft(
+      right.groupBy(right.columns.map(col): _*).agg(count(lit(1)).as("__r"))) {
+      (df, c) => df.withColumnRenamed(c, s"__r_$c")
+    }
+    // null-safe equality: identical rows containing NULLs must match, not
+    // count as only_in_left + only_in_right
+    val cond = left.columns.map(c => l(c) <=> rRenamed(s"__r_$c")).reduce(_ && _)
+    l.join(rRenamed, cond, "full_outer")
       .select(
         sum(greatest(coalesce(col("__l"), lit(0L)) - coalesce(col("__r"), lit(0L)), lit(0L))).as("only_in_left"),
         sum(greatest(coalesce(col("__r"), lit(0L)) - coalesce(col("__l"), lit(0L)), lit(0L))).as("only_in_right"),

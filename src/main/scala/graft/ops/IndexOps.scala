@@ -89,8 +89,14 @@ object IndexOps {
     val counted = dfs.map(_.groupBy(keyCols: _*).agg(count(lit(1)).as("__n")))
     val first = counted.head
     counted.zipWithIndex.tail.foreach { case (k, i) =>
-      val mismatch = first.withColumnRenamed("__n", "__n0")
-        .join(k.withColumnRenamed("__n", "__n1"), indexColumns, "full_outer")
+      val left = first.withColumnRenamed("__n", "__n0")
+      val right = indexColumns.foldLeft(k.withColumnRenamed("__n", "__n1")) {
+        (df, c) => df.withColumnRenamed(c, s"__r_$c")
+      }
+      // null-safe key equality: a NULL index value present in both datasets
+      // is aligned, not a mismatch
+      val cond = indexColumns.map(c => left(c) <=> right(s"__r_$c")).reduce(_ && _)
+      val mismatch = left.join(right, cond, "full_outer")
         .filter(col("__n0").isNull || col("__n1").isNull || col("__n0") =!= col("__n1"))
       if (!mismatch.isEmpty)
         throw new IllegalArgumentException(

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("simhash pairs via chunk banding") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8, numChunks = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
