@@ -280,10 +280,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q26_simhash_pairs" -> ((s, dir) => {
-      // 16 chunks of 4 bits: pigeonhole covers hamming ≤ 15, so maxHamming=10
-      // has exact recall
+      // 4 chunks of 16 bits: pigeonhole covers hamming ≤ 3 exactly, and
+      // 16-bit chunk values keep candidate buckets sparse (2^16 values vs
+      // 2^4 for finer chunking — which makes every bucket quadratic)
       Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10, numChunks = 16)
+        maxHamming = 3, numChunks = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q27_lang_quality" -> ((s, dir) => {
@@ -338,8 +339,12 @@ object SparkEntry {
       // C3: profile two slices of lineitem, emit per-column status
       val li = read(s, dir, "lineitem")
       val cols = Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))
-      val p1 = ColumnProfiler.profile(li, cols)
-      val p2 = ColumnProfiler.profile(li.filter(col("l_quantity") > 25.0), cols)
+      // approx distinct (deterministic HLL): statuses compare two profiles
+      // computed the same way, and the single-pass plan avoids the
+      // count_distinct expand — the 100 TB-appropriate profiling mode
+      val p1 = ColumnProfiler.profile(li, cols, exactDistinct = false)
+      val p2 = ColumnProfiler.profile(li.filter(col("l_quantity") > 25.0), cols,
+        exactDistinct = false)
       val summary = graft.profile.ProfileComparison.compare(
         Seq(p1, p2), Seq("all", "high_qty"), absTol = 0.0, relTol = 0.0)
       import s.implicits._
