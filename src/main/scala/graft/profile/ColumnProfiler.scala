@@ -107,6 +107,20 @@ object ColumnProfiler {
     TableProfile(n = n, nVar = fields.size, variables = profiles)
   }
 
+  /** Profile a Parquet file/directory, filling `memorySize` with the exact
+    * uncompressed byte count per column from the footers (the reference
+    * samples chunks and extrapolates; footers are exact and free). */
+  def profileFile(spark: org.apache.spark.sql.SparkSession, path: String,
+      columns: Option[Seq[String]] = None,
+      exactDistinct: Boolean = true): TableProfile = {
+    val base = profile(spark.read.parquet(path), columns, exactDistinct)
+    val sizes = graft.ops.MemoryOps.memoryUsage(spark, path).columns
+      .map(c => c.column -> c.uncompressedBytes).toMap
+    base.copy(variables = base.variables.map { case (name, p) =>
+      name -> p.copy(memorySize = sizes.getOrElse(name, 0L))
+    })
+  }
+
   /** NaN counts as missing for float columns (pandas semantics the reference
     * inherits via ydata-profiling). */
   private def missingPred(f: StructField, c: Column): Column = f.dataType match {

@@ -73,6 +73,14 @@ class ProfileSpec extends SparkSpecBase {
     assert(json.startsWith("{") && json.endsWith("}"))
   }
 
+  test("profileFile fills memorySize from exact footer byte counts") {
+    val p = graft.profile.ColumnProfiler.profileFile(spark, sf("lineitem"),
+      Some(Seq("l_quantity", "l_returnflag")))
+    assert(p.variables("l_quantity").memorySize > 0)
+    assert(p.variables("l_returnflag").memorySize > 0)
+    assert(p.variables("l_quantity").n == 6000)
+  }
+
   test("profile of real lineitem matches direct SQL aggregates") {
     val li = spark.read.parquet(sf("lineitem"))
     val p = ColumnProfiler.profile(li, Some(Seq("l_quantity"))).variables("l_quantity")
