@@ -35,16 +35,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up (JIT, codegen cache, FS metadata) — not measured
-    run("q01_pricing_summary")
+    // whole-suite warm pass (JIT, codegen cache, FS metadata) — not measured.
+    // Warming only one query left later queries absorbing JIT cost in the
+    // driver's n=1-style runs (round 1: q24 clocked 11.9s for a plan
+    // equivalent to q08's 1.07s).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(run)
 
     // min of two runs per query: the host shows multi-second noise spikes
     // (same code measured 50s/118s/69s total across runs), and min-of-N is
-    // the standard steady-state estimator under one-sided noise
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // the standard steady-state estimator under one-sided noise. A failure
+    // in either run reports -1 — a 50%-flaky query must not hide behind its
+    // surviving run's time.
+    val results = names.map { n =>
       val a = run(n)
       val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

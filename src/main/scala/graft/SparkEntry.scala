@@ -155,8 +155,11 @@ object SparkEntry {
       val newIndex = s.range(0, 30).toDF("c_nationkey")
       val data = read(s, dir, "customer")
         .groupBy(col("c_nationkey").cast("bigint").as("c_nationkey"))
+        // double output like every other money aggregate: a DECIMAL output
+        // column hashes differently between the driver's parquet-read and
+        // DuckDB-result paths even when values are byte-identical
         .agg(count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).cast("decimal(18,2)").as("total_bal"))
+          moneySum(col("c_acctbal")).as("total_bal"))
       IndexOps.reindex(newIndex, data)
     }),
     "q13_dedup_first_wins" -> ((s, dir) => {
@@ -420,11 +423,12 @@ object SparkEntry {
            WHEN 'FURNITURE' THEN 5 END AS segment_code
          FROM customer ORDER BY c_custkey""",
     "q12_reindex" ->
-      """SELECT r.range AS c_nationkey, agg.n_cust, agg.total_bal
+      """SELECT r.range AS c_nationkey, agg.n_cust,
+                coalesce(agg.total_bal, 'NaN'::DOUBLE) AS total_bal
          FROM range(0, 30) r
          LEFT JOIN (
            SELECT c_nationkey::BIGINT AS ck, count(*) AS n_cust,
-                  round(sum(c_acctbal), 2)::DECIMAL(18,2) AS total_bal
+                  round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)::DOUBLE AS total_bal
            FROM customer GROUP BY 1) agg
          ON r.range = agg.ck
          ORDER BY c_nationkey""",

@@ -56,22 +56,31 @@ object Similarity {
       numBits: Int = 32, numBands: Int = 8, seed: Long = 42L): DataFrame = {
     require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     val bitsPerBand = numBits / numBands
-    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
-      df.select(col(id).as(idAs), col(vec).as(vecAs))
-        .withColumn("__bits", VectorKernelFunctions.signBits(col(vecAs), dim, numBits, seed))
-        .select(col(idAs), col(vecAs),
+    // band on ids only — vectors are dropped before any shuffle, so the
+    // bucket join and the candidate distinct move 16-byte rows, never the
+    // embedding payload (same shape as Dedup.embeddingNearDup)
+    def banded(df: DataFrame, id: String, vec: String, idAs: String) =
+      df.select(col(id).as(idAs),
+        VectorKernelFunctions.signBits(col(vec), dim, numBits, seed).as("__bits"))
+        .select(col(idAs),
           posexplode(VectorFunctions.bandBuckets(col("__bits"), numBands, bitsPerBand))
             .as(Seq("band", "bucket")))
 
-    val c = banded(corpus, corpusId, corpusVec, "nbr_id", "nbr_vec")
-    val q = banded(queries, queryId, queryVec, "query_id", "query_vec")
+    val c = banded(corpus, corpusId, corpusVec, "nbr_id")
+    val q = banded(queries, queryId, queryVec, "query_id")
     val candidates = c.join(broadcast(q), Seq("band", "bucket"))
-      .select("query_id", "query_vec", "nbr_id", "nbr_vec").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    candidates
+      .select("query_id", "nbr_id").distinct()
+    // vectors rejoin only for surviving candidate pairs: the candidate set
+    // is small (|queries| × bucket occupancy), so it broadcasts into the
+    // corpus scan — the corpus is never shuffled
+    val cv = corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("nbr_vec"))
+    val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+    val scored = cv.join(broadcast(candidates), Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         VectorKernelFunctions.cosineSimilarity(col("query_vec"), col("nbr_vec")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
