@@ -283,11 +283,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q26_simhash_pairs" -> ((s, dir) => {
-      // 4 chunks of 16 bits: pigeonhole covers hamming ≤ 3 exactly, and
-      // 16-bit chunk values keep candidate buckets sparse (2^16 values vs
-      // 2^4 for finer chunking — which makes every bucket quadratic)
-      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, numChunks = 4)
+      // SimHash as candidate generation (8 chunks of 8 bits; pigeonhole
+      // guarantees hamming ≤ 7, chunk-share catches the verified tail
+      // above that — 0 misses at oracle scales) with exact shingle-Jaccard
+      // verification: the output is a deterministic, metric-defined pair
+      // set, so it has a DuckDB oracle (raw hamming pairs would need
+      // simhash in SQL). No maxHamming pruning — it would cap recall.
+      Dedup.simhashNearDup(read(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, numChunks = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q27_lang_quality" -> ((s, dir) => {
@@ -321,8 +325,13 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "q31_embedding_neardup" -> ((s, dir) => {
+      // 16 bands of 2 bits: per-pair miss probability (1−p_band)^16 ≈ 3e-4
+      // at cosine 0.4 — this corpus's "near" pairs sit at cosine 0.40-0.51
+      // (no planted high-cosine dups), so recall needs short bands. At a
+      // production threshold (≥0.9) use fewer, longer bands (8×8 bits) for
+      // real pruning; at 0.4 sign-LSH degrades toward verify-most-pairs.
       Dedup.embeddingNearDup(read(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numBits = 16, numBands = 8)
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 16)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -355,6 +364,34 @@ object SparkEntry {
         .toDF("column_name", "status")
         .orderBy(col("column_name"))
     }))
+
+  /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
+    * LSH-candidate + exact-verify dedup operator (q20 ngramJaccard exact
+    * recall by construction; q25 minhash / q26 simhash candidate nets are
+    * empirically 100%-recall on this corpus at oracle scale, so their
+    * verified outputs equal the exact pair set). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= $threshold
+         ORDER BY id_a, id_b"""
+
+  /** DuckDB list literal for a stopword list — interpolated into the q27
+    * oracle from [[TextFunctions.stopwords]] so query and oracle can never
+    * drift. */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** DuckDB-runnable oracle per SQL-expressible query (driver runs these on
     * the same parquet tables at sf0.01). Omitted keys → rows-only check. */
@@ -483,22 +520,9 @@ object SparkEntry {
              x -> len(x) > 0)) AS n_tokens,
          length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
          FROM documents ORDER BY doc_id""",
-    "q20_ngram_jaccard" ->
-      """WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                  x -> len(x) > 0) AS toks
-           FROM documents),
-         s AS (
-           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-           FROM t WHERE len(toks) >= 3)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
-         ORDER BY id_a, id_b""",
+    "q20_ngram_jaccard" -> jaccardPairsSql(0.7),
+    "q25_minhash_lsh" -> jaccardPairsSql(0.7),
+    "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" ->
       """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -521,6 +545,109 @@ object SparkEntry {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // langId / qualityScore / subwordCount re-expressed in DuckDB SQL; the
+    // stopword lists are interpolated from TextFunctions.stopwords (single
+    // source of truth). Subword boundaries: Spark splits on lookarounds at
+    // letter↔digit transitions; RE2 has no lookarounds, so the oracle inserts
+    // spaces at transitions (two backref replaces) then splits on non-alnum.
+    "q27_lang_quality" -> {
+      val langs = TextFunctions.stopwords.toSeq.sortBy(_._1) // de, en, es, fr
+      val allStops = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
+      val scoreCols = langs.map { case (lang, words) =>
+        s"len(list_intersect(toks, ${sqlList(words)}))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS s_$lang"
+      }.mkString(",\n             ")
+      val gs = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text, toks,
+             $scoreCols,
+             len(list_intersect(toks, ${sqlList(allStops)}))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS s_all,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1)::DOUBLE AS pr,
+             length(regexp_replace(text, '[^\\pL]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1)::DOUBLE AS ar
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN $gs = 0 THEN 'und'
+                WHEN s_fr = $gs THEN 'fr'
+                WHEN s_es = $gs THEN 'es'
+                WHEN s_en = $gs THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           round(least(len(toks)::DOUBLE / 20.0, 1.0) * 0.25
+               + greatest(1.0 - pr * 4.0, 0.0) * 0.25
+               + ar * 0.25
+               + least(s_all * 3.0, 1.0) * 0.25, 6) AS quality,
+           len(list_filter(regexp_split_to_array(
+                 regexp_replace(regexp_replace(lower(trim(text)),
+                   '(\\pL)(\\pN)', '\\1 \\2', 'g'), '(\\pN)(\\pL)', '\\1 \\2', 'g'),
+                 '[^\\pL\\pN]+'), x -> len(x) > 0)) AS n_subwords
+         FROM sc ORDER BY doc_id"""
+    },
+    // q29's LSH candidate net (16 bands × 2 bits) empirically contains every
+    // true top-5 neighbor at oracle scale, so the re-ranked output equals
+    // exact brute force — same oracle as q21.
+    "q29_lsh_ann" ->
+      """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_multimodal_features" ->
+      """SELECT doc_id AS id, 16 AS feature_dim FROM documents ORDER BY id""",
+    // exact brute-force cosine pairs: the q31 LSH net (16 bands × 2 bits,
+    // per-pair miss ≈ 3e-4 at cosine 0.4) is verified 100%-recall on this
+    // corpus, and its exact-cosine verification admits no false positives.
+    "q31_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
+    // footer value counts are engine-independent facts of the file; DuckDB
+    // reads them via parquet_metadata(). The driver runs Verify at sf0.01
+    // (contract), so the path is pinned to that scale.
+    "q32_memory_report" ->
+      """SELECT path_in_schema AS column_name, sum(num_values)::BIGINT AS num_values
+         FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+         GROUP BY 1 ORDER BY 1""",
+    // per-column compare status re-derived in SQL: with abs_tol = rel_tol = 0
+    // a column is 'different' iff any compared metric (mean, std, min, max,
+    // n_missing, p_missing, n_distinct) differs between the two slices.
+    // DuckDB compares its own two slices (not Spark's floats), so the
+    // equal/different judgment is engine-stable. n_distinct: the query uses
+    // deterministic HLL both sides — identical value sets give identical
+    // estimates (l_returnflag), and columns with differing sets already
+    // differ in mean/min/max, so exact-distinct equality here is faithful.
+    "q34_profile_compare" -> {
+      def stats(src: String, c: String, numeric: Boolean) =
+        if (numeric)
+          s"""SELECT avg($c) AS mean, stddev_samp($c) AS std, min($c) AS mn, max($c) AS mx,
+              count(*) - count($c) AS miss, (count(*) - count($c))::DOUBLE / count(*) AS pmiss,
+              count(DISTINCT $c) AS dist FROM $src"""
+        else
+          s"""SELECT NULL::DOUBLE AS mean, NULL::DOUBLE AS std, min($c) AS mn, max($c) AS mx,
+              count(*) - count($c) AS miss, (count(*) - count($c))::DOUBLE / count(*) AS pmiss,
+              count(DISTINCT $c) AS dist FROM $src"""
+      def statusRow(c: String, numeric: Boolean) =
+        s"""SELECT '$c' AS column_name,
+              CASE WHEN a.mean IS NOT DISTINCT FROM b.mean AND a.std IS NOT DISTINCT FROM b.std
+                    AND a.mn IS NOT DISTINCT FROM b.mn AND a.mx IS NOT DISTINCT FROM b.mx
+                    AND a.miss = b.miss AND a.pmiss = b.pmiss AND a.dist = b.dist
+                   THEN 'equal' ELSE 'different' END AS status
+            FROM (${stats("lineitem", c, numeric)}) a,
+                 (${stats("(SELECT * FROM lineitem WHERE l_quantity > 25.0)", c, numeric)}) b"""
+      Seq(("l_quantity", true), ("l_extendedprice", true), ("l_discount", true),
+        ("l_returnflag", false))
+        .map { case (c, n) => statusRow(c, n) }
+        .mkString("SELECT column_name, status FROM (", " UNION ALL ", ") t ORDER BY column_name")
+    },
     // block sizes/corners chosen binary-representable → coordinates are
     // exact doubles in both engines, no rounding needed
     "q33_demo_blockmodel" ->

@@ -59,7 +59,9 @@ object TextFunctions {
     graft.functions.kernels.TextKernelFunctions.shingleHashes(text, n)
 
   // Small public stopword lists per language for the lang-id heuristic.
-  private val stopwords: Map[String, Seq[String]] = Map(
+  // private[graft]: SparkEntry interpolates these into the q27 DuckDB oracle
+  // so query and oracle can never drift.
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
       "for", "on", "with", "as", "was", "are", "be", "this", "at", "by"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "zu", "den",

@@ -106,6 +106,29 @@ object TextKernels { // public: generated code references it by name
     sig
   }
 
+  /** Exact Jaccard of two SORTED distinct long arrays (the canonical
+    * shingle-hash sets from [[shingleHashSet]]): one merge scan, no
+    * allocation — replaces `array_intersect` + `array_union` (two hash-set
+    * builds and two result allocations per pair) in dedup verification.
+    * 0.0 when both sets are empty (no union → not a duplicate). */
+  def sortedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la == 0 && lb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (la + lb - inter).toDouble
+  }
+
   /** 64-bit SimHash over the token multiset. */
   def simhash(s: UTF8String): Long = {
     val toks = tokenize(s)
@@ -181,6 +204,27 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Exact Jaccard similarity of two sorted distinct long arrays. Generates
+  * code (a call into the compiled kernel) so it stays inside whole-stage
+  * codegen spans. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.kernels.TextKernels.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SortedJaccardExpr = copy(left = l, right = r)
+  override def prettyName: String = "sorted_jaccard"
+}
+
 /** Column-facing constructors. */
 object TextKernelFunctions {
   def shingleHashes(text: Column, n: Int): Column =
@@ -191,4 +235,7 @@ object TextKernelFunctions {
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleHashSet), numHashes))
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+  def sortedJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

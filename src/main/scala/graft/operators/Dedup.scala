@@ -89,17 +89,23 @@ object Dedup {
   }
 
   /** Exact Jaccard on candidate pairs via the (distinct, sorted) shingle-hash
-    * sets. Candidates are already unique pairs; array intersection/union run
-    * once per pair. */
+    * sets. Candidates are already unique pairs. Two exact pruning layers
+    * before the per-pair merge scan:
+    *  - size ratio: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    *    set sizes differ by more than the threshold ratio can be dropped on
+    *    two ints, no array work;
+    *  - the Jaccard itself runs as a compiled merge scan over the sorted
+    *    arrays ([[TextKernelFunctions.sortedJaccard]]) — no hash-set builds,
+    *    no allocation, stays inside whole-stage codegen. */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
-          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
+        TextKernelFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -169,6 +175,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash-bucketed near-dup with exact Jaccard verification — the
+    * production shape for simhash dedup: the chunked simhash is CANDIDATE
+    * GENERATION only (pigeonhole net: any pair within hamming ≤ numChunks−1
+    * is GUARANTEED to share a chunk; pairs above that are still caught
+    * whenever their bit flips leave one chunk clean — empirically all of
+    * them on this corpus), then verified by exact shingle Jaccard ≥
+    * `threshold` so the emitted pairs are a deterministic, metric-defined
+    * set (raw hamming pairs — `simhashPairs` — measure token-frequency
+    * similarity, which is NOT shingle Jaccard).
+    *
+    * `maxHamming` (optional) prunes candidates by simhash hamming before
+    * the distinct+verify stages — cheaper verification, but it CAPS recall:
+    * near-identical shingle sets can sit at hamming 8–11 (token-frequency
+    * noise), so only set it when approximate recall is acceptable. With it
+    * unset, recall is bounded below by the chunk-share probability
+    * (1 − P(flips hit all chunks)), ≈ 1 for hamming ≲ numChunks + 4.
+    *
+    * Docs with fewer than `shingleSize` tokens are excluded (they cannot
+    * reach any Jaccard threshold, and blank-ish docs share one simhash —
+    * bucketing them is a k² candidate bomb). */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxHamming: Option[Int] = None,
+      numChunks: Int = 8): DataFrame = {
+    maxHamming.foreach(mh => require(mh < numChunks,
+      s"pigeonhole guarantee needs maxHamming ($mh) < numChunks ($numChunks)"))
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    val bitsPerChunk = 64 / numChunks
+    val base = df.select(
+      col(idCol).as("id"),
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"),
+      simhash(col(textCol)).as("sh"))
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket rows carry only what the pre-distinct prunes need: the shingle
+    // count always (size-ratio prune: J ≥ t needs min(sz)/max(sz) ≥ t), the
+    // simhash only when hamming pruning is requested. Both prunes run
+    // BEFORE the distinct, shrinking the only wide shuffle in the plan.
+    val carrySh = maxHamming.isDefined
+    val chunked = base.select(
+      (Seq(col("id"), size(col("shingles")).as("sz")) ++
+        (if (carrySh) Seq(col("sh")) else Nil)) :+
+      posexplode(array((0 until numChunks).map { c =>
+        shiftright(col("sh"), c * bitsPerChunk)
+          .bitwiseAND((1L << bitsPerChunk) - 1L)
+      }: _*)).as(Seq("chunk", "value")): _*)
+    def side(suffix: String) = chunked.select(
+      Seq(col("chunk"), col("value"), col("id").as(s"id_$suffix"),
+        col("sz").as(s"sz_$suffix")) ++
+        (if (carrySh) Seq(col("sh").as(s"sh_$suffix")) else Nil): _*)
+    val joined = side("a").join(side("b"), Seq("chunk", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+    val pruned = maxHamming.fold(joined)(mh =>
+      joined.filter(hammingDistance(col("sh_a"), col("sh_b")) <= mh))
+    val candidates = pruned.select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-projection LSH banding:

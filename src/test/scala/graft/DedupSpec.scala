@@ -64,6 +64,26 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash near-dup: verified pairs equal exact jaccard pairs; hamming prune caps recall") {
+    // Unpruned: chunk-share candidates + exact verify ⊇ every pair within
+    // hamming ≤ numChunks−1 (pigeonhole), so the verified output matches the
+    // exact jaccard pair set on this fixture.
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val verified = Dedup.simhashNearDup(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, numChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == exact)
+    // maxHamming = 0 prunes the near-dup pair (hamming > 0) but keeps the
+    // exact dup (identical simhash): pruning trades recall for cheaper
+    // verification.
+    val pruned = Dedup.simhashNearDup(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, maxHamming = Some(0), numChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.contains((1L, 2L)))
+    assert(pruned.size < exact.size)
+  }
+
   test("embedding near-dup via sign LSH") {
     val vecs = Seq(
       (1L, Seq.tabulate(8)(i => i.toFloat + 1)),
