@@ -120,7 +120,30 @@ final class LazyParquetFrame private (
     else ParquetIO.write(current, output)
   }
 
-  def save(): Unit = toParquet(path, allowOverwrite = true)
+  /** Persist the current plan back over the frame's own source path.
+    * Spark refuses a direct overwrite of a path it is reading from, so the
+    * result is materialized to a temp sibling first and atomically swapped
+    * in; the frame then re-reads the new files (the old plan would hold a
+    * stale file listing). */
+  def save(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(conf)
+    val isFile = fs.exists(out) && !fs.getFileStatus(out).isDirectory
+    if (isFile) ParquetIO.writeSingleFile(current, path) // temp-then-rename inside
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(out.getParent,
+        s".${out.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      current.write.parquet(tmp.toString)
+      if (fs.exists(out)) fs.delete(out, true)
+      if (!fs.rename(tmp, out))
+        throw new java.io.IOException(s"rename $tmp -> $out failed")
+    }
+    spark.catalog.refreshByPath(path)
+    val keepLoaded = loaded
+    current = ParquetIO.read(spark, path)
+    loaded = keepLoaded.intersect(current.columns.toSet)
+  }
 }
 
 object LazyParquetFrame {

@@ -52,7 +52,11 @@ object FileHash {
     try {
       ch.position(offset)
       val buf = java.nio.ByteBuffer.allocate(len)
-      ch.read(buf)
+      // a single read may legally return fewer bytes than requested — loop
+      // until the buffer is full or EOF, or two equal files could compare
+      // different-length samples
+      var n = 0
+      while (n >= 0 && buf.hasRemaining) n = ch.read(buf)
       java.util.Arrays.copyOf(buf.array(), buf.position())
     } finally ch.close()
   }

@@ -21,6 +21,14 @@ import graft.functions.kernels.{TextKernelFunctions, VectorKernelFunctions}
   *  - shuffle keys are 8-byte hashes, never n-gram text;
   *  - at 100 TB the bucket shuffle is the only wide stage; AQE skew-join
   *    splitting handles hot buckets.
+  *
+  * Cache lifecycle: the LSH operators persist their kernel-column base
+  * (MEMORY_AND_DISK) because it feeds both the banding plan and the
+  * verification joins. The returned DataFrame references that cache
+  * lazily, so the operator cannot unpersist it itself; blocks are evicted
+  * LRU under memory pressure, but long-lived applications issuing many
+  * dedup calls should release them after materializing the result
+  * (`spark.catalog.clearCache()` or `df.unpersist()` on the handle).
   */
 object Dedup {
 

@@ -68,16 +68,24 @@ object ColumnProfiler {
 
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = col(f.name)
+      // NaN counts as missing (n_missing), so the value stats must exclude
+      // it too: aggregating the raw column would propagate NaN into
+      // mean/std and sort it greatest (max = NaN) — inconsistent with the
+      // pandas semantics the reference inherits.
+      val v = f.dataType match {
+        case DoubleType | FloatType => when(missingPred(f, c), lit(null)).otherwise(c)
+        case _ => c
+      }
       val distinct =
-        if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+        if (exactDistinct) count_distinct(v) else approx_count_distinct(v)
       Seq(
         sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss"),
         distinct.as(s"${f.name}__dist")) ++
         (if (isNumeric(f.dataType))
-           Seq(avg(c).as(s"${f.name}__mean"), stddev_samp(c).as(s"${f.name}__std"))
+           Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"))
          else Nil) ++
         (if (isOrderable(f.dataType))
-           Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
+           Seq(min(v).as(s"${f.name}__min"), max(v).as(s"${f.name}__max"))
          else Nil)
     }
 

@@ -47,6 +47,26 @@ class FrameSpec extends SparkSpecBase {
     lp.toParquet(out, allowOverwrite = true)
   }
 
+  test("lazy frame: save() overwrites its own source path (dir and single file)") {
+    // directory-backed frame
+    val dir = tmpDir("lpf-save") + "/tbl"
+    spark.read.parquet(sf("region")).write.parquet(dir)
+    val lp = LazyParquetFrame(spark, dir)
+    lp.update("upper_name", upper($"r_name"))
+    lp.save() // would throw 'Cannot overwrite a path that is also being read from' unswapped
+    val reread = spark.read.parquet(dir)
+    assert(reread.columns.contains("upper_name"))
+    assert(reread.count() == 5)
+    // single-file-backed frame
+    val file = tmpDir("lpf-save-file") + "/tbl.parquet"
+    graft.io.ParquetIO.writeSingleFile(spark.read.parquet(sf("region")), file)
+    val lpf = LazyParquetFrame(spark, file)
+    lpf.update("k2", $"r_regionkey" * 2)
+    lpf.save()
+    assert(spark.read.parquet(file).columns.contains("k2"))
+    assert(lpf.df.count() == 5) // frame still usable after the swap
+  }
+
   test("calculated columns: placement after last dependency") {
     val df = Seq((1.0, 2.0, "z")).toDF("a", "b", "s")
     val out = CalculatedColumn(df, Seq(CalculatedColumn("ab", "a + b")))

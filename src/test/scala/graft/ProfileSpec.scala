@@ -27,6 +27,16 @@ class ProfileSpec extends SparkSpecBase {
     assert(ColumnProfiler.profile(d).variables("v").nMissing == 1)
   }
 
+  test("NaN is excluded from value stats, consistent with n_missing") {
+    val d = Seq(1.0, Double.NaN, 3.0).toDF("v")
+    val p = ColumnProfiler.profile(d).variables("v")
+    assert(p.mean.contains(2.0))
+    assert(p.max.contains(3.0)) // raw max would be NaN (sorts greatest)
+    assert(p.min.contains(1.0))
+    assert(p.nDistinct == 2) // pandas nunique: NaN not a value
+    assert(!p.std.get.isNaN)
+  }
+
   test("column-batched profiling merges to the same result") {
     val whole = ColumnProfiler.profile(df)
     val merged = ColumnProfiler.profile(df, Some(Seq("v")))
