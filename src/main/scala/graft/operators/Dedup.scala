@@ -124,17 +124,38 @@ object Dedup {
     * shingles per pair via partial aggregation → jaccard from
     * |A∩B| / (|A| + |B| − |A∩B|). No shingle arrays are shuffled and no
     * per-pair set intersection runs — the hot path is one codegen'd
-    * join + hash aggregate. */
+    * join + hash aggregate.
+    *
+    * Cost is Σ df(shingle)² over distinct shingles: ONE boilerplate shingle
+    * shared by 1M documents creates 10¹² join rows. `maxDocFreq` bounds
+    * this by dropping shingles with document frequency > cap before the
+    * self-join (standard hot-shingle capping). Trade-off: pairs whose
+    * overlap is ONLY hot shingles are missed, and jaccard is computed
+    * against the full set sizes, so pairs sharing hot shingles are
+    * underestimated and may fall below the threshold — a recall cap, never
+    * a precision loss. Cap off (None) = exact recall. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
       .withColumn("sz", size(col("shingles")))
-    val ex = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
+    val exAll = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
+    // anti-join against the hot-shingle set: both sides hash-partition on
+    // `h`, the same key as the pair self-join below, so AQE/exchange reuse
+    // keeps this to one extra pass, and the df aggregation is partial
+    // (map-side) before its shuffle.
+    val ex = maxDocFreq.fold(exAll) { cap =>
+      val hot = exAll.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select(col("h"))
+      exAll.join(hot, Seq("h"), "left_anti")
+    }
     val a = ex.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = ex.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("h"))

@@ -50,6 +50,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard maxDocFreq caps hot shingles: bounded join, boilerplate pairs dropped") {
+    // 40 docs all opening with the same boilerplate shingle; only two are
+    // real near-dups. Uncapped, the boilerplate shingle alone contributes
+    // C(40,2) = 780 join rows; capped at df 5 it contributes none.
+    val boiler = "subscribe to our newsletter"
+    val docs = (0 until 40).map { i =>
+      val body = if (i == 0 || i == 1) "identical payload text body here"
+      else s"unique body $i with distinct words ${i * 7} ${i * 13}"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, maxDocFreq = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L))) // real dup survives its non-hot shingles
+    // cap off: exact recall — superset of the capped result
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
+
   test("simhash: identical text → distance 0; near text → small; different → large") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
