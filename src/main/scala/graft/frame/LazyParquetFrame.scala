@@ -21,9 +21,22 @@ import graft.io.ParquetIO
 final class LazyParquetFrame private (
     val spark: SparkSession,
     val path: String,
-    val indexColumns: Seq[String],
+    initialIndex: Seq[String],
     private var current: DataFrame,
     private var loaded: Set[String]) {
+
+  private var index: Seq[String] = initialIndex
+  def indexColumns: Seq[String] = index
+
+  /** Re-assign the index to one or more columns (MultiIndex when several) —
+    * reference index assignment, lazy_parquet.py:61-86. */
+  def setIndex(cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(s"Index columns not found: ${missing.mkString(", ")}")
+    index = cols
+    loaded ++= cols
+  }
 
   def df: DataFrame = current
   def columns: Seq[String] = current.columns.toSeq
@@ -118,6 +131,10 @@ final class LazyParquetFrame private (
       throw new IllegalArgumentException(s"Output exists and allow_overwrite is false: $output")
     if (singleFile) ParquetIO.writeSingleFile(current, output)
     else ParquetIO.write(current, output)
+    // Preserve the logical index across the round-trip (reference
+    // to_parquet keeps the pandas index — lazy_parquet.py:480-524).
+    if (index.nonEmpty)
+      graft.io.FooterMetadata.attachPandasMeta(spark, output, index)
   }
 
   /** Persist the current plan back over the frame's own source path.
@@ -139,6 +156,8 @@ final class LazyParquetFrame private (
       if (!fs.rename(tmp, out))
         throw new java.io.IOException(s"rename $tmp -> $out failed")
     }
+    if (index.nonEmpty)
+      graft.io.FooterMetadata.attachPandasMeta(spark, path, index)
     spark.catalog.refreshByPath(path)
     val keepLoaded = loaded
     current = ParquetIO.read(spark, path)
@@ -147,13 +166,22 @@ final class LazyParquetFrame private (
 }
 
 object LazyParquetFrame {
+  /** Open a parquet-backed frame. With explicit `indexColumns` those become
+    * the index (single or MultiIndex). With none, the index is recovered
+    * from the file's `pandas` footer metadata when present — the reference's
+    * no-override path (lazy_parquet.py:88-122); files without the blob (or
+    * with a RangeIndex) get an empty index. */
   def apply(spark: SparkSession, path: String, indexColumns: Seq[String] = Nil): LazyParquetFrame = {
     val df = ParquetIO.read(spark, path)
-    val missing = indexColumns.filterNot(df.columns.contains)
+    val idx =
+      if (indexColumns.nonEmpty) indexColumns
+      else scala.util.Try(graft.io.FooterMetadata.readPandasMeta(spark, path))
+        .toOption.flatten.map(_.indexColumns.filter(df.columns.contains)).getOrElse(Nil)
+    val missing = idx.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(s"Index columns not in file: ${missing.mkString(", ")}")
     // The reference eagerly loads index columns at construction
     // (lazy_parquet.py:61-122); marking them loaded mirrors that status.
-    new LazyParquetFrame(spark, path, indexColumns, df, indexColumns.toSet)
+    new LazyParquetFrame(spark, path, idx, df, idx.toSet)
   }
 }

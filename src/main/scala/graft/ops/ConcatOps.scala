@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.SparkCompiler
-import graft.io.ParquetIO
+import graft.io.{FooterMetadata, ParquetIO}
 
 /** Row-wise ("tall") and column-wise ("wide") concatenation (SURVEY §2.3/§2.7,
   * U1, J2, J3, J4).
@@ -57,9 +57,13 @@ object ConcatOps {
       filterQuery: Option[String] = None,
       columns: Option[Seq[String]] = None,
       indexColumns: Seq[String] = Nil,
-      singleFile: Boolean = false): Unit =
+      singleFile: Boolean = false): Unit = {
     writeOut(tall(files.map(ParquetIO.read(spark, _)), filterQuery, columns, indexColumns),
       output, singleFile)
+    // Pandas-interop contract: merged `pandas` footer blob rides to the
+    // output (reference parq_concat.py:408-416, test_tall.py:141-172).
+    FooterMetadata.propagatePandasMeta(spark, files, output)
+  }
 
   /** Column-wise concat: equi-join of N index-aligned datasets on the index
     * columns. Duplicate non-index column names across inputs are an error. */
@@ -98,9 +102,12 @@ object ConcatOps {
       indexColumns: Seq[String],
       filterQuery: Option[String] = None,
       columns: Option[Seq[String]] = None,
-      singleFile: Boolean = false): Unit =
+      singleFile: Boolean = false): Unit = {
     writeOut(wide(files.map(ParquetIO.read(spark, _)), indexColumns, filterQuery, columns),
       output, singleFile)
+    // reference parq_concat.py:353-359, test_wide.py:133-166
+    FooterMetadata.propagatePandasMeta(spark, files, output)
+  }
 
   /** Wide concat of a file-backed frame with an in-memory frame = left
     * equi-join on the index columns (reference J2,

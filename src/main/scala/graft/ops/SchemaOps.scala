@@ -4,18 +4,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
-import graft.io.ParquetIO
+import graft.io.{FooterMetadata, ParquetIO}
 
 /** Column rename + schema metadata (SURVEY §2.8 F3/F4; reference
   * /root/reference/parq_tools/parq_schema_tools.py).
   *
   * Column-level key→value metadata rides on Spark's per-field `Metadata` and
-  * round-trips through the Parquet writer. Table-level key→value metadata has
-  * no Spark surface; we carry it on a reserved field-metadata key of the
-  * first column (best-effort, documented deviation — SURVEY §7.4 hard
-  * part 2).
+  * round-trips through the Parquet writer. Table-level key→value metadata is
+  * written into the real footer KV map via [[FooterMetadata.writeKeyValue]]
+  * (raw row-group copy + new footer — SURVEY §7.4 hard part 2); the
+  * in-plan [[withTableMetadata]] variant (reserved field-metadata key on the
+  * first column) remains for frames that are never file-backed.
   */
 object SchemaOps {
+
+  /** Write table-level key→value metadata into the parquet footer(s) at
+    * `path` (reference parq_schema_tools.py update_metadata — table part). */
+  def writeTableMetadata(spark: SparkSession, path: String, kv: Map[String, String],
+      merge: Boolean = true): Unit =
+    FooterMetadata.writeKeyValue(spark, path, kv, merge)
+
+  /** Read table-level (user) key→value metadata from the footer at `path`
+    * (reference metadata_utils.py:38-42). */
+  def readTableMetadata(spark: SparkSession, path: String): Map[String, String] =
+    FooterMetadata.readUserMetadata(spark, path)
 
   val TableMetadataKey = "graft.table.metadata"
 
