@@ -32,7 +32,10 @@ object ColumnProfiler {
       std: Option[Double],
       min: Option[Any],
       max: Option[Any],
-      memorySize: Long)
+      memorySize: Long,
+      nZeros: Long = 0L,
+      nInfinite: Long = 0L,
+      alerts: Seq[String] = Nil)
 
   final case class TableProfile(
       n: Long,
@@ -82,8 +85,15 @@ object ColumnProfiler {
         sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss"),
         distinct.as(s"${f.name}__dist")) ++
         (if (isNumeric(f.dataType))
-           Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"))
+           Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"),
+             sum(when(v === 0, 1L).otherwise(0L)).as(s"${f.name}__zeros"))
          else Nil) ++
+        (f.dataType match {
+          case DoubleType | FloatType => Seq(
+            sum(when(v === Double.PositiveInfinity || v === Double.NegativeInfinity, 1L)
+              .otherwise(0L)).as(s"${f.name}__inf"))
+          case _ => Nil
+        }) ++
         (if (isOrderable(f.dataType))
            Seq(min(v).as(s"${f.name}__min"), max(v).as(s"${f.name}__max"))
          else Nil)
@@ -91,6 +101,7 @@ object ColumnProfiler {
 
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def get[T](name: String): Option[T] = {
+      if (!row.schema.fieldNames.contains(name)) return None
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.getAs[T](i))
     }
@@ -98,7 +109,7 @@ object ColumnProfiler {
 
     val profiles = fields.map { f =>
       val miss = get[Long](s"${f.name}__miss").getOrElse(0L)
-      f.name -> ColumnProfile(
+      val base = ColumnProfile(
         name = f.name,
         dtype = f.dataType.simpleString,
         n = n,
@@ -109,7 +120,10 @@ object ColumnProfiler {
         std = if (isNumeric(f.dataType)) get[Any](s"${f.name}__std").map(toD) else None,
         min = if (isOrderable(f.dataType)) get[Any](s"${f.name}__min") else None,
         max = if (isOrderable(f.dataType)) get[Any](s"${f.name}__max") else None,
-        memorySize = 0L)
+        memorySize = 0L,
+        nZeros = get[Long](s"${f.name}__zeros").getOrElse(0L),
+        nInfinite = get[Long](s"${f.name}__inf").getOrElse(0L))
+      f.name -> base.copy(alerts = alertsFor(base))
     }.toMap
 
     TableProfile(n = n, nVar = fields.size, variables = profiles)
@@ -127,6 +141,23 @@ object ColumnProfiler {
     base.copy(variables = base.variables.map { case (name, p) =>
       name -> p.copy(memorySize = sizes.getOrElse(name, 0L))
     })
+  }
+
+  /** Deterministic alert rules over the computed stats — the subset of the
+    * ydata-profiling alert set the reference surfaces
+    * (profile_utils.py:286-309 `get_alerts`) that is derivable from
+    * single-pass aggregates. Thresholds follow ydata defaults. */
+  private[profile] def alertsFor(p: ColumnProfile): Seq[String] = {
+    val present = p.n - p.nMissing
+    val out = Vector.newBuilder[String]
+    if (p.nMissing > 0) out += "missing"
+    if (present > 0 && p.nDistinct == 1) out += "constant"
+    if (present > 1 && p.nDistinct == present) out += "unique"
+    if (p.nZeros > 0) out += "zeros"
+    if (p.nInfinite > 0) out += "infinite"
+    if (p.dtype == "string" && present > 10 && p.nDistinct > present / 2 &&
+        p.nDistinct != present) out += "high_cardinality"
+    out.result()
   }
 
   /** NaN counts as missing for float columns (pandas semantics the reference

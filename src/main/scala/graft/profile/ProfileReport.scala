@@ -1,0 +1,191 @@
+package graft.profile
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.{DumperOptions, Yaml}
+
+import graft.profile.ColumnProfiler.TableProfile
+import graft.profile.ProfileComparison.ComparisonSummary
+
+/** Report outputs for profiles and profile comparisons (SURVEY §2.11 C4;
+  * reference /root/reference/parq_tools/parq_profile.py:158-175 to_html /
+  * save_html, :305-319 to_summary_yaml, :369-418 write_outputs).
+  *
+  * The reference renders via ydata-profiling's report engine; here the HTML
+  * is a small self-contained page (inline CSS, no external assets) built
+  * from the already-computed stats — the report step never touches data,
+  * so it is free at any scale.
+  */
+object ProfileReport {
+
+  // ------------------------------------------------------------- profile
+
+  /** HTML for a single table profile (reference to_html, parq_profile.py:158). */
+  def toHtml(p: TableProfile, title: String = "Profile report"): String = {
+    val cols = p.variables.toSeq.sortBy(_._1)
+    val rows = cols.map { case (name, v) =>
+      val alerts = v.alerts.map(a => s"""<span class="alert">$a</span>""").mkString(" ")
+      s"""<tr><td>${esc(name)}</td><td>${esc(v.dtype)}</td><td>${v.n}</td>
+         |<td>${v.nMissing}</td><td>${fmtD(v.pMissing)}</td><td>${v.nDistinct}</td>
+         |<td>${v.mean.map(fmtD).getOrElse("")}</td><td>${v.std.map(fmtD).getOrElse("")}</td>
+         |<td>${v.min.map(x => esc(x.toString)).getOrElse("")}</td>
+         |<td>${v.max.map(x => esc(x.toString)).getOrElse("")}</td>
+         |<td>${v.nZeros}</td><td>${v.memorySize}</td><td>$alerts</td></tr>""".stripMargin
+    }.mkString("\n")
+    page(title,
+      s"""<p class="meta">rows: ${p.n} &middot; columns: ${p.nVar}</p>
+         |<table><thead><tr><th>column</th><th>dtype</th><th>n</th><th>missing</th>
+         |<th>p_missing</th><th>distinct</th><th>mean</th><th>std</th><th>min</th>
+         |<th>max</th><th>zeros</th><th>bytes</th><th>alerts</th></tr></thead>
+         |<tbody>$rows</tbody></table>""".stripMargin)
+  }
+
+  /** Atomic HTML save (reference save_html, parq_profile.py:164-167). */
+  def saveHtml(p: TableProfile, path: String, title: String = "Profile report"): Unit =
+    atomicWrite(path, toHtml(p, title))
+
+  // ---------------------------------------------------------- comparison
+
+  /** HTML for a comparison summary (reference to_comparison_report →
+    * write_outputs comparison_html). */
+  def comparisonHtml(s: ComparisonSummary, title: String = "Profile comparison"): String = {
+    val head = s.labels.map(l => s"<th>${esc(l)}</th>").mkString
+    val rows = s.columns.toSeq.sortBy(_._1).map { case (name, cc) =>
+      val cls = if (cc.status == "equal") "same" else "diff"
+      val prefix = if (cc.status == "equal") "🟢 SAME | " else "🔴 DIFF | "
+      val metricRows = cc.metrics.toSeq.sortBy(_._1).map { case (m, mc) =>
+        val vals = mc.values.map(v => s"<td>${v.map(x => esc(x.toString)).getOrElse("")}</td>").mkString
+        val tol = if (mc.withinTolerance) "within" else "exceeds"
+        s"""<tr class="metric"><td>$m</td>$vals<td class="$cls">$tol</td></tr>"""
+      }.mkString("\n")
+      s"""<tr class="$cls col"><td colspan="${s.labels.size + 2}">$prefix${esc(name)}
+         |[${cc.status}]${if (cc.reasons.nonEmpty) " — " + esc(cc.reasons.mkString("; ")) else ""}</td></tr>
+         |$metricRows""".stripMargin
+    }.mkString("\n")
+    page(title,
+      s"""<p class="meta">${s.labels.mkString(" vs ")} &middot;
+         |equal: ${s.overview.equal} &middot; different: ${s.overview.different} &middot;
+         |missing: ${s.overview.missingInSome} &middot; type-mismatch: ${s.overview.typeMismatch}</p>
+         |<table><thead><tr><th>metric</th>$head<th>tolerance</th></tr></thead>
+         |<tbody>$rows</tbody></table>
+         |<p class="meta">tolerances: abs_tol=${s.absTol} rel_tol=${s.relTol} &middot;
+         |metrics: ${s.metricsCompared.mkString(", ")}</p>""".stripMargin)
+  }
+
+  /** Diff-only HTML: changed columns only (reference to_diff_report). */
+  def diffHtml(s: ComparisonSummary, title: String = "Profile diff"): String =
+    comparisonHtml(ProfileComparison.diffOnly(s), title)
+
+  /** YAML rendering of the comparison summary (reference to_summary_yaml,
+    * parq_profile.py:305-319; safe_dump with insertion order kept). */
+  def toSummaryYaml(s: ComparisonSummary): String = {
+    val root = new java.util.LinkedHashMap[String, Any]()
+    root.put("labels", s.labels.asJava)
+    val ov = new java.util.LinkedHashMap[String, Any]()
+    ov.put("equal", s.overview.equal); ov.put("different", s.overview.different)
+    ov.put("missing_in_some", s.overview.missingInSome)
+    ov.put("type_mismatch", s.overview.typeMismatch)
+    ov.put("total_columns", s.overview.totalColumns)
+    root.put("overview", ov)
+    val cols = new java.util.LinkedHashMap[String, Any]()
+    s.columns.toSeq.sortBy(_._1).foreach { case (name, cc) =>
+      val c = new java.util.LinkedHashMap[String, Any]()
+      c.put("status", cc.status)
+      c.put("present", cc.present.map(Boolean.box).asJava)
+      c.put("types", cc.types.map(_.orNull).asJava)
+      c.put("reasons", cc.reasons.asJava)
+      val metrics = new java.util.LinkedHashMap[String, Any]()
+      cc.metrics.toSeq.sortBy(_._1).foreach { case (m, mc) =>
+        val mm = new java.util.LinkedHashMap[String, Any]()
+        mm.put("values", mc.values.map(v => yamlScalar(v.orNull)).asJava)
+        mm.put("within_tolerance", Boolean.box(mc.withinTolerance))
+        mm.put("deltas_from_first", mc.deltasFromFirst.map {
+          case Some((a, r)) =>
+            val d = new java.util.LinkedHashMap[String, Any]()
+            d.put("abs", yamlScalar(a)); d.put("rel", yamlScalar(r)); d
+          case None => null
+        }.asJava)
+        metrics.put(m, mm)
+      }
+      c.put("metrics", metrics)
+      cols.put(name, c)
+    }
+    root.put("columns", cols)
+    val tol = new java.util.LinkedHashMap[String, Any]()
+    tol.put("abs_tol", s.absTol); tol.put("rel_tol", s.relTol)
+    root.put("tolerance", tol)
+    root.put("metrics_compared", s.metricsCompared.asJava)
+    val opts = new DumperOptions()
+    opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
+    new Yaml(opts).dump(root)
+  }
+
+  def saveSummaryYaml(s: ComparisonSummary, path: String): Unit =
+    atomicWrite(path, toSummaryYaml(s))
+
+  /** One-call bundle output (reference write_outputs, parq_profile.py:369-418):
+    * any of comparison HTML, diff-only HTML, differences YAML. Returns the
+    * paths written. */
+  def writeOutputs(s: ComparisonSummary,
+      comparisonHtmlPath: Option[String] = None,
+      diffHtmlPath: Option[String] = None,
+      differencesYamlPath: Option[String] = None): Map[String, String] = {
+    var written = Map.empty[String, String]
+    comparisonHtmlPath.foreach { p => atomicWrite(p, comparisonHtml(s)); written += "comparison_html" -> p }
+    diffHtmlPath.foreach { p => atomicWrite(p, diffHtml(s)); written += "diff_html" -> p }
+    differencesYamlPath.foreach { p => saveSummaryYaml(s, p); written += "differences_yaml" -> p }
+    written
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def yamlScalar(v: Any): Any = v match {
+    case null => null
+    case d: Double => if (d.isNaN) ".nan" else if (d.isInfinite) (if (d > 0) ".inf" else "-.inf") else Double.box(d)
+    case f: Float => yamlScalar(f.toDouble)
+    case n: Number => n
+    case b: Boolean => Boolean.box(b)
+    case other => other.toString
+  }
+
+  private def fmtD(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isInfinite) { if (d > 0) "inf" else "-inf" }
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.stripTrailingZeros.toPlainString
+
+  private def esc(s: String): String =
+    s.flatMap { case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+                case '"' => "&quot;"; case c => c.toString }
+
+  private def page(title: String, body: String): String =
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title><style>
+       |body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+       |table{border-collapse:collapse;width:100%}
+       |th,td{border:1px solid #ddd;padding:4px 8px;text-align:left;font-size:13px}
+       |th{background:#f5f5f5}
+       |tr.col td{font-weight:600;background:#fafafa}
+       |tr.same.col td{border-left:4px solid #2e7d32}
+       |tr.diff.col td{border-left:4px solid #c62828}
+       |td.same{color:#2e7d32}td.diff{color:#c62828}
+       |.alert{background:#fff3cd;border:1px solid #ffc107;border-radius:3px;padding:0 4px;font-size:12px}
+       |.meta{color:#666}
+       |</style></head><body><h1>${esc(title)}</h1>
+       |$body
+       |</body></html>""".stripMargin
+
+  /** Temp-then-rename write (the reference's atomic_output_file contract). */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempFile(
+      Option(target.getParent).getOrElse(Paths.get(".")), s".${target.getFileName}", ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

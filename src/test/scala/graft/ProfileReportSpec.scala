@@ -1,0 +1,78 @@
+package graft
+
+import graft.profile.{ColumnProfiler, ProfileComparison, ProfileReport}
+
+/** Alerts + YAML/HTML report outputs (reference parq_profile.py:158-175,
+  * 305-319, 369-418; profile_utils.py:286-309 alerts). */
+class ProfileReportSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "a", 1.0, 0.0),
+    (2L, "b", 1.0, Double.NaN),
+    (3L, "c", 1.0, 2.5),
+    (4L, "d", 1.0, Double.PositiveInfinity)
+  ).toDF("id", "name", "const", "messy")
+
+  test("alerts: unique, constant, missing, zeros, infinite") {
+    val p = ColumnProfiler.profile(df)
+    assert(p.variables("id").alerts.contains("unique"))
+    assert(p.variables("const").alerts.contains("constant"))
+    val messy = p.variables("messy").alerts
+    assert(messy.contains("missing")) // NaN counts as missing
+    assert(messy.contains("zeros"))
+    assert(messy.contains("infinite"))
+    assert(p.variables("const").alerts == Seq("constant"))
+  }
+
+  test("profile HTML lists columns, stats and alert badges") {
+    val p = ColumnProfiler.profile(df)
+    val html = ProfileReport.toHtml(p, "spec report")
+    assert(html.contains("spec report"))
+    assert(html.contains("<td>messy</td>"))
+    assert(html.contains("""<span class="alert">constant</span>"""))
+    assert(html.contains("rows: 4"))
+  }
+
+  test("summary YAML round-trips through snakeyaml and keeps statuses") {
+    val p1 = ColumnProfiler.profile(df.select("id", "const"))
+    val p2 = ColumnProfiler.profile(df.select("id", "const")
+      .withColumn("const", org.apache.spark.sql.functions.lit(2.0)))
+    val s = ProfileComparison.compare(Seq(p1, p2), Seq("left", "right"))
+    val yamlText = ProfileReport.toSummaryYaml(s)
+    val loaded = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](yamlText)
+    assert(loaded.get("labels").toString == "[left, right]")
+    val cols = loaded.get("columns").asInstanceOf[java.util.Map[String, Any]]
+    val constCol = cols.get("const").asInstanceOf[java.util.Map[String, Any]]
+    assert(constCol.get("status") == "different")
+    val idCol = cols.get("id").asInstanceOf[java.util.Map[String, Any]]
+    assert(idCol.get("status") == "equal")
+  }
+
+  test("writeOutputs writes comparison html, diff html and yaml atomically") {
+    val p1 = ColumnProfiler.profile(df.select("id", "const"))
+    val p2 = ColumnProfiler.profile(df.select("id", "const")
+      .withColumn("const", org.apache.spark.sql.functions.lit(2.0)))
+    val s = ProfileComparison.compare(Seq(p1, p2), Seq("left", "right"))
+    val d = tmpDir("report")
+    val written = ProfileReport.writeOutputs(s,
+      comparisonHtmlPath = Some(s"$d/cmp.html"),
+      diffHtmlPath = Some(s"$d/diff.html"),
+      differencesYamlPath = Some(s"$d/diff.yaml"))
+    assert(written.keySet == Set("comparison_html", "diff_html", "differences_yaml"))
+    val cmp = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d/cmp.html")), java.nio.charset.StandardCharsets.UTF_8)
+    val diff = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d/diff.html")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(cmp.contains("🔴 DIFF | const") && cmp.contains("🟢 SAME | id"))
+    assert(diff.contains("const") && !diff.contains("🟢 SAME | id")) // diff view prunes equal columns
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/diff.yaml"))).contains("metrics_compared"))
+  }
+
+  test("profileFile keeps alerts and fills memory sizes") {
+    val path = s"${tmpDir("pf")}/t.parquet"
+    graft.io.ParquetIO.writeSingleFile(df, path)
+    val p = ColumnProfiler.profileFile(spark, path)
+    assert(p.variables("const").alerts.contains("constant"))
+    assert(p.variables.values.forall(_.memorySize > 0))
+  }
+}
