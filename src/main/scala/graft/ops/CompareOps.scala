@@ -34,16 +34,27 @@ object CompareOps {
       columnsMatch && numRowsMatch && columns.values.forall(identity)
   }
 
-  def compareFiles(spark: SparkSession, left: String, right: String): CompareResult = {
+  def compareFiles(spark: SparkSession, left: String, right: String,
+      exact: Boolean = false): CompareResult = {
     val metaEqual = {
       val l = ParquetIO.footer(spark, left).keyValueMetadata
       val r = ParquetIO.footer(spark, right).keyValueMetadata
       l == r
     }
-    compare(ParquetIO.read(spark, left), ParquetIO.read(spark, right), metaEqual)
+    compare(ParquetIO.read(spark, left), ParquetIO.read(spark, right), metaEqual, exact)
   }
 
-  def compare(left: DataFrame, right: DataFrame, metadataEqual: Boolean = true): CompareResult = {
+  /** Per shared same-type column, multiset equality of values.
+    *
+    * Default path (`exact = false`): ONE aggregation job per side computes an
+    * order-insensitive fingerprint for every column at once — two
+    * independently-mixed `xxhash64` sums plus a non-null count. A 200-column
+    * table costs 2 scans instead of the 200 sequential `exceptAll` jobs
+    * (~400 scans) of the exact path. Collision odds are ~2⁻¹²⁸ per column —
+    * negligible for a diff report; pass `exact = true` for the `exceptAll`
+    * proof when a hash collision is unacceptable. */
+  def compare(left: DataFrame, right: DataFrame, metadataEqual: Boolean = true,
+      exact: Boolean = false): CompareResult = {
     val cols1 = left.columns.toSet
     val cols2 = right.columns.toSet
     val all = (cols1 ++ cols2).toSeq.sorted
@@ -57,17 +68,22 @@ object CompareOps {
     val nLeft = left.count()
     val nRight = right.count()
 
+    val comparable = all.filter(c => cols1(c) && cols2(c) && dtypes(c).matches)
+    val valuesEqual: Map[String, Boolean] =
+      if (nLeft != nRight || comparable.isEmpty) Map.empty
+      else if (exact) comparable.map { c =>
+        // equal cardinalities: a ⊆ b (multiset) already implies equality,
+        // so one exceptAll suffices — half the jobs of the two-sided check
+        c -> left.select(col(c)).exceptAll(right.select(col(c))).isEmpty
+      }.toMap
+      else {
+        val lFp = fingerprintRow(left, comparable)
+        val rFp = fingerprintRow(right, comparable)
+        comparable.map(c => c -> (lFp(c) == rFp(c))).toMap
+      }
+
     val colEqual = all.map { c =>
-      val eq =
-        if (!cols1(c) || !cols2(c)) false
-        else if (!dtypes(c).matches) false
-        else if (nLeft != nRight) false
-        else {
-          // equal cardinalities: a ⊆ b (multiset) already implies equality,
-          // so one exceptAll suffices — half the jobs of the two-sided check
-          left.select(col(c)).exceptAll(right.select(col(c))).isEmpty
-        }
-      c -> eq
+      c -> valuesEqual.getOrElse(c, false)
     }.toMap
 
     CompareResult(
@@ -81,6 +97,28 @@ object CompareOps {
       numRowsMatch = nLeft == nRight,
       numRowsLeft = nLeft,
       numRowsRight = nRight)
+  }
+
+  /** One agg job: per column, (Σ xxhash64(v), Σ xxhash64(mix, v), #non-null).
+    * Hash sums accumulate as decimal(38,0) — commutative (row order never
+    * matters) and overflow-free below ~10¹⁹ rows even under ANSI mode. */
+  private def fingerprintRow(df: DataFrame, cols: Seq[String]): Map[String, (BigDecimal, BigDecimal, Long)] = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(xxhash64(col(c)).cast(dec)).as(s"${c}__h1"),
+        sum(xxhash64(lit("graft.fp"), col(c)).cast(dec)).as(s"${c}__h2"),
+        count(col(c)).as(s"${c}__cnt"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(name: String): BigDecimal = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) BigDecimal(0) else BigDecimal(row.getDecimal(i))
+    }
+    cols.map { c =>
+      val i = row.fieldIndex(s"${c}__cnt")
+      c -> ((d(s"${c}__h1"), d(s"${c}__h2"), if (row.isNullAt(i)) 0L else row.getLong(i)))
+    }.toMap
   }
 
   /** Row-level diff summary between two frames with the same schema: counts

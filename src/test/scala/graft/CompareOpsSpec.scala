@@ -58,4 +58,52 @@ class CompareOpsSpec extends SparkSpecBase {
     val r = CompareOps.compareFiles(spark, sf("region"), sf("region"))
     assert(r.allEqual && r.metadata)
   }
+
+  test("exact mode (exceptAll) agrees with fingerprint mode") {
+    val a = Seq((1, "x", 2.5), (2, "y", Double.NaN)).toDF("k", "v", "d")
+    val b = Seq((2, "y", Double.NaN), (1, "x", 2.5)).toDF("k", "v", "d") // reordered
+    val fp = CompareOps.compare(a, b)
+    val ex = CompareOps.compare(a, b, exact = true)
+    assert(fp.allEqual && ex.allEqual)
+    assert(fp.columns == ex.columns)
+    val c = Seq((1, "x", 2.5), (2, "y", 9.9)).toDF("k", "v", "d")
+    assert(!CompareOps.compare(a, c).columns("d"))
+    assert(!CompareOps.compare(a, c, exact = true).columns("d"))
+  }
+
+  test("fingerprint compare of a 50-column frame runs at most 4 jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val cols = (1 to 50).map(i => s"c$i")
+    val row1 = (1 to 50).map(_.toLong)
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(row1),
+        org.apache.spark.sql.Row.fromSeq(row1.map(_ + 1))),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType))))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = CompareOps.compare(df, df)
+      Thread.sleep(500) // let queued listener events drain
+      val jobs50 = counter.get()
+      assert(r.allEqual)
+      counter.set(0)
+      val small = df.select("c1", "c2")
+      assert(CompareOps.compare(small, small).allEqual)
+      Thread.sleep(500)
+      val jobs2 = counter.get()
+      // job count must not scale with column count (vs 50 exceptAll jobs)
+      assert(jobs50 <= jobs2 + 2, s"50-col compare ran $jobs50 jobs vs $jobs2 for 2-col")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("multiset fingerprint catches duplicate-shift differences") {
+    // same distinct values, different multiplicities
+    val a = Seq(1, 1, 2).toDF("k")
+    val b = Seq(1, 2, 2).toDF("k")
+    assert(!CompareOps.compare(a, b).columns("k"))
+  }
 }
