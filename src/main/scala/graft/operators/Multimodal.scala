@@ -7,12 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (north-star extensions, SURVEY §7.2 step 10).
   *
   * Media (image/audio/video) rides as opaque `binary` columns with a typed
-  * metadata struct alongside. The Spark-side plumbing — schema, batched
-  * per-partition processing, partition sizing — is real; the actual
-  * image/audio decoding is STUBBED with a deterministic fake (the codec
-  * libraries are not in this container). Swap [[decodeStub]] for a real
-  * decoder (e.g. a JNI codec or an `mapInArrow` hand-off) without touching
-  * the pipeline shape.
+  * metadata struct alongside. Images decode for real via `javax.imageio`
+  * (PNG/JPEG/GIF/BMP readers ship with every JVM) — [[decodeImages]].
+  * Audio/video decoding stays STUBBED with a deterministic fake
+  * ([[decodeStub]]; those codec libraries are not in this container); swap
+  * it for a real decoder (a JNI codec or an `mapInArrow` hand-off) without
+  * touching the pipeline shape.
   */
 object Multimodal {
 
@@ -60,6 +60,69 @@ object Multimodal {
       }
       .toDF("id", "features")
   }
+
+  /** REAL image decode + feature extraction via `javax.imageio`: payload
+    * bytes → (width, height, mean-pooled luminance grid as the feature
+    * vector). Runs as batched per-partition processing with one-time
+    * per-partition init (`ImageIO.setUseCache(false)` — no temp-file churn
+    * on executors), streaming rows — the same execution shape as
+    * [[decodeStub]], now doing its nominal job. Rows whose payload no JVM
+    * reader can decode come back with `decoded = false` and null metrics
+    * (corrupt media must not kill a 100 TB job). */
+  def decodeImages(df: DataFrame, bytesCol: String, idCol: String,
+      featureDim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
+        rows.map { case (id, bytes) =>
+          decodeOne(bytes, featureDim) match {
+            case Some((w, h, feats)) => (id, Some(w), Some(h), feats, true)
+            case None => (id, Option.empty[Int], Option.empty[Int],
+              Array.empty[Float], false)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "features", "decoded")
+  }
+
+  /** Decode one payload: mean-pooled g×g luminance grid (g = ⌈√dim⌉),
+    * normalized to [0, 1], truncated to `dim` values. */
+  private[operators] def decodeOne(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val sums = new Array[Double](g * g)
+        val counts = new Array[Long](g * g)
+        var y = 0
+        while (y < h) {
+          val gy = y * g / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val cell = gy * g + (x * g / w)
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          feats(i) = if (i < g * g && counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0f
+          i += 1
+        }
+        Some((w, h, feats))
+      }
+    } catch { case _: Exception => None }
 
   /** Deterministic fake feature vector from payload bytes (FNV-1a seeded). */
   private[operators] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {

@@ -45,4 +45,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(knn.filter($"rank" === 1).collect()
       .forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("nbr_id")))
   }
+
+  test("real image decode: javax.imageio recovers dimensions and pooled features") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+    // left half black, right half white -> first-grid-column features dark,
+    // last-grid-column features bright
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png(64, 32)), (2L, png(16, 16)), (3L, "not an image".getBytes)).toDF("id", "media_bytes")
+    val out = Multimodal.decodeImages(df, "media_bytes", "id", featureDim = 16)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("width") == 64 && out(0).getAs[Int]("height") == 32)
+    assert(out(0).getAs[Boolean]("decoded"))
+    val feats = out(0).getSeq[Float](out(0).fieldIndex("features"))
+    assert(feats.length == 16)
+    assert(feats(0) < 0.1f && feats(3) > 0.9f) // 4x4 grid: col 0 black, col 3 white
+    assert(out(1).getAs[Int]("width") == 16)
+    assert(!out(2).getAs[Boolean]("decoded")) // corrupt payload survives, flagged
+    assert(out(2).isNullAt(out(2).fieldIndex("width")))
+  }
 }

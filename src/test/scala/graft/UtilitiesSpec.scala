@@ -62,10 +62,11 @@ class UtilitiesSpec extends SparkSpecBase {
     val out = ArchiveUtils.extractArchive(zipPath, s"$dir/out")
     assert(out.size == 2)
     assert(new String(Files.readAllBytes(Paths.get(s"$dir/out/inner/file.txt"))) == "hello")
-    val sevenZip = s"$dir/data.7z"
-    Files.write(Paths.get(sevenZip), "fake".getBytes)
-    assertThrows[UnsupportedOperationException](
-      ArchiveUtils.extractArchive(sevenZip, s"$dir/out2"))
+    val garbage = s"$dir/data.7z"
+    Files.write(Paths.get(garbage), "fake".getBytes)
+    // neither a zip nor a 7z: the 7z fallback rejects it
+    assertThrows[java.io.IOException](
+      ArchiveUtils.extractArchive(garbage, s"$dir/out2"))
 
     val evil = s"$dir/evil.zip"
     val ez = new ZipOutputStream(new java.io.FileOutputStream(evil))
@@ -95,5 +96,23 @@ class UtilitiesSpec extends SparkSpecBase {
     assert(chunks.forall(_.size <= 60))
     val cols = lp.iterRowChunks(50, Some(Seq("c_custkey"))).next()
     assert(cols.head.schema.fieldNames.toSeq == Seq("c_custkey"))
+  }
+
+  test("archive extraction: 7z fallback via commons-compress") {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZOutputFile, SevenZArchiveEntry}
+    val dir = java.nio.file.Files.createTempDirectory("sevenz")
+    val arc = dir.resolve("a.7z").toFile
+    val out = new SevenZOutputFile(arc)
+    try {
+      val e = out.createArchiveEntry(dir.toFile, "nested/hello.txt")
+      out.putArchiveEntry(e)
+      out.write("seven zip payload".getBytes("UTF-8"))
+      out.closeArchiveEntry()
+    } finally out.close()
+    val outDir = dir.resolve("out").toString
+    val extracted = graft.io.ArchiveUtils.extractArchive(arc.toString, outDir)
+    assert(extracted.size == 1)
+    val text = new String(java.nio.file.Files.readAllBytes(extracted.head), "UTF-8")
+    assert(text == "seven zip payload")
   }
 }
