@@ -303,10 +303,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q28_fingerprint" -> ((s, dir) => {
+      // md5-based fingerprints so DuckDB can recompute them bit-for-bit;
+      // the xxhash64/rolling-kernel family stays spec-tested (KernelSpec).
       val d = read(s, dir, "documents")
       d.select(col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"),
-        size(TextFunctions.ngramFingerprints(col("text"), 3)).as("n_ngram_fp"))
+        TextFunctions.md5Fingerprint(col("text")).as("fp"),
+        TextFunctions.minShingleMd5(col("text"), 3).as("min_shingle_fp"),
+        size(TextFunctions.shingles(col("text"), 3)).as("n_shingles"))
         .orderBy(col("doc_id"))
     }),
     "q29_lsh_ann" -> ((s, dir) => {
@@ -590,6 +593,22 @@ object SparkEntry {
     // q29's LSH candidate net (16 bands × 2 bits) empirically contains every
     // true top-5 neighbor at oracle scale, so the re-ranked output equals
     // exact brute force — same oracle as q21.
+    // md5 normalization mirror of TextFunctions.tokens: trim → lower →
+    // split \s+; shingles = 3-token windows joined by single spaces.
+    "q28_fingerprint" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []
+                       ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+           FROM documents)
+         SELECT doc_id,
+                md5(array_to_string(t, ' ')) AS fp,
+                CASE WHEN len(t) >= 3
+                     THEN list_aggregate(list_transform(range(1, len(t) - 1),
+                          i -> md5(array_to_string(t[i:i+2], ' '))), 'min')
+                     ELSE NULL END AS min_shingle_fp,
+                CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_shingles
+         FROM toks ORDER BY doc_id""",
     "q29_lsh_ann" ->
       """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,

@@ -58,6 +58,17 @@ object TextFunctions {
   def ngramFingerprints(text: Column, n: Int): Column =
     graft.functions.kernels.TextKernelFunctions.shingleHashes(text, n)
 
+  /** Cross-engine document fingerprint: md5 hex of the token-normalized
+    * text. Same value from any SQL engine with md5 — the reproducible
+    * (oracle-checkable) sibling of the xxhash64 [[fingerprint]]. */
+  def md5Fingerprint(text: Column): Column =
+    md5(encode(concat_ws(" ", tokens(text)), "UTF-8"))
+
+  /** Minimum md5 over word n-gram shingles — a bottom-1 MinHash sketch with
+    * a cross-engine hash; null when the document has fewer than `n` tokens. */
+  def minShingleMd5(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => md5(encode(s, "UTF-8"))))
+
   // Small public stopword lists per language for the lang-id heuristic.
   // private[graft]: SparkEntry interpolates these into the q27 DuckDB oracle
   // so query and oracle can never drift.

@@ -62,4 +62,24 @@ class TextFunctionsSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
+
+  test("md5 fingerprints are cross-engine reproducible known values") {
+    import spark.implicits._
+    val df = Seq(("  Hello   WORLD  ", "one two three four")).toDF("a", "b")
+    val r = df.select(
+      md5Fingerprint($"a").as("fa"),
+      md5Fingerprint($"b").as("fb"),
+      minShingleMd5($"b", 3).as("ms"),
+      minShingleMd5($"a", 3).as("none")).head()
+    // md5("hello world"), md5("one two three four") — fixed by definition
+    assert(r.getString(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(r.getString(1) == "12b9782a639f56ed83f9e7f3aaa9ec10")
+    // min(md5("one two three"), md5("two three four"))
+    val h1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("one two three".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("two three four".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(2) == Seq(h1, h2).min)
+    assert(r.isNullAt(3)) // fewer than 3 tokens -> null sketch
+  }
 }
