@@ -10,7 +10,7 @@ import graft.functions.kernels.VectorKernelFunctions
 /** Approximate-nearest-neighbor search over an embedding column (north-star
   * extensions, SURVEY §7.2 step 10).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *    set against the corpus; one scan, no shuffle of the corpus, a final
   *    per-query top-k. The correctness baseline, and the right choice
@@ -19,6 +19,13 @@ import graft.functions.kernels.VectorKernelFunctions
   *    (can be precomputed and written as a bucketed table), queries probe
   *    only their buckets, exact cosine re-ranks the candidates. The 100 TB
   *    path: candidate set per query is ~corpus/2^bitsPerBand · numBands.
+  *  - [[ivfTopK]] — inverted-file index (IVF-flat): spherical k-means
+  *    centroids from a bounded sample, every corpus vector assigned
+  *    scan-locally to its nearest list, queries probe only their top-nProbe
+  *    lists. Candidate volume per query is ~|corpus| · nProbe / numLists —
+  *    tunable independent of dimensionality, and the assignment
+  *    ([[assignToLists]]) can be written once as a list-partitioned table
+  *    and reused by every query batch.
   *
   * Cosine runs as a compiled Catalyst kernel
   * ([[VectorKernelFunctions.cosineSimilarity]]) — the interpreted
@@ -82,5 +89,108 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Spherical k-means centroids from a bounded corpus sample. The sample
+    * (≤ `sampleSize` vectors) trains on the driver — k-means training data
+    * never needs to exceed ~100× the centroid count, so at 100 TB this is
+    * still a bounded, seconds-long step; assignment (the expensive part)
+    * stays fully distributed. Deterministic for a given seed. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, numLists: Int,
+      sampleSize: Int = 4096, iterations: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect().map { case Row(v: scala.collection.Seq[_]) =>
+        normalize(v.map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+      }
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    val k = math.min(numLists, sample.length)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.indices.toList).take(k).map(sample).toArray
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else normalize(sums(c))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Scan-local nearest-centroid assignment: adds `list_id`. Centroids ride
+    * as broadcast literals into the compiled cosine kernel, so assignment is
+    * one codegen'd projection — no shuffle, no UDF. Write the result
+    * partitioned by `list_id` to make every later probe a partition-pruned
+    * read. */
+  def assignToLists(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("list_id", bestLists(col(vecCol), centroids, 1).getItem(0))
+
+  /** IVF-flat ANN: probe the top-`nProbe` centroid lists per query, exact
+    * cosine re-rank inside them. `nProbe = numLists` degenerates to exact
+    * search; recall rises steeply with nProbe (the standard IVF trade). */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numLists: Int = 16, nProbe: Int = 4,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, corpusVec, numLists, sampleSize, seed = seed)
+    val assigned = assignToLists(
+      corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("nbr_vec")), "nbr_vec", centroids)
+    // each query probes its nProbe nearest lists; the probe table is tiny
+    // (|queries| × nProbe) and broadcasts into the corpus scan
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+      .withColumn("list_id",
+        explode(bestLists(col("query_vec"), centroids, math.min(nProbe, centroids.length))))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("nbr_id"),
+        VectorKernelFunctions.cosineSimilarity(col("query_vec"), col("nbr_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Top-`m` centroid indices by cosine, as a codegen'd column expression:
+    * an array of (cosine, index) structs, sorted descending by struct
+    * ordering, truncated and projected to indices. */
+  private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
+      m: Int): org.apache.spark.sql.Column = {
+    val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>
+      struct(
+        VectorKernelFunctions.cosineSimilarity(vec, typedLit(ct.toSeq)).as("c"),
+        lit(i).as("i"))
+    }.toSeq: _*)
+    transform(slice(reverse(array_sort(scoredLists)), 1, m), s => s.getField("i"))
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += centroids(c)(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
   }
 }

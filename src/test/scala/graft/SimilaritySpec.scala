@@ -48,4 +48,48 @@ class SimilaritySpec extends SparkSpecBase {
       queries, "qid", "qvec", k = 2).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("IVF: exact when probing all lists; high recall on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated clusters in 8d + jitter
+    val centers = Seq(
+      Array(10.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 10, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 10, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 10, 0, 0, 0, 0))
+    val corpus = (0 until 400).map { i =>
+      val ct = centers(i % 4)
+      (i.toLong, ct.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+
+    // nProbe == numLists: identical result set to brute force
+    val all = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, numLists = 8, nProbe = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(all == exact)
+
+    // nProbe = 2 of 8: on well-separated clusters recall stays >= 0.9
+    val pruned = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, numLists = 8, nProbe = 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (pruned & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("IVF assignment is deterministic and covers every row") {
+    import spark.implicits._
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Array.fill(4)((i % 10).toFloat + 1))).toDF("vec_id", "embedding")
+    val cts = Similarity.trainCentroids(corpus, "embedding", numLists = 4, seed = 1L)
+    val a1 = Similarity.assignToLists(corpus, "embedding", cts)
+    assert(a1.count() == 100)
+    assert(a1.filter($"list_id".isNull).count() == 0)
+    val cts2 = Similarity.trainCentroids(corpus, "embedding", numLists = 4, seed = 1L)
+    assert(cts.map(_.toSeq).toSeq == cts2.map(_.toSeq).toSeq) // same seed, same model
+  }
 }
