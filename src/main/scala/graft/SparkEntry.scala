@@ -322,9 +322,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q30_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.withFakeMedia(read(s, dir, "documents"), "text")
-      Multimodal.decodeStub(media, "media_bytes", "doc_id", featureDim = 16)
-        .select(col("id"), size(col("features")).as("feature_dim"))
+      // REAL media round-trip: synthesize a tiny PNG per doc (dimensions +
+      // gray level are pure functions of doc_id), decode with javax.imageio,
+      // emit what the decoder recovered — DuckDB re-derives the expectation
+      // from doc_id alone, so the oracle checks actual decode output.
+      val d = read(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.withGeneratedPng(d, "doc_id",
+        pmod(col("doc_id"), lit(13)) + lit(4),
+        pmod(col("doc_id"), lit(7)) + lit(3),
+        pmod(col("doc_id"), lit(256)))
+      Multimodal.decodeImages(media, "media_bytes", "doc_id", featureDim = 16)
+        .select(col("id"), col("width"), col("height"),
+          round(element_at(col("features"), 1) * 255).cast("int").as("gray"),
+          col("decoded"))
         .orderBy(col("id"))
     }),
     "q31_embedding_neardup" -> ((s, dir) => {
@@ -619,7 +629,10 @@ object SparkEntry {
            FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q30_multimodal_features" ->
-      """SELECT doc_id AS id, 16 AS feature_dim FROM documents ORDER BY id""",
+      """SELECT doc_id AS id, (doc_id % 13 + 4)::INT AS width,
+                (doc_id % 7 + 3)::INT AS height, (doc_id % 256)::INT AS gray,
+                true AS decoded
+         FROM documents ORDER BY id""",
     // exact brute-force cosine pairs: the q31 LSH net (16 bands × 2 bits,
     // per-pair miss ≈ 3e-4 at cosine 0.4) is verified 100%-recall on this
     // corpus, and its exact-cosine verification admits no false positives.

@@ -59,7 +59,19 @@ object FooterMetadata {
   def writeKeyValue(spark: SparkSession, path: String, kv: Map[String, String],
       merge: Boolean = true): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    ParquetIO.dataFiles(spark, path).foreach(rewriteOne(conf, _, kv, merge))
+    val files = ParquetIO.dataFiles(spark, path)
+    if (files.size <= 1) files.foreach(rewriteOne(conf, _, kv, merge))
+    else {
+      // per-file rewrites are independent — run them concurrently so a
+      // many-part directory output is bounded by the slowest file, not the sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(files)(f => Future(rewriteOne(conf, f, kv, merge))),
+        Duration.Inf)
+      ()
+    }
     spark.catalog.refreshByPath(path)
   }
 

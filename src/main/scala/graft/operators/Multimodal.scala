@@ -61,6 +61,40 @@ object Multimodal {
       .toDF("id", "features")
   }
 
+  /** Deterministic tiny-PNG synthesizer (the multimodal twin of
+    * [[graft.sources.DemoBlockModel]]): one `width`×`height` uniform-gray
+    * PNG per row, encoded per-partition with the JVM PNG writer. Gives the
+    * decode pipeline REAL encoded media with externally predictable
+    * content — dimensions and gray level are pure functions of the row, so
+    * an independent engine can verify what the decoder recovers. */
+  def withGeneratedPng(df: DataFrame, idCol: String,
+      width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      gray: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), width.cast("int"), height.cast("int"),
+        gray.cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, w, h, g) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
   /** REAL image decode + feature extraction via `javax.imageio`: payload
     * bytes → (width, height, mean-pooled luminance grid as the feature
     * vector). Runs as batched per-partition processing with one-time
