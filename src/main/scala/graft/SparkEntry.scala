@@ -309,7 +309,9 @@ object SparkEntry {
       d.select(col("doc_id"),
         TextFunctions.md5Fingerprint(col("text")).as("fp"),
         TextFunctions.minShingleMd5(col("text"), 3).as("min_shingle_fp"),
-        size(TextFunctions.shingles(col("text"), 3)).as("n_shingles"))
+        // arithmetic, not size(shingles(...)): building the shingle-string
+        // array just to count it costs interpreted O(tokens²) per row
+        greatest(TextFunctions.tokenCount(col("text")) - lit(2), lit(0)).as("n_shingles"))
         .orderBy(col("doc_id"))
     }),
     "q29_lsh_ann" -> ((s, dir) => {

@@ -151,6 +151,51 @@ object TextKernels { // public: generated code references it by name
     }
     out
   }
+
+  /** Minimum md5 (lowercase hex) over word n-gram shingles, or null when
+    * the text has fewer than `n` tokens. One compiled pass: shingle string
+    * built in a reused buffer, digests compared as unsigned bytes (hex is
+    * order-preserving, so byte-min == hex-min). The cross-engine
+    * (oracle-reproducible) sibling of [[shingleHashes]]. */
+  def minShingleMd5(s: UTF8String, n: Int): UTF8String = {
+    val toks = tokenize(s)
+    if (toks.length < n) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    var b = 0
+    while (b < best.length) {
+      hex.append(Character.forDigit((best(b) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(best(b) & 0xf, 16))
+      b += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
 }
 
 /** array<long> of hashes of all word n-grams (ordered, with duplicates) —
@@ -204,6 +249,20 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Minimum md5 hex over word n-gram shingles (null below `n` tokens) — the
+  * compiled form of `array_min(transform(shingles(t, n), md5))`, whose
+  * interpreted lambdas cost O(tokens²) string copies per row. */
+case class MinShingleMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minShingleMd5(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): MinShingleMd5Expr = copy(child = c)
+  override def prettyName: String = "min_shingle_md5"
+}
+
 /** Exact Jaccard similarity of two sorted distinct long arrays. Generates
   * code (a call into the compiled kernel) so it stays inside whole-stage
   * codegen spans. */
@@ -235,6 +294,8 @@ object TextKernelFunctions {
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleHashSet), numHashes))
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+  def minShingleMd5(text: Column, n: Int): Column =
+    ColumnBridge.column(MinShingleMd5Expr(ColumnBridge.expression(text), n))
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccardExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
