@@ -55,6 +55,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "minhash_signature takes 2 arguments")
         MinHashExpr(args.head, intLit(args(1), "minhash_signature"))
       }))
+    e.injectFunction((FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard", "sorted_jaccard(a, b) - exact Jaccard of two sorted distinct hash arrays"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sorted_jaccard takes 2 arguments")
+        SortedJaccardExpr(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("min_shingle_md5"),
+      info("min_shingle_md5", "min_shingle_md5(text, n) - minimum md5 hex over word n-gram shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "min_shingle_md5 takes 2 arguments")
+        MinShingleMd5Expr(args.head, intLit(args(1), "min_shingle_md5"))
+      }))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

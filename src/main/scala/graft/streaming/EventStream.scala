@@ -61,6 +61,18 @@ object EventStream {
       .drop("__session_id")
   }
 
+  /** Streaming ingestion dedup — the streaming twin of the batch dedup
+    * family: drop repeats of `keyCols` whose event time falls inside the
+    * watermark horizon. State is bounded by the watermark (keys older than
+    * `watermark` are evicted), which is what makes exactly-once-per-key
+    * ingestion viable on an unbounded stream; the batch twin
+    * (`IndexOps.dedupFirstWins`) gives the closed-set semantics. */
+  def dedupStream(spark: SparkSession, dir: String, schema: StructType,
+      keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run the streaming query to completion over a static directory (memory
     * sink) and return the result — used by tests to prove stream/batch
     * equivalence. */

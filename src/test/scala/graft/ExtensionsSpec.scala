@@ -42,6 +42,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("round-2 kernels callable from SQL: sorted_jaccard, min_shingle_md5") {
+    val r = spark.sql(
+      """SELECT sorted_jaccard(shingle_hash_set('a b c d', 2),
+                               shingle_hash_set('a b c e', 2)) AS j,
+                min_shingle_md5('one two three four', 3) AS ms,
+                min_shingle_md5('one two', 3) AS none
+      """).head()
+    assert(r.getAs[Double]("j") == 0.5) // {ab,bc,cd} vs {ab,bc,ce}: 2/4
+    val h1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("one two three".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("two three four".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("ms") == Seq(h1, h2).min)
+    assert(r.isNullAt(r.fieldIndex("none")))
+  }
+
   test("non-literal size parameter raises a clear error") {
     val ex = intercept[Exception](
       spark.sql("SELECT shingle_hash_set('a b c', 1 + 1)").head())

@@ -20,4 +20,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming dedup drops in-watermark repeats, keeps one row per key") {
+    val dir = tmpDir("events-dedup") + "/events"
+    val base = graft.sources.EventsSource.read(spark, sf("events")).limit(200)
+    base.union(base).write.parquet(dir) // every event duplicated
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.dedupStream(spark, dir, schema, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_t").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_t")
+    assert(out.count() == base.select("event_id").distinct().count())
+    assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
 }
