@@ -79,6 +79,24 @@ object SchemaOps {
 
   def columnMetadata(df: DataFrame, column: String): Metadata = df.schema(column).metadata
 
+  /** One-call rename + table-metadata + column-metadata update of a parquet
+    * file (reference parq_schema_tools.rename_and_update_metadata,
+    * parq_schema_tools.py:30-100): columns renamed, per-column metadata
+    * attached to the field metadata, table KV written into the real footer. */
+  def updateMetadataFile(spark: SparkSession, input: String, output: String,
+      renames: Map[String, String] = Map.empty,
+      tableMetadata: Map[String, String] = Map.empty,
+      columnMetadata: Map[String, Map[String, String]] = Map.empty,
+      singleFile: Boolean = true): Unit = {
+    if (renames.isEmpty && tableMetadata.isEmpty && columnMetadata.isEmpty) return
+    var df = ParquetIO.read(spark, input)
+    if (renames.nonEmpty) df = rename(df, renames)
+    if (columnMetadata.nonEmpty) df = withColumnMetadata(df, columnMetadata)
+    if (singleFile) ParquetIO.writeSingleFile(df, output) else ParquetIO.write(df, output)
+    if (tableMetadata.nonEmpty)
+      FooterMetadata.writeKeyValue(spark, output, tableMetadata)
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

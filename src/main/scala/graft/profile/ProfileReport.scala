@@ -23,21 +23,36 @@ object ProfileReport {
 
   // ------------------------------------------------------------- profile
 
-  /** HTML for a single table profile (reference to_html, parq_profile.py:158). */
-  def toHtml(p: TableProfile, title: String = "Profile report"): String = {
+  /** HTML for a single table profile (reference to_html, parq_profile.py:158).
+    * `datasetMetadata` renders as a header block (the reference's
+    * dataset_metadata config); `columnDescriptions` adds a description
+    * column (variables.descriptions). */
+  def toHtml(p: TableProfile, title: String = "Profile report",
+      datasetMetadata: Map[String, String] = Map.empty,
+      columnDescriptions: Map[String, String] = Map.empty): String = {
+    val withDesc = columnDescriptions.nonEmpty
     val cols = p.variables.toSeq.sortBy(_._1)
     val rows = cols.map { case (name, v) =>
       val alerts = v.alerts.map(a => s"""<span class="alert">$a</span>""").mkString(" ")
-      s"""<tr><td>${esc(name)}</td><td>${esc(v.dtype)}</td><td>${v.n}</td>
+      val desc = if (withDesc)
+        s"<td>${esc(columnDescriptions.getOrElse(name, ""))}</td>" else ""
+      s"""<tr><td>${esc(name)}</td>$desc<td>${esc(v.dtype)}</td><td>${v.n}</td>
          |<td>${v.nMissing}</td><td>${fmtD(v.pMissing)}</td><td>${v.nDistinct}</td>
          |<td>${v.mean.map(fmtD).getOrElse("")}</td><td>${v.std.map(fmtD).getOrElse("")}</td>
          |<td>${v.min.map(x => esc(x.toString)).getOrElse("")}</td>
          |<td>${v.max.map(x => esc(x.toString)).getOrElse("")}</td>
          |<td>${v.nZeros}</td><td>${v.memorySize}</td><td>$alerts</td></tr>""".stripMargin
     }.mkString("\n")
+    val metaBlock =
+      if (datasetMetadata.isEmpty) ""
+      else datasetMetadata.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"""<dt>${esc(k)}</dt><dd>${esc(v)}</dd>"""
+      }.mkString("<dl class=\"dataset-meta\">", "", "</dl>")
+    val descHead = if (withDesc) "<th>description</th>" else ""
     page(title,
-      s"""<p class="meta">rows: ${p.n} &middot; columns: ${p.nVar}</p>
-         |<table><thead><tr><th>column</th><th>dtype</th><th>n</th><th>missing</th>
+      s"""$metaBlock
+         |<p class="meta">rows: ${p.n} &middot; columns: ${p.nVar}</p>
+         |<table><thead><tr><th>column</th>$descHead<th>dtype</th><th>n</th><th>missing</th>
          |<th>p_missing</th><th>distinct</th><th>mean</th><th>std</th><th>min</th>
          |<th>max</th><th>zeros</th><th>bytes</th><th>alerts</th></tr></thead>
          |<tbody>$rows</tbody></table>""".stripMargin)
@@ -46,6 +61,52 @@ object ProfileReport {
   /** Atomic HTML save (reference save_html, parq_profile.py:164-167). */
   def saveHtml(p: TableProfile, path: String, title: String = "Profile report"): Unit =
     atomicWrite(path, toHtml(p, title))
+
+  /** Render one structured column-metadata map into a profile description
+    * string (reference ColumnMetadata.to_description_string,
+    * profile_utils.py:87-110): "Title: Description (Units: u; Source: s)". */
+  def columnDescription(meta: Map[String, String]): String = {
+    val title = meta.get("title")
+    val description = meta.get("description")
+    val base = (title, description) match {
+      case (Some(t), Some(d)) => s"$t: $d"
+      case (None, Some(d)) => d
+      case (Some(t), None) => t
+      case (None, None) => ""
+    }
+    val extras =
+      meta.get("units").orElse(meta.get("unit_of_measure")).map(u => s"Units: $u").toSeq ++
+      meta.get("source").map(s => s"Source: $s").toSeq
+    if (extras.isEmpty) base
+    else if (base.isEmpty) extras.mkString("; ")
+    else s"$base (${extras.mkString("; ")})"
+  }
+
+  /** Column descriptions recovered from a parquet file's per-field metadata
+    * (the reference's metadata-from-file path, parq_profile.py via
+    * metadata_utils.get_column_metadata). */
+  def columnDescriptionsFromFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] = {
+    val keys = Seq("title", "description", "units", "unit_of_measure", "source")
+    spark.read.parquet(path).schema.fields.flatMap { f =>
+      val kv = keys.flatMap(k =>
+        if (f.metadata.contains(k)) Some(k -> f.metadata.getString(k)) else None).toMap
+      val d = columnDescription(kv)
+      if (d.isEmpty) None else Some(f.name -> d)
+    }.toMap
+  }
+
+  /** Profile a file and render its HTML report with dataset + column
+    * metadata recovered from the footers — the reference's
+    * ParquetProfileReport default path. */
+  def profileFileHtml(spark: org.apache.spark.sql.SparkSession, path: String,
+      title: String = "Profile report",
+      exactDistinct: Boolean = true): String = {
+    val profile = ColumnProfiler.profileFile(spark, path, exactDistinct = exactDistinct)
+    toHtml(profile, title,
+      datasetMetadata = graft.io.FooterMetadata.readUserMetadata(spark, path),
+      columnDescriptions = columnDescriptionsFromFile(spark, path))
+  }
 
   // ---------------------------------------------------------- comparison
 

@@ -75,4 +75,43 @@ class ProfileReportSpec extends SparkSpecBase {
     assert(p.variables("const").alerts.contains("constant"))
     assert(p.variables.values.forall(_.memorySize > 0))
   }
+
+  test("structured column metadata renders reference-format descriptions") {
+    // mirrors test_profile_report.py:127-149 expectation
+    assert(ProfileReport.columnDescription(Map(
+      "title" -> "Mass", "description" -> "Measured sample mass",
+      "unit_of_measure" -> "kg", "source" -> "lab"))
+      == "Mass: Measured sample mass (Units: kg; Source: lab)")
+    assert(ProfileReport.columnDescription(Map("description" -> "plain")) == "plain")
+    assert(ProfileReport.columnDescription(Map("units" -> "m")) == "Units: m")
+  }
+
+  test("profileFileHtml recovers dataset + column metadata from footers") {
+    val d = tmpDir("meta-report")
+    val p0 = s"$d/in.parquet"; val p1 = s"$d/t.parquet"
+    graft.io.ParquetIO.writeSingleFile(df, p0)
+    graft.ops.SchemaOps.updateMetadataFile(spark, p0, p1,
+      tableMetadata = Map("description" -> "Test dataset with persisted metadata"),
+      columnMetadata = Map("const" -> Map(
+        "title" -> "Constant", "description" -> "always one", "units" -> "u")))
+    assert(ProfileReport.columnDescriptionsFromFile(spark, p1)("const")
+      == "Constant: always one (Units: u)")
+    val html = ProfileReport.profileFileHtml(spark, p1, "meta report")
+    assert(html.contains("Test dataset with persisted metadata"))
+    assert(html.contains("Constant: always one (Units: u)"))
+    assert(html.contains("<th>description</th>"))
+  }
+
+  test("three-way profile comparison reports per-dataset values") {
+    val p1 = ColumnProfiler.profile(df.select("id"))
+    val p2 = ColumnProfiler.profile(df.select("id"))
+    val p3 = ColumnProfiler.profile(df.select("id")
+      .withColumn("id", org.apache.spark.sql.functions.col("id") * 2))
+    val s = ProfileComparison.compare(Seq(p1, p2, p3), Seq("a", "b", "c"))
+    assert(s.labels == Seq("a", "b", "c"))
+    assert(s.columns("id").status == "different")
+    assert(s.columns("id").metrics("mean").values.size == 3)
+    assertThrows[IllegalArgumentException](
+      ProfileComparison.compare(Seq(p1, p2, p3), Seq("a", "b"))) // label arity
+  }
 }
