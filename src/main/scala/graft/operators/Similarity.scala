@@ -160,8 +160,9 @@ object Similarity {
   }
 
   /** Top-`m` centroid indices by cosine, as a codegen'd column expression:
-    * an array of (cosine, index) structs, sorted descending by struct
-    * ordering, truncated and projected to indices. */
+    * an array of (cosine, index) structs reduced by struct ordering. The
+    * m = 1 case (corpus assignment — the per-row hot path) is a plain
+    * `array_max`; only query probing (tiny row count) pays the sort. */
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>
@@ -169,7 +170,8 @@ object Similarity {
         VectorKernelFunctions.cosineSimilarity(vec, typedLit(ct.toSeq)).as("c"),
         lit(i).as("i"))
     }.toSeq: _*)
-    transform(slice(reverse(array_sort(scoredLists)), 1, m), s => s.getField("i"))
+    if (m == 1) array(array_max(scoredLists).getField("i"))
+    else transform(slice(reverse(array_sort(scoredLists)), 1, m), s => s.getField("i"))
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
