@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The facade's reference-shaped surface, driven end-to-end — including the
+  * SURVEY §7.5 demo query with its DuckDB-validated expectation. */
+class ParqToolsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val pt = ParqTools(spark)
+
+  test("§7.5 demo: filter + project a real lineitem file") {
+    val out = s"${tmpDir("pt")}/out.parquet"
+    pt.filterParquetFile(sf("lineitem"), out,
+      filterExpression = Some("l_quantity > 30 and l_discount <= 0.05"),
+      columns = Some(Seq("l_orderkey", "l_quantity", "l_discount")))
+    val r = spark.read.parquet(out)
+    assert(r.columns.toSeq == Seq("l_orderkey", "l_quantity", "l_discount"))
+    val expected = spark.read.parquet(sf("lineitem"))
+      .filter($"l_quantity" > 30 && $"l_discount" <= 0.05).count()
+    assert(r.count() == expected && expected > 0)
+  }
+
+  test("concat axis dispatch: tall unions, wide joins, bad axis raises") {
+    val d = tmpDir("pt-concat")
+    val f1 = s"$d/f1.parquet"; val f2 = s"$d/f2.parquet"
+    graft.io.ParquetIO.writeSingleFile(Seq((1L, "A"), (2L, "B")).toDF("x", "a"), f1)
+    graft.io.ParquetIO.writeSingleFile(Seq((1L, 0.5), (2L, 0.7)).toDF("x", "b"), f2)
+    val tall = s"$d/tall.parquet"; val wide = s"$d/wide.parquet"
+    pt.concatParquetFiles(Seq(f1, f1), tall, axis = 0, singleFile = true)
+    assert(spark.read.parquet(tall).count() == 4)
+    pt.concatParquetFiles(Seq(f1, f2), wide, axis = 1,
+      indexColumns = Seq("x"), singleFile = true)
+    assert(spark.read.parquet(wide).columns.toSet == Set("x", "a", "b"))
+    assertThrows[IllegalArgumentException](pt.concatParquetFiles(Seq(f1), tall, axis = 2))
+  }
+
+  test("sort, dedup and reindex file round-trips") {
+    val d = tmpDir("pt-idx")
+    val in = s"$d/in.parquet"
+    graft.io.ParquetIO.writeSingleFile(
+      Seq((3L, "c"), (1L, "a"), (2L, "b"), (1L, "dup")).toDF("k", "v"), in)
+    val sorted = s"$d/sorted.parquet"
+    pt.sortParquetFile(in, sorted, Seq("k"), singleFile = true)
+    assert(spark.read.parquet(sorted).select("k").as[Long].collect().toSeq == Seq(1L, 1L, 2L, 3L))
+    val deduped = s"$d/dedup.parquet"
+    pt.deduplicateParquet(in, deduped, Seq("k"), singleFile = true)
+    assert(spark.read.parquet(deduped).count() == 3)
+    val reindexed = s"$d/reindexed.parquet"
+    pt.reindexParquet(in, reindexed, Seq(1L, 2L, 9L).toDF("k"), singleFile = true)
+    val r = spark.read.parquet(reindexed)
+    assert(r.count() == 4) // k=1 matches two rows, k=2 one, k=9 null-filled
+    assert(r.filter($"k" === 9 && $"v".isNull).count() == 1)
+  }
+
+  test("metadata, compare, profile and lazy entries cohere") {
+    val d = tmpDir("pt-meta")
+    val in = s"$d/in.parquet"; val out = s"$d/out.parquet"
+    graft.io.ParquetIO.writeSingleFile(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), in)
+    pt.renameAndUpdateMetadata(in, out,
+      renameMap = Map("v" -> "value"),
+      tableMetadata = Map("description" -> "facade test"),
+      columnMetadata = Map("k" -> Map("description" -> "the key")))
+    assert(pt.tableMetadata(out)("description") == "facade test")
+    assert(pt.compareParquetFiles(out, out).allEqual)
+    assert(pt.filesMatch(out, out))
+    val summary = pt.compareParquetProfiles(Seq(out, out), Seq("l", "r"))
+    assert(summary.overview.different == 0)
+    val html = pt.profileReportHtml(out)
+    assert(html.contains("facade test") && html.contains("the key"))
+    assert(pt.lazyParquet(out).columns == Seq("k", "value"))
+    assert(pt.memoryUsage(out).columns.nonEmpty)
+  }
+}
