@@ -40,16 +40,22 @@ object Bench {
     // driver's n=1-style runs (round 1: q24 clocked 11.9s for a plan
     // equivalent to q08's 1.07s).
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(run)
+    names.foreach { n => run(n); spark.catalog.clearCache() }
 
     // min of two runs per query: the host shows multi-second noise spikes
     // (same code measured 50s/118s/69s total across runs), and min-of-N is
     // the standard steady-state estimator under one-sided noise. A failure
     // in either run reports -1 — a 50%-flaky query must not hide behind its
     // surviving run's time.
+    // clearCache after each query: the LSH operators persist kernel bases
+    // (caller-unpersist contract); across 3 passes x 34 queries those blocks
+    // accumulate and the resulting memory pressure lands on unrelated later
+    // queries (BENCH_r02: q05, a plain broadcast join, clocked 11.7s under
+    // the driver where an isolated run takes 1.5s).
     val results = names.map { n =>
       val a = run(n)
       val b = run(n)
+      spark.catalog.clearCache()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

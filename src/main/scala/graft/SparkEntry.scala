@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -378,6 +378,96 @@ object SparkEntry {
       summary.columns.toSeq.map { case (c, cc) => (c, cc.status) }
         .toDF("column_name", "status")
         .orderBy(col("column_name"))
+    }),
+
+    // ---- frame API surface (P7, P8, P4, A3, S2) -------------------------
+    "q35_tuple_filter" -> ((s, dir) => {
+      // P7 contract: conjunctive tuples, output = predicate columns only
+      graft.frame.LazyParquetFrame(s, s"$dir/lineitem.parquet")
+        .filter(("l_quantity", ">", 49.0), ("l_orderkey", "<", 10000L))
+        .orderBy(col("l_orderkey"), col("l_quantity"))
+    }),
+    "q36_describe" -> ((s, dir) => {
+      // describe() emits strings (Spark summary contract); cast back and
+      // round so the driver hashes doubles, not engine-formatted text
+      graft.frame.LazyParquetFrame(s, s"$dir/lineitem.parquet")
+        .describe("count", "mean", "stddev", "min", "max")
+        .select(col("summary"),
+          round(col("l_quantity").cast("double"), 4).as("l_quantity"),
+          round(col("l_discount").cast("double"), 4).as("l_discount"))
+        .orderBy(col("summary"))
+    }),
+    "q37_query_passthrough" -> ((s, dir) => {
+      graft.frame.LazyParquetFrame(s, s"$dir/orders.parquet")
+        .query("o_totalprice >= 400000.0 and o_orderstatus == 'F'")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total_price"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q38_referenced_columns" -> ((s, _) => {
+      import s.implicits._
+      graft.expr.FilterParser
+        .referencedColumns(
+          "l_quantity > 45.0 and (l_discount <= 0.02 or l_returnflag in ['R', 'A'])")
+        .toSeq.sorted.toDF("col_name")
+        .orderBy(col("col_name"))
+    }),
+    "q39_footer_schema" -> ((s, dir) => {
+      // S2: schema facts straight from the footer, no data read — physical
+      // type names and value counts are engine-independent file facts
+      val info = graft.io.ParquetIO.footer(s, s"$dir/part.parquet")
+      import s.implicits._
+      info.columns.toSeq.map { case (name, c) => (name, c.physicalType, c.numValues) }
+        .toDF("column_name", "physical_type", "num_values")
+        .orderBy(col("column_name"))
+    }),
+
+    // ---- similarity: IVF under an exact oracle --------------------------
+    "q40_ivf_ann" -> ((s, dir) => {
+      // nProbe = numLists ⇒ IVF degenerates to exact search, so the whole
+      // IVF machinery (driver-side k-means train, codegen'd list
+      // assignment, broadcast probe join, windowed re-rank) runs under the
+      // exact brute-force oracle. The recall-trading nProbe < numLists path
+      // is spec-tested (recall on near-random vectors has no SQL oracle).
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, numLists = 16, nProbe = 16)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- sessionization (batch twin of sessionizeStream) ----------------
+    "q41_sessionize" -> ((s, dir) => {
+      EventStream.sessionize(EventsSource.read(s, s"$dir/events.parquet"), gapMinutes = 30)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- training-data sampling (Sampling extensions) -------------------
+    "q42_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(read(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "q43_domain_quota" -> ((s, dir) => {
+      Sampling.quotaPerGroup(read(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("quota_rank"))
+        .orderBy(col("source"), col("quota_rank"))
+    }),
+    "q44_data_mixture" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Sampling.weightedMixture(Seq(
+        docs.filter(col("lang") === "en") -> 0.5,
+        docs.filter(col("lang") =!= "en") -> 0.25), "doc_id", salt = "mix:")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -401,6 +491,20 @@ object SparkEntry {
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= $threshold
          ORDER BY id_a, id_b"""
+
+  /** Exact brute-force cosine top-5 in DuckDB — the oracle for every ANN
+    * operator whose output provably equals exact search: q21 (brute force
+    * by definition), q29 (LSH net verified 100%-recall at oracle scale),
+    * q40 (IVF with nProbe = numLists probes every list). */
+  private val knnExactSql: String =
+    """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** DuckDB list literal for a stopword list — interpolated into the q27
     * oracle from [[TextFunctions.stopwords]] so query and oracle can never
@@ -538,15 +642,7 @@ object SparkEntry {
     "q20_ngram_jaccard" -> jaccardPairsSql(0.7),
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
-    "q21_knn_bruteforce" ->
-      """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                        c.vec_id ASC) AS rank
-           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q21_knn_bruteforce" -> knnExactSql,
     "q22_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
@@ -621,15 +717,7 @@ object SparkEntry {
                      ELSE NULL END AS min_shingle_fp,
                 CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_shingles
          FROM toks ORDER BY doc_id""",
-    "q29_lsh_ann" ->
-      """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                        c.vec_id ASC) AS rank
-           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q29_lsh_ann" -> knnExactSql,
     "q30_multimodal_features" ->
       """SELECT doc_id AS id, (doc_id % 13 + 4)::INT AS width,
                 (doc_id % 7 + 3)::INT AS height, (doc_id % 256)::INT AS gray,
@@ -692,5 +780,81 @@ object SparkEntry {
          r.range AS c_order_xyz,
          (r.range % 5) * 200 + ((r.range // 5) % 10) * 20 + (r.range // 50) AS f_order_zyx,
          302.5 - (300.0 + 0.25 + (r.range % 5) * 0.5) AS depth
-         FROM range(0, 1000) r ORDER BY c_order_xyz""")
+         FROM range(0, 1000) r ORDER BY c_order_xyz""",
+
+    // ---- round-3 additions ----------------------------------------------
+    "q35_tuple_filter" ->
+      """SELECT l_quantity, l_orderkey FROM lineitem
+         WHERE l_quantity > 49.0 AND l_orderkey < 10000
+         ORDER BY l_orderkey, l_quantity""",
+    "q36_describe" ->
+      """SELECT summary, round(l_quantity, 4) AS l_quantity,
+                round(l_discount, 4) AS l_discount FROM (
+           SELECT 'count' AS summary, count(l_quantity)::DOUBLE AS l_quantity,
+                  count(l_discount)::DOUBLE AS l_discount FROM lineitem
+           UNION ALL SELECT 'mean', avg(l_quantity), avg(l_discount) FROM lineitem
+           UNION ALL SELECT 'stddev', stddev_samp(l_quantity), stddev_samp(l_discount) FROM lineitem
+           UNION ALL SELECT 'min', min(l_quantity), min(l_discount) FROM lineitem
+           UNION ALL SELECT 'max', max(l_quantity), max(l_discount) FROM lineitem) t
+         ORDER BY summary""",
+    "q37_query_passthrough" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderstatus
+         FROM orders
+         WHERE o_totalprice >= 400000.0 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "q38_referenced_columns" ->
+      """SELECT col_name FROM (VALUES ('l_discount'), ('l_quantity'), ('l_returnflag')) t(col_name)
+         ORDER BY col_name""",
+    // physical type + value count are facts of the file footer; DuckDB reads
+    // the same footer. Path pinned to the driver's Verify scale (like q32).
+    "q39_footer_schema" ->
+      """SELECT path_in_schema AS column_name, min(type::VARCHAR) AS physical_type,
+                sum(num_values)::BIGINT AS num_values
+         FROM parquet_metadata('/root/testdata/sf0.01/part.parquet')
+         GROUP BY 1 ORDER BY 1""",
+    "q40_ivf_ann" -> knnExactSql,
+    "q41_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // split boundaries interpolated from Sampling.splitThresholdsHex — the
+    // md5-hex bucket contract is the single source of truth on both sides
+    "q42_hash_split" -> {
+      val th = Sampling.splitThresholdsHex(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = th.init.map { case (name, hex) =>
+        s"WHEN substring(md5(doc_id::VARCHAR), 1, 4) < '$hex' THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split
+          FROM documents ORDER BY doc_id"""
+    },
+    "q43_domain_quota" ->
+      """SELECT source, doc_id, n_chars, quota_rank FROM (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS quota_rank
+           FROM documents) t
+         WHERE quota_rank <= 3 ORDER BY source, quota_rank""",
+    "q44_data_mixture" -> {
+      val en = Sampling.fractionHex(0.5)
+      val rest = Sampling.fractionHex(0.25)
+      s"""SELECT doc_id, lang FROM documents
+          WHERE (lang = 'en' AND substring(md5('mix:' || doc_id::VARCHAR), 1, 4) < '$en')
+             OR (lang <> 'en' AND substring(md5('mix:' || doc_id::VARCHAR), 1, 4) < '$rest')
+          ORDER BY doc_id"""
+    })
 }

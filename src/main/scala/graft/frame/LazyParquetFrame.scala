@@ -73,7 +73,11 @@ final class LazyParquetFrame private (
 
   def head(n: Int = 5): DataFrame = current.limit(n)
 
-  def describe(): DataFrame = current.summary()
+  /** pandas describe() parity; like pandas' `percentiles=` parameter, the
+    * statistics set is selectable (Spark summary() names, e.g. "count",
+    * "mean", "stddev", "min", "25%", "max"). */
+  def describe(stats: String*): DataFrame =
+    if (stats.isEmpty) current.summary() else current.summary(stats: _*)
 
   /** Conjunctive tuple-predicate filter; returns ONLY the predicate columns
     * (reference lazy_parquet.py:389-406, P7). */

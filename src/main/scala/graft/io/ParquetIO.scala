@@ -84,7 +84,13 @@ object ParquetIO {
             name -> ColumnChunkStats(
               compressedBytes = chunks.map(_.getTotalSize).sum,
               uncompressedBytes = chunks.map(_.getTotalUncompressedSize).sum,
-              numValues = chunks.map(_.getValueCount).sum)
+              numValues = chunks.map(_.getValueCount).sum,
+              physicalType = chunks.head.getPrimitiveType.getPrimitiveTypeName.name match {
+                // parquet-java's enum says BINARY; the format spec (and
+                // other readers) call this physical type BYTE_ARRAY
+                case "BINARY" => "BYTE_ARRAY"
+                case other => other
+              })
           })
     } finally r.close()
   }
@@ -121,7 +127,11 @@ object ParquetIO {
 final case class ColumnChunkStats(
     compressedBytes: Long,
     uncompressedBytes: Long,
-    numValues: Long)
+    numValues: Long,
+    /** Parquet physical type name (INT64, DOUBLE, BYTE_ARRAY, …) — an
+      * engine-independent fact of the file, so footer inspection has a
+      * cross-engine oracle (DuckDB `parquet_metadata().type`). */
+    physicalType: String = "")
 
 final case class ParquetFooterInfo(
     numRows: Long,

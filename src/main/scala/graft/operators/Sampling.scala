@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / quota operators for training-data
+  * pipelines (north-star extensions — the reference has no sampling surface;
+  * these are the operations a 100 TB corpus build needs around the dedup and
+  * quality-filter family).
+  *
+  * Design rules:
+  *  - Hash-based, not `rand()`: membership of a row is a pure function of
+  *    its id and a salt, so splits are reproducible across runs, engines,
+  *    cluster sizes and repartitioning — the property a train/val/test
+  *    split must have (a rand() split silently reshuffles when the
+  *    partitioning changes). md5 is used (not xxhash64) because every
+  *    engine computes identical md5 hex for identical bytes, which gives
+  *    these operators exact cross-engine oracles.
+  *  - [[hashSplit]] / [[hashSample]] / [[weightedMixture]] are stateless
+  *    projections/filters: no shuffle, no state, trivially scale to any
+  *    corpus size and parallelism, and push down through the scan.
+  *  - [[quotaPerGroup]] is the one shuffling operator (a per-group top-k
+  *    needs its group co-located); skew is bounded by the largest group.
+  */
+object Sampling {
+
+  /** Number of hash buckets: first 4 hex chars of md5 → 16 bits. Weight
+    * granularity is therefore 1/65536 ≈ 0.0015%. */
+  private val Buckets = 1 << 16
+
+  /** The row's bucket as a 4-hex-char string — kept in string space (hex
+    * compares like the integer it encodes, digits-before-letters) so the
+    * oracle is a byte-for-byte md5/substring mirror with no integer
+    * conversion on either side. */
+  private def hexBucket(idCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 4)
+
+  /** 4-hex-char literal for `floor(fraction * 65536)`. */
+  def fractionHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    f"${math.min((fraction * Buckets).toInt, Buckets - 1)}%04x"
+  }
+
+  /** Cumulative upper-bound hex thresholds for a weighted split.
+    * `Seq(train->0.8, val->0.1, test->0.1)` → `train < cccc ≤ val < e666 ≤
+    * test`. Exposed so an external oracle can mirror the boundaries from
+    * the same source of truth. */
+  def splitThresholdsHex(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.nonEmpty, "at least one split required")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    var cum = 0.0
+    splits.map { case (name, w) =>
+      cum += w
+      name -> fractionHex(cum)
+    }
+  }
+
+  /** Deterministic train/val/test-style split: adds a `split` column whose
+    * value is a pure function of `md5(salt ++ id)`. One projection — no
+    * shuffle, no rand(), stable under any re-partitioning. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    val b = hexBucket(col(idCol), salt)
+    val thresholds = splitThresholdsHex(splits)
+    // last split is the else-branch: its threshold is the top of the range
+    val assigned = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, hexUpper), rest) => when(b < lit(hexUpper), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic Bernoulli-by-id sample: keeps a row iff its hash bucket
+    * falls below `fraction`. A pure filter (combines with scan pushdown of
+    * other predicates); sampling the same id set with a larger fraction
+    * yields a superset — the nesting property reproducible corpus
+    * downsampling needs. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hexBucket(col(idCol), salt) < lit(fractionHex(fraction)))
+
+  /** Weighted mixture of sources: hash-sample each source at its rate and
+    * union by name. The standard "data mixture" step of a training-corpus
+    * build (e.g. upweight curated text, downweight crawl): each branch is a
+    * stateless filter, the union is plan-level only — no shuffle anywhere. */
+  def weightedMixture(sources: Seq[(DataFrame, Double)], idCol: String,
+      salt: String = ""): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    sources.map { case (df, rate) => hashSample(df, idCol, rate, salt) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Per-group quota cap: keep the top-`k` rows of each group by `orderBy`
+    * (e.g. ≤ k documents per domain, best-quality first — the crawl
+    * domain-cap). Adds `quota_rank` (1-based). One hash-shuffle on the
+    * group key; per-group state is a running counter, so memory is O(1) per
+    * group and skew cost is bounded by the largest group's row count. */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k > 0, s"quota must be positive: $k")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= k)
+  }
+}

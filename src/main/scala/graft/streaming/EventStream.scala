@@ -46,9 +46,11 @@ object EventStream {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
       .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap compare at full microsecond precision (event timestamps carry
+      // micros; second-truncation would misplace boundaries near the gap)
       .withColumn("__new_session",
         when(col("__prev_ts").isNull ||
-          col("ts").cast("long") - col("__prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("__prev_ts")) > gapMinutes * 60000000L, 1L)
           .otherwise(0L))
       .withColumn("__session_id",
         sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -59,6 +61,85 @@ object EventStream {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
       .drop("__session_id")
+  }
+
+  /** Streaming twin of [[sessionize]]: custom session state via
+    * `flatMapGroupsWithState` with an event-time timeout (the (c)-tier
+    * extension point — no built-in operator has open-ended gap-session
+    * semantics with per-key custom state).
+    *
+    * Per user the state holds the one open session (start/end/count/sum —
+    * O(1) per key, no event buffering). Each micro-batch folds its events
+    * in timestamp order: an event within `gapMinutes` of the open session's
+    * end extends it, otherwise the open session is emitted closed and a new
+    * one starts. The timeout is re-armed to `session_end + gap`; when the
+    * watermark passes it, the session is emitted by the timeout path and
+    * state is dropped — so state size is bounded by the number of *active*
+    * users inside the watermark horizon, the property that keeps this
+    * runnable forever on an unbounded stream.
+    *
+    * Closed-set caveat (asserted in the spec): sessions still open when the
+    * input is exhausted sit in state waiting for a watermark that no longer
+    * advances, so on a static directory the output is exactly the batch
+    * result *minus* each user's final session. */
+  def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000  // full micros (getTime alone truncates)
+
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    def close(userId: Long, s: OpenSession): ClosedSession =
+      ClosedSession(userId, fromMicros(s.startUs), fromMicros(s.endUs), s.n,
+        // same rounding contract as the batch twin's round(sum, 2): HALF_UP
+        BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    def fold(userId: Long, events: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      // per-batch in-memory sort: bounded by one user's events in one
+      // micro-batch (the state itself never buffers events)
+      val sorted = events.toArray.sortBy(e => micros(e.ts))
+      val closed = Seq.newBuilder[ClosedSession]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        open match {
+          case Some(s) if t - s.endUs <= gapUs =>
+            open = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += close(userId, s)
+            open = Some(OpenSession(t, t, 1, e.value))
+          case None =>
+            open = Some(OpenSession(t, t, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L) // timeout API is millis
+      }
+      closed.result().iterator
+    }
+
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .selectExpr("user_id", "ts", "value")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+      .toDF()
   }
 
   /** Streaming ingestion dedup — the streaming twin of the batch dedup
@@ -87,3 +168,15 @@ object EventStream {
     spark.table(queryName)
   }
 }
+
+/** One event as seen by the session-state machine. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** The open session per user — fixed-size state, no event buffering.
+  * Timestamps in epoch microseconds (event precision). */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+/** An emitted (gap-closed or timed-out) session; mirrors the batch
+  * [[EventStream.sessionize]] output schema. */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, session_value: Double)

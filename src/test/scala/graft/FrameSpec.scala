@@ -39,6 +39,17 @@ class FrameSpec extends SparkSpecBase {
     assert(n == expected)
   }
 
+  test("lazy frame: describe() full and stat-selected") {
+    val lp = LazyParquetFrame(spark, sf("region"))
+    val full = lp.describe()
+    assert(full.columns.head == "summary")
+    assert(full.select("summary").as[String].collect().contains("mean"))
+    val sel = lp.describe("count", "max")
+    assert(sel.select("summary").as[String].collect().toSet == Set("count", "max"))
+    assert(sel.filter($"summary" === "count")
+      .select("r_regionkey").as[String].head() == "5")
+  }
+
   test("lazy frame: overwrite guard on save") {
     val out = tmpDir("lpf") + "/out.parquet"
     val lp = LazyParquetFrame(spark, sf("region"))

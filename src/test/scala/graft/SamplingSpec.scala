@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+
+  test("hashSplit covers every row exactly once and is deterministic") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, "doc_id", splits)
+    assert(a.count() == docs.count())
+    assert(a.filter(!$"split".isin("train", "val", "test")).isEmpty)
+    val b = Sampling.hashSplit(docs.repartition(7), "doc_id", splits)
+    // membership is a pure function of the id — repartitioning changes nothing
+    assert(a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).isEmpty)
+  }
+
+  test("hashSplit weights are honored within sampling tolerance") {
+    val n = docs.count().toDouble
+    val counts = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // 500 Bernoulli draws: allow ±6 percentage points (≈3.3σ at p=0.1)
+    assert(math.abs(counts("train") / n - 0.8) < 0.06)
+    assert(math.abs(counts("val") / n - 0.1) < 0.06)
+    assert(math.abs(counts("test") / n - 0.1) < 0.06)
+  }
+
+  test("hashSample nests: a smaller fraction is a subset of a larger one") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.2)
+    val large = Sampling.hashSample(docs, "doc_id", 0.6)
+    assert(small.select("doc_id").exceptAll(large.select("doc_id")).isEmpty)
+    assert(small.count() < large.count())
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  test("different salts draw different samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5, salt = "a:")
+    val b = Sampling.hashSample(docs, "doc_id", 0.5, salt = "b:")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).count() > 0)
+  }
+
+  test("weightedMixture unions per-source samples by name") {
+    val en = docs.filter($"lang" === "en")
+    val rest = docs.filter($"lang" =!= "en")
+    val mix = Sampling.weightedMixture(Seq(en -> 1.0, rest -> 0.0), "doc_id")
+    // rate 1.0 keeps everything, rate 0.0 keeps ~nothing (bucket < '0000')
+    assert(mix.filter($"lang" === "en").count() == en.count())
+    assert(mix.filter($"lang" =!= "en").isEmpty)
+  }
+
+  test("quotaPerGroup keeps top-k per group in the given order") {
+    val out = Sampling.quotaPerGroup(docs, Seq("source"),
+      Seq($"n_chars".desc, $"doc_id".asc), k = 2)
+    val sizes = out.groupBy("source").count()
+    assert(sizes.filter($"count" > 2).isEmpty)
+    // each kept row must be in its group's true top-2 by (n_chars desc, id)
+    val expected = docs.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)))
+      .filter($"rk" <= 2).select("source", "doc_id")
+    assert(out.select("source", "doc_id").exceptAll(expected).isEmpty)
+    assert(out.filter($"quota_rank" < 1 || $"quota_rank" > 2).isEmpty)
+  }
+
+  test("hashSplit rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
+  test("split/sample plans are pure scan+filter/projection — no shuffle") {
+    val splitPlan = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    val samplePlan = Sampling.hashSample(docs, "doc_id", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"hashSplit shuffles:\n$splitPlan")
+    assert(!samplePlan.contains("Exchange"), s"hashSample shuffles:\n$samplePlan")
+  }
+}

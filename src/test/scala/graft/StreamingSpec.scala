@@ -21,6 +21,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("sessionizeStream emits exactly the batch sessions closed by the watermark") {
+    val dir = tmpDir("events-sess") + "/events"
+    graft.sources.EventsSource.read(spark, sf("events")).write.parquet(dir)
+    val events = spark.read.parquet(dir)
+    val schema = events.schema
+    val gap = 30
+
+    val q = EventStream.sessionizeStream(spark, dir, schema, gapMinutes = gap)
+      .writeStream.outputMode("append").format("memory").queryName("sess_t").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_t")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"session_value")
+
+    val batch = EventStream.sessionize(events, gapMinutes = gap)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"session_value")
+
+    // Closed-set semantics: a static source stops advancing the watermark at
+    // max(ts) - gap, so sessions ending after that line are still open in
+    // state. Everything emitted must be a batch session, and every batch
+    // session that the final watermark passed must have been emitted.
+    val maxTs = events.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val horizon = new java.sql.Timestamp(maxTs.getTime - gap * 60000L)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream emitted a session the batch twin does not have")
+    val due = batch.filter($"session_end" < lit(horizon))
+    assert(due.exceptAll(streamed).isEmpty,
+      "a watermark-expired session was never emitted")
+  }
+
   test("streaming dedup drops in-watermark repeats, keeps one row per key") {
     val dir = tmpDir("events-dedup") + "/events"
     val base = graft.sources.EventsSource.read(spark, sf("events")).limit(200)
