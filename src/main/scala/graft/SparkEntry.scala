@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -468,6 +468,37 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en") -> 0.25), "doc_id", salt = "mix:")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- temporal joins (Temporal extensions) ---------------------------
+    "q45_asof_join" -> ((s, dir) => {
+      // for each purchase, the most recent prior view by the same user —
+      // the classic event-attribution as-of join
+      val events = EventsSource.read(s, s"$dir/events.parquet")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("purchase_value"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event"),
+          round(col("value"), 2).as("view_value"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          rightTieBreak = Some("view_event"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("purchase_value"), col("view_event"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+    "q46_range_join" -> ((s, dir) => {
+      import s.implicits._
+      // overlapping account-balance bands: a point may land in 0, 1, or 2
+      val bands = Seq(("neg", -1000.0, 0.0), ("low", 0.0, 3000.0),
+        ("mid", 2000.0, 7000.0), ("high", 6000.0, 10000.0)).toDF("band", "lo", "hi")
+      Temporal.rangeJoin(
+          read(s, dir, "customer")
+            .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal")),
+          bands, "acctbal", "lo", "hi", bucketWidth = 1000.0)
+        .select(col("c_custkey"), col("band"), col("acctbal"))
+        .orderBy(col("c_custkey"), col("band"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -856,5 +887,30 @@ object SparkEntry {
           WHERE (lang = 'en' AND substring(md5('mix:' || doc_id::VARCHAR), 1, 4) < '$en')
              OR (lang <> 'en' AND substring(md5('mix:' || doc_id::VARCHAR), 1, 4) < '$rest')
           ORDER BY doc_id"""
-    })
+    },
+    // asof = left join on v.ts <= p.ts keeping the latest (ties: max view
+    // event id) — the O(n·m) oracle formulation of the O(n+m) union-window
+    // operator under test
+    "q45_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts AS vts, event_id AS view_event,
+                           round(value, 2) AS view_value
+                    FROM events WHERE event_type = 'view')
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, purchase_value,
+                view_event, view_value
+         FROM (SELECT p.*, v.view_event, v.view_value,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY v.vts DESC, v.view_event DESC) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.vts <= p.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
+    "q46_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+             ('neg', -1000.0, 0.0), ('low', 0.0, 3000.0),
+             ('mid', 2000.0, 7000.0), ('high', 6000.0, 10000.0)),
+           c AS (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer)
+         SELECT c_custkey, band, acctbal FROM c
+         JOIN bands ON acctbal BETWEEN lo::DOUBLE AND hi::DOUBLE
+         ORDER BY c_custkey, band""")
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal / ordered-join operators for event and time-series data
+  * (north-star extensions — the reference has no temporal surface; these are
+  * the joins an event-log or feature-engineering pipeline needs that Spark
+  * has no built-in operator for).
+  *
+  * Design rules:
+  *  - [[asofJoin]] is the union-of-sides + running-`last` formulation: ONE
+  *    hash shuffle on the join keys, one sort, one window pass. The naive
+  *    formulation (inequality join + row_number) is quadratic in per-key
+  *    right-side density and plans as a BroadcastNestedLoopJoin when the
+  *    equality keys are absent; this one is linear and scales with the key
+  *    cardinality like any groupBy.
+  *  - [[rangeJoin]] rewrites point-in-interval containment as an EQUI-join
+  *    on a bucket id. Spark plans a bare `p BETWEEN s AND e` predicate as
+  *    BroadcastNestedLoopJoin (all pairs); bucketization makes it a
+  *    SortMergeJoin/ShuffledHashJoin whose cost is candidate pairs per
+  *    bucket, tunable via `bucketWidth`.
+  */
+object Temporal {
+
+  private val SideCol = "__asof_side"
+  private val TsCol = "__asof_ts"
+  private val PayloadCol = "__asof_payload"
+
+  /** Backward as-of join: for each left row, the single most recent right
+    * row of the same key with `right.ts <= left.ts` (inclusive), or nulls if
+    * none (left-outer semantics). `direction = "forward"` flips to the
+    * earliest right row with `right.ts >= left.ts`.
+    *
+    * `right` must carry exactly `keyCols :+ rightTs` plus the payload
+    * columns to attach; payload names must not collide with left columns.
+    * All payload fields come from one physical right row (they ride in a
+    * single struct), so a legitimately-null payload value can never be
+    * "torn" and filled from an older row.
+    *
+    * Ties: right rows sharing (key, ts) are broken by `rightTieBreak`
+    * (largest wins for backward, smallest for forward); pass a unique
+    * column (an event id) to make the join deterministic.
+    *
+    * `toleranceUs` bounds the match distance in microseconds: a match
+    * farther than the tolerance yields nulls, like a missed join.
+    *
+    * Plan shape: Exchange(hashpartitioning(keyCols)) → Sort → Window →
+    * Filter. No join operator at all — the "join" is a running `last` over
+    * the interleaved sides, so cost is one shuffle of left+right and a
+    * per-key sort, independent of match density. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      rightTieBreak: Option[String] = None,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
+    require(payloadCols.nonEmpty, "right side has no payload columns to attach")
+    val collide = payloadCols.filter(left.columns.contains)
+    require(collide.isEmpty, s"payload columns collide with left: ${collide.mkString(",")}")
+
+    // matched right ts rides inside the struct so tolerance can see it
+    val payloadStruct = struct(
+      (col(rightTs).as(TsCol) +: payloadCols.map(col)): _*)
+    val rightTagged = right.select(
+      (keyCols.map(col) :+ col(rightTs).as(TsCol)
+        :+ lit(0).as(SideCol) :+ payloadStruct.as(PayloadCol)): _*)
+    val payloadType = rightTagged.schema(PayloadCol).dataType
+
+    val leftTagged = left
+      .withColumn(TsCol, col(leftTs))
+      .withColumn(SideCol, lit(1))
+      .withColumn(PayloadCol, lit(null).cast(payloadType))
+
+    // forward = backward on reversed time; side asc keeps right rows ahead
+    // of left rows at equal ts (inclusive match) in both directions
+    val tsOrder = if (direction == "backward") col(TsCol).asc else col(TsCol).desc
+    val tieOrder = rightTieBreak.toSeq.map { c =>
+      val f = col(PayloadCol).getField(c)
+      if (direction == "backward") f.asc_nulls_first else f.desc_nulls_last
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsOrder +: col(SideCol).asc +: tieOrder): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rightTagged.unionByName(leftTagged, allowMissingColumns = true)
+      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+      .filter(col(SideCol) === 1)
+
+    val withTol = toleranceUs match {
+      case Some(tol) =>
+        val dist = abs(unix_micros(col(TsCol)) - unix_micros(col(PayloadCol).getField(TsCol)))
+        matched.withColumn(PayloadCol, when(dist <= tol, col(PayloadCol)))
+      case None => matched
+    }
+
+    val unpacked = payloadCols.foldLeft(withTol) { (df, c) =>
+      df.withColumn(c, col(PayloadCol).getField(c))
+    }
+    unpacked.drop(SideCol, TsCol, PayloadCol)
+  }
+
+  /** Point-in-interval join: every (point row, interval row) pair with
+    * `points(pointCol)` in `[startCol, endCol]` (inclusive both ends), plus
+    * equality on `keyCols`. Intervals may overlap — a point matches each
+    * containing interval once.
+    *
+    * Mechanics: intervals explode into the bucket ids they span
+    * (`floor(v / bucketWidth)`), points compute their single bucket, and the
+    * containment predicate runs AFTER an equi-join on (keys, bucket). Each
+    * qualifying pair meets in exactly one bucket — the point's — so no
+    * dedup pass is needed. Choose `bucketWidth` near the typical interval
+    * span: expansion factor is ~`1 + span/bucketWidth` per interval, and
+    * candidate pairs per bucket shrink as buckets narrow.
+    *
+    * Column sets must be disjoint; both inputs keep all their columns. */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet.diff(keyCols.toSet))
+    require(overlap.isEmpty, s"column collision: ${overlap.mkString(",")}")
+
+    def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
+
+    val p = points.withColumn("__rj_bucket", bucketOf(col(pointCol)))
+    val i = intervals.withColumn("__rj_bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+
+    val joinKeys = keyCols :+ "__rj_bucket"
+    p.join(i, joinKeys, "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__rj_bucket")
+  }
+}
