@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Temporal}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -499,6 +499,17 @@ object SparkEntry {
           bands, "acctbal", "lo", "hi", bucketWidth = 1000.0)
         .select(col("c_custkey"), col("band"), col("acctbal"))
         .orderBy(col("c_custkey"), col("band"))
+    }),
+
+    // ---- sequence packing (Packing extension) ---------------------------
+    "q47_pack_sequences" -> ((s, dir) => {
+      // small blockSize so the hierarchical (block-level) prefix-sum path
+      // actually exercises multiple blocks at verify scale
+      Packing.packByBudget(
+          read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 65536, blockSize = 512)
+        .select(col("doc_id"), col("n_chars"), col("start_offset"), col("pack_id"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -912,5 +923,12 @@ object SparkEntry {
            c AS (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer)
          SELECT c_custkey, band, acctbal FROM c
          JOIN bands ON acctbal BETWEEN lo::DOUBLE AND hi::DOUBLE
-         ORDER BY c_custkey, band""")
+         ORDER BY c_custkey, band""",
+    "q47_pack_sequences" ->
+      """SELECT doc_id, n_chars, start_offset, (start_offset // 65536)::BIGINT AS pack_id
+         FROM (SELECT doc_id, n_chars,
+                 coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+               FROM documents) t
+         ORDER BY doc_id""")
 }

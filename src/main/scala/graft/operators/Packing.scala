@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines (north-star extension):
+  * documents are conceptually concatenated in a deterministic order and
+  * chopped into fixed-size token windows; each document is assigned the
+  * window its first token lands in. The output is the standard "streaming
+  * packing" layout used to build fixed-length training sequences.
+  *
+  * The core primitive is a distributed EXCLUSIVE PREFIX SUM over the
+  * ordering column. The naive formulation — `sum(size) OVER (ORDER BY id)`
+  * with no partition — executes as a single-partition window: one task sorts
+  * and scans the entire corpus, which is exactly the bottleneck that cannot
+  * exist at 100 TB. Instead the sum is computed hierarchically:
+  *
+  *   1. rows group into blocks (`floor(id / blockSize)`); per-block totals
+  *      aggregate map-side (tiny result: one row per block);
+  *   2. block offsets = exclusive cumsum over the BLOCK table only — the one
+  *      single-partition window runs over ~rows/blockSize rows, not rows;
+  *   3. block offsets broadcast-join back; within-block exclusive cumsum
+  *      runs as a per-block window, parallel across blocks.
+  *
+  * Every stage is either map-side, a window over a tiny table, or a window
+  * partitioned by block — nothing global touches the full data. */
+object Packing {
+
+  /** Adds `start_offset` (exclusive prefix sum of `sizeCol` in `idCol`
+    * order) and `pack_id` (`start_offset / budget`, integer division) to
+    * `df`. Deterministic: a pure function of (id, size) pairs, invariant to
+    * partitioning and to `blockSize`.
+    *
+    * `idCol` must be numeric and unique (a document id); `blockSize` trades
+    * the size of the driver-adjacent block table (rows/blockSize entries)
+    * against per-block window parallelism. */
+  def packByBudget(df: DataFrame, idCol: String, sizeCol: String,
+      budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+
+    def blockOf(c: Column): Column = floor(c / blockSize).cast("long")
+    val size = col(sizeCol).cast("long")
+
+    // (2) exclusive cumsum over the block table — tiny by construction
+    val blockTotals = df
+      .groupBy(blockOf(col(idCol)).as("__blk"))
+      .agg(sum(size).as("__blk_sum"))
+    val blockW = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = blockTotals
+      .withColumn("__blk_off", coalesce(sum(col("__blk_sum")).over(blockW), lit(0L)))
+      .drop("__blk_sum")
+
+    // (3) within-block exclusive cumsum, offset by the block's start
+    val localW = Window.partitionBy(col("__blk")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__blk", blockOf(col(idCol)))
+      .join(broadcast(blockOffsets), Seq("__blk"))
+      .withColumn("start_offset",
+        col("__blk_off") + coalesce(sum(size).over(localW), lit(0L)))
+      .withColumn("pack_id", floor(col("start_offset") / budget).cast("long"))
+      .drop("__blk", "__blk_off")
+  }
+}
