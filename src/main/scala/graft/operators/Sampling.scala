@@ -94,15 +94,40 @@ object Sampling {
 
   /** Per-group quota cap: keep the top-`k` rows of each group by `orderBy`
     * (e.g. ≤ k documents per domain, best-quality first — the crawl
-    * domain-cap). Adds `quota_rank` (1-based). One hash-shuffle on the
-    * group key; per-group state is a running counter, so memory is O(1) per
-    * group and skew cost is bounded by the largest group's row count. */
+    * domain-cap). Adds `quota_rank` (1-based).
+    *
+    * Default path (`heap = true`): a k-bounded heap aggregate
+    * ([[graft.functions.kernels.TopKRowsAgg]]) that combines MAP-SIDE — each
+    * input partition ships at most k rows per group into the shuffle, so the
+    * shuffle volume is k·partitions·groups rows instead of the whole corpus.
+    * `heap = false` keeps the window formulation (row_number over a
+    * partition sort), which shuffles and sorts every row of every group
+    * before discarding; useful only when k is a large fraction of the group
+    * size. Both paths need `orderBy` to be a total order (include a unique
+    * id) for deterministic output. Heap-path sort keys must be plain
+    * `.asc`/`.desc` columns. */
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int, heap: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(k > 0, s"quota must be positive: $k")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("quota_rank", row_number().over(w))
-      .filter(col("quota_rank") <= k)
+    if (!heap) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+      df.withColumn("quota_rank", row_number().over(w))
+        .filter(col("quota_rank") <= k)
+    } else {
+      import graft.functions.kernels.TopKRowsAgg
+      val sortKeys = TopKRowsAgg.sortSpec(orderBy)
+      val fields = df.columns.filterNot(groupCols.contains).toSeq
+      val missing = sortKeys.map(_._1).filterNot(fields.contains)
+      require(missing.isEmpty,
+        s"heap sort keys must be non-group columns: ${missing.mkString(",")}")
+      df.groupBy(groupCols.map(col): _*)
+        .agg(TopKRowsAgg.topK(k, fields.map(n => n -> col(n)), sortKeys).as("__topk"))
+        .select((groupCols.map(col) :+ posexplode(col("__topk"))): _*)
+        .select((groupCols.map(col)
+          ++ fields.map(n => col("col").getField(n).as(n))
+          :+ (col("pos") + 1).cast("int").as("quota_rank")): _*)
+        .select((df.columns.map(col) :+ col("quota_rank")): _*)
+    }
   }
 }

@@ -13,4 +13,12 @@ object ColumnBridge {
 
   /** Extract the Catalyst expression backing a classic Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Fully CONVERT a Column's node tree to a Catalyst expression.
+    * [[expression]] wraps API-built columns (e.g. `col("x").desc`) in a lazy
+    * `ColumnNodeExpression` shell that pattern matches as nothing; this runs
+    * the classic converter so the result is a real `SortOrder` /
+    * `UnresolvedAttribute` tree that case matches work on. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -66,6 +66,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.filter($"quota_rank" < 1 || $"quota_rank" > 2).isEmpty)
   }
 
+  test("quotaPerGroup heap path equals the window path exactly") {
+    val order = Seq($"n_chars".desc, $"doc_id".asc) // total order → deterministic
+    val heap = Sampling.quotaPerGroup(docs, Seq("source"), order, k = 5)
+    val window = Sampling.quotaPerGroup(docs, Seq("source"), order, k = 5, heap = false)
+    assert(heap.columns.toSeq === window.columns.toSeq)
+    assert(heap.exceptAll(window).isEmpty && window.exceptAll(heap).isEmpty)
+  }
+
+  test("quotaPerGroup heap path: partial (map-side) aggregation, no window sort") {
+    val plan = Sampling.quotaPerGroup(docs, Seq("source"),
+        Seq($"n_chars".desc, $"doc_id".asc), k = 3)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // pass before the exchange — at most k rows per group per partition
+    // reach the shuffle, and no full per-group sort happens anywhere
+    assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
+    assert(plan.contains("partial_top_k_rows"), s"expected map-side partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"heap path must not fall back to a window:\n$plan")
+  }
+
+  test("quotaPerGroup heap path ranks null sort keys last") {
+    val df = Seq(
+      ("g", Some(10L), 1L), ("g", None, 2L), ("g", Some(5L), 3L)
+    ).toDF("grp", "score", "id")
+    val out = Sampling.quotaPerGroup(df, Seq("grp"), Seq($"score".desc, $"id".asc), k = 2)
+      .select($"id", $"quota_rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out === Seq((1L, 1), (3L, 2))) // the null-score row was evicted first
+  }
+
   test("hashSplit rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
