@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Temporal}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -510,6 +510,20 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 65536, blockSize = 512)
         .select(col("doc_id"), col("n_chars"), col("start_offset"), col("pack_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- decontamination (Decontaminate extension) ----------------------
+    "q48_decontaminate" -> ((s, dir) => {
+      // held-out "eval set" = every 20th doc; flag train docs sharing
+      // word-3-grams with it (test-set leakage detection)
+      val docs = read(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text",
+          shingleSize = 3)
+        .select(col("id").as("train_id"), col("n_ngrams"), col("n_hit"),
+          round(col("contam_frac"), 4).as("contam_frac"), col("contaminated"))
+        .orderBy(col("train_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -930,5 +944,29 @@ object SparkEntry {
                  coalesce(sum(n_chars) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
                FROM documents) t
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q48_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE []::VARCHAR[] END AS sh
+           FROM t),
+         te AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+         tr AS (SELECT doc_id, sh FROM s WHERE doc_id % 20 <> 0),
+         hit AS (
+           SELECT doc_id, count(*) AS n_hit
+           FROM (SELECT doc_id, unnest(sh) AS g FROM tr) x JOIN te USING (g)
+           GROUP BY doc_id)
+         SELECT tr.doc_id AS train_id, len(tr.sh) AS n_ngrams,
+           coalesce(hit.n_hit, 0) AS n_hit,
+           round(CASE WHEN len(tr.sh) = 0 THEN 0.0
+             ELSE coalesce(hit.n_hit, 0)::DOUBLE / len(tr.sh)::DOUBLE END, 4) AS contam_frac,
+           coalesce(hit.n_hit, 0) >= 1 AS contaminated
+         FROM tr LEFT JOIN hit USING (doc_id) ORDER BY train_id""")
 }

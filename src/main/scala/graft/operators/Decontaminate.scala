@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.kernels.TextKernelFunctions
+
+/** Benchmark/test-set decontamination for training corpora: flag training
+  * documents that share word n-grams with a held-out evaluation set, the
+  * standard guard against test-set leakage (n-gram-overlap decontamination
+  * as described publicly in the GPT-3 paper's appendix C and the
+  * Llama/PaLM data cards; the reference repo has no counterpart — this is
+  * a north-star extension like [[Dedup]]).
+  *
+  * Scale design (the asymmetry is the whole trick): evaluation sets are
+  * tiny (MBs) while the training corpus is the 100 TB side, so
+  *  - the TEST side is reduced to its distinct 8-byte shingle hashes and
+  *    broadcast — no shuffle ever touches the training corpus for the
+  *    membership probe;
+  *  - the TRAIN side is scanned once: shingle-hash set (compiled kernel,
+  *    [[TextKernelFunctions.shingleHashSet]]), explode, broadcast-hash-join
+  *    against the test grams, then a count per doc. The only exchange is
+  *    the final per-doc count merge, and because `explode` preserves row
+  *    partitioning, partial aggregation collapses each doc to one row
+  *    before that shuffle — shuffle volume = O(#docs), not O(#ngrams).
+  */
+object Decontaminate {
+
+  /** Per-training-document n-gram overlap with `test`.
+    *
+    * Output: one row per train doc —
+    * `(train id, n_ngrams, n_hit, contam_frac, contaminated)` where
+    * `n_ngrams` is the doc's distinct shingle count, `n_hit` how many of
+    * those appear anywhere in the test set, `contam_frac = n_hit/n_ngrams`
+    * (0.0 for shingle-less docs) and `contaminated = n_hit >= minOverlap`.
+    *
+    * @param shingleSize   words per n-gram (production decontamination
+    *                      typically uses 8–13; small corpora need smaller)
+    * @param minOverlap    hits required to flag a doc
+    * @param broadcastTest broadcast the test grams (default; correct
+    *                      whenever the eval set fits in an executor — the
+    *                      normal case). Set false only for a pathologically
+    *                      large test side; the join then shuffles on the
+    *                      8-byte hash.
+    */
+  def ngramOverlap(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testText: String,
+      shingleSize: Int = 13,
+      minOverlap: Int = 1,
+      broadcastTest: Boolean = true): DataFrame = {
+    require(shingleSize > 0, s"shingleSize must be positive: $shingleSize")
+    require(minOverlap > 0, s"minOverlap must be positive: $minOverlap")
+
+    val testGrams = test.select(
+      explode(TextKernelFunctions.shingleHashSet(col(testText), shingleSize)).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val probe = if (broadcastTest) broadcast(testGrams) else testGrams
+
+    // explode_outer keeps shingle-less docs (n_ngrams = 0) in the output
+    val exploded = train.select(
+      col(trainId).as("id"),
+      TextKernelFunctions.shingleHashSet(col(trainText), shingleSize).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_ngrams"), explode_outer(col("sh")).as("h"))
+
+    exploded.join(probe, Seq("h"), "left")
+      .groupBy(col("id"), col("n_ngrams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(
+        col("id"),
+        col("n_ngrams"),
+        col("n_hit"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_ngrams").cast("double"))
+          .as("contam_frac"),
+        (col("n_hit") >= minOverlap).as("contaminated"))
+  }
+
+  /** Convenience: the decontaminated corpus — train rows whose overlap with
+    * `test` stays below `minOverlap` shared n-grams (all original columns). */
+  def removeContaminated(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testText: String,
+      shingleSize: Int = 13,
+      minOverlap: Int = 1): DataFrame = {
+    val flagged = ngramOverlap(train, trainId, trainText, test, testText,
+      shingleSize, minOverlap)
+      .filter(col("contaminated"))
+      .select(col("id"))
+    train.join(flagged, train(trainId) === flagged("id"), "left_anti")
+  }
+}
