@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "sorted_jaccard takes 2 arguments")
         SortedJaccardExpr(args(0), args(1))
       }))
+    e.injectFunction((FunctionIdentifier("top_freq_share"),
+      info("top_freq_share", "top_freq_share(hashes) - share of the most frequent array element"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "top_freq_share takes 1 argument")
+        TopFreqShareExpr(args.head)
+      }))
     e.injectFunction((FunctionIdentifier("min_shingle_md5"),
       info("min_shingle_md5", "min_shingle_md5(text, n) - minimum md5 hex over word n-gram shingles"),
       (args: Seq[Expression]) => {

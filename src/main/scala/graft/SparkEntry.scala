@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, Temporal}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -524,6 +524,16 @@ object SparkEntry {
         .select(col("id").as("train_id"), col("n_ngrams"), col("n_hit"),
           round(col("contam_frac"), 4).as("contam_frac"), col("contaminated"))
         .orderBy(col("train_id"))
+    }),
+
+    // ---- intra-doc repetition (Repetition extension) --------------------
+    "q49_repetition" -> ((s, dir) => {
+      Repetition.stats(read(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("type_token_ratio"), 4).as("type_token_ratio"),
+          round(col("dup_ngram_frac"), 4).as("dup_ngram_frac"),
+          round(col("top_ngram_share"), 4).as("top_ngram_share"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -968,5 +978,32 @@ object SparkEntry {
            round(CASE WHEN len(tr.sh) = 0 THEN 0.0
              ELSE coalesce(hit.n_hit, 0)::DOUBLE / len(tr.sh)::DOUBLE END, 4) AS contam_frac,
            coalesce(hit.n_hit, 0) >= 1 AS contaminated
-         FROM tr LEFT JOIN hit USING (doc_id) ORDER BY train_id""")
+         FROM tr LEFT JOIN hit USING (doc_id) ORDER BY train_id""",
+    "q49_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE []::VARCHAR[] END AS grams
+           FROM t),
+         tops AS (
+           SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS share
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM g) x
+                 GROUP BY doc_id, gram) y
+           GROUP BY doc_id)
+         SELECT g.doc_id, len(g.toks) AS n_tokens,
+           round(CASE WHEN len(g.toks) = 0 THEN 0.0
+             ELSE len(list_distinct(g.toks))::DOUBLE / len(g.toks)::DOUBLE END, 4)
+             AS type_token_ratio,
+           round(CASE WHEN len(g.grams) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g.grams))::DOUBLE / len(g.grams)::DOUBLE END, 4)
+             AS dup_ngram_frac,
+           round(coalesce(tops.share, 0.0), 4) AS top_ngram_share
+         FROM g LEFT JOIN tops USING (doc_id) ORDER BY g.doc_id""")
 }

@@ -187,6 +187,26 @@ object TextKernels { // public: generated code references it by name
     UTF8String.fromString(hex.toString)
   }
 
+  /** Share of the most frequent element in a long array (max frequency /
+    * length; 0.0 for empty). Sorts a private copy, then one run-length
+    * scan — the per-row form of `max(count) group by element` with no
+    * explode and no shuffle. */
+  def topFreqShare(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    val arr = a.toLongArray()
+    java.util.Arrays.sort(arr)
+    var best = 1
+    var run = 1
+    var i = 1
+    while (i < n) {
+      if (arr(i) == arr(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best.toDouble / n.toDouble
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -284,6 +304,21 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_jaccard"
 }
 
+/** Share of the most frequent element in a long array. Generates code (a
+  * call into the compiled kernel) so it stays inside whole-stage codegen. */
+case class TopFreqShareExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.topFreqShare(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.TextKernels.topFreqShare($c)")
+  override protected def withNewChildInternal(c: Expression): TopFreqShareExpr = copy(child = c)
+  override def prettyName: String = "top_freq_share"
+}
+
 /** Column-facing constructors. */
 object TextKernelFunctions {
   def shingleHashes(text: Column, n: Int): Column =
@@ -299,4 +334,6 @@ object TextKernelFunctions {
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccardExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def topFreqShare(hashes: Column): Column =
+    ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))
 }

@@ -58,6 +58,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("none")))
   }
 
+  test("round-3 kernel callable from SQL: top_freq_share") {
+    // "p q p q p q" bigrams: pq qp pq qp pq — 'p q' occurs 3 of 5
+    val s = spark.sql("SELECT top_freq_share(shingle_hashes('p q p q p q', 2)) AS s")
+      .head().getAs[Double]("s")
+    assert(s == 0.6)
+    val empty = spark.sql("SELECT top_freq_share(shingle_hashes('x', 2)) AS s")
+      .head().getAs[Double]("s")
+    assert(empty == 0.0)
+  }
+
   test("non-literal size parameter raises a clear error") {
     val ex = intercept[Exception](
       spark.sql("SELECT shingle_hash_set('a b c', 1 + 1)").head())
