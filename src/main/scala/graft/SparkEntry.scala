@@ -534,6 +534,21 @@ object SparkEntry {
           round(col("dup_ngram_frac"), 4).as("dup_ngram_frac"),
           round(col("top_ngram_share"), 4).as("top_ngram_share"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- bloom-prefiltered selective join (ScaleOps) --------------------
+    "q50_bloom_join" -> ((s, dir) => {
+      // selective dimension (top-balance customers) joined against the
+      // fact side with a bloom prefilter — result provably equals the
+      // plain join (no false negatives), which is the oracle
+      val hot = read(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      ScaleOps.bloomPrefilteredJoin(
+          read(s, dir, "orders"), "o_custkey", hot, "c_custkey",
+          expectedItems = 100000L)
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("o_orderkey"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1005,5 +1020,10 @@ object SparkEntry {
              ELSE 1.0 - len(list_distinct(g.grams))::DOUBLE / len(g.grams)::DOUBLE END, 4)
              AS dup_ngram_frac,
            round(coalesce(tops.share, 0.0), 4) AS top_ngram_share
-         FROM g LEFT JOIN tops USING (doc_id) ORDER BY g.doc_id""")
+         FROM g LEFT JOIN tops USING (doc_id) ORDER BY g.doc_id""",
+    "q50_bloom_join" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
+         ORDER BY o_orderkey""")
 }

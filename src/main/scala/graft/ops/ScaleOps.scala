@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Scale utilities for 100 TB operation: skew-salted joins and bucketed
   * co-located joins. These are the manual levers for the two shuffle
@@ -71,4 +75,61 @@ object ScaleOps {
   /** Read a bucketed table back (helper for symmetry/tests). */
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  // ---- bloom-prefiltered joins -----------------------------------------
+  //
+  // The selective-join lever for 100 TB: when a big fact side joins a
+  // filtered dimension and most fact rows have NO match, a plain shuffle
+  // join still shuffles every fact row. Spark's own runtime row-level
+  // filtering (InjectRuntimeFilter) covers some shapes; these helpers make
+  // the same bloom-prefilter an explicit, composable operator using Spark's
+  // native BloomFilterAggregate / BloomFilterMightContain expressions (the
+  // codegen'd machinery behind spark.sql.optimizer.runtime.bloomFilter).
+  // The bloom has no false negatives, so prefilter + exact join ≡ exact
+  // join — only the shuffle volume changes.
+
+  /** Serialized bloom filter over `xxhash64(key)` of `df` (one aggregation
+    * job; the binary is at most `optimalNumOfBits(expectedItems, fpp)` bits,
+    * ~1.2 MB at 1 M items / 3% fpp). Returns None for an empty input.
+    * `expectedItems` must stay within
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4 M) —
+    * beyond that, bucket or broadcast instead. */
+  def buildBloom(df: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): Option[Array[Byte]] = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val row = df.select(ColumnBridge.column(agg).as("bf")).head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  /** `might_contain(bloom, xxhash64(key))` as a Column — a codegen'd
+    * predicate; the bloom bytes ride along as a literal (shipped once per
+    * task with the serialized plan, like a broadcast variable). */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** Equi-join with a bloom prefilter on the big side: build a bloom over
+    * the small side's keys, drop big-side rows the bloom rejects BEFORE the
+    * join shuffle, then run the exact join. No false negatives ⇒ result is
+    * identical to the plain join; the prefilter only cuts the shuffled
+    * volume (by ~the non-match fraction, at the cost of `fpp` leakage).
+    * Sound for inner and semi joins only — outer joins must keep
+    * non-matching rows, so prefiltering the preserved side would be wrong. */
+  def bloomPrefilteredJoin(
+      big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
+      s"bloom prefilter is only sound for inner/semi joins, got: $joinType")
+    val pref = buildBloom(small, smallKey, expectedItems, fpp) match {
+      case None => big.filter(lit(false))
+      case Some(bytes) => big.filter(mightContain(bytes, col(bigKey)))
+    }
+    pref.join(small, pref(bigKey) === small(smallKey), joinType)
+  }
 }

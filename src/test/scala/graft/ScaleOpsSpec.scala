@@ -81,4 +81,50 @@ class ScaleOpsSpec extends SparkSpecBase {
     val total = s.agg(sum("n_events")).head().getLong(0)
     assert(total == events.count()) // every event lands in exactly one session
   }
+
+  test("bloom-prefiltered join equals the plain join exactly") {
+    val orders = spark.read.parquet(sf("orders"))
+    val hot = spark.read.parquet(sf("customer"))
+      .filter($"c_acctbal" > 9000).select("c_custkey", "c_name")
+    val plain = orders.join(hot, orders("o_custkey") === hot("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val bloomed = ScaleOps.bloomPrefilteredJoin(orders, "o_custkey", hot, "c_custkey",
+        expectedItems = 10000L)
+      .select("o_orderkey", "c_custkey")
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("bloom prefilter actually rejects non-matching rows before the join") {
+    val big = (1 to 100000).toDF("k")
+    val small = Seq(7, 42).toDF("j")
+    val bloom = ScaleOps.buildBloom(small, "j", expectedItems = 100L).get
+    val kept = big.filter(ScaleOps.mightContain(bloom, $"k")).count()
+    // 2 true positives + ~fpp * 100k false positives; at 3% target with a
+    // 100-item-sized filter the FP count is far below 1% of the input
+    assert(kept >= 2 && kept < 5000, s"bloom rejected too little: kept $kept of 100000")
+  }
+
+  test("empty small side yields an empty join, not a crash") {
+    val big = (1 to 10).toDF("k")
+    val small = Seq.empty[Int].toDF("j")
+    assert(ScaleOps.buildBloom(small, "j").isEmpty)
+    assert(ScaleOps.bloomPrefilteredJoin(big, "k", small, "j").isEmpty)
+  }
+
+  test("bloom prefilter rejects outer join types") {
+    val df = Seq(1).toDF("k")
+    intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrefilteredJoin(df, "k", df, "k", joinType = "left")
+    }
+  }
+
+  test("bloom predicate stays codegen'd in the scan stage (no exchange before filter)") {
+    val big = spark.read.parquet(sf("orders"))
+    val small = spark.read.parquet(sf("customer")).filter($"c_acctbal" > 9000)
+    val bloom = ScaleOps.buildBloom(small, "c_custkey", expectedItems = 10000L).get
+    val filtered = big.filter(ScaleOps.mightContain(bloom, $"o_custkey"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom predicate in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"prefilter must run scan-side:\n$plan")
+  }
 }
