@@ -100,12 +100,18 @@ object Sampling {
     * ([[graft.functions.kernels.TopKRowsAgg]]) that combines MAP-SIDE — each
     * input partition ships at most k rows per group into the shuffle, so the
     * shuffle volume is k·partitions·groups rows instead of the whole corpus.
-    * `heap = false` keeps the window formulation (row_number over a
-    * partition sort), which shuffles and sorts every row of every group
-    * before discarding; useful only when k is a large fraction of the group
-    * size. Both paths need `orderBy` to be a total order (include a unique
-    * id) for deterministic output. Heap-path sort keys must be plain
-    * `.asc`/`.desc` columns. */
+    * `heap = false` keeps the window formulation. Spark's own
+    * InferWindowGroupLimit does insert a Partial WindowGroupLimit before
+    * the exchange there (map-side k-limiting, so the shuffle volume is
+    * comparable), but it fully SORTS every input partition first —
+    * O(n log n) + sort spill vs the heap's O(n log k) with O(groups·k)
+    * memory and no sort; the heap also skips the post-shuffle re-sort +
+    * Window pass. Use the window path only when k is a large fraction of
+    * the group size (heap churn exceeds sort cost). Both paths need
+    * `orderBy` to be a total order (include a unique id) for deterministic
+    * output. Heap-path sort keys must be plain `.asc`/`.desc` columns;
+    * note the heap ranks NULL sort keys last, while the window path
+    * follows the usual NULLS FIRST/LAST of each direction. */
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
       k: Int, heap: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
