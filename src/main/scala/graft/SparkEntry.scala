@@ -549,6 +549,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Z-order clustering key (LayoutOps) -----------------------------
+    "q51_zorder_key" -> ((s, dir) => {
+      // fixed bucketization ranges so the z-value is scale-independent and
+      // cross-engine reproducible (writeZOrdered derives them from data)
+      read(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          LayoutOps.zValue(Seq(
+            col("doc_id") -> (0.0, 100000.0),
+            col("n_chars") -> (0.0, 2000.0)), bits = 8).as("zval"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -586,6 +598,24 @@ object SparkEntry {
                         c.vec_id ASC) AS rank
            FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** q51 oracle: the Morton interleave unrolled into 16 shift-mask terms —
+    * DuckDB recomputes the exact z-value bit for bit. Bucketization uses
+    * trunc to mirror Spark's cast-to-long, clamped to the edge buckets. */
+  private def zorderSql: String = {
+    val terms = (0 until 8).flatMap(b => Seq(
+      s"(((bx >> $b) & 1) << ${2 * b})",
+      s"(((by >> $b) & 1) << ${2 * b + 1})"))
+    s"""WITH t AS (
+         SELECT doc_id, n_chars,
+           least(255, greatest(0,
+             CAST(trunc((doc_id - 0.0) / 100000.0 * 255.0) AS BIGINT))) AS bx,
+           least(255, greatest(0,
+             CAST(trunc((n_chars - 0.0) / 2000.0 * 255.0) AS BIGINT))) AS by
+         FROM documents)
+       SELECT doc_id, n_chars, ${terms.mkString(" + ")} AS zval
+       FROM t ORDER BY doc_id"""
+  }
 
   /** DuckDB list literal for a stopword list — interpolated into the q27
     * oracle from [[TextFunctions.stopwords]] so query and oracle can never
@@ -1025,5 +1055,6 @@ object SparkEntry {
       """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal > 9000
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    "q51_zorder_key" -> zorderSql)
 }
