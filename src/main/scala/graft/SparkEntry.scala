@@ -561,6 +561,29 @@ object SparkEntry {
             col("doc_id") -> (0.0, 100000.0),
             col("n_chars") -> (0.0, 2000.0)), bits = 8).as("zval"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- flagship composition: the full training-corpus pipeline --------
+    "q52_corpus_pipeline" -> ((s, dir) => {
+      // quality gate → decontaminate vs held-out eval split → per-source
+      // quota cap → sequence packing: every stage is one of the library's
+      // oracle-checked operators, composed end-to-end
+      val docs = read(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val quality = train.filter(
+        Repetition.typeTokenRatio(col("text")) >= 0.40 &&
+        Repetition.topNgramShare(col("text"), 3) <= 0.05)
+      val clean = Decontaminate.removeContaminated(quality, "doc_id", "text",
+        evalSet, "text", shingleSize = 3, minOverlap = 10)
+      val capped = Sampling.quotaPerGroup(
+        clean.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), Seq(col("n_chars").desc, col("doc_id").asc), k = 20)
+      Packing.packByBudget(capped, "doc_id", "n_chars",
+          budget = 16384, blockSize = 256)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("quota_rank"), col("pack_id"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1056,5 +1079,56 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal > 9000
          ORDER BY o_orderkey""",
-    "q51_zorder_key" -> zorderSql)
+    "q51_zorder_key" -> zorderSql,
+    "q52_corpus_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE []::VARCHAR[] END AS grams
+           FROM t),
+         tops AS (
+           SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS share
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM g) x
+                 GROUP BY doc_id, gram) y
+           GROUP BY doc_id),
+         m AS (
+           SELECT g.doc_id,
+             CASE WHEN len(g.toks) = 0 THEN 0.0
+               ELSE len(list_distinct(g.toks))::DOUBLE / len(g.toks)::DOUBLE END AS ttr,
+             coalesce(tops.share, 0.0) AS share
+           FROM g LEFT JOIN tops USING (doc_id)),
+         te AS (SELECT DISTINCT unnest(grams) AS gm FROM g WHERE doc_id % 20 = 0),
+         hit AS (
+           SELECT doc_id, count(*) AS n_hit
+           FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gm
+                 FROM g WHERE doc_id % 20 <> 0) x JOIN te USING (gm)
+           GROUP BY doc_id),
+         base AS (
+           SELECT d.doc_id, d.source, d.n_chars
+           FROM documents d
+           JOIN m ON d.doc_id = m.doc_id
+           LEFT JOIN hit ON d.doc_id = hit.doc_id
+           WHERE d.doc_id % 20 <> 0 AND m.ttr >= 0.40 AND m.share <= 0.05
+             AND coalesce(hit.n_hit, 0) < 10),
+         capped AS (
+           SELECT * FROM (
+             SELECT base.*, row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS quota_rank
+             FROM base) z
+           WHERE quota_rank <= 20),
+         packed AS (
+           SELECT capped.*,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+           FROM capped)
+         SELECT doc_id, source, n_chars, quota_rank,
+           (start_offset // 16384)::BIGINT AS pack_id
+         FROM packed ORDER BY doc_id""")
 }

@@ -154,6 +154,20 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: left-join each micro-batch of `stream`
+    * against a static dimension with an explicit broadcast — the standard
+    * pattern for attaching slowly-changing reference data (user → cohort,
+    * domain → policy) to an event stream. Stateless: no watermark, no
+    * stream state store; the static side re-resolves per micro-batch, so a
+    * dimension backed by a parquet path picks up file-level updates. At
+    * scale the broadcast keeps every micro-batch shuffle-free — the stream
+    * side is never repartitioned for the join. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one join key required")
+    stream.join(broadcast(dim), keys, "left")
+  }
+
   /** Run the streaming query to completion over a static directory (memory
     * sink) and return the result — used by tests to prove stream/batch
     * equivalence. */

@@ -63,4 +63,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() == base.select("event_id").distinct().count())
     assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
+
+  test("stream-static enrichment matches the batch join, no stream state") {
+    val dir = tmpDir("events-enrich") + "/events"
+    graft.sources.EventsSource.read(spark, sf("events")).limit(500).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val dim = spark.read.parquet(dir)
+      .select($"user_id").distinct()
+      .withColumn("cohort", concat(lit("c"), ($"user_id" % 3).cast("string")))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.enrichStream(stream, dim, Seq("user_id"))
+      .select($"event_id", $"user_id", $"cohort")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_t").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_t")
+    val batch = EventStream.enrichStream(spark.read.parquet(dir), dim, Seq("user_id"))
+      .select($"event_id", $"user_id", $"cohort")
+    assert(streamed.count() == 500)
+    assert(streamed.filter($"cohort".isNull).isEmpty) // every event enriched
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
