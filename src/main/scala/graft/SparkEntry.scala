@@ -584,6 +584,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("quota_rank"), col("pack_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- stratified sampling (Sampling extension) -----------------------
+    "q53_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(read(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1130,5 +1139,13 @@ object SparkEntry {
            FROM capped)
          SELECT doc_id, source, n_chars, quota_rank,
            (start_offset // 16384)::BIGINT AS pack_id
-         FROM packed ORDER BY doc_id""")
+         FROM packed ORDER BY doc_id""",
+    "q53_stratified_sample" ->
+      // thresholds are floor(fraction*65536) in hex: 0.8→cccc, 0.5→8000,
+      // 0.25→4000, 0.1→1999 (Sampling.fractionHex is the source of truth)
+      """SELECT doc_id, source FROM documents
+         WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+           CASE source WHEN 'src0' THEN 'cccc' WHEN 'src1' THEN '8000'
+                       WHEN 'src2' THEN '4000' ELSE '1999' END
+         ORDER BY doc_id""")
 }

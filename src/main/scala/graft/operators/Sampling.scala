@@ -81,6 +81,34 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.filter(hexBucket(col(idCol), salt) < lit(fractionHex(fraction)))
 
+  /** Upper-bound hex threshold for a keep-fraction: "g" (lexically above
+    * every hex bucket) for fraction ≥ 1 so full strata keep ALL rows
+    * (including bucket ffff). */
+  private def fractionHexUpper(fraction: Double): String =
+    if (fraction >= 1.0) "g" else fractionHex(fraction)
+
+  /** Deterministic stratified sample: a per-stratum keep-fraction, applied
+    * as a single hash filter whose threshold is a CASE over the stratum
+    * column — one scan-side projection-filter, no shuffle, no per-group
+    * state (contrast `df.stat.sampleBy`, which is seed-random rather than
+    * id-deterministic). Strata absent from `fractions` keep
+    * `defaultFraction`. Nesting holds per stratum: raising a stratum's
+    * fraction only ever adds rows. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    fractions.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1] for stratum $s: $f") }
+    require(defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      s"default fraction out of [0,1]: $defaultFraction")
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(fractionHexUpper(defaultFraction)): Column) {
+        case ((stratum, frac), rest) =>
+          when(col(stratumCol) === stratum, lit(fractionHexUpper(frac))).otherwise(rest)
+      }
+    df.filter(hexBucket(col(idCol), salt) < threshold)
+  }
+
   /** Weighted mixture of sources: hash-sample each source at its rate and
     * union by name. The standard "data mixture" step of a training-corpus
     * build (e.g. upweight curated text, downweight crawl): each branch is a

@@ -95,6 +95,31 @@ class SamplingSpec extends SparkSpecBase {
     assert(out === Seq((1L, 1), (3L, 2))) // the null-score row was evicted first
   }
 
+  test("stratifiedSample applies per-stratum fractions deterministically") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.0)
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("src0") == full("src0")) // fraction 1.0 keeps ALL rows
+    assert(bySource.getOrElse("src1", 0L) < full("src1"))
+    assert(!bySource.keySet.exists(s => s != "src0" && s != "src1")) // default 0 drops rest
+    // determinism under repartitioning
+    val again = Sampling.stratifiedSample(docs.repartition(7), "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // per-stratum nesting: a larger fraction is a superset
+    val more = Sampling.stratifiedSample(docs, "doc_id", "source", Map("src1" -> 0.8))
+    assert(out.filter($"source" === "src1").select("doc_id")
+      .exceptAll(more.select("doc_id")).isEmpty)
+  }
+
+  test("stratifiedSample is a pure scan filter — no shuffle") {
+    val plan = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 0.5), defaultFraction = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
+  }
+
   test("hashSplit rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
