@@ -205,10 +205,14 @@ object SparkEntry {
         (c, v.n, v.nMissing, v.nDistinct,
           BigDecimal(v.mean.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(v.std.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double])
+          v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double],
+          BigDecimal(v.p25.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(v.p50.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(v.p75.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       import s.implicits._
-      rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std", "min_val", "max_val")
+      rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std",
+          "min_val", "max_val", "p25", "p50", "p75")
         .orderBy(col("column_name"))
     }),
     "q18_compare_diff" -> ((s, dir) => {
@@ -753,22 +757,32 @@ object SparkEntry {
                FROM orders) t
          WHERE rank <= 3 ORDER BY o_custkey, rank""",
     "q17_profile_stats" ->
-      """SELECT column_name, n, n_missing, n_distinct, mean, std, min_val, max_val FROM (
+      """SELECT column_name, n, n_missing, n_distinct, mean, std, min_val, max_val,
+                p25, p50, p75 FROM (
          SELECT 'l_quantity' AS column_name, count(*) AS n,
            count(*) - count(l_quantity) AS n_missing,
            count(DISTINCT l_quantity) AS n_distinct,
            round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
-           min(l_quantity) AS min_val, max(l_quantity) AS max_val FROM lineitem
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75 FROM lineitem
          UNION ALL
          SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
            count(DISTINCT l_extendedprice),
            round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
-           min(l_extendedprice), max(l_extendedprice) FROM lineitem
+           min(l_extendedprice), max(l_extendedprice),
+           round(quantile_cont(l_extendedprice, 0.25), 4),
+           round(quantile_cont(l_extendedprice, 0.5), 4),
+           round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
          UNION ALL
          SELECT 'l_discount', count(*), count(*) - count(l_discount),
            count(DISTINCT l_discount),
            round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
-           min(l_discount), max(l_discount) FROM lineitem) t
+           min(l_discount), max(l_discount),
+           round(quantile_cont(l_discount, 0.25), 4),
+           round(quantile_cont(l_discount, 0.5), 4),
+           round(quantile_cont(l_discount, 0.75), 4) FROM lineitem) t
          ORDER BY column_name""",
     "q18_compare_diff" ->
       """SELECT

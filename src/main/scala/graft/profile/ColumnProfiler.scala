@@ -35,7 +35,10 @@ object ColumnProfiler {
       memorySize: Long,
       nZeros: Long = 0L,
       nInfinite: Long = 0L,
-      alerts: Seq[String] = Nil)
+      alerts: Seq[String] = Nil,
+      p25: Option[Double] = None,
+      p50: Option[Double] = None,
+      p75: Option[Double] = None)
 
   final case class TableProfile(
       n: Long,
@@ -86,7 +89,16 @@ object ColumnProfiler {
         distinct.as(s"${f.name}__dist")) ++
         (if (isNumeric(f.dataType))
            Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"),
-             sum(when(v === 0, 1L).otherwise(0L)).as(s"${f.name}__zeros"))
+             sum(when(v === 0, 1L).otherwise(0L)).as(s"${f.name}__zeros"),
+             // quartiles, matching ydata-profiling's describe_1d numeric set;
+             // exact mode uses linear-interpolated percentile (the
+             // pandas/DuckDB quantile_cont semantics), scale mode the
+             // mergeable single-pass t-digest-style sketch
+             (if (exactDistinct)
+                percentile(v.cast("double"), lit(Array(0.25, 0.5, 0.75)))
+              else
+                percentile_approx(v.cast("double"), lit(Array(0.25, 0.5, 0.75)), lit(10000)))
+               .as(s"${f.name}__q"))
          else Nil) ++
         (f.dataType match {
           case DoubleType | FloatType => Seq(
@@ -123,6 +135,10 @@ object ColumnProfiler {
         memorySize = 0L,
         nZeros = get[Long](s"${f.name}__zeros").getOrElse(0L),
         nInfinite = get[Long](s"${f.name}__inf").getOrElse(0L))
+        .copy(
+          p25 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(0)),
+          p50 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(1)),
+          p75 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(2)))
       f.name -> base.copy(alerts = alertsFor(base))
     }.toMap
 

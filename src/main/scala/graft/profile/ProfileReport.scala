@@ -40,6 +40,8 @@ object ProfileReport {
          |<td>${v.nMissing}</td><td>${fmtD(v.pMissing)}</td><td>${v.nDistinct}</td>
          |<td>${v.mean.map(fmtD).getOrElse("")}</td><td>${v.std.map(fmtD).getOrElse("")}</td>
          |<td>${v.min.map(x => esc(x.toString)).getOrElse("")}</td>
+         |<td>${v.p25.map(fmtD).getOrElse("")}</td><td>${v.p50.map(fmtD).getOrElse("")}</td>
+         |<td>${v.p75.map(fmtD).getOrElse("")}</td>
          |<td>${v.max.map(x => esc(x.toString)).getOrElse("")}</td>
          |<td>${v.nZeros}</td><td>${v.memorySize}</td><td>$alerts</td></tr>""".stripMargin
     }.mkString("\n")
@@ -54,6 +56,7 @@ object ProfileReport {
          |<p class="meta">rows: ${p.n} &middot; columns: ${p.nVar}</p>
          |<table><thead><tr><th>column</th>$descHead<th>dtype</th><th>n</th><th>missing</th>
          |<th>p_missing</th><th>distinct</th><th>mean</th><th>std</th><th>min</th>
+         |<th>p25</th><th>p50</th><th>p75</th>
          |<th>max</th><th>zeros</th><th>bytes</th><th>alerts</th></tr></thead>
          |<tbody>$rows</tbody></table>""".stripMargin)
   }

@@ -98,4 +98,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(p.mean.get - expected.getDouble(0)) < 1e-9)
     assert(p.nDistinct == expected.getLong(1))
   }
+
+  test("quartiles: exact interpolated values, NaN/null excluded") {
+    import spark.implicits._
+    // 1..4 with a null and a NaN: quartiles over {1,2,3,4} linearly
+    // interpolated -> p25=1.75, p50=2.5, p75=3.25
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None, Some(Double.NaN))
+      .toDF("v")
+    val p = ColumnProfiler.profile(df).variables("v")
+    assert(p.p25.get == 1.75 && p.p50.get == 2.5 && p.p75.get == 3.25)
+    // approx mode still produces quartiles (sketch-based, within range)
+    val a = ColumnProfiler.profile(df, exactDistinct = false).variables("v")
+    assert(a.p50.get >= 2.0 && a.p50.get <= 3.0)
+    // non-numeric columns carry no quartiles
+    val s = ColumnProfiler.profile(Seq("x").toDF("t")).variables("t")
+    assert(s.p25.isEmpty && s.p50.isEmpty && s.p75.isEmpty)
+  }
 }
