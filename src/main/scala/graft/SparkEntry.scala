@@ -597,6 +597,17 @@ object SparkEntry {
         defaultFraction = 0.1)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- attribution-window join (batch twin of the stream-stream join) --
+    "q54_attribution_join" -> ((s, dir) => {
+      EventStream.attributionJoinBatch(
+          EventsSource.read(s, s"$dir/events.parquet"), maxLagMinutes = 30)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("view_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("purchase_id"), col("view_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1161,5 +1172,16 @@ object SparkEntry {
          WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
            CASE source WHEN 'src0' THEN 'cccc' WHEN 'src1' THEN '8000'
                        WHEN 'src2' THEN '4000' ELSE '1999' END
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q54_attribution_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, event_id AS view_id, ts AS vts
+                    FROM events WHERE event_type = 'view')
+         SELECT purchase_id, user_id, epoch_us(p.ts) AS purchase_ts_us,
+                view_id, epoch_us(vts) AS view_ts_us
+         FROM p JOIN v USING (user_id)
+         WHERE vts <= p.ts
+           AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000
+         ORDER BY purchase_id, view_id""")
 }

@@ -168,6 +168,54 @@ object EventStream {
     stream.join(broadcast(dim), keys, "left")
   }
 
+  /** Attribution-window join, batch form: every (purchase, prior view)
+    * pair for the same user with the view inside `maxLagMinutes` before
+    * the purchase — the windowed generalization of the as-of join
+    * ([[graft.operators.Temporal.asofJoin]] keeps only the latest view;
+    * this keeps the qualifying SET, the shape ad-attribution and
+    * session-stitching need). Planned as a hash equi-join on `user_id`
+    * with the time range as a post-join filter — one key shuffle, no
+    * inequality-join nested loop. */
+  def attributionJoinBatch(events: DataFrame, maxLagMinutes: Int): DataFrame = {
+    require(maxLagMinutes > 0, s"lag must be positive: $maxLagMinutes")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    p.join(v, Seq("user_id"))
+      .filter(col("view_ts") <= col("purchase_ts") &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")) <=
+          maxLagMinutes * 60000000L)
+  }
+
+  /** Streaming form: a stream-stream inner join with watermarks on BOTH
+    * sides and an event-time range constraint — exactly the state-bounding
+    * contract Structured Streaming requires (each side's state expires once
+    * the other side's watermark passes the range), so join state is bounded
+    * by `watermark + maxLagMinutes` of events per user regardless of stream
+    * length. */
+  def attributionJoinStream(spark: SparkSession, dir: String, schema: StructType,
+      maxLagMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+    require(maxLagMinutes > 0, s"lag must be positive: $maxLagMinutes")
+    val ev = spark.readStream.schema(schema).parquet(dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxLagMinutes MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("purchase_value"), col("view_id"), col("view_ts"))
+  }
+
   /** Run the streaming query to completion over a static directory (memory
     * sink) and return the result — used by tests to prove stream/batch
     * equivalence. */

@@ -83,4 +83,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.filter($"cohort".isNull).isEmpty) // every event enriched
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-stream attribution join matches its batch twin on a closed input") {
+    val dir = tmpDir("events-attr") + "/events"
+    graft.sources.EventsSource.read(spark, sf("events")).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val cols = Seq($"purchase_id", $"user_id", $"purchase_ts", $"view_id", $"view_ts")
+    val q = EventStream.attributionJoinStream(spark, dir, schema, maxLagMinutes = 30)
+      .select(cols: _*)
+      .writeStream.outputMode("append").format("memory").queryName("attr_t").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_t")
+    val batch = EventStream.attributionJoinBatch(spark.read.parquet(dir), 30)
+      .select(cols: _*)
+    assert(batch.count() > 0, "fixture must produce at least one attribution pair")
+    // append-mode stream-stream inner join emits matched pairs as watermarks
+    // close them; on a closed input the emitted set may lag the final
+    // watermark only for pairs in the last window — both directions checked
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a pair batch does not have")
+    val missing = batch.exceptAll(streamed).count()
+    assert(missing == 0, s"stream failed to emit $missing closed pairs")
+  }
 }
