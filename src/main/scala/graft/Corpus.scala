@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ops.{LayoutOps, ScaleOps}
+import graft.streaming.EventStream
+
+/** One-stop facade for the training-corpus pipeline surface — the
+  * extensions beyond reference parity, grouped by pipeline stage so a
+  * corpus build reads top-to-bottom ([[ParqTools]] is the sibling facade
+  * for the reference's own module surface). All members are the operator
+  * objects themselves: zero indirection, every scaladoc and scale note
+  * lives on the real implementation.
+  *
+  * Typical 100 TB corpus build, in this vocabulary:
+  * {{{
+  * import graft.Corpus._
+  * val scored  = docs.filter(
+  *   repetition.typeTokenRatio(col("text")) >= 0.4 &&
+  *   repetition.topNgramShare(col("text"), 3) <= 0.2)
+  * val clean   = decontaminate.removeContaminated(scored, "id", "text",
+  *   evalSet, "text")
+  * val nearDup = dedup.minhashLsh(clean, "id", "text")
+  * val capped  = sampling.quotaPerGroup(clean, Seq("domain"),
+  *   Seq(col("quality").desc, col("id").asc), k = 1000)
+  * val packed  = packing.packByBudget(capped, "id", "n_tokens", budget = 4096)
+  * layout.writeZOrdered(packed, Seq("pack_id", "domain"), out, numFiles = 4096)
+  * }}}
+  */
+object Corpus {
+  /** Text quality + repetition signals and repairs (zero-shuffle). */
+  val repetition: Repetition.type = Repetition
+  /** Language-ID, quality score, token counts, fingerprints. */
+  val text: TextFunctions.type = TextFunctions
+  /** Benchmark decontamination (n-gram overlap vs a held-out set). */
+  val decontaminate: Decontaminate.type = Decontaminate
+  /** Exact + fuzzy dedup (MinHash LSH, SimHash, n-gram Jaccard, embedding). */
+  val dedup: Dedup.type = Dedup
+  /** ANN / similarity search (brute-force, LSH, IVF). */
+  val similarity: Similarity.type = Similarity
+  /** Vector column algebra (cosine, dot, normalization). */
+  val vectors: VectorFunctions.type = VectorFunctions
+  /** Deterministic splits, samples, mixtures, per-group quotas. */
+  val sampling: Sampling.type = Sampling
+  /** As-of and range joins. */
+  val temporal: Temporal.type = Temporal
+  /** Sequence packing by token budget. */
+  val packing: Packing.type = Packing
+  /** Binary media columns: decode, features, partition sizing. */
+  val multimodal: Multimodal.type = Multimodal
+  /** Streaming twins: windowed aggs, sessionization, dedup, enrichment,
+    * attribution joins. */
+  val streaming: EventStream.type = EventStream
+  /** Skew salting, bucketing, bloom-prefiltered joins. */
+  val scale: ScaleOps.type = ScaleOps
+  /** Z-order clustering and small-file compaction. */
+  val layout: LayoutOps.type = LayoutOps
+}

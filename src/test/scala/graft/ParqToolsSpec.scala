@@ -72,4 +72,22 @@ class ParqToolsSpec extends SparkSpecBase {
     assert(pt.lazyParquet(out).columns == Seq("k", "value"))
     assert(pt.memoryUsage(out).columns.nonEmpty)
   }
+
+  test("Corpus facade drives a mini pipeline end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    val scored = docs.filter(Corpus.repetition.typeTokenRatio($"text") >= 0.3)
+    val clean = Corpus.decontaminate.removeContaminated(
+      scored.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 10 === 0), "text", shingleSize = 3, minOverlap = 50)
+    val capped = Corpus.sampling.quotaPerGroup(
+      clean.select($"doc_id", $"source", $"n_chars"),
+      Seq("source"), Seq($"n_chars".desc, $"doc_id".asc), k = 10)
+    val packed = Corpus.packing.packByBudget(capped, "doc_id", "n_chars", budget = 4096)
+    assert(packed.count() > 0)
+    assert(packed.columns.contains("pack_id") && packed.columns.contains("quota_rank"))
+    // every stage only ever removed rows — pipeline is monotone
+    assert(packed.count() <= docs.count())
+  }
 }
