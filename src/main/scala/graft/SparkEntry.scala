@@ -608,6 +608,17 @@ object SparkEntry {
           col("view_id"),
           unix_micros(col("view_ts")).as("view_ts_us"))
         .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
+    // ---- epoch mixture (upsampling; Sampling extension) -----------------
+    "q55_epoch_mixture" -> ((s, dir) => {
+      // curated (en) docs repeated 1.5 epochs, the rest downsampled to 0.5
+      val docs = read(s, dir, "documents")
+      Sampling.epochMixture(Seq(
+          docs.filter(col("lang") === "en") -> 1.5,
+          docs.filter(col("lang") =!= "en") -> 0.5), "doc_id")
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1183,5 +1194,17 @@ object SparkEntry {
          FROM p JOIN v USING (user_id)
          WHERE vts <= p.ts
            AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000
-         ORDER BY purchase_id, view_id""")
+         ORDER BY purchase_id, view_id""",
+    "q55_epoch_mixture" ->
+      // epoch 0 = full en pass; epoch 1 = en half sample (md5 bucket <
+      // 0.5*65536 = 0x8000); non-en gets a single half-sampled epoch 0
+      """SELECT doc_id, lang, epoch FROM (
+           SELECT doc_id, lang, 0 AS epoch FROM documents WHERE lang = 'en'
+           UNION ALL
+           SELECT doc_id, lang, 1 FROM documents
+           WHERE lang = 'en' AND substring(md5(doc_id::VARCHAR), 1, 4) < '8000'
+           UNION ALL
+           SELECT doc_id, lang, 0 FROM documents
+           WHERE lang <> 'en' AND substring(md5(doc_id::VARCHAR), 1, 4) < '8000') t
+         ORDER BY doc_id, epoch""")
 }

@@ -120,6 +120,31 @@ object Sampling {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Mixture with UPSAMPLING: a rate of 2.5 emits two full copies of the
+    * source plus a deterministic half sample, each tagged with an `epoch`
+    * column (0-based) — how curated sources are repeated for multiple
+    * epochs while crawl data is downsampled, in one dataset. Everything
+    * stays narrow: copies are plan-level unions of the same scan and the
+    * fractional epoch is a hash filter (same md5 buckets as [[hashSample]],
+    * so its membership oracle-mirrors cross-engine); no shuffle, no
+    * materialization, and downstream packing/shuffling sees `epoch` as an
+    * ordinary column. */
+  def epochMixture(sources: Seq[(DataFrame, Double)], idCol: String,
+      salt: String = ""): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    sources.map { case (df, rate) =>
+      require(rate > 0.0, s"rate must be positive: $rate")
+      val fullEpochs = math.floor(rate).toInt
+      val frac = rate - fullEpochs
+      val copies =
+        (0 until fullEpochs).map(e => df.withColumn("epoch", lit(e))) ++
+        (if (frac > 1e-12)
+           Seq(hashSample(df, idCol, frac, salt).withColumn("epoch", lit(fullEpochs)))
+         else Nil)
+      copies.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Per-group quota cap: keep the top-`k` rows of each group by `orderBy`
     * (e.g. ≤ k documents per domain, best-quality first — the crawl
     * domain-cap). Adds `quota_rank` (1-based).

@@ -120,6 +120,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
   }
 
+  test("epochMixture: rate 2.5 = two full copies plus a half sample") {
+    val n = docs.count()
+    val out = Sampling.epochMixture(Seq(docs -> 2.5), "doc_id").cache()
+    val byEpoch = out.groupBy("epoch").count().as[(Int, Long)].collect().toMap
+    assert(byEpoch(0) == n && byEpoch(1) == n)
+    assert(byEpoch(2) > 0 && byEpoch(2) < n)
+    // the fractional epoch is exactly the hashSample at the same salt
+    val frac = Sampling.hashSample(docs, "doc_id", 0.5)
+    assert(out.filter($"epoch" === 2).select("doc_id")
+      .exceptAll(frac.select("doc_id")).isEmpty)
+    // integer rate has no fractional epoch; sub-1 rate is pure downsample
+    assert(Sampling.epochMixture(Seq(docs -> 2.0), "doc_id")
+      .agg(max($"epoch")).head().getInt(0) == 1)
+    assert(Sampling.epochMixture(Seq(docs -> 0.4), "doc_id")
+      .agg(max($"epoch")).head().getInt(0) == 0)
+    out.unpersist()
+  }
+
+  test("epochMixture plan is scan unions — no shuffle, no materialization") {
+    val plan = Sampling.epochMixture(Seq(docs -> 2.5), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epoch mixture must not shuffle:\n$plan")
+  }
+
   test("hashSplit rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
