@@ -619,6 +619,21 @@ object SparkEntry {
           docs.filter(col("lang") =!= "en") -> 0.5), "doc_id")
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // ---- real image resize (Multimodal) ---------------------------------
+    "q56_image_resize" -> ((s, dir) => {
+      // real PNGs with row-determined dimensions, resized through the real
+      // decoder — the post-resize dimensions are pure arithmetic, so the
+      // oracle can verify the whole generate→decode→resize loop
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 200)
+      val media = Multimodal.withGeneratedPng(
+        docs.select(col("doc_id")), "doc_id",
+        lit(20) + col("doc_id") % 80, lit(10) + col("doc_id") % 40,
+        col("doc_id") % 256)
+      Multimodal.resizeImages(media, "media_bytes", "doc_id", maxSide = 32)
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("resized"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1206,5 +1221,21 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, lang, 0 FROM documents
            WHERE lang <> 'en' AND substring(md5(doc_id::VARCHAR), 1, 4) < '8000') t
-         ORDER BY doc_id, epoch""")
+         ORDER BY doc_id, epoch""",
+    "q56_image_resize" ->
+      // mirrors Multimodal.resizeOne: scale = min(1, 32/max(w,h)),
+      // dims = max(1, floor(d*scale + 0.5)) — pure IEEE double arithmetic,
+      // identical on both engines
+      """WITH src AS (
+           SELECT doc_id, (20 + doc_id % 80)::INT AS w, (10 + doc_id % 40)::INT AS h
+           FROM documents WHERE doc_id <= 200)
+         SELECT doc_id,
+           CASE WHEN greatest(w, h) <= 32 THEN w
+             ELSE greatest(1, CAST(floor(w * (32.0 / greatest(w, h)) + 0.5) AS INT)) END
+             AS width,
+           CASE WHEN greatest(w, h) <= 32 THEN h
+             ELSE greatest(1, CAST(floor(h * (32.0 / greatest(w, h)) + 0.5) AS INT)) END
+             AS height,
+           true AS resized
+         FROM src ORDER BY doc_id""")
 }

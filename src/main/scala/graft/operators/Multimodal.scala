@@ -122,6 +122,57 @@ object Multimodal {
       .toDF("id", "width", "height", "features", "decoded")
   }
 
+  /** REAL image resize: decode, downscale so the longest side is at most
+    * `maxSide` (aspect preserved; never upscales), re-encode as PNG.
+    * Same per-partition batched shape as [[decodeImages]]; undecodable
+    * payloads pass through untouched with `resized = false`. Output:
+    * `(id, width, height, media_bytes, resized)` with post-resize
+    * dimensions. */
+  def resizeImages(df: DataFrame, bytesCol: String, idCol: String,
+      maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          resizeOne(bytes, maxSide) match {
+            case Some((w, h, out)) => (id, Some(w), Some(h), out, true)
+            case None => (id, Option.empty[Int], Option.empty[Int], bytes, false)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "media_bytes", "resized")
+  }
+
+  private[operators] def resizeOne(bytes: Array[Byte],
+      maxSide: Int): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        if (scale >= 1.0) Some((w, h, bytes)) // already small enough
+        else {
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, nw, nh, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some((nw, nh, bos.toByteArray))
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Decode one payload: mean-pooled g×g luminance grid (g = ⌈√dim⌉),
     * normalized to [0, 1], truncated to `dim` values. */
   private[operators] def decodeOne(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =

@@ -72,4 +72,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2).getAs[Boolean]("decoded")) // corrupt payload survives, flagged
     assert(out(2).isNullAt(out(2).fieldIndex("width")))
   }
+
+  test("real image resize: aspect preserved, no upscaling, corrupt passthrough") {
+    import spark.implicits._
+    val src = Seq((1L, 100, 40, 128), (2L, 8, 8, 200)).toDF("id", "w", "h", "g")
+    val media = Multimodal.withGeneratedPng(src, "id", $"w", $"h", $"g")
+      .unionByName(Seq((3L, "junk".getBytes)).toDF("id", "media_bytes"))
+    val out = Multimodal.resizeImages(media, "media_bytes", "id", maxSide = 50)
+      .orderBy("id").collect()
+    // 100x40 -> 50x20 (aspect kept, longest side = maxSide)
+    assert(out(0).getAs[Int]("width") == 50 && out(0).getAs[Int]("height") == 20)
+    assert(out(0).getAs[Boolean]("resized"))
+    // the resized payload is REAL: decode it back and check dimensions + tone
+    val back = Multimodal.decodeImages(
+      spark.createDataFrame(java.util.List.of(out(0)), out(0).schema),
+      "media_bytes", "id", featureDim = 4).head()
+    assert(back.getAs[Int]("width") == 50 && back.getAs[Int]("height") == 20)
+    val f = back.getSeq[Float](back.fieldIndex("features"))
+    assert(f.forall(v => math.abs(v - 128.0 / 255.0) < 0.05)) // uniform gray kept
+    // already-small image passes through at original size
+    assert(out(1).getAs[Int]("width") == 8 && out(1).getAs[Int]("height") == 8)
+    // corrupt payload: untouched bytes, flagged
+    assert(!out(2).getAs[Boolean]("resized"))
+    assert(new String(out(2).getAs[Array[Byte]]("media_bytes")) == "junk")
+  }
 }
