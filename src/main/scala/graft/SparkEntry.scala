@@ -634,6 +634,23 @@ object SparkEntry {
       Multimodal.resizeImages(media, "media_bytes", "doc_id", maxSide = 32)
         .select(col("id").as("doc_id"), col("width"), col("height"), col("resized"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- real audio decode (Multimodal) ---------------------------------
+    "q57_audio_decode" -> ((s, dir) => {
+      // real PCM WAV sine tones with row-determined frequency/duration/
+      // amplitude, decoded back through javax.sound.sampled; the oracle
+      // recomputes the exact quantized samples and their RMS in SQL
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 200)
+      val media = Multimodal.withGeneratedWav(
+        docs.select(col("doc_id")), "doc_id",
+        lit(100.0) + (col("doc_id") % 20) * lit(50.0),
+        lit(50) + (col("doc_id") % 10) * lit(10),
+        lit(0.1) + (col("doc_id") % 9) * lit(0.1))
+      Multimodal.decodeAudio(media, "media_bytes", "doc_id")
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("duration_ms"), round(col("rms"), 4).as("rms"), col("decoded"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1237,5 +1254,26 @@ object SparkEntry {
              ELSE greatest(1, CAST(floor(h * (32.0 / greatest(w, h)) + 0.5) AS INT)) END
              AS height,
            true AS resized
-         FROM src ORDER BY doc_id""")
+         FROM src ORDER BY doc_id""",
+    "q57_audio_decode" ->
+      // mirrors withGeneratedWav + decodeAudio: sample s_i =
+      // trunc(amp * sin(2*pi*f*i/8000) * 32767) / 32768, rms = sqrt(mean(s^2))
+      """WITH src AS (
+           SELECT doc_id,
+             100.0 + (doc_id % 20) * 50.0 AS f,
+             (50 + (doc_id % 10) * 10)::INT AS ms,
+             0.1 + (doc_id % 9) * 0.1 AS amp
+           FROM documents WHERE doc_id <= 200),
+         samples AS (
+           SELECT doc_id, f, amp,
+             unnest(range(0, (8000 * ms / 1000)::BIGINT)) AS i
+           FROM src),
+         r AS (
+           SELECT doc_id,
+             sqrt(avg(pow(trunc(amp * sin(2 * pi() * f * i / 8000.0) * 32767.0)
+               / 32768.0, 2))) AS rms
+           FROM samples GROUP BY doc_id)
+         SELECT src.doc_id, 8000 AS sample_rate, 1 AS channels,
+           src.ms::BIGINT AS duration_ms, round(r.rms, 4) AS rms, true AS decoded
+         FROM src JOIN r USING (doc_id) ORDER BY src.doc_id""")
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   *
   * Media (image/audio/video) rides as opaque `binary` columns with a typed
   * metadata struct alongside. Images decode for real via `javax.imageio`
-  * (PNG/JPEG/GIF/BMP readers ship with every JVM) — [[decodeImages]].
-  * Audio/video decoding stays STUBBED with a deterministic fake
-  * ([[decodeStub]]; those codec libraries are not in this container); swap
-  * it for a real decoder (a JNI codec or an `mapInArrow` hand-off) without
-  * touching the pipeline shape.
+  * (PNG/JPEG/GIF/BMP readers ship with every JVM) — [[decodeImages]] /
+  * [[resizeImages]] — and audio decodes for real via `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM readers ship with every JVM) — [[decodeAudio]].
+  * Video decoding stays STUBBED with a deterministic fake ([[decodeStub]];
+  * video codec libraries are not in this container); swap it for a real
+  * decoder (a JNI codec or an `mapInArrow` hand-off) without touching the
+  * pipeline shape.
   */
 object Multimodal {
 
@@ -171,6 +173,91 @@ object Multimodal {
           Some((nw, nh, bos.toByteArray))
         }
       }
+    } catch { case _: Exception => None }
+
+  /** Deterministic WAV synthesizer (the audio twin of [[withGeneratedPng]]):
+    * one mono 16-bit PCM sine tone per row — frequency, duration and
+    * amplitude are pure functions of the row, so an independent engine can
+    * verify what the decoder recovers. */
+  def withGeneratedWav(df: DataFrame, idCol: String,
+      freqHz: org.apache.spark.sql.Column, durationMs: org.apache.spark.sql.Column,
+      amplitude: org.apache.spark.sql.Column,
+      sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), freqHz.cast("double"),
+        durationMs.cast("int"), amplitude.cast("double"))
+      .as[(Long, Double, Int, Double)]
+      .mapPartitions { rows =>
+        rows.map { case (id, f, ms, amp) =>
+          val n = sampleRate * ms / 1000
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (amp * math.sin(2.0 * math.Pi * f * i / sampleRate) * 32767.0).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
+  /** REAL audio decode + feature extraction via `javax.sound.sampled`
+    * (WAV/AIFF/AU with PCM payloads — the JVM's built-in readers): payload
+    * bytes → (sample rate, channels, duration, RMS level normalized to
+    * [0, 1]). Same per-partition batched shape as [[decodeImages]];
+    * undecodable payloads come back `decoded = false` with null metrics. */
+  def decodeAudio(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeAudioOne(bytes) match {
+            case Some((rate, ch, ms, rms)) => (id, Some(rate), Some(ch), Some(ms), Some(rms), true)
+            case None => (id, Option.empty[Int], Option.empty[Int],
+              Option.empty[Long], Option.empty[Double], false)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "duration_ms", "rms", "decoded")
+  }
+
+  private[operators] def decodeAudioOne(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) { ais.close(); return None } // PCM16 only
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      ais.close()
+      val bigEndian = fmt.isBigEndian
+      val ch = fmt.getChannels
+      var sumSq = 0.0
+      var i = 0
+      val n = data.length / 2
+      while (i < n) {
+        val lo = if (bigEndian) data(2 * i + 1) else data(2 * i)
+        val hi = if (bigEndian) data(2 * i) else data(2 * i + 1)
+        val s = ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toDouble / 32768.0
+        sumSq += s * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      val ms = (frames * 1000.0 / fmt.getSampleRate).toLong
+      Some((fmt.getSampleRate.toInt, ch, ms, rms))
     } catch { case _: Exception => None }
 
   /** Decode one payload: mean-pooled g×g luminance grid (g = ⌈√dim⌉),

@@ -96,4 +96,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2).getAs[Boolean]("resized"))
     assert(new String(out(2).getAs[Array[Byte]]("media_bytes")) == "junk")
   }
+
+  test("real audio decode: WAV sine tone recovers rate, duration and RMS") {
+    import spark.implicits._
+    // full-scale sine RMS = 1/sqrt(2); half amplitude halves it
+    val src = Seq((1L, 440.0, 500, 1.0), (2L, 880.0, 250, 0.5))
+      .toDF("id", "freq", "ms", "amp")
+    val media = Multimodal.withGeneratedWav(src, "id", $"freq", $"ms", $"amp")
+      .unionByName(Seq((3L, "not audio".getBytes)).toDF("id", "media_bytes"))
+    val out = Multimodal.decodeAudio(media, "media_bytes", "id").orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("decoded"))
+    assert(out(0).getAs[Int]("sample_rate") == 8000)
+    assert(out(0).getAs[Int]("channels") == 1)
+    assert(out(0).getAs[Long]("duration_ms") == 500L)
+    assert(math.abs(out(0).getAs[Double]("rms") - 1.0 / math.sqrt(2)) < 0.01)
+    assert(math.abs(out(1).getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.01)
+    assert(out(1).getAs[Long]("duration_ms") == 250L)
+    assert(!out(2).getAs[Boolean]("decoded")) // corrupt payload survives, flagged
+  }
 }
