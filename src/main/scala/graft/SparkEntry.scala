@@ -651,6 +651,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
           col("duration_ms"), round(col("rms"), 4).as("rms"), col("decoded"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- real multi-frame extraction (Multimodal "video") ---------------
+    "q58_video_frames" -> ((s, dir) => {
+      // animated GIFs (real multi-frame containers) with row+frame-
+      // determined gray levels, decoded frame by frame; the recovered gray
+      // level is integer-exact, so the oracle is pure modular arithmetic
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
+      val media = Multimodal.withGeneratedGif(
+        docs.select(col("doc_id")), "doc_id", frames = 4)
+      Multimodal.sampleFramesReal(media, "media_bytes", "doc_id")
+        .select(col("id").as("doc_id"), col("frame_index"),
+          col("width"), col("height"),
+          round(col("mean_luminance") * 255).cast("long").as("gray"))
+        .orderBy(col("doc_id"), col("frame_index"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1275,5 +1290,11 @@ object SparkEntry {
            FROM samples GROUP BY doc_id)
          SELECT src.doc_id, 8000 AS sample_rate, 1 AS channels,
            src.ms::BIGINT AS duration_ms, round(r.rms, 4) AS rms, true AS decoded
-         FROM src JOIN r USING (doc_id) ORDER BY src.doc_id""")
+         FROM src JOIN r USING (doc_id) ORDER BY src.doc_id""",
+    "q58_video_frames" ->
+      """SELECT doc_id, fi::INT AS frame_index, 16 AS width, 16 AS height,
+           ((doc_id * 7 + fi * 13) % 256)::BIGINT AS gray
+         FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
+               FROM documents WHERE doc_id <= 100) t
+         ORDER BY doc_id, frame_index""")
 }

@@ -321,6 +321,108 @@ object Multimodal {
       .withColumn("frame_bytes", expr(s"substring($bytesCol, frame_index * 8 + 1, 8)"))
   }
 
+  /** Deterministic multi-frame "video" synthesizer: one animated GIF per
+    * row (a real multi-frame container the JVM writes and reads natively)
+    * with `frames` uniform-gray frames whose gray level is a pure function
+    * of (row id, frame index): `(id * 7 + frame * 13) % 256`. */
+  def withGeneratedGif(df: DataFrame, idCol: String, frames: Int,
+      width: Int = 16, height: Int = 16): DataFrame = {
+    require(frames >= 1 && width >= 1 && height >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          var fi = 0
+          while (fi < frames) {
+            val g = ((id * 7 + fi * 13) % 256).toInt
+            val img = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            fi += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          out.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
+  /** REAL frame extraction from multi-frame containers (animated GIF via
+    * the JVM's reader): decode every `stride`-th frame and emit one row per
+    * sampled frame with its dimensions and mean luminance in [0, 1] — the
+    * real form of [[sampleFrames]], same explode shape, actual decoded
+    * pixels. Undecodable payloads yield a single `decoded = false` row. */
+  def sampleFramesReal(df: DataFrame, bytesCol: String, idCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          decodeFrames(bytes, stride) match {
+            case Some(frames) => frames.map { case (fi, w, h, lum) =>
+              (id, fi, Some(w), Some(h), Some(lum), true)
+            }
+            case None => Seq((id, -1, Option.empty[Int], Option.empty[Int],
+              Option.empty[Double], false))
+          }
+        }
+      }
+      .toDF("id", "frame_index", "width", "height", "mean_luminance", "decoded")
+  }
+
+  private[operators] def decodeFrames(bytes: Array[Byte],
+      stride: Int): Option[Seq[(Int, Int, Int, Double)]] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = (0 until n by stride).map { fi =>
+        val img = reader.read(fi)
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (fi, w, h, sum / (w.toLong * h) / 255.0)
+      }
+      reader.dispose()
+      Some(out)
+    } catch { case _: Exception => None }
+
   /** Partition-size guidance for binary columns: target ≤ `targetMB` of
     * payload per partition so decode stages never hold more than one
     * batch's worth of frames in memory. */

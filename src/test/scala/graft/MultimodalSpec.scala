@@ -114,4 +114,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1).getAs[Long]("duration_ms") == 250L)
     assert(!out(2).getAs[Boolean]("decoded")) // corrupt payload survives, flagged
   }
+
+  test("real frame extraction: animated GIF frames decode with exact gray levels") {
+    import spark.implicits._
+    val media = Multimodal.withGeneratedGif(Seq(5L, 9L).toDF("id"), "id", frames = 6)
+      .unionByName(Seq((3L, "not a gif".getBytes)).toDF("id", "media_bytes"))
+    val out = Multimodal.sampleFramesReal(media, "media_bytes", "id")
+      .orderBy("id", "frame_index").collect()
+    val good = out.filter(_.getAs[Boolean]("decoded"))
+    assert(good.length == 12) // 6 frames x 2 rows
+    good.foreach { r =>
+      val id = r.getAs[Long]("id"); val fi = r.getAs[Int]("frame_index")
+      val expected = ((id * 7 + fi * 13) % 256) / 255.0
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
+      assert(math.abs(r.getAs[Double]("mean_luminance") - expected) < 1e-6,
+        s"id=$id frame=$fi: ${r.getAs[Double]("mean_luminance")} vs $expected")
+    }
+    // stride skips frames
+    val strided = Multimodal.sampleFramesReal(
+      Multimodal.withGeneratedGif(Seq(1L).toDF("id"), "id", frames = 6),
+      "media_bytes", "id", stride = 2)
+    assert(strided.select("frame_index").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
+    // corrupt payload: one flagged row
+    val bad = out.filter(!_.getAs[Boolean]("decoded"))
+    assert(bad.length == 1 && bad.head.getAs[Long]("id") == 3L)
+  }
 }
