@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextClean, TextFunctions, VectorFunctions}
 import graft.ops.{LayoutOps, ScaleOps}
 import graft.streaming.EventStream
 
@@ -32,6 +32,8 @@ object Corpus {
   val repetition: Repetition.type = Repetition
   /** Language-ID, quality score, token counts, fingerprints. */
   val text: TextFunctions.type = TextFunctions
+  /** PII redaction, NFC normalization, whitespace repair. */
+  val clean: TextClean.type = TextClean
   /** Benchmark decontamination (n-gram overlap vs a held-out set). */
   val decontaminate: Decontaminate.type = Decontaminate
   /** Exact + fuzzy dedup (MinHash LSH, SimHash, n-gram Jaccard, embedding). */

@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 1, "top_freq_share takes 1 argument")
         TopFreqShareExpr(args.head)
       }))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "nfc_normalize takes 1 argument")
+        NfcNormalizeExpr(args.head)
+      }))
     e.injectFunction((FunctionIdentifier("min_shingle_md5"),
       info("min_shingle_md5", "min_shingle_md5(text, n) - minimum md5 hex over word n-gram shingles"),
       (args: Seq[Expression]) => {

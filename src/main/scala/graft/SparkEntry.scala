@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
-import graft.functions.TextFunctions
+import graft.functions.{TextClean, TextFunctions}
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
@@ -666,6 +666,22 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("mean_luminance") * 255).cast("long").as("gray"))
         .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
+    // ---- text cleaning (TextClean) --------------------------------------
+    "q59_text_clean" -> ((s, dir) => {
+      // synthesize PII + decomposed-unicode text deterministically from row
+      // values, then run the full hygiene pass; the oracle rebuilds the
+      // same strings and cleans them with DuckDB's RE2 + nfc_normalize
+      val synth = concat(
+        substring(col("text"), 1, 40),
+        lit(" caf"), lit("\u0065\u0301"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".io at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+      read(s, dir, "documents")
+        .select(col("doc_id"), TextClean.clean(synth).as("cleaned"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1296,5 +1312,29 @@ object SparkEntry {
            ((doc_id * 7 + fi * 13) % 256)::BIGINT AS gray
          FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
                FROM documents WHERE doc_id <= 100) t
-         ORDER BY doc_id, frame_index""")
+         ORDER BY doc_id, frame_index""",
+    "q59_text_clean" ->
+      // same synthesis and the same RE2-safe pattern chain as
+      // TextClean.piiPatterns, in the same order, then whitespace squash
+      """WITH synth AS (
+           SELECT doc_id,
+             substring(text, 1, 40) || ' caf' || 'e' || chr(769) ||
+             ' contact user' || doc_id::VARCHAR ||
+             '@example.com via https://site' || (doc_id % 7)::VARCHAR ||
+             '.io at 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS t
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(nfc_normalize(t),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d{7,15}\b', '<PHONE>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\s+', ' ', 'g')) AS cleaned
+         FROM synth ORDER BY doc_id""")
 }

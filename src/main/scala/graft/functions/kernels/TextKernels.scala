@@ -207,6 +207,18 @@ object TextKernels { // public: generated code references it by name
     best.toDouble / n.toDouble
   }
 
+  /** Unicode NFC normalization. Fast path: pure-ASCII strings (the bulk of
+    * English corpora) are already NFC — checked bytewise without decoding. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -319,6 +331,23 @@ case class TopFreqShareExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "top_freq_share"
 }
 
+/** Unicode NFC normalization of a string column. Generates code (a call
+  * into the compiled kernel, with an ASCII fast path) so it stays inside
+  * whole-stage codegen. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Column-facing constructors. */
 object TextKernelFunctions {
   def shingleHashes(text: Column, n: Int): Column =
@@ -336,4 +365,6 @@ object TextKernelFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def topFreqShare(hashes: Column): Column =
     ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
 }
