@@ -682,6 +682,14 @@ object SparkEntry {
       read(s, dir, "documents")
         .select(col("doc_id"), TextClean.clean(synth).as("cleaned"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- char-level n-gram overlap (Dedup extension) --------------------
+    "q60_char_ngram" -> ((s, dir) => {
+      Dedup.charNgramJaccard(read(s, dir, "documents"), "doc_id", "text",
+        windowChars = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1336,5 +1344,22 @@ object SparkEntry {
                  '\+\d{7,15}\b', '<PHONE>', 'g'),
                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
              '\s+', ' ', 'g')) AS cleaned
-         FROM synth ORDER BY doc_id""")
+         FROM synth ORDER BY doc_id""",
+    "q60_char_ngram" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN length(text) >= 20
+               THEN list_distinct(list_transform(range(1, length(text) - 18),
+                    i -> substring(text, i, 20)))
+               ELSE []::VARCHAR[] END AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4)
+             AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
+         ORDER BY id_a, id_b""")
 }

@@ -207,6 +207,35 @@ object TextKernels { // public: generated code references it by name
     best.toDouble / n.toDouble
   }
 
+  /** Distinct, sorted hashes of all CHARACTER n-gram windows (raw text,
+    * no tokenization/lowercasing — the char-level substring-overlap
+    * primitive; windows are UTF-16 code units, identical to SQL
+    * `substring` semantics for BMP text). Empty below `n` chars. */
+  def charShingleHashSet(s: UTF8String, n: Int): Array[Long] = {
+    val str = s.toString
+    if (str.length < n) return Array.emptyLongArray
+    val all = new Array[Long](str.length - n + 1)
+    var i = 0
+    while (i <= str.length - n) {
+      all(i) = hashToken(str.substring(i, i + n))
+      i += 1
+    }
+    java.util.Arrays.sort(all)
+    var distinct = 1
+    var k = 1
+    while (k < all.length) { if (all(k) != all(k - 1)) distinct += 1; k += 1 }
+    if (distinct == all.length) return all
+    val out = new Array[Long](distinct)
+    out(0) = all(0)
+    var w = 1
+    k = 1
+    while (k < all.length) {
+      if (all(k) != all(k - 1)) { out(w) = all(k); w += 1 }
+      k += 1
+    }
+    out
+  }
+
   /** Unicode NFC normalization. Fast path: pure-ASCII strings (the bulk of
     * English corpora) are already NFC — checked bytewise without decoding. */
   def nfcNormalize(s: UTF8String): UTF8String = {
@@ -331,6 +360,18 @@ case class TopFreqShareExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "top_freq_share"
 }
 
+/** array<long>: distinct, sorted hashes of character n-gram windows. */
+case class CharShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "char shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.charShingleHashSet(v.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(c: Expression): CharShingleHashSetExpr =
+    copy(child = c)
+  override def prettyName: String = "char_shingle_hash_set"
+}
+
 /** Unicode NFC normalization of a string column. Generates code (a call
   * into the compiled kernel, with an ASCII fast path) so it stays inside
   * whole-stage codegen. */
@@ -367,4 +408,6 @@ object TextKernelFunctions {
     ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+  def charShingleHashSet(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingleHashSetExpr(ColumnBridge.expression(text), n))
 }

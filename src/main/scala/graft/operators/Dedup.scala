@@ -140,9 +140,33 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Option[Long] = None): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      maxDocFreq: Option[Long] = None): DataFrame =
+    shingleSetJaccard(df, idCol,
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize),
+      threshold, maxDocFreq)
+
+  /** Character-level n-gram Jaccard (raw text windows, no tokenization):
+    * catches duplication that crosses word boundaries — boilerplate
+    * fragments, templated spans — the relational counterpart of exact
+    * substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"). Same relational core, same df² cost bound
+    * and `maxDocFreq` cap as [[ngramJaccard]]; windows of 20–50 chars are
+    * the usual operating range. */
+  def charNgramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowChars: Int = 20,
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    shingleSetJaccard(df, idCol,
+      TextKernelFunctions.charShingleHashSet(col(textCol), windowChars),
+      threshold, maxDocFreq)
+
+  private def shingleSetJaccard(df: DataFrame, idCol: String,
+      shingleSet: Column, threshold: Double,
+      maxDocFreq: Option[Long]): DataFrame = {
+    val base = df.select(col(idCol).as("id"), shingleSet.as("shingles"))
       .withColumn("sz", size(col("shingles")))
     val exAll = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
     // anti-join against the hot-shingle set: both sides hash-partition on

@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("char ngram jaccard: cross-word-boundary duplication, exact on identical text") {
+    val pairs = Dedup.charNgramJaccard(docs, "doc_id", "text",
+      windowChars = 20, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical text → identical window set
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0) // near dup
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // a doc shorter than the window produces no shingles, never pairs
+    val short = Seq((10L, "tiny"), (11L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.charNgramJaccard(short, "doc_id", "text", windowChars = 20).isEmpty)
+  }
+
   test("ngram jaccard maxDocFreq caps hot shingles: bounded join, boilerplate pairs dropped") {
     // 40 docs all opening with the same boilerplate shingle; only two are
     // real near-dups. Uncapped, the boilerplate shingle alone contributes
