@@ -15,15 +15,18 @@ import graft.streaming.EventStream
   * Typical 100 TB corpus build, in this vocabulary:
   * {{{
   * import graft.Corpus._
-  * val scored  = docs.filter(
+  * val scored   = docs.filter(
   *   repetition.typeTokenRatio(col("text")) >= 0.4 &&
   *   repetition.topNgramShare(col("text"), 3) <= 0.2)
-  * val clean   = decontaminate.removeContaminated(scored, "id", "text",
+  * val cleaned  = decontaminate.removeContaminated(scored, "id", "text",
   *   evalSet, "text")
-  * val nearDup = dedup.minhashLsh(clean, "id", "text")
-  * val capped  = sampling.quotaPerGroup(clean, Seq("domain"),
+  * // drop the worse half of every near-duplicate pair
+  * val dupLoser = dedup.minhashLsh(cleaned, "id", "text")
+  *   .select(col("id_b").as("id"))
+  * val unique   = cleaned.join(dupLoser, Seq("id"), "left_anti")
+  * val capped   = sampling.quotaPerGroup(unique, Seq("domain"),
   *   Seq(col("quality").desc, col("id").asc), k = 1000)
-  * val packed  = packing.packByBudget(capped, "id", "n_tokens", budget = 4096)
+  * val packed   = packing.packByBudget(capped, "id", "n_tokens", budget = 4096)
   * layout.writeZOrdered(packed, Seq("pack_id", "domain"), out, numFiles = 4096)
   * }}}
   */

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Expression, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -77,7 +77,14 @@ case class TopKRowsAgg(
 
   override def update(heap: mutable.PriorityQueue[InternalRow],
       input: InternalRow): mutable.PriorityQueue[InternalRow] = {
-    offer(heap, rowProj(input).copy())
+    // compare the projected row BEFORE copying: once the heap is warm the
+    // common case is rejection, which must not pay a per-row byte-array
+    // allocation (rowProj reuses its buffer, so only kept rows copy)
+    val projected = rowProj(input)
+    if (heap.size < k) heap.enqueue(projected.copy())
+    else if (betterFirst.compare(projected, heap.head) < 0) {
+      heap.dequeue(); heap.enqueue(projected.copy())
+    }
     heap
   }
 
@@ -157,15 +164,29 @@ object TopKRowsAgg {
       idx, sortKeys.map(_._2), k).toAggregateExpression())
   }
 
-  /** Decompose `Column.desc`-style sort Columns into (name, ascending). */
+  /** Decompose `Column.desc`-style sort Columns into (name, ascending).
+    *
+    * Null contract: the heap always ranks nulls LAST. `NullsLast` requests
+    * (plain `.desc`, `asc_nulls_last`, `desc_nulls_last`) are honored
+    * exactly. `desc_nulls_first` is distinguishable from the default and
+    * impossible to honor, so it is REJECTED rather than silently flipped.
+    * Plain `.asc` and `asc_nulls_first` produce identical SortOrder trees
+    * (Ascending's default IS NullsFirst), so they cannot be told apart —
+    * both are accepted with the documented nulls-last override. */
   def sortSpec(orderBy: Seq[Column]): Seq[(String, Boolean)] =
     orderBy.map(c => ColumnBridge.convertedExpression(c) match {
-      case SortOrder(u: UnresolvedAttribute, dir, _, _) => (u.name, dir == Ascending)
-      case SortOrder(a: AttributeReference, dir, _, _) => (a.name, dir == Ascending)
+      case SortOrder(u: UnresolvedAttribute, dir, no, _)
+          if no == NullsLast || no == dir.defaultNullOrdering =>
+        (u.name, dir == Ascending)
+      case SortOrder(a: AttributeReference, dir, no, _)
+          if no == NullsLast || no == dir.defaultNullOrdering =>
+        (a.name, dir == Ascending)
       case u: UnresolvedAttribute => (u.name, true)
       case a: AttributeReference => (a.name, true)
       case other =>
         throw new IllegalArgumentException(
-          s"top-k sort keys must be plain columns with optional .asc/.desc, got: $other")
+          "top-k sort keys must be plain columns with optional .asc/.desc " +
+            "(desc_nulls_first is not supported — the heap ranks nulls last), " +
+            s"got: $other")
     })
 }

@@ -190,7 +190,11 @@ object Multimodal {
       .as[(Long, Double, Int, Double)]
       .mapPartitions { rows =>
         rows.map { case (id, f, ms, amp) =>
-          val n = sampleRate * ms / 1000
+          // Long math: 44100 Hz * a 49-second clip already overflows Int
+          val nL = sampleRate.toLong * ms / 1000L
+          require(nL >= 0 && nL <= Int.MaxValue / 2,
+            s"sample count out of range: $nL (rate=$sampleRate, ms=$ms)")
+          val n = nL.toInt
           val pcm = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
@@ -234,15 +238,15 @@ object Multimodal {
   }
 
   private[operators] def decodeAudioOne(
-      bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+      bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    var ais: javax.sound.sampled.AudioInputStream = null
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16) { ais.close(); return None } // PCM16 only
+      if (fmt.getSampleSizeInBits != 16) return None // PCM16 only
       val frames = ais.getFrameLength
       val data = ais.readAllBytes()
-      ais.close()
       val bigEndian = fmt.isBigEndian
       val ch = fmt.getChannels
       var sumSq = 0.0
@@ -259,6 +263,8 @@ object Multimodal {
       val ms = (frames * 1000.0 / fmt.getSampleRate).toLong
       Some((fmt.getSampleRate.toInt, ch, ms, rms))
     } catch { case _: Exception => None }
+    finally if (ais != null) { try ais.close() catch { case _: Exception => } }
+  }
 
   /** Decode one payload: mean-pooled g×g luminance grid (g = ⌈√dim⌉),
     * normalized to [0, 1], truncated to `dim` values. */
@@ -392,13 +398,18 @@ object Multimodal {
   }
 
   private[operators] def decodeFrames(bytes: Array[Byte],
-      stride: Int): Option[Seq[(Int, Int, Int, Double)]] =
+      stride: Int): Option[Seq[(Int, Int, Int, Double)]] = {
+    // stream + reader are closed on EVERY path (corrupt-media rows are the
+    // common case this operator must survive; leaking a native buffer per
+    // bad row would build memory pressure in long-running executors)
+    var in: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) return None
-      val reader = readers.next()
+      reader = readers.next()
       reader.setInput(in)
       val n = reader.getNumImages(true)
       if (n <= 0) return None
@@ -419,9 +430,13 @@ object Multimodal {
         }
         (fi, w, h, sum / (w.toLong * h) / 255.0)
       }
-      reader.dispose()
       Some(out)
     } catch { case _: Exception => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (in != null) try in.close() catch { case _: Exception => }
+    }
+  }
 
   /** Partition-size guidance for binary columns: target ≤ `targetMB` of
     * payload per partition so decode stages never hold more than one

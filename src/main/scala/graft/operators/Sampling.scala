@@ -116,6 +116,11 @@ object Sampling {
   def weightedMixture(sources: Seq[(DataFrame, Double)], idCol: String,
       salt: String = ""): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
+    sources.foreach { case (_, rate) =>
+      require(rate >= 0.0 && rate <= 1.0,
+        s"weightedMixture rates are keep-fractions in [0,1], got $rate — " +
+          "use epochMixture for upsampling (rates above 1)")
+    }
     sources.map { case (df, rate) => hashSample(df, idCol, rate, salt) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }

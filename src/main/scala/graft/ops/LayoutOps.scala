@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.kernels.LayoutKernelFunctions
-import graft.io.ParquetIO
 
 /** Physical data-layout operators — the levers that decide how much of a
   * 100 TB table a query has to READ, before any engine work starts:
@@ -67,9 +66,15 @@ object LayoutOps {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024, rebalance: Boolean = false): Int = {
     require(targetBytes > 0)
+    // one listStatus gets every file length in one namenode/object-store
+    // call — a per-file getFileStatus loop would issue thousands of RPCs in
+    // exactly the many-tiny-files scenario this method exists for
     val conf = spark.sessionState.newHadoopConf()
-    val files = ParquetIO.dataFiles(spark, inDir)
-    val totalBytes = files.map(p => p.getFileSystem(conf).getFileStatus(p).getLen).sum
+    val dir = new org.apache.hadoop.fs.Path(inDir)
+    val fs = dir.getFileSystem(conf)
+    val totalBytes = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes.toDouble).toInt)
     val df = spark.read.parquet(inDir)
     val sized = if (rebalance) df.repartition(n) else df.coalesce(n)

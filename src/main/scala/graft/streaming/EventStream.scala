@@ -88,12 +88,15 @@ object EventStream {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
 
+    // floorDiv/floorMod, not truncation: for pre-epoch timestamps getTime
+    // is negative and truncating division would flip the sub-second part's
+    // sign (1969-12-31T23:59:59.5 would read as +0.5s instead of -0.5s)
     def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000  // full micros (getTime alone truncates)
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
     def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-      t.setNanos((us % 1000000L).toInt * 1000)
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
       t
     }
 
@@ -117,8 +120,17 @@ object EventStream {
       sorted.foreach { e =>
         val t = micros(e.ts)
         open match {
-          case Some(s) if t - s.endUs <= gapUs =>
-            open = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
+          // in-gap events from a LATER micro-batch may precede the open
+          // session (late but inside the watermark): they extend the
+          // session backward, matching the batch twin's global sort
+          case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+            open = Some(OpenSession(math.min(s.startUs, t), math.max(s.endUs, t),
+              s.n + 1, s.sum + e.value))
+          case Some(s) if t < s.startUs - gapUs =>
+            // gap-separated BEFORE the open session: a late straggler that
+            // forms its own (already closed) session — emit immediately,
+            // never absorb it into the newer session
+            closed += close(userId, OpenSession(t, t, 1, e.value))
           case Some(s) =>
             closed += close(userId, s)
             open = Some(OpenSession(t, t, 1, e.value))

@@ -144,6 +144,27 @@ class SamplingSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"epoch mixture must not shuffle:\n$plan")
   }
 
+  test("heap path honors nulls-last requests, rejects desc_nulls_first") {
+    val df = Seq(("g", Some(10L), 1L), ("g", None, 2L), ("g", Some(5L), 3L))
+      .toDF("grp", "score", "id")
+    // desc_nulls_last is exactly what the heap implements — accepted
+    val ok = Sampling.quotaPerGroup(df, Seq("grp"),
+      Seq($"score".desc_nulls_last, $"id".asc), k = 2)
+      .select($"id").as[Long].collect().sorted
+    assert(ok.toSeq == Seq(1L, 3L))
+    // desc_nulls_first cannot be honored — loud failure, not silent flip
+    intercept[IllegalArgumentException] {
+      Sampling.quotaPerGroup(df, Seq("grp"),
+        Seq($"score".desc_nulls_first, $"id".asc), k = 2).collect()
+    }
+  }
+
+  test("weightedMixture rejects upsampling rates, pointing at epochMixture") {
+    intercept[IllegalArgumentException] {
+      Sampling.weightedMixture(Seq(docs -> 2.0), "doc_id")
+    }
+  }
+
   test("hashSplit rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))

@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("sessionizeStream: late in-gap events extend the session backward") {
+    import java.sql.Timestamp
+    val dir = tmpDir("events-late") + "/events"
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: events at 10:10 and 10:20 (open session), plus a far-future
+    // event to advance the watermark later
+    Seq((1L, ts(10), 1.0), (1L, ts(20), 1.0))
+      .toDF("user_id", "ts", "value").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.sessionizeStream(spark, dir, schema, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("late_t").start()
+    q.processAllAvailable()
+    // batch 2: a LATE event at 10:05 (in-gap, precedes the open session's
+    // start) and a far event that closes the session via gap
+    Seq((1L, ts(5), 1.0), (2L, Timestamp.valueOf("2024-01-01 23:00:00"), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // batch 3: advance user 1 past the gap so the session closes
+    Seq((1L, Timestamp.valueOf("2024-01-01 12:00:00"), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("late_t").filter($"user_id" === 1L).collect()
+    assert(closed.length == 1)
+    // the late 10:05 event extended the session backward, matching batch
+    assert(closed.head.getAs[Timestamp]("session_start") == ts(5))
+    assert(closed.head.getAs[Long]("n_events") == 3L)
+  }
+
   test("stream-stream attribution join matches its batch twin on a closed input") {
     val dir = tmpDir("events-attr") + "/events"
     graft.sources.EventsSource.read(spark, sf("events")).write.parquet(dir)
