@@ -690,6 +690,14 @@ object SparkEntry {
         windowChars = 20, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- uniform per-group sampling (Sampling extension) ----------------
+    "q61_uniform_per_group" -> ((s, dir) => {
+      Sampling.uniformPerGroup(read(s, dir, "documents"), Seq("source"),
+        "doc_id", k = 5)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1361,5 +1369,13 @@ object SparkEntry {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND len(list_intersect(a.sh, b.sh))::DOUBLE
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    "q61_uniform_per_group" ->
+      """SELECT source, doc_id, sample_rank FROM (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS sample_rank
+           FROM documents) t
+         WHERE sample_rank <= 5
+         ORDER BY source, sample_rank""")
 }

@@ -81,6 +81,23 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.filter(hexBucket(col(idCol), salt) < lit(fractionHex(fraction)))
 
+  /** Uniform k-per-group sample: keep k rows of each group chosen by hash
+    * rank (md5 of the id), NOT by a quality ordering — the unbiased
+    * counterpart of [[quotaPerGroup]] for when the cap must not prefer any
+    * property of the rows. Deterministic (pure function of ids + salt),
+    * stable under repartitioning, and runs on the same k-bounded heap
+    * aggregate, so each partition ships at most k rows per group into the
+    * shuffle. Output adds `sample_rank` (1-based hash-rank order). */
+  def uniformPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("__rk"), "column __rk would collide")
+    quotaPerGroup(
+        df.withColumn("__rk", md5(concat(lit(salt), col(idCol).cast("string")))),
+        groupCols, Seq(col("__rk").asc, col(idCol).asc), k)
+      .withColumnRenamed("quota_rank", "sample_rank")
+      .drop("__rk")
+  }
+
   /** Upper-bound hex threshold for a keep-fraction: "g" (lexically above
     * every hex bucket) for fraction ≥ 1 so full strata keep ALL rows
     * (including bucket ffff). */

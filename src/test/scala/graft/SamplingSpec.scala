@@ -144,6 +144,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"epoch mixture must not shuffle:\n$plan")
   }
 
+  test("uniformPerGroup: k per group by hash rank, deterministic, unbiased order") {
+    val out = Sampling.uniformPerGroup(docs, Seq("source"), "doc_id", k = 5)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect()
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    counts.foreach { case (s, n) => assert(n == math.min(5L, full(s))) }
+    assert(out.columns.contains("sample_rank") && !out.columns.contains("__rk"))
+    // deterministic under repartitioning
+    val again = Sampling.uniformPerGroup(docs.repartition(7), Seq("source"), "doc_id", k = 5)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // a different salt draws a different sample
+    val other = Sampling.uniformPerGroup(docs, Seq("source"), "doc_id", k = 5, salt = "x:")
+    assert(out.select("doc_id").exceptAll(other.select("doc_id")).count() > 0)
+  }
+
   test("heap path honors nulls-last requests, rejects desc_nulls_first") {
     val df = Seq(("g", Some(10L), 1L), ("g", None, 2L), ("g", Some(5L), 3L))
       .toDF("grp", "score", "id")
