@@ -698,6 +698,17 @@ object SparkEntry {
         "doc_id", k = 5)
         .select(col("source"), col("doc_id"), col("sample_rank"))
         .orderBy(col("source"), col("sample_rank"))
+    }),
+
+    // ---- end-to-end near-dup removal (Dedup convenience) ----------------
+    "q62_drop_near_dups" -> ((s, dir) => {
+      // LSH candidate net is 100%-recall on this corpus at oracle scale
+      // (same argument as q25), so the kept set equals the exact-pair
+      // computation the oracle runs
+      Dedup.dropNearDuplicates(read(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.7)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1377,5 +1388,11 @@ object SparkEntry {
              ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS sample_rank
            FROM documents) t
          WHERE sample_rank <= 5
-         ORDER BY source, sample_rank""")
+         ORDER BY source, sample_rank""",
+    "q62_drop_near_dups" ->
+      s"""WITH pairs AS (${jaccardPairsSql(0.7)}),
+          losers AS (SELECT DISTINCT id_b FROM pairs)
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id_b FROM losers)
+          ORDER BY doc_id""")
 }

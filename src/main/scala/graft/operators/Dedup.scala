@@ -193,6 +193,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The corpus after near-duplicate removal: for every near-dup pair
+    * found by [[minhashLsh]], the larger id loses (greedy pair-wise
+    * winner; transitive clusters collapse to their smallest id whenever
+    * the chain is fully connected — exact clustering would need iterative
+    * connected components, deliberately out of scope for one pass). One
+    * anti-join over the loser set; all original columns preserved. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
+      numBands, threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
   /** 64-bit SimHash of the token multiset — compiled kernel. */
   def simhash(text: Column): Column = TextKernelFunctions.simhash64(text)
 

@@ -62,6 +62,14 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.charNgramJaccard(short, "doc_id", "text", windowChars = 20).isEmpty)
   }
 
+  test("dropNearDuplicates removes pair losers, keeps uniques and winners") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // pairs (1,2),(1,3),(2,3): losers 2 and 3; 1 survives, 4 and 5 untouched
+    assert(kept == Seq(1L, 4L, 5L))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("ngram jaccard maxDocFreq caps hot shingles: bounded join, boilerplate pairs dropped") {
     // 40 docs all opening with the same boilerplate shingle; only two are
     // real near-dups. Uncapped, the boilerplate shingle alone contributes
