@@ -709,6 +709,17 @@ object SparkEntry {
         threshold = 0.7)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- transitive near-dup clusters (iterative connected components) --
+    "q63_neardup_clusters" -> ((s, dir) => {
+      // exact transitive clustering over the LSH pair graph (100%-recall
+      // net at oracle scale, same argument as q25/q62); the oracle
+      // recomputes components with a recursive CTE
+      Dedup.nearDupClusters(read(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.7)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1394,5 +1405,15 @@ object SparkEntry {
           losers AS (SELECT DISTINCT id_b FROM pairs)
           SELECT doc_id, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id_b FROM losers)
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "q63_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.7)}),
+          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+          SELECT a AS doc_id, min(b) AS component
+          FROM reach GROUP BY a ORDER BY doc_id""")
 }

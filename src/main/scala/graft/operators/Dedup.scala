@@ -213,6 +213,26 @@ object Dedup {
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
   }
 
+  /** EXACT transitive near-duplicate clusters: every document labeled with
+    * the smallest id of its connected component in the [[minhashLsh]] pair
+    * graph (docs in no pair are their own component). The iterative
+    * complement of [[dropNearDuplicates]]'s greedy single pass — use this
+    * when chains matter (A≈B, B≈C, A̸≈C must still collapse to one
+    * cluster). Iteration cost is bounded by the pair subgraph, not the
+    * corpus ([[Components.connectedComponents]]). */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val edges = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
+      numBands, threshold).select(col("id_a"), col("id_b"))
+    Components.connectedComponents(df.select(col(idCol).as("id")), edges)
+  }
+
   /** 64-bit SimHash of the token multiset — compiled kernel. */
   def simhash(text: Column): Column = TextKernelFunctions.simhash64(text)
 
