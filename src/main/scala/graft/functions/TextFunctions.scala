@@ -26,10 +26,11 @@ object TextFunctions {
 
   /** BPE-ish subword count estimate: whitespace tokens further split on
     * letter/digit/punctuation boundaries — a cheap, deterministic proxy for
-    * tokenizer cost without shipping a vocab. */
+    * tokenizer cost without shipping a vocab. Compiled kernel: the
+    * declarative `size(filter(split(…lookaround regex…)))` form runs its
+    * ArrayFilter lambda interpreted (measured 4.1× slower at sf0.1). */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
-      t => length(t) > 0))
+    graft.functions.kernels.TextKernelFunctions.subwordCount(text)
 
   /** Word n-gram shingles joined by single spaces (basis for MinHash /
     * Jaccard dedup). Returns an empty array when there are fewer than `n`

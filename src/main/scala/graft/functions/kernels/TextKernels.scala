@@ -236,6 +236,37 @@ object TextKernels { // public: generated code references it by name
     out
   }
 
+  /** BPE-ish subword count: the number of maximal same-class runs of
+    * letters (`\p{L}`) or numbers (`\p{N}`) in the lowercased text — i.e.
+    * alnum runs split again at letter↔digit transitions. One compiled
+    * codepoint scan, no array materialization; replaces
+    * `size(filter(split(lower(text), <lookaround regex>), t => length(t) > 0))`
+    * whose ArrayFilter lambda runs interpreted (measured 4.1× on q27).
+    * Lowercasing is kept for bit-parity with the declarative form: a few
+    * codepoints change category under toLowerCase (e.g. U+0130 İ → i +
+    * combining mark), which shifts run boundaries. */
+  def subwordCount(s: UTF8String): Int = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    var count = 0
+    var prev = 0 // 0 = other, 1 = letter, 2 = number
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val cls =
+        if (Character.isLetter(cp)) 1
+        else {
+          val t = Character.getType(cp)
+          if (t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+            t == Character.OTHER_NUMBER) 2
+          else 0
+        }
+      if (cls != 0 && cls != prev) count += 1
+      prev = cls
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
   /** Unicode NFC normalization. Fast path: pure-ASCII strings (the bulk of
     * English corpora) are already NFC — checked bytewise without decoding. */
   def nfcNormalize(s: UTF8String): UTF8String = {
@@ -372,6 +403,23 @@ case class CharShingleHashSetExpr(child: Expression, n: Int)
   override def prettyName: String = "char_shingle_hash_set"
 }
 
+/** Subword count (maximal letter/number runs) of a text column. Generates
+  * code (a call into the compiled kernel) so it stays inside whole-stage
+  * codegen spans. */
+case class SubwordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.subwordCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.TextKernels.subwordCount($c)")
+  override protected def withNewChildInternal(c: Expression): SubwordCountExpr =
+    copy(child = c)
+  override def prettyName: String = "subword_count"
+}
+
 /** Unicode NFC normalization of a string column. Generates code (a call
   * into the compiled kernel, with an ASCII fast path) so it stays inside
   * whole-stage codegen. */
@@ -406,6 +454,8 @@ object TextKernelFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def topFreqShare(hashes: Column): Column =
     ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))
+  def subwordCount(text: Column): Column =
+    ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(text)))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
   def charShingleHashSet(text: Column, n: Int): Column =

@@ -71,6 +71,26 @@ class KernelSpec extends SparkSpecBase {
     assert(rows(1).getInt(0) > 10)
   }
 
+  test("subword count kernel matches the declarative lookaround-split reference") {
+    val texts = Seq(
+      "hello world", "abc123def", "  GPT-4 turbo v2  ", "", "   ",
+      "one,two;three", "x9y8z7", "42", "a1 b2 c3", "snake_case camelCase2",
+      "été café 2024", "!!!", "a", "3.14 is pi", "foo\tbar\nbaz")
+    val df = texts.toDF("t")
+    val reference = size(filter(
+      split(lower(trim($"t")),
+        "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(t) > 0))
+    val rows = df.select(TextKernelFunctions.subwordCount($"t"), reference).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch for '$t'")
+    }
+    // spot-check absolute values: runs split at letter<->digit transitions
+    val direct = Seq("abc123def").toDF("t")
+      .select(TextKernelFunctions.subwordCount($"t")).head().getInt(0)
+    assert(direct == 3)
+  }
+
   test("kernels are null-safe") {
     val df = Seq[(String, Option[String])](("a b c", None)).toDF("a", "b")
     val r = df.select(TextKernelFunctions.simhash64($"b"),
