@@ -95,11 +95,21 @@ object Similarity {
     * (≤ `sampleSize` vectors) trains on the driver — k-means training data
     * never needs to exceed ~100× the centroid count, so at 100 TB this is
     * still a bounded, seconds-long step; assignment (the expensive part)
-    * stays fully distributed. Deterministic for a given seed. */
+    * stays fully distributed.
+    *
+    * The sample is the `sampleSize` vectors with the smallest
+    * `xxhash64(vec, seed)` — a deterministic uniform draw over the WHOLE
+    * corpus, independent of file layout (a plain `limit()` would take the
+    * first partition's rows only, and centroids trained on one shard's
+    * distribution collapse IVF recall on the rest). Physically this is
+    * TakeOrderedAndProject: each partition keeps a `sampleSize` heap, only
+    * the winners reach the driver — one scan, no shuffle. */
   def trainCentroids(corpus: DataFrame, vecCol: String, numLists: Int,
       sampleSize: Int = 4096, iterations: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleSize)
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc, col(vecCol).asc)
+      .limit(sampleSize)
       .collect().map { case Row(v: scala.collection.Seq[_]) =>
         normalize(v.map(x => x.asInstanceOf[Number].doubleValue()).toArray)
       }

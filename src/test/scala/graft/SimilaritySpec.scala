@@ -92,4 +92,34 @@ class SimilaritySpec extends SparkSpecBase {
     val cts2 = Similarity.trainCentroids(corpus, "embedding", numLists = 4, seed = 1L)
     assert(cts.map(_.toSeq).toSeq == cts2.map(_.toSeq).toSeq) // same seed, same model
   }
+
+  test("centroid training samples the whole corpus, not the first partition") {
+    import spark.implicits._
+    // 4 partitions, each holding ONLY one orthogonal cluster: a first-N
+    // sample would see a single cluster and every centroid would collapse
+    // onto it; a corpus-wide sample must produce a centroid near each axis.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4).flatMap { p =>
+      (0 until 200).map { i =>
+        val v = new Array[Float](8)
+        v(p) = 10.0f
+        (p, (p * 200 + i).toLong, v.map(x => x + rnd.nextGaussian().toFloat * 0.2f))
+      }
+    }
+    val corpus = rows.toDF("pid", "vec_id", "embedding")
+      .repartition(4, $"pid") // co-locates each cluster in one partition
+    // sampleSize 100 < one partition's 200 rows: the old limit() sample
+    // never left partition 0
+    val cts = Similarity.trainCentroids(corpus, "embedding", numLists = 4,
+      sampleSize = 100, seed = 42L)
+    (0 until 4).foreach { axis =>
+      val bestCos = cts.map(c => c(axis) / math.sqrt(c.map(x => x * x).sum)).max
+      assert(bestCos > 0.9, s"no centroid near axis $axis (best cosine $bestCos)")
+    }
+    // layout-independence: a different partitioning yields the same sample
+    val cts2 = Similarity.trainCentroids(
+      rows.toDF("pid", "vec_id", "embedding").repartition(13, $"vec_id"),
+      "embedding", numLists = 4, sampleSize = 100, seed = 42L)
+    assert(cts.map(_.toSeq).toSeq == cts2.map(_.toSeq).toSeq)
+  }
 }
