@@ -720,6 +720,19 @@ object SparkEntry {
         threshold = 0.7)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- capped n-gram Jaccard (the 100 TB production mode) -------------
+    "q64_ngram_capped" -> ((s, dir) => {
+      // maxDocFreq bounds the df^2 self-join blowup; the oracle mirrors the
+      // cap semantics exactly (df over distinct per-doc shingles, inter
+      // over kept shingles, jaccard against FULL set sizes), so this checks
+      // the capped path bit-for-bit — including the documented jaccard
+      // underestimate on hot-shingle pairs.
+      Dedup.ngramJaccard(read(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.7, maxDocFreq = Some(5L))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
@@ -1415,5 +1428,31 @@ object SparkEntry {
             UNION
             SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
           SELECT a AS doc_id, min(b) AS component
-          FROM reach GROUP BY a ORDER BY doc_id""")
+          FROM reach GROUP BY a ORDER BY doc_id""",
+    // Capped n-gram Jaccard: the oracle re-implements the maxDocFreq
+    // semantics — shingles with document frequency > 5 are dropped BEFORE
+    // pair counting, while jaccard still divides by the full set sizes
+    // (Dedup.shingleSetJaccard's documented recall-cap trade-off).
+    "q64_ngram_capped" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM s),
+         hot AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 5),
+         kept AS (SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+           FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           round(inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE, 4) AS jaccard
+         FROM pairs
+         WHERE inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE >= 0.7
+         ORDER BY id_a, id_b""")
 }
