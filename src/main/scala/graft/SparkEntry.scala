@@ -733,7 +733,75 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.7, maxDocFreq = Some(5L))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- streaming execution paths under the oracle ---------------------
+    // Each stages the events table to micros parquet (what an ingestion
+    // layer lands — the streaming source rejects TIMESTAMP(NANOS)), runs
+    // the REAL streaming query to completion on it (memory sink), and
+    // returns the sink table; the oracle recomputes the closed-set result
+    // in SQL. These check the stream execution path itself, not a twin.
+    "q65_sessionize_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val sessions = runToCompletion(s, "q65_sess",
+        EventStream.sessionizeStream(s, staged, schema, gapMinutes = 30))
+      // emitted ⟺ the final watermark (max ts, ms-floored, minus the gap
+      // delay) is strictly past session_end + gap — watermark-complete
+      sessions.select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q66_dedup_stream" -> ((s, dir) => {
+      // duplicate every event, then streaming-dedup on event_id: the
+      // closed-set result is each event exactly once
+      val staged = stageEventsMicros(s, dir, duplicate = true)
+      val schema = s.read.parquet(staged).schema
+      val out = runToCompletion(s, "q66_dedup",
+        EventStream.dedupStream(s, staged, schema, Seq("event_id")))
+      out.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+    "q67_attribution_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val pairs = runToCompletion(s, "q67_attr",
+        EventStream.attributionJoinStream(s, staged, schema, maxLagMinutes = 30))
+      // stream-stream inner join with both-sided watermarks emits every
+      // matched pair on a closed input — same oracle as the batch twin q54
+      pairs.select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("view_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("purchase_id"), col("view_id"))
     }))
+
+  /** Stage the events table as microsecond-timestamp parquet in a scratch
+    * dir (the shape an ingestion layer lands; the streaming parquet source
+    * rejects TIMESTAMP(NANOS)). `duplicate` doubles every row — the dedup
+    * fixture. */
+  private def stageEventsMicros(s: SparkSession, dir: String,
+      duplicate: Boolean = false): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val ev = EventsSource.read(s, s"$dir/events.parquet")
+    (if (duplicate) ev.union(ev) else ev).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Run a streaming DataFrame to completion on its (static) source via a
+    * memory sink and return the sink table. */
+  private def runToCompletion(s: SparkSession, name: String,
+      stream: DataFrame): DataFrame = {
+    s.catalog.dropTempView(name) // re-runs in one session
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
 
   /** Exact shingle-Jaccard pairs in DuckDB — the oracle for every
     * LSH-candidate + exact-verify dedup operator (q20 ngramJaccard exact
@@ -1454,5 +1522,51 @@ object SparkEntry {
            round(inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE, 4) AS jaccard
          FROM pairs
          WHERE inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE >= 0.7
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    // Streaming sessionization, closed-set contract: exactly the batch
+    // sessions sealed by the final watermark. The watermark is the
+    // ms-floored max event time minus the 30-min delay; a session is
+    // sealed when the watermark is strictly past session_end + gap.
+    "q65_sessionize_stream" ->
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e),
+         g AS (
+           SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                  count(*) AS n_events, round(sum(value), 2) AS session_value
+           FROM s GROUP BY user_id, sid),
+         wm AS (SELECT (epoch_ms(max(ts)) - 1800000) * 1000 AS wm_us FROM events)
+         SELECT user_id,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, session_value
+         FROM g, wm
+         WHERE epoch_us(session_end) + 1800000000 < wm_us
+         ORDER BY user_id, session_start""",
+    // Streaming dedup over the doubled fixture: each event exactly once
+    "q66_dedup_stream" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+         FROM events ORDER BY event_id""",
+    // Identical to q54: the both-sided-watermark stream-stream inner join
+    // emits every matched pair on a closed input
+    "q67_attribution_stream" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, event_id AS view_id, ts AS vts
+                    FROM events WHERE event_type = 'view')
+         SELECT purchase_id, user_id, epoch_us(p.ts) AS purchase_ts_us,
+                view_id, epoch_us(vts) AS view_ts_us
+         FROM p JOIN v USING (user_id)
+         WHERE vts <= p.ts
+           AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000
+         ORDER BY purchase_id, view_id""")
 }

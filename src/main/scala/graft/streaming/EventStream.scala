@@ -68,20 +68,26 @@ object EventStream {
     * extension point — no built-in operator has open-ended gap-session
     * semantics with per-key custom state).
     *
-    * Per user the state holds the one open session (start/end/count/sum —
-    * O(1) per key, no event buffering). Each micro-batch folds its events
-    * in timestamp order: an event within `gapMinutes` of the open session's
-    * end extends it, otherwise the open session is emitted closed and a new
-    * one starts. The timeout is re-armed to `session_end + gap`; when the
-    * watermark passes it, the session is emitted by the timeout path and
-    * state is dropped — so state size is bounded by the number of *active*
-    * users inside the watermark horizon, the property that keeps this
-    * runnable forever on an unbounded stream.
+    * Per user the state holds the OPEN SESSIONS inside the watermark
+    * horizon (each a start/end/count/sum summary — no event buffering).
+    * Usually that is one session; it is a list because a late straggler
+    * that is gap-separated from the newest session must be HELD, not
+    * emitted: a later event still above the watermark can fall within
+    * `gapMinutes` of it, and the batch twin would merge the two. Each
+    * micro-batch merges its events into the session list interval-wise
+    * (the same gap-chain algebra the batch twin applies globally), then
+    * emits exactly the sessions whose `end + gap` the watermark has
+    * passed — no in-horizon event can ever extend those, because rows
+    * below the watermark are dropped before this operator. The event-time
+    * timeout is armed at the earliest live `end + gap` so idle users
+    * drain without new data. State is bounded by the number of active
+    * users × sessions per watermark horizon (≤ horizon/gap + 1), the
+    * property that keeps this runnable forever on an unbounded stream.
     *
-    * Closed-set caveat (asserted in the spec): sessions still open when the
-    * input is exhausted sit in state waiting for a watermark that no longer
-    * advances, so on a static directory the output is exactly the batch
-    * result *minus* each user's final session. */
+    * Emission is therefore watermark-complete and nothing else:
+    * `streamed ⊆ batch` structurally, and on a static directory the
+    * output is exactly the batch sessions with
+    * `session_end + gap < final watermark` (asserted in the spec). */
   def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
       gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -105,44 +111,45 @@ object EventStream {
         // same rounding contract as the batch twin's round(sum, 2): HALF_UP
         BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+    // Emit sessions the watermark has sealed; keep the rest in state with
+    // the timeout armed at the earliest live end+gap. Strict `<`: an event
+    // at exactly end+gap == watermark is not late and still extends.
+    def flush(userId: Long, sessions: Seq[OpenSession],
+        state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val (expired, live) = sessions.partition(s => s.endUs + gapUs < wmUs)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(live))
+        // Arm at floor(end+gap in ms): the timeout fires when the watermark
+        // is STRICTLY past it, and wm_ms > floor(X_us/1000) ⟺ wm_us > X_us
+        // (the watermark is ms-quantized) — so timeout-fire ⟺ sealed, with
+        // no sub-millisecond gap between the two conditions. Clamped above
+        // the current watermark per the GroupState contract.
+        val dueMs = live.map(s => Math.floorDiv(s.endUs + gapUs, 1000L)).min
+        state.setTimeoutTimestamp(math.max(dueMs, state.getCurrentWatermarkMs + 1L))
+      }
+      expired.sortBy(_.startUs).map(close(userId, _)).iterator
+    }
+
     def fold(userId: Long, events: Iterator[SessionEvent],
-        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(close(userId, _)).iterator
-        state.remove()
-        return out
+        state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
+      val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      if (state.hasTimedOut) return flush(userId, prior, state)
+      // per-batch in-memory merge: bounded by one user's events in one
+      // micro-batch plus its open sessions (state never buffers events)
+      val items = (prior ++ events.map(e =>
+          OpenSession(micros(e.ts), micros(e.ts), 1, e.value)))
+        .sortBy(s => (s.startUs, s.endUs))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+      items.foreach { s =>
+        if (merged.nonEmpty && s.startUs - merged.last.endUs <= gapUs) {
+          val l = merged.last
+          merged(merged.length - 1) = OpenSession(l.startUs,
+            math.max(l.endUs, s.endUs), l.n + s.n, l.sum + s.sum)
+        } else merged += s
       }
-      // per-batch in-memory sort: bounded by one user's events in one
-      // micro-batch (the state itself never buffers events)
-      val sorted = events.toArray.sortBy(e => micros(e.ts))
-      val closed = Seq.newBuilder[ClosedSession]
-      var open = state.getOption
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        open match {
-          // in-gap events from a LATER micro-batch may precede the open
-          // session (late but inside the watermark): they extend the
-          // session backward, matching the batch twin's global sort
-          case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
-            open = Some(OpenSession(math.min(s.startUs, t), math.max(s.endUs, t),
-              s.n + 1, s.sum + e.value))
-          case Some(s) if t < s.startUs - gapUs =>
-            // gap-separated BEFORE the open session: a late straggler that
-            // forms its own (already closed) session — emit immediately,
-            // never absorb it into the newer session
-            closed += close(userId, OpenSession(t, t, 1, e.value))
-          case Some(s) =>
-            closed += close(userId, s)
-            open = Some(OpenSession(t, t, 1, e.value))
-          case None =>
-            open = Some(OpenSession(t, t, 1, e.value))
-        }
-      }
-      open.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L) // timeout API is millis
-      }
-      closed.result().iterator
+      flush(userId, merged.toSeq, state)
     }
 
     spark.readStream.schema(schema).parquet(dir)
@@ -246,9 +253,14 @@ object EventStream {
 /** One event as seen by the session-state machine. */
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-/** The open session per user — fixed-size state, no event buffering.
+/** One open session summary — fixed size, no event buffering.
   * Timestamps in epoch microseconds (event precision). */
 final case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+/** Per-user session state: the gap-disjoint open sessions still inside the
+  * watermark horizon (almost always one; more when late stragglers are
+  * being held for possible merges). */
+final case class OpenSessions(sessions: Seq[OpenSession])
 
 /** An emitted (gap-closed or timed-out) session; mirrors the batch
   * [[EventStream.sessionize]] output schema. */

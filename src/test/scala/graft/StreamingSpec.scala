@@ -38,17 +38,45 @@ class StreamingSpec extends SparkSpecBase {
       .select($"user_id", $"session_start", $"session_end", $"n_events", $"session_value")
 
     // Closed-set semantics: a static source stops advancing the watermark at
-    // max(ts) - gap, so sessions ending after that line are still open in
-    // state. Everything emitted must be a batch session, and every batch
-    // session that the final watermark passed must have been emitted.
+    // max(ts) - gap, and a session is sealed only once the watermark passes
+    // its end + gap (an earlier emit could still be merged with a late
+    // in-horizon event). Everything emitted must be a batch session, and
+    // every batch session sealed by the final watermark must have been
+    // emitted: due ⟺ end + gap < maxTs - gap.
     val maxTs = events.agg(max($"ts")).as[java.sql.Timestamp].head()
-    val horizon = new java.sql.Timestamp(maxTs.getTime - gap * 60000L)
+    val sealLine = new java.sql.Timestamp(maxTs.getTime - 2L * gap * 60000L)
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty,
       "stream emitted a session the batch twin does not have")
-    val due = batch.filter($"session_end" < lit(horizon))
+    val due = batch.filter($"session_end" < lit(sealLine))
     assert(due.exceptAll(streamed).isEmpty,
       "a watermark-expired session was never emitted")
+  }
+
+  test("sessionizeStream holds stragglers until sealed — no sub-batch sessions") {
+    import java.sql.Timestamp
+    val dir = tmpDir("events-straggle") + "/events"
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    // batch 1: a straggler at 12:50 and a gap-separated event at 13:30 in
+    // the SAME batch. The old code emitted [12:50,12:50] immediately; but
+    // 13:10 (still above the 13:00 watermark) arrives later and bridges
+    // them — the batch twin has ONE session 12:50..13:30, so the early
+    // emit violated streamed ⊆ batch.
+    Seq((1L, t("12:50"), 1.0), (1L, t("13:30"), 1.0))
+      .toDF("user_id", "ts", "value").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.sessionizeStream(spark, dir, schema, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("straggle_t").start()
+    q.processAllAvailable()
+    // batch 2: the bridging event, plus a far event to advance the watermark
+    Seq((1L, t("13:10"), 1.0), (2L, t("23:00"), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("straggle_t").filter($"user_id" === 1L).collect()
+    assert(out.length == 1, s"expected one merged session, got ${out.toSeq}")
+    assert(out.head.getAs[Timestamp]("session_start") == t("12:50"))
+    assert(out.head.getAs[Timestamp]("session_end") == t("13:30"))
+    assert(out.head.getAs[Long]("n_events") == 3L)
   }
 
   test("streaming dedup drops in-watermark repeats, keeps one row per key") {
