@@ -26,7 +26,15 @@ object Components {
   /** Connected components of the undirected graph `edges` (`id_a`,`id_b`)
     * over `vertices` (single column `id`). Output: `(id, component)` where
     * `component` is the smallest id in the vertex's component; vertices
-    * with no edges are their own component. */
+    * with no edges are their own component.
+    *
+    * Per round: ONE checkpoint job materializes the new labels (with a
+    * per-row `changed` flag folded into the same projection), plus one
+    * cheap `isEmpty` probe over the just-cached blocks — no separate
+    * old-vs-new join. Each round releases the previous round's checkpoint
+    * blocks; `sym`/`touched` are released in a finally (the
+    * non-convergence throw included). Only the FINAL labels checkpoint
+    * stays cached — the returned plan reads from it. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
@@ -38,36 +46,48 @@ object Components {
     val touched = sym.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = touched.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"))
-        .localCheckpoint(true) // materializes AND cuts lineage
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds — " +
-          "raise maxIter (component diameter exceeds the bound)")
+    try {
+      var labels = touched.select(col("id"), col("id").as("component"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("component")).as("nbr_comp"))
+        // the changed flag rides in the checkpointed projection: the
+        // convergence probe below scans cached blocks, no join, no shuffle
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(col("component"), coalesce(col("nbr_comp"), col("component")))
+              .as("component"),
+            (coalesce(col("nbr_comp"), col("component")) < col("component"))
+              .as("__chg"))
+          .localCheckpoint(true) // materializes AND cuts lineage
+        converged = next.filter(col("__chg")).isEmpty
+        releaseCheckpoint(labels)
+        labels = next.drop("__chg")
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds — " +
+            "raise maxIter (component diameter exceeds the bound)")
 
-    val singletons = vertices.select(col("id"))
-      .join(touched, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    val out = labels.unionByName(singletons)
-    sym.unpersist(); touched.unpersist()
-    out
+      val singletons = vertices.select(col("id"))
+        .join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      labels.unionByName(singletons)
+    } finally {
+      sym.unpersist(); touched.unpersist()
+    }
   }
+
+  /** Release the cached blocks behind a `localCheckpoint(true)` DataFrame.
+    * `Dataset.unpersist` only consults the CacheManager (checkpoints are
+    * not registered there); the blocks belong to the underlying RDD. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

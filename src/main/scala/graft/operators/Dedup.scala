@@ -24,11 +24,12 @@ import graft.functions.kernels.{TextKernelFunctions, VectorKernelFunctions}
   *
   * Cache lifecycle: the LSH operators persist their kernel-column base
   * (MEMORY_AND_DISK) because it feeds both the banding plan and the
-  * verification joins. The returned DataFrame references that cache
-  * lazily, so the operator cannot unpersist it itself; blocks are evicted
-  * LRU under memory pressure, but long-lived applications issuing many
-  * dedup calls should release them after materializing the result
-  * (`spark.catalog.clearCache()` or `df.unpersist()` on the handle).
+  * verification joins. By default the returned DataFrame references that
+  * cache lazily, so the operator cannot unpersist it itself; blocks are
+  * evicted LRU under memory pressure. Long-lived applications issuing
+  * many dedup calls should pass `materialize = true`: the (small) pair
+  * result is evaluated into a lineage-free checkpoint and the base cache
+  * is released before the call returns.
   */
 object Dedup {
 
@@ -64,7 +65,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
     val rowsPerBand = numHashes / numBands
 
@@ -93,8 +95,23 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold)
+    released(
+      verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold),
+      base, materialize)
   }
+
+  /** With `materialize` set: evaluate the (small) result into a
+    * lineage-free local checkpoint and release the operator's base cache
+    * before returning — the eager-release mode for long-lived apps. The
+    * default lazy mode returns the plan untouched. */
+  private def released(result: DataFrame, base: DataFrame,
+      materialize: Boolean): DataFrame =
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      base.unpersist(false)
+      out
+    }
 
   /** Exact Jaccard on candidate pairs via the (distinct, sorted) shingle-hash
     * sets. Candidates are already unique pairs. Two exact pruning layers
@@ -297,7 +314,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxHamming: Option[Int] = None,
-      numChunks: Int = 8): DataFrame = {
+      numChunks: Int = 8,
+      materialize: Boolean = false): DataFrame = {
     maxHamming.foreach(mh => require(mh < numChunks,
       s"pigeonhole guarantee needs maxHamming ($mh) < numChunks ($numChunks)"))
     require(64 % numChunks == 0, "numChunks must divide 64")
@@ -331,7 +349,9 @@ object Dedup {
     val pruned = maxHamming.fold(joined)(mh =>
       joined.filter(hammingDistance(col("sh_a"), col("sh_b")) <= mh))
     val candidates = pruned.select("id_a", "id_b").distinct()
-    verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold)
+    released(
+      verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold),
+      base, materialize)
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-projection LSH banding:
@@ -345,7 +365,8 @@ object Dedup {
       threshold: Double = 0.95,
       numBits: Int = 32,
       numBands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      materialize: Boolean = false): DataFrame = {
     require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     val bitsPerBand = numBits / numBands
     // persisted: feeds banding and both verification-join sides (see
@@ -364,9 +385,11 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    candidates.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        VectorKernelFunctions.cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    released(
+      candidates.join(va, "id_a").join(vb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          VectorKernelFunctions.cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      base, materialize)
   }
 }

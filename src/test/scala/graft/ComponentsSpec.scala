@@ -31,6 +31,54 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("per round: one checkpoint + one probe job, prior checkpoints released") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    spark.sparkContext.addSparkListener(listener)
+    // AQE splits every shuffling query into per-stage jobs, which makes
+    // job counts non-deterministic — disable it here so the contract is
+    // crisp: one checkpoint job + one cached-probe job per round
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // chain 1-2-3-4-5: min-label needs 4 propagation rounds + 1 confirm
+      val vertices = (1L to 5L).toDF("id")
+      val edges = (1L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val out = Components.connectedComponents(vertices, edges, maxIter = 10)
+      assert(out.as[(Long, Long)].collect().forall(_._2 == 1L))
+      // listener events are async; small drain window before counting
+      Thread.sleep(500)
+      // 5 rounds × (checkpoint + broadcast builds + isEmpty probe) +
+      // initial checkpoint + final collect ≈ 21 measured. A regression
+      // tripwire, not an exact contract (broadcast exchanges count as
+      // jobs): the old per-round old-vs-new join+count sat well above it
+      assert(jobs.get() <= 25, s"too many jobs per round: ${jobs.get()}")
+      // every intermediate round's checkpoint blocks are released: at most
+      // the FINAL labels checkpoint outlives the call
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1, s"leaked cached RDDs: $leaked")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("non-convergence throw still releases the edge/vertex caches") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val vertices = (1L to 12L).toDF("id")
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(vertices, edges, maxIter = 2)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // sym/touched released on the throw path; only checkpoint labels from
+    // the aborted run may remain (final + at most the in-flight round)
+    assert(after.size <= 2, s"leaked caches on throw: $after")
+  }
+
   test("nearDupClusters collapses the transitive near-dup chain") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),

@@ -36,6 +36,31 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("materialize mode: same pairs, base cache released before return") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // release the lazy run's base handle
+    val eager = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.5,
+      materialize = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the base MEMORY_AND_DISK cache is gone; only the (tiny) result
+    // checkpoint survives the call
+    assert(leaked.size <= 1, s"base cache not released: $leaked")
+    assert(eager.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == lazyPairs)
+    // same contract on the other two LSH operators
+    Dedup.simhashNearDup(docs, "doc_id", "text", threshold = 0.5,
+      materialize = true).collect()
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i % 4) + d).toFloat))).toDF("id", "vec")
+    Dedup.embeddingNearDup(vecs, "id", "vec", dim = 8, threshold = 0.99,
+      materialize = true).collect()
+    val leakedAll = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedAll.size <= 3, s"LSH base caches not released: $leakedAll")
+  }
+
   test("minhash jaccard value is exact on verified pairs") {
     val r = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.0)
