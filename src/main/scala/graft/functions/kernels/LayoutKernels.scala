@@ -14,13 +14,29 @@ object LayoutKernels {
     * close in EVERY dimension (the space-filling-curve locality property;
     * Morton 1966, public domain — the same layout trick Delta Lake's
     * OPTIMIZE ZORDER applies). Inputs are `bits`-wide non-negative ints;
-    * `bits * numDims` must fit in 63 bits. */
+    * `bits * numDims` must fit in 63 bits. Both contracts are ENFORCED
+    * here (shift amounts are mod-64 on the JVM, so violations would
+    * silently wrap into corrupted clustering keys; the array length is
+    * only known at runtime, so the expression cannot check at bind time). */
   def interleaveBits(dims: ArrayData, bits: Int): Long = {
     val n = dims.numElements()
+    if (n * bits > 63)
+      throw new IllegalArgumentException(
+        s"$n dims x $bits bits exceeds a long (63 bits) — z-values would wrap")
+    var c = 0
+    while (c < n) {
+      val d = dims.getInt(c)
+      // >>> catches negatives (sign bit survives any <=31-bit shift) and
+      // values wider than `bits` in one test
+      if ((d >>> bits) != 0)
+        throw new IllegalArgumentException(
+          s"dimension $c value $d is negative or exceeds $bits bits")
+      c += 1
+    }
     var out = 0L
     var b = 0
     while (b < bits) {
-      var c = 0
+      c = 0
       while (c < n) {
         out |= ((dims.getInt(c).toLong >> b) & 1L) << (b * n + c)
         c += 1

@@ -184,15 +184,18 @@ object Sampling {
     * Window pass. Use the window path only when k is a large fraction of
     * the group size (heap churn exceeds sort cost). Both paths need
     * `orderBy` to be a total order (include a unique id) for deterministic
-    * output. Heap-path sort keys must be plain `.asc`/`.desc` columns;
-    * note the heap ranks NULL sort keys last, while the window path
-    * follows the usual NULLS FIRST/LAST of each direction. */
+    * output. Heap-path sort keys must be plain `.asc`/`.desc` columns.
+    * NULL sort keys rank LAST on both paths: the window path normalizes
+    * plain-column keys to `asc_nulls_last`/`desc_nulls_last` so flipping
+    * the `heap` flag never changes the selected rows (it reads as a pure
+    * performance switch, and it is one). */
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
       k: Int, heap: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(k > 0, s"quota must be positive: $k")
     if (!heap) {
-      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(nullsLastOrder(orderBy): _*)
       df.withColumn("quota_rank", row_number().over(w))
         .filter(col("quota_rank") <= k)
     } else {
@@ -209,6 +212,34 @@ object Sampling {
           ++ fields.map(n => col("col").getField(n).as(n))
           :+ (col("pos") + 1).cast("int").as("quota_rank")): _*)
         .select((df.columns.map(col) :+ col("quota_rank")): _*)
+    }
+  }
+
+  /** Rewrite plain-column sort keys to rank NULLs last in either direction
+    * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
+    * paths select identical rows. Non-plain-column expressions pass
+    * through untouched (the heap path rejects them anyway). */
+  private def nullsLastOrder(orderBy: Seq[Column]): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+    import org.apache.spark.sql.graft.ColumnBridge
+    def name(e: Any): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    orderBy.map { c =>
+      ColumnBridge.convertedExpression(c) match {
+        case SortOrder(child, dir, _, _) => name(child) match {
+          case Some(n) if dir == Ascending => col(n).asc_nulls_last
+          case Some(n) => col(n).desc_nulls_last
+          case None => c
+        }
+        case other => name(other) match {
+          case Some(n) => col(n).asc_nulls_last
+          case None => c
+        }
+      }
     }
   }
 }

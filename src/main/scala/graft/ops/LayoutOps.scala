@@ -66,15 +66,27 @@ object LayoutOps {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024, rebalance: Boolean = false): Int = {
     require(targetBytes > 0)
-    // one listStatus gets every file length in one namenode/object-store
-    // call — a per-file getFileStatus loop would issue thousands of RPCs in
-    // exactly the many-tiny-files scenario this method exists for
+    // one recursive listFiles streams every file length in a single
+    // namenode/object-store scan (a per-file getFileStatus loop would
+    // issue thousands of RPCs in exactly the many-tiny-files scenario
+    // this method exists for). Recursive, not listStatus: a partitioned
+    // table's top level holds only subdirectories, and a non-recursive
+    // sum would read ~0 bytes and collapse the whole dataset to one file.
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(inDir)
     val fs = dir.getFileSystem(conf)
-    val totalBytes = fs.listStatus(dir)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    var totalBytes = 0L
+    var nFiles = 0
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        totalBytes += st.getLen
+        nFiles += 1
+      }
+    }
+    require(nFiles > 0, s"no data files under $inDir — nothing to compact")
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes.toDouble).toInt)
     val df = spark.read.parquet(inDir)
     val sized = if (rebalance) df.repartition(n) else df.coalesce(n)

@@ -80,6 +80,56 @@ class LayoutOpsSpec extends SparkSpecBase {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("compact sizes partitioned (nested-dir) datasets from the leaf files") {
+    val df = spark.read.parquet(sf("orders"))
+      .withColumn("pt", col("o_orderkey") % 4)
+    val dir = tmpDir("compact-part")
+    df.repartition(8).write.partitionBy("pt").parquet(s"$dir/small")
+    // a non-recursive listing sees only the pt=... subdirectories (~0
+    // bytes) and would collapse everything to one file regardless of
+    // target; the recursive sum must produce > 1 output file here
+    val total = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+        else f.listFiles().map(walk).sum
+      walk(new java.io.File(s"$dir/small"))
+    }
+    val target = total / 4
+    val n = LayoutOps.compact(spark, s"$dir/small", s"$dir/big", targetBytes = target)
+    assert(n >= 4, s"expected >= 4 output files from the recursive byte sum, got $n")
+    val back = spark.read.parquet(s"$dir/big")
+    assert(back.count() == df.count())
+    // and an empty directory fails fast instead of rewriting nothing
+    new java.io.File(s"$dir/empty").mkdirs()
+    intercept[IllegalArgumentException] {
+      LayoutOps.compact(spark, s"$dir/empty", s"$dir/none")
+    }
+  }
+
+  test("interleaveBits rejects wrap-around misuse instead of corrupting keys") {
+    import graft.functions.kernels.LayoutKernelFunctions
+    // constant folding may evaluate on the driver (IllegalArgumentException
+    // direct) or at execution (wrapped in SparkException) — accept either
+    def failsWith(df: org.apache.spark.sql.DataFrame, fragment: String): Unit = {
+      val e = intercept[Exception] { df.collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains(fragment), s"unexpected failure: $msgs")
+    }
+    // 3 dims x 31 bits = 93 > 63: would silently wrap via mod-64 shifts
+    failsWith(Seq((1, 2, 3)).toDF("a", "b", "c")
+      .select(LayoutKernelFunctions.interleaveBits(array($"a", $"b", $"c"), 31)),
+      "exceeds a long")
+    // negative dimension: sign bit would smear across the z-value
+    failsWith(Seq((-1, 2)).toDF("a", "b")
+      .select(LayoutKernelFunctions.interleaveBits(array($"a", $"b"), 16)),
+      "negative or exceeds")
+    // value wider than `bits`
+    failsWith(Seq((70000, 2)).toDF("a", "b")
+      .select(LayoutKernelFunctions.interleaveBits(array($"a", $"b"), 16)),
+      "negative or exceeds")
+  }
+
   test("zValue projection plan has no exchange") {
     val docs = spark.read.parquet(sf("documents"))
     val plan = docs.select(LayoutOps.zValue(

@@ -95,6 +95,22 @@ class SamplingSpec extends SparkSpecBase {
     assert(out === Seq((1L, 1), (3L, 2))) // the null-score row was evicted first
   }
 
+  test("heap and window paths pick identical rows when sort keys are null") {
+    // .asc's direction-default is NULLS FIRST; the window path normalizes
+    // to nulls-last so the heap flag stays a pure performance switch
+    val df = Seq(
+      ("g", Some(10L), 1L), ("g", None, 2L), ("g", Some(5L), 3L),
+      ("h", None, 4L), ("h", Some(7L), 5L)
+    ).toDF("grp", "score", "id")
+    for (order <- Seq(Seq($"score".desc, $"id".asc), Seq($"score".asc, $"id".asc))) {
+      val heap = Sampling.quotaPerGroup(df, Seq("grp"), order, k = 1)
+        .select($"grp", $"id", $"quota_rank").collect().toSet
+      val window = Sampling.quotaPerGroup(df, Seq("grp"), order, k = 1, heap = false)
+        .select($"grp", $"id", $"quota_rank").collect().toSet
+      assert(heap == window, s"paths diverged for $order")
+    }
+  }
+
   test("stratifiedSample applies per-stratum fractions deterministically") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "source",
       Map("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.0)
