@@ -208,11 +208,12 @@ object SparkEntry {
           v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double],
           BigDecimal(v.p25.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(v.p50.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(v.p75.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          BigDecimal(v.p75.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          v.hist.get.mkString(","))
       }
       import s.implicits._
       rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std",
-          "min_val", "max_val", "p25", "p50", "p75")
+          "min_val", "max_val", "p25", "p50", "p75", "hist")
         .orderBy(col("column_name"))
     }),
     "q18_compare_diff" -> ((s, dir) => {
@@ -960,34 +961,32 @@ object SparkEntry {
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
                FROM orders) t
          WHERE rank <= 3 ORDER BY o_custkey, rank""",
-    "q17_profile_stats" ->
-      """SELECT column_name, n, n_missing, n_distinct, mean, std, min_val, max_val,
-                p25, p50, p75 FROM (
-         SELECT 'l_quantity' AS column_name, count(*) AS n,
-           count(*) - count(l_quantity) AS n_missing,
-           count(DISTINCT l_quantity) AS n_distinct,
-           round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
-           min(l_quantity) AS min_val, max(l_quantity) AS max_val,
-           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-           round(quantile_cont(l_quantity, 0.75), 4) AS p75 FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
-           count(DISTINCT l_extendedprice),
-           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
-           min(l_extendedprice), max(l_extendedprice),
-           round(quantile_cont(l_extendedprice, 0.25), 4),
-           round(quantile_cont(l_extendedprice, 0.5), 4),
-           round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
-         UNION ALL
-         SELECT 'l_discount', count(*), count(*) - count(l_discount),
-           count(DISTINCT l_discount),
-           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
-           min(l_discount), max(l_discount),
-           round(quantile_cont(l_discount, 0.25), 4),
-           round(quantile_cont(l_discount, 0.5), 4),
-           round(quantile_cont(l_discount, 0.75), 4) FROM lineitem) t
-         ORDER BY column_name""",
+    // per-column stats blocks are generated (identical SQL per column);
+    // `hist` mirrors ColumnProfiler's fixed-width bins: edges at min/max,
+    // bucket = least(9, greatest(0, floor((v-lo)/width*10))), zero-filled
+    // via the range(10) left join, identical IEEE double arithmetic on
+    // both engines
+    "q17_profile_stats" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n,
+            count(*) - count($c) AS n_missing,
+            count(DISTINCT $c) AS n_distinct,
+            round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std,
+            min($c) AS min_val, max($c) AS max_val,
+            round(quantile_cont($c, 0.25), 4) AS p25,
+            round(quantile_cont($c, 0.5), 4) AS p50,
+            round(quantile_cont($c, 0.75), 4) AS p75,
+            (WITH mm AS (SELECT min($c) lo, max($c) hi FROM lineitem),
+              cnts AS (SELECT least(9, greatest(0, CAST(floor(($c - lo)
+                         / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) * 10) AS INT))) AS b,
+                       count(*) AS cn
+                       FROM lineitem, mm WHERE $c IS NOT NULL GROUP BY 1)
+              SELECT string_agg(COALESCE(cn, 0)::VARCHAR, ',' ORDER BY r.range)
+              FROM range(10) r LEFT JOIN cnts ON cnts.b = r.range) AS hist
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(block)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
+    },
     "q18_compare_diff" ->
       """SELECT
          ((SELECT count(*) FROM orders WHERE o_totalprice > 100000)

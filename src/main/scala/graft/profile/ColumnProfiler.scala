@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   */
 object ColumnProfiler {
 
+  /** Fixed-width histogram bin count per numeric column (ydata default
+    * granularity class; edges are the exact data min/max). */
+  val HistBins = 10
+
   final case class ColumnProfile(
       name: String,
       dtype: String,
@@ -38,7 +42,10 @@ object ColumnProfiler {
       alerts: Seq[String] = Nil,
       p25: Option[Double] = None,
       p50: Option[Double] = None,
-      p75: Option[Double] = None)
+      p75: Option[Double] = None,
+      histLo: Option[Double] = None,
+      histHi: Option[Double] = None,
+      hist: Option[Seq[Long]] = None)
 
   final case class TableProfile(
       n: Long,
@@ -114,22 +121,51 @@ object ColumnProfiler {
 
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
 
-    // exact quartiles: linear-interpolated percentile (pandas/DuckDB
-    // quantile_cont semantics) in their own expand-free aggregation job
+    def firstPass[T](name: String): Option[T] = {
+      if (!row.schema.fieldNames.contains(name)) return None
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+
+    // exact quartiles (linear-interpolated percentile — pandas/DuckDB
+    // quantile_cont semantics) plus fixed-width histogram bin counts, in
+    // their own expand-free aggregation job. The histogram edges come from
+    // the first pass's min/max, so bins are data-exact; each bin is a
+    // codegen'd conditional sum — HistBins × numeric-columns counters, one
+    // scan, map-side combined. (In the exactDistinct=false single-pass
+    // 100 TB mode there is no second scan and no histogram — the approx
+    // quartile sketch stands in for shape.)
     val quantRow: Option[Row] = {
-      val qAggs = if (exactDistinct) fields.filter(f => isNumeric(f.dataType)).map { f =>
+      val qAggs = if (exactDistinct) fields.filter(f => isNumeric(f.dataType)).flatMap { f =>
         val c = col(f.name)
         val v = f.dataType match {
           case DoubleType | FloatType => when(missingPred(f, c), lit(null)).otherwise(c)
           case _ => c
         }
-        percentile(v.cast("double"), lit(Array(0.25, 0.5, 0.75))).as(s"${f.name}__q")
+        val histAgg = (firstPass[Any](s"${f.name}__min").map(toD),
+            firstPass[Any](s"${f.name}__max").map(toD)) match {
+          case (Some(lo), Some(hi)) =>
+            val width = if (hi > lo) hi - lo else 1.0
+            // right-inclusive last bin: v == max clamps to HistBins - 1.
+            // The null guard must be explicit: greatest()/least() IGNORE
+            // nulls, so a null value would otherwise land in bin 0.
+            val idx = when(v.isNull, lit(null)).otherwise(
+              least(lit(HistBins - 1), greatest(lit(0),
+                floor((v.cast("double") - lit(lo)) / lit(width) * lit(HistBins))
+                  .cast("int"))))
+            Seq(array((0 until HistBins).map(i =>
+              sum(when(idx === i, 1L).otherwise(0L))): _*).as(s"${f.name}__hist"))
+          case _ => Nil // all-null column: no edges, no histogram
+        }
+        percentile(v.cast("double"), lit(Array(0.25, 0.5, 0.75))).as(s"${f.name}__q") +:
+          histAgg
       } else Nil
       if (qAggs.isEmpty) None else Some(df.agg(qAggs.head, qAggs.tail: _*).collect()(0))
     }
 
     def get[T](name: String): Option[T] = {
-      val r = if (name.endsWith("__q") && quantRow.isDefined) quantRow.get else row
+      val r = if ((name.endsWith("__q") || name.endsWith("__hist")) && quantRow.isDefined)
+        quantRow.get else row
       if (!r.schema.fieldNames.contains(name)) return None
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) None else Some(r.getAs[T](i))
@@ -155,7 +191,12 @@ object ColumnProfiler {
         .copy(
           p25 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(0)),
           p50 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(1)),
-          p75 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(2)))
+          p75 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(2)),
+          histLo = get[scala.collection.Seq[Long]](s"${f.name}__hist")
+            .flatMap(_ => get[Any](s"${f.name}__min").map(toD)),
+          histHi = get[scala.collection.Seq[Long]](s"${f.name}__hist")
+            .flatMap(_ => get[Any](s"${f.name}__max").map(toD)),
+          hist = get[scala.collection.Seq[Long]](s"${f.name}__hist").map(_.toSeq))
       f.name -> base.copy(alerts = alertsFor(base))
     }.toMap
 

@@ -43,7 +43,8 @@ object ProfileReport {
          |<td>${v.p25.map(fmtD).getOrElse("")}</td><td>${v.p50.map(fmtD).getOrElse("")}</td>
          |<td>${v.p75.map(fmtD).getOrElse("")}</td>
          |<td>${v.max.map(x => esc(x.toString)).getOrElse("")}</td>
-         |<td>${v.nZeros}</td><td>${v.memorySize}</td><td>$alerts</td></tr>""".stripMargin
+         |<td>${v.nZeros}</td><td>${v.memorySize}</td>
+         |<td class="hist">${histSvg(v)}</td><td>$alerts</td></tr>""".stripMargin
     }.mkString("\n")
     val metaBlock =
       if (datasetMetadata.isEmpty) ""
@@ -57,7 +58,7 @@ object ProfileReport {
          |<table><thead><tr><th>column</th>$descHead<th>dtype</th><th>n</th><th>missing</th>
          |<th>p_missing</th><th>distinct</th><th>mean</th><th>std</th><th>min</th>
          |<th>p25</th><th>p50</th><th>p75</th>
-         |<th>max</th><th>zeros</th><th>bytes</th><th>alerts</th></tr></thead>
+         |<th>max</th><th>zeros</th><th>bytes</th><th>histogram</th><th>alerts</th></tr></thead>
          |<tbody>$rows</tbody></table>""".stripMargin)
   }
 
@@ -215,6 +216,27 @@ object ProfileReport {
     case other => other.toString
   }
 
+  /** Inline-SVG bar histogram from the profile's fixed-width bin counts
+    * (the visible ydata-report gap: per-column distribution shape). Bars
+    * scale to the tallest bin; a title attribute carries the exact edge
+    * range and counts for hover inspection. Empty for non-numeric or
+    * histogram-less (approx-mode) profiles. */
+  private def histSvg(v: ColumnProfiler.ColumnProfile): String =
+    (v.hist, v.histLo, v.histHi) match {
+      case (Some(counts), Some(lo), Some(hi)) if counts.nonEmpty =>
+        val peak = math.max(1L, counts.max)
+        val bw = 8
+        val h = 24
+        val bars = counts.zipWithIndex.map { case (c, i) =>
+          val bh = math.max(if (c > 0) 1 else 0, (c.toDouble / peak * h).round.toInt)
+          s"""<rect x="${i * bw}" y="${h - bh}" width="${bw - 1}" height="$bh"/>"""
+        }.mkString
+        val tip = s"[${fmtD(lo)}, ${fmtD(hi)}] " + counts.mkString(",")
+        s"""<svg width="${counts.size * bw}" height="$h" class="histsvg">""" +
+          s"""<title>${esc(tip)}</title>$bars</svg>"""
+      case _ => ""
+    }
+
   private def fmtD(d: Double): String =
     if (d.isNaN) "NaN"
     else if (d.isInfinite) { if (d > 0) "inf" else "-inf" }
@@ -238,6 +260,7 @@ object ProfileReport {
        |td.same{color:#2e7d32}td.diff{color:#c62828}
        |.alert{background:#fff3cd;border:1px solid #ffc107;border-radius:3px;padding:0 4px;font-size:12px}
        |.meta{color:#666}
+       |.histsvg rect{fill:#4a7ebb}td.hist{background:#fff}
        |</style></head><body><h1>${esc(title)}</h1>
        |$body
        |</body></html>""".stripMargin

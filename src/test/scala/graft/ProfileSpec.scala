@@ -37,6 +37,34 @@ class ProfileSpec extends SparkSpecBase {
     assert(!p.std.get.isNaN)
   }
 
+  test("histogram bins: exact fixed-width counts, edges at data min/max") {
+    // values chosen so buckets are unambiguous: width = 9/10 = 0.9
+    val d = Seq(0.0, 0.0, 1.0, 5.0, 9.0, 9.0, 9.0).toDF("x")
+    val v = ColumnProfiler.profile(d).variables("x")
+    assert(v.histLo.contains(0.0) && v.histHi.contains(9.0))
+    // 0,0 -> bin 0; 1 -> floor(1/9*10)=1; 5 -> floor(5.55)=5; 9 -> clamps to 9
+    assert(v.hist.contains(Seq(2L, 1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 3L)))
+    assert(v.hist.get.sum == 7L) // every non-null value lands in a bin
+
+    // constant column: single occupied bin, no division blowup
+    val const = Seq(4.0, 4.0, 4.0).toDF("x")
+    val cv = ColumnProfiler.profile(const).variables("x")
+    assert(cv.hist.contains(Seq(3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+
+    // nulls and NaN are excluded, matching n_missing semantics
+    val withNulls = Seq(Some(0.0), None, Some(Double.NaN), Some(9.0)).toDF("x")
+    val nv = ColumnProfiler.profile(withNulls).variables("x")
+    assert(nv.hist.get.sum == 2L)
+
+    // approx (single-pass 100 TB) mode has no second scan and no histogram
+    val ap = ColumnProfiler.profile(d, exactDistinct = false).variables("x")
+    assert(ap.hist.isEmpty)
+
+    // the HTML report renders the bins as an inline SVG
+    val html = graft.profile.ProfileReport.toHtml(ColumnProfiler.profile(d))
+    assert(html.contains("histsvg") && html.contains("<rect"))
+  }
+
   test("column-batched profiling merges to the same result") {
     val whole = ColumnProfiler.profile(df)
     val merged = ColumnProfiler.profile(df, Some(Seq("v")))
