@@ -766,6 +766,21 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy(col("event_id"))
     }),
+    // ---- real MP4 container decode (IsoBmff demux + per-sample PNG) -----
+    "q68_mp4_frames" -> ((s, dir) => {
+      // real ISO BMFF files (ftyp/mdat/moov with full sample tables),
+      // video track in the QuickTime png codec; the demuxer walks the
+      // actual stsd/stsz/stsc/stco boxes and the recovered gray level is
+      // integer-exact, so the oracle is pure modular arithmetic
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
+      val media = Multimodal.withGeneratedMp4(
+        docs.select(col("doc_id")), "doc_id", frames = 4)
+      Multimodal.sampleFramesMp4(media, "media_bytes", "doc_id")
+        .select(col("id").as("doc_id"), col("codec"), col("frame_index"),
+          col("width"), col("height"),
+          round(col("mean_luminance") * 255).cast("long").as("gray"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }),
     "q67_attribution_stream" -> ((s, dir) => {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
@@ -1567,5 +1582,14 @@ object SparkEntry {
          FROM p JOIN v USING (user_id)
          WHERE vts <= p.ts
            AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000
-         ORDER BY purchase_id, view_id""")
+         ORDER BY purchase_id, view_id""",
+    // MP4 demux: gray per (doc, frame) is the generator's modular formula,
+    // recovered losslessly through the png-codec samples
+    "q68_mp4_frames" ->
+      """SELECT doc_id, 'png ' AS codec, fi::INT AS frame_index,
+           16 AS width, 16 AS height,
+           ((doc_id * 11 + fi * 17) % 256)::BIGINT AS gray
+         FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
+               FROM documents WHERE doc_id <= 100) t
+         ORDER BY doc_id, frame_index""")
 }

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * Media (image/audio/video) rides as opaque `binary` columns with a typed
   * metadata struct alongside. Images decode for real via `javax.imageio`
   * (PNG/JPEG/GIF/BMP readers ship with every JVM) — [[decodeImages]] /
-  * [[resizeImages]] — and audio decodes for real via `javax.sound.sampled`
-  * (WAV/AIFF/AU PCM readers ship with every JVM) — [[decodeAudio]].
-  * Video decoding stays STUBBED with a deterministic fake ([[decodeStub]];
-  * video codec libraries are not in this container); swap it for a real
-  * decoder (a JNI codec or an `mapInArrow` hand-off) without touching the
-  * pipeline shape.
+  * [[resizeImages]] — audio decodes for real via `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM readers ship with every JVM) — [[decodeAudio]] — and
+  * MP4/QuickTime video containers demux for real via the in-repo ISO BMFF
+  * box parser ([[graft.io.IsoBmff]]) with per-sample image decode
+  * ([[sampleFramesMp4]]; intra-coded codecs `png `/`jpeg`). Inter-coded
+  * bitstreams (H.264 etc.) still need an external codec — plug one into
+  * the same `mapPartitions` shape ([[decodeStub]] marks the seam) without
+  * touching the pipeline.
   */
 object Multimodal {
 
@@ -369,6 +371,100 @@ object Multimodal {
       }
       .toDF(idCol, "media_bytes")
   }
+
+  /** Deterministic MP4 synthesizer: one progressive MP4/QuickTime file per
+    * row ([[graft.io.IsoBmff.muxVideo]]) whose video track holds `frames`
+    * uniform-gray PNG-codec samples (gray = pure function of row + frame
+    * index, so content is externally predictable and losslessly
+    * recoverable). The video twin of [[withGeneratedPng]]. */
+  def withGeneratedMp4(df: DataFrame, idCol: String, frames: Int = 4,
+      width: Int = 16, height: Int = 16): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1: $frames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { id =>
+          val pngs = (0 until frames).map { fi =>
+            val g = ((id * 11 + fi * 17) % 256).toInt
+            val img = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, graft.io.IsoBmff.muxVideo(pngs, "png ", width, height))
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
+  /** REAL MP4 frame extraction: demux the ISO BMFF container
+    * ([[graft.io.IsoBmff.demuxVideo]] — real box/sample-table parsing),
+    * decode every `stride`-th video sample with the JVM image reader
+    * (QuickTime `png `/`jpeg` codecs store complete images per sample),
+    * and emit one row per sampled frame with the container codec, frame
+    * dimensions and mean luminance in [0, 1]. Same per-partition batched
+    * shape as [[sampleFramesReal]]; non-BMFF payloads, missing video
+    * tracks and undecodable samples yield a single `decoded = false` row. */
+  def sampleFramesMp4(df: DataFrame, bytesCol: String, idCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val frames = graft.io.IsoBmff.demuxVideo(bytes).flatMap { track =>
+            val sampled = (0 until track.samples.size by stride).map { fi =>
+              luminanceOf(track.samples(fi)).map { case (w, h, lum) =>
+                (id, track.codec, fi, Some(w), Some(h), Some(lum), true)
+              }
+            }
+            // a single undecodable sample marks the whole payload corrupt
+            if (sampled.forall(_.isDefined)) Some(sampled.map(_.get)) else None
+          }
+          frames.getOrElse(Seq((id, null.asInstanceOf[String], -1,
+            Option.empty[Int], Option.empty[Int], Option.empty[Double], false)))
+        }
+      }
+      .toDF("id", "codec", "frame_index", "width", "height", "mean_luminance", "decoded")
+  }
+
+  /** Decode one image sample and return (width, height, mean luminance in
+    * [0,1]); None when no JVM reader accepts the bytes. */
+  private def luminanceOf(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h) / 255.0))
+      }
+    } catch { case _: Exception => None }
 
   /** REAL frame extraction from multi-frame containers (animated GIF via
     * the JVM's reader): decode every `stride`-th frame and emit one row per

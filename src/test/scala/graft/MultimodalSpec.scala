@@ -139,4 +139,55 @@ class MultimodalSpec extends SparkSpecBase {
     val bad = out.filter(!_.getAs[Boolean]("decoded"))
     assert(bad.length == 1 && bad.head.getAs[Long]("id") == 3L)
   }
+
+  test("MP4 demux: real BMFF box walk, exact frame recovery, corrupt safety") {
+    import spark.implicits._
+    val media = Multimodal.withGeneratedMp4(Seq(5L, 9L).toDF("id"), "id",
+        frames = 6, width = 16, height = 16)
+      .unionByName(Seq((3L, "not an mp4 file at all".getBytes))
+        .toDF("id", "media_bytes"))
+    val out = Multimodal.sampleFramesMp4(media, "media_bytes", "id")
+      .orderBy("id", "frame_index").collect()
+    val good = out.filter(_.getAs[Boolean]("decoded"))
+    assert(good.length == 12) // 6 frames x 2 rows
+    good.foreach { r =>
+      val id = r.getAs[Long]("id"); val fi = r.getAs[Int]("frame_index")
+      val expected = ((id * 11 + fi * 17) % 256) / 255.0
+      assert(r.getAs[String]("codec") == "png ")
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
+      assert(math.abs(r.getAs[Double]("mean_luminance") - expected) < 1e-6,
+        s"id=$id frame=$fi: ${r.getAs[Double]("mean_luminance")} vs $expected")
+    }
+    assert(out.count(!_.getAs[Boolean]("decoded")) == 1)
+    // stride samples every other video sample
+    val strided = Multimodal.sampleFramesMp4(
+      Multimodal.withGeneratedMp4(Seq(1L).toDF("id"), "id", frames = 6),
+      "media_bytes", "id", stride = 2)
+    assert(strided.select("frame_index").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
+  }
+
+  test("IsoBmff demuxer handles the corpus of malformed containers") {
+    import graft.io.IsoBmff
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ok = IsoBmff.muxVideo(Seq(png, png, png), "png ", 4, 4)
+    // round trip: codec + sample payloads bit-identical
+    val track = IsoBmff.demuxVideo(ok).get
+    assert(track.codec == "png " && track.samples.size == 3)
+    assert(track.samples.forall(_.sameElements(png)))
+    // truncation anywhere must give None, never a crash or garbage frames
+    for (cut <- Seq(0, 4, 7, 20, ok.length / 2, ok.length - 4))
+      assert(IsoBmff.demuxVideo(ok.take(cut)).isEmpty, s"cut=$cut")
+    // bit flips in the size fields must not escape as exceptions
+    for (i <- 0 until math.min(64, ok.length)) {
+      val mut = ok.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      IsoBmff.demuxVideo(mut) // any Option outcome is fine; throwing is not
+    }
+    assert(IsoBmff.demuxVideo(Array.emptyByteArray).isEmpty)
+  }
 }
