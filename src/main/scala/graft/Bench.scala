@@ -58,10 +58,16 @@ object Bench {
       spark.catalog.clearCache()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keep the line SHORT: the driver reads a bounded tail of the captured
+    // output, and r3's 68-query line with full names + 15-digit doubles
+    // overflowed it (the head of the line — total and q01..q03 — was cut).
+    // Short keys ("q27" not "q27_lang_quality") and 3-decimal seconds keep
+    // the whole line comfortably inside the window.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

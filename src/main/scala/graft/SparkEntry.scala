@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.{TextClean, TextFunctions}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
 import graft.sources.EventsSource
@@ -793,6 +793,77 @@ object SparkEntry {
         col("view_id"),
         unix_micros(col("view_ts")).as("view_ts_us"))
         .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
+    // ---- line-level exact dedup (CCNet boilerplate pass) ----------------
+    "q69_line_dedup" -> ((s, dir) => {
+      // the corpus has no newlines, so the fixture derives a multi-line
+      // twin: lines = 8-token windows at stride 8 (compiled kernel) plus a
+      // boilerplate line shared by every doc; the oracle mirrors the
+      // construction with list_transform windows. Cap 2 strikes the
+      // boilerplate (df=500) and the handful of content windows shared by
+      // 3 docs, keeping doc-unique prose.
+      val ml = read(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", concat(
+          graft.functions.kernels.TextKernelFunctions.shingleStrings(col("text"), 8, 8),
+          array(lit("subscribe to our newsletter today")))).as("text_ml"))
+      Dedup.dedupLines(ml, "doc_id", "text_ml", maxLineDocFreq = 2)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental near-dup: new batch vs existing corpus -------------
+    "q70_neardup_incremental" -> ((s, dir) => {
+      // odd doc_ids play the incoming batch, even the historical corpus.
+      // Banding is a pure per-row projection, so each doc's band buckets
+      // are identical to its q25 full-corpus run — any true cross-parity
+      // pair at ≥ 0.7 was caught by q25's net (verified 100%-recall at
+      // oracle scale) and still collides here; the oracle recomputes exact
+      // cross-parity Jaccard.
+      val docs = read(s, dir, "documents")
+      Dedup.minhashLshAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // ---- corpus boilerplate mining: top n-grams -------------------------
+    "q71_top_ngrams" -> ((s, dir) => {
+      CorpusStats.topNgrams(read(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 50)
+        .orderBy(col("total_count").desc, col("ngram"))
+    }),
+
+    // ---- BM25 keyword search (lexical retrieval) ------------------------
+    "q72_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark table join"),
+        (1L, "slow hash batch"),
+        (2L, "vector stream window value")).toDF("query_id", "qtext")
+      Search.bm25TopK(read(s, dir, "documents"), "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- stream-static enrichment under the oracle ----------------------
+    "q73_enrich_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema).parquet(staged)
+      val dim = read(s, dir, "customer").select(
+        col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
+      val out = runToCompletion(s, "q73_enrich",
+        EventStream.enrichStream(stream, dim, Seq("user_id")))
+      out.select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_nationkey"))
+        .orderBy(col("event_id"))
     }))
 
   /** Stage the events table as microsecond-timestamp parquet in a scratch
@@ -1591,5 +1662,118 @@ object SparkEntry {
            ((doc_id * 11 + fi * 17) % 256)::BIGINT AS gray
          FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
                FROM documents WHERE doc_id <= 100) t
-         ORDER BY doc_id, frame_index""")
+         ORDER BY doc_id, frame_index""",
+    // Line dedup over the derived multi-line twin: lines are 8-token
+    // windows at stride 8 plus a boilerplate line in every doc
+    // (range(0, len/8) generates exactly the kernel's (len-8)/8+1 windows);
+    // a line is struck everywhere when its distinct-doc frequency exceeds 2.
+    "q69_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         ml AS (
+           SELECT doc_id, list_concat(
+             list_transform(range(0, CAST(floor(len(toks) / 8) AS BIGINT)),
+               i -> array_to_string(toks[8*i+1 : 8*i+8], ' ')),
+             ['subscribe to our newsletter today']) AS lines
+           FROM t),
+         lines AS (
+           SELECT doc_id, i + 1 AS pos, lines[i + 1] AS line
+           FROM ml, unnest(range(0, len(lines))) AS u(i)),
+         hot AS (
+           SELECT line FROM lines GROUP BY line
+           HAVING count(DISTINCT doc_id) > 2),
+         kept AS (
+           SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+         reb AS (
+           SELECT doc_id, count(*) AS n_lines_kept,
+                  string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+           FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, len(lines) AS n_total FROM ml)
+         SELECT tot.doc_id,
+                coalesce(reb.text_dedup, '') AS text_dedup,
+                coalesce(reb.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+                (tot.n_total - coalesce(reb.n_lines_kept, 0))::BIGINT AS n_lines_dropped
+         FROM tot LEFT JOIN reb USING (doc_id)
+         ORDER BY doc_id""",
+    // Incremental near-dup: exact cross-parity Jaccard (odd = new batch,
+    // even = historical corpus); recall argument as q25 — banding is a
+    // per-row projection, so the cross-parity candidate net is the q25 net
+    // restricted to odd×even pairs.
+    "q70_neardup_incremental" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
+         ORDER BY new_id, corpus_id""",
+    // Top trigrams by corpus occurrence count, n-gram string tiebreak
+    "q71_top_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(i))
+         SELECT ngram, count(*)::BIGINT AS total_count,
+                count(DISTINCT doc_id)::BIGINT AS doc_freq
+         FROM grams GROUP BY ngram
+         ORDER BY total_count DESC, ngram LIMIT 50""",
+    // Okapi BM25 (Lucene idf form) over distinct query terms; ranks over
+    // unrounded scores with doc-id tiebreak on both engines (q21 pattern)
+    "q72_bm25_search" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) > 0),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+         q(query_id, qtext) AS (VALUES
+           (CAST(0 AS BIGINT), 'spark table join'),
+           (CAST(1 AS BIGINT), 'slow hash batch'),
+           (CAST(2 AS BIGINT), 'vector stream window value')),
+         qt AS (
+           SELECT query_id, unnest(list_distinct(list_filter(
+             regexp_split_to_array(trim(lower(qtext)), '\s+'),
+             x -> len(x) > 0))) AS term
+           FROM q),
+         vocab AS (SELECT DISTINCT term FROM qt),
+         posting AS (
+           SELECT term, doc_id, dl, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) s
+           JOIN vocab USING (term)
+           GROUP BY term, doc_id, dl),
+         dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+         sc AS (
+           SELECT qt.query_id, p.doc_id,
+             sum(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl))) AS score
+           FROM posting p
+           JOIN dfreq f USING (term)
+           JOIN qt ON qt.term = p.term
+           CROSS JOIN stats st
+           GROUP BY qt.query_id, p.doc_id)
+         SELECT query_id, doc_id, round(score, 4) AS score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc) r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Stream-static enrichment on a closed input = the static left join
+    "q73_enrich_stream" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_nationkey
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""")
 }

@@ -67,6 +67,34 @@ object TextKernels { // public: generated code references it by name
     out
   }
 
+  /** All word n-grams as space-joined strings, every `stride` tokens, in
+    * order (may contain duplicates) — the string-valued sibling of
+    * [[shingleHashes]] for operators that must surface the n-gram text
+    * itself (corpus boilerplate mining) or cut text into fixed-width token
+    * windows (stride = n). The declarative
+    * `transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))`
+    * form runs its lambda interpreted per row (see header). */
+  def shingleStrings(s: UTF8String, n: Int, stride: Int): Array[UTF8String] = {
+    val toks = tokenize(s)
+    if (toks.length < n) return Array.empty[UTF8String]
+    val count = (toks.length - n) / stride + 1
+    val out = new Array[UTF8String](count)
+    var w = 0
+    while (w < count) {
+      val i = w * stride
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    out
+  }
+
   /** Distinct shingle hashes, sorted ascending (a canonical set). */
   def shingleHashSet(s: UTF8String, n: Int): Array[Long] = {
     val all = shingleHashes(s, n)
@@ -302,6 +330,21 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** array<string> of word n-grams every `stride` tokens (ordered, with
+  * duplicates) — surfaces the n-gram text itself. */
+case class ShingleStringsExpr(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.shingleStrings(v.asInstanceOf[UTF8String], n, stride)
+        .asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): ShingleStringsExpr = copy(child = c)
+  override def prettyName: String = "shingle_strings"
+}
+
 /** array<long>: distinct, sorted hashes of word n-grams — the canonical
   * shingle set for Jaccard computations. */
 case class ShingleHashSetExpr(child: Expression, n: Int)
@@ -443,6 +486,8 @@ object TextKernelFunctions {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
   def shingleHashSet(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(text), n))
+  def shingleStrings(text: Column, n: Int, stride: Int = 1): Column =
+    ColumnBridge.column(ShingleStringsExpr(ColumnBridge.expression(text), n, stride))
   def minhashSignature(shingleHashSet: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleHashSet), numHashes))
   def simhash64(text: Column): Column =

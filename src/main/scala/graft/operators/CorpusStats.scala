@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.kernels.TextKernelFunctions
+
+/** Corpus-wide frequency statistics — the diagnostics that FEED the dedup
+  * and filtering passes: the top boilerplate n-grams tell you what
+  * `maxDocFreq` cap to run [[Dedup.ngramJaccard]] with, which lines
+  * [[Dedup.dedupLines]] will strike, and what repeated content inflates a
+  * source before training.
+  */
+object CorpusStats {
+
+  /** Top-k word n-grams by corpus occurrence count:
+    * (ngram, total_count, doc_freq), ordered by total_count descending with
+    * the n-gram string as the deterministic tiebreak.
+    *
+    * Plan shape: compiled shingle-strings kernel → explode → one hash
+    * aggregation → `TakeOrderedAndProject` (per-partition top-k heaps, a
+    * k-row driver merge — never a global sort). The aggregation shuffles
+    * n-gram STRINGS — unavoidable when the caller wants the text back —
+    * but map-side partial aggregation collapses each partition's duplicates
+    * first, so shuffle volume is bounded by distinct-grams-per-partition,
+    * not corpus token count. doc_freq rides the same aggregate as a
+    * two-phase distinct count. */
+  def topNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.select(col(idCol).as("id"),
+      explode(TextKernelFunctions.shingleStrings(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("total_count"),
+        count_distinct(col("id")).as("doc_freq"))
+      .orderBy(col("total_count").desc, col("ngram"))
+      .limit(k)
+  }
+}

@@ -50,6 +50,53 @@ object Dedup {
     if (dupsOnly) g.filter(col("group_size") > 1) else g
   }
 
+  /** Line-level exact dedup across the corpus (the CCNet / RefinedWeb
+    * boilerplate pass): any line whose document frequency (count of
+    * DISTINCT docs containing it byte-for-byte) exceeds `maxLineDocFreq`
+    * is removed from EVERY document — navigation menus, cookie banners,
+    * share buttons disappear corpus-wide; document-unique prose stays.
+    * Output: (id, text_dedup, n_lines_kept, n_lines_dropped), one row per
+    * input doc (docs losing all lines keep a row with empty text).
+    *
+    * Plan shape: posexplode on '\n' → line df aggregated on the 8-byte
+    * xxhash64 of the line (line TEXT never shuffles in the wide stages) →
+    * anti-join on the same hash key (exchange reuse; the hot-line set is
+    * tiny, AQE broadcasts it) → per-doc reassembly, ONE shuffle keyed on
+    * the doc id. Blank lines count as lines: a corpus-frequent "" (blank
+    * separator) is dropped like any other boilerplate once over the cap. */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLineDocFreq: Long = 1): DataFrame = {
+    require(maxLineDocFreq >= 1, s"cap must be >= 1: $maxLineDocFreq")
+    val base = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val lines = base
+      .select(col("id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val hot = lines.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("line_df"))
+      .filter(col("line_df") > maxLineDocFreq)
+      .select(col("h"))
+    val kept = lines.join(hot, Seq("h"), "left_anti")
+    // per-doc reassembly: order by position inside the group via
+    // array_sort over (pos, line) structs. The field-extraction transform
+    // runs interpreted, but on the per-doc line array AFTER aggregation —
+    // one small-lambda pass per doc, not per-line scan work.
+    val rebuilt = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("n_lines_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("text_dedup"))
+    base.select(col("id"), size(split(col("text"), "\n")).as("__n_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle-hash set (compiled kernel) → MinHash signature
@@ -68,48 +115,118 @@ object Dedup {
       threshold: Double = 0.8,
       materialize: Boolean = false): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
-    val rowsPerBand = numHashes / numBands
 
     // Docs with no shingles (shorter than shingleSize) can never be
     // near-dups, but they all share the identical all-MaxValue signature —
     // banding them would put every such doc in one bucket (a k² candidate
-    // bomb on short-doc-heavy corpora). Drop them before banding.
-    // base is persisted: its kernel columns feed the banding plan AND both
+    // bomb on short-doc-heavy corpora). lshBase drops them before banding,
+    // and persists: its kernel columns feed the banding plan AND both
     // sides of the verification join — without caching the per-row kernel
     // work runs three times.
-    val base = df.select(
-      col(idCol).as("id"),
-      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val banded = base.select(col("id"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val base = lshBase(df, idCol, textCol, shingleSize, numHashes)
+    val bands = banded(base, numHashes, numBands)
+    val a = bands.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
     released(
       verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold),
-      base, materialize)
+      Seq(base), materialize)
+  }
+
+  /** MinHash + LSH near-duplicate pairs of `newDf` documents against an
+    * existing `corpusDf` — the incremental-ingestion shape: a daily batch
+    * checked against the historical corpus without re-deduping history
+    * against itself. Same kernels, banding and verification as
+    * [[minhashLsh]]; candidates pair a NEW doc with a CORPUS doc only
+    * (new×new and corpus×corpus pairs never form). Output:
+    * (new_id, corpus_id, jaccard).
+    *
+    * At 100 TB the corpus side's shingle sets, signatures and band buckets
+    * are a pure per-row projection of the corpus — precompute them once and
+    * store bucketed by (band, bucket) ([[graft.ops.ScaleOps.writeBucketed]]);
+    * each incremental batch then probes with zero corpus-side work beyond
+    * the bucket-join reads, and the verification join fetches corpus
+    * shingle sets only for candidate ids. */
+  def minhashLshAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
+    val newBase = lshBase(newDf, idCol, textCol, shingleSize, numHashes)
+    val corpusBase = lshBase(corpusDf, idCol, textCol, shingleSize, numHashes)
+    val bandedNew = banded(newBase, numHashes, numBands)
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val bandedCorpus = banded(corpusBase, numHashes, numBands)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = bandedNew.join(bandedCorpus, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val pairs = verifyJaccardCross(candidates,
+      newBase.select(col("id"), col("shingles")),
+      corpusBase.select(col("id"), col("shingles")), threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard"))
+    released(pairs, Seq(newBase, corpusBase), materialize)
+  }
+
+  /** Drop every `newDf` document that near-duplicates the existing corpus
+    * (jaccard ≥ threshold to ANY corpus doc) — the incremental admission
+    * filter. One anti-join over the matched new-id set. */
+  def dropAgainstCorpus(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val matched = minhashLshAgainst(newDf, corpusDf, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold)
+      .select(col("new_id").as("__matched")).distinct()
+    newDf.join(matched, newDf(idCol) === matched("__matched"), "left_anti")
+  }
+
+  /** Shared kernel base for the LSH operators: shingle-hash set + MinHash
+    * signature, shingle-less docs dropped (see [[minhashLsh]]), persisted
+    * because it feeds both the banding plan and the verification join. */
+  private def lshBase(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, band, bucket) rows from a signature base — band value = hash of
+    * the signature slice. Must stay bit-identical across call sites so
+    * subset corpora band identically to full-corpus runs. */
+  private def banded(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    base.select(col("id"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
   }
 
   /** With `materialize` set: evaluate the (small) result into a
-    * lineage-free local checkpoint and release the operator's base cache
+    * lineage-free local checkpoint and release the operator's base cache(s)
     * before returning — the eager-release mode for long-lived apps. The
     * default lazy mode returns the plan untouched. */
-  private def released(result: DataFrame, base: DataFrame,
+  private def released(result: DataFrame, bases: Seq[DataFrame],
       materialize: Boolean): DataFrame =
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      base.unpersist(false)
+      bases.foreach(_.unpersist(false))
       out
     }
 
@@ -123,9 +240,16 @@ object Dedup {
     *    arrays ([[TextKernelFunctions.sortedJaccard]]) — no hash-set builds,
     *    no allocation, stays inside whole-stage codegen. */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      threshold: Double): DataFrame =
+    verifyJaccardCross(candidates, shingled, shingled, threshold)
+
+  /** [[verifyJaccard]] with per-side shingle sources — the id_a side
+    * resolves against `shingledA`, the id_b side against `shingledB`
+    * (cross-corpus verification for [[minhashLshAgainst]]). */
+  private def verifyJaccardCross(candidates: DataFrame, shingledA: DataFrame,
+      shingledB: DataFrame, threshold: Double): DataFrame = {
+    val sa = shingledA.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingledB.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
@@ -351,7 +475,7 @@ object Dedup {
     val candidates = pruned.select("id_a", "id_b").distinct()
     released(
       verifyJaccard(candidates, base.select(col("id"), col("shingles")), threshold),
-      base, materialize)
+      Seq(base), materialize)
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-projection LSH banding:
@@ -390,6 +514,6 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           VectorKernelFunctions.cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
         .filter(col("cosine") >= threshold),
-      base, materialize)
+      Seq(base), materialize)
   }
 }

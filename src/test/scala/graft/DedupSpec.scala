@@ -168,4 +168,58 @@ class DedupSpec extends SparkSpecBase {
       shingleSize = 3, numHashes = 16, numBands = 8, threshold = 0.9).count()
     assert(n >= 0) // smoke: plan executes end-to-end on real data
   }
+
+  test("line dedup strikes corpus-frequent lines, keeps doc-unique prose") {
+    val ml = Seq(
+      (1L, "unique alpha\ncommon footer\nunique beta"),
+      (2L, "common footer\nunique gamma"),
+      (3L, "common footer"),
+      (4L, "solo line only")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(ml, "doc_id", "text", maxLineDocFreq = 2)
+      .orderBy("id").collect()
+    // "common footer" appears in 3 distinct docs > cap 2 → struck everywhere,
+    // with line order preserved in the survivors
+    assert(out(0).getAs[String]("text_dedup") == "unique alpha\nunique beta")
+    assert(out(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(out(0).getAs[Long]("n_lines_dropped") == 1L)
+    assert(out(1).getAs[String]("text_dedup") == "unique gamma")
+    // a doc losing every line keeps its row with empty text
+    assert(out(2).getAs[String]("text_dedup") == "")
+    assert(out(2).getAs[Long]("n_lines_kept") == 0L)
+    assert(out(2).getAs[Long]("n_lines_dropped") == 1L)
+    assert(out(3).getAs[String]("text_dedup") == "solo line only")
+  }
+
+  test("line dedup frequency counts distinct docs, not occurrences") {
+    val ml = Seq(
+      (1L, "rep\nrep\nrep\nkeep one"), // 'rep' ×3 in ONE doc → df = 1
+      (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(ml, "doc_id", "text", maxLineDocFreq = 1)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_dedup") == "rep\nrep\nrep\nkeep one")
+    assert(out(0).getAs[Long]("n_lines_dropped") == 0L)
+  }
+
+  test("incremental near-dup pairs new docs against the corpus only") {
+    val newDocs = docs.filter($"doc_id".isin(2L, 3L))
+    val corpus = docs.filter($"doc_id".isin(1L, 4L, 5L))
+    val pairs = Dedup.minhashLshAgainst(newDocs, corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L))) // exact dup of a corpus doc
+    assert(pairs.contains((3L, 1L))) // near dup of a corpus doc
+    // new×new pairs never form, even though 2 and 3 near-duplicate each other
+    assert(!pairs.contains((2L, 3L)) && !pairs.contains((3L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+    // the admission filter drops exactly the matched new docs
+    val admitted = Dedup.dropAgainstCorpus(newDocs, corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.isEmpty) // both new docs matched corpus doc 1
+    val admitted2 = Dedup.dropAgainstCorpus(newDocs, docs.filter($"doc_id" === 4L),
+      "doc_id", "text", shingleSize = 3, numHashes = 32, numBands = 16,
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(2L, 3L)) // nothing matches an unrelated corpus
+  }
 }

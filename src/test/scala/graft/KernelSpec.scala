@@ -49,6 +49,21 @@ class KernelSpec extends SparkSpecBase {
       .head().getSeq[Long](0).isEmpty)
   }
 
+  test("shingle strings: stride windows, declarative-reference equality") {
+    val df = Seq("  The quick  Brown fox jumps ").toDF("t")
+    // stride = n cuts disjoint token windows
+    assert(df.select(TextKernelFunctions.shingleStrings($"t", 2, 2)).head()
+      .getSeq[String](0) == Seq("the quick", "brown fox"))
+    // stride 1 matches the declarative transform/slice form
+    val kernel = df.select(TextKernelFunctions.shingleStrings($"t", 3)).head().getSeq[String](0)
+    val declarative = df.select(graft.functions.TextFunctions.shingles($"t", 3))
+      .head().getSeq[String](0)
+    assert(kernel == declarative)
+    // fewer tokens than n → empty
+    assert(Seq("one two").toDF("t").select(TextKernelFunctions.shingleStrings($"t", 3))
+      .head().getSeq[String](0).isEmpty)
+  }
+
   test("minhash signature: identical sets → identical sigs; empty → MaxValue") {
     val df = Seq("x y z w v", "x y z w v", "totally different words here now").toDF("t")
     val sigs = df.select(TextKernelFunctions.minhashSignature(

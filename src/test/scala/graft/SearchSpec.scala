@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Search}
+
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple"),
+    (3L, "cherry date elderberry fig"),
+    (4L, "banana banana banana banana")).toDF("doc_id", "text")
+
+  test("bm25: only matching docs score, formula matches hand computation") {
+    val q = Seq((0L, "apple banana")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
+      .orderBy("rank").collect()
+    // doc 3 shares no term with the query → absent
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L, 4L) - 3L)
+    // hand computation for doc 2 (tf=1 for 'apple', dl=1):
+    // N=4, avgdl=(3+1+4+4)/4=3.0, df(apple)=2
+    val k1 = 1.2; val b = 0.75
+    val idfApple = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    val expected2 = idfApple * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 1.0 / 3.0))
+    val got2 = out.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Double]("score")
+    assert(math.abs(got2 - expected2) < 1e-9, s"got $got2, expected $expected2")
+    // doc 1 matches both terms → outranks single-term docs
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // ranks are 1..n in score order
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+  }
+
+  test("bm25: repeated query terms count once; k caps each query") {
+    val q = Seq((0L, "apple"), (1L, "apple apple APPLE")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 1)
+    val rows = out.collect()
+    assert(rows.count(_.getAs[Long]("query_id") == 0L) == 1) // k = 1
+    val s0 = rows.filter(_.getAs[Long]("query_id") == 0L).map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val s1 = rows.filter(_.getAs[Long]("query_id") == 1L).map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(s0 == s1) // distinct terms → same scores
+  }
+
+  test("top ngrams: occurrence counts, doc freq, deterministic tiebreak") {
+    val corpus = Seq(
+      (1L, "a b c a b c x"), // 'a b c' twice here
+      (2L, "a b c z"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val top = CorpusStats.topNgrams(corpus, "doc_id", "text", n = 3, k = 3).collect()
+    assert(top.head.getAs[String]("ngram") == "a b c")
+    assert(top.head.getAs[Long]("total_count") == 3L)
+    assert(top.head.getAs[Long]("doc_freq") == 2L)
+    // remaining grams all have count 1 → ordered by ngram string
+    val rest = top.tail.map(_.getAs[String]("ngram")).toSeq
+    assert(rest == rest.sorted)
+  }
+
+  test("top ngrams run on the real documents table") {
+    val real = spark.read.parquet(sf("documents"))
+    val top = CorpusStats.topNgrams(real, "doc_id", "text", n = 3, k = 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getAs[Long]("total_count") >= top.last.getAs[Long]("total_count")))
+  }
+}
