@@ -852,6 +852,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- long-document chunking (pre-packing split) ---------------------
+    "q74_chunk_documents" -> ((s, dir) => {
+      Packing.chunkDocuments(read(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 32, overlapTokens = 8)
+        .select(col("id").as("doc_id"), col("chunk_index"),
+          col("chunk_text"), col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
     // ---- stream-static enrichment under the oracle ----------------------
     "q73_enrich_stream" -> ((s, dir) => {
       val staged = stageEventsMicros(s, dir)
@@ -1771,6 +1780,19 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Token chunks: 32-token windows every 24 tokens (8-token overlap),
+    // short tail included; chunk k spans toks[24k+1 .. min(24k+32, n)]
+    "q74_chunk_documents" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+         SELECT doc_id, k AS chunk_index,
+           array_to_string(toks[k*24+1 : least(k*24+32, n)], ' ') AS chunk_text,
+           least(k*24+32, n) - k*24 AS n_chunk_tokens
+         FROM d, unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS u(k)
+         ORDER BY doc_id, chunk_index""",
     // Stream-static enrichment on a closed input = the static left join
     "q73_enrich_stream" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_nationkey

@@ -95,6 +95,33 @@ object TextKernels { // public: generated code references it by name
     out
   }
 
+  /** Token chunks for long-document splitting: windows of `size` tokens
+    * every `stride` tokens (stride = size − overlap), INCLUDING the short
+    * tail — every token lands in at least one chunk (unlike
+    * [[shingleStrings]], which emits full windows only). A chunk starts at
+    * every k·stride < token count; blank text → no chunks. */
+  def tokenChunks(s: UTF8String, size: Int, stride: Int): Array[UTF8String] = {
+    val toks = tokenize(s)
+    if (toks.length == 0) return Array.empty[UTF8String]
+    val count = (toks.length + stride - 1) / stride
+    val out = new Array[UTF8String](count)
+    var k = 0
+    while (k < count) {
+      val start = k * stride
+      val end = math.min(start + size, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    out
+  }
+
   /** Distinct shingle hashes, sorted ascending (a canonical set). */
   def shingleHashSet(s: UTF8String, n: Int): Array[Long] = {
     val all = shingleHashes(s, n)
@@ -345,6 +372,22 @@ case class ShingleStringsExpr(child: Expression, n: Int, stride: Int)
   override def prettyName: String = "shingle_strings"
 }
 
+/** array<string> of token chunks (`size` tokens every `stride`, short tail
+  * included) — long-document splitting. */
+case class TokenChunksExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(size >= 1, "chunk size must be >= 1")
+  require(stride >= 1 && stride <= size,
+    s"stride must be in [1, size]: stride=$stride size=$size")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.tokenChunks(v.asInstanceOf[UTF8String], size, stride)
+        .asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): TokenChunksExpr = copy(child = c)
+  override def prettyName: String = "token_chunks"
+}
+
 /** array<long>: distinct, sorted hashes of word n-grams — the canonical
   * shingle set for Jaccard computations. */
 case class ShingleHashSetExpr(child: Expression, n: Int)
@@ -488,6 +531,8 @@ object TextKernelFunctions {
     ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(text), n))
   def shingleStrings(text: Column, n: Int, stride: Int = 1): Column =
     ColumnBridge.column(ShingleStringsExpr(ColumnBridge.expression(text), n, stride))
+  def tokenChunks(text: Column, size: Int, stride: Int): Column =
+    ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(text), size, stride))
   def minhashSignature(shingleHashSet: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleHashSet), numHashes))
   def simhash64(text: Column): Column =

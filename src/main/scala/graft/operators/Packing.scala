@@ -63,4 +63,29 @@ object Packing {
       .withColumn("pack_id", floor(col("start_offset") / budget).cast("long"))
       .drop("__blk", "__blk_off")
   }
+
+  /** Split long documents into fixed-width token chunks with overlap —
+    * the preprocessing step BEFORE packing when documents exceed the
+    * training sequence length. Chunks are `maxTokens` tokens starting
+    * every `maxTokens − overlapTokens` tokens, short tail included, so
+    * every token appears in at least one chunk and consecutive chunks
+    * share `overlapTokens` tokens of context. Output: one row per chunk —
+    * (id, chunk_index, chunk_text, n_chunk_tokens); blank docs produce no
+    * rows.
+    *
+    * Plan shape: a compiled kernel projection + posexplode inside the scan
+    * stage — zero shuffles at any corpus size (the row-count multiplier is
+    * ≈ doc_tokens / stride, the chunking contract itself). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      s"overlap must be in [0, maxTokens): overlap=$overlapTokens max=$maxTokens")
+    val stride = maxTokens - overlapTokens
+    df.select(col(idCol).as("id"),
+      posexplode(graft.functions.kernels.TextKernelFunctions.tokenChunks(
+        col(textCol), maxTokens, stride)).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")))
+  }
 }

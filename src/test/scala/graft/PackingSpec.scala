@@ -41,4 +41,27 @@ class PackingSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"block offsets must broadcast back, not shuffle the data:\n$plan")
   }
+
+  test("chunkDocuments: overlap windows, tail kept, every token covered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // fits in one chunk
+      (3L, "   ")).toDF("doc_id", "text")              // blank → no rows
+    val out = graft.operators.Packing
+      .chunkDocuments(docs, "doc_id", "text", maxTokens = 4, overlapTokens = 1)
+      .orderBy("id", "chunk_index").collect()
+    // doc 1, stride 3: starts 0,3,6,9 → 4 chunks, last is the 1-token tail
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(d1.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(4, 4, 4, 1))
+    assert(d1.map(_.getAs[Int]("chunk_index")).toSeq == Seq(0, 1, 2, 3))
+    // consecutive chunks share exactly the overlap
+    assert(d1(0).getAs[String]("chunk_text").split(" ").last ==
+      d1(1).getAs[String]("chunk_text").split(" ").head)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b c")
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
 }

@@ -74,4 +74,33 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial"), s"no partial aggregation in:\n$p")
   }
+
+  test("top-ngrams compiles to TakeOrderedAndProject over a partial agg") {
+    val p = plan("q71_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation in:\n$p")
+    assert(!p.contains("ArrayTransform"),
+      "ngram strings must come from the compiled kernel, not transform()")
+  }
+
+  test("bm25 broadcasts the query side; corpus is never shuffled whole") {
+    val p = plan("q72_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary join must broadcast:\n$p")
+    // the only exchanges: posting agg on (term, doc), the per-query rank
+    // window, and the final orderBy — never a corpus-keyed join shuffle
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffled join:\n$p")
+  }
+
+  test("line dedup shuffles line hashes and doc ids, never a cross join") {
+    val p = plan("q69_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join in:\n$p")
+  }
+
+  test("document chunking is scan-local: explode with no shuffle before sort") {
+    val p = plan("q74_chunk_documents")
+    // exactly one Exchange — the rangepartitioning for the final orderBy
+    assert("Exchange".r.findAllIn(p).size == 1, s"unexpected shuffles in:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode in:\n$p")
+  }
 }
