@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, Temporal}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.functions.{TextClean, TextFunctions, VectorFunctions}
 import graft.ops.{LayoutOps, ScaleOps}
 import graft.streaming.EventStream
@@ -43,6 +43,10 @@ object Corpus {
   val dedup: Dedup.type = Dedup
   /** ANN / similarity search (brute-force, LSH, IVF). */
   val similarity: Similarity.type = Similarity
+  /** BM25 keyword search — the lexical complement of `similarity`. */
+  val search: Search.type = Search
+  /** Corpus-wide frequency diagnostics: boilerplate n-gram mining. */
+  val stats: CorpusStats.type = CorpusStats
   /** Vector column algebra (cosine, dot, normalization). */
   val vectors: VectorFunctions.type = VectorFunctions
   /** Deterministic splits, samples, mixtures, per-group quotas. */

@@ -89,5 +89,10 @@ class ParqToolsSpec extends SparkSpecBase {
     assert(packed.columns.contains("pack_id") && packed.columns.contains("quota_rank"))
     // every stage only ever removed rows — pipeline is monotone
     assert(packed.count() <= docs.count())
+    // retrieval + diagnostics entries reach their operators
+    val q = Seq((0L, "spark table")).toDF("query_id", "qtext")
+    assert(Corpus.search.bm25TopK(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 3).count() == 3)
+    assert(Corpus.stats.topNgrams(docs, "doc_id", "text", n = 2, k = 5).count() == 5)
   }
 }
