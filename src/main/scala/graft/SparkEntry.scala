@@ -852,6 +852,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- near-containment pairs (asymmetric overlap) --------------------
+    "q75_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(read(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- shingle document-frequency histogram (cap diagnostic) ----------
+    "q76_df_histogram" -> ((s, dir) => {
+      CorpusStats.shingleDfHistogram(read(s, dir, "documents"), "text",
+        shingleSize = 3)
+        .orderBy(col("doc_freq"))
+    }),
+
     // ---- long-document chunking (pre-packing split) ---------------------
     "q74_chunk_documents" -> ((s, dir) => {
       Packing.chunkDocuments(read(s, dir, "documents"), "doc_id", "text",
@@ -1780,6 +1798,46 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Containment: |A∩B|/|A| and |A∩B|/|B| per pair, either direction
+    // over the threshold; exact recall (every qualifying pair shares a
+    // shingle, so the relational self-join sees it)
+    "q75_containment" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+             len(a.sh)::DOUBLE AS sz_a, len(b.sh)::DOUBLE AS sz_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           round(inter / sz_a, 4) AS cont_a_in_b,
+           round(inter / sz_b, 4) AS cont_b_in_a,
+           round(inter / (sz_a + sz_b - inter), 4) AS jaccard
+         FROM p
+         WHERE greatest(inter / sz_a, inter / sz_b) >= 0.6
+         ORDER BY id_a, id_b""",
+    // Distinct-shingle doc-frequency histogram (8-byte hashes Spark-side,
+    // strings oracle-side — identical absent 64-bit collisions)
+    "q76_df_histogram" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         dfq AS (
+           SELECT h, count(*) AS doc_freq
+           FROM (SELECT doc_id, unnest(sh) AS h FROM s) e GROUP BY h)
+         SELECT doc_freq, count(*)::BIGINT AS n_shingles
+         FROM dfq GROUP BY doc_freq ORDER BY doc_freq""",
     // Token chunks: 32-token windows every 24 tokens (8-token overlap),
     // short tail included; chunk k spans toks[24k+1 .. min(24k+32, n)]
     "q74_chunk_documents" ->

@@ -40,4 +40,22 @@ object CorpusStats {
       .orderBy(col("total_count").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Document-frequency histogram of distinct word n-gram shingles:
+    * (doc_freq, n_shingles) — how many distinct shingles appear in exactly
+    * `doc_freq` documents. THE diagnostic for choosing
+    * [[Dedup.ngramJaccard]]'s `maxDocFreq` cap: the join cost it bounds is
+    * Σ doc_freq² · n_shingles over this table, so the histogram's tail IS
+    * the blowup. Two hash aggregations over 8-byte shingle hashes (both
+    * map-side combined); output height = max doc_freq, a driver-safe
+    * handful of rows. */
+  def shingleDfHistogram(
+      df: DataFrame,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    df.select(explode(
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("doc_freq"))
+      .groupBy(col("doc_freq")).agg(count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_freq"))
 }

@@ -304,9 +304,46 @@ object Dedup {
       TextKernelFunctions.charShingleHashSet(col(textCol), windowChars),
       threshold, maxDocFreq)
 
+  /** Near-CONTAINMENT pairs: containment(A in B) = |A∩B| / |A| — the
+    * asymmetric overlap measure Jaccard misses when one document embeds
+    * another much larger one (quotes, aggregator pages, doc+appendix):
+    * a 100-shingle doc fully inside a 10 000-shingle doc has jaccard ≈
+    * 0.01 but containment 1.0. Emits (id_a, id_b, cont_a_in_b,
+    * cont_b_in_a, jaccard) for pairs where EITHER direction reaches
+    * `threshold`; id_a < id_b. Same relational core, df² bound and
+    * `maxDocFreq` cap as [[ngramJaccard]] — no size-ratio prune can apply
+    * (asymmetry is the point). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    pairIntersections(df, idCol,
+      TextKernelFunctions.shingleHashSet(col(textCol), shingleSize), maxDocFreq)
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a", "jaccard")
+
   private def shingleSetJaccard(df: DataFrame, idCol: String,
       shingleSet: Column, threshold: Double,
-      maxDocFreq: Option[Long]): DataFrame = {
+      maxDocFreq: Option[Long]): DataFrame =
+    pairIntersections(df, idCol, shingleSet, maxDocFreq)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Shared exact-recall relational core: per unordered pair sharing ≥ 1
+    * shingle, (id_a, id_b, sz_a, sz_b, inter), id_a < id_b. */
+  private def pairIntersections(df: DataFrame, idCol: String,
+      shingleSet: Column, maxDocFreq: Option[Long]): DataFrame = {
     val base = df.select(col(idCol).as("id"), shingleSet.as("shingles"))
       .withColumn("sz", size(col("shingles")))
     val exAll = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
@@ -327,11 +364,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** The corpus after near-duplicate removal: for every near-dup pair

@@ -169,6 +169,23 @@ class DedupSpec extends SparkSpecBase {
     assert(n >= 0) // smoke: plan executes end-to-end on real data
   }
 
+  test("containment catches a small doc embedded in a big one that jaccard misses") {
+    val quoteDocs = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shingles, both inside doc 2
+      (2L, "alpha beta gamma delta " + (1 to 30).map(i => s"w$i").mkString(" ")),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(quoteDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) == (1L, 2L))
+    assert(p.getAs[Double]("cont_a_in_b") == 1.0) // doc 1 fully contained
+    assert(p.getAs[Double]("cont_b_in_a") < 0.1)
+    assert(p.getAs[Double]("jaccard") < 0.1)      // jaccard alone missed it
+    // jaccard dedup at any usual threshold does NOT pair them
+    assert(Dedup.ngramJaccard(quoteDocs, "doc_id", "text", threshold = 0.5).isEmpty)
+  }
+
   test("line dedup strikes corpus-frequent lines, keeps doc-unique prose") {
     val ml = Seq(
       (1L, "unique alpha\ncommon footer\nunique beta"),

@@ -58,6 +58,17 @@ class SearchSpec extends SparkSpecBase {
     assert(rest == rest.sorted)
   }
 
+  test("shingle df histogram counts distinct shingles per doc frequency") {
+    val corpus = Seq(
+      (1L, "a b c d"),  // shingles: "a b c","b c d"
+      (2L, "a b c e"),  // "a b c","b c e"
+      (3L, "x y z")).toDF("doc_id", "text") // "x y z"
+    val h = CorpusStats.shingleDfHistogram(corpus, "text", shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // df=1: "b c d","b c e","x y z"; df=2: "a b c"
+    assert(h == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("top ngrams run on the real documents table") {
     val real = spark.read.parquet(sf("documents"))
     val top = CorpusStats.topNgrams(real, "doc_id", "text", n = 3, k = 10).collect()
