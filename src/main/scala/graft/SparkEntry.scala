@@ -906,14 +906,27 @@ object SparkEntry {
   }
 
   /** Run a streaming DataFrame to completion on its (static) source via a
-    * memory sink and return the sink table. */
+    * memory sink and return the sink table.
+    *
+    * State partitions are sized to the fixture's stream volume for the
+    * query's duration: every stateful operator materializes one state
+    * store PER shuffle partition PER micro-batch (delta + snapshot files,
+    * maintenance threads), a fixed cost unrelated to row count. 100k
+    * events across 32 stores is overhead-dominated; 8 fits. At production
+    * volume this is the same `spark.sql.shuffle.partitions` lever, raised
+    * instead of lowered — the partition count is captured at stream START,
+    * so the scoped set/restore pins it per query. */
   private def runToCompletion(s: SparkSession, name: String,
       stream: DataFrame): DataFrame = {
     s.catalog.dropTempView(name) // re-runs in one session
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
