@@ -60,6 +60,8 @@ object Corpus {
   /** Streaming twins: windowed aggs, sessionization, dedup, enrichment,
     * attribution joins. */
   val streaming: EventStream.type = EventStream
+  /** Keyed dataset maintenance: upsert, CDC change-log application. */
+  val merge: graft.ops.MergeOps.type = graft.ops.MergeOps
   /** Skew salting, bucketing, bloom-prefiltered joins. */
   val scale: ScaleOps.type = ScaleOps
   /** Z-order clustering and small-file compaction. */

@@ -852,6 +852,49 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- keyed upsert (refresh batch into base) -------------------------
+    "q77_upsert" -> ((s, dir) => {
+      // deterministic fixture: keys ≡ 3 (mod 7) refresh with shifted
+      // balances; 20 brand-new keys append above the key space
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      val refreshed = base.filter(col("c_custkey") % 7 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val fresh = read(s, dir, "customer").filter(col("c_custkey") < 20)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new_"), col("c_name")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"))
+      MergeOps.upsert(base, refreshed.unionByName(fresh), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- CDC change-log application (last-writer-wins + deletes) --------
+    "q78_cdc_apply" -> ((s, dir) => {
+      // change log: keys ≡ 0 (mod 10) get upsert(seq=1) then delete(seq=2)
+      // → gone; keys ≡ 5 (mod 10) get delete(seq=1) then upsert(seq=2,
+      // balance 999) → survive with the new balance
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tenth = base.filter(col("c_custkey") % 10 === 0)
+      val fifth = base.filter(col("c_custkey") % 10 === 5)
+      val changes =
+        tenth.withColumn("c_acctbal", lit(0.0))
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+        .unionByName(tenth
+          .withColumn("op", lit("delete")).withColumn("seq", lit(2L)))
+        .unionByName(fifth
+          .withColumn("op", lit("delete")).withColumn("seq", lit(1L)))
+        .unionByName(fifth.withColumn("c_acctbal", lit(999.0))
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+      MergeOps.applyChanges(base, changes, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- near-containment pairs (asymmetric overlap) --------------------
     "q75_containment" -> ((s, dir) => {
       Dedup.containmentPairs(read(s, dir, "documents"), "doc_id", "text",
@@ -1811,6 +1854,25 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Upsert: refreshed keys replaced, new keys appended, rest untouched
+    "q77_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+           round(CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END, 2) AS acctbal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, 0.0
+         FROM customer WHERE c_custkey < 20
+         ORDER BY c_custkey""",
+    // CDC fold: %10=0 keys deleted (delete at seq 2 wins), %10=5 keys
+    // rewritten by the seq-2 upsert, everything else untouched
+    "q78_cdc_apply" ->
+      """SELECT c_custkey, c_name,
+           round(CASE WHEN c_custkey % 10 = 5 THEN 999.0
+                      ELSE c_acctbal END, 2) AS acctbal
+         FROM customer
+         WHERE c_custkey % 10 <> 0
+         ORDER BY c_custkey""",
     // Containment: |A∩B|/|A| and |A∩B|/|B| per pair, either direction
     // over the threshold; exact recall (every qualifying pair shares a
     // shingle, so the relational self-join sees it)
