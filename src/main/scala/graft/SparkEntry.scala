@@ -852,6 +852,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- unigram cross-entropy (statistical quality proxy) --------------
+    "q79_unigram_loss" -> ((s, dir) => {
+      CorpusStats.unigramLogLoss(read(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("log_loss"), 4).as("log_loss"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- keyed upsert (refresh batch into base) -------------------------
     "q77_upsert" -> ((s, dir) => {
       // deterministic fixture: keys ≡ 3 (mod 7) refresh with shifted
@@ -1854,6 +1863,25 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Unigram cross-entropy under the corpus's own distribution; mean of
+    // -ln p over token occurrences, perplexity = exp(mean)
+    "q79_unigram_loss" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         cnt AS (SELECT term, count(*) AS c FROM ex GROUP BY term),
+         tot AS (SELECT count(*) AS n_total FROM ex),
+         doc AS (
+           SELECT e.doc_id, count(*) AS n_tokens,
+                  sum(-ln(c.c::DOUBLE / tot.n_total)) AS s
+           FROM ex e JOIN cnt c USING (term) CROSS JOIN tot
+           GROUP BY e.doc_id)
+         SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                round(s / n_tokens, 4) AS log_loss,
+                round(exp(s / n_tokens), 4) AS perplexity
+         FROM doc ORDER BY doc_id""",
     // Upsert: refreshed keys replaced, new keys appended, rest untouched
     "q77_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey,

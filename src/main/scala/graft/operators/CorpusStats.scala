@@ -41,6 +41,42 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * distribution: `log_loss = mean over token occurrences of −ln p(t)`,
+    * `perplexity = exp(log_loss)` — the cheap statistical stand-in for
+    * LM-perplexity quality filtering (CCNet-style): gibberish and
+    * vocabulary-skewed documents score high, typical prose scores low.
+    * Tokens are drawn from the corpus itself, so every probability is
+    * positive (no smoothing needed). Output: (id, n_tokens, log_loss,
+    * perplexity), blank docs omitted.
+    *
+    * Plan shape: tf per (doc, term) aggregates map-side before its one
+    * corpus-wide shuffle; the unigram table is vocabulary-sized and joins
+    * on the term key (AQE broadcasts it when the vocabulary fits — the
+    * usual case; at web-corpus vocabularies it degrades to a hash join on
+    * an 8-byte-ish key, never a cartesian); the corpus total is one scalar
+    * aggregate attached by broadcast cross join. */
+  def unigramLogLoss(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = ex.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = ex.agg(count(lit(1)).as("n_total"))
+    tf.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") *
+          -log(col("c").cast("double") / col("n_total").cast("double"))).as("s"))
+      .select(col("id"),
+        col("n_tokens"),
+        (col("s") / col("n_tokens").cast("double")).as("log_loss"),
+        exp(col("s") / col("n_tokens").cast("double")).as("perplexity"))
+  }
+
   /** Document-frequency histogram of distinct word n-gram shingles:
     * (doc_freq, n_shingles) — how many distinct shingles appear in exactly
     * `doc_freq` documents. THE diagnostic for choosing

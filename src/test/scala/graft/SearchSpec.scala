@@ -69,6 +69,22 @@ class SearchSpec extends SparkSpecBase {
     assert(h == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("unigram log loss: rare-token docs score higher, math checks out") {
+    val corpus = Seq(
+      (1L, "common common common common"), // all mass on the frequent token
+      (2L, "common rare")).toDF("doc_id", "text")
+    val rows = CorpusStats.unigramLogLoss(corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    // p(common) = 5/6, p(rare) = 1/6
+    val l1 = -math.log(5.0 / 6.0)
+    val l2 = (-math.log(5.0 / 6.0) - math.log(1.0 / 6.0)) / 2.0
+    assert(math.abs(rows(0).getAs[Double]("log_loss") - l1) < 1e-9)
+    assert(math.abs(rows(1).getAs[Double]("log_loss") - l2) < 1e-9)
+    assert(rows(1).getAs[Double]("log_loss") > rows(0).getAs[Double]("log_loss"))
+    assert(math.abs(rows(0).getAs[Double]("perplexity") - math.exp(l1)) < 1e-9)
+    assert(rows(0).getAs[Long]("n_tokens") == 4L)
+  }
+
   test("top ngrams run on the real documents table") {
     val real = spark.read.parquet(sf("documents"))
     val top = CorpusStats.topNgrams(real, "doc_id", "text", n = 3, k = 10).collect()
