@@ -64,6 +64,40 @@ class KernelSpec extends SparkSpecBase {
       .head().getSeq[String](0).isEmpty)
   }
 
+  test("token chunks and shingle strings: coverage invariants over fuzzed inputs") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val nTokens = rng.nextInt(40)
+      val text = (1 to nTokens).map(i => s"w${rng.nextInt(9)}x$i").mkString(" ")
+      val size = 1 + rng.nextInt(8)
+      val stride = 1 + rng.nextInt(size)
+      val toks = graft.functions.kernels.TextKernels.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val chunks = graft.functions.kernels.TextKernels.tokenChunks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), size, stride)
+        .map(_.toString)
+      if (nTokens == 0) assert(chunks.isEmpty)
+      else {
+        // every token occurs in at least one chunk, in order; stitching
+        // chunks at the stride boundary reproduces the token stream
+        assert(chunks.head.split(" ").head == toks.head)
+        assert(chunks.last.split(" ").last == toks.last)
+        val stitched = chunks.zipWithIndex.flatMap { case (c, i) =>
+          val ts = c.split(" ")
+          if (i == 0) ts else ts.drop(size - stride)
+        }
+        assert(stitched.toSeq == toks.toSeq, s"n=$nTokens size=$size stride=$stride")
+      }
+      val windows = graft.functions.kernels.TextKernels.shingleStrings(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), size, stride)
+      // full windows only: count matches the closed form; every window has
+      // exactly `size` tokens
+      val expected = if (nTokens < size) 0 else (nTokens - size) / stride + 1
+      assert(windows.length == expected)
+      assert(windows.forall(_.toString.split(" ").length == size))
+    }
+  }
+
   test("minhash signature: identical sets → identical sigs; empty → MaxValue") {
     val df = Seq("x y z w v", "x y z w v", "totally different words here now").toDF("t")
     val sigs = df.select(TextKernelFunctions.minhashSignature(

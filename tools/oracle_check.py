@@ -8,6 +8,7 @@ Reads <verifyOutDir>/<query>/ parquet (Spark result) and runs
 in <sfDir>. Compares like the driver: sort columns by name, sort rows by
 all columns, hash values. Exit non-zero when any checked query mismatches.
 """
+import decimal
 import json
 import math
 import sys
@@ -22,6 +23,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)  # engines disagree on int-vs-decimal inference; the
+        # driver's own compare is type-tolerant (q16/q33 precedents)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
