@@ -235,8 +235,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q20_ngram_jaccard" -> ((s, dir) => {
+      // runs the PRODUCTION (capped) plan: maxDocFreq=1000 is SCALING.md's
+      // recommended cap and sits far above this corpus's max shingle df
+      // (7 at sf0.01, 25 at sf0.1), so output — and the oracle — are
+      // identical to the uncapped exact-recall form while the driver
+      // exercises the hot-shingle anti-join the 100 TB shape needs
+      // (q64 proves cap-ON semantics with a binding cap)
       Dedup.ngramJaccard(read(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.7)
+        shingleSize = 3, threshold = 0.7, maxDocFreq = Some(1000L))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -687,8 +693,10 @@ object SparkEntry {
 
     // ---- char-level n-gram overlap (Dedup extension) --------------------
     "q60_char_ngram" -> ((s, dir) => {
+      // capped production plan, same argument as q20 (max char-window df
+      // is 6 at sf0.01, 57 at sf0.1 — the cap never binds here)
       Dedup.charNgramJaccard(read(s, dir, "documents"), "doc_id", "text",
-        windowChars = 20, threshold = 0.5)
+        windowChars = 20, threshold = 0.5, maxDocFreq = Some(1000L))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
