@@ -860,6 +860,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- pairwise Pearson correlations (profile extension) --------------
+    "q80_correlations" -> ((s, dir) => {
+      ColumnProfiler.correlations(read(s, dir, "lineitem"),
+        Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        .select(col("col_a"), col("col_b"),
+          round(col("pearson"), 4).as("pearson"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // ---- unigram cross-entropy (statistical quality proxy) --------------
     "q79_unigram_loss" -> ((s, dir) => {
       CorpusStats.unigramLogLoss(read(s, dir, "documents"), "doc_id", "text")
@@ -1871,6 +1880,16 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Pairwise Pearson correlations: both engines compute the sample
+    // coefficient via mergeable co-moments
+    "q80_correlations" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS pearson FROM lineitem"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
     // Unigram cross-entropy under the corpus's own distribution; mean of
     // -ln p over token occurrences, perplexity = exp(mean)
     "q79_unigram_loss" ->

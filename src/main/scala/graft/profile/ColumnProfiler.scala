@@ -68,6 +68,39 @@ object ColumnProfiler {
     case _ => false
   }
 
+  /** Pairwise Pearson correlations of numeric columns in ONE aggregation
+    * pass — all k(k−1)/2 `corr` co-moment aggregates ride a single scan
+    * with map-side partial aggregation, so cost is one pass regardless of
+    * pair count (the ydata report's correlation matrix, reference
+    * parq_profile.py:83-131 delegating to its profiling fork). Output long
+    * form: (col_a, col_b, pearson), pairs in given column order; null
+    * pearson when a column is constant (undefined correlation). */
+  def correlations(df: DataFrame,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    val cols = columns.getOrElse(
+      df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq)
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"Columns not in frame: ${missing.mkString(", ")}")
+    require(cols.size >= 2, s"need at least two numeric columns, got $cols")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    // corr = covar_samp / (stddev_samp · stddev_samp), assembled from the
+    // co-moments rather than the corr() aggregate: under ANSI mode corr()
+    // raises DIVIDE_BY_ZERO on a constant column, where the reference
+    // semantics (and DuckDB) want NULL — try_divide restores that.
+    val aggs =
+      pairs.map { case (a, b) =>
+        covar_samp(col(a).cast("double"), col(b).cast("double")).as(s"__cov__${a}__$b") } ++
+      cols.map(c => stddev_samp(col(c).cast("double")).as(s"__sd__$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', try_divide(`__cov__${a}__$b`, `__sd__$a` * `__sd__$b`)"
+    }.mkString(", ")
+    row.select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, pearson)"))
+  }
+
   def profile(df: DataFrame, columns: Option[Seq[String]] = None,
       exactDistinct: Boolean = true): TableProfile = {
     val fields = columns match {

@@ -66,6 +66,27 @@ object ProfileReport {
   def saveHtml(p: TableProfile, path: String, title: String = "Profile report"): Unit =
     atomicWrite(path, toHtml(p, title))
 
+  /** Correlation-matrix section for the profile report: long-form
+    * (col_a, col_b, pearson) rows — [[ColumnProfiler.correlations]] output
+    * collected — rendered as a symmetric matrix table with 1.0 diagonal.
+    * Append to a [[toHtml]] body or serve standalone via [[page]]-less
+    * embedding. */
+  def correlationsHtml(rows: Seq[(String, String, Option[Double])]): String = {
+    val names = rows.flatMap(r => Seq(r._1, r._2)).distinct
+    val lookup = rows.flatMap { case (a, b, v) => Seq((a, b) -> v, (b, a) -> v) }.toMap
+    val header = names.map(n => s"<th>${esc(n)}</th>").mkString
+    val body = names.map { a =>
+      val cells = names.map { b =>
+        val v = if (a == b) Some(1.0) else lookup.getOrElse((a, b), None)
+        s"<td>${v.map(fmtD).getOrElse("")}</td>"
+      }.mkString
+      s"<tr><th>${esc(a)}</th>$cells</tr>"
+    }.mkString("\n")
+    s"""<h2>Correlations (Pearson)</h2>
+       |<table class="corr"><thead><tr><th></th>$header</tr></thead>
+       |<tbody>$body</tbody></table>""".stripMargin
+  }
+
   /** Render one structured column-metadata map into a profile description
     * string (reference ColumnMetadata.to_description_string,
     * profile_utils.py:87-110): "Title: Description (Units: u; Source: s)". */

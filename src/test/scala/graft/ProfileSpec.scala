@@ -65,6 +65,32 @@ class ProfileSpec extends SparkSpecBase {
     assert(html.contains("histsvg") && html.contains("<rect"))
   }
 
+  test("correlations: one-pass pairwise Pearson, constant column → null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0), (4.0, 7.9, 5.0))
+      .toDF("x", "y", "const")
+    val rows = graft.profile.ColumnProfiler.correlations(df, Some(Seq("x", "y", "const")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // near-perfect linear relation
+    assert(rows(("x", "y")).get > 0.999)
+    // constant column: correlation undefined → null
+    assert(rows(("x", "const")).isEmpty && rows(("y", "const")).isEmpty)
+    // exactly one scan: the plan has a single aggregate over one relation
+    val plan = graft.profile.ColumnProfiler.correlations(df, Some(Seq("x", "y", "const")))
+      .queryExecution.executedPlan.toString
+    assert("Scan".r.findAllIn(plan).size <= 2, s"expected one scan:\n$plan") // partial+final rows
+    // validation errors
+    intercept[IllegalArgumentException] {
+      graft.profile.ColumnProfiler.correlations(df, Some(Seq("x", "nope"))).collect()
+    }
+    // html section renders a symmetric matrix with unit diagonal
+    val html = graft.profile.ProfileReport.correlationsHtml(Seq(
+      ("x", "y", Some(0.9876)), ("x", "const", None), ("y", "const", None)))
+    assert(html.contains("Correlations") && html.contains("1"))
+  }
+
   test("column-batched profiling merges to the same result") {
     val whole = ColumnProfiler.profile(df)
     val merged = ColumnProfiler.profile(df, Some(Seq("v")))
