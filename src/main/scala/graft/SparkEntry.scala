@@ -789,6 +789,19 @@ object SparkEntry {
           round(col("mean_luminance") * 255).cast("long").as("gray"))
         .orderBy(col("doc_id"), col("frame_index"))
     }),
+    // Hourly windowed agg through the real stream: append mode emits only
+    // windows the final watermark (max ts, ms-floored, minus the 1-hour
+    // delay) has sealed
+    "q81_hourly_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val agg = runToCompletion(s, "q81_hourly",
+        EventStream.hourlyAggStream(s, staged, schema))
+      agg.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
     "q67_attribution_stream" -> ((s, dir) => {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
@@ -1750,6 +1763,20 @@ object SparkEntry {
     "q66_dedup_stream" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
          FROM events ORDER BY event_id""",
+    // Closed hourly windows only: window end at or below the final
+    // watermark (max ts ms-floored minus the 1-hour delay)
+    "q81_hourly_stream" ->
+      """WITH wm AS (
+           SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+         g AS (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+                  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+                  epoch_us(date_trunc('hour', ts)) + 3600000000 AS end_us
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                n_events, sum_value
+         FROM g, wm WHERE end_us <= wm_us
+         ORDER BY hour, event_type""",
     // Identical to q54: the both-sided-watermark stream-stream inner join
     // emits every matched pair on a closed input
     "q67_attribution_stream" ->
