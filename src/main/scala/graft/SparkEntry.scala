@@ -873,6 +873,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- per-label embedding centroids ----------------------------------
+    "q82_group_centroids" -> ((s, dir) => {
+      Similarity.groupCentroids(read(s, dir, "embeddings"), "label", "embedding")
+        .select(col("group").as("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("dim", "value")))
+        .select(col("label"), col("dim"), round(col("value"), 4).as("value"),
+          col("n_vectors"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // ---- pairwise Pearson correlations (profile extension) --------------
     "q80_correlations" -> ((s, dir) => {
       ColumnProfiler.correlations(read(s, dir, "lineitem"),
@@ -1907,6 +1917,13 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Element-wise mean embedding per label; dim is 0-based
+    "q82_group_centroids" ->
+      """SELECT label, (i - 1)::INT AS dim,
+           round(avg(embedding[i]::DOUBLE), 4) AS value,
+           count(*)::BIGINT AS n_vectors
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+         GROUP BY label, dim ORDER BY label, dim""",
     // Pairwise Pearson correlations: both engines compute the sample
     // coefficient via mergeable co-moments
     "q80_correlations" -> {

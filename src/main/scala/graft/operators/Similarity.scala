@@ -169,6 +169,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-group mean embedding (centroid): one row per `groupCol` value
+    * with the element-wise mean vector and the group's vector count —
+    * semantic cluster summaries, per-source drift monitoring, warm-start
+    * centroids for [[ivfTopK]].
+    *
+    * Plan shape: `posexplode` unrolls (group, dim, value) inside the scan
+    * stage; the per-(group, dim) average partially aggregates map-side, so
+    * the one corpus-wide shuffle carries ≈ groups × dim × partitions
+    * pre-combined rows, never corpus × dim. Reassembly groups |groups|×dim
+    * rows — driver-scale. Vectors in a group must share a dimensionality
+    * (ragged dims would average per-position over differing counts). */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val ex = df.select(col(groupCol).as("group"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val means = ex.groupBy(col("group"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("m"), count(lit(1)).as("n"))
+    // the field-extraction transform runs on |groups| small arrays after
+    // aggregation — not per-row scan work
+    means.groupBy(col("group")).agg(
+      max(col("n")).as("n_vectors"),
+      transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+  }
+
   /** Top-`m` centroid indices by cosine, as a codegen'd column expression:
     * an array of (cosine, index) structs reduced by struct ordering. The
     * m = 1 case (corpus assignment — the per-row hot path) is a plain

@@ -122,4 +122,17 @@ class SimilaritySpec extends SparkSpecBase {
       "embedding", numLists = 4, sampleSize = 100, seed = 42L)
     assert(cts.map(_.toSeq).toSeq == cts2.map(_.toSeq).toSeq)
   }
+
+  test("group centroids: element-wise means per group, dims ordered") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 4.0f, 5.0f)),
+      ("b", Seq(10.0f, 0.0f, -10.0f))).toDF("label", "vec")
+    val rows = graft.operators.Similarity.groupCentroids(vecs, "label", "vec")
+      .orderBy("group").collect()
+    assert(rows(0).getString(0) == "a" && rows(0).getAs[Long]("n_vectors") == 2L)
+    assert(rows(0).getSeq[Double](2) == Seq(2.0, 3.0, 4.0))
+    assert(rows(1).getString(0) == "b" && rows(1).getSeq[Double](2) == Seq(10.0, 0.0, -10.0))
+  }
 }
