@@ -873,6 +873,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- leakage-safe split (near-dups share a side) --------------------
+    "q83_leakage_safe_split" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(read(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7)
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-label embedding centroids ----------------------------------
     "q82_group_centroids" -> ((s, dir) => {
       Similarity.groupCentroids(read(s, dir, "embeddings"), "label", "embedding")
@@ -1917,6 +1925,27 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Near-dup components (q63's recursive CTE) hashed with q42's split
+    // boundaries: every cluster member shares the component, hence the side
+    "q83_leakage_safe_split" -> {
+      val th = Sampling.splitThresholdsHex(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = th.init.map { case (name, hex) =>
+        s"WHEN substring(md5(component::VARCHAR), 1, 4) < '$hex' THEN '$name'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.7)}),
+          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+          comp AS (SELECT a AS doc_id, min(b) AS component
+                   FROM reach GROUP BY a)
+          SELECT doc_id, component,
+                 CASE $cases ELSE '${th.last._1}' END AS split
+          FROM comp ORDER BY doc_id"""
+    },
     // Element-wise mean embedding per label; dim is 0-based
     "q82_group_centroids" ->
       """SELECT label, (i - 1)::INT AS dim,

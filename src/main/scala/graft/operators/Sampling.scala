@@ -71,6 +71,36 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe split: near-duplicate documents ALWAYS land on the same
+    * side — the eval-hygiene property a plain [[hashSplit]] cannot give
+    * (two near-identical docs hash independently, so one trains on the
+    * other's test twin). Assignment hashes the transitive near-dup
+    * COMPONENT label ([[Dedup.nearDupClusters]]) instead of the doc id:
+    * every member of a cluster shares the label, hence the split; docs in
+    * no pair are their own singleton component and split exactly as
+    * [[hashSplit]] would on the id. Output: input columns + `component` +
+    * `split`.
+    *
+    * Cost = the LSH cluster pass (bounded by the near-dup pair subgraph)
+    * plus one key join of the (tiny) component relabeling against the
+    * corpus; the split itself stays a pure projection. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val comps = Dedup.nearDupClusters(df, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold)
+      .select(col("id").as("__cid"), col("component"))
+    val withComp = df.join(comps, df(idCol) === col("__cid")).drop("__cid")
+    hashSplit(withComp, "component", splits, salt)
+  }
+
   /** Deterministic Bernoulli-by-id sample: keeps a row iff its hash bucket
     * falls below `fraction`. A pure filter (combines with scan pushdown of
     * other predicates); sampling the same id set with a larger fraction

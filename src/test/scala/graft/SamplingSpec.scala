@@ -4,6 +4,28 @@ import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpecBase {
+
+  test("leakage-safe split keeps near-duplicates on the same side") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about spark query engines and columnar formats"),
+      (5L, "another unrelated document discussing parquet file layouts and row groups"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Sampling.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "test" -> 0.5), threshold = 0.5,
+      numBands = 16)
+      .select("doc_id", "component", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // docs 1-3 near-duplicate each other → one component, one side
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    // singletons keep their own component label
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    assert(out.size == 5)
+  }
   import spark.implicits._
 
   private lazy val docs = spark.read.parquet(sf("documents"))
