@@ -15,18 +15,26 @@ import graft.streaming.EventStream
   * Typical 100 TB corpus build, in this vocabulary:
   * {{{
   * import graft.Corpus._
-  * val scored   = docs.filter(
-  *   repetition.typeTokenRatio(col("text")) >= 0.4 &&
-  *   repetition.topNgramShare(col("text"), 3) <= 0.2)
-  * val cleaned  = decontaminate.removeContaminated(scored, "id", "text",
+  * // strike corpus-wide boilerplate lines, then score and gate
+  * val delined  = dedup.dedupLines(docs, "id", "text", maxLineDocFreq = 50)
+  * val scored   = delined.filter(
+  *   repetition.typeTokenRatio(col("text_dedup")) >= 0.4 &&
+  *   repetition.topNgramShare(col("text_dedup"), 3) <= 0.2)
+  * val cleaned  = decontaminate.removeContaminated(scored, "id", "text_dedup",
   *   evalSet, "text")
-  * // drop the worse half of every near-duplicate pair
-  * val dupLoser = dedup.minhashLsh(cleaned, "id", "text")
-  *   .select(col("id_b").as("id"))
-  * val unique   = cleaned.join(dupLoser, Seq("id"), "left_anti")
+  * // admit only docs that don't near-duplicate the historical corpus,
+  * // then drop intra-batch near-dups
+  * val admitted = dedup.dropAgainstCorpus(cleaned, history, "id", "text_dedup")
+  * val unique   = dedup.dropNearDuplicates(admitted, "id", "text_dedup")
   * val capped   = sampling.quotaPerGroup(unique, Seq("domain"),
   *   Seq(col("quality").desc, col("id").asc), k = 1000)
-  * val packed   = packing.packByBudget(capped, "id", "n_tokens", budget = 4096)
+  * // leakage-safe eval holdout, chunk long docs, pack to sequence length
+  * val split    = sampling.leakageSafeSplit(capped, "id", "text_dedup",
+  *   Seq("train" -> 0.99, "val" -> 0.01))
+  * val chunked  = packing.chunkDocuments(split, "id", "text_dedup",
+  *   maxTokens = 4096, overlapTokens = 256)
+  * val packed   = packing.packByBudget(chunked, "id", "n_chunk_tokens",
+  *   budget = 4096)
   * layout.writeZOrdered(packed, Seq("pack_id", "domain"), out, numFiles = 4096)
   * }}}
   */

@@ -5,6 +5,21 @@ import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpecBase {
 
+  test("leakage-safe split invariant holds on the real documents table") {
+    import org.apache.spark.sql.functions.col
+    val real = spark.read.parquet(sf("documents"))
+    val split = graft.operators.Sampling.leakageSafeSplit(real, "doc_id", "text",
+      Seq("train" -> 0.8, "test" -> 0.2), threshold = 0.7)
+      .select(col("doc_id"), col("split"))
+    val pairs = graft.operators.Dedup.minhashLsh(real, "doc_id", "text",
+      threshold = 0.7).select(col("id_a"), col("id_b"))
+    val a = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val violations = pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(violations.isEmpty, "a near-dup pair crossed the split boundary")
+  }
+
   test("leakage-safe split keeps near-duplicates on the same side") {
     import spark.implicits._
     val docs = Seq(
