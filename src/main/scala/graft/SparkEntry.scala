@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
 import graft.functions.{TextClean, TextFunctions}
+import graft.functions.kernels.VectorKernelFunctions
 import graft.operators.{CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
 import graft.profile.ColumnProfiler
@@ -889,6 +890,43 @@ object SparkEntry {
         .select(col("label"), col("dim"), round(col("value"), 4).as("value"),
           col("n_vectors"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // ---- temperature-rebalanced language mixture ------------------------
+    "q84_temperature_mixture" -> ((s, dir) => {
+      Sampling.temperatureMixture(read(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, salt = "t:")
+        .select(col("doc_id"), col("lang"),
+          round(col("keep_rate"), 4).as("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- int8 embedding quantization summary ----------------------------
+    "q85_quantize_i8" -> ((s, dir) => {
+      read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorKernelFunctions.i8QuantStats(col("embedding")).as("q"))
+        .select(col("vec_id"), round(col("q.scale"), 8).as("scale"),
+          col("q.n_dims").as("n_dims"), col("q.sum_q").as("sum_q"),
+          col("q.sum_abs_q").as("sum_abs_q"), col("q.min_q").as("min_q"),
+          col("q.max_q").as("max_q"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- inverted index / posting lists ---------------------------------
+    "q86_inverted_index" -> ((s, dir) => {
+      Search.invertedIndex(read(s, dir, "documents"), "doc_id", "text",
+        minDf = 3)
+        .orderBy(col("term"))
+    }),
+
+    // ---- centroid-cohesion outlier flagging -----------------------------
+    "q87_centroid_outliers" -> ((s, dir) => {
+      Similarity.centroidOutliers(read(s, dir, "embeddings"), "vec_id",
+        "label", "embedding", threshold = 0.5)
+        .select(col("vec_id"), col("label"), col("cosine"),
+          col("is_outlier").cast("int").as("is_outlier"))
+        .orderBy(col("vec_id"))
     }),
 
     // ---- pairwise Pearson correlations (profile extension) --------------
@@ -1946,6 +1984,64 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Temperature rebalancing: rate_g = (n_min/n_g)^(1-alpha); membership
+    // is the shared md5-hex bucket contract, threshold rendered in-plan
+    // with printf('%04x') on both engines
+    "q84_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT lang, pow(nmin::DOUBLE / n::DOUBLE, 0.5) AS rate
+               FROM c CROSS JOIN m)
+         SELECT d.doc_id, d.lang, round(r.rate, 4) AS keep_rate
+         FROM documents d JOIN r USING (lang)
+         WHERE r.rate >= 1.0
+            OR substring(md5('t:' || d.doc_id::VARCHAR), 1, 4) <
+               printf('%04x', CAST(least(floor(r.rate * 65536), 65535) AS BIGINT))
+         ORDER BY d.doc_id""",
+    // Symmetric int8 quantization: scale = max|v|/127, code = floor(v/scale
+    // + 0.5) — identical IEEE steps on both engines, so every integer
+    // invariant matches exactly
+    "q85_quantize_i8" ->
+      """WITH e AS (
+           SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings),
+         s AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale
+               FROM e GROUP BY vec_id),
+         q AS (SELECT e.vec_id, s.scale,
+                 CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(e.v / s.scale + 0.5) AS BIGINT) END AS code
+               FROM e JOIN s USING (vec_id))
+         SELECT vec_id, round(any_value(scale), 8) AS scale,
+                count(*)::INT AS n_dims, sum(code)::BIGINT AS sum_q,
+                sum(abs(code))::BIGINT AS sum_abs_q,
+                min(code)::INT AS min_q, max(code)::INT AS max_q
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
+    // Posting lists over the shared tokenizer; df bounds on the aggregate
+    "q86_inverted_index" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         p AS (SELECT term, doc_id, count(*) AS tf FROM ex GROUP BY term, doc_id)
+         SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+         FROM p GROUP BY term HAVING count(*) >= 3
+         ORDER BY term""",
+    // Cosine to the group's own mean vector; the outlier flag compares the
+    // ROUNDED cosine so both engines land on the same boundary decision
+    "q87_centroid_outliers" ->
+      """WITH cm AS (
+           SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+           GROUP BY label, i),
+         cent AS (SELECT label, list(m ORDER BY i) AS centroid
+                  FROM cm GROUP BY label)
+         SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 4) AS cosine,
+                (round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 4) < 0.5)::INT
+                  AS is_outlier
+         FROM embeddings e JOIN cent c USING (label)
+         ORDER BY e.vec_id""",
     // Element-wise mean embedding per label; dim is 0-based
     "q82_group_centroids" ->
       """SELECT label, (i - 1)::INT AS dim,

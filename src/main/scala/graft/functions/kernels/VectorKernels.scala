@@ -124,6 +124,58 @@ case class SignBitsExpr(child: Expression, dim: Int, numBits: Int, seed: Long)
   override def prettyName: String = "sign_projection_bits"
 }
 
+/** Symmetric int8 quantization summary — the storage-compression step for
+  * embedding columns at corpus scale (fp32 → 1 byte/dim + one scale).
+  * `scale = max|vᵢ|/127`; `codeᵢ = ⌊vᵢ/scale + 0.5⌋` (explicit floor-plus-
+  * half so an external SQL oracle reproduces every code bit-for-bit —
+  * `Math.round` semantics without relying on them). Emits the scale plus
+  * exact integer invariants of the code vector rather than the codes
+  * themselves: struct(scale, n_dims, sum_q, sum_abs_q, min_q, max_q).
+  * Zero vectors quantize to all-zero codes with scale 0. One compiled
+  * two-pass loop per row; no array materialization. */
+case class I8QuantStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("n_dims", IntegerType, nullable = false),
+    StructField("sum_q", LongType, nullable = false),
+    StructField("sum_abs_q", LongType, nullable = false),
+    StructField("min_q", IntegerType, nullable = false),
+    StructField("max_q", IntegerType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < x.length) {
+      val a = math.abs(x(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sum = 0L; var sumAbs = 0L
+    var minQ = 0L; var maxQ = 0L
+    if (scale > 0.0) {
+      minQ = Long.MaxValue; maxQ = Long.MinValue
+      i = 0
+      while (i < x.length) {
+        val q = math.floor(x(i) / scale + 0.5).toLong
+        sum += q; sumAbs += math.abs(q)
+        if (q < minQ) minQ = q
+        if (q > maxQ) maxQ = q
+        i += 1
+      }
+      if (x.length == 0) { minQ = 0L; maxQ = 0L }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, x.length, sum, sumAbs, minQ.toInt, maxQ.toInt))
+  }
+  override protected def withNewChildInternal(c: Expression): I8QuantStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "i8_quant_stats"
+}
+
 object VectorKernelFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -131,4 +183,6 @@ object VectorKernelFunctions {
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def signBits(v: Column, dim: Int, numBits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SignBitsExpr(ColumnBridge.expression(v), dim, numBits, seed))
+  def i8QuantStats(v: Column): Column =
+    ColumnBridge.column(I8QuantStatsExpr(ColumnBridge.expression(v)))
 }

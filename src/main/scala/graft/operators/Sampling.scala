@@ -172,6 +172,37 @@ object Sampling {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Temperature-rebalanced mixture: downsample each group (language,
+    * source, …) at a rate derived from the corpus's own group frequencies
+    * so the kept distribution follows `p_g^alpha` — the multilingual
+    * rebalancing rule (alpha < 1 flattens toward uniform; alpha = 1 keeps
+    * the natural distribution). Rates are downsample-only and anchored to
+    * the rarest group: `rate_g = (n_min / n_g)^(1-alpha)`, so the smallest
+    * group keeps everything and no group is upsampled (pair with
+    * [[epochMixture]] when rare groups must repeat instead). Adds
+    * `keep_rate`.
+    *
+    * Cost: one tiny per-group count aggregate broadcast back onto the
+    * corpus; membership stays the pure md5 hash filter of [[hashSample]] —
+    * deterministic, repartition-stable, and exactly mirrorable by an
+    * external SQL oracle (the hex threshold is computed IN the plan with
+    * `format_string("%04x", …)`, byte-identical to `printf('%04x', …)`). */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        pow(col("__nmin").cast("double") / col("__n"), lit(1.0 - alpha))
+          .as("keep_rate"))
+    val thresholdHex = format_string("%04x",
+      least(floor(col("keep_rate") * Buckets), lit(Buckets - 1)).cast("long"))
+    df.join(broadcast(rates), groupCol)
+      .filter(col("keep_rate") >= 1.0 ||
+        hexBucket(col(idCol), salt) < thresholdHex)
+  }
+
   /** Mixture with UPSAMPLING: a rate of 2.5 emits two full copies of the
     * source plus a deterministic half sample, each tagged with an `epoch`
     * column (0-based) — how curated sources are repeated for multiple

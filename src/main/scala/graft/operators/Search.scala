@@ -78,4 +78,44 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** Inverted-index build: one row per term with document frequency, total
+    * term frequency, and the posting list (ascending doc ids, comma-joined)
+    * — the precomputation that turns repeated [[bm25TopK]] runs into posting
+    * lookups, and the df table Zipfian stopword analysis reads.
+    *
+    * `minDf`/`maxDf` bound the emitted vocabulary: `maxDf` drops stopword
+    * terms whose posting rows would otherwise be corpus-sized (the df cap
+    * both n-gram dedup and decontamination already apply); at 100 TB set it
+    * — an uncapped 'the' posting row is one string of every doc id. Plan:
+    * explode → per-(term, doc) count (map-side combined — duplicate
+    * occurrences inside a doc collapse before the exchange) → per-term
+    * collect of already-distinct doc ids. Filters evaluate on the
+    * aggregated row, before the posting string is rendered. Write the
+    * result bucketed by term ([[graft.ops.ScaleOps.writeBucketed]]) for
+    * shuffle-free lookup joins. The df bounds apply to the aggregated rows
+    * — capped terms still pay their doc-id collection in the shuffle (only
+    * the sort + string render is skipped); when stopword postings dominate
+    * volume, pre-filter terms with a df pass and semi-join before calling
+    * this. */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(maxDf >= minDf, s"maxDf must be >= minDf: $maxDf vs $minDf")
+    val posting = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        collect_list(col("doc_id")).as("__post"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("term"), col("df"), col("tf_total"),
+        array_join(sort_array(col("__post")).cast("array<string>"), ",").as("postings"))
+  }
 }

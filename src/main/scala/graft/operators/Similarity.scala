@@ -194,6 +194,31 @@ object Similarity {
         x => x.getField("m")).as("centroid"))
   }
 
+  /** Cohesion scoring against the group's own centroid: each vector's
+    * cosine to its group mean, with vectors below `threshold` flagged as
+    * outliers — the embedding-space quality filter (mislabeled / off-topic
+    * / garbled documents sit far from their cluster's center; SemDeDup-
+    * style pipelines prune exactly these). Output: id, group, `cosine`
+    * (rounded to `roundTo` decimals), `is_outlier`. The flag compares the
+    * ROUNDED cosine so an external oracle recomputing the centroid with
+    * differently-ordered floating-point sums lands on the identical
+    * boundary decision.
+    *
+    * Plan shape: [[groupCentroids]]'s one partial-aggregated shuffle, then
+    * the |groups|-row centroid table broadcasts back onto an unshuffled
+    * corpus scan — the scoring pass is a pure projection through the
+    * compiled cosine kernel. */
+  def centroidOutliers(df: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, threshold: Double, roundTo: Int = 4): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col("group"), col("centroid"))
+    val cosine = round(
+      VectorKernelFunctions.cosineSimilarity(col(vecCol), col("centroid")), roundTo)
+    df.join(broadcast(cents), df(groupCol) === cents("group"))
+      .select(col(idCol), col(groupCol), cosine.as("cosine"),
+        (cosine < threshold).as("is_outlier"))
+  }
+
   /** Top-`m` centroid indices by cosine, as a codegen'd column expression:
     * an array of (cosine, index) structs reduced by struct ordering. The
     * m = 1 case (corpus assignment — the per-row hot path) is a plain

@@ -146,4 +146,41 @@ class KernelSpec extends SparkSpecBase {
       TextKernelFunctions.shingleHashSet($"b", 2)).head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("i8 quant stats: hand-computed codes, zero vector, null safety") {
+    import graft.functions.kernels.VectorKernelFunctions
+    val df = Seq(
+      (1L, Some(Seq(1.0f, -0.5f, 0.25f, 0.0f))),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, None)).toDF("id", "vec")
+    val rows = df.select($"id", VectorKernelFunctions.i8QuantStats($"vec").as("q"))
+      .orderBy("id").select("id", "q.*").collect()
+    // scale = 1/127; codes = floor(v/scale + 0.5) = [127, -63, 32, 0]
+    val r1 = rows(0)
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127.0) < 1e-15)
+    assert(r1.getAs[Int]("n_dims") == 4)
+    assert(r1.getAs[Long]("sum_q") == 127L - 63L + 32L)
+    assert(r1.getAs[Long]("sum_abs_q") == 127L + 63L + 32L)
+    assert(r1.getAs[Int]("min_q") == -63 && r1.getAs[Int]("max_q") == 127)
+    // zero vector → scale 0, all-zero codes
+    val r2 = rows(1)
+    assert(r2.getAs[Double]("scale") == 0.0 && r2.getAs[Long]("sum_abs_q") == 0L)
+    assert(r2.getAs[Int]("min_q") == 0 && r2.getAs[Int]("max_q") == 0)
+    // null vector → null struct
+    assert(df.filter($"id" === 3L)
+      .select(VectorKernelFunctions.i8QuantStats($"vec")).head().isNullAt(0))
+  }
+
+  test("i8 quant codes bound by ±127 on the real embeddings table") {
+    import graft.functions.kernels.VectorKernelFunctions
+    val stats = spark.read.parquet(sf("embeddings"))
+      .select(VectorKernelFunctions.i8QuantStats(col("embedding")).as("q"))
+      .select("q.*")
+    val bad = stats.filter(col("min_q") < -127 || col("max_q") > 127 ||
+      col("max_q") < col("min_q")).count()
+    assert(bad == 0L)
+    // the max-magnitude element always quantizes to exactly ±127
+    val hitsEdge = stats.filter(col("max_q") === 127 || col("min_q") === -127).count()
+    assert(hitsEdge == stats.count())
+  }
 }

@@ -238,6 +238,31 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("temperatureMixture: rarest group kept whole, others at (nmin/n)^(1-a)") {
+    import spark.implicits._
+    val corpus = ((1L to 80L).map(i => (i, "big")) ++
+      (81L to 100L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val out = Sampling.temperatureMixture(corpus, "doc_id", "grp",
+      alpha = 0.5, salt = "s:")
+    val rows = out.select("doc_id", "grp", "keep_rate").collect()
+    // rarest group: rate exactly 1, every row kept
+    val small = rows.filter(_.getString(1) == "small")
+    assert(small.length == 20 && small.forall(_.getDouble(2) == 1.0))
+    // big group: rate = (20/80)^0.5 = 0.5; membership ≡ hashSample at 0.5
+    val big = rows.filter(_.getString(1) == "big")
+    assert(big.forall(_.getDouble(2) == 0.5))
+    val expected = Sampling.hashSample(
+        corpus.filter(col("grp") === "big"), "doc_id", 0.5, salt = "s:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(big.map(_.getLong(0)).toSet == expected)
+    // alpha = 1 keeps the natural distribution: every row survives
+    assert(Sampling.temperatureMixture(corpus, "doc_id", "grp", alpha = 1.0)
+      .count() == 100L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(corpus, "doc_id", "grp", alpha = 0.0)
+    }
+  }
+
   test("split/sample plans are pure scan+filter/projection — no shuffle") {
     val splitPlan = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
       .queryExecution.executedPlan.toString

@@ -91,4 +91,36 @@ class SearchSpec extends SparkSpecBase {
     assert(top.length == 10)
     assert(top.forall(_.getAs[Long]("total_count") >= top.last.getAs[Long]("total_count")))
   }
+
+  test("inverted index: df/tf counts, sorted postings, df bounds") {
+    val out = Search.invertedIndex(docs, "doc_id", "text", minDf = 2)
+      .orderBy("term").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("apple", "banana"))
+    val apple = out(0)
+    assert(apple.getAs[Long]("df") == 2L) // docs 1 and 2
+    assert(apple.getAs[Long]("tf_total") == 3L) // 2 + 1 occurrences
+    assert(apple.getAs[String]("postings") == "1,2")
+    val banana = out(1)
+    assert(banana.getAs[Long]("df") == 2L && banana.getAs[Long]("tf_total") == 5L)
+    assert(banana.getAs[String]("postings") == "1,4")
+    // maxDf drops the common terms, keeping the singleton vocabulary
+    val rare = Search.invertedIndex(docs, "doc_id", "text", maxDf = 1)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(rare == Set("cherry", "date", "elderberry", "fig"))
+    intercept[IllegalArgumentException] {
+      Search.invertedIndex(docs, "doc_id", "text", minDf = 0)
+    }
+  }
+
+  test("inverted index postings cover the corpus exactly once per (term, doc)") {
+    val real = spark.read.parquet(sf("documents"))
+    val idx = Search.invertedIndex(real, "doc_id", "text")
+    // Σ df over the index = number of distinct (term, doc) pairs
+    val sumDf = idx.agg(sum("df")).head().getLong(0)
+    val distinctPairs = real
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .count()
+    assert(sumDf == distinctPairs)
+  }
 }

@@ -135,4 +135,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(0).getSeq[Double](2) == Seq(2.0, 3.0, 4.0))
     assert(rows(1).getString(0) == "b" && rows(1).getSeq[Double](2) == Seq(10.0, 0.0, -10.0))
   }
+
+  test("centroid outliers: inverted vector flagged, cohesive ones kept") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "x", Seq(1.0f, 0.0f)),
+      (2L, "x", Seq(0.9f, 0.1f)),
+      (3L, "x", Seq(-1.0f, 0.0f)), // opposes its group's centroid
+      (4L, "y", Seq(0.0f, 1.0f))) // singleton group: cosine 1 to itself
+      .toDF("vec_id", "label", "vec")
+    val rows = graft.operators.Similarity
+      .centroidOutliers(vecs, "vec_id", "label", "vec", threshold = 0.5)
+      .orderBy("vec_id").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Double]("cosine"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(!byId(1L)._2 && !byId(2L)._2 && !byId(4L)._2)
+    assert(byId(3L)._2, s"inverted vector not flagged: ${byId(3L)}")
+    assert(byId(3L)._1 < 0.0)
+    assert(byId(4L)._1 == 1.0) // singleton is its own centroid
+    // the centroid side of the scoring join is broadcast
+    val plan = graft.operators.Similarity
+      .centroidOutliers(vecs, "vec_id", "label", "vec", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
+  }
 }
