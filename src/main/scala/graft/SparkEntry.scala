@@ -892,6 +892,14 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- per-document novelty (corpus-unique shingle share) -------------
+    "q88_novelty_score" -> ((s, dir) => {
+      CorpusStats.noveltyScore(read(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+          round(col("novelty"), 4).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- temperature-rebalanced language mixture ------------------------
     "q84_temperature_mixture" -> ((s, dir) => {
       Sampling.temperatureMixture(read(s, dir, "documents"), "doc_id", "lang",
@@ -1984,6 +1992,26 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Novelty: df over distinct 3-shingles (hashes Spark-side, strings
+    // oracle-side — identical absent 64-bit collisions), per-doc share of
+    // df=1 shingles
+    "q88_novelty_score" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         ex AS (SELECT doc_id, unnest(sh) AS h FROM s),
+         dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+         SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+                sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+                round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                  AS novelty
+         FROM ex e JOIN dfq d USING (h)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     // Temperature rebalancing: rate_g = (n_min/n_g)^(1-alpha); membership
     // is the shared md5-hex bucket contract, threshold rendered in-plan
     // with printf('%04x') on both engines

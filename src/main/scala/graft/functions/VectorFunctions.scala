@@ -38,6 +38,13 @@ object VectorFunctions {
     when(n === 0.0, asDouble(a)).otherwise(transform(asDouble(a), x => x / n))
   }
 
+  /** Symmetric int8 quantization summary (compiled kernel): struct(scale,
+    * n_dims, sum_q, sum_abs_q, min_q, max_q) where `scale = max|vᵢ|/127`
+    * and `codeᵢ = ⌊vᵢ/scale + 0.5⌋` — the fp32→int8 storage-compression
+    * audit for embedding columns. See
+    * [[graft.functions.kernels.I8QuantStatsExpr]]. */
+  def i8QuantStats(v: Column): Column = kernels.VectorKernelFunctions.i8QuantStats(v)
+
   /** Sign-random-projection bits: bit p = sign(Σⱼ vⱼ·rₚⱼ) where rₚⱼ ∈ {−1,+1}
     * comes from a deterministic seeded RNG — the classic cosine-LSH family
     * (Charikar, STOC'02). Returns an array<int> of 0/1 of length `numBits`.

@@ -77,6 +77,35 @@ object CorpusStats {
         exp(col("s") / col("n_tokens").cast("double")).as("perplexity"))
   }
 
+  /** Per-document novelty: the share of a document's distinct shingles
+    * that appear in NO other document — the content-overlap quality score
+    * (a page of boilerplate scores ~0, genuinely fresh text scores ~1),
+    * and the per-doc complement of [[shingleDfHistogram]]'s corpus view.
+    * A doc's shingle is "unique" when its corpus doc-frequency is 1; docs
+    * too short to form a shingle are omitted. Output: (id, n_shingles,
+    * n_unique, novelty).
+    *
+    * Plan shape: distinct 8-byte shingle hashes per doc (compiled kernel,
+    * scan-local), one map-side-combined df aggregation, then the df table
+    * joins back on the hash key and re-aggregates per doc — both wide
+    * stages shuffle only (hash, id) pairs, never text. */
+  def noveltyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(TextKernelFunctions.shingleHashSet(col(textCol), shingleSize)).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Document-frequency histogram of distinct word n-gram shingles:
     * (doc_freq, n_shingles) — how many distinct shingles appear in exactly
     * `doc_freq` documents. THE diagnostic for choosing

@@ -92,6 +92,22 @@ class SearchSpec extends SparkSpecBase {
     assert(top.forall(_.getAs[Long]("total_count") >= top.last.getAs[Long]("total_count")))
   }
 
+  test("novelty score: unique-shingle share, short docs omitted") {
+    val corpus = Seq(
+      (1L, "a b c d"), // shingles: "a b c" (shared), "b c d" (unique)
+      (2L, "a b c e"), // shingles: "a b c" (shared), "b c e" (unique)
+      (3L, "x y z"), // one unique shingle
+      (4L, "too short")).toDF("doc_id", "text")
+    val rows = CorpusStats.noveltyScore(corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // doc 4 dropped
+    assert(rows(0).getAs[Long]("n_shingles") == 2L)
+    assert(rows(0).getAs[Long]("n_unique") == 1L)
+    assert(rows(0).getAs[Double]("novelty") == 0.5)
+    assert(rows(1).getAs[Double]("novelty") == 0.5)
+    assert(rows(2).getAs[Double]("novelty") == 1.0)
+  }
+
   test("inverted index: df/tf counts, sorted postings, df bounds") {
     val out = Search.invertedIndex(docs, "doc_id", "text", minDf = 2)
       .orderBy("term").collect()
