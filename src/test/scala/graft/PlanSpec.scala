@@ -103,4 +103,33 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size == 1, s"unexpected shuffles in:\n$p")
     assert(p.contains("Generate"), s"expected posexplode in:\n$p")
   }
+
+  test("temperature mixture broadcasts rates; corpus side never shuffles") {
+    val p = plan("q84_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
+
+  test("i8 quantization is a pure scan projection plus the final sort") {
+    val p = plan("q85_quantize_i8")
+    // exactly one Exchange — the rangepartitioning for the final orderBy
+    assert("Exchange".r.findAllIn(p).size == 1, s"unexpected shuffles in:\n$p")
+    assert(!p.contains("ArrayTransform") && !p.contains("ArrayAggregate"),
+      "quant stats must come from the compiled kernel, not higher-order fns")
+  }
+
+  test("inverted index and novelty aggregate partially before their shuffles") {
+    for (q <- Seq("q86_inverted_index", "q88_novelty_score")) {
+      val p = plan(q)
+      assert(p.contains("partial"), s"$q: no partial aggregation in:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected product join in:\n$p")
+    }
+  }
+
+  test("centroid outlier scoring broadcasts the centroid table") {
+    val p = plan("q87_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
 }
