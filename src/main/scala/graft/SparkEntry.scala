@@ -892,6 +892,26 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- quantile winsorization (profile-driven numeric cleaning) -------
+    "q89_winsorize" -> ((s, dir) => {
+      ColumnProfiler.winsorize(read(s, dir, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("extendedprice_w"),
+          round(col("l_quantity"), 2).as("quantity_w"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- per-group numeric profile (per-source corpus monitoring) -------
+    "q90_group_profile" -> ((s, dir) => {
+      ColumnProfiler.profileByGroup(read(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_discount"))
+        .select(col("group"), col("column_name"), col("n"), col("n_missing"),
+          col("n_distinct"), round(col("mean"), 4).as("mean"),
+          round(col("std"), 4).as("std"), col("min"), col("max"))
+        .orderBy(col("group"), col("column_name"))
+    }),
+
     // ---- per-document novelty (corpus-unique shingle share) -------------
     "q88_novelty_score" -> ((s, dir) => {
       CorpusStats.noveltyScore(read(s, dir, "documents"), "doc_id", "text")
@@ -1991,6 +2011,31 @@ object SparkEntry {
           SELECT doc_id, component,
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
+    },
+    // Winsorize: exact interpolated quantiles (quantile_cont parity with
+    // Spark's percentile, proven by q17), then a pure clamp projection
+    "q89_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo_e,
+                           quantile_cont(l_extendedprice, 0.99) AS hi_e,
+                           quantile_cont(l_quantity, 0.01) AS lo_q,
+                           quantile_cont(l_quantity, 0.99) AS hi_q
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                round(least(greatest(l_extendedprice, lo_e), hi_e), 2) AS extendedprice_w,
+                round(least(greatest(l_quantity, lo_q), hi_q), 2) AS quantity_w
+         FROM lineitem CROSS JOIN b
+         ORDER BY l_orderkey, l_linenumber""",
+    // Per-group numeric profile, long form; one SQL block per column
+    "q90_group_profile" -> {
+      def block(c: String) =
+        s"""SELECT l_returnflag AS "group", '$c' AS column_name,
+            count(*) AS n, count(*) - count($c) AS n_missing,
+            count(DISTINCT $c) AS n_distinct,
+            round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std,
+            min($c)::DOUBLE AS min, max($c)::DOUBLE AS max
+            FROM lineitem GROUP BY l_returnflag"""
+      Seq("l_quantity", "l_discount").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"group\", column_name")
     },
     // Novelty: df over distinct 3-shingles (hashes Spark-side, strings
     // oracle-side — identical absent 64-bit collisions), per-doc share of

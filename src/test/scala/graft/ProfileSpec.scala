@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.profile.{ColumnProfiler, ProfileComparison}
 
 /** Mirrors /root/reference/test/profile/ semantics. */
@@ -167,5 +169,50 @@ class ProfileSpec extends SparkSpecBase {
     // non-numeric columns carry no quartiles
     val s = ColumnProfiler.profile(Seq("x").toDF("t")).variables("t")
     assert(s.p25.isEmpty && s.p50.isEmpty && s.p75.isEmpty)
+  }
+
+  test("winsorize clamps into the quantile range, other columns untouched") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, s"r$i")).toDF("id", "v", "tag")
+    val out = ColumnProfiler.winsorize(df, Seq("v"), lower = 0.10, upper = 0.90)
+    assert(out.columns.toSeq == Seq("id", "v", "tag")) // names/order preserved
+    val vs = out.select("v").collect().map(_.getDouble(0))
+    // exact interpolated p10/p90 of 1..100 are 10.9 and 90.1
+    assert(math.abs(vs.min - 10.9) < 1e-9 && math.abs(vs.max - 90.1) < 1e-9)
+    // interior values pass through unchanged
+    assert(out.filter(col("id") === 50L).head().getDouble(1) == 50.0)
+    assert(out.filter(col("id") === 1L).head().getString(2) == "r1")
+    // approx mode lands within a loose band of the same boundaries
+    val approx = ColumnProfiler.winsorize(df, Seq("v"), 0.10, 0.90, exact = false)
+      .select("v").collect().map(_.getDouble(0))
+    assert(approx.min >= 1.0 && approx.min <= 20.0 && approx.max >= 80.0)
+    intercept[IllegalArgumentException] {
+      ColumnProfiler.winsorize(df, Seq("tag"))
+    }
+    intercept[IllegalArgumentException] {
+      ColumnProfiler.winsorize(df, Seq("v"), lower = 0.5, upper = 0.4)
+    }
+  }
+
+  test("profileByGroup: per-group stats in long form, NaN counts missing") {
+    val df = Seq(
+      ("a", Some(1.0), 10L), ("a", Some(3.0), 20L),
+      ("a", Some(Double.NaN), 30L),
+      ("b", Some(5.0), 40L), ("b", None, 40L)).toDF("g", "v", "w")
+    val rows = ColumnProfiler.profileByGroup(df, "g", Seq("v", "w"))
+      .orderBy("group", "column_name").collect()
+    assert(rows.length == 4) // 2 groups x 2 columns
+    val av = rows(0)
+    assert(av.getAs[String]("group") == "a" && av.getAs[String]("column_name") == "v")
+    assert(av.getAs[Long]("n") == 3L && av.getAs[Long]("n_missing") == 1L)
+    assert(av.getAs[Long]("n_distinct") == 2L)
+    assert(av.getAs[Double]("mean") == 2.0) // NaN excluded from stats
+    assert(av.getAs[Double]("min") == 1.0 && av.getAs[Double]("max") == 3.0)
+    val bw = rows(3)
+    assert(bw.getAs[String]("group") == "b" && bw.getAs[String]("column_name") == "w")
+    assert(bw.getAs[Long]("n_distinct") == 1L && bw.getAs[Long]("n_missing") == 0L)
+    // one aggregation: the plan has exactly one shuffle for the groupBy
+    val plan = ColumnProfiler.profileByGroup(df, "g", Seq("v", "w"),
+      exactDistinct = false).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected one shuffle:\n$plan")
   }
 }
