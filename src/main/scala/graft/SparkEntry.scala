@@ -892,6 +892,33 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- keyed snapshot diff (dataset versioning) -----------------------
+    "q91_keyed_diff" -> ((s, dir) => {
+      // old = customer; new = %7≡3 balances shifted, %13≡1 keys dropped,
+      // 20 fresh keys appended above the key space (q77's fixture family)
+      val old = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newer = old.filter(col("c_custkey") % 13 =!= 1)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 3, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(read(s, dir, "customer").filter(col("c_custkey") < 20)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("new_"), col("c_name")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      CompareOps.keyedDiff(old, newer, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- inter-group centroid similarity matrix -------------------------
+    "q92_centroid_matrix" -> ((s, dir) => {
+      Similarity.centroidSimilarityMatrix(read(s, dir, "embeddings"),
+        "label", "embedding")
+        .select(col("group_a").as("label_a"), col("group_b").as("label_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // ---- quantile winsorization (profile-driven numeric cleaning) -------
     "q89_winsorize" -> ((s, dir) => {
       ColumnProfiler.winsorize(read(s, dir, "lineitem"),
@@ -2012,6 +2039,49 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Keyed diff: full outer join on the key, presence markers decide
+    // added/removed, null-safe IS DISTINCT FROM decides changed;
+    // changed_columns mirrors concat_ws's null-skipping on both engines
+    "q91_keyed_diff" ->
+      """WITH oldt AS (
+           SELECT c_custkey, c_name, c_acctbal, 1 AS lp FROM customer),
+         newt AS (
+           SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS c_acctbal, 1 AS rp
+           FROM customer WHERE c_custkey % 13 <> 1
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || c_name, 0.0, 1
+           FROM customer WHERE c_custkey < 20)
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.lp IS NULL THEN 'added'
+                WHEN n.rp IS NULL THEN 'removed'
+                WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                  OR (o.c_name IS DISTINCT FROM n.c_name) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN o.lp IS NULL OR n.rp IS NULL THEN NULL
+                ELSE concat_ws(',',
+                  CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                       THEN 'c_acctbal' END,
+                  CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                       THEN 'c_name' END) END AS changed_columns
+         FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+         WHERE NOT (o.lp IS NOT NULL AND n.rp IS NOT NULL
+                    AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                    AND o.c_name IS NOT DISTINCT FROM n.c_name)
+         ORDER BY c_custkey""",
+    // Pairwise centroid cosine over the same per-label means as q87
+    "q92_centroid_matrix" ->
+      """WITH cm AS (
+           SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+           GROUP BY label, i),
+         cent AS (SELECT label, list(m ORDER BY i) AS centroid
+                  FROM cm GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+                round(list_cosine_similarity(a.centroid, b.centroid), 4) AS cosine
+         FROM cent a JOIN cent b ON a.label < b.label
+         ORDER BY label_a, label_b""",
     // Winsorize: exact interpolated quantiles (quantile_cont parity with
     // Spark's percentile, proven by q17), then a pure clamp projection
     "q89_winsorize" ->

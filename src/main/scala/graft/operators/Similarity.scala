@@ -194,6 +194,27 @@ object Similarity {
         x => x.getField("m")).as("centroid"))
   }
 
+  /** Pairwise cosine between group centroids — the source/language drift
+    * matrix (two sources whose centroids sit at cosine ≈ 1 carry
+    * near-identical content; a centroid drifting away from its historical
+    * position flags a scraper or distribution change). One row per
+    * unordered pair (group_a < group_b).
+    *
+    * Cost: [[groupCentroids]]'s aggregation, then a |groups|² pair join of
+    * |groups| ROWS (driver-scale — group counts are tens-to-thousands, not
+    * corpus-sized; the inequality join is a broadcast nested loop over that
+    * tiny table by construction). */
+  def centroidSimilarityMatrix(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col("group"), col("centroid"))
+    val a = cents.select(col("group").as("group_a"), col("centroid").as("__ca"))
+    val b = cents.select(col("group").as("group_b"), col("centroid").as("__cb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        VectorKernelFunctions.cosineSimilarity(col("__ca"), col("__cb")).as("cosine"))
+  }
+
   /** Cohesion scoring against the group's own centroid: each vector's
     * cosine to its group mean, with vectors below `threshold` flagged as
     * outliers — the embedding-space quality filter (mislabeled / off-topic

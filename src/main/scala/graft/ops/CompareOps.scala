@@ -139,4 +139,49 @@ object CompareOps {
         sum(greatest(coalesce(col("__r"), lit(0L)) - coalesce(col("__l"), lit(0L)), lit(0L))).as("only_in_right"),
         sum(least(coalesce(col("__l"), lit(0L)), coalesce(col("__r"), lit(0L)))).as("in_both"))
   }
+
+  /** Keyed snapshot diff: one row per key that differs between two dataset
+    * versions, with `status` ∈ added / removed / changed (vs `old`→`new`)
+    * and `changed_columns` (comma-joined, name-sorted; null for
+    * added/removed). The dataset-versioning view [[diffCounts]] can't give:
+    * WHICH keys moved, and in which columns. `includeUnchanged = true`
+    * emits the identical keys too (status `unchanged`, empty
+    * changed_columns).
+    *
+    * Compares the shared non-key columns whose types match on both sides
+    * (null-safe `<=>`, so null→value and value→null count as changes);
+    * one-sided or type-changed columns are reported by [[compare]]'s
+    * schema diff, not here. Keys must be unique per side — duplicate keys
+    * would cross-multiply in the join.
+    *
+    * Plan: one full-outer key join (the only shuffle, sort-merge at scale,
+    * AQE-skew-splittable); presence flags and per-column comparisons are
+    * pure projections. At 100 TB write both snapshots bucketed by key
+    * ([[ScaleOps.writeBucketed]]) and the join goes shuffle-free. */
+  def keyedDiff(old: DataFrame, newer: DataFrame, keys: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val missing = keys.filterNot(c => old.columns.contains(c) && newer.columns.contains(c))
+    require(missing.isEmpty, s"key columns missing from a side: ${missing.mkString(", ")}")
+    val shared = (old.columns.toSet intersect newer.columns.toSet)
+      .diff(keys.toSet).toSeq.sorted
+      .filter(c => old.schema(c).dataType == newer.schema(c).dataType)
+    val lp = old.select(keys.map(col) ++ shared.map(c => col(c).as(s"__l_$c"))
+      :+ lit(1).as("__lp"): _*)
+    val rp = newer.select(keys.map(col) ++ shared.map(c => col(c).as(s"__r_$c"))
+      :+ lit(1).as("__rp"): _*)
+    val diffs = shared.map(c => !(col(s"__l_$c") <=> col(s"__r_$c")))
+    val anyDiff = diffs.reduceOption(_ || _).getOrElse(lit(false))
+    val status = when(col("__lp").isNull, "added")
+      .when(col("__rp").isNull, "removed")
+      .when(anyDiff, "changed").otherwise("unchanged")
+    val changedCols = when(col("__lp").isNull || col("__rp").isNull,
+        lit(null).cast("string"))
+      .otherwise(concat_ws(",",
+        shared.zip(diffs).map { case (c, d) => when(d, lit(c)) }: _*))
+    lp.join(rp, keys, "full_outer")
+      .select(keys.map(col) :+ status.as("status")
+        :+ changedCols.as("changed_columns"): _*)
+      .filter(if (includeUnchanged) lit(true) else col("status") =!= "unchanged")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.CompareOps
 
 /** Mirrors /root/reference/test/compare/test_compare.py contract. */
@@ -105,5 +107,35 @@ class CompareOpsSpec extends SparkSpecBase {
     val a = Seq(1, 1, 2).toDF("k")
     val b = Seq(1, 2, 2).toDF("k")
     assert(!CompareOps.compare(a, b).columns("k"))
+  }
+
+  test("keyedDiff: added/removed/changed with per-column attribution") {
+    val old = Seq(
+      (1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
+      (3L, "c", Some(30.0)), (4L, "d", None)).toDF("k", "name", "bal")
+    val newer = Seq(
+      (1L, "a", Some(10.0)), // unchanged
+      (2L, "B", Some(25.0)), // both columns changed
+      (4L, "d", Some(40.0)), // null → value counts as a change
+      (5L, "e", Some(50.0))) // added
+      .toDF("k", "name", "bal") // key 3 removed
+    val rows = CompareOps.keyedDiff(old, newer, Seq("k"))
+      .orderBy("k").collect()
+    val byK = rows.map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(!byK.contains(1L)) // unchanged excluded by default
+    assert(byK(2L) == ("changed", Some("bal,name"))) // name-sorted
+    assert(byK(3L) == ("removed", None))
+    assert(byK(4L) == ("changed", Some("bal")))
+    assert(byK(5L) == ("added", None))
+    // includeUnchanged surfaces key 1 with an empty attribution
+    val all = CompareOps.keyedDiff(old, newer, Seq("k"), includeUnchanged = true)
+      .filter(col("k") === 1L).head()
+    assert(all.getString(1) == "unchanged" && all.getString(2) == "")
+    // type-changed columns are excluded from the comparison set
+    val retyped = newer.withColumn("bal", col("bal").cast("string"))
+    val r1 = CompareOps.keyedDiff(old, retyped, Seq("k"), includeUnchanged = true)
+      .filter(col("k") === 4L).head()
+    assert(r1.getString(1) == "unchanged") // only `name` compared
   }
 }

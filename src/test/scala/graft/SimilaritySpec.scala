@@ -136,6 +136,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(1).getString(0) == "b" && rows(1).getSeq[Double](2) == Seq(10.0, 0.0, -10.0))
   }
 
+  test("centroid similarity matrix: unordered pairs, hand-checked cosines") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)), // centroid (1, 0)
+      ("b", Seq(0.0f, 1.0f)), // centroid (0, 1) — orthogonal to a
+      ("c", Seq(2.0f, 0.0f))) // centroid (2, 0) — parallel to a
+      .toDF("label", "vec")
+    val rows = graft.operators.Similarity
+      .centroidSimilarityMatrix(vecs, "label", "vec")
+      .orderBy("group_a", "group_b").collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"))) // a < b pairs only
+    assert(math.abs(m(("a", "b"))) < 1e-12)
+    assert(math.abs(m(("a", "c")) - 1.0) < 1e-12)
+    assert(math.abs(m(("b", "c"))) < 1e-12)
+  }
+
   test("centroid outliers: inverted vector flagged, cohesive ones kept") {
     import spark.implicits._
     val vecs = Seq(
