@@ -892,6 +892,27 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- contamination pair attribution ---------------------------------
+    "q93_contamination_pairs" -> ((s, dir) => {
+      // q48's fixture: eval set = every 20th doc; report which eval doc
+      // each train doc shares >= 2 distinct word-3-grams with
+      val docs = read(s, dir, "documents")
+      Decontaminate.contaminationPairs(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          shingleSize = 3, minShared = 2)
+        .orderBy(col("train_id"), col("test_id"))
+    }),
+
+    // ---- per-group token budget (mixture in token units) ----------------
+    "q94_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudgetPerGroup(
+          read(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc),
+          "n_chars", budget = 50000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- keyed snapshot diff (dataset versioning) -----------------------
     "q91_keyed_diff" -> ((s, dir) => {
       // old = customer; new = %7≡3 balances shifted, %13≡1 keys dropped,
@@ -2039,6 +2060,34 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Pair attribution over the q48 shingle construction: distinct
+    // 3-gram intersection counts per (train, eval) pair
+    "q93_contamination_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         te AS (SELECT doc_id AS test_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+         tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+         SELECT train_id, test_id, count(*)::BIGINT AS n_shared
+         FROM tr JOIN te USING (g)
+         GROUP BY train_id, test_id
+         HAVING count(*) >= 2
+         ORDER BY train_id, test_id""",
+    // Inclusive running-cost window per lang, biggest-first, hard cap
+    "q94_token_budget" ->
+      """SELECT doc_id, lang, n_chars, budget_used::BIGINT AS budget_used FROM (
+           SELECT doc_id, lang, n_chars,
+                  sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS budget_used
+           FROM documents) t
+         WHERE budget_used <= 50000
+         ORDER BY doc_id""",
     // Keyed diff: full outer join on the key, presence markers decide
     // added/removed, null-safe IS DISTINCT FROM decides changed;
     // changed_columns mirrors concat_ws's null-skipping on both engines

@@ -77,6 +77,36 @@ object Decontaminate {
         (col("n_hit") >= minOverlap).as("contaminated"))
   }
 
+  /** Leak attribution: WHICH evaluation item each training document shares
+    * n-grams with — the audit report behind [[ngramOverlap]]'s per-doc
+    * counts (a contamination REVIEW needs the offending eval ids, not just
+    * a flag). Output: (train_id, test_id, n_shared) for pairs sharing at
+    * least `minShared` distinct shingles.
+    *
+    * Same asymmetric shape as [[ngramOverlap]] — the test side (now keyed
+    * by eval id) broadcasts, the corpus is scanned once — but the count
+    * keys on (train, test) pairs, so output and shuffle volume scale with
+    * matched pairs × shared grams. Raise `minShared` (or pre-trim eval
+    * boilerplate) when an eval set shares stock phrases with everything. */
+  def contaminationPairs(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      shingleSize: Int = 13,
+      minShared: Int = 1,
+      broadcastTest: Boolean = true): DataFrame = {
+    require(shingleSize > 0, s"shingleSize must be positive: $shingleSize")
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    val testGrams = test.select(col(testId).as("test_id"),
+      explode(TextKernelFunctions.shingleHashSet(col(testText), shingleSize)).as("h"))
+    val probe = if (broadcastTest) broadcast(testGrams) else testGrams
+    train.select(col(trainId).as("train_id"),
+      explode(TextKernelFunctions.shingleHashSet(col(trainText), shingleSize)).as("h"))
+      .join(probe, Seq("h"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Convenience: the decontaminated corpus — train rows whose overlap with
     * `test` stays below `minOverlap` shared n-grams (all original columns). */
   def removeContaminated(

@@ -276,6 +276,31 @@ object Sampling {
     }
   }
 
+  /** Per-group TOKEN-budget quota: keep each group's rows, best-first, while
+    * the running `costCol` total stays within `budget` — the unit a corpus
+    * mixture is actually specified in ("≤ 2B tokens per source"), where
+    * [[quotaPerGroup]]'s row count is only a proxy. Adds `budget_used`
+    * (inclusive running total). `orderBy` must be a total order (include a
+    * unique id) for deterministic output; a single row larger than the
+    * whole budget is dropped (never overshoot).
+    *
+    * One shuffle: the running sum needs its group co-located and sorted, so
+    * this is the window formulation by necessity (a heap can cap row COUNTS
+    * map-side, but a cost prefix-sum is order-dependent state). Skew is
+    * bounded by the largest group — salt the group key upstream
+    * ([[graft.ops.ScaleOps]]) if one source dominates. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[Column], costCol: String, budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(budget > 0, s"budget must be positive: $budget")
+    require(df.columns.contains(costCol), s"cost column not in frame: $costCol")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("budget_used", sum(col(costCol)).over(w))
+      .filter(col("budget_used") <= budget)
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

@@ -72,6 +72,27 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("contamination pairs attribute the leak to the right eval item") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3 shingles with eval 10
+      (2L, "alpha beta gamma zeta"), // shares 1 shingle with eval 10
+      (3L, "completely unrelated training text here")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "nothing in common with anything")).toDF("doc_id", "text")
+    val pairs = Decontaminate.contaminationPairs(train, "doc_id", "text",
+      eval, "doc_id", "text", shingleSize = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only doc 1 reaches 2 shared shingles, and only against eval 10
+    assert(pairs == Map((1L, 10L) -> 3L))
+    // minShared = 1 surfaces doc 2's single shared shingle too
+    val loose = Decontaminate.contaminationPairs(train, "doc_id", "text",
+      eval, "doc_id", "text", shingleSize = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("real corpus: split by id, overlap stats are self-consistent") {
     val docs = spark.read.parquet(sf("documents"))
     val testSide = docs.filter($"doc_id" % 20 === 0)

@@ -263,6 +263,23 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenBudgetPerGroup: inclusive cap, best-first, never overshoots") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 40L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 10L),
+      ("b", 5L, 200L), // single row over budget: dropped entirely
+      ("c", 6L, 50L)).toDF("grp", "id", "cost")
+    val out = Sampling.tokenBudgetPerGroup(rows, Seq("grp"),
+      Seq(col("cost").desc, col("id").asc), "cost", budget = 100L)
+      .orderBy("id").collect()
+    // group a: 40 + 30 + 30 = 100 kept (inclusive), id 4 would overshoot
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 6L))
+    assert(out.map(_.getAs[Long]("budget_used")).toSeq == Seq(40L, 70L, 100L, 50L))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerGroup(rows, Seq("grp"), Seq(col("id").asc), "cost", 0L)
+    }
+  }
+
   test("split/sample plans are pure scan+filter/projection — no shuffle") {
     val splitPlan = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
       .queryExecution.executedPlan.toString
