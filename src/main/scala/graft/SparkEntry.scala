@@ -892,6 +892,14 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- Zipf head-vocabulary fit ---------------------------------------
+    "q95_zipf_fit" -> ((s, dir) => {
+      CorpusStats.zipfFit(read(s, dir, "documents"), "text", topK = 1000)
+        .select(col("n_terms"), round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 4).as("r2"))
+    }),
+
     // ---- contamination pair attribution ---------------------------------
     "q93_contamination_pairs" -> ((s, dir) => {
       // q48's fixture: eval set = every 20th doc; report which eval doc
@@ -2060,6 +2068,23 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Zipf fit: identical rank construction (count desc, term asc) and
+    // natural-log regression on both engines
+    "q95_zipf_fit" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         ex AS (SELECT unnest(toks) AS term FROM t),
+         c AS (SELECT term, count(*) AS c FROM ex GROUP BY term),
+         top AS (SELECT term, c FROM c ORDER BY c DESC, term LIMIT 1000),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+               FROM top)
+         SELECT count(*)::BIGINT AS n_terms,
+                round(regr_slope(ln(c), ln(rank)), 4) AS slope,
+                round(regr_intercept(ln(c), ln(rank)), 4) AS intercept,
+                round(regr_r2(ln(c), ln(rank)), 4) AS r2
+         FROM r""",
     // Pair attribution over the q48 shingle construction: distinct
     // 3-gram intersection counts per (train, eval) pair
     "q93_contamination_pairs" ->

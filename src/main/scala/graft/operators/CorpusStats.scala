@@ -77,6 +77,37 @@ object CorpusStats {
         exp(col("s") / col("n_tokens").cast("double")).as("perplexity"))
   }
 
+  /** Zipf fit over the head vocabulary: least-squares slope/intercept/R² of
+    * `ln(count)` against `ln(rank)` for the `topK` most frequent tokens —
+    * natural language sits near slope −1 (Zipf's law), and a corpus that
+    * doesn't is telling you something (template spam flattens the head,
+    * boilerplate dedup failures steepen it). One summary row:
+    * (n_terms, slope, intercept, r2).
+    *
+    * Plan shape: one map-side-combined term count, a `TakeOrderedAndProject`
+    * top-k (per-partition heaps, k-row driver merge — the reason `topK`
+    * must bound this: ranking the FULL web-scale vocabulary would be a
+    * global sort; the head is where Zipf lives anyway), then the rank
+    * window and regression aggregate run on k rows. */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 10000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      regr_slope(log(col("c")), log(col("rank"))).as("slope"),
+      regr_intercept(log(col("c")), log(col("rank"))).as("intercept"),
+      regr_r2(log(col("c")), log(col("rank"))).as("r2"))
+  }
+
   /** Per-document novelty: the share of a document's distinct shingles
     * that appear in NO other document — the content-overlap quality score
     * (a page of boilerplate scores ~0, genuinely fresh text scores ~1),

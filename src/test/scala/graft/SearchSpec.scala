@@ -92,6 +92,23 @@ class SearchSpec extends SparkSpecBase {
     assert(top.forall(_.getAs[Long]("total_count") >= top.last.getAs[Long]("total_count")))
   }
 
+  test("zipf fit recovers an exact power law and its R²") {
+    // counts c = round(1000 / rank): a synthetic slope ≈ -1 corpus
+    val rows = (1 to 50).flatMap { r =>
+      Seq.fill(math.max(1, 1000 / r))(s"term$r")
+    }
+    val corpus = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val fit = CorpusStats.zipfFit(corpus, "text", topK = 50).head()
+    assert(fit.getAs[Long]("n_terms") == 50L)
+    val slope = fit.getAs[Double]("slope")
+    val r2 = fit.getAs[Double]("r2")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not near -1")
+    assert(r2 > 0.99, s"r2 $r2 not near 1 for an exact power law")
+    // topK caps the fitted vocabulary
+    assert(CorpusStats.zipfFit(corpus, "text", topK = 10)
+      .head().getAs[Long]("n_terms") == 10L)
+  }
+
   test("novelty score: unique-shingle share, short docs omitted") {
     val corpus = Seq(
       (1L, "a b c d"), // shingles: "a b c" (shared), "b c d" (unique)
