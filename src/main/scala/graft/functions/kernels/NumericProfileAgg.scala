@@ -1,0 +1,175 @@
+package graft.functions.kernels
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Exact numeric profile in ONE aggregation buffer: a value→count map per
+  * column yields the exact distinct count, exact linear-interpolated
+  * percentiles AND the fixed-width histogram from a single scan.
+  *
+  * Why: the profiler's exact mode previously needed (a) `count_distinct`,
+  * which plans an Expand (input ×(distinct-aggs) — measured 3.5 s of q17's
+  * 7.7 s alone at sf0.1), and (b) a SECOND scan for exact percentiles that
+  * could not share (a)'s job without re-consuming the Expand. One typed
+  * buffer replaces both: distinct count = map size, percentiles/histogram
+  * walk the sorted entries at eval time. Memory is bounded by distinct
+  * values per column per partial buffer — the same bound Spark's own
+  * `percentile` aggregate already carries, which is why the EXACT profile
+  * contract is documented as sf-bounded; the 100 TB mode stays
+  * HLL + approx-percentile (`exactDistinct = false`).
+  *
+  * Semantics mirror the expression formulation bit-for-bit:
+  *  - percentile at p: `pos = p·(n−1)` over the sorted multiset, linear
+  *    interpolation between the straddling values (Spark `percentile` /
+  *    DuckDB `quantile_cont`);
+  *  - histogram: edges at observed min/max,
+  *    `bin = min(bins−1, max(0, ⌊(v−lo)/width·bins⌋))`, width 1 when all
+  *    values are equal;
+  *  - nulls are ignored (callers map NaN→null upstream); all-null input
+  *    evaluates to NULL.
+  *
+  * Output: struct(n_distinct, percentiles array<double>, hist array<long>,
+  * min, max).
+  */
+case class NumericProfileAgg(
+    child: Expression,
+    percentages: Seq[Double],
+    histBins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Double, Long]] {
+
+  require(percentages.nonEmpty && percentages.forall(p => p >= 0.0 && p <= 1.0),
+    s"percentages must be in [0,1]: $percentages")
+  require(histBins >= 1, s"histBins must be >= 1: $histBins")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  // dataType is only meaningful post-analysis — a constructor require would
+  // fire on the unresolved tree (NullType placeholders)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"numeric_profile input must be cast to double, got ${child.dataType}")
+
+  override def createAggregationBuffer(): mutable.HashMap[Double, Long] =
+    mutable.HashMap.empty[Double, Long]
+
+  override def update(buf: mutable.HashMap[Double, Long],
+      input: InternalRow): mutable.HashMap[Double, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      buf.update(d, buf.getOrElse(d, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Double, Long],
+      other: mutable.HashMap[Double, Long]): mutable.HashMap[Double, Long] = {
+    other.foreach { case (v, c) => buf.update(v, buf.getOrElse(v, 0L) + c) }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Double, Long]): Any = {
+    if (buf.isEmpty) return null
+    val entries = buf.toArray.sortBy(_._1)
+    val n = entries.iterator.map(_._2).sum
+    val lo = entries.head._1
+    val hi = entries.last._1
+
+    // value at 0-based index i of the sorted multiset
+    def valueAt(i: Long): Double = {
+      var cum = 0L
+      var j = 0
+      while (j < entries.length) {
+        cum += entries(j)._2
+        if (i < cum) return entries(j)._1
+        j += 1
+      }
+      hi
+    }
+    val percs = percentages.map { p =>
+      val pos = p * (n - 1)
+      val k = math.floor(pos).toLong
+      val frac = pos - k
+      val a = valueAt(k)
+      if (frac == 0.0) a else a + frac * (valueAt(k + 1) - a)
+    }
+
+    val width = if (hi > lo) hi - lo else 1.0
+    val hist = new Array[Long](histBins)
+    var j = 0
+    while (j < entries.length) {
+      val (v, c) = entries(j)
+      val idx = math.min(histBins - 1,
+        math.max(0, math.floor((v - lo) / width * histBins).toInt))
+      hist(idx) += c
+      j += 1
+    }
+
+    new GenericInternalRow(Array[Any](
+      entries.length.toLong,
+      new GenericArrayData(percs.toArray),
+      new GenericArrayData(hist),
+      lo, hi))
+  }
+
+  override def serialize(buf: mutable.HashMap[Double, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) => out.writeDouble(v); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Double, Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val v = in.readDouble(); val c = in.readLong()
+      buf.update(v, c)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("percentiles", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("min", DoubleType, nullable = false),
+    StructField("max", DoubleType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def withNewMutableAggBufferOffset(offset: Int): NumericProfileAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): NumericProfileAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NumericProfileAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "numeric_profile"
+}
+
+object NumericProfileAgg {
+  /** Aggregate Column over a DOUBLE input column. */
+  def numericProfile(v: Column, percentages: Seq[Double], histBins: Int): Column =
+    ColumnBridge.column(NumericProfileAgg(
+      ColumnBridge.expression(v), percentages, histBins).toAggregateExpression())
+}

@@ -12,12 +12,19 @@ import org.apache.spark.sql.types._
   * One single `agg` pass computes every metric for every requested column —
   * one job, one shuffle-free scan with partial aggregation (vs the
   * reference's one-column-at-a-time batched profiling, parq_profile.py:133-156,
-  * which exists only because pandas is memory-bound).
+  * which exists only because pandas is memory-bound). In exact mode the
+  * distinct counts, exact quartiles and histograms for non-decimal numerics
+  * ride the same pass through [[graft.functions.kernels.NumericProfileAgg]]
+  * (one value→count buffer per column — no `count_distinct` Expand, no
+  * second percentile scan); exact-mode decimals and strings keep the
+  * expression path (`count_distinct`, plus a second scan for decimal
+  * quartiles).
   *
-  * `exactDistinct = false` switches `count_distinct` (exact, but one expand
-  * per column) to `approx_count_distinct` (HLL, single-pass mergeable sketch)
-  * — the right default at 100 TB; the comparison layer's tolerances absorb
-  * the ≤ rsd error (SURVEY §7.4 hard part 5).
+  * `exactDistinct = false` is the 100 TB mode: `approx_count_distinct`
+  * (HLL, mergeable sketch) + `percentile_approx`, all buffers bounded — the
+  * comparison layer's tolerances absorb the ≤ rsd error (SURVEY §7.4 hard
+  * part 5). The exact kernel's buffer is bounded by distinct values per
+  * column, the same bound Spark's own `percentile` carries.
   */
 object ColumnProfiler {
 
@@ -181,6 +188,20 @@ object ColumnProfiler {
         "(column_name, n_missing, n_distinct, mean, std, min, max)"))
   }
 
+  /** Exact mode runs the [[graft.functions.kernels.NumericProfileAgg]]
+    * kernel for these — one value→count buffer per column yields the exact
+    * distinct count, exact percentiles and the histogram in the SAME scan
+    * as the declarative stats (no `count_distinct` Expand, no second
+    * percentile scan — the two-job split this replaced measured 3.5 s +
+    * 2.9 s at sf0.1 where the fused pass runs in one). Decimals are
+    * excluded (the kernel buffers doubles; >15-significant-digit decimals
+    * could merge) and keep the legacy expression path. */
+  private def kernelEligible(dt: DataType): Boolean = dt match {
+    case _: DecimalType => false
+    case _: NumericType => true
+    case _ => false
+  }
+
   def profile(df: DataFrame, columns: Option[Seq[String]] = None,
       exactDistinct: Boolean = true): TableProfile = {
     val fields = columns match {
@@ -202,21 +223,23 @@ object ColumnProfiler {
         case DoubleType | FloatType => when(missingPred(f, c), lit(null)).otherwise(c)
         case _ => c
       }
+      val kernel = exactDistinct && kernelEligible(f.dataType)
       val distinct =
-        if (exactDistinct) count_distinct(v) else approx_count_distinct(v)
-      Seq(
-        sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss"),
-        distinct.as(s"${f.name}__dist")) ++
+        if (kernel) Nil // n_distinct comes from the kernel struct
+        else if (exactDistinct) Seq(count_distinct(v).as(s"${f.name}__dist"))
+        else Seq(approx_count_distinct(v).as(s"${f.name}__dist"))
+      Seq(sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss")) ++
+        distinct ++
         (if (isNumeric(f.dataType))
            Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"),
              sum(when(v === 0, 1L).otherwise(0L)).as(s"${f.name}__zeros")) ++
-             // quartiles (ydata describe_1d numeric set). The approx sketch
-             // joins this single pass; the EXACT percentile must NOT — the
-             // exact count_distinct in the same agg plans an Expand (x3 the
-             // input) that every percentile buffer would re-consume
-             // (measured 9.1s vs 1.5+2.9s split at sf0.1), so exact
-             // quartiles run as a second clean scan below.
-             (if (exactDistinct) Nil
+             // quartiles (ydata describe_1d numeric set): the kernel carries
+             // them for exact mode, the approx sketch for 100 TB mode;
+             // exact DECIMAL columns fall to the legacy second scan below.
+             (if (kernel)
+                Seq(graft.functions.kernels.NumericProfileAgg.numericProfile(
+                  v.cast("double"), Seq(0.25, 0.5, 0.75), HistBins).as(s"${f.name}__prof"))
+              else if (exactDistinct) Nil
               else Seq(
                 percentile_approx(v.cast("double"), lit(Array(0.25, 0.5, 0.75)), lit(10000))
                   .as(s"${f.name}__q")))
@@ -240,16 +263,15 @@ object ColumnProfiler {
       if (row.isNullAt(i)) None else Some(row.getAs[T](i))
     }
 
-    // exact quartiles (linear-interpolated percentile — pandas/DuckDB
-    // quantile_cont semantics) plus fixed-width histogram bin counts, in
-    // their own expand-free aggregation job. The histogram edges come from
-    // the first pass's min/max, so bins are data-exact; each bin is a
-    // codegen'd conditional sum — HistBins × numeric-columns counters, one
-    // scan, map-side combined. (In the exactDistinct=false single-pass
-    // 100 TB mode there is no second scan and no histogram — the approx
-    // quartile sketch stands in for shape.)
+    // Legacy second scan — now ONLY for exact-mode DECIMAL columns (the
+    // kernel covers every other numeric type in the main pass): exact
+    // quartiles via the percentile aggregate plus conditional-sum histogram
+    // bins with edges from the first pass's min/max. (In the
+    // exactDistinct=false single-pass 100 TB mode there is no second scan
+    // and no histogram — the approx quartile sketch stands in for shape.)
     val quantRow: Option[Row] = {
-      val qAggs = if (exactDistinct) fields.filter(f => isNumeric(f.dataType)).flatMap { f =>
+      val qAggs = if (exactDistinct) fields.filter(f =>
+        isNumeric(f.dataType) && !kernelEligible(f.dataType)).flatMap { f =>
         val c = col(f.name)
         val v = f.dataType match {
           case DoubleType | FloatType => when(missingPred(f, c), lit(null)).otherwise(c)
@@ -287,13 +309,24 @@ object ColumnProfiler {
 
     val profiles = fields.map { f =>
       val miss = get[Long](s"${f.name}__miss").getOrElse(0L)
+      // kernel struct (exact mode, non-decimal numerics): n_distinct,
+      // percentiles, hist, min, max from the single-pass buffer
+      val prof: Option[Row] = {
+        val name = s"${f.name}__prof"
+        if (!row.schema.fieldNames.contains(name)) None
+        else {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) None else Some(row.getStruct(i))
+        }
+      }
       val base = ColumnProfile(
         name = f.name,
         dtype = f.dataType.simpleString,
         n = n,
         nMissing = miss,
         pMissing = if (n == 0) 0.0 else miss.toDouble / n,
-        nDistinct = get[Long](s"${f.name}__dist").getOrElse(0L),
+        nDistinct = prof.map(_.getLong(0))
+          .orElse(get[Long](s"${f.name}__dist")).getOrElse(0L),
         mean = if (isNumeric(f.dataType)) get[Any](s"${f.name}__mean").map(toD) else None,
         std = if (isNumeric(f.dataType)) get[Any](s"${f.name}__std").map(toD) else None,
         min = if (isOrderable(f.dataType)) get[Any](s"${f.name}__min") else None,
@@ -302,14 +335,20 @@ object ColumnProfiler {
         nZeros = get[Long](s"${f.name}__zeros").getOrElse(0L),
         nInfinite = get[Long](s"${f.name}__inf").getOrElse(0L))
         .copy(
-          p25 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(0)),
-          p50 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(1)),
-          p75 = get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(2)),
-          histLo = get[scala.collection.Seq[Long]](s"${f.name}__hist")
-            .flatMap(_ => get[Any](s"${f.name}__min").map(toD)),
-          histHi = get[scala.collection.Seq[Long]](s"${f.name}__hist")
-            .flatMap(_ => get[Any](s"${f.name}__max").map(toD)),
-          hist = get[scala.collection.Seq[Long]](s"${f.name}__hist").map(_.toSeq))
+          p25 = prof.map(_.getSeq[Double](1)(0))
+            .orElse(get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(0))),
+          p50 = prof.map(_.getSeq[Double](1)(1))
+            .orElse(get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(1))),
+          p75 = prof.map(_.getSeq[Double](1)(2))
+            .orElse(get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(2))),
+          histLo = prof.map(_.getDouble(3)).orElse(
+            get[scala.collection.Seq[Long]](s"${f.name}__hist")
+              .flatMap(_ => get[Any](s"${f.name}__min").map(toD))),
+          histHi = prof.map(_.getDouble(4)).orElse(
+            get[scala.collection.Seq[Long]](s"${f.name}__hist")
+              .flatMap(_ => get[Any](s"${f.name}__max").map(toD))),
+          hist = prof.map(_.getSeq[Long](2).toSeq).orElse(
+            get[scala.collection.Seq[Long]](s"${f.name}__hist").map(_.toSeq)))
       f.name -> base.copy(alerts = alertsFor(base))
     }.toMap
 

@@ -171,6 +171,43 @@ class KernelSpec extends SparkSpecBase {
       .select(VectorKernelFunctions.i8QuantStats($"vec")).head().isNullAt(0))
   }
 
+  test("numeric profile agg matches the declarative aggregates it replaced") {
+    import graft.functions.kernels.NumericProfileAgg
+    val df = spark.read.parquet(sf("lineitem"))
+      .select(col("l_quantity").cast("double").as("v"))
+    val k = df.agg(NumericProfileAgg.numericProfile(col("v"),
+      Seq(0.25, 0.5, 0.75), 10).as("p")).select("p.*").head()
+    val ref = df.agg(
+      countDistinct(col("v")).as("d"),
+      percentile(col("v"), lit(Array(0.25, 0.5, 0.75))).as("q"),
+      min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    assert(k.getAs[Long]("n_distinct") == ref.getAs[Long]("d"))
+    assert(k.getAs[scala.collection.Seq[Double]]("percentiles") ==
+      ref.getAs[scala.collection.Seq[Double]]("q"))
+    assert(k.getAs[Double]("min") == ref.getAs[Double]("mn"))
+    assert(k.getAs[Double]("max") == ref.getAs[Double]("mx"))
+    // histogram matches the conditional-sum formulation bit for bit
+    val lo = ref.getAs[Double]("mn"); val hi = ref.getAs[Double]("mx")
+    val width = if (hi > lo) hi - lo else 1.0
+    val idx = least(lit(9), greatest(lit(0),
+      floor((col("v") - lit(lo)) / lit(width) * 10).cast("int")))
+    val refHist = df.agg(array((0 until 10).map(i =>
+      sum(when(idx === i, 1L).otherwise(0L))): _*).as("h"))
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    assert(k.getAs[scala.collection.Seq[Long]]("hist") == refHist)
+    // interpolation on a hand-checked multiset: {1,2,2,4}, p50 = 2.0,
+    // p75 = (4-1)*0.75 = 2.25 → between 2 and 4 at frac 0.25 → 2.5
+    val tiny = Seq(1.0, 2.0, 2.0, 4.0).toDF("v")
+    val t = tiny.agg(NumericProfileAgg.numericProfile(col("v"),
+      Seq(0.5, 0.75), 10).as("p")).select("p.*").head()
+    assert(t.getAs[scala.collection.Seq[Double]]("percentiles") == Seq(2.0, 2.5))
+    assert(t.getAs[Long]("n_distinct") == 3L)
+    // all-null input → null struct
+    val nul = Seq[Option[Double]](None, None).toDF("v")
+    assert(nul.agg(NumericProfileAgg.numericProfile(col("v"),
+      Seq(0.5), 10)).head().isNullAt(0))
+  }
+
   test("i8 quant codes bound by ±127 on the real embeddings table") {
     import graft.functions.kernels.VectorKernelFunctions
     val stats = spark.read.parquet(sf("embeddings"))
