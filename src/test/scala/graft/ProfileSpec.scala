@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.col
 
 import graft.profile.{ColumnProfiler, ProfileComparison}
@@ -169,6 +171,34 @@ class ProfileSpec extends SparkSpecBase {
     // non-numeric columns carry no quartiles
     val s = ColumnProfiler.profile(Seq("x").toDF("t")).variables("t")
     assert(s.p25.isEmpty && s.p50.isEmpty && s.p75.isEmpty)
+  }
+
+  test("exact profile of non-decimal numerics is one aggregation, no Expand") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val real = spark.read.parquet(sf("lineitem"))
+    val cols = Some(Seq("l_quantity", "l_extendedprice", "l_discount"))
+    ColumnProfiler.profile(real, cols) // warm (FS listing etc.)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          plans.add(s.physicalPlanDescription); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ColumnProfiler.profile(real, cols)
+      Thread.sleep(500)
+      // one aggregation query = at most 2 AQE stage-jobs (partial + final);
+      // the pre-kernel shape (count_distinct pass + percentile pass) ran 4
+      assert(counter.get() <= 2,
+        s"exact profile ran ${counter.get()} jobs — kernel fusion must keep it to one query")
+      assert(plans.asScala.forall(p => !p.contains("Expand")),
+        "exact profile must not plan an Expand (count_distinct is fused into the kernel)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("winsorize clamps into the quantile range, other columns untouched") {
