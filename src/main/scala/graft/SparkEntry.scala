@@ -892,6 +892,17 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- packing efficiency report --------------------------------------
+    "q96_packing_stats" -> ((s, dir) => {
+      val packed = Packing.packByBudget(
+        read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", budget = 65536, blockSize = 512)
+      Packing.packingStats(packed, "n_chars", budget = 65536)
+        .select(col("pack_id"), col("n_docs"), col("total_size"),
+          round(col("fill"), 4).as("fill"))
+        .orderBy(col("pack_id"))
+    }),
+
     // ---- Zipf head-vocabulary fit ---------------------------------------
     "q95_zipf_fit" -> ((s, dir) => {
       CorpusStats.zipfFit(read(s, dir, "documents"), "text", topK = 1000)
@@ -2068,6 +2079,19 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Per-pack rollup of the q47 offset-packing construction
+    "q96_packing_stats" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars, (start_offset // 65536)::BIGINT AS pack_id
+           FROM (SELECT doc_id, n_chars,
+                   coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                     AS start_offset
+                 FROM documents) t)
+         SELECT pack_id, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS total_size,
+                round(sum(n_chars)::DOUBLE / 65536, 4) AS fill
+         FROM p GROUP BY pack_id ORDER BY pack_id""",
     // Zipf fit: identical rank construction (count desc, term asc) and
     // natural-log regression on both engines
     "q95_zipf_fit" ->

@@ -64,6 +64,24 @@ object Packing {
       .drop("__blk", "__blk_off")
   }
 
+  /** Packing efficiency report over [[packByBudget]] output: one row per
+    * pack — (pack_id, n_docs, total_size, fill) with `fill = total_size /
+    * budget`. The diagnostic that tells you whether the budget is sized to
+    * the document distribution (fill ≪ 1 wastes sequence positions; packs
+    * over 1 exist by construction — a document whose start lands inside a
+    * pack spills past its end, offset packing never splits documents).
+    * One map-side-combined aggregation keyed on pack_id; output height =
+    * corpus size / budget. */
+  def packingStats(packed: DataFrame, sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(packed.columns.contains("pack_id"),
+      "input must carry pack_id (packByBudget output)")
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("total_size"))
+      .withColumn("fill", col("total_size").cast("double") / budget)
+  }
+
   /** Split long documents into fixed-width token chunks with overlap —
     * the preprocessing step BEFORE packing when documents exceed the
     * training sequence length. Chunks are `maxTokens` tokens starting

@@ -64,4 +64,23 @@ class PackingSpec extends SparkSpecBase {
     assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b c")
     assert(!out.exists(_.getLong(0) == 3L))
   }
+
+  test("packing stats: per-pack fill, doc counts, conservation") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = Seq((1L, 60L), (2L, 50L), (3L, 40L), (4L, 10L))
+      .toDF("doc_id", "sz")
+    // offsets 0,60,110,150 with budget 100 → packs 0,0,1,1
+    val packed = graft.operators.Packing.packByBudget(docs, "doc_id", "sz", budget = 100L)
+    val stats = graft.operators.Packing.packingStats(packed, "sz", budget = 100L)
+      .orderBy("pack_id").collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(stats.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 2L))
+    assert(stats.map(_.getAs[Long]("total_size")).toSeq == Seq(110L, 50L))
+    assert(stats.map(_.getAs[Double]("fill")).toSeq == Seq(1.1, 0.5))
+    // conservation: pack totals sum to the corpus total
+    assert(stats.map(_.getAs[Long]("total_size")).sum == 160L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packingStats(docs, "sz", budget = 100L)
+    }
+  }
 }
