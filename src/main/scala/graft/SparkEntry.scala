@@ -892,6 +892,16 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- MAD robust outliers (heavy-tail flagging) ----------------------
+    "q97_mad_outliers" -> ((s, dir) => {
+      ColumnProfiler.madOutliers(
+          EventsSource.read(s, s"$dir/events.parquet"), "value", k = 3.5)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), round(col("value"), 2).as("value"),
+          round(col("robust_z"), 4).as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- packing efficiency report --------------------------------------
     "q96_packing_stats" -> ((s, dir) => {
       val packed = Packing.packByBudget(
@@ -2079,6 +2089,17 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // MAD z-scores: both engines interpolate the same exact medians
+    // (quantile_cont parity), so the flag boundary is bit-identical
+    "q97_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+         d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+               FROM events CROSS JOIN m)
+         SELECT event_id, round(value, 2) AS value,
+                round((value - med) / (1.4826 * mad), 4) AS robust_z
+         FROM events CROSS JOIN m CROSS JOIN d
+         WHERE abs(value - med) > 3.5 * 1.4826 * mad
+         ORDER BY event_id""",
     // Per-pack rollup of the q47 offset-packing construction
     "q96_packing_stats" ->
       """WITH p AS (

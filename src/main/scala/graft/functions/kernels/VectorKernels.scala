@@ -124,6 +124,34 @@ case class SignBitsExpr(child: Expression, dim: Int, numBits: Int, seed: Long)
   override def prettyName: String = "sign_projection_bits"
 }
 
+/** Unit-normalized copy (`v / ‖v‖₂`, double array; unchanged values when
+  * the norm is zero) — compiled replacement for the interpreted
+  * `transform(v, x => x / norm)` formulation: pre-normalizing a corpus
+  * once turns every downstream cosine into a plain dot product, so this
+  * runs once per row over the WHOLE corpus — exactly the hot-loop shape
+  * the kernel family exists for. */
+case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    var ss = 0.0
+    var i = 0
+    while (i < x.length) { ss += x(i) * x(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n > 0.0) {
+      i = 0
+      while (i < x.length) { x(i) = x(i) / n; i += 1 }
+    }
+    new GenericArrayData(x)
+  }
+  override protected def withNewChildInternal(c: Expression): L2NormalizeExpr =
+    copy(child = c)
+  override def prettyName: String = "l2_normalize"
+}
+
 /** Symmetric int8 quantization summary — the storage-compression step for
   * embedding columns at corpus scale (fp32 → 1 byte/dim + one scale).
   * `scale = max|vᵢ|/127`; `codeᵢ = ⌊vᵢ/scale + 0.5⌋` (explicit floor-plus-
@@ -185,4 +213,6 @@ object VectorKernelFunctions {
     ColumnBridge.column(SignBitsExpr(ColumnBridge.expression(v), dim, numBits, seed))
   def i8QuantStats(v: Column): Column =
     ColumnBridge.column(I8QuantStatsExpr(ColumnBridge.expression(v)))
+  def l2Normalize(v: Column): Column =
+    ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(v)))
 }

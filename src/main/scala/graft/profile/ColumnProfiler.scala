@@ -146,6 +146,48 @@ object ColumnProfiler {
       clipped.get(c).map(_.as(c)).getOrElse(col(c))): _*)
   }
 
+  /** Robust outlier scoring via median absolute deviation: adds
+    * `robust_z = (v − median) / (1.4826·MAD)` (the normal-consistent
+    * robust z-score) and `is_outlier = |robust_z| > k`. The flagging
+    * companion to [[winsorize]]'s clipping — medians don't move when the
+    * outliers themselves get more extreme, which is exactly where
+    * mean/stddev z-scores fail. `k = 3.5` is the conventional cutoff
+    * (Iglewicz & Hoaglin's modified z-score).
+    *
+    * Degenerate scale (MAD = 0 — over half the values identical): every
+    * `robust_z` is null and nothing is flagged, documented rather than
+    * dividing by zero. Null inputs keep a null score and are never
+    * flagged. Two aggregation scans (the second medians the deviations
+    * from the first's result — inherently sequential); the scoring itself
+    * is a pure projection. `exact = false` swaps both medians for the
+    * mergeable approx sketch at corpus scale. */
+  def madOutliers(df: DataFrame, column: String, k: Double = 3.5,
+      exact: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(df.columns.contains(column), s"Column not in frame: $column")
+    require(isNumeric(df.schema(column).dataType),
+      s"madOutliers needs a numeric column: $column")
+    val v = col(column).cast("double")
+    def medianOf(c: Column): Option[Double] = {
+      val r = df.agg(
+        (if (exact) percentile(c, lit(0.5))
+         else percentile_approx(c, lit(0.5), lit(10000))).as("m")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val scale = for {
+      med <- medianOf(v)
+      mad <- medianOf(abs(v - med))
+    } yield (med, 1.4826 * mad)
+    scale match {
+      case Some((med, s)) if s > 0.0 =>
+        df.withColumn("robust_z", (v - med) / s)
+          .withColumn("is_outlier", coalesce(abs(v - med) > k * s, lit(false)))
+      case _ =>
+        df.withColumn("robust_z", lit(null).cast("double"))
+          .withColumn("is_outlier", lit(false))
+    }
+  }
+
   /** Long-form per-group profile of numeric columns: one row per
     * (group, column) with n, n_missing, n_distinct, mean, std, min, max —
     * the per-source / per-language corpus monitoring view (a whole-table

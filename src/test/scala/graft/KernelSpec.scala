@@ -171,6 +171,33 @@ class KernelSpec extends SparkSpecBase {
       .select(VectorKernelFunctions.i8QuantStats($"vec")).head().isNullAt(0))
   }
 
+  test("l2 normalize kernel: unit norm, zero vector unchanged, null safe") {
+    import graft.functions.kernels.VectorKernelFunctions
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, None)).toDF("id", "vec")
+    val rows = df.select($"id", VectorKernelFunctions.l2Normalize($"vec").as("n"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(rows(1).getSeq[Double](1) == Seq(0.0, 0.0)) // zero norm passes through
+    assert(rows(2).isNullAt(1))
+    // matches the declarative definition on the real embeddings table
+    val emb = spark.read.parquet(sf("embeddings")).limit(50)
+    val both = emb.select(
+      VectorKernelFunctions.l2Normalize(col("embedding")).as("k"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")),
+        x => x / sqrt(aggregate(
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            y => y.cast("double") * y.cast("double")),
+          lit(0.0), (a, b) => a + b))).as("r")).collect()
+    both.foreach { r =>
+      val kv = r.getSeq[Double](0); val rv = r.getSeq[Double](1)
+      kv.zip(rv).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("numeric profile agg matches the declarative aggregates it replaced") {
     import graft.functions.kernels.NumericProfileAgg
     val df = spark.read.parquet(sf("lineitem"))

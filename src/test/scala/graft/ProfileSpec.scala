@@ -223,6 +223,27 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("madOutliers: robust z flags the spike, degenerate MAD flags nothing") {
+    // median 10, deviations {0,0,1,1,90} → MAD 1; z(100) = 90/1.4826 ≈ 60.7
+    val df = Seq(10.0, 10.0, 9.0, 11.0, 100.0).toDF("v")
+    val rows = ColumnProfiler.madOutliers(df, "v", k = 3.5)
+      .orderBy("v").collect()
+    val flagged = rows.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.map(_.getDouble(0)).toSeq == Seq(100.0))
+    val z = flagged.head.getAs[Double]("robust_z")
+    assert(math.abs(z - 90.0 / 1.4826) < 1e-9)
+    // inliers score small
+    assert(rows.filter(_.getDouble(0) == 10.0).forall(_.getAs[Double]("robust_z") == 0.0))
+    // MAD = 0 (constant majority): nothing flagged, null scores
+    val const = Seq(5.0, 5.0, 5.0, 9.0).toDF("v")
+    val c = ColumnProfiler.madOutliers(const, "v").collect()
+    assert(c.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(c.forall(_.isNullAt(c.head.fieldIndex("robust_z"))))
+    intercept[IllegalArgumentException] {
+      ColumnProfiler.madOutliers(df, "v", k = 0.0)
+    }
+  }
+
   test("profileByGroup: per-group stats in long form, NaN counts missing") {
     val df = Seq(
       ("a", Some(1.0), 10L), ("a", Some(3.0), 20L),
