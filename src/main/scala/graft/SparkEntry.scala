@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.frame.CalculatedColumn
 import graft.functions.{TextClean, TextFunctions}
 import graft.functions.kernels.VectorKernelFunctions
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
-import graft.profile.ColumnProfiler
+import graft.profile.{ColumnProfiler, Drift}
 import graft.sources.EventsSource
 import graft.streaming.EventStream
 
@@ -890,6 +890,56 @@ object SparkEntry {
         .select(col("label"), col("dim"), round(col("value"), 4).as("value"),
           col("n_vectors"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // ---- ordered funnel analysis ----------------------------------------
+    "q98_funnel" -> ((s, dir) => {
+      Behavior.funnel(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    // ---- weekly retention cohorts ---------------------------------------
+    "q99_retention_cohorts" -> ((s, dir) => {
+      Behavior.retentionCohorts(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("cohort_size"), col("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // ---- overlapping-interval coalescing --------------------------------
+    "q100_interval_merge" -> ((s, dir) => {
+      // intervals: [ts, ts + value minutes) in epoch-micros space (micros
+      // match EventsSource's nanos→micros floor; DuckDB's epoch_us mirrors)
+      val iv = EventsSource.read(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts"))
+            + floor(col("value") * lit(60000000.0)).cast("long")).as("end_us"))
+      Behavior.mergeIntervals(iv, Seq("user_id"), "start_us", "end_us")
+        .select(col("user_id"), col("island"), col("interval_start"),
+          col("interval_end"), col("n_rows"))
+        .orderBy(col("user_id"), col("island"))
+    }),
+
+    // ---- PSI distribution drift -----------------------------------------
+    "q101_psi_drift" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val cut = lit("1998-01-01").cast("timestamp")
+      Drift.psiBins(li.filter(col("l_shipdate") < cut),
+          li.filter(col("l_shipdate") >= cut),
+          Seq("l_extendedprice", "l_discount"))
+        .select(col("column_name"), col("bin"), col("n_a"), col("n_b"),
+          round(col("psi_term"), 6).as("psi_term"))
+        .orderBy(col("column_name"), col("bin"))
+    }),
+
+    // ---- weighted sampling without replacement --------------------------
+    "q102_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(read(s, dir, "documents"), "doc_id", "n_chars",
+          k = 100, salt = "ws:")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
@@ -2089,6 +2139,101 @@ object SparkEntry {
                  CASE $cases ELSE '${th.last._1}' END AS split
           FROM comp ORDER BY doc_id"""
     },
+    // Sequential-min funnel CTEs in epoch-micros space (epoch_us floors
+    // TIMESTAMP_NS to the micros Spark's nanos→micros div produces); the
+    // kernel's greedy earliest-advance scan equals this construction
+    "q98_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+         b AS (SELECT n AS base FROM c WHERE stage = 1)
+         SELECT stage, stage_name, n::BIGINT AS n_users,
+                round(n::DOUBLE / base, 4) AS conversion
+         FROM c CROSS JOIN b ORDER BY stage""",
+    // Epoch-week cohorts (floor days-since-1970 / 7 — no locale week
+    // start); distinct (user, week) before the cohort join on both sides
+    "q99_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                      date_diff('day', DATE '1970-01-01', ts::DATE) // 7 AS week
+                    FROM events),
+         f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+         c AS (SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+                      count(*) AS n_active
+               FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort_week, week_offset, n_active,
+                 max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week) AS cohort_size
+               FROM c)
+         SELECT cohort_week::BIGINT AS cohort_week,
+                week_offset::BIGINT AS week_offset,
+                n_active::BIGINT AS n_active, cohort_size::BIGINT AS cohort_size,
+                round(n_active::DOUBLE / cohort_size, 4) AS retention
+         FROM s ORDER BY cohort_week, week_offset""",
+    // Islands coalescing in epoch-micros: same strictly-greater-than-
+    // running-max island rule, same (start, end) window order
+    "q100_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + floor(value * 60000000.0)::BIGINT AS e
+                     FROM events),
+         m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM iv),
+         isl AS (SELECT user_id, s, e,
+                   sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM m)
+         SELECT user_id, island::BIGINT AS island, min(s) AS interval_start,
+                max(e) AS interval_end, count(*)::BIGINT AS n_rows
+         FROM isl GROUP BY user_id, island ORDER BY user_id, island""",
+    // Fixed-width bins over the combined min/max of both snapshot halves;
+    // eps-floored shares before the log-ratio, term rounded 6dp (counts
+    // are exact integers, so the bin boundary itself is identical double
+    // arithmetic on both engines)
+    "q101_psi_drift" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS column_name,
+            CASE WHEN hi = lo THEN 0
+                 ELSE least(greatest(floor((($c::DOUBLE - lo) / (hi - lo)) * 10), 0), 9)
+            END::INT AS bin,
+            (l_shipdate < TIMESTAMP '1998-01-01') AS is_a
+            FROM lineitem CROSS JOIN
+              (SELECT min($c::DOUBLE) AS lo, max($c::DOUBLE) AS hi FROM lineitem)
+            WHERE $c IS NOT NULL"""
+      s"""WITH bn AS (${side("l_extendedprice")} UNION ALL ${side("l_discount")}),
+         c AS (SELECT column_name, bin,
+                 count(*) FILTER (WHERE is_a)::BIGINT AS n_a,
+                 count(*) FILTER (WHERE NOT is_a)::BIGINT AS n_b
+               FROM bn GROUP BY column_name, bin),
+         p AS (SELECT column_name, bin, n_a, n_b,
+                 greatest(n_a / sum(n_a) OVER (PARTITION BY column_name), 1e-6) AS pa,
+                 greatest(n_b / sum(n_b) OVER (PARTITION BY column_name), 1e-6) AS pb
+               FROM c)
+         SELECT column_name, bin, n_a, n_b,
+                round((pa - pb) * ln(pa / pb), 6) AS psi_term
+         FROM p ORDER BY column_name, bin"""
+    },
+    // Efraimidis–Spirakis keys from the same md5-uint32 construction:
+    // u = (first-8-hex-as-uint32 + 1) / 2^32, key = ln(u) / weight,
+    // top-k by key — membership is the compared output
+    "q102_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                     / 4294967296.0) / n_chars AS k
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY k DESC LIMIT 100) t
+         ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.kernels.FunnelDepth
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics: ordered funnels, retention cohorts and
+  * interval coalescing (north-star extensions — the telemetry-shaped
+  * operators a training-data/eventstream pipeline needs next to the
+  * sessionization family in [[graft.streaming.EventStream]]).
+  *
+  * Scale design:
+  *  - [[funnel]] is one shuffle (groupBy user) whose state per user is a
+  *    packed primitive `array<long>` of that user's FUNNEL events only —
+  *    the stage filter pushes to the scan, so state is bounded by per-user
+  *    funnel activity, not total event volume. The depth scan is a
+  *    compiled kernel; the stage rollup that follows runs on ≤ numStages
+  *    rows.
+  *  - [[retentionCohorts]] reduces events to distinct (user, week) pairs
+  *    BEFORE the cohort join, so the join input is |users| × |active
+  *    weeks| (≤ 52/year), not |events|; both sides of the join hash on
+  *    user, and the final cell aggregation is |cohorts| × |offsets| tiny.
+  *  - [[mergeIntervals]] is the classic islands construction on a
+  *    PARTITIONED window (one shuffle + sort per key group, no global
+  *    window), so it scales with the largest single key's interval count —
+  *    the same bound sessionization already accepts.
+  */
+object Behavior {
+
+  /** Ordered-funnel analysis: for each user, the furthest `stages` prefix
+    * reached by events whose timestamps strictly increase stage-to-stage
+    * (a stage-k event counts only if STRICTLY after the event that reached
+    * stage k-1). Returns one row per stage: `stage` (1-based),
+    * `stage_name`, `n_users` reaching it, `conversion` = n_users /
+    * stage-1 users (rounded 4dp).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 7,
+      s"funnel supports 1..7 stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    // stage index 1..k as a when-chain (codegen'd; no UDF)
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, i)) => when(col(typeCol) === name, lit(i + 1)).otherwise(acc)
+    }
+    val packed = (shiftleft(unix_micros(col(tsCol)), 3) + stageIdx.cast("long")).as("_enc")
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull
+        && col(userCol).isNotNull)
+      .select(col(userCol).as("_user"), packed)
+      .groupBy("_user")
+      .agg(FunnelDepth(sort_array(collect_list(col("_enc"))), stages.size).as("_depth"))
+    // stage s is reached by every user whose depth >= s: explode 1..depth
+    // (≤ 7 rows/user) and count — tiny relative to the event scan above
+    val counts = perUser
+      .filter(col("_depth") >= 1)
+      .select(explode(sequence(lit(1), col("_depth"))).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"),
+        element_at(array(stages.map(lit): _*), col("stage")).as("stage_name"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("_base"), 4).as("conversion"))
+  }
+
+  /** Weekly retention cohorts: cohort = epoch-week (`floor(days-since-
+    * 1970-01-01 / 7)`, engine-neutral — no locale week-start) of the
+    * user's first event; a user is retained at `week_offset` w if they
+    * have any event in cohort_week + w. Returns `(cohort_week,
+    * week_offset, n_active, cohort_size, retention)`; every user is
+    * active at offset 0 by construction, so cohort_size is the offset-0
+    * cell of its partition. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = floor(datediff(to_date(col(tsCol)),
+      lit("1970-01-01").cast("date")) / 7).as("_week")
+    val userWeeks = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_user"), week)
+      .distinct() // |users| × |active weeks| — the scale reduction step
+    val firsts = userWeeks.groupBy("_user").agg(min("_week").as("cohort_week"))
+    val cells = userWeeks.join(firsts, "_user")
+      .groupBy(col("cohort_week"), (col("_week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, week) distinct ⇒ count = distinct users
+    val w = Window.partitionBy("cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 4))
+  }
+
+  /** Coalesce overlapping (closed) intervals per key: intervals merge when
+    * `start <= max(end of any earlier interval in the island)` — touching
+    * endpoints merge. Returns one row per merged island: the key columns,
+    * `island` (1-based per key, in start order), `interval_start`,
+    * `interval_end`, `n_rows` merged into it.
+    *
+    * Start/end may be any mutually comparable orderable type (longs,
+    * timestamps); rows with a null start or end are dropped (an unbounded
+    * interval has no well-defined island).
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("_new_island",
+        when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("_new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keyCols.map(col) :+ col("island"): _*)
+      .agg(min(col(startCol)).as("interval_start"),
+        max(col(endCol)).as("interval_end"),
+        count(lit(1)).as("n_rows"))
+  }
+}

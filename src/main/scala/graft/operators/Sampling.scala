@@ -301,6 +301,32 @@ object Sampling {
       .filter(col("budget_used") <= budget)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * draw `k` rows where each row's inclusion odds are proportional to its
+    * weight, deterministically. Each row gets `u ∈ (0, 1]` derived from
+    * `md5(salt ++ id)` (reproducible — same engine-portable construction
+    * as [[hashSplit]]) and rank key `ln(u) / w`; the k LARGEST keys are
+    * the sample (equivalent to ranking by `u^(1/w)`, the E–S result, in
+    * log space to avoid underflow for large weights). Rows with
+    * non-positive or null weights are excluded (E–S is defined on w > 0).
+    *
+    * Scale: a stateless projection followed by a global top-k, which Spark
+    * executes as TakeOrderedAndProject — per-partition bounded heaps, one
+    * k-row merge on the driver; no full sort, no shuffle of the corpus.
+    * The returned frame carries `sample_key` so callers can audit ranks.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    // first 8 md5 hex chars as a uint32; +1 maps 0 → (0,1] so ln is finite
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") + 1L) / lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("sample_key").desc)
+      .limit(k)
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

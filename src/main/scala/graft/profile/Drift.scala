@@ -1,0 +1,73 @@
+package graft.profile
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two dataset snapshots: the
+  * Population Stability Index over fixed-width bins, the standard
+  * production monitor for "did this feature's distribution move between
+  * yesterday's corpus and today's" (PSI < 0.1 stable, 0.1–0.25 moderate,
+  * > 0.25 major shift). Complements [[ProfileComparison]] (which diffs
+  * summary stats with tolerances) with a shape-sensitive signal.
+  *
+  * Scale design: one aggregation over each side computes ALL columns' bin
+  * counts in a single pass (explode of ≤ |cols| structs per row — no
+  * per-column scans), against bin edges from one tiny min/max aggregate
+  * broadcast to both sides. Everything after the two scans operates on
+  * |cols| × bins rows. No driver-side data, no UDFs, no sampling.
+  */
+object Drift {
+
+  /** Per-bin PSI decomposition. Bin edges are fixed-width over the
+    * combined [min, max] of BOTH sides (so the two histograms are
+    * comparable); each side's per-bin share is floored at `eps` before the
+    * log-ratio so empty bins contribute a finite term. Returns
+    * `(column_name, bin, n_a, n_b, psi_term)`; bins empty on both sides
+    * are omitted (their term would be 0).
+    */
+  def psiBins(a: DataFrame, b: DataFrame, cols: Seq[String], bins: Int = 10,
+      eps: Double = 1e-6): DataFrame = {
+    require(cols.nonEmpty, "psi needs at least one column")
+    require(bins >= 2, s"psi needs >= 2 bins, got $bins")
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    val proj = cols.map(c => col(c).cast("double").as(c))
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
+    val minmax = a.select(proj: _*).unionByName(b.select(proj: _*))
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    // one pass per side: every column's bin index as an exploded struct
+    def binned(df: DataFrame, outName: String): DataFrame = {
+      val entries = cols.map { c =>
+        val x = col(c).cast("double")
+        val lo = col(s"_lo_$c"); val hi = col(s"_hi_$c")
+        val raw = floor(((x - lo) / (hi - lo)) * bins)
+        val bin = when(hi === lo, lit(0L))
+          .otherwise(least(greatest(raw, lit(0L)), lit(bins - 1L))).cast("int")
+        struct(lit(c).as("column_name"), bin.as("bin"), x.isNotNull.as("ok"))
+      }
+      df.crossJoin(broadcast(minmax))
+        .select(explode(array(entries: _*)).as("e"))
+        .filter(col("e.ok"))
+        .groupBy(col("e.column_name").as("column_name"), col("e.bin").as("bin"))
+        .agg(count(lit(1)).as(outName))
+    }
+
+    val ca = binned(a, "n_a")
+    val cb = binned(b, "n_b")
+    val joined = ca.join(cb, Seq("column_name", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val w = Window.partitionBy("column_name")
+    val pa = greatest(col("n_a") / sum("n_a").over(w), lit(eps))
+    val pb = greatest(col("n_b") / sum("n_b").over(w), lit(eps))
+    joined.withColumn("psi_term", (pa - pb) * log(pa / pb))
+  }
+
+  /** Total PSI per column: `(column_name, psi)`. */
+  def psi(a: DataFrame, b: DataFrame, cols: Seq[String], bins: Int = 10,
+      eps: Double = 1e-6): DataFrame =
+    psiBins(a, b, cols, bins, eps)
+      .groupBy("column_name")
+      .agg(sum("psi_term").as("psi"))
+}

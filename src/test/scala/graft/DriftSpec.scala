@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Sampling
+import graft.profile.Drift
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("psi is ~0 for identical distributions") {
+    val a = (1 to 1000).map(i => i.toDouble % 100).toDF("x")
+    val b = (1 to 1000).map(i => i.toDouble % 100).toDF("x")
+    val psi = Drift.psi(a, b, Seq("x")).collect().head.getDouble(1)
+    assert(math.abs(psi) < 1e-12, s"identical dists must give psi 0, got $psi")
+  }
+
+  test("psi detects a shifted distribution and decomposes over bins") {
+    val a = (1 to 1000).map(_.toDouble % 100).toDF("x")         // uniform 0..99
+    val b = (1 to 1000).map(i => 50.0 + i % 50).toDF("x")       // uniform 50..99
+    val bins = Drift.psiBins(a, b, Seq("x"), bins = 10).collect()
+    val byBin = bins.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // combined range [0, 99]: b occupies only the top five bins
+    assert(byBin(0)._2 == 0L && byBin(4)._2 == 0L)
+    assert(byBin(9)._1 == 100L && byBin(9)._2 == 200L)
+    val psi = Drift.psi(a, b, Seq("x")).collect().head.getDouble(1)
+    assert(psi > 0.25, s"major shift must exceed 0.25, got $psi")
+  }
+
+  test("psi handles multiple columns and empty-side bins via eps") {
+    val a = Seq((0.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val b = Seq((100.0, 1.0), (101.0, 2.0), (102.0, 3.0)).toDF("x", "y")
+    val out = Drift.psi(a, b, Seq("x", "y"), bins = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("x") > 1.0, "disjoint ranges must give a large finite psi")
+    assert(math.abs(out("y")) < 1e-12, "identical y must give psi 0")
+    assert(!out.values.exists(_.isInfinite), "eps floor must keep terms finite")
+  }
+
+  test("weightedSample matches a JVM recompute of the E-S construction") {
+    val df = (1L to 300L).map(i => (i, (i % 37 + 1).toDouble)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 40, salt = "s:")
+      .select("id").as[Long].collect().toSet
+    // independent recompute: same md5-uint32 → u → ln(u)/w ranking
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      math.log(u) / w
+    }
+    val want = (1L to 300L).map(i => i -> key(i, (i % 37 + 1).toDouble))
+      .sortBy(-_._2).take(40).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample is deterministic and biased toward heavy weights") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 1000.0 else 1.0)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 50, salt = "d:")
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(df, "id", "w", k = 50, salt = "d:")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt must reproduce the same sample")
+    // 100 heavy rows hold ~99% of total weight: expect heavy dominance
+    assert(s1.count(_ <= 100L) > 40, s"heavy rows underrepresented: $s1")
+    // zero/negative weights are excluded
+    val withBad = df.withColumn("w", when(col("id") === 1L, -5.0).otherwise(col("w")))
+    val s3 = Sampling.weightedSample(withBad, "id", "w", k = 50, salt = "d:")
+      .select("id").as[Long].collect().toSet
+    assert(!s3.contains(1L))
+  }
+}

@@ -132,4 +132,26 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
   }
+
+  test("funnel pushes the stage filter to the scan; depth stays codegen'd") {
+    val p = plan("q98_funnel")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"stage membership must push into the scan:\n$p")
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform"),
+      s"funnel depth must not fall back to interpreted lambdas:\n$p")
+  }
+
+  test("weighted sampling is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q102_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"sample must not range-shuffle the corpus:\n$p")
+  }
+
+  test("psi bin edges broadcast; histogram aggregates partially") {
+    val p = plan("q101_psi_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row min/max frame must broadcast:\n$p")
+    assert(p.contains("partial"), s"bin counts must map-side combine:\n$p")
+  }
 }
