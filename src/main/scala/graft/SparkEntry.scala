@@ -942,6 +942,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- rolling active users (DAU/WAU/stickiness) ----------------------
+    "q103_rolling_active" -> ((s, dir) => {
+      Behavior.rollingActiveUsers(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", windowDays = 7)
+        .select(col("day").cast("long").as("day"), col("dau"), col("wau"),
+          col("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- per-key skew diagnostic ----------------------------------------
+    "q104_key_skew" -> ((s, dir) => {
+      ScaleOps.keySkewReport(read(s, dir, "lineitem"), Seq("l_partkey"))
+        .select(col("n_keys"), col("n_rows"), col("max_count"), col("mean_count"),
+          round(col("p50_count"), 4).as("p50_count"),
+          round(col("p90_count"), 4).as("p90_count"),
+          round(col("p99_count"), 4).as("p99_count"), col("skew"))
+    }),
+
+    // ---- join fanout estimate (self-join worst case) --------------------
+    "q105_join_fanout" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      ScaleOps.joinFanoutReport(li, li, Seq("l_partkey"))
+    }),
+
+    // ---- scale-safe global row numbering --------------------------------
+    "q106_stable_rownum" -> ((s, dir) => {
+      IndexOps.stableRowNumber(
+          read(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+          Seq("o_custkey", "o_orderkey"))
+        .select(col("o_orderkey"), col("row_num"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- event-rate anomaly scores --------------------------------------
+    "q107_rate_anomaly" -> ((s, dir) => {
+      Behavior.rateAnomaly(EventsSource.read(s, s"$dir/events.parquet"),
+        "ts", window = 24)
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), col("z"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2234,6 +2276,60 @@ object SparkEntry {
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
            ORDER BY k DESC LIMIT 100) t
          ORDER BY doc_id""",
+    // Sliding-distinct via bounded explode of the deduplicated user-day
+    // table: day d contributes to report days d..d+6; both engines dedup
+    // (user, report_day) then count. Epoch-day ints, no locale weeks.
+    "q103_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', ts::DATE) AS day
+                     FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         wau AS (SELECT day, count(*) AS wau FROM (
+                   SELECT DISTINCT user_id, day + o AS day
+                   FROM ud, range(0, 7) AS t(o)) GROUP BY day)
+         SELECT d.day::BIGINT AS day, dau::BIGINT AS dau, wau::BIGINT AS wau,
+                round(dau::DOUBLE / wau, 4) AS stickiness
+         FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""",
+    // Per-key count distribution; interpolated percentiles have
+    // quantile_cont ≡ percentile parity (proven by q17)
+    "q104_key_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey)
+         SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+                max(c)::BIGINT AS max_count, round(avg(c), 4) AS mean_count,
+                round(quantile_cont(c, 0.5), 4) AS p50_count,
+                round(quantile_cont(c, 0.9), 4) AS p90_count,
+                round(quantile_cont(c, 0.99), 4) AS p99_count,
+                round(max(c)::DOUBLE / avg(c), 4) AS skew
+         FROM c""",
+    // Self-join fanout from per-key counts alone: sum/max of c² — the
+    // exact inner-join output size without running the join
+    "q105_join_fanout" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey)
+         SELECT count(*)::BIGINT AS n_keys_left, count(*)::BIGINT AS n_keys_right,
+                count(*)::BIGINT AS n_keys_matched, sum(c * c)::BIGINT AS est_rows,
+                max(c * c)::BIGINT AS max_fanout, round(avg(c * c), 4) AS mean_fanout
+         FROM c""",
+    // Two-phase distributed numbering ≡ a global row_number when the
+    // order keys form a total order (o_orderkey breaks ties)
+    "q106_stable_rownum" ->
+      """SELECT o_orderkey,
+                row_number() OVER (ORDER BY o_custkey, o_orderkey) AS row_num
+         FROM orders ORDER BY o_orderkey""",
+    // Trailing-24h baseline, current bucket excluded; z rounded 3dp (the
+    // stddev accumulations differ in the last ulps between engines)
+    "q107_rate_anomaly" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+                    FROM events GROUP BY 1),
+         w AS (SELECT bucket, n,
+                 avg(n) OVER win AS mu,
+                 stddev_samp(n) OVER win AS sd,
+                 count(*) OVER win AS cnt
+               FROM c
+               WINDOW win AS (ORDER BY bucket
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                n::BIGINT AS n_events, round((n - mu) / sd, 3) AS z
+         FROM w WHERE cnt = 24 AND sd > 0 ORDER BY bucket""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

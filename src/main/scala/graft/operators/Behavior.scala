@@ -93,6 +93,66 @@ object Behavior {
         round(col("n_active").cast("double") / col("cohort_size"), 4))
   }
 
+  /** Rolling active users: for every day with activity, `dau` (distinct
+    * users that day), `wau` (distinct users over the trailing `windowDays`
+    * days including it) and `stickiness` = dau/wau — the standard
+    * engagement triple.
+    *
+    * Scale shape: a sliding-window DISTINCT cannot use a plain window
+    * frame (count(distinct) over a frame isn't supported and would hold
+    * per-frame sets anyway). Instead each distinct (user, day) pair is
+    * exploded to the `windowDays` report days it contributes to — a
+    * bounded ×window expansion of the ALREADY-deduplicated user-day table
+    * (|users| × |active days|, not |events|) — then deduplicated and
+    * counted per report day. Three partial-aggregated shuffles of small
+    * rows; no state beyond the aggregation. Report days are the observed
+    * activity days (inner join with the dau table), so leading windows
+    * ramp in and trailing phantom days are dropped.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val userDays = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_user"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("_day"))
+      .distinct()
+    val dau = userDays.groupBy(col("_day").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("_user"),
+        explode(sequence(col("_day"), col("_day") + windowDays - 1)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 4))
+  }
+
+  /** Event-rate anomaly scores: bucket events per hour, then score each
+    * bucket against the mean/stddev of the PRECEDING `window` buckets
+    * (trailing baseline, current bucket excluded — a spike must not mask
+    * itself). Returns `(bucket, n_events, z)` for every bucket with a full
+    * baseline window; callers threshold z (|z| > 3 is the usual alarm).
+    *
+    * The ordered window is global BUT runs over the hourly-count table,
+    * not events: its size is bounded by the time span (8,760 rows/year),
+    * so the single-partition sort is trivially safe at any corpus scale —
+    * the same bounded-bucket argument as the packing block table. */
+  def rateAnomaly(events: DataFrame, tsCol: String, window: Int = 24): DataFrame = {
+    require(window >= 2, s"baseline window must be >= 2 buckets, got $window")
+    val counts = events.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("bucket").rowsBetween(-window, -1)
+    counts
+      .withColumn("_mu", avg("n_events").over(w))
+      .withColumn("_sd", stddev_samp(col("n_events").cast("double")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") === window && col("_sd") > 0)
+      .select(col("bucket"), col("n_events"),
+        round((col("n_events") - col("_mu")) / col("_sd"), 3).as("z"))
+  }
+
   /** Coalesce overlapping (closed) intervals per key: intervals merge when
     * `start <= max(end of any earlier interval in the island)` — touching
     * endpoints merge. Returns one row per merged island: the key columns,

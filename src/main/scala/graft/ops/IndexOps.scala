@@ -76,6 +76,31 @@ object IndexOps {
       .drop(ord, "__graft_rn")
   }
 
+  /** Stable 1-based global row numbers in `orderColumns` order WITHOUT the
+    * single-partition bottleneck: `row_number() OVER (ORDER BY …)` forces
+    * every row through ONE task (Spark plans a global window as a
+    * single-partition exchange), which is the canonical 100 TB stall. This
+    * instead range-partitions and locally sorts (Spark's scalable global
+    * sort), then runs the classic two-phase numbering: count rows per
+    * partition (one lightweight job), prefix-sum the counts on the driver
+    * (|partitions| longs), and add each partition's offset to its local
+    * 0-based index — `RDD.zipWithIndex`'s exact mechanics, kept on the RDD
+    * because no Catalyst operator expresses cross-partition ordinal
+    * assignment. Deterministic iff `orderColumns` is a total order (ties
+    * get an arbitrary but valid numbering within their run).
+    */
+  def stableRowNumber(df: DataFrame, orderColumns: Seq[String],
+      outCol: String = "row_num"): DataFrame = {
+    require(orderColumns.nonEmpty, "stableRowNumber needs ordering columns")
+    val sorted = df.orderBy(orderColumns.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(numbered, schema)
+  }
+
   /** Validate that all datasets have identical index-column content
     * (reference validate_index_alignment, index_utils.py:15-59). The
     * reference checks batch-by-batch positional equality; inputs are required

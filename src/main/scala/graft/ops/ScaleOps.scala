@@ -132,4 +132,73 @@ object ScaleOps {
     }
     pref.join(small, pref(bigKey) === small(smallKey), joinType)
   }
+
+  // ---- pre-flight shuffle diagnostics ----------------------------------
+  //
+  // The reports you run BEFORE choosing the levers above: whether a key is
+  // skewed enough to salt, and whether a join will fan out. Both operate on
+  // per-key COUNTS (one partial-aggregated shuffle over short keys), never
+  // on the data itself — at 100 TB the diagnostic costs a count, not a join.
+
+  /** One-row skew summary of `df` grouped by `keyCols`: key cardinality,
+    * row count, max/mean per-key count, interpolated p50/p90/p99 of the
+    * count distribution, and `skew` = max/mean (1.0 = perfectly uniform;
+    * the straggler-task multiplier a shuffle on this key would suffer).
+    * `exact = false` switches the percentiles to `approx_percentile` for
+    * corpora where |keys| itself is huge. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val pct = (p: Double) =>
+      if (exact) percentile(col("c"), lit(p)) else approx_percentile(col("c"), lit(p), lit(10000))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("c").as("n_rows"),
+      max("c").as("max_count"),
+      round(avg("c"), 4).as("mean_count"),
+      pct(0.5).as("p50_count"),
+      pct(0.9).as("p90_count"),
+      pct(0.99).as("p99_count"),
+      round(max("c") / avg("c"), 4).as("skew"))
+  }
+
+  /** Per-key counts of the heaviest keys (the salting candidates): top-k by
+    * count with each key's share of all rows. Bounded output via
+    * TakeOrderedAndProject — no full sort of the key table. */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("key_count"))
+    val total = counts.agg(sum("key_count").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("key_count") / col("_total"), 6))
+      .drop("_total")
+      .orderBy(col("key_count").desc, struct(keyCols.map(col): _*).asc)
+      .limit(k)
+  }
+
+  /** One-row join-fanout estimate for `left ⋈ right` on `keys` WITHOUT
+    * running the join: per-key counts on each side (two partial-aggregated
+    * shuffles), inner-joined on the key (a join of two count tables, not of
+    * the data), per-key fanout = cl × cr. `est_rows` is the EXACT inner
+    * equi-join output size; `max_fanout` names the single worst key's
+    * contribution — the row-explosion diagnostic to check before any big
+    * join (a self-join on a key with count c contributes c²). */
+  def joinFanoutReport(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one join key required")
+    val cl = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cr"))
+    val matched = cl.join(cr, keys).withColumn("fanout", col("cl") * col("cr"))
+    val nl = cl.agg(count(lit(1)).as("n_keys_left"))
+    val nr = cr.agg(count(lit(1)).as("n_keys_right"))
+    matched.agg(
+        count(lit(1)).as("n_keys_matched"),
+        sum("fanout").as("est_rows"),
+        max("fanout").as("max_fanout"),
+        round(avg("fanout"), 4).as("mean_fanout"))
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(nr))
+      .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_matched"),
+        col("est_rows"), col("max_fanout"), col("mean_fanout"))
+  }
 }

@@ -91,6 +91,51 @@ class BehaviorSpec extends SparkSpecBase {
       (2L, 1L, 0L, 1L, 1L)))
   }
 
+  test("rollingActiveUsers: wau is the trailing-window distinct union") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),                      // u1 again day+2
+      (3L, ts("2024-01-09 10:00:00")))                      // past u2's window
+      .toDF("user_id", "ts")
+    val rows = Behavior.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val base = rows.head._1 // epoch day of 2024-01-01
+    val byDay = rows.toMap
+    assert(byDay(base) == ((2L, 2L, 1.0)))          // u1, u2 same day
+    assert(byDay(base + 2) == ((1L, 2L, 0.5)))      // u1 active, u2 in window
+    // 2024-01-09: u3 active; u1's last activity (day+2) still within 7 days
+    // (offsets 2..8 ∋ 8? no — day+2 contributes to days 2..8, and 9-1=8 ✓)
+    assert(byDay(base + 8) == ((1L, 2L, 0.5)))
+  }
+
+  test("rateAnomaly: spike scores high against its trailing baseline") {
+    // 30 calm hours of 10 events, then one 100-event hour
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 29) 100 else 10
+      (0 until n).map(i => (h.toLong * 100 + i,
+        ts(f"2024-01-01 00:00:00").toInstant.plusSeconds(h * 3600L + i)))
+    }.map { case (id, inst) => (id, java.sql.Timestamp.from(inst)) }
+      .toDF("event_id", "ts")
+    val out = Behavior.rateAnomaly(rows, "ts", window = 24)
+      .orderBy("bucket").collect()
+    // buckets 0..23 lack a full window; 24..29 score — all-equal baselines
+    // have sd = 0 and are dropped, so only the spike hour survives… except
+    // every baseline here is constant-10: only hour 29 would score but its
+    // baseline sd is 0 too ⇒ expect empty
+    assert(out.isEmpty)
+    // perturb one baseline hour so sd > 0 for windows containing it
+    val rows2 = rows.unionByName(Seq((9999L,
+      ts("2024-01-01 05:00:00"))).toDF("event_id", "ts"))
+    val out2 = Behavior.rateAnomaly(rows2, "ts", window = 24)
+      .orderBy("bucket").collect()
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    val zs = out2.map(r => ((r.getTimestamp(0).getTime - t0) / 3600000L).toInt
+      -> r.getDouble(2)).toMap
+    assert(zs(29) > 3.0, s"spike hour must flag, got $zs")
+    assert(zs.filter(_._1 != 29).values.forall(math.abs(_) < 3.0))
+  }
+
   test("mergeIntervals: contained interval does not split the island") {
     // [0,100] then [10,20] (contained) then [50,60]: running max end keeps
     // the island open even though starts are increasing

@@ -38,6 +38,20 @@ class IndexOpsSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("k", "seq", "v")) // helper columns dropped
   }
 
+  test("stableRowNumber equals a global row_number across many partitions") {
+    // 10k rows over 4 shuffled partitions: the two-phase numbering must
+    // reproduce the single-partition window's result exactly
+    val df = spark.range(10000).toDF("id")
+      .withColumn("key", col("id") * 37 % 10007) // unique → total order
+      .repartition(4)
+    val got = IndexOps.stableRowNumber(df, Seq("key"))
+      .select("key", "row_num").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select("key").collect().map(_.getLong(0)).sorted
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
   test("alignment validation passes on aligned, fails on misaligned") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val b = Seq((2, 9.0), (1, 8.0)).toDF("k", "w")

@@ -118,6 +118,36 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("keySkewReport: counts, percentiles and skew ratio on a known layout") {
+    // key 1 → 6 rows, keys 2..5 → 1 row each: n_keys=5, n_rows=10, max=6,
+    // mean=2, p50 = interpolated median of {1,1,1,1,6} = 1
+    val df = (Seq.fill(6)(1) ++ (2 to 5)).toDF("k")
+    val r = ScaleOps.keySkewReport(df, Seq("k")).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0) // mean, p50
+    assert(r.getDouble(7) == 3.0) // skew = 6 / 2
+  }
+
+  test("heavyHitters returns top keys by count with shares, bounded") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq("d", "e")).toDF("k")
+    val hh = ScaleOps.heavyHitters(df, Seq("k"), k = 2).collect()
+    assert(hh.length == 2)
+    assert(hh(0).getString(0) == "a" && hh(0).getLong(1) == 50L
+      && hh(0).getDouble(2) == 0.490196)
+    assert(hh(1).getString(0) == "b" && hh(1).getLong(1) == 30L)
+  }
+
+  test("joinFanoutReport predicts the exact inner-join output size") {
+    val left = (Seq(1, 1, 1, 2, 3)).toDF("k")   // counts: 1→3, 2→1, 3→1
+    val right = (Seq(1, 1, 2, 4)).toDF("k")     // counts: 1→2, 2→1, 4→1
+    val r = ScaleOps.joinFanoutReport(left, right, Seq("k")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    val actual = left.join(right, Seq("k")).count()
+    assert(r.getLong(3) == actual && actual == 7L) // 3*2 + 1*1
+    assert(r.getLong(4) == 6L) // key 1 fanout
+  }
+
   test("bloom predicate stays codegen'd in the scan stage (no exchange before filter)") {
     val big = spark.read.parquet(sf("orders"))
     val small = spark.read.parquet(sf("customer")).filter($"c_acctbal" > 9000)
