@@ -984,6 +984,76 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- declarative constraint validation -------------------------------
+    "q108_validate" -> ((s, dir) => {
+      import QualityOps._
+      QualityOps.validate(read(s, dir, "lineitem"), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_discount", 0.0, 0.05),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          Matches("l_linestatus", "^[OF]$"),
+          Unique(Seq("l_orderkey", "l_linenumber"))))
+        .orderBy(col("rule"))
+    }),
+
+    // ---- referential integrity check ------------------------------------
+    "q109_referential" -> ((s, dir) => {
+      // dim missing ~10% of keys (q91's fixture style) so orphans exist
+      QualityOps.referentialIntegrity(
+        read(s, dir, "lineitem"), "l_orderkey",
+        read(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 3), "o_orderkey")
+    }),
+
+    // ---- SCD2 validity intervals from a change log ----------------------
+    "q110_scd2_history" -> ((s, dir) => {
+      MergeOps.scd2History(
+          read(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_custkey"), "o_orderkey")
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    }),
+
+    // ---- per-user activity gaps -----------------------------------------
+    "q111_activity_gaps" -> ((s, dir) => {
+      Behavior.activityGaps(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts")
+        .select(col("user").as("user_id"), col("gap_start_day"),
+          col("gap_end_day"), col("n_missing"))
+        .orderBy(col("user_id"), col("gap_start_day"))
+    }),
+
+    // ---- event-type transition matrix -----------------------------------
+    "q112_event_transitions" -> ((s, dir) => {
+      Behavior.eventTransitions(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // ---- rollup subtotal report -----------------------------------------
+    "q113_rollup" -> ((s, dir) => {
+      AggOps.rollupReport(read(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n")))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("n"), col("grp").cast("long").as("grp"))
+        .orderBy(col("grp"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- pivot cross-tab (hour x event type) ----------------------------
+    "q114_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = AggOps.pivotTable(
+        EventsSource.read(s, s"$dir/events.parquet")
+          .withColumn("hour_of_day", hour(col("ts"))),
+        "hour_of_day", "event_type", types, count(lit(1)))
+      p.select(col("hour_of_day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("hour_of_day"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2330,6 +2400,104 @@ object SparkEntry {
          SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
                 n::BIGINT AS n_events, round((n - mu) / sd, 3) AS z
          FROM w WHERE cnt = 24 AND sd > 0 ORDER BY bucket""",
+    // One scalar-subquery block per rule; violation predicates mirror the
+    // rule pass-expressions' explicit null handling (NULL always fails)
+    "q108_validate" ->
+      """WITH n AS (SELECT count(*) AS n FROM lineitem),
+         r AS (
+           SELECT 'not_null(l_orderkey)' AS rule, 'l_orderkey' AS column_name,
+                  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS v
+           UNION ALL
+           SELECT 'in_range(l_discount,0.0,0.05)', 'l_discount',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05)
+           UNION ALL
+           SELECT 'in_set(l_returnflag)', 'l_returnflag',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R'))
+           UNION ALL
+           SELECT 'matches(l_linestatus)', 'l_linestatus',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_linestatus IS NULL OR NOT regexp_matches(l_linestatus, '^[OF]$'))
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)', 'l_orderkey,l_linenumber',
+                  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                   FROM lineitem))
+         SELECT rule, column_name, n.n::BIGINT AS n_rows, v::BIGINT AS violations,
+                round(v::DOUBLE / n.n, 6) AS violation_rate,
+                CASE WHEN v = 0 THEN 1 ELSE 0 END AS pass
+         FROM r CROSS JOIN n ORDER BY rule""",
+    // Orphans = fact keys with no surviving dim key (dim drops keys ≡ 3
+    // mod 10); null fact keys counted separately on both sides
+    "q109_referential" ->
+      """SELECT n_fact::BIGINT AS n_fact, n_null_keys::BIGINT AS n_null_keys,
+                n_orphans::BIGINT AS n_orphans,
+                round(n_orphans::DOUBLE / n_fact, 6) AS orphan_rate
+         FROM (SELECT
+           (SELECT count(*) FROM lineitem) AS n_fact,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o
+               WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 <> 3))
+             AS n_orphans) t""",
+    // Validity intervals: next change's seq (exclusive) per key via lead;
+    // open interval ⇒ current row
+    "q110_scd2_history" ->
+      """SELECT o_custkey, o_orderkey AS valid_from,
+                lead(o_orderkey) OVER w AS valid_to,
+                CASE WHEN lead(o_orderkey) OVER w IS NULL THEN 1 ELSE 0 END
+                  AS is_current,
+                round(o_totalprice, 2) AS price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, valid_from""",
+    // Whole-day gaps strictly between active days; lead over distinct
+    // (user, epoch-day) on both sides
+    "q111_activity_gaps" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', ts::DATE) AS day
+                     FROM events),
+         w AS (SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+               FROM ud)
+         SELECT user_id, (day + 1)::BIGINT AS gap_start_day,
+                (nxt - 1)::BIGINT AS gap_end_day,
+                (nxt - day - 1)::BIGINT AS n_missing
+         FROM w WHERE nxt > day + 1 ORDER BY user_id, gap_start_day""",
+    // Consecutive-pair transitions within (user, day); epoch_us ordering
+    // mirrors Spark's micros timestamps, event_id breaks ties identically
+    "q112_event_transitions" ->
+      """WITH t AS (
+           SELECT event_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id, date_diff('day', DATE '1970-01-01', ts::DATE)
+                    ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+         c AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+               FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT sum(n) AS total FROM c)
+         SELECT from_type, to_type, n::BIGINT AS n,
+                round(n::DOUBLE / total, 6) AS share
+         FROM c CROSS JOIN s ORDER BY from_type, to_type""",
+    // GROUP BY ROLLUP with the standard grouping bitmask; '(all)' labels
+    // replace the NULL group markers on both engines
+    "q113_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                coalesce(l_linestatus, '(all)') AS l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n,
+                GROUPING(l_returnflag, l_linestatus)::BIGINT AS grp
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY grp, l_returnflag, l_linestatus""",
+    // Pivot ≡ conditional aggregation with an explicit value list
+    "q114_pivot" ->
+      """SELECT hour(ts)::INT AS hour_of_day,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS "view",
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+         FROM events GROUP BY 1 ORDER BY hour_of_day""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

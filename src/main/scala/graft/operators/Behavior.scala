@@ -153,6 +153,57 @@ object Behavior {
         round((col("n_events") - col("_mu")) / col("_sd"), 3).as("z"))
   }
 
+  /** Per-user activity-gap report: for each user, the runs of WHOLE days
+    * with no activity strictly between two active days (edges of the
+    * observation window are not gaps — absence before first/after last
+    * activity is unbounded, not a gap). Returns `(user, gap_start_day,
+    * gap_end_day, n_missing)` in epoch days.
+    *
+    * Shape: distinct (user, day) then ONE `lead` window partitioned by
+    * user — no calendar explode, no full-range sequence materialization;
+    * cost is |users| × |active days|, and a user's gap count is bounded by
+    * their active-day count regardless of how long the gaps are. */
+  def activityGaps(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val userDays = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("_day"))
+      .distinct()
+    val w = Window.partitionBy("user").orderBy("_day")
+    userDays
+      .withColumn("_next", lead(col("_day"), 1).over(w))
+      .filter(col("_next") > col("_day") + 1)
+      .select(col("user"), (col("_day") + 1).as("gap_start_day"),
+        (col("_next") - 1).as("gap_end_day"),
+        (col("_next") - col("_day") - 1).as("n_missing"))
+  }
+
+  /** Event-type transition counts (the first-order Markov structure of a
+    * clickstream): for each consecutive event pair within a (user, day),
+    * count `from_type → to_type`, with each transition's share of all
+    * transitions. One `lead` window partitioned by (user, day) — the
+    * sequence assembly never leaves the partition — then a tiny
+    * |types|² aggregation. Ties on timestamp break by `idCol` so the
+    * sequence (and therefore the counts) is deterministic. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col(userCol), day)
+      .orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(typeCol).isNotNull)
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = trans.agg(sum("n").as("_total"))
+    trans.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n").cast("double") / col("_total"), 6))
+      .drop("_total")
+  }
+
   /** Coalesce overlapping (closed) intervals per key: intervals merge when
     * `start <= max(end of any earlier interval in the island)` — touching
     * endpoints merge. Returns one row per merged island: the key columns,

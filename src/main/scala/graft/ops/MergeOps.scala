@@ -57,4 +57,22 @@ object MergeOps {
     val touched = winners.select(keys.map(col): _*)
     base.join(touched, keys, "left_anti").unionByName(upserts)
   }
+
+  /** Slowly-changing-dimension (type 2) history from an ordered change
+    * log: every change row becomes a validity interval `[valid_from,
+    * valid_to)` per key — `valid_from` its own `seqCol` value, `valid_to`
+    * the NEXT change's (SQL NULL for the current row, mirrored by
+    * `is_current` = 1, an INT because exported booleans hash differently
+    * across engines). The warehouse-standard "as-of any time" dimension
+    * shape, built with one window over the change log partitioned by key —
+    * never a global sort, cost bounded by the busiest key's change count. */
+  def scd2History(changes: DataFrame, keys: Seq[String],
+      seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
 }

@@ -136,6 +136,37 @@ class BehaviorSpec extends SparkSpecBase {
     assert(zs.filter(_._1 != 29).values.forall(math.abs(_) < 3.0))
   }
 
+  test("activityGaps: whole missing days between active days, edges excluded") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-05 10:00:00")),  // gap: days 3-4
+      (1L, ts("2024-01-05 23:00:00")),  // same day, no effect
+      (2L, ts("2024-01-01 10:00:00")))  // single day → no gaps
+      .toDF("user_id", "ts")
+    val out = Behavior.activityGaps(ev, "user_id", "ts")
+      .orderBy("user", "gap_start_day").collect()
+      .map(r => (r.getLong(0), r.getLong(2) - r.getLong(1) + 1, r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L))) // one 2-day gap for user 1 only
+  }
+
+  test("eventTransitions: consecutive pairs within user-day, tie-broken by id") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:10:00"), "view"),
+      // next day: its own sequence, no cross-day transition
+      (1L, 13L, ts("2024-01-02 10:00:00"), "purchase"),
+      // tie on ts: id order decides view→click, not click→view
+      (2L, 20L, ts("2024-01-01 12:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 12:00:00"), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Behavior.eventTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("view", "click")) == 2L)
+    assert(out(("click", "view")) == 1L)
+    assert(out.values.sum == 3L) // no user-1 day-boundary transition
+  }
+
   test("mergeIntervals: contained interval does not split the island") {
     // [0,100] then [10,20] (contained) then [50,60]: running max end keeps
     // the island open even though starts are increasing

@@ -46,6 +46,21 @@ class MergeOpsSpec extends SparkSpecBase {
     assert(out.length == 1 && out(0).getString(1) == "c2")
   }
 
+  test("scd2History: validity chains per key, open current interval") {
+    val changes = Seq(
+      ("k1", 10L, "v1"), ("k1", 20L, "v2"), ("k1", 30L, "v3"),
+      ("k2", 5L, "w1"))
+      .toDF("k", "seq", "payload")
+    val out = MergeOps.scd2History(changes, Seq("k"), "seq")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getInt(5)))
+    assert(out.toSeq == Seq(
+      ("k1", 10L, 20L, 0), ("k1", 20L, 30L, 0), ("k1", 30L, -1L, 1),
+      ("k2", 5L, -1L, 1)))
+    // intervals tile: each key's valid_to chain equals the next valid_from
+  }
+
   test("merge plans: one anti-join, no global sort over the base") {
     val updates = Seq((2L, "b2", 21.0)).toDF("k", "name", "bal")
     val p = MergeOps.upsert(base, updates, Seq("k"))

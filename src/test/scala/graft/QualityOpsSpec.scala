@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{AggOps, QualityOps}
+import graft.ops.QualityOps._
+import org.apache.spark.sql.functions._
+
+class QualityOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("validate: rule types count violations with explicit null handling") {
+    val df = Seq(
+      (Some(1), Some(0.02), "A", "O"),
+      (Some(2), Some(0.08), "X", "F"),  // range + set violations
+      (None,    None,       "N", "zz"), // null id + null range + regex violations
+      (Some(1), Some(0.01), "R", "O"))  // duplicate id
+      .toDF("id", "rate", "flag", "status")
+    val out = QualityOps.validate(df, Seq(
+        NotNull("id"), InRange("rate", 0.0, 0.05), InSet("flag", Seq("A", "N", "R")),
+        Matches("status", "^[OF]$"), Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getInt(5))).toMap
+    assert(out("not_null(id)") == ((1L, 0)))
+    assert(out("in_range(rate,0.0,0.05)") == ((2L, 0))) // 0.08 and NULL
+    assert(out("in_set(flag)") == ((1L, 0)))
+    assert(out("matches(status)") == ((1L, 0)))
+    // unique over ids {1,2,null,1}: key 1 twice → 1 duplicate (nulls group too)
+    assert(out("unique(id)") == ((1L, 0)))
+    assert(out.values.forall(_._2 == 0))
+  }
+
+  test("validate: all-pass rules report pass=1 and rate 0") {
+    val df = Seq((1, "A"), (2, "B")).toDF("id", "tag")
+    val out = QualityOps.validate(df, Seq(NotNull("id"), Unique(Seq("id"))))
+      .collect()
+    assert(out.forall(r => r.getLong(3) == 0L && r.getInt(5) == 1
+      && r.getDouble(4) == 0.0))
+  }
+
+  test("referential integrity counts orphans and null keys") {
+    val fact = Seq(Some(1), Some(2), Some(9), None).toDF("k")
+    val dim = Seq(1, 2, 3).toDF("d")
+    val r = QualityOps.referentialIntegrity(fact, "k", dim, "d").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.25)
+    val orphans = QualityOps.orphanRows(fact, "k", dim, "d")
+      .collect().map(_.getInt(0))
+    assert(orphans.toSeq == Seq(9))
+  }
+
+  test("rollupReport: subtotals, grand total, '(all)' labels, bitmask") {
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).toDF("g1", "g2", "v")
+    val out = AggOps.rollupReport(df, Seq("g1", "g2"),
+        Seq(sum(col("v")).cast("long").as("sv")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", "x")) == ((1L, 0L)) && out(("a", "y")) == ((2L, 0L)))
+    assert(out(("a", "(all)")) == ((3L, 1L)))     // g1 subtotal
+    assert(out(("b", "(all)")) == ((4L, 1L)))
+    assert(out(("(all)", "(all)")) == ((7L, 3L))) // grand total
+  }
+
+  test("pivotTable: explicit values fix the schema; absent cells are null") {
+    val df = Seq(("r1", "a", 1), ("r1", "a", 2), ("r2", "b", 5)).toDF("r", "c", "v")
+    val out = AggOps.pivotTable(df, "r", "c", Seq("a", "b", "zz"),
+        sum(col("v")).cast("long"))
+      .orderBy("r").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head == Seq("r", "a", "b", "zz"))
+    assert(out(0).getLong(1) == 3L && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(1).isNullAt(1) && out(1).getLong(2) == 5L)
+  }
+}
