@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.functions.{TextClean, TextFunctions, VectorFunctions}
-import graft.ops.{LayoutOps, ScaleOps}
+import graft.ops.{AggOps, LayoutOps, QualityOps, ScaleOps}
+import graft.profile.Drift
 import graft.streaming.EventStream
 
 /** One-stop facade for the training-corpus pipeline surface — the
@@ -70,8 +71,18 @@ object Corpus {
   val streaming: EventStream.type = EventStream
   /** Keyed dataset maintenance: upsert, CDC change-log application. */
   val merge: graft.ops.MergeOps.type = graft.ops.MergeOps
-  /** Skew salting, bucketing, bloom-prefiltered joins. */
+  /** Skew salting, bucketing, bloom-prefiltered joins, and the pre-flight
+    * diagnostics (key skew, heavy hitters, join fanout) run before them. */
   val scale: ScaleOps.type = ScaleOps
   /** Z-order clustering and small-file compaction. */
   val layout: LayoutOps.type = LayoutOps
+  /** Event-behavior analytics: funnels, retention, DAU/WAU, interval
+    * coalescing, activity gaps, transitions, rate anomalies. */
+  val behavior: Behavior.type = Behavior
+  /** Constraint validation and referential-integrity gates. */
+  val quality: QualityOps.type = QualityOps
+  /** Distribution drift (PSI) between dataset snapshots. */
+  val drift: Drift.type = Drift
+  /** OLAP reshaping: rollup subtotal reports, pivot cross-tabs. */
+  val olap: AggOps.type = AggOps
 }

@@ -95,4 +95,24 @@ class ParqToolsSpec extends SparkSpecBase {
       "query_id", "qtext", k = 3).count() == 3)
     assert(Corpus.stats.topNgrams(docs, "doc_id", "text", n = 2, k = 5).count() == 5)
   }
+
+  test("Corpus facade: behavior, quality, drift and olap entries reach operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    // publish gate: constraints + drift between two halves
+    val report = Corpus.quality.validate(docs, Seq(
+      graft.ops.QualityOps.NotNull("doc_id"),
+      graft.ops.QualityOps.Unique(Seq("doc_id"))))
+    assert(report.filter($"pass" === 1).count() == 2)
+    val psi = Corpus.drift.psi(docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 =!= 0), Seq("n_chars")).collect().head.getDouble(1)
+    assert(psi >= 0.0 && psi < 0.1, s"random halves must not drift, psi=$psi")
+    // engagement + olap entries
+    val ev = spark.read.parquet(sf("events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    assert(Corpus.behavior.rollingActiveUsers(ev, "user_id", "ts").count() > 0)
+    assert(Corpus.olap.rollupReport(docs, Seq("lang"),
+      Seq(count(lit(1)).as("n"))).filter($"lang" === "(all)").count() == 1)
+  }
 }

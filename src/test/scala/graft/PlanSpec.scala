@@ -154,4 +154,22 @@ class PlanSpec extends SparkSpecBase {
       s"the 1-row min/max frame must broadcast:\n$p")
     assert(p.contains("partial"), s"bin counts must map-side combine:\n$p")
   }
+
+  test("constraint validation: row rules share one scan, unique adds one") {
+    val p = plan("q108_validate")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 2, s"expected <= 2 scans (row-rule pass + unique), got $scans:\n$p")
+  }
+
+  test("scd2 and transition windows are keyed, never global") {
+    assert(plan("q110_scd2_history").contains("windowspecdefinition(o_custkey"))
+    assert(plan("q112_event_transitions").contains("windowspecdefinition(user_id"))
+  }
+
+  test("rollup is one Expand + one aggregation, not one scan per level") {
+    val p = plan("q113_rollup")
+    assert(p.contains("Expand"), s"rollup must plan an Expand:\n$p")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"rollup must read the input once, got $scans scans")
+  }
 }
