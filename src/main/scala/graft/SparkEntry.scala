@@ -1054,6 +1054,48 @@ object SparkEntry {
         .orderBy(col("hour_of_day"))
     }),
 
+    // ---- trending terms between snapshots --------------------------------
+    "q115_trending_terms" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      CorpusStats.trendingTerms(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", k = 50)
+    }),
+
+    // ---- equi-depth quantile bucketing ----------------------------------
+    "q116_quantile_bins" -> ((s, dir) => {
+      ColumnProfiler.quantileBins(read(s, dir, "lineitem"),
+          "l_extendedprice", k = 4)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice_bucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- per-group weighted sampling ------------------------------------
+    "q117_weighted_group_sample" -> ((s, dir) => {
+      Sampling.weightedSamplePerGroup(read(s, dir, "documents"),
+          Seq("lang"), "doc_id", "n_chars", k = 10, salt = "wg:")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quota_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- time-weighted average ------------------------------------------
+    "q118_time_weighted" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .withColumn("t_us", unix_micros(col("ts")))
+      Temporal.timeWeightedAvg(ev, Seq("user_id"), "t_us", "value",
+          tieCols = Seq("event_id"))
+        .select(col("user_id"), round(col("twa"), 4).as("twa"),
+          col("n_intervals"), col("total_duration"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- adoption curve (cumulative first-seen users) -------------------
+    "q119_adoption_curve" -> ((s, dir) => {
+      Behavior.adoptionCurve(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts")
+        .orderBy(col("day"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2498,6 +2540,74 @@ object SparkEntry {
                 sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
          FROM events GROUP BY 1 ORDER BY hour_of_day""",
+    // Smoothed log rate ratio per term between snapshot halves; the
+    // 6-dp-rounded score is the ranking key on both engines so the k
+    // boundary survives last-ulp ln() differences
+    "q115_trending_terms" ->
+      """WITH t AS (
+           SELECT doc_id % 2 = 0 AS is_a,
+                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> len(x) > 0)) AS term
+           FROM documents),
+         c AS (SELECT term, count(*) FILTER (WHERE is_a) AS n_a,
+                      count(*) FILTER (WHERE NOT is_a) AS n_b
+               FROM t GROUP BY term),
+         tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+         s AS (SELECT term, n_a, n_b,
+                 round(ln(((n_b + 1) / (tb + 1)) / ((n_a + 1) / (ta + 1))), 6) AS score
+               FROM c CROSS JOIN tot)
+         SELECT term, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, score
+         FROM s ORDER BY score DESC, term LIMIT 50""",
+    // Equi-depth buckets from interpolated quartiles (quantile_cont ≡
+    // percentile parity); assignment is the same <= chain on both engines
+    "q116_quantile_bins" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_extendedprice <= qs[1] THEN 1
+                     WHEN l_extendedprice <= qs[2] THEN 2
+                     WHEN l_extendedprice <= qs[3] THEN 3
+                     ELSE 4 END AS l_extendedprice_bucket
+         FROM lineitem CROSS JOIN q ORDER BY l_orderkey, l_linenumber""",
+    // Per-group E-S keys (q102's md5-uint32 construction) ranked by the
+    // same (key desc, id) row_number per lang
+    "q117_weighted_group_sample" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+                  ln((('0x' || substr(md5('wg:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                     / 4294967296.0) / n_chars AS k
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+                   AS quota_rank
+               FROM s)
+         SELECT doc_id, lang, n_chars, quota_rank
+         FROM r WHERE quota_rank <= 10 ORDER BY doc_id""",
+    // Duration-weighted mean in epoch-micros; (ts, event_id) ordering
+    // makes the value→duration pairing deterministic under timestamp ties
+    "q118_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+                    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         w AS (SELECT user_id, value,
+                 (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)::DOUBLE
+                   AS dt
+               FROM e)
+         SELECT user_id, round(sum(value * dt) / sum(dt), 4) AS twa,
+                count(*)::BIGINT AS n_intervals, sum(dt)::BIGINT AS total_duration
+         FROM w WHERE dt IS NOT NULL AND dt > 0
+         GROUP BY user_id ORDER BY user_id""",
+    // First-seen day per user, then a running sum over the bounded
+    // per-day table
+    "q119_adoption_curve" ->
+      """WITH f AS (SELECT user_id,
+                      min(date_diff('day', DATE '1970-01-01', ts::DATE)) AS day
+                    FROM events GROUP BY user_id),
+         c AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+         SELECT day::BIGINT AS day, new_users::BIGINT AS new_users,
+                sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS cum_users
+         FROM c ORDER BY day""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

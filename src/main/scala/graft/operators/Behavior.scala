@@ -204,6 +204,24 @@ object Behavior {
       .drop("_total")
   }
 
+  /** Adoption curve: per day, how many users appear for the FIRST time
+    * (`new_users`) and the running total (`cum_users`). First-seen day per
+    * user is one groupBy (partial-aggregated min); the cumulative sum's
+    * ordered window is global but runs over the per-day table (365
+    * rows/year) — the bounded-bucket argument again, never over events. */
+  def adoptionCurve(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firsts = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_user"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("_day"))
+      .groupBy("_user").agg(min("_day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    firsts.withColumn("cum_users",
+      sum("new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Coalesce overlapping (closed) intervals per key: intervals merge when
     * `start <= max(end of any earlier interval in the island)` — touching
     * endpoints merge. Returns one row per merged island: the key columns,

@@ -154,4 +154,36 @@ object CorpusStats {
       .groupBy(col("h")).agg(count(lit(1)).as("doc_freq"))
       .groupBy(col("doc_freq")).agg(count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_freq"))
+
+  /** Top-k trending terms between two corpus snapshots: smoothed log rate
+    * ratio `ln(((n_b+1)/(N_b+1)) / ((n_a+1)/(N_a+1)))` per term (positive
+    * = rising in `b`), ranked by the 6-dp-ROUNDED score with the term as
+    * tiebreak — the rounding makes the k-boundary robust to last-ulp log
+    * differences between engines recomputing it.
+    *
+    * One tokenize+count pass per snapshot (map-side combined), a full
+    * outer join of the two term tables, two broadcast 1-row totals, and a
+    * TakeOrderedAndProject top-k — no global sort, term strings shuffle
+    * once per side. */
+  def trendingTerms(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def termCounts(df: DataFrame, out: String) =
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(out))
+    val ca = termCounts(a, "n_a")
+    val cb = termCounts(b, "n_b")
+    val ta = ca.agg(coalesce(sum("n_a"), lit(0L)).as("_ta"))
+    val tb = cb.agg(coalesce(sum("n_b"), lit(0L)).as("_tb"))
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    val rateB = (col("n_b") + 1) / (col("_tb") + 1)
+    val rateA = (col("n_a") + 1) / (col("_ta") + 1)
+    joined
+      .withColumn("score", round(log(rateB / rateA), 6))
+      .select(col("term"), col("n_a"), col("n_b"), col("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(k)
+  }
 }

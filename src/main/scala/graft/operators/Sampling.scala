@@ -327,6 +327,23 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group weighted sampling without replacement: [[weightedSample]]'s
+    * Efraimidis–Spirakis construction composed with [[quotaPerGroup]]'s
+    * k-bounded heap aggregate — k rows per group, inclusion odds ∝ weight
+    * within the group, deterministic under any partitioning. The heap
+    * ranks `(sample_key desc, id asc)`; the id tiebreak makes equal keys
+    * (impossible in practice, md5-derived) deterministic anyway. */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") + 1L) / lit(4294967296.0)
+    quotaPerGroup(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .withColumn("sample_key", log(u) / col(weightCol).cast("double")),
+      groupCols, Seq(col("sample_key").desc, col(idCol).asc), k)
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

@@ -140,4 +140,35 @@ object Temporal {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__rj_bucket")
   }
+
+  /** Time-weighted average per key for irregular time series: each
+    * observation holds its value until the NEXT observation, so the mean
+    * weights each value by its holding duration — the correct average for
+    * sampled-on-change metrics where the arithmetic mean over-counts busy
+    * periods. The last observation per key has no duration and is
+    * excluded (standard left-closed convention). Returns `(key…, twa,
+    * n_intervals, total_duration)`.
+    *
+    * One keyed `lead` window (partitioned by key — never global) + one
+    * partial-aggregated groupBy; `tsCol` may be any numeric/timestamp
+    * orderable whose differences are meaningful (epoch micros longs
+    * recommended — mirrors cleanly into external oracles). */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    // tieCols make the value→duration pairing deterministic when two
+    // observations share a timestamp (their dt is 0 and drops, but WHICH
+    // of the tied values carries the following interval depends on order)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val dt = (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("double")
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("_dt", dt)
+      .filter(col("_dt").isNotNull && col("_dt") > 0)
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum(col(valueCol).cast("double") * col("_dt")) / sum(col("_dt")))
+          .as("twa"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("_dt")).cast("long").as("total_duration"))
+  }
 }

@@ -188,6 +188,39 @@ object ColumnProfiler {
     }
   }
 
+  /** Equi-depth bucketing: adds `<column>_bucket` ∈ 1..k assigned by the
+    * column's own interpolated quantile boundaries (bucket i ⇔ value ≤
+    * the i/k quantile, last bucket catches the rest; NULLs get NULL).
+    * The quantile-space companion to fixed-width binning ([[graft.profile.Drift]])
+    * — equal POPULATION per bucket, which is what rank features and
+    * monotonic-binning transforms want.
+    *
+    * Never `ntile()`: a global ntile window single-partitions the corpus.
+    * Here the k−1 boundaries come from one aggregation (exact interpolated
+    * `percentile`, or the approx sketch via `exact = false` at corpus
+    * scale), and assignment is a pure broadcast-compare projection —
+    * shuffle-free, and stable under repartitioning. */
+  def quantileBins(df: DataFrame, column: String, k: Int = 4,
+      exact: Boolean = true): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    require(df.columns.contains(column), s"column not in frame: $column")
+    require(isNumeric(df.schema(column).dataType),
+      s"quantileBins needs a numeric column: $column")
+    val v = col(column).cast("double")
+    val ps = lit((1 until k).map(_.toDouble / k).toArray)
+    val boundsAgg =
+      (if (exact) percentile(v, ps) else percentile_approx(v, ps, lit(10000)))
+        .as("_qb")
+    val bounds = df.agg(boundsAgg)
+    val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
+      when(v <= element_at(col("_qb"), i), lit(i)).otherwise(rest)
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${column}_bucket",
+        when(v.isNull, lit(null).cast("int")).otherwise(bucket))
+      .drop("_qb")
+  }
+
   /** Long-form per-group profile of numeric columns: one row per
     * (group, column) with n, n_missing, n_distinct, mean, std, min, max —
     * the per-source / per-language corpus monitoring view (a whole-table

@@ -167,6 +167,17 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out.values.sum == 3L) // no user-1 day-boundary transition
   }
 
+  test("adoptionCurve: first-seen counts and running total") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),  // not new on day 3
+      (3L, ts("2024-01-03 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Behavior.adoptionCurve(ev, "user_id", "ts")
+      .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 2L), (1L, 3L)))
+  }
+
   test("mergeIntervals: contained interval does not split the island") {
     // [0,100] then [10,20] (contained) then [50,60]: running max end keeps
     // the island open even though starts are increasing

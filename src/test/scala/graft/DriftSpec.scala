@@ -53,6 +53,22 @@ class DriftSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("weightedSamplePerGroup caps each group at k and matches a recompute") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      (i % 11 + 1).toDouble)).toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w", k = 7,
+      salt = "pg:")
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("even" -> 7L, "odd" -> 7L))
+    // matches the window-path recompute (heap vs window parity)
+    val viaWindow = Sampling.weightedSamplePerGroup(
+      df, Seq("g"), "id", "w", k = 7, salt = "pg:")
+    val a = got.select("id").as[Long].collect().toSet
+    val b = viaWindow.select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("weightedSample is deterministic and biased toward heavy weights") {
     val df = (1L to 1000L).map(i => (i, if (i <= 100) 1000.0 else 1.0)).toDF("id", "w")
     val s1 = Sampling.weightedSample(df, "id", "w", k = 50, salt = "d:")

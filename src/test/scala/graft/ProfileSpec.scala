@@ -266,4 +266,21 @@ class ProfileSpec extends SparkSpecBase {
       exactDistinct = false).queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, s"expected one shuffle:\n$plan")
   }
+
+  test("quantileBins: equal-population buckets from interpolated quartiles") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = ColumnProfiler.quantileBins(df, "v", k = 4)
+    assert(out.columns.contains("v_bucket"))
+    val counts = out.groupBy("v_bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // quartiles of 1..100: 25.75 / 50.5 / 75.25 -> buckets of 25 each
+    assert(counts == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    // boundary goes to the LOWER bucket (v <= q)
+    val b25 = out.filter(col("id") === 25L).head().getInt(2)
+    assert(b25 == 1)
+    intercept[IllegalArgumentException] {
+      ColumnProfiler.quantileBins(df, "v", k = 1)
+    }
+  }
+
 }

@@ -156,4 +156,19 @@ class SearchSpec extends SparkSpecBase {
       .count()
     assert(sumDf == distinctPairs)
   }
+
+  test("trendingTerms: smoothed log ratio ranks rising terms first") {
+    val a = Seq((1L, "alpha alpha beta"), (2L, "alpha beta gamma")).toDF("id", "text")
+    val b = Seq((3L, "beta delta delta"), (4L, "delta delta gamma")).toDF("id", "text")
+    val out = CorpusStats.trendingTerms(a, b, "text", k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byTerm = out.toMap
+    // delta: absent in a (0) -> 4 in b: the top riser; alpha: 3 -> 0: the top faller
+    assert(out.head._1 == "delta")
+    assert(byTerm("delta")._1 == 0L && byTerm("delta")._2 == 4L)
+    assert(out.last._1 == "alpha" && byTerm("alpha")._3 < 0)
+    // hand-check delta score: ln((5/7)/(1/7)) = ln 5
+    assert(math.abs(byTerm("delta")._3 - math.log(5.0)) < 1e-5)
+  }
+
 }

@@ -117,4 +117,20 @@ class TemporalSpec extends SparkSpecBase {
       .select($"pid").as[Long].collect().toSeq
     assert(out === Seq(1L))
   }
+
+  test("timeWeightedAvg: durations weight values; last point excluded; ties deterministic") {
+    val obs = Seq(
+      // key a: value 10 for 4 units, then 20 for 1 unit -> twa = 12
+      ("a", 1L, 0L, 10.0), ("a", 2L, 4L, 20.0), ("a", 3L, 5L, 99.0),
+      // key b: tie at t=0 — event_id order decides which value spans [0,2)
+      ("b", 1L, 0L, 1.0), ("b", 2L, 0L, 3.0), ("b", 3L, 2L, 7.0))
+      .toDF("k", "event_id", "t", "v")
+    val out = Temporal.timeWeightedAvg(obs, Seq("k"), "t", "v",
+        tieCols = Seq("event_id"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((12.0, 2L, 5L)))
+    // b: (1.0, dt=0 dropped), (3.0, dt=2): twa = 3.0 over 1 interval
+    assert(out("b") == ((3.0, 1L, 2L)))
+  }
+
 }
