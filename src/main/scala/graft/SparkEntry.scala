@@ -1096,6 +1096,38 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- per-group exact percentiles ------------------------------------
+    "q120_group_percentiles" -> ((s, dir) => {
+      ColumnProfiler.percentilesByGroup(
+          EventsSource.read(s, s"$dir/events.parquet"), "event_type", "value",
+          ps = Seq(0.5, 0.9, 0.99))
+        .select(col("group").as("event_type"), col("p"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("event_type"), col("p"))
+    }),
+
+    // ---- market-basket lift over event types ----------------------------
+    "q121_basket_lift" -> ((s, dir) => {
+      Behavior.basketLift(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_type")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // ---- rolling median rate baseline -----------------------------------
+    "q122_rolling_median" -> ((s, dir) => {
+      Behavior.rollingMedian(EventsSource.read(s, s"$dir/events.parquet"),
+        "ts", window = 24)
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), round(col("med"), 4).as("med"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- funnel time-to-convert -----------------------------------------
+    "q123_funnel_time" -> ((s, dir) => {
+      Behavior.funnelConversionTime(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2608,6 +2640,68 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
                   AS cum_users
          FROM c ORDER BY day""",
+    // Interpolated per-group quantiles (quantile_cont ≡ percentile
+    // parity); p cast to DOUBLE to match Spark's double literal array
+    "q120_group_percentiles" -> {
+      def block(p: String) =
+        s"""SELECT event_type, $p::DOUBLE AS p,
+            round(quantile_cont(value, $p), 4) AS value
+            FROM events GROUP BY event_type"""
+      Seq("0.5", "0.9", "0.99").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p")
+    },
+    // Unordered type-pair co-occurrence over distinct (user, day, type)
+    // baskets; lift from the same three count tables
+    "q121_basket_lift" ->
+      """WITH bk AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', ts::DATE) AS d,
+                       event_type AS t
+                     FROM events),
+         nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, d FROM bk)),
+         s AS (SELECT t, count(*) AS n1 FROM bk GROUP BY t),
+         p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+               FROM bk a JOIN bk b ON a.user_id = b.user_id AND a.d = b.d
+                 AND a.t < b.t
+               GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab::BIGINT AS n_ab,
+                round((n_ab::DOUBLE * nb.n) / (sa.n1 * sb.n1), 4) AS lift
+         FROM p
+         JOIN s sa ON sa.t = type_a
+         JOIN s sb ON sb.t = type_b
+         CROSS JOIN nb
+         ORDER BY type_a, type_b""",
+    // Windowed interpolated median over the trailing 24 buckets, current
+    // excluded — quantile_cont as a window aggregate on both engines
+    "q122_rolling_median" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+                    FROM events GROUP BY 1),
+         w AS (SELECT bucket, n,
+                 quantile_cont(n, 0.5) OVER (ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS med,
+                 count(*) OVER (ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS cnt
+               FROM c)
+         SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                n::BIGINT AS n_events, round(med, 4) AS med
+         FROM w WHERE cnt = 24 ORDER BY bucket""",
+    // q98's sequential-min funnel times: duration = final advance − first
+    // advance per fully-converted user, interpolated percentiles
+    "q123_funnel_time" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         d AS (SELECT (s3.t - s1.t)::DOUBLE AS dur
+               FROM s3 JOIN s1 USING (user_id))
+         SELECT count(*)::BIGINT AS n_converted,
+                round(quantile_cont(dur, 0.5), 4) AS p50_us,
+                round(quantile_cont(dur, 0.9), 4) AS p90_us
+         FROM d""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -3,7 +3,7 @@ package graft.functions.kernels
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -41,6 +41,25 @@ object BehaviorKernels { // public: generated code references it by name
     }
     depth
   }
+
+  /** Same greedy scan, returning the advance TIMESTAMPS (epoch micros, one
+    * per reached stage, length = depth) instead of just the depth — the
+    * input to time-to-convert metrics (duration = last − first). */
+  def funnelAdvanceTs(evs: ArrayData, numStages: Int): GenericArrayData = {
+    var depth = 0
+    var lastTs = Long.MinValue
+    val out = new Array[Long](numStages)
+    val n = evs.numElements()
+    var i = 0
+    while (i < n && depth < numStages) {
+      val v = evs.getLong(i)
+      val stage = (v & 7L).toInt
+      val ts = v >>> 3
+      if (stage == depth + 1 && ts > lastTs) { out(depth) = ts; depth += 1; lastTs = ts }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, depth))
+  }
 }
 
 /** Funnel depth (0..numStages) reached by one user's packed event array —
@@ -68,4 +87,29 @@ object FunnelDepth {
   /** Column wrapper: depth over a sorted packed-long event array. */
   def apply(evs: Column, numStages: Int): Column =
     ColumnBridge.column(FunnelDepthExpr(ColumnBridge.expression(evs), numStages))
+}
+
+/** Advance timestamps (epoch-micros array, length = reached depth) of the
+  * greedy funnel scan — see [[BehaviorKernels.funnelAdvanceTs]]. */
+case class FunnelAdvanceTsExpr(child: Expression, numStages: Int)
+    extends UnaryExpression {
+  require(numStages >= 1 && numStages <= 7,
+    s"funnel supports 1..7 stages (3-bit packing), got $numStages")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    BehaviorKernels.funnelAdvanceTs(v.asInstanceOf[ArrayData], numStages)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.kernels.BehaviorKernels.funnelAdvanceTs($c, $numStages)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "funnel_advance_ts"
+}
+
+object FunnelAdvanceTs {
+  def apply(evs: Column, numStages: Int): Column =
+    ColumnBridge.column(FunnelAdvanceTsExpr(ColumnBridge.expression(evs), numStages))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.kernels.FunnelDepth
+import graft.functions.kernels.{FunnelAdvanceTs, FunnelDepth}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +35,9 @@ object Behavior {
     * `stage_name`, `n_users` reaching it, `conversion` = n_users /
     * stage-1 users (rounded 4dp).
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
+  /** Packed per-user event arrays shared by the funnel operators: stage
+    * filter pushed to the scan, one groupBy, sorted primitive longs. */
+  private def packedEvents(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.size <= 7,
       s"funnel supports 1..7 stages, got ${stages.size}")
@@ -45,12 +47,18 @@ object Behavior {
       case (acc, (name, i)) => when(col(typeCol) === name, lit(i + 1)).otherwise(acc)
     }
     val packed = (shiftleft(unix_micros(col(tsCol)), 3) + stageIdx.cast("long")).as("_enc")
-    val perUser = events
+    events
       .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull
         && col(userCol).isNotNull)
       .select(col(userCol).as("_user"), packed)
       .groupBy("_user")
-      .agg(FunnelDepth(sort_array(collect_list(col("_enc"))), stages.size).as("_depth"))
+      .agg(sort_array(collect_list(col("_enc"))).as("_evs"))
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val perUser = packedEvents(events, userCol, tsCol, typeCol, stages)
+      .select(col("_user"), FunnelDepth(col("_evs"), stages.size).as("_depth"))
     // stage s is reached by every user whose depth >= s: explode 1..depth
     // (≤ 7 rows/user) and count — tiny relative to the event scan above
     val counts = perUser
@@ -65,6 +73,25 @@ object Behavior {
         element_at(array(stages.map(lit): _*), col("stage")).as("stage_name"),
         col("n_users"),
         round(col("n_users").cast("double") / col("_base"), 4).as("conversion"))
+  }
+
+  /** Time-to-convert for users completing the WHOLE funnel: duration
+    * (micros) between the stage-1 advance and the final-stage advance of
+    * the same greedy scan as [[funnel]], summarized as one row
+    * `(n_converted, p50_us, p90_us)` with exact interpolated percentiles.
+    * The advance timestamps come from a compiled kernel over the same
+    * packed per-user arrays — no second pass over events. */
+  def funnelConversionTime(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val k = stages.size
+    packedEvents(events, userCol, tsCol, typeCol, stages)
+      .select(FunnelAdvanceTs(col("_evs"), k).as("_adv"))
+      .filter(size(col("_adv")) === k)
+      .select((element_at(col("_adv"), k) - element_at(col("_adv"), 1))
+        .cast("double").as("_dur"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("_dur"), lit(0.5)), 4).as("p50_us"),
+        round(percentile(col("_dur"), lit(0.9)), 4).as("p90_us"))
   }
 
   /** Weekly retention cohorts: cohort = epoch-week (`floor(days-since-
@@ -202,6 +229,61 @@ object Behavior {
     trans.crossJoin(broadcast(total))
       .withColumn("share", round(col("n").cast("double") / col("_total"), 6))
       .drop("_total")
+  }
+
+  /** Market-basket lift over event types: treating each (user, day) as a
+    * basket of the DISTINCT event types it contains, count co-occurring
+    * unordered type pairs and score `lift = P(ab) / (P(a)·P(b))` — > 1
+    * means the two behaviors attract, < 1 they repel. The association
+    * diagnostic behind "users who error also purchase?" questions.
+    *
+    * Scale: baskets are the distinct (user, day, type) table; the pair
+    * self-join is per-basket with fanout ≤ |types|² (types is a small
+    * closed set), and the lift join sides are |types| and |types|² rows —
+    * broadcast. Nothing quadratic in users or events. */
+  def basketLift(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+    val baskets = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(typeCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"), col(typeCol).as("_t"))
+      .distinct()
+    val nBaskets = baskets.select("_u", "_d").distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val singles = baskets.groupBy(col("_t")).agg(count(lit(1)).as("_n1"))
+    val a = baskets.select(col("_u"), col("_d"), col("_t").as("type_a"))
+    val b = baskets.select(col("_u"), col("_d"), col("_t").as("type_b"))
+    val pairs = a.join(b, Seq("_u", "_d"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("_t").as("type_a"), col("_n1").as("_na"))),
+        Seq("type_a"))
+      .join(broadcast(singles.select(col("_t").as("type_b"), col("_n1").as("_nb1"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round((col("n_ab").cast("double") * col("_nb"))
+          / (col("_na") * col("_nb1")), 4).as("lift"))
+  }
+
+  /** Rolling median baseline of the hourly event rate: the robust twin of
+    * [[rateAnomaly]]'s mean/std (a single outlier hour drags a mean
+    * baseline; the median ignores it). Returns `(bucket, n_events, med)`
+    * for buckets with a full trailing window (current bucket excluded).
+    * Same bounded-bucket global window as [[rateAnomaly]]. */
+  def rollingMedian(events: DataFrame, tsCol: String, window: Int = 24): DataFrame = {
+    require(window >= 2, s"baseline window must be >= 2 buckets, got $window")
+    val counts = events.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("bucket").rowsBetween(-window, -1)
+    counts
+      .withColumn("_med", percentile(col("n_events").cast("double"), lit(0.5)).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") === window)
+      .select(col("bucket"), col("n_events"), col("_med").as("med"))
   }
 
   /** Adoption curve: per day, how many users appear for the FIRST time

@@ -97,6 +97,44 @@ object SchemaOps {
       FooterMetadata.writeKeyValue(spark, output, tableMetadata)
   }
 
+  /** Schema-evolution compatibility report between a reader's expected
+    * (old) schema and a producer's new one: one row per column with status
+    * `unchanged` / `added` / `removed` / `widened` (safe numeric
+    * promotion: byte→short→int→long→float→double along the chain, or
+    * nullable loosening alone) / `incompatible` (anything else —
+    * narrowing, cross-family changes). `removed` and `incompatible` are
+    * the publish blockers. Pure metadata — no jobs, no data read. */
+  def compatibilityReport(spark: SparkSession,
+      oldSchema: org.apache.spark.sql.types.StructType,
+      newSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val widenChain: Map[DataType, Int] = Map(
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+      FloatType -> 4, DoubleType -> 5)
+    def widens(from: DataType, to: DataType): Boolean =
+      (widenChain.get(from), widenChain.get(to)) match {
+        case (Some(a), Some(b)) => b > a
+        case _ => false
+      }
+    val names = (oldSchema.map(_.name) ++
+      newSchema.map(_.name).filterNot(oldSchema.fieldNames.contains)).toSeq
+    val rows = names.map { n =>
+      (oldSchema.fields.find(_.name == n), newSchema.fields.find(_.name == n)) match {
+        case (Some(o), Some(nw)) =>
+          val status =
+            if (o.dataType == nw.dataType) "unchanged"
+            else if (widens(o.dataType, nw.dataType)) "widened"
+            else "incompatible"
+          (n, o.dataType.simpleString, nw.dataType.simpleString, status)
+        case (Some(o), None) => (n, o.dataType.simpleString, null, "removed")
+        case (None, Some(nw)) => (n, null, nw.dataType.simpleString, "added")
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "old_type", "new_type", "status")
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -188,6 +188,27 @@ object ColumnProfiler {
     }
   }
 
+  /** Long-form exact percentiles per group: one row per (group, p) with
+    * the interpolated quantile of `valueCol` — the per-group companion to
+    * the global profile's quartiles (SLA-style p50/p90/p99 per category).
+    * One groupBy pass computes ALL percentiles per group (a single
+    * percentile-array aggregate), then the k-row-per-group array unfolds
+    * in-plan. `exact = false` switches to the sketch for huge groups. */
+  def percentilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    val v = col(valueCol).cast("double")
+    val agg = (if (exact) percentile(v, lit(ps.toArray))
+               else percentile_approx(v, lit(ps.toArray), lit(10000))).as("_ps")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(agg)
+      .select(col("group"), posexplode(col("_ps")).as(Seq("_i", "value")))
+      .select(col("group"),
+        element_at(lit(ps.toArray), col("_i") + 1).as("p"), col("value"))
+  }
+
   /** Equi-depth bucketing: adds `<column>_bucket` ∈ 1..k assigned by the
     * column's own interpolated quantile boundaries (bucket i ⇔ value ≤
     * the i/k quantile, last bucket catches the rest; NULLs get NULL).

@@ -187,4 +187,53 @@ class BehaviorSpec extends SparkSpecBase {
       .orderBy("island").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 0L, 100L), (2L, 101L, 110L)))
   }
+
+  test("funnelConversionTime: durations only for full converters") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:10"), "click"),   // converts in 30s
+      (1L, ts("2024-01-01 10:00:30"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:01:40"), "click"),   // converts in 200s
+      (2L, ts("2024-01-01 10:03:20"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"))    // never converts
+      .toDF("user_id", "ts", "event_type")
+    val r = Behavior.funnelConversionTime(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect().head
+    assert(r.getLong(0) == 2L)
+    // durations 30s and 200s in micros; p50 = interpolated midpoint 115s
+    assert(r.getDouble(1) == 115e6)
+    assert(r.getDouble(2) == 183e6) // 30e6 + 0.9*(200e6-30e6)
+  }
+
+  test("basketLift: attracting and repelling pairs score around 1") {
+    val ev = Seq(
+      // baskets: {a,b} x2, {a} x1, {b} x1, {a,c} x1 -> 5 baskets
+      (1L, ts("2024-01-01 10:00:00"), "a"), (1L, ts("2024-01-01 11:00:00"), "b"),
+      (2L, ts("2024-01-01 10:00:00"), "a"), (2L, ts("2024-01-01 11:00:00"), "b"),
+      (3L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, ts("2024-01-01 10:00:00"), "b"),
+      (5L, ts("2024-01-01 10:00:00"), "a"), (5L, ts("2024-01-01 11:00:00"), "c"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.basketLift(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // lift(a,b) = (2 * 5) / (4 * 3) = 0.8333; lift(a,c) = (1 * 5) / (4 * 1) = 1.25
+    assert(out(("a", "b"))._1 == 2L && out(("a", "b"))._2 == 0.8333)
+    assert(out(("a", "c"))._1 == 1L && out(("a", "c"))._2 == 1.25)
+  }
+
+  test("rollingMedian ignores a single outlier hour in the baseline") {
+    val rows = (0 until 26).flatMap { h =>
+      val n = if (h == 5) 100 else 10 // one outlier hour in every baseline
+      (0 until n).map(i => (h.toLong * 1000 + i,
+        java.sql.Timestamp.from(ts("2024-01-01 00:00:00").toInstant
+          .plusSeconds(h * 3600L + i))))
+    }.toDF("event_id", "ts")
+    val out = Behavior.rollingMedian(rows, "ts", window = 24)
+      .orderBy("bucket").collect()
+    assert(out.nonEmpty)
+    // median baseline stays 10 despite the 100-event hour in the window
+    assert(out.forall(_.getDouble(2) == 10.0))
+  }
+
 }

@@ -123,4 +123,21 @@ class FrameSpec extends SparkSpecBase {
     val back = spark.read.parquet(out)
     assert(SchemaOps.columnMetadata(back, "k").getString("unit") == "meters")
   }
+
+  test("schema compatibility report classifies widening vs breaking changes") {
+    import org.apache.spark.sql.types._
+    val oldS = StructType(Seq(
+      StructField("id", IntegerType), StructField("price", FloatType),
+      StructField("gone", StringType), StructField("same", StringType)))
+    val newS = StructType(Seq(
+      StructField("id", LongType),            // widened
+      StructField("price", IntegerType),      // narrowed -> incompatible
+      StructField("same", StringType),        // unchanged
+      StructField("fresh", DoubleType)))      // added
+    val out = graft.ops.SchemaOps.compatibilityReport(spark, oldS, newS)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map("id" -> "widened", "price" -> "incompatible",
+      "gone" -> "removed", "same" -> "unchanged", "fresh" -> "added"))
+  }
+
 }

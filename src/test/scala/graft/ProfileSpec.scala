@@ -283,4 +283,15 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+
+  test("percentilesByGroup: interpolated quantiles per group, long form") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val out = ColumnProfiler.percentilesByGroup(df, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 0.5)) == 50.5 && math.abs(out(("a", 0.9)) - 90.1) < 1e-9)
+    assert(out(("b", 0.5)) == 55.0) // interpolated between 50 and 60
+    assert(out.size == 4)
+  }
+
 }
