@@ -46,7 +46,13 @@ object Behavior {
     val stageIdx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (name, i)) => when(col(typeCol) === name, lit(i + 1)).otherwise(acc)
     }
-    val packed = (shiftleft(unix_micros(col(tsCol)), 3) + stageIdx.cast("long")).as("_enc")
+    // pre-epoch timestamps would corrupt the (ts << 3 | stage) packing
+    // (the kernel decodes with an UNSIGNED shift) — fail loudly, never
+    // produce a silently-wrong depth
+    val us = unix_micros(col(tsCol))
+    val guarded = when(us < 0,
+      raise_error(lit("funnel requires post-1970 timestamps"))).otherwise(us)
+    val packed = (shiftleft(guarded, 3) + stageIdx.cast("long")).as("_enc")
     events
       .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull
         && col(userCol).isNotNull)

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
 object AggOps {
 
   /** Hierarchical subtotal report over `groupCols` (finest level, then
-    * each prefix, then grand total). NULL group markers are replaced with
-    * `totalLabel` so the output is flat-exportable and distinguishable
-    * from genuine NULL group values; `grp` carries the standard
-    * grouping-set bitmask (0 = detail row, all-bits = grand total).
-    * One Expand + one shuffle regardless of the number of levels. */
+    * each prefix, then grand total). Rollup's NULL group markers are
+    * replaced with `totalLabel` for flat export; a genuine NULL group
+    * VALUE also renders as `totalLabel`, but the `grp` bitmask (0 =
+    * detail row, bit i set = column i rolled up, all-bits = grand total)
+    * still distinguishes the two — check `grp`, not the label. One
+    * Expand + one shuffle regardless of the number of levels. */
   def rollupReport(df: DataFrame, groupCols: Seq[String],
       aggs: Seq[Column], totalLabel: String = "(all)"): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")

@@ -52,7 +52,9 @@ object QualityOps {
   private def passExpr(r: Rule): Column = r match {
     case NotNull(c) => col(c).isNotNull
     case InRange(c, lo, hi) =>
-      col(c).isNotNull && col(c).cast("double").between(lo, hi)
+      // cast-then-null-check: a NULL *or an uncastable value* both fail
+      // (col.isNotNull && between would let garbage strings pass as NULL)
+      col(c).cast("double").isNotNull && col(c).cast("double").between(lo, hi)
     case InSet(c, allowed) => col(c).isNotNull && col(c).isin(allowed: _*)
     case Matches(c, re) => col(c).isNotNull && col(c).rlike(re)
     case _: Unique => lit(true) // handled by its own aggregation

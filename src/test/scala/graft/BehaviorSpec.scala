@@ -58,6 +58,17 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out(2) == 1L)
   }
 
+  test("funnel rejects pre-epoch timestamps instead of corrupting the packing") {
+    val ev = Seq((1L, ts("1969-12-31 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[Exception] {
+      Behavior.funnel(ev, "user_id", "ts", "event_type", Seq("view")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("post-1970")))
+  }
+
   test("retention cohorts: offset-0 cell is the cohort size; retention ratios") {
     val ev = Seq(
       // cohort week of 2024-01-01 (epoch week floor(19723/7)): users 1,2
