@@ -1128,6 +1128,61 @@ object SparkEntry {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     }),
 
+    // ---- percentile rank within group -----------------------------------
+    "q124_percentile_rank" -> ((s, dir) => {
+      ColumnProfiler.percentileRank(
+          EventsSource.read(s, s"$dir/events.parquet"),
+          Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          round(col("pct_rank"), 6).as("pct_rank"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- per-group min-max normalization --------------------------------
+    "q125_minmax_scale" -> ((s, dir) => {
+      ColumnProfiler.minMaxScale(read(s, dir, "lineitem"),
+          Seq("l_returnflag"), Seq("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_scaled"), 6).as("q_scaled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- per-group robust z-scores --------------------------------------
+    "q126_group_robust_z" -> ((s, dir) => {
+      ColumnProfiler.robustZByGroup(
+          EventsSource.read(s, s"$dir/events.parquet"), "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("robust_z"), 4).as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- near-dup cluster representatives (composition) -----------------
+    "q127_cluster_reps" -> ((s, dir) => {
+      // canonical doc per near-dup cluster: largest n_chars, doc_id tiebreak
+      val docs = read(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id").as("doc_id"), col("component"))
+      val joined = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      Sampling.quotaPerGroup(joined, Seq("component"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 1)
+        .select(col("component"), col("doc_id"), col("n_chars"))
+        .orderBy(col("component"))
+    }),
+
+    // ---- salted join ≡ plain join (the skew lever under the oracle) -----
+    "q128_salted_join" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey")
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      ScaleOps.saltedJoin(orders, cust, Seq("custkey"), saltFactor = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2702,6 +2757,62 @@ object SparkEntry {
                 round(quantile_cont(dur, 0.5), 4) AS p50_us,
                 round(quantile_cont(dur, 0.9), 4) AS p90_us
          FROM d""",
+    // cume_dist has identical tie semantics on both engines (share of
+    // group with value <= this row's)
+    "q124_percentile_rank" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+                round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+                  AS pct_rank
+         FROM events ORDER BY event_id""",
+    // (x - min) / (max - min) per group; exact min/max make the scaled
+    // value identical double arithmetic on both engines
+    "q125_minmax_scale" ->
+      """WITH s AS (SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber,
+                round(CASE WHEN mx = mn THEN 0.0
+                           ELSE (l_quantity - mn) / (mx - mn) END, 6) AS q_scaled
+         FROM lineitem JOIN s USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber""",
+    // Group median/MAD via quantile_cont (interpolation parity proven by
+    // q17/q97); MAD = 0 groups yield NULL on both engines
+    "q126_group_robust_z" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY event_type),
+         d AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+               FROM events JOIN m USING (event_type) GROUP BY event_type)
+         SELECT event_id, event_type,
+                CASE WHEN mad > 0
+                     THEN round((value - med) / (1.4826 * mad), 4) END AS robust_z
+         FROM events JOIN m USING (event_type) JOIN d USING (event_type)
+         ORDER BY event_id""",
+    // q63's recursive-CTE components + per-component argmax(n_chars)
+    "q127_cluster_reps" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.7)}),
+          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+          comp AS (SELECT a AS doc_id, min(b) AS component
+                   FROM reach GROUP BY a),
+          j AS (SELECT c.component, d.doc_id, d.n_chars
+                FROM comp c JOIN documents d USING (doc_id)),
+          r AS (SELECT component, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn
+                FROM j)
+          SELECT component, doc_id, n_chars FROM r WHERE rn = 1
+          ORDER BY component""",
+    // The salted join must be INVISIBLE in the result: oracle is the
+    // plain join + the DECIMAL money-sum contract
+    "q128_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -209,6 +209,70 @@ object ColumnProfiler {
         element_at(lit(ps.toArray), col("_i") + 1).as("p"), col("value"))
   }
 
+  /** Percentile rank (empirical CDF) of `valueCol` within its group: adds
+    * `pct_rank` = `cume_dist()` over the group ordered by value — the
+    * fraction of the group with a value ≤ this row's (ties share a rank).
+    * The rank-feature transform; a keyed window, so cost is bounded by the
+    * largest group, never a global sort. */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    df.withColumn("pct_rank", cume_dist().over(w))
+  }
+
+  /** Per-group min-max normalization: each listed column gains a
+    * `<column>_scaled` ∈ [0, 1] sibling, `(x − min_g) / (max_g − min_g)`
+    * within the row's group (0.0 for constant groups, NULL stays NULL).
+    * One grouped min/max aggregation joined back on the group key — both
+    * sides hash-partition on the same key, and AQE broadcasts the
+    * aggregate side when the group count is small. */
+  def minMaxScale(df: DataFrame, groupCols: Seq[String],
+      columns: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(columns.nonEmpty, "at least one column to scale required")
+    columns.foreach { c =>
+      require(isNumeric(df.schema(c).dataType), s"minMaxScale needs numeric columns: $c") }
+    val aggs = columns.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(stats, groupCols)
+    val scaled = columns.foldLeft(joined) { (d, c) =>
+      val x = col(c).cast("double")
+      val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
+      d.withColumn(s"${c}_scaled",
+        when(x.isNull, lit(null).cast("double"))
+          .when(mx === mn, lit(0.0))
+          .otherwise((x - mn) / (mx - mn)))
+    }
+    scaled.drop(columns.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Per-group robust z-scores: `robust_z = (v − median_g) / (1.4826 ·
+    * MAD_g)` with the group's own interpolated median and MAD — the
+    * grouped sibling of [[madOutliers]] (per-source outlier scoring where
+    * sources have different scales). Two grouped percentile aggregations
+    * (median, then MAD of residuals) joined back on the group key; groups
+    * with MAD = 0 score NULL rather than ±∞. */
+  def robustZByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    require(isNumeric(df.schema(valueCol).dataType),
+      s"robustZByGroup needs a numeric column: $valueCol")
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(med, Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("__mad") > 0, (v - col("__med")) / (lit(1.4826) * col("__mad")))
+          .otherwise(lit(null).cast("double")))
+      .drop("__med", "__mad")
+  }
+
   /** Equi-depth bucketing: adds `<column>_bucket` ∈ 1..k assigned by the
     * column's own interpolated quantile boundaries (bucket i ⇔ value ≤
     * the i/k quantile, last bucket catches the rest; NULLs get NULL).

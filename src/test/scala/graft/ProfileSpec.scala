@@ -294,4 +294,38 @@ class ProfileSpec extends SparkSpecBase {
     assert(out.size == 4)
   }
 
+
+  test("percentileRank: cume_dist per group with shared tie ranks") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = ColumnProfiler.percentileRank(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 1.0)) == 0.25)
+    assert(out(("a", 2.0)) == 0.75) // both ties share 3/4
+    assert(out(("a", 4.0)) == 1.0 && out(("b", 7.0)) == 1.0)
+  }
+
+  test("minMaxScale: [0,1] per group, constant group scales to 0, nulls pass") {
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", Some(5.0)), ("b", Some(5.0))).toDF("g", "v")
+    val out = ColumnProfiler.minMaxScale(df, Seq("g"), Seq("v"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString).getOrElse("null"),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("a", "10.0")) == 0.0 && m(("a", "20.0")) == 1.0)
+    assert(m(("a", "null")) == null)
+    assert(m(("b", "5.0")) == 0.0) // constant group
+  }
+
+  test("robustZByGroup: group-local scale; degenerate MAD yields null") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val out = ColumnProfiler.robustZByGroup(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    // a: median 2.5, MAD = median(|v-2.5|) = median(1.5,0.5,0.5,97.5) = 1.0
+    assert(math.abs(out(("a", 100.0)).doubleValue - (97.5 / 1.4826)) < 1e-6)
+    assert(out(("b", 5.0)) == null) // constant group: MAD 0 -> null
+  }
+
 }
