@@ -1183,6 +1183,30 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ---- categorical diversity per source -------------------------------
+    "q129_source_entropy" -> ((s, dir) => {
+      CorpusStats.categoricalDiversity(read(s, dir, "documents"),
+          "source", "lang")
+        .select(col("group"), col("n_rows"), col("n_categories"),
+          round(col("entropy"), 6).as("entropy"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy(col("group"))
+    }),
+
+    // ---- corpus-level shingle overlap -----------------------------------
+    "q130_corpus_overlap" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      CorpusStats.corpusOverlap(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", shingleSize = 3)
+    }),
+
+    // ---- KS drift statistic ---------------------------------------------
+    "q131_ks_drift" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.ksStatistic(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2813,6 +2837,56 @@ object SparkEntry {
                   AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Shannon entropy (nats) + Gini over each source's language mix;
+    // shares from exact integer counts, terms rounded 6dp
+    "q129_source_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+                    WHERE source IS NOT NULL AND lang IS NOT NULL
+                    GROUP BY 1, 2),
+         t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+         SELECT c.source AS "group", t.tot::BIGINT AS n_rows,
+                count(*)::BIGINT AS n_categories,
+                round(-sum((n / tot) * ln(n / tot)), 6) AS entropy,
+                round(1.0 - sum((n / tot) * (n / tot)), 6) AS gini
+         FROM c JOIN t USING (source)
+         GROUP BY c.source, t.tot ORDER BY "group"""",
+    // Distinct 3-shingle sets per half (hashes Spark-side ≡ strings
+    // oracle-side, q88's established equivalence), set-overlap counts
+    "q130_corpus_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         ga AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 2 = 0),
+         gb AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 2 <> 0)
+         SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                n_i::BIGINT AS n_intersect,
+                (n_a + n_b - n_i)::BIGINT AS n_union,
+                round(n_i::DOUBLE / (n_a + n_b - n_i), 6) AS jaccard
+         FROM (SELECT (SELECT count(*) FROM ga) AS n_a,
+                      (SELECT count(*) FROM gb) AS n_b,
+                      (SELECT count(*) FROM ga JOIN gb USING (g)) AS n_i)""",
+    // Two-sample KS over empirical CDFs at distinct values; exact
+    // integer cumulative counts make the per-value deltas bit-identical
+    "q131_ks_drift" ->
+      """WITH va AS (SELECT n_chars::DOUBLE AS v, count(*) AS n_a
+                     FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE AS v, count(*) AS n_b
+                FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(n_a, 0) AS n_a,
+                      coalesce(n_b, 0) AS n_b
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+         c AS (SELECT v, sum(n_a) OVER w AS ca, sum(n_b) OVER w AS cb
+               FROM j WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+                round(max(abs(ca / ta - cb / tb)), 6) AS ks
+         FROM c CROSS JOIN t GROUP BY ta, tb""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

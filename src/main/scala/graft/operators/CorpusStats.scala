@@ -155,6 +155,50 @@ object CorpusStats {
       .groupBy(col("doc_freq")).agg(count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_freq"))
 
+  /** Categorical diversity per group: Shannon entropy (nats) and Gini
+    * impurity of `catCol`'s distribution within each `groupCol` value —
+    * the corpus-mix diagnostic ("how language-diverse is each source?").
+    * Two partial-aggregated groupBys over (group, category) counts; the
+    * per-group term sums run over ≤ |categories| rows. */
+  def categoricalDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(catCol).as("_cat"))
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+    cells
+      .withColumn("_p", col("_n") / sum("_n").over(w))
+      .groupBy("group")
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_categories"),
+        (-sum(col("_p") * log(col("_p")))).as("entropy"),
+        (lit(1.0) - sum(col("_p") * col("_p"))).as("gini"))
+  }
+
+  /** Corpus-level shingle overlap between two snapshots: the Jaccard of
+    * their DISTINCT word-n-gram sets — "how much of corpus B is textually
+    * already in corpus A" at the vocabulary level (the cheap pre-check
+    * before a full cross-corpus dedup run). Each side reduces to distinct
+    * 8-byte shingle hashes before the one full-outer join of hash sets. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    def hashes(df: DataFrame, mark: String) = df
+      .select(explode(
+        TextKernelFunctions.shingleHashSet(col(textCol), shingleSize)).as("h"))
+      .distinct()
+      .withColumn(mark, lit(1))
+    hashes(a, "_ina").join(hashes(b, "_inb"), Seq("h"), "full_outer")
+      .agg(
+        sum(when(col("_ina").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_inb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_ina").isNotNull && col("_inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_intersect"),
+        count(lit(1)).as("n_union"))
+      .withColumn("jaccard",
+        round(col("n_intersect").cast("double") / col("n_union"), 6))
+  }
+
   /** Top-k trending terms between two corpus snapshots: smoothed log rate
     * ratio `ln(((n_b+1)/(N_b+1)) / ((n_a+1)/(N_a+1)))` per term (positive
     * = rising in `b`), ranked by the 6-dp-ROUNDED score with the term as

@@ -70,4 +70,28 @@ object Drift {
     psiBins(a, b, cols, bins, eps)
       .groupBy("column_name")
       .agg(sum("psi_term").as("psi"))
+
+  /** Two-sample Kolmogorov–Smirnov statistic: `max |F_a(v) − F_b(v)|`
+    * over the empirical CDFs — the binning-free drift measure (PSI's
+    * companion: KS sees shape shifts PSI's 10 bins smear out).
+    *
+    * Shape: per-side counts per DISTINCT value, one ordered window for
+    * the running CDFs, one max. The ordered window is global, so this is
+    * for columns of BOUNDED distinct cardinality (lengths, scores,
+    * bucketed values — the usual drift subjects); for unbounded doubles,
+    * quantize first (the sketch-based alternative) or use [[psi]]. */
+  def ksStatistic(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
+    val totals = joined.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("_d",
+        abs(sum("n_a").over(w) / col("_ta") - sum("n_b").over(w) / col("_tb")))
+      .agg(max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
+        round(max("_d"), 6).as("ks"))
+  }
 }

@@ -84,4 +84,17 @@ class DriftSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet
     assert(!s3.contains(1L))
   }
+
+  test("ksStatistic: identical samples give 0, disjoint give 1") {
+    val a = (1 to 50).map(_.toDouble % 10).toDF("x")
+    val b = (1 to 50).map(_.toDouble % 10).toDF("x")
+    val same = Drift.ksStatistic(a, b, "x").collect().head
+    assert(same.getDouble(2) == 0.0)
+    val lo = Seq(1.0, 2.0, 3.0).toDF("x")
+    val hi = Seq(100.0, 200.0).toDF("x")
+    val far = Drift.ksStatistic(lo, hi, "x").collect().head
+    assert(far.getLong(0) == 3L && far.getLong(1) == 2L)
+    assert(far.getDouble(2) == 1.0) // CDFs fully separated
+  }
+
 }

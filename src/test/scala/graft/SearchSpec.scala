@@ -171,4 +171,30 @@ class SearchSpec extends SparkSpecBase {
     assert(math.abs(byTerm("delta")._3 - math.log(5.0)) < 1e-5)
   }
 
+
+  test("categoricalDiversity: entropy/gini extremes behave") {
+    val df = (Seq.fill(4)(("uniform", "a")) ++ Seq.fill(4)(("uniform", "b")) ++
+      Seq.fill(8)(("mono", "x"))).toDF("src", "lang")
+    val out = CorpusStats.categoricalDiversity(df, "src", "lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, k1, h1, g1) = out("uniform")
+    assert(n1 == 8L && k1 == 2L)
+    assert(math.abs(h1 - math.log(2.0)) < 1e-12) // max entropy for 2 cats
+    assert(math.abs(g1 - 0.5) < 1e-12)
+    val (_, k2, h2, g2) = out("mono")
+    assert(k2 == 1L && h2 == 0.0 && g2 == 0.0)   // no diversity
+  }
+
+  test("corpusOverlap: identical corpora give jaccard 1, disjoint give 0") {
+    val a = Seq((1L, "the quick brown fox jumps high")).toDF("id", "text")
+    val b = Seq((2L, "the quick brown fox jumps high")).toDF("id", "text")
+    val same = CorpusStats.corpusOverlap(a, b, "text").collect().head
+    assert(same.getLong(2) == same.getLong(3)) // intersect == union
+    assert(same.getDouble(4) == 1.0)
+    val c = Seq((3L, "completely different words entirely here now")).toDF("id", "text")
+    val disj = CorpusStats.corpusOverlap(a, c, "text").collect().head
+    assert(disj.getLong(2) == 0L && disj.getDouble(4) == 0.0)
+  }
+
 }
