@@ -79,6 +79,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "min_shingle_md5 takes 2 arguments")
         MinShingleMd5Expr(args.head, intLit(args(1), "min_shingle_md5"))
       }))
+    e.injectFunction((FunctionIdentifier("subword_count"),
+      info("subword_count", "subword_count(text) - BPE-ish subword unit count (single scan)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "subword_count takes 1 argument")
+        SubwordCountExpr(args.head)
+      }))
+    e.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - vector scaled to unit L2 norm"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "l2_normalize takes 1 argument")
+        L2NormalizeExpr(args.head)
+      }))
+    e.injectFunction((FunctionIdentifier("funnel_depth"),
+      info("funnel_depth",
+        "funnel_depth(packed_events, k) - greedy ordered-funnel depth over sorted (ts<<3|stage) longs"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "funnel_depth takes 2 arguments")
+        FunnelDepthExpr(args.head, intLit(args(1), "funnel_depth"))
+      }))
+    e.injectFunction((FunctionIdentifier("funnel_advance_ts"),
+      info("funnel_advance_ts",
+        "funnel_advance_ts(packed_events, k) - advance timestamps (micros) of the funnel scan"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "funnel_advance_ts takes 2 arguments")
+        FunnelAdvanceTsExpr(args.head, intLit(args(1), "funnel_advance_ts"))
+      }))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

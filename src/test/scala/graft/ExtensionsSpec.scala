@@ -73,4 +73,19 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT shingle_hash_set('a b c', 1 + 1)").head())
     assert(ex.getMessage.contains("literal integer"))
   }
+
+  test("round-4 kernels callable from SQL: subword_count, l2_normalize, funnel") {
+    val r = spark.sql(
+      """SELECT subword_count('helloWorld FTW2024') AS sw,
+                l2_normalize(array(3.0D, 4.0D)) AS l2,
+                funnel_depth(array(8L * 100 + 1, 8L * 200 + 2, 8L * 300 + 3), 3) AS fd,
+                funnel_advance_ts(array(8L * 100 + 1, 8L * 200 + 2), 2) AS fa
+      """).head()
+    assert(r.getAs[Int]("sw") > 0)
+    val l2 = r.getSeq[Double](r.fieldIndex("l2"))
+    assert(math.abs(l2(0) - 0.6) < 1e-12 && math.abs(l2(1) - 0.8) < 1e-12)
+    assert(r.getAs[Int]("fd") == 3)
+    assert(r.getSeq[Long](r.fieldIndex("fa")) == Seq(100L, 200L))
+  }
+
 }
