@@ -1207,6 +1207,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
     }),
 
+    // ---- JSON property extraction ----------------------------------------
+    "q132_json_props" -> ((s, dir) => {
+      EventsSource.read(s, s"$dir/events.parquet")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- windowed (attribution) funnel ----------------------------------
+    "q133_funnel_within" -> ((s, dir) => {
+      // conversion window: 12h from the first view (anchored semantics)
+      Behavior.funnelWithin(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 12L * 3600 * 1000000)
+        .orderBy(col("stage"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2887,6 +2907,37 @@ object SparkEntry {
          SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
                 round(max(abs(ca / ta - cb / tb)), 6) AS ks
          FROM c CROSS JOIN t GROUP BY ta, tb""",
+    // JSON field extraction parity: get_json_object ≡ json_extract on
+    // the same path, integer-cast before aggregation
+    "q132_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+                round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+                min(json_extract(props, '$.k')::INT)::INT AS min_k,
+                max(json_extract(props, '$.k')::INT)::INT AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // q98's CTEs with the anchored 12h window: stage-2+ advances must
+    // fall within s1.t + W (first-entry anchoring, not re-anchoring)
+    "q133_funnel_within" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+                  AND e.t - s1.t <= 43200000000
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.t - s1.t <= 43200000000
+                GROUP BY e.user_id),
+         c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+         b AS (SELECT n AS base FROM c WHERE stage = 1)
+         SELECT stage, stage_name, n::BIGINT AS n_users,
+                round(n::DOUBLE / base, 4) AS conversion
+         FROM c CROSS JOIN b ORDER BY stage""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

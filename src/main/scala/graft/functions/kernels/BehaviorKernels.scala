@@ -42,6 +42,35 @@ object BehaviorKernels { // public: generated code references it by name
     depth
   }
 
+  /** Depth with a CONVERSION WINDOW, anchored at the user's FIRST stage-1
+    * event: later stages only count within `windowMicros` of that anchor —
+    * "purchased within 24h of first view". The anchor is DELIBERATELY the
+    * first entry (the product-analytics convention, and what a
+    * sequential-min SQL oracle computes), NOT the depth-maximizing one: a
+    * user whose first window misses but whose later re-entry would convert
+    * still reports the first window's depth. `windowMicros =
+    * Long.MaxValue` degenerates to [[funnelDepth]]. */
+  def funnelDepthWithin(evs: ArrayData, numStages: Int, windowMicros: Long): Int = {
+    var depth = 0
+    var lastTs = Long.MinValue
+    var firstTs = Long.MaxValue
+    val n = evs.numElements()
+    var i = 0
+    while (i < n && depth < numStages) {
+      val v = evs.getLong(i)
+      val stage = (v & 7L).toInt
+      val ts = v >>> 3
+      if (stage == depth + 1 && ts > lastTs
+          && (depth == 0 || ts - firstTs <= windowMicros)) {
+        if (depth == 0) firstTs = ts
+        depth += 1
+        lastTs = ts
+      }
+      i += 1
+    }
+    depth
+  }
+
   /** Same greedy scan, returning the advance TIMESTAMPS (epoch micros, one
     * per reached stage, length = depth) instead of just the depth — the
     * input to time-to-convert metrics (duration = last − first). */
@@ -87,6 +116,33 @@ object FunnelDepth {
   /** Column wrapper: depth over a sorted packed-long event array. */
   def apply(evs: Column, numStages: Int): Column =
     ColumnBridge.column(FunnelDepthExpr(ColumnBridge.expression(evs), numStages))
+}
+
+/** Window-anchored funnel depth — see [[BehaviorKernels.funnelDepthWithin]]. */
+case class FunnelDepthWithinExpr(child: Expression, numStages: Int,
+    windowMicros: Long) extends UnaryExpression {
+  require(numStages >= 1 && numStages <= 7,
+    s"funnel supports 1..7 stages (3-bit packing), got $numStages")
+  require(windowMicros > 0, s"window must be positive: $windowMicros")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    BehaviorKernels.funnelDepthWithin(v.asInstanceOf[ArrayData], numStages,
+      windowMicros)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.kernels.BehaviorKernels.funnelDepthWithin($c, $numStages, ${windowMicros}L)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "funnel_depth_within"
+}
+
+object FunnelDepthWithin {
+  def apply(evs: Column, numStages: Int, windowMicros: Long): Column =
+    ColumnBridge.column(
+      FunnelDepthWithinExpr(ColumnBridge.expression(evs), numStages, windowMicros))
 }
 
 /** Advance timestamps (epoch-micros array, length = reached depth) of the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.kernels.{FunnelAdvanceTs, FunnelDepth}
+import graft.functions.kernels.{FunnelAdvanceTs, FunnelDepth, FunnelDepthWithin}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,12 +61,10 @@ object Behavior {
       .agg(sort_array(collect_list(col("_enc"))).as("_evs"))
   }
 
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame = {
-    val perUser = packedEvents(events, userCol, tsCol, typeCol, stages)
-      .select(col("_user"), FunnelDepth(col("_evs"), stages.size).as("_depth"))
-    // stage s is reached by every user whose depth >= s: explode 1..depth
-    // (≤ 7 rows/user) and count — tiny relative to the event scan above
+  /** Depth distribution → per-stage reach + conversion: stage s is reached
+    * by every user with depth ≥ s, so explode 1..depth (≤ 7 rows/user)
+    * and count — tiny relative to the event scan that fed `perUser`. */
+  private def stageRollup(perUser: DataFrame, stages: Seq[String]): DataFrame = {
     val counts = perUser
       .filter(col("_depth") >= 1)
       .select(explode(sequence(lit(1), col("_depth"))).as("stage"))
@@ -80,6 +78,26 @@ object Behavior {
         col("n_users"),
         round(col("n_users").cast("double") / col("_base"), 4).as("conversion"))
   }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    stageRollup(
+      packedEvents(events, userCol, tsCol, typeCol, stages)
+        .select(col("_user"), FunnelDepth(col("_evs"), stages.size).as("_depth")),
+      stages)
+
+  /** [[funnel]] with a conversion window: stage-2+ events only count
+    * within `windowMicros` of the user's FIRST stage-1 event (the
+    * product-analytics attribution convention — see
+    * [[graft.functions.kernels.BehaviorKernels.funnelDepthWithin]] for
+    * the anchoring semantics). Same single-shuffle shape as [[funnel]]. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], windowMicros: Long): DataFrame =
+    stageRollup(
+      packedEvents(events, userCol, tsCol, typeCol, stages)
+        .select(col("_user"),
+          FunnelDepthWithin(col("_evs"), stages.size, windowMicros).as("_depth")),
+      stages)
 
   /** Time-to-convert for users completing the WHOLE funnel: duration
     * (micros) between the stage-1 advance and the final-stage advance of

@@ -63,4 +63,31 @@ object BehaviorKernelPropertySpec extends Properties("BehaviorKernels") {
         .toLongArray().toList
       adv.sliding(2).forall { case a :: b :: Nil => a < b; case _ => true }
     }
+
+  private def naiveWithin(evs: List[(Long, Int)], w: Long): Int = {
+    val views = evs.filter(_._2 == 1).map(_._1)
+    if (views.isEmpty) return 0
+    val t1 = views.min
+    var last = t1
+    var stage = 2
+    while (stage <= numStages) {
+      val c = evs.filter(e => e._2 == stage && e._1 > last && e._1 - t1 <= w)
+      if (c.isEmpty) return stage - 1
+      last = c.map(_._1).min
+      stage += 1
+    }
+    numStages
+  }
+
+  property("funnelDepthWithin(MaxValue) degenerates to funnelDepth") =
+    Prop.forAll(genEvents) { evs =>
+      BehaviorKernels.funnelDepthWithin(packed(evs), numStages, Long.MaxValue) ==
+        BehaviorKernels.funnelDepth(packed(evs), numStages)
+    }
+
+  property("funnelDepthWithin equals the anchored sequential-min reference") =
+    Prop.forAll(genEvents, Gen.choose(1L, 20L)) { (evs, w) =>
+      BehaviorKernels.funnelDepthWithin(packed(evs), numStages, w) ==
+        naiveWithin(evs, w)
+    }
 }

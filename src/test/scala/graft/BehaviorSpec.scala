@@ -247,4 +247,23 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out.forall(_.getDouble(2) == 10.0))
   }
 
+
+  test("funnelWithin: window anchors at the FIRST stage-1 event") {
+    val ev = Seq(
+      // converts within window
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      // misses the 1h window anchored at the first view, and a later
+      // re-view does NOT re-anchor (documented first-entry semantics)
+      (2L, ts("2024-01-01 08:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "view"),
+      (2L, ts("2024-01-01 12:10:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnelWithin(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"), windowMicros = 3600L * 1000000)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 2L) // both viewed
+    assert(out(2) == 1L) // only user 1 clicked inside the anchored window
+  }
+
 }
