@@ -1227,6 +1227,35 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ---- corpus publish gate (composition capstone) ---------------------
+    "q134_publish_gate" -> ((s, dir) => {
+      // The pre-publish checklist as ONE long-form report: constraint
+      // violations, snapshot drift (PSI + KS), and near-dup pressure
+      // (corpus shingle overlap), each with a pass flag computed on the
+      // ROUNDED value so the boundary decision is engine-exact.
+      import QualityOps._
+      val docs = read(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 =!= 0)
+      val rules = QualityOps.validate(docs, Seq(
+          NotNull("doc_id"), NotNull("text"), Unique(Seq("doc_id"))))
+        .select(concat(lit("rule:"), col("rule")).as("metric"),
+          col("violations").cast("double").as("value"), col("pass"))
+      val psi = Drift.psi(a, b, Seq("n_chars"))
+        .select(concat(lit("psi:"), col("column_name")).as("metric"),
+          round(col("psi"), 4).as("value"),
+          when(round(col("psi"), 4) < 0.25, 1).otherwise(0).as("pass"))
+      val ks = Drift.ksStatistic(a, b, "n_chars")
+        .select(lit("ks:n_chars").as("metric"), col("ks").as("value"),
+          when(col("ks") < 0.2, 1).otherwise(0).as("pass"))
+      val overlap = CorpusStats.corpusOverlap(a, b, "text")
+        .select(lit("shingle_jaccard").as("metric"),
+          col("jaccard").as("value"),
+          when(col("jaccard") < 0.5, 1).otherwise(0).as("pass"))
+      rules.unionByName(psi).unionByName(ks).unionByName(overlap)
+        .orderBy(col("metric"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -2938,6 +2967,76 @@ object SparkEntry {
          SELECT stage, stage_name, n::BIGINT AS n_users,
                 round(n::DOUBLE / base, 4) AS conversion
          FROM c CROSS JOIN b ORDER BY stage""",
+    // Publish-gate composition: each block mirrors its standalone oracle
+    // (q108-family rules, q101 psi, q131 ks, q130 overlap); pass flags
+    // computed on ROUNDED values so the boundary is engine-exact
+    "q134_publish_gate" ->
+      """WITH r AS (
+           SELECT 'rule:not_null(doc_id)' AS metric,
+                  (SELECT count(*) FROM documents WHERE doc_id IS NULL)::DOUBLE AS value
+           UNION ALL
+           SELECT 'rule:not_null(text)',
+                  (SELECT count(*) FROM documents WHERE text IS NULL)::DOUBLE
+           UNION ALL
+           SELECT 'rule:unique(doc_id)',
+                  (SELECT count(*) - count(DISTINCT doc_id) FROM documents)::DOUBLE),
+         rulerows AS (SELECT metric, value,
+                        CASE WHEN value = 0 THEN 1 ELSE 0 END AS pass FROM r),
+         u AS (SELECT n_chars::DOUBLE AS x, doc_id % 2 = 0 AS is_a
+               FROM documents WHERE n_chars IS NOT NULL),
+         mm AS (SELECT min(x) AS lo, max(x) AS hi FROM u),
+         bn AS (SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(greatest(floor(((x - lo) / (hi - lo)) * 10), 0), 9)
+                  END::INT AS bin, is_a
+                FROM u CROSS JOIN mm),
+         cb AS (SELECT bin, count(*) FILTER (WHERE is_a) AS n_a,
+                       count(*) FILTER (WHERE NOT is_a) AS n_b
+                FROM bn GROUP BY bin),
+         pp AS (SELECT bin, greatest(n_a / sum(n_a) OVER (), 1e-6) AS pa,
+                       greatest(n_b / sum(n_b) OVER (), 1e-6) AS pb
+                FROM cb),
+         psirow AS (SELECT 'psi:n_chars' AS metric,
+                      round(sum((pa - pb) * ln(pa / pb)), 4) AS value FROM pp),
+         psirows AS (SELECT metric, value,
+                       CASE WHEN value < 0.25 THEN 1 ELSE 0 END AS pass FROM psirow),
+         va AS (SELECT n_chars::DOUBLE AS v, count(*) AS n_a
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE AS v, count(*) AS n_b
+                FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(n_a, 0) AS n_a,
+                      coalesce(n_b, 0) AS n_b
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         tt AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+         cc AS (SELECT v, sum(n_a) OVER w AS ca, sum(n_b) OVER w AS cb
+                FROM j WINDOW w AS (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ksrow AS (SELECT 'ks:n_chars' AS metric,
+                     round(max(abs(ca / ta - cb / tb)), 6) AS value
+                   FROM cc CROSS JOIN tt),
+         ksrows AS (SELECT metric, value,
+                      CASE WHEN value < 0.2 THEN 1 ELSE 0 END AS pass FROM ksrow),
+         t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         ga AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 2 = 0),
+         gb AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 2 <> 0),
+         ov AS (SELECT (SELECT count(*) FROM ga) AS n_a,
+                       (SELECT count(*) FROM gb) AS n_b,
+                       (SELECT count(*) FROM ga JOIN gb USING (g)) AS n_i),
+         ovrow AS (SELECT 'shingle_jaccard' AS metric,
+                     round(n_i::DOUBLE / (n_a + n_b - n_i), 6) AS value FROM ov),
+         ovrows AS (SELECT metric, value,
+                      CASE WHEN value < 0.5 THEN 1 ELSE 0 END AS pass FROM ovrow)
+         SELECT metric, value, pass FROM rulerows
+         UNION ALL SELECT metric, value, pass FROM psirows
+         UNION ALL SELECT metric, value, pass FROM ksrows
+         UNION ALL SELECT metric, value, pass FROM ovrows
+         ORDER BY metric""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
