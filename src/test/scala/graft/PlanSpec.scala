@@ -172,4 +172,22 @@ class PlanSpec extends SparkSpecBase {
     val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
     assert(scans == 1, s"rollup must read the input once, got $scans scans")
   }
+
+  test("basket lift joins stay equi-joins — no product over baskets") {
+    val p = plan("q121_basket_lift")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("quantile bins are a broadcast-compare projection, not an ntile window") {
+    val p = plan("q116_quantile_bins")
+    assert(!p.contains("Window"), s"bucketing must not plan a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantile bounds must broadcast:\n$p")
+  }
+
+  test("windowed funnel keeps the pushed stage filter and compiled kernel") {
+    val p = plan("q133_funnel_within")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"))
+    assert(p.contains("funnel_depth_within"), s"kernel missing from plan:\n$p")
+  }
 }
