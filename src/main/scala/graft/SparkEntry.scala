@@ -1256,6 +1256,26 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- sentence segmentation stats ------------------------------------
+    "q135_sentence_stats" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+          TextFunctions.tokenCount(col("text")).as("n_words"))
+        .withColumn("words_per_sentence",
+          when(col("n_sentences") > 0,
+            round(col("n_words").cast("double") / col("n_sentences"), 4)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- readability scoring --------------------------------------------
+    "q136_readability" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.readingEase(col("text")), 4).as("reading_ease"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3037,6 +3057,38 @@ object SparkEntry {
          UNION ALL SELECT metric, value, pass FROM ksrows
          UNION ALL SELECT metric, value, pass FROM ovrows
          ORDER BY metric""",
+    // Sentence contract mirror: split on [.!?]+ runs, count segments with
+    // an ASCII alphanumeric; words from the shared tokenizer mirror
+    "q135_sentence_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+               s -> regexp_matches(s, '[A-Za-z0-9]'))) AS n_sentences,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS n_words
+           FROM documents)
+         SELECT doc_id, n_sentences::INT AS n_sentences, n_words::INT AS n_words,
+                CASE WHEN n_sentences > 0
+                     THEN round(n_words::DOUBLE / n_sentences, 4) END
+                  AS words_per_sentence
+         FROM t ORDER BY doc_id""",
+    // Flesch proxy: same sentence/word mirrors + [aeiouy]+ vowel-group
+    // count (regexp_extract_all ≡ regexp_count, non-overlapping greedy)
+    "q136_readability" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+               s -> regexp_matches(s, '[A-Za-z0-9]'))) AS s,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS w,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS v
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN s > 0 AND w > 0
+                     THEN round(206.835 - 1.015 * (w::DOUBLE / s)
+                                - 84.6 * (v::DOUBLE / w), 4) END
+                  AS reading_ease
+         FROM t ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

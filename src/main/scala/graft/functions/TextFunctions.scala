@@ -32,6 +32,26 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     graft.functions.kernels.TextKernelFunctions.subwordCount(text)
 
+  /** Sentence count under the ASCII contract (segments split on `[.!?]+`
+    * runs that contain an alphanumeric) — compiled single-scan kernel;
+    * the relational split-then-filter form would run its lambda
+    * interpreted. Basis for words-per-sentence and readability scores. */
+  def sentenceCount(text: Column): Column =
+    graft.functions.kernels.TextKernelFunctions.sentenceCount(text)
+
+  /** Flesch-style reading-ease estimate:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(vowelGroups/words)` with
+    * `[aeiouy]+` runs as the syllable proxy — the standard cheap
+    * readability signal for corpus quality gates. NULL when the text has
+    * no sentence or no word (the formula is undefined, not zero). */
+  def readingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sents = sentenceCount(text).cast("double")
+    val vg = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    when(sents > 0 && words > 0,
+      lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (vg / words))
+  }
+
   /** Word n-gram shingles joined by single spaces (basis for MinHash /
     * Jaccard dedup). Returns an empty array when there are fewer than `n`
     * tokens. */

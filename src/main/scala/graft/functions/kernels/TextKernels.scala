@@ -300,6 +300,31 @@ object TextKernels { // public: generated code references it by name
     * Lowercasing is kept for bit-parity with the declarative form: a few
     * codepoints change category under toLowerCase (e.g. U+0130 İ → i +
     * combining mark), which shifts run boundaries. */
+  /** ASCII-contract sentence count: segments delimited by runs of
+    * `.`/`!`/`?` count when they contain at least one ASCII alphanumeric
+    * character (so "..." or ")!?" fragments don't count). Single scan, no
+    * array materialization — mirrors exactly to a relational
+    * split-then-filter on `[.!?]+` with a `[A-Za-z0-9]` content test. */
+  def sentenceCount(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var sawContent = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        if (sawContent) count += 1
+        sawContent = false
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          || (c >= '0' && c <= '9')) {
+        sawContent = true
+      }
+      i += 1
+    }
+    if (sawContent) count += 1
+    count
+  }
+
   def subwordCount(s: UTF8String): Int = {
     val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     var count = 0
@@ -506,6 +531,22 @@ case class SubwordCountExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "subword_count"
 }
 
+/** Sentence count of a text column — see [[TextKernels.sentenceCount]].
+  * Generates code so it stays inside whole-stage codegen. */
+case class SentenceCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.sentenceCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.TextKernels.sentenceCount($c)")
+  override protected def withNewChildInternal(c: Expression): SentenceCountExpr =
+    copy(child = c)
+  override def prettyName: String = "sentence_count"
+}
+
 /** Unicode NFC normalization of a string column. Generates code (a call
   * into the compiled kernel, with an ASCII fast path) so it stays inside
   * whole-stage codegen. */
@@ -546,6 +587,8 @@ object TextKernelFunctions {
     ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))
   def subwordCount(text: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(text)))
+  def sentenceCount(text: Column): Column =
+    ColumnBridge.column(SentenceCountExpr(ColumnBridge.expression(text)))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
   def charShingleHashSet(text: Column, n: Int): Column =

@@ -82,4 +82,39 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.getString(2) == Seq(h1, h2).min)
     assert(r.isNullAt(3)) // fewer than 3 tokens -> null sketch
   }
+
+  test("sentenceCount: terminator runs, empty fragments, unterminated tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("one. two! three?", 3),
+      ("ellipsis... still one", 2),          // "..." is one boundary
+      ("no terminator at all", 1),           // unterminated tail counts
+      ("?!...", 0),                          // punctuation only
+      ("a.b.c", 3),
+      ("", 0))
+      .toDF("text", "expected")
+    val got = df.select(
+      graft.functions.TextFunctions.sentenceCount(col("text")).as("n"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("readingEase: simple text scores higher than vowel-dense run-ons") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("simple", "The cat sat. The dog ran. It was fun."),
+      ("dense", "Simultaneously heterogeneous azaleas euphoniously oscillate " +
+        "alongside onomatopoeia aficionados without pause or termination"),
+      ("empty", ""))
+      .toDF("k", "text")
+    val out = df.select(col("k"),
+      graft.functions.TextFunctions.readingEase(col("text")).as("e"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("simple").get > out("dense").get)
+    assert(out("empty").isEmpty) // undefined, not zero
+  }
+
 }
