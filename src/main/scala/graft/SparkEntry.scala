@@ -1276,6 +1276,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-type rate anomaly ------------------------------------------
+    "q137_rate_anomaly_by_type" -> ((s, dir) => {
+      Behavior.rateAnomalyByKey(EventsSource.read(s, s"$dir/events.parquet"),
+        "event_type", "ts", window = 24)
+        .select(col("key").as("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), col("z"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- per-source KS drift --------------------------------------------
+    "q138_ks_by_source" -> ((s, dir) => {
+      // md5-hash halves (NOT doc_id parity: sources own contiguous id
+      // blocks, so parity would make every group one-sided)
+      val docs = read(s, dir, "documents")
+      val inA = substring(md5(concat(lit("ks:"), col("doc_id").cast("string"))), 1, 1) < "8"
+      Drift.ksByGroup(docs.filter(inA), docs.filter(!inA), "source", "n_chars")
+        .orderBy(col("group"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3089,6 +3109,47 @@ object SparkEntry {
                                 - 84.6 * (v::DOUBLE / w), 4) END
                   AS reading_ease
          FROM t ORDER BY doc_id""",
+    // q107's construction with the type in every key: per-type hourly
+    // counts, per-type trailing baseline
+    "q137_rate_anomaly_by_type" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                      count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, bucket, n,
+                 avg(n) OVER win AS mu,
+                 stddev_samp(n) OVER win AS sd,
+                 count(*) OVER win AS cnt
+               FROM c
+               WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                n::BIGINT AS n_events, round((n - mu) / sd, 3) AS z
+         FROM w WHERE cnt = 24 AND sd > 0
+         ORDER BY event_type, bucket""",
+    // q131's construction with source in every key; md5 halves (id parity
+    // is confounded with source blocks); one-sided groups excluded
+    "q138_ks_by_source" ->
+      """WITH va AS (SELECT source AS grp, n_chars::DOUBLE AS v, count(*) AS n_a
+                     FROM documents
+                     WHERE substring(md5('ks:' || doc_id::VARCHAR), 1, 1) < '8'
+                     GROUP BY 1, 2),
+         vb AS (SELECT source AS grp, n_chars::DOUBLE AS v, count(*) AS n_b
+                FROM documents
+                WHERE substring(md5('ks:' || doc_id::VARCHAR), 1, 1) >= '8'
+                GROUP BY 1, 2),
+         j AS (SELECT coalesce(va.grp, vb.grp) AS grp, coalesce(va.v, vb.v) AS v,
+                      coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+               FROM va FULL OUTER JOIN vb ON va.grp = vb.grp AND va.v = vb.v),
+         t AS (SELECT grp, sum(n_a) AS ta, sum(n_b) AS tb FROM j GROUP BY grp
+               HAVING sum(n_a) > 0 AND sum(n_b) > 0),
+         c AS (SELECT j.grp, v,
+                 sum(n_a) OVER w AS ca, sum(n_b) OVER w AS cb, ta, tb
+               FROM j JOIN t ON j.grp = t.grp
+               WINDOW w AS (PARTITION BY j.grp ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT grp AS "group", ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+                round(max(abs(ca / ta - cb / tb)), 6) AS ks
+         FROM c GROUP BY grp, ta, tb ORDER BY "group"""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -292,6 +292,27 @@ object Behavior {
           / (col("_na") * col("_nb1")), 4).as("lift"))
   }
 
+  /** [[rateAnomaly]] partitioned by a key (e.g. event type): each key's
+    * hourly rate scores against ITS OWN trailing baseline — a global
+    * baseline hides a spike in a low-volume type behind a high-volume
+    * one. The window is keyed, so even the bucket table needs no global
+    * ordering; cost is bounded by the busiest key's bucket count. */
+  def rateAnomalyByKey(events: DataFrame, keyCol: String, tsCol: String,
+      window: Int = 24): DataFrame = {
+    require(window >= 2, s"baseline window must be >= 2 buckets, got $window")
+    val counts = events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("key").orderBy("bucket").rowsBetween(-window, -1)
+    counts
+      .withColumn("_mu", avg("n_events").over(w))
+      .withColumn("_sd", stddev_samp(col("n_events").cast("double")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") === window && col("_sd") > 0)
+      .select(col("key"), col("bucket"), col("n_events"),
+        round((col("n_events") - col("_mu")) / col("_sd"), 3).as("z"))
+  }
+
   /** Rolling median baseline of the hourly event rate: the robust twin of
     * [[rateAnomaly]]'s mean/std (a single outlier hour drags a mean
     * baseline; the median ignores it). Returns `(bucket, n_events, med)`

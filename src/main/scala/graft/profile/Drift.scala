@@ -80,6 +80,32 @@ object Drift {
     * for columns of BOUNDED distinct cardinality (lengths, scores,
     * bucketed values — the usual drift subjects); for unbounded doubles,
     * quantize first (the sketch-based alternative) or use [[psi]]. */
+  /** [[ksStatistic]] per group: one KS row per value of `groupCol`
+    * present in BOTH snapshots — drift localization ("which source
+    * moved?"). Same distinct-value construction with the group in every
+    * key; the running-CDF window partitions by group, so no global
+    * ordering at all (stronger than the ungrouped form). */
+  def ksByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      column: String): DataFrame = {
+    def side(df: DataFrame, out: String) = df
+      .select(col(groupCol).as("group"), col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("group").isNotNull)
+      .groupBy("group", "v").agg(count(lit(1)).as(out))
+    val joined = side(a, "n_a").join(side(b, "n_b"), Seq("group", "v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = joined.groupBy("group")
+      .agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+      .filter(col("_ta") > 0 && col("_tb") > 0) // KS undefined for one-sided groups
+    val w = Window.partitionBy("group").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined.join(totals, "group")
+      .withColumn("_d",
+        abs(sum("n_a").over(w) / col("_ta") - sum("n_b").over(w) / col("_tb")))
+      .groupBy("group")
+      .agg(max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
+        round(max("_d"), 6).as("ks"))
+  }
+
   def ksStatistic(a: DataFrame, b: DataFrame, column: String): DataFrame = {
     val va = a.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))

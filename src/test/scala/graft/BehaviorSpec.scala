@@ -266,4 +266,24 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out(2) == 1L) // only user 1 clicked inside the anchored window
   }
 
+
+  test("rateAnomalyByKey: a spike in one type does not pollute another") {
+    val rows = (0 until 26).flatMap { h =>
+      val a = (0 until (if (h == 25) 50 else (10 + h % 2))).map(i =>
+        (h * 1000L + i, java.sql.Timestamp.from(
+          ts("2024-01-01 00:00:00").toInstant.plusSeconds(h * 3600L + i)), "a"))
+      val b = (0 until (10 + (h + 1) % 2)).map(i =>
+        (h * 1000L + 500 + i, java.sql.Timestamp.from(
+          ts("2024-01-01 00:00:00").toInstant.plusSeconds(h * 3600L + i)), "b"))
+      a ++ b
+    }.toDF("event_id", "ts", "event_type")
+    val out = Behavior.rateAnomalyByKey(rows, "event_type", "ts", window = 24)
+      .collect().map(r => (r.getString(0),
+        (r.getTimestamp(1).getTime - ts("2024-01-01 00:00:00").getTime) / 3600000L)
+        -> r.getDouble(3)).toMap
+    assert(out(("a", 25L)) > 3.0, s"type-a spike must flag: $out")
+    assert(out.get(("b", 25L)).forall(math.abs(_) < 3.0),
+      "type b saw no spike and must not flag")
+  }
+
 }

@@ -97,4 +97,18 @@ class DriftSpec extends SparkSpecBase {
     assert(far.getDouble(2) == 1.0) // CDFs fully separated
   }
 
+
+  test("ksByGroup localizes drift to the moved group; one-sided groups drop") {
+    val a = ((1 to 50).map(i => ("stable", i.toDouble % 10)) ++
+      (1 to 50).map(i => ("moved", i.toDouble % 10)) ++
+      (1 to 5).map(i => ("only_a", i.toDouble))).toDF("g", "x")
+    val b = ((1 to 50).map(i => ("stable", i.toDouble % 10)) ++
+      (1 to 50).map(i => ("moved", 100.0 + i % 10))).toDF("g", "x")
+    val out = Drift.ksByGroup(a, b, "g", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("stable") == 0.0)
+    assert(out("moved") == 1.0)
+    assert(!out.contains("only_a"), "one-sided group must be excluded")
+  }
+
 }
