@@ -1296,6 +1296,14 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // ---- in-session funnel conversion -----------------------------------
+    "q139_session_funnel" -> ((s, dir) => {
+      Behavior.sessionFunnel(EventsSource.read(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), gapMinutes = 30)
+        .orderBy(col("stage"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3150,6 +3158,36 @@ object SparkEntry {
          SELECT grp AS "group", ta::BIGINT AS n_a, tb::BIGINT AS n_b,
                 round(max(abs(ca / ta - cb / tb)), 6) AS ks
          FROM c GROUP BY grp, ta, tb ORDER BY "group"""",
+    // q41's session assignment (micros gap rule, event_id tiebreak) +
+    // q98's sequential-min funnel keyed by (user, session)
+    "q139_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+                    FROM events),
+         g AS (SELECT user_id, event_id, t, event_type,
+                 CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (SELECT user_id, t, event_type,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g),
+         s1 AS (SELECT user_id, sid, min(t) AS t FROM s
+                WHERE event_type = 'view' GROUP BY 1, 2),
+         s2 AS (SELECT s.user_id, s.sid, min(s.t) AS t FROM s
+                JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+                  AND s.t > s1.t
+                WHERE s.event_type = 'click' GROUP BY 1, 2),
+         s3 AS (SELECT s.user_id, s.sid, min(s.t) AS t FROM s
+                JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+                  AND s.t > s2.t
+                WHERE s.event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+         b AS (SELECT n AS base FROM c WHERE stage = 1)
+         SELECT stage, stage_name, n::BIGINT AS n_sessions,
+                round(n::DOUBLE / base, 4) AS conversion
+         FROM c CROSS JOIN b ORDER BY stage""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -63,16 +63,23 @@ object Behavior {
 
   /** Depth distribution → per-stage reach + conversion: stage s is reached
     * by every user with depth ≥ s, so explode 1..depth (≤ 7 rows/user)
-    * and count — tiny relative to the event scan that fed `perUser`. */
+    * and count — tiny relative to the event scan that fed `perUser`.
+    * Every declared stage gets a row, zero-reach stages included (a
+    * funnel report that silently omits its empty tail misreads as a
+    * shorter funnel). */
   private def stageRollup(perUser: DataFrame, stages: Seq[String]): DataFrame = {
     val counts = perUser
       .filter(col("_depth") >= 1)
       .select(explode(sequence(lit(1), col("_depth"))).as("stage"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_users"))
-    val base = counts.filter(col("stage") === 1)
+    val spine = perUser.sparkSession.range(1, stages.size + 1)
+      .select(col("id").cast("int").as("stage"))
+    val full = spine.join(counts, Seq("stage"), "left")
+      .na.fill(0L, Seq("n_users"))
+    val base = full.filter(col("stage") === 1)
       .select(col("n_users").as("_base"))
-    counts.crossJoin(broadcast(base))
+    full.crossJoin(broadcast(base))
       .select(col("stage"),
         element_at(array(stages.map(lit): _*), col("stage")).as("stage_name"),
         col("n_users"),
@@ -85,6 +92,33 @@ object Behavior {
       packedEvents(events, userCol, tsCol, typeCol, stages)
         .select(col("_user"), FunnelDepth(col("_evs"), stages.size).as("_depth")),
       stages)
+
+  /** [[funnel]] at SESSION granularity: events sessionize per user by the
+    * `gapMinutes` inactivity rule (the [[graft.streaming.EventStream]]
+    * convention), then the ordered funnel runs per (user, session) — the
+    * reached-stage counts are SESSIONS, answering "what share of sessions
+    * that start with a view convert in that same visit". Session ids come
+    * from one keyed window (ordered by micros with `idCol` as the
+    * deterministic tiebreak); the funnel then shuffles once on the
+    * session key exactly like [[funnel]] does on the user. */
+  def sessionFunnel(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, stages: Seq[String],
+      gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gap must be >= 1 minute, got $gapMinutes")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val us = unix_micros(col(tsCol))
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(us, col(idCol))
+    val withSid = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_pt", lag(us, 1).over(wOrd))
+      .withColumn("_ns",
+        when(col("_pt").isNull || us - col("_pt") > gapUs, 1L).otherwise(0L))
+      .withColumn("_sid",
+        sum("_ns").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_skey", concat_ws(":", col(userCol), col("_sid")))
+    funnel(withSid, "_skey", tsCol, typeCol, stages)
+      .withColumnRenamed("n_users", "n_sessions")
+  }
 
   /** [[funnel]] with a conversion window: stage-2+ events only count
     * within `windowMicros` of the user's FIRST stage-1 event (the

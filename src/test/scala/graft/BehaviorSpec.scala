@@ -286,4 +286,35 @@ class BehaviorSpec extends SparkSpecBase {
       "type b saw no spike and must not flag")
   }
 
+
+  test("funnel reports zero-reach stages instead of omitting them") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 1L), (2, "click", 0L),
+      (3, "purchase", 0L)))
+  }
+
+  test("sessionFunnel: conversion must happen within one session") {
+    val ev = Seq(
+      // one session: view->click->purchase within gaps
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:20:00"), "purchase"),
+      // user 2: view, then a NEW session (2h later) purchases — no conversion
+      (2L, 20L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 11:30:00"), "click"),
+      (2L, 22L, ts("2024-01-01 11:31:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Behavior.sessionFunnel(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"), gapMinutes = 30)
+      .orderBy("stage").collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // sessions with a view: u1's one, u2's 09:00 one (u2's 11:30 session
+    // has no view, so its click/purchase can't even enter the funnel)
+    assert(out(1) == 2L && out(2) == 1L && out(3) == 1L)
+  }
+
 }
