@@ -1304,6 +1304,26 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ---- as-of join with staleness tolerance ----------------------------
+    "q140_asof_tolerance" -> ((s, dir) => {
+      // q45's attribution join, but views older than 10 minutes are too
+      // stale to attribute — the tolerance execution path under the oracle
+      val events = EventsSource.read(s, s"$dir/events.parquet")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("purchase_value"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event"),
+          round(col("value"), 2).as("view_value"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          rightTieBreak = Some("view_event"),
+          toleranceUs = Some(600000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+          col("view_event"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3188,6 +3208,23 @@ object SparkEntry {
          SELECT stage, stage_name, n::BIGINT AS n_sessions,
                 round(n::DOUBLE / base, 4) AS conversion
          FROM c CROSS JOIN b ORDER BY stage""",
+    // q45's mirror plus the tolerance predicate in the join condition:
+    // a too-stale view leaves the purchase row with NULL attribution
+    "q140_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts AS vts, event_id AS view_event,
+                           round(value, 2) AS view_value
+                    FROM events WHERE event_type = 'view')
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, purchase_value,
+                view_event, view_value
+         FROM (SELECT p.*, v.view_event, v.view_value,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY v.vts DESC, v.view_event DESC) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.vts <= p.ts
+                 AND epoch_us(p.ts) - epoch_us(v.vts) <= 600000000) t
+         WHERE rn = 1 ORDER BY event_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
