@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.frame.CalculatedColumn
 import graft.functions.{TextClean, TextFunctions}
 import graft.functions.kernels.VectorKernelFunctions
-import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
 import graft.profile.{ColumnProfiler, Drift}
 import graft.sources.EventsSource
@@ -1322,6 +1322,51 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
           col("view_event"), col("view_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- salted two-phase aggregation (≡ plain groupBy) -----------------
+    "q141_salted_agg" -> ((s, dir) => {
+      // skew-safe aggregation must equal the unsalted result exactly
+      ScaleOps.saltedCountSum(EventsSource.read(s, s"$dir/events.parquet"),
+          Seq("event_type"), Seq("value"), saltFactor = 8)
+        .select(col("event_type"), col("count_all"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- blocked fuzzy (Levenshtein) record linkage ---------------------
+    "q142_fuzzy_join" -> ((s, dir) => {
+      Linkage.fuzzyDedupPairs(read(s, dir, "customer"), "c_custkey", "c_name",
+          blocker = Linkage.prefixBlocker(16), maxDistance = 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- winnowed (MOSS) document signatures ----------------------------
+    "q143_winnow" -> ((s, dir) => {
+      // signature size + extremal fingerprints pin the selected-hash SET
+      // per document cross-engine, not just its cardinality
+      CorpusStats.winnowedFingerprints(read(s, dir, "documents"),
+          "doc_id", "text", k = 3, window = 4)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- embedding-space decontamination --------------------------------
+    "q144_embed_decontam" -> ((s, dir) => {
+      // test = vec_id < 20; train side includes vec_id 10–19 verbatim, so
+      // exactly those rows must flag at cosine ≈ 1 (threshold 0.8 sits in
+      // the [0.50, 1.0] gap of the max-cosine distribution — boundary-safe)
+      val emb = read(s, dir, "embeddings")
+      Decontaminate.embeddingOverlap(
+          emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "embedding",
+          threshold = 0.8)
+        .select(col("id"), round(col("max_cosine"), 4).as("max_cosine"),
+          col("contaminated"))
+        .orderBy(col("id"))
     }),
 
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
@@ -3225,6 +3270,59 @@ object SparkEntry {
                  ON p.user_id = v.user_id AND v.vts <= p.ts
                  AND epoch_us(p.ts) - epoch_us(v.vts) <= 600000000) t
          WHERE rn = 1 ORDER BY event_id""",
+    // Salted two-phase aggregation must equal the plain GROUP BY; the
+    // double sum rounds at 4 dp (house convention — accumulation order
+    // differs between the salted partial merge and DuckDB's serial sum)
+    "q141_salted_agg" ->
+      """SELECT event_type, count(*) AS count_all,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Blocked Levenshtein self-linkage: DuckDB recomputes the same blocks
+    // and edit distances (block = 16-char name prefix, distance cap 1)
+    "q142_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                levenshtein(a.c_name, b.c_name) AS dist
+         FROM customer a JOIN customer b
+           ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+    // Winnowing re-derived in SQL: same md5 k-gram hashes (k=3), same
+    // w=4 window minima (1-based positions here, 0-based in Spark — the
+    // complete-window filters pos <= m-3 / pos <= m-4 are equivalent),
+    // same distinct-per-doc signature; min/max pin the actual hash values
+    "q143_winnow" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+           FROM t WHERE len(toks) >= 3),
+         e AS (
+           SELECT doc_id, len(hs) AS m,
+                  unnest(list_transform(range(1, len(hs) + 1),
+                    i -> struct_pack(pos := i, h := hs[i]))) AS u
+           FROM s WHERE len(hs) >= 4),
+         w AS (
+           SELECT doc_id, m, u.pos AS pos,
+                  min(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM e),
+         f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= m - 3)
+         SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // Exact max-cosine per train vector over the broadcast test set
+    "q144_embed_decontam" ->
+      """SELECT t.vec_id AS id,
+                round(max(list_cosine_similarity(
+                  t.embedding::DOUBLE[], q.embedding::DOUBLE[])), 4) AS max_cosine,
+                max(list_cosine_similarity(
+                  t.embedding::DOUBLE[], q.embedding::DOUBLE[])) >= 0.8 AS contaminated
+         FROM (SELECT * FROM embeddings WHERE vec_id >= 10) t
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+         GROUP BY t.vec_id ORDER BY id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -230,4 +230,68 @@ object CorpusStats {
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every word `k`-gram in document
+    * order, slide a window of `window` consecutive hashes, keep each
+    * window's minimum, output the distinct kept hashes per document.
+    * Guarantee: any match of at least `window + k − 1` consecutive tokens
+    * between two documents shares at least one fingerprint — position-robust
+    * overlap detection with a signature ~1/window the size of the full
+    * shingle set.
+    *
+    * Output: `(id, fp)` — one row per distinct selected fingerprint. `fp`
+    * is the md5 hex of the space-joined k-gram (cross-engine reproducible,
+    * same convention as [[graft.functions.TextFunctions.md5Fingerprint]]).
+    * Documents with fewer than `window + k − 1` tokens (i.e. fewer than
+    * `window` k-grams) emit no rows — too short to winnow.
+    *
+    * Plan shape: shingles → `posexplode` → one per-document window
+    * (`min` over `ROWS [0, window−1]`) → distinct. The only shuffles key on
+    * the document id (group size = document length — user-bounded, never
+    * corpus-bounded) and on the distinct's (id, fp) pair. */
+  def winnowedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(window >= 1, s"window must be >= 1: $window")
+    val sh = graft.functions.TextFunctions.shingles(col(textCol), k)
+    val exploded = df
+      .select(col(idCol).as("id"), size(sh).as("m"), posexplode(sh).as(Seq("pos", "sh")))
+      .filter(col("m") >= window)
+      .select(col("id"), col("m"), col("pos"),
+        md5(encode(col("sh"), "UTF-8")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    exploded
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("m") - window) // complete windows only
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Near-dup / overlap candidates from winnowed fingerprints: unordered
+    * document pairs sharing at least `minShared` selected fingerprints,
+    * with the shared count — MOSS's candidate report. By the winnowing
+    * guarantee, any pair sharing ≥ `window + k − 1` consecutive tokens
+    * appears (with `minShared = 1`).
+    *
+    * Scale: the self-join keys on the 32-char fingerprint — the same
+    * bucketed candidate-generation shape as every [[Dedup]] family member,
+    * never all-pairs. A boilerplate fingerprint shared by d documents
+    * contributes d² candidate rows; strike boilerplate first
+    * ([[topNgrams]] / [[Dedup.dedupLines]]) or raise `minShared`. */
+  def winnowCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = winnowedFingerprints(df, idCol, textCol, k, window)
+    val a = fps.select(col("id").as("id_a"), col("fp"))
+    val b = fps.select(col("id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

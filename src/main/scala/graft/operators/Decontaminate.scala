@@ -107,6 +107,43 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Semantic (embedding-space) decontamination: per-training-row maximum
+    * cosine similarity against the evaluation set's embeddings — catches
+    * paraphrased/reworded leakage that n-gram overlap misses (the
+    * complement of [[ngramOverlap]]; run both, as modern data cards do).
+    *
+    * Output: `(id, max_cosine, contaminated)` with
+    * `contaminated = max_cosine >= threshold`.
+    *
+    * Same asymmetric scale shape as the n-gram path: the test side is
+    * reduced to its vectors and broadcast, the train corpus is scanned
+    * once (broadcast nested-loop, cosine via codegen'd higher-order
+    * functions — no UDF), and partial `max` aggregation collapses each
+    * train row map-side, so the only exchange is O(#train rows) of
+    * (id, double). Compute cost is #train × #test dot products — linear in
+    * the corpus because the eval set is a constant. For eval sets too big
+    * to scan per row, set `broadcastTest = false` only after pre-reducing
+    * the test side (e.g. cluster it to centroids); a shuffled cross join
+    * at corpus scale is not a plan. */
+  def embeddingOverlap(
+      train: DataFrame, trainId: String, trainVec: String,
+      test: DataFrame, testVec: String,
+      threshold: Double,
+      broadcastTest: Boolean = true): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1, 1]: $threshold")
+    val probeBase = test.select(col(testVec).as("__tvec"))
+    val probe = if (broadcastTest) broadcast(probeBase) else probeBase
+    train.select(col(trainId).as("id"), col(trainVec).as("__vec"))
+      .crossJoin(probe)
+      .select(col("id"),
+        graft.functions.VectorFunctions.cosine(col("__vec"), col("__tvec")).as("__cos"))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("max_cosine"))
+      .select(col("id"), col("max_cosine"),
+        (col("max_cosine") >= threshold).as("contaminated"))
+  }
+
   /** Convenience: the decontaminated corpus — train rows whose overlap with
     * `test` stays below `minOverlap` shared n-grams (all original columns). */
   def removeContaminated(

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage: edit-distance matching between (or within) key
+  * columns at corpus scale — the standard entity-resolution primitive for
+  * joining dirty catalogs, author lists, or near-identical titles (no
+  * reference counterpart; a north-star extension like [[Dedup]]).
+  *
+  * Scale design — blocking is the whole trick, exactly as in the dedup
+  * family: an unblocked fuzzy join is a cartesian product, so every public
+  * record-linkage system (Fellegi–Sunter implementations, splink, dedupe.io)
+  * generates candidates per *blocking key* first. Here:
+  *  - both sides map to `(id, key, block)` and equi-join ON the block —
+  *    one hash shuffle each, candidate pairs bounded by Σ block² instead
+  *    of n²;
+  *  - a `|len(a) − len(b)| ≤ maxDistance` prune runs before any edit
+  *    distance (length difference lower-bounds Levenshtein);
+  *  - the distance itself is Spark's native thresholded `levenshtein(l, r,
+  *    threshold)` (codegen'd, early-aborts its DP once the band exceeds
+  *    the threshold — O(maxDistance·min(len)) per pair, not O(len²)).
+  *
+  * Skewed blocks (one blocking key covering half the data) are the same
+  * hazard as a skewed join key: pick a more selective blocker, or
+  * pre-filter hot blocks via [[graft.ops.ScaleOps.keySkewReport]].
+  */
+object Linkage {
+
+  /** Candidate blockers. `prefixBlocker(n)` — first `n` chars (cheap,
+    * order-preserving); `soundexBlocker` — phonetic code, the classic
+    * name-matching blocker. Both are plain codegen'd expressions. */
+  def prefixBlocker(n: Int): Column => Column = k => substring(k, 1, n)
+  val soundexBlocker: Column => Column = k => soundex(k)
+
+  /** Fuzzy inner join of two tables on an edit-distance-≤-`maxDistance`
+    * match of their key columns, candidates generated per `blocker` key.
+    *
+    * Output: `(left_id, right_id, left_key, right_key, dist)` — one row per
+    * matched pair per shared block value (a pair whose keys collide in two
+    * distinct block values appears once per value; with the single-valued
+    * blockers above, exactly once).
+    *
+    * Recall contract: only pairs agreeing on `blocker` are found — a
+    * typo inside the blocked prefix escapes a `prefixBlocker`. Layer a
+    * second pass with an independent blocker (e.g. soundex, or a suffix)
+    * and union the results for multi-blocker recall, as record-linkage
+    * practice does.
+    */
+  def fuzzyJoin(
+      left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      blocker: Column => Column,
+      maxDistance: Int = 1): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
+    val l = left.select(col(leftId).as("left_id"), col(leftKey).as("left_key"),
+      blocker(col(leftKey)).as("__block"))
+    val r = right.select(col(rightId).as("right_id"), col(rightKey).as("right_key"),
+      blocker(col(rightKey)).as("__block"))
+    l.join(r, Seq("__block"))
+      .filter(abs(length(col("left_key")) - length(col("right_key"))) <= maxDistance)
+      .withColumn("dist", levenshtein(col("left_key"), col("right_key"), maxDistance))
+      .filter(col("dist") >= 0) // thresholded levenshtein yields -1 above the cap
+      .drop("__block")
+  }
+
+  /** Self-linkage: distinct unordered pairs of rows of one table whose keys
+    * are within `maxDistance` edits, `id_a < id_b`. Output:
+    * `(id_a, id_b, key_a, key_b, dist)`. Same blocking/prune/threshold
+    * mechanics as [[fuzzyJoin]]. */
+  def fuzzyDedupPairs(
+      df: DataFrame, idCol: String, keyCol: String,
+      blocker: Column => Column,
+      maxDistance: Int = 1): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
+    val a = df.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+      blocker(col(keyCol)).as("__block"))
+    val b = df.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+      blocker(col(keyCol)).as("__block"))
+    a.join(b, Seq("__block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDistance)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDistance))
+      .filter(col("dist") >= 0)
+      .drop("__block")
+  }
+}

@@ -104,4 +104,41 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(out.filter($"contam_frac" < 0 || $"contam_frac" > 1).isEmpty)
     out.unpersist()
   }
+
+  test("embeddingOverlap flags verbatim and near-parallel vectors, not orthogonal ones") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),  // verbatim copy of test vector
+      (2L, Seq(10.0f, 0.1f, 0.0f)), // near-parallel (cosine ~ 0.99995)
+      (3L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to the test vector
+      (4L, Seq(0.0f, 0.0f, 1.0f))   // orthogonal
+    ).toDF("id", "vec")
+    val testSet = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val out = Decontaminate.embeddingOverlap(train, "id", "vec", testSet, "vec",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._2 && math.abs(out(1L)._1 - 1.0) < 1e-9)
+    assert(out(2L)._2 && out(2L)._1 > 0.99)
+    assert(!out(3L)._2 && math.abs(out(3L)._1) < 1e-9)
+    assert(!out(4L)._2)
+  }
+
+  test("embeddingOverlap takes the MAX over the test set") {
+    val train = Seq((1L, Seq(0.0f, 1.0f))).toDF("id", "vec")
+    val testSet = Seq(
+      (100L, Seq(1.0f, 0.0f)),  // cosine 0
+      (101L, Seq(0.0f, 2.0f))   // cosine 1 — the max must win
+    ).toDF("id", "vec")
+    val row = Decontaminate.embeddingOverlap(train, "id", "vec", testSet, "vec",
+      threshold = 0.5).collect().head
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9 && row.getBoolean(2))
+  }
+
+  test("embeddingOverlap broadcasts the test side (no shuffle of the corpus)") {
+    val train = spark.read.parquet(sf("embeddings"))
+    val testSet = train.filter($"vec_id" < 5)
+    val plan = Decontaminate.embeddingOverlap(train, "vec_id", "embedding",
+      testSet, "embedding", threshold = 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val catalog = Seq(
+    (1L, "acme corp"),
+    (2L, "acme c0rp"),   // 1 substitution from acme corp
+    (3L, "acme corps"),  // 1 insertion from acme corp
+    (4L, "acme inc"),    // distance 4 from acme corp
+    (5L, "zenith ltd")
+  ).toDF("id", "name")
+
+  test("fuzzyDedupPairs finds pairs within the distance cap, id_a < id_b") {
+    val out = Linkage.fuzzyDedupPairs(catalog, "id", "name",
+        blocker = Linkage.prefixBlocker(4), maxDistance = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // (1,2) and (1,3) match at distance 1; (2,3) is distance 2 (0->o and +s);
+    // 4 is too far from all; 5 is in another block entirely
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 1)))
+  }
+
+  test("recall contract: a typo inside the blocked prefix escapes the blocker") {
+    // distance 1, but the edit is in position 1 so the prefix blocks differ
+    val df = Seq((1L, "alpha"), (2L, "elpha")).toDF("id", "name")
+    val out = Linkage.fuzzyDedupPairs(df, "id", "name",
+      blocker = Linkage.prefixBlocker(1), maxDistance = 2)
+    assert(out.count() == 0)
+  }
+
+  test("fuzzyJoin links two tables and reports distances") {
+    val dirty = Seq((10L, "acme c0rp"), (11L, "acme inc"), (12L, "zenith ltd"))
+      .toDF("rid", "rname")
+    val out = Linkage.fuzzyJoin(catalog, "id", "name", dirty, "rid", "rname",
+        blocker = Linkage.prefixBlocker(4), maxDistance = 1)
+      .select("left_id", "right_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // "acme c0rp" matches 1 (d=1) and 2 (d=0); "acme corps" is d=2 away.
+    // "acme inc" matches only itself (4, d=0); zenith matches 5 (d=0).
+    assert(out == Set((1L, 10L, 1), (2L, 10L, 0), (4L, 11L, 0), (5L, 12L, 0)))
+  }
+
+  test("maxDistance = 0 degenerates to exact (blocked) equality") {
+    val out = Linkage.fuzzyDedupPairs(
+      Seq((1L, "same"), (2L, "same"), (3L, "sane")).toDF("id", "name"),
+      "id", "name", blocker = Linkage.prefixBlocker(2), maxDistance = 0)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 0)))
+  }
+
+  test("soundex blocker groups phonetically equal names") {
+    val df = Seq((1L, "robert"), (2L, "rupert"), (3L, "ashcroft")).toDF("id", "name")
+    // robert/rupert share soundex R163 and are 2 substitutions apart
+    val out = Linkage.fuzzyDedupPairs(df, "id", "name",
+        blocker = Linkage.soundexBlocker, maxDistance = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 2)))
+  }
+
+  test("length prune never drops a legal pair (|len diff| <= cap matches kept)") {
+    // insertion-only pair at exactly the cap: must survive the prune
+    val out = Linkage.fuzzyDedupPairs(
+      Seq((1L, "abcd"), (2L, "abcdxy")).toDF("id", "name"),
+      "id", "name", blocker = Linkage.prefixBlocker(3), maxDistance = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 2)))
+  }
+}

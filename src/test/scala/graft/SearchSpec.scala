@@ -197,4 +197,43 @@ class SearchSpec extends SparkSpecBase {
     assert(disj.getLong(2) == 0L && disj.getDouble(4) == 0.0)
   }
 
+  test("winnowedFingerprints: signature is a subset of the k-gram hashes and smaller") {
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val fps = CorpusStats.winnowedFingerprints(df, "id", "text", k = 3, window = 4)
+      .collect().map(_.getString(1)).toSet
+    // 12 tokens -> 10 3-grams -> 7 complete windows; every fp is some k-gram's md5
+    val toks = text.split(" ")
+    val allHashes = toks.sliding(3).map { g =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSet
+    assert(fps.nonEmpty && fps.size < allHashes.size)
+    assert(fps.subsetOf(allHashes))
+  }
+
+  test("winnowing guarantee: docs sharing >= window+k-1 consecutive tokens share a fp") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = window+k-1
+    val df = Seq(
+      (1L, s"unrelated prefix words here $shared"),
+      (2L, s"$shared and a completely different tail of text")
+    ).toDF("id", "text")
+    val pairs = CorpusStats.winnowCandidates(df, "id", "text", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("winnowing: documents shorter than window+k-1 tokens emit no fingerprints") {
+    val df = Seq((1L, "only five little words here"), (2L, "tiny")).toDF("id", "text")
+    assert(CorpusStats.winnowedFingerprints(df, "id", "text", k = 3, window = 4).isEmpty)
+  }
+
+  test("winnowCandidates: unrelated docs share nothing; minShared filters") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "qq ww rr tt yy uu ii oo")
+    ).toDF("id", "text")
+    assert(CorpusStats.winnowCandidates(df, "id", "text", k = 3, window = 4).isEmpty)
+  }
 }
