@@ -1369,6 +1369,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- char-LM perplexity quality scoring -----------------------------
+    "q145_charlm_score" -> ((s, dir) => {
+      // LM trained on the English slice, every document scored against it —
+      // the CCNet-style perplexity filter; non-English docs score high nll
+      val docs = read(s, dir, "documents")
+      val lm = CorpusStats.charLmCounts(docs.filter(col("lang") === "en"), "text", n = 3)
+      CorpusStats.charLmScore(docs, "doc_id", "text", lm, n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3323,6 +3335,39 @@ object SparkEntry {
          FROM (SELECT * FROM embeddings WHERE vec_id >= 10) t
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
          GROUP BY t.vec_id ORDER BY id""",
+    // Char-trigram LM re-derived in SQL: same ASCII normalization
+    // (strip-then-lower — [A-Za-z] kept, all else one space), same add-1
+    // smoothed conditional P(c3|c1c2) with vocab 27, natural log in both
+    "q145_charlm_score" ->
+      """WITH nd AS (
+           SELECT doc_id, lang,
+                  trim(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g'))) AS norm
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(norm) - 2, 0) + 1),
+                    i -> substr(norm, i, 3))) AS gram
+           FROM nd),
+         ref AS (
+           SELECT gram, count(*) AS gc
+           FROM (SELECT unnest(list_transform(range(1, greatest(len(norm) - 2, 0) + 1),
+                   i -> substr(norm, i, 3))) AS gram
+                 FROM nd WHERE lang = 'en')
+           GROUP BY gram),
+         pre AS (
+           SELECT substr(gram, 1, 2) AS prefix, sum(gc) AS pc
+           FROM ref GROUP BY 1),
+         scored AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+                  avg(-ln((coalesce(ref.gc, 0) + 1.0) /
+                          (coalesce(pre.pc, 0) + 27.0))) AS nll
+           FROM g LEFT JOIN ref ON g.gram = ref.gram
+                  LEFT JOIN pre ON substr(g.gram, 1, 2) = pre.prefix
+           GROUP BY g.doc_id)
+         SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                round(s.nll, 4) AS avg_nll
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -347,6 +347,36 @@ object TextKernels { // public: generated code references it by name
     count
   }
 
+  /** All character n-grams (multiset, document order) of the
+    * ASCII-normalized text: `[A-Za-z]` lowercased, every other character a
+    * separator, separator runs collapsed to one space, ends trimmed.
+    * Strip-then-lower keeps the contract engine-portable: no non-ASCII
+    * codepoint can lower-case its way INTO the alphabet (İ → i̇ would,
+    * under lower-first). The char-LM primitive — one scan, one output
+    * array, no regex. Empty below `n` normalized chars. */
+  def charNgrams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+      i += 1
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    val norm = sb.toString
+    if (norm.length < n) return Array.empty[UTF8String]
+    val out = new Array[UTF8String](norm.length - n + 1)
+    var k = 0
+    while (k <= norm.length - n) {
+      out(k) = UTF8String.fromString(norm.substring(k, k + n))
+      k += 1
+    }
+    out
+  }
+
   /** Unicode NFC normalization. Fast path: pure-ASCII strings (the bulk of
     * English corpora) are already NFC — checked bytewise without decoding. */
   def nfcNormalize(s: UTF8String): UTF8String = {
@@ -564,6 +594,20 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** array<string>: ASCII-normalized character n-grams in document order
+  * (multiset — the char-LM primitive). See [[TextKernels.charNgrams]]. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"char ngram size must be >= 1: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.charNgrams(v.asInstanceOf[UTF8String], n)
+      .asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
+    copy(child = c)
+  override def prettyName: String = "char_ngrams"
+}
+
 /** Column-facing constructors. */
 object TextKernelFunctions {
   def shingleHashes(text: Column, n: Int): Column =
@@ -593,4 +637,6 @@ object TextKernelFunctions {
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
   def charShingleHashSet(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingleHashSetExpr(ColumnBridge.expression(text), n))
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramsExpr(ColumnBridge.expression(text), n))
 }

@@ -231,6 +231,70 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Character n-gram language-model counts from a reference corpus — the
+    * model half of the classic perplexity quality filter (CCNet /
+    * KenLM-style filtering, done here at the character level so the model
+    * is closed-vocabulary and provably bounded: ≤ 27ⁿ grams over the
+    * ASCII-normalized alphabet `[a-z ]`, i.e. ≤ ~19.7k rows for n=3 —
+    * always broadcastable, regardless of reference-corpus size).
+    *
+    * Output: `(gram, gram_count)` — occurrence counts of every char
+    * n-gram ([[graft.functions.kernels.TextKernels.charNgrams]] contract:
+    * `[A-Za-z]` lowercased, all else collapsed to single spaces).
+    *
+    * Plan: compiled kernel → explode → one hash aggregation; map-side
+    * partial aggregation collapses each partition to ≤ 27ⁿ rows before
+    * the shuffle, so exchange volume is alphabet-bounded, not
+    * corpus-bounded. */
+  def charLmCounts(ref: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"conditional char LM needs n >= 2: $n")
+    ref.select(explode(TextKernelFunctions.charNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_count"))
+  }
+
+  /** Per-document mean negative log-likelihood under an add-α-smoothed
+    * conditional char n-gram model: for each n-gram, `P(cₙ | prefix) =
+    * (count(gram) + α) / (count(prefix·) + α·vocabSize)`, where
+    * `count(prefix·)` sums the model counts over the prefix's
+    * continuations. Output: `(id, n_grams, avg_nll)` — `avg_nll` NULL for
+    * documents with no grams (shorter than n normalized chars). Lower =
+    * more like the reference corpus; the standard gate keeps documents
+    * below an nll threshold calibrated on held-out reference text.
+    *
+    * Scale: `lm` is alphabet-bounded (≤ 27ⁿ rows), so both probe joins
+    * broadcast; the corpus is scanned once and partial aggregation
+    * collapses each document map-side — the only exchange is O(#docs).
+    * The model aggregation is evaluated once per probe (twice total) —
+    * persist `lm` if the reference corpus is itself huge.
+    *
+    * @param vocabSize smoothing support per context — 27 for the n-gram
+    *                  alphabet `[a-z ]` (26 letters + space) */
+  def charLmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, n: Int = 3,
+      alpha: Double = 1.0, vocabSize: Int = 27): DataFrame = {
+    require(n >= 2, s"conditional char LM needs n >= 2: $n")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val grams = broadcast(lm.select(col("gram"), col("gram_count")))
+    val prefixes = broadcast(lm
+      .groupBy(substring(col("gram"), 1, n - 1).as("prefix"))
+      .agg(sum(col("gram_count")).as("prefix_count")))
+    // guard on gram: the explode_outer row of a gram-less doc must yield a
+    // NULL term (avg -> NULL), not the unseen-gram smoothed probability
+    val nll = when(col("gram").isNotNull,
+      -log((coalesce(col("gram_count"), lit(0L)) + lit(alpha)) /
+        (coalesce(col("prefix_count"), lit(0L)) + lit(alpha * vocabSize))))
+    docs
+      .select(col(idCol).as("id"),
+        explode_outer(TextKernelFunctions.charNgrams(col(textCol), n)).as("gram"))
+      .join(grams, Seq("gram"), "left")
+      .join(prefixes, substring(col("gram"), 1, n - 1) === col("prefix"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("gram")).as("n_grams"), avg(nll).as("avg_nll"))
+  }
+
   /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every word `k`-gram in document
     * order, slide a window of `window` consecutive hashes, keep each

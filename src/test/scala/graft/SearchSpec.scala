@@ -236,4 +236,55 @@ class SearchSpec extends SparkSpecBase {
     ).toDF("id", "text")
     assert(CorpusStats.winnowCandidates(df, "id", "text", k = 3, window = 4).isEmpty)
   }
+
+  test("charNgrams kernel: ASCII strip-then-lower normalization, ordered multiset") {
+    val df = Seq((1L, "Héllo, World42!")).toDF("id", "text")
+    val grams = df.select(explode(
+      graft.functions.kernels.TextKernelFunctions.charNgrams(col("text"), 3)).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    // normalized text: "h llo world" (é, comma, digits, ! are separators)
+    assert(grams == Seq("h l", " ll", "llo", "lo ", "o w", " wo", "wor", "orl", "rld"))
+    // below n normalized chars -> empty
+    val short = Seq((1L, "a!b")).toDF("id", "text") // normalizes to "a b": 1 gram
+    assert(short.select(explode(
+      graft.functions.kernels.TextKernelFunctions.charNgrams(col("text"), 3)).as("g"))
+      .collect().map(_.getString(0)).toSeq == Seq("a b"))
+    assert(Seq((1L, "77!!")).toDF("id", "text").select(explode(
+      graft.functions.kernels.TextKernelFunctions.charNgrams(col("text"), 3)).as("g"))
+      .isEmpty) // normalizes to "" — no grams
+  }
+
+  test("charLmCounts: occurrence counts over the reference multiset") {
+    val ref = Seq((1L, "abab"), (2L, "abab")).toDF("id", "text")
+    val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lm == Map("aba" -> 2L, "bab" -> 2L))
+  }
+
+  test("charLmScore: add-1 smoothed conditional nll matches hand computation") {
+    val ref = Seq((1L, "aaaa")).toDF("id", "text") // trigram aaa x2
+    val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
+    val docs = Seq((1L, "aaab"), (2L, "x!")).toDF("id", "text")
+    val out = CorpusStats.charLmScore(docs, "id", "text", lm, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // doc 1: grams aaa, aab. P(aaa)=(2+1)/(2+27), P(aab)=(0+1)/(2+27)
+    val expected = -(math.log(3.0 / 29.0) + math.log(1.0 / 29.0)) / 2.0
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2.get - expected) < 1e-12)
+    // doc 2 normalizes to "x" — too short: zero grams, NULL nll (not the
+    // unseen-gram smoothed value)
+    assert(out(2L) == ((0L, None)))
+  }
+
+  test("charLmScore separates reference-like text from alien text") {
+    val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
+    val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
+    val probe = Seq(
+      (1L, "merge data table sort the table query window filter column"),
+      (2L, "zzxq qxzz xqzq zqxx qqzz xzxz qzqz")
+    ).toDF("id", "text")
+    val out = CorpusStats.charLmScore(probe, "id", "text", lm, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L)) // English scores closer to the English LM
+  }
 }
