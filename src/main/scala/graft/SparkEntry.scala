@@ -1381,6 +1381,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- perceptual image hash (dHash) through the real decoder ---------
+    "q146_image_dhash" -> ((s, dir) => {
+      // 4-tone 16×8 PNGs: the pooled 9×8 grid and therefore every dHash
+      // bit is closed-form in the tone ordering — the oracle recomputes
+      // the exact 64-bit hash the decode→pool→compare→pack loop must emit
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"))
+      val media = Multimodal.withGeneratedQuarterPng(docs, "doc_id", 16, 8,
+        col("doc_id") % 256, (col("doc_id") * 3 + 17) % 256,
+        (col("doc_id") * 5 + 89) % 256, (col("doc_id") * 11 + 201) % 256)
+      Multimodal.dhashImages(media, "media_bytes", "doc_id")
+        .select(col("id").as("doc_id"), col("dhash"), col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3368,6 +3383,22 @@ object SparkEntry {
                 round(s.nll, 4) AS avg_nll
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+    // dHash of the 4-tone 16×8 layout, derived cell by cell: pooled cells
+    // are (a a b b c c (c+d)/2 d d), so row bits 1,3,5,6 encode b>a, c>b,
+    // d>c, d>c; all 8 grid rows are identical, hence the ×0x0101010101010101
+    "q146_image_dhash" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  doc_id % 256 AS a, (doc_id * 3 + 17) % 256 AS b,
+                  (doc_id * 5 + 89) % 256 AS c, (doc_id * 11 + 201) % 256 AS d
+           FROM documents WHERE doc_id <= 200)
+         SELECT doc_id,
+                ((CASE WHEN b > a THEN 2 ELSE 0 END) +
+                 (CASE WHEN c > b THEN 8 ELSE 0 END) +
+                 (CASE WHEN d > c THEN 96 ELSE 0 END))::BIGINT
+                  * 72340172838076673 AS dhash,
+                true AS decoded
+         FROM p ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

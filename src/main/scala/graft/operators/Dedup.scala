@@ -412,14 +412,17 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: candidates share at least one of `numChunks`
-    * 16-bit chunks (pigeonhole: any pair within hamming distance
-    * `numChunks − 1` is guaranteed to share a chunk), de-duplicated, then
-    * verified by exact hamming distance. */
-  def simhashPairs(
+  /** Near-dup pairs over ANY precomputed 64-bit hash column (SimHash,
+    * perceptual image dHash, audio fingerprint, …): candidates share at
+    * least one of `numChunks` hash chunks (pigeonhole: any pair within
+    * hamming distance `numChunks − 1` is guaranteed to share a chunk),
+    * de-duplicated, then verified by exact hamming distance. Same banded
+    * candidate-generation shape as every family member — the join keys on
+    * (chunk index, chunk value), never on full hashes or all pairs. */
+  def hamming64Pairs(
       df: DataFrame,
       idCol: String,
-      textCol: String,
+      hashCol: String,
       maxHamming: Int = 3,
       numChunks: Int = 4): DataFrame = {
     require(maxHamming < numChunks,
@@ -427,7 +430,7 @@ object Dedup {
         "a pair differing by one bit in every chunk would be silently missed otherwise")
     require(64 % numChunks == 0, "numChunks must divide 64")
     val bitsPerChunk = 64 / numChunks
-    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val base = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
     val chunked = base.select(col("id"), col("sh"),
       posexplode(array((0 until numChunks).map { c =>
         shiftright(col("sh"), c * bitsPerChunk)
@@ -442,6 +445,18 @@ object Dedup {
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs — [[hamming64Pairs]] over the compiled SimHash
+    * of the token multiset. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      numChunks: Int = 4): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      "id", "sh", maxHamming, numChunks)
 
   /** SimHash-bucketed near-dup with exact Jaccard verification — the
     * production shape for simhash dedup: the chunked simhash is CANDIDATE

@@ -99,6 +99,113 @@ object Multimodal {
       .toDF(idCol, "media_bytes")
   }
 
+  /** Deterministic 4-tone PNG synthesizer: each row's image is split into
+    * four vertical quarters with gray levels `(g1, g2, g3, g4)` — unlike
+    * the uniform [[withGeneratedPng]], the content has internal structure,
+    * so perceptual hashes ([[dhashImages]]) of the decoded bytes are
+    * non-trivial yet remain pure functions of the row (oracle-predictable).
+    * Width must be divisible by 4 for exact quarter boundaries. */
+  def withGeneratedQuarterPng(df: DataFrame, idCol: String,
+      width: Int, height: Int,
+      g1: org.apache.spark.sql.Column, g2: org.apache.spark.sql.Column,
+      g3: org.apache.spark.sql.Column, g4: org.apache.spark.sql.Column): DataFrame = {
+    require(width % 4 == 0, s"width must be divisible by 4: $width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), g1.cast("int"), g2.cast("int"),
+        g3.cast("int"), g4.cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, a, b, c, d) =>
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val grays = Array(a, b, c, d)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val g = grays(x * 4 / width)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
+  /** Perceptual difference hash (dHash — the standard public
+    * perceptual-dedup fingerprint): decode, area-pool luminance to a 9×8
+    * grid (same floor pixel→cell mapping as [[decodeImages]]), set bit
+    * `r*8 + j` (LSB-first) iff `cell[r][j+1] > cell[r][j]`. Output:
+    * `(id, dhash, decoded)` — null hash for undecodable payloads.
+    * Near-identical images (recompressed, slightly rescaled) land within
+    * a few bits; feed the hash column to
+    * [[Dedup.hamming64Pairs]] for banded near-dup candidate generation.
+    * Same per-partition batched `mapPartitions` shape as [[decodeImages]]
+    * (media codecs have no Catalyst expression form). */
+  def dhashImages(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          dhashOne(bytes) match {
+            case Some(h) => (id, Some(h), true)
+            case None => (id, Option.empty[Long], false)
+          }
+        }
+      }
+      .toDF("id", "dhash", "decoded")
+  }
+
+  private[operators] def dhashOne(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val gw = 9; val gh = 8
+        val sums = new Array[Double](gw * gh)
+        val counts = new Array[Long](gw * gh)
+        var y = 0
+        while (y < h) {
+          val gy = y * gh / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val cell = gy * gw + (x * gw / w)
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var r = 0
+        while (r < gh) {
+          var j = 0
+          while (j < gw - 1) {
+            val left = if (counts(r * gw + j) > 0) sums(r * gw + j) / counts(r * gw + j) else 0.0
+            val right = if (counts(r * gw + j + 1) > 0) sums(r * gw + j + 1) / counts(r * gw + j + 1) else 0.0
+            if (right > left) hash |= 1L << (r * (gw - 1) + j)
+            j += 1
+          }
+          r += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
   /** REAL image decode + feature extraction via `javax.imageio`: payload
     * bytes → (width, height, mean-pooled luminance grid as the feature
     * vector). Runs as batched per-partition processing with one-time

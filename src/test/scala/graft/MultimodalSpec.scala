@@ -190,4 +190,41 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(IsoBmff.demuxVideo(Array.emptyByteArray).isEmpty)
   }
+
+  test("dhashImages: 4-tone quarters give the closed-form hash; uniform gives 0") {
+    import spark.implicits._
+    val ids = Seq((1L, 10, 200, 10, 200), (2L, 50, 50, 50, 50), (3L, 200, 100, 50, 25))
+      .toDF("id", "a", "b", "c", "d")
+    val media = Multimodal.withGeneratedQuarterPng(ids, "id", 16, 8,
+      col("a"), col("b"), col("c"), col("d"))
+    val out = Multimodal.dhashImages(media, "media_bytes", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def expected(a: Int, b: Int, c: Int, d: Int): Long =
+      (((if (b > a) 2L else 0L) + (if (c > b) 8L else 0L) +
+        (if (d > c) 96L else 0L)) * 0x0101010101010101L)
+    assert(out(1L) == ((expected(10, 200, 10, 200), true)))
+    assert(out(2L) == ((0L, true)))            // uniform image: no gradients
+    assert(out(3L) == ((expected(200, 100, 50, 25), true))) // strictly falling: 0
+    assert(out(3L)._1 == 0L)
+  }
+
+  test("dhashImages: undecodable payloads report decoded=false with null hash") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("id", "media_bytes")
+    val row = Multimodal.dhashImages(junk, "media_bytes", "id").collect().head
+    assert(!row.getBoolean(2) && row.isNullAt(1))
+  }
+
+  test("dhash + hamming64Pairs: identical layouts pair at distance 0") {
+    import spark.implicits._
+    val ids = Seq((1L, 10, 200, 30, 90), (2L, 10, 200, 30, 90), (3L, 250, 1, 250, 1))
+      .toDF("id", "a", "b", "c", "d")
+    val media = Multimodal.withGeneratedQuarterPng(ids, "id", 16, 8,
+      col("a"), col("b"), col("c"), col("d"))
+    val hashes = Multimodal.dhashImages(media, "media_bytes", "id")
+    val pairs = graft.operators.Dedup.hamming64Pairs(hashes, "id", "dhash",
+        maxHamming = 3, numChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
