@@ -1396,6 +1396,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multi-touch attribution (linear credit) ------------------------
+    "q147_multitouch" -> ((s, dir) => {
+      Behavior.multiTouchAttribution(
+          EventsSource.read(s, s"$dir/events.parquet"),
+          "user_id", "ts", "event_id", "event_type", "value",
+          touchType = "view", convType = "purchase",
+          windowMinutes = 120, model = "linear")
+        .select(col("touch_event"), col("user_id"), col("n_convs"),
+          round(col("credit"), 4).as("credit"))
+        .orderBy(col("touch_event"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3399,6 +3411,22 @@ object SparkEntry {
                   * 72340172838076673 AS dhash,
                 true AS decoded
          FROM p ORDER BY doc_id""",
+    // Linear multi-touch attribution via a plain inequality join at oracle
+    // scale; per-term value/n is bit-identical, the 4dp round absorbs
+    // summation-order drift in the per-touch credit sum
+    "q147_multitouch" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t_us, event_id AS touch_event
+                    FROM events WHERE event_type = 'view'),
+              c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS conv_event, value
+                    FROM events WHERE event_type = 'purchase'),
+              j AS (SELECT t.touch_event, t.user_id, c.conv_event, c.value,
+                      count(*) OVER (PARTITION BY c.conv_event) AS n
+                    FROM t JOIN c ON t.user_id = c.user_id
+                      AND t.t_us >= c.c_us - 7200000000
+                      AND t.t_us < c.c_us)
+         SELECT touch_event, user_id, count(*)::BIGINT AS n_convs,
+                round(sum(value / n), 4) AS credit
+         FROM j GROUP BY touch_event, user_id ORDER BY touch_event""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -410,4 +410,61 @@ object Behavior {
         max(col(endCol)).as("interval_end"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Multi-touch attribution: distribute each conversion's value across
+    * the user's touch events inside the preceding `windowMinutes` —
+    * `linear` splits equally, `first`/`last` give full credit to the
+    * earliest/latest touch (the three standard position-based models; the
+    * as-of join family covers last-touch WITHOUT a window bound).
+    * Conversions with no in-window touch earn no row (unattributable).
+    *
+    * Output: one row per credited touch —
+    * `(touch_event, user (as named), n_convs, credit)` where `credit`
+    * sums `value/n` (linear) or full `value` (first/last) over the
+    * conversions the touch participates in.
+    *
+    * Scale: candidate pairs come from [[Temporal.rangeJoin]]'s
+    * bucketized equi-join (keys = user × window-sized time bucket — one
+    * shuffle, never an inequality nested loop); the per-conversion window
+    * partitions on the conversion id, whose group size is bounded by
+    * touches-per-user-per-window. Final aggregation is a partial-agg
+    * groupBy on the touch id. */
+  def multiTouchAttribution(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, valueCol: String,
+      touchType: String, convType: String,
+      windowMinutes: Int, model: String = "linear"): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
+    require(Set("linear", "first", "last")(model),
+      s"model must be linear|first|last: $model")
+    val wUs = windowMinutes * 60000000L
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t_us"),
+        col(idCol).as("touch_event"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__c_us"),
+        col(idCol).as("conv_event"), col(valueCol).as("__value"))
+      // [c−W, c): end at c−1 µs — a touch simultaneous with the
+      // conversion is not a cause
+      .withColumn("__start", col("__c_us") - wUs)
+      .withColumn("__end", col("__c_us") - 1L)
+    val pairs = Temporal.rangeJoin(touches, convs, "__t_us", "__start", "__end",
+      bucketWidth = wUs.toDouble, keyCols = Seq(userCol))
+    val byConv = Window.partitionBy(col("conv_event"))
+    val ordered = Window.partitionBy(col("conv_event"))
+      .orderBy(col("__t_us").asc, col("touch_event").asc)
+    val share = model match {
+      case "linear" => col("__value") / count(lit(1)).over(byConv)
+      case "first" =>
+        when(row_number().over(ordered) === 1, col("__value"))
+      case "last" =>
+        when(row_number().over(Window.partitionBy(col("conv_event"))
+          .orderBy(col("__t_us").desc, col("touch_event").desc)) === 1, col("__value"))
+    }
+    pairs
+      .withColumn("__credit", share)
+      .filter(col("__credit").isNotNull)
+      .groupBy(col("touch_event"), col(userCol))
+      .agg(count(lit(1)).as("n_convs"), sum(col("__credit")).as("credit"))
+  }
 }

@@ -317,4 +317,50 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out(1) == 2L && out(2) == 1L && out(3) == 1L)
   }
 
+  test("multiTouchAttribution linear: equal split inside the window only") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 100L, "view", 0.0),
+      (1L, ts("2024-01-01 10:20:00"), 101L, "view", 0.0),
+      (1L, ts("2024-01-01 10:30:00"), 102L, "view", 0.0),
+      (1L, ts("2024-01-01 11:00:00"), 103L, "purchase", 30.0),
+      // second purchase: only the first two views are inside [09:25, 10:25)
+      (1L, ts("2024-01-01 10:25:00"), 104L, "purchase", 10.0),
+      // view exactly at conversion time must NOT be credited
+      (2L, ts("2024-01-01 12:00:00"), 200L, "view", 0.0),
+      (2L, ts("2024-01-01 12:00:00"), 201L, "purchase", 50.0),
+      // conversion with no in-window touch: unattributable, no rows
+      (3L, ts("2024-01-01 09:00:00"), 300L, "purchase", 99.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Behavior.multiTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", "view", "purchase", windowMinutes = 60,
+        model = "linear")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // purchase 103 (value 30) splits across views 100,101,102 -> 10 each;
+    // purchase 104 (value 10) splits across views 100,101 -> 5 each
+    assert(out == Map(
+      100L -> ((2L, 15.0)), 101L -> ((2L, 15.0)), 102L -> ((1L, 10.0))))
+  }
+
+  test("multiTouchAttribution first/last: full credit to one touch, ties broken by id") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 100L, "view", 0.0),
+      (1L, ts("2024-01-01 10:20:00"), 101L, "view", 0.0),
+      (1L, ts("2024-01-01 10:30:00"), 102L, "purchase", 40.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(model: String) =
+      Behavior.multiTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", "view", "purchase", windowMinutes = 60, model)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(run("first") == Map(100L -> 40.0))
+    assert(run("last") == Map(101L -> 40.0))
+  }
+
+  test("multiTouchAttribution plan: bucketized equi-join, no cartesian") {
+    val ev = Seq((1L, ts("2024-01-01 10:10:00"), 100L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val plan = Behavior.multiTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", "view", "purchase", windowMinutes = 60)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
