@@ -1408,6 +1408,21 @@ object SparkEntry {
         .orderBy(col("touch_event"))
     }),
 
+    // ---- audio segment-energy hash through the real decoder -------------
+    "q148_audio_dhash" -> ((s, dir) => {
+      // step-amplitude sine WAVs: adjacent segment levels differ by 7 mod 9
+      // (never equal), so every energy-comparison bit is closed-form in the
+      // integer level sequence — the oracle recomputes the exact 63-bit hash
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"))
+      val levels = transform(sequence(lit(0), lit(63)),
+        j => (col("doc_id") + j * 7) % 9 + 1)
+      val media = Multimodal.withGeneratedStepWav(docs, "doc_id", levels)
+      Multimodal.dhashAudio(media, "media_bytes", "doc_id", segments = 64)
+        .select(col("id").as("doc_id"), col("ahash"), col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3427,6 +3442,16 @@ object SparkEntry {
          SELECT touch_event, user_id, count(*)::BIGINT AS n_convs,
                 round(sum(value / n), 4) AS credit
          FROM j GROUP BY touch_event, user_id ORDER BY touch_event""",
+    // Audio energy hash, derived bit by bit from the generated level
+    // sequence: bit j compares segments j+1 and j, whose integer levels
+    // are (doc_id + 7j + 7) % 9 + 1 vs (doc_id + 7j) % 9 + 1
+    "q148_audio_dhash" ->
+      """SELECT doc_id,
+                list_sum(list_transform(range(0, 63),
+                  j -> CASE WHEN (doc_id + 7*j + 7) % 9 > (doc_id + 7*j) % 9
+                       THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS ahash,
+                true AS decoded
+         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

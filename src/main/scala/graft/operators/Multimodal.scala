@@ -324,6 +324,119 @@ object Multimodal {
       .toDF(idCol, "media_bytes")
   }
 
+  /** Deterministic step-amplitude WAV synthesizer: one mono 16-bit PCM
+    * sine tone per row whose amplitude steps through `levels` (integer
+    * tenths: 1..9 → 0.1..0.9) across equal-length segments of
+    * `samplesPerSegment` samples. The audio twin of
+    * [[withGeneratedQuarterPng]]: segment energies are ordered exactly as
+    * the integer levels, so the segment-energy hash ([[dhashAudio]]) of
+    * the decoded bytes is closed-form in the level sequence. */
+  def withGeneratedStepWav(df: DataFrame, idCol: String,
+      levels: org.apache.spark.sql.Column,
+      samplesPerSegment: Int = 160, freqHz: Double = 400.0,
+      sampleRate: Int = 8000): DataFrame = {
+    require(samplesPerSegment > 0, s"samplesPerSegment must be positive: $samplesPerSegment")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), levels.cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { rows =>
+        rows.map { case (id, lv) =>
+          require(lv.nonEmpty && lv.forall(l => l >= 1 && l <= 9),
+            s"levels must be in 1..9: $lv")
+          val n = lv.size * samplesPerSegment
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val amp = lv(i / samplesPerSegment) / 10.0
+            val s = (amp * math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * 32767.0).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
+  /** Audio segment-energy difference hash — the audio analogue of the
+    * image [[dhashImages]] and the third leg of the multimodal near-dup
+    * family (text SimHash, image dHash, audio energy hash): decode the
+    * PCM payload, split the mono samples into `segments` equal blocks,
+    * set bit `j` (LSB-first) iff block `j+1` has higher mean-square
+    * energy than block `j`. Loudness-profile-preserving edits
+    * (re-encoding, small trims, volume normalization applied uniformly)
+    * keep most bits; feed to [[Dedup.hamming64Pairs]] for banded
+    * candidate generation. `segments` is capped at 64 (63 usable bits —
+    * keeps the hash non-negative on both engines). Undecodable or
+    * too-short payloads come back `decoded = false` with a null hash. */
+  def dhashAudio(df: DataFrame, bytesCol: String, idCol: String,
+      segments: Int = 64): DataFrame = {
+    require(segments >= 2 && segments <= 64,
+      s"segments must be in 2..64: $segments")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          audioDhashOne(bytes, segments) match {
+            case Some(h) => (id, Some(h), true)
+            case None => (id, Option.empty[Long], false)
+          }
+        }
+      }
+      .toDF("id", "ahash", "decoded")
+  }
+
+  private[operators] def audioDhashOne(bytes: Array[Byte], segments: Int): Option[Long] = {
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      // 16-bit signed little-endian mono PCM only (what the generators emit
+      // and the overwhelmingly common archival layout); anything else is
+      // "undecodable" for hashing purposes rather than silently wrong
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) return None
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n < segments) return None
+      val per = n / segments // trailing remainder samples ignored
+      val ms = new Array[Double](segments)
+      var seg = 0
+      while (seg < segments) {
+        var sum = 0.0
+        var i = seg * per
+        val end = i + per
+        while (i < end) {
+          val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toDouble
+          sum += s * s
+          i += 1
+        }
+        ms(seg) = sum / per
+        seg += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < segments - 1) {
+        if (ms(j + 1) > ms(j)) hash |= 1L << j
+        j += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+    finally if (ais != null) { try ais.close() catch { case _: Exception => } }
+  }
+
   /** REAL audio decode + feature extraction via `javax.sound.sampled`
     * (WAV/AIFF/AU with PCM payloads — the JVM's built-in readers): payload
     * bytes → (sample rate, channels, duration, RMS level normalized to

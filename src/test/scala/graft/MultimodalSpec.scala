@@ -215,6 +215,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!row.getBoolean(2) && row.isNullAt(1))
   }
 
+  test("dhashAudio: step-amplitude tone gives the closed-form energy hash") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 5, 3, 9, 2, 2, 8, 4)), (2L, Seq(9, 9, 9, 9, 9, 9, 9, 9)))
+      .toDF("id", "levels")
+    val media = Multimodal.withGeneratedStepWav(df, "id",
+      col("levels"), samplesPerSegment = 160)
+    val out = Multimodal.dhashAudio(media, "media_bytes", "id", segments = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def expected(lv: Seq[Int]): Long =
+      lv.sliding(2).zipWithIndex.foldLeft(0L) { case (h, (Seq(a, b), j)) =>
+        if (b > a) h | (1L << j) else h
+      }
+    assert(out(1L) == ((expected(Seq(1, 5, 3, 9, 2, 2, 8, 4)), true)))
+    assert(out(2L) == ((0L, true))) // flat loudness: no energy gradients
+  }
+
+  test("dhashAudio: undecodable or non-PCM16-mono payloads report decoded=false") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](82, 73, 70, 70, 0, 0))).toDF("id", "media_bytes")
+    val row = Multimodal.dhashAudio(junk, "media_bytes", "id").collect().head
+    assert(!row.getBoolean(2) && row.isNullAt(1))
+  }
+
   test("dhash + hamming64Pairs: identical layouts pair at distance 0") {
     import spark.implicits._
     val ids = Seq((1L, 10, 200, 30, 90), (2L, 10, 200, 30, 90), (3L, 250, 1, 250, 1))
