@@ -310,16 +310,21 @@ object CorpusStats {
     * Documents with fewer than `window + k − 1` tokens (i.e. fewer than
     * `window` k-grams) emit no rows — too short to winnow.
     *
-    * Plan shape: shingles → `posexplode` → one per-document window
-    * (`min` over `ROWS [0, window−1]`) → distinct. The only shuffles key on
-    * the document id (group size = document length — user-bounded, never
-    * corpus-bounded) and on the distinct's (id, fp) pair. */
+    * Plan shape: compiled shingle-strings kernel → `posexplode` → one
+    * per-document window (`min` over `ROWS [0, window−1]`) → distinct. The
+    * only shuffles key on the document id (group size = document length —
+    * user-bounded, never corpus-bounded) and on the distinct's (id, fp)
+    * pair. The kernel matters doubly here: the declarative
+    * `transform(sequence…, slice…)` shingle form runs its lambdas
+    * interpreted at O(tokens²) string copies per row, and this expression
+    * is evaluated twice (`size` + `posexplode`) — measured 273 s for the
+    * sf0.1 bench query vs ~3 s compiled. */
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(window >= 1, s"window must be >= 1: $window")
-    val sh = graft.functions.TextFunctions.shingles(col(textCol), k)
+    val sh = TextKernelFunctions.shingleStrings(col(textCol), k)
     val exploded = df
       .select(col(idCol).as("id"), size(sh).as("m"), posexplode(sh).as(Seq("pos", "sh")))
       .filter(col("m") >= window)
