@@ -1423,6 +1423,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-key trend slope (drift direction) --------------------------
+    "q149_trend_slope" -> ((s, dir) => {
+      // hours-since-2024-01-01 keeps x small so the intercept (= ȳ − b·x̄)
+      // does not amplify cross-engine slope ulps past the 4dp round
+      val hourly = EventsSource.read(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("x",
+          ((unix_micros(col("h")) - lit(1704067200000000L)) / lit(3600000000L))
+            .cast("double"))
+      Drift.trendSlope(hourly, Seq("event_type"), "x", "n")
+        .select(col("event_type"), col("n_points"),
+          round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 4).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- per-source duplication report ----------------------------------
+    "q150_dedup_report" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
+      Dedup.dedupReport(docs, Seq("fp"), "source")
+        .orderBy(col("source"))
+    }),
+
+    // ---- Space-Saving heavy-hitters sketch ------------------------------
+    "q151_heavy_sketch" -> ((s, dir) => {
+      // capacity 64 >> 5 distinct event types ⇒ the sketch never evicts,
+      // counts are exact and the oracle is the plain GROUP BY top-k
+      ScaleOps.heavyHittersSketch(
+          EventsSource.read(s, s"$dir/events.parquet"), "event_type",
+          k = 5, capacity = 64)
+        .orderBy(col("rank"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3452,6 +3488,41 @@ object SparkEntry {
                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS ahash,
                 true AS decoded
          FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
+    // Least-squares trend per event type over hourly counts; x is exact
+    // integer hours on both engines, regr_* aggregates match to 4dp
+    "q149_trend_slope" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         x AS (
+           SELECT event_type, n,
+                  ((epoch_us(h) - 1704067200000000) // 3600000000)::DOUBLE AS x
+           FROM h)
+         SELECT event_type, count(*)::BIGINT AS n_points,
+                round(regr_slope(n, x), 4) AS slope,
+                round(regr_intercept(n, x), 4) AS intercept,
+                round(regr_r2(n, x), 4) AS r2
+         FROM x GROUP BY event_type ORDER BY event_type""",
+    // Per-source duplication over the cross-engine md5 fingerprint
+    "q150_dedup_report" ->
+      """WITH f AS (
+           SELECT source,
+                  md5(array_to_string(
+                    CASE WHEN length(trim(text)) = 0 THEN []
+                         ELSE string_split_regex(lower(trim(text)), '\s+') END,
+                    ' ')) AS fp
+           FROM documents),
+         g AS (SELECT source, fp, count(*) AS n FROM f GROUP BY 1, 2)
+         SELECT source, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct,
+                round(1.0 - count(*)::DOUBLE / sum(n)::DOUBLE, 6) AS dup_rate
+         FROM g GROUP BY source ORDER BY source""",
+    // Sketch capacity exceeds the key cardinality ⇒ exact top-k counts
+    "q151_heavy_sketch" ->
+      """WITH c AS (SELECT event_type AS key, count(*) AS "count"
+                    FROM events GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY "count" DESC, key ASC) AS rank,
+                key, "count", 0::BIGINT AS err
+         FROM c ORDER BY "count" DESC, key ASC LIMIT 5""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -50,6 +50,25 @@ object Dedup {
     if (dupsOnly) g.filter(col("group_size") > 1) else g
   }
 
+  /** Per-slice duplication report: for each value of `groupCol`, how many
+    * rows there are, how many DISTINCT `cols` combinations they hold, and
+    * the duplication rate `1 − distinct/rows` — the ops dashboard behind a
+    * dedup pass (which source is bloated, what an exact pass would save).
+    *
+    * Two cascaded partial-aggregated groupBys (first on (group, key) —
+    * the same exchange [[exactGroups]] pays — then on the group alone);
+    * no row data is ever shuffled, only keys and counts. */
+  def dedupReport(df: DataFrame, cols: Seq[String], groupCol: String): DataFrame = {
+    require(cols.nonEmpty, "at least one dedup key column required")
+    df.groupBy((groupCol +: cols).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_distinct"))
+      .select(col(groupCol), col("n_rows"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_rows").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   /** Line-level exact dedup across the corpus (the CCNet / RefinedWeb
     * boilerplate pass): any line whose document frequency (count of
     * DISTINCT docs containing it byte-for-byte) exceeds `maxLineDocFreq`

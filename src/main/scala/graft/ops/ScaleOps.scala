@@ -201,4 +201,24 @@ object ScaleOps {
       .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_matched"),
         col("est_rows"), col("max_fanout"), col("mean_fanout"))
   }
+
+  /** Heavy hitters via the Space-Saving sketch
+    * ([[graft.functions.kernels.SpaceSavingAgg]]) — [[heavyHitters]] with
+    * HARD-BOUNDED state: the exact form's shuffle carries one row per
+    * distinct key per partition (unbounded for URL/id-cardinality keys);
+    * the sketch ships ≤ `capacity` counters per partition and merges
+    * map-side, trading exactness for a fixed memory/exchange budget.
+    * Output: `(rank, key, count, err)` for the top `k` tracked keys —
+    * `count` is an upper bound, `count − err` a lower bound, and when the
+    * key cardinality is ≤ `capacity` the counts are exact (`err` 0). */
+  def heavyHittersSketch(df: DataFrame, keyCol: String,
+      k: Int = 20, capacity: Int = 1024): DataFrame = {
+    require(k >= 1 && k <= capacity, s"need 1 <= k ($k) <= capacity ($capacity)")
+    df.agg(graft.functions.kernels.SpaceSavingAgg.sketch(col(keyCol), capacity)
+        .as("sk"))
+      .select(posexplode(col("sk")).as(Seq("i", "e")))
+      .filter(col("i") < k)
+      .select((col("i") + 1).as("rank"), col("e.key").as("key"),
+        col("e.count").as("count"), col("e.err").as("err"))
+  }
 }

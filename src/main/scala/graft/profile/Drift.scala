@@ -120,4 +120,23 @@ object Drift {
       .agg(max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
         round(max("_d"), 6).as("ks"))
   }
+
+  /** Per-key least-squares trend: slope, intercept and R² of `yCol` over
+    * `xCol` within each key group — the drift DIRECTION detector that
+    * complements the distribution tests (PSI/KS say "changed"; the slope
+    * says "rising or falling, and how fast"). Built on Spark's native
+    * `regr_*` aggregates (codegen'd, single-pass, partial-aggregated):
+    * one shuffle keyed by `keyCols`, O(#keys) output. Groups with fewer
+    * than 2 distinct x values have undefined slope — their row reports
+    * NULLs (native regr_* semantics on both engines). */
+  def trendSlope(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        regr_slope(col(yCol), col(xCol)).as("slope"),
+        regr_intercept(col(yCol), col(xCol)).as("intercept"),
+        regr_r2(col(yCol), col(xCol)).as("r2"))
+  }
 }

@@ -20,6 +20,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out.filter($"doc_id" === 2).isEmpty) // 1 < 2 wins
   }
 
+  test("dedupReport: per-slice rows, distinct keys and dup rate") {
+    val df = Seq(
+      ("web", "x"), ("web", "x"), ("web", "x"), ("web", "y"),
+      ("book", "p"), ("book", "q")).toDF("source", "fp")
+    val out = graft.operators.Dedup.dedupReport(df, Seq("fp"), "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("web") == ((4L, 2L, 0.5)))
+    assert(out("book") == ((2L, 2L, 0.0)))
+  }
+
   test("exact groups report keeper and size") {
     val g = Dedup.exactGroups(docs, Seq("text"), "doc_id", dupsOnly = true).collect()
     assert(g.length == 1)

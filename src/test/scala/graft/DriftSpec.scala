@@ -111,4 +111,21 @@ class DriftSpec extends SparkSpecBase {
     assert(!out.contains("only_a"), "one-sided group must be excluded")
   }
 
+  test("trendSlope recovers an exact linear trend per key") {
+    val df = (0 until 10).flatMap { x =>
+      Seq(("up", x.toDouble, 2.0 * x + 1.0), ("flat", x.toDouble, 5.0))
+    }.toDF("k", "x", "y")
+    val out = graft.profile.Drift.trendSlope(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n, slope, icept) = out("up")
+    assert(n == 10L && math.abs(slope - 2.0) < 1e-9 && math.abs(icept - 1.0) < 1e-9)
+    assert(math.abs(out("flat")._2) < 1e-9) // zero slope
+  }
+
+  test("trendSlope: a single-x group has undefined slope (NULL)") {
+    val df = Seq(("k1", 1.0, 3.0), ("k1", 1.0, 7.0)).toDF("k", "x", "y")
+    val row = graft.profile.Drift.trendSlope(df, Seq("k"), "x", "y").collect().head
+    assert(row.isNullAt(2)) // var(x) = 0 -> NULL, native regr_slope semantics
+  }
 }

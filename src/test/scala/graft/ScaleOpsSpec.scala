@@ -157,4 +157,30 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(plan.contains("might_contain"), s"expected bloom predicate in plan:\n$plan")
     assert(!plan.contains("Exchange"), s"prefilter must run scan-side:\n$plan")
   }
+
+  test("heavyHittersSketch: exact mode (capacity >= cardinality) equals groupBy") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(5)("d")).toDF("k").repartition(7) // multi-partition: merge path runs
+    val out = ScaleOps.heavyHittersSketch(df, "k", k = 3, capacity = 16)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", 50L, 0L), (2, "b", 30L, 0L), (3, "c", 20L, 0L)))
+  }
+
+  test("heavyHittersSketch: under eviction the heavy key survives with valid bounds") {
+    // one dominant key among many singletons, tiny capacity, one partition
+    // (deterministic eviction order for the assertion on bounds)
+    val df = (Seq.fill(100)("hot") ++ (1 to 60).map(i => s"cold_$i"))
+      .toDF("k").coalesce(1)
+    val out = ScaleOps.heavyHittersSketch(df, "k", k = 1, capacity = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    // hot's true count is 100: count is an upper bound, count - err a lower
+    assert(out._1 == "hot" && out._2 >= 100L && out._2 - out._3 <= 100L)
+  }
+
+  test("heavyHittersSketch: null keys are not counted") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("k")
+    val out = ScaleOps.heavyHittersSketch(df, "k", k = 5, capacity = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
 }
