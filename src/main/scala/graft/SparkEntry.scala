@@ -1459,6 +1459,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- per-dimension embedding statistics -----------------------------
+    "q152_dim_stats" -> ((s, dir) => {
+      Similarity.dimStats(read(s, dir, "embeddings"), "embedding")
+        .select(col("dim"), col("n"), round(col("mean"), 4).as("mean"),
+          round(col("std"), 4).as("std"),
+          round(col("min"), 4).as("min"), round(col("max"), 4).as("max"))
+        .orderBy(col("dim"))
+    }),
+
+    // ---- dimension-wise z-normalization ---------------------------------
+    "q153_znorm_dims" -> ((s, dir) => {
+      Similarity.zNormalizeDims(read(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), posexplode(col("znorm")).as(Seq("dim", "z")))
+        // + 0.0 canonicalizes IEEE −0.0 (a tiny negative z rounds to −0.0
+        // here but to 0 in DuckDB's formatter)
+        .select(col("vec_id"), col("dim"), (round(col("z"), 4) + lit(0.0)).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3523,6 +3542,32 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY "count" DESC, key ASC) AS rank,
                 key, "count", 0::BIGINT AS err
          FROM c ORDER BY "count" DESC, key ASC LIMIT 5""",
+    // Per-dimension stats over unnested (dim, value) pairs; float→double
+    // widening is exact on both engines, aggregates round at 4dp
+    "q152_dim_stats" ->
+      """WITH e AS (
+           SELECT u.d AS dim, u.v AS v FROM (
+             SELECT unnest(list_transform(range(1, len(embedding) + 1),
+               i -> struct_pack(d := i - 1, v := embedding[i]::DOUBLE))) AS u
+             FROM embeddings))
+         SELECT dim, count(*)::BIGINT AS n, round(avg(v), 4) AS mean,
+                round(stddev_pop(v), 4) AS std,
+                round(min(v), 4) AS min, round(max(v), 4) AS max
+         FROM e GROUP BY dim ORDER BY dim""",
+    // Same per-dim moments joined back: z = (v - mean)/std, 0 for constant
+    // dims, long-form output for the hash compare
+    "q153_znorm_dims" ->
+      """WITH e AS (
+           SELECT vec_id, u.d AS dim, u.v AS v FROM (
+             SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+               i -> struct_pack(d := i - 1, v := embedding[i]::DOUBLE))) AS u
+             FROM embeddings)),
+         s AS (SELECT dim, avg(v) AS m, stddev_pop(v) AS sd FROM e GROUP BY dim)
+         SELECT e.vec_id, e.dim,
+                round(CASE WHEN s.sd > 0 THEN (e.v - s.m) / s.sd ELSE 0.0 END, 4)
+                  + 0.0 AS z
+         FROM e JOIN s ON e.dim = s.dim
+         ORDER BY e.vec_id, e.dim""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

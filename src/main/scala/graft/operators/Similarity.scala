@@ -194,6 +194,52 @@ object Similarity {
         x => x.getField("m")).as("centroid"))
   }
 
+  /** Per-dimension statistics of an embedding column — the collapsed-dim /
+    * dead-unit / scale-drift monitor for vector pipelines (a dimension
+    * whose stddev ≈ 0 carries no information; one whose mean drifts
+    * between snapshots signals an encoder change). Output: one row per
+    * dimension index (0-based) — `(dim, n, mean, std, min, max)` with
+    * population stddev.
+    *
+    * Plan: `posexplode` → one hash aggregation keyed by `dim`; partial
+    * aggregation collapses each partition to ≤ `dims` rows before the
+    * shuffle, so exchange volume is dimension-bounded, never
+    * corpus-bounded. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("__v")).as("mean"),
+        stddev_pop(col("__v")).as("std"),
+        min(col("__v")).as("min"), max(col("__v")).as("max"))
+
+  /** Dimension-wise z-normalization: `(vᵢ − meanᵢ) / stdᵢ` per dimension
+    * over the whole corpus (constant dimensions map to 0) — the standard
+    * whitening-lite preprocessing before clustering or quantization when
+    * dimensions carry wildly different scales.
+    *
+    * The stats reduce to ONE broadcast row of two `dims`-length arrays
+    * ([[dimStats]] + an ordered collect per array), so the normalization
+    * pass is a zero-shuffle projection over the corpus (`zip_with` —
+    * codegen'd higher-order functions, no UDF). */
+  def zNormalizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = dimStats(df, vecCol)
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("__means"),
+        transform(array_sort(collect_list(struct(col("dim"), col("std")))),
+          x => x.getField("std")).as("__stds"))
+    df.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        zip_with(
+          zip_with(transform(col("__vec"), v => v.cast("double")), col("__means"),
+            (v, m) => v - m),
+          col("__stds"),
+          (d, s) => when(s > 0.0, d / s).otherwise(lit(0.0))).as("znorm"))
+  }
+
   /** Pairwise cosine between group centroids — the source/language drift
     * matrix (two sources whose centroids sit at cosine ≈ 1 carry
     * near-identical content; a centroid drifting away from its historical

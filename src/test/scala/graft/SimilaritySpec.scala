@@ -176,4 +176,34 @@ class SimilaritySpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
   }
+
+  test("dimStats: per-dimension moments match hand computation") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f, 5.0f)),
+      (2L, Seq(3.0f, 10.0f, 7.0f))).toDF("id", "vec")
+    val out = Similarity.dimStats(df, "vec")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(0) == ((2L, 2.0, 1.0, 1.0, 3.0)))  // mean 2, pop-std 1
+    assert(out(1) == ((2L, 10.0, 0.0, 10.0, 10.0))) // collapsed dimension
+    assert(out(2) == ((2L, 6.0, 1.0, 5.0, 7.0)))
+  }
+
+  test("zNormalizeDims: z-scores per dim; constant dims map to 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(3.0f, 10.0f))).toDF("id", "vec")
+    val out = Similarity.zNormalizeDims(df, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(-1.0, 0.0))
+    assert(out(2L) == Seq(1.0, 0.0))
+  }
+
+  test("zNormalizeDims plan: stats broadcast, normalization is a projection") {
+    val df = spark.read.parquet(sf("embeddings"))
+    val plan = Similarity.zNormalizeDims(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"stats row must broadcast:\n$plan")
+  }
 }
