@@ -43,6 +43,28 @@ object SparkEntry {
   private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     round(sum(c.cast("decimal(18,4)")), scale).cast("double")
 
+  /** Shared q17/q154 output contract: one row per profiled column with the
+    * rounded numeric profile (the batched-merge path must be
+    * value-identical to the single-pass path). */
+  private def profileStatsDf(s: SparkSession,
+      p: ColumnProfiler.TableProfile, cols: Seq[String]): DataFrame = {
+    val rows = cols.map { c =>
+      val v = p.variables(c)
+      (c, v.n, v.nMissing, v.nDistinct,
+        BigDecimal(v.mean.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(v.std.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double],
+        BigDecimal(v.p25.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(v.p50.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(v.p75.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        v.hist.get.mkString(","))
+    }
+    import s.implicits._
+    rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std",
+        "min_val", "max_val", "p25", "p50", "p75", "hist")
+      .orderBy(col("column_name"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     FilterOps.filter(
@@ -200,22 +222,16 @@ object SparkEntry {
     // ---- profiling / compare (A1, C1) -----------------------------------
     "q17_profile_stats" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val p = ColumnProfiler.profile(read(s, dir, "lineitem"), Some(cols))
-      val rows = cols.map { c =>
-        val v = p.variables(c)
-        (c, v.n, v.nMissing, v.nDistinct,
-          BigDecimal(v.mean.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(v.std.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          v.min.get.asInstanceOf[Double], v.max.get.asInstanceOf[Double],
-          BigDecimal(v.p25.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(v.p50.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(v.p75.get).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          v.hist.get.mkString(","))
-      }
-      import s.implicits._
-      rows.toDF("column_name", "n", "n_missing", "n_distinct", "mean", "std",
-          "min_val", "max_val", "p25", "p50", "p75", "hist")
-        .orderBy(col("column_name"))
+      profileStatsDf(s, ColumnProfiler.profile(read(s, dir, "lineitem"), Some(cols)), cols)
+    }),
+    "q154_profile_batched" -> ((s, dir) => {
+      // the reference's chunked path: column batches profiled independently
+      // and merged (TableProfile.merge) must agree with q17's single-pass
+      // profile — same output contract, same oracle
+      val df = read(s, dir, "lineitem")
+      val p = ColumnProfiler.profile(df, Some(Seq("l_quantity")))
+        .merge(ColumnProfiler.profile(df, Some(Seq("l_extendedprice", "l_discount"))))
+      profileStatsDf(s, p, Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
     "q18_compare_diff" -> ((s, dir) => {
       val o = read(s, dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -1785,6 +1801,29 @@ object SparkEntry {
     * operator whose output provably equals exact search: q21 (brute force
     * by definition), q29 (LSH net verified 100%-recall at oracle scale),
     * q40 (IVF with nProbe = numLists probes every list). */
+  /** q17/q154 oracle: the exact numeric profile re-derived per column. */
+  private lazy val profileStatsSql: String = {
+    def block(c: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n,
+          count(*) - count($c) AS n_missing,
+          count(DISTINCT $c) AS n_distinct,
+          round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std,
+          min($c) AS min_val, max($c) AS max_val,
+          round(quantile_cont($c, 0.25), 4) AS p25,
+          round(quantile_cont($c, 0.5), 4) AS p50,
+          round(quantile_cont($c, 0.75), 4) AS p75,
+          (WITH mm AS (SELECT min($c) lo, max($c) hi FROM lineitem),
+            cnts AS (SELECT least(9, greatest(0, CAST(floor(($c - lo)
+                       / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) * 10) AS INT))) AS b,
+                     count(*) AS cn
+                     FROM lineitem, mm WHERE $c IS NOT NULL GROUP BY 1)
+            SELECT string_agg(COALESCE(cn, 0)::VARCHAR, ',' ORDER BY r.range)
+            FROM range(10) r LEFT JOIN cnts ON cnts.b = r.range) AS hist
+          FROM lineitem"""
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(block)
+      .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
+  }
+
   private val knnExactSql: String =
     """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -1921,27 +1960,9 @@ object SparkEntry {
     // bucket = least(9, greatest(0, floor((v-lo)/width*10))), zero-filled
     // via the range(10) left join, identical IEEE double arithmetic on
     // both engines
-    "q17_profile_stats" -> {
-      def block(c: String) =
-        s"""SELECT '$c' AS column_name, count(*) AS n,
-            count(*) - count($c) AS n_missing,
-            count(DISTINCT $c) AS n_distinct,
-            round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std,
-            min($c) AS min_val, max($c) AS max_val,
-            round(quantile_cont($c, 0.25), 4) AS p25,
-            round(quantile_cont($c, 0.5), 4) AS p50,
-            round(quantile_cont($c, 0.75), 4) AS p75,
-            (WITH mm AS (SELECT min($c) lo, max($c) hi FROM lineitem),
-              cnts AS (SELECT least(9, greatest(0, CAST(floor(($c - lo)
-                         / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) * 10) AS INT))) AS b,
-                       count(*) AS cn
-                       FROM lineitem, mm WHERE $c IS NOT NULL GROUP BY 1)
-              SELECT string_agg(COALESCE(cn, 0)::VARCHAR, ',' ORDER BY r.range)
-              FROM range(10) r LEFT JOIN cnts ON cnts.b = r.range) AS hist
-            FROM lineitem"""
-      Seq("l_quantity", "l_extendedprice", "l_discount").map(block)
-        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
-    },
+    "q17_profile_stats" -> profileStatsSql,
+    // batched-merge profiling must be value-identical to the single pass
+    "q154_profile_batched" -> profileStatsSql,
     "q18_compare_diff" ->
       """SELECT
          ((SELECT count(*) FROM orders WHERE o_totalprice > 100000)
