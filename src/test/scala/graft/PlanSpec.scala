@@ -190,4 +190,35 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters") && p.contains("In(event_type"))
     assert(p.contains("funnel_depth_within"), s"kernel missing from plan:\n$p")
   }
+
+  test("char-LM scoring broadcasts both model probes; no corpus-side shuffle join") {
+    val p = plan("q145_charlm_score")
+    assert(p.contains("BroadcastHashJoin"), s"LM probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the LM join:\n$p")
+  }
+
+  test("fuzzy linkage joins on the blocking key — no cartesian, no nested loop") {
+    val p = plan("q142_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked join must be an equi-join:\n$p")
+  }
+
+  test("heavy-hitters sketch aggregates partially (map-side combine)") {
+    val p = plan("q151_heavy_sketch")
+    assert(p.contains("partial_space_saving_sketch"),
+      s"sketch must combine map-side before the exchange:\n$p")
+  }
+
+  test("multi-touch attribution candidates come from an equi-join on the bucket") {
+    val p = plan("q147_multitouch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucketize to an equi-join:\n$p")
+  }
+
+  test("winnowing shuffles are keyed (doc window + fp distinct), kernel in plan") {
+    val p = plan("q143_winnow")
+    assert(p.contains("shingle_strings"), s"compiled shingle kernel missing:\n$p")
+    assert(!p.toLowerCase.contains("arrayfilter") && !p.toLowerCase.contains("arraytransform"),
+      s"no interpreted lambda may remain in the winnow path:\n$p")
+  }
 }
