@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.functions.{TextClean, TextFunctions, VectorFunctions}
 import graft.ops.{AggOps, LayoutOps, QualityOps, ScaleOps}
 import graft.profile.Drift
@@ -85,4 +85,6 @@ object Corpus {
   val drift: Drift.type = Drift
   /** OLAP reshaping: rollup subtotal reports, pivot cross-tabs. */
   val olap: AggOps.type = AggOps
+  /** Fuzzy record linkage: blocked edit-distance joins. */
+  val linkage: Linkage.type = Linkage
 }
