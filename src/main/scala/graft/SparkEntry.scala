@@ -1494,6 +1494,21 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // ---- image near-dup end-to-end (decode → dHash → banded pairs) ------
+    "q155_image_neardup" -> ((s, dir) => {
+      // same 4-tone layout as q146; hamming 0 pairs = identical tone
+      // orderings, so the oracle derives the pair set arithmetically
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 120)
+        .select(col("doc_id"))
+      val media = Multimodal.withGeneratedQuarterPng(docs, "doc_id", 16, 8,
+        col("doc_id") % 256, (col("doc_id") * 3 + 17) % 256,
+        (col("doc_id") * 5 + 89) % 256, (col("doc_id") * 11 + 201) % 256)
+      val hashes = Multimodal.dhashImages(media, "media_bytes", "doc_id")
+      Dedup.hamming64Pairs(hashes, "id", "dhash", maxHamming = 0, numChunks = 1)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3589,6 +3604,18 @@ object SparkEntry {
                   + 0.0 AS z
          FROM e JOIN s ON e.dim = s.dim
          ORDER BY e.vec_id, e.dim""",
+    // Identical-hash image pairs derived from the q146 closed form: two
+    // images collide iff their three tone-order predicates agree
+    "q155_image_neardup" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  ((CASE WHEN (doc_id*3+17) % 256 > doc_id % 256 THEN 2 ELSE 0 END) +
+                   (CASE WHEN (doc_id*5+89) % 256 > (doc_id*3+17) % 256 THEN 8 ELSE 0 END) +
+                   (CASE WHEN (doc_id*11+201) % 256 > (doc_id*5+89) % 256 THEN 96 ELSE 0 END)) AS rb
+           FROM documents WHERE doc_id <= 120)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM p a JOIN p b ON a.rb = b.rb AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

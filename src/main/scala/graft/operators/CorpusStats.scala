@@ -325,15 +325,17 @@ object CorpusStats {
     require(k >= 1, s"k must be >= 1: $k")
     require(window >= 1, s"window must be >= 1: $window")
     val sh = TextKernelFunctions.shingleStrings(col(textCol), k)
+    // single kernel evaluation: the k-gram count m rides the window's own
+    // (id)-partition as a second frame over the exchange the sliding min
+    // already pays — no size(sh) re-evaluation, no extra shuffle
     val exploded = df
-      .select(col(idCol).as("id"), size(sh).as("m"), posexplode(sh).as(Seq("pos", "sh")))
-      .filter(col("m") >= window)
-      .select(col("id"), col("m"), col("pos"),
-        md5(encode(col("sh"), "UTF-8")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+      .select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), md5(encode(col("sh"), "UTF-8")).as("h"))
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val w = byId.orderBy("pos").rowsBetween(0, window - 1)
     exploded
       .withColumn("fp", min(col("h")).over(w))
+      .withColumn("m", count(lit(1)).over(byId))
       .filter(col("pos") <= col("m") - window) // complete windows only
       .select(col("id"), col("fp"))
       .distinct()
