@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.frame.CalculatedColumn
+import graft.io.ParquetIO
 import graft.functions.{TextClean, TextFunctions}
 import graft.functions.kernels.VectorKernelFunctions
 import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
@@ -1507,6 +1508,17 @@ object SparkEntry {
       Dedup.hamming64Pairs(hashes, "id", "dhash", maxHamming = 0, numChunks = 1)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- row-group pruning audit (footer stats vs the data) -------------
+    "q156_rowgroup_stats" -> ((s, dir) => {
+      // numeric footer min/max must equal the data's min/max — two
+      // independent parquet readers agreeing; the [100, 200] quantity
+      // predicate is provably skippable (column max is 50)
+      ParquetIO.rowGroupStats(s, s"$dir/lineitem.parquet",
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          predicate = Some(("l_quantity", 100.0, 200.0)))
+        .orderBy(col("column_name"), col("row_group"))
     }),
 
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
@@ -3616,6 +3628,26 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM p a JOIN p b ON a.rb = b.rb AND a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+    // Footer stats re-derived from the data (single row group at oracle
+    // scale — pyarrow's default row-group size far exceeds sf0.01):
+    // numeric footer min/max are untruncated, so equality is exact
+    "q156_rowgroup_stats" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS column_name, 0 AS row_group,
+                  count(*)::BIGINT AS n_values,
+                  min(l_quantity)::DOUBLE AS min_val,
+                  max(l_quantity)::DOUBLE AS max_val,
+                  (max(l_quantity) < 100.0 OR min(l_quantity) > 200.0) AS would_skip
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', 0, count(*)::BIGINT,
+                  min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE, NULL
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', 0, count(*)::BIGINT,
+                  min(l_discount)::DOUBLE, max(l_discount)::DOUBLE, NULL
+           FROM lineitem) t
+         ORDER BY column_name, row_group""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -95,6 +95,51 @@ object ParquetIO {
     } finally r.close()
   }
 
+  /** Per-row-group numeric statistics straight from the footer — the
+    * partition-pruning audit. For each requested column and row group:
+    * `(column_name, row_group, n_values, min_val, max_val, would_skip)`
+    * where `would_skip` (predicate column only, NULL elsewhere) reports
+    * whether a reader evaluating `lo <= col <= hi` could skip the whole
+    * row group on stats alone (`max < lo || min > hi`). This is how you
+    * audit whether a Z-order/sort layout actually makes predicates
+    * prunable — footer-only, zero data read, driver-side metadata scale
+    * (the same contract as [[footer]]). */
+  def rowGroupStats(spark: SparkSession, path: String, columns: Seq[String],
+      predicate: Option[(String, Double, Double)] = None): org.apache.spark.sql.DataFrame = {
+    require(columns.nonEmpty, "at least one column required")
+    val r = footerReader(spark.sparkContext.hadoopConfiguration, path)
+    val rows = try {
+      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, rg) =>
+        block.getColumns.asScala
+          .filter(c => columns.contains(c.getPath.toDotString))
+          .map { c =>
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            def num(v: Any): Double = v match {
+              // + 0.0 canonicalizes IEEE −0.0: parquet writers widen a 0.0
+              // min bound to −0.0 per spec recommendation, and ±0 are
+              // equivalent for range pruning
+              case n: java.lang.Number => n.doubleValue() + 0.0
+              case other => throw new IllegalArgumentException(
+                s"column $name is not numeric (footer min/max: ${other.getClass.getSimpleName})")
+            }
+            val (mn, mx) =
+              if (st == null || !st.hasNonNullValue) (None, None)
+              else (Some(num(st.genericGetMin)), Some(num(st.genericGetMax)))
+            val skip = predicate.collect { case (pc, lo, hi) if pc == name =>
+              (mn, mx) match {
+                case (Some(a), Some(b)) => b < lo || a > hi
+                case _ => false // stats-less chunk: a reader must read it
+              }
+            }
+            (name, rg, c.getValueCount, mn, mx, skip)
+          }
+      }
+    } finally r.close()
+    import spark.implicits._
+    rows.toDF("column_name", "row_group", "n_values", "min_val", "max_val", "would_skip")
+  }
+
   private def footerReader(conf: Configuration, path: String): ParquetFileReader = {
     val p = resolveDataFile(conf, new Path(path))
     ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))

@@ -115,4 +115,36 @@ class UtilitiesSpec extends SparkSpecBase {
     val text = new String(java.nio.file.Files.readAllBytes(extracted.head), "UTF-8")
     assert(text == "seven zip payload")
   }
+
+  test("rowGroupStats: footer min/max/count per row group, predicate skip verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("rgstats")
+    // small row groups force multiple groups in one file
+    (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).sort("id")
+      .write.option("parquet.block.size", "4096").mode("overwrite")
+      .parquet(s"$dir/t")
+    val out = graft.io.ParquetIO.rowGroupStats(spark, s"$dir/t", Seq("v"),
+      predicate = Some(("v", 1.0, 5.0)))
+    val rows = out.orderBy(col("row_group")).collect().map(r =>
+      (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length > 1, "expected multiple row groups")
+    assert(rows.map(_._2).sum == 1000L)
+    // row groups are sorted by id (= v): only the first can match [1, 5]
+    assert(!rows.head._5 && rows.tail.forall(_._5))
+    assert(rows.head._3 == 1.0 && rows.last._4 == 1000.0)
+    // non-overlapping, covering ranges
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) case _ => }
+  }
+
+  test("rowGroupStats rejects non-numeric columns with a clear error") {
+    import spark.implicits._
+    val dir = tmpDir("rgstats2")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(s"$dir/t")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.ParquetIO.rowGroupStats(spark, s"$dir/t", Seq("s")).collect()
+    }
+    assert(e.getMessage.contains("not numeric"))
+  }
 }
