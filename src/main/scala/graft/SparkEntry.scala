@@ -1521,6 +1521,16 @@ object SparkEntry {
         .orderBy(col("column_name"), col("row_group"))
     }),
 
+    // ---- hard-negative mining (contrastive training prep) ---------------
+    "q157_hard_negatives" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+        .select(col("anchor_id"), col("anchor_label"), col("nbr_id"),
+          col("nbr_label"), round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3648,6 +3658,23 @@ object SparkEntry {
                   min(l_discount)::DOUBLE, max(l_discount)::DOUBLE, NULL
            FROM lineitem) t
          ORDER BY column_name, row_group""",
+    // Exact top-5 different-label neighbors per anchor in DuckDB
+    "q157_hard_negatives" ->
+      """SELECT anchor_id, anchor_label, nbr_id, nbr_label,
+                round(cos, 4) AS cosine, rank
+         FROM (
+           SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                  c.vec_id AS nbr_id, c.label AS nbr_label,
+                  list_cosine_similarity(a.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]) AS cos,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) a
+           WHERE c.label <> a.label) t
+         WHERE rank <= 5 ORDER BY anchor_id, rank""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

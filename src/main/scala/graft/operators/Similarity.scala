@@ -53,6 +53,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually teach the model (random negatives are
+    * trivially separable; the near-miss ones define the decision
+    * boundary). Output: `(anchor_id, anchor_label, nbr_id, nbr_label,
+    * cosine, rank)`.
+    *
+    * Same plan shape as [[bruteForceTopK]] (anchors broadcast, corpus
+    * scanned once through the compiled cosine kernel, one shuffle keyed
+    * by anchor id) with the label-inequality filter applied BEFORE the
+    * rank window, so positives never occupy candidate slots. For
+    * corpus-scale anchor sets, run per anchor batch — exactly how
+    * contrastive pipelines batch their epochs anyway. */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String, corpusLabel: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String, anchorLabel: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val c = corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("nbr_vec"),
+      col(corpusLabel).as("nbr_label"))
+    val a = anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("anchor_vec"),
+      col(anchorLabel).as("anchor_label"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("nbr_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("nbr_id"), col("nbr_label"),
+        VectorKernelFunctions.cosineSimilarity(col("anchor_vec"), col("nbr_vec")).as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share at least one band bucket with the
     * query, re-ranked by exact cosine. Recall is tuned by
     * (numBits, numBands): more bands → more probes → higher recall. */

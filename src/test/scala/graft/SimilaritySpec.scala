@@ -177,6 +177,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
   }
 
+  test("hardNegatives: nearest different-label vectors only, positives excluded") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),   // anchor
+      (2L, Seq(0.99f, 0.1f), "A"),  // near-identical but SAME label: excluded
+      (3L, Seq(0.9f, 0.4f), "B"),   // nearest different-label
+      (4L, Seq(0.0f, 1.0f), "B"),   // orthogonal different-label
+      (5L, Seq(-1.0f, 0.0f), "C")   // opposite
+    ).toDF("id", "vec", "lab")
+    val anchors = corpus.filter($"id" === 1L)
+    val out = Similarity.hardNegatives(corpus, "id", "vec", "lab",
+        anchors, "id", "vec", "lab", k = 2)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(2), r.getString(3), r.getInt(5)))
+    assert(out.toSeq == Seq((3L, "B", 1), (4L, "B", 2)))
+  }
+
   test("dimStats: per-dimension moments match hand computation") {
     val df = Seq(
       (1L, Seq(1.0f, 10.0f, 5.0f)),
