@@ -1531,6 +1531,22 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("rank"))
     }),
 
+    // ---- sliding-window aggregation (overlapping windows) ---------------
+    "q158_sliding_hours" -> ((s, dir) => {
+      EventStream.slidingAggBatch(
+          EventsSource.read(s, s"$dir/events.parquet"),
+          windowHours = 2, slideHours = 1)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // ---- tokenizer fertility per language -------------------------------
+    "q159_fertility" -> ((s, dir) => {
+      CorpusStats.tokenizerFertility(read(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3675,6 +3691,35 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) a
            WHERE c.label <> a.label) t
          WHERE rank <= 5 ORDER BY anchor_id, rank""",
+    // Overlapping epoch-aligned 2h/1h windows: each event contributes to
+    // exactly the two windows starting at trunc(h) and trunc(h) − 1h
+    "q158_sliding_hours" ->
+      """WITH x AS (
+           SELECT date_trunc('hour', ts) AS h0, event_type, value FROM events),
+         w AS (
+           SELECT h0 AS ws, event_type, value FROM x
+           UNION ALL
+           SELECT h0 - INTERVAL 1 HOUR, event_type, value FROM x)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+                count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+         FROM w GROUP BY ws, event_type ORDER BY win_start, event_type""",
+    // Words via \s+ tokens, subwords via the q27 lookaround-free transition
+    // mirror; fertility on the exact integer sums
+    "q159_fertility" ->
+      """WITH t AS (
+           SELECT lang,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      x -> len(x) > 0)) AS nw,
+                  len(list_filter(regexp_split_to_array(
+                      regexp_replace(regexp_replace(lower(trim(text)),
+                        '(\pL)(\pN)', '\1 \2', 'g'), '(\pN)(\pL)', '\1 \2', 'g'),
+                      '[^\pL\pN]+'), x -> len(x) > 0)) AS ns
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
+                sum(ns)::BIGINT AS n_subwords,
+                CASE WHEN sum(nw) > 0
+                     THEN round(sum(ns)::DOUBLE / sum(nw)::DOUBLE, 4) END AS fertility
+         FROM t GROUP BY lang ORDER BY lang""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

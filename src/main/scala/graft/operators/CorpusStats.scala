@@ -295,6 +295,26 @@ object CorpusStats {
       .agg(count(col("gram")).as("n_grams"), avg(nll).as("avg_nll"))
   }
 
+  /** Tokenizer-fertility report per group (usually per language): words,
+    * subword pieces (BPE-proxy [[graft.functions.TextFunctions.subwordCount]])
+    * and `fertility = subwords/words` — the metric multilingual mixes are
+    * budgeted with (a language at fertility 2.3 consumes 2.3× the token
+    * budget of its word count; token-equal mixing must divide by it).
+    * Zero-shuffle projections (compiled kernels) + one partial-aggregated
+    * groupBy on the group key. */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = graft.functions.TextFunctions
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(t.tokenCount(col(textCol)).cast("long")).as("n_words"),
+        sum(t.subwordCount(col(textCol)).cast("long")).as("n_subwords"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_subwords"),
+        when(col("n_words") > 0,
+          round(col("n_subwords").cast("double") / col("n_words").cast("double"), 4))
+          .as("fertility"))
+  }
+
   /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every word `k`-gram in document
     * order, slide a window of `window` consecutive hashes, keep each

@@ -25,6 +25,26 @@ object EventStream {
         round(sum(col("value")), 4).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
 
+  /** Sliding-window aggregation (batch): overlapping epoch-aligned windows
+    * of `windowHours` sliding every `slideHours` — each event lands in
+    * `windowHours / slideHours` windows (the moving-average view the
+    * tumbling [[hourlyAggBatch]] can't give). Output keyed by the window
+    * START timestamp. Spark expands the slide assignments inline
+    * (no self-union), then one partial-aggregated shuffle. */
+  def slidingAggBatch(events: DataFrame, windowHours: Int = 2,
+      slideHours: Int = 1): DataFrame = {
+    require(windowHours >= 1 && slideHours >= 1 && windowHours % slideHours == 0,
+      s"need windowHours ($windowHours) a positive multiple of slideHours ($slideHours)")
+    events.groupBy(
+        window(col("ts"), s"$windowHours hours", s"$slideHours hours").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming form: parquet source, 1-hour watermark, append mode. The
     * window column is kept as (start, end) struct per streaming semantics. */
   def hourlyAggStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =

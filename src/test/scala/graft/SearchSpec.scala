@@ -237,6 +237,21 @@ class SearchSpec extends SparkSpecBase {
     assert(CorpusStats.winnowCandidates(df, "id", "text", k = 3, window = 4).isEmpty)
   }
 
+  test("tokenizerFertility: subwords per word per group; zero-word group is NULL") {
+    val df = Seq(
+      ("en", "hello world42 foo"),   // 3 words; subwords: hello, world, 42, foo = 4
+      ("en", "plain words here"),    // 3 words, 3 subwords
+      ("zz", "!!! ...")              // 2 \s+-tokens but 0 words? tokens are "!!!","..." -> words=2, subwords=0
+    ).toDF("lang", "text")
+    val out = CorpusStats.tokenizerFertility(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("en") == ((2L, 6L, 7L, Some(BigDecimal(7.0 / 6.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(out("zz")._3 == 0L) // punctuation-only: no letter/number runs
+  }
+
   test("charNgrams kernel: ASCII strip-then-lower normalization, ordered multiset") {
     val df = Seq((1L, "Héllo, World42!")).toDF("id", "text")
     val grams = df.select(explode(

@@ -160,4 +160,24 @@ class StreamingSpec extends SparkSpecBase {
     val missing = batch.exceptAll(streamed).count()
     assert(missing == 0, s"stream failed to emit $missing closed pairs")
   }
+
+  test("slidingAggBatch: every event lands in exactly window/slide windows") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), "view", 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:45:00"), "view", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = graft.streaming.EventStream.slidingAggBatch(ev, 2, 1)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
+    // event 1 → windows starting 09:00, 10:00; event 2 → 10:00, 11:00;
+    // the 10:00 window holds both
+    assert(out == Set(
+      ("2024-01-01 09:00:00.0", 1L, 2.0),
+      ("2024-01-01 10:00:00.0", 2L, 5.0),
+      ("2024-01-01 11:00:00.0", 1L, 3.0)))
+    // total contribution count = events × window/slide
+    val total = graft.streaming.EventStream.slidingAggBatch(ev, 2, 1)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect().head.getLong(0)
+    assert(total == 2L * 2)
+  }
 }
