@@ -1547,6 +1547,26 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- hourly-count autocorrelation (seasonality) ---------------------
+    "q160_autocorr" -> ((s, dir) => {
+      Behavior.lagAutocorrelation(
+          EventsSource.read(s, s"$dir/events.parquet"), "event_type", "ts")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("autocorr"), 4).as("autocorr"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- exponential-decay activity score -------------------------------
+    "q161_decay_activity" -> ((s, dir) => {
+      // reference instant 2024-02-01 UTC (after the fixture's last event),
+      // 24h half-life
+      Behavior.decayActivity(EventsSource.read(s, s"$dir/events.parquet"),
+          "user_id", "ts", refTsUs = 1706745600000000L, halfLifeHours = 24.0)
+        .select(col("user_id"), col("n_events"),
+          round(col("decay_score"), 4).as("decay_score"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3720,6 +3740,26 @@ object SparkEntry {
                 CASE WHEN sum(nw) > 0
                      THEN round(sum(ns)::DOUBLE / sum(nw)::DOUBLE, 4) END AS fertility
          FROM t GROUP BY lang ORDER BY lang""",
+    // Pearson over (n_t, n_{t-1}) pairs of observed hours per type; corr
+    // skips NULL-lag head rows on both engines
+    "q160_autocorr" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, n,
+                  lag(n) OVER (PARTITION BY event_type ORDER BY h) AS pn
+           FROM h)
+         SELECT event_type, count(pn)::BIGINT AS n_pairs,
+                round(corr(n, pn), 4) AS autocorr
+         FROM l GROUP BY event_type ORDER BY event_type""",
+    // Σ 2^(−age/24h) against the fixed 2024-02-01 reference instant
+    "q161_decay_activity" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+                round(sum(power(2.0,
+                  -((1706745600000000 - epoch_us(ts))::DOUBLE / 3600000000.0)
+                    / 24.0)), 4) AS decay_score
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

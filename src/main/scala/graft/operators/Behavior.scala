@@ -411,6 +411,52 @@ object Behavior {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Lag-`lag` autocorrelation of hourly event counts per key — the cheap
+    * seasonality/burst-persistence detector (autocorr ≈ 1: smooth load;
+    * ≈ 0: memoryless; < 0: alternating). Pearson over (n_t, n_{t−lag})
+    * pairs of OBSERVED hours in key order (sparse hours pair with the
+    * previous observed hour, not the calendar hour — densify first if
+    * that distinction matters). Output: `(key, n_pairs, autocorr)` —
+    * `autocorr` NULL when either series is constant (undefined), keys
+    * with fewer than `k + 1` observed hours absent (no pairs).
+    * One hourly groupBy + one keyed lag window + one co-moment aggregate
+    * (corr spelled out as covar/σσ behind a zero-variance guard — ANSI
+    * mode turns the bare `corr` into a divide-by-zero on constants) —
+    * every shuffle keyed, group sizes hour-bounded. */
+  def lagAutocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+      k: Int = 1): DataFrame = {
+    require(k >= 1, s"lag must be >= 1: $k")
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+    hourly
+      .withColumn("__pn", lag(col("__n"), k).over(w))
+      .filter(col("__pn").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        covar_samp(col("__n"), col("__pn")).as("__cov"),
+        stddev_samp(col("__n")).as("__sa"),
+        stddev_samp(col("__pn")).as("__sb"))
+      .select(col(keyCol), col("n_pairs"),
+        when(col("__sa") > 0.0 && col("__sb") > 0.0,
+          col("__cov") / (col("__sa") * col("__sb"))).as("autocorr"))
+  }
+
+  /** Exponential-decay activity score per user: `Σ 2^(−age/halfLife)` with
+    * `age = refTsUs − event time` — the recency-weighted engagement
+    * feature (a feature-store staple). `refTsUs` is an explicit epoch-µs
+    * reference, never wall-clock, so scores are reproducible. Pure
+    * projection + one partial-aggregated groupBy on the user. */
+  def decayActivity(events: DataFrame, userCol: String, tsCol: String,
+      refTsUs: Long, halfLifeHours: Double): DataFrame = {
+    require(halfLifeHours > 0, s"halfLifeHours must be positive: $halfLifeHours")
+    val ageHours = (lit(refTsUs) - unix_micros(col(tsCol))).cast("double") / 3600000000.0
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(pow(lit(2.0), -ageHours / halfLifeHours)).as("decay_score"))
+  }
+
   /** Multi-touch attribution: distribute each conversion's value across
     * the user's touch events inside the preceding `windowMinutes` —
     * `linear` splits equally, `first`/`last` give full credit to the
@@ -442,6 +488,9 @@ object Behavior {
       .select(col(userCol), unix_micros(col(tsCol)).as("__t_us"),
         col(idCol).as("touch_event"))
     val convs = events.filter(col(typeCol) === convType)
+      // NULL-value conversions carry no attributable value: excluded up
+      // front so n_convs and credit stay consistent under every model
+      .filter(col(valueCol).isNotNull)
       .select(col(userCol), unix_micros(col(tsCol)).as("__c_us"),
         col(idCol).as("conv_event"), col(valueCol).as("__value"))
       // [c−W, c): end at c−1 µs — a touch simultaneous with the

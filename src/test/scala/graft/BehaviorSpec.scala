@@ -317,6 +317,37 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out(1) == 2L && out(2) == 1L && out(3) == 1L)
   }
 
+  test("lagAutocorrelation: alternating counts give -1, constant gives NULL") {
+    // alternating 2/4 hourly counts -> perfect negative lag-1 correlation
+    val alt = (0 until 8).flatMap { h =>
+      val n = if (h % 2 == 0) 2 else 4
+      (0 until n).map(i => ("alt", ts(f"2024-01-01 $h%02d:00:0$i")))
+    }
+    // constant counts -> zero variance -> corr undefined (NULL)
+    val const = (0 until 4).flatMap { h =>
+      (0 until 3).map(i => ("const", ts(f"2024-01-01 $h%02d:00:0$i")))
+    }
+    val ev = (alt ++ const).toDF("event_type", "ts")
+    val out = Behavior.lagAutocorrelation(ev, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("alt")._1 == 7L && math.abs(out("alt")._2.get - (-1.0)) < 1e-9)
+    assert(out("const") == ((3L, None)))
+  }
+
+  test("decayActivity: recent events dominate; half-life halves the weight") {
+    val ref = 1704153600000000L // 2024-01-02 00:00:00 UTC in micros
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // 24h old: weight 2^-1 = 0.5
+      (1L, ts("2024-01-02 00:00:00")), // 0h old: weight 1
+      (2L, ts("2023-12-31 00:00:00"))  // 48h old: weight 0.25
+    ).toDF("user_id", "ts")
+    val out = Behavior.decayActivity(ev, "user_id", "ts", ref, halfLifeHours = 24.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - 1.5) < 1e-9)
+    assert(math.abs(out(2L)._2 - 0.25) < 1e-9)
+  }
+
   test("multiTouchAttribution linear: equal split inside the window only") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:10:00"), 100L, "view", 0.0),
