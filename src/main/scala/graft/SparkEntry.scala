@@ -1567,6 +1567,16 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- calendar resample with forward fill ----------------------------
+    "q162_resample" -> ((s, dir) => {
+      Temporal.resample(EventsSource.read(s, s"$dir/events.parquet"),
+          Seq("event_type"), "ts", "value", stepHours = 1, fill = "ffill")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), round(col("value"), 4).as("avg_value"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3760,6 +3770,26 @@ object SparkEntry {
                   -((1706745600000000 - epoch_us(ts))::DOUBLE / 3600000000.0)
                     / 24.0)), 4) AS decay_score
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // Dense per-type hourly spine from first to last observed hour; gap
+    // hours carry n_events 0 and the forward-filled mean value (rounded
+    // AFTER the fill on both engines)
+    "q162_resample" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  count(*) AS n, avg(value) AS av
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM h GROUP BY 1),
+         spine AS (
+           SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM b),
+         j AS (
+           SELECT s.event_type, s.h, coalesce(n, 0)::BIGINT AS n_events, av
+           FROM spine s LEFT JOIN h ON s.event_type = h.event_type AND s.h = h.h)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+                round(last_value(av IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value
+         FROM j ORDER BY event_type, hour""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -171,4 +171,48 @@ object Temporal {
         count(lit(1)).as("n_intervals"),
         sum(col("_dt")).cast("long").as("total_duration"))
   }
+
+  /** Regularize an event series onto a dense per-key calendar: aggregate
+    * into `stepHours` buckets, generate the full bucket spine from each
+    * key's first to last observed bucket, left-join, and fill the gaps —
+    * `n_events` 0, the value column either NULL (`fill = "null"`) or
+    * forward-filled from the last observed bucket (`fill = "ffill"`, the
+    * sampled-on-change convention). Output:
+    * `(key…, bucket, n_events, value)`.
+    *
+    * Spine generation is `sequence(min, max, interval)` per KEY ROW — one
+    * tiny row per key explodes into its own calendar, so no driver-side
+    * range materialization and no cross join; the forward fill is one
+    * keyed window (`last` ignoreNulls over unbounded-preceding). Dense
+    * output size = keys × span/step — the caller's contract, exactly what
+    * a resample means. */
+  def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepHours: Int = 1, fill: String = "ffill"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(stepHours >= 1, s"stepHours must be >= 1: $stepHours")
+    require(Set("ffill", "null")(fill), s"fill must be ffill|null: $fill")
+    val stepUs = stepHours * 3600000000L
+    // floor division: the DSL `/` on longs is TRUE division (doubles);
+    // the quotient (~5e5 for epoch-hours) stays far inside double exactness
+    val bucket = timestamp_micros(
+      (floor(unix_micros(col(tsCol)) / stepUs) * stepUs).cast("long"))
+    val hourly = df
+      .groupBy(keyCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("__v"))
+    val spine = hourly
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(keyCols.map(col) :+ explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepHours HOURS"))).as("bucket"): _*)
+    val joined = spine.join(hourly, keyCols :+ "bucket", "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    val filled = fill match {
+      case "null" => joined.withColumn("value", col("__v"))
+      case "ffill" =>
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined.withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+    }
+    filled.select(keyCols.map(col) :+ col("bucket") :+ col("n_events") :+ col("value"): _*)
+  }
 }

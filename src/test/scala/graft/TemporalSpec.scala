@@ -133,4 +133,29 @@ class TemporalSpec extends SparkSpecBase {
     assert(out("b") == ((3.0, 1L, 2L)))
   }
 
+  test("resample: dense spine, zero-count gaps, forward-filled values") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("a", t("2024-01-01 10:10:00"), 2.0),
+      ("a", t("2024-01-01 10:50:00"), 4.0),
+      // gap at 11 and 12
+      ("a", t("2024-01-01 13:05:00"), 10.0),
+      ("b", t("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.Temporal.resample(ev, Seq("k"), "ts", "v")
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01 10:00:00.0", 2L, 3.0),  // avg(2,4)
+      ("a", "2024-01-01 11:00:00.0", 0L, 3.0),  // gap: ffill
+      ("a", "2024-01-01 12:00:00.0", 0L, 3.0),
+      ("a", "2024-01-01 13:00:00.0", 1L, 10.0),
+      ("b", "2024-01-01 00:00:00.0", 1L, 1.0)))
+    // fill = "null" leaves gap values NULL
+    val nulls = graft.operators.Temporal.resample(ev, Seq("k"), "ts", "v",
+      fill = "null").filter($"n_events" === 0)
+    assert(nulls.collect().forall(_.isNullAt(3)))
+  }
 }
