@@ -1577,6 +1577,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // ---- quantile normalization (cross-snapshot calibration) ------------
+    "q163_quantile_norm" -> ((s, dir) => {
+      // calibrate click values onto the purchase-value distribution
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      Drift.quantileNormalize(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "event_id", "value")
+        .select(col("id").as("event_id"), round(col("value"), 4).as("value"),
+          round(col("target_cd"), 6).as("target_cd"),
+          round(col("norm_value"), 4).as("norm_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3790,6 +3804,27 @@ object SparkEntry {
                   PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value
          FROM j ORDER BY event_type, hour""",
+    // Exact empirical inverse-CDF transform: target rank = row_number over
+    // (value, id) / n (deterministic ties), norm = smallest ref value whose
+    // CDF reaches that rank; both rank ratios are exact integer divisions
+    "q163_quantile_norm" ->
+      """WITH r AS (
+           SELECT value AS rv FROM events WHERE event_type = 'purchase'),
+         rcdf AS (
+           SELECT rv, (SELECT count(*) FROM r r2 WHERE r2.rv <= d.rv)::DOUBLE
+                      / (SELECT count(*) FROM r)::DOUBLE AS rcd
+           FROM (SELECT DISTINCT rv FROM r) d),
+         t AS (
+           SELECT event_id AS id, value FROM events WHERE event_type = 'click'),
+         tr AS (
+           SELECT id, value,
+                  row_number() OVER (ORDER BY value, id)::DOUBLE
+                    / (SELECT count(*) FROM t)::DOUBLE AS tcd
+           FROM t)
+         SELECT id AS event_id, round(value, 4) AS value,
+                round(tcd, 6) AS target_cd,
+                round((SELECT min(rv) FROM rcdf WHERE rcd >= tcd), 4) AS norm_value
+         FROM tr ORDER BY event_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

@@ -121,6 +121,46 @@ object Drift {
         round(max("_d"), 6).as("ks"))
   }
 
+  /** Quantile normalization: map each target value onto the REFERENCE
+    * distribution — `norm = inf { v ∈ ref : P(ref ≤ v) ≥ rank(t) }`, the
+    * exact empirical inverse-CDF transform (the cross-snapshot score
+    * calibrator: after it, yesterday's and today's quality scores are
+    * comparable at equal quantiles). Target ranks use `(value, id)`
+    * ordering so ties are deterministic. Output:
+    * `(id, value, target_cd, norm_value)`.
+    *
+    * Scale shape: target ranks come from the two-phase
+    * [[graft.ops.IndexOps.stableRowNumber]] (range sort, NO global
+    * window); the reference reduces to one CDF row per DISTINCT value —
+    * that table must be broadcastable (scores/quantized features: yes;
+    * document otherwise) — and because the CDF is monotone in the value,
+    * the matched normalization is a plain `min` aggregate over the
+    * broadcast-filtered candidates, never a sort. The only single-partition
+    * stage is the running sum over the distinct-value table itself. */
+  def quantileNormalize(ref: DataFrame, target: DataFrame,
+      targetId: String, column: String): DataFrame = {
+    val refVals = ref.select(col(column).cast("double").as("__rv"))
+      .filter(col("__rv").isNotNull)
+    val refTotal = refVals.agg(count(lit(1)).as("__nr"))
+    val wcd = Window.orderBy(col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refCdf = refVals.groupBy(col("__rv")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wcd))
+      .crossJoin(broadcast(refTotal))
+      .select(col("__rv"), (col("__cum").cast("double") / col("__nr")).as("__rcd"))
+    val tgt = target
+      .select(col(targetId).as("id"), col(column).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    val tgtTotal = tgt.agg(count(lit(1)).as("__nt"))
+    val ranked = graft.ops.IndexOps.stableRowNumber(tgt, Seq("value", "id"), "__rn")
+      .crossJoin(broadcast(tgtTotal))
+      .select(col("id"), col("value"),
+        (col("__rn").cast("double") / col("__nt")).as("target_cd"))
+    ranked.join(broadcast(refCdf), col("__rcd") >= col("target_cd"))
+      .groupBy(col("id"), col("value"), col("target_cd"))
+      .agg(min(col("__rv")).as("norm_value")) // CDF monotone ⇒ min value = inf
+  }
+
   /** Per-key least-squares trend: slope, intercept and R² of `yCol` over
     * `xCol` within each key group — the drift DIRECTION detector that
     * complements the distribution tests (PSI/KS say "changed"; the slope

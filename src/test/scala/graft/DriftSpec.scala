@@ -111,6 +111,23 @@ class DriftSpec extends SparkSpecBase {
     assert(!out.contains("only_a"), "one-sided group must be excluded")
   }
 
+  test("quantileNormalize: exact inverse-CDF mapping onto the reference") {
+    val ref = Seq(10.0, 20.0, 30.0, 40.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val tgt = Seq((100L, 1.0), (101L, 2.0), (102L, 3.0), (103L, 4.0)).toDF("id", "v")
+    val out = graft.profile.Drift.quantileNormalize(ref, tgt, "id", "v")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // target ranks 0.25, 0.5, 0.75, 1.0 map to ref quartile values exactly
+    assert(out(100L) == ((0.25, 10.0)))
+    assert(out(101L) == ((0.5, 20.0)))
+    assert(out(102L) == ((0.75, 30.0)))
+    assert(out(103L) == ((1.0, 40.0)))
+    // idempotence: normalizing the reference onto itself is the identity
+    val self = graft.profile.Drift.quantileNormalize(ref, ref, "id", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3))
+    assert(self.forall { case (v, nv) => v == nv })
+  }
+
   test("trendSlope recovers an exact linear trend per key") {
     val df = (0 until 10).flatMap { x =>
       Seq(("up", x.toDouble, 2.0 * x + 1.0), ("flat", x.toDouble, 5.0))
