@@ -67,4 +67,35 @@ class RegressionSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](
       graft.operators.Multimodal.sampleFrames(empty, "b", 0))
   }
+
+  test("resample buckets are step-aligned (DSL / on longs is TRUE division)") {
+    // 10:10 must floor to 10:00, never land at a fractional bucket — the
+    // round-4 bug: unix_micros/step*step through double true-division
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(("a", t("2024-01-01 10:10:17"), 1.0)).toDF("k", "ts", "v")
+    val b = graft.operators.Temporal.resample(ev, Seq("k"), "ts", "v")
+      .collect().head.getTimestamp(1)
+    assert(b.toString == "2024-01-01 10:00:00.0")
+  }
+
+  test("footer row-group min bounds canonicalize IEEE -0.0") {
+    // parquet writers widen a 0.0 min to -0.0 per spec; the report must
+    // emit canonical 0.0 (cross-engine formatters disagree on "-0")
+    import spark.implicits._
+    val dir = tmpDir("negzero")
+    Seq(0.0, 1.0, 2.5).toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    val row = graft.io.ParquetIO.rowGroupStats(spark, s"$dir/t", Seq("v"))
+      .collect().head
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(3)) == 0L,
+      "min must be +0.0, not -0.0")
+  }
+
+  test("lagAutocorrelation survives constant series under ANSI mode") {
+    // bare corr() throws DIVIDE_BY_ZERO on zero variance with ANSI on;
+    // the guarded co-moment form must return NULL instead
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (0 until 4).map(h => ("c", t(f"2024-01-01 $h%02d:00:00"))).toDF("k", "ts")
+    val row = graft.operators.Behavior.lagAutocorrelation(ev, "k", "ts").collect().head
+    assert(row.getLong(1) == 3L && row.isNullAt(2))
+  }
 }
