@@ -1591,6 +1591,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- audio near-dup end-to-end (decode → energy hash → pairs) -------
+    "q164_audio_neardup" -> ((s, dir) => {
+      // the q148 level pattern has period 9 in doc_id, and its 9 rotations
+      // are distinct — so two clips collide iff doc_id ≡ doc_id (mod 9)
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 120)
+        .select(col("doc_id"))
+      val levels = transform(sequence(lit(0), lit(63)),
+        j => (col("doc_id") + j * 7) % 9 + 1)
+      val media = Multimodal.withGeneratedStepWav(docs, "doc_id", levels)
+      val hashes = Multimodal.dhashAudio(media, "media_bytes", "doc_id", segments = 64)
+      Dedup.hamming64Pairs(hashes, "id", "ahash", maxHamming = 0, numChunks = 1)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- sliding windows through the real stream ------------------------
+    "q165_sliding_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val agg = runToCompletion(s, "q165_sliding",
+        EventStream.slidingAggStream(s, staged, schema))
+      agg.select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3825,6 +3852,30 @@ object SparkEntry {
                 round(tcd, 6) AS target_cd,
                 round((SELECT min(rv) FROM rcdf WHERE rcd >= tcd), 4) AS norm_value
          FROM tr ORDER BY event_id""",
+    // Audio collision structure: bit j is a function of (doc_id + 7j) mod 9
+    // and the 9 rotations of that period-9 pattern are distinct, so clips
+    // collide exactly on doc_id mod 9
+    "q164_audio_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM (SELECT doc_id FROM documents WHERE doc_id <= 120) a
+         JOIN (SELECT doc_id FROM documents WHERE doc_id <= 120) b
+           ON a.doc_id % 9 = b.doc_id % 9 AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+    // q158's sliding expansion, restricted to windows whose end the
+    // 1-hour watermark closed (append-mode emission contract)
+    "q165_sliding_stream" ->
+      """WITH wm AS (
+           SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+         x AS (
+           SELECT date_trunc('hour', ts) AS h0, event_type, value FROM events),
+         w AS (
+           SELECT h0 AS ws, event_type, value FROM x
+           UNION ALL
+           SELECT h0 - INTERVAL 1 HOUR, event_type, value FROM x)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+                count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+         FROM w, wm WHERE epoch_us(ws) + 7200000000 <= wm_us
+         GROUP BY ws, event_type ORDER BY win_start, event_type""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

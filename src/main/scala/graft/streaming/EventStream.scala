@@ -45,6 +45,20 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming twin of [[slidingAggBatch]]: overlapping watermarked
+    * windows; append mode emits each window once its end passes the
+    * watermark. State is bounded by (windows in the watermark horizon ×
+    * keys) — slide controls the emission cadence. */
+  def slidingAggStream(spark: SparkSession, dir: String, schema: StructType,
+      windowHours: Int = 2, slideHours: Int = 1): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$windowHours hours", s"$slideHours hours"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
   /** Streaming form: parquet source, 1-hour watermark, append mode. The
     * window column is kept as (start, end) struct per streaming semantics. */
   def hourlyAggStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
