@@ -1618,6 +1618,20 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // ---- native session_window sessionization (≡ q41) -------------------
+    "q166_session_native" -> ((s, dir) => {
+      // Spark's built-in gap-session operator must reproduce the
+      // window-formulation sessionizer exactly (no exact-gap pairs exist
+      // in the fixture, so the [ts, ts+gap) boundary nuance is moot)
+      EventStream.sessionizeNative(
+          EventsSource.read(s, s"$dir/events.parquet"), gapMinutes = 30)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -1948,6 +1962,29 @@ object SparkEntry {
       .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
   }
 
+  /** q41/q166 oracle: gap sessionization as islands over a keyed prefix
+    * sum; shared by the window-formulation and native-session_window
+    * implementations (their boundary semantics coincide on this fixture —
+    * no consecutive pair sits exactly on the gap). */
+  private val sessionizeSql: String =
+    """WITH e AS (
+         SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM e)
+       SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*) AS n_events, round(sum(value), 2) AS session_value
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   private val knnExactSql: String =
     """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -2273,24 +2310,9 @@ object SparkEntry {
          FROM parquet_metadata('/root/testdata/sf0.01/part.parquet')
          GROUP BY 1 ORDER BY 1""",
     "q40_ivf_ann" -> knnExactSql,
-    "q41_sessionize" ->
-      """WITH e AS (
-           SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                       > 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events),
-         s AS (
-           SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM e)
-         SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS session_value
-         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q41_sessionize" -> sessionizeSql,
+    // the native session_window operator must reproduce the same sessions
+    "q166_session_native" -> sessionizeSql,
     // split boundaries interpolated from Sampling.splitThresholdsHex — the
     // md5-hex bucket contract is the single source of truth on both sides
     "q42_hash_split" -> {

@@ -97,6 +97,24 @@ object EventStream {
       .drop("__session_id")
   }
 
+  /** [[sessionize]] via Spark's NATIVE `session_window` operator (the
+    * built-in gap-session aggregation, available batch and streaming) —
+    * one groupBy, no explicit window/prefix-sum plumbing. Boundary
+    * caveat: the native window is `[ts, ts + gap)`, so an event EXACTLY
+    * `gap` after its predecessor starts a new session here, while the
+    * window-formulation [[sessionize]] (strict `>` on the diff) keeps it
+    * — identical outputs whenever no consecutive pair sits exactly on
+    * the gap (the generic case for microsecond timestamps). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .drop("session_window")
+
   /** Streaming twin of [[sessionize]]: custom session state via
     * `flatMapGroupsWithState` with an event-time timeout (the (c)-tier
     * extension point — no built-in operator has open-ended gap-session
