@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,21 +133,41 @@ object Drift {
     * [[graft.ops.IndexOps.stableRowNumber]] (range sort, NO global
     * window); the reference reduces to one CDF row per DISTINCT value —
     * that table must be broadcastable (scores/quantized features: yes;
-    * document otherwise) — and because the CDF is monotone in the value,
-    * the matched normalization is a plain `min` aggregate over the
-    * broadcast-filtered candidates, never a sort. The only single-partition
-    * stage is the running sum over the distinct-value table itself. */
+    * document otherwise). The inverse lookup is a BUCKETED equi-join, not
+    * an inequality join: CDF space splits into `buckets` fixed cells; a
+    * target row compares only against its own cell's reference rows
+    * (≈ |ref|/buckets of them) plus one precomputed suffix-min row —
+    * exact results at O(|target|·|ref|/buckets) comparisons instead of
+    * the naive O(|target|·|ref|). Correct because a reference row in an
+    * EARLIER cell can never reach the target's rank, and any row in a
+    * LATER cell always does (covered whole by the suffix minimum). The
+    * only single-partition stages are the running sum over the
+    * distinct-value table and the suffix-min over the `buckets`-row cell
+    * table. */
   def quantileNormalize(ref: DataFrame, target: DataFrame,
-      targetId: String, column: String): DataFrame = {
+      targetId: String, column: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val refVals = ref.select(col(column).cast("double").as("__rv"))
       .filter(col("__rv").isNotNull)
     val refTotal = refVals.agg(count(lit(1)).as("__nr"))
     val wcd = Window.orderBy(col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cell(c: Column): Column =
+      least(floor(c * buckets).cast("int"), lit(buckets - 1))
     val refCdf = refVals.groupBy(col("__rv")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wcd))
       .crossJoin(broadcast(refTotal))
       .select(col("__rv"), (col("__cum").cast("double") / col("__nr")).as("__rcd"))
+      .withColumn("__b", cell(col("__rcd")))
+    // per-cell suffix minimum over STRICTLY LATER cells, densified so every
+    // target cell finds its fallback row (cells. not values: ≤ `buckets` rows)
+    val spine = refTotal.select(explode(sequence(lit(0), lit(buckets - 1))).as("__b"))
+    val wsfx = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suffix = spine
+      .join(refCdf.groupBy(col("__b")).agg(min(col("__rv")).as("__bmin")), Seq("__b"), "left")
+      .withColumn("__sfx", min(col("__bmin")).over(wsfx))
+      .select(col("__b"), col("__sfx"))
     val tgt = target
       .select(col(targetId).as("id"), col(column).cast("double").as("value"))
       .filter(col("value").isNotNull)
@@ -156,9 +176,17 @@ object Drift {
       .crossJoin(broadcast(tgtTotal))
       .select(col("id"), col("value"),
         (col("__rn").cast("double") / col("__nt")).as("target_cd"))
-    ranked.join(broadcast(refCdf), col("__rcd") >= col("target_cd"))
-      .groupBy(col("id"), col("value"), col("target_cd"))
-      .agg(min(col("__rv")).as("norm_value")) // CDF monotone ⇒ min value = inf
+      .withColumn("__b", cell(col("target_cd")))
+    ranked
+      .join(broadcast(refCdf),
+        ranked("__b") === refCdf("__b") && col("__rcd") >= col("target_cd"), "left")
+      .groupBy(col("id"), col("value"), col("target_cd"), ranked("__b"))
+      .agg(min(col("__rv")).as("__w")) // CDF monotone ⇒ min value = inf
+      .join(broadcast(suffix), Seq("__b"), "left")
+      .select(col("id"), col("value"), col("target_cd"),
+        when(col("__w").isNull, col("__sfx"))
+          .when(col("__sfx").isNull, col("__w"))
+          .otherwise(least(col("__w"), col("__sfx"))).as("norm_value"))
   }
 
   /** Per-key least-squares trend: slope, intercept and R² of `yCol` over
