@@ -1632,6 +1632,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- winnow candidate pairs (MOSS overlap report) -------------------
+    "q167_winnow_pairs" -> ((s, dir) => {
+      CorpusStats.winnowCandidates(read(s, dir, "documents"),
+          "doc_id", "text", k = 3, window = 4, minShared = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3898,6 +3906,32 @@ object SparkEntry {
                 count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
          FROM w, wm WHERE epoch_us(ws) + 7200000000 <= wm_us
          GROUP BY ws, event_type ORDER BY win_start, event_type""",
+    // q143's winnowed signatures self-joined on the fingerprint: pairs
+    // sharing >= 2 selected hashes, with the shared count
+    "q167_winnow_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+           FROM t WHERE len(toks) >= 3),
+         e AS (
+           SELECT doc_id, len(hs) AS m,
+                  unnest(list_transform(range(1, len(hs) + 1),
+                    i -> struct_pack(pos := i, h := hs[i]))) AS u
+           FROM s WHERE len(hs) >= 4),
+         w AS (
+           SELECT doc_id, m, u.pos AS pos,
+                  min(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM e),
+         f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= m - 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
