@@ -1640,6 +1640,34 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal admission gate (image × audio, one pipeline) --------
+    "q168_multimodal_gate" -> ((s, dir) => {
+      // both media decode paths joined on the doc: admit documents whose
+      // image has a rising first tone step (dhash bit 1) AND whose audio
+      // opens on a rising energy step (ahash bit 0) — every predicate is
+      // closed-form in the generator arithmetic, so the oracle re-derives
+      // the admitted set exactly
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 120)
+        .select(col("doc_id"))
+      val img = Multimodal.dhashImages(
+        Multimodal.withGeneratedQuarterPng(docs, "doc_id", 16, 8,
+          col("doc_id") % 256, (col("doc_id") * 3 + 17) % 256,
+          (col("doc_id") * 5 + 89) % 256, (col("doc_id") * 11 + 201) % 256),
+        "media_bytes", "doc_id")
+        .select(col("id"), col("dhash"))
+      val levels = transform(sequence(lit(0), lit(63)),
+        j => (col("doc_id") + j * 7) % 9 + 1)
+      val aud = Multimodal.dhashAudio(
+        Multimodal.withGeneratedStepWav(docs, "doc_id", levels),
+        "media_bytes", "doc_id", segments = 64)
+        .select(col("id"), col("ahash"))
+      img.join(aud, Seq("id"))
+        .filter((col("dhash").bitwiseAND(2L) =!= 0L) &&
+          (col("ahash").bitwiseAND(1L) =!= 0L))
+        .select(col("id").as("doc_id"), col("dhash"), col("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3932,6 +3960,25 @@ object SparkEntry {
          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY id_a, id_b""",
+    // The q146/q148 closed forms with the gate predicates applied: dhash
+    // bit 1 ⇔ b > a, ahash bit 0 ⇔ (id+7)%9 > id%9
+    "q168_multimodal_gate" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  doc_id % 256 AS a, (doc_id*3+17) % 256 AS b,
+                  (doc_id*5+89) % 256 AS c, (doc_id*11+201) % 256 AS d
+           FROM documents WHERE doc_id <= 120)
+         SELECT doc_id,
+                ((CASE WHEN b > a THEN 2 ELSE 0 END) +
+                 (CASE WHEN c > b THEN 8 ELSE 0 END) +
+                 (CASE WHEN d > c THEN 96 ELSE 0 END))::BIGINT
+                  * 72340172838076673 AS dhash,
+                list_sum(list_transform(range(0, 63),
+                  j -> CASE WHEN (doc_id + 7*j + 7) % 9 > (doc_id + 7*j) % 9
+                       THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS ahash
+         FROM p
+         WHERE b > a AND (doc_id + 7) % 9 > doc_id % 9
+         ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
