@@ -221,4 +221,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("arrayfilter") && !p.toLowerCase.contains("arraytransform"),
       s"no interpreted lambda may remain in the winnow path:\n$p")
   }
+
+  test("no declared query plans a CartesianProduct — the blanket invariant") {
+    // every query's physical plan at sf0.001; broadcast nested loops over
+    // provably tiny sides are allowed (and documented per query), a true
+    // cartesian is never acceptable at any scale
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
 }
