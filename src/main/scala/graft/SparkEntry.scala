@@ -1668,6 +1668,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal near-dup clusters (image hash → components) ---------
+    "q169_image_clusters" -> ((s, dir) => {
+      // transitive clustering over the q155 identical-hash pair graph;
+      // clusters = the 8 tone-ordering classes, labeled by their min id
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 120)
+        .select(col("doc_id"))
+      val media = Multimodal.withGeneratedQuarterPng(docs, "doc_id", 16, 8,
+        col("doc_id") % 256, (col("doc_id") * 3 + 17) % 256,
+        (col("doc_id") * 5 + 89) % 256, (col("doc_id") * 11 + 201) % 256)
+      val hashes = Multimodal.dhashImages(media, "media_bytes", "doc_id")
+      val pairs = Dedup.hamming64Pairs(hashes, "id", "dhash",
+        maxHamming = 0, numChunks = 1).select(col("id_a"), col("id_b"))
+      graft.operators.Components.connectedComponents(
+          hashes.select(col("id")), pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -3979,6 +3997,17 @@ object SparkEntry {
          FROM p
          WHERE b > a AND (doc_id + 7) % 9 > doc_id % 9
          ORDER BY doc_id""",
+    // Components over identical-hash cliques = the tone-ordering classes,
+    // labeled by each class's minimum doc_id
+    "q169_image_clusters" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  ((CASE WHEN (doc_id*3+17) % 256 > doc_id % 256 THEN 2 ELSE 0 END) +
+                   (CASE WHEN (doc_id*5+89) % 256 > (doc_id*3+17) % 256 THEN 8 ELSE 0 END) +
+                   (CASE WHEN (doc_id*11+201) % 256 > (doc_id*5+89) % 256 THEN 96 ELSE 0 END)) AS rb
+           FROM documents WHERE doc_id <= 120)
+         SELECT p.doc_id, (SELECT min(p2.doc_id) FROM p p2 WHERE p2.rb = p.rb) AS component
+         FROM p ORDER BY doc_id""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
