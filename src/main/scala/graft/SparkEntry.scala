@@ -1686,6 +1686,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- I/O contract checks (sink, validity, footer KV, hashes) --------
+    "q170_io_contracts" -> ((s, dir) => {
+      // the non-SQL I/O surface exercised end-to-end, reported as boolean
+      // rows against a constant oracle: a single-file sink producing a
+      // valid parquet, the footer-KV write→read round trip on it, the
+      // validity check rejecting junk, and the byte-identity hash
+      // distinguishing a copy from a corruption
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ioq").toString
+      val f = s"$tmp/region_single.parquet"
+      ParquetIO.writeSingleFile(read(s, dir, "region"), f)
+      val singleOk = new java.io.File(f).isFile
+      val validOk = ParquetIO.isValidParquet(s, f)
+      SchemaOps.writeTableMetadata(s, f, Map("graft.source" -> "q170", "graft.n" -> "42"))
+      val kv = SchemaOps.readTableMetadata(s, f)
+      val kvOk = kv.get("graft.source").contains("q170") && kv.get("graft.n").contains("42")
+      val stillValid = ParquetIO.isValidParquet(s, f)
+      val junk = s"$tmp/junk.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(junk),
+        Array.fill[Byte](64)(0x5a))
+      val junkRejected = !ParquetIO.isValidParquet(s, junk)
+      val copy = s"$tmp/copy.parquet"
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f), java.nio.file.Paths.get(copy))
+      val hashMatch = graft.io.FileHash.filesMatch(f, copy, "sha256")
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(copy))
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+      java.nio.file.Files.write(java.nio.file.Paths.get(copy), bytes)
+      val hashDiffers = !graft.io.FileHash.filesMatch(f, copy, "sha256")
+      import s.implicits._
+      Seq(
+        ("footer_kv_roundtrip", kvOk),
+        ("hash_detects_corruption", hashDiffers),
+        ("hash_matches_copy", hashMatch),
+        ("junk_rejected", junkRejected),
+        ("kv_rewrite_keeps_validity", stillValid),
+        ("single_file_sink", singleOk),
+        ("valid_parquet", validOk))
+        .toDF("check_name", "passed").orderBy(col("check_name"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -4008,6 +4047,17 @@ object SparkEntry {
            FROM documents WHERE doc_id <= 120)
          SELECT p.doc_id, (SELECT min(p2.doc_id) FROM p p2 WHERE p2.rb = p.rb) AS component
          FROM p ORDER BY doc_id""",
+    // Constant oracle: every I/O contract row must come back true
+    "q170_io_contracts" ->
+      """SELECT * FROM (VALUES
+           ('footer_kv_roundtrip', true),
+           ('hash_detects_corruption', true),
+           ('hash_matches_copy', true),
+           ('junk_rejected', true),
+           ('kv_rewrite_keeps_validity', true),
+           ('single_file_sink', true),
+           ('valid_parquet', true)) AS t(check_name, passed)
+         ORDER BY check_name""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->
