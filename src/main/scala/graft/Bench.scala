@@ -39,7 +39,12 @@ object Bench {
     // Warming only one query left later queries absorbing JIT cost in the
     // driver's n=1-style runs (round 1: q24 clocked 11.9s for a plan
     // equivalent to q08's 1.07s).
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args narrow the run to matching query prefixes ("q89 q116")
+    // for local iteration; the driver passes none and gets the full suite.
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all
+      else all.filter(n => args.exists(a => n == a || n.startsWith(a + "_")))
     names.foreach { n => run(n); spark.catalog.clearCache() }
 
     // min of two runs per query: the host shows multi-second noise spikes
