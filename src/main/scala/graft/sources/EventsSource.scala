@@ -2,22 +2,30 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-/** Reader for event tables whose `ts` column is Parquet TIMESTAMP(NANOS).
+/** Reader for event tables, normalizing the `ts` column to TimestampType
+  * regardless of how the parquet writer encoded it. Three encodings occur in
+  * the wild:
   *
-  * Spark 4.x rejects nanosecond Parquet timestamps outright
-  * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong=true`,
-  * which surfaces them as epoch-nanos longs. This source requires that conf
-  * (set it in the session builder) and normalizes `ts` to a proper
-  * TimestampType (microsecond precision — Spark's native resolution).
+  *  - `TIMESTAMP(NANOS)`: Spark 4.x rejects these outright
+  *    (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong=true`
+  *    (set it in the session builder), which surfaces them as epoch-nanos
+  *    longs — converted here with integer division to microseconds.
+  *  - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (TIMESTAMP_NTZ): the
+  *    pandas/pyarrow default. Cast to TimestampType — value-preserving under
+  *    the session's pinned UTC timezone (both Verify and Bench set
+  *    `spark.sql.session.timeZone=UTC`).
+  *  - `TIMESTAMP(MICROS, isAdjustedToUTC=true)` (TIMESTAMP_LTZ): already
+  *    Spark-native; passes through.
   */
 object EventsSource {
 
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Read an events table, converting an epoch-nanos long `ts` to
-    * TimestampType. No-op on tables whose `ts` is already a timestamp. */
+  /** Read an events table with `ts` normalized to TimestampType (microsecond
+    * precision — Spark's native resolution) under any of the three parquet
+    * timestamp encodings. */
   def read(spark: SparkSession, path: String, tsCol: String = "ts"): DataFrame = {
     val df = spark.read.parquet(path)
     df.schema.find(_.name == tsCol) match {
@@ -25,6 +33,8 @@ object EventsSource {
         // integer `div`, NOT `/`: double division loses 1 µs on ~1.5% of
         // post-2^53 epoch-nanos values before the cast truncates
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
   }

@@ -109,8 +109,7 @@ class ParqToolsSpec extends SparkSpecBase {
       docs.filter($"doc_id" % 2 =!= 0), Seq("n_chars")).collect().head.getDouble(1)
     assert(psi >= 0.0 && psi < 0.1, s"random halves must not drift, psi=$psi")
     // engagement + olap entries
-    val ev = spark.read.parquet(sf("events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.EventsSource.read(spark, sf("events"))
     assert(Corpus.behavior.rollingActiveUsers(ev, "user_id", "ts").count() > 0)
     assert(Corpus.olap.rollupReport(docs, Seq("lang"),
       Seq(count(lit(1)).as("n"))).filter($"lang" === "(all)").count() == 1)

@@ -20,6 +20,33 @@ class RegressionSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(1704067200999999L, 1722470400000123L, 1722470400000124L))
   }
 
+  test("EventsSource normalizes all three parquet timestamp encodings identically") {
+    // The driver's events table has shipped as TIMESTAMP(NANOS) (read as
+    // epoch-nanos long under nanosAsLong), then TIMESTAMP_NTZ (pandas/pyarrow
+    // default), and plain TIMESTAMP_LTZ is the third encoding in the wild.
+    // All three must come back as the same TimestampType values.
+    val micros = Seq(1722470400000123L, 1704067200999999L, 1690000000000001L)
+    val base = tmpDir("ts-encodings")
+
+    // long-nanos: what spark.sql.legacy.parquet.nanosAsLong surfaces
+    micros.map(_ * 1000L).toDF("ts").write.parquet(s"$base/nanos")
+    // TIMESTAMP_NTZ (isAdjustedToUTC=false)
+    micros.toDF("us").select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$base/ntz")
+    // TIMESTAMP_LTZ (Spark-native TimestampType)
+    micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$base/ltz")
+
+    val got = Seq("nanos", "ntz", "ltz").map { enc =>
+      val df = EventsSource.read(spark, s"$base/$enc")
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$enc must normalize to TimestampType")
+      df.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+    }
+    assert(got.distinct.size == 1, s"encodings disagree: $got")
+    assert(got.head == micros.sorted)
+  }
+
   test("alignment validation treats equal NULL keys as aligned") {
     val a = Seq[(Option[Int], String)]((Some(1), "x"), (None, "y")).toDF("k", "v")
     val b = Seq[(Option[Int], Double)]((Some(1), 1.0), (None, 2.0)).toDF("k", "w")
