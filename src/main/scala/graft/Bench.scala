@@ -63,16 +63,62 @@ object Bench {
       spark.catalog.clearCache()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // Keep the line SHORT: the driver reads a bounded tail of the captured
-    // output, and r3's 68-query line with full names + 15-digit doubles
-    // overflowed it (the head of the line — total and q01..q03 — was cut).
-    // Short keys ("q27" not "q27_lang_quality") and 3-decimal seconds keep
-    // the whole line comfortably inside the window.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // Keep the line SHORT: the driver keeps only the last 2000 chars of
+    // captured output, and sbt's trailing "[success] Total time..." line
+    // (~76 chars) lands AFTER this line inside that window. The r5 format
+    // (3-decimal seconds) measured 2138 chars — its head (q01..q09,
+    // q100..q104 and the "{"metric"..." prefix) fell off the window and the
+    // driver recorded "parsed": null for the third round running. Integer
+    // MILLISECONDS per query ("qunit":"ms") measures 1848 chars on the same
+    // data — the whole line plus the sbt suffix fits with ~75 chars margin.
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
+    def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+
+    // Round-over-round guard (VERDICT r5 item 7): compare against the last
+    // local run and flag any query >1.5x slower. Reported as a count in the
+    // compact line ("regr") with details in BENCH_LOCAL.json + stderr, so a
+    // contract-cost creep is visible without failing the measurement run.
+    val prevFile = new java.io.File("BENCH_LOCAL.json")
+    val prev: Map[String, Double] =
+      if (!prevFile.exists) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(prevFile).mkString
+        // only comparable at the SAME scale factor: a local sf0.001 run must
+        // not register every sf0.1 driver query as a 100x regression
+        val sameSf = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+        if (!sameSf) Map.empty
+        else
+          // integer-valued entries only: that's the queries_ms map
+          // (queries_sec values always carry a decimal point)
+          """"(q\d+)":(-?\d+)(?=[,}])""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble / 1000.0).toMap
+      }
+    val regressions = results.flatMap { case (k, v) =>
+      prev.get(qk(k)) match {
+        case Some(p) if p > 0 && v > 0 && v > p * 1.5 && v - p > 0.5 =>
+          System.err.println(f"[bench] REGRESSION ${qk(k)}: $p%.3fs -> $v%.3fs (${v / p}%.2fx)")
+          Some(qk(k))
+        case _ => None
+      }
+    }
+
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + qk(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val sfTag = sfDir.split('/').last.stripPrefix("sf")
+    // Verbose artifact (full names, seconds, regression list) for in-repo
+    // trend tracking; the stdout line is the driver-facing compact form.
+    val verbose = results.map { case (k, v) =>
+      "\"" + qk(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fw = new java.io.PrintWriter(prevFile)
+    try fw.println(
+      s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","regressions":$regJson,"queries_ms":$qs,"queries_sec":$verbose}""")
+    finally fw.close()
+
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","regr":${regressions.size},"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -1740,6 +1740,32 @@ object SparkEntry {
         .toDF("check_name", "passed").orderBy(col("check_name"))
     }),
 
+    // ---- KS on a CONTINUOUS column (distinct ≈ rows) --------------------
+    // events.value is a double with ~95% distinct values, so this drives
+    // the distributed running-CDF path of ksStatistic where the
+    // distinct-value table is NOT broadcastable-small — the shape q131's
+    // bounded n_chars column never exercises.
+    "q171_ks_continuous" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      Drift.ksStatistic(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0), "value")
+    }),
+
+    // ---- hive-partitioned scan with partition pruning -------------------
+    // The first thing a Spark user does at 100 TB: lay events out by day
+    // and query one day. Writes the date-partitioned copy, then reads it
+    // back filtered to the earliest day — Catalyst must resolve the
+    // predicate against directory names (PartitionFilters; asserted by
+    // PlanSpec) so the other days' files are never opened.
+    "q172_partition_prune" -> ((s, dir) => {
+      val part = stagePartitionedEvents(s, dir)
+      val d0 = part.agg(min(col("event_date"))).collect().head.getDate(0)
+      part.filter(col("event_date") === lit(d0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"), 4).as("sum_value"))
+        .gateOrdered(col("event_type"))
+    }),
+
     // ---- MAD robust outliers (heavy-tail flagging) ----------------------
     "q97_mad_outliers" -> ((s, dir) => {
       ColumnProfiler.madOutliers(
@@ -1994,6 +2020,22 @@ object SparkEntry {
     val ev = EventsSource.read(s, s"$dir/events.parquet")
     (if (duplicate) ev.union(ev) else ev).write.mode("overwrite").parquet(out)
     out
+  }
+
+  /** Stage (once per source dir per JVM) a hive-layout date-partitioned
+    * copy of the events table and return it as a DataFrame. Cached so
+    * bench's warm+measured passes re-measure the PRUNED READ, not the
+    * one-time layout job — mirroring production, where the layout is
+    * written once and queried daily. */
+  private val partitionedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    val out = partitionedEventsCache.computeIfAbsent(dir, { d =>
+      val o = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      EventsSource.writeDatePartitioned(s, s"$d/events.parquet", o)
+      o
+    })
+    EventsSource.readPartitioned(s, out)
   }
 
   /** Run a streaming DataFrame to completion on its (static) source via a
@@ -4073,6 +4115,32 @@ object SparkEntry {
            ('single_file_sink', true),
            ('valid_parquet', true)) AS t(check_name, passed)
          ORDER BY check_name""",
+    // Same construction as q131's KS but over the continuous events.value
+    // column (the engine side runs its distributed CDF; the oracle's
+    // single-threaded window is exact at oracle scale)
+    "q171_ks_continuous" ->
+      """WITH va AS (SELECT value::DOUBLE AS v, count(*) AS n_a
+                     FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+         vb AS (SELECT value::DOUBLE AS v, count(*) AS n_b
+                FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(n_a, 0) AS n_a,
+                      coalesce(n_b, 0) AS n_b
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+         c AS (SELECT v, sum(n_a) OVER w AS ca, sum(n_b) OVER w AS cb
+               FROM j WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+                round(max(abs(ca / ta - cb / tb)), 6) AS ks
+         FROM c CROSS JOIN t GROUP BY ta, tb""",
+    // Partition pruning changes the FILES READ, not the answer: the oracle
+    // recomputes the earliest-day rollup over the flat table
+    "q172_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
+         FROM events
+         WHERE ts::DATE = (SELECT min(ts::DATE) FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     // MAD z-scores: both engines interpolate the same exact medians
     // (quantile_cont parity), so the flag boundary is bit-identical
     "q97_mad_outliers" ->

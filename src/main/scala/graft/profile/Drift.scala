@@ -71,15 +71,6 @@ object Drift {
       .groupBy("column_name")
       .agg(sum("psi_term").as("psi"))
 
-  /** Two-sample Kolmogorov–Smirnov statistic: `max |F_a(v) − F_b(v)|`
-    * over the empirical CDFs — the binning-free drift measure (PSI's
-    * companion: KS sees shape shifts PSI's 10 bins smear out).
-    *
-    * Shape: per-side counts per DISTINCT value, one ordered window for
-    * the running CDFs, one max. The ordered window is global, so this is
-    * for columns of BOUNDED distinct cardinality (lengths, scores,
-    * bucketed values — the usual drift subjects); for unbounded doubles,
-    * quantize first (the sketch-based alternative) or use [[psi]]. */
   /** [[ksStatistic]] per group: one KS row per value of `groupCol`
     * present in BOTH snapshots — drift localization ("which source
     * moved?"). Same distinct-value construction with the group in every
@@ -106,18 +97,60 @@ object Drift {
         round(max("_d"), 6).as("ks"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: `max |F_a(v) − F_b(v)|`
+    * over the empirical CDFs — the binning-free drift measure (PSI's
+    * companion: KS sees shape shifts PSI's 10 bins smear out).
+    *
+    * Shape: per-side counts per DISTINCT value, then a DISTRIBUTED
+    * running CDF (range partition + per-partition windows + driver
+    * prefix-summed offsets — see inline note). Exact for any distinct
+    * cardinality, continuous columns included; no bounded-distinct
+    * contract. Returns one row `(n_a, n_b, ks)`. */
   def ksStatistic(a: DataFrame, b: DataFrame, column: String): DataFrame = {
     val va = a.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
     val vb = b.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
     val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
-    val totals = joined.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    joined.crossJoin(broadcast(totals))
-      .withColumn("_d",
-        abs(sum("n_a").over(w) / col("_ta") - sum("n_b").over(w) / col("_tb")))
-      .agg(max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
+
+    // Two-phase distributed running CDF — the [[graft.ops.IndexOps
+    // .stableRowNumber]] mechanics applied to cumulative SUMS, so the
+    // distinct-value table may be arbitrarily large (continuous columns
+    // where distinct ≈ rows included): range-partition by value, run the
+    // cumulative sums per partition (windows keyed by partition id — fully
+    // parallel), prefix-sum the per-partition totals on the driver
+    // (≤ shuffle-partition-count rows) and broadcast-join the offsets back.
+    // No global single-partition window anywhere in the plan.
+    // localCheckpoint: the offsets job and the main job both consume the
+    // range-partitioned table; without it the groupBy+full_outer lineage
+    // would recompute (same materialize-once contract as
+    // [[graft.operators.Components]]).
+    val parts = joined.repartitionByRange(col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partTotals = parts.groupBy("_pid")
+      .agg(sum("n_a").as("pa"), sum("n_b").as("pb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val ta = partTotals.map(_._2).sum
+    val tb = partTotals.map(_._3).sum
+    // exclusive prefix: offset of partition i = totals of partitions < i
+    val scan = partTotals.scanLeft((0, 0L, 0L)) {
+      case ((_, ca, cb), (pid, pa, pb)) => (pid, ca + pa, cb + pb)
+    }
+    val offsets = scan.init.zip(partTotals).map {
+      case ((_, oa, ob), (pid, _, _)) => (pid, oa, ob)
+    }.toSeq
+    val spark = a.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_oa", "_ob")
+    val wl = Window.partitionBy("_pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parts.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_d", abs(
+        (sum("n_a").over(wl) + col("_oa")) / lit(ta).cast("double") -
+        (sum("n_b").over(wl) + col("_ob")) / lit(tb).cast("double")))
+      .agg(max(lit(ta)).as("n_a"), max(lit(tb)).as("n_b"),
         round(max("_d"), 6).as("ks"))
   }
 

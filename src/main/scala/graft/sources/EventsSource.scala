@@ -38,4 +38,25 @@ object EventsSource {
       case _ => df
     }
   }
+
+  /** Write a hive-layout date-partitioned copy of an events table
+    * (`outDir/event_date=YYYY-MM-DD/...`). At 100 TB this is the layout
+    * that turns a one-day query into a one-partition scan: Catalyst
+    * resolves `event_date = X` against directory names alone
+    * (PartitionFilters), so non-matching days are never opened. The
+    * date column is derived in the session timezone (pinned UTC). */
+  def writeDatePartitioned(spark: SparkSession, path: String, outDir: String,
+      tsCol: String = "ts"): Unit =
+    read(spark, path, tsCol)
+      .withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+
+  /** Read a [[writeDatePartitioned]] layout with `ts` normalized. */
+  def readPartitioned(spark: SparkSession, dir: String,
+      tsCol: String = "ts"): DataFrame = {
+    val df = spark.read.parquet(dir)
+    if (df.schema.exists(f => f.name == tsCol && f.dataType == TimestampNTZType))
+      df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+    else df
+  }
 }

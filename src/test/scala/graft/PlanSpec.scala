@@ -222,6 +222,27 @@ class PlanSpec extends SparkSpecBase {
       s"no interpreted lambda may remain in the winnow path:\n$p")
   }
 
+  test("ks statistic runs a distributed CDF — no single-partition global window") {
+    // q171 drives ksStatistic on a continuous column (distinct ≈ rows):
+    // every Window in the plan must be keyed by the range-partition id;
+    // an unkeyed Window would plan Exchange SinglePartition and serialize
+    // the whole distinct-value table through one task
+    val p = plan("q171_ks_continuous")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"expected the per-partition running-sum windows in:\n$p")
+    windows.foreach { w =>
+      assert(w.contains("_pid"), s"global (unpartitioned) window in ks plan:\n$w")
+    }
+  }
+
+  test("hive-partitioned events scan prunes to the filtered day") {
+    val p = plan("q172_partition_prune")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).get
+    assert(pf.contains("event_date"),
+      s"event_date predicate must resolve against directory names:\n$pf")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
