@@ -822,6 +822,22 @@ object SparkEntry {
           round(col("mean_luminance") * 255).cast("long").as("gray"))
         .orderBy(col("doc_id"), col("frame_index"))
     }),
+    // ---- Motion-JPEG MP4 decode (real lossy-codec samples) --------------
+    "q173_mjpeg_frames" -> ((s, dir) => {
+      // same container + demux as q68 but the samples are REAL JPEG
+      // bitstreams (QuickTime Motion-JPEG): uniform-gray frames survive
+      // the lossy codec exactly (DC-only blocks; verified for all 256
+      // levels in MultimodalSpec), so the oracle stays modular arithmetic
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
+      val media = Multimodal.withGeneratedMjpegMp4(
+        docs.select(col("doc_id")), "doc_id", frames = 4)
+      Multimodal.sampleFramesMp4(media, "media_bytes", "doc_id")
+        .select(col("id").as("doc_id"), col("codec"), col("frame_index"),
+          col("width"), col("height"),
+          round(col("mean_luminance") * 255).cast("long").as("gray"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
     // Hourly windowed agg through the real stream: append mode emits only
     // windows the final watermark (max ts, ms-floored, minus the 1-hour
     // delay) has sealed
@@ -2858,6 +2874,17 @@ object SparkEntry {
     // recovered losslessly through the png-codec samples
     "q68_mp4_frames" ->
       """SELECT doc_id, 'png ' AS codec, fi::INT AS frame_index,
+           16 AS width, 16 AS height,
+           ((doc_id * 11 + fi * 17) % 256)::BIGINT AS gray
+         FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
+               FROM documents WHERE doc_id <= 100) t
+         ORDER BY doc_id, frame_index""",
+    // Motion-JPEG demux: gray survives the lossy codec exactly on uniform
+    // frames (DC-only blocks, chroma zero; verified for all 256 levels in
+    // MultimodalSpec), so the oracle is q68's formula with the Motion-JPEG
+    // sample-entry fourcc
+    "q173_mjpeg_frames" ->
+      """SELECT doc_id, 'jpeg' AS codec, fi::INT AS frame_index,
            16 AS width, 16 AS height,
            ((doc_id * 11 + fi * 17) % 256)::BIGINT AS gray
          FROM (SELECT doc_id, unnest(range(0, 4)) AS fi

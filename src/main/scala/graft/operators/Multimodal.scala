@@ -628,6 +628,47 @@ object Multimodal {
       .toDF(idCol, "media_bytes")
   }
 
+  /** Deterministic Motion-JPEG MP4 synthesizer: like [[withGeneratedMp4]]
+    * but every video sample is a REAL JPEG bitstream (JVM JPEG encoder)
+    * under the QuickTime `jpeg` (Motion-JPEG) sample entry — the oldest
+    * compressed-video codec an MP4 can carry and the one decodable with
+    * the JVM alone. JPEG is lossy in general, but a UNIFORM gray frame
+    * survives exactly: the level-shifted 8×8 blocks are DC-only, the
+    * chroma planes are zero, and the DC quantizer divides the coefficient
+    * without remainder at the encoder's default quality — verified
+    * exhaustively for all 256 gray levels in MultimodalSpec. That makes
+    * frame content oracle-predictable through a genuinely lossy codec. */
+  def withGeneratedMjpegMp4(df: DataFrame, idCol: String, frames: Int = 4,
+      width: Int = 16, height: Int = 16): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1: $frames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { id =>
+          val jpegs = (0 until frames).map { fi =>
+            val g = ((id * 11 + fi * 17) % 256).toInt
+            val img = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          (id, graft.io.IsoBmff.muxVideo(jpegs, "jpeg", width, height))
+        }
+      }
+      .toDF(idCol, "media_bytes")
+  }
+
   /** REAL MP4 frame extraction: demux the ISO BMFF container
     * ([[graft.io.IsoBmff.demuxVideo]] — real box/sample-table parsing),
     * decode every `stride`-th video sample with the JVM image reader

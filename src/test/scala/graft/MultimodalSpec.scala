@@ -166,6 +166,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert(strided.select("frame_index").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
   }
 
+  test("Motion-JPEG MP4: real JPEG samples decode to exact gray levels") {
+    import spark.implicits._
+    val media = Multimodal.withGeneratedMjpegMp4(Seq(5L, 9L).toDF("id"), "id",
+      frames = 4, width = 16, height = 16)
+    val out = Multimodal.sampleFramesMp4(media, "media_bytes", "id")
+      .orderBy("id", "frame_index").collect()
+    assert(out.length == 8 && out.forall(_.getAs[Boolean]("decoded")))
+    out.foreach { r =>
+      val id = r.getAs[Long]("id"); val fi = r.getAs[Int]("frame_index")
+      val expected = ((id * 11 + fi * 17) % 256) / 255.0
+      assert(r.getAs[String]("codec") == "jpeg")
+      assert(math.abs(r.getAs[Double]("mean_luminance") - expected) < 1e-6,
+        s"id=$id frame=$fi: ${r.getAs[Double]("mean_luminance")} vs $expected")
+    }
+  }
+
+  test("JPEG uniform-gray frames are lossless at EVERY gray level 0..255") {
+    // the q173 oracle depends on exact recovery through the lossy codec:
+    // a uniform frame is DC-only per 8x8 block with zero chroma, and the
+    // JVM encoder's DC quantizer divides the coefficient exactly — check
+    // every level so no future encoder change silently breaks the oracle
+    javax.imageio.ImageIO.setUseCache(false)
+    for (g <- 0 until 256) {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((back.getRGB(x, y) & 0xffffff) == (rgb & 0xffffff),
+          s"gray $g did not survive the JPEG round trip at ($x,$y)")
+    }
+  }
+
   test("IsoBmff demuxer handles the corpus of malformed containers") {
     import graft.io.IsoBmff
     val png = {
