@@ -822,6 +822,17 @@ object SparkEntry {
           round(col("mean_luminance") * 255).cast("long").as("gray"))
         .orderBy(col("doc_id"), col("frame_index"))
     }),
+    // ---- pairwise interaction density grid (report scatter section) -----
+    // exact 2-D bin counts per numeric column pair — the distributed form
+    // of the profiling report's scatter plots; output bounded by
+    // pairs × bins² regardless of row count
+    "q174_interaction_grid" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      ColumnProfiler.interactionGrid(
+          ev.select(col("event_id"), col("user_id"), col("value")), bins = 24)
+        .gateOrdered(col("col_a"), col("col_b"), col("bin_x"), col("bin_y"))
+    }),
+
     // ---- Motion-JPEG MP4 decode (real lossy-codec samples) --------------
     "q173_mjpeg_frames" -> ((s, dir) => {
       // same container + demux as q68 but the samples are REAL JPEG
@@ -2879,6 +2890,41 @@ object SparkEntry {
          FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
                FROM documents WHERE doc_id <= 100) t
          ORDER BY doc_id, frame_index""",
+    // Interaction grid: identical IEEE binning expression on both engines
+    // ((x−lo)/(hi−lo)·bins, floored and clamped) over exact min/max
+    // bounds, so integer bin counts match exactly
+    "q174_interaction_grid" ->
+      """WITH bounds AS (
+           SELECT min(event_id::DOUBLE) AS lo1, max(event_id::DOUBLE) AS hi1,
+                  min(user_id::DOUBLE) AS lo2, max(user_id::DOUBLE) AS hi2,
+                  min(value::DOUBLE) AS lo3, max(value::DOUBLE) AS hi3
+           FROM events),
+         g AS (
+           SELECT 'event_id' AS col_a, 'user_id' AS col_b,
+                  CAST(least(greatest(floor((event_id::DOUBLE - lo1)/(hi1 - lo1)*24), 0), 23) AS INT) AS bin_x,
+                  CAST(least(greatest(floor((user_id::DOUBLE - lo2)/(hi2 - lo2)*24), 0), 23) AS INT) AS bin_y,
+                  lo1 AS lo_a, hi1 AS hi_a, lo2 AS lo_b, hi2 AS hi_b
+           FROM events CROSS JOIN bounds
+           WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+           UNION ALL
+           SELECT 'event_id', 'value',
+                  CAST(least(greatest(floor((event_id::DOUBLE - lo1)/(hi1 - lo1)*24), 0), 23) AS INT),
+                  CAST(least(greatest(floor((value::DOUBLE - lo3)/(hi3 - lo3)*24), 0), 23) AS INT),
+                  lo1, hi1, lo3, hi3
+           FROM events CROSS JOIN bounds
+           WHERE event_id IS NOT NULL AND value IS NOT NULL
+           UNION ALL
+           SELECT 'user_id', 'value',
+                  CAST(least(greatest(floor((user_id::DOUBLE - lo2)/(hi2 - lo2)*24), 0), 23) AS INT),
+                  CAST(least(greatest(floor((value::DOUBLE - lo3)/(hi3 - lo3)*24), 0), 23) AS INT),
+                  lo2, hi2, lo3, hi3
+           FROM events CROSS JOIN bounds
+           WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         SELECT col_a, col_b, bin_x, bin_y, count(*) AS n,
+                lo_a, hi_a, lo_b, hi_b
+         FROM g
+         GROUP BY col_a, col_b, bin_x, bin_y, lo_a, hi_a, lo_b, hi_b
+         ORDER BY col_a, col_b, bin_x, bin_y""",
     // Motion-JPEG demux: gray survives the lossy codec exactly on uniform
     // frames (DC-only blocks, chroma zero; verified for all 256 levels in
     // MultimodalSpec), so the oracle is q68's formula with the Motion-JPEG

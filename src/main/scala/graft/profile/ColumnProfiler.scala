@@ -108,6 +108,59 @@ object ColumnProfiler {
       s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, pearson)"))
   }
 
+  /** Pairwise interaction DENSITY GRID — the scale-native form of the
+    * profiling report's scatter plots (reference inherits per-pair scatter
+    * "interactions" from its report engine; plotting raw points is
+    * driver-bound at any real size). Each numeric column pair is binned
+    * into a `bins`×`bins` grid over its [min, max] ranges and counted:
+    * output is long-form `(col_a, col_b, bin_x, bin_y, n)` plus the pair's
+    * axis bounds `(lo_a, hi_a, lo_b, hi_b)` for rendering. EXACT counts
+    * (no sampling), one full pass: a broadcast 1-row min/max aggregate,
+    * then an explode of k(k−1)/2 pair structs per row into a partial-
+    * aggregated groupBy — the [[graft.profile.Drift.psiBins]] shape in two
+    * dimensions. Output is bounded by pairs × bins², independent of row
+    * count. */
+  def interactionGrid(df: DataFrame, columns: Option[Seq[String]] = None,
+      bins: Int = 24): DataFrame = {
+    require(bins >= 2, s"interaction grid needs >= 2 bins, got $bins")
+    val cols = columns.getOrElse(
+      df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq)
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"Columns not in frame: ${missing.mkString(", ")}")
+    require(cols.size >= 2, s"need at least two numeric columns, got $cols")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val minmax = df.agg(aggCols.head, aggCols.tail: _*)
+    def binOf(c: String): Column = {
+      val x = col(c).cast("double")
+      val lo = col(s"__lo_$c"); val hi = col(s"__hi_$c")
+      val raw = floor(((x - lo) / (hi - lo)) * bins)
+      when(hi === lo, lit(0L))
+        .otherwise(least(greatest(raw, lit(0L)), lit(bins - 1L))).cast("int")
+    }
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        binOf(a).as("bin_x"), binOf(b).as("bin_y"),
+        (col(a).isNotNull && col(b).isNotNull).as("ok"),
+        col(s"__lo_$a").as("lo_a"), col(s"__hi_$a").as("hi_a"),
+        col(s"__lo_$b").as("lo_b"), col(s"__hi_$b").as("hi_b"))
+    }
+    df.crossJoin(broadcast(minmax))
+      .select(explode(array(entries: _*)).as("e"))
+      .filter(col("e.ok"))
+      .groupBy(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.bin_x").as("bin_x"), col("e.bin_y").as("bin_y"),
+        col("e.lo_a").as("lo_a"), col("e.hi_a").as("hi_a"),
+        col("e.lo_b").as("lo_b"), col("e.hi_b").as("hi_b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("col_a"), col("col_b"), col("bin_x"), col("bin_y"),
+        col("n"), col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"))
+  }
+
   /** Quantile clipping (winsorization): clamp each requested numeric column
     * into its own [lower, upper] quantile range — the robust-statistics
     * companion to the alerts: a handful of corrupt extremes (scraping

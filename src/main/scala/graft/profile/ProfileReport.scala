@@ -29,7 +29,8 @@ object ProfileReport {
     * column (variables.descriptions). */
   def toHtml(p: TableProfile, title: String = "Profile report",
       datasetMetadata: Map[String, String] = Map.empty,
-      columnDescriptions: Map[String, String] = Map.empty): String = {
+      columnDescriptions: Map[String, String] = Map.empty,
+      extraSections: Seq[String] = Nil): String = {
     val withDesc = columnDescriptions.nonEmpty
     val cols = p.variables.toSeq.sortBy(_._1)
     val rows = cols.map { case (name, v) =>
@@ -59,7 +60,8 @@ object ProfileReport {
          |<th>p_missing</th><th>distinct</th><th>mean</th><th>std</th><th>min</th>
          |<th>p25</th><th>p50</th><th>p75</th>
          |<th>max</th><th>zeros</th><th>bytes</th><th>histogram</th><th>alerts</th></tr></thead>
-         |<tbody>$rows</tbody></table>""".stripMargin)
+         |<tbody>$rows</tbody></table>
+         |${extraSections.mkString("\n")}""".stripMargin)
   }
 
   /** Atomic HTML save (reference save_html, parq_profile.py:164-167). */
@@ -242,6 +244,59 @@ object ProfileReport {
     * scale to the tallest bin; a title attribute carries the exact edge
     * range and counts for hover inspection. Empty for non-numeric or
     * histogram-less (approx-mode) profiles. */
+  // ------------------------------------------------- interactions + samples
+
+  /** Interaction section: per-pair 2-D density grids rendered as SVG
+    * heat cells — the scale-native stand-in for the reference report's
+    * per-pair scatter plots (plotting raw points is driver-bound; the
+    * EXACT binned counts from [[ColumnProfiler.interactionGrid]] are
+    * bounded by pairs × bins²). `rows` is that operator's collected
+    * output: `(col_a, col_b, bin_x, bin_y, n, lo_a, hi_a, lo_b, hi_b)`.
+    * Cell darkness is log-scaled (density grids are heavy-tailed). */
+  def interactionsHtml(
+      rows: Seq[(String, String, Int, Int, Long, Double, Double, Double, Double)],
+      bins: Int = 24): String = {
+    val cell = 7
+    val panels = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).map {
+      case ((a, b), cells) =>
+        val peakLog = math.log1p(cells.map(_._5).max.toDouble)
+        val rects = cells.map { case (_, _, bx, by, n, _, _, _, _) =>
+          val alpha = if (peakLog == 0) 1.0 else math.log1p(n.toDouble) / peakLog
+          // SVG y grows downward; bin_y grows upward
+          s"""<rect x="${bx * cell}" y="${(bins - 1 - by) * cell}" """ +
+            f"""width="$cell" height="$cell" fill-opacity="$alpha%.3f"><title>""" +
+            esc(s"$a bin $bx × $b bin $by: $n") + "</title></rect>"
+        }.mkString
+        val (loA, hiA, loB, hiB) = (cells.head._6, cells.head._7,
+          cells.head._8, cells.head._9)
+        s"""<figure class="interaction"><figcaption>${esc(a)} × ${esc(b)}</figcaption>
+           |<svg width="${bins * cell}" height="${bins * cell}" class="gridsvg">$rects</svg>
+           |<div class="axes">x: ${esc(a)} [${fmtD(loA)}, ${fmtD(hiA)}] &middot;
+           | y: ${esc(b)} [${fmtD(loB)}, ${fmtD(hiB)}]</div></figure>""".stripMargin
+    }
+    s"""<section class="interactions"><h2>Interactions</h2>
+       |${panels.mkString("\n")}</section>""".stripMargin
+  }
+
+  /** Sample-rows section (the reference report's head sample): render the
+    * first `n` rows of `df`. The `limit(n)` is scan-local (Spark stops
+    * reading after n rows) and the collect is the bounded report tail —
+    * never a data path. */
+  def sampleRowsHtml(df: org.apache.spark.sql.DataFrame, n: Int = 10): String = {
+    require(n >= 1 && n <= 1000, s"sample size must be in [1, 1000]: $n")
+    val names = df.columns
+    val rows = df.limit(n).collect()
+    val head = names.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { r =>
+      names.indices.map { i =>
+        val v = r.get(i)
+        s"<td>${esc(if (v == null) "" else v.toString)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString("\n")
+    s"""<section class="samples"><h2>Sample (first ${rows.length} rows)</h2>
+       |<table><thead><tr>$head</tr></thead><tbody>$body</tbody></table></section>""".stripMargin
+  }
+
   private def histSvg(v: ColumnProfiler.ColumnProfile): String =
     (v.hist, v.histLo, v.histHi) match {
       case (Some(counts), Some(lo), Some(hi)) if counts.nonEmpty =>
@@ -282,6 +337,11 @@ object ProfileReport {
        |.alert{background:#fff3cd;border:1px solid #ffc107;border-radius:3px;padding:0 4px;font-size:12px}
        |.meta{color:#666}
        |.histsvg rect{fill:#4a7ebb}td.hist{background:#fff}
+       |.gridsvg{background:#fafafa;border:1px solid #ddd}
+       |.gridsvg rect{fill:#4a7ebb}
+       |figure.interaction{display:inline-block;margin:0 1rem 1rem 0}
+       |figure.interaction figcaption{font-size:13px;font-weight:600}
+       |figure.interaction .axes{font-size:11px;color:#666}
        |</style></head><body><h1>${esc(title)}</h1>
        |$body
        |</body></html>""".stripMargin

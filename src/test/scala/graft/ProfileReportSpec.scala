@@ -34,6 +34,46 @@ class ProfileReportSpec extends SparkSpecBase {
     assert(html.contains("rows: 4"))
   }
 
+  test("interaction grid: exact 2-D bin counts with pair bounds") {
+    // 4 points on a known 2-bin grid: x in [0,10], y in [0,100]
+    val pts = Seq((0.0, 0.0), (0.0, 100.0), (10.0, 100.0), (9.0, 99.0))
+      .toDF("x", "y")
+    val grid = ColumnProfiler.interactionGrid(pts, bins = 2).collect()
+    val cells = grid.map(r => (r.getAs[Int]("bin_x"), r.getAs[Int]("bin_y")) ->
+      r.getAs[Long]("n")).toMap
+    // (0,0)→(0,0); (0,100)→(0,1); (10,100)→clamped (1,1); (9,99)→(1,1)
+    assert(cells == Map((0, 0) -> 1L, (0, 1) -> 1L, (1, 1) -> 2L), s"got $cells")
+    grid.foreach { r =>
+      assert(r.getAs[String]("col_a") == "x" && r.getAs[String]("col_b") == "y")
+      assert(r.getAs[Double]("lo_a") == 0.0 && r.getAs[Double]("hi_a") == 10.0)
+      assert(r.getAs[Double]("lo_b") == 0.0 && r.getAs[Double]("hi_b") == 100.0)
+    }
+    // nulls in either coordinate drop from that pair's grid
+    val withNull = pts.unionByName(
+      Seq((Option.empty[Double], Option(5.0))).toDF("x", "y"))
+    assert(ColumnProfiler.interactionGrid(withNull, bins = 2)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) == 4L)
+  }
+
+  test("interaction + sample sections render inside the profile page") {
+    val pts = Seq((0.0, 0.0), (10.0, 100.0), (3.0, 42.0)).toDF("x", "y")
+    val grid = ColumnProfiler.interactionGrid(pts, bins = 2).collect().toSeq
+      .map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b"),
+        r.getAs[Int]("bin_x"), r.getAs[Int]("bin_y"), r.getAs[Long]("n"),
+        r.getAs[Double]("lo_a"), r.getAs[Double]("hi_a"),
+        r.getAs[Double]("lo_b"), r.getAs[Double]("hi_b")))
+    val interactions = ProfileReport.interactionsHtml(grid, bins = 2)
+    assert(interactions.contains("x × y") && interactions.contains("<rect"))
+    assert(interactions.contains("[0, 10]") && interactions.contains("[0, 100]"))
+    val samples = ProfileReport.sampleRowsHtml(pts, n = 2)
+    assert(samples.contains("Sample (first 2 rows)"))
+    assert(samples.contains("<th>x</th>") && samples.contains("<td>42.0</td>") == false)
+    val page = ProfileReport.toHtml(ColumnProfiler.profile(pts), "with sections",
+      extraSections = Seq(interactions, samples))
+    assert(page.contains("Interactions") && page.contains("class=\"samples\""))
+    assert(page.indexOf("</table>") < page.indexOf("Interactions"))
+  }
+
   test("summary YAML round-trips through snakeyaml and keeps statuses") {
     val p1 = ColumnProfiler.profile(df.select("id", "const"))
     val p2 = ColumnProfiler.profile(df.select("id", "const")
