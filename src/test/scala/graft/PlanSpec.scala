@@ -243,6 +243,17 @@ class PlanSpec extends SparkSpecBase {
       s"event_date predicate must resolve against directory names:\n$pf")
   }
 
+  test("interaction grid: one-pass explode, partial agg, broadcast bounds") {
+    val p = plan("q174_interaction_grid")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bin counts must combine map-side before the shuffle:\n$p")
+    // bounds come from a broadcast 1-row aggregate, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min/max bounds must broadcast:\n$p")
+    assert(p.contains("struct<event_id:bigint,user_id:bigint,value:double>"),
+      s"scan must prune to the three profiled columns:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
