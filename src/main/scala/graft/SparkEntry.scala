@@ -31,8 +31,11 @@ import graft.streaming.EventStream
   */
 object SparkEntry {
 
+  /** All catalog reads conform to [[graft.sources.CanonicalSchema]]: a
+    * dataset regeneration that re-encodes a column (the round-5 events
+    * TIMESTAMP_NTZ incident, generalized) must not strand the catalog. */
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+    graft.sources.CanonicalSchema.read(spark, dir, table)
 
   /** Exact money aggregation: cast to DECIMAL(18,4) (per-row doubles are
     * bit-identical across engines, so the cast is deterministic), sum

@@ -47,6 +47,44 @@ class RegressionSpec extends SparkSpecBase {
     assert(got.head == micros.sorted)
   }
 
+  test("CanonicalSchema conforms re-encoded columns back to catalog types") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("canon")
+    // lineitem re-encoded: int32 key, float32 quantity, LTZ shipdate
+    Seq((1, 2.5f, 1722470400000123L), (2, 3.0f, 1704067200999999L))
+      .toDF("l_orderkey", "l_quantity", "us")
+      .select(col("l_orderkey"), col("l_quantity"),
+        timestamp_micros(col("us")).as("l_shipdate"))
+      .write.parquet(s"$base/lineitem")
+    val li = sources.CanonicalSchema.conform(
+      spark.read.parquet(s"$base/lineitem"), "lineitem")
+    assert(li.schema("l_orderkey").dataType == LongType)
+    assert(li.schema("l_quantity").dataType == DoubleType)
+    assert(li.schema("l_shipdate").dataType == TimestampNTZType)
+    assert(li.select(sum("l_quantity")).as[Double].head == 5.5)
+
+    // events re-encoded: epoch-nanos long ts (the legacy nanosAsLong shape)
+    Seq((1L, 1722470400000123L * 1000L)).toDF("event_id", "ts")
+      .write.parquet(s"$base/events")
+    val ev = sources.CanonicalSchema.conform(
+      spark.read.parquet(s"$base/events"), "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(unix_micros(col("ts"))).as[Long].head == 1722470400000123L)
+
+    // embeddings re-encoded: float64 array
+    Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/embeddings")
+    val em = sources.CanonicalSchema.conform(
+      spark.read.parquet(s"$base/embeddings"), "embeddings")
+    assert(em.schema("embedding").dataType == ArrayType(FloatType))
+    assert(em.select(col("embedding")).as[Seq[Float]].head == Seq(1.0f, 2.0f))
+
+    // already-canonical frames keep their exact plan (no-op)
+    val docs = Seq((1L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(sources.CanonicalSchema.conform(docs, "documents") eq docs)
+  }
+
   test("alignment validation treats equal NULL keys as aligned") {
     val a = Seq[(Option[Int], String)]((Some(1), "x"), (None, "y")).toDF("k", "v")
     val b = Seq[(Option[Int], Double)]((Some(1), 1.0), (None, 2.0)).toDF("k", "w")
