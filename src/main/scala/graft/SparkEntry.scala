@@ -825,6 +825,31 @@ object SparkEntry {
           round(col("mean_luminance") * 255).cast("long").as("gray"))
         .orderBy(col("doc_id"), col("frame_index"))
     }),
+    // ---- messy-lake read: schema evolution + corrupt-file tolerance -----
+    // A lake directory written at two schema versions (v2 adds n_chars)
+    // with a truncated junk file dropped in: mergeSchema unifies the
+    // footers (v1 rows read n_chars as NULL), ignoreCorruptFiles skips the
+    // junk instead of failing the scan. Oracle recomputes the per-lang
+    // rollup from the flat table with the same v1/v2 boundary.
+    "q176_evolving_read" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+      docs.filter(col("doc_id") <= 50).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.filter(col("doc_id") > 50).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      // a truncated upload: junk bytes under a .parquet name
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/v2/part-junk.parquet"),
+        Array.fill[Byte](96)(0x5a))
+      ParquetIO.readLake(s, s"$tmp/{v1,v2}")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_v2"),
+          sum("n_chars").as("sum_chars"))
+        .gateOrdered(col("lang"))
+    }),
+
     // ---- pairwise interaction density grid (report scatter section) -----
     // exact 2-D bin counts per numeric column pair — the distributed form
     // of the profiling report's scatter plots; output bounded by
@@ -2893,6 +2918,14 @@ object SparkEntry {
          FROM (SELECT doc_id, unnest(range(0, 4)) AS fi
                FROM documents WHERE doc_id <= 100) t
          ORDER BY doc_id, frame_index""",
+    // Messy-lake read: v1 files (doc_id <= 50) carry no n_chars column, so
+    // it reads NULL there; the junk file contributes nothing
+    "q176_evolving_read" ->
+      """SELECT lang, count(*) AS n_docs,
+                count(CASE WHEN doc_id > 50 THEN n_chars END) AS n_v2,
+                sum(CASE WHEN doc_id > 50 THEN n_chars END)::BIGINT AS sum_chars
+         FROM documents WHERE doc_id <= 100
+         GROUP BY lang ORDER BY lang""",
     // Interaction grid: identical IEEE binning expression on both engines
     // ((x−lo)/(hi−lo)·bins, floored and clamped) over exact min/max
     // bounds, so integer bin counts match exactly

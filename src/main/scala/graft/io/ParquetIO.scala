@@ -32,6 +32,21 @@ object ParquetIO {
   def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** Messy-lake read: what a 100 TB directory accumulated over months
+    * actually needs. `mergeSchema` unifies footers across files written at
+    * different schema versions (columns added later are NULL in older
+    * files); `ignoreCorruptFiles` skips unreadable files instead of failing
+    * the scan (a single truncated upload must not kill an 800k-task job).
+    * Both are per-read options — session config is untouched. Skipped
+    * corruption is SILENT by design here; run [[isValidParquet]] over the
+    * listing (q170's contract) when an audit trail is needed. */
+  def readLake(spark: SparkSession, path: String,
+      mergeSchema: Boolean = true, ignoreCorrupt: Boolean = true): DataFrame =
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .option("ignoreCorruptFiles", ignoreCorrupt.toString)
+      .parquet(path)
+
   /** Scalable write: directory of part files, atomic via Spark's output
     * committer (the reference's atomic_output_file temp-then-rename,
     * utils/file_utils.py:15-42, is built into Spark). */

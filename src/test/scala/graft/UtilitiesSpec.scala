@@ -32,6 +32,28 @@ class UtilitiesSpec extends SparkSpecBase {
     assert(!ParquetIO.isValidParquet(spark, junk))
   }
 
+  test("readLake: schema evolution merges, corrupt file skipped, not failed") {
+    val base = tmpDir("lake")
+    Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")
+      .write.parquet(s"$base/v1")
+    Seq((3L, "en", 30L)).toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$base/v2")
+    Files.write(Paths.get(s"$base/v2/part-junk.parquet"), Array.fill[Byte](96)(0x5a))
+    val lake = ParquetIO.readLake(spark, s"$base/{v1,v2}")
+    assert(lake.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    val rows = lake.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("n_chars"))),
+      "v1 rows must read the evolved column as NULL")
+    assert(rows.last.getAs[Long]("n_chars") == 30L)
+    // with tolerance off, the junk file fails the scan (the default-strict
+    // behavior readLake deliberately relaxes)
+    intercept[Exception] {
+      ParquetIO.readLake(spark, s"$base/{v1,v2}", ignoreCorrupt = false)
+        .count()
+    }
+  }
+
   test("file hash: fast, sha256, xxhash, custom digest, missing-src error") {
     val dir = tmpDir("hash")
     val a = s"$dir/a.bin"; val b = s"$dir/b.bin"; val c = s"$dir/c.bin"
