@@ -4,7 +4,6 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -403,11 +402,18 @@ object TextKernels { // public: generated code references it by name
 /** array<long> of hashes of all word n-grams (ordered, with duplicates) —
   * the rolling-fingerprint primitive. */
 case class ShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextKernels.shingleHashes(v.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.kernels.TextKernels.shingleHashes($c, $n))")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
   override def prettyName: String = "shingle_hashes"
 }
@@ -415,7 +421,7 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 /** array<string> of word n-grams every `stride` tokens (ordered, with
   * duplicates) — surfaces the n-gram text itself. */
 case class ShingleStringsExpr(child: Expression, n: Int, stride: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   require(stride >= 1, "stride must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -423,6 +429,13 @@ case class ShingleStringsExpr(child: Expression, n: Int, stride: Int)
     new GenericArrayData(
       TextKernels.shingleStrings(v.asInstanceOf[UTF8String], n, stride)
         .asInstanceOf[Array[Any]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) " +
+        s"graft.functions.kernels.TextKernels.shingleStrings($c, $n, $stride))")
   override protected def withNewChildInternal(c: Expression): ShingleStringsExpr = copy(child = c)
   override def prettyName: String = "shingle_strings"
 }
@@ -430,7 +443,7 @@ case class ShingleStringsExpr(child: Expression, n: Int, stride: Int)
 /** array<string> of token chunks (`size` tokens every `stride`, short tail
   * included) — long-document splitting. */
 case class TokenChunksExpr(child: Expression, size: Int, stride: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(size >= 1, "chunk size must be >= 1")
   require(stride >= 1 && stride <= size,
     s"stride must be in [1, size]: stride=$stride size=$size")
@@ -439,6 +452,13 @@ case class TokenChunksExpr(child: Expression, size: Int, stride: Int)
     new GenericArrayData(
       TextKernels.tokenChunks(v.asInstanceOf[UTF8String], size, stride)
         .asInstanceOf[Array[Any]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) " +
+        s"graft.functions.kernels.TextKernels.tokenChunks($c, $size, $stride))")
   override protected def withNewChildInternal(c: Expression): TokenChunksExpr = copy(child = c)
   override def prettyName: String = "token_chunks"
 }
@@ -446,24 +466,38 @@ case class TokenChunksExpr(child: Expression, size: Int, stride: Int)
 /** array<long>: distinct, sorted hashes of word n-grams — the canonical
   * shingle set for Jaccard computations. */
 case class ShingleHashSetExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextKernels.shingleHashSet(v.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.kernels.TextKernels.shingleHashSet($c, $n))")
   override protected def withNewChildInternal(c: Expression): ShingleHashSetExpr = copy(child = c)
   override def prettyName: String = "shingle_hash_set"
 }
 
 /** array<long> MinHash signature of an array<long> shingle-hash set. */
 case class MinHashExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1, "numHashes must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
     new GenericArrayData(TextKernels.minhash(arr, numHashes))
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.kernels.TextKernels.minhash($c.toLongArray(), $numHashes))")
   override protected def withNewChildInternal(c: Expression): MinHashExpr = copy(child = c)
   override def prettyName: String = "minhash_signature"
 }
@@ -486,12 +520,21 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   * compiled form of `array_min(transform(shingles(t, n), md5))`, whose
   * interpreted lambdas cost O(tokens²) string copies per row. */
 case class MinShingleMd5Expr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     TextKernels.minShingleMd5(v.asInstanceOf[UTF8String], n)
+  // result may be null (fewer than n tokens) even for a non-null child, so
+  // the generated code re-checks ev.isNull after the kernel call
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.kernels.TextKernels.minShingleMd5($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(c: Expression): MinShingleMd5Expr = copy(child = c)
   override def prettyName: String = "min_shingle_md5"
 }
@@ -534,11 +577,18 @@ case class TopFreqShareExpr(child: Expression) extends UnaryExpression {
 
 /** array<long>: distinct, sorted hashes of character n-gram windows. */
 case class CharShingleHashSetExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "char shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextKernels.charShingleHashSet(v.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.kernels.TextKernels.charShingleHashSet($c, $n))")
   override protected def withNewChildInternal(c: Expression): CharShingleHashSetExpr =
     copy(child = c)
   override def prettyName: String = "char_shingle_hash_set"
@@ -597,12 +647,19 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 /** array<string>: ASCII-normalized character n-grams in document order
   * (multiset — the char-LM primitive). See [[TextKernels.charNgrams]]. */
 case class CharNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"char ngram size must be >= 1: $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextKernels.charNgrams(v.asInstanceOf[UTF8String], n)
       .asInstanceOf[Array[Any]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) " +
+        s"graft.functions.kernels.TextKernels.charNgrams($c, $n))")
   override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
     copy(child = c)
   override def prettyName: String = "char_ngrams"
