@@ -831,7 +831,7 @@ object SparkEntry {
     // footers (v1 rows read n_chars as NULL), ignoreCorruptFiles skips the
     // junk instead of failing the scan. Oracle recomputes the per-lang
     // rollup from the flat table with the same v1/v2 boundary.
-    "q176_evolving_read" -> ((s, dir) => {
+    "q175_evolving_read" -> ((s, dir) => {
       val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
       val tmp = java.nio.file.Files.createTempDirectory("graft_lake_").toString
       docs.filter(col("doc_id") <= 50).select(col("doc_id"), col("lang"))
@@ -2920,7 +2920,7 @@ object SparkEntry {
          ORDER BY doc_id, frame_index""",
     // Messy-lake read: v1 files (doc_id <= 50) carry no n_chars column, so
     // it reads NULL there; the junk file contributes nothing
-    "q176_evolving_read" ->
+    "q175_evolving_read" ->
       """SELECT lang, count(*) AS n_docs,
                 count(CASE WHEN doc_id > 50 THEN n_chars END) AS n_v2,
                 sum(CASE WHEN doc_id > 50 THEN n_chars END)::BIGINT AS sum_chars
