@@ -904,6 +904,23 @@ object SparkEntry {
         .orderBy(col("purchase_id"), col("view_id"))
     }),
 
+    // ---- stream-stream LEFT-OUTER attribution (null-emit semantics) -----
+    "q176_attribution_left_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val pairs = runToCompletion(s, "q176_attr_left",
+        EventStream.attributionJoinLeftStream(s, staged, schema, maxLagMinutes = 30))
+      // matched rows emit like the inner join; unmatched purchases emit
+      // null view columns once the final watermark (max ts, ms-floored,
+      // minus the 1-hour delay) passes their timestamp — purchases inside
+      // the horizon stay in state and are absent, which the oracle models
+      pairs.select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("view_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
     // ---- line-level exact dedup (CCNet boilerplate pass) ----------------
     "q69_line_dedup" -> ((s, dir) => {
       // the corpus has no newlines, so the fixture derives a multi-line
@@ -2896,6 +2913,37 @@ object SparkEntry {
                 n_events, sum_value
          FROM g, wm WHERE end_us <= wm_us
          ORDER BY hour, event_type""",
+    // Left-outer stream-stream join: matched pairs are q67's set; an
+    // UNMATCHED purchase emits (with null view columns) iff the final
+    // GLOBAL watermark passed its timestamp. Each watermark node sees only
+    // its filtered stream, so the global value is the MIN of the per-side
+    // (ms-floored max − 1 h) watermarks — purchases above it stay in state
+    // on a closed input and must be absent
+    "q176_attribution_left_stream" ->
+      """WITH wm AS (
+           SELECT (least(
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view'))
+             - 3600000) * 1000 AS wm_us),
+         p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS vts
+               FROM events WHERE event_type = 'view')
+         SELECT purchase_id, user_id, epoch_us(p.ts) AS purchase_ts_us,
+                view_id, epoch_us(vts) AS view_ts_us
+         FROM p JOIN v USING (user_id)
+         WHERE vts <= p.ts
+           AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000
+         UNION ALL
+         SELECT purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+                NULL::BIGINT AS view_id, NULL::BIGINT AS view_ts_us
+         FROM p CROSS JOIN wm
+         WHERE epoch_us(p.ts) < wm_us
+           AND NOT EXISTS (
+             SELECT 1 FROM v
+             WHERE v.user_id = p.user_id AND vts <= p.ts
+               AND epoch_us(p.ts) - epoch_us(vts) <= 1800000000)
+         ORDER BY purchase_id, view_id""",
     // Identical to q54: the both-sided-watermark stream-stream inner join
     // emits every matched pair on a closed input
     "q67_attribution_stream" ->

@@ -267,7 +267,30 @@ object EventStream {
     * by `watermark + maxLagMinutes` of events per user regardless of stream
     * length. */
   def attributionJoinStream(spark: SparkSession, dir: String, schema: StructType,
-      maxLagMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+      maxLagMinutes: Int, watermark: String = "1 hour"): DataFrame =
+    attributionJoin(spark, dir, schema, maxLagMinutes, watermark, "inner")
+
+  /** LEFT-OUTER twin of [[attributionJoinStream]]: purchases with no view
+    * inside the lag window still emit — with null view columns — once the
+    * watermark passes their timestamp. This is the streaming semantics the
+    * inner join cannot give: "which conversions had NO preceding touch" is
+    * itself a real-time signal (organic conversions, attribution gaps).
+    *
+    * State story: a purchase row is closable once `watermark >
+    * purchase_ts` — the join condition bounds matching views by
+    * `view_ts <= purchase_ts`, and views below the watermark are dropped,
+    * so no future view can reach it; Spark then emits the null-padded row
+    * and evicts the state. Purchases inside the final watermark horizon
+    * (`purchase_ts >= max(ts) − delay` on a closed input) stay in state
+    * and emit nothing — exactly the rows a restarted stream could still
+    * match. Bounded state: both sides age out at the watermark, same as
+    * the inner form. */
+  def attributionJoinLeftStream(spark: SparkSession, dir: String, schema: StructType,
+      maxLagMinutes: Int, watermark: String = "1 hour"): DataFrame =
+    attributionJoin(spark, dir, schema, maxLagMinutes, watermark, "leftOuter")
+
+  private def attributionJoin(spark: SparkSession, dir: String, schema: StructType,
+      maxLagMinutes: Int, watermark: String, joinType: String): DataFrame = {
     require(maxLagMinutes > 0, s"lag must be positive: $maxLagMinutes")
     val ev = spark.readStream.schema(schema).parquet(dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -282,7 +305,7 @@ object EventStream {
       col("p_user") === col("v_user") &&
         col("view_ts") <= col("purchase_ts") &&
         col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxLagMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("purchase_value"), col("view_id"), col("view_ts"))
   }

@@ -161,6 +161,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(missing == 0, s"stream failed to emit $missing closed pairs")
   }
 
+  test("left-outer attribution stream: unmatched purchases emit nulls at expiry") {
+    val dir = tmpDir("events-attr-left") + "/events"
+    graft.sources.EventsSource.read(spark, sf("events")).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.attributionJoinLeftStream(spark, dir, schema, maxLagMinutes = 30)
+      .select($"purchase_id", $"view_id")
+      .writeStream.outputMode("append").format("memory").queryName("attr_left_t").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_left_t")
+
+    val ev = spark.read.parquet(dir)
+    val matched = EventStream.attributionJoinBatch(ev, 30)
+      .select($"purchase_id", $"view_id")
+    // final GLOBAL watermark: each watermark node sees only ITS filtered
+    // stream (purchases / views), so the global value is the MIN of the
+    // two per-side (ms-floored max − 1 h) watermarks — using the
+    // all-events max here retires one extra purchase and fails
+    val wmUs = ev.groupBy($"event_type")
+      .agg((floor(unix_micros(max($"ts")) / 1000) * 1000 - 3600000L * 1000).as("w"))
+      .filter($"event_type".isin("purchase", "view"))
+      .agg(min($"w")).head.getLong(0)
+    val unmatchedExpired = ev.filter($"event_type" === "purchase")
+      .filter(unix_micros($"ts") < wmUs)
+      .join(matched.select($"purchase_id"), ev("event_id") === matched("purchase_id"),
+        "left_anti")
+      .select($"event_id".as("purchase_id"), lit(null).cast("long").as("view_id"))
+    val expected = matched.unionByName(unmatchedExpired)
+
+    assert(unmatchedExpired.count() > 0, "fixture must contain expired unmatched purchases")
+    assert(streamed.filter($"view_id".isNull).count() == unmatchedExpired.count(),
+      "every expired unmatched purchase emits exactly one null row")
+    assert(streamed.exceptAll(expected).isEmpty, "stream emitted a row the model does not have")
+    assert(expected.exceptAll(streamed).isEmpty, "stream failed to emit a modeled row")
+  }
+
   test("slidingAggBatch: every event lands in exactly window/slide windows") {
     import spark.implicits._
     val ev = Seq(
