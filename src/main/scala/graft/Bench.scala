@@ -69,11 +69,15 @@ object Bench {
     // (3-decimal seconds) measured 2138 chars — its head (q01..q09,
     // q100..q104 and the "{"metric"..." prefix) fell off the window and the
     // driver recorded "parsed": null for the third round running. Integer
-    // MILLISECONDS per query ("qunit":"ms") measures 1848 chars on the same
-    // data — the whole line plus the sbt suffix fits with ~75 chars margin.
+    // MILLISECONDS per query ("qunit":"ms") + BARE NUMERIC keys ("27", not
+    // "q27_lang_quality"; "qkey":"q#" documents the mapping) measure
+    // ~1780 chars at 176 queries — the whole line plus the sbt suffix fits
+    // with ~140 chars margin (~15 more queries of headroom). BENCH_LOCAL
+    // .json keeps the verbose qN-keyed maps for humans and the guard.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
     def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+    def bare(k: String): String = qk(k).drop(1)
 
     // Round-over-round guard (VERDICT r5 item 7): compare against the last
     // local run and flag any query >1.5x slower. Reported as a count in the
@@ -104,10 +108,12 @@ object Bench {
     }
 
     val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + qk(k) + "\":" + ms(v) }
+    val qsVerbose = results.map { case (k, v) => "\"" + qk(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qsBare = results.map { case (k, v) => "\"" + bare(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val sfTag = sfDir.split('/').last.stripPrefix("sf")
-    // Verbose artifact (full names, seconds, regression list) for in-repo
+    // Verbose artifact (qN keys, seconds, regression list) for in-repo
     // trend tracking; the stdout line is the driver-facing compact form.
     val verbose = results.map { case (k, v) =>
       "\"" + qk(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
@@ -115,10 +121,10 @@ object Bench {
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fw = new java.io.PrintWriter(prevFile)
     try fw.println(
-      s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","regressions":$regJson,"queries_ms":$qs,"queries_sec":$verbose}""")
+      s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","regressions":$regJson,"queries_ms":$qsVerbose,"queries_sec":$verbose}""")
     finally fw.close()
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","regr":${regressions.size},"queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","qkey":"q#","regr":${regressions.size},"queries":$qsBare,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
