@@ -293,6 +293,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- Matryoshka two-stage retrieval (truncate → rerank) -------------
+    // candidate generation on the 8-dim embedding PREFIX (1/8 of the dot-
+    // product cost; cosine is scale-invariant so the raw slice ranks
+    // identically to the renormalized Matryoshka form), then the top-20
+    // survivors rerank at full dimension for the final top-5
+    "q177_matryoshka_rerank" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("svec"))
+      val cands = Similarity.bruteForceTopK(
+          sliced, "vec_id", "svec",
+          sliced.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("svec").as("qvec")),
+          "qid", "qvec", k = 20)
+        .select(col("query_id"), col("nbr_id"))
+      val qfull = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val rer = cands
+        .join(emb.select(col("vec_id"), col("embedding")),
+          cands("nbr_id") === col("vec_id"))
+        .join(broadcast(qfull), "query_id")
+        .select(col("query_id"), col("nbr_id"),
+          graft.functions.VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+      rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2362,6 +2392,29 @@ object SparkEntry {
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" -> knnExactSql,
+    // Two-stage Matryoshka retrieval: stage-1 ranks by the 8-dim prefix
+    // cosine (same index-order double arithmetic both engines), stage-2
+    // reranks the 20 survivors at full dimension
+    "q177_matryoshka_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding
+                    FROM embeddings WHERE vec_id < 10),
+         c1 AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(
+                        q.embedding[1:8]::DOUBLE[], c.embedding[1:8]::DOUBLE[]) DESC,
+                      c.vec_id ASC) AS crank
+                FROM embeddings c CROSS JOIN q),
+         cand AS (SELECT query_id, nbr_id FROM c1 WHERE crank <= 20),
+         r AS (SELECT cand.query_id, cand.nbr_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                 row_number() OVER (PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     cand.nbr_id ASC) AS rank
+               FROM cand
+               JOIN embeddings c ON c.vec_id = cand.nbr_id
+               JOIN q ON q.query_id = cand.query_id)
+         SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q22_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,

@@ -87,6 +87,27 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share at least one band bucket with the
     * query, re-ranked by exact cosine. Recall is tuned by
     * (numBits, numBands): more bands → more probes → higher recall. */
+  /** Matryoshka truncation: keep the first `dims` coordinates of an
+    * embedding and L2-renormalize — the cheap-ANN contract of
+    * Matryoshka-representation-learning embeddings (public MRL result:
+    * prefixes of the vector are themselves usable embeddings). At 100 TB
+    * this is the standard two-stage retrieval prefilter: candidate
+    * generation on an 8–16-dim prefix costs dims/D of the full dot
+    * products (and dims/D of the scan bytes when the truncated column is
+    * materialized), then the survivors re-rank at full dimension — q177
+    * drives exactly that pipeline. A pure scan projection: native `slice`
+    * plus the compiled [[graft.functions.VectorFunctions.l2Normalize]]
+    * kernel (no interpreted lambdas, no shuffle); zero-norm prefixes stay
+    * zero vectors. Renormalizing leaves every pairwise cosine unchanged
+    * (scale invariance) but turns downstream cosines into plain dot
+    * products over the materialized column. */
+  def truncateEmbeddings(df: DataFrame, vecCol: String, dims: Int,
+      outCol: String = "trunc_vec"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    df.withColumn(outCol,
+      graft.functions.VectorFunctions.l2Normalize(slice(col(vecCol), 1, dims)))
+  }
+
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -153,6 +153,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(m(("b", "c"))) < 1e-12)
   }
 
+  test("truncateEmbeddings: unit-norm prefix, cosine preserved, zero passthrough") {
+    val t = Similarity.truncateEmbeddings(corpus, "embedding", dims = 8)
+    // every truncated vector is unit-norm (or zero)
+    val norms = t.select(
+      graft.functions.VectorFunctions.norm($"trunc_vec").as("n")).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9 || n == 0.0))
+    // renormalization never changes pairwise cosine (scale invariance):
+    // cosine of truncated pairs == cosine of raw 8-dim slices
+    val sliced = corpus.select($"vec_id", slice($"embedding", 1, 8).as("svec"))
+    val a = t.limit(5).select($"vec_id".as("ia"), $"trunc_vec")
+      .crossJoin(t.limit(5).select($"vec_id".as("ib"), $"trunc_vec".as("tb")))
+      .filter($"ia" < $"ib")
+      .select($"ia", $"ib",
+        graft.functions.VectorFunctions.cosine($"trunc_vec", $"tb").as("c"))
+    val b = sliced.limit(5).select($"vec_id".as("ia"), $"svec")
+      .crossJoin(sliced.limit(5).select($"vec_id".as("ib"), $"svec".as("sb")))
+      .filter($"ia" < $"ib")
+      .select($"ia", $"ib",
+        graft.functions.VectorFunctions.cosine($"svec", $"sb").as("c"))
+    val got = a.orderBy($"ia", $"ib").select($"c").as[Double].collect()
+    val exp = b.orderBy($"ia", $"ib").select($"c").as[Double].collect()
+    got.zip(exp).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    // zero vector stays zero
+    val z = Seq((1L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val zt = Similarity.truncateEmbeddings(z, "embedding", dims = 4)
+      .select($"trunc_vec").as[Seq[Double]].head
+    assert(zt == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("centroid outliers: inverted vector flagged, cohesive ones kept") {
     import spark.implicits._
     val vecs = Seq(
