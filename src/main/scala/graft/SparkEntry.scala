@@ -323,6 +323,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN recall measurement (the tuning instrument) -----------------
+    // recall@10 of a 4-dim-prefix candidate generator against the exact
+    // full-dimension top-10 — deliberately aggressive truncation so the
+    // recall is NON-trivial (a 1.0-everywhere oracle would prove nothing)
+    "q178_ann_recall" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      def topk(vecExpr: org.apache.spark.sql.Column) = {
+        val c = emb.select(col("vec_id"), vecExpr.as("v"))
+        Similarity.bruteForceTopK(c, "vec_id", "v",
+          queries.select(col("vec_id").as("qid"), vecExpr.as("qv")),
+          "qid", "qv", k = 10)
+      }
+      Similarity.recallAtK(
+          approx = topk(slice(col("embedding"), 1, 4)),
+          exact = topk(col("embedding")), k = 10)
+        .gateOrdered(col("query_id"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2392,6 +2411,31 @@ object SparkEntry {
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" -> knnExactSql,
+    // Recall@10 of the 4-dim prefix vs exact: both rankings replicated
+    // with the same index-order double cosine; per-query hit counts are
+    // exact integers
+    "q178_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding
+                    FROM embeddings WHERE vec_id < 50),
+         ap AS (SELECT query_id, nbr_id FROM (
+                  SELECT q.query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(
+                          q.embedding[1:4]::DOUBLE[], c.embedding[1:4]::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS r
+                  FROM embeddings c CROSS JOIN q) t WHERE r <= 10),
+         ex AS (SELECT query_id, nbr_id FROM (
+                  SELECT q.query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(
+                          q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS r
+                  FROM embeddings c CROSS JOIN q) t WHERE r <= 10)
+         SELECT ex.query_id, count(ap.nbr_id)::BIGINT AS n_hit,
+                round(count(ap.nbr_id) / 10.0, 4) AS recall
+         FROM ex LEFT JOIN ap
+           ON ex.query_id = ap.query_id AND ex.nbr_id = ap.nbr_id
+         GROUP BY ex.query_id ORDER BY ex.query_id""",
     // Two-stage Matryoshka retrieval: stage-1 ranks by the 8-dim prefix
     // cosine (same index-order double arithmetic both engines), stage-2
     // reranks the 20 survivors at full dimension

@@ -108,6 +108,26 @@ object Similarity {
       graft.functions.VectorFunctions.l2Normalize(slice(col(vecCol), 1, dims)))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * tuning instrument every production ANN deployment runs before
+    * trading accuracy for cost (bands, probes, prefix dims are all tuned
+    * against measured recall, never guessed). Inputs are two top-k tables
+    * `(query_id, nbr_id, …)`; output is one row per EXACT-side query:
+    * `(query_id, n_hit, recall)` with `recall = |approx ∩ exact| / k`.
+    * Queries the approximate side missed entirely report recall 0 (left
+    * join from the exact side), so a candidate generator that drops whole
+    * queries cannot hide. One keyed join + one partial-aggregated
+    * groupBy — output height = |queries|. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = approx.select(col("query_id"), col("nbr_id"), lit(1).as("__hit"))
+    exact.select(col("query_id"), col("nbr_id"))
+      .join(a, Seq("query_id", "nbr_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("n_hit"),
+        round(count(col("__hit")) / k.toDouble, 4).as("recall"))
+  }
+
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -182,6 +182,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(zt == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("recallAtK: identical=1, disjoint=0, dropped query reports 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "nbr_id")
+    // query 1: both hit; query 2: one hit; query 3: absent from approx
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "nbr_id")
+    val r = Similarity.recallAtK(approx, exact, k = 2)
+      .orderBy($"query_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+  }
+
   test("centroid outliers: inverted vector flagged, cohesive ones kept") {
     import spark.implicits._
     val vecs = Seq(
