@@ -342,6 +342,18 @@ object SparkEntry {
         .gateOrdered(col("query_id"))
     }),
 
+    // ---- distributed Lloyd k-means (iterative, driver-sequenced) --------
+    // one full Lloyd step from data-point seeds on the 8-dim prefix:
+    // assign (unrolled left-to-right squared-L2, lowest-index ties) →
+    // decimal-exact means → final assignment; every step replicated
+    // bit-for-bit by the oracle
+    "q179_kmeans_lloyd" -> ((s, dir) => {
+      Similarity.kmeansLloyd(read(s, dir, "embeddings"), "vec_id", "embedding",
+          initIds = Seq(0L, 1L, 2L, 3L), iterations = 1, dims = 8)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .gateOrdered(col("vec_id"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2266,6 +2278,40 @@ object SparkEntry {
            FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q179 oracle: one Lloyd step replayed exactly — unrolled left-to-right
+    * squared-L2 terms (matching the Spark expression's fold order),
+    * row_number ties to the lowest cluster index (≡ the struct array_min),
+    * DECIMAL-exact per-dimension sums divided once in double, and the
+    * empty-cluster fallback to the seed centroid. */
+  private def kmeansSql(k: Int, dims: Int): String = {
+    def d2(c: Int => String): String =
+      (1 to dims).map(i => s"(b.v[$i]-${c(i)})*(b.v[$i]-${c(i)})").mkString(" + ")
+    val meanCols = (1 to dims).map(i =>
+      s"CAST(sum(v[$i]::DECIMAL(30,12)) AS DOUBLE)/count(*) AS c$i").mkString(", ")
+    val ccCols = (1 to dims).map(i =>
+      s"coalesce(m.c$i, c0.c[$i]) AS c$i").mkString(", ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding[1:$dims]::DOUBLE[] AS v
+                   FROM embeddings),
+        c0 AS (SELECT id AS j, v AS c FROM b WHERE id < $k),
+        s1 AS (SELECT b.id, c0.j, ${d2(i => s"c0.c[$i]")} AS d
+               FROM b CROSS JOIN c0),
+        a1 AS (SELECT id, j AS cluster FROM (
+                 SELECT id, j, row_number() OVER (PARTITION BY id
+                   ORDER BY d ASC, j ASC) AS rn FROM s1) t
+               WHERE rn = 1),
+        m AS (SELECT cluster, $meanCols
+              FROM a1 JOIN b USING (id) GROUP BY cluster),
+        cc AS (SELECT c0.j, $ccCols
+               FROM c0 LEFT JOIN m ON m.cluster = c0.j),
+        s2 AS (SELECT b.id, cc.j, ${d2(i => s"cc.c$i")} AS d
+               FROM b CROSS JOIN cc),
+        a2 AS (SELECT id, j AS cluster FROM (
+                 SELECT id, j, row_number() OVER (PARTITION BY id
+                   ORDER BY d ASC, j ASC) AS rn FROM s2) t
+               WHERE rn = 1)
+        SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id"""
+  }
+
   /** q51 oracle: the Morton interleave unrolled into 16 shift-mask terms —
     * DuckDB recomputes the exact z-value bit for bit. Bucketization uses
     * trunc to mirror Spark's cast-to-long, clamped to the edge buckets. */
@@ -2411,6 +2457,8 @@ object SparkEntry {
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" -> knnExactSql,
+    // One Lloyd step replayed dimension-by-dimension (see kmeansSql)
+    "q179_kmeans_lloyd" -> kmeansSql(k = 4, dims = 8),
     // Recall@10 of the 4-dim prefix vs exact: both rankings replicated
     // with the same index-order double cosine; per-query hit counts are
     // exact integers

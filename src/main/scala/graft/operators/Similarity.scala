@@ -84,9 +84,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN: candidates share at least one band bucket with the
-    * query, re-ranked by exact cosine. Recall is tuned by
-    * (numBits, numBands): more bands → more probes → higher recall. */
   /** Matryoshka truncation: keep the first `dims` coordinates of an
     * embedding and L2-renormalize — the cheap-ANN contract of
     * Matryoshka-representation-learning embeddings (public MRL result:
@@ -128,6 +125,74 @@ object Similarity {
         round(count(col("__hit")) / k.toDouble, 4).as("recall"))
   }
 
+  /** Distributed Lloyd k-means over an embedding prefix: `iterations`
+    * full (assign → recompute) steps from data-point seeds, returning the
+    * assignment `(id, cluster)` against the final centroids. The iterative
+    * sibling of [[trainCentroids]]'s one-shot sample: each step is one
+    * scan-local assignment projection (k unrolled squared-L2 expressions,
+    * argmin via a struct `array_min` — no interpreted lambdas) plus one
+    * partial-aggregated groupBy whose k×dims result lands on the driver
+    * (the k-means control loop is inherently driver-sequenced; the DATA
+    * never is). Clusters that lose all members keep their previous
+    * centroid.
+    *
+    * Determinism contract (what makes an external oracle possible):
+    * distances accumulate LEFT-TO-RIGHT over dimensions, ties break to
+    * the lowest cluster index, and per-dimension means are computed as
+    * exact DECIMAL sums (order-independent under any partitioning —
+    * float-double sums would drift with Spark's partial-aggregation
+    * order) divided once in double. An engine replaying the same recipe
+    * reproduces every assignment bit-for-bit. */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int, dims: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(initIds.nonEmpty, "at least one seed id required")
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      slice(col(vecCol), 1, dims).as("v"))
+    val initRows = base.filter(col("id").isin(initIds: _*))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+      }.toMap
+    initIds.foreach(i => require(initRows.contains(i), s"seed id $i not found"))
+    var centroids: Array[Array[Double]] = initIds.map(initRows(_)).toArray
+
+    def dist2(c: Array[Double]): org.apache.spark.sql.Column =
+      (0 until dims).map { d =>
+        val t = col("v").getItem(d).cast("double") - lit(c(d))
+        t * t
+      }.reduce(_ + _) // Seq.reduce is a left fold: left-to-right addition
+    def assignCol: org.apache.spark.sql.Column = array_min(array(
+      centroids.zipWithIndex.map { case (c, j) =>
+        struct(dist2(c).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+
+    for (_ <- 1 to iterations) {
+      val assigned = base.withColumn("cluster", assignCol)
+      val aggs = (0 until dims).map(d =>
+        sum(col("v").getItem(d).cast("decimal(30,12)")).as(s"s$d")) :+
+        count(lit(1)).as("n")
+      val rows = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      rows.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(dims + 1).toDouble
+        (0 until dims).foreach { d =>
+          next(cl)(d) = r.getDecimal(d + 1).doubleValue() / n
+        }
+      }
+      centroids = next
+    }
+    base.withColumn("cluster", assignCol).select(col("id"), col("cluster"))
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one band bucket with the
+    * query, re-ranked by exact cosine. Recall is tuned by
+    * (numBits, numBands): more bands → more probes → higher recall. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -194,6 +194,26 @@ class SimilaritySpec extends SparkSpecBase {
       Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
   }
 
+  test("kmeansLloyd: separable blobs converge to their true clusters") {
+    // two tight blobs around (0,0,...) and (10,10,...); seeds one point
+    // from each — one iteration must classify every point correctly
+    val pts = (0 until 20).map { i =>
+      val base = if (i < 10) 0.0f else 10.0f
+      (i.toLong, Array.tabulate(8)(d => base + (i % 5) * 0.01f + d * 0.001f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+        initIds = Seq(0L, 15L), iterations = 2, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 10).foreach(i => assert(out(i.toLong) == 0, s"point $i"))
+    (10 until 20).foreach(i => assert(out(i.toLong) == 1, s"point $i"))
+    // deterministic: same seeds, same result
+    val again = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+        initIds = Seq(0L, 15L), iterations = 2, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+  }
+
   test("centroid outliers: inverted vector flagged, cohesive ones kept") {
     import spark.implicits._
     val vecs = Seq(
