@@ -354,6 +354,20 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- PageRank over the near-dup graph -------------------------------
+    // authority scores on the duplicate-pair graph (hub variants rank
+    // high — the canonical-doc signal); 2 Lloyd-style driver-sequenced
+    // iterations, contributions decimal-exact, every constant written as
+    // the same literal expression the oracle uses
+    "q180_pagerank_neardup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Components.pageRank(docs.select(col("doc_id").as("id")), edges, iterations = 2)
+        .select(col("id").as("doc_id"), col("rank"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2312,6 +2326,34 @@ object SparkEntry {
         SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id"""
   }
 
+  /** q180 oracle: PageRank replayed iteration-by-iteration — symmetric
+    * exact-Jaccard edges (the LSH net is 100%-recall on this corpus, the
+    * q127 precedent), decimal-exact contribution sums, constants written
+    * as the same literal expressions the Scala side evaluates
+    * ((1.0-0.85)/n, 1.0/n), 12-dp inter-iteration rounding. */
+  private def pageRankSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id,
+             CAST(sum(($prev.rank/deg.deg)::DECIMAL(28,18)) AS DOUBLE) AS s
+           FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r$i AS (SELECT vtx.id,
+             round((1.0-0.85)/(SELECT n FROM nv) + 0.85*coalesce(c$i.s, 0.0), 12) AS rank
+           FROM vtx LEFT JOIN c$i USING (id))"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (${jaccardPairsSql(0.7)}),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         vtx AS (SELECT doc_id AS id FROM documents),
+         nv AS (SELECT count(*)::BIGINT AS n FROM vtx),
+         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         r0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM vtx),
+         $iterCtes
+         SELECT id AS doc_id, round(rank, 6) AS rank FROM r$iterations
+         ORDER BY doc_id"""
+  }
+
   /** q51 oracle: the Morton interleave unrolled into 16 shift-mask terms —
     * DuckDB recomputes the exact z-value bit for bit. Bucketization uses
     * trunc to mirror Spark's cast-to-long, clamped to the edge buckets. */
@@ -2459,6 +2501,8 @@ object SparkEntry {
     "q21_knn_bruteforce" -> knnExactSql,
     // One Lloyd step replayed dimension-by-dimension (see kmeansSql)
     "q179_kmeans_lloyd" -> kmeansSql(k = 4, dims = 8),
+    // Two PageRank iterations replayed exactly (see pageRankSql)
+    "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Recall@10 of the 4-dim prefix vs exact: both rankings replicated
     // with the same index-order double cosine; per-query hit counts are
     // exact integers

@@ -35,6 +35,60 @@ object Components {
     * blocks; `sym`/`touched` are released in a finally (the
     * non-convergence throw included). Only the FINAL labels checkpoint
     * stays cached — the returned plan reads from it. */
+  /** PageRank over the undirected graph `edges` (`id_a`, `id_b`) on
+    * `vertices` (single column `id`) — the authority score for near-dup
+    * graphs: within a duplicate cluster, high-rank nodes are the "hub"
+    * variants everything else copies (the natural canonical-doc choice
+    * when n_chars ties), and across a link/citation graph it is the
+    * classic quality prior for training-data curation. Simplified model:
+    * fixed `iterations`, damping 0.85, no dangling-mass redistribution
+    * (isolated vertices hold the base rank (1−d)/N — documented, not a
+    * bug). Output `(id, rank)` with rank rounded to 6 dp.
+    *
+    * Scale shape: per iteration ONE join of ranks onto the edge list and
+    * one partial-aggregated groupBy over destinations — the contribution
+    * shuffle is |edges|, never |vertices|²; the loop is driver-sequenced
+    * (fixed small iteration count), data stays on executors.
+    *
+    * Determinism contract (what makes an external oracle possible): the
+    * per-destination contribution sum runs in exact DECIMAL (the
+    * [[graft.operators.Similarity.kmeansLloyd]] pattern — double sums
+    * would drift with partial-aggregation order), every scalar constant
+    * is written as the same literal expression on both engines, and each
+    * iteration's rank is rounded to 12 dp. An engine replaying the recipe
+    * reproduces every rank bit-for-bit. */
+  def pageRank(vertices: DataFrame, edges: DataFrame,
+      iterations: Int = 2, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    val v = vertices.select(col("id"))
+    val n = v.count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val base = (1.0 - damping) / n
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var ranks = v.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to iterations) {
+        val contrib = sym
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_sum"))
+        ranks = v.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            round(lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 12)
+              .as("rank"))
+          .localCheckpoint() // cut the per-iteration lineage growth
+      }
+      ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    } finally sym.unpersist()
+  }
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")

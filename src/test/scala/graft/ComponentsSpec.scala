@@ -6,6 +6,24 @@ import graft.operators.{Components, Dedup}
 class ComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("pageRank: star center outranks leaves; isolated node holds base rank") {
+    // star: 0 connected to 1..4; node 9 isolated; N = 6
+    val vertices = (0L to 4L).toSeq.:+(9L).toDF("id")
+    val edges = (1L to 4L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val r = Components.pageRank(vertices, edges, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val base = 0.15 / 6
+    assert(math.abs(r(9L) - base) < 1e-6, s"isolated node must hold base rank: ${r(9L)}")
+    assert((1L to 4L).forall(i => r(0L) > r(i)), s"star center must outrank leaves: $r")
+    assert((1L to 4L).map(r).distinct.size == 1, "leaves are symmetric")
+    // hand-check the center after iteration 1 feeding iteration 2:
+    // r1(leaf) = base + 0.85*(r0(0)/4); r1(0) = base + 0.85*sum(r0(i)/1)
+    val n = 6.0; val r0 = 1.0 / n
+    val r1leaf = BigDecimal(base + 0.85 * (r0 / 4)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2center = base + 0.85 * (4 * (r1leaf / 1.0))
+    assert(math.abs(r(0L) - r2center) < 1e-6, s"${r(0L)} vs $r2center")
+  }
+
   test("chain, triangle and singleton resolve to min-id components") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 20
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
