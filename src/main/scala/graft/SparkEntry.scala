@@ -368,6 +368,19 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- triangles + clustering coefficient on the near-dup graph -------
+    "q181_triangle_stats" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Components
+        .triangleStats(docs.select(col("doc_id").as("id")), edges)
+        .filter(col("degree") > 0) // graph members only: bounded output
+        .select(col("id").as("doc_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2503,6 +2516,32 @@ object SparkEntry {
     "q179_kmeans_lloyd" -> kmeansSql(k = 4, dims = 8),
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
+    // Triangles by ordered two-join enumeration over exact-Jaccard edges;
+    // integer counts, one engine-exact double division for the coefficient
+    "q181_triangle_stats" ->
+      s"""WITH pairs AS (${jaccardPairsSql(0.7)}),
+          canon AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                    FROM pairs WHERE id_a <> id_b),
+          deg AS (SELECT id, count(*)::BIGINT AS degree FROM (
+                    SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) t
+                  GROUP BY id),
+          tris AS (SELECT e1.a, e1.b, e2.b AS c
+                   FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+                   WHERE EXISTS (SELECT 1 FROM canon e3
+                                 WHERE e3.a = e1.a AND e3.b = e2.b)),
+          pv AS (SELECT id, count(*)::BIGINT AS n_triangles FROM (
+                   SELECT a AS id FROM tris
+                   UNION ALL SELECT b FROM tris
+                   UNION ALL SELECT c FROM tris) t
+                 GROUP BY id)
+          SELECT deg.id AS doc_id, deg.degree,
+                 coalesce(pv.n_triangles, 0)::BIGINT AS n_triangles,
+                 CASE WHEN deg.degree < 2 THEN 0.0
+                      ELSE round(2.0 * coalesce(pv.n_triangles, 0)
+                                 / (deg.degree * (deg.degree - 1)), 6)
+                 END AS clustering
+          FROM deg LEFT JOIN pv ON pv.id = deg.id
+          ORDER BY doc_id""",
     // Recall@10 of the 4-dim prefix vs exact: both rankings replicated
     // with the same index-order double cosine; per-query hit counts are
     // exact integers

@@ -89,6 +89,52 @@ object Components {
     } finally sym.unpersist()
   }
 
+  /** Per-vertex triangle count and local clustering coefficient over the
+    * undirected graph `edges` (`id_a`, `id_b`) — the density diagnostic
+    * for near-dup graphs: a cluster whose members all pair with each
+    * other (coefficient ≈ 1) is one duplicated document radiating
+    * variants, where a low-coefficient chain is drift through successive
+    * edits; on link graphs it is the classic community-structure signal.
+    * Output `(id, degree, n_triangles, clustering)` for every vertex,
+    * `clustering = 2·t / (deg·(deg−1))`, 0 when degree < 2.
+    *
+    * Shape: canonicalize edges to `a < b`, join the edge list to itself
+    * on the shared middle vertex, then semi-join the closing edge — the
+    * standard two-join triangle enumeration whose shuffle volume is
+    * Σ deg² (the open-wedge count), NOT |V|². Each triangle (a<b<c)
+    * explodes into its three member rows for the per-vertex partial-
+    * aggregated count. Exact integer arithmetic end-to-end; the
+    * coefficient's one double division is engine-exact. */
+  def triangleStats(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // no explicit persist: the plan references `canon` four times and
+    // Spark's ReusedExchange deduplicates the shuffle at execution
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // wedges a<b<c from (a,b)+(b,c); closing edge (a,c) must exist
+    val e2 = canon.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = canon.select(col("a").as("a3"), col("b").as("c3"))
+    val tris = canon.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perVertex = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    vertices.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perVertex, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)), 6)))
+  }
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")

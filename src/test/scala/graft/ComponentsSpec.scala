@@ -24,6 +24,26 @@ class ComponentsSpec extends SparkSpecBase {
     assert(math.abs(r(0L) - r2center) < 1e-6, s"${r(0L)} vs $r2center")
   }
 
+  test("triangleStats: K4 fully clustered, wedge has none, isolated zeroed") {
+    // K4 on 0..3 (every vertex: deg 3, 3 triangles, coeff 1.0),
+    // wedge 10-11-12 (center 11: deg 2, 0 triangles, coeff 0), isolated 20
+    val vertices = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L)).toDF("id")
+    val k4 = for { i <- 0 until 4; j <- (i + 1) until 4 } yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("id_a", "id_b")
+    val out = Components.triangleStats(vertices, edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    (0L to 3L).foreach(i => assert(out(i) == ((3L, 3L, 1.0)), s"K4 vertex $i: ${out(i)}"))
+    assert(out(11L) == ((2L, 0L, 0.0)), s"wedge center: ${out(11L)}")
+    assert(out(10L) == ((1L, 0L, 0.0)) && out(12L) == ((1L, 0L, 0.0)))
+    assert(out(20L) == ((0L, 0L, 0.0)), s"isolated: ${out(20L)}")
+    // duplicate + reversed edges collapse to the same canonical set
+    val noisy = edges.unionByName(Seq((1L, 0L), (0L, 1L)).toDF("id_a", "id_b"))
+    val again = Components.triangleStats(vertices, noisy)
+      .filter($"id" === 0L).collect().head
+    assert((again.getLong(1), again.getLong(2)) == ((3L, 3L)))
+  }
+
   test("chain, triangle and singleton resolve to min-id components") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 20
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
