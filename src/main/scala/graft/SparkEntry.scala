@@ -381,6 +381,17 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- exact Jaccard pairs via prefix filtering (AllPairs) ------------
+    // third candidate-generation algorithm over the same pair semantics:
+    // q20 (df-capped full join) and q25 (LSH) agree with it through one
+    // shared oracle — three independent algorithms, one exact pair set
+    "q182_prefix_filter_jaccard" -> ((s, dir) => {
+      Dedup.prefixFilterJaccard(read(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .gateOrdered(col("id_a"), col("id_b"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2509,6 +2520,9 @@ object SparkEntry {
          length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
          FROM documents ORDER BY doc_id""",
     "q20_ngram_jaccard" -> jaccardPairsSql(0.7),
+    // Prefix filtering is exact-recall by the AllPairs lemma, so the
+    // oracle is the same exact pair set q20 checks against
+    "q182_prefix_filter_jaccard" -> jaccardPairsSql(0.7),
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" -> knnExactSql,

@@ -359,6 +359,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Exact above-threshold Jaccard pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW 2007), the third
+    * candidate-generation strategy alongside LSH ([[minhashLsh]],
+    * probabilistic recall) and the df-capped full join ([[ngramJaccard]],
+    * Σ df² cost): deterministic EXACT recall at a fraction of the join
+    * volume. Under one global shingle order (ascending document
+    * frequency — rarest first — hash tiebreak), any pair with
+    * `J ≥ threshold` must share a shingle within each side's first
+    * `|x| − ⌈threshold·|x|⌉ + 1` shingles, so only those PREFIX rows
+    * enter the self-join; candidate volume is Σ df_prefix(h)² over
+    * low-frequency shingles instead of Σ df(h)² over all of them. A
+    * length filter (`t·|y| ≤ |x| ≤ |y|/t`) prunes size-incompatible
+    * pairs before verification on the full sorted hash sets (compiled
+    * merge kernel). The ceiling is computed CONSERVATIVELY
+    * (`floor(t·sz − 1e-9) + 1` ≥ the true ceiling under any fp rounding),
+    * so prefixes can only err longer — extra candidates, never a missed
+    * pair. Output `(id_a, id_b, jaccard)`, id_a < id_b. */
+  def prefixFilterJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val base = df.select(col(idCol).as("id"),
+        TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+      .filter(col("sz") > 0)
+    val ex = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
+    val minOverlap = floor(lit(threshold) * col("sz") - lit(1e-9)) + 1
+    val prefix = ranked.filter(col("pos") <= col("sz") - minOverlap + 1)
+    val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") * lit(threshold) <= col("sz_a") &&
+        col("sz_a") * lit(threshold) <= col("sz_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        TextKernelFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Shared exact-recall relational core: per unordered pair sharing ≥ 1
     * shingle, (id_a, id_b, sz_a, sz_b, inter), id_a < id_b. */
   private def pairIntersections(df: DataFrame, idCol: String,

@@ -106,6 +106,30 @@ class DedupSpec extends SparkSpecBase {
     assert(out.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("prefix-filter jaccard produces exactly the full-join pair set") {
+    // the AllPairs prefix lemma promises EXACT recall: on both the tiny
+    // fixture and the real corpus, the prefix-filtered join must emit
+    // precisely the pairs the uncapped full join emits, at every
+    // threshold tried (incl. t values whose t*|x| products are
+    // fp-imprecise — the conservative ceiling must never drop a pair)
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.ngramJaccard(docs, "doc_id", "text", 3, t)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterJaccard(docs, "doc_id", "text", 3, t)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf == full, s"t=$t: prefix-filter $pf vs full $full")
+    }
+    val real = spark.read.parquet(sf("documents"))
+    val fullR = Dedup.ngramJaccard(real, "doc_id", "text", 3, 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pfR = Dedup.prefixFilterJaccard(real, "doc_id", "text", 3, 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pfR == fullR, s"real corpus: ${pfR.size} vs ${fullR.size} pairs")
+    assert(fullR.nonEmpty, "fixture must produce pairs")
+  }
+
   test("ngram jaccard maxDocFreq caps hot shingles: bounded join, boilerplate pairs dropped") {
     // 40 docs all opening with the same boilerplate shingle; only two are
     // real near-dups. Uncapped, the boilerplate shingle alone contributes
