@@ -392,6 +392,14 @@ object SparkEntry {
         .gateOrdered(col("id_a"), col("id_b"))
     }),
 
+    // ---- sorted-neighborhood linkage (blocking complement) --------------
+    "q183_sorted_neighborhood" -> ((s, dir) => {
+      Linkage.sortedNeighborhoodPairs(read(s, dir, "customer"),
+          "c_custkey", "c_name", window = 3, maxDistance = 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .gateOrdered(col("id_a"), col("id_b"))
+    }),
+
     // ---- events / streaming twin ----------------------------------------
     "q22_events_hourly" -> ((s, dir) => {
       EventStream.hourlyAggBatch(EventsSource.read(s, s"$dir/events.parquet"))
@@ -2523,6 +2531,19 @@ object SparkEntry {
     // Prefix filtering is exact-recall by the AllPairs lemma, so the
     // oracle is the same exact pair set q20 checks against
     "q182_prefix_filter_jaccard" -> jaccardPairsSql(0.7),
+    // Sorted-neighborhood: total order (c_name, c_custkey), each record
+    // vs its 3 successors, exact integer edit distance <= 1
+    "q183_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS key,
+                      row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+                    FROM customer),
+         p AS (SELECT a.id AS ia, b.id AS ib, a.key AS ka, b.key AS kb
+               FROM r a JOIN r b ON b.rn - a.rn IN (1, 2, 3))
+         SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+                levenshtein(ka, kb)::INT AS dist
+         FROM p
+         WHERE abs(length(ka) - length(kb)) <= 1 AND levenshtein(ka, kb) <= 1
+         ORDER BY id_a, id_b""",
     "q25_minhash_lsh" -> jaccardPairsSql(0.7),
     "q26_simhash_pairs" -> jaccardPairsSql(0.8),
     "q21_knn_bruteforce" -> knnExactSql,

@@ -93,4 +93,46 @@ object Linkage {
         levenshtein(col("key_a"), col("key_b"), maxDistance).as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Sorted-neighborhood dedup pairs — the classic COMPLEMENT to key
+    * blocking ([[fuzzyDedupPairs]]): sort the corpus once on the key and
+    * compare each record only to its `window` successors, so candidates
+    * that equi-blocks SPLIT (typo in the block-prefix character, boundary
+    * values) still meet as sort neighbors, and candidate volume is
+    * exactly `window · n` regardless of key distribution (no hot-block
+    * blowup). Output `(id_a, id_b, key_a, key_b, dist)` for neighbor
+    * pairs within `maxDistance` edits (ids ordered).
+    *
+    * Shape: one global sort via the two-phase
+    * [[graft.ops.IndexOps.stableRowNumber]] (range partition + driver
+    * prefix sums — no single-partition stage), then the w-neighbor pairs
+    * come from an EQUI-join on `rn_b = rn_a + offset` with the `window`
+    * offsets exploded — never a range join, never a window over rows.
+    * Sort order is `(key, id)` — total, so the pairing is deterministic. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int = 3, maxDistance: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
+    val ranked = graft.ops.IndexOps.stableRowNumber(
+      df.select(col(idCol).as("id"), col(keyCol).as("key")),
+      Seq("key", "id"), "__rn")
+    val offsets = explode(array((1 to window).map(lit): _*)).as("__off")
+    val a = ranked.select(col("id").as("id_a"), col("key").as("key_a"),
+        col("__rn"), offsets)
+      .withColumn("__rn_b", col("__rn") + col("__off"))
+    val b = ranked.select(col("id").as("id_b"), col("key").as("key_b"),
+      col("__rn").as("__rn_b"))
+    a.join(b, Seq("__rn_b"))
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDistance)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") <= col("id_b"), col("key_a")).otherwise(col("key_b")).as("key_a"),
+        when(col("id_a") <= col("id_b"), col("key_b")).otherwise(col("key_a")).as("key_b"),
+        levenshtein(col("key_a"), col("key_b"), maxDistance).as("dist"))
+      .filter(col("dist") >= 0)
+    // no distinct needed: each unordered pair arises from exactly one
+    // (rn, offset) — row numbers are unique under the total sort order
+  }
 }

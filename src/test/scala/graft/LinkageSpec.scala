@@ -31,6 +31,28 @@ class LinkageSpec extends SparkSpecBase {
     assert(out.count() == 0)
   }
 
+  test("sortedNeighborhood pairs sort-adjacent records; window bounds reach") {
+    val out = Linkage.sortedNeighborhoodPairs(catalog, "id", "name",
+        window = 3, maxDistance = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // sort order: acme c0rp(2) < acme corp(1) < acme corps(3) < acme inc(4)
+    // < zenith ltd(5); within-1-edit sort neighbors: (2,1) and (1,3)
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 1)), s"got $out")
+    // the blocked-prefix escape case ("alpha"/"elpha" under a 1-char
+    // blocker) is exactly what sorted-neighborhood repairs when the
+    // window spans the gap
+    val df = Seq((1L, "alpha"), (2L, "elpha")).toDF("id", "name")
+    val repaired = Linkage.sortedNeighborhoodPairs(df, "id", "name",
+        window = 1, maxDistance = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(repaired == Set((1L, 2L)))
+    // reach is bounded: window=1 pairs only adjacent records
+    val w1 = Linkage.sortedNeighborhoodPairs(catalog, "id", "name",
+        window = 1, maxDistance = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!w1.contains((2L, 3L)) && w1.contains((1L, 2L)) && w1.contains((1L, 3L)))
+  }
+
   test("fuzzyJoin links two tables and reports distances") {
     val dirty = Seq((10L, "acme c0rp"), (11L, "acme inc"), (12L, "zenith ltd"))
       .toDF("rid", "rname")
