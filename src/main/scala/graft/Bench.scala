@@ -71,9 +71,11 @@ object Bench {
     // driver recorded "parsed": null for the third round running. Integer
     // MILLISECONDS per query ("qunit":"ms") + BARE NUMERIC keys ("27", not
     // "q27_lang_quality"; "qkey":"q#" documents the mapping) measure
-    // ~1780 chars at 176 queries — the whole line plus the sbt suffix fits
-    // with ~140 chars margin (~15 more queries of headroom). BENCH_LOCAL
-    // .json keeps the verbose qN-keyed maps for humans and the guard.
+    // ~1850 chars at 183 queries — the whole line plus the sbt suffix fits
+    // with ~65 chars margin (~6 more queries of headroom; past ~q190 drop
+    // the "regr"/"qkey" fields or trim sub-100ms entries to whole-10ms).
+    // BENCH_LOCAL.json keeps the verbose qN-keyed maps for humans and the
+    // regression guard.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
     def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
