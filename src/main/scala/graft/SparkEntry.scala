@@ -939,16 +939,7 @@ object SparkEntry {
     // junk instead of failing the scan. Oracle recomputes the per-lang
     // rollup from the flat table with the same v1/v2 boundary.
     "q175_evolving_read" -> ((s, dir) => {
-      val docs = read(s, dir, "documents").filter(col("doc_id") <= 100)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lake_").toString
-      docs.filter(col("doc_id") <= 50).select(col("doc_id"), col("lang"))
-        .write.mode("overwrite").parquet(s"$tmp/v1")
-      docs.filter(col("doc_id") > 50).select(col("doc_id"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$tmp/v2")
-      // a truncated upload: junk bytes under a .parquet name
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$tmp/v2/part-junk.parquet"),
-        Array.fill[Byte](96)(0x5a))
+      val tmp = stageEvolvingLake(s, dir)
       ParquetIO.readLake(s, s"$tmp/{v1,v2}")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2193,13 +2184,40 @@ object SparkEntry {
     * dir (the shape an ingestion layer lands; the streaming parquet source
     * rejects TIMESTAMP(NANOS)). `duplicate` doubles every row — the dedup
     * fixture. */
+  private val eventsMicrosCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
   private def stageEventsMicros(s: SparkSession, dir: String,
-      duplicate: Boolean = false): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_").toString
-    val ev = EventsSource.read(s, s"$dir/events.parquet")
-    (if (duplicate) ev.union(ev) else ev).write.mode("overwrite").parquet(out)
-    out
-  }
+      duplicate: Boolean = false): String =
+    // cached per (dir, variant) per JVM: 7 streaming queries × 3 bench
+    // passes were each re-writing the staged copy and leaking a /tmp dir
+    eventsMicrosCache.computeIfAbsent((dir, duplicate), { case (d, dup) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val ev = EventsSource.read(s, s"$d/events.parquet")
+      (if (dup) ev.union(ev) else ev).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Stage (once per source dir per JVM) the q175 messy-lake fixture: two
+    * schema versions (v2 adds n_chars) plus a truncated junk file under a
+    * .parquet name. Cached so bench's warm + two measured passes (and the
+    * correctness run) re-measure the tolerant READ, not the staging write
+    * — and so repeated rounds stop accumulating orphan /tmp directories. */
+  private val evolvingLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageEvolvingLake(s: SparkSession, dir: String): String =
+    evolvingLakeCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+      val docs = read(s, d, "documents").filter(col("doc_id") <= 100)
+      docs.filter(col("doc_id") <= 50).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.filter(col("doc_id") > 50).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      // a truncated upload: junk bytes under a .parquet name
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/v2/part-junk.parquet"),
+        Array.fill[Byte](96)(0x5a))
+      tmp
+    })
 
   /** Stage (once per source dir per JVM) a hive-layout date-partitioned
     * copy of the events table and return it as a DataFrame. Cached so
@@ -2328,7 +2346,12 @@ object SparkEntry {
     * squared-L2 terms (matching the Spark expression's fold order),
     * row_number ties to the lowest cluster index (≡ the struct array_min),
     * DECIMAL-exact per-dimension sums divided once in double, and the
-    * empty-cluster fallback to the seed centroid. */
+    * empty-cluster fallback to the PREVIOUS centroid (kmeansLloyd's
+    * contract). The coalesce below writes that fallback against the SEED
+    * centroids c0 — correct ONLY because this oracle replays exactly one
+    * iteration, where previous ≡ seed. A multi-iteration replay must
+    * coalesce each round against the prior round's cc CTE instead, or it
+    * silently diverges from kmeansLloyd on the first empty cluster. */
   private def kmeansSql(k: Int, dims: Int): String = {
     def d2(c: Int => String): String =
       (1 to dims).map(i => s"(b.v[$i]-${c(i)})*(b.v[$i]-${c(i)})").mkString(" + ")

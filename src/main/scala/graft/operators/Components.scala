@@ -58,9 +58,11 @@ object Components {
     * iteration's rank is rounded to 12 dp. An engine replaying the recipe
     * reproduces every rank bit-for-bit. */
   def pageRank(vertices: DataFrame, edges: DataFrame,
-      iterations: Int = 2, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 2, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
     val v = vertices.select(col("id"))
     val n = v.count()
     require(n > 0, "pageRank needs at least one vertex")
@@ -79,11 +81,16 @@ object Components {
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("id"))
           .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_sum"))
-        ranks = v.join(contrib, Seq("id"), "left")
+        val next = cutLineage(v.join(contrib, Seq("id"), "left")
           .select(col("id"),
             round(lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 12)
-              .as("rank"))
-          .localCheckpoint() // cut the per-iteration lineage growth
+              .as("rank")), checkpointDir.isDefined)
+        // `next` is materialized eagerly above, so the previous iteration's
+        // cached blocks are no longer referenced — release them now instead
+        // of letting one checkpoint per iteration accumulate for the job's
+        // lifetime (no-op on the first, un-checkpointed ranks frame)
+        releaseCheckpoint(ranks)
+        ranks = next
       }
       ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     } finally sym.unpersist()
@@ -136,8 +143,9 @@ object Components {
   }
 
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -147,8 +155,9 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      var labels = touched.select(col("id"), col("id").as("component"))
-        .localCheckpoint(true)
+      var labels = cutLineage(
+        touched.select(col("id"), col("id").as("component")),
+        checkpointDir.isDefined)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -156,13 +165,14 @@ object Components {
           .groupBy(col("src")).agg(min(col("component")).as("nbr_comp"))
         // the changed flag rides in the checkpointed projection: the
         // convergence probe below scans cached blocks, no join, no shuffle
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(col("component"), coalesce(col("nbr_comp"), col("component")))
-              .as("component"),
-            (coalesce(col("nbr_comp"), col("component")) < col("component"))
-              .as("__chg"))
-          .localCheckpoint(true) // materializes AND cuts lineage
+        val next = cutLineage(
+          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+            .select(labels("id"),
+              least(col("component"), coalesce(col("nbr_comp"), col("component")))
+                .as("component"),
+              (coalesce(col("nbr_comp"), col("component")) < col("component"))
+                .as("__chg")),
+          checkpointDir.isDefined) // materializes AND cuts lineage
         converged = next.filter(col("__chg")).isEmpty
         releaseCheckpoint(labels)
         labels = next.drop("__chg")
@@ -182,9 +192,22 @@ object Components {
     }
   }
 
+  /** Materialize `df` eagerly and cut its lineage so iterative plan depth
+    * stays constant. `reliable = false` (local mode default) uses
+    * `localCheckpoint(true)`: blocks live on executors with lineage
+    * truncated — fast, but one executor loss mid-iteration kills the job
+    * unrecoverably. `reliable = true` writes a durable checkpoint to the
+    * directory previously registered via `setCheckpointDir`
+    * (`Dataset.checkpoint`): files survive executor loss — the required
+    * mode for long iterative jobs on a real cluster. */
+  private def cutLineage(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
   /** Release the cached blocks behind a `localCheckpoint(true)` DataFrame.
     * `Dataset.unpersist` only consults the CacheManager (checkpoints are
-    * not registered there); the blocks belong to the underlying RDD. */
+    * not registered there); the blocks belong to the underlying RDD.
+    * No-op for reliable checkpoints (their data is files, not blocks) and
+    * for never-checkpointed frames (no `LogicalRDD` leaf). */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

@@ -399,8 +399,8 @@ object Dedup {
     val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
     val cands = a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("sz_b") * lit(threshold) <= col("sz_a") &&
-        col("sz_a") * lit(threshold) <= col("sz_b"))
+      .filter(col("sz_b") * lit(threshold) - lit(1e-9) <= col("sz_a") &&
+        col("sz_a") * lit(threshold) - lit(1e-9) <= col("sz_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -133,8 +133,11 @@ object Similarity {
     * argmin via a struct `array_min` — no interpreted lambdas) plus one
     * partial-aggregated groupBy whose k×dims result lands on the driver
     * (the k-means control loop is inherently driver-sequenced; the DATA
-    * never is). Clusters that lose all members keep their previous
-    * centroid.
+    * never is). Clusters that lose all members keep their PREVIOUS
+    * centroid — part of the oracle contract: the paired kmeansSql replay
+    * (SparkEntry) writes this fallback against the seed centroids, which
+    * matches only at iterations = 1 (previous ≡ seed); see the note
+    * there before reusing the oracle pattern for more iterations.
     *
     * Determinism contract (what makes an external oracle possible):
     * distances accumulate LEFT-TO-RIGHT over dimensions, ties break to

@@ -117,6 +117,40 @@ class ComponentsSpec extends SparkSpecBase {
     assert(after.size <= 2, s"leaked caches on throw: $after")
   }
 
+  test("reliable checkpointDir mode: same results, checkpoint files land in dir") {
+    // executor-loss durability for cluster runs: with checkpointDir set the
+    // per-iteration lineage cut is a RELIABLE checkpoint (files in the dir
+    // survive executor loss) instead of localCheckpoint's executor blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+    try {
+      val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+        .toDF("id_a", "id_b")
+      val local = Components.connectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val durable = Components.connectedComponents(vertices, edges,
+          checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(durable == local, s"mode changed results: $durable vs $local")
+
+      val prLocal = Components.pageRank(vertices, edges, iterations = 2)
+        .as[(Long, Double)].collect().toMap
+      val prDurable = Components.pageRank(vertices, edges, iterations = 2,
+          checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Double)].collect().toMap
+      assert(prDurable == prLocal, s"pageRank mode changed results")
+
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(countFiles).sum else 1
+      assert(countFiles(dir) > 0, "no reliable checkpoint files written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("nearDupClusters collapses the transitive near-dup chain") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
