@@ -392,6 +392,25 @@ object SparkEntry {
         .gateOrdered(col("id_a"), col("id_b"))
     }),
 
+    // ---- incremental dedup against a PRECOMPUTED bucketed corpus store --
+    "q184_lsh_probe_stored" -> ((s, dir) => {
+      // the 100 TB incremental-ingestion pipeline end-to-end: the corpus
+      // half (even doc_ids) is banded ONCE into two bucketed catalog
+      // tables (precomputeLshCorpus, cached per dir per JVM), then the
+      // incoming batch (odd doc_ids) probes the stored layout — same
+      // semantics as q70's fused run (the oracle is identical), but the
+      // probe plan takes zero corpus-side recompute and no exchange above
+      // the corpus scans (asserted mechanically in PlanSpec)
+      val docs = read(s, dir, "documents")
+      val prefix = stageLshCorpus(s, dir)
+      Dedup.minhashLshProbeStored(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        prefix, threshold = 0.7)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // ---- sorted-neighborhood linkage (blocking complement) --------------
     "q183_sorted_neighborhood" -> ((s, dir) => {
       Linkage.sortedNeighborhoodPairs(read(s, dir, "customer"),
@@ -2197,6 +2216,37 @@ object SparkEntry {
       out
     })
 
+  /** Stage (once per source dir per JVM) the q184 corpus-side LSH store:
+    * `Dedup.precomputeLshCorpus` over the even-doc_id half of `documents`
+    * into two bucketed catalog tables. Cached so bench's warm + measured
+    * passes time the PROBE (the per-batch cost in production), not the
+    * one-time corpus precompute — exactly the asymmetry the layout exists
+    * to buy. Table names carry a dir hash: each scale factor gets its own
+    * store, and a driver run at sf0.01 after local sf0.001 iteration can
+    * never probe a stale corpus. */
+  private val lshCorpusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageLshCorpus(s: SparkSession, dir: String): String =
+    lshCorpusCache.computeIfAbsent(dir, { d =>
+      val prefix = s"graft_lsh_${Integer.toHexString(d.hashCode).toLowerCase}"
+      Seq("buckets", "shingles").foreach { suffix =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_$suffix")
+        // the metastore is per-JVM but the warehouse dir persists across
+        // runs — clear any orphaned location from a previous JVM
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          s"${prefix}_$suffix")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      Dedup.precomputeLshCorpus(
+        read(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", prefix)
+      prefix
+    })
+
   /** Stage (once per source dir per JVM) the q175 messy-lake fixture: two
     * schema versions (v2 adds n_chars) plus a truncated junk file under a
     * .parquet name. Cached so bench's warm + two measured passes (and the
@@ -2265,6 +2315,27 @@ object SparkEntry {
     * recall by construction; q25 minhash / q26 simhash candidate nets are
     * empirically 100%-recall on this corpus at oracle scale, so their
     * verified outputs equal the exact pair set). */
+  /** q70/q184 oracle: exact cross-parity Jaccard (odd = new batch, even =
+    * historical corpus); recall argument as q25 — banding is a per-row
+    * projection, so the cross-parity candidate net is the q25 net
+    * restricted to odd×even pairs. */
+  private lazy val crossParityJaccardSql: String =
+    """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
+         ORDER BY new_id, corpus_id"""
+
   private def jaccardPairsSql(threshold: Double): String =
     s"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -3344,22 +3415,12 @@ object SparkEntry {
     // even = historical corpus); recall argument as q25 — banding is a
     // per-row projection, so the cross-parity candidate net is the q25 net
     // restricted to odd×even pairs.
-    "q70_neardup_incremental" ->
-      """WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                  x -> len(x) > 0) AS toks
-           FROM documents),
-         s AS (
-           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-           FROM t WHERE len(toks) >= 3)
-         SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
-         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
-         ORDER BY new_id, corpus_id""",
+    "q70_neardup_incremental" -> crossParityJaccardSql,
+    // Stored-layout probe ≡ fused incremental run: banding is a per-row
+    // projection, so the precomputed bucket net equals q70's fused net —
+    // only the PLAN differs (no corpus-side recompute/exchange; PlanSpec
+    // asserts the shape). Same exact cross-parity Jaccard oracle.
+    "q184_lsh_probe_stored" -> crossParityJaccardSql,
     // Top trigrams by corpus occurrence count, n-gram string tiebreak
     "q71_top_ngrams" ->
       """WITH t AS (

@@ -195,6 +195,80 @@ object Dedup {
     released(pairs, Seq(newBase, corpusBase), materialize)
   }
 
+  /** Precompute the corpus side of [[minhashLshAgainst]] into two bucketed
+    * catalog tables — the 100 TB incremental-ingestion layout: the per-row
+    * kernel work (shingle hashing, MinHash, banding) runs ONCE over the
+    * corpus at precompute time, and every subsequent batch probe reads the
+    * stored layout with zero corpus-side recompute and zero corpus-side
+    * shuffle.
+    *
+    *  - `{prefix}_buckets` `(band, bucket, id)` bucketed+sorted by
+    *    `(band, bucket)`: the candidate join's corpus side. A probe batch
+    *    shuffles its own (tiny) band rows into the corpus bucket count;
+    *    the corpus side is scanned in place (no Exchange above the scan).
+    *  - `{prefix}_shingles` `(id, shingles)` bucketed+sorted by `id`: the
+    *    verification join's corpus side — shingle sets are fetched by
+    *    candidate id without shuffling the corpus store.
+    *
+    * Companion probe: [[minhashLshProbeStored]]. Parameters must match
+    * between precompute and probe ([[banded]] is bit-identical across call
+    * sites, so stored buckets equal what a fused run would band). */
+  def precomputeLshCorpus(
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      numBuckets: Int = 32): Unit = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
+    val base = lshBase(corpusDf, idCol, textCol, shingleSize, numHashes)
+    try {
+      graft.ops.ScaleOps.writeBucketed(
+        banded(base, numHashes, numBands).select(col("band"), col("bucket"), col("id")),
+        s"${tablePrefix}_buckets", Seq("band", "bucket"), numBuckets)
+      graft.ops.ScaleOps.writeBucketed(
+        base.select(col("id"), col("shingles")),
+        s"${tablePrefix}_shingles", Seq("id"), numBuckets)
+    } finally base.unpersist(false)
+  }
+
+  /** [[minhashLshAgainst]] against a corpus precomputed by
+    * [[precomputeLshCorpus]]: candidates come from joining the batch's band
+    * rows to the stored `{prefix}_buckets` table (bucket join — the probe
+    * side shuffles into the corpus bucketing, the corpus scan takes no
+    * Exchange), verification fetches corpus shingle sets from
+    * `{prefix}_shingles` by candidate id. Semantically identical to the
+    * fused [[minhashLshAgainst]] run at the same parameters; only the plan
+    * changes. Output: (new_id, corpus_id, jaccard). */
+  def minhashLshProbeStored(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
+    val spark = newDf.sparkSession
+    val corpusBuckets = spark.table(s"${tablePrefix}_buckets")
+    val corpusShingles = spark.table(s"${tablePrefix}_shingles")
+    val newBase = lshBase(newDf, idCol, textCol, shingleSize, numHashes)
+    val bandedNew = banded(newBase, numHashes, numBands)
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val candidates = bandedNew
+      .join(corpusBuckets.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val pairs = verifyJaccardCross(candidates,
+      newBase.select(col("id"), col("shingles")),
+      corpusShingles, threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard"))
+    released(pairs, Seq(newBase), materialize)
+  }
+
   /** Drop every `newDf` document that near-duplicates the existing corpus
     * (jaccard ≥ threshold to ANY corpus doc) — the incremental admission
     * filter. One anti-join over the matched new-id set. */

@@ -254,6 +254,40 @@ class PlanSpec extends SparkSpecBase {
       s"scan must prune to the three profiled columns:\n$p")
   }
 
+  test("q184 stored-corpus probe: no exchange above the corpus-side scans") {
+    // the 100 TB incremental-dedup claim, proven in the plan: with the
+    // corpus LSH store precomputed as bucketed tables, the probe's joins
+    // must read the corpus in place — any Exchange (shuffle OR broadcast)
+    // on a corpus-side join input means the layout bought nothing.
+    // Broadcast is disabled so the tiny sf0.001 store can't satisfy the
+    // assert the easy way a 100 TB corpus never could.
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q184_lsh_probe_stored")(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.sparkPlan
+      val joins = p.collect {
+        case j if j.nodeName.contains("Join") => j
+      }
+      // a join input that reads ONLY the stored corpus tables (no
+      // documents.parquet anywhere beneath) is a corpus side
+      val corpusSides = joins.flatMap(_.children).filter { c =>
+        val s = c.treeString
+        s.contains("graft_lsh_") && !s.contains("documents.parquet")
+      }
+      assert(corpusSides.size >= 2,
+        s"expected the candidate + verification joins to stream the stored corpus:\n${p.treeString}")
+      corpusSides.foreach { c =>
+        assert(!c.treeString.contains("Exchange"),
+          s"corpus side of a probe join takes an exchange:\n${c.treeString}")
+      }
+      // and the bucketed layout is what the scan actually uses
+      assert(p.treeString.contains("Bucketed: true"),
+        s"stored corpus scan is not a bucketed read:\n${p.treeString}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
