@@ -41,11 +41,19 @@ object Bench {
     // equivalent to q08's 1.07s).
     // Optional args narrow the run to matching query prefixes ("q89 q116")
     // for local iteration; the driver passes none and gets the full suite.
+    // clearCache drops CacheManager entries (the materialize=false LSH
+    // bases); the getPersistentRDDs sweep additionally releases checkpoint
+    // blocks (materialize=true results, graph-op labels) that live on the
+    // RDDs, not in the CacheManager — between queries NOTHING stays cached
+    def dropAllBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names =
       if (args.isEmpty) all
       else all.filter(n => args.exists(a => n == a || n.startsWith(a + "_")))
-    names.foreach { n => run(n); spark.catalog.clearCache() }
+    names.foreach { n => run(n); dropAllBlocks() }
 
     // min of two runs per query: the host shows multi-second noise spikes
     // (same code measured 50s/118s/69s total across runs), and min-of-N is
@@ -60,7 +68,7 @@ object Bench {
     val resultsMin2 = names.map { n =>
       val a = run(n)
       val b = run(n)
-      spark.catalog.clearCache()
+      dropAllBlocks()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // Keep the line SHORT: the driver keeps only the last 2000 chars of
@@ -120,7 +128,7 @@ object Bench {
     val results = resultsMin2.map { case (k, v) =>
       if (!flagged(k, v)) k -> v
       else {
-        val c = run(k); spark.catalog.clearCache()
+        val c = run(k); dropAllBlocks()
         k -> (if (c < 0) v else math.min(v, c))
       }
     }

@@ -361,7 +361,8 @@ object SparkEntry {
     // the same literal expression the oracle uses
     "q180_pagerank_neardup" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7,
+          materialize = true)
         .select(col("id_a"), col("id_b"))
       graft.operators.Components.pageRank(docs.select(col("doc_id").as("id")), edges, iterations = 2)
         .select(col("id").as("doc_id"), col("rank"))
@@ -371,7 +372,8 @@ object SparkEntry {
     // ---- triangles + clustering coefficient on the near-dup graph -------
     "q181_triangle_stats" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      val edges = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7,
+          materialize = true)
         .select(col("id_a"), col("id_b"))
       graft.operators.Components
         .triangleStats(docs.select(col("doc_id").as("id")), edges)
@@ -405,7 +407,7 @@ object SparkEntry {
       val prefix = stageLshCorpus(s, dir)
       Dedup.minhashLshProbeStored(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        prefix, threshold = 0.7)
+        prefix, threshold = 0.7, materialize = true)
         .select(col("new_id"), col("corpus_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -451,7 +453,8 @@ object SparkEntry {
     // ---- non-SQL-expressible operators (rows-only checks) ---------------
     "q25_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(read(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.7)
+        shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.7,
+        materialize = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -463,7 +466,7 @@ object SparkEntry {
       // set, so it has a DuckDB oracle (raw hamming pairs would need
       // simhash in SQL). No maxHamming pruning — it would cap recall.
       Dedup.simhashNearDup(read(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8, numChunks = 8)
+        shingleSize = 3, threshold = 0.8, numChunks = 8, materialize = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .gateOrdered(col("id_a"), col("id_b"))
     }),
@@ -519,7 +522,8 @@ object SparkEntry {
       // production threshold (≥0.9) use fewer, longer bands (8×8 bits) for
       // real pruning; at 0.4 sign-LSH degrades toward verify-most-pairs.
       Dedup.embeddingNearDup(read(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numBits = 32, numBands = 16)
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 16,
+        materialize = true)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .gateOrdered(col("id_a"), col("id_b"))
     }),
@@ -877,7 +881,7 @@ object SparkEntry {
       // (same argument as q25), so the kept set equals the exact-pair
       // computation the oracle runs
       Dedup.dropNearDuplicates(read(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.7)
+        threshold = 0.7, materialize = true)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .gateOrdered(col("doc_id"))
     }),
@@ -888,7 +892,7 @@ object SparkEntry {
       // net at oracle scale, same argument as q25/q62); the oracle
       // recomputes components with a recursive CTE
       Dedup.nearDupClusters(read(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.7)
+        threshold = 0.7, materialize = true)
         .select(col("id").as("doc_id"), col("component"))
         .gateOrdered(col("doc_id"))
     }),
@@ -1068,7 +1072,7 @@ object SparkEntry {
       Dedup.minhashLshAgainst(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", threshold = 0.7)
+        "doc_id", "text", threshold = 0.7, materialize = true)
         .select(col("new_id"), col("corpus_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -1382,7 +1386,8 @@ object SparkEntry {
     "q127_cluster_reps" -> ((s, dir) => {
       // canonical doc per near-dup cluster: largest n_chars, doc_id tiebreak
       val docs = read(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.7)
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.7,
+        materialize = true)
         .select(col("id").as("doc_id"), col("component"))
       val joined = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       Sampling.quotaPerGroup(joined, Seq("component"),
@@ -2226,7 +2231,7 @@ object SparkEntry {
     * never probe a stale corpus. */
   private val lshCorpusCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageLshCorpus(s: SparkSession, dir: String): String =
+  private[graft] def stageLshCorpus(s: SparkSession, dir: String): String =
     lshCorpusCache.computeIfAbsent(dir, { d =>
       val prefix = s"graft_lsh_${Integer.toHexString(d.hashCode).toLowerCase}"
       Seq("buckets", "shingles").foreach { suffix =>

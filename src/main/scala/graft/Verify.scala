@@ -26,6 +26,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // between queries nothing stays cached: CacheManager entries AND
+        // checkpoint blocks (materialize=true results, graph-op labels)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

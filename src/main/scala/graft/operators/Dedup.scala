@@ -280,9 +280,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
     val matched = minhashLshAgainst(newDf, corpusDf, idCol, textCol,
-      shingleSize, numHashes, numBands, threshold)
+      shingleSize, numHashes, numBands, threshold, materialize)
       .select(col("new_id").as("__matched")).distinct()
     newDf.join(matched, newDf(idCol) === matched("__matched"), "left_anti")
   }
@@ -524,9 +525,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
     val losers = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
-      numBands, threshold)
+      numBands, threshold, materialize)
       .select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
   }
@@ -545,9 +547,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
     val edges = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
-      numBands, threshold).select(col("id_a"), col("id_b"))
+      numBands, threshold, materialize).select(col("id_a"), col("id_b"))
     Components.connectedComponents(df.select(col(idCol).as("id")), edges)
   }
 

@@ -76,6 +76,21 @@ object ScaleOps {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Release the cached blocks a DataFrame's plan holds that
+    * `Dataset.unpersist` / `Catalog.clearCache` CANNOT reach: blocks behind
+    * `localCheckpoint` leaves (`LogicalRDD`) are registered with the RDD,
+    * not the CacheManager. The `materialize = true` dedup operators return
+    * such a checkpointed result (their kernel bases already released
+    * inside the call) — invoke this once the result is consumed and the
+    * session is block-free again. Safe on any DataFrame (no-op without
+    * checkpoint leaves); the frame must not be re-executed afterwards (its
+    * blocks are gone and the lineage was cut). */
+  def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   // ---- bloom-prefiltered joins -----------------------------------------
   //
   // The selective-join lever for 100 TB: when a big fact side joins a

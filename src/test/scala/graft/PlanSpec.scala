@@ -36,14 +36,27 @@ class PlanSpec extends SparkSpecBase {
 
   test("queries stay on codegen'd paths — no interpreted lambda hot spots") {
     // the rewritten text/vector pipelines must not contain higher-order
-    // function nodes in their plans (kernels replaced them)
-    for (q <- Seq("q25_minhash_lsh", "q26_simhash_pairs", "q21_knn_bruteforce",
-                  "q28_fingerprint")) {
-      val p = plan(q)
+    // function nodes in their plans (kernels replaced them). The dedup
+    // operators run here with materialize = false — the catalog's
+    // materialize = true would collapse their plan to a checkpoint scan
+    // and make this assert vacuous.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plans = Seq(
+      "minhashLsh" -> graft.operators.Dedup.minhashLsh(
+        docs, "doc_id", "text", numBands = 16, threshold = 0.7)
+        .queryExecution.executedPlan.toString,
+      "simhashNearDup" -> graft.operators.Dedup.simhashNearDup(
+        docs, "doc_id", "text", threshold = 0.8)
+        .queryExecution.executedPlan.toString,
+      "q21_knn_bruteforce" -> plan("q21_knn_bruteforce"),
+      "q28_fingerprint" -> plan("q28_fingerprint"))
+    for ((q, p) <- plans) {
       assert(!p.contains("ArrayFilter") && !p.contains("ArrayAggregate") &&
              !p.contains("ArrayTransform"),
         s"$q still uses interpreted higher-order functions")
     }
+    spark.catalog.clearCache()
   }
 
   test("q28 fingerprints are one scan-projection: no shuffle before the sort") {
@@ -264,7 +277,14 @@ class PlanSpec extends SparkSpecBase {
     val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q184_lsh_probe_stored")(spark, "/root/testdata/sf0.001")
+      // direct operator call (materialize = false): the catalog query
+      // checkpoints its result, which would hide the probe plan
+      import org.apache.spark.sql.functions.col
+      val prefix = SparkEntry.stageLshCorpus(spark, "/root/testdata/sf0.001")
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df = graft.operators.Dedup.minhashLshProbeStored(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        prefix, threshold = 0.7)
       val p = df.queryExecution.sparkPlan
       val joins = p.collect {
         case j if j.nodeName.contains("Join") => j
@@ -284,8 +304,10 @@ class PlanSpec extends SparkSpecBase {
       // and the bucketed layout is what the scan actually uses
       assert(p.treeString.contains("Bucketed: true"),
         s"stored corpus scan is not a bucketed read:\n${p.treeString}")
-    } finally
+    } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.catalog.clearCache() // release the probe-side kernel base
+    }
   }
 
   test("no declared query plans a CartesianProduct — the blanket invariant") {

@@ -155,6 +155,25 @@ class RegressionSpec extends SparkSpecBase {
       "min must be +0.0, not -0.0")
   }
 
+  test("dedup catalog queries leave zero cached blocks after release") {
+    // the r6 cache-lifecycle footgun, closed: catalog dedup queries run
+    // materialize = true (kernel bases released inside the operator) and
+    // the returned checkpoint is releasable by the PUBLIC API — after
+    // releaseCheckpointBlocks + clearCache the session holds no blocks.
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q25_minhash_lsh", "q26_simhash_pairs", "q31_embedding_neardup",
+                  "q63_neardup_clusters", "q70_neardup_incremental",
+                  "q184_lsh_probe_stored")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.write.format("noop").mode("overwrite").save() // run to completion
+      graft.ops.ScaleOps.releaseCheckpointBlocks(df)
+      spark.catalog.clearCache()
+      val cached = spark.sparkContext.getPersistentRDDs
+      assert(cached.isEmpty,
+        s"$q leaked ${cached.size} cached RDD(s): ${cached.values.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("lagAutocorrelation survives constant series under ANSI mode") {
     // bare corr() throws DIVIDE_BY_ZERO on zero variance with ANSI on;
     // the guarded co-moment form must return NULL instead
