@@ -204,6 +204,45 @@ case class I8QuantStatsExpr(child: Expression)
   override def prettyName: String = "i8_quant_stats"
 }
 
+/** `argmin_j Σ_d (v[d] − c_j[d])²` with the kmeansLloyd determinism
+  * contract compiled in: distances accumulate LEFT-TO-RIGHT over
+  * dimensions (term order identical to the unrolled
+  * `((t₀²+t₁²)+t₂²)…` left fold it replaces, so every assignment is
+  * bit-for-bit reproducible by an external oracle) and ties break to the
+  * lowest centroid index (strict `<` keeps the first minimum). Centroids
+  * ride inside the expression (k × dims doubles serialized with the plan,
+  * like a broadcast variable). Replaces the k unrolled per-centroid
+  * squared-L2 column expressions whose generated code grows O(k·dims) and
+  * falls over janino method-size limits past dims ≈ 64: the kernel is one
+  * call whatever k and dims are. */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "at least one centroid required")
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      require(x.length == c.length,
+        s"nearest_centroid: vector has ${x.length} dims, centroid $j has ${c.length}")
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val t = x(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorKernelFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -215,4 +254,6 @@ object VectorKernelFunctions {
     ColumnBridge.column(I8QuantStatsExpr(ColumnBridge.expression(v)))
   def l2Normalize(v: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(v)))
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), centroids))
 }

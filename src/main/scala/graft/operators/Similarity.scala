@@ -150,7 +150,7 @@ object Similarity {
       initIds: Seq[Long], iterations: Int, dims: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(initIds.nonEmpty, "at least one seed id required")
-    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
+    require(dims >= 1, s"dims must be >= 1: $dims")
     val base = df.select(col(idCol).cast("long").as("id"),
       slice(col(vecCol), 1, dims).as("v"))
     val initRows = base.filter(col("id").isin(initIds: _*))
@@ -163,15 +163,14 @@ object Similarity {
     initIds.foreach(i => require(initRows.contains(i), s"seed id $i not found"))
     var centroids: Array[Array[Double]] = initIds.map(initRows(_)).toArray
 
-    def dist2(c: Array[Double]): org.apache.spark.sql.Column =
-      (0 until dims).map { d =>
-        val t = col("v").getItem(d).cast("double") - lit(c(d))
-        t * t
-      }.reduce(_ + _) // Seq.reduce is a left fold: left-to-right addition
-    def assignCol: org.apache.spark.sql.Column = array_min(array(
-      centroids.zipWithIndex.map { case (c, j) =>
-        struct(dist2(c).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
+    // assignment runs in the compiled nearest-centroid kernel: one call
+    // per row whatever k × dims is (the earlier k unrolled squared-L2
+    // column expressions blew past janino's method-size limit at
+    // dims ≳ 64), with the same determinism contract — left-to-right
+    // dimension accumulation, ties to the lowest centroid index
+    def assignCol: org.apache.spark.sql.Column =
+      graft.functions.kernels.VectorKernelFunctions
+        .nearestCentroid(col("v"), centroids.map(_.clone()))
 
     for (_ <- 1 to iterations) {
       val assigned = base.withColumn("cluster", assignCol)

@@ -214,6 +214,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("kmeansLloyd at dims=256 / k=64: the compiled kernel lifts the codegen cap") {
+    // the pre-kernel unrolled assignment generated O(k·dims) expression
+    // terms and fell over janino limits past dims ≈ 64; the kernel must
+    // handle production embedding widths. 64 well-separated blob centers
+    // in 256 dims, 4 points each; one iteration classifies every point.
+    val pts = (0 until 256).map { i =>
+      val blob = i / 4
+      (i.toLong, Array.tabulate(256)(d =>
+        (if (d == blob) 100.0f else 0.0f) + (i % 4) * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val seeds = (0 until 64).map(b => (b * 4).toLong)
+    val out = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+        initIds = seeds, iterations = 1, dims = 256)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 256)
+    (0 until 256).foreach(i => assert(out(i.toLong) == i / 4,
+      s"point $i assigned ${out(i.toLong)}, expected ${i / 4}"))
+  }
+
   test("centroid outliers: inverted vector flagged, cohesive ones kept") {
     import spark.implicits._
     val vecs = Seq(
