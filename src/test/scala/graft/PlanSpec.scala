@@ -310,6 +310,51 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
+    // the runtime complement to ScaleOps.saltedJoin's manual lever: on a
+    // cluster, spark.sql.adaptive.skewJoin must split a hot partition
+    // without code changes. Thresholds are scaled down so the fixture's
+    // ~20 MB hot key trips the same machinery a 100 TB hot key would.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // 90% of 300k left rows share key 0 (~20 MB with payload); right is
+      // 1k distinct keys, too big to broadcast with broadcast disabled
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 10 =!= 9, lit(0L)).otherwise(col("id") % 1000).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), col("id").cast("string").as("name"))
+      // global aggregate, NOT groupBy(k): a downstream operator requiring
+      // hashpartitioning(k) would forbid the split (AQE must preserve
+      // required distributions); max(payload) keeps the wide column from
+      // being pruned so the hot partition's shuffle bytes trip the
+      // threshold
+      val agg = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("w"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
