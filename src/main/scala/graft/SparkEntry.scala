@@ -413,6 +413,24 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // ---- IVF probe against a PRECOMPUTED list_id-partitioned layout -----
+    "q188_ivf_stored" -> ((s, dir) => {
+      // the vector-side mirror of q184: inverted lists materialized once,
+      // partitioned by list_id; the probe prunes to the probed lists'
+      // directories (PlanSpec asserts PartitionFilters) and broadcasts the
+      // query table. nProbe = numLists ⇒ exact search, so the stored-path
+      // plan runs under the same brute-force oracle as q40's fused run
+      val (path, centroids) = stageIvfLists(s, dir)
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopKStored(path, centroids, queries, "qid", "qvec",
+          k = 5, nProbe = 16)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- archive staging: zip + 7z extraction feed real reads (S6) ------
     "q185_archive_extract" -> ((s, dir) => {
       // both extraction paths exercised end-to-end under the oracle: a zip
@@ -2328,6 +2346,22 @@ object SparkEntry {
       prefix
     })
 
+  /** Stage (once per source dir per JVM) the q188 IVF layout: centroids
+    * trained on the embeddings corpus (deterministic seeded sample), lists
+    * written partitioned by list_id. Cached so bench passes measure the
+    * PRUNED PROBE, not the one-time layout job; the centroids array is
+    * part of the layout's contract and rides in the cache with the path. */
+  private val ivfListsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private[graft] def stageIvfLists(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    ivfListsCache.computeIfAbsent(dir, { d =>
+      val emb = read(s, d, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, "embedding", numLists = 16)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/lists"
+      Similarity.writeIvfLists(emb, "vec_id", "embedding", centroids, path)
+      (path, centroids)
+    })
+
   /** Stage (once per source dir per JVM) the q185 archive fixtures: a zip
     * holding the region table and a 7z (stored/COPY method — extraction
     * correctness, not compressor coverage, is under test) holding nation,
@@ -3020,6 +3054,10 @@ object SparkEntry {
          FROM parquet_metadata('/root/testdata/sf0.01/part.parquet')
          GROUP BY 1 ORDER BY 1""",
     "q40_ivf_ann" -> knnExactSql,
+    // Stored-layout IVF probe ≡ fused run at nProbe = numLists: exact
+    // search either way, so the same brute-force oracle applies; only the
+    // plan (partition-pruned list reads) differs — PlanSpec asserts it
+    "q188_ivf_stored" -> knnExactSql,
     "q41_sessionize" -> sessionizeSql,
     // the native session_window operator must reproduce the same sessions
     "q166_session_native" -> sessionizeSql,

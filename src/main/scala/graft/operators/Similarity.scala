@@ -429,6 +429,48 @@ object Similarity {
     * an array of (cosine, index) structs reduced by struct ordering. The
     * m = 1 case (corpus assignment — the per-row hot path) is a plain
     * `array_max`; only query probing (tiny row count) pays the sort. */
+  /** Materialize the IVF inverted lists as a `list_id`-partitioned parquet
+    * layout — the stored form of [[ivfTopK]]'s `assignToLists` step. Written
+    * once per corpus (the centroids are the layout's contract: keep them
+    * with the table and pass the SAME array to [[ivfTopKStored]]); each
+    * probe then reads ONLY the probed lists' directories via partition
+    * pruning instead of scanning the corpus. */
+  def writeIvfLists(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    assignToLists(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      "nbr_vec", centroids)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** [[ivfTopK]] against lists stored by [[writeIvfLists]]: the probed
+    * list ids become a LITERAL `IN` partition filter on the stored layout
+    * (driver-side control data, bounded by numLists — never row data), so
+    * the scan prunes to the probed directories (`PartitionFilters` in the
+    * plan; asserted in PlanSpec), then the tiny probe table broadcasts
+    * into the pruned scan for the exact cosine re-rank. Semantically
+    * identical to a fused [[ivfTopK]] run with the same centroids; only
+    * the plan — zero corpus-side recompute, bytes read ∝ probed lists —
+    * changes. */
+  def ivfTopKStored(path: String, centroids: Array[Array[Double]],
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+      .withColumn("list_id",
+        explode(bestLists(col("query_vec"), centroids, math.min(nProbe, centroids.length))))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf).toSeq: _*))
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("nbr_id"),
+        VectorKernelFunctions.cosineSimilarity(col("query_vec"), col("nbr_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>

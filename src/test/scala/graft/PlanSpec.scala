@@ -310,6 +310,39 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q188 stored IVF probe prunes to the probed lists' partitions") {
+    // nProbe = 2 of 16 lists: the scan must carry a list_id partition
+    // filter and select at most 2 of the 16 list directories — bytes read
+    // scale with probed lists, not corpus size
+    import org.apache.spark.sql.functions.col
+    val (path, centroids) = SparkEntry.stageIvfLists(spark, "/root/testdata/sf0.001")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = graft.operators.Similarity.ivfTopKStored(
+      path, centroids, queries, "qid", "qvec", k = 3, nProbe = 2)
+    // sparkPlan, not executedPlan: AQE wraps stages and hides the scan
+    // from a pre-execution collect
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_")) => s
+    }
+    assert(scans.nonEmpty, "stored-lists scan not found in the probe plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+        s"no list_id partition filter on the stored scan:\n$s")
+      // the literal IN prunes statically; the broadcast join ALSO attaches
+      // a DynamicPruningSubquery (runtime-only — exclude it from the
+      // static listing, it cannot be evaluated before execution)
+      val staticFilters = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))
+      val selected = s.relation.location.listFiles(staticFilters, s.dataFilters)
+        .map(_.values).distinct.size
+      assert(selected <= 4, // 2 queries × nProbe 2: at most 4 distinct lists
+        s"pruning selected $selected of 16 list partitions")
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
     // the runtime complement to ScaleOps.saltedJoin's manual lever: on a
     // cluster, spark.sql.adaptive.skewJoin must split a hot partition
