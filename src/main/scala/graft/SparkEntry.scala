@@ -431,6 +431,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- SemDeDup: semantic dedup inside coarse embedding clusters ------
+    // cluster on the 8-dim prefix against data-point seed centroids
+    // (vec_id < 8 — the oracle recomputes them from the table), then
+    // full-vector cosine ONLY within clusters; tau = 0.42 sits in a wide
+    // empirical gap of the sf0.01 pair-cosine distribution (nearest pairs
+    // 0.4322 / 0.4104), so the threshold compare is ulp-safe
+    "q189_semdedup" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(slice(col("embedding"), 1, 8))
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.semDedup(emb, "vec_id", "embedding",
+          centroids = seeds, tau = 0.42, clusterDims = 8)
+        .select(col("id").as("vec_id"), col("cluster"), col("dup_of"),
+          col("max_prior_cos"), col("keep"))
+        .gateOrdered(col("vec_id"))
+    }),
+
     // ---- archive staging: zip + 7z extraction feed real reads (S6) ------
     "q185_archive_extract" -> ((s, dir) => {
       // both extraction paths exercised end-to-end under the oracle: a zip
@@ -2617,6 +2637,34 @@ object SparkEntry {
         SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id"""
   }
 
+  /** q189 oracle: SemDeDup replayed — seed-centroid assignment on the
+    * `dims`-dim prefix (same unrolled left-to-right squared-L2 + lowest-
+    * index ties as kmeansSql's s1/a1 step), then full-vector cosine only
+    * within clusters; duplicate = some lower-id cluster-mate with
+    * cos >= tau (tau chosen in an empirical gap — see the q189 entry). */
+  private def semDedupSql(k: Int, dims: Int, tau: Double): String = {
+    val d2 = (1 to dims).map(i => s"(b.v[$i]-c0.c[$i])*(b.v[$i]-c0.c[$i])").mkString(" + ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding[1:$dims]::DOUBLE[] AS v,
+                     embedding::DOUBLE[] AS f
+                   FROM embeddings),
+        c0 AS (SELECT id AS j, v AS c FROM b WHERE id < $k),
+        s1 AS (SELECT b.id, c0.j, $d2 AS d FROM b CROSS JOIN c0),
+        a AS (SELECT id, j AS cluster FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                  ORDER BY d ASC, j ASC) AS rn FROM s1) t
+              WHERE rn = 1),
+        p AS (SELECT x.id, max(list_cosine_similarity(bx.f, by.f)) AS maxcos,
+                min(CASE WHEN list_cosine_similarity(bx.f, by.f) >= $tau
+                         THEN y.id END) AS dup_of
+              FROM a x JOIN a y ON x.cluster = y.cluster AND y.id < x.id
+              JOIN b bx ON bx.id = x.id JOIN b by ON by.id = y.id
+              GROUP BY x.id)
+        SELECT a.id AS vec_id, a.cluster, p.dup_of,
+               round(p.maxcos, 4) AS max_prior_cos,
+               p.dup_of IS NULL AS keep
+        FROM a LEFT JOIN p USING (id) ORDER BY vec_id"""
+  }
+
   /** q180 oracle: PageRank replayed iteration-by-iteration — symmetric
     * exact-Jaccard edges (the LSH net is 100%-recall on this corpus, the
     * q127 precedent), decimal-exact contribution sums, constants written
@@ -2808,6 +2856,9 @@ object SparkEntry {
     "q21_knn_bruteforce" -> knnExactSql,
     // One Lloyd step replayed dimension-by-dimension (see kmeansSql)
     "q179_kmeans_lloyd" -> kmeansSql(k = 4, dims = 8),
+    // SemDeDup: seed-centroid assignment + within-cluster cosine (see
+    // semDedupSql; tau in an empirical gap, so the >= compare is ulp-safe)
+    "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Triangles by ordered two-join enumeration over exact-Jaccard edges;

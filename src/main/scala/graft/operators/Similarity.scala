@@ -471,6 +471,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (public recipe: Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus embeddings coarsely, then
+    * look for near-duplicate pairs ONLY inside each cluster — the cluster
+    * assignment turns the corpus-quadratic cosine comparison into
+    * Σ|cluster|², tunable via k (the paper runs k ≈ corpus/10k on
+    * normalized embeddings, where k-means L2 ≡ cosine).
+    *
+    * Semantics (deterministic, oracle-replayable):
+    *  - assignment: nearest centroid by squared L2 over the first
+    *    `clusterDims` coordinates — the compiled
+    *    [[VectorKernelFunctions.nearestCentroid]] kernel (left-to-right
+    *    accumulation, ties to the lowest centroid index);
+    *  - a vector is a duplicate iff some SAME-CLUSTER member with a lower
+    *    id has full-vector cosine ≥ `tau` (one-pass greedy by id — every
+    *    near-dup set keeps exactly its lowest id; no chaining across the
+    *    threshold);
+    *  - output: one row per vector `(id, cluster, dup_of, max_prior_cos,
+    *    keep)` where `dup_of` is the LOWEST qualifying lower id (null for
+    *    kept rows) and `max_prior_cos` the maximum cosine to any lower-id
+    *    cluster-mate (null for each cluster's first member).
+    *
+    * Plan shape: one scan assigns (codegen projection, centroids ride as
+    * literals), then vectors shuffle ONCE keyed by cluster for the
+    * within-cluster self-join; the pair stream never leaves its cluster
+    * partition and aggregates per id with map-side combine. At 100 TB the
+    * knobs are k (bounds Σ|cluster|²) and AQE skew-join splitting for the
+    * occasional giant cluster; the full-dimension vectors ride the one
+    * cluster shuffle and nothing else. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], tau: Double,
+      clusterDims: Int, roundTo: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    require(tau >= -1 && tau <= 1, s"tau must be a cosine threshold: $tau")
+    require(clusterDims >= 1, s"clusterDims must be >= 1: $clusterDims")
+    val assigned = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("cluster",
+        VectorKernelFunctions.nearestCentroid(
+          slice(col("__v"), 1, clusterDims), centroids.map(_.clone())))
+    val left = assigned.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
+    val right = assigned.select(col("cluster"), col("id").as("id"), col("__v").as("__vb"))
+    val prior = left.join(right, Seq("cluster"))
+      .filter(col("id_a") < col("id"))
+      .select(col("id"), col("id_a"),
+        VectorKernelFunctions.cosineSimilarity(col("__va"), col("__vb")).as("__cos"))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("__maxcos"),
+        min(when(col("__cos") >= tau, col("id_a"))).as("dup_of"))
+    assigned.join(prior, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup_of"),
+        round(col("__maxcos"), roundTo).as("max_prior_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>

@@ -296,6 +296,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(2L) == Seq(1.0, 0.0))
   }
 
+  test("semDedup: lowest id kept, later near-dups point at it") {
+    // two clusters by 2-dim prefix: A ~ (1,0), B ~ (0,1)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f)),  // cos vs id0 ≈ 0.990  → dup of 0
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.1f, 0.995f)),  // cos vs id2 ≈ 0.995  → dup of 2
+      (4L, Array(0.7f, 0.7f))     // ties to cluster A (lowest index); far from all
+    ).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Similarity.semDedup(df, "id", "vec", cents, tau = 0.98, clusterDims = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((0, None, true)))
+    assert(out(1L) == ((0, Some(0L), false)))
+    assert(out(2L) == ((1, None, true)))
+    assert(out(3L) == ((1, Some(2L), false)))
+    assert(out(4L)._2.isEmpty && out(4L)._3)
+  }
+
+  test("semDedup: pairs in different clusters are never compared") {
+    // full-vector cosine of id0 vs id1 ≈ 0.9999, but their 2-dim prefixes
+    // land in different clusters — SemDeDup must NOT flag them
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 100.0f)),
+      (1L, Array(0.0f, 1.0f, 100.0f))).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Similarity.semDedup(df, "id", "vec", cents, tau = 0.9, clusterDims = 2)
+      .collect()
+    assert(out.length == 2 && out.forall(_.getBoolean(4)), "cross-cluster pair leaked")
+  }
+
   test("zNormalizeDims plan: stats broadcast, normalization is a projection") {
     val df = spark.read.parquet(sf("embeddings"))
     val plan = Similarity.zNormalizeDims(df, "vec_id", "embedding")
