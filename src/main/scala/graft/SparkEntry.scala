@@ -1213,6 +1213,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- hybrid retrieval: BM25 ⊕ dense ANN via reciprocal-rank fusion --
+    // the q72 lexical queries and the matching dense query vectors
+    // (query_id ≡ vec_id — the synthetic tables share one id space) each
+    // produce a top-20; RRF fuses rank-wise (no score calibration) into
+    // the final top-10. Both upstream rankings are independently
+    // oracle-proven (q72 / q21), so the fusion layer is what this checks
+    "q190_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark table join"),
+        (1L, "slow hash batch"),
+        (2L, "vector stream window value")).toDF("query_id", "qtext")
+      val sparse = Search.bm25TopK(read(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = read(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 20)
+        .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq("bm25" -> sparse, "dense" -> dense), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank_bm25"),
+          col("rank_dense"), col("rrf_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- leakage-safe split (near-dups share a side) --------------------
     "q83_leakage_safe_split" -> ((s, dir) => {
       Sampling.leakageSafeSplit(read(s, dir, "documents"), "doc_id", "text",
@@ -3724,6 +3751,69 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // RRF hybrid: q72's BM25 CTEs (top-20) ⊕ q21's dense knn (top-20,
+    // query vectors vec_id < 3), fused with the same left-to-right
+    // coalesce(1/(60+r)) sum the Scala side folds (DuckDB promotes '/'
+    // to DOUBLE, so both engines fuse in double); ties → doc_id asc
+    "q190_hybrid_rrf" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) > 0),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+         q(query_id, qtext) AS (VALUES
+           (CAST(0 AS BIGINT), 'spark table join'),
+           (CAST(1 AS BIGINT), 'slow hash batch'),
+           (CAST(2 AS BIGINT), 'vector stream window value')),
+         qt AS (
+           SELECT query_id, unnest(list_distinct(list_filter(
+             regexp_split_to_array(trim(lower(qtext)), '\s+'),
+             x -> len(x) > 0))) AS term
+           FROM q),
+         vocab AS (SELECT DISTINCT term FROM qt),
+         posting AS (
+           SELECT term, doc_id, dl, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) s
+           JOIN vocab USING (term)
+           GROUP BY term, doc_id, dl),
+         dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+         sc AS (
+           SELECT qt.query_id, p.doc_id,
+             sum(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl))) AS score
+           FROM posting p
+           JOIN dfreq f USING (term)
+           JOIN qt ON qt.term = p.term
+           CROSS JOIN stats st
+           GROUP BY qt.query_id, p.doc_id),
+         spk AS (SELECT query_id, doc_id, rank_bm25 FROM (
+                   SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank_bm25
+                   FROM sc) t WHERE rank_bm25 <= 20),
+         dek AS (SELECT query_id, doc_id, rank_dense FROM (
+                   SELECT eq.vec_id AS query_id, c.vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY eq.vec_id
+                       ORDER BY list_cosine_similarity(
+                           eq.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                         c.vec_id ASC) AS rank_dense
+                   FROM embeddings c
+                   CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) eq) t
+                 WHERE rank_dense <= 20),
+         f AS (SELECT coalesce(spk.query_id, dek.query_id) AS query_id,
+                 coalesce(spk.doc_id, dek.doc_id) AS doc_id,
+                 spk.rank_bm25, dek.rank_dense,
+                 coalesce(1.0/(60 + spk.rank_bm25), 0.0)
+                   + coalesce(1.0/(60 + dek.rank_dense), 0.0) AS fs
+               FROM spk FULL OUTER JOIN dek
+                 ON spk.query_id = dek.query_id AND spk.doc_id = dek.doc_id)
+         SELECT query_id, doc_id, rank_bm25::INT AS rank_bm25,
+                rank_dense::INT AS rank_dense, round(fs, 6) AS rrf_score, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY fs DESC, doc_id ASC) AS rank FROM f) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
     // Near-dup components (q63's recursive CTE) hashed with q42's split
     // boundaries: every cluster member shares the component, hence the side

@@ -79,6 +79,48 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of several per-query
+    * rankings — the standard hybrid-retrieval combiner (BM25 ⊕ dense ANN):
+    * `rrf(d) = Σ_r 1/(rrfK + rank_r(d))` over the rankings that returned
+    * `d`, then the fused top-`k` per query. Rank-based, so the sources'
+    * incomparable score scales never need calibration.
+    *
+    * Inputs: `(name, ranking)` pairs, each ranking with columns
+    * `(query_id, doc_id, rank)` (any extra columns are dropped). Output:
+    * one row per fused candidate — `(query_id, doc_id, rank_<name>…
+    * (null where that source missed the doc), rrf_score, rank)`, ties on
+    * the fused score broken by ascending doc id.
+    *
+    * Determinism: the fused sum is folded LEFT-TO-RIGHT in the order the
+    * rankings are passed (float addition is not associative; a fixed fold
+    * order makes the score replayable bit-for-bit by an external engine).
+    *
+    * Plan shape: each input is already a per-query top-k (|Q|·k rows), so
+    * the full-outer joins and the final rank window all run on
+    * candidate-sized data — at 100 TB the heavy lifting happened inside
+    * the upstream retrievers; fusion itself never touches the corpus. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
+      rrfK: Int = 60, roundTo: Int = 6): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
+    val named = rankings.map { case (name, df) =>
+      name -> df.select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as(s"rank_$name"))
+    }
+    val joined = named.map(_._2).reduceLeft { (a, b) =>
+      a.join(b, Seq("query_id", "doc_id"), "full_outer")
+    }
+    val fused = named.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$name")), lit(0.0))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(fused.desc, col("doc_id").asc)
+    joined.withColumn("rrf_score", round(fused, roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Inverted-index build: one row per term with document frequency, total
     * term frequency, and the posting list (ascending doc ids, comma-joined)
     * — the precomputation that turns repeated [[bm25TopK]] runs into posting

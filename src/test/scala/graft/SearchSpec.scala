@@ -291,6 +291,32 @@ class SearchSpec extends SparkSpecBase {
     assert(out(2L) == ((0L, None)))
   }
 
+  test("rrfFuse: both-source docs outrank single-source; null rank where missed") {
+    // query 0: doc 10 is rank 1 in both sources -> rrf 2/61;
+    // doc 11 only in a (rank 2), doc 12 only in b (rank 2)
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 10L, 1), (0L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq("a" -> a, "b" -> b), k = 10)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 12L))
+    val top = out.head
+    // rrf_score is rounded to 6 dp on output
+    assert(math.abs(top.getAs[Double]("rrf_score") - 2.0 / 61.0) < 5e-7)
+    // doc 11 and 12 tie on score (1/62) -> doc_id ascending breaks it
+    assert(out(1).getAs[Double]("rrf_score") == out(2).getAs[Double]("rrf_score"))
+    assert(out(1).isNullAt(out(1).fieldIndex("rank_b")))
+    assert(out(2).isNullAt(out(2).fieldIndex("rank_a")))
+  }
+
+  test("rrfFuse: k caps the fused list per query") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 3L, 2), (1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq("a" -> a, "b" -> b), k = 1).collect()
+    assert(out.length == 2 && out.forall(_.getAs[Int]("rank") == 1))
+    // query 0's winner is doc 2: 1/62 + 1/61 > 1/61 (doc 1) and > 1/62 (doc 3)
+    assert(out.find(_.getLong(0) == 0L).get.getAs[Long]("doc_id") == 2L)
+  }
+
   test("charLmScore separates reference-like text from alien text") {
     val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
     val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
