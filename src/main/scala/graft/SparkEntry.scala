@@ -1240,6 +1240,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- DSIR importance weights toward a target domain -----------------
+    // target = the English slice; every document scored by the smoothed
+    // log-likelihood ratio of its hashed token features (engine-portable
+    // bucket hash; decimal-exact per-doc sums — see Sampling.dsirWeights)
+    "q191_dsir_weights" -> ((s, dir) => {
+      Sampling.dsirWeights(read(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", numBuckets = 64)
+        .select(col("id").as("doc_id"), col("n_toks"), col("dsir_weight"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- leakage-safe split (near-dups share a side) --------------------
     "q83_leakage_safe_split" -> ((s, dir) => {
       Sampling.leakageSafeSplit(read(s, dir, "documents"), "doc_id", "text",
@@ -3815,6 +3826,33 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY fs DESC, doc_id ASC) AS rank FROM f) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // DSIR weights: same portable bucket hash ((len*31+codepoint) mod 64),
+    // same add-one smoothing, and the same DECIMAL(28,15) log-ratio cast
+    // so the per-doc sum is exact on both engines (Sampling.dsirWeights)
+    "q191_dsir_weights" ->
+      """WITH tb AS (
+           SELECT doc_id, lang = 'en' AS t,
+             (length(term)*31 + ascii(term)) % 64 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS term
+                 FROM documents) s),
+         hist AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
+                    sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS cr
+                  FROM tb GROUP BY b),
+         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM hist),
+         llr AS (SELECT g.b::INT AS b,
+                   CAST(ln((coalesce(h.ct, 0) + 1.0) / (tot.tt + 64.0))
+                      - ln((coalesce(h.cr, 0) + 1.0) / (tot.tr + 64.0))
+                     AS DECIMAL(28,15)) AS w
+                 FROM range(64) g(b) LEFT JOIN hist h ON h.b = g.b CROSS JOIN tot),
+         dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b),
+         pd AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_toks,
+                  CAST(sum(CAST(dc.c AS DECIMAL(9,0)) * llr.w) AS DOUBLE) AS wt
+                FROM dc JOIN llr USING (b) GROUP BY dc.doc_id)
+         SELECT d.doc_id, pd.n_toks, round(pd.wt, 6) AS dsir_weight
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
     // Near-dup components (q63's recursive CTE) hashed with q42's split
     // boundaries: every cluster member shares the component, hence the side
     "q83_leakage_safe_split" -> {

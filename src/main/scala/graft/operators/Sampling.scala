@@ -344,6 +344,71 @@ object Sampling {
       groupCols, Seq(col("sample_key").desc, col(idCol).asc), k)
   }
 
+  /** DSIR-style importance weights (public recipe: Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its hashed
+    * token features are under the TARGET distribution than under the RAW
+    * corpus distribution —
+    * `weight(d) = Σ_b count_b(d) · (ln p̂_target[b] − ln p̂_raw[b])`
+    * with add-one-smoothed bucket distributions
+    * `p̂[b] = (count[b] + 1) / (total + B)`. High-weight documents are the
+    * ones to up-sample toward the target domain (feed the weights to
+    * [[weightedSample]] to draw the resampled corpus).
+    *
+    * The feature hash is deliberately engine-portable (part of the oracle
+    * contract, like the md5 split buckets above):
+    * `bucket(term) = (length(term)·31 + codepoint(term[0])) mod B` —
+    * `length`/`ascii` compute identical values in Spark and DuckDB for any
+    * Unicode token (verified incl. CJK). A production run can swap in
+    * xxhash64 shingle features without changing the plan shape.
+    *
+    * Determinism: bucket log-ratios are cast to DECIMAL(28,15) once, so
+    * the per-document sum is exact-decimal — order-independent under any
+    * partitioning — and converted to double once at the end.
+    *
+    * Plan shape: the token stream reduces to two B-sized histograms (one
+    * aggregation, map-side combined) and a per-(doc, bucket) count whose
+    * width is bounded by B; the B-row log-ratio table broadcasts back.
+    * Token text never shuffles — only (id, bucket) pairs. Documents with
+    * no tokens surface with null weight (a left join from the input),
+    * never silently dropped. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, numBuckets: Int = 64, roundTo: Int = 6): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
+    val spark = docs.sparkSession
+    val tb = docs.select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__term"))
+      .select(col("id"), col("__t"),
+        pmod(length(col("__term")) * lit(31) + ascii(col("__term")),
+          lit(numBuckets)).as("__b"))
+    val hist = tb.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    val totals = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    // every bucket gets a ratio (smoothing defines it even at count 0);
+    // a bucket absent from BOTH sides contributes a well-defined constant
+    val llr = spark.range(numBuckets).select(col("id").cast("int").as("__b"))
+      .join(hist, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+             (col("__tt") + lit(numBuckets.toDouble))) -
+         log((coalesce(col("__cr"), lit(0L)) + lit(1.0)) /
+             (col("__tr") + lit(numBuckets.toDouble))))
+          .cast("decimal(28,15)").as("__w"))
+    val perDoc = tb.groupBy(col("id"), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(llr), Seq("__b"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_toks"),
+        // count as DECIMAL(9,0): (9,0)×(28,15) lands exactly on (38,15) —
+        // a LONG count would push precision past 38 and Spark's
+        // allowPrecisionLoss rule silently truncates the scale
+        sum(col("__c").cast("decimal(9,0)") * col("__w")).cast("double").as("__wt"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_toks"),
+        round(col("__wt"), roundTo).as("dsir_weight"))
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

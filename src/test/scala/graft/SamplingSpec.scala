@@ -288,4 +288,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(!splitPlan.contains("Exchange"), s"hashSplit shuffles:\n$splitPlan")
     assert(!samplePlan.contains("Exchange"), s"hashSample shuffles:\n$samplePlan")
   }
+
+  test("dsirWeights: hand-computed log-likelihood ratios; empty doc gets null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa", "en"),   // bucket(aa) = (2*31+97) % 4 = 3, target side
+      (2L, "bb", "de"),      // bucket(bb) = (2*31+98) % 4 = 0, raw side
+      (3L, "", "de")         // no tokens -> null weight
+    ).toDF("doc_id", "text", "lang")
+    val out = Sampling.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", numBuckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    // llr(b3) = ln((2+1)/(2+4)) - ln((0+1)/(1+4)) = ln(2.5); doc1 = 2*ln(2.5)
+    val w1 = out(1L)._2.get.asInstanceOf[Double]
+    assert(math.abs(w1 - 2.0 * math.log(2.5)) < 1e-5, s"doc1 weight: $w1")
+    // llr(b0) = ln((0+1)/(2+4)) - ln((1+1)/(1+4)) = ln(5/12)
+    val w2 = out(2L)._2.get.asInstanceOf[Double]
+    assert(math.abs(w2 - math.log(5.0 / 12.0)) < 1e-5, s"doc2 weight: $w2")
+    assert(out(1L)._1.contains(2L) && out(2L)._1.contains(1L))
+    assert(out(3L) == ((None, None)), "empty doc must surface with null weight")
+  }
+
+  test("dsirWeights: target-like documents outscore off-target ones on real data") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = Sampling.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    val avg = out.groupBy(col("lang")).agg(org.apache.spark.sql.functions.avg(col("dsir_weight")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avg("en") > avg("zh"), s"en should score above zh: $avg")
+  }
 }
