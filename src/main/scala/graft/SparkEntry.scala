@@ -1251,6 +1251,13 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- cross-doc duplicated spans (suffix-array-style, n-gram anchors) -
+    "q192_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(read(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 8, maxDocFreq = 20, minShared = 3)
+        .gateOrdered(col("id_a"), col("id_b"))
+    }),
+
     // ---- leakage-safe split (near-dups share a side) --------------------
     "q83_leakage_safe_split" -> ((s, dir) => {
       Sampling.leakageSafeSplit(read(s, dir, "documents"), "doc_id", "text",
@@ -3853,6 +3860,37 @@ object SparkEntry {
          SELECT d.doc_id, pd.n_toks, round(pd.wt, 6) AS dsir_weight
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    // Duplicated spans: position-stamped 8-gram match join under the same
+    // df cap, gaps-and-islands on the (pa - pb) diagonal; run lengths and
+    // counts are exact integers on both engines
+    "q192_duplicate_spans" -> {
+      val n = 8
+      val joined = (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, list_filter(
+              regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> len(x) > 0) AS toks
+            FROM documents),
+          sh AS (SELECT doc_id, i AS pos, $joined AS s
+                 FROM t, unnest(range(1, len(toks) - ${n - 2})) AS u(i)),
+          voc AS (SELECT s FROM sh GROUP BY s
+                  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20),
+          m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.pos AS pa, b.pos AS pb
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                JOIN voc ON voc.s = a.s),
+          isl AS (SELECT id_a, id_b, pa - pb AS diag,
+                    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                      ORDER BY pa) AS island
+                  FROM m),
+          runs AS (SELECT id_a, id_b, diag, island, count(*) AS len
+                   FROM isl GROUP BY id_a, id_b, diag, island)
+          SELECT id_a, id_b, sum(len)::BIGINT AS n_matches,
+                 count(*)::BIGINT AS n_runs,
+                 (max(len) + ${n - 1})::BIGINT AS max_run_tokens
+          FROM runs GROUP BY id_a, id_b HAVING sum(len) >= 3
+          ORDER BY id_a, id_b"""
+    },
     // Near-dup components (q63's recursive CTE) hashed with q42's split
     // boundaries: every cluster member shares the component, hence the side
     "q83_leakage_safe_split" -> {

@@ -711,4 +711,64 @@ object Dedup {
         .filter(col("cosine") >= threshold),
       Seq(base), materialize)
   }
+
+  /** Cross-document duplicated-SPAN detection — the positional sibling of
+    * the set-based dedup family, approximating suffix-array substring
+    * dedup (public result: Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better") with
+    * n-gram anchors: two documents sharing a contiguous run of matching
+    * `shingleSize`-grams share a duplicated span of
+    * `run + shingleSize − 1` tokens (boilerplate headers, license blocks,
+    * quoted passages — the spans exact whole-doc dedup can't see).
+    *
+    * Algorithm: position-stamped shingles → df-capped vocabulary
+    * (`2 ≤ df ≤ maxDocFreq` — df < 2 can't match, df > cap is stopword
+    * boilerplate whose pair blowup is df² per shingle) → per-pair matched
+    * position pairs → gaps-and-islands: positions on the same DIAGONAL
+    * (`pos_a − pos_b` constant) with consecutive `pos_a` form one run
+    * (island key = `pos_a − row_number()` within the diagonal).
+    * Output per pair: `(id_a, id_b, n_matches, n_runs, max_run_tokens)`,
+    * pairs with `n_matches ≥ minShared`.
+    *
+    * Scale shape: one shuffle keyed by shingle for the match join (df cap
+    * bounds every key's pair fanout at df²), one window + aggregation
+    * keyed by (id_a, id_b) — position pairs are 24-byte rows, text never
+    * shuffles past the vocabulary join. At 100 TB, swap the shingle
+    * STRING key for its xxhash64 (the [[graft.ops.ScaleOps]] pattern) and
+    * pre-write the position index bucketed by hash; the string key here
+    * keeps the operator byte-replayable by an external SQL engine. */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      maxDocFreq: Long = 20,
+      minShared: Long = 3): DataFrame = {
+    require(shingleSize >= 2, s"shingleSize must be >= 2: $shingleSize")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2: $maxDocFreq")
+    val sh = docs.select(col(idCol).as("id"),
+        posexplode(TextKernelFunctions.shingleStrings(col(textCol), shingleSize))
+          .as(Seq("pos", "s")))
+    val vocab = sh.groupBy(col("s"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("s"))
+    val capped = sh.join(vocab, Seq("s"))
+    val m = capped.select(col("s"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(capped.select(col("s"), col("id").as("id_b"), col("pos").as("pb")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("__diag", col("pa") - col("pb"))
+      .withColumn("__island", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__len")).as("n_matches"),
+        count(lit(1)).as("n_runs"),
+        (max(col("__len")) + lit(shingleSize - 1)).as("max_run_tokens"))
+      .filter(col("n_matches") >= minShared)
+  }
 }

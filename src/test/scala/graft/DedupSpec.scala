@@ -274,4 +274,35 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted2 == Set(2L, 3L)) // nothing matches an unrelated corpus
   }
+
+  test("duplicateSpans: contiguous runs merge, disjoint spans count separately") {
+    // docs 1/2 share "a b c d e" (a 3-run of 3-grams -> 5 tokens) and the
+    // disjoint "m n o" (one matching 3-gram); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e q1 q2 m n o"),
+      (2L, "a b c d e r1 r2 m n o"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 5, minShared = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getAs[Long]("n_matches") == 4)   // 3 contiguous + 1 disjoint
+    assert(r.getAs[Long]("n_runs") == 2)
+    assert(r.getAs[Long]("max_run_tokens") == 5)
+  }
+
+  test("duplicateSpans: repeated shingle inside one doc stays on its diagonal") {
+    // doc 2 contains doc 1's span twice; both occurrences match but land
+    // on different diagonals -> two runs, not one inflated run
+    val docs = Seq(
+      (1L, "a b c x1 x2 x3"),
+      (2L, "a b c y1 y2 a b c")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 5, minShared = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_matches") == 2 && r.getAs[Long]("n_runs") == 2)
+    assert(r.getAs[Long]("max_run_tokens") == 3)
+  }
 }
