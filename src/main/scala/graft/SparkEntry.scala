@@ -2093,6 +2093,56 @@ object SparkEntry {
         .toDF("check_name", "passed").orderBy(col("check_name"))
     }),
 
+    // ---- dynamic partition overwrite (incremental ingestion contract) ---
+    // the 100 TB re-landing primitive: replacing one partition's data must
+    // swap ONLY that partition's directory. Checked with file-level sha256
+    // snapshots: untouched partitions stay byte-identical, the target's
+    // files change, and the static-mode footgun (whole-table truncate) is
+    // demonstrated on a second lake. Counts re-read from the lake are
+    // oracle-matched against the source table.
+    "q193_partition_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = partitionOverwriteCache.computeIfAbsent(dir,
+        _ => java.nio.file.Files.createTempDirectory("graft_po_").toString)
+      def snapshot(lake: String): Map[String, Seq[(String, String)]] = {
+        val d = new java.io.File(lake)
+        d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+          .map { p =>
+            p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+              .sortBy(_.getName)
+              .map(f => f.getName ->
+                graft.io.FileHash.digest(f.toPath, graft.io.FileHash.sha256)).toSeq
+          }.toMap
+      }
+      val target = ev.agg(min(col("event_type"))).collect().head.getString(0)
+      val replacement = ev.filter(col("event_type") === target && col("event_id") % 2 === 0)
+      val lake = s"$root/lake"
+      ParquetIO.writePartitioned(ev, lake, Seq("event_type"))
+      val before = snapshot(lake)
+      ParquetIO.writePartitioned(replacement, lake, Seq("event_type"))
+      val after = snapshot(lake)
+      val tDir = s"event_type=$target"
+      val othersIdentical = (before.keySet - tDir) == (after.keySet - tDir) &&
+        (before.keySet - tDir).forall(k => before(k) == after(k))
+      val targetChanged = before(tDir) != after(tDir)
+      val lakeStatic = s"$root/lake_static"
+      ParquetIO.writePartitioned(ev, lakeStatic, Seq("event_type"))
+      ParquetIO.writePartitioned(replacement, lakeStatic, Seq("event_type"),
+        dynamic = false)
+      val staticDirs = snapshot(lakeStatic).keySet
+      val back = s.read.parquet(lake)
+      val perType = back.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => s"rows_after_${r.getString(0)}" -> r.getLong(1).toString)
+      val rows = perType.toSeq ++ Seq(
+        "total_after" -> back.count().toString,
+        "dynamic_keeps_other_partitions" -> othersIdentical.toString,
+        "dynamic_replaces_target_files" -> targetChanged.toString,
+        "static_overwrite_drops_others" -> (staticDirs == Set(tDir)).toString)
+      rows.toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     // ---- KS on a CONTINUOUS column (distinct ≈ rows) --------------------
     // events.value is a double with ~95% distinct values, so this drives
     // the distributed running-CDF path of ksStatistic where the
@@ -2505,6 +2555,13 @@ object SparkEntry {
     * one-time layout job — mirroring production, where the layout is
     * written once and queried daily. */
   private val partitionedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q193's working directory, cached per source dir per JVM (the q175
+    * precedent): every invocation REBUILDS the lakes inside it — the
+    * query's semantics are self-contained — but never leaks new temp
+    * dirs across bench's repeated passes. */
+  private val partitionOverwriteCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
     val out = partitionedEventsCache.computeIfAbsent(dir, { d =>
@@ -3891,6 +3948,27 @@ object SparkEntry {
           FROM runs GROUP BY id_a, id_b HAVING sum(len) >= 3
           ORDER BY id_a, id_b"""
     },
+    // Partition overwrite: per-partition counts after replacing the
+    // lexicographically-first event_type with its even-event_id subset;
+    // the three file-level checks are engine-side facts (byte-identity
+    // snapshots) the oracle pins as literal booleans — q170's pattern
+    "q193_partition_overwrite" ->
+      """WITH mt AS (SELECT min(event_type) AS t FROM events),
+         kept AS (SELECT event_type FROM events CROSS JOIN mt
+                  WHERE event_type <> mt.t OR event_id % 2 = 0),
+         cnts AS (SELECT 'rows_after_' || event_type AS metric,
+                    count(*)::VARCHAR AS value
+                  FROM kept GROUP BY event_type),
+         tot AS (SELECT 'total_after' AS metric, count(*)::VARCHAR AS value
+                 FROM kept)
+         SELECT metric, value FROM (
+           SELECT * FROM cnts
+           UNION ALL SELECT * FROM tot
+           UNION ALL SELECT * FROM (VALUES
+             ('dynamic_keeps_other_partitions', 'true'),
+             ('dynamic_replaces_target_files', 'true'),
+             ('static_overwrite_drops_others', 'true')) v(metric, value)) u
+         ORDER BY metric""",
     // Near-dup components (q63's recursive CTE) hashed with q42's split
     // boundaries: every cluster member shares the component, hence the side
     "q83_leakage_safe_split" -> {

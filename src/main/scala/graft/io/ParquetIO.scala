@@ -53,6 +53,21 @@ object ParquetIO {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-partitioned write. With `dynamic = true` (the default), an
+    * overwrite replaces ONLY the partition directories present in `df` —
+    * the incremental-ingestion primitive at 100 TB: re-landing one day's
+    * data is a swap of that day's directories, and every other partition
+    * is untouched on disk (byte-identical files, no rewrite, no read).
+    * With `dynamic = false` Spark's static overwrite semantics apply: the
+    * WHOLE table path is truncated first — the footgun q193 demonstrates.
+    * The mode rides as a per-write option; session config is untouched. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      dynamic: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Single-file output for parity with the reference CLI: write to a temp
     * dir, then atomically move the lone part file to `path`. NOT for 100 TB
     * outputs — use [[write]] there. */

@@ -169,4 +169,37 @@ class UtilitiesSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("not numeric"))
   }
+
+  test("writePartitioned: dynamic overwrite swaps only the written partition") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_powrite")
+    val lake = s"$dir/lake"
+    val full = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+      .toDF("id", "k", "v")
+    ParquetIO.writePartitioned(full, lake, Seq("k"))
+    def files(part: String): Map[String, String] =
+      new java.io.File(s"$lake/k=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> FileHash.digest(f.toPath, FileHash.sha256)).toMap
+    val bBefore = files("b"); val cBefore = files("c")
+    ParquetIO.writePartitioned(
+      Seq((9L, "a", 9.0)).toDF("id", "k", "v"), lake, Seq("k"))
+    assert(files("b") == bBefore && files("c") == cBefore,
+      "untouched partitions must stay byte-identical")
+    val back = spark.read.parquet(lake)
+    assert(back.filter(col("k") === "a").select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(back.count() == 3)
+  }
+
+  test("writePartitioned: static overwrite truncates the whole table path") {
+    val dir = tmpDir("graft_postatic")
+    val lake = s"$dir/lake"
+    val full = Seq((1L, "a", 1.0), (3L, "b", 3.0)).toDF("id", "k", "v")
+    ParquetIO.writePartitioned(full, lake, Seq("k"))
+    ParquetIO.writePartitioned(
+      Seq((9L, "a", 9.0)).toDF("id", "k", "v"), lake, Seq("k"), dynamic = false)
+    val parts = new java.io.File(lake).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k=")).map(_.getName).toSet
+    assert(parts == Set("k=a"), s"static overwrite must drop other partitions: $parts")
+  }
 }
