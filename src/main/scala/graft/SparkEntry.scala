@@ -451,6 +451,26 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- product quantization + asymmetric-distance search --------------
+    // 64-dim floats → 8 subspace codes (seed-subvector codebooks, k=16);
+    // queries build an 8×16 LUT once and every corpus row costs 8 lookups
+    // — the compressed-domain ANN scan. Decimal-exact LUT-cell sums make
+    // the ranking replayable bit-for-bit (see Similarity.pqTopK)
+    "q194_pq_adc" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cbs = Similarity.pqCodebooksFromSeeds(seeds, numSubspaces = 8)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      Similarity.pqTopK(enc,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", cbs, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- archive staging: zip + 7z extraction feed real reads (S6) ------
     "q185_archive_extract" -> ((s, dir) => {
       // both extraction paths exercised end-to-end under the oracle: a zip
@@ -2767,6 +2787,38 @@ object SparkEntry {
         FROM a LEFT JOIN p USING (id) ORDER BY vec_id"""
   }
 
+  /** q194 oracle: PQ + ADC replayed — per-subspace encoding is the same
+    * unrolled left-to-right squared-L2 argmin the nearest-centroid kernel
+    * runs (ties to the lowest code), codebook j's centroid c IS seed c's
+    * j-th subvector, and the per-subspace ADC cells are cast to
+    * DECIMAL(30,12) before summing so the total is order-independent on
+    * both engines; ranking compares the exact decimals. */
+  private def pqSql(m: Int, sub: Int, codes: Int, nq: Int, topk: Int): String = {
+    def d2(a: String, b: String, j: String): String =
+      (1 to sub).map(i =>
+        s"($a.f[$j*$sub+$i]-$b.f[$j*$sub+$i])*($a.f[$j*$sub+$i]-$b.f[$j*$sub+$i])")
+        .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS f FROM embeddings),
+        seeds AS (SELECT id AS c, f FROM b WHERE id < $codes),
+        encd AS (SELECT b.id, g.j, s.c, ${d2("b", "s", "g.j")} AS d
+                 FROM b CROSS JOIN range($m) g(j) CROSS JOIN seeds s),
+        enc AS (SELECT id, j, c AS code FROM (
+                  SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+                    ORDER BY d ASC, c ASC) AS rn FROM encd) t WHERE rn = 1),
+        q AS (SELECT id AS query_id, f FROM b WHERE id < $nq),
+        contrib AS (SELECT q.query_id, e.id AS nbr_id,
+                      CAST(${d2("q", "s", "e.j")} AS DECIMAL(30,12)) AS dd
+                    FROM enc e JOIN seeds s ON s.c = e.code CROSS JOIN q),
+        adc AS (SELECT query_id, nbr_id, sum(dd) AS adc
+                FROM contrib GROUP BY query_id, nbr_id),
+        r AS (SELECT query_id, nbr_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, nbr_id ASC) AS rank
+              FROM adc)
+        SELECT query_id, nbr_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rank
+        FROM r WHERE rank <= $topk ORDER BY query_id, rank"""
+  }
+
   /** q180 oracle: PageRank replayed iteration-by-iteration — symmetric
     * exact-Jaccard edges (the LSH net is 100%-recall on this corpus, the
     * q127 precedent), decimal-exact contribution sums, constants written
@@ -2961,6 +3013,8 @@ object SparkEntry {
     // SemDeDup: seed-centroid assignment + within-cluster cosine (see
     // semDedupSql; tau in an empirical gap, so the >= compare is ulp-safe)
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),
+    // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
+    "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Triangles by ordered two-join enumeration over exact-Jaccard edges;

@@ -524,6 +524,86 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Product-quantization codebooks (public recipe: Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
+    * split the vector into `numSubspaces` contiguous blocks and give each
+    * subspace its own codebook — here the seed vectors' subvectors (the
+    * deterministic data-point seeding kmeansLloyd/semDedup use; swap in
+    * per-subspace [[trainCentroids]] output for production codebooks). */
+  def pqCodebooksFromSeeds(seeds: Array[Array[Double]],
+      numSubspaces: Int): Array[Array[Array[Double]]] = {
+    require(seeds.nonEmpty, "at least one seed vector required")
+    val dims = seeds.head.length
+    require(dims % numSubspaces == 0,
+      s"dims $dims must split evenly into $numSubspaces subspaces")
+    val sub = dims / numSubspaces
+    Array.tabulate(numSubspaces)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes — the nearest
+    * codebook entry per subspace (compiled nearest-centroid kernel;
+    * left-to-right accumulation, ties to the lowest code). A 64-dim float
+    * vector (256 B) compresses to m = 8 codes (8 B with k ≤ 256) — the
+    * 32× scan-size reduction that makes billion-vector ANN a CPU-cache
+    * problem instead of an I/O problem. Pure projection: no shuffle; at
+    * 100 TB write the codes as a column next to the id and scan THAT. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.length
+    df.select(col(idCol).as("id"),
+      array(codebooks.indices.map(j =>
+        VectorKernelFunctions.nearestCentroid(
+          slice(col(vecCol), j * sub + 1, sub), codebooks(j).map(_.clone()))): _*)
+        .as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the query
+    * stays full-precision; its squared-L2 distance to every centroid of
+    * every subspace is tabulated ONCE per query (an m × k lookup table
+    * built in the broadcast-side projection), and each corpus row then
+    * costs m table lookups + m−1 adds — never a full d-dim distance.
+    * `dist(q, x) ≈ Σ_j lut[j][code_j(x)]`.
+    *
+    * Determinism: LUT cells are plain double arithmetic (left-to-right
+    * over the subspace dims, same as the encoding kernel); the m-cell sum
+    * runs in DECIMAL(30,12) so it is order-independent and replayable
+    * exactly by an external engine. Ranking compares the exact decimals,
+    * ties to the ascending id.
+    *
+    * Plan: corpus scan reads (id, codes) only — the encoded table, 32×
+    * smaller than the vectors — one broadcast of |Q| LUT rows, one
+    * rank-window shuffle keyed by query. The classic production pairing
+    * is IVF + PQ (probe lists, then ADC inside them): compose with
+    * [[writeIvfLists]] by encoding each list's residuals. */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, queryId: String,
+      queryVec: String, codebooks: Array[Array[Array[Double]]],
+      k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val lut = array((0 until m).map { j =>
+      array(codebooks(j).indices.map { c =>
+        (0 until sub).map { i =>
+          val d = col(queryVec).getItem(j * sub + i).cast("double") -
+            lit(codebooks(j)(c)(i))
+          d * d
+        }.reduceLeft(_ + _)
+      }: _*)
+    }: _*)
+    val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"))
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("__lut"), j + 1), col("codes").getItem(j) + 1)
+          .cast("decimal(30,12)"))
+      .reduceLeft(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id").as("nbr_id"), adc.as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("__adc").cast("double"), roundTo).as("adc_dist"), col("rank"))
+  }
+
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>

@@ -328,6 +328,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.length == 2 && out.forall(_.getBoolean(4)), "cross-cluster pair leaked")
   }
 
+  test("pqEncode: a seed vector encodes to its own code in every subspace") {
+    val seeds = Array(Array(0.0, 0.0, 5.0, 5.0), Array(10.0, 10.0, -5.0, -5.0))
+    val cbs = Similarity.pqCodebooksFromSeeds(seeds, numSubspaces = 2)
+    assert(cbs.length == 2 && cbs(0)(1).toSeq == Seq(10.0, 10.0))
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f, 5.0f, 5.0f)),
+      (1L, Array(10.0f, 10.0f, -5.0f, -5.0f)),
+      (2L, Array(9.0f, 9.0f, 4.0f, 4.0f))   // near seed1 front, seed0 back
+    ).toDF("id", "vec")
+    val codes = Similarity.pqEncode(df, "id", "vec", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0))
+    assert(codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(1, 0))
+  }
+
+  test("pqTopK: ADC distance equals the hand-computed LUT sum; ranks ascend") {
+    val seeds = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val cbs = Similarity.pqCodebooksFromSeeds(seeds, numSubspaces = 1)
+    val corpus = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(9.0f, 9.0f))).toDF("id", "vec")
+    val enc = Similarity.pqEncode(corpus, "id", "vec", cbs)
+    val q = Seq((7L, Array(2.0f, 2.0f))).toDF("qid", "qvec")
+    val out = Similarity.pqTopK(enc, q, "qid", "qvec", cbs, k = 2)
+      .orderBy($"rank").collect()
+    // x encodes to seed0 -> adc = d2(q, s0) = 4+4 = 8; y -> seed1 -> 64+64 = 128
+    assert(out.map(_.getAs[Long]("nbr_id")).toSeq == Seq(0L, 1L))
+    assert(out(0).getAs[Double]("adc_dist") == 8.0)
+    assert(out(1).getAs[Double]("adc_dist") == 128.0)
+  }
+
   test("zNormalizeDims plan: stats broadcast, normalization is a projection") {
     val df = spark.read.parquet(sf("embeddings"))
     val plan = Similarity.zNormalizeDims(df, "vec_id", "embedding")
