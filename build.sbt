@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked runMain output through VERBATIM (no "[info] " logger
+// prefix): the driver json-parses Bench's one-line stdout contract from a
+// captured tail, and the sbt prefix has made that parse fail ("parsed":
+// null in BENCH_r05/r06) even when the line fit the capture window.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,17 +74,20 @@ object Bench {
     // Keep the line SHORT: the driver keeps only the last 2000 chars of
     // captured output, and sbt's trailing "[success] Total time..." line
     // (~76 chars) lands AFTER this line inside that window. The r5 format
-    // (3-decimal seconds) measured 2138 chars — its head (q01..q09,
-    // q100..q104 and the "{"metric"..." prefix) fell off the window and the
-    // driver recorded "parsed": null for the third round running. Integer
-    // MILLISECONDS per query ("qunit":"ms") + BARE NUMERIC keys ("27", not
-    // "q27_lang_quality"; "qkey":"q#" documents the mapping) measure
-    // ~1850 chars at 183 queries — the whole line plus the sbt suffix fits
-    // with ~65 chars margin (~6 more queries of headroom; past ~q190 drop
-    // the "regr"/"qkey" fields or trim sub-100ms entries to whole-10ms).
-    // BENCH_LOCAL.json keeps the verbose qN-keyed maps for humans and the
-    // regression guard.
+    // (3-decimal seconds) measured 2138 chars — its head fell off the
+    // window ("parsed": null). The r6 ms format fit (~1860 chars at 183
+    // queries) but STILL parsed null — sbt's "[info] " logger prefix broke
+    // the driver's JSON parse; build.sbt now passes forked stdout through
+    // verbatim (run / outputStrategy). At 194+ queries ms would overflow
+    // again, so per-query values are integer CENTISECONDS ("qunit":"cs",
+    // 10 ms grain — bench noise is >10 ms anyway) with BARE NUMERIC keys
+    // ("27"; "qkey":"q#" documents the mapping): ~1760 chars at 194
+    // queries, ~190 chars margin (~20 more queries of headroom; past that
+    // drop "qkey" and trim "value" to 1 decimal). The regression list
+    // lives in BENCH_LOCAL.json + stderr only. BENCH_LOCAL.json keeps the
+    // verbose qN-keyed maps (milliseconds) for humans and the guard.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    def cs(v: Double): String = if (v < 0) "-1" else math.round(v * 100).toString
     // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
     def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
     def bare(k: String): String = qk(k).drop(1)
@@ -143,7 +146,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val qsVerbose = results.map { case (k, v) => "\"" + qk(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val qsBare = results.map { case (k, v) => "\"" + bare(k) + "\":" + ms(v) }
+    val qsBare = results.map { case (k, v) => "\"" + bare(k) + "\":" + cs(v) }
       .mkString("{", ",", "}")
     // Verbose artifact (qN keys, seconds, regression list) for in-repo
     // trend tracking; the stdout line is the driver-facing compact form.
@@ -161,7 +164,7 @@ object Bench {
       finally fw.close()
     }
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","qkey":"q#","regr":${regressions.size},"queries":$qsBare,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"cs","qkey":"q#","queries":$qsBare,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

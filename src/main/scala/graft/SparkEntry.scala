@@ -413,6 +413,23 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // ---- STREAMING dedup probe against the stored corpus ----------------
+    // the continuous form of q184: the odd-doc batch arrives as a file
+    // STREAM, each micro-batch bands through the compiled kernels and
+    // stream-static-joins the stored bucket/shingle tables; a real
+    // streaming run to a memory sink, same oracle as q184's fused batch
+    "q195_stream_dedup" -> ((s, dir) => {
+      val prefix = stageLshCorpus(s, dir)
+      val staged = stageOddDocs(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val out = runToCompletion(s, "q195_probe",
+        EventStream.dedupProbeStream(s, staged, schema, "doc_id", "text",
+          prefix, threshold = 0.7))
+      out.select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // ---- IVF probe against a PRECOMPUTED list_id-partitioned layout -----
     "q188_ivf_stored" -> ((s, dir) => {
       // the vector-side mirror of q184: inverted lists materialized once,
@@ -2481,6 +2498,20 @@ object SparkEntry {
       prefix
     })
 
+  /** Stage (once per source dir per JVM) the q195 stream source: the odd
+    * doc_id half of `documents` written as a parquet directory the file
+    * stream reads. Cached so bench passes measure the STREAMING PROBE,
+    * not the staging write. */
+  private val oddDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageOddDocs(s: SparkSession, dir: String): String =
+    oddDocsCache.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files.createTempDirectory("graft_odd_").toString + "/docs"
+      read(s, d, "documents").filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Stage (once per source dir per JVM) the q188 IVF layout: centroids
     * trained on the embeddings corpus (deterministic seeded sample), lists
     * written partitioned by list_id. Cached so bench passes measure the
@@ -3827,6 +3858,8 @@ object SparkEntry {
     // only the PLAN differs (no corpus-side recompute/exchange; PlanSpec
     // asserts the shape). Same exact cross-parity Jaccard oracle.
     "q184_lsh_probe_stored" -> crossParityJaccardSql,
+    // the streaming probe computes the identical pair set (q184's oracle)
+    "q195_stream_dedup" -> crossParityJaccardSql,
     // Top trigrams by corpus occurrence count, n-gram string tiebreak
     "q71_top_ngrams" ->
       """WITH t AS (

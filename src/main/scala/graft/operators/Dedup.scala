@@ -300,15 +300,19 @@ object Dedup {
       .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** (id, band, bucket) rows from a signature base — band value = hash of
-    * the signature slice. Must stay bit-identical across call sites so
-    * subset corpora band identically to full-corpus runs. */
-  private def banded(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+  /** (id[, carry…], band, bucket) rows from a signature base — band value
+    * = hash of the signature slice. Must stay bit-identical across call
+    * sites so subset corpora band identically to full-corpus runs (the
+    * stored-probe and streaming probes depend on it). `carry` columns ride
+    * along for single-pass consumers that cannot re-join their own side
+    * (the streaming probe carries the shingle set). */
+  private[graft] def banded(base: DataFrame, numHashes: Int, numBands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    base.select(col("id"),
+    base.select(col("id") +: carry.map(col) :+
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket")): _*)
   }
 
   /** With `materialize` set: evaluate the (small) result into a

@@ -225,6 +225,52 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming admission dedup: an incoming DOCUMENT stream (file source)
+    * probed against the stored LSH corpus tables written by
+    * [[graft.operators.Dedup.precomputeLshCorpus]] — the continuous form
+    * of the batch [[graft.operators.Dedup.minhashLshProbeStored]]. All
+    * stream-side work is stateless projection (compiled shingle/MinHash/
+    * band kernels) plus stream-static equi-joins, so every micro-batch
+    * flags its near-duplicates of the historical corpus the moment it
+    * lands. Output: `(new_id, corpus_id, jaccard)`.
+    *
+    * The one stateful operator is the final `dropDuplicates` (the same
+    * pair can match through several bands; a stream cannot re-join itself
+    * to distinct candidates FIRST the way the batch probe does, so
+    * verification runs per matching band and the pair set dedups after).
+    * On a production continuous stream, bound that state with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` on an arrival-time
+    * column; on a closed input set the unbounded form is exact.
+    *
+    * Parameters must match the precompute call — [[Dedup.banded]] is
+    * bit-identical across call sites, which is what makes the stored
+    * buckets probe-able at all. */
+  def dedupProbeStream(spark: SparkSession, dir: String, schema: StructType,
+      idCol: String, textCol: String, tablePrefix: String,
+      shingleSize: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.functions.kernels.TextKernelFunctions
+    import graft.operators.Dedup
+    val corpusBuckets = spark.table(s"${tablePrefix}_buckets")
+      .withColumnRenamed("id", "corpus_id")
+    val corpusShingles = spark.table(s"${tablePrefix}_shingles")
+      .select(col("id").as("corpus_id"), col("shingles").as("sh_b"))
+    val base = spark.readStream.schema(schema).parquet(dir)
+      .select(col(idCol).as("id"),
+        TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("sh_a"))
+      .filter(size(col("sh_a")) > 0)
+      .withColumn("sig", TextKernelFunctions.minhashSignature(col("sh_a"), numHashes))
+    Dedup.banded(base, numHashes, numBands, carry = Seq("sh_a"))
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .join(corpusShingles, Seq("corpus_id"))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .withColumn("jaccard", TextKernelFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("new_id"), col("corpus_id"), col("jaccard"))
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
   /** Stream-static enrichment: left-join each micro-batch of `stream`
     * against a static dimension with an explicit broadcast — the standard
     * pattern for attaching slowly-changing reference data (user → cohort,

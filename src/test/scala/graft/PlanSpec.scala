@@ -388,6 +388,48 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("semDedup: compiled kernels assign and score; the pair join is keyed") {
+    val p = plan("q189_semdedup")
+    assert(p.contains("nearest_centroid"), s"assignment must use the compiled kernel:\n$p")
+    assert(p.contains("cosine_similarity"), s"scoring must use the compiled kernel:\n$p")
+    // within-cluster pairing is an equi-join on the cluster key — never a
+    // corpus-quadratic nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair generation must be a keyed join:\n$p")
+    assert(p.contains("partial"), s"per-id aggregation must map-side combine:\n$p")
+  }
+
+  test("hybrid RRF: fusion joins are keyed full-outer merges of top-k sets") {
+    val p = plan("q190_hybrid_rrf")
+    assert(p.contains("FullOuter"), s"rrf fusion must full-outer join the rankings:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fusion must never go quadratic:\n$p")
+  }
+
+  test("dsir: bucket log-ratios broadcast back; aggregations are partial") {
+    val p = plan("q191_dsir_weights")
+    assert(p.contains("BroadcastExchange"), s"the B-row llr table must broadcast:\n$p")
+    assert(p.contains("partial"), s"histograms must map-side combine:\n$p")
+    assert(!p.contains("ArrayTransform") && !p.contains("ArrayAggregate"),
+      s"no interpreted higher-order functions:\n$p")
+  }
+
+  test("duplicate spans: match join is an equi-join; islands window is keyed") {
+    val p = plan("q192_duplicate_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"shingle matching must join on the shingle key:\n$p")
+    assert(p.contains("shingle_strings"), s"position stamping must use the kernel:\n$p")
+  }
+
+  test("pq/adc: corpus rows meet only the broadcast LUT; encode is kernel-compiled") {
+    val p = plan("q194_pq_adc")
+    assert(p.contains("nearest_centroid"), s"encoding must use the compiled kernel:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query LUTs must broadcast:\n$p")
+    // the ADC projection is lookups into the broadcast LUT — the corpus
+    // side shuffles only for the per-query rank window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus must not shuffle before the rank window:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true

@@ -215,4 +215,33 @@ class StreamingSpec extends SparkSpecBase {
       .agg(org.apache.spark.sql.functions.sum("n_events")).collect().head.getLong(0)
     assert(total == 2L * 2)
   }
+
+  test("streaming corpus probe matches the batch probe pair-for-pair") {
+    val docs = spark.read.parquet(sf("documents"))
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batchIn = docs.filter($"doc_id" % 2 === 1)
+    val prefix = "graft_lsh_streamspec"
+    graft.operators.Dedup.precomputeLshCorpus(corpus, "doc_id", "text", prefix)
+    try {
+      val dir = tmpDir("docs-probe") + "/docs"
+      batchIn.write.parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val q = EventStream.dedupProbeStream(spark, dir, schema,
+          "doc_id", "text", prefix, threshold = 0.7)
+        .writeStream.outputMode("append").format("memory").queryName("probe_t").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("probe_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Dedup.minhashLshAgainst(
+          batchIn, corpus, "doc_id", "text", threshold = 0.7, materialize = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream/batch probe diverge: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+      assert(streamed.nonEmpty, "fixture must produce at least one cross-parity pair")
+    } finally {
+      Seq("buckets", "shingles").foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$s"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
 }
