@@ -488,6 +488,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- PQ search against the STORED codes table -----------------------
+    // q194's pipeline split at the production seam: codes written once
+    // (staged, cached per dir), the probe scans ONLY (id, codes) — the
+    // embedding column never loads (PlanSpec pins ReadSchema). Same
+    // codebooks ⇒ same ADC distances ⇒ q194's oracle verbatim
+    "q196_pq_stored" -> ((s, dir) => {
+      val (path, cbs) = stagePqCodes(s, dir)
+      val emb = read(s, dir, "embeddings")
+      Similarity.pqTopKStored(path,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", cbs, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- archive staging: zip + 7z extraction feed real reads (S6) ------
     "q185_archive_extract" -> ((s, dir) => {
       // both extraction paths exercised end-to-end under the oracle: a zip
@@ -2512,6 +2527,25 @@ object SparkEntry {
       out
     })
 
+  /** Stage (once per source dir per JVM) the q196 PQ layout: seed
+    * codebooks + the encoded codes table. The codebooks ride in the cache
+    * with the path — they are the layout's contract (q188's pattern). */
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
+  private def stagePqCodes(s: SparkSession,
+      dir: String): (String, Array[Array[Array[Double]]]) =
+    pqCodesCache.computeIfAbsent(dir, { d =>
+      val emb = read(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cbs = Similarity.pqCodebooksFromSeeds(seeds, numSubspaces = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_pq_").toString + "/codes"
+      Similarity.writePqCodes(emb, "vec_id", "embedding", cbs, path)
+      (path, cbs)
+    })
+
   /** Stage (once per source dir per JVM) the q188 IVF layout: centroids
     * trained on the embeddings corpus (deterministic seeded sample), lists
     * written partitioned by list_id. Cached so bench passes measure the
@@ -3046,6 +3080,8 @@ object SparkEntry {
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),
     // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
+    // the stored-codes probe computes identical ADC distances (q194)
+    "q196_pq_stored" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Triangles by ordered two-join enumeration over exact-Jaccard edges;

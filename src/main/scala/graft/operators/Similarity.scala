@@ -604,6 +604,27 @@ object Similarity {
         round(col("__adc").cast("double"), roundTo).as("adc_dist"), col("rank"))
   }
 
+  /** Materialize the PQ codes as a stored table — the layout that makes
+    * [[pqTopK]] a codes-only scan: the stored row is (id, m codes), ~32×
+    * smaller than the float vectors, and a probe NEVER reads the embedding
+    * column (q196's PlanSpec assert pins ReadSchema to the codes). Keep
+    * the codebooks with the table — they are the layout's contract, like
+    * [[writeIvfLists]]'s centroids. */
+  def writePqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    pqEncode(corpus, idCol, vecCol, codebooks)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[pqTopK]] against codes stored by [[writePqCodes]]: identical
+    * semantics (same codebooks ⇒ same ADC distances); only the plan
+    * changes — the corpus scan reads the two stored columns and the
+    * vectors are never touched. */
+  def pqTopKStored(path: String, queries: DataFrame, queryId: String,
+      queryVec: String, codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame =
+    pqTopK(queries.sparkSession.read.parquet(path).select(col("id"), col("codes")),
+      queries, queryId, queryVec, codebooks, k)
+
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>

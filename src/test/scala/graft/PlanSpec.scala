@@ -430,6 +430,18 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"corpus must not shuffle before the rank window:\n$p")
   }
 
+  test("q196 stored-PQ probe scans codes only — the embedding never loads") {
+    val p = plan("q196_pq_stored")
+    // the corpus-side scan is the stored codes table; its ReadSchema must
+    // carry (id, codes) and NO embedding column — the 32× scan-size win
+    // is the whole point of the stored layout
+    val codesScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("graft_pq_")).mkString("\n")
+    assert(codesScan.nonEmpty, s"expected a scan of the stored codes table:\n$p")
+    assert(codesScan.contains("codes") && !codesScan.contains("embedding"),
+      s"stored-codes scan must not read vectors:\n$codesScan")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true

@@ -358,6 +358,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(1).getAs[Double]("adc_dist") == 128.0)
   }
 
+  test("pqTopKStored: stored-codes probe equals the fused pq run row-for-row") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val seeds = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbs = Similarity.pqCodebooksFromSeeds(seeds, numSubspaces = 4)
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val fused = Similarity.pqTopK(
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs), q, "qid", "qvec", cbs, k = 5)
+    val path = tmpDir("graft_pqspec") + "/codes"
+    Similarity.writePqCodes(emb, "vec_id", "embedding", cbs, path)
+    val stored = Similarity.pqTopKStored(path, q, "qid", "qvec", cbs, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(stored) == rows(fused))
+    assert(rows(stored).nonEmpty)
+  }
+
   test("zNormalizeDims plan: stats broadcast, normalization is a projection") {
     val df = spark.read.parquet(sf("embeddings"))
     val plan = Similarity.zNormalizeDims(df, "vec_id", "embedding")
