@@ -534,7 +534,12 @@ object SparkEntry {
       // pattern): every check is a REAL assertion on the rendered
       // artifacts — profile HTML, comparison summary, diff-only pruning,
       // YAML and JSON exports
+      // deterministic ~5% slice: this query's contract is the RENDERING
+      // path (booleans don't depend on row count); profiling at full
+      // catalog scale is q17/q154's job, so the bundle doesn't pay the
+      // two full profile passes twice per bench run
       val li = read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
         .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       val p1 = ColumnProfiler.profile(li)
       val p2 = ColumnProfiler.profile(
@@ -1301,6 +1306,19 @@ object SparkEntry {
           isTarget = col("lang") === "en", numBuckets = 64)
         .select(col("id").as("doc_id"), col("n_toks"), col("dsir_weight"))
         .gateOrdered(col("doc_id"))
+    }),
+
+    // ---- DSIR selection: Gumbel-top-k over the importance logits --------
+    // the resampling endpoint the weights exist for: draw 100 docs with
+    // probability ∝ exp(weight) — Gumbel-max keys (log-domain E–S), the
+    // right construction for logits that are legitimately negative
+    "q197_dsir_select" -> ((s, dir) => {
+      val w = Sampling.dsirWeights(read(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", numBuckets = 64)
+      Sampling.gumbelTopK(w, "id", "dsir_weight", k = 100, salt = "dsir:")
+        .select(col("id").as("doc_id"), col("dsir_weight"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- cross-doc duplicated spans (suffix-array-style, n-gram anchors) -
@@ -2852,6 +2870,31 @@ object SparkEntry {
         FROM a LEFT JOIN p USING (id) ORDER BY vec_id"""
   }
 
+  /** Shared q191/q197 oracle CTEs: the DSIR hashed-unigram pipeline up to
+    * the per-document weight `pd(doc_id, n_toks, wt)` — see
+    * [[graft.operators.Sampling.dsirWeights]] for the contract. */
+  private val dsirCtes: String =
+    """tb AS (
+           SELECT doc_id, lang = 'en' AS t,
+             (length(term)*31 + ascii(term)) % 64 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS term
+                 FROM documents) s),
+         hist AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
+                    sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS cr
+                  FROM tb GROUP BY b),
+         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM hist),
+         llr AS (SELECT g.b::INT AS b,
+                   CAST(ln((coalesce(h.ct, 0) + 1.0) / (tot.tt + 64.0))
+                      - ln((coalesce(h.cr, 0) + 1.0) / (tot.tr + 64.0))
+                     AS DECIMAL(28,15)) AS w
+                 FROM range(64) g(b) LEFT JOIN hist h ON h.b = g.b CROSS JOIN tot),
+         dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b),
+         pd AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_toks,
+                  CAST(sum(CAST(dc.c AS DECIMAL(9,0)) * llr.w) AS DOUBLE) AS wt
+                FROM dc JOIN llr USING (b) GROUP BY dc.doc_id)"""
+
   /** q194 oracle: PQ + ADC replayed — per-subspace encoding is the same
     * unrolled left-to-right squared-L2 argmin the nearest-centroid kernel
     * runs (ties to the lowest code), codebook j's centroid c IS seed c's
@@ -4017,28 +4060,23 @@ object SparkEntry {
     // same add-one smoothing, and the same DECIMAL(28,15) log-ratio cast
     // so the per-doc sum is exact on both engines (Sampling.dsirWeights)
     "q191_dsir_weights" ->
-      """WITH tb AS (
-           SELECT doc_id, lang = 'en' AS t,
-             (length(term)*31 + ascii(term)) % 64 AS b
-           FROM (SELECT doc_id, lang,
-                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                     x -> len(x) > 0)) AS term
-                 FROM documents) s),
-         hist AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
-                    sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS cr
-                  FROM tb GROUP BY b),
-         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM hist),
-         llr AS (SELECT g.b::INT AS b,
-                   CAST(ln((coalesce(h.ct, 0) + 1.0) / (tot.tt + 64.0))
-                      - ln((coalesce(h.cr, 0) + 1.0) / (tot.tr + 64.0))
-                     AS DECIMAL(28,15)) AS w
-                 FROM range(64) g(b) LEFT JOIN hist h ON h.b = g.b CROSS JOIN tot),
-         dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b),
-         pd AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_toks,
-                  CAST(sum(CAST(dc.c AS DECIMAL(9,0)) * llr.w) AS DOUBLE) AS wt
-                FROM dc JOIN llr USING (b) GROUP BY dc.doc_id)
+      s"""WITH $dsirCtes
          SELECT d.doc_id, pd.n_toks, round(pd.wt, 6) AS dsir_weight
          FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
+    // DSIR selection endpoint: Gumbel-top-k over the same weights —
+    // key = logit − ln(−ln(u)), u from the q102-pattern md5 uniform
+    "q197_dsir_select" ->
+      s"""WITH $dsirCtes,
+         w AS (SELECT d.doc_id, round(pd.wt, 6) AS dsir_weight
+               FROM documents d JOIN pd USING (doc_id)),
+         g AS (SELECT doc_id, dsir_weight,
+                 dsir_weight - ln(-ln(
+                   (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                   / 4294967296.0)) AS k
+               FROM w)
+         SELECT doc_id, dsir_weight, round(k, 6) AS sample_key
+         FROM (SELECT * FROM g ORDER BY k DESC, doc_id LIMIT 100) t
          ORDER BY doc_id""",
     // Duplicated spans: position-stamped 8-gram match join under the same
     // df cap, gaps-and-islands on the (pa - pb) diagonal; run lengths and

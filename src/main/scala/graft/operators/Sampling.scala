@@ -409,6 +409,29 @@ object Sampling {
         round(col("__wt"), roundTo).as("dsir_weight"))
   }
 
+  /** Gumbel-top-k: draw `k` rows without replacement with probability
+    * ∝ exp(logit) — the Gumbel-max construction (public folklore result;
+    * the log-domain sibling of [[weightedSample]]'s Efraimidis–Spirakis
+    * keys, for weights that live in LOG space and may be negative, like
+    * [[dsirWeights]]' log-likelihood ratios):
+    * `key = logit − ln(−ln(u))` with the same deterministic md5-derived
+    * uniform `u ∈ (0, 1]` the other samplers use. Deterministic under any
+    * partitioning, reproducible by any engine with md5 + ln.
+    *
+    * Scale: stateless projection + global top-k — Spark executes
+    * TakeOrderedAndProject (per-partition bounded heaps, k-row driver
+    * merge); no shuffle of the corpus, no full sort. */
+  def gumbelTopK(df: DataFrame, idCol: String, logitCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") + 1L) / lit(4294967296.0)
+    df.filter(col(logitCol).isNotNull)
+      .withColumn("sample_key", col(logitCol).cast("double") - log(-log(u)))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

@@ -310,6 +310,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(out(3L) == ((None, None)), "empty doc must surface with null weight")
   }
 
+  test("gumbelTopK: deterministic, k-bounded, biased toward high logits") {
+    import spark.implicits._
+    // ids 0..199 with logit = +3 for even ids, -3 for odd: exp(6) ≈ 400×
+    // odds ratio, so the 50 winners should be overwhelmingly even
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) 3.0 else -3.0))
+      .toDF("id", "logit")
+    val a = Sampling.gumbelTopK(df, "id", "logit", k = 50, salt = "t:")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.gumbelTopK(df, "id", "logit", k = 50, salt = "t:")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt must reproduce the same sample")
+    assert(a.size == 50)
+    val evens = a.count(_ % 2 == 0)
+    assert(evens >= 45, s"selection should strongly favor the high logits: $evens/50")
+    val c = Sampling.gumbelTopK(df, "id", "logit", k = 50, salt = "other:")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a, "different salt must draw a different sample")
+  }
+
   test("dsirWeights: target-like documents outscore off-target ones on real data") {
     val docs = spark.read.parquet(sf("documents"))
     val out = Sampling.dsirWeights(docs, "doc_id", "text",
