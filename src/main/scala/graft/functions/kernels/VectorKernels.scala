@@ -243,6 +243,51 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   override def prettyName: String = "nearest_centroid"
 }
 
+/** The PQ/ADC query-side lookup table as ONE expression node: cell
+  * `[j][c] = Σ_i (v[j·sub+i] − codebooks[j][c][i])²`, accumulated
+  * LEFT-TO-RIGHT over i — value-identical to the unrolled
+  * `array(array((q[i]−lit)², …))` column tree it replaces. The unrolled
+  * form built an m·k·sub-term expression tree (~3 000 nodes at 8×16×8)
+  * whose per-action Catalyst analysis/optimization cost ~3 s of DRIVER
+  * time per run (measured; execution itself was trivial — the LUT
+  * evaluates once per query row). Interpreted eval (CodegenFallback) is
+  * deliberate: |queries| rows per batch, never the corpus. */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty, "non-empty codebooks required")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    val sub = codebooks.head.head.length
+    require(x.length >= codebooks.length * sub,
+      s"pq_lut: vector has ${x.length} dims, need ${codebooks.length * sub}")
+    val rows = new Array[Any](codebooks.length)
+    var j = 0
+    while (j < codebooks.length) {
+      val cb = codebooks(j)
+      val cells = new Array[Any](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) { val t = x(j * sub + i) - cent(i); d += t * t; i += 1 }
+        cells(c) = d
+        c += 1
+      }
+      rows(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+  override def prettyName: String = "pq_lut"
+}
+
 object VectorKernelFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -256,4 +301,6 @@ object VectorKernelFunctions {
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(v)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), centroids))
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(v), codebooks))
 }

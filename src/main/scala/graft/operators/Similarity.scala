@@ -580,16 +580,10 @@ object Similarity {
       k: Int, roundTo: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val lut = array((0 until m).map { j =>
-      array(codebooks(j).indices.map { c =>
-        (0 until sub).map { i =>
-          val d = col(queryVec).getItem(j * sub + i).cast("double") -
-            lit(codebooks(j)(c)(i))
-          d * d
-        }.reduceLeft(_ + _)
-      }: _*)
-    }: _*)
+    // LUT as ONE kernel node (see PqLutExpr): the unrolled column-tree
+    // form cost ~3 s of driver-side Catalyst work per action at 8×16×8
+    val lut = VectorKernelFunctions.pqLut(col(queryVec),
+      codebooks.map(_.map(_.clone())))
     val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"))
     val adc = (0 until m).map(j =>
         element_at(element_at(col("__lut"), j + 1), col("codes").getItem(j) + 1)
