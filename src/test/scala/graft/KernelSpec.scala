@@ -247,4 +247,26 @@ class KernelSpec extends SparkSpecBase {
     val hitsEdge = stats.filter(col("max_q") === 127 || col("min_q") === -127).count()
     assert(hitsEdge == stats.count())
   }
+
+  test("pq_lut cells agree with nearest_centroid's distances on real vectors") {
+    // with one subspace covering the whole vector, argmin over the LUT row
+    // must equal the nearest-centroid assignment (same left-to-right
+    // accumulation contract), and the minimum cell must be the exact
+    // squared L2 to that centroid
+    val emb = spark.read.parquet(sf("embeddings")).limit(50)
+      .select($"vec_id", slice($"embedding", 1, 8).as("v"))
+    val cents = emb.filter($"vec_id" < 4).orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbs = Array(cents) // m = 1
+    val rows = emb.select(
+        VectorKernelFunctions.nearestCentroid($"v", cents).as("assigned"),
+        VectorKernelFunctions.pqLut($"v", cbs).as("lut"))
+      .collect()
+    rows.foreach { r =>
+      val lutRow = r.getSeq[scala.collection.Seq[Double]](1).head
+      val argmin = lutRow.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(argmin == r.getInt(0),
+        s"LUT argmin $argmin != nearest_centroid ${r.getInt(0)}: $lutRow")
+    }
+  }
 }

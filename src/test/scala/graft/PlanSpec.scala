@@ -430,6 +430,12 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"corpus must not shuffle before the rank window:\n$p")
   }
 
+  test("dsir selection compiles to TakeOrderedAndProject — no global sort") {
+    val p = plan("q197_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"gumbel top-k must be a bounded-heap take, not a full sort:\n$p")
+  }
+
   test("q196 stored-PQ probe scans codes only — the embedding never loads") {
     val p = plan("q196_pq_stored")
     // the corpus-side scan is the stored codes table; its ReadSchema must
