@@ -488,6 +488,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- MMR diversified re-rank over the dense top-20 ------------------
+    // λ·rel − μ·max-sim-to-picked, greedy k=5 per query; relevance and
+    // pairwise cosines rounded BEFORE the loop so the oracle replays the
+    // greedy bit-for-bit (μ passed as the exact decimal 0.3 — see
+    // Similarity.mmrRerank on why 1−λ in binary would diverge)
+    "q198_mmr_rerank" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val cands = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 20)
+      Similarity.mmrRerank(cands, emb, "vec_id", "embedding",
+          k = 5, lambda = 0.7, mu = 0.3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- PQ search against the STORED codes table -----------------------
     // q194's pipeline split at the production seam: codes written once
     // (staged, cached per dir), the probe scans ONLY (id, codes) — the
@@ -2895,6 +2911,60 @@ object SparkEntry {
                   CAST(sum(CAST(dc.c AS DECIMAL(9,0)) * llr.w) AS DOUBLE) AS wt
                 FROM dc JOIN llr USING (b) GROUP BY dc.doc_id)"""
 
+  /** q198 oracle: MMR replayed with the greedy loop UNROLLED as one CTE
+    * chain per pick — relevance and pairwise cosines round to 6 dp before
+    * any scoring (same as the Scala side), each step scores the remaining
+    * candidates as `0.7·rel − 0.3·maxsim-to-picked` (double arithmetic on
+    * identical inputs) and picks by (score desc, id asc). */
+  private def mmrSql(nq: Int, cands: Int, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""sc1 AS (SELECT query_id, nbr_id, 0.7*rel - 0.3*0.0 AS score FROM cand),
+            pick1 AS (SELECT query_id, nbr_id, score, 1 AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, nbr_id ASC) AS rn FROM sc1) t WHERE rn = 1)"""
+      else {
+        val selUnion = (1 until i).map(j => s"SELECT query_id, nbr_id FROM pick$j")
+          .mkString(" UNION ALL ")
+        s"""sel$i AS ($selUnion),
+            sc$i AS (SELECT c.query_id, c.nbr_id,
+                0.7*c.rel - 0.3*(SELECT max(p.sim) FROM pairs p
+                    JOIN sel$i s ON s.query_id = p.query_id
+                                AND s.nbr_id = p.other_id
+                    WHERE p.query_id = c.query_id
+                      AND p.nbr_id = c.nbr_id) AS score
+              FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM sel$i s
+                  WHERE s.query_id = c.query_id AND s.nbr_id = c.nbr_id)),
+            pick$i AS (SELECT query_id, nbr_id, score, $i AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, nbr_id ASC) AS rn FROM sc$i) t WHERE rn = 1)"""
+      }
+    }.mkString(",\n            ")
+    val allPicks = (1 to k).map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id < $nq),
+        cand AS (SELECT query_id, nbr_id, rel FROM (
+            SELECT q.query_id, c.vec_id AS nbr_id,
+              round(list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS rel,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(
+                    q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                  c.vec_id ASC) AS r
+            FROM embeddings c CROSS JOIN q) t WHERE r <= $cands),
+        pairs AS (SELECT a.query_id, a.nbr_id, b.nbr_id AS other_id,
+              round(list_cosine_similarity(
+                ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 6) AS sim
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+            JOIN embeddings ca ON ca.vec_id = a.nbr_id
+            JOIN embeddings cb ON cb.vec_id = b.nbr_id),
+        $steps
+        SELECT query_id, nbr_id, round(score, 6) AS mmr_score, rank
+        FROM ($allPicks) u ORDER BY query_id, rank"""
+  }
+
   /** q194 oracle: PQ + ADC replayed — per-subspace encoding is the same
     * unrolled left-to-right squared-L2 argmin the nearest-centroid kernel
     * runs (ties to the lowest code), codebook j's centroid c IS seed c's
@@ -3125,6 +3195,8 @@ object SparkEntry {
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // the stored-codes probe computes identical ADC distances (q194)
     "q196_pq_stored" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
+    // MMR greedy unrolled step-by-step (see mmrSql)
+    "q198_mmr_rerank" -> mmrSql(nq = 5, cands = 20, k = 5),
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Triangles by ordered two-join enumeration over exact-Jaccard edges;

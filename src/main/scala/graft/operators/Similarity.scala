@@ -619,6 +619,78 @@ object Similarity {
     pqTopK(queries.sparkSession.read.parquet(path).select(col("id"), col("codes")),
       queries, queryId, queryVec, codebooks, k)
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
+    * greedily pick `k` results that balance relevance against redundancy —
+    * `score(d) = λ·rel(d) − μ·max_{s∈S} sim(d, s)` with S the picks so
+    * far. The standard diversification pass over an ANN candidate list
+    * (near-duplicate corpus entries otherwise fill every slot).
+    *
+    * `candidates` is a per-query top-k table `(query_id, nbr_id, cosine)`
+    * (e.g. [[bruteForceTopK]]'s output); vectors resolve from `corpus`.
+    * Pass μ explicitly (default 0.3): computing `1 − λ` in binary gives
+    * 0.30000000000000004, which is NOT the 0.3 an external decimal-literal
+    * engine would use — the pair must be exact complements on both sides
+    * of an oracle. Relevance and pairwise cosines are rounded to `roundTo`
+    * BEFORE the greedy loop, so scores are engine-replayable; ties pick
+    * the lowest id.
+    *
+    * Plan shape: the candidate×candidate cosine join and the greedy loop
+    * both run on |Q|·k²-bounded data — `flatMapGroups` holds ONE query's
+    * candidate list (k rows + k² sims) at a time, never the corpus. The
+    * greedy selection is inherently sequential per query (each pick
+    * changes the next score); per-group state is the textbook place for
+    * it. */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, corpusId: String,
+      corpusVec: String, k: Int, lambda: Double = 0.7, mu: Double = 0.3,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col("query_id").cast("long").as("query_id"),
+      col("nbr_id").cast("long").as("nbr_id"),
+      round(col("cosine").cast("double"), roundTo).as("rel"))
+    val v = corpus.select(col(corpusId).cast("long").as("nbr_id"), col(corpusVec).as("__v"))
+    val cv = cand.join(v, "nbr_id")
+    val a = cv.select(col("query_id"), col("nbr_id"), col("__v").as("__va"))
+    val b = cv.select(col("query_id"), col("nbr_id").as("other_id"), col("__v").as("__vb"))
+    val sims = a.join(b, Seq("query_id")).filter(col("nbr_id") =!= col("other_id"))
+      .select(col("query_id"), col("nbr_id"), col("other_id"),
+        round(VectorKernelFunctions.cosineSimilarity(col("__va"), col("__vb")), roundTo).as("sim"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(collect_list(struct(col("other_id").as("_1"), col("sim").as("_2"))).as("sims"))
+    val packed = cand.join(sims, Seq("query_id", "nbr_id"), "left")
+      .select(col("query_id"), col("nbr_id"), col("rel"),
+        coalesce(col("sims"), array().cast("array<struct<_1:bigint,_2:double>>")).as("sims"))
+      .as[(Long, Long, Double, Seq[(Long, Double)])]
+    packed.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(_._2)
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      val simOf = cs.map(c => c._2 -> c._4.toMap).toMap
+      val remaining = scala.collection.mutable.SortedSet(cs.map(_._2): _*)
+      val out = Vector.newBuilder[(Long, Long, Double, Int)]
+      var rank = 1
+      var selected = List.empty[Long]
+      while (rank <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        for (d <- remaining) { // ascending ids + strict > ⇒ lowest id wins ties
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => simOf(d).getOrElse(s, 0.0)).max
+          val score = lambda * rel(d) - mu * maxSim
+          if (score > bestScore) { bestScore = score; bestId = d }
+        }
+        out += ((q, bestId, bestScore, rank))
+        selected ::= bestId
+        remaining -= bestId
+        rank += 1
+      }
+      out.result()
+    }.toDF("query_id", "nbr_id", "__score", "rank")
+      .select(col("query_id"), col("nbr_id"),
+        round(col("__score"), roundTo).as("mmr_score"), col("rank"))
+  }
+
   private def bestLists(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]],
       m: Int): org.apache.spark.sql.Column = {
     val scoredLists = array(centroids.zipWithIndex.map { case (ct, i) =>

@@ -377,6 +377,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(stored).nonEmpty)
   }
 
+  test("mmrRerank: redundancy penalty demotes the near-duplicate candidate") {
+    // q=(1,0,0); 10 is most relevant, 11 is a near-clone of 10
+    // (sim≈0.999, rel≈0.97), 12 is less relevant (rel≈0.90) but diverse
+    // (sim(10,12)≈0.80): step-2 scores 0.7·0.902−0.3·0.799 ≈ 0.392 (12)
+    // vs 0.7·0.970−0.3·0.999 ≈ 0.379 (11) — MMR must take 12 before 11
+    val corpus = Seq(
+      (10L, Array(0.98f, 0.2f, 0.0f)),
+      (11L, Array(0.97f, 0.24f, 0.0f)),
+      (12L, Array(0.9f, -0.43f, 0.0f))).toDF("id", "vec")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val cands = Similarity.bruteForceTopK(corpus, "id", "vec", q, "qid", "qvec", k = 3)
+    val out = Similarity.mmrRerank(cands, corpus, "id", "vec", k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("nbr_id")).toSeq == Seq(10L, 12L, 11L),
+      s"MMR order wrong: ${out.toSeq}")
+    // rank-1 score = 0.7 * rel(10), no penalty yet
+    val rel10 = cands.filter($"nbr_id" === 10L).head().getAs[Double]("cosine")
+    assert(math.abs(out(0).getAs[Double]("mmr_score") - 0.7 * rel10) < 1e-5)
+  }
+
+  test("mmrRerank: with mu = 0 the greedy reduces to plain relevance order") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cands = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+    val mmr = Similarity.mmrRerank(cands, emb, "vec_id", "embedding",
+        k = 5, lambda = 1.0, mu = 0.0)
+      .select($"query_id", $"nbr_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val plain = cands.filter($"rank" <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nbr_id")).toMap
+    assert(mmr == plain)
+  }
+
   test("zNormalizeDims plan: stats broadcast, normalization is a projection") {
     val df = spark.read.parquet(sf("embeddings"))
     val plan = Similarity.zNormalizeDims(df, "vec_id", "embedding")
