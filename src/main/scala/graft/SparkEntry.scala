@@ -1324,6 +1324,13 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- per-source curation scorecard ----------------------------------
+    "q199_source_scorecard" -> ((s, dir) => {
+      CorpusStats.sourceScorecard(read(s, dir, "documents"), "text",
+          sourceCol = "source", langCol = "lang", targetLang = "en")
+        .gateOrdered(col("source"))
+    }),
+
     // ---- DSIR selection: Gumbel-top-k over the importance logits --------
     // the resampling endpoint the weights exist for: draw 100 docs with
     // probability ∝ exp(weight) — Gumbel-max keys (log-domain E–S), the
@@ -4136,6 +4143,23 @@ object SparkEntry {
          SELECT d.doc_id, pd.n_toks, round(pd.wt, 6) AS dsir_weight
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    // Per-source scorecard: md5 fingerprint distinct (q28's normalized
+    // form), token counts (q19's tokenizer), integer-exact shares
+    "q199_source_scorecard" ->
+      """WITH t AS (
+           SELECT source, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+           FROM documents)
+         SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(array_to_string(toks, ' ')))::BIGINT AS n_distinct,
+           round(1.0 - count(DISTINCT md5(array_to_string(toks, ' ')))
+                 / count(*)::DOUBLE, 4) AS dup_rate,
+           sum(len(toks))::BIGINT AS total_tokens,
+           round(avg(len(toks)), 2) AS avg_tokens,
+           round(avg(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 4) AS target_lang_share
+         FROM t GROUP BY source ORDER BY source""",
     // DSIR selection endpoint: Gumbel-top-k over the same weights —
     // key = logit − ln(−ln(u)), u from the q102-pattern md5 uniform
     "q197_dsir_select" ->

@@ -13,6 +13,33 @@ import graft.functions.kernels.TextKernelFunctions
   */
 object CorpusStats {
 
+  /** Per-source curation scorecard — the table a data team reads to set
+    * source mixture weights: for every value of `sourceCol`, document
+    * volume, EXACT-duplicate rate (md5 fingerprint of token-normalized
+    * text — cross-engine, the q28 contract), token volume, and the share
+    * of documents in `targetLang`. One pass over the corpus, one
+    * aggregation keyed by source (map-side combined; the fingerprint
+    * distinct is a two-phase count inside the same shuffle), output height
+    * = |sources|. Compose with [[graft.operators.Sampling.dsirWeights]] /
+    * quality scores for richer columns — the shape stays one keyed agg. */
+  def sourceScorecard(docs: DataFrame, textCol: String, sourceCol: String,
+      langCol: String, targetLang: String): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.select(col(sourceCol).as("source"),
+        TextFunctions.md5Fingerprint(col(textCol)).as("__fp"),
+        TextFunctions.tokenCount(col(textCol)).as("__toks"),
+        (col(langCol) === targetLang).cast("int").as("__tgt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("__fp")) / count(lit(1)).cast("double"), 4)
+          .as("dup_rate"),
+        sum(col("__toks")).as("total_tokens"),
+        round(avg(col("__toks")), 2).as("avg_tokens"),
+        round(avg(col("__tgt")), 4).as("target_lang_share"))
+  }
+
   /** Top-k word n-grams by corpus occurrence count:
     * (ngram, total_count, doc_freq), ordered by total_count descending with
     * the n-gram string as the deterministic tiebreak.

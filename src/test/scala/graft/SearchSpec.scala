@@ -317,6 +317,24 @@ class SearchSpec extends SparkSpecBase {
     assert(out.find(_.getLong(0) == 0L).get.getAs[Long]("doc_id") == 2L)
   }
 
+  test("sourceScorecard: dup rate, token volume and lang share per source") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"),
+      (2L, "a b c", "s1", "en"),   // exact dup of 1 (normalized)
+      (3L, "A  B C ", "s1", "de"), // normalizes to the same fingerprint
+      (4L, "x y", "s2", "zh")).toDF("doc_id", "text", "source", "lang")
+    val out = graft.operators.CorpusStats.sourceScorecard(
+        docs, "text", "source", "lang", "en")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 3 && s1.getAs[Long]("n_distinct") == 1)
+    assert(math.abs(s1.getAs[Double]("dup_rate") - 0.6667) < 1e-9)
+    assert(s1.getAs[Long]("total_tokens") == 9)
+    assert(math.abs(s1.getAs[Double]("target_lang_share") - 0.6667) < 1e-9)
+    val s2 = out("s2")
+    assert(s2.getAs[Double]("dup_rate") == 0.0 && s2.getAs[Long]("total_tokens") == 2)
+  }
+
   test("charLmScore separates reference-like text from alien text") {
     val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
     val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
