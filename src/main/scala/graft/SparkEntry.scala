@@ -8,7 +8,7 @@ import graft.frame.CalculatedColumn
 import graft.io.ParquetIO
 import graft.functions.{TextClean, TextFunctions}
 import graft.functions.kernels.VectorKernelFunctions
-import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, LinearModel, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
 import graft.profile.{ColumnProfiler, Drift, ProfileComparison, ProfileReport}
 import graft.sources.EventsSource
@@ -1321,6 +1321,29 @@ object SparkEntry {
       Sampling.dsirWeights(read(s, dir, "documents"), "doc_id", "text",
           isTarget = col("lang") === "en", numBuckets = 64)
         .select(col("id").as("doc_id"), col("n_toks"), col("dsir_weight"))
+        .gateOrdered(col("doc_id"))
+    }),
+
+    // ---- distributed logistic-regression training (driver-sequenced) ----
+    // a linear quality/domain classifier trained by 2 full-batch gradient
+    // steps over hashed token features: decimal-exact margins and
+    // gradients, 12-dp inter-iteration weight rounding — the kmeansLloyd
+    // architecture applied to model training (see operators.LinearModel)
+    "q200_logreg_train" -> ((s, dir) => {
+      LinearModel.logregTrainHashed(read(s, dir, "documents"), "doc_id", "text",
+          label = col("lang") === "en", numBuckets = 64, lr = 0.1, iterations = 2)
+        .gateOrdered(col("bucket"))
+    }),
+    // the trained model applied as the admission signal (same 2-step
+    // weights, one broadcast join + sigmoid per doc)
+    "q201_logreg_score" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
+        label = col("lang") === "en", numBuckets = 64, lr = 0.1, iterations = 2,
+        roundTo = 12)
+      LinearModel.logregScoreHashed(docs, "doc_id", "text",
+          label = col("lang") === "en", weights = w, numBuckets = 64)
+        .select(col("id").as("doc_id"), col("label"), col("score"))
         .gateOrdered(col("doc_id"))
     }),
 
@@ -2972,6 +2995,44 @@ object SparkEntry {
         FROM ($allPicks) u ORDER BY query_id, rank"""
   }
 
+  /** q200/q201 oracle CTEs: logistic-regression training replayed
+    * iteration-by-iteration — hashed-bucket features (the q191 portable
+    * hash), decimal-exact margins/gradients, 12-dp inter-iteration weight
+    * rounding (the pageRank-oracle pattern), sigmoid on decimal-exact
+    * inputs. Ends with CTE `w$iterations` holding (b, w). */
+  private def logregCtes(iterations: Int, buckets: Int, lr: Double): String = {
+    val base = s"""tb AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (length(term)*31 + ascii(term)) % $buckets AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> len(x) > 0)) AS term
+                 FROM documents) s),
+         xc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b),
+         yv AS (SELECT doc_id, max(y) AS y, count(*)::BIGINT AS len
+                FROM tb GROUP BY doc_id),
+         nn AS (SELECT count(*)::DOUBLE AS nd FROM yv),
+         w0 AS (SELECT b::INT AS b, 0.0::DOUBLE AS w FROM range($buckets) t(b))"""
+    val iters = (1 to iterations).map { i =>
+      val prev = s"w${i - 1}"
+      s"""m$i AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST($prev.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN $prev USING (b) GROUP BY xc.doc_id),
+         r$i AS (SELECT yv.doc_id,
+               CAST((yv.y - 1.0/(1.0 + exp(-(coalesce(m$i.rawm, 0.0) / yv.len))))
+                 / yv.len AS DECIMAL(28,15)) AS r
+             FROM yv LEFT JOIN m$i USING (doc_id)),
+         g$i AS (SELECT xc.b,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * r$i.r) AS DOUBLE)
+                 / (SELECT nd FROM nn) AS g
+             FROM xc JOIN r$i USING (doc_id) GROUP BY xc.b),
+         w$i AS (SELECT $prev.b, round($prev.w + $lr*coalesce(g$i.g, 0.0), 12) AS w
+             FROM $prev LEFT JOIN g$i USING (b))"""
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
+  }
+
   /** q194 oracle: PQ + ADC replayed — per-subspace encoding is the same
     * unrolled left-to-right squared-L2 argmin the nearest-centroid kernel
     * runs (ties to the lowest code), codebook j's centroid c IS seed c's
@@ -3204,6 +3265,21 @@ object SparkEntry {
     "q196_pq_stored" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // MMR greedy unrolled step-by-step (see mmrSql)
     "q198_mmr_rerank" -> mmrSql(nq = 5, cands = 20, k = 5),
+    // Logreg training replayed per iteration (see logregCtes)
+    "q200_logreg_train" ->
+      s"""WITH ${logregCtes(iterations = 2, buckets = 64, lr = 0.1)}
+         SELECT b AS bucket, round(w, 6) AS weight FROM w2 ORDER BY bucket""",
+    // ... and the trained model applied per document
+    "q201_logreg_score" ->
+      s"""WITH ${logregCtes(iterations = 2, buckets = 64, lr = 0.1)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w2.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w2 USING (b) GROUP BY xc.doc_id)
+         SELECT yv.doc_id, yv.y AS label,
+                round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+         FROM yv LEFT JOIN mf USING (doc_id)
+         ORDER BY doc_id""",
     // Two PageRank iterations replayed exactly (see pageRankSql)
     "q180_pagerank_neardup" -> pageRankSql(iterations = 2),
     // Triangles by ordered two-join enumeration over exact-Jaccard edges;

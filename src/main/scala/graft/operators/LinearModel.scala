@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of a linear (logistic-regression) text classifier
+  * over hashed token features — the quality-/domain-classifier step of a
+  * training-data pipeline (public recipe: the fastText-style linear
+  * classifiers corpus filters use, trained here by full-batch gradient
+  * descent).
+  *
+  * Features are TERM FREQUENCIES `x_d[b] = cnt_d[b] / len_d` (raw counts
+  * would make the margin scale with document LENGTH — every long doc
+  * saturates the sigmoid regardless of class). The 1/len never rides
+  * inside a distributed sum: margins divide once after the exact
+  * count-sum, and the gradient folds 1/len into the per-doc residual
+  * BEFORE it is decimal-rounded, so every Σ stays integer×decimal exact.
+  *
+  * Architecture = [[Similarity.kmeansLloyd]]'s shape: the CONTROL loop is
+  * driver-sequenced (weights are B doubles — control-plane data), each
+  * iteration is one distributed pass:
+  *   margin_d = (Σ_b w[b]·cnt_d[b]) / len_d  (exact sum, one division)
+  *   r_d      = (y_d − σ(margin_d)) / len_d  (double → 15-dp decimal)
+  *   g[b]     = Σ_d r_d·cnt_d[b] / N         (decimal-exact sum)
+  *   w'[b]    = round₁₂(w[b] + lr·g[b])
+  *
+  * Determinism contract (what makes the DuckDB oracle possible): every
+  * SUM runs in exact decimal, so partial-aggregation order cannot change
+  * a bit; the only transcendental (σ's exp) is computed on decimal-exact
+  * inputs and its ≤1-ulp cross-engine difference is damped by the 15-dp
+  * residual rounding — and logistic regression is SMOOTH (no argmin/
+  * threshold branches), so that noise stays O(1e−12) instead of flipping
+  * discrete decisions. Inter-iteration 12-dp weight rounding is the
+  * [[graft.SparkEntry]] pageRank-oracle pattern.
+  *
+  * Scale shape: the token stream reduces once to per-(doc, bucket) counts
+  * (map-side combined, bounded by B per doc); each iteration joins those
+  * counts to a BROADCAST B-row weight table and runs two partial-agg
+  * shuffles (per-doc margin, per-bucket gradient). Token text never
+  * shuffles. N passes over the counts = `iterations`; cache the counts
+  * DataFrame for multi-epoch runs.
+  */
+object LinearModel {
+
+  /** The engine-portable feature hash shared with
+    * [[Sampling.dsirWeights]]: `(length(term)·31 + codepoint(term[0]))
+    * mod B` — identical values in Spark and DuckDB for any Unicode token. */
+  def portableBucket(term: Column, numBuckets: Int): Column =
+    pmod(length(term) * lit(31) + ascii(term), lit(numBuckets))
+
+  /** Train `iterations` full-batch gradient steps from w = 0; returns the
+    * final weights as one row per bucket `(bucket, weight)` (rounded to
+    * `roundTo`). `label` must evaluate to 0/1. Empty documents (no
+    * tokens) take no part — they have no features and would only dilute
+    * N. */
+  def logregTrainHashed(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, numBuckets: Int = 64, lr: Double = 0.1,
+      iterations: Int = 2, roundTo: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val (xc, yv) = features(docs, idCol, textCol, label, numBuckets)
+    xc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = yv.count().toDouble
+      var w = Array.fill(numBuckets)(0.0)
+      for (_ <- 1 to iterations) {
+        // weights ride as doubles and re-round to the SAME 12-dp decimal
+        // at use (the 12-dp decimal → nearest double → 12-dp decimal
+        // round trip is the identity at these magnitudes) — exactly what
+        // the oracle's CAST(round(w, 12) AS DECIMAL(28,12)) computes
+        val wDf = broadcast(spark.createDataFrame(
+          w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq)
+          .toDF("__b", "__w"))
+        val margins = xc.join(wDf, Seq("__b"))
+          .groupBy(col("id"))
+          .agg(sum(col("__c").cast("decimal(9,0)") * col("__w").cast("decimal(28,12)"))
+            .cast("double").as("__rawm"))
+        val resid = yv.join(margins, Seq("id"), "left")
+          .select(col("id"),
+            ((col("__y") - lit(1.0) /
+              (lit(1.0) + exp(-(coalesce(col("__rawm"), lit(0.0)) / col("__len")))))
+              / col("__len")).cast("decimal(28,15)").as("__r"))
+        val grads = xc.join(resid, Seq("id"))
+          .groupBy(col("__b"))
+          .agg((sum(col("__c").cast("decimal(9,0)") * col("__r")).cast("double") / lit(n))
+            .as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = w.zipWithIndex.map { case (v, b) =>
+          round12(v + lr * grads.getOrElse(b, 0.0))
+        }
+      }
+      import spark.implicits._
+      w.zipWithIndex.map { case (v, b) =>
+        (b, BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("bucket", "weight")
+    } finally xc.unpersist(false)
+  }
+
+  /** Score documents with a trained weight table: `(id, label, score)`
+    * with `score = σ(Σ_b w[b]·x_d[b])` — the admission signal a corpus
+    * gate thresholds on. One broadcast join + one partial-agg shuffle;
+    * empty documents score σ(0) = 0.5 (no evidence either way). */
+  def logregScoreHashed(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, weights: DataFrame, numBuckets: Int = 64,
+      roundTo: Int = 4): DataFrame = {
+    val (xc, yv) = features(docs, idCol, textCol, label, numBuckets)
+    val wDf = broadcast(weights.select(col("bucket").as("__b"),
+      col("weight").cast("decimal(28,12)").as("__w")))
+    val margins = xc.join(wDf, Seq("__b"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c").cast("decimal(9,0)") * col("__w"))
+        .cast("double").as("__rawm"))
+    yv.join(margins, Seq("id"), "left")
+      .select(col("id"), col("__y").as("label"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("__rawm"), lit(0.0)) / col("__len")))), roundTo)
+          .as("score"))
+  }
+
+  /** Per-(doc, bucket) counts + per-doc (label, token count) for
+    * documents with at least one token. */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, numBuckets: Int): (DataFrame, DataFrame) = {
+    val tb = docs.select(col(idCol).as("id"), label.cast("int").as("__y"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__term"))
+      .select(col("id"), col("__y"), portableBucket(col("__term"), numBuckets).as("__b"))
+    val xc = tb.groupBy(col("id"), col("__b")).agg(count(lit(1)).as("__c"))
+    val yv = tb.groupBy(col("id"))
+      .agg(max(col("__y")).as("__y"), count(lit(1)).as("__len"))
+    (xc, yv)
+  }
+
+  private def round12(v: Double): Double =
+    BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

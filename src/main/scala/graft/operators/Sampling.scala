@@ -379,8 +379,7 @@ object Sampling {
     val tb = docs.select(col(idCol).as("id"), isTarget.as("__t"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col("id"), col("__t"),
-        pmod(length(col("__term")) * lit(31) + ascii(col("__term")),
-          lit(numBuckets)).as("__b"))
+        LinearModel.portableBucket(col("__term"), numBuckets).as("__b"))
     val hist = tb.groupBy(col("__b"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinearModel
+
+class LinearModelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("logreg training: two gradient steps match the hand computation") {
+    // bucket(aa) = (2*31+97) % 4 = 3 (positive class), bucket(bb) = 0
+    val docs = Seq((1L, "aa", 1), (2L, "bb", 0)).toDF("id", "text", "y")
+    val w = LinearModel.logregTrainHashed(docs, "id", "text",
+        label = col("y") === 1, numBuckets = 4, lr = 0.1, iterations = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // iter 1: margins 0, residuals ±0.5 -> w1 = [−0.025, 0, 0, +0.025]
+    // iter 2: p = σ(±0.025) -> |residual| ≈ 0.49375 -> |w2| ≈ 0.0496875
+    assert(math.abs(w(3) - 0.0496875) < 1e-4, s"w3 = ${w(3)}")
+    assert(math.abs(w(0) + 0.0496875) < 1e-4, s"w0 = ${w(0)}")
+    assert(w(1) == 0.0 && w(2) == 0.0)
+  }
+
+  test("trained model separates the classes it was trained on") {
+    val docs = spark.read.parquet(sf("documents"))
+    val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
+      label = col("lang") === "en", iterations = 2, roundTo = 12)
+    val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+      label = col("lang") === "en", weights = w)
+    val avg = scored.groupBy(col("label"))
+      .agg(org.apache.spark.sql.functions.avg(col("score")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(avg(1) > avg(0),
+      s"positive class must score higher: ${avg(1)} vs ${avg(0)}")
+  }
+
+  test("empty documents score exactly sigma(0) = 0.5") {
+    val docs = Seq((1L, "aa bb", 1), (2L, "", 0)).toDF("id", "text", "y")
+    val w = LinearModel.logregTrainHashed(docs, "id", "text",
+      label = col("y") === 1, numBuckets = 4, iterations = 1, roundTo = 12)
+    val s = LinearModel.logregScoreHashed(docs, "id", "text",
+      label = col("y") === 1, weights = w, numBuckets = 4)
+    // the empty doc has no feature rows at all — it never reaches yv, so
+    // it is absent from the scored output (no evidence, no row)
+    assert(s.count() == 1 && s.head().getLong(0) == 1L)
+  }
+}
