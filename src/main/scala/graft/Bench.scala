@@ -82,10 +82,13 @@ object Bench {
     // again, so per-query values are integer CENTISECONDS ("qunit":"cs",
     // 10 ms grain — bench noise is >10 ms anyway) with BARE NUMERIC keys
     // ("27"; "qkey":"q#" documents the mapping): ~1760 chars at 194
-    // queries, ~190 chars margin (~20 more queries of headroom; past that
-    // drop "qkey" and trim "value" to 1 decimal). The regression list
-    // lives in BENCH_LOCAL.json + stderr only. BENCH_LOCAL.json keeps the
-    // verbose qN-keyed maps (milliseconds) for humans and the guard.
+    // queries. At 201 queries the "qkey" doc field is dropped and the
+    // total goes to 1 decimal (~1895 chars incl. the sbt suffix, ~25
+    // queries of headroom; past that drop "qunit" — cs stays the
+    // documented unit — or emit whole-decisecond values). The regression
+    // list lives in BENCH_LOCAL.json + stderr only. BENCH_LOCAL.json
+    // keeps the verbose qN-keyed maps (milliseconds) for humans and the
+    // guard.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     def cs(v: Double): String = if (v < 0) "-1" else math.round(v * 100).toString
     // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
@@ -164,7 +167,7 @@ object Bench {
       finally fw.close()
     }
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"cs","qkey":"q#","queries":$qsBare,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","qunit":"cs","queries":$qsBare,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
