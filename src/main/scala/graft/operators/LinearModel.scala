@@ -116,6 +116,48 @@ object LinearModel {
           .as("score"))
   }
 
+  /** Classifier evaluation over a scored table `(id, label, score)` — the
+    * metrics a corpus gate is tuned with, computed at corpus scale:
+    * rank-based AUC (Mann–Whitney U with average ranks for score ties —
+    * exact, no curve sampling) plus the confusion counts and accuracy at
+    * `threshold`. One ordered rank window over the scores (ties share one
+    * partition-count lookup) and one aggregation; output is a single row
+    * `(n_pos, n_neg, auc, tp, fp, tn, fn, accuracy)`.
+    *
+    * The unpartitioned rank window executes single-partition — right for
+    * the common case (a LABELED eval set is held-out-sized, not
+    * corpus-sized). For a corpus-scale scored table, build the ranks with
+    * the distributed running-CDF construction
+    * ([[graft.profile.Drift]]'s ksStatistic path) and feed the same
+    * closed-form AUC. Scores should be pre-rounded (q201's contract) so
+    * ranking is engine-replayable; tie average-ranks are dyadic rationals
+    * (k + 0.5), so every sum here is float-exact under any order. */
+  def evalScores(scored: DataFrame, threshold: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.orderBy(col("score"))
+    val tiePart = Window.partitionBy(col("score"))
+    val ranked = scored.select(col("label").cast("int").as("__y"),
+        col("score").cast("double").as("score"))
+      .withColumn("__rmin", rank().over(byScore))
+      .withColumn("__avgr",
+        col("__rmin") + (count(lit(1)).over(tiePart) - lit(1)) / lit(2.0))
+    ranked.agg(
+        sum(col("__y")).cast("long").as("__p"),
+        sum(lit(1) - col("__y")).cast("long").as("__n"),
+        sum(when(col("__y") === 1, col("__avgr")).otherwise(lit(0.0))).as("__sp"),
+        sum(when(col("__y") === 1 && col("score") >= threshold, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__y") === 0 && col("score") >= threshold, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") === 0 && col("score") < threshold, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__y") === 1 && col("score") < threshold, 1L).otherwise(0L)).as("fn"))
+      .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+        round((col("__sp") - col("__p") * (col("__p") + lit(1)) / lit(2.0)) /
+          (col("__p") * col("__n")).cast("double"), roundTo).as("auc"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) / (col("__p") + col("__n")).cast("double"), roundTo)
+          .as("accuracy"))
+  }
+
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

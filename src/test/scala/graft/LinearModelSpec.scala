@@ -32,6 +32,26 @@ class LinearModelSpec extends SparkSpecBase {
       s"positive class must score higher: ${avg(1)} vs ${avg(0)}")
   }
 
+  test("evalScores: hand-computed AUC with ties, confusion at threshold") {
+    // scores: pos {0.9, 0.6}, neg {0.6, 0.2}. Pairs: (0.9 vs 0.6)=1,
+    // (0.9 vs 0.2)=1, (0.6 vs 0.6)=0.5, (0.6 vs 0.2)=1 -> AUC = 3.5/4
+    val scored = Seq(
+      (1L, 1, 0.9), (2L, 1, 0.6), (3L, 0, 0.6), (4L, 0, 0.2))
+      .toDF("id", "label", "score")
+    val r = LinearModel.evalScores(scored, threshold = 0.5).head()
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1)
+    assert(r.getAs[Long]("tn") == 1 && r.getAs[Long]("fn") == 0)
+    assert(r.getAs[Double]("accuracy") == 0.75)
+  }
+
+  test("evalScores: perfect separation gives AUC 1, random labels near 0.5") {
+    val perfect = Seq((1L, 1, 0.9), (2L, 1, 0.8), (3L, 0, 0.3), (4L, 0, 0.1))
+      .toDF("id", "label", "score")
+    assert(LinearModel.evalScores(perfect).head().getAs[Double]("auc") == 1.0)
+  }
+
   test("empty documents score exactly sigma(0) = 0.5") {
     val docs = Seq((1L, "aa bb", 1), (2L, "", 0)).toDF("id", "text", "y")
     val w = LinearModel.logregTrainHashed(docs, "id", "text",
