@@ -1365,6 +1365,27 @@ object SparkEntry {
       LinearModel.evalScores(scored, threshold = 0.77)
     }),
 
+    // ---- calibration curve: decile reliability bins ---------------------
+    "q203_reliability" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), numBuckets = 64,
+        lr = 100.0, iterations = 4, roundTo = 12)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.reliabilityBins(scored, bins = 10)
+        .gateOrdered(col("bin"))
+    }),
+
+    // ---- deterministic word-dropout augmentation ------------------------
+    "q204_word_dropout" -> ((s, dir) => {
+      Sampling.wordDropout(read(s, dir, "documents"), "doc_id", "text",
+          p = 0.1, salt = "wd:")
+        .select(col("id").as("doc_id"), col("n_orig"), col("n_kept"),
+          col("text_aug"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- per-source curation scorecard ----------------------------------
     "q199_source_scorecard" -> ((s, dir) => {
       CorpusStats.sourceScorecard(read(s, dir, "documents"), "text",
@@ -3314,6 +3335,23 @@ object SparkEntry {
                   + sum(CASE WHEN y = 0 AND score < 0.77 THEN 1 ELSE 0 END))
                  / count(*)::DOUBLE, 6) AS accuracy
          FROM a""",
+    // Reliability bins over the scored table: decile bins on the 4-dp
+    // scores, decimal-exact bin means, integer-exact observed rates
+    "q203_reliability" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id))
+         SELECT least(floor(score * 10), 9)::INT AS bin,
+           count(*)::BIGINT AS n,
+           round(CAST(sum(CAST(score AS DECIMAL(10,4))) AS DOUBLE) / count(*), 4)
+             AS mean_score,
+           round(sum(y) / count(*)::DOUBLE, 4) AS observed_rate
+         FROM scored GROUP BY 1 ORDER BY bin""",
     // ... and the trained model applied per document
     "q201_logreg_score" ->
       s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
@@ -4264,6 +4302,27 @@ object SparkEntry {
          SELECT d.doc_id, pd.n_toks, round(pd.wt, 6) AS dsir_weight
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    // Word dropout: the same md5 keep-decision per (salt, id, pos, token),
+    // survivors re-joined in position order on both engines
+    "q204_word_dropout" -> {
+      val thr = Sampling.fractionHex(0.1)
+      s"""WITH t AS (SELECT doc_id, list_filter(
+              regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> len(x) > 0) AS toks
+            FROM documents),
+          tk AS (SELECT doc_id, i AS pos, toks[i] AS tok
+                 FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+          kept AS (SELECT doc_id, pos, tok FROM tk
+                   WHERE substr(md5('wd:' || doc_id || ':' || pos || ':' || tok),
+                         1, 4) >= '$thr'),
+          agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                    string_agg(tok, ' ' ORDER BY pos) AS text_aug
+                  FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, len(t.toks)::BIGINT AS n_orig,
+                 coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+                 coalesce(agg.text_aug, '') AS text_aug
+          FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    },
     // Per-source scorecard: md5 fingerprint distinct (q28's normalized
     // form), token counts (q19's tokenizer), integer-exact shares
     "q199_source_scorecard" ->

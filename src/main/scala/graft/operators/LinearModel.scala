@@ -158,6 +158,27 @@ object LinearModel {
           .as("accuracy"))
   }
 
+  /** Calibration (reliability) table over a scored set: decile score bins
+    * with per-bin volume, mean predicted probability and OBSERVED positive
+    * rate — the curve that says whether 0.8 means 80%. A well-calibrated
+    * model tracks the diagonal; the gap per bin is what Platt/isotonic
+    * recalibration would correct. One partial-aggregated groupBy over ≤10
+    * keys; mean scores sum in exact decimal so the bin means are
+    * order-independent. */
+  def reliabilityBins(scored: DataFrame, bins: Int = 10,
+      roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    scored.select(col("label").cast("int").as("__y"),
+        col("score").cast("double").as("__s"))
+      .withColumn("bin", least(floor(col("__s") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(10,4)")).cast("double") / count(lit(1)), roundTo)
+          .as("mean_score"),
+        round(sum(col("__y")) / count(lit(1)).cast("double"), roundTo)
+          .as("observed_rate"))
+  }
+
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

@@ -408,6 +408,44 @@ object Sampling {
         round(col("__wt"), roundTo).as("dsir_weight"))
   }
 
+  /** Deterministic word-dropout augmentation: drop each token with
+    * probability `p` — the classic cheap text augmentation for
+    * contrastive/denoising training — decided by the SAME md5 hash family
+    * the row samplers use, keyed on (salt, doc id, 1-based position,
+    * token). Reproducible across runs, engines and partitionings: an
+    * augmented epoch is a pure function of (corpus, salt), so changing
+    * the salt mints a fresh epoch and keeping it replays one exactly.
+    * Output: `(id, n_orig, n_kept, text_aug)` with surviving tokens
+    * re-joined in document order (docs whose every token dropped surface
+    * with an empty string, never silently vanish).
+    *
+    * Plan shape: explode → stateless hash filter → one keyed aggregation
+    * that re-assembles the text. The re-join sorts WITHIN each document's
+    * collected token list (bounded by doc length) — no global order, no
+    * window. */
+  def wordDropout(docs: DataFrame, idCol: String, textCol: String,
+      p: Double, salt: String = "wd:"): DataFrame = {
+    require(p >= 0 && p < 1, s"dropout fraction must be in [0, 1): $p")
+    val thr = fractionHex(p)
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val kept = base
+      .select(col("id"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__pos", col("__pos") + lit(1)) // 1-based: the SQL ordinality
+      .filter(substring(md5(concat(lit(salt), col("id").cast("string"), lit(":"),
+        col("__pos").cast("string"), lit(":"), col("__tok"))), 1, 4) >= thr)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(__pos, __tok))), x -> x.__tok)"),
+          " ").as("__aug"))
+    base.select(col("id"), size(col("__toks")).as("n_orig"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_orig"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__aug"), lit("")).as("text_aug"))
+  }
+
   /** Gumbel-top-k: draw `k` rows without replacement with probability
     * ∝ exp(logit) — the Gumbel-max construction (public folklore result;
     * the log-domain sibling of [[weightedSample]]'s Efraimidis–Spirakis

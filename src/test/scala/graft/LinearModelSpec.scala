@@ -52,6 +52,22 @@ class LinearModelSpec extends SparkSpecBase {
     assert(LinearModel.evalScores(perfect).head().getAs[Double]("auc") == 1.0)
   }
 
+  test("reliabilityBins: bin edges, means and observed rates by hand") {
+    val scored = Seq(
+      (1L, 1, 0.95), (2L, 0, 0.92),   // bin 9
+      (3L, 1, 0.31), (4L, 1, 0.35),   // bin 3
+      (5L, 0, 1.0)                    // score 1.0 clamps into bin 9
+    ).toDF("id", "label", "score")
+    val out = LinearModel.reliabilityBins(scored)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(3, 9))
+    assert(out(3) == ((2L, 0.33, 1.0)))
+    val (n9, m9, r9) = out(9)
+    assert(n9 == 3 && math.abs(m9 - (0.95 + 0.92 + 1.0) / 3).abs < 1e-4)
+    assert(math.abs(r9 - 1.0 / 3).abs < 1e-4) // labels in bin 9: 1, 0, 0
+  }
+
   test("empty documents score exactly sigma(0) = 0.5") {
     val docs = Seq((1L, "aa bb", 1), (2L, "", 0)).toDF("id", "text", "y")
     val w = LinearModel.logregTrainHashed(docs, "id", "text",

@@ -329,6 +329,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(c != a, "different salt must draw a different sample")
   }
 
+  test("wordDropout: deterministic, order-preserving, ~p of tokens dropped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val a = Sampling.wordDropout(docs, "doc_id", "text", p = 0.1)
+    val b = Sampling.wordDropout(docs, "doc_id", "text", p = 0.1)
+    val ra = a.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ra == b.collect().map(r => r.getLong(0) -> r.getString(3)).toMap,
+      "same salt must reproduce the same augmentation")
+    val tot = a.agg(sum($"n_orig"), sum($"n_kept")).head()
+    val dropped = 1.0 - tot.getLong(1).toDouble / tot.getLong(0)
+    assert(dropped > 0.05 && dropped < 0.15, s"drop rate off target: $dropped")
+    // surviving tokens must be a subsequence of the original token stream
+    val one = docs.select($"doc_id", $"text").limit(1).head()
+    val orig = one.getString(1).toLowerCase.trim.split("\\s+").toSeq
+    val aug = ra(one.getLong(0)).split(" ").toSeq.filter(_.nonEmpty)
+    var i = 0
+    for (t <- aug) {
+      while (i < orig.length && orig(i) != t) i += 1
+      assert(i < orig.length, s"augmented token '$t' out of order")
+      i += 1
+    }
+    // different salt -> different epoch
+    val c = Sampling.wordDropout(docs, "doc_id", "text", p = 0.1, salt = "wd2:")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(c != ra)
+  }
+
   test("dsirWeights: target-like documents outscore off-target ones on real data") {
     val docs = spark.read.parquet(sf("documents"))
     val out = Sampling.dsirWeights(docs, "doc_id", "text",
