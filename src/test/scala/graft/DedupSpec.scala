@@ -292,6 +292,43 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_run_tokens") == 5)
   }
 
+  test("duplicateSpans agrees with a brute-force reference on seeded random docs") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Array("a", "b", "c", "d")
+    val n = 3
+    val docs = (0 until 20).map { i =>
+      (i.toLong, Array.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        shingleSize = n, maxDocFreq = 100, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute force: all position pairs of equal shingles, runs along diagonals
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def shingles(id: Long) = toks(id).sliding(n).zipWithIndex
+      .map { case (w, p) => (w.mkString(" "), p) }.toSeq
+    val expected = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+    for (a <- toks.keys; b <- toks.keys; if a < b) {
+      val matches = for ((sa, pa) <- shingles(a); (sb, pb) <- shingles(b); if sa == sb)
+        yield (pa, pb)
+      if (matches.nonEmpty) {
+        val runs = matches.groupBy { case (pa, pb) => pa - pb }.toSeq.flatMap {
+          case (_, ms) =>
+            val ps = ms.map(_._1).sorted
+            // islands of consecutive pa
+            ps.foldLeft(List.empty[List[Int]]) {
+              case (acc @ (h :: t), p) if h.headOption.contains(p - 1) => (p :: h) :: t
+              case (acc, p) => List(p) :: acc
+            }
+        }
+        expected((a, b)) = (matches.size.toLong, runs.size.toLong,
+          runs.map(_.size).max.toLong + n - 1)
+      }
+    }
+    assert(out == expected.toMap,
+      s"diff: only-op=${out.keySet -- expected.keySet}, only-ref=${expected.keySet -- out.keySet}")
+  }
+
   test("duplicateSpans: repeated shingle inside one doc stays on its diagonal") {
     // doc 2 contains doc 1's span twice; both occurrences match but land
     // on different diagonals -> two runs, not one inflated run

@@ -316,6 +316,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(4L)._2.isEmpty && out(4L)._3)
   }
 
+  test("semDedup agrees with a plain-Scala reference on seeded random vectors") {
+    val rnd = new scala.util.Random(4242)
+    val n = 60; val dims = 4; val k = 3; val tau = 0.9
+    val vecs = Array.fill(n)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val cents = Array.fill(k)(Array.fill(dims)(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val out = Similarity.semDedup(df, "id", "vec", cents, tau, clusterDims = dims)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // reference: same assignment + greedy rule in plain Scala
+    def assign(v: Array[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cents.indices) {
+        var d = 0.0
+        for (i <- 0 until dims) { val t = v(i).toDouble - cents(c)(i); d += t * t }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dims) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val cl = vecs.map(assign)
+    for (i <- 0 until n) {
+      val expected = (0 until i)
+        .filter(j => cl(j) == cl(i) && cos(vecs(j), vecs(i)) >= tau)
+        .sorted.headOption.map(_.toLong)
+      assert(out(i.toLong) == expected, s"id $i: got ${out(i.toLong)}, want $expected")
+    }
+  }
+
   test("semDedup: pairs in different clusters are never compared") {
     // full-vector cosine of id0 vs id1 ≈ 0.9999, but their 2-dim prefixes
     // land in different clusters — SemDeDup must NOT flag them
