@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
+import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, LinearModel, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.functions.{TextClean, TextFunctions, VectorFunctions}
 import graft.ops.{AggOps, LayoutOps, QualityOps, ScaleOps}
 import graft.profile.Drift
@@ -87,4 +87,7 @@ object Corpus {
   val olap: AggOps.type = AggOps
   /** Fuzzy record linkage: blocked edit-distance joins. */
   val linkage: Linkage.type = Linkage
+  /** Linear-classifier training, scoring, and evaluation (rank-AUC,
+    * confusion, calibration bins) over hashed text features. */
+  val model: LinearModel.type = LinearModel
 }
