@@ -1386,6 +1386,17 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- gate operationalization: threshold at a target keep-rate -------
+    "q205_score_gate" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = LinearModel.logregTrainHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), numBuckets = 64,
+        lr = 100.0, iterations = 4, roundTo = 12)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.thresholdAtKeepRate(scored, keepRate = 0.5)
+    }),
+
     // ---- per-source curation scorecard ----------------------------------
     "q199_source_scorecard" -> ((s, dir) => {
       CorpusStats.sourceScorecard(read(s, dir, "documents"), "text",
@@ -3352,6 +3363,32 @@ object SparkEntry {
              AS mean_score,
            round(sum(y) / count(*)::DOUBLE, 4) AS observed_rate
          FROM scored GROUP BY 1 ORDER BY bin""",
+    // Score gate: threshold = rank-⌈n/2⌉ score under (score desc, id asc);
+    // tie overshoot reported, not hidden
+    "q205_score_gate" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                FROM scored),
+         kk AS (SELECT CAST(ceil(count(*) * 0.5) AS BIGINT) AS k,
+                  count(*)::BIGINT AS n FROM scored),
+         th AS (SELECT rk.score AS thr FROM rk CROSS JOIN kk WHERE rk.r = kk.k)
+         SELECT round((SELECT thr FROM th), 4) AS threshold,
+           (SELECT n FROM kk) AS n,
+           (SELECT k FROM kk) AS n_target,
+           sum(CASE WHEN score >= (SELECT thr FROM th) THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           round(sum(CASE WHEN score >= (SELECT thr FROM th) THEN y ELSE 0 END)
+                 / sum(CASE WHEN score >= (SELECT thr FROM th) THEN 1 ELSE 0 END)::DOUBLE,
+             4) AS kept_pos_rate,
+           round(sum(y) / count(*)::DOUBLE, 4) AS overall_pos_rate
+         FROM scored""",
     // ... and the trained model applied per document
     "q201_logreg_score" ->
       s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},

@@ -179,6 +179,42 @@ object LinearModel {
           .as("observed_rate"))
   }
 
+  /** Operationalize a score gate: the admission threshold that keeps
+    * `keepRate` of the scored set, plus what actually happens at that
+    * threshold. The threshold is the score of the rank-⌈n·keepRate⌉ row
+    * under (score desc, id asc) — an exact order statistic, no
+    * interpolation — and because scores TIE, the `>= threshold` gate may
+    * admit more than the target: the output reports both (`n_target` vs
+    * `n_kept`), which is the real operating decision (move the threshold
+    * or accept the overshoot). One row:
+    * `(threshold, n, n_target, n_kept, kept_pos_rate, overall_pos_rate)`.
+    *
+    * Same scale caveat as [[evalScores]]: the rank runs one window —
+    * right for eval-set-sized inputs; corpus-scale gates pick the
+    * threshold HERE (small labeled set) and apply it as a stateless
+    * filter THERE (the whole point of a threshold). */
+  def thresholdAtKeepRate(scored: DataFrame, keepRate: Double,
+      roundTo: Int = 4): DataFrame = {
+    require(keepRate > 0 && keepRate <= 1, s"keepRate must be in (0, 1]: $keepRate")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    val base = scored.select(col("id"), col("label").cast("int").as("__y"),
+        col("score").cast("double").as("score"))
+      .withColumn("__rk", row_number().over(w))
+    val n = base.count()
+    val k = math.ceil(n * keepRate).toLong
+    val thr = base.filter(col("__rk") === k).select(col("score")).head().getDouble(0)
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("score") >= thr, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("score") >= thr, col("__y")).otherwise(lit(0))).cast("long").as("__kp"),
+        sum(col("__y")).cast("long").as("__p"))
+      .select(round(lit(thr), roundTo).as("threshold"), col("n"),
+        lit(k).as("n_target"), col("n_kept"),
+        round(col("__kp") / col("n_kept").cast("double"), roundTo).as("kept_pos_rate"),
+        round(col("__p") / col("n").cast("double"), roundTo).as("overall_pos_rate"))
+  }
+
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

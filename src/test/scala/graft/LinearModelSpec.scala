@@ -68,6 +68,18 @@ class LinearModelSpec extends SparkSpecBase {
     assert(math.abs(r9 - 1.0 / 3).abs < 1e-4) // labels in bin 9: 1, 0, 0
   }
 
+  test("thresholdAtKeepRate: order statistic, tie overshoot reported") {
+    val scored = Seq(
+      (1L, 1, 0.9), (2L, 1, 0.7), (3L, 0, 0.7), (4L, 0, 0.7), (5L, 0, 0.1))
+      .toDF("id", "label", "score")
+    // keepRate 0.4 -> k = 2 -> threshold = 2nd score = 0.7; ties admit 4
+    val r = LinearModel.thresholdAtKeepRate(scored, keepRate = 0.4).head()
+    assert(r.getAs[Double]("threshold") == 0.7)
+    assert(r.getAs[Long]("n_target") == 2 && r.getAs[Long]("n_kept") == 4)
+    assert(r.getAs[Double]("kept_pos_rate") == 0.5)   // 2 of 4 kept are positive
+    assert(r.getAs[Double]("overall_pos_rate") == 0.4)
+  }
+
   test("empty documents score exactly sigma(0) = 0.5") {
     val docs = Seq((1L, "aa bb", 1), (2L, "", 0)).toDF("id", "text", "y")
     val w = LinearModel.logregTrainHashed(docs, "id", "text",
