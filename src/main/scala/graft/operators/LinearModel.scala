@@ -58,7 +58,11 @@ object LinearModel {
       iterations: Int = 2, roundTo: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     val (xc, yv) = features(docs, idCol, textCol, label, numBuckets)
+    // BOTH sides persist: each iteration reads the counts twice (margin +
+    // gradient) and the label/length table once — without the caches the
+    // token explode re-runs 3× per iteration
     xc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    yv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = yv.count().toDouble
       var w = Array.fill(numBuckets)(0.0)
@@ -92,7 +96,7 @@ object LinearModel {
       w.zipWithIndex.map { case (v, b) =>
         (b, BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toSeq.toDF("bucket", "weight")
-    } finally xc.unpersist(false)
+    } finally { xc.unpersist(false); yv.unpersist(false) }
   }
 
   /** Score documents with a trained weight table: `(id, label, score)`
@@ -202,6 +206,7 @@ object LinearModel {
         col("score").cast("double").as("score"))
       .withColumn("__rk", row_number().over(w))
     val n = base.count()
+    require(n > 0, "thresholdAtKeepRate needs a non-empty scored set")
     val k = math.ceil(n * keepRate).toLong
     val thr = base.filter(col("__rk") === k).select(col("score")).head().getDouble(0)
     base.agg(
