@@ -102,7 +102,12 @@ object LinearModel {
   /** Score documents with a trained weight table: `(id, label, score)`
     * with `score = σ(Σ_b w[b]·x_d[b])` — the admission signal a corpus
     * gate thresholds on. One broadcast join + one partial-agg shuffle;
-    * empty documents score σ(0) = 0.5 (no evidence either way). */
+    * empty documents score σ(0) = 0.5 (no evidence either way).
+    *
+    * Pass weights at full 12-dp precision (train with `roundTo = 12`):
+    * the scoring join re-casts them to DECIMAL(28,12), and 6-dp display
+    * weights would score slightly differently than the training margins
+    * did. */
   def logregScoreHashed(docs: DataFrame, idCol: String, textCol: String,
       label: Column, weights: DataFrame, numBuckets: Int = 64,
       roundTo: Int = 4): DataFrame = {
