@@ -448,6 +448,25 @@ class PlanSpec extends SparkSpecBase {
       s"stored-codes scan must not read vectors:\n$codesScan")
   }
 
+  test("source scorecard is one keyed aggregation with map-side combine") {
+    val p = plan("q199_source_scorecard")
+    assert(p.contains("partial"), s"scorecard must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scorecard needs no join at all:\n$p")
+  }
+
+  test("word dropout: md5 keep-decision is a plain Filter; no join blow-up") {
+    val p = plan("q204_word_dropout")
+    // the keep-decision evaluates as a stateless Filter over the exploded
+    // token stream (it sits directly above the generator in the plan, so
+    // dropped tokens never reach the reassembly exchange)
+    val filterLines = p.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("md5")).toSeq
+    assert(filterLines.nonEmpty, s"expected an md5 keep-filter node:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dropout must stay linear:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true

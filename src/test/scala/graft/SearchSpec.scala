@@ -335,6 +335,20 @@ class SearchSpec extends SparkSpecBase {
     assert(s2.getAs[Double]("dup_rate") == 0.0 && s2.getAs[Long]("total_tokens") == 2)
   }
 
+  test("rrfFuse: three sources fold left-to-right; all rank columns surface") {
+    val a = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 1L, 2)).toDF("query_id", "doc_id", "rank")
+    val c = Seq((0L, 2L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq("a" -> a, "b" -> b, "c" -> c), k = 5)
+      .orderBy($"rank").collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert(top.getAs[Long]("doc_id") == 1L)
+    assert(math.abs(top.getAs[Double]("rrf_score") - (1.0 / 61 + 1.0 / 62)) < 5e-7)
+    assert(top.getAs[Int]("rank_a") == 1 && top.getAs[Int]("rank_b") == 2 &&
+      top.isNullAt(top.fieldIndex("rank_c")))
+  }
+
   test("charLmScore separates reference-like text from alien text") {
     val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
     val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
