@@ -49,11 +49,24 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // Broadcast blocks are NOT released by dropAllBlocks — ContextCleaner
+    // reclaims them only after the driver GCs the broadcast refs, and its
+    // own periodic GC (spark.cleaner.periodicGC.interval) defaults to 30
+    // min, longer than the whole run. Across 205 queries x 3 passes the
+    // un-reclaimed broadcasts build steady memory pressure that lands on
+    // unrelated mid-tier queries (r7: a ~1.6-2.3x inflation band vs r6).
+    // An explicit driver GC every GC_EVERY queries keeps the cleaner fed;
+    // it runs between queries, outside any timed region.
+    val GC_EVERY = 16
+    def maybeGc(i: Int): Unit = if ((i + 1) % GC_EVERY == 0) System.gc()
+
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names =
       if (args.isEmpty) all
       else all.filter(n => args.exists(a => n == a || n.startsWith(a + "_")))
-    names.foreach { n => run(n); dropAllBlocks() }
+    names.zipWithIndex.foreach { case (n, i) =>
+      run(n); dropAllBlocks(); maybeGc(i)
+    }
 
     // min of two runs per query: the host shows multi-second noise spikes
     // (same code measured 50s/118s/69s total across runs), and min-of-N is
@@ -65,10 +78,10 @@ object Bench {
     // accumulate and the resulting memory pressure lands on unrelated later
     // queries (BENCH_r02: q05, a plain broadcast join, clocked 11.7s under
     // the driver where an isolated run takes 1.5s).
-    val resultsMin2 = names.map { n =>
+    val resultsMin2 = names.zipWithIndex.map { case (n, i) =>
       val a = run(n)
       val b = run(n)
-      dropAllBlocks()
+      dropAllBlocks(); maybeGc(i)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // Keep the line SHORT: the driver keeps only the last 2000 chars of
@@ -95,8 +108,12 @@ object Bench {
     def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
     def bare(k: String): String = qk(k).drop(1)
 
-    // Round-over-round guard (VERDICT r5 item 7): compare against the last
-    // local run AT THE SAME SCALE FACTOR and flag any query >1.5x slower.
+    // Round-over-round guard (VERDICT r5 item 7, tightened per r7): the
+    // stored baseline holds the BEST-KNOWN time per query at this scale
+    // factor — each full run merges min(previous best, this run) rather
+    // than replacing, so a regression can never mask itself by refreshing
+    // the baseline it is compared against (r7: q62 2.55x, q154 1.75x slid
+    // through exactly that way). Flag any query >1.5x over best-known.
     // Reported as a count in the compact line ("regr") with details in the
     // baseline file + stderr, so a contract-cost creep is visible without
     // failing the measurement run. The baseline file is keyed by sf
@@ -157,13 +174,32 @@ object Bench {
       "\"" + qk(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // only a FULL-suite run may replace the baseline: a prefix-narrowed
+    // only a FULL-suite run may rewrite the baseline: a prefix-narrowed
     // local iteration ("sbt runMain graft.Bench q89") must not shrink the
-    // stored map to its one query and blind the guard for everything else
+    // stored map to its one query and blind the guard for everything else.
+    // The stored per-query values are best-known: min(prev, this run) for
+    // queries in both, this run's value for new queries, and dropped
+    // queries leave the file. A deliberate contract-cost increase (e.g. an
+    // oracle pinning an exact mode) must be accompanied by deleting that
+    // query's entry from BENCH_LOCAL.json in the same commit — the flag on
+    // the next run is otherwise intentional signal, not noise.
     if (args.isEmpty) {
+      val best: Map[String, Double] = results.map { case (k, v) =>
+        val merged = (prev.get(qk(k)), v) match {
+          case (Some(p), cur) if p > 0 && cur > 0 => math.min(p, cur)
+          case (_, cur) => cur
+        }
+        qk(k) -> merged
+      }.toMap
+      val bestMs = results.map { case (k, _) => "\"" + qk(k) + "\":" + ms(best(qk(k))) }
+        .mkString("{", ",", "}")
+      val bestSec = results.map { case (k, _) =>
+        val v = best(qk(k))
+        "\"" + qk(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
       val fw = new java.io.PrintWriter(prevFile)
       try fw.println(
-        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","regressions":$regJson,"queries_ms":$qsVerbose,"queries_sec":$verbose}""")
+        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","regressions":$regJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose}""")
       finally fw.close()
     }
 

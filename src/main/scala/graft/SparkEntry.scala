@@ -407,7 +407,7 @@ object SparkEntry {
       val prefix = stageLshCorpus(s, dir)
       Dedup.minhashLshProbeStored(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        prefix, threshold = 0.7, materialize = true)
+        prefix, threshold = 0.7)
         .select(col("new_id"), col("corpus_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -465,6 +465,26 @@ object SparkEntry {
           centroids = seeds, tau = 0.42, clusterDims = 8)
         .select(col("id").as("vec_id"), col("cluster"), col("dup_of"),
           col("max_prior_cos"), col("keep"))
+        .gateOrdered(col("vec_id"))
+    }),
+
+    // ---- SemDeDup against a PRECOMPUTED cluster-partitioned corpus ------
+    // q189's stored/incremental form (the q184/q188 pattern): the corpus
+    // half (even vec_ids) is clustered ONCE into a cluster-partitioned
+    // layout, the incoming batch (odd vec_ids) re-uses the same seed
+    // centroids — assignments bit-identical by the kernel's determinism —
+    // and reads ONLY its probed clusters' directories (PartitionFilters,
+    // asserted in PlanSpec). tau = 0.42: cross-parity same-cluster pairs
+    // are a subset of q189's pair set, so its empirical gap argument
+    // (nearest pairs 0.4322 / 0.4104 at sf0.01) carries over unchanged.
+    "q206_semdedup_stored" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val (path, seeds) = stageSemDedupClusters(s, dir)
+      Similarity.semDedupProbeStored(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          path, seeds, tau = 0.42, clusterDims = 8)
+        .select(col("id").as("vec_id"), col("cluster"), col("dup_of"),
+          col("max_corpus_cos"), col("keep"))
         .gateOrdered(col("vec_id"))
     }),
 
@@ -640,8 +660,7 @@ object SparkEntry {
     // ---- non-SQL-expressible operators (rows-only checks) ---------------
     "q25_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(read(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.7,
-        materialize = true)
+        shingleSize = 3, numHashes = 32, numBands = 16, threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -653,7 +672,7 @@ object SparkEntry {
       // set, so it has a DuckDB oracle (raw hamming pairs would need
       // simhash in SQL). No maxHamming pruning — it would cap recall.
       Dedup.simhashNearDup(read(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8, numChunks = 8, materialize = true)
+        shingleSize = 3, threshold = 0.8, numChunks = 8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .gateOrdered(col("id_a"), col("id_b"))
     }),
@@ -709,8 +728,7 @@ object SparkEntry {
       // production threshold (≥0.9) use fewer, longer bands (8×8 bits) for
       // real pruning; at 0.4 sign-LSH degrades toward verify-most-pairs.
       Dedup.embeddingNearDup(read(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numBits = 32, numBands = 16,
-        materialize = true)
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 16)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .gateOrdered(col("id_a"), col("id_b"))
     }),
@@ -1068,7 +1086,7 @@ object SparkEntry {
       // (same argument as q25), so the kept set equals the exact-pair
       // computation the oracle runs
       Dedup.dropNearDuplicates(read(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.7, materialize = true)
+        threshold = 0.7)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .gateOrdered(col("doc_id"))
     }),
@@ -1259,7 +1277,7 @@ object SparkEntry {
       Dedup.minhashLshAgainst(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", threshold = 0.7, materialize = true)
+        "doc_id", "text", threshold = 0.7)
         .select(col("new_id"), col("corpus_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -2687,6 +2705,29 @@ object SparkEntry {
       (path, centroids)
     })
 
+  /** Stage (once per source dir per JVM) the q206 SemDeDup layout: the
+    * even-vec_id corpus half clustered on the q189 seed centroids (8-dim
+    * prefixes of vec_id < 8) and written cluster-partitioned. Cached so
+    * bench passes measure the PRUNED PROBE, not the one-time layout write;
+    * the centroids are the layout's contract and ride with the path. */
+  private val semDedupClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private[graft] def stageSemDedupClusters(s: SparkSession,
+      dir: String): (String, Array[Array[Double]]) =
+    semDedupClustersCache.computeIfAbsent(dir, { d =>
+      val emb = read(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(slice(col("embedding"), 1, 8))
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val path = java.nio.file.Files.createTempDirectory("graft_sdd_").toString + "/clusters"
+      Similarity.writeSemDedupClusters(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        seeds, clusterDims = 8, path)
+      (path, seeds)
+    })
+
   /** Stage (once per source dir per JVM) the q185 archive fixtures: a zip
     * holding the region table and a 7z (stored/COPY method — extraction
     * correctness, not compressor coverage, is under test) holding nation,
@@ -2975,6 +3016,34 @@ object SparkEntry {
                round(p.maxcos, 4) AS max_prior_cos,
                p.dup_of IS NULL AS keep
         FROM a LEFT JOIN p USING (id) ORDER BY vec_id"""
+  }
+
+  /** q206 oracle: [[semDedupSql]]'s clustering CTEs with the pair join
+    * restricted to batch (odd vec_ids) × corpus (even vec_ids) — every
+    * corpus member is prior, so no id-ordering condition inside the pair. */
+  private def semDedupProbeSql(k: Int, dims: Int, tau: Double): String = {
+    val d2 = (1 to dims).map(i => s"(b.v[$i]-c0.c[$i])*(b.v[$i]-c0.c[$i])").mkString(" + ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding[1:$dims]::DOUBLE[] AS v,
+                     embedding::DOUBLE[] AS f
+                   FROM embeddings),
+        c0 AS (SELECT id AS j, v AS c FROM b WHERE id < $k),
+        s1 AS (SELECT b.id, c0.j, $d2 AS d FROM b CROSS JOIN c0),
+        a AS (SELECT id, j AS cluster FROM (
+                SELECT id, j, row_number() OVER (PARTITION BY id
+                  ORDER BY d ASC, j ASC) AS rn FROM s1) t
+              WHERE rn = 1),
+        batch AS (SELECT * FROM a WHERE id % 2 = 1),
+        corp AS (SELECT * FROM a WHERE id % 2 = 0),
+        p AS (SELECT x.id, max(list_cosine_similarity(bx.f, by.f)) AS maxcos,
+                min(CASE WHEN list_cosine_similarity(bx.f, by.f) >= $tau
+                         THEN y.id END) AS dup_of
+              FROM batch x JOIN corp y ON x.cluster = y.cluster
+              JOIN b bx ON bx.id = x.id JOIN b by ON by.id = y.id
+              GROUP BY x.id)
+        SELECT batch.id AS vec_id, batch.cluster, p.dup_of,
+               round(p.maxcos, 4) AS max_corpus_cos,
+               p.dup_of IS NULL AS keep
+        FROM batch LEFT JOIN p USING (id) ORDER BY vec_id"""
   }
 
   /** Shared q191/q197 oracle CTEs: the DSIR hashed-unigram pipeline up to
@@ -3320,6 +3389,8 @@ object SparkEntry {
     // SemDeDup: seed-centroid assignment + within-cluster cosine (see
     // semDedupSql; tau in an empirical gap, so the >= compare is ulp-safe)
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),
+    // same clustering CTEs, batch×corpus pair restriction (stored probe)
+    "q206_semdedup_stored" -> semDedupProbeSql(k = 8, dims = 8, tau = 0.42),
     // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // the stored-codes probe computes identical ADC distances (q194)

@@ -69,7 +69,14 @@ final class LazyParquetFrame private (
     update(name, value)
   }
 
-  def loadColumns(cols: Seq[String]): Unit = { apply(cols: _*).collect(); () }
+  /** Materialize the named columns (reference load/preload,
+    * lazy_parquet.py:187-220 marks columns loaded by touching them). The
+    * reference loads into driver memory; here the columns cache on the
+    * EXECUTORS (`cache()` + a count action) — same "subsequent access is
+    * memory-speed" contract without the driver OOM a full-row `collect()`
+    * would hand a 100 TB caller. Spill-safe: MEMORY_AND_DISK is cache()'s
+    * default level. */
+  def loadColumns(cols: Seq[String]): Unit = { apply(cols: _*).cache().count(); () }
 
   def head(n: Int = 5): DataFrame = current.limit(n)
 

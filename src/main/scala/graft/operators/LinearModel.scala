@@ -101,8 +101,10 @@ object LinearModel {
 
   /** Score documents with a trained weight table: `(id, label, score)`
     * with `score = σ(Σ_b w[b]·x_d[b])` — the admission signal a corpus
-    * gate thresholds on. One broadcast join + one partial-agg shuffle;
-    * empty documents score σ(0) = 0.5 (no evidence either way).
+    * gate thresholds on. One broadcast join + one partial-agg shuffle.
+    * Token-less documents are OMITTED (the feature builder has no row for
+    * them — same universe as training); left-join from the full doc set
+    * and coalesce to 0.5 if a no-evidence row is wanted.
     *
     * Pass weights at full 12-dp precision (train with `roundTo = 12`):
     * the scoring join re-casts them to DECIMAL(28,12), and 6-dp display
@@ -129,36 +131,43 @@ object LinearModel {
     * metrics a corpus gate is tuned with, computed at corpus scale:
     * rank-based AUC (Mann–Whitney U with average ranks for score ties —
     * exact, no curve sampling) plus the confusion counts and accuracy at
-    * `threshold`. One ordered rank window over the scores (ties share one
-    * partition-count lookup) and one aggregation; output is a single row
+    * `threshold`. One per-distinct-score aggregation, a distributed
+    * running count, and one final aggregation; output is a single row
     * `(n_pos, n_neg, auc, tp, fp, tn, fn, accuracy)`.
     *
-    * The unpartitioned rank window executes single-partition — right for
-    * the common case (a LABELED eval set is held-out-sized, not
-    * corpus-sized). For a corpus-scale scored table, build the ranks with
-    * the distributed running-CDF construction
-    * ([[graft.profile.Drift]]'s ksStatistic path) and feed the same
-    * closed-form AUC. Scores should be pre-rounded (q201's contract) so
-    * ranking is engine-replayable; tie average-ranks are dyadic rationals
-    * (k + 0.5), so every sum here is float-exact under any order. */
+    * Scale shape: everything reduces to one row per DISTINCT score
+    * (count + positive count), and the rank material — the count of rows
+    * BELOW each score — comes from the two-phase distributed running sum
+    * ([[withExclusiveRunningCount]], the [[graft.profile.Drift.ksStatistic]]
+    * mechanics): range partition, per-partition windows, driver
+    * prefix-summed offsets. No global single-partition window anywhere, so
+    * this runs at corpus scale, not just eval-set scale. Scores should be
+    * pre-rounded (q201's contract) so ranking is engine-replayable; tie
+    * average-ranks are dyadic rationals (k + 0.5), so every sum here is
+    * float-exact under any order. */
   def evalScores(scored: DataFrame, threshold: Double = 0.5,
       roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byScore = Window.orderBy(col("score"))
-    val tiePart = Window.partitionBy(col("score"))
-    val ranked = scored.select(col("label").cast("int").as("__y"),
+    val perScore = scored.select(col("label").cast("int").as("__y"),
         col("score").cast("double").as("score"))
-      .withColumn("__rmin", rank().over(byScore))
-      .withColumn("__avgr",
-        col("__rmin") + (count(lit(1)).over(tiePart) - lit(1)) / lit(2.0))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    val ranked = withExclusiveRunningCount(perScore, col("score"), "__cnt", "__below")
     ranked.agg(
-        sum(col("__y")).cast("long").as("__p"),
-        sum(lit(1) - col("__y")).cast("long").as("__n"),
-        sum(when(col("__y") === 1, col("__avgr")).otherwise(lit(0.0))).as("__sp"),
-        sum(when(col("__y") === 1 && col("score") >= threshold, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("__y") === 0 && col("score") >= threshold, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("__y") === 0 && col("score") < threshold, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("__y") === 1 && col("score") < threshold, 1L).otherwise(0L)).as("fn"))
+        sum(col("__pos")).cast("long").as("__p"),
+        sum(col("__cnt") - col("__pos")).cast("long").as("__n"),
+        // Σ over positives of average rank: the rows at score s occupy
+        // ranks __below+1 .. __below+__cnt, so each averages
+        // __below + (__cnt+1)/2 — a dyadic half, summed exactly in double
+        sum(col("__pos") * (col("__below") + (col("__cnt") + lit(1)) / lit(2.0)))
+          .as("__sp"),
+        sum(when(col("score") >= threshold, col("__pos")).otherwise(lit(0L)))
+          .cast("long").as("tp"),
+        sum(when(col("score") >= threshold, col("__cnt") - col("__pos")).otherwise(lit(0L)))
+          .cast("long").as("fp"),
+        sum(when(col("score") < threshold, col("__cnt") - col("__pos")).otherwise(lit(0L)))
+          .cast("long").as("tn"),
+        sum(when(col("score") < threshold, col("__pos")).otherwise(lit(0L)))
+          .cast("long").as("fn"))
       .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
         round((col("__sp") - col("__p") * (col("__p") + lit(1)) / lit(2.0)) /
           (col("__p") * col("__n")).cast("double"), roundTo).as("auc"),
@@ -198,22 +207,30 @@ object LinearModel {
     * or accept the overshoot). One row:
     * `(threshold, n, n_target, n_kept, kept_pos_rate, overall_pos_rate)`.
     *
-    * Same scale caveat as [[evalScores]]: the rank runs one window —
-    * right for eval-set-sized inputs; corpus-scale gates pick the
-    * threshold HERE (small labeled set) and apply it as a stateless
-    * filter THERE (the whole point of a threshold). */
+    * Scale shape: the rank-k score is an order statistic of the score
+    * MULTISET — the (score desc, id asc) tiebreak never changes which
+    * VALUE sits at rank k, because ties share one score — so it reduces
+    * to one row per distinct score plus a distributed running count
+    * ([[withExclusiveRunningCount]]); no global single-partition window.
+    * Corpus-scale gates still typically pick the threshold on a small
+    * labeled set and apply it as a stateless filter, but nothing here
+    * requires that. */
   def thresholdAtKeepRate(scored: DataFrame, keepRate: Double,
       roundTo: Int = 4): DataFrame = {
     require(keepRate > 0 && keepRate <= 1, s"keepRate must be in (0, 1]: $keepRate")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("score").desc, col("id").asc)
     val base = scored.select(col("id"), col("label").cast("int").as("__y"),
         col("score").cast("double").as("score"))
-      .withColumn("__rk", row_number().over(w))
-    val n = base.count()
+    val perScore = base.groupBy(col("score")).agg(count(lit(1)).as("__cnt"))
+    val ranked = withExclusiveRunningCount(
+      perScore, col("score").desc, "__cnt", "__above")
+    val n = ranked.agg(coalesce(sum(col("__cnt")), lit(0L)).cast("long"))
+      .head().getLong(0)
     require(n > 0, "thresholdAtKeepRate needs a non-empty scored set")
     val k = math.ceil(n * keepRate).toLong
-    val thr = base.filter(col("__rk") === k).select(col("score")).head().getDouble(0)
+    // the row whose inclusive span covers rank k in descending order
+    val thr = ranked
+      .filter(col("__above") < k && col("__above") + col("__cnt") >= k)
+      .select(col("score")).head().getDouble(0)
     base.agg(
         count(lit(1)).as("n"),
         sum(when(col("score") >= thr, 1L).otherwise(0L)).as("n_kept"),
@@ -223,6 +240,40 @@ object LinearModel {
         lit(k).as("n_target"), col("n_kept"),
         round(col("__kp") / col("n_kept").cast("double"), roundTo).as("kept_pos_rate"),
         round(col("__p") / col("n").cast("double"), roundTo).as("overall_pos_rate"))
+  }
+
+  /** Attach the EXCLUSIVE running sum of `cntCol` under `order` to a
+    * per-distinct-value table as `outCol` — the two-phase distributed
+    * cumsum ([[graft.profile.Drift.ksStatistic]] mechanics): range
+    * partition on `order`, per-partition cumulative windows (keyed by
+    * partition id — fully parallel), prefix-sum the ≤ numPartitions
+    * per-partition totals on the driver and broadcast-join the offsets
+    * back. No global single-partition window anywhere in the plan.
+    * localCheckpoint: the offsets job and every consumer job share the
+    * range-partitioned table (same materialize-once contract as
+    * [[graft.operators.Components]]; blocks release via
+    * `spark.catalog` sweeps or [[graft.ops.ScaleOps.releaseCheckpointBlocks]]). */
+  private def withExclusiveRunningCount(perV: DataFrame, order: Column,
+      cntCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = perV.repartitionByRange(order)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy("_pid")
+      .agg(sum(col(cntCol)).cast("long").as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix: offset of partition i = totals of partitions < i
+    val scan = totals.scanLeft((0, 0L)) { case ((_, c), (pid, t)) => (pid, c + t) }
+    val offsets = scan.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = perV.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val wl = Window.partitionBy("_pid").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(outCol,
+        coalesce(sum(col(cntCol)).over(wl), lit(0L)) + col("_off"))
+      .drop("_pid", "_off")
   }
 
   /** Per-(doc, bucket) counts + per-doc (label, token count) for

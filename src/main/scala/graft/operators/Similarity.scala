@@ -524,6 +524,74 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Materialize a [[semDedup]] corpus as a `cluster`-partitioned parquet
+    * layout — the stored form of its assignment step, written ONCE per
+    * corpus (the [[writeIvfLists]] precedent: the centroids are the
+    * layout's contract — keep them with the table and pass the SAME array
+    * to [[semDedupProbeStored]]). Each incremental batch then reads ONLY
+    * its probed clusters' directories via partition pruning instead of
+    * re-clustering (or re-scanning) the corpus. */
+  def writeSemDedupClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], clusterDims: Int, path: String): Unit = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("corpus_vec"))
+      .withColumn("cluster",
+        VectorKernelFunctions.nearestCentroid(
+          slice(col("corpus_vec"), 1, clusterDims), centroids.map(_.clone())))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** [[semDedup]]'s incremental admission filter against a corpus stored
+    * by [[writeSemDedupClusters]]: assign each batch vector to its cluster
+    * (same compiled kernel — assignments are bit-identical to the stored
+    * run), collect the probed cluster ids (driver-side control data,
+    * bounded by |centroids| — never row data) into a LITERAL `IN`
+    * partition filter on the stored layout, and compare each batch vector
+    * against ONLY its own cluster's stored members. A batch vector is a
+    * duplicate iff some CORPUS member of its cluster has full-vector
+    * cosine ≥ `tau` (every corpus member is prior — no id ordering
+    * inside the batch). Output: one row per batch vector
+    * `(id, cluster, dup_of, max_corpus_cos, keep)` with `dup_of` the
+    * lowest qualifying corpus id.
+    *
+    * Plan shape: bytes read ∝ probed clusters (`PartitionFilters` on the
+    * scan — asserted in PlanSpec), comparisons Σ_c |batch_c|·|corpus_c|.
+    * With `broadcastBatch` (the typical incremental-ingestion shape:
+    * batch ≪ corpus) the pruned corpus scan takes NO shuffle at all; for
+    * corpus-sized batches pass false and the join shuffles both sides on
+    * the cluster key instead. */
+  def semDedupProbeStored(newDf: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]], tau: Double,
+      clusterDims: Int, roundTo: Int = 4,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    require(tau >= -1 && tau <= 1, s"tau must be a cosine threshold: $tau")
+    val spark = newDf.sparkSession
+    val assigned = newDf.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__v"))
+      .withColumn("cluster",
+        VectorKernelFunctions.nearestCentroid(
+          slice(col("__v"), 1, clusterDims), centroids.map(_.clone())))
+    val probed = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val batch = if (broadcastBatch) broadcast(assigned) else assigned
+    val hits = corpus.join(batch, Seq("cluster"))
+      .select(col("id"),
+        VectorKernelFunctions.cosineSimilarity(col("__v"), col("corpus_vec"))
+          .as("__cos"),
+        col("corpus_id"))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("__maxcos"),
+        min(when(col("__cos") >= tau, col("corpus_id"))).as("dup_of"))
+    assigned.join(hits, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup_of"),
+        round(col("__maxcos"), roundTo).as("max_corpus_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Product-quantization codebooks (public recipe: Jégou et al. 2011,
     * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
     * split the vector into `numSubspaces` contiguous blocks and give each

@@ -81,24 +81,51 @@ object IndexOps {
     * every row through ONE task (Spark plans a global window as a
     * single-partition exchange), which is the canonical 100 TB stall. This
     * instead range-partitions and locally sorts (Spark's scalable global
-    * sort), then runs the classic two-phase numbering: count rows per
-    * partition (one lightweight job), prefix-sum the counts on the driver
-    * (|partitions| longs), and add each partition's offset to its local
-    * 0-based index — `RDD.zipWithIndex`'s exact mechanics, kept on the RDD
-    * because no Catalyst operator expresses cross-partition ordinal
-    * assignment. Deterministic iff `orderColumns` is a total order (ties
-    * get an arbitrary but valid numbering within their run).
+    * sort shape), tags each row with its partition id and a
+    * partition-local ordinal, prefix-sums the per-partition counts on the
+    * driver (|partitions| longs) and broadcast-joins the offsets back —
+    * the classic two-phase numbering, kept ENTIRELY inside the DataFrame
+    * engine (whole-stage codegen end to end; the old `rdd.zipWithIndex`
+    * version left codegen, re-materialized the sort and scheduled an
+    * extra count job).
+    *
+    * The local ordinal is `_mid − min(_mid)` per partition, where `__g_mid`
+    * is `monotonically_increasing_id()` evaluated in the sorted row flow.
+    * That relies on the id being CONSECUTIVE within a partition —
+    * Spark's documented layout (partition id in the upper 31 bits, the
+    * per-partition record number in the lower 33,
+    * `MonotonicallyIncreasingID` expression doc), stable since 1.6; the
+    * min-subtraction keeps us independent of the base-offset layout
+    * itself. The localCheckpoint freezes the nondeterministic ids so the
+    * offsets job and the main job see the same assignment (same
+    * materialize-once contract as [[graft.operators.Components]]).
+    * Deterministic iff `orderColumns` is a total order (ties get an
+    * arbitrary but valid numbering within their run).
     */
   def stableRowNumber(df: DataFrame, orderColumns: Seq[String],
       outCol: String = "row_num"): DataFrame = {
     require(orderColumns.nonEmpty, "stableRowNumber needs ordering columns")
-    val sorted = df.orderBy(orderColumns.map(col): _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    val orderCols = orderColumns.map(col)
+    val base = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .select(col("*"), spark_partition_id().as("__g_pid"),
+        monotonically_increasing_id().as("__g_mid"))
+      .localCheckpoint()
+    val stats = base.groupBy("__g_pid")
+      .agg(count(lit(1)).as("_c"), min("__g_mid").as("__g_m0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // exclusive prefix: offset of partition i = row counts of partitions < i
+    val scan = stats.scanLeft((0, 0L)) { case ((_, c), (pid, n, _)) => (pid, c + n) }
+    val offsets = scan.init.zip(stats).map {
+      case ((_, off), (pid, _, m0)) => (pid, off, m0)
     }
-    sorted.sparkSession.createDataFrame(numbered, schema)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__g_pid", "__g_off", "__g_m0")
+    base.join(broadcast(offDf), Seq("__g_pid"))
+      .withColumn(outCol, col("__g_mid") - col("__g_m0") + lit(1L) + col("__g_off"))
+      .select(df.columns.map(col) :+ col(outCol): _*)
   }
 
   /** Validate that all datasets have identical index-column content

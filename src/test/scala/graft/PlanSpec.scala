@@ -343,6 +343,34 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q206 stored SemDeDup probe prunes to the batch's clusters") {
+    // a 2-vector batch probes at most 2 of the 8 cluster directories: the
+    // stored scan must carry a cluster partition filter and the static
+    // listing must select only the probed clusters — bytes read scale
+    // with the batch's cluster spread, not corpus size
+    import org.apache.spark.sql.functions.col
+    val (path, seeds) = SparkEntry.stageSemDedupClusters(spark, "/root/testdata/sf0.001")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = emb.filter(col("vec_id").isin(11, 13))
+    val df = graft.operators.Similarity.semDedupProbeStored(
+      batch, "vec_id", "embedding", path, seeds, tau = 0.42, clusterDims = 8)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_sdd_")) => s
+    }
+    assert(scans.nonEmpty, "stored-clusters scan not found in the probe plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "cluster")),
+        s"no cluster partition filter on the stored scan:\n$s")
+      val staticFilters = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))
+      val selected = s.relation.location.listFiles(staticFilters, s.dataFilters)
+        .map(_.values).distinct.size
+      assert(selected <= 2, // 2 batch vectors: at most 2 distinct clusters
+        s"pruning selected $selected of the cluster partitions")
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
     // the runtime complement to ScaleOps.saltedJoin's manual lever: on a
     // cluster, spark.sql.adaptive.skewJoin must split a hot partition

@@ -156,9 +156,12 @@ class RegressionSpec extends SparkSpecBase {
   }
 
   test("dedup catalog queries leave zero cached blocks after release") {
-    // the r6 cache-lifecycle footgun, closed: catalog dedup queries run
-    // materialize = true (kernel bases released inside the operator) and
-    // the returned checkpoint is releasable by the PUBLIC API — after
+    // the r6 cache-lifecycle footgun, closed WITHOUT the r7 eager-
+    // checkpoint tax: single-consumer catalog queries run LAZY (their
+    // persisted kernel bases live in the CacheManager, released by
+    // clearCache — the harness sweep), iterative graph consumers
+    // (q63/q127/q180/q181) keep materialize = true and their checkpoints
+    // release via the PUBLIC releaseCheckpointBlocks. Either way, after
     // releaseCheckpointBlocks + clearCache the session holds no blocks.
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q25_minhash_lsh", "q26_simhash_pairs", "q31_embedding_neardup",
