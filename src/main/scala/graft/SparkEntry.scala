@@ -488,6 +488,22 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- IVF+PQ: residual-encoded lists, pruned ADC probe ---------------
+    // the production ANN pairing (q188's partition pruning × q196's
+    // codes-only scan): 8 L2 seed lists, residual codebooks from the
+    // vec_id < 16 residuals, nProbe = 3. The oracle replays assignment,
+    // residual encode, probe selection and the decimal ADC sums — every
+    // distance is the same left-to-right double chain on both engines.
+    "q207_ivfpq_stored" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val (path, cents, cbs) = stageIvfPq(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(path, cents, cbs, queries, "qid", "qvec",
+          k = 10, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- product quantization + asymmetric-distance search --------------
     // 64-dim floats → 8 subspace codes (seed-subvector codebooks, k=16);
     // queries build an 8×16 LUT once and every corpus row costs 8 lookups
@@ -2705,6 +2721,38 @@ object SparkEntry {
       (path, centroids)
     })
 
+  /** Stage (once per source dir per JVM) the q207 IVF+PQ layout: list
+    * centroids = the full vectors of vec_id < 8 (data-point seeds the
+    * oracle recomputes from the table), residual codebooks = the
+    * RESIDUALS of vec_id < 16 against their own assigned lists, split
+    * into 8 subspaces. Both ride with the path — they are the layout's
+    * contract (q188/q196 precedent). The first 8 codebook entries are
+    * zero vectors (a seed's residual to itself) — harmless: they encode
+    * "sits at the centroid". */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]], Array[Array[Array[Double]]])]()
+  private[graft] def stageIvfPq(s: SparkSession, dir: String)
+      : (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqCache.computeIfAbsent(dir, { d =>
+      val emb = read(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      import graft.functions.kernels.VectorKernelFunctions
+      val residSeeds = emb.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .select(VectorKernelFunctions.centroidResidual(
+          col("embedding"),
+          VectorKernelFunctions.nearestCentroid(col("embedding"), cents),
+          cents))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cbs = Similarity.pqCodebooksFromSeeds(residSeeds, numSubspaces = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString + "/codes"
+      Similarity.writeIvfPqCodes(emb, "vec_id", "embedding", cents, cbs, path)
+      (path, cents, cbs)
+    })
+
   /** Stage (once per source dir per JVM) the q206 SemDeDup layout: the
     * even-vec_id corpus half clustered on the q189 seed centroids (8-dim
     * prefixes of vec_id < 8) and written cluster-partitioned. Cached so
@@ -3195,6 +3243,70 @@ object SparkEntry {
         FROM r WHERE rank <= $topk ORDER BY query_id, rank"""
   }
 
+  /** q207 oracle: the IVF+PQ probe replayed end-to-end — list assignment
+    * (argmin full-vector squared L2, ties to the lowest list), residual
+    * codebooks (the vec_id < `codes` residuals), per-corpus-row encode
+    * (argmin subspace residual-vs-codebook L2, ties to the lowest code),
+    * probe selection (nProbe nearest lists per query, same distance
+    * chain), and the DECIMAL(30,12) ADC sums. Every distance term is
+    * `((x−cx)−(s−cs))²` expanded per dimension in the same left-to-right
+    * order the kernels accumulate, so assignments, codes and sums are
+    * bit-replayable. */
+  private def ivfPqSql(lists: Int, m: Int, sub: Int, codes: Int, nq: Int,
+      topk: Int, nProbe: Int): String = {
+    val dims = m * sub
+    // full-vector squared L2 (assignment + probe selection)
+    def d2full(a: String, c: String): String =
+      (1 to dims).map(i => s"($a.f[$i]-$c.f[$i])*($a.f[$i]-$c.f[$i])")
+        .mkString(" + ")
+    // subspace-j squared L2 between residuals: x's residual vs seed s's;
+    // args are full array refs ("bb.f", "bb.cf", ...)
+    def d2res(xf: String, xc: String, sf: String, sc: String, j: String): String =
+      (1 to sub).map { i =>
+        val t = s"(($xf[$j*$sub+$i]-$xc[$j*$sub+$i])-($sf[$j*$sub+$i]-$sc[$j*$sub+$i]))"
+        s"$t*$t"
+      }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS f FROM embeddings),
+        cent AS (SELECT id AS l, f FROM b WHERE id < $lists),
+        ad AS (SELECT b.id, cent.l, ${d2full("b", "cent")} AS d
+               FROM b CROSS JOIN cent),
+        a AS (SELECT id, l AS list FROM (
+                SELECT id, l, row_number() OVER (PARTITION BY id
+                  ORDER BY d ASC, l ASC) AS rn FROM ad) t WHERE rn = 1),
+        bb AS (SELECT b.id, b.f, cx.f AS cf, a.list FROM b
+               JOIN a ON a.id = b.id JOIN cent cx ON cx.l = a.list),
+        ss AS (SELECT id AS c, f, cf FROM bb WHERE id < $codes),
+        encd AS (SELECT bb.id, g.j, ss.c,
+                   ${d2res("bb.f", "bb.cf", "ss.f", "ss.cf", "g.j")} AS d
+                 FROM bb CROSS JOIN range($m) g(j) CROSS JOIN ss),
+        enc AS (SELECT id, j, c AS code FROM (
+                  SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+                    ORDER BY d ASC, c ASC) AS rn FROM encd) t WHERE rn = 1),
+        q AS (SELECT id AS query_id, f FROM b WHERE id < $nq),
+        qa AS (SELECT q.query_id, cent.l, ${d2full("q", "cent")} AS d
+               FROM q CROSS JOIN cent),
+        probe AS (SELECT query_id, l AS list FROM (
+                    SELECT query_id, l, row_number() OVER (PARTITION BY query_id
+                      ORDER BY d ASC, l ASC) AS rn FROM qa) t WHERE rn <= $nProbe),
+        qq AS (SELECT q.query_id, probe.list, q.f, cent.f AS cf
+               FROM q JOIN probe USING (query_id) JOIN cent ON cent.l = probe.list),
+        contrib AS (SELECT qq.query_id, e.id AS nbr_id,
+                      CAST(${d2res("qq.f", "qq.cf", "ss.f", "ss.cf", "e.j")}
+                        AS DECIMAL(30,12)) AS dd
+                    FROM enc e
+                    JOIN bb ON bb.id = e.id
+                    JOIN qq ON qq.list = bb.list
+                    JOIN ss ON ss.c = e.code),
+        adc AS (SELECT query_id, nbr_id, sum(dd) AS adc
+                FROM contrib GROUP BY query_id, nbr_id),
+        r AS (SELECT query_id, nbr_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, nbr_id ASC) AS rank
+              FROM adc)
+        SELECT query_id, nbr_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rank
+        FROM r WHERE rank <= $topk ORDER BY query_id, rank"""
+  }
+
   /** q180 oracle: PageRank replayed iteration-by-iteration — symmetric
     * exact-Jaccard edges (the LSH net is 100%-recall on this corpus, the
     * q127 precedent), decimal-exact contribution sums, constants written
@@ -3391,6 +3503,9 @@ object SparkEntry {
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),
     // same clustering CTEs, batch×corpus pair restriction (stored probe)
     "q206_semdedup_stored" -> semDedupProbeSql(k = 8, dims = 8, tau = 0.42),
+    // IVF+PQ residual probe replayed end-to-end (see ivfPqSql)
+    "q207_ivfpq_stored" -> ivfPqSql(lists = 8, m = 8, sub = 8, codes = 16,
+      nq = 5, topk = 10, nProbe = 3),
     // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // the stored-codes probe computes identical ADC distances (q194)

@@ -288,6 +288,37 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def prettyName: String = "pq_lut"
 }
 
+/** `v − centroids[listId]` element-wise — the residual a vector carries
+  * into per-list PQ encoding (IVF+PQ composition, Jégou et al. 2011 §IV).
+  * Each element is ONE double subtraction on the exact double promotions
+  * of the inputs, so an external oracle recomputing `v[i] − c[i]` lands on
+  * the identical residual bit-for-bit. Centroids ride inside the
+  * expression like [[NearestCentroidExpr]]'s. */
+case class CentroidResidualExpr(left: Expression, right: Expression,
+    centroids: Array[Array[Double]])
+    extends BinaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "at least one centroid required")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, lid: Any): Any = {
+    val x = VectorKernels.toDoubles(v.asInstanceOf[ArrayData],
+      left.dataType.asInstanceOf[ArrayType].elementType)
+    val j = lid.asInstanceOf[Int]
+    require(j >= 0 && j < centroids.length,
+      s"centroid_residual: list id $j out of range [0, ${centroids.length})")
+    val c = centroids(j)
+    require(x.length == c.length,
+      s"centroid_residual: vector has ${x.length} dims, centroid $j has ${c.length}")
+    val out = new Array[Any](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = x(i) - c(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "centroid_residual"
+}
+
 object VectorKernelFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -303,4 +334,8 @@ object VectorKernelFunctions {
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), centroids))
   def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqLutExpr(ColumnBridge.expression(v), codebooks))
+  def centroidResidual(v: Column, listId: Column,
+      centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidResidualExpr(
+      ColumnBridge.expression(v), ColumnBridge.expression(listId), centroids))
 }

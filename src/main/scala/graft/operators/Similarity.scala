@@ -641,8 +641,8 @@ object Similarity {
     * Plan: corpus scan reads (id, codes) only — the encoded table, 32×
     * smaller than the vectors — one broadcast of |Q| LUT rows, one
     * rank-window shuffle keyed by query. The classic production pairing
-    * is IVF + PQ (probe lists, then ADC inside them): compose with
-    * [[writeIvfLists]] by encoding each list's residuals. */
+    * is IVF + PQ (probe lists, then ADC inside them) — implemented as
+    * [[writeIvfPqCodes]] / [[ivfPqTopK]] (per-list residual encoding). */
   def pqTopK(encoded: DataFrame, queries: DataFrame, queryId: String,
       queryVec: String, codebooks: Array[Array[Array[Double]]],
       k: Int, roundTo: Int = 6): DataFrame = {
@@ -686,6 +686,101 @@ object Similarity {
       k: Int): DataFrame =
     pqTopK(queries.sparkSession.read.parquet(path).select(col("id"), col("codes")),
       queries, queryId, queryVec, codebooks, k)
+
+  /** The production ANN pairing — IVF + PQ with per-list RESIDUAL encoding
+    * (Jégou et al. 2011 §IV: quantize `x − c_list`, not `x` — residuals
+    * concentrate near 0, so the same codebook budget buys far less
+    * distortion): assign each vector to its nearest list centroid by
+    * squared L2 (the [[VectorKernelFunctions.nearestCentroid]] kernel —
+    * L2/k-means is the IVF-PQ contract, unlike [[writeIvfLists]]'s
+    * max-cosine flat lists), PQ-encode the residual with the SHARED
+    * `codebooks`, and store `(id, codes)` partitioned by `list_id`. The
+    * layout composes q188's partition pruning with q196's codes-only scan:
+    * a probe reads only its probed lists' directories AND only the m-byte
+    * codes, never the vectors. Both centroids and codebooks are the
+    * layout's contract — keep them with the table and pass the SAME arrays
+    * to [[ivfPqTopK]]. One scan-local projection, no shuffle. */
+  def writeIvfPqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    val sub = codebooks.head.head.length
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("list_id",
+        VectorKernelFunctions.nearestCentroid(col("__v"), centroids.map(_.clone())))
+    val res = VectorKernelFunctions.centroidResidual(
+      col("__v"), col("list_id"), centroids.map(_.clone()))
+    assigned.select(col("id"), col("list_id"),
+        array(codebooks.indices.map(j =>
+          VectorKernelFunctions.nearestCentroid(
+            slice(res, j * sub + 1, sub), codebooks(j).map(_.clone()))): _*)
+          .as("codes"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+  }
+
+  /** ADC top-k against an IVF+PQ layout stored by [[writeIvfPqCodes]]:
+    * each query picks its `nProbe` nearest list centroids (squared L2 via
+    * the [[VectorKernelFunctions.pqLut]] kernel run with the centroid set
+    * as a single whole-vector codebook — bit-identical accumulation to
+    * the assignment kernel; ties to the lowest list), the probed list ids
+    * become a LITERAL `IN` partition filter on the stored layout
+    * (driver-side control data, bounded by |queries|·nProbe), and each
+    * (query, list) pair carries its RESIDUAL lookup table
+    * `lut[j][c] = Σᵢ ((q−c_list)[j·sub+i] − codebooks[j][c][i])²` built
+    * once on the broadcast side. A candidate row then costs m lookups +
+    * m−1 adds in DECIMAL(30,12) — order-independent and replayable
+    * exactly by an external engine ([[pqTopK]]'s determinism contract).
+    * Ranking is per query across all its probed lists, ties to the
+    * ascending id.
+    *
+    * Plan: pruned codes-only scan (PartitionFilters + ReadSchema asserted
+    * in PlanSpec), one broadcast of |Q|·nProbe LUT rows joined on
+    * `list_id`, one rank-window shuffle keyed by query. Bytes read scale
+    * with probed lists × m bytes/row — at 100 TB the corpus side is
+    * ~nProbe/numLists of a 32×-compressed table. */
+  def ivfPqTopK(path: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nProbe: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val spark = queries.sparkSession
+    val m = codebooks.length
+    val np = math.min(nProbe, centroids.length)
+    // squared-L2 distances to every list centroid, as ONE kernel row
+    val cells = element_at(
+      VectorKernelFunctions.pqLut(col("query_vec"),
+        Array(centroids.map(_.clone()))), 1)
+    val probes0 = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+      .withColumn("__cells", cells)
+      .withColumn("list_id", explode(transform(
+        slice(array_sort(transform(
+          sequence(lit(0), lit(centroids.length - 1)),
+          i => struct(element_at(col("__cells"), i + 1).as("d"), i.as("i")))),
+          1, np),
+        s => s.getField("i"))))
+    val probedLists = probes0.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qres = VectorKernelFunctions.centroidResidual(
+      col("query_vec"), col("list_id"), centroids.map(_.clone()))
+    val probes = probes0.select(col("query_id"), col("list_id"),
+      VectorKernelFunctions.pqLut(qres, codebooks.map(_.map(_.clone()))).as("__lut"))
+    val codesDf = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf).toSeq: _*))
+      .select(col("list_id"), col("id"), col("codes"))
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("__lut"), j + 1), col("codes").getItem(j) + 1)
+          .cast("decimal(30,12)"))
+      .reduceLeft(_ + _)
+    val scored = codesDf.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("id").as("nbr_id"), adc.as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("__adc").cast("double"), roundTo).as("adc_dist"), col("rank"))
+  }
 
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
     * greedily pick `k` results that balance relevance against redundancy —

@@ -343,6 +343,37 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q207 IVF+PQ probe is a pruned, codes-only scan") {
+    // the composed invariant: q188's PartitionFilters (bytes read scale
+    // with probed lists) AND q196's ReadSchema (only id + codes — the
+    // vectors never ride the probe)
+    import org.apache.spark.sql.functions.col
+    val (path, cents, cbs) = SparkEntry.stageIvfPq(spark, "/root/testdata/sf0.001")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = graft.operators.Similarity.ivfPqTopK(
+      path, cents, cbs, queries, "qid", "qvec", k = 3, nProbe = 2)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq_")) => s
+    }
+    assert(scans.nonEmpty, "stored-codes scan not found in the probe plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+        s"no list_id partition filter on the stored scan:\n$s")
+      val staticFilters = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))
+      val selected = s.relation.location.listFiles(staticFilters, s.dataFilters)
+        .map(_.values).distinct.size
+      assert(selected <= 4, // 2 queries × nProbe 2: at most 4 distinct lists
+        s"pruning selected $selected of 8 list partitions")
+      // codes-only: the data schema read from the files is (id, codes)
+      assert(s.requiredSchema.fieldNames.toSet == Set("id", "codes"),
+        s"probe reads more than (id, codes): ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("q206 stored SemDeDup probe prunes to the batch's clusters") {
     // a 2-vector batch probes at most 2 of the 8 cluster directories: the
     // stored scan must carry a cluster partition filter and the static

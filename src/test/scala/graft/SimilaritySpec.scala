@@ -409,6 +409,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(stored).nonEmpty)
   }
 
+  test("ivfPqTopK: residual ADC hand-check; unprobed lists are invisible") {
+    // lists c0=(0,0), c1=(10,10); residual codebook {(0,0),(1,1),(-1,-1)}
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val cbs = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(-1.0, -1.0)))
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f)),    // list 0, residual (1,1)  -> code 1
+      (1L, Array(9.0f, 9.0f)),    // list 1, residual (-1,-1)-> code 2
+      (2L, Array(11.0f, 11.0f))   // list 1, residual (1,1)  -> code 1
+    ).toDF("id", "vec")
+    val path = tmpDir("graft_ivfpqspec") + "/codes"
+    Similarity.writeIvfPqCodes(corpus, "id", "vec", cents, cbs, path)
+    val q = Seq((7L, Array(8.0f, 8.0f))).toDF("qid", "qvec")
+    // nProbe=1: only list 1 (d2 8 vs 128); q residual (-2,-2):
+    // LUT = [8, 18, 2] -> v1 adc 2, v2 adc 18; v0 pruned away
+    val one = Similarity.ivfPqTopK(path, cents, cbs, q, "qid", "qvec",
+        k = 5, nProbe = 1)
+      .orderBy($"rank").collect()
+    assert(one.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 2L))
+    assert(one.map(_.getAs[Double]("adc_dist")).toSeq == Seq(2.0, 18.0))
+    // nProbe=2 reaches list 0: q residual (8,8), LUT=[128,98,162], v0 code 1
+    val two = Similarity.ivfPqTopK(path, cents, cbs, q, "qid", "qvec",
+        k = 5, nProbe = 2)
+      .orderBy($"rank").collect()
+    assert(two.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 2L, 0L))
+    assert(two.map(_.getAs[Double]("adc_dist")).toSeq == Seq(2.0, 18.0, 98.0))
+  }
+
   test("mmrRerank: redundancy penalty demotes the near-duplicate candidate") {
     // q=(1,0,0); 10 is most relevant, 11 is a near-clone of 10
     // (sim≈0.999, rel≈0.97), 12 is less relevant (rel≈0.90) but diverse
