@@ -4582,7 +4582,7 @@ object SparkEntry {
                FROM documents d JOIN pd USING (doc_id)),
          g AS (SELECT doc_id, dsir_weight,
                  dsir_weight - ln(-ln(
-                   (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                   (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 0.5)
                    / 4294967296.0)) AS k
                FROM w)
          SELECT doc_id, dsir_weight, round(k, 6) AS sample_key
@@ -4751,7 +4751,7 @@ object SparkEntry {
     "q102_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,
-                  ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                  ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 0.5)
                      / 4294967296.0) / n_chars AS k
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
            ORDER BY k DESC LIMIT 100) t
@@ -4942,7 +4942,7 @@ object SparkEntry {
     "q117_weighted_group_sample" ->
       """WITH s AS (
            SELECT doc_id, lang, n_chars,
-                  ln((('0x' || substr(md5('wg:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                  ln((('0x' || substr(md5('wg:' || doc_id::VARCHAR), 1, 8))::UBIGINT + 0.5)
                      / 4294967296.0) / n_chars AS k
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
          r AS (SELECT doc_id, lang, n_chars,

@@ -318,9 +318,12 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
-    // first 8 md5 hex chars as a uint32; +1 maps 0 → (0,1] so ln is finite
+    // first 8 md5 hex chars as a uint32; +0.5 maps into the OPEN (0,1):
+    // u = 1 would give key = ln(1)/w = 0 — the E-S maximum — making that
+    // row (p = 2^-32 per row, expected at billion-row scale) always win
+    // regardless of weight
     val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") + 1L) / lit(4294967296.0)
+      16, 10).cast("long") + 0.5) / lit(4294967296.0)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("sample_key", log(u) / col(weightCol).cast("double"))
       .orderBy(col("sample_key").desc)
@@ -337,7 +340,7 @@ object Sampling {
       idCol: String, weightCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") + 1L) / lit(4294967296.0)
+      16, 10).cast("long") + 0.5) / lit(4294967296.0)
     quotaPerGroup(
       df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
         .withColumn("sample_key", log(u) / col(weightCol).cast("double")),
@@ -452,7 +455,10 @@ object Sampling {
     * keys, for weights that live in LOG space and may be negative, like
     * [[dsirWeights]]' log-likelihood ratios):
     * `key = logit − ln(−ln(u))` with the same deterministic md5-derived
-    * uniform `u ∈ (0, 1]` the other samplers use. Deterministic under any
+    * uniform the other samplers use, mapped into the OPEN interval (0,1)
+    * via (h + 0.5)/2^32: u = 1 would give key = logit − ln(−ln(1)) = +∞,
+    * selecting that row regardless of its logit (p = 2^-32 per row —
+    * expected to occur at billion-row scale). Deterministic under any
     * partitioning, reproducible by any engine with md5 + ln.
     *
     * Scale: stateless projection + global top-k — Spark executes
@@ -462,7 +468,7 @@ object Sampling {
       salt: String = ""): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") + 1L) / lit(4294967296.0)
+      16, 10).cast("long") + 0.5) / lit(4294967296.0)
     df.filter(col(logitCol).isNotNull)
       .withColumn("sample_key", col(logitCol).cast("double") - log(-log(u)))
       .orderBy(col("sample_key").desc, col(idCol).asc)

@@ -102,8 +102,14 @@ object Search {
   def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
       rrfK: Int = 60, roundTo: Int = 6): DataFrame = {
     require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"ranking source names must be distinct: ${rankings.map(_._1).mkString(", ")}")
     require(k >= 1, s"k must be >= 1: $k")
     require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
+    // CONTRACT: each ranking holds at most one row per (query_id, doc_id)
+    // — the shape every top-k retriever here emits. A duplicate pair
+    // would multiply through the full-outer join chain (2 copies in one
+    // input × 1 in another = 2 output rows, each fused independently).
     val named = rankings.map { case (name, df) =>
       name -> df.select(col("query_id"), col("doc_id"),
         col("rank").cast("int").as(s"rank_$name"))

@@ -826,7 +826,11 @@ object Similarity {
         coalesce(col("sims"), array().cast("array<struct<_1:bigint,_2:double>>")).as("sims"))
       .as[(Long, Long, Double, Seq[(Long, Double)])]
     packed.groupByKey(_._1).flatMapGroups { (q, it) =>
-      val cs = it.toArray.sortBy(_._2)
+      // candidates are nominally unique per (query_id, nbr_id); if an
+      // upstream feeds duplicates they collapse HERE, deterministically
+      // (highest rel wins, not input order) — the greedy then runs over
+      // unique ids, so duplicates can never multiply or starve the list
+      val cs = it.toArray.sortBy(c => (c._2, -c._3)).distinctBy(_._2)
       val rel = cs.map(c => c._2 -> c._3).toMap
       val simOf = cs.map(c => c._2 -> c._4.toMap).toMap
       val remaining = scala.collection.mutable.SortedSet(cs.map(_._2): _*)
