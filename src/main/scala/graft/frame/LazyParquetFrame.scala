@@ -131,6 +131,69 @@ final class LazyParquetFrame private (
       .asScala.grouped(chunkSize)
   }
 
+  // ------------------------------------------------- deprecated-class parity
+  // The reference's deprecated LazyParquetDataFrame (lazy_parquet.py:593-1038)
+  // adds a whole-frame operator surface (__add__ .. __ixor__) that
+  // materializes the ENTIRE file into pandas and delegates. The Spark-native
+  // equivalent applies the op to every NUMERIC data column as a lazy plan —
+  // same element-wise semantics, no materialization; index and non-numeric
+  // columns pass through untouched (pandas broadcasts scalars over numeric
+  // columns the same way).
+
+  /** Apply `f` element-wise to every numeric non-index column (the
+    * deprecated dunder surface's core). Returns a plan, not data. */
+  def mapNumeric(f: Column => Column): DataFrame =
+    current.select(current.schema.fields.map { fd =>
+      val numeric = fd.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      if (numeric && !index.contains(fd.name)) f(col(fd.name)).as(fd.name)
+      else col(fd.name)
+    }.toSeq: _*)
+
+  def +(v: Double): DataFrame = mapNumeric(_ + v)      // __add__
+  def -(v: Double): DataFrame = mapNumeric(_ - v)      // __sub__
+  def *(v: Double): DataFrame = mapNumeric(_ * v)      // __mul__
+  def /(v: Double): DataFrame = mapNumeric(_ / v)      // __truediv__
+  def %(v: Double): DataFrame = mapNumeric(_ % v)      // __mod__
+  def pow(v: Double): DataFrame =                       // __pow__
+    mapNumeric(c => org.apache.spark.sql.functions.pow(c, v))
+  def unary_- : DataFrame = mapNumeric(c => -c)        // __neg__
+  def abs: DataFrame =                                  // __abs__
+    mapNumeric(org.apache.spark.sql.functions.abs)
+  /** Comparison dunders (__lt__ …): numeric columns become booleans. */
+  def <(v: Double): DataFrame = mapNumeric(_ < v)
+  def <=(v: Double): DataFrame = mapNumeric(_ <= v)
+  def >(v: Double): DataFrame = mapNumeric(_ > v)
+  def >=(v: Double): DataFrame = mapNumeric(_ >= v)
+
+  /** In-place variants (__iadd__ …): rebind the frame's plan to the mapped
+    * result — still lazy (the reference eagerly rewrote its pandas cache). */
+  def transformInPlace(f: Column => Column): Unit = { current = mapNumeric(f) }
+
+  /** Drop columns (reference drop, lazy_parquet.py:849-861). */
+  def drop(cols: String*): DataFrame = {
+    val missing = cols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(s"Columns not found: ${missing.mkString(", ")}")
+    current.drop(cols: _*)
+  }
+
+  /** Rename columns by map (reference rename, lazy_parquet.py:863-876);
+    * delegates to the engine rename so index bookkeeping follows. */
+  def rename(mapping: Map[String, String]): Unit = {
+    current = graft.ops.SchemaOps.rename(current, mapping)
+    index = index.map(c => mapping.getOrElse(c, c))
+    loaded = loaded.map(c => mapping.getOrElse(c, c))
+  }
+
+  /** Reset the index (reference reset_index, lazy_parquet.py:657-677):
+    * the index columns return to plain data columns (they already are
+    * physical columns here, so this is bookkeeping); `drop = true`
+    * removes them from the frame entirely. */
+  def resetIndex(dropCols: Boolean = false): Unit = {
+    if (dropCols && index.nonEmpty) current = current.drop(index: _*)
+    index = Nil
+  }
+
   /** Overwrite-guarded save (reference to_parquet/save,
     * lazy_parquet.py:480-524). */
   def toParquet(output: String, allowOverwrite: Boolean = false,

@@ -52,7 +52,9 @@ object ColumnProfiler {
       p75: Option[Double] = None,
       histLo: Option[Double] = None,
       histHi: Option[Double] = None,
-      hist: Option[Seq[Long]] = None)
+      hist: Option[Seq[Long]] = None,
+      minLength: Option[Long] = None,
+      maxLength: Option[Long] = None)
 
   final case class TableProfile(
       n: Long,
@@ -465,7 +467,15 @@ object ColumnProfiler {
         }) ++
         (if (isOrderable(f.dataType))
            Seq(min(v).as(s"${f.name}__min"), max(v).as(s"${f.name}__max"))
-         else Nil)
+         else Nil) ++
+        (f.dataType match {
+          // string length bounds feed the constant_length alert (ydata's
+          // CONSTANT_LENGTH); two more partial-agg cells, same pass
+          case StringType => Seq(
+            min(length(v)).cast("long").as(s"${f.name}__minlen"),
+            max(length(v)).cast("long").as(s"${f.name}__maxlen"))
+          case _ => Nil
+        })
     }
 
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -561,11 +571,34 @@ object ColumnProfiler {
             get[scala.collection.Seq[Long]](s"${f.name}__hist")
               .flatMap(_ => get[Any](s"${f.name}__max").map(toD))),
           hist = prof.map(_.getSeq[Long](2).toSeq).orElse(
-            get[scala.collection.Seq[Long]](s"${f.name}__hist").map(_.toSeq)))
+            get[scala.collection.Seq[Long]](s"${f.name}__hist").map(_.toSeq)),
+          minLength = get[Long](s"${f.name}__minlen"),
+          maxLength = get[Long](s"${f.name}__maxlen"))
       f.name -> base.copy(alerts = alertsFor(base))
     }.toMap
 
     TableProfile(n = n, nVar = fields.size, variables = profiles)
+  }
+
+  /** Append ydata's HIGH_CORRELATION alert: a column is flagged when
+    * |pearson| ≥ `threshold` against any OTHER profiled numeric column.
+    * Cross-column by nature, so it cannot come from the per-column
+    * aggregates — it costs one extra [[correlations]] pass (itself a
+    * single scan with partial aggregation over all pairs). Constant
+    * columns correlate as NULL and are never flagged. */
+  def withCorrelationAlerts(df: DataFrame, profile: TableProfile,
+      threshold: Double = 0.9): TableProfile = {
+    val numCols = df.schema.fields
+      .filter(f => isNumeric(f.dataType) && profile.variables.contains(f.name))
+      .map(_.name).toSeq
+    if (numCols.size < 2) return profile
+    val hot = correlations(df, Some(numCols)).collect()
+      .filter(r => !r.isNullAt(2) && math.abs(r.getDouble(2)) >= threshold)
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    profile.copy(variables = profile.variables.map { case (n, p) =>
+      n -> (if (hot(n) && !p.alerts.contains("high_correlation"))
+        p.copy(alerts = p.alerts :+ "high_correlation") else p)
+    })
   }
 
   /** Profile a Parquet file/directory, filling `memorySize` with the exact
@@ -596,6 +629,24 @@ object ColumnProfiler {
     if (p.nInfinite > 0) out += "infinite"
     if (p.dtype == "string" && present > 10 && p.nDistinct > present / 2 &&
         p.nDistinct != present) out += "high_cardinality"
+    // ydata CONSTANT_LENGTH: every non-missing string has the same length
+    // (fires alongside "constant" when the values are identical too)
+    if (p.dtype == "string" && present > 0 &&
+        p.minLength.isDefined && p.minLength == p.maxLength)
+      out += "constant_length"
+    // ydata UNIFORM: chi-square test over the histogram bins accepts the
+    // uniform null at p > 0.999 (ydata's default threshold). Only fires
+    // with real spread (> 1 distinct) — a constant column's single-bin
+    // spike is maximally NON-uniform and fails the test anyway.
+    for (h <- p.hist if present > 0 && p.nDistinct > 1) {
+      val total = h.sum.toDouble
+      val bins = h.size
+      if (total > 0 && bins > 1) {
+        val exp = total / bins
+        val stat = h.map { o => val d = o - exp; d * d / exp }.sum
+        if (Stat.chiSquareP(bins - 1, stat) > 0.999) out += "uniform"
+      }
+    }
     out.result()
   }
 
@@ -616,5 +667,78 @@ object ColumnProfiler {
     case bd: java.math.BigDecimal => bd.doubleValue
     case bd: BigDecimal => bd.doubleValue
     case other => throw new IllegalArgumentException(s"non-numeric stat value: $other")
+  }
+}
+
+/** Scalar statistics helpers for the alert rules — driver-side math over
+  * already-aggregated values (never row data). */
+object Stat {
+
+  /** Upper-tail p-value of the chi-square distribution with `dof` degrees
+    * of freedom at `stat`: `Q(dof/2, stat/2)`, the regularized upper
+    * incomplete gamma function. Standard series / continued-fraction
+    * evaluation (Lanczos log-gamma; textbook numerical method). */
+  def chiSquareP(dof: Int, stat: Double): Double = {
+    require(dof >= 1, s"dof must be >= 1: $dof")
+    if (stat <= 0) return 1.0
+    val a = dof / 2.0
+    val x = stat / 2.0
+    if (x < a + 1.0) 1.0 - gammaPSeries(a, x) else gammaQFraction(a, x)
+  }
+
+  /** Lanczos approximation of ln Γ(x) (g = 7, 9-term public constants). */
+  private def lnGamma(xIn: Double): Double = {
+    val g = Array(676.5203681218851, -1259.1392167224028, 771.32342877765313,
+      -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+      9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (xIn < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * xIn)) - lnGamma(1.0 - xIn)
+    else {
+      val z = xIn - 1.0
+      var acc = 0.99999999999980993
+      var i = 0
+      while (i < g.length) { acc += g(i) / (z + i + 1); i += 1 }
+      val t = z + g.length - 0.5
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(acc)
+    }
+  }
+
+  /** Series expansion of the regularized lower incomplete gamma P(a, x),
+    * convergent for x < a + 1. */
+  private def gammaPSeries(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var i = 0
+    while (i < 200 && math.abs(del) >= math.abs(sum) * 1e-14) {
+      ap += 1.0
+      del *= x / ap
+      sum += del
+      i += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+  }
+
+  /** Lentz continued fraction for the regularized upper incomplete gamma
+    * Q(a, x), convergent for x >= a + 1. */
+  private def gammaQFraction(a: Double, x: Double): Double = {
+    val tiny = 1e-300
+    var b = x + 1.0 - a
+    var c = 1.0 / tiny
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    var del = 0.0
+    do {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b; if (math.abs(d) < tiny) d = tiny
+      c = b + an / c; if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      del = d * c
+      h *= del
+      i += 1
+    } while (i < 200 && math.abs(del - 1.0) >= 1e-14)
+    math.exp(-x + a * math.log(x) - lnGamma(a)) * h
   }
 }

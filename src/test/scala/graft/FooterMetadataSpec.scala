@@ -117,6 +117,40 @@ class FooterMetadataSpec extends SparkSpecBase {
     assert(meta.get.columnNames.toSet == Set("x", "a", "b")) // union, first-seen
   }
 
+  test("pandas metadata round-trips through MULTI-PART inputs and outputs") {
+    // SURVEY §7.4(2) calls multi-part best-effort; the documented behavior
+    // is: every part of a directory output gets the merged blob, the
+    // directory-level read recovers it, and the lazy frame recovers the
+    // index from the directory exactly as from a single file
+    val d = tmpDir("multipart")
+    val in1 = s"$d/in1"; val in2 = s"$d/in2"
+    Seq.tabulate(50)(i => (i.toLong, s"a$i")).toDF("x", "a")
+      .repartition(3).write.parquet(in1)
+    Seq.tabulate(50)(i => (i.toLong, i * 0.5)).toDF("x", "b")
+      .repartition(2).write.parquet(in2)
+    FooterMetadata.attachPandasMeta(spark, in1, Seq("x"))
+    FooterMetadata.attachPandasMeta(spark, in2, Seq("x"))
+    // directory-level read sees the blob on multi-part INPUTS
+    assert(FooterMetadata.readPandasMeta(spark, in1).exists(_.indexColumns == Seq("x")))
+    val out = s"$d/out"
+    spark.read.parquet(in1).join(spark.read.parquet(in2), "x")
+      .repartition(4).write.parquet(out)
+    FooterMetadata.propagatePandasMeta(spark, Seq(in1, in2), out)
+    // every part of the multi-part OUTPUT carries the merged blob
+    val parts = ParquetIO.dataFiles(spark, out)
+    assert(parts.size == 4)
+    parts.foreach { f =>
+      val m = FooterMetadata.readPandasMeta(spark, f.toString)
+      assert(m.isDefined, s"part $f lost the pandas blob")
+      assert(m.get.indexColumns == Seq("x"))
+      assert(m.get.columnNames.toSet == Set("x", "a", "b")) // first-seen union
+    }
+    // lazy frame index recovery works from the directory, not just a file
+    val frame = LazyParquetFrame(spark, out)
+    assert(frame.indexColumns == Seq("x"))
+    assert(spark.read.parquet(out).count() == 50)
+  }
+
   test("inputs without pandas metadata propagate nothing") {
     val d = tmpDir("none")
     val f1 = s"$d/f1.parquet"

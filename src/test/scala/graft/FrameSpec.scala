@@ -25,6 +25,42 @@ class FrameSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](lp.addColumn("upper_name", lit(1)))
   }
 
+  test("deprecated-surface parity: whole-frame arithmetic stays lazy and element-wise") {
+    // reference LazyParquetDataFrame.__add__ .. (lazy_parquet.py:899-1038):
+    // scalar ops broadcast over numeric columns; index/non-numerics pass
+    val lp = LazyParquetFrame(spark, sf("customer"), Seq("c_custkey"))
+    val plus = (lp + 10.0).select("c_custkey", "c_acctbal", "c_name")
+    val base = spark.read.parquet(sf("customer"))
+      .select($"c_custkey", ($"c_acctbal" + 10.0).as("c_acctbal"), $"c_name")
+    assert(plus.exceptAll(base).isEmpty && base.exceptAll(plus).isEmpty)
+    // index column c_custkey untouched; string column untouched
+    val neg = (-lp).agg(sum($"c_custkey")).head().getLong(0)
+    val pos = spark.read.parquet(sf("customer")).agg(sum($"c_custkey")).head().getLong(0)
+    assert(neg == pos, "index column must not be negated")
+    // comparison dunder: numeric -> boolean
+    val gt = (lp > 0.0)
+    assert(gt.schema("c_acctbal").dataType.typeName == "boolean")
+    assert(gt.schema("c_name").dataType.typeName == "string")
+    // in-place variant rebinds the plan (reference __iadd__)
+    val before = lp.df.agg(sum($"c_acctbal")).head().getDouble(0)
+    lp.transformInPlace(_ * 2)
+    val after = lp.df.agg(sum($"c_acctbal")).head().getDouble(0)
+    assert(math.abs(after - 2 * before) < 1e-6)
+  }
+
+  test("deprecated-surface parity: drop, rename, resetIndex bookkeeping") {
+    val lp = LazyParquetFrame(spark, sf("region"), Seq("r_regionkey"))
+    assertThrows[NoSuchElementException](lp.drop("nope"))
+    assert(lp.drop("r_name").columns.toSeq == Seq("r_regionkey"))
+    lp.rename(Map("r_regionkey" -> "rk"))
+    assert(lp.indexColumns == Seq("rk") && lp.columns.contains("rk"))
+    lp.resetIndex()
+    assert(lp.indexColumns.isEmpty && lp.columns.contains("rk"))
+    val lp2 = LazyParquetFrame(spark, sf("region"), Seq("r_regionkey"))
+    lp2.resetIndex(dropCols = true)
+    assert(lp2.columns == Seq("r_name"))
+  }
+
   test("lazy frame: tuple filter returns only predicate columns") {
     val lp = LazyParquetFrame(spark, sf("customer"))
     val out = lp.filter(("c_acctbal", ">", 0.0), ("c_nationkey", "<=", 10))

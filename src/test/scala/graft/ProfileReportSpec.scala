@@ -25,6 +25,42 @@ class ProfileReportSpec extends SparkSpecBase {
     assert(p.variables("const").alerts == Seq("constant"))
   }
 
+  test("alerts: constant_length and uniform (ydata taxonomy widening)") {
+    // name: 4 distinct single-char strings -> constant_length, not constant
+    val p = ColumnProfiler.profile(df)
+    assert(p.variables("name").alerts.contains("constant_length"))
+    assert(!p.variables("name").alerts.contains("constant"))
+    // varying lengths -> no constant_length
+    val pv = ColumnProfiler.profile(Seq("a", "bb", "ccc").toDF("s"))
+    assert(!pv.variables("s").alerts.contains("constant_length"))
+    // an exactly flat histogram (1000 values, 100 per decile bin) passes
+    // the chi-square uniform test; a skewed one does not
+    val flat = ColumnProfiler.profile(
+      (0 until 1000).map(i => (i % 10) + (i % 100) / 1000.0).toDF("u"))
+    assert(flat.variables("u").alerts.contains("uniform"))
+    val skewed = ColumnProfiler.profile(
+      ((0 until 900).map(_ => 0.1) ++ Seq(1.0, 5.0, 9.9)).toDF("v"))
+    assert(!skewed.variables("v").alerts.contains("uniform"))
+  }
+
+  test("alerts: high_correlation flags tightly coupled numeric pairs only") {
+    val d = Seq((1.0, 2.0, 5.0), (2.0, 4.0, -3.0), (3.0, 6.0, 9.0), (4.0, 8.0, 0.5))
+      .toDF("x", "y", "noise")
+    val p = ColumnProfiler.withCorrelationAlerts(d, ColumnProfiler.profile(d))
+    assert(p.variables("x").alerts.contains("high_correlation"))   // y = 2x
+    assert(p.variables("y").alerts.contains("high_correlation"))
+    assert(!p.variables("noise").alerts.contains("high_correlation"))
+  }
+
+  test("chiSquareP: matches textbook chi-square tail values") {
+    import graft.profile.Stat
+    assert(Stat.chiSquareP(1, 0.0) == 1.0)
+    // classic critical values: P(chi2_1 > 3.841) ~ 0.05, P(chi2_9 > 21.666) ~ 0.01
+    assert(math.abs(Stat.chiSquareP(1, 3.841) - 0.05) < 1e-3)
+    assert(math.abs(Stat.chiSquareP(9, 21.666) - 0.01) < 1e-3)
+    assert(math.abs(Stat.chiSquareP(10, 9.342) - 0.5) < 1e-3)
+  }
+
   test("profile HTML lists columns, stats and alert badges") {
     val p = ColumnProfiler.profile(df)
     val html = ProfileReport.toHtml(p, "spec report")
