@@ -242,39 +242,13 @@ object LinearModel {
         round(col("__p") / col("n").cast("double"), roundTo).as("overall_pos_rate"))
   }
 
-  /** Attach the EXCLUSIVE running sum of `cntCol` under `order` to a
-    * per-distinct-value table as `outCol` — the two-phase distributed
-    * cumsum ([[graft.profile.Drift.ksStatistic]] mechanics): range
-    * partition on `order`, per-partition cumulative windows (keyed by
-    * partition id — fully parallel), prefix-sum the ≤ numPartitions
-    * per-partition totals on the driver and broadcast-join the offsets
-    * back. No global single-partition window anywhere in the plan.
-    * localCheckpoint: the offsets job and every consumer job share the
-    * range-partitioned table (same materialize-once contract as
-    * [[graft.operators.Components]]; blocks release via
-    * `spark.catalog` sweeps or [[graft.ops.ScaleOps.releaseCheckpointBlocks]]). */
+  /** Exclusive distributed running count over a per-distinct-value table —
+    * delegates to the shared two-phase cumsum
+    * ([[graft.ops.ScaleOps.withExclusiveRunningSum]]): no global
+    * single-partition window anywhere in the plan. */
   private def withExclusiveRunningCount(perV: DataFrame, order: Column,
-      cntCol: String, outCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = perV.repartitionByRange(order)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = parts.groupBy("_pid")
-      .agg(sum(col(cntCol)).cast("long").as("_t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // exclusive prefix: offset of partition i = totals of partitions < i
-    val scan = totals.scanLeft((0, 0L)) { case ((_, c), (pid, t)) => (pid, c + t) }
-    val offsets = scan.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    val spark = perV.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("_pid", "_off")
-    val wl = Window.partitionBy("_pid").orderBy(order)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parts.join(broadcast(offDf), Seq("_pid"))
-      .withColumn(outCol,
-        coalesce(sum(col(cntCol)).over(wl), lit(0L)) + col("_off"))
-      .drop("_pid", "_off")
-  }
+      cntCol: String, outCol: String): DataFrame =
+    graft.ops.ScaleOps.withExclusiveRunningSum(perV, order, cntCol, outCol)
 
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */

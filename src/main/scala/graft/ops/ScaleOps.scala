@@ -217,6 +217,42 @@ object ScaleOps {
         col("est_rows"), col("max_fanout"), col("mean_fanout"))
   }
 
+  /** Attach the EXCLUSIVE running sum of `cntCol` under `order` to a
+    * per-distinct-value table as `outCol` — the two-phase distributed
+    * cumsum: range partition on `order`, per-partition cumulative windows
+    * (keyed by partition id — fully parallel), prefix-sum the
+    * ≤ numPartitions per-partition totals on the driver and broadcast-join
+    * the offsets back. No global single-partition window anywhere in the
+    * plan; the building block behind the distributed CDF/rank/quantile
+    * paths ([[graft.profile.Drift.ksStatistic]] pioneered the shape,
+    * [[graft.operators.LinearModel.evalScores]] and
+    * [[graft.profile.ColumnProfiler.exactQuantiles]] consume this one).
+    * The localCheckpoint freezes the range partitioning so the offsets job
+    * and every consumer job share it; blocks release via catalog sweeps or
+    * [[releaseCheckpointBlocks]]. */
+  def withExclusiveRunningSum(perV: DataFrame, order: Column,
+      cntCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = perV.repartitionByRange(order)
+      .withColumn("__rs_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy("__rs_pid")
+      .agg(sum(col(cntCol)).cast("long").as("__rs_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix: offset of partition i = totals of partitions < i
+    val scan = totals.scanLeft((0, 0L)) { case ((_, c), (pid, t)) => (pid, c + t) }
+    val offsets = scan.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = perV.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__rs_pid", "__rs_off")
+    val wl = Window.partitionBy("__rs_pid").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offDf), Seq("__rs_pid"))
+      .withColumn(outCol,
+        coalesce(sum(col(cntCol)).over(wl), lit(0L)) + col("__rs_off"))
+      .drop("__rs_pid", "__rs_off")
+  }
+
   /** Heavy hitters via the Space-Saving sketch
     * ([[graft.functions.kernels.SpaceSavingAgg]]) — [[heavyHitters]] with
     * HARD-BOUNDED state: the exact form's shuffle carries one row per

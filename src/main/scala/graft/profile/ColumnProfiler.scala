@@ -187,14 +187,24 @@ object ColumnProfiler {
       throw new IllegalArgumentException(s"Columns not in frame: ${missing.mkString(", ")}")
     columns.foreach { c =>
       require(isNumeric(df.schema(c).dataType), s"winsorize needs numeric columns: $c") }
-    val aggs = columns.map { c =>
-      val v = col(c).cast("double")
-      (if (exact) percentile(v, lit(Array(lower, upper)))
-       else percentile_approx(v, lit(Array(lower, upper)), lit(10000))).as(c)
-    }
-    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // exact mode: the histogram-guided order-statistic path, ALL columns
+    // sharing the same three passes (see [[ExactQuantiles]] — the
+    // percentile aggregate's all-distinct buffer is both slower and a
+    // corpus-scale OOM); approx mode keeps the one mergeable-sketch pass
+    val bounds: Map[String, Seq[Double]] =
+      if (exact)
+        ExactQuantiles.quantiles(df, columns, Seq(lower, upper))
+          .map { case (c, vs) => c -> vs.map(_.get) }
+      else {
+        val aggs = columns.map { c =>
+          percentile_approx(col(c).cast("double"), lit(Array(lower, upper)),
+            lit(10000)).as(c)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        columns.map(c => c -> row.getAs[scala.collection.Seq[Double]](c).toSeq).toMap
+      }
     val clipped = columns.map { c =>
-      val b = bounds.getAs[scala.collection.Seq[Double]](c)
+      val b = bounds(c)
       c -> least(greatest(col(c).cast("double"), lit(b(0))), lit(b(1)))
     }.toMap
     df.select(df.columns.map(c =>
@@ -223,12 +233,12 @@ object ColumnProfiler {
     require(isNumeric(df.schema(column).dataType),
       s"madOutliers needs a numeric column: $column")
     val v = col(column).cast("double")
-    def medianOf(c: Column): Option[Double] = {
-      val r = df.agg(
-        (if (exact) percentile(c, lit(0.5))
-         else percentile_approx(c, lit(0.5), lit(10000))).as("m")).collect()(0)
-      if (r.isNullAt(0)) None else Some(r.getDouble(0))
-    }
+    def medianOf(c: Column): Option[Double] =
+      if (exact) exactQuantiles(df.select(c.as("__m")), "__m", Seq(0.5)).head
+      else {
+        val r = df.agg(percentile_approx(c, lit(0.5), lit(10000)).as("m")).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
     val scale = for {
       med <- medianOf(v)
       mad <- medianOf(abs(v - med))
@@ -347,18 +357,27 @@ object ColumnProfiler {
     require(isNumeric(df.schema(column).dataType),
       s"quantileBins needs a numeric column: $column")
     val v = col(column).cast("double")
-    val ps = lit((1 until k).map(_.toDouble / k).toArray)
-    val boundsAgg =
-      (if (exact) percentile(v, ps) else percentile_approx(v, ps, lit(10000)))
-        .as("_qb")
-    val bounds = df.agg(boundsAgg)
-    val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
-      when(v <= element_at(col("_qb"), i), lit(i)).otherwise(rest)
-    }
-    df.crossJoin(broadcast(bounds))
-      .withColumn(s"${column}_bucket",
+    val psSeq = (1 until k).map(_.toDouble / k)
+    if (exact) {
+      // relational order-statistic bounds (see [[exactQuantiles]]);
+      // boundaries become literals, assignment stays a pure projection
+      val bs = exactQuantiles(df, column, psSeq).map(_.get)
+      val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
+        when(v <= lit(bs(i - 1)), lit(i)).otherwise(rest)
+      }
+      df.withColumn(s"${column}_bucket",
         when(v.isNull, lit(null).cast("int")).otherwise(bucket))
-      .drop("_qb")
+    } else {
+      val boundsAgg = percentile_approx(v, lit(psSeq.toArray), lit(10000)).as("_qb")
+      val bounds = df.agg(boundsAgg)
+      val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
+        when(v <= element_at(col("_qb"), i), lit(i)).otherwise(rest)
+      }
+      df.crossJoin(broadcast(bounds))
+        .withColumn(s"${column}_bucket",
+          when(v.isNull, lit(null).cast("int")).otherwise(bucket))
+        .drop("_qb")
+    }
   }
 
   /** Long-form per-group profile of numeric columns: one row per
@@ -579,6 +598,15 @@ object ColumnProfiler {
 
     TableProfile(n = n, nVar = fields.size, variables = profiles)
   }
+
+  /** Exact interpolated quantiles (Spark `percentile` interpolation,
+    * bit-identical results on NaN-free data) without the `percentile`
+    * aggregate's all-distinct single-task buffer — delegates to the
+    * histogram-guided order-statistic pass ([[ExactQuantiles.quantiles]]).
+    * Returns one Option per p (None on an empty/all-null column). */
+  def exactQuantiles(df: DataFrame, column: String,
+      ps: Seq[Double]): Seq[Option[Double]] =
+    ExactQuantiles.quantiles(df, Seq(column), ps)(column)
 
   /** Append ydata's HIGH_CORRELATION alert: a column is flagged when
     * |pearson| ≥ `threshold` against any OTHER profiled numeric column.

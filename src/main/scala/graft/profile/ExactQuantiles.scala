@@ -1,0 +1,194 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles at corpus scale — the histogram-guided
+  * order-statistic algorithm (the classic two-phase "approximate then
+  * resolve" refinement; see e.g. the iterative histogram narrowing in
+  * public massive-parallel quantile literature):
+  *
+  *  1. ONE aggregation scan: per-column min / max / non-null count.
+  *  2. ONE bin-count pass: every value maps to a fixed-width bin index
+  *     (`bins` cells between min and max); counts collect to the driver
+  *     (`bins × |columns|` longs — bounded, never row data).
+  *  3. The driver locates each target rank's bin; ONE more pass collects
+  *     the DISTINCT values (+counts) of just those bins — expected
+  *     `distinct/bins` values each — and the exact bracketing order
+  *     statistics come from a driver-side cumsum. If a located bin still
+  *     holds more than `capRows` rows (heavy skew), it is re-binned
+  *     WITHIN its range — expression-composed, so no floating-point
+  *     boundary drift between passes — until it fits or cannot subdivide
+  *     further (a run of near-identical doubles: its distinct set is tiny
+  *     by construction, so the collect is safe regardless of row count).
+  *
+  * vs the `percentile` aggregate: that buffer holds EVERY distinct value
+  * and merges into ONE final task — measured 2.3-2.8 s on 583k distinct
+  * doubles at sf0.1 and an OOM at corpus scale. Here every pass is a
+  * codegen'd scan with a map-side-combined tiny aggregation; driver and
+  * collect sizes are bounded by `bins` and the located bins' distinct
+  * counts, independent of corpus size.
+  *
+  * Semantics: Spark `percentile` interpolation — the weighted form
+  * `(⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi` at `pos = p·(n−1)` on the exact
+  * order statistics, the identical double expression, so results are
+  * bit-for-bit what `percentile` returns on NaN-free data. Nulls are
+  * ignored; NaN is EXCLUDED like null (the `percentile` aggregate's NaN
+  * behavior is undefined hash-map ordering — we document the clean
+  * contract instead). */
+object ExactQuantiles {
+
+  /** Per-column exact quantiles; one Option per p (None when the column
+    * has no non-null, non-NaN values). All columns share the same three
+    * passes — profiling several columns costs the same scans as one. */
+  def quantiles(df: DataFrame, columns: Seq[String], ps: Seq[Double],
+      bins: Int = 8192, capRows: Long = 4000000L,
+      maxRefine: Int = 16): Map[String, Seq[Option[Double]]] = {
+    require(columns.nonEmpty, "at least one column required")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Columns not in frame: ${missing.mkString(", ")}")
+
+    def clean(c: String): Column = {
+      val v = col(c).cast("double")
+      when(!isnan(v), v) // null for both SQL null and NaN
+    }
+
+    // ---- pass 1: min / max / count per column ---------------------------
+    val statAggs = columns.flatMap { c =>
+      Seq(min(clean(c)).as(s"__mn_$c"), max(clean(c)).as(s"__mx_$c"),
+        count(clean(c)).as(s"__n_$c"))
+    }
+    val statRow = df.agg(statAggs.head, statAggs.tail: _*).head()
+    case class Stats(mn: Double, mx: Double, n: Long)
+    val stats: Map[String, Option[Stats]] = columns.map { c =>
+      val n = statRow.getAs[Long](s"__n_$c")
+      c -> (if (n == 0) None
+            else Some(Stats(statRow.getAs[Double](s"__mn_$c"),
+              statRow.getAs[Double](s"__mx_$c"), n)))
+    }.toMap
+
+    // target 0-based ranks per column (the floor/ceil bracketing pair)
+    def positions(n: Long): Seq[Double] = ps.map(p => p * (n - 1))
+    def neededRanks(n: Long): Seq[Long] =
+      positions(n).flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct
+
+    // a segment = one column's value sub-range still being narrowed:
+    // `pred` composes the EXACT bin expressions that selected it, so the
+    // filter in later passes can never disagree with earlier binning
+    case class Seg(colIdx: Int, pred: Column, lo: Double, hi: Double,
+      cumBefore: Long, rows: Long, ranks: Seq[Long])
+
+    def binExpr(c: String, lo: Double, hi: Double): Column = {
+      val v = clean(c)
+      least(lit(bins - 1), greatest(lit(0),
+        floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins)))).cast("int")
+    }
+    // can this range still subdivide in double space?
+    def splittable(lo: Double, hi: Double): Boolean =
+      hi > lo && (lo + (hi - lo) / bins) > lo
+
+    // one bin-count pass over a set of segments → child segments
+    def refine(segs: Seq[Seg]): Seq[Seg] = {
+      if (segs.isEmpty) return Nil
+      val entries = segs.zipWithIndex.map { case (s, i) =>
+        val c = columns(s.colIdx)
+        struct(lit(i).as("seg"),
+          when(s.pred, binExpr(c, s.lo, s.hi)).as("bin"))
+      }
+      val counts = df.select(explode(array(entries: _*)).as("e"))
+        .filter(col("e.bin").isNotNull)
+        .groupBy(col("e.seg").as("seg"), col("e.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+      segs.zipWithIndex.flatMap { case (s, i) =>
+        val byBin = counts.getOrElse(i, Array.empty[(Int, Int, Long)])
+          .map(t => (t._2, t._3)).sortBy(_._1)
+        var cum = s.cumBefore
+        val width = s.hi - s.lo
+        byBin.flatMap { case (b, cnt) =>
+          val childRanks = s.ranks.filter(k => cum <= k && k < cum + cnt)
+          val out = if (childRanks.isEmpty) None
+          else {
+            val c = columns(s.colIdx)
+            val childLo = s.lo + width * b / bins
+            val childHi = if (b == bins - 1) s.hi else s.lo + width * (b + 1) / bins
+            Some(Seg(s.colIdx, s.pred && binExpr(c, s.lo, s.hi) === b,
+              childLo, childHi, cum, cnt, childRanks))
+          }
+          cum += cnt
+          out
+        }
+      }
+    }
+
+    // ---- passes 2..k: narrow until every needed segment fits ------------
+    val initial = columns.zipWithIndex.flatMap { case (c, i) =>
+      stats(c) match {
+        case Some(st) if st.mx > st.mn =>
+          Some(Seg(i, clean(c).isNotNull, st.mn, st.mx, 0L, st.n, neededRanks(st.n)))
+        case _ => None // empty or constant column: resolved without scans
+      }
+    }
+    var pending = refine(initial)
+    var round = 0
+    while (pending.exists(s => s.rows > capRows && splittable(s.lo, s.hi))
+        && round < maxRefine) {
+      val (hot, ok) = pending.partition(s =>
+        s.rows > capRows && splittable(s.lo, s.hi))
+      pending = ok ++ refine(hot)
+      round += 1
+    }
+
+    // ---- final pass: distinct values of the located segments ------------
+    val resolved: Map[(Int, Long), Double] =
+      if (pending.isEmpty) Map.empty
+      else {
+        val entries = pending.zipWithIndex.map { case (s, i) =>
+          struct(lit(i).as("seg"),
+            when(s.pred, clean(columns(s.colIdx))).as("v"))
+        }
+        val vals = df.select(explode(array(entries: _*)).as("e"))
+          .filter(col("e.v").isNotNull)
+          .groupBy(col("e.seg").as("seg"), col("e.v").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1)
+        pending.zipWithIndex.flatMap { case (s, i) =>
+          val sorted = vals.getOrElse(i, Array.empty[(Int, Double, Long)])
+            .map(t => (t._2, t._3)).sortBy(_._1)
+          var cum = s.cumBefore
+          sorted.flatMap { case (v, cnt) =>
+            val hit = s.ranks.filter(k => cum <= k && k < cum + cnt)
+              .map(k => (s.colIdx, k) -> v)
+            cum += cnt
+            hit
+          }
+        }.toMap
+      }
+
+    // ---- assemble + interpolate (Spark percentile's exact formula) ------
+    columns.zipWithIndex.map { case (c, i) =>
+      c -> (stats(c) match {
+        case None => ps.map(_ => Option.empty[Double])
+        case Some(st) if st.mx == st.mn => ps.map(_ => Some(st.mn))
+        case Some(st) =>
+          positions(st.n).map { pos =>
+            val lo = math.floor(pos).toLong
+            val hi = math.ceil(pos).toLong
+            val vLo = resolved((i, lo))
+            // Spark Percentile's exact expression — the WEIGHTED-average
+            // form `(hi−pos)·vLo + (pos−lo)·vHi`, which differs from
+            // `vLo + Δ·frac` by an ulp on some inputs; bit-parity with
+            // the aggregate (and the DuckDB oracle) requires this one
+            Some(if (lo == hi) vLo
+                 else (hi - pos) * vLo + (pos - lo) * resolved((i, hi)))
+          }
+      })
+    }.toMap
+  }
+}

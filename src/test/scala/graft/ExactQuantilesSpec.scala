@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profile.ExactQuantiles
+
+/** The histogram-guided exact quantile pass must agree bit-for-bit with
+  * Spark's `percentile` aggregate (the oracle-pinned semantics) on
+  * NaN-free data, across duplicates, nulls, constants and forced
+  * refinement. */
+class ExactQuantilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val PS = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+
+  private def sparkPercentile(df: org.apache.spark.sql.DataFrame,
+      c: String): Seq[Double] =
+    df.agg(percentile(col(c).cast("double"), lit(PS.toArray)))
+      .head().getSeq[Double](0).toSeq
+
+  test("agrees with the percentile aggregate on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    // heavy duplication + a wide tail, plus nulls
+    val vals = Seq.tabulate(20000) { i =>
+      if (i % 17 == 0) None
+      else if (i % 3 == 0) Some((rnd.nextInt(50)).toDouble)
+      else Some(rnd.nextDouble() * 1e6 - 5e5)
+    }
+    val df = vals.toDF("v")
+    val got = ExactQuantiles.quantiles(df, Seq("v"), PS)("v").map(_.get)
+    assert(got == sparkPercentile(df, "v"))
+  }
+
+  test("forced refinement (tiny capRows) still lands exact values") {
+    val rnd = new scala.util.Random(7)
+    // all mass inside one narrow range so first-level bins are hot
+    val df = Seq.fill(5000)(1000.0 + rnd.nextDouble() * 1e-3).toDF("v")
+    val got = ExactQuantiles.quantiles(df, Seq("v"), PS,
+      bins = 8, capRows = 100L)("v").map(_.get)
+    assert(got == sparkPercentile(df, "v"))
+  }
+
+  test("unsplittable heavy value resolves without refinement loops") {
+    // one double duplicated beyond capRows: range can't subdivide, the
+    // distinct-collect path must resolve it directly
+    val df = (Seq.fill(3000)(5.0) ++ Seq(1.0, 9.0)).toDF("v")
+    val got = ExactQuantiles.quantiles(df, Seq("v"), PS,
+      bins = 4, capRows = 10L)("v").map(_.get)
+    assert(got == sparkPercentile(df, "v"))
+  }
+
+  test("multi-column batch matches per-column runs") {
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(5000)(i =>
+      (rnd.nextDouble() * 100, rnd.nextInt(1000).toLong)).toDF("a", "b")
+    val batch = ExactQuantiles.quantiles(df, Seq("a", "b"), PS)
+    assert(batch("a").map(_.get) == sparkPercentile(df, "a"))
+    assert(batch("b").map(_.get) == sparkPercentile(df, "b"))
+  }
+
+  test("edges: empty, all-null, constant, single row") {
+    assert(ExactQuantiles.quantiles(
+      Seq.empty[Double].toDF("v"), Seq("v"), PS)("v").forall(_.isEmpty))
+    assert(ExactQuantiles.quantiles(
+      Seq[Option[Double]](None, None).toDF("v"), Seq("v"), PS)("v")
+      .forall(_.isEmpty))
+    assert(ExactQuantiles.quantiles(
+      Seq(3.5, 3.5, 3.5).toDF("v"), Seq("v"), PS)("v")
+      .forall(_.contains(3.5)))
+    assert(ExactQuantiles.quantiles(
+      Seq(42.0).toDF("v"), Seq("v"), PS)("v").forall(_.contains(42.0)))
+  }
+}
