@@ -187,6 +187,9 @@ object Bench {
       val best: Map[String, Double] = results.map { case (k, v) =>
         val merged = (prev.get(qk(k)), v) match {
           case (Some(p), cur) if p > 0 && cur > 0 => math.min(p, cur)
+          // a transient failure (-1) must NOT clobber a known-good best —
+          // that would blind the guard for this query on every later run
+          case (Some(p), cur) if p > 0 && cur <= 0 => p
           case (_, cur) => cur
         }
         qk(k) -> merged

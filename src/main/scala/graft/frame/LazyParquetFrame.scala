@@ -60,6 +60,7 @@ final class LazyParquetFrame private (
   /** Add or replace a column (reference __setitem__/add_column,
     * lazy_parquet.py:222-250). */
   def update(name: String, value: Column): Unit = {
+    unloadColumns() // the rebound plan can never hit the old cached subtree
     current = current.withColumn(name, value)
     loaded += name
   }
@@ -75,8 +76,25 @@ final class LazyParquetFrame private (
     * EXECUTORS (`cache()` + a count action) — same "subsequent access is
     * memory-speed" contract without the driver OOM a full-row `collect()`
     * would hand a 100 TB caller. Spill-safe: MEMORY_AND_DISK is cache()'s
-    * default level. */
-  def loadColumns(cols: Seq[String]): Unit = { apply(cols: _*).cache().count(); () }
+    * default level. The frame keeps the handle: a repeat call (or any
+    * mutation that rebinds the plan — update/rename/transformInPlace/
+    * save — after which the cached subtree can never be hit again)
+    * releases the previous cache instead of orphaning it; call
+    * [[unloadColumns]] to release explicitly. */
+  def loadColumns(cols: Seq[String]): Unit = {
+    unloadColumns()
+    val c = apply(cols: _*).cache()
+    c.count()
+    cachedLoad = Some(c)
+  }
+
+  /** Release the executor cache a [[loadColumns]] call pinned (no-op when
+    * nothing is loaded). */
+  def unloadColumns(): Unit = {
+    cachedLoad.foreach(_.unpersist(false))
+    cachedLoad = None
+  }
+  private var cachedLoad: Option[DataFrame] = None
 
   def head(n: Int = 5): DataFrame = current.limit(n)
 
@@ -167,7 +185,10 @@ final class LazyParquetFrame private (
 
   /** In-place variants (__iadd__ …): rebind the frame's plan to the mapped
     * result — still lazy (the reference eagerly rewrote its pandas cache). */
-  def transformInPlace(f: Column => Column): Unit = { current = mapNumeric(f) }
+  def transformInPlace(f: Column => Column): Unit = {
+    unloadColumns()
+    current = mapNumeric(f)
+  }
 
   /** Drop columns (reference drop, lazy_parquet.py:849-861). */
   def drop(cols: String*): DataFrame = {
@@ -180,6 +201,7 @@ final class LazyParquetFrame private (
   /** Rename columns by map (reference rename, lazy_parquet.py:863-876);
     * delegates to the engine rename so index bookkeeping follows. */
   def rename(mapping: Map[String, String]): Unit = {
+    unloadColumns()
     current = graft.ops.SchemaOps.rename(current, mapping)
     index = index.map(c => mapping.getOrElse(c, c))
     loaded = loaded.map(c => mapping.getOrElse(c, c))
@@ -217,6 +239,7 @@ final class LazyParquetFrame private (
     * in; the frame then re-reads the new files (the old plan would hold a
     * stale file listing). */
   def save(): Unit = {
+    unloadColumns()
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(conf)

@@ -231,6 +231,11 @@ object LinearModel {
     val thr = ranked
       .filter(col("__above") < k && col("__above") + col("__cnt") >= k)
       .select(col("score")).head().getDouble(0)
+    // thr and n are driver values now and the returned plan reads only
+    // `base` — release the running sum's checkpointed per-score blocks
+    // here (they are unreachable from the returned DataFrame, so no
+    // caller could release them later)
+    graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
     base.agg(
         count(lit(1)).as("n"),
         sum(when(col("score") >= thr, 1L).otherwise(0L)).as("n_kept"),

@@ -568,11 +568,18 @@ object Similarity {
     require(centroids.nonEmpty, "at least one centroid required")
     require(tau >= -1 && tau <= 1, s"tau must be a cosine threshold: $tau")
     val spark = newDf.sparkSession
+    // persisted: the batch scan + assignment kernel feed the probed-id
+    // collect, the join's broadcast side AND the final left join — without
+    // the cache they would run three times per probe. Caller-release
+    // contract as with the LSH kernel bases: blocks live in the
+    // CacheManager (spark.catalog.clearCache() or a targeted unpersist
+    // releases them; the bench/verify harnesses sweep between queries).
     val assigned = newDf.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v"))
       .withColumn("cluster",
         VectorKernelFunctions.nearestCentroid(
           slice(col("__v"), 1, clusterDims), centroids.map(_.clone())))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = assigned.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(path)

@@ -223,10 +223,11 @@ object ScaleOps {
     * (keyed by partition id — fully parallel), prefix-sum the
     * ≤ numPartitions per-partition totals on the driver and broadcast-join
     * the offsets back. No global single-partition window anywhere in the
-    * plan; the building block behind the distributed CDF/rank/quantile
-    * paths ([[graft.profile.Drift.ksStatistic]] pioneered the shape,
+    * plan; the building block behind the distributed CDF/rank paths
+    * ([[graft.profile.Drift.ksStatistic]] pioneered the shape;
     * [[graft.operators.LinearModel.evalScores]] and
-    * [[graft.profile.ColumnProfiler.exactQuantiles]] consume this one).
+    * `thresholdAtKeepRate` consume this one — the quantile path uses its
+    * own histogram passes, [[graft.profile.ExactQuantiles]]).
     * The localCheckpoint freezes the range partitioning so the offsets job
     * and every consumer job share it; blocks release via catalog sweeps or
     * [[releaseCheckpointBlocks]]. */

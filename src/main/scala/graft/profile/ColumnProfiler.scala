@@ -239,10 +239,24 @@ object ColumnProfiler {
         val r = df.agg(percentile_approx(c, lit(0.5), lit(10000)).as("m")).collect()(0)
         if (r.isNullAt(0)) None else Some(r.getDouble(0))
       }
-    val scale = for {
-      med <- medianOf(v)
-      mad <- medianOf(abs(v - med))
-    } yield (med, 1.4826 * mad)
+    // exact mode on a small column: BOTH medians come from one distinct
+    // collect — the MAD's |v − median| table is a pure driver transform of
+    // the value table (same doubles, same interpolation), saving the
+    // second set of scans the sequential construction otherwise needs
+    val smallBoth: Option[Option[(Double, Double)]] =
+      if (!exact) None
+      else ExactQuantiles.distinctCounts(df.select(v.as("__m")), "__m").map { counts =>
+        ExactQuantiles.quantilesFromCounts(counts, Seq(0.5)).head.map { med =>
+          val dev = counts.map { case (x, c) => (math.abs(x - med), c) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+          (med, ExactQuantiles.quantilesFromCounts(dev, Seq(0.5)).head.get)
+        }
+      }
+    val scale = (smallBoth match {
+      case Some(pair) => pair
+      case None =>
+        for { med <- medianOf(v); mad <- medianOf(abs(v - med)) } yield (med, mad)
+    }).map { case (med, mad) => (med, 1.4826 * mad) }
     scale match {
       case Some((med, s)) if s > 0.0 =>
         df.withColumn("robust_z", (v - med) / s)
@@ -360,13 +374,20 @@ object ColumnProfiler {
     val psSeq = (1 until k).map(_.toDouble / k)
     if (exact) {
       // relational order-statistic bounds (see [[exactQuantiles]]);
-      // boundaries become literals, assignment stays a pure projection
-      val bs = exactQuantiles(df, column, psSeq).map(_.get)
-      val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
-        when(v <= lit(bs(i - 1)), lit(i)).otherwise(rest)
+      // boundaries become literals, assignment stays a pure projection.
+      // An empty/all-null column has no boundaries: every bucket is null
+      // (the percentile aggregate's null-bounds behavior, kept graceful)
+      val bsOpt = exactQuantiles(df, column, psSeq)
+      if (bsOpt.exists(_.isEmpty))
+        df.withColumn(s"${column}_bucket", lit(null).cast("int"))
+      else {
+        val bs = bsOpt.map(_.get)
+        val bucket = (1 until k).foldRight(lit(k): Column) { (i, rest) =>
+          when(v <= lit(bs(i - 1)), lit(i)).otherwise(rest)
+        }
+        df.withColumn(s"${column}_bucket",
+          when(v.isNull, lit(null).cast("int")).otherwise(bucket))
       }
-      df.withColumn(s"${column}_bucket",
-        when(v.isNull, lit(null).cast("int")).otherwise(bucket))
     } else {
       val boundsAgg = percentile_approx(v, lit(psSeq.toArray), lit(10000)).as("_qb")
       val bounds = df.agg(boundsAgg)

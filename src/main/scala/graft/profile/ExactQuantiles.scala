@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions._
 object ExactQuantiles {
 
   /** Per-column exact quantiles; one Option per p (None when the column
-    * has no non-null, non-NaN values). All columns share the same three
-    * passes — profiling several columns costs the same scans as one. */
+    * has no non-null, non-NaN values). All columns share the same passes —
+    * profiling several columns costs the same scans as one. Columns whose
+    * row count is ≤ `smallRows` skip the bin-count pass entirely and go
+    * straight to the distinct-collect (two jobs total — the bin pass only
+    * pays for itself when the distinct set is too big to collect). */
   def quantiles(df: DataFrame, columns: Seq[String], ps: Seq[Double],
       bins: Int = 8192, capRows: Long = 4000000L,
-      maxRefine: Int = 16): Map[String, Seq[Option[Double]]] = {
+      maxRefine: Int = 16, smallRows: Long = 262144L): Map[String, Seq[Option[Double]]] = {
     require(columns.nonEmpty, "at least one column required")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0,1]: $ps")
@@ -134,7 +137,9 @@ object ExactQuantiles {
         case _ => None // empty or constant column: resolved without scans
       }
     }
-    var pending = refine(initial)
+    // small columns go straight to the distinct-collect — no bin pass
+    val (smallInit, largeInit) = initial.partition(_.rows <= smallRows)
+    var pending = smallInit ++ refine(largeInit)
     var round = 0
     while (pending.exists(s => s.rows > capRows && splittable(s.lo, s.hi))
         && round < maxRefine) {
@@ -171,13 +176,70 @@ object ExactQuantiles {
         }.toMap
       }
 
+    assemble(columns, stats.map { case (c, s) => c -> s.map(x => (x.mn, x.mx, x.n)) },
+      resolved, ps)
+  }
+
+  /** The sorted distinct (value, count) table of a small-cardinality
+    * column — Some only when the column has ≤ `maxDistinct` distinct
+    * values, decided INSIDE the single job via a limit-guarded collect
+    * (at most maxDistinct+1 grouped rows ever reach the driver; one extra
+    * row means "too big" → None, use the scalable [[quantiles]] passes —
+    * the grouped pass is then wasted, so callers should pick maxDistinct
+    * so the common case fits). Lets derived-statistic callers (e.g. MAD:
+    * the median of |v − median|) compute SEVERAL exact order statistics
+    * from ONE collect via [[quantilesFromCounts]] instead of paying the
+    * passes per statistic. */
+  def distinctCounts(df: DataFrame, column: String,
+      maxDistinct: Int = 262144): Option[Seq[(Double, Long)]] = {
+    val v = col(column).cast("double")
+    val cleanV = when(!isnan(v), v)
+    val rows = df.select(cleanV.as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .limit(maxDistinct + 1)
+      .collect()
+    if (rows.length > maxDistinct) None
+    else Some(rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
+  /** Exact interpolated quantiles over a sorted distinct (value, count)
+    * table — Spark `percentile`'s weighted interpolation, driver-side.
+    * Empty input → all None. */
+  def quantilesFromCounts(sorted: Seq[(Double, Long)],
+      ps: Seq[Double]): Seq[Option[Double]] = {
+    val n = sorted.map(_._2).sum
+    if (n == 0) return ps.map(_ => None)
+    def valueAt(k: Long): Double = {
+      var cum = 0L
+      val it = sorted.iterator
+      while (it.hasNext) {
+        val (v, c) = it.next()
+        if (cum <= k && k < cum + c) return v
+        cum += c
+      }
+      throw new IllegalStateException(s"rank $k not found")
+    }
+    ps.map { p =>
+      val pos = p * (n - 1)
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      val vLo = valueAt(lo)
+      Some(if (lo == hi) vLo else (hi - pos) * vLo + (pos - lo) * valueAt(hi))
+    }
+  }
+
+  private def assemble(columns: Seq[String],
+      stats: Map[String, Option[(Double, Double, Long)]],
+      resolved: Map[(Int, Long), Double],
+      ps: Seq[Double]): Map[String, Seq[Option[Double]]] = {
     // ---- assemble + interpolate (Spark percentile's exact formula) ------
     columns.zipWithIndex.map { case (c, i) =>
       c -> (stats(c) match {
         case None => ps.map(_ => Option.empty[Double])
-        case Some(st) if st.mx == st.mn => ps.map(_ => Some(st.mn))
-        case Some(st) =>
-          positions(st.n).map { pos =>
+        case Some((mn, mx, _)) if mx == mn => ps.map(_ => Some(mn))
+        case Some((_, _, n)) =>
+          ps.map { p =>
+            val pos = p * (n - 1)
             val lo = math.floor(pos).toLong
             val hi = math.ceil(pos).toLong
             val vLo = resolved((i, lo))

@@ -166,7 +166,7 @@ class RegressionSpec extends SparkSpecBase {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q25_minhash_lsh", "q26_simhash_pairs", "q31_embedding_neardup",
                   "q63_neardup_clusters", "q70_neardup_incremental",
-                  "q184_lsh_probe_stored")) {
+                  "q184_lsh_probe_stored", "q206_semdedup_stored")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // run to completion
       graft.ops.ScaleOps.releaseCheckpointBlocks(df)
