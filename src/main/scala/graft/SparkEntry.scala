@@ -488,6 +488,39 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- cross-column high_correlation alerts (ydata taxonomy) ----------
+    // a constructed near-affine column (2·price + qty) pins the alert on
+    // exactly the coupled pair; natural lineitem correlations sit near 0,
+    // and the 0.9 threshold is nowhere near any pair (≈1.0 vs ≈0.003), so
+    // cross-engine corr ulps cannot flip a flag
+    "q208_correlation_alerts" -> ((s, dir) => {
+      // deterministic ~5% slice (q186's pattern): this query's contract is
+      // the ALERT wiring — booleans don't depend on row count, and the
+      // full-profile cost is q17/q154's job
+      val d = read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_quantity"), col("l_extendedprice"),
+          (col("l_extendedprice") * 2 + col("l_quantity")).as("combo"))
+      val p = ColumnProfiler.withCorrelationAlerts(d, ColumnProfiler.profile(d))
+      import s.implicits._
+      Seq("l_quantity", "l_extendedprice", "combo").map(c =>
+        (c, p.variables(c).alerts.contains("high_correlation")))
+        .toDF("column_name", "high_correlation")
+        .orderBy(col("column_name"))
+    }),
+
+    // ---- deprecated-frame scalar arithmetic surface ---------------------
+    // the LazyParquetDataFrame dunder parity (lazy_parquet.py:899-1038):
+    // scalar + broadcasts over numeric non-index columns as a lazy plan
+    "q209_frame_arith" -> ((s, dir) => {
+      val lp = graft.frame.LazyParquetFrame(s, s"$dir/customer.parquet",
+        Seq("c_custkey"))
+      (lp + 10.0).select(col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal_plus10"),
+          col("c_name"))
+        .gateOrdered(col("c_custkey"))
+    }),
+
     // ---- IVF+PQ: residual-encoded lists, pruned ADC probe ---------------
     // the production ANN pairing (q188's partition pruning × q196's
     // codes-only scan): 8 L2 seed lists, residual codebooks from the
@@ -3506,6 +3539,25 @@ object SparkEntry {
     // IVF+PQ residual probe replayed end-to-end (see ivfPqSql)
     "q207_ivfpq_stored" -> ivfPqSql(lists = 8, m = 8, sub = 8, codes = 16,
       nq = 5, topk = 10, nProbe = 3),
+    // high_correlation alert = |pearson| >= 0.9 against ANY other column
+    "q208_correlation_alerts" ->
+      """WITH d AS (SELECT l_quantity AS q, l_extendedprice AS e,
+                      l_extendedprice*2 + l_quantity AS combo
+                    FROM lineitem WHERE l_orderkey % 20 = 0),
+          c AS (SELECT corr(q, e) AS qe, corr(q, combo) AS qc,
+                  corr(e, combo) AS ec FROM d)
+          SELECT col AS column_name, flag AS high_correlation FROM (
+            SELECT 'l_quantity' AS col,
+              (abs(qe) >= 0.9 OR abs(qc) >= 0.9) AS flag FROM c
+            UNION ALL SELECT 'l_extendedprice',
+              (abs(qe) >= 0.9 OR abs(ec) >= 0.9) FROM c
+            UNION ALL SELECT 'combo',
+              (abs(qc) >= 0.9 OR abs(ec) >= 0.9) FROM c)
+          ORDER BY column_name""",
+    // scalar + over numeric non-index columns, index passes through
+    "q209_frame_arith" ->
+      """SELECT c_custkey, round(c_acctbal + 10.0, 2) AS acctbal_plus10, c_name
+         FROM customer ORDER BY c_custkey""",
     // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // the stored-codes probe computes identical ADC distances (q194)

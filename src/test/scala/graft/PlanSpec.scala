@@ -191,11 +191,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
-  test("quantile bins are a broadcast-compare projection, not an ntile window") {
+  test("quantile bins are a literal-compare projection, not an ntile window") {
+    // exact bounds resolve driver-side (ExactQuantiles) and inline as
+    // LITERALS: the assignment plan is a bare scan + projection — no
+    // window, no join of any kind (the r8 upgrade over the previous
+    // broadcast-compare shape)
     val p = plan("q116_quantile_bins")
     assert(!p.contains("Window"), s"bucketing must not plan a window:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"quantile bounds must broadcast:\n$p")
+    assert(!p.contains("Join"), s"bucketing must not plan a join:\n$p")
+    assert(p.contains("CASE WHEN"), s"bucket compare missing:\n$p")
   }
 
   test("windowed funnel keeps the pushed stage filter and compiled kernel") {
