@@ -212,7 +212,10 @@ final class LazyParquetFrame private (
     * physical columns here, so this is bookkeeping); `drop = true`
     * removes them from the frame entirely. */
   def resetIndex(dropCols: Boolean = false): Unit = {
-    if (dropCols && index.nonEmpty) current = current.drop(index: _*)
+    if (dropCols && index.nonEmpty) {
+      unloadColumns() // plan rebinds; the cached subtree can't be hit again
+      current = current.drop(index: _*)
+    }
     index = Nil
   }
 

@@ -147,8 +147,13 @@ object LinearModel {
     * float-exact under any order. */
   def evalScores(scored: DataFrame, threshold: Double = 0.5,
       roundTo: Int = 6): DataFrame = {
+    // null-label rows are EXCLUDED up front: the per-score counts would
+    // otherwise fold them into the negatives (count(1) vs sum(__y)), and
+    // the old per-row form silently let them inflate rank positions —
+    // both wrong answers for an unlabeled row in an eval set
     val perScore = scored.select(col("label").cast("int").as("__y"),
         col("score").cast("double").as("score"))
+      .filter(col("__y").isNotNull)
       .groupBy(col("score"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
     val ranked = withExclusiveRunningCount(perScore, col("score"), "__cnt", "__below")

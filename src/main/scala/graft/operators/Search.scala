@@ -102,8 +102,11 @@ object Search {
   def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
       rrfK: Int = 60, roundTo: Int = 6): DataFrame = {
     require(rankings.size >= 2, "rrfFuse needs at least two rankings")
-    require(rankings.map(_._1).distinct.size == rankings.size,
-      s"ranking source names must be distinct: ${rankings.map(_._1).mkString(", ")}")
+    // case-insensitive: Spark resolves column names case-insensitively by
+    // default, so rank_BM25 and rank_bm25 would still be ambiguous
+    require(rankings.map(_._1.toLowerCase).distinct.size == rankings.size,
+      s"ranking source names must be distinct (case-insensitive): " +
+        rankings.map(_._1).mkString(", "))
     require(k >= 1, s"k must be >= 1: $k")
     require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
     // CONTRACT: each ranking holds at most one row per (query_id, doc_id)

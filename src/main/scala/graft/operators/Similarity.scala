@@ -758,6 +758,12 @@ object Similarity {
     val cells = element_at(
       VectorKernelFunctions.pqLut(col("query_vec"),
         Array(centroids.map(_.clone()))), 1)
+    // persisted: the probe table feeds the probed-id collect AND the
+    // join's broadcast side — without the cache the (possibly
+    // nondeterministic) query plan would execute twice, and a second
+    // execution assigning a list OUTSIDE the collected literal filter
+    // would silently drop candidates. Caller-release contract as with
+    // the LSH kernel bases (CacheManager blocks; harness sweeps).
     val probes0 = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
       .withColumn("__cells", cells)
@@ -767,6 +773,7 @@ object Similarity {
           i => struct(element_at(col("__cells"), i + 1).as("d"), i.as("i")))),
           1, np),
         s => s.getField("i"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedLists = probes0.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val qres = VectorKernelFunctions.centroidResidual(

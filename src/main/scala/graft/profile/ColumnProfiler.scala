@@ -191,21 +191,26 @@ object ColumnProfiler {
     // sharing the same three passes (see [[ExactQuantiles]] — the
     // percentile aggregate's all-distinct buffer is both slower and a
     // corpus-scale OOM); approx mode keeps the one mergeable-sketch pass
-    val bounds: Map[String, Seq[Double]] =
+    // a column with no non-null values has no bounds: it passes through
+    // unclipped (cast only) rather than crashing — nothing to winsorize
+    val bounds: Map[String, Option[Seq[Double]]] =
       if (exact)
         ExactQuantiles.quantiles(df, columns, Seq(lower, upper))
-          .map { case (c, vs) => c -> vs.map(_.get) }
+          .map { case (c, vs) =>
+            c -> (if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get)))
+          }
       else {
         val aggs = columns.map { c =>
           percentile_approx(col(c).cast("double"), lit(Array(lower, upper)),
             lit(10000)).as(c)
         }
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        columns.map(c => c -> row.getAs[scala.collection.Seq[Double]](c).toSeq).toMap
+        columns.map(c => c -> Option(row.getAs[scala.collection.Seq[Double]](c))
+          .map(_.toSeq)).toMap
       }
-    val clipped = columns.map { c =>
-      val b = bounds(c)
-      c -> least(greatest(col(c).cast("double"), lit(b(0))), lit(b(1)))
+    val clipped = columns.flatMap { c =>
+      bounds(c).map(b =>
+        c -> least(greatest(col(c).cast("double"), lit(b(0))), lit(b(1))))
     }.toMap
     df.select(df.columns.map(c =>
       clipped.get(c).map(_.as(c)).getOrElse(col(c))): _*)

@@ -180,26 +180,28 @@ object ExactQuantiles {
       resolved, ps)
   }
 
-  /** The sorted distinct (value, count) table of a small-cardinality
-    * column — Some only when the column has ≤ `maxDistinct` distinct
-    * values, decided INSIDE the single job via a limit-guarded collect
-    * (at most maxDistinct+1 grouped rows ever reach the driver; one extra
-    * row means "too big" → None, use the scalable [[quantiles]] passes —
-    * the grouped pass is then wasted, so callers should pick maxDistinct
-    * so the common case fits). Lets derived-statistic callers (e.g. MAD:
-    * the median of |v − median|) compute SEVERAL exact order statistics
-    * from ONE collect via [[quantilesFromCounts]] instead of paying the
-    * passes per statistic. */
+  /** The sorted distinct (value, count) table of a small column — Some
+    * only when the collect is GUARANTEED to fit: the row count (a cheap
+    * scan-only job, and an upper bound on the distinct count) must be ≤
+    * `maxRows` BEFORE the grouped shuffle runs, so a high-cardinality
+    * corpus-scale column costs one count and no wasted shuffle on the way
+    * to the scalable [[quantiles]] passes. The limit on the collect is a
+    * belt-and-suspenders bound, never exercised when the guard holds.
+    * Lets derived-statistic callers (e.g. MAD: the median of
+    * |v − median|) compute SEVERAL exact order statistics from ONE
+    * collect via [[quantilesFromCounts]] instead of paying the passes per
+    * statistic. */
   def distinctCounts(df: DataFrame, column: String,
-      maxDistinct: Int = 262144): Option[Seq[(Double, Long)]] = {
+      maxRows: Long = 262144L): Option[Seq[(Double, Long)]] = {
     val v = col(column).cast("double")
     val cleanV = when(!isnan(v), v)
-    val rows = df.select(cleanV.as("__v")).filter(col("__v").isNotNull)
+    val cleaned = df.select(cleanV.as("__v")).filter(col("__v").isNotNull)
+    if (cleaned.count() > maxRows) return None
+    val rows = cleaned
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-      .limit(maxDistinct + 1)
+      .limit(math.min(maxRows, Int.MaxValue - 1L).toInt + 1)
       .collect()
-    if (rows.length > maxDistinct) None
-    else Some(rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).toSeq)
+    Some(rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
 
   /** Exact interpolated quantiles over a sorted distinct (value, count)
