@@ -58,6 +58,17 @@ class ExactQuantilesSpec extends SparkSpecBase {
     assert(batch("b").map(_.get) == sparkPercentile(df, "b"))
   }
 
+  test("winsorize and quantileBins survive an all-null column gracefully") {
+    val df = Seq[(Option[Double], Double)]((None, 1.0), (None, 2.0))
+      .toDF("dead", "live")
+    // dead column passes through unclipped; live column still clips
+    val w = graft.profile.ColumnProfiler.winsorize(df, Seq("dead", "live"),
+      lower = 0.25, upper = 0.75)
+    assert(w.count() == 2 && w.columns.toSeq == Seq("dead", "live"))
+    val qb = graft.profile.ColumnProfiler.quantileBins(df, "dead", k = 4)
+    assert(qb.select("dead_bucket").collect().forall(_.isNullAt(0)))
+  }
+
   test("edges: empty, all-null, constant, single row") {
     assert(ExactQuantiles.quantiles(
       Seq.empty[Double].toDF("v"), Seq("v"), PS)("v").forall(_.isEmpty))

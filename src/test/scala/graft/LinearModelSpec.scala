@@ -46,6 +46,21 @@ class LinearModelSpec extends SparkSpecBase {
     assert(r.getAs[Double]("accuracy") == 0.75)
   }
 
+  test("evalScores: null-label rows are excluded from every count") {
+    // the same fixture as the hand-computed test plus two unlabeled rows:
+    // every output must be identical (not folded into the negatives)
+    val scored = Seq(
+      (1L, Some(1), 0.9), (2L, Some(1), 0.6), (3L, Some(0), 0.6),
+      (4L, Some(0), 0.2), (5L, None, 0.95), (6L, None, 0.1))
+      .toDF("id", "label", "score")
+    val r = LinearModel.evalScores(scored, threshold = 0.5).head()
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1)
+    assert(r.getAs[Long]("tn") == 1 && r.getAs[Long]("fn") == 0)
+    assert(r.getAs[Double]("accuracy") == 0.75)
+  }
+
   test("evalScores: perfect separation gives AUC 1, random labels near 0.5") {
     val perfect = Seq((1L, 1, 0.9), (2L, 1, 0.8), (3L, 0, 0.3), (4L, 0, 0.1))
       .toDF("id", "label", "score")

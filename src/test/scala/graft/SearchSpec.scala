@@ -317,6 +317,18 @@ class SearchSpec extends SparkSpecBase {
     assert(out.find(_.getLong(0) == 0L).get.getAs[Long]("doc_id") == 2L)
   }
 
+  test("rrfFuse rejects duplicate source names, case-insensitively") {
+    // Spark resolves columns case-insensitively by default, so rank_BM25
+    // and rank_bm25 would be ambiguous downstream — the guard must catch
+    // both exact and case-folded duplicates up front
+    val a = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1)).toDF("query_id", "doc_id", "rank")
+    assertThrows[IllegalArgumentException](
+      Search.rrfFuse(Seq("x" -> a, "x" -> b), k = 1))
+    assertThrows[IllegalArgumentException](
+      Search.rrfFuse(Seq("BM25" -> a, "bm25" -> b), k = 1))
+  }
+
   test("sourceScorecard: dup rate, token volume and lang share per source") {
     val docs = Seq(
       (1L, "a b c", "s1", "en"),
