@@ -49,6 +49,24 @@ class ExactQuantilesSpec extends SparkSpecBase {
     assert(got == sparkPercentile(df, "v"))
   }
 
+  test("agreement with percentile across seeded shapes and bin configs") {
+    // distribution shapes that stress different paths: near-constant with
+    // outliers (unsplittable-heavy), bimodal far modes (empty mid-bins),
+    // exponential-ish tail (hot first bin), integer grid (exact ties)
+    val shapes: Seq[(String, Int => Double)] = Seq(
+      ("spike", i => if (i % 100 == 0) i.toDouble else 7.0),
+      ("bimodal", i => if (i % 2 == 0) -1e6 + i else 1e6 - i),
+      ("tail", i => math.pow(1.001, i % 5000)),
+      ("grid", i => (i % 37).toDouble))
+    for ((name, gen) <- shapes; bins <- Seq(4, 64); cap <- Seq(50L, 100000L)) {
+      val df = Seq.tabulate(8000)(gen).toDF("v")
+      val got = ExactQuantiles.quantiles(df, Seq("v"), PS,
+        bins = bins, capRows = cap)("v").map(_.get)
+      assert(got == sparkPercentile(df, "v"),
+        s"shape=$name bins=$bins cap=$cap mismatch")
+    }
+  }
+
   test("multi-column batch matches per-column runs") {
     val rnd = new scala.util.Random(3)
     val df = Seq.tabulate(5000)(i =>
