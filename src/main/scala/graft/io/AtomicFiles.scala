@@ -1,0 +1,94 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Atomic local-filesystem write/copy utilities (SURVEY §2.11; reference
+  * /root/reference/parq_tools/utils/file_utils.py:16-154 —
+  * `atomic_output_file`, `atomic_output_dir`, `atomic_file_copy`).
+  *
+  * All writes go to a sibling temp path in the SAME directory (same
+  * filesystem — `Files.move(..., ATOMIC_MOVE)` is then a rename, the only
+  * atomic primitive local filesystems give us), and the temp is deleted on
+  * any failure: a reader never observes a partial file at the final path.
+  * This is the local-pipeline analogue of [[ParquetIO]]'s
+  * `_SUCCESS`-gated directory sink — used for sidecar artifacts, single
+  * parquet files and config drops, not for distributed table writes. */
+object AtomicFiles {
+
+  /** Run `write` against a temp sibling of `finalFile`, then atomically
+    * rename over `finalFile`. On any exception the temp file is removed
+    * and the exception rethrown — `finalFile` is either its previous
+    * content or the complete new content, never a torn write. */
+  def atomicOutputFile[T](finalFile: Path, suffix: String = ".tmp")(
+      write: Path => T): T = {
+    val tmp = finalFile.resolveSibling(finalFile.getFileName.toString + suffix)
+    try {
+      val r = write(tmp)
+      Files.move(tmp, finalFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      r
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  /** Directory form: `write` fills a temp sibling directory; success swaps
+    * it in (removing any previous `finalDir`), failure removes the temp
+    * tree. The swap itself is a rename — atomic on one filesystem — though
+    * removing a pre-existing target first makes the PAIR non-atomic for
+    * concurrent readers (the reference's `atomic_output_dir` has the same
+    * window; file_utils.py:45-77). */
+  def atomicOutputDir[T](finalDir: Path, suffix: String = ".tmp")(
+      write: Path => T): T = {
+    val tmp = finalDir.resolveSibling(finalDir.getFileName.toString + suffix)
+    deleteRecursively(tmp)
+    Files.createDirectories(tmp)
+    try {
+      val r = write(tmp)
+      deleteRecursively(finalDir)
+      Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      r
+    } catch {
+      case e: Throwable => deleteRecursively(tmp); throw e
+    }
+  }
+
+  /** Chunked copy + hash verify + atomic replace (reference
+    * `atomic_file_copy`, file_utils.py:80-154). If `dst` is a directory
+    * the source file name is appended. Unless `force`, an existing `dst`
+    * that already matches under `hashMethod` short-circuits (no copy). The
+    * copy lands in a temp sibling, is verified against `src` BEFORE the
+    * rename (a corrupt temp never reaches `dst`), then atomically
+    * replaces `dst`. Returns the final destination path. */
+  def atomicFileCopy(src: Path, dstIn: Path, hashMethod: String = "sha256",
+      force: Boolean = false): Path = {
+    if (!Files.exists(src))
+      throw new java.io.FileNotFoundException(s"Source file $src does not exist.")
+    val dst =
+      if (Files.isDirectory(dstIn)) dstIn.resolve(src.getFileName) else dstIn
+    if (!force && FileHash.filesMatch(src.toString, dst.toString, hashMethod))
+      return dst
+    atomicOutputFile(dst) { tmp =>
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
+      if (!FileHash.filesMatch(src.toString, tmp.toString, hashMethod))
+        throw new RuntimeException(
+          s"$hashMethod mismatch after copy: $src -> $dst")
+    }
+    dst
+  }
+
+  /** Convenience overload on string paths. */
+  def atomicFileCopy(src: String, dst: String): Path =
+    atomicFileCopy(Paths.get(src), Paths.get(dst))
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively) finally children.close()
+      }
+      Files.delete(p)
+    }
+  }
+}

@@ -79,32 +79,76 @@ object IndexOps {
   /** Stable 1-based global row numbers in `orderColumns` order WITHOUT the
     * single-partition bottleneck: `row_number() OVER (ORDER BY …)` forces
     * every row through ONE task (Spark plans a global window as a
-    * single-partition exchange), which is the canonical 100 TB stall. This
-    * instead range-partitions and locally sorts (Spark's scalable global
-    * sort shape), tags each row with its partition id and a
-    * partition-local ordinal, prefix-sums the per-partition counts on the
-    * driver (|partitions| longs) and broadcast-joins the offsets back —
-    * the classic two-phase numbering, kept ENTIRELY inside the DataFrame
-    * engine (whole-stage codegen end to end; the old `rdd.zipWithIndex`
-    * version left codegen, re-materialized the sort and scheduled an
-    * extra count job).
+    * single-partition exchange), which is the canonical 100 TB stall.
     *
-    * The local ordinal is `_mid − min(_mid)` per partition, where `__g_mid`
-    * is `monotonically_increasing_id()` evaluated in the sorted row flow.
-    * That relies on the id being CONSECUTIVE within a partition —
-    * Spark's documented layout (partition id in the upper 31 bits, the
-    * per-partition record number in the lower 33,
-    * `MonotonicallyIncreasingID` expression doc), stable since 1.6; the
-    * min-subtraction keeps us independent of the base-offset layout
-    * itself. The localCheckpoint freezes the nondeterministic ids so the
-    * offsets job and the main job see the same assignment (same
-    * materialize-once contract as [[graft.operators.Components]]).
-    * Deterministic iff `orderColumns` is a total order (ties get an
-    * arbitrary but valid numbering within their run).
-    */
+    * Two-phase numbering on DETERMINISTIC range buckets
+    * ([[graft.ops.ScaleOps.rangeBucketExpr]]): bucket on the first ordering
+    * column's driver-collected split points (a pure, monotone function of
+    * the value — rows in bucket i sort strictly before rows in bucket j>i,
+    * and ties on the first column always share a bucket), count rows per
+    * bucket (a pruned scan + tiny shuffle), exclusive-prefix-sum the
+    * ≤ numShufflePartitions counts on the driver, then
+    * `row_number() OVER (PARTITION BY bucket ORDER BY orderColumns)` + the
+    * broadcast offset. Because the bucket id is deterministic, the count
+    * job and the numbering job agree WITHOUT materializing anything — no
+    * `localCheckpoint` (whose eager full-width write doubled this
+    * operator's cost), no persist, and recomputation after block loss is
+    * safe where frozen nondeterministic ids would fail-stop.
+    *
+    * The first ordering column must be numeric or a timestamp (bucket
+    * splits cast to double; the cast is monotone, which is all bucketing
+    * needs). A non-numeric leading column falls back to the
+    * frozen-assignment path ([[stableRowNumberGeneric]]). Deterministic
+    * iff `orderColumns` is a total order (ties get an arbitrary but valid
+    * numbering within their run). Skew note: rows tied on the FIRST column
+    * cannot split across buckets; a leading column with a dominant value
+    * concentrates its run in one task — order by a higher-cardinality
+    * leading column in that case (same caveat the sampled range
+    * partitioner had). */
   def stableRowNumber(df: DataFrame, orderColumns: Seq[String],
       outCol: String = "row_num"): DataFrame = {
     require(orderColumns.nonEmpty, "stableRowNumber needs ordering columns")
+    import org.apache.spark.sql.types.{NumericType, TimestampType, DateType}
+    val leadType = df.schema(orderColumns.head).dataType
+    val bucketable = leadType.isInstanceOf[NumericType] ||
+      leadType == TimestampType || leadType == DateType
+    if (!bucketable) return stableRowNumberGeneric(df, orderColumns, outCol)
+    val lead =
+      if (leadType == DateType) unix_date(col(orderColumns.head))
+      else col(orderColumns.head)
+    // split points: footer statistics when the plan bottoms out in one
+    // parquet relation (zero jobs), else one quantile aggregation
+    val splits =
+      (if (leadType == DateType) None
+       else ScaleOps.footerRangeSplits(df, orderColumns.head))
+        .getOrElse(ScaleOps.rangeSplits(df, lead))
+    val parts = df.withColumn("__g_pid",
+      ScaleOps.rangeBucketExpr(splits, lead.cast("double")))
+    val counts = parts.groupBy("__g_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // exclusive prefix indexed by bucket id, inlined as an array literal —
+    // an O(1) projection instead of a broadcast-join stage
+    val offArr = ScaleOps.prefixOffsets(counts, splits.length + 1)
+    val w = Window.partitionBy(col("__g_pid")).orderBy(orderColumns.map(col): _*)
+    parts
+      .withColumn(outCol, row_number().over(w).cast("long") +
+        element_at(typedLit(offArr.toSeq), col("__g_pid") + 1))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
+  /** Frozen-assignment fallback for [[stableRowNumber]] when the leading
+    * ordering column is not range-bucketable (strings, structs): sampled
+    * `repartitionByRange` + local sort, partition-local ordinals from
+    * `monotonically_increasing_id` (consecutive within a partition —
+    * Spark's documented layout, partition id in the upper 31 bits, record
+    * number in the lower 33, stable since 1.6; the min-subtraction keeps
+    * us independent of the base offset), and a `localCheckpoint` to freeze
+    * the NONDETERMINISTIC partition/id assignment so the offsets job and
+    * the main job see the same rows (same materialize-once contract as
+    * [[graft.operators.Components]]). Costs an eager full-width
+    * materialization — the numeric path avoids it. */
+  private[graft] def stableRowNumberGeneric(df: DataFrame,
+      orderColumns: Seq[String], outCol: String): DataFrame = {
     val orderCols = orderColumns.map(col)
     val base = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)

@@ -217,41 +217,206 @@ object ScaleOps {
         col("est_rows"), col("max_fanout"), col("mean_fanout"))
   }
 
+  /** Deterministic range-bucket id for a (numeric, cast-to-double) ordering
+    * value: `id(v)` = number of split points ≤ v. Split points are collected
+    * ONCE on the driver and inlined as literals, so the bucket id is a PURE
+    * function of the row — monotone (`v1 ≤ v2 ⇒ id(v1) ≤ id(v2)`, with
+    * strict inequality across buckets: two rows in different buckets have
+    * strictly ordered values), null → bucket 0 (matching asc-nulls-first
+    * sort order) and NaN → last bucket (Spark orders NaN greatest and its
+    * comparison operators agree). Because the id is deterministic,
+    * two-phase plans built on it need NO `localCheckpoint`/persist to keep
+    * their counting job and consumer job consistent: recomputation — even
+    * after block loss on a real cluster — reassigns identical buckets,
+    * where a sampled `repartitionByRange` or `monotonically_increasing_id`
+    * would silently renumber (fail-stop at best, corruption at worst). */
+  private[graft] def rangeBucketExpr(splits: Array[Double], v: Column,
+      descending: Boolean = false, nullsFirst: Boolean = true): Column =
+    if (splits.isEmpty) lit(0)
+    else ColumnBridge.column(graft.functions.kernels.RangeBucketExpr(
+      ColumnBridge.expression(v), splits, descending, nullsFirst))
+
+  /** Decompose an ordering Column into (value, descending, nullsFirst) —
+    * `col("x").desc` arrives as a `SortOrder` node that neither casts nor
+    * code-gens as a value expression. */
+  private def sortParts(order: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.{SortOrder, Descending, NullsFirst}
+    ColumnBridge.convertedExpression(order) match {
+      case so: SortOrder =>
+        (ColumnBridge.column(so.child), so.direction == Descending,
+          so.nullOrdering == NullsFirst)
+      case _ => (order, false, true)
+    }
+  }
+
+  /** Driver-collected split points for [[rangeBucketExpr]]: the
+    * `numShufflePartitions`-iles of `order` (approximate — balance only;
+    * correctness never depends on WHERE the splits fall, only on their
+    * being fixed literals). One aggregation job over the single cast
+    * column; on a parquet source that scan is column-pruned. */
+  private[graft] def rangeSplits(df: DataFrame, order: Column): Array[Double] = {
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (n == 1) return Array.empty
+    val probs = (1 until n).map(_.toDouble / n)
+    // percentile_approx: codegen'd partial aggregate — one cheap pruned
+    // scan (vs the RDD-path Dataset.stat.approxQuantile, ~3× slower on
+    // job overhead alone)
+    val row = df
+      .agg(percentile_approx(order.cast("double"),
+        array(probs.map(lit(_)): _*), lit(2500)).as("__qs"))
+      .head()
+    if (row.isNullAt(0)) Array.empty // all-null / empty input
+    else row.getSeq[Double](0).filterNot(_.isNaN).distinct.sorted.toArray
+  }
+
+  /** Deterministic range-bucket splits from parquet FOOTER statistics —
+    * ZERO Spark jobs. Succeeds when `df`'s plan is projections/filters/
+    * aliases over a single parquet relation, the named column traces (by
+    * exprId, so renames can't mis-bind) to a plain-numeric relation column
+    * — possibly through an order-preserving numeric cast — and every
+    * populated row group carries usable stats. Splits are equi-width over
+    * the footer [min,max] at 4× shuffle-partition granularity: balance can
+    * suffer under value skew (the exact per-bucket counts keep offsets
+    * correct regardless, and 4× granularity spreads moderate skew), but
+    * the data-sized quantile pass disappears — at 100 TB that is a whole
+    * column scan traded for a footer read. Capped at 256 footers so the
+    * driver-side read stays bounded; larger file sets fall back to the
+    * quantile job. */
+  private[graft] def footerRangeSplits(df: DataFrame,
+      column: String): Option[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types._
+    val analyzed = df.queryExecution.analyzed
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val top = analyzed.output.find(a => resolver(a.name, column)).getOrElse(return None)
+
+    def numericish(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType => true
+      case _ => false
+    }
+    @annotation.tailrec
+    def trace(plan: LogicalPlan, attr: Attribute): Option[(LogicalRelation, Attribute)] =
+      plan match {
+        case p: Project =>
+          p.projectList.find(_.exprId == attr.exprId) match {
+            case Some(a: AttributeReference) => trace(p.child, a)
+            case Some(Alias(ar: AttributeReference, _)) => trace(p.child, ar)
+            case Some(Alias(c: Cast, _)) if numericish(c.dataType) =>
+              c.child match {
+                case ar: AttributeReference if numericish(ar.dataType) => trace(p.child, ar)
+                case _ => None
+              }
+            case _ => None
+          }
+        case f: Filter => trace(f.child, attr)
+        case s: SubqueryAlias => trace(s.child, attr)
+        case a: Aggregate =>
+          // a GROUPING column's distinct values are a subset of the child
+          // column's values, so the child's footer range still bounds it
+          a.aggregateExpressions.find(_.exprId == attr.exprId) match {
+            case Some(ar: AttributeReference) => trace(a.child, ar)
+            case Some(Alias(ar: AttributeReference, _)) => trace(a.child, ar)
+            case _ => None
+          }
+        case lr: LogicalRelation if lr.output.exists(_.exprId == attr.exprId) =>
+          Some((lr, lr.output.find(_.exprId == attr.exprId).get))
+        case _ => None
+      }
+
+    val (lr, baseAttr) = trace(analyzed, top).getOrElse(return None)
+    if (!numericish(baseAttr.dataType)) return None
+    val files = lr.relation match {
+      case h: HadoopFsRelation if h.fileFormat.isInstanceOf[ParquetFileFormat] =>
+        h.location.inputFiles.toSeq
+      case _ => return None
+    }
+    if (files.isEmpty || files.length > 256) return None
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val (lo, hi) =
+      try graft.io.FooterStats.columnRange(conf, files, baseAttr.name)
+        .getOrElse(return None)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (hi <= lo) return Some(Array.empty) // constant (or empty) column
+    val nb = math.min(4 * math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions), 512)
+    val width = (hi - lo) / nb
+    if (!java.lang.Double.isFinite(width) || width <= 0) return None
+    Some((1 until nb).map(i => lo + width * i).toArray.distinct.sorted)
+  }
+
   /** Attach the EXCLUSIVE running sum of `cntCol` under `order` to a
     * per-distinct-value table as `outCol` — the two-phase distributed
-    * cumsum: range partition on `order`, per-partition cumulative windows
-    * (keyed by partition id — fully parallel), prefix-sum the
-    * ≤ numPartitions per-partition totals on the driver and broadcast-join
-    * the offsets back. No global single-partition window anywhere in the
-    * plan; the building block behind the distributed CDF/rank paths
+    * cumsum: [[rangeBucketExpr deterministic range buckets]] on `order`,
+    * per-bucket cumulative windows (keyed by bucket id — fully parallel),
+    * prefix-sum the ≤ numShufflePartitions per-bucket totals on the driver
+    * and broadcast-join the offsets back. No global single-partition window
+    * anywhere in the plan, and — because the bucket id is a pure function
+    * of the value — no checkpoint/persist either: the totals job and the
+    * consumer job recompute the same assignment by construction. The
+    * building block behind the distributed CDF/rank paths
     * ([[graft.profile.Drift.ksStatistic]] pioneered the shape;
-    * [[graft.operators.LinearModel.evalScores]] and
-    * `thresholdAtKeepRate` consume this one — the quantile path uses its
-    * own histogram passes, [[graft.profile.ExactQuantiles]]).
-    * The localCheckpoint freezes the range partitioning so the offsets job
-    * and every consumer job share it; blocks release via catalog sweeps or
-    * [[releaseCheckpointBlocks]]. */
+    * [[graft.operators.LinearModel.evalScores]], `thresholdAtKeepRate` and
+    * [[graft.profile.Drift.quantileNormalize]] consume this one — the
+    * quantile path uses its own histogram passes,
+    * [[graft.profile.ExactQuantiles]]). `order` must be numeric
+    * (castable to double losslessly enough to stay monotone — any
+    * NumericType or timestamp qualifies). */
   def withExclusiveRunningSum(perV: DataFrame, order: Column,
       cntCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = perV.repartitionByRange(order)
-      .withColumn("__rs_pid", spark_partition_id())
-      .localCheckpoint()
+    val (orderVal, desc, nullsFirst) = sortParts(order)
+    // persist: perV is typically an aggregation (a shuffle) — the splits
+    // job materializes the cache and the totals + consumer jobs read it.
+    // Safe even on block loss: the bucket id is a pure function of the row,
+    // so a recomputed block reproduces identical assignments (the property
+    // the old localCheckpoint existed to fake). Blocks are
+    // CacheManager-visible → released by catalog sweeps/clearCache.
+    val cached = perV.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // split points: footer statistics when `order` is a plain attribute
+    // tracing to one parquet relation (zero jobs), else one quantile pass
+    val orderName = ColumnBridge.convertedExpression(orderVal) match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    val splits = orderName.flatMap(n => footerRangeSplits(perV, n))
+      .getOrElse(rangeSplits(cached, orderVal))
+    val parts = cached.withColumn("__rs_pid",
+      rangeBucketExpr(splits, orderVal.cast("double"), desc, nullsFirst))
     val totals = parts.groupBy("__rs_pid")
       .agg(sum(col(cntCol)).cast("long").as("__rs_t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // exclusive prefix: offset of partition i = totals of partitions < i
-    val scan = totals.scanLeft((0, 0L)) { case ((_, c), (pid, t)) => (pid, c + t) }
-    val offsets = scan.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    val spark = perV.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__rs_pid", "__rs_off")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // exclusive prefix indexed by bucket id (empty buckets carry the
+    // running total forward) — inlined as an array literal + element_at:
+    // an O(1) projection, no broadcast-join stage in the plan
+    val offArr = prefixOffsets(totals, splits.length + 1)
     val wl = Window.partitionBy("__rs_pid").orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parts.join(broadcast(offDf), Seq("__rs_pid"))
+    parts
       .withColumn(outCol,
-        coalesce(sum(col(cntCol)).over(wl), lit(0L)) + col("__rs_off"))
-      .drop("__rs_pid", "__rs_off")
+        coalesce(sum(col(cntCol)).over(wl), lit(0L)) +
+          element_at(typedLit(offArr.toSeq), col("__rs_pid") + 1))
+      .drop("__rs_pid")
+  }
+
+  /** Exclusive prefix sums over `nb` bucket totals, dense-indexed by bucket
+    * id (buckets absent from `totals` contribute 0 and carry the running
+    * total forward). */
+  private[graft] def prefixOffsets(totals: Map[Int, Long], nb: Int): Array[Long] = {
+    val offArr = new Array[Long](nb)
+    var acc = 0L
+    var i = 0
+    while (i < nb) {
+      offArr(i) = acc
+      acc += totals.getOrElse(i, 0L)
+      i += 1
+    }
+    offArr
   }
 
   /** Heavy hitters via the Space-Saving sketch

@@ -174,21 +174,25 @@ object Drift {
     * the naive O(|target|·|ref|). Correct because a reference row in an
     * EARLIER cell can never reach the target's rank, and any row in a
     * LATER cell always does (covered whole by the suffix minimum). The
-    * only single-partition stages are the running sum over the
-    * distinct-value table and the suffix-min over the `buckets`-row cell
-    * table. */
+    * reference CDF's running sum uses the shared two-phase distributed
+    * cumsum ([[graft.ops.ScaleOps.withExclusiveRunningSum]] — deterministic
+    * range buckets, no checkpoint); the only single-partition stage left
+    * is the suffix-min over the cell table — ≤ `buckets` rows by
+    * construction, a true bound. */
   def quantileNormalize(ref: DataFrame, target: DataFrame,
       targetId: String, column: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val refVals = ref.select(col(column).cast("double").as("__rv"))
       .filter(col("__rv").isNotNull)
     val refTotal = refVals.agg(count(lit(1)).as("__nr"))
-    val wcd = Window.orderBy(col("__rv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def cell(c: Column): Column =
       least(floor(c * buckets).cast("int"), lit(buckets - 1))
-    val refCdf = refVals.groupBy(col("__rv")).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(wcd))
+    // inclusive running count = the shared exclusive two-phase cumsum + own
+    // count — same exact long sums a global window would produce
+    val refCdf = graft.ops.ScaleOps.withExclusiveRunningSum(
+        refVals.groupBy(col("__rv")).agg(count(lit(1)).as("__c")),
+        col("__rv"), "__c", "__below")
+      .withColumn("__cum", col("__below") + col("__c"))
       .crossJoin(broadcast(refTotal))
       .select(col("__rv"), (col("__cum").cast("double") / col("__nr")).as("__rcd"))
       .withColumn("__b", cell(col("__rcd")))

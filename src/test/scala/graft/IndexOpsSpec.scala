@@ -52,6 +52,37 @@ class IndexOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stableRowNumber: string leading column takes the generic path, same result") {
+    val df = (1 to 500).map(i => (f"k${i * 7 % 503}%04d", i)).toDF("s", "i")
+      .repartition(4)
+    val got = IndexOps.stableRowNumber(df, Seq("s"), "rn")
+      .select("s", "rn").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.select("s").collect().map(_.getString(0)).sorted
+      .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("stableRowNumber: parquet-backed input (footer splits) matches global numbering") {
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    val got = IndexOps.stableRowNumber(orders, Seq("o_custkey", "o_orderkey"))
+      .select("o_orderkey", "row_num").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = orders.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).zipWithIndex
+      .map { case ((_, ok), i) => ok -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("stableRowNumber: nulls in the leading column number first (asc default)") {
+    val df = Seq((Some(3.0), "a"), (None, "b"), (Some(1.0), "c"), (None, "a"))
+      .toDF("v", "id").repartition(3)
+    val got = IndexOps.stableRowNumber(df, Seq("v", "id"), "rn")
+      .orderBy("rn").collect().map(r => (Option(r.get(0)), r.getString(1)))
+    assert(got.toSeq == Seq((None, "a"), (None, "b"),
+      (Some(1.0), "c"), (Some(3.0), "a")))
+  }
+
   test("alignment validation passes on aligned, fails on misaligned") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val b = Seq((2, 9.0), (1, 8.0)).toDF("k", "w")

@@ -183,4 +183,73 @@ class ScaleOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("rangeBucketExpr: monotone asc/desc, null and NaN placement") {
+    val splits = Array(10.0, 20.0, 30.0)
+    val df = Seq(Some(5.0), Some(10.0), Some(15.0), Some(25.0), Some(35.0),
+      None, Some(Double.NaN)).toDF("v")
+    def buckets(desc: Boolean, nullsFirst: Boolean): Seq[Int] =
+      df.select(ScaleOps.rangeBucketExpr(splits, col("v"), desc, nullsFirst)
+        .as("b")).collect().map(_.getInt(0)).toSeq
+    // asc nulls-first: null→0 with the smallest; NaN greatest → last
+    assert(buckets(desc = false, nullsFirst = true) ==
+      Seq(0, 1, 1, 2, 3, 0, 3))
+    // desc nulls-last: largest→0, null→len with the smallest; NaN→0
+    assert(buckets(desc = true, nullsFirst = false) ==
+      Seq(3, 2, 2, 1, 0, 3, 0))
+    // bucket order must agree with sort order: sort rows, buckets must be
+    // non-decreasing, and ties on value always share a bucket
+    val asc = df.na.drop().orderBy(col("v"))
+      .select(ScaleOps.rangeBucketExpr(splits, col("v")).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(asc == asc.sorted)
+  }
+
+  test("withExclusiveRunningSum equals the global-window cumsum, asc and desc") {
+    val perV = (1 to 200).map(i => (i * 3 % 97, (i % 5) + 1L))
+      .groupBy(_._1).map { case (v, xs) => (v.toDouble, xs.map(_._2).sum) }
+      .toSeq.toDF("v", "c").repartition(4)
+    def windowed(desc: Boolean): Map[Double, Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val o = if (desc) col("v").desc else col("v").asc
+      perV.withColumn("x", coalesce(sum(col("c")).over(
+          Window.orderBy(o).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    }
+    val gotAsc = ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x")
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    assert(gotAsc == windowed(desc = false))
+    val gotDesc = ScaleOps.withExclusiveRunningSum(perV, col("v").desc, "c", "x")
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    assert(gotDesc == windowed(desc = true))
+    spark.catalog.clearCache()
+  }
+
+  test("withExclusiveRunningSum: empty input yields empty output, no crash") {
+    val perV = Seq.empty[(Double, Long)].toDF("v", "c")
+    assert(ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x").count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("footerRangeSplits: parquet scan yields zero-job splits; memory df does not") {
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    val splits = ScaleOps.footerRangeSplits(orders, "o_custkey")
+    assert(splits.isDefined && splits.get.nonEmpty,
+      "expected footer-derived splits for a plain parquet scan")
+    assert(splits.get.toSeq == splits.get.toSeq.sorted)
+    // a filter cannot invalidate the bounds — still Some
+    assert(ScaleOps.footerRangeSplits(
+      orders.filter(col("o_orderkey") > 100), "o_custkey").isDefined)
+    // aliased monotone cast traces through; a computed column must not
+    val casted = orders.select(col("o_custkey").cast("double").as("ck"))
+    assert(ScaleOps.footerRangeSplits(casted, "ck").isDefined)
+    val computed = orders.select((col("o_custkey") * 2).as("ck"))
+    assert(ScaleOps.footerRangeSplits(computed, "ck").isEmpty)
+    // in-memory data has no footers
+    assert(ScaleOps.footerRangeSplits(Seq(1.0, 2.0).toDF("v"), "v").isEmpty)
+    // grouping column of an aggregate keeps the child relation's bounds
+    val grouped = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    assert(ScaleOps.footerRangeSplits(grouped, "o_custkey").isDefined)
+  }
 }

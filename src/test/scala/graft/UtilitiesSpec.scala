@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
 
 import graft.io.{ArchiveUtils, FileHash, ParquetIO}
 import graft.profile.{ColumnProfiler, ProfileComparison}
@@ -201,5 +202,72 @@ class UtilitiesSpec extends SparkSpecBase {
     val parts = new java.io.File(lake).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("k=")).map(_.getName).toSet
     assert(parts == Set("k=a"), s"static overwrite must drop other partitions: $parts")
+  }
+
+  test("atomicFileCopy: copy, verify, dir target, identical-skip, force") {
+    import graft.io.AtomicFiles
+    val dir = Paths.get(tmpDir("atomic_copy"))
+    val src = dir.resolve("src.bin")
+    Files.write(src, Array.tabulate[Byte](1 << 16)(i => (i * 31).toByte))
+    // plain copy: content identical, sha256 verified inside the call
+    val dst = AtomicFiles.atomicFileCopy(src, dir.resolve("dst.bin"))
+    assert(FileHash.filesMatch(src.toString, dst.toString, "sha256"))
+    // directory target appends the source file name
+    val sub = Files.createDirectory(dir.resolve("sub"))
+    assert(AtomicFiles.atomicFileCopy(src, sub).getFileName.toString == "src.bin")
+    // identical-dest short-circuit keeps the existing file (same mtime)
+    val before = Files.getLastModifiedTime(dst)
+    AtomicFiles.atomicFileCopy(src, dst)
+    assert(Files.getLastModifiedTime(dst) == before)
+    // force re-copies even when identical
+    AtomicFiles.atomicFileCopy(src, dst, force = true)
+    assert(FileHash.filesMatch(src.toString, dst.toString, "sha256"))
+    // no temp droppings anywhere
+    assert(!Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".tmp")))
+  }
+
+  test("atomicFileCopy: a failing write leaves no partial file at the destination") {
+    import graft.io.AtomicFiles
+    val dir = Paths.get(tmpDir("atomic_fail"))
+    val dst = dir.resolve("out.bin")
+    // interrupted write via the file-shaped atomic sink: the writer dies
+    // mid-stream; dst must not exist and no temp file may remain
+    intercept[RuntimeException] {
+      AtomicFiles.atomicOutputFile(dst) { tmp =>
+        Files.write(tmp, Array.fill[Byte](1024)(1))
+        throw new RuntimeException("disk on fire")
+      }
+    }
+    assert(!Files.exists(dst), "failed write must not surface a partial dst")
+    assert(!Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".tmp")),
+      "failed write must remove its temp file")
+    // pre-existing dst survives a later failed overwrite attempt untouched
+    Files.write(dst, Array.fill[Byte](8)(7))
+    intercept[RuntimeException] {
+      AtomicFiles.atomicOutputFile(dst) { tmp =>
+        Files.write(tmp, Array.fill[Byte](1024)(2))
+        throw new RuntimeException("again")
+      }
+    }
+    assert(Files.readAllBytes(dst).toSeq == Seq.fill[Byte](8)(7))
+  }
+
+  test("atomicOutputDir: success swaps the tree in, failure leaves the old tree") {
+    import graft.io.AtomicFiles
+    val root = Paths.get(tmpDir("atomic_dir"))
+    val out = root.resolve("table")
+    AtomicFiles.atomicOutputDir(out) { tmp =>
+      Files.write(tmp.resolve("part-0"), "v1".getBytes)
+    }
+    assert(Files.readAllBytes(out.resolve("part-0")).sameElements("v1".getBytes))
+    intercept[RuntimeException] {
+      AtomicFiles.atomicOutputDir(out) { tmp =>
+        Files.write(tmp.resolve("part-0"), "v2".getBytes)
+        throw new RuntimeException("writer died")
+      }
+    }
+    assert(Files.readAllBytes(out.resolve("part-0")).sameElements("v1".getBytes),
+      "failed dir write must leave the previous tree")
+    assert(!Files.exists(root.resolve("table.tmp")))
   }
 }
