@@ -521,6 +521,40 @@ object SparkEntry {
         .gateOrdered(col("c_custkey"))
     }),
 
+    // ---- .loc label indexer: lookup + assignment in one plan ------------
+    // getter = index-equality filter (pushed to the scan), setter = when()
+    // projection rewrite; the query reads the frame AFTER a locSet so the
+    // oracle pins both directions at once
+    "q210_loc_indexer" -> ((s, dir) => {
+      val lp = graft.frame.LazyParquetFrame(s, s"$dir/customer.parquet",
+        Seq("c_custkey"))
+      lp.locSet(Seq(7L), "c_mktsegment", "RELABELED")
+      lp.loc(Seq(7L), Seq("c_mktsegment", "c_name"))
+        .unionByName(lp.loc(Seq(8L), Seq("c_mktsegment", "c_name")))
+        .gateOrdered(col("c_custkey"))
+    }),
+
+    // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
+    // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
+    // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
+    // columns over 10k rows → duplicate rows certainly exist
+    "q211_shape_alerts" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val d = ev.select(
+        when(col("event_id") % 997 === 0, 1.0).otherwise(0.0).as("spiky"),
+        when(col("event_id") % 37 === 0, "rare").otherwise("common").as("label"),
+        col("event_type"))
+      val p = ColumnProfiler.withDuplicateRowAlert(d,
+        ColumnProfiler.withImbalanceAlerts(d, ColumnProfiler.profile(d)))
+      import s.implicits._
+      Seq("event_type", "label", "spiky").map { c =>
+        val a = p.variables(c).alerts
+        (c, a.contains("skewed"), a.contains("imbalance"),
+          p.tableAlerts.contains("duplicates"))
+      }.toDF("column_name", "skewed", "imbalance", "dup_rows")
+        .orderBy(col("column_name"))
+    }),
+
     // ---- IVF+PQ: residual-encoded lists, pruned ADC probe ---------------
     // the production ANN pairing (q188's partition pruning × q196's
     // codes-only scan): 8 L2 seed lists, residual codebooks from the
@@ -3558,6 +3592,40 @@ object SparkEntry {
     "q209_frame_arith" ->
       """SELECT c_custkey, round(c_acctbal + 10.0, 2) AS acctbal_plus10, c_name
          FROM customer ORDER BY c_custkey""",
+    // .loc setter visible through the getter: key 7 relabeled, key 8 not
+    "q210_loc_indexer" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey = 7 THEN 'RELABELED' ELSE c_mktsegment END
+                  AS c_mktsegment,
+                c_name
+         FROM customer WHERE c_custkey IN (7, 8) ORDER BY c_custkey""",
+    // skewed = population |g1| > 20; imbalance = 1 − H/ln k > 0.5 over
+    // value counts; dup_rows = any repeated full row (replayed from data,
+    // same formulas, thresholds far from the computed margins)
+    "q211_shape_alerts" ->
+      """WITH d AS (SELECT CASE WHEN event_id % 997 = 0 THEN 1.0 ELSE 0.0 END AS spiky,
+                      CASE WHEN event_id % 37 = 0 THEN 'rare' ELSE 'common' END AS label,
+                      event_type
+                    FROM events),
+          mu AS (SELECT avg(spiky) AS m FROM d),
+          sk AS (SELECT abs(avg(pow(spiky - m, 3)) / pow(avg(pow(spiky - m, 2)), 1.5)) > 20
+                   AS f FROM d, mu),
+          imb_l AS (
+            SELECT 1 - (ln(tot) - clnc / tot) / ln(k) > 0.5 AS f FROM (
+              SELECT count(*) AS k, sum(c) AS tot, sum(c * ln(c)) AS clnc FROM (
+                SELECT label, count(*)::DOUBLE AS c FROM d GROUP BY 1))),
+          imb_t AS (
+            SELECT 1 - (ln(tot) - clnc / tot) / ln(k) > 0.5 AS f FROM (
+              SELECT count(*) AS k, sum(c) AS tot, sum(c * ln(c)) AS clnc FROM (
+                SELECT event_type, count(*)::DOUBLE AS c FROM d GROUP BY 1))),
+          dup AS (SELECT count(*) > count(DISTINCT (spiky, label, event_type))
+                    AS f FROM d)
+          SELECT col AS column_name, skewed, imbalance, dup.f AS dup_rows FROM (
+            SELECT 'event_type' AS col, false AS skewed, imb_t.f AS imbalance
+              FROM imb_t
+            UNION ALL SELECT 'label', false, imb_l.f FROM imb_l
+            UNION ALL SELECT 'spiky', sk.f, false FROM sk), dup
+          ORDER BY column_name""",
     // PQ encode + ADC search replayed subspace-by-subspace (see pqSql)
     "q194_pq_adc" -> pqSql(m = 8, sub = 8, codes = 16, nq = 5, topk = 10),
     // the stored-codes probe computes identical ADC distances (q194)

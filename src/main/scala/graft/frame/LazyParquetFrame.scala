@@ -130,6 +130,53 @@ final class LazyParquetFrame private (
   def query(expression: String): DataFrame =
     current.filter(SparkCompiler.compileValidated(expression, current))
 
+  // ------------------------------------------------------ .loc label access
+  // Reference LazyLocIndexer (lazy_parquet.py:573-592): pandas-style
+  // label-based row access/assignment against the frame's index columns.
+  // The pandas implementation materializes the whole file and delegates to
+  // DataFrame.loc; the Spark shape is an index-column equality filter (one
+  // label per index column, AND-matched — a MultiIndex label is a tuple),
+  // which Catalyst pushes into the parquet scan (PushedFilters), and the
+  // setter is a `when()` projection rewrite — both lazy plans, nothing
+  // materializes driver-side.
+
+  private def locCondition(labels: Seq[Any]): Column = {
+    if (index.isEmpty)
+      throw new IllegalStateException(
+        ".loc requires index columns (setIndex or construction-time index)")
+    if (labels.size != index.size)
+      throw new IllegalArgumentException(
+        s".loc label arity ${labels.size} != index arity ${index.size} " +
+          s"(index: ${index.mkString(", ")})")
+    index.zip(labels).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+  }
+
+  /** Label-based row lookup: rows whose index columns equal `labels`
+    * (reference `LazyLocIndexer.__getitem__`). */
+  def loc(labels: Any*): DataFrame = current.filter(locCondition(labels))
+
+  /** `(row_key, col_key)` form: label lookup projected to `cols` (index
+    * columns stay, mirroring a pandas row-slice keeping its index). */
+  def loc(labels: Seq[Any], cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(s"Columns not found: ${missing.mkString(", ")}")
+    loaded ++= cols
+    current.filter(locCondition(labels))
+      .select((index ++ cols.filterNot(index.contains)).map(col): _*)
+  }
+
+  /** Label-based assignment (reference `LazyLocIndexer.__setitem__`):
+    * set `column` to `value` on the rows matching `labels`, leaving every
+    * other row untouched. Creates the column (NULL elsewhere) when new. */
+  def locSet(labels: Seq[Any], column: String, value: Any): Unit = {
+    val cond = locCondition(labels)
+    val assigned = org.apache.spark.sql.functions.when(cond, lit(value))
+    update(column,
+      if (columns.contains(column)) assigned.otherwise(col(column))
+      else assigned) // a when() without otherwise is NULL elsewhere
+  }
+
   /** Per-column lazy/loaded status (reference info(),
     * lazy_parquet.py:340-383). */
   def info: Seq[(String, String, String)] =

@@ -436,11 +436,24 @@ object Similarity {
     * probe then reads ONLY the probed lists' directories via partition
     * pruning instead of scanning the corpus. */
   def writeIvfLists(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], path: String): Unit =
+      centroids: Array[Array[Double]], path: String): Unit = {
     assignToLists(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
       "nbr_vec", centroids)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    graft.io.AnnSidecar.write(corpus.sparkSession, path, graft.io.AnnSidecar.Meta(
+      "ivf", Map("num_lists" -> centroids.length, "dim" -> centroids.head.length),
+      centroids, None))
+  }
+
+  /** [[ivfTopKStored]] with the centroids loaded from the layout's own
+    * sidecar — the layout is self-describing; nothing to keep in the
+    * caller's head. */
+  def ivfTopKStored(path: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nProbe: Int): DataFrame = {
+    val meta = graft.io.AnnSidecar.load(queries.sparkSession, path, "ivf")
+    ivfTopKStored(path, meta.centroids, queries, queryId, queryVec, k, nProbe)
+  }
 
   /** [[ivfTopK]] against lists stored by [[writeIvfLists]]: the probed
     * list ids become a LITERAL `IN` partition filter on the stored layout
@@ -455,6 +468,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
+    graft.io.AnnSidecar.verifyIfPresent(spark, path, "ivf", centroids, None)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
       .withColumn("list_id",
@@ -540,6 +554,19 @@ object Similarity {
         VectorKernelFunctions.nearestCentroid(
           slice(col("corpus_vec"), 1, clusterDims), centroids.map(_.clone())))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    graft.io.AnnSidecar.write(corpus.sparkSession, path, graft.io.AnnSidecar.Meta(
+      "semdedup", Map("num_clusters" -> centroids.length,
+        "cluster_dims" -> clusterDims),
+      centroids, None))
+  }
+
+  /** [[semDedupProbeStored]] with centroids and `clusterDims` loaded from
+    * the layout's sidecar. */
+  def semDedupProbeStored(newDf: DataFrame, idCol: String, vecCol: String,
+      path: String, tau: Double): DataFrame = {
+    val meta = graft.io.AnnSidecar.load(newDf.sparkSession, path, "semdedup")
+    semDedupProbeStored(newDf, idCol, vecCol, path, meta.centroids, tau,
+      meta.params("cluster_dims"))
   }
 
   /** [[semDedup]]'s incremental admission filter against a corpus stored
@@ -568,6 +595,7 @@ object Similarity {
     require(centroids.nonEmpty, "at least one centroid required")
     require(tau >= -1 && tau <= 1, s"tau must be a cosine threshold: $tau")
     val spark = newDf.sparkSession
+    graft.io.AnnSidecar.verifyIfPresent(spark, path, "semdedup", centroids, None)
     // persisted: the batch scan + assignment kernel feed the probed-id
     // collect, the join's broadcast side AND the final left join — without
     // the cache they would run three times per probe. Caller-release
@@ -723,6 +751,19 @@ object Similarity {
             slice(res, j * sub + 1, sub), codebooks(j).map(_.clone()))): _*)
           .as("codes"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    graft.io.AnnSidecar.write(corpus.sparkSession, path, graft.io.AnnSidecar.Meta(
+      "ivfpq", Map("num_lists" -> centroids.length, "m" -> codebooks.length,
+        "sub" -> sub, "dim" -> centroids.head.length),
+      centroids, Some(codebooks)))
+  }
+
+  /** [[ivfPqTopK]] with centroids AND codebooks loaded from the layout's
+    * sidecar — probing a stored table needs only its path. */
+  def ivfPqTopK(path: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nProbe: Int): DataFrame = {
+    val meta = graft.io.AnnSidecar.load(queries.sparkSession, path, "ivfpq")
+    ivfPqTopK(path, meta.centroids, meta.codebooks.get, queries,
+      queryId, queryVec, k, nProbe)
   }
 
   /** ADC top-k against an IVF+PQ layout stored by [[writeIvfPqCodes]]:
@@ -752,6 +793,8 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val spark = queries.sparkSession
+    graft.io.AnnSidecar.verifyIfPresent(spark, path, "ivfpq",
+      centroids, Some(codebooks))
     val m = codebooks.length
     val np = math.min(nProbe, centroids.length)
     // squared-L2 distances to every list centroid, as ONE kernel row

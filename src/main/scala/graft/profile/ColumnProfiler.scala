@@ -54,17 +54,25 @@ object ColumnProfiler {
       histHi: Option[Double] = None,
       hist: Option[Seq[Long]] = None,
       minLength: Option[Long] = None,
-      maxLength: Option[Long] = None)
+      maxLength: Option[Long] = None,
+      skewness: Option[Double] = None)
 
   final case class TableProfile(
       n: Long,
       nVar: Int,
-      variables: Map[String, ColumnProfile]) {
+      variables: Map[String, ColumnProfile],
+      nDuplicates: Option[Long] = None,
+      tableAlerts: Seq[String] = Nil) {
     /** Column-batched profiling merge (reference parq_profile.py:133-156):
-      * later batches overwrite same-named variables; table stats recomputed. */
+      * later batches overwrite same-named variables; table stats recomputed.
+      * Table-level facts (duplicate count/alerts) keep the later batch's
+      * value when it has one — they describe the whole table, so any batch
+      * that computed them computed the same thing. */
     def merge(other: TableProfile): TableProfile =
       TableProfile(math.max(n, other.n), (variables ++ other.variables).size,
-        variables ++ other.variables)
+        variables ++ other.variables,
+        other.nDuplicates.orElse(nDuplicates),
+        (tableAlerts ++ other.tableAlerts).distinct)
   }
 
   private def isNumeric(dt: DataType): Boolean = dt match {
@@ -365,10 +373,12 @@ object ColumnProfiler {
     * monotonic-binning transforms want.
     *
     * Never `ntile()`: a global ntile window single-partitions the corpus.
-    * Here the k−1 boundaries come from one aggregation (exact interpolated
-    * `percentile`, or the approx sketch via `exact = false` at corpus
-    * scale), and assignment is a pure broadcast-compare projection —
-    * shuffle-free, and stable under repartitioning. */
+    * The k−1 boundaries come from the histogram-guided order-statistic
+    * pass (exact — [[ExactQuantiles]]) or the approx sketch aggregation
+    * (`exact = false` at corpus scale); assignment is a literal-compare
+    * projection (exact: driver-resolved boundary literals, no join in the
+    * plan) or a broadcast-compare (approx) — either way shuffle-free and
+    * stable under repartitioning. */
   def quantileBins(df: DataFrame, column: String, k: Int = 4,
       exact: Boolean = true): DataFrame = {
     require(k >= 2, s"need k >= 2 buckets, got $k")
@@ -492,6 +502,9 @@ object ColumnProfiler {
         distinct ++
         (if (isNumeric(f.dataType))
            Seq(avg(v).as(s"${f.name}__mean"), stddev_samp(v).as(s"${f.name}__std"),
+             // population skewness g1 (Spark's skewness aggregate) feeds the
+             // ydata SKEWED alert — one more partial-agg cell, same pass
+             skewness(v).as(s"${f.name}__skew"),
              sum(when(v === 0, 1L).otherwise(0L)).as(s"${f.name}__zeros")) ++
              // quartiles (ydata describe_1d numeric set): the kernel carries
              // them for exact mode, the approx sketch for 100 TB mode;
@@ -603,6 +616,8 @@ object ColumnProfiler {
         nZeros = get[Long](s"${f.name}__zeros").getOrElse(0L),
         nInfinite = get[Long](s"${f.name}__inf").getOrElse(0L))
         .copy(
+          skewness = if (isNumeric(f.dataType))
+            get[Any](s"${f.name}__skew").map(toD) else None,
           p25 = prof.map(_.getSeq[Double](1)(0))
             .orElse(get[scala.collection.Seq[Double]](s"${f.name}__q").map(_(0))),
           p50 = prof.map(_.getSeq[Double](1)(1))
@@ -655,6 +670,68 @@ object ColumnProfiler {
     })
   }
 
+  /** Append ydata's IMBALANCE alert to categorical (string/boolean)
+    * columns: score = 1 − H(value counts)/ln(k) > `threshold` (ydata's
+    * `column_imbalance_score`, default threshold 0.5; k = distinct values,
+    * H = Shannon entropy, natural log, nulls excluded like
+    * `value_counts()`). ONE pass for every categorical column: values
+    * explode to `(column, value)` pairs, a partial-aggregated two-level
+    * groupBy yields per-column `Σ c·ln c`, k and total — the driver sees
+    * one row per column. The intermediate is bounded by the summed
+    * distinct cardinalities (the same budget an exact distinct count
+    * already spends). Single-valued columns score 0 (never flagged). */
+  def withImbalanceAlerts(df: DataFrame, profile: TableProfile,
+      threshold: Double = 0.5): TableProfile = {
+    val catCols = df.schema.fields
+      .filter(f => (f.dataType == StringType || f.dataType == BooleanType) &&
+        profile.variables.contains(f.name))
+      .map(_.name).toSeq
+    if (catCols.isEmpty) return profile
+    val pairs = df.select(explode(map(
+      catCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("__col", "__val")))
+    val hot = pairs.filter(col("__val").isNotNull)
+      .groupBy("__col", "__val").agg(count(lit(1)).as("__c"))
+      .groupBy("__col").agg(
+        count(lit(1)).as("__k"),
+        sum("__c").cast("double").as("__tot"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__clnc"))
+      .filter(col("__k") > 1)
+      // H = ln(tot) − (Σ c·ln c)/tot;  score = 1 − H/ln(k)
+      .select(col("__col"),
+        (lit(1.0) - (log(col("__tot")) - col("__clnc") / col("__tot")) /
+          log(col("__k").cast("double"))).as("__score"))
+      .collect().filter(_.getDouble(1) > threshold).map(_.getString(0)).toSet
+    profile.copy(variables = profile.variables.map { case (n, p) =>
+      n -> (if (hot(n) && !p.alerts.contains("imbalance"))
+        p.copy(alerts = p.alerts :+ "imbalance") else p)
+    })
+  }
+
+  /** Append ydata's table-level DUPLICATES alert: count rows that are
+    * repeats of an identical earlier row (`n − distinct rows`, ydata's
+    * `n_duplicates`) and flag when the duplicate fraction exceeds
+    * `threshold` (default 0 — any duplicate row fires, ydata's behavior).
+    * One shuffle keyed by the full row (partial-aggregated) + a scalar
+    * reduce; no driver-side row data. At corpus scale this costs what an
+    * exact full-row distinct costs — run it where that is already the
+    * dedup contract, or on a column subset via `select` first. */
+  def withDuplicateRowAlert(df: DataFrame, profile: TableProfile,
+      threshold: Double = 0.0): TableProfile = {
+    val r = df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n"),
+        coalesce(sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)), lit(0L))
+          .as("ndup"))
+      .head()
+    val (n, ndup) = (r.getLong(0), r.getLong(1))
+    val fires = n > 0 && ndup.toDouble / n > threshold
+    profile.copy(nDuplicates = Some(ndup),
+      tableAlerts =
+        if (fires && !profile.tableAlerts.contains("duplicates"))
+          profile.tableAlerts :+ "duplicates"
+        else profile.tableAlerts)
+  }
+
   /** Profile a Parquet file/directory, filling `memorySize` with the exact
     * uncompressed byte count per column from the footers (the reference
     * samples chunks and extrapolates; footers are exact and free). */
@@ -688,10 +765,19 @@ object ColumnProfiler {
     if (p.dtype == "string" && present > 0 &&
         p.minLength.isDefined && p.minLength == p.maxLength)
       out += "constant_length"
-    // ydata UNIFORM: chi-square test over the histogram bins accepts the
-    // uniform null at p > 0.999 (ydata's default threshold). Only fires
-    // with real spread (> 1 distinct) — a constant column's single-bin
-    // spike is maximally NON-uniform and fails the test anyway.
+    // ydata SKEWED: |g1| > 20 (ydata's vars.num.skewness_threshold
+    // default) — population skewness from the same aggregation pass
+    for (sk <- p.skewness if math.abs(sk) > 20) out += "skewed"
+    // ydata UNIFORM — INTENTIONAL DEVIATION: ydata runs the chi-square
+    // over per-distinct-VALUE counts; this runs it over the equal-width
+    // HISTOGRAM bins the profile already computes (value counts for a
+    // continuous column are data-sized — all 1s — and ydata's own test
+    // degenerates there: every count 1 ⇒ stat 0 ⇒ fires vacuously). The
+    // histogram form asks "is the DENSITY flat", which is the useful
+    // question at corpus scale and costs nothing extra; low-cardinality
+    // columns where bins ≈ values agree with ydata. Only fires with real
+    // spread (> 1 distinct) — a constant column's single-bin spike is
+    // maximally NON-uniform and fails the test anyway.
     for (h <- p.hist if present > 0 && p.nDistinct > 1) {
       val total = h.sum.toDouble
       val bins = h.size

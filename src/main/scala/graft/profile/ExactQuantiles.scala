@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * bit-for-bit what `percentile` returns on NaN-free data. Nulls are
   * ignored; NaN is EXCLUDED like null (the `percentile` aggregate's NaN
   * behavior is undefined hash-map ordering — we document the clean
-  * contract instead). */
+  * contract instead). ±Infinity is a first-class input: infinities are
+  * counted out in pass 1 and resolve their extreme ranks directly (they
+  * cannot bin), finite ranks shift past the −∞ block, and segments whose
+  * lo/hi span overflows double (hi − lo = ∞) narrow by midpoint bisection
+  * until fixed-width binning is meaningful again. */
 object ExactQuantiles {
 
   /** Per-column exact quantiles; one Option per p (None when the column
@@ -58,19 +62,41 @@ object ExactQuantiles {
       val v = col(c).cast("double")
       when(!isnan(v), v) // null for both SQL null and NaN
     }
+    // ±Infinity is a legal input (the profiler counts nInfinite) but can
+    // never live inside a fixed-width bin grid: (v−lo)/(hi−lo) with an
+    // infinite span maps everything to bin 0 and the whole column would
+    // silently fall through to a full distinct-collect. Infinities are
+    // split out in pass 1 instead: they occupy the extreme ranks by
+    // definition (−∞ the first `nNeg`, +∞ the last `nPos`), so those
+    // ranks resolve WITHOUT scanning and the bin machinery runs on the
+    // finite values only, with rank offsets.
+    def cleanFinite(c: String): Column = {
+      val v = clean(c)
+      when(v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity, v)
+    }
 
-    // ---- pass 1: min / max / count per column ---------------------------
+    // ---- pass 1: finite min / max, counts (finite, ±inf) per column -----
     val statAggs = columns.flatMap { c =>
-      Seq(min(clean(c)).as(s"__mn_$c"), max(clean(c)).as(s"__mx_$c"),
-        count(clean(c)).as(s"__n_$c"))
+      Seq(min(cleanFinite(c)).as(s"__mn_$c"), max(cleanFinite(c)).as(s"__mx_$c"),
+        count(cleanFinite(c)).as(s"__n_$c"),
+        sum(when(clean(c) === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as(s"__ni_$c"),
+        sum(when(clean(c) === Double.PositiveInfinity, 1L).otherwise(0L))
+          .as(s"__pi_$c"))
     }
     val statRow = df.agg(statAggs.head, statAggs.tail: _*).head()
-    case class Stats(mn: Double, mx: Double, n: Long)
+    // mn/mx are over FINITE values (NaN when none); n includes infinities
+    case class Stats(mn: Double, mx: Double, n: Long, nNeg: Long, nFin: Long)
     val stats: Map[String, Option[Stats]] = columns.map { c =>
-      val n = statRow.getAs[Long](s"__n_$c")
+      val nFin = statRow.getAs[Long](s"__n_$c")
+      val nNeg = Option(statRow.getAs[Long](s"__ni_$c")).getOrElse(0L)
+      val nPos = Option(statRow.getAs[Long](s"__pi_$c")).getOrElse(0L)
+      val n = nFin + nNeg + nPos
       c -> (if (n == 0) None
-            else Some(Stats(statRow.getAs[Double](s"__mn_$c"),
-              statRow.getAs[Double](s"__mx_$c"), n)))
+            else Some(Stats(
+              if (nFin == 0) Double.NaN else statRow.getAs[Double](s"__mn_$c"),
+              if (nFin == 0) Double.NaN else statRow.getAs[Double](s"__mx_$c"),
+              n, nNeg, nFin)))
     }.toMap
 
     // target 0-based ranks per column (the floor/ceil bracketing pair)
@@ -85,14 +111,28 @@ object ExactQuantiles {
     case class Seg(colIdx: Int, pred: Column, lo: Double, hi: Double,
       cumBefore: Long, rows: Long, ranks: Seq[Long])
 
+    // A FINITE lo/hi pair can still have a non-finite span (values near
+    // ±1.7e308: hi − lo overflows to Infinity) — fixed-width binning
+    // degenerates there ((v−lo)/∞ = 0 for every value), so such segments
+    // split by MIDPOINT BISECTION instead: lo/2 + hi/2 is always finite
+    // and strictly between them, and 2-way splits converge the span back
+    // into finite-width territory in ≤ 2 rounds.
+    def finiteWidth(lo: Double, hi: Double): Boolean =
+      java.lang.Double.isFinite(hi - lo)
+    def midpoint(lo: Double, hi: Double): Double = lo / 2 + hi / 2
     def binExpr(c: String, lo: Double, hi: Double): Column = {
       val v = clean(c)
-      least(lit(bins - 1), greatest(lit(0),
-        floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins)))).cast("int")
+      if (finiteWidth(lo, hi))
+        least(lit(bins - 1), greatest(lit(0),
+          floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins)))).cast("int")
+      else
+        when(v < lit(midpoint(lo, hi)), 0).otherwise(1).cast("int")
     }
+    def nBins(lo: Double, hi: Double): Int = if (finiteWidth(lo, hi)) bins else 2
     // can this range still subdivide in double space?
     def splittable(lo: Double, hi: Double): Boolean =
-      hi > lo && (lo + (hi - lo) / bins) > lo
+      if (!finiteWidth(lo, hi)) { val m = midpoint(lo, hi); lo < m && m < hi }
+      else hi > lo && (lo + (hi - lo) / bins) > lo
 
     // one bin-count pass over a set of segments → child segments
     def refine(segs: Seq[Seg]): Seq[Seg] = {
@@ -113,13 +153,19 @@ object ExactQuantiles {
           .map(t => (t._2, t._3)).sortBy(_._1)
         var cum = s.cumBefore
         val width = s.hi - s.lo
+        val nb = nBins(s.lo, s.hi)
         byBin.flatMap { case (b, cnt) =>
           val childRanks = s.ranks.filter(k => cum <= k && k < cum + cnt)
           val out = if (childRanks.isEmpty) None
           else {
             val c = columns(s.colIdx)
-            val childLo = s.lo + width * b / bins
-            val childHi = if (b == bins - 1) s.hi else s.lo + width * (b + 1) / bins
+            val (childLo, childHi) =
+              if (finiteWidth(s.lo, s.hi))
+                (s.lo + width * b / bins,
+                  if (b == bins - 1) s.hi else s.lo + width * (b + 1) / bins)
+              else if (b == 0) (s.lo, midpoint(s.lo, s.hi))
+              else (midpoint(s.lo, s.hi), s.hi)
+            require(b < nb, s"bin $b out of range for $nb-way split")
             Some(Seg(s.colIdx, s.pred && binExpr(c, s.lo, s.hi) === b,
               childLo, childHi, cum, cnt, childRanks))
           }
@@ -129,12 +175,31 @@ object ExactQuantiles {
       }
     }
 
+    // ranks below nNeg / at-or-above nNeg+nFin are infinities by
+    // definition — resolved up front, no scan; only FINITE-range ranks
+    // enter the segment machinery (offset by the −∞ block)
+    val infResolved: Map[(Int, Long), Double] =
+      columns.zipWithIndex.flatMap { case (c, i) =>
+        stats(c).toSeq.flatMap { st =>
+          neededRanks(st.n).flatMap { k =>
+            if (k < st.nNeg) Some((i, k) -> Double.NegativeInfinity)
+            else if (k >= st.nNeg + st.nFin) Some((i, k) -> Double.PositiveInfinity)
+            else if (st.nFin > 0 && st.mx == st.mn) Some((i, k) -> st.mn)
+            else None // finite, non-constant: segments resolve it
+          }
+        }
+      }.toMap
+
     // ---- passes 2..k: narrow until every needed segment fits ------------
     val initial = columns.zipWithIndex.flatMap { case (c, i) =>
       stats(c) match {
-        case Some(st) if st.mx > st.mn =>
-          Some(Seg(i, clean(c).isNotNull, st.mn, st.mx, 0L, st.n, neededRanks(st.n)))
-        case _ => None // empty or constant column: resolved without scans
+        case Some(st) if st.nFin > 0 && st.mx > st.mn =>
+          val finiteRanks = neededRanks(st.n)
+            .filter(k => k >= st.nNeg && k < st.nNeg + st.nFin)
+          if (finiteRanks.isEmpty) None
+          else Some(Seg(i, cleanFinite(c).isNotNull, st.mn, st.mx,
+            st.nNeg, st.nFin, finiteRanks))
+        case _ => None // empty, all-∞ or constant column: no scans needed
       }
     }
     // small columns go straight to the distinct-collect — no bin pass
@@ -176,8 +241,12 @@ object ExactQuantiles {
         }.toMap
       }
 
-    assemble(columns, stats.map { case (c, s) => c -> s.map(x => (x.mn, x.mx, x.n)) },
-      resolved, ps)
+    assemble(columns,
+      stats.map { case (c, s) =>
+        c -> s.map(st => (st.n, st.nNeg, st.nFin,
+          if (st.nFin > 0 && st.mx == st.mn) Some(st.mn) else None))
+      },
+      infResolved ++ resolved, ps)
   }
 
   /** The sorted distinct (value, count) table of a small column — Some
@@ -231,26 +300,36 @@ object ExactQuantiles {
   }
 
   private def assemble(columns: Seq[String],
-      stats: Map[String, Option[(Double, Double, Long)]],
+      // per column: (n, nNeg, nFin, constant finite value if mx == mn)
+      info: Map[String, Option[(Long, Long, Long, Option[Double])]],
       resolved: Map[(Int, Long), Double],
       ps: Seq[Double]): Map[String, Seq[Option[Double]]] = {
     // ---- assemble + interpolate (Spark percentile's exact formula) ------
+    // every needed rank — finite, ±∞ block, or constant shortcut — is in
+    // `resolved` by construction; interpolation across an infinite
+    // endpoint follows IEEE through the same expression the aggregate
+    // evaluates (−∞ bracket → −∞, mixed ∓∞ brackets → NaN)
     columns.zipWithIndex.map { case (c, i) =>
-      c -> (stats(c) match {
+      c -> (info(c) match {
         case None => ps.map(_ => Option.empty[Double])
-        case Some((mn, mx, _)) if mx == mn => ps.map(_ => Some(mn))
-        case Some((_, _, n)) =>
+        case Some((n, nNeg, nFin, const)) =>
           ps.map { p =>
             val pos = p * (n - 1)
             val lo = math.floor(pos).toLong
             val hi = math.ceil(pos).toLong
-            val vLo = resolved((i, lo))
-            // Spark Percentile's exact expression — the WEIGHTED-average
-            // form `(hi−pos)·vLo + (pos−lo)·vHi`, which differs from
-            // `vLo + Δ·frac` by an ulp on some inputs; bit-parity with
-            // the aggregate (and the DuckDB oracle) requires this one
-            Some(if (lo == hi) vLo
-                 else (hi - pos) * vLo + (pos - lo) * resolved((i, hi)))
+            // constant finite range with both brackets inside it: the
+            // EXACT value, no weighted round-trip ((1−w)·v + w·v loses an
+            // ulp — the pre-existing constant-column contract)
+            if (const.isDefined && lo >= nNeg && hi < nNeg + nFin) const
+            else {
+              val vLo = resolved((i, lo))
+              // Spark Percentile's exact expression — the WEIGHTED-average
+              // form `(hi−pos)·vLo + (pos−lo)·vHi`, which differs from
+              // `vLo + Δ·frac` by an ulp on some inputs; bit-parity with
+              // the aggregate (and the DuckDB oracle) requires this one
+              Some(if (lo == hi) vLo
+                   else (hi - pos) * vLo + (pos - lo) * resolved((i, hi)))
+            }
           }
       })
     }.toMap

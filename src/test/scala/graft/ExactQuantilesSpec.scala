@@ -99,4 +99,50 @@ class ExactQuantilesSpec extends SparkSpecBase {
     assert(ExactQuantiles.quantiles(
       Seq(42.0).toDF("v"), Seq("v"), PS)("v").forall(_.contains(42.0)))
   }
+
+  test("±Infinity inputs resolve extreme ranks without a full distinct-collect") {
+    val rnd = new scala.util.Random(11)
+    // 5% −∞, 5% +∞, the rest finite — with forced refinement so the bin
+    // machinery actually runs on the finite range
+    val vals = Seq.tabulate(5000) { i =>
+      if (i % 20 == 0) Double.NegativeInfinity
+      else if (i % 20 == 1) Double.PositiveInfinity
+      else rnd.nextDouble() * 1000
+    }
+    val df = vals.toDF("v")
+    val got = ExactQuantiles.quantiles(df, Seq("v"), PS,
+      capRows = 500, smallRows = 100)("v").map(_.get)
+    val want = sparkPercentile(df, "v")
+    // compare with NaN-tolerant equality (mixed ∓∞ interpolation → NaN)
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) },
+      s"got $got want $want")
+    // p0 must be −∞ and p100 +∞ by construction
+    assert(got.head == Double.NegativeInfinity && got.last == Double.PositiveInfinity)
+  }
+
+  test("all-infinite and infinity-heavy columns keep the percentile contract") {
+    val inf = Seq(Double.NegativeInfinity, Double.PositiveInfinity,
+      Double.PositiveInfinity).toDF("v")
+    val got = ExactQuantiles.quantiles(inf, Seq("v"), Seq(0.0, 0.5, 1.0))("v")
+    val want = inf.agg(percentile(col("v"), lit(Array(0.0, 0.5, 1.0))))
+      .head().getSeq[Double](0)
+    assert(got.map(_.get).zip(want).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) })
+    // one −∞ among constants: p0 = −∞, upper ranks = the constant
+    val mix = (Double.NegativeInfinity +: Seq.fill(99)(5.0)).toDF("v")
+    val gm = ExactQuantiles.quantiles(mix, Seq("v"), Seq(0.0, 0.5, 1.0))("v")
+    assert(gm == Seq(Some(Double.NegativeInfinity), Some(5.0), Some(5.0)))
+  }
+
+  test("overflowing span (values near ±MaxValue) bisects instead of collecting") {
+    // hi − lo = ∞ though both bounds are finite: the fixed-width grid is
+    // degenerate and the midpoint-bisection path must engage
+    val vals = Seq(-1.7e308, -1.0e308, -42.0, 0.0, 7.0, 1.0e308, 1.7e308) ++
+      Seq.tabulate(2000)(i => (i - 1000) * 1e300)
+    val df = vals.toDF("v")
+    val got = ExactQuantiles.quantiles(df, Seq("v"), PS,
+      capRows = 100, smallRows = 50)("v").map(_.get)
+    assert(got == sparkPercentile(df, "v"))
+  }
 }

@@ -176,4 +176,39 @@ class FrameSpec extends SparkSpecBase {
       "gone" -> "removed", "same" -> "unchanged", "fresh" -> "added"))
   }
 
+  test("loc: label lookup on the index, (row, col) form, filter pushes to scan") {
+    val lp = LazyParquetFrame(spark, sf("nation"), Seq("n_nationkey"))
+    val row = lp.loc(3).collect()
+    assert(row.length == 1 && row.head.getAs[String]("n_name") == "NATION_3")
+    // (row_key, col_key): index columns stay, projection applies
+    val rc = lp.loc(Seq(3), Seq("n_name"))
+    assert(rc.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(rc.head().getString(1) == "NATION_3")
+    // label equality reaches the parquet scan
+    val plan = lp.loc(3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"loc filter must push down:\n$plan")
+    // no index → loc is meaningless
+    val noIdx = LazyParquetFrame(spark, sf("nation"))
+    assertThrows[IllegalStateException](noIdx.loc(3))
+    // arity mismatch against a MultiIndex
+    val multi = LazyParquetFrame(spark, sf("nation"), Seq("n_nationkey", "n_regionkey"))
+    assertThrows[IllegalArgumentException](multi.loc(3))
+    assert(multi.loc(3, 3).count() == 1)
+  }
+
+  test("loc: label assignment rewrites matching rows only; new column is NULL elsewhere") {
+    val lp = LazyParquetFrame(spark, sf("nation"), Seq("n_nationkey"))
+    lp.locSet(Seq(3), "n_comment", "patched")
+    val byKey = lp.df.select("n_nationkey", "n_comment").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byKey(3) == "patched")
+    assert(byKey(4) != "patched", "non-matching rows must keep their value")
+    // assignment into a NEW column: value on the match, NULL elsewhere
+    lp.locSet(Seq(5), "flag", 1)
+    val flags = lp.df.select("n_nationkey", "flag").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(flags(5).contains(1) && flags(4).isEmpty)
+  }
+
 }

@@ -530,6 +530,48 @@ class PlanSpec extends SparkSpecBase {
       s"dropout must stay linear:\n$p")
   }
 
+  test("global windows appear ONLY over bounded-by-construction tables — the lint") {
+    // A WindowExec without partitioning funnels its whole input through one
+    // task — the canonical 100 TB stall. The test log carries ~190 benign
+    // WindowExec warnings (bounded spines, post-limit top-k), which would
+    // bury a NEW data-sized one; this pins the exact set of declared
+    // queries allowed to plan one, with the boundedness argument per entry.
+    // A new global window ANYWHERE (or an extra one in an allowlisted
+    // query) fails until it is justified here or re-planned.
+    val allowed = Map(
+      // per-hour bucket table (z-score + rolling stats over hours)
+      "q107_rate_anomaly" -> 2,
+      // per-day adoption spine (calendar-sized)
+      "q119_adoption_curve" -> 1,
+      // per-day rolling-median series (calendar-sized)
+      "q122_rolling_median" -> 1,
+      // suffix-min over the ≤`buckets` (1024) CDF cell spine; the
+      // data-sized ref-CDF cumsum runs distributed (ScaleOps)
+      "q163_quantile_norm" -> 1,
+      // exclusive cumsum over the id-range/blockSize block table
+      "q47_pack_sequences" -> 1,
+      // same packing block table inside the composed pipeline
+      "q52_corpus_pipeline" -> 1,
+      // rank over the top-`topK`-limited term table (post-limit)
+      "q95_zipf_fit" -> 1,
+      // same block-table cumsum as q47 (packing stats)
+      "q96_packing_stats" -> 1)
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // sparkPlan (pre-AQE): WindowExec nodes are visible without running
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+      name -> plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if g.partitionSpec.isEmpty => g
+      }.size
+    }.filter(_._2 > 0).toMap
+    assert(found == allowed,
+      s"global-window set changed.\n  new/changed: ${(found.toSet -- allowed.toSet).toSeq.sorted}" +
+        s"\n  missing:     ${(allowed.toSet -- found.toSet).toSeq.sorted}\n" +
+        "Every entry needs a boundedness argument in this allowlist.")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true

@@ -43,6 +43,43 @@ class ProfileReportSpec extends SparkSpecBase {
     assert(!skewed.variables("v").alerts.contains("uniform"))
   }
 
+  test("alerts: skewed fires on |g1| > 20, not on symmetric data") {
+    // 1-in-1000 spike: g1 = (1−2p)/√(p(1−p)) ≈ 31.6 > 20
+    val spiky = (0 until 10000).map(i => if (i % 1000 == 0) 1e6 else 0.0).toDF("v")
+    val ps = ColumnProfiler.profile(spiky)
+    assert(ps.variables("v").alerts.contains("skewed"))
+    assert(ps.variables("v").skewness.exists(_ > 20))
+    // symmetric data: |g1| ≈ 0
+    val sym = (-500 to 500).map(_.toDouble).toDF("v")
+    assert(!ColumnProfiler.profile(sym).variables("v").alerts.contains("skewed"))
+  }
+
+  test("alerts: imbalance on a 97/3 categorical, not on balanced or numeric") {
+    val df = (0 until 1000).map(i =>
+      (if (i % 37 == 0) "rare" else "common",       // score ≈ 0.82 > 0.5
+        if (i % 2 == 0) "a" else "b",               // balanced → ≈ 0
+        i.toDouble))
+      .toDF("lop", "even", "num")
+    val p = ColumnProfiler.withImbalanceAlerts(df, ColumnProfiler.profile(df))
+    assert(p.variables("lop").alerts.contains("imbalance"))
+    assert(!p.variables("even").alerts.contains("imbalance"))
+    assert(!p.variables("num").alerts.contains("imbalance")) // numeric: not categorical
+  }
+
+  test("alerts: duplicate-rows table alert counts repeats of identical rows") {
+    val dup = Seq((1, "x"), (1, "x"), (2, "y"), (3, "z"), (1, "x")).toDF("k", "v")
+    val p = ColumnProfiler.withDuplicateRowAlert(dup, ColumnProfiler.profile(dup))
+    assert(p.nDuplicates.contains(2L)) // two repeats of (1, x)
+    assert(p.tableAlerts == Seq("duplicates"))
+    val uniq = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val pu = ColumnProfiler.withDuplicateRowAlert(uniq, ColumnProfiler.profile(uniq))
+    assert(pu.nDuplicates.contains(0L) && pu.tableAlerts.isEmpty)
+    // threshold: 2/5 duplicates below a 0.5 threshold → no alert, count kept
+    val pt = ColumnProfiler.withDuplicateRowAlert(dup,
+      ColumnProfiler.profile(dup), threshold = 0.5)
+    assert(pt.nDuplicates.contains(2L) && pt.tableAlerts.isEmpty)
+  }
+
   test("alerts: high_correlation flags tightly coupled numeric pairs only") {
     val d = Seq((1.0, 2.0, 5.0), (2.0, 4.0, -3.0), (3.0, 6.0, 9.0), (4.0, 8.0, 0.5))
       .toDF("x", "y", "noise")

@@ -436,6 +436,56 @@ class SimilaritySpec extends SparkSpecBase {
     assert(two.map(_.getAs[Double]("adc_dist")).toSeq == Seq(2.0, 18.0, 98.0))
   }
 
+  test("ANN sidecar: layouts are self-describing; array mismatch is an error") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val cbs = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(-1.0, -1.0)))
+    val corpus = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(9.0f, 9.0f)),
+      (2L, Array(11.0f, 11.0f))).toDF("id", "vec")
+    val path = tmpDir("graft_sidecar") + "/codes"
+    Similarity.writeIvfPqCodes(corpus, "id", "vec", cents, cbs, path)
+    // round-trip: the sidecar holds bit-identical arrays
+    val meta = graft.io.AnnSidecar.load(spark, path, "ivfpq")
+    assert(meta.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(meta.codebooks.get.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(meta.params == Map("num_lists" -> 2, "m" -> 1, "sub" -> 2, "dim" -> 2))
+    // the no-array overload probes purely from the stored description
+    val q = Seq((7L, Array(8.0f, 8.0f))).toDF("qid", "qvec")
+    val viaSidecar = Similarity.ivfPqTopK(path, q, "qid", "qvec", k = 5, nProbe = 1)
+      .orderBy($"rank").collect()
+    assert(viaSidecar.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 2L))
+    // DIFFERENT arrays against the stored layout must be rejected loudly
+    val wrong = Array(Array(0.0, 0.0), Array(9.0, 10.0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(path, wrong, cbs, q, "qid", "qvec", k = 5, nProbe = 1)
+    }
+    assert(e.getMessage.contains("DIFFERENT centroids"))
+    // wrong kind: an ivfpq layout is not an ivf layout
+    assertThrows[IllegalArgumentException](
+      graft.io.AnnSidecar.load(spark, path, "ivf"))
+    // missing sidecar: clear contract error from the no-array overload
+    assertThrows[IllegalStateException](
+      Similarity.ivfPqTopK(tmpDir("no_sidecar"), q, "qid", "qvec", k = 5, nProbe = 1))
+    spark.catalog.clearCache()
+  }
+
+  test("semDedup sidecar: stored probe runs from the layout description alone") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq((1L, Array(0.9f, 0.1f, 0.5f)), (2L, Array(0.1f, 0.9f, 0.5f)))
+      .toDF("id", "vec")
+    val path = tmpDir("graft_sd_sidecar") + "/clusters"
+    Similarity.writeSemDedupClusters(corpus, "id", "vec", cents, clusterDims = 2, path)
+    val batch = Seq((10L, Array(0.9f, 0.1f, 0.5f)), (11L, Array(0.5f, -0.5f, 0.0f)))
+      .toDF("id", "vec")
+    val viaArrays = Similarity.semDedupProbeStored(batch, "id", "vec", path,
+      cents, tau = 0.99, clusterDims = 2).orderBy("id").collect()
+    val viaSidecar = Similarity.semDedupProbeStored(batch, "id", "vec", path,
+      tau = 0.99).orderBy("id").collect()
+    assert(viaArrays.map(_.toSeq).toSeq == viaSidecar.map(_.toSeq).toSeq)
+    assert(!viaSidecar.head.getAs[Boolean]("keep")) // exact dup rejected
+    spark.catalog.clearCache()
+  }
+
   test("mmrRerank: redundancy penalty demotes the near-duplicate candidate") {
     // q=(1,0,0); 10 is most relevant, 11 is a near-clone of 10
     // (sim≈0.999, rel≈0.97), 12 is less relevant (rel≈0.90) but diverse
