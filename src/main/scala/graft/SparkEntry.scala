@@ -534,6 +534,21 @@ object SparkEntry {
         .gateOrdered(col("c_custkey"))
     }),
 
+    // ---- int8 scalar quantization + quantized search --------------------
+    // SQ8: 4× embedding compression with EXACT in-family cosine ranking
+    // (scale invariance + integer-exact sums); oracle replays scale,
+    // clamp/floor codes and the code-space cosine per candidate
+    "q212_int8_quant" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(read(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      Similarity.int8TopK(q, q.filter(col("vec_id") < 5), k = 10)
+        .join(q.select(col("vec_id").as("query_id"),
+          round(col("scale"), 6).as("q_scale")), Seq("query_id"))
+        .select(col("query_id"), col("q_scale"), col("nbr_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3599,6 +3614,32 @@ object SparkEntry {
                   AS c_mktsegment,
                 c_name
          FROM customer WHERE c_custkey IN (7, 8) ORDER BY c_custkey""",
+    // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
+    // integer code vectors (scale cancels; sums integer-exact)
+    "q212_int8_quant" ->
+      """WITH qt AS (
+           SELECT vec_id,
+                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127
+                    AS scale,
+                  embedding::DOUBLE[] AS e
+           FROM embeddings),
+         codes AS (
+           SELECT vec_id, scale,
+                  CASE WHEN scale = 0
+                       THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x ->
+                              greatest(-127, least(127, floor(x / scale + 0.5))))
+                  END AS c
+           FROM qt)
+         SELECT query_id, q_scale, nbr_id, round(cos, 4) AS cosine, rank FROM (
+           SELECT q.vec_id AS query_id, round(q.scale, 6) AS q_scale,
+                  t.vec_id AS nbr_id,
+                  list_cosine_similarity(q.c, t.c) AS cos,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.c, t.c) DESC,
+                             t.vec_id ASC) AS rank
+           FROM codes t CROSS JOIN (SELECT * FROM codes WHERE vec_id < 5) q) z
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // skewed = population |g1| > 20; imbalance = 1 − H/ln k > 0.5 over
     // value counts; dup_rows = any repeated full row (replayed from data,
     // same formulas, thresholds far from the computed margins)

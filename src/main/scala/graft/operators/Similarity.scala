@@ -627,6 +627,41 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization (the FAISS `SQ8`
+    * recipe): `scale = max|x| / 127`, `code = clamp(⌊x/scale + 0.5⌋,
+    * ±127)` — a pure scan projection (native `transform`/`array_max`, no
+    * shuffle) that cuts embedding storage 4× while keeping cosine ranking
+    * EXACT over the codes: cosine is scale-invariant, so
+    * `cos(deq_a, deq_b) = cos(codes_a, codes_b)`, and with |code| ≤ 127
+    * the dot/norm sums are exact integers far below 2²⁴ — bit-stable
+    * across engines, no decimal machinery needed. The complementary
+    * compressed-vector path to PQ/ADC ([[pqEncode]]): SQ8 keeps per-dim
+    * resolution and exact in-family ranking; PQ compresses harder and
+    * approximates. Zero vectors quantize to all-zero codes (scale 0
+    * guard). Output: `(vec_id, scale, codes)`. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val scale = array_max(transform(x, v => abs(v.cast("double")))) / 127.0
+    df.select(col(idCol).as("vec_id"), scale.as("scale"),
+      transform(x, v =>
+        when(scale === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(v.cast("double") / scale + 0.5))))
+          .cast("int")).as("codes"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: the code arrays feed
+    * the same compiled cosine kernel (cast to float — exact for ints ≤
+    * 127), so ranking equals the dequantized ranking by scale invariance.
+    * Queries come from the quantized table itself (symmetric search). */
+  def int8TopK(quantized: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def f(df: DataFrame) = df.withColumn("__cf",
+      transform(col("codes"), c => c.cast("float")))
+    bruteForceTopK(f(quantized), "vec_id", "__cf",
+      f(queries).select(col("vec_id").as("qid"), col("__cf").as("qvec")),
+      "qid", "qvec", k)
+  }
+
   /** Product-quantization codebooks (public recipe: Jégou et al. 2011,
     * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
     * split the vector into `numSubspaces` contiguous blocks and give each

@@ -486,6 +486,34 @@ class SimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("int8 quantization: bounded error, zero guard, ranking matches exact cosine") {
+    val emb = Seq(
+      (1L, Array(0.9f, -0.3f, 0.4f)),
+      (2L, Array(0.8f, -0.2f, 0.5f)),
+      (3L, Array(-0.5f, 0.9f, 0.1f)),
+      (4L, Array(0.0f, 0.0f, 0.0f)), // zero vector: scale 0, all-zero codes
+      (5L, Array(0.91f, -0.29f, 0.38f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val rows = q.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getSeq[Int](2).toSeq)).sortBy(_._1)
+    // |x - code*scale| <= scale/2 per element; codes within ±127
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12, s"id $id") }
+    }
+    assert(rows.find(_._1 == 4L).get._3 == Seq(0, 0, 0))
+    // quantized ranking equals the exact-cosine ranking on separated data
+    val qr = Similarity.int8TopK(q, q.filter($"vec_id" === 1L), k = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    val er = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" === 1L).select($"vec_id".as("qid"), $"embedding".as("qvec")),
+        "qid", "qvec", k = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    assert(qr == er, s"quantized $qr vs exact $er")
+  }
+
   test("mmrRerank: redundancy penalty demotes the near-duplicate candidate") {
     // q=(1,0,0); 10 is most relevant, 11 is a near-clone of 10
     // (sim≈0.999, rel≈0.97), 12 is less relevant (rel≈0.90) but diverse
