@@ -126,4 +126,17 @@ final case class ParqTools(spark: SparkSession) {
 
   def memoryUsage(path: String): MemoryOps.MemoryReport =
     MemoryOps.memoryUsage(spark, path)
+
+  // ---- utils.file_utils -------------------------------------------------
+  /** Chunked copy + hash verify + atomic replace (reference
+    * `atomic_file_copy`, utils/file_utils.py:80-154). */
+  def atomicFileCopy(src: String, dst: String, hashMethod: String = "sha256",
+      force: Boolean = false): java.nio.file.Path =
+    graft.io.AtomicFiles.atomicFileCopy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst), hashMethod, force)
+
+  /** Extract a zip (or 7z) archive with zip-slip protection (reference
+    * `utils.extract_archive`). Returns the extracted file paths. */
+  def extractArchive(archive: String, outputDir: String): Seq[java.nio.file.Path] =
+    graft.io.ArchiveUtils.extractArchive(archive, outputDir)
 }

@@ -549,6 +549,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- PII rate report (detection side of the redaction pass) ---------
+    // synthetic docs carry no PII, so deterministic addresses/URLs/IPs are
+    // injected keyed on doc_id and the per-language PII rate is reported;
+    // the oracle replays injection, the redaction chain and the counts
+    "q213_pii_stats" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val injected = docs.withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" see http://site"), col("doc_id"), lit(".example/page"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10.0.0."), col("doc_id") % 255)).otherwise(lit(""))))
+      injected
+        .withColumn("p", graft.functions.TextClean.piiCounts(col("text2")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.n_urls")).as("n_urls"),
+          sum(col("p.n_emails")).as("n_emails"),
+          sum(col("p.n_ips")).as("n_ips"),
+          sum(when(col("p.n_pii") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3614,6 +3638,40 @@ object SparkEntry {
                   AS c_mktsegment,
                 c_name
          FROM customer WHERE c_custkey IN (7, 8) ORDER BY c_custkey""",
+    // PII replay: identical injection, the SAME ordered redaction chain
+    // (URL consumes the email inside it), placeholder-split counting
+    "q213_pii_stats" ->
+      """WITH inj AS (
+           SELECT lang,
+                  text
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' see http://site' || doc_id || '.example/page' ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                          THEN ' from 10.0.0.' || (doc_id % 255) ELSE '' END AS t
+           FROM documents),
+         red AS (
+           SELECT lang,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    t,
+                    'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                    '\+\d{7,15}\b', '<PHONE>', 'g'),
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS r
+           FROM inj),
+         cnt AS (
+           SELECT lang,
+                  len(string_split(r, '<URL>')) - 1 AS u,
+                  len(string_split(r, '<EMAIL>')) - 1 AS e,
+                  len(string_split(r, '<IP>')) - 1 AS i,
+                  len(string_split(r, '<PHONE>')) - 1 AS p
+           FROM red)
+         SELECT lang, count(*) AS n_docs, sum(u) AS n_urls, sum(e) AS n_emails,
+                sum(i) AS n_ips,
+                sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+         FROM cnt GROUP BY lang ORDER BY lang""",
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
     "q212_int8_quant" ->

@@ -35,6 +35,25 @@ object TextClean {
       regexp_replace(c, pattern, token)
     }
 
+  /** Per-document PII DETECTION counts — the reporting side of
+    * [[redactPii]] (a corpus publishes its PII rate before deciding to
+    * redact, drop, or quarantine). Counts use the same sequential
+    * consumption semantics as redaction (a URL swallows the email inside
+    * it): the text runs through the replacement chain once and each typed
+    * placeholder is counted by split — exact, engine-portable arithmetic
+    * (no per-pattern re-scan disagreeing with the chain's precedence).
+    * Caveat: literal placeholder tokens already present in the input
+    * count as detections — acceptable for corpus text. Output struct:
+    * `(n_urls, n_emails, n_ips, n_phones, n_pii)`. */
+  def piiCounts(text: Column): Column = {
+    val red = redactPii(text)
+    def n(token: String): Column =
+      size(split(red, java.util.regex.Pattern.quote(token), -1)) - 1
+    val (u, e, i, p) = (n("<URL>"), n("<EMAIL>"), n("<IP>"), n("<PHONE>"))
+    struct(u.as("n_urls"), e.as("n_emails"), i.as("n_ips"), p.as("n_phones"),
+      (u + e + i + p).as("n_pii"))
+  }
+
   /** Unicode NFC normalization (compiled kernel; canonical composition —
     * é as e+combining-accent becomes the single codepoint, so dedup and
     * fingerprinting see one representation). */

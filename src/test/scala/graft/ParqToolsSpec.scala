@@ -114,4 +114,21 @@ class ParqToolsSpec extends SparkSpecBase {
     assert(Corpus.olap.rollupReport(docs, Seq("lang"),
       Seq(count(lit(1)).as("n"))).filter($"lang" === "(all)").count() == 1)
   }
+
+  test("facade: atomicFileCopy and extractArchive delegate with reference semantics") {
+    val pt = ParqTools(spark)
+    val dir = java.nio.file.Paths.get(tmpDir("facade_util"))
+    val src = dir.resolve("a.bin")
+    java.nio.file.Files.write(src, Array.fill[Byte](4096)(3))
+    val dst = pt.atomicFileCopy(src.toString, dir.resolve("b.bin").toString)
+    assert(graft.io.FileHash.filesMatch(src.toString, dst.toString, "sha256"))
+    val zip = dir.resolve("z.zip")
+    val zo = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zip))
+    zo.putNextEntry(new java.util.zip.ZipEntry("f.txt"))
+    zo.write("hi".getBytes); zo.closeEntry(); zo.close()
+    val out = pt.extractArchive(zip.toString, dir.resolve("out").toString)
+    assert(out.size == 1 &&
+      new String(java.nio.file.Files.readAllBytes(out.head)) == "hi")
+  }
 }

@@ -44,4 +44,18 @@ class TextCleanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"clean must not shuffle:\n$plan")
   }
+
+  test("piiCounts: sequential consumption (URL swallows its email), typed counts") {
+    val df = Seq(
+      ("mail a@b.com and http://x.example/a@c.com plus 10.0.0.1 call +12345678"),
+      ("555-123-4567 and 555.987.6543"),
+      ("no pii here")).toDF("t")
+    val got = df.select(TextClean.piiCounts($"t").as("p"))
+      .select("p.n_urls", "p.n_emails", "p.n_ips", "p.n_phones", "p.n_pii")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // row 1: the address inside the URL is consumed by the URL rule
+    assert(got(0) == ((1, 1, 1, 1, 4)), got(0).toString)
+    assert(got(1) == ((0, 0, 0, 2, 2)))
+    assert(got(2) == ((0, 0, 0, 0, 0)))
+  }
 }
