@@ -366,7 +366,19 @@ object ScaleOps {
     * (castable to double losslessly enough to stay monotone — any
     * NumericType or timestamp qualifies). */
   def withExclusiveRunningSum(perV: DataFrame, order: Column,
-      cntCol: String, outCol: String): DataFrame = {
+      cntCol: String, outCol: String): DataFrame =
+    withExclusiveRunningSums(perV, order, Seq(cntCol), Seq(outCol))._1
+
+  /** Multi-column form of [[withExclusiveRunningSum]] — one bucket
+    * assignment, ONE totals pass and ONE window stage carry any number of
+    * simultaneous running sums under the same order (the two-sided CDF
+    * shape [[graft.profile.Drift.ksStatistic]] needs). Also returns the
+    * GRAND totals per count column (free by-product of the offsets
+    * collect — callers like KS need them and must not pay another pass). */
+  private[graft] def withExclusiveRunningSums(perV: DataFrame, order: Column,
+      cntCols: Seq[String], outCols: Seq[String]): (DataFrame, Seq[Long]) = {
+    require(cntCols.nonEmpty && cntCols.size == outCols.size,
+      s"need matching cnt/out columns: $cntCols vs $outCols")
     import org.apache.spark.sql.expressions.Window
     val (orderVal, desc, nullsFirst) = sortParts(order)
     // persist: perV is typically an aggregation (a shuffle) — the splits
@@ -389,19 +401,28 @@ object ScaleOps {
     val parts = cached.withColumn("__rs_pid",
       rangeBucketExpr(splits, orderVal.cast("double"), desc, nullsFirst))
     val totals = parts.groupBy("__rs_pid")
-      .agg(sum(col(cntCol)).cast("long").as("__rs_t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    // exclusive prefix indexed by bucket id (empty buckets carry the
-    // running total forward) — inlined as an array literal + element_at:
-    // an O(1) projection, no broadcast-join stage in the plan
-    val offArr = prefixOffsets(totals, splits.length + 1)
+      .agg(sum(col(cntCols.head)).cast("long").as("__rs_t0"),
+        cntCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).cast("long").as(s"__rs_t${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> cntCols.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val grand = cntCols.indices.map(i => totals.valuesIterator.map(_(i)).sum)
+    // exclusive prefixes indexed by bucket id (empty buckets carry the
+    // running total forward) — inlined as array literals + element_at:
+    // O(1) projections, no broadcast-join stage in the plan
+    val offArrs = cntCols.indices.map { i =>
+      prefixOffsets(totals.map { case (p, v) => p -> v(i) }, splits.length + 1)
+    }
     val wl = Window.partitionBy("__rs_pid").orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parts
-      .withColumn(outCol,
-        coalesce(sum(col(cntCol)).over(wl), lit(0L)) +
-          element_at(typedLit(offArr.toSeq), col("__rs_pid") + 1))
+    val out = cntCols.indices.foldLeft(parts) { (df, i) =>
+        df.withColumn(outCols(i),
+          coalesce(sum(col(cntCols(i))).over(wl), lit(0L)) +
+            element_at(typedLit(offArrs(i).toSeq), col("__rs_pid") + 1))
+      }
       .drop("__rs_pid")
+    (out, grand)
   }
 
   /** Exclusive prefix sums over `nb` bucket totals, dense-indexed by bucket

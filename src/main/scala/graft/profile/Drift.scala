@@ -113,43 +113,21 @@ object Drift {
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
     val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
 
-    // Two-phase distributed running CDF — the [[graft.ops.IndexOps
-    // .stableRowNumber]] mechanics applied to cumulative SUMS, so the
-    // distinct-value table may be arbitrarily large (continuous columns
-    // where distinct ≈ rows included): range-partition by value, run the
-    // cumulative sums per partition (windows keyed by partition id — fully
-    // parallel), prefix-sum the per-partition totals on the driver
-    // (≤ shuffle-partition-count rows) and broadcast-join the offsets back.
-    // No global single-partition window anywhere in the plan.
-    // localCheckpoint: the offsets job and the main job both consume the
-    // range-partitioned table; without it the groupBy+full_outer lineage
-    // would recompute (same materialize-once contract as
-    // [[graft.operators.Components]]).
-    val parts = joined.repartitionByRange(col("v"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val partTotals = parts.groupBy("_pid")
-      .agg(sum("n_a").as("pa"), sum("n_b").as("pb"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val ta = partTotals.map(_._2).sum
-    val tb = partTotals.map(_._3).sum
-    // exclusive prefix: offset of partition i = totals of partitions < i
-    val scan = partTotals.scanLeft((0, 0L, 0L)) {
-      case ((_, ca, cb), (pid, pa, pb)) => (pid, ca + pa, cb + pb)
-    }
-    val offsets = scan.init.zip(partTotals).map {
-      case ((_, oa, ob), (pid, _, _)) => (pid, oa, ob)
-    }.toSeq
-    val spark = a.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("_pid", "_oa", "_ob")
-    val wl = Window.partitionBy("_pid").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    parts.join(broadcast(offDf), Seq("_pid"))
+    // Both running CDFs ride ONE deterministic-bucket two-phase cumsum
+    // ([[graft.ops.ScaleOps.withExclusiveRunningSums]]): same bucket
+    // assignment, one totals pass (which also yields the grand totals —
+    // no extra job), one shared window stage. The distinct-value table
+    // may be arbitrarily large (continuous columns where distinct ≈ rows
+    // included); no global single-partition window, no checkpoint — the
+    // bucket id is a pure function of the value, so every job agrees by
+    // construction.
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"))
+    val (ta, tb) = (grand(0), grand(1))
+    cum
       .withColumn("_d", abs(
-        (sum("n_a").over(wl) + col("_oa")) / lit(ta).cast("double") -
-        (sum("n_b").over(wl) + col("_ob")) / lit(tb).cast("double")))
+        (col("_ea") + col("n_a")) / lit(ta).cast("double") -
+        (col("_eb") + col("n_b")) / lit(tb).cast("double")))
       .agg(max(lit(ta)).as("n_a"), max(lit(tb)).as("n_b"),
         round(max("_d"), 6).as("ks"))
   }
