@@ -53,4 +53,33 @@ class KernelCodegenSpec extends SparkSpecBase {
         TextKernels.charNgrams(u, 3).map(_.toString).toSeq, s"cn: $t")
     }
   }
+
+  test("RangeBucketExpr codegen matches eval across directions, null and NaN") {
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    import strict.implicits._
+    val splits = Array(-10.0, 0.0, 1.5, 99.0)
+    val vals = Seq(Some(-50.0), Some(-10.0), Some(-0.1), Some(0.0), Some(1.0),
+      Some(1.5), Some(50.0), Some(99.0), Some(1e12), None, Some(Double.NaN))
+    for (desc <- Seq(false, true); nf <- Seq(true, false)) {
+      val got = vals.toDF("v")
+        .select(graft.ops.ScaleOps.rangeBucketExpr(splits, col("v"), desc, nf)
+          .as("b")).collect().map(_.getInt(0)).toSeq
+      // eval-path ground truth via the expression's own eval
+      val want = vals.map { ov =>
+        val expr = graft.functions.kernels.RangeBucketExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal(ov.orNull,
+            org.apache.spark.sql.types.DoubleType), splits, desc, nf)
+        expr.eval(null).asInstanceOf[Int]
+      }
+      assert(got == want, s"desc=$desc nullsFirst=$nf: $got vs $want")
+      // monotone over the non-null, non-NaN values in sort direction
+      val clean = vals.flatten.filterNot(_.isNaN).sorted
+      val ordered = if (desc) clean.reverse else clean
+      val bs = ordered.map(v => graft.functions.kernels.RangeBucketKernel
+        .countLe(splits, v)).map(c => if (desc) splits.length - c else c)
+      assert(bs == bs.sorted, s"bucket ids must be monotone: $bs")
+    }
+  }
 }

@@ -248,6 +248,11 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(ScaleOps.footerRangeSplits(computed, "ck").isEmpty)
     // in-memory data has no footers
     assert(ScaleOps.footerRangeSplits(Seq(1.0, 2.0).toDF("v"), "v").isEmpty)
+    // multi-file layout: range = union of per-file footer ranges
+    val multi = tmpDir("footer_multi") + "/t"
+    (1 to 3000).map(_.toDouble).toDF("x").repartition(3).write.parquet(multi)
+    val ms = ScaleOps.footerRangeSplits(spark.read.parquet(multi), "x")
+    assert(ms.isDefined && ms.get.head > 1.0 && ms.get.last < 3000.0)
     // grouping column of an aggregate keeps the child relation's bounds
     val grouped = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     assert(ScaleOps.footerRangeSplits(grouped, "o_custkey").isDefined)
