@@ -61,12 +61,23 @@ object AnnSidecar {
       val arr = root.putArray("codebooks")
       cbs.foreach(cb => putMatrix(arr.addArray(), cb))
     }
+    // temp + rename: a crash mid-write must not leave a torn JSON that
+    // bricks every later probe of an otherwise-valid layout (the
+    // AtomicFiles contract, spelled out on the Hadoop FS API)
     val p = new Path(layoutPath, FileName)
+    val tmp = new Path(layoutPath, s"$FileName.${java.util.UUID.randomUUID}.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root))
-    finally out.close()
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(root))
+      finally out.close()
+      fs.delete(p, false) // rename does not overwrite on local FS
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"rename $tmp -> $p failed")
+    } catch {
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
   }
 
   /** Read the sidecar; None when the layout predates self-description. */

@@ -18,10 +18,14 @@ object AtomicFiles {
   /** Run `write` against a temp sibling of `finalFile`, then atomically
     * rename over `finalFile`. On any exception the temp file is removed
     * and the exception rethrown — `finalFile` is either its previous
-    * content or the complete new content, never a torn write. */
+    * content or the complete new content, never a torn write. The temp
+    * name carries a per-call random component (mkstemp pattern): two
+    * concurrent writers race only on WHICH complete file wins the final
+    * rename, never on a shared temp they could tear. */
   def atomicOutputFile[T](finalFile: Path, suffix: String = ".tmp")(
       write: Path => T): T = {
-    val tmp = finalFile.resolveSibling(finalFile.getFileName.toString + suffix)
+    val tmp = finalFile.resolveSibling(
+      s"${finalFile.getFileName}.${java.util.UUID.randomUUID}$suffix")
     try {
       val r = write(tmp)
       Files.move(tmp, finalFile, StandardCopyOption.ATOMIC_MOVE,
@@ -32,24 +36,34 @@ object AtomicFiles {
     }
   }
 
-  /** Directory form: `write` fills a temp sibling directory; success swaps
-    * it in (removing any previous `finalDir`), failure removes the temp
-    * tree. The swap itself is a rename — atomic on one filesystem — though
-    * removing a pre-existing target first makes the PAIR non-atomic for
-    * concurrent readers (the reference's `atomic_output_dir` has the same
-    * window; file_utils.py:45-77). */
+  /** Directory form: `write` fills a unique temp sibling directory;
+    * success swaps it in (removing any previous `finalDir`), a failure
+    * DURING `write` removes the temp tree. The swap itself is a rename —
+    * atomic on one filesystem — though removing a pre-existing target
+    * first makes the PAIR non-atomic for concurrent readers (the
+    * reference's `atomic_output_dir` has the same window;
+    * file_utils.py:45-77). A failure AFTER `write` completed (while
+    * removing the old tree or renaming) deliberately KEEPS the finished
+    * temp tree and names it in the rethrown exception: at that point the
+    * old directory may already be partially gone, and deleting the only
+    * complete copy too would turn a recoverable fault into data loss. */
   def atomicOutputDir[T](finalDir: Path, suffix: String = ".tmp")(
       write: Path => T): T = {
-    val tmp = finalDir.resolveSibling(finalDir.getFileName.toString + suffix)
-    deleteRecursively(tmp)
+    val tmp = finalDir.resolveSibling(
+      s"${finalDir.getFileName}.${java.util.UUID.randomUUID}$suffix")
     Files.createDirectories(tmp)
+    val r =
+      try write(tmp)
+      catch { case e: Throwable => deleteRecursively(tmp); throw e }
     try {
-      val r = write(tmp)
       deleteRecursively(finalDir)
       Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
       r
     } catch {
-      case e: Throwable => deleteRecursively(tmp); throw e
+      case e: Throwable =>
+        throw new java.io.IOException(
+          s"swap into $finalDir failed after a complete write; the finished " +
+            s"tree is preserved at $tmp for manual recovery", e)
     }
   }
 

@@ -44,7 +44,14 @@ object FooterStats {
           val ann = pt.getLogicalTypeAnnotation
           val plainNumber = pt.getPrimitiveTypeName match {
             case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-              ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+              // UNSIGNED int annotations store raw two's-complement bits:
+              // a UINT32 column straddling 2^31 would decode to negative
+              // "bounds" and invert the range — reject, fall back to the
+              // quantile pass
+              ann == null || (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              })
             case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => ann == null
             case _ => false
           }

@@ -237,9 +237,9 @@ object LinearModel {
       .filter(col("__above") < k && col("__above") + col("__cnt") >= k)
       .select(col("score")).head().getDouble(0)
     // thr and n are driver values now and the returned plan reads only
-    // `base` — release the running sum's checkpointed per-score blocks
-    // here (they are unreachable from the returned DataFrame, so no
-    // caller could release them later)
+    // `base` — release the running sum's cached per-score table here
+    // (cascade-uncache; it is unreachable from the returned DataFrame, so
+    // no caller could release it later)
     graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
     base.agg(
         count(lit(1)).as("n"),

@@ -112,7 +112,12 @@ object IndexOps {
     val leadType = df.schema(orderColumns.head).dataType
     val bucketable = leadType.isInstanceOf[NumericType] ||
       leadType == TimestampType || leadType == DateType
-    if (!bucketable) return stableRowNumberGeneric(df, orderColumns, outCol)
+    // nondeterministic inputs (rand()/uuid()-class expressions anywhere in
+    // the plan) can yield DIFFERENT rows for the counting job and the
+    // numbering job — only the generic path's frozen materialization keeps
+    // them consistent
+    if (!bucketable || ScaleOps.hasNondeterministicPlan(df))
+      return stableRowNumberGeneric(df, orderColumns, outCol)
     val lead =
       if (leadType == DateType) unix_date(col(orderColumns.head))
       else col(orderColumns.head)

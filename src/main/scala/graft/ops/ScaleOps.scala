@@ -76,20 +76,26 @@ object ScaleOps {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
-  /** Release the cached blocks a DataFrame's plan holds that
-    * `Dataset.unpersist` / `Catalog.clearCache` CANNOT reach: blocks behind
-    * `localCheckpoint` leaves (`LogicalRDD`) are registered with the RDD,
-    * not the CacheManager. The `materialize = true` dedup operators return
-    * such a checkpointed result (their kernel bases already released
-    * inside the call) — invoke this once the result is consumed and the
-    * session is block-free again. Safe on any DataFrame (no-op without
-    * checkpoint leaves); the frame must not be re-executed afterwards (its
-    * blocks are gone and the lineage was cut). */
-  def releaseCheckpointBlocks(df: DataFrame): Unit =
+  /** Release EVERY block a DataFrame's plan pinned, both kinds:
+    * `localCheckpoint` leaves (`LogicalRDD` — registered with the RDD,
+    * unreachable from `Dataset.unpersist`/`Catalog.clearCache`) AND
+    * internal `persist` subtrees (CacheManager entries the caller holds no
+    * handle to — e.g. the per-distinct-value table inside
+    * [[withExclusiveRunningSums]]). The `materialize = true` dedup
+    * operators return checkpointed results and the two-phase rank/cumsum
+    * consumers return plans over cached subtrees — invoke this once the
+    * result is consumed and the session is block-free again. Safe on any
+    * DataFrame (no-op without pinned blocks); the frame must not be
+    * re-executed afterwards (checkpointed lineage is cut; cached subtrees
+    * merely recompute). */
+  def releaseCheckpointBlocks(df: DataFrame): Unit = {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+    // drop cache entries for any cached subplan inside this plan
+    org.apache.spark.sql.graft.CacheBridge.uncacheSubplans(df)
+  }
 
   // ---- bloom-prefiltered joins -----------------------------------------
   //
@@ -249,6 +255,15 @@ object ScaleOps {
     }
   }
 
+  /** True when any expression in `df`'s plan is nondeterministic
+    * (rand/uuid/monotonically_increasing_id/unseeded sample): the
+    * deterministic-bucket two-phase plans re-evaluate the lineage in
+    * separate jobs and require identical row VALUES each time — such
+    * inputs must freeze a materialization first. */
+  private[graft] def hasNondeterministicPlan(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
+
   /** Driver-collected split points for [[rangeBucketExpr]]: the
     * `numShufflePartitions`-iles of `order` (approximate — balance only;
     * correctness never depends on WHERE the splits fall, only on their
@@ -385,10 +400,14 @@ object ScaleOps {
     // job materializes the cache and the totals + consumer jobs read it.
     // Safe even on block loss: the bucket id is a pure function of the row,
     // so a recomputed block reproduces identical assignments (the property
-    // the old localCheckpoint existed to fake). Blocks are
-    // CacheManager-visible → released by catalog sweeps/clearCache.
-    val cached = perV.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the old localCheckpoint existed to fake) — PROVIDED the row values
+    // themselves are deterministic; a plan carrying rand()/uuid()-class
+    // expressions freezes a materialization instead (fail-stop on loss
+    // beats silent renumbering). Blocks release via catalog sweeps,
+    // clearCache, or [[releaseCheckpointBlocks]] on the returned frame.
+    val cached =
+      if (hasNondeterministicPlan(perV)) perV.localCheckpoint()
+      else perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // split points: footer statistics when `order` is a plain attribute
     // tracing to one parquet relation (zero jobs), else one quantile pass
     val orderName = ColumnBridge.convertedExpression(orderVal) match {

@@ -65,14 +65,23 @@ object ColumnProfiler {
       tableAlerts: Seq[String] = Nil) {
     /** Column-batched profiling merge (reference parq_profile.py:133-156):
       * later batches overwrite same-named variables; table stats recomputed.
-      * Table-level facts (duplicate count/alerts) keep the later batch's
-      * value when it has one — they describe the whole table, so any batch
-      * that computed them computed the same thing. */
-    def merge(other: TableProfile): TableProfile =
+      * Table-level duplicate facts follow LAST-WRITER-WINS as a unit: when
+      * the later batch computed a duplicate count, BOTH its count and its
+      * alert decision replace this one's (a batch run on a different
+      * column subset measures a different duplicate relation — keeping the
+      * old alert beside the new count would let a stale 'duplicates' flag
+      * contradict nDuplicates = 0). Batches that never computed duplicates
+      * leave both untouched. */
+    def merge(other: TableProfile): TableProfile = {
+      val (dups, tAlerts) =
+        if (other.nDuplicates.isDefined)
+          (other.nDuplicates,
+            (tableAlerts.filterNot(_ == "duplicates") ++ other.tableAlerts).distinct)
+        else (nDuplicates,
+          (tableAlerts ++ other.tableAlerts.filterNot(_ == "duplicates")).distinct)
       TableProfile(math.max(n, other.n), (variables ++ other.variables).size,
-        variables ++ other.variables,
-        other.nDuplicates.orElse(nDuplicates),
-        (tableAlerts ++ other.tableAlerts).distinct)
+        variables ++ other.variables, dups, tAlerts)
+    }
   }
 
   private def isNumeric(dt: DataType): Boolean = dt match {

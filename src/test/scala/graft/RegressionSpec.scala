@@ -177,6 +177,33 @@ class RegressionSpec extends SparkSpecBase {
     }
   }
 
+  test("releaseCheckpointBlocks cascade-releases the cumsum's internal cache") {
+    // the two-phase cumsum persists its per-distinct-value table
+    // internally; the caller holds no Dataset handle to it, so the public
+    // release must cascade through the returned plan
+    val perV = (1 to 500).map(i => (i.toDouble, 1L)).toDF("v", "c").repartition(3)
+    val out = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x")
+    out.write.format("noop").mode("overwrite").save()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the internal cache to be materialized")
+    graft.ops.ScaleOps.releaseCheckpointBlocks(out)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cascade release must reach the internal persist")
+  }
+
+  test("stableRowNumber stays correct on a nondeterministic input plan") {
+    // rand-valued order column: the counting and numbering jobs would see
+    // different rows if the lineage re-ran — the nondeterminism guard must
+    // route to the frozen-materialization path and number a CONSISTENT set
+    val df = spark.range(2000).toDF("id")
+      .withColumn("r", rand(123) * rand(77)) // nondeterministic expr tree
+    val got = graft.ops.IndexOps.stableRowNumber(df, Seq("r", "id"), "rn")
+    val nums = got.select("rn").collect().map(_.getLong(0)).sorted
+    assert(nums.toSeq == (1L to 2000L), "row numbers must be a permutation of 1..n")
+    graft.ops.ScaleOps.releaseCheckpointBlocks(got)
+    spark.catalog.clearCache()
+  }
+
   test("lagAutocorrelation survives constant series under ANSI mode") {
     // bare corr() throws DIVIDE_BY_ZERO on zero variance with ANSI on;
     // the guarded co-moment form must return NULL instead
