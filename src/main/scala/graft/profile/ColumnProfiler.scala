@@ -503,8 +503,23 @@ object ColumnProfiler {
         case _ => c
       }
       val kernel = exactDistinct && kernelEligible(f.dataType)
+      // the string cast is injective for these scalars (so set-of-strings
+      // counts exactly); NESTED types' formatted cast is not ("[a, b]"
+      // collides) — they keep count_distinct and its Expand (rare)
+      val stringifiable = f.dataType match {
+        case StringType | DateType | TimestampType | TimestampNTZType | BooleanType |
+             BinaryType | _: DecimalType => true
+        case _ => false
+      }
       val distinct =
         if (kernel) Nil // n_distinct comes from the kernel struct
+        else if (exactDistinct && stringifiable)
+          // set-buffer kernel, NOT count_distinct: k distinct aggregates
+          // over different columns plan an Expand ((k+1)× the input rows —
+          // the dominant exact-profile cost); the stringified set is a
+          // regular aggregate
+          Seq(graft.functions.kernels.DistinctCountAgg
+            .distinctCount(v.cast("string")).as(s"${f.name}__dist"))
         else if (exactDistinct) Seq(count_distinct(v).as(s"${f.name}__dist"))
         else Seq(approx_count_distinct(v).as(s"${f.name}__dist"))
       Seq(sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss")) ++
