@@ -452,9 +452,22 @@ object ColumnProfiler {
         case DoubleType | FloatType => when(missingPred(f, raw), lit(null)).otherwise(raw)
         case _ => raw
       }
+      // exact distinct via the set-buffer kernel (regular aggregate — k
+      // count_distincts over different columns would plan an Expand of
+      // (k+1)× the rows). Stringification is injective per type: integral
+      // types print canonically; float/double normalize −0.0 first (the
+      // one value pair distinct-by-bits but equal under aggregation
+      // semantics; NaN is already nulled by the missing rule above).
+      val distinctKey = f.dataType match {
+        case DoubleType | FloatType =>
+          when(v === 0.0, lit(0.0)).otherwise(v.cast("double")).cast("string")
+        case _ => v.cast("string")
+      }
       Seq(
         sum(when(missingPred(f, raw), 1L).otherwise(0L)).as(s"__miss__$c"),
-        (if (exactDistinct) count_distinct(v) else approx_count_distinct(v)).as(s"__dist__$c"),
+        (if (exactDistinct)
+          graft.functions.kernels.DistinctCountAgg.distinctCount(distinctKey)
+        else approx_count_distinct(v)).as(s"__dist__$c"),
         avg(v).as(s"__mean__$c"), stddev_samp(v).as(s"__std__$c"),
         min(v).cast("double").as(s"__min__$c"), max(v).cast("double").as(s"__max__$c"))
     }
