@@ -432,10 +432,12 @@ object ColumnProfiler {
     * surfaces it per group). NaN counts as missing, mirroring [[profile]].
     *
     * One groupBy aggregation: every metric for every column rides a single
-    * map-side-combined pass keyed on the group (exact per-group distincts
-    * plan one Expand per column, ×|columns| input like [[profile]]'s exact
-    * mode — `exactDistinct = false` keeps the single no-Expand pass for
-    * corpus scale); the wide→long `stack` runs on |groups| aggregated rows
+    * map-side-combined pass keyed on the group. Exact per-group distincts
+    * run on the set-buffer kernel ([[graft.functions.kernels.DistinctCountAgg]]
+    * — a regular aggregate, no Expand); memory is bounded by distinct
+    * values per (group, column) per partial buffer, so
+    * `exactDistinct = false` (one HLL sketch per cell) remains the corpus-
+    * scale mode. The wide→long `stack` runs on |groups| aggregated rows
     * only. */
   def profileByGroup(df: DataFrame, groupCol: String, columns: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
@@ -530,9 +532,16 @@ object ColumnProfiler {
           // set-buffer kernel, NOT count_distinct: k distinct aggregates
           // over different columns plan an Expand ((k+1)× the input rows —
           // the dominant exact-profile cost); the stringified set is a
-          // regular aggregate
+          // regular aggregate. TIMESTAMP stringifies via unix_micros, not
+          // cast: cast formats in the session timezone, and in a DST zone
+          // the fall-back hour maps two distinct instants to the same
+          // wall-clock string (injectivity loss → undercount); the
+          // microsecond long is timezone-proof.
           Seq(graft.functions.kernels.DistinctCountAgg
-            .distinctCount(v.cast("string")).as(s"${f.name}__dist"))
+            .distinctCount((f.dataType match {
+              case TimestampType => unix_micros(v)
+              case _ => v
+            }).cast("string")).as(s"${f.name}__dist"))
         else if (exactDistinct) Seq(count_distinct(v).as(s"${f.name}__dist"))
         else Seq(approx_count_distinct(v).as(s"${f.name}__dist"))
       Seq(sum(when(missingPred(f, c), 1L).otherwise(0L)).as(s"${f.name}__miss")) ++

@@ -201,6 +201,26 @@ class ProfileSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("exact timestamp distincts survive a DST wall-clock collision") {
+    // 2025-11-02 01:30 happens twice in America/Los_Angeles (PDT then PST):
+    // cast-to-string maps both instants to the same wall-clock text, so a
+    // stringified-cast distinct key would undercount — the profiler keys
+    // timestamps by unix_micros instead
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val ts = spark.sql(
+        """SELECT timestamp_seconds(s) AS t
+          |FROM VALUES (1762072200L), (1762075800L) AS v(s)""".stripMargin)
+      // precondition: the two instants really do collide as strings here
+      val strs = ts.selectExpr("cast(t as string)").distinct().count()
+      assert(strs == 1L, s"expected a wall-clock collision, got $strs strings")
+      val p = ColumnProfiler.profile(ts).columns("t")
+      assert(p.nDistinct == 2L,
+        s"distinct instants must not merge across the DST fold: ${p.nDistinct}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("winsorize clamps into the quantile range, other columns untouched") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble, s"r$i")).toDF("id", "v", "tag")
     val out = ColumnProfiler.winsorize(df, Seq("v"), lower = 0.10, upper = 0.90)

@@ -181,13 +181,16 @@ class RegressionSpec extends SparkSpecBase {
     // the two-phase cumsum persists its per-distinct-value table
     // internally; the caller holds no Dataset handle to it, so the public
     // release must cascade through the returned plan
+    // assert on the DELTA of persistent RDDs: other suites sharing the
+    // session may hold their own caches legitimately
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val perV = (1 to 500).map(i => (i.toDouble, 1L)).toDF("v", "c").repartition(3)
     val out = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x")
     out.write.format("noop").mode("overwrite").save()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "expected the internal cache to be materialized")
     graft.ops.ScaleOps.releaseCheckpointBlocks(out)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "cascade release must reach the internal persist")
   }
 
