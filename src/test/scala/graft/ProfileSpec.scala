@@ -215,7 +215,7 @@ class ProfileSpec extends SparkSpecBase {
       // precondition: the two instants really do collide as strings here
       val strs = ts.selectExpr("cast(t as string)").distinct().count()
       assert(strs == 1L, s"expected a wall-clock collision, got $strs strings")
-      val p = ColumnProfiler.profile(ts).columns("t")
+      val p = ColumnProfiler.profile(ts).variables("t")
       assert(p.nDistinct == 2L,
         s"distinct instants must not merge across the DST fold: ${p.nDistinct}")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
