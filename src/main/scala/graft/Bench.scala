@@ -84,29 +84,17 @@ object Bench {
       dropAllBlocks(); maybeGc(i)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // Keep the line SHORT: the driver keeps only the last 2000 chars of
-    // captured output, and sbt's trailing "[success] Total time..." line
-    // (~76 chars) lands AFTER this line inside that window. The r5 format
-    // (3-decimal seconds) measured 2138 chars — its head fell off the
-    // window ("parsed": null). The r6 ms format fit (~1860 chars at 183
-    // queries) but STILL parsed null — sbt's "[info] " logger prefix broke
-    // the driver's JSON parse; build.sbt now passes forked stdout through
-    // verbatim (run / outputStrategy). At 194+ queries ms would overflow
-    // again, so per-query values are integer CENTISECONDS ("qunit":"cs",
-    // 10 ms grain — bench noise is >10 ms anyway) with BARE NUMERIC keys
-    // ("27"; "qkey":"q#" documents the mapping): ~1760 chars at 194
-    // queries. At 201 queries the "qkey" doc field is dropped and the
-    // total goes to 1 decimal (~1895 chars incl. the sbt suffix, ~25
-    // queries of headroom; past that drop "qunit" — cs stays the
-    // documented unit — or emit whole-decisecond values). The regression
-    // list lives in BENCH_LOCAL.json + stderr only. BENCH_LOCAL.json
-    // keeps the verbose qN-keyed maps (milliseconds) for humans and the
-    // guard.
+    // The stdout contract line is FIXED-SIZE (totals only): the driver
+    // keeps the last 2000 chars of captured output and sbt's trailing
+    // "[success] Total time..." line (~76 chars) lands AFTER this line
+    // inside that window. Every per-query encoding eventually overflowed
+    // as queries grew (r5 seconds: 2138 chars; r9 centiseconds at 213
+    // queries: head fell off again → "parsed": null), so per-query times
+    // now live ONLY in the committed BENCH_LOCAL.json artifact
+    // (last_run_ms = this run, queries_ms = best-known minima).
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    def cs(v: Double): String = if (v < 0) "-1" else math.round(v * 100).toString
     // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
     def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
-    def bare(k: String): String = qk(k).drop(1)
 
     // Round-over-round guard (VERDICT r5 item 7, tightened per r7): the
     // stored baseline holds the BEST-KNOWN time per query at this scale
@@ -219,8 +207,6 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val qsVerbose = results.map { case (k, v) => "\"" + qk(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val qsBare = results.map { case (k, v) => "\"" + bare(k) + "\":" + cs(v) }
-      .mkString("{", ",", "}")
     // Verbose artifact (qN keys, seconds, regression list) for in-repo
     // trend tracking; the stdout line is the driver-facing compact form.
     val verbose = results.map { case (k, v) =>
@@ -266,7 +252,18 @@ object Bench {
       finally fw.close()
     }
 
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","qunit":"cs","queries":$qsBare,"sf":"$sfTag"}""")
+    // narrowed local runs don't write the artifact — echo per-query times
+    // to stderr so iteration still sees them
+    if (args.nonEmpty) results.foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-28s $v%.3fs")
+    }
+    // The stdout line carries TOTALS ONLY: the driver keeps the last 2000
+    // chars of captured output and the per-query map outgrew that window at
+    // 213 queries (BENCH_r09 "parsed": null — the line's HEAD fell off).
+    // Per-query times live in the queries_file artifact (last_run_ms =
+    // this run, queries_ms = best-known minima) — committed to the repo,
+    // so nothing is lost by keeping the contract line fixed-size.
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"regr":${regressions.size},"queries_file":"${prevFile.getName}","sf":"$sfTag"}""")
     spark.stop()
   }
 }

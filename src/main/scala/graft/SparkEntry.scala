@@ -3641,7 +3641,11 @@ object SparkEntry {
     // PII replay: identical injection, the SAME ordered redaction chain
     // (URL consumes the email inside it), placeholder-split counting
     "q213_pii_stats" ->
-      """WITH inj AS (
+      // the redaction chain is GENERATED from TextClean.piiPatterns (one
+      // definition for Spark and the oracle); sums CAST to BIGINT so the
+      // oracle engine's integer-sum widening (HUGEINT in DuckDB) cannot
+      // change the hashed value text
+      s"""WITH inj AS (
            SELECT lang,
                   text
                   || CASE WHEN doc_id % 7 = 0
@@ -3653,13 +3657,7 @@ object SparkEntry {
            FROM documents),
          red AS (
            SELECT lang,
-                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                    t,
-                    'https?://[^\s]+', '<URL>', 'g'),
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                    '\+\d{7,15}\b', '<PHONE>', 'g'),
-                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS r
+                  ${graft.functions.TextClean.redactSqlChain("t")} AS r
            FROM inj),
          cnt AS (
            SELECT lang,
@@ -3668,9 +3666,12 @@ object SparkEntry {
                   len(string_split(r, '<IP>')) - 1 AS i,
                   len(string_split(r, '<PHONE>')) - 1 AS p
            FROM red)
-         SELECT lang, count(*) AS n_docs, sum(u) AS n_urls, sum(e) AS n_emails,
-                sum(i) AS n_ips,
-                sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(u) AS BIGINT) AS n_urls,
+                CAST(sum(e) AS BIGINT) AS n_emails,
+                CAST(sum(i) AS BIGINT) AS n_ips,
+                CAST(sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_pii
          FROM cnt GROUP BY lang ORDER BY lang""",
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
@@ -4310,9 +4311,11 @@ object SparkEntry {
                FROM documents WHERE doc_id <= 100) t
          ORDER BY doc_id, frame_index""",
     "q59_text_clean" ->
-      // same synthesis and the same RE2-safe pattern chain as
-      // TextClean.piiPatterns, in the same order, then whitespace squash
-      """WITH synth AS (
+      // the redaction chain is GENERATED from TextClean.piiPatterns (one
+      // definition for Spark and the oracle), then the explicit-class
+      // whitespace squash (TextClean.wsClass — `\s` differs between Java
+      // regex and RE2 on \x0B)
+      s"""WITH synth AS (
            SELECT doc_id,
              substring(text, 1, 40) || ' caf' || 'e' || chr(769) ||
              ' contact user' || doc_id::VARCHAR ||
@@ -4321,17 +4324,8 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            trim(regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(nfc_normalize(t),
-                       'https?://[^\s]+', '<URL>', 'g'),
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                 '\+\d{7,15}\b', '<PHONE>', 'g'),
-               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-             '\s+', ' ', 'g')) AS cleaned
+             ${graft.functions.TextClean.redactSqlChain("nfc_normalize(t)")},
+             '[${graft.functions.TextClean.wsClass}]+', ' ', 'g')) AS cleaned
          FROM synth ORDER BY doc_id""",
     "q60_char_ngram" ->
       """WITH s AS (

@@ -19,14 +19,33 @@ import graft.functions.kernels.TextKernelFunctions
   */
 object TextClean {
 
+  /** Whitespace spelled as an explicit character class. Java's `\s` is
+    * `[ \t\n\x0B\f\r]` while RE2's (DuckDB/Go) omits `\x0B` — a text
+    * containing a vertical tab makes `[^\s]+` consume different spans in
+    * the two engines. Spelling the class out keeps the two redaction
+    * replays byte-identical. */
+  val wsClass: String = " \\t\\n\\x0B\\f\\r"
+
   /** Redaction patterns, applied IN ORDER (URLs before emails, so an
-    * address inside a URL is consumed by the URL rule first). */
+    * address inside a URL is consumed by the URL rule first). Patterns
+    * avoid `\s` (see [[wsClass]]) and lookaround so Java regex and RE2
+    * agree exactly; `\b`/`\d` are ASCII-identical in both engines. */
   val piiPatterns: Seq[(String, String)] = Seq(
-    "https?://[^\\s]+" -> "<URL>",
+    s"https?://[^$wsClass]+" -> "<URL>",
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
     "\\+\\d{7,15}\\b" -> "<PHONE>",
     "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** The oracle-side replay of [[redactPii]]: a nested `regexp_replace`
+    * SQL chain over `inner`, generated from [[piiPatterns]] so the Spark
+    * chain and the DuckDB oracle can never drift. Patterns contain no
+    * single quotes; DuckDB standard strings pass backslashes through
+    * untouched, so the literal regex text is identical in both engines. */
+  def redactSqlChain(inner: String): String =
+    piiPatterns.foldLeft(inner) { case (acc, (pattern, token)) =>
+      s"regexp_replace($acc, '$pattern', '$token', 'g')"
+    }
 
   /** Replace emails, URLs, IPv4 addresses and phone numbers with typed
     * placeholder tokens. */
@@ -60,9 +79,9 @@ object TextClean {
   def normalizeNfc(text: Column): Column = TextKernelFunctions.nfcNormalize(text)
 
   /** Squash runs of whitespace (including newlines/tabs) to single spaces
-    * and trim. */
+    * and trim (explicit class — see [[wsClass]]). */
   def squashWhitespace(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, s"[$wsClass]+", " "))
 
   /** The full hygiene pass: NFC → PII redaction → whitespace squash. */
   def clean(text: Column): Column =

@@ -138,7 +138,7 @@ object LinearModel {
     * Scale shape: everything reduces to one row per DISTINCT score
     * (count + positive count), and the rank material — the count of rows
     * BELOW each score — comes from the two-phase distributed running sum
-    * ([[withExclusiveRunningCount]], the [[graft.profile.Drift.ksStatistic]]
+    * ([[graft.ops.ScaleOps.withExclusiveRunningSum]], the [[graft.profile.Drift.ksStatistic]]
     * mechanics): range partition, per-partition windows, driver
     * prefix-summed offsets. No global single-partition window anywhere, so
     * this runs at corpus scale, not just eval-set scale. Scores should be
@@ -156,7 +156,8 @@ object LinearModel {
       .filter(col("__y").isNotNull)
       .groupBy(col("score"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
-    val ranked = withExclusiveRunningCount(perScore, col("score"), "__cnt", "__below")
+    val ranked = graft.ops.ScaleOps.withExclusiveRunningSum(
+      perScore, col("score"), "__cnt", "__below")
     ranked.agg(
         sum(col("__pos")).cast("long").as("__p"),
         sum(col("__cnt") - col("__pos")).cast("long").as("__n"),
@@ -223,42 +224,42 @@ object LinearModel {
   def thresholdAtKeepRate(scored: DataFrame, keepRate: Double,
       roundTo: Int = 4): DataFrame = {
     require(keepRate > 0 && keepRate <= 1, s"keepRate must be in (0, 1]: $keepRate")
-    val base = scored.select(col("id"), col("label").cast("int").as("__y"),
-        col("score").cast("double").as("score"))
-    val perScore = base.groupBy(col("score")).agg(count(lit(1)).as("__cnt"))
-    val ranked = withExclusiveRunningCount(
-      perScore, col("score").desc, "__cnt", "__above")
-    val n = ranked.agg(coalesce(sum(col("__cnt")), lit(0L)).cast("long"))
-      .head().getLong(0)
+    // The per-distinct-score table carries the positive-label sum alongside
+    // the count, so EVERY output statistic reduces over this one table —
+    // the (possibly expensive) scoring lineage is evaluated exactly once,
+    // when the cumsum materializes its cache. (The previous shape paid a
+    // second full scoring pass for the final n_kept/pos-rate aggregate.)
+    val perScore = scored
+      .select(col("label").cast("int").as("__y"), col("score").cast("double").as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    // shared two-phase cumsum — no global single-partition window; the
+    // grand total doubles as n (no separate count job)
+    val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perScore, col("score").desc, Seq("__cnt"), Seq("__above"))
+    val n = grand.head
     require(n > 0, "thresholdAtKeepRate needs a non-empty scored set")
     val k = math.ceil(n * keepRate).toLong
     // the row whose inclusive span covers rank k in descending order
     val thr = ranked
       .filter(col("__above") < k && col("__above") + col("__cnt") >= k)
       .select(col("score")).head().getDouble(0)
-    // thr and n are driver values now and the returned plan reads only
-    // `base` — release the running sum's cached per-score table here
-    // (cascade-uncache; it is unreachable from the returned DataFrame, so
-    // no caller could release it later)
+    val stats = ranked.agg(
+        sum(when(col("score") >= thr, col("__cnt"))).cast("long").as("n_kept"),
+        sum(when(col("score") >= thr, col("__pos"))).cast("long").as("__kp"),
+        sum(col("__pos")).cast("long").as("__p"))
+      .head()
+    val (nKept, kp, p) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // every output is a driver scalar now — release the cumsum's cached
+    // per-score table (unreachable from the returned literal frame, so no
+    // caller could release it later) and emit the one-row report
     graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
-    base.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("score") >= thr, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("score") >= thr, col("__y")).otherwise(lit(0))).cast("long").as("__kp"),
-        sum(col("__y")).cast("long").as("__p"))
-      .select(round(lit(thr), roundTo).as("threshold"), col("n"),
-        lit(k).as("n_target"), col("n_kept"),
-        round(col("__kp") / col("n_kept").cast("double"), roundTo).as("kept_pos_rate"),
-        round(col("__p") / col("n").cast("double"), roundTo).as("overall_pos_rate"))
+    scored.sparkSession.range(1).select(
+      round(lit(thr), roundTo).as("threshold"), lit(n).as("n"),
+      lit(k).as("n_target"), lit(nKept).as("n_kept"),
+      round(lit(kp) / lit(nKept).cast("double"), roundTo).as("kept_pos_rate"),
+      round(lit(p) / lit(n).cast("double"), roundTo).as("overall_pos_rate"))
   }
-
-  /** Exclusive distributed running count over a per-distinct-value table —
-    * delegates to the shared two-phase cumsum
-    * ([[graft.ops.ScaleOps.withExclusiveRunningSum]]): no global
-    * single-partition window anywhere in the plan. */
-  private def withExclusiveRunningCount(perV: DataFrame, order: Column,
-      cntCol: String, outCol: String): DataFrame =
-    graft.ops.ScaleOps.withExclusiveRunningSum(perV, order, cntCol, outCol)
 
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */

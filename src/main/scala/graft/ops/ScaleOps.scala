@@ -267,9 +267,13 @@ object ScaleOps {
   /** Driver-collected split points for [[rangeBucketExpr]]: the
     * `numShufflePartitions`-iles of `order` (approximate — balance only;
     * correctness never depends on WHERE the splits fall, only on their
-    * being fixed literals). One aggregation job over the single cast
-    * column; on a parquet source that scan is column-pruned. */
-  private[graft] def rangeSplits(df: DataFrame, order: Column): Array[Double] = {
+    * being fixed literals — hence the LOW `accuracy` default: a
+    * percentile_approx summary sized for placement-insensitive splits
+    * costs a fraction of the 2500-default buffers on merge). One
+    * aggregation job over the single cast column; on a parquet source
+    * that scan is column-pruned. */
+  private[graft] def rangeSplits(df: DataFrame, order: Column,
+      accuracy: Int = 100): Array[Double] = {
     val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     if (n == 1) return Array.empty
     val probs = (1 until n).map(_.toDouble / n)
@@ -278,7 +282,7 @@ object ScaleOps {
     // job overhead alone)
     val row = df
       .agg(percentile_approx(order.cast("double"),
-        array(probs.map(lit(_)): _*), lit(2500)).as("__qs"))
+        array(probs.map(lit(_)): _*), lit(accuracy)).as("__qs"))
       .head()
     if (row.isNullAt(0)) Array.empty // all-null / empty input
     else row.getSeq[Double](0).filterNot(_.isNaN).distinct.sorted.toArray
@@ -355,7 +359,16 @@ object ScaleOps {
       try graft.io.FooterStats.columnRange(conf, files, baseAttr.name)
         .getOrElse(return None)
       catch { case scala.util.control.NonFatal(_) => return None }
-    if (hi <= lo) return Some(Array.empty) // constant (or empty) column
+    if (hi <= lo) {
+      // constant (or degenerate-range) column: every row lands in bucket 0,
+      // i.e. the single-partition window this machinery exists to avoid —
+      // legal (a constant order has one bucket by definition) but worth a
+      // visible trace at 100 TB, where it is the canonical stall signature
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"footerRangeSplits: column '$column' has degenerate range " +
+          s"[$lo, $hi] — all rows will fall in one range bucket")
+      return Some(Array.empty)
+    }
     val nb = math.min(4 * math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions), 512)
     val width = (hi - lo) / nb
@@ -381,17 +394,26 @@ object ScaleOps {
     * (castable to double losslessly enough to stay monotone — any
     * NumericType or timestamp qualifies). */
   def withExclusiveRunningSum(perV: DataFrame, order: Column,
-      cntCol: String, outCol: String): DataFrame =
-    withExclusiveRunningSums(perV, order, Seq(cntCol), Seq(outCol))._1
+      cntCol: String, outCol: String,
+      splitsHint: Option[Array[Double]] = None): DataFrame =
+    withExclusiveRunningSums(perV, order, Seq(cntCol), Seq(outCol), splitsHint)._1
 
   /** Multi-column form of [[withExclusiveRunningSum]] — one bucket
     * assignment, ONE totals pass and ONE window stage carry any number of
     * simultaneous running sums under the same order (the two-sided CDF
     * shape [[graft.profile.Drift.ksStatistic]] needs). Also returns the
     * GRAND totals per count column (free by-product of the offsets
-    * collect — callers like KS need them and must not pay another pass). */
+    * collect — callers like KS need them and must not pay another pass).
+    *
+    * `splitsHint`: precomputed split points (any fixed, sorted, distinct
+    * values — correctness never depends on placement, only balance does).
+    * Callers whose `perV` is a join/aggregate the footer tracer cannot see
+    * through should derive splits from the RAW upstream column (e.g.
+    * [[footerRangeSplits]] on the pre-join side — zero jobs) and pass them
+    * here, skipping the data-sized quantile pass entirely. */
   private[graft] def withExclusiveRunningSums(perV: DataFrame, order: Column,
-      cntCols: Seq[String], outCols: Seq[String]): (DataFrame, Seq[Long]) = {
+      cntCols: Seq[String], outCols: Seq[String],
+      splitsHint: Option[Array[Double]] = None): (DataFrame, Seq[Long]) = {
     require(cntCols.nonEmpty && cntCols.size == outCols.size,
       s"need matching cnt/out columns: $cntCols vs $outCols")
     import org.apache.spark.sql.expressions.Window
@@ -408,14 +430,16 @@ object ScaleOps {
     val cached =
       if (hasNondeterministicPlan(perV)) perV.localCheckpoint()
       else perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // split points: footer statistics when `order` is a plain attribute
-    // tracing to one parquet relation (zero jobs), else one quantile pass
+    // split points: caller-supplied hint first (zero jobs), then footer
+    // statistics when `order` is a plain attribute tracing to one parquet
+    // relation (zero jobs), else one low-accuracy quantile pass
     val orderName = ColumnBridge.convertedExpression(orderVal) match {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
       case _ => None
     }
-    val splits = orderName.flatMap(n => footerRangeSplits(perV, n))
+    val splits = splitsHint.map(_.distinct.sorted)
+      .orElse(orderName.flatMap(n => footerRangeSplits(perV, n)))
       .getOrElse(rangeSplits(cached, orderVal))
     val parts = cached.withColumn("__rs_pid",
       rangeBucketExpr(splits, orderVal.cast("double"), desc, nullsFirst))

@@ -113,6 +113,20 @@ object Drift {
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
     val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
 
+    // Bucket splits come from the RAW per-side columns (parquet footer
+    // statistics — zero jobs): the post-join table can never trace to a
+    // relation, so without the hint the cumsum would pay a data-sized
+    // quantile pass over the freshly-joined distinct-value table. Each
+    // side that traces contributes its splits; the union covers the
+    // combined range (placement only affects balance, never correctness).
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case (Some(x), None) => Some(x)
+      case (None, Some(y)) => Some(y)
+      case _ => None
+    }
+
     // Both running CDFs ride ONE deterministic-bucket two-phase cumsum
     // ([[graft.ops.ScaleOps.withExclusiveRunningSums]]): same bucket
     // assignment, one totals pass (which also yields the grand totals —
@@ -122,7 +136,7 @@ object Drift {
     // bucket id is a pure function of the value, so every job agrees by
     // construction.
     val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
-      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"))
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"), splitsHint)
     val (ta, tb) = (grand(0), grand(1))
     cum
       .withColumn("_d", abs(
