@@ -241,15 +241,17 @@ object SparkEntry {
     // ---- profiling / compare (A1, C1) -----------------------------------
     "q17_profile_stats" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      profileStatsDf(s, ColumnProfiler.profile(read(s, dir, "lineitem"), Some(cols)), cols)
+      profileStatsDf(s, ColumnProfiler.profile(read(s, dir, "lineitem"), Some(cols),
+        exactDistinct = true), cols)
     }),
     "q154_profile_batched" -> ((s, dir) => {
       // the reference's chunked path: column batches profiled independently
       // and merged (TableProfile.merge) must agree with q17's single-pass
       // profile — same output contract, same oracle
       val df = read(s, dir, "lineitem")
-      val p = ColumnProfiler.profile(df, Some(Seq("l_quantity")))
-        .merge(ColumnProfiler.profile(df, Some(Seq("l_extendedprice", "l_discount"))))
+      val p = ColumnProfiler.profile(df, Some(Seq("l_quantity")), exactDistinct = true)
+        .merge(ColumnProfiler.profile(df, Some(Seq("l_extendedprice", "l_discount")),
+          exactDistinct = true))
       profileStatsDf(s, p, Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
     "q18_compare_diff" -> ((s, dir) => {
@@ -501,7 +503,8 @@ object SparkEntry {
         .filter(col("l_orderkey") % 20 === 0)
         .select(col("l_quantity"), col("l_extendedprice"),
           (col("l_extendedprice") * 2 + col("l_quantity")).as("combo"))
-      val p = ColumnProfiler.withCorrelationAlerts(d, ColumnProfiler.profile(d))
+      val p = ColumnProfiler.withCorrelationAlerts(d,
+        ColumnProfiler.profile(d, exactDistinct = true))
       import s.implicits._
       Seq("l_quantity", "l_extendedprice", "combo").map(c =>
         (c, p.variables(c).alerts.contains("high_correlation")))
@@ -584,7 +587,8 @@ object SparkEntry {
         when(col("event_id") % 37 === 0, "rare").otherwise("common").as("label"),
         col("event_type"))
       val p = ColumnProfiler.withDuplicateRowAlert(d,
-        ColumnProfiler.withImbalanceAlerts(d, ColumnProfiler.profile(d)))
+        ColumnProfiler.withImbalanceAlerts(d,
+          ColumnProfiler.profile(d, exactDistinct = true)))
       import s.implicits._
       Seq("event_type", "label", "spiky").map { c =>
         val a = p.variables(c).alerts
@@ -699,9 +703,9 @@ object SparkEntry {
       val li = read(s, dir, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
         .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      val p1 = ColumnProfiler.profile(li)
+      val p1 = ColumnProfiler.profile(li, exactDistinct = true)
       val p2 = ColumnProfiler.profile(
-        li.withColumn("l_discount", col("l_discount") * 2))
+        li.withColumn("l_discount", col("l_discount") * 2), exactDistinct = true)
       val html = ProfileReport.toHtml(p1, "q186",
         datasetMetadata = Map("source" -> "graft-q186"))
       val cmp = ProfileComparison.compare(Seq(p1, p2), Seq("base", "doubled"))
@@ -2557,7 +2561,7 @@ object SparkEntry {
     // ---- per-group numeric profile (per-source corpus monitoring) -------
     "q90_group_profile" -> ((s, dir) => {
       ColumnProfiler.profileByGroup(read(s, dir, "lineitem"), "l_returnflag",
-        Seq("l_quantity", "l_discount"))
+        Seq("l_quantity", "l_discount"), exactDistinct = true)
         .select(col("group"), col("column_name"), col("n"), col("n_missing"),
           col("n_distinct"), round(col("mean"), 4).as("mean"),
           round(col("std"), 4).as("std"), col("min"), col("max"))

@@ -2,15 +2,72 @@ package graft.functions.kernels
 
 import java.io.{ByteArrayOutputStream, DataOutputStream, DataInputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Open-addressed set of 128-bit hash values (two parallel long arrays,
+  * linear probing, power-of-2 capacity): the aggregation buffer behind
+  * [[DistinctCountAgg]]. 16 bytes per distinct value regardless of the
+  * value's own length — the set never stores the value, only its two
+  * independently-seeded xxhash64 halves — so the per-partition partial
+  * buffers, their serialized exchange form and the merge cost are all
+  * flat in value size (the previous `HashSet[UTF8String]` buffer cloned,
+  * boxed and shuffled every distinct string whole; on comment-length
+  * columns the partials were data-sized). The all-zero slot marks
+  * emptiness; a genuine (0,0) hash pair is tracked by a side flag. */
+final class Hash128Set(initialCapacity: Int) {
+  private var a = new Array[Long](initialCapacity)
+  private var b = new Array[Long](initialCapacity)
+  private var used = 0
+  private var hasZero = false
+
+  def size: Int = used + (if (hasZero) 1 else 0)
+
+  def add(h1: Long, h2: Long): Unit = {
+    if (h1 == 0L && h2 == 0L) { hasZero = true; return }
+    // grow at 70% load BEFORE probing, so the probe always terminates
+    if ((used + 1) * 10 >= a.length * 7) grow()
+    val mask = a.length - 1
+    var i = java.lang.Long.hashCode(h1 * 0x9E3779B97F4A7C15L ^ h2) & mask
+    while (!(a(i) == 0L && b(i) == 0L)) {
+      if (a(i) == h1 && b(i) == h2) return
+      i = (i + 1) & mask
+    }
+    a(i) = h1; b(i) = h2; used += 1
+  }
+
+  private def grow(): Unit = {
+    val (oa, ob) = (a, b)
+    a = new Array[Long](oa.length << 1)
+    b = new Array[Long](oa.length << 1)
+    used = 0
+    var i = 0
+    while (i < oa.length) {
+      if (!(oa(i) == 0L && ob(i) == 0L)) add(oa(i), ob(i))
+      i += 1
+    }
+  }
+
+  /** Apply `f` to every stored pair (the zero pair included if present). */
+  def foreachPair(f: (Long, Long) => Unit): Unit = {
+    if (hasZero) f(0L, 0L)
+    var i = 0
+    while (i < a.length) {
+      if (!(a(i) == 0L && b(i) == 0L)) f(a(i), b(i))
+      i += 1
+    }
+  }
+}
+
+object Hash128Set {
+  def empty: Hash128Set = new Hash128Set(64)
+}
 
 /** Exact distinct count WITHOUT the Expand: Spark plans `count(DISTINCT c)`
   * over k different columns as an Expand producing (k+1)× the input rows —
@@ -18,18 +75,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns escaped via [[NumericProfileAgg]], the string/date/decimal
   * columns still paid it). This typed-imperative aggregate is a REGULAR
   * aggregate to the planner (one ObjectHashAggregate, no Expand) holding a
-  * per-column value set; callers feed it an injectively-stringified value
-  * (`cast(v as string)` — injective for string/date/timestamp/decimal/
-  * boolean), so one kernel serves every non-numeric orderable type.
-  * Memory is bounded by distinct values per column per partial buffer —
-  * the SAME bound the exact profile contract already documents (the
-  * 100 TB mode stays `approx_count_distinct`). Nulls are ignored;
-  * all-null input counts 0. */
+  * per-column [[Hash128Set]] of 128-bit value hashes; callers feed it an
+  * injectively-stringified value (`cast(v as string)` — injective for
+  * string/date/timestamp/decimal/boolean), so one kernel serves every
+  * non-numeric orderable type.
+  *
+  * Exactness: the count is the number of distinct 128-bit
+  * (xxhash64@seed1, xxhash64@seed2) pairs — it undercounts only if two
+  * DISTINCT values collide on BOTH independent 64-bit hashes, probability
+  * ≤ n²/2¹²⁹ (n = true distinct count; at n = 10⁹ that is ~10⁻²¹ — far
+  * below the chance of a memory bit-flip corrupting a true exact count).
+  * Memory is 16 bytes × distinct values per column per partial buffer —
+  * bounded in VALUE COUNT but not value length, same contract as before
+  * but length-independent (the 100 TB default remains
+  * `approx_count_distinct`). Nulls are ignored; all-null input counts 0. */
 case class DistinctCountAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashSet[UTF8String]] {
+  extends TypedImperativeAggregate[Hash128Set] {
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -39,42 +103,47 @@ case class DistinctCountAgg(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"distinct_count_set input must be cast to string, got ${child.dataType}")
 
-  override def createAggregationBuffer(): mutable.HashSet[UTF8String] =
-    mutable.HashSet.empty[UTF8String]
+  override def createAggregationBuffer(): Hash128Set = Hash128Set.empty
 
-  override def update(buf: mutable.HashSet[UTF8String],
-      input: InternalRow): mutable.HashSet[UTF8String] = {
+  override def update(buf: Hash128Set, input: InternalRow): Hash128Set = {
     val v = child.eval(input)
-    // clone: the UTF8String may point into a reused unsafe-row buffer
-    if (v != null) buf += v.asInstanceOf[UTF8String].clone()
+    if (v != null) {
+      // hash the UTF8String bytes in place — no clone, no copy; the two
+      // seeds give independent 64-bit halves of the 128-bit identity
+      val s = v.asInstanceOf[UTF8String]
+      buf.add(
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L),
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes,
+          0x5851F42D4C957F2DL))
+    }
     buf
   }
 
-  override def merge(buf: mutable.HashSet[UTF8String],
-      other: mutable.HashSet[UTF8String]): mutable.HashSet[UTF8String] = {
-    buf ++= other; buf
+  override def merge(buf: Hash128Set, other: Hash128Set): Hash128Set = {
+    other.foreachPair(buf.add)
+    buf
   }
 
-  override def eval(buf: mutable.HashSet[UTF8String]): Any = buf.size.toLong
+  override def eval(buf: Hash128Set): Any = buf.size.toLong
 
-  override def serialize(buf: mutable.HashSet[UTF8String]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+  override def serialize(buf: Hash128Set): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 16 * buf.size)
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { s => val b = s.getBytes; out.writeInt(b.length); out.write(b) }
+    buf.foreachPair { (h1, h2) => out.writeLong(h1); out.writeLong(h2) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashSet[UTF8String] = {
+  override def deserialize(bytes: Array[Byte]): Hash128Set = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = createAggregationBuffer()
     val n = in.readInt()
+    // size the table once for the known count (next power of 2 over load)
+    val buf = new Hash128Set(
+      math.max(64, Integer.highestOneBit(math.max(1, n * 10 / 7)) << 1))
     var i = 0
     while (i < n) {
-      val b = new Array[Byte](in.readInt())
-      in.readFully(b)
-      buf += UTF8String.fromBytes(b)
+      buf.add(in.readLong(), in.readLong())
       i += 1
     }
     buf

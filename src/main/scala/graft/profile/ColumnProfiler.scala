@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * expression path (`count_distinct`, plus a second scan for decimal
   * quartiles).
   *
-  * `exactDistinct = false` is the 100 TB mode: `approx_count_distinct`
+  * `exactDistinct = false` is the 100 TB mode AND THE DEFAULT: `approx_count_distinct`
   * (HLL, mergeable sketch) + `percentile_approx`, all buffers bounded — the
   * comparison layer's tolerances absorb the ≤ rsd error (SURVEY §7.4 hard
   * part 5). The exact kernel's buffer is bounded by distinct values per
@@ -435,12 +435,13 @@ object ColumnProfiler {
     * map-side-combined pass keyed on the group. Exact per-group distincts
     * run on the set-buffer kernel ([[graft.functions.kernels.DistinctCountAgg]]
     * — a regular aggregate, no Expand); memory is bounded by distinct
-    * values per (group, column) per partial buffer, so
-    * `exactDistinct = false` (one HLL sketch per cell) remains the corpus-
-    * scale mode. The wide→long `stack` runs on |groups| aggregated rows
-    * only. */
+    * values per (group, column) per partial buffer, so the DEFAULT is
+    * `exactDistinct = false` (one bounded HLL sketch per cell — the
+    * corpus-scale mode; see [[profile]]'s parameter doc for the exact-mode
+    * memory contract). The wide→long `stack` runs on |groups| aggregated
+    * rows only. */
   def profileByGroup(df: DataFrame, groupCol: String, columns: Seq[String],
-      exactDistinct: Boolean = true): DataFrame = {
+      exactDistinct: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "at least one column required")
     val missing = (groupCol +: columns).filterNot(df.columns.contains)
     if (missing.nonEmpty)
@@ -496,8 +497,27 @@ object ColumnProfiler {
     case _ => false
   }
 
+  /** Profile every requested column in one aggregation pass.
+    *
+    * `exactDistinct` — the distinct-count / quantile mode, DEFAULT `false`:
+    *  - `false` (default, the 100 TB mode): `approx_count_distinct` (HLL,
+    *    fixed-size mergeable sketch) + `percentile_approx`. Every
+    *    aggregation buffer is bounded regardless of column cardinality;
+    *    safe to point at any table. Small-cardinality counts are still
+    *    exact (HLL sparse mode); high-cardinality counts carry ≤ ~5% rsd,
+    *    which [[ProfileComparison]]'s tolerances absorb.
+    *  - `true` (reference-parity mode): exact distinct counts, exact
+    *    quartiles and histograms. MEMORY CONTRACT: per column, each
+    *    partial aggregation buffer holds state per DISTINCT VALUE in that
+    *    partition — 16 bytes/value for strings/decimals (128-bit hash
+    *    pairs, [[graft.functions.kernels.DistinctCountAgg]]) and a
+    *    value→count entry for numerics
+    *    ([[graft.functions.kernels.NumericProfileAgg]]). On an id-like
+    *    column (distinct ≈ rows) that is gigabytes per executor at
+    *    corpus scale — profile a sample, or use the default mode, for
+    *    such columns. See SCALING.md. */
   def profile(df: DataFrame, columns: Option[Seq[String]] = None,
-      exactDistinct: Boolean = true): TableProfile = {
+      exactDistinct: Boolean = false): TableProfile = {
     val fields = columns match {
       case Some(cs) =>
         val missing = cs.filterNot(df.columns.contains)
@@ -783,7 +803,7 @@ object ColumnProfiler {
     * samples chunks and extrapolates; footers are exact and free). */
   def profileFile(spark: org.apache.spark.sql.SparkSession, path: String,
       columns: Option[Seq[String]] = None,
-      exactDistinct: Boolean = true): TableProfile = {
+      exactDistinct: Boolean = false): TableProfile = {
     val base = profile(spark.read.parquet(path), columns, exactDistinct)
     val sizes = graft.ops.MemoryOps.memoryUsage(spark, path).columns
       .map(c => c.column -> c.uncompressedBytes).toMap

@@ -128,7 +128,7 @@ object ProfileReport {
     * ParquetProfileReport default path. */
   def profileFileHtml(spark: org.apache.spark.sql.SparkSession, path: String,
       title: String = "Profile report",
-      exactDistinct: Boolean = true): String = {
+      exactDistinct: Boolean = false): String = {
     val profile = ColumnProfiler.profileFile(spark, path, exactDistinct = exactDistinct)
     toHtml(profile, title,
       datasetMetadata = graft.io.FooterMetadata.readUserMetadata(spark, path),

@@ -36,10 +36,12 @@ class ProfileReportSpec extends SparkSpecBase {
     // an exactly flat histogram (1000 values, 100 per decile bin) passes
     // the chi-square uniform test; a skewed one does not
     val flat = ColumnProfiler.profile(
-      (0 until 1000).map(i => (i % 10) + (i % 100) / 1000.0).toDF("u"))
+      (0 until 1000).map(i => (i % 10) + (i % 100) / 1000.0).toDF("u"),
+      exactDistinct = true)
     assert(flat.variables("u").alerts.contains("uniform"))
     val skewed = ColumnProfiler.profile(
-      ((0 until 900).map(_ => 0.1) ++ Seq(1.0, 5.0, 9.9)).toDF("v"))
+      ((0 until 900).map(_ => 0.1) ++ Seq(1.0, 5.0, 9.9)).toDF("v"),
+      exactDistinct = true)
     assert(!skewed.variables("v").alerts.contains("uniform"))
   }
 

@@ -44,7 +44,7 @@ class ProfileSpec extends SparkSpecBase {
   test("histogram bins: exact fixed-width counts, edges at data min/max") {
     // values chosen so buckets are unambiguous: width = 9/10 = 0.9
     val d = Seq(0.0, 0.0, 1.0, 5.0, 9.0, 9.0, 9.0).toDF("x")
-    val v = ColumnProfiler.profile(d).variables("x")
+    val v = ColumnProfiler.profile(d, exactDistinct = true).variables("x")
     assert(v.histLo.contains(0.0) && v.histHi.contains(9.0))
     // 0,0 -> bin 0; 1 -> floor(1/9*10)=1; 5 -> floor(5.55)=5; 9 -> clamps to 9
     assert(v.hist.contains(Seq(2L, 1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 3L)))
@@ -52,20 +52,22 @@ class ProfileSpec extends SparkSpecBase {
 
     // constant column: single occupied bin, no division blowup
     val const = Seq(4.0, 4.0, 4.0).toDF("x")
-    val cv = ColumnProfiler.profile(const).variables("x")
+    val cv = ColumnProfiler.profile(const, exactDistinct = true).variables("x")
     assert(cv.hist.contains(Seq(3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
 
     // nulls and NaN are excluded, matching n_missing semantics
     val withNulls = Seq(Some(0.0), None, Some(Double.NaN), Some(9.0)).toDF("x")
-    val nv = ColumnProfiler.profile(withNulls).variables("x")
+    val nv = ColumnProfiler.profile(withNulls, exactDistinct = true).variables("x")
     assert(nv.hist.get.sum == 2L)
 
-    // approx (single-pass 100 TB) mode has no second scan and no histogram
-    val ap = ColumnProfiler.profile(d, exactDistinct = false).variables("x")
+    // approx (single-pass 100 TB) mode — the DEFAULT — has no second scan
+    // and no histogram
+    val ap = ColumnProfiler.profile(d).variables("x")
     assert(ap.hist.isEmpty)
 
     // the HTML report renders the bins as an inline SVG
-    val html = graft.profile.ProfileReport.toHtml(ColumnProfiler.profile(d))
+    val html = graft.profile.ProfileReport.toHtml(
+      ColumnProfiler.profile(d, exactDistinct = true))
     assert(html.contains("histsvg") && html.contains("<rect"))
   }
 
@@ -151,7 +153,8 @@ class ProfileSpec extends SparkSpecBase {
 
   test("profile of real lineitem matches direct SQL aggregates") {
     val li = spark.read.parquet(sf("lineitem"))
-    val p = ColumnProfiler.profile(li, Some(Seq("l_quantity"))).variables("l_quantity")
+    val p = ColumnProfiler.profile(li, Some(Seq("l_quantity")),
+      exactDistinct = true).variables("l_quantity")
     val expected = li.selectExpr("avg(l_quantity)", "count(distinct l_quantity)").head()
     assert(math.abs(p.mean.get - expected.getDouble(0)) < 1e-9)
     assert(p.nDistinct == expected.getLong(1))
@@ -163,10 +166,10 @@ class ProfileSpec extends SparkSpecBase {
     // interpolated -> p25=1.75, p50=2.5, p75=3.25
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None, Some(Double.NaN))
       .toDF("v")
-    val p = ColumnProfiler.profile(df).variables("v")
+    val p = ColumnProfiler.profile(df, exactDistinct = true).variables("v")
     assert(p.p25.get == 1.75 && p.p50.get == 2.5 && p.p75.get == 3.25)
-    // approx mode still produces quartiles (sketch-based, within range)
-    val a = ColumnProfiler.profile(df, exactDistinct = false).variables("v")
+    // approx mode (the default) still produces quartiles (sketch-based)
+    val a = ColumnProfiler.profile(df).variables("v")
     assert(a.p50.get >= 2.0 && a.p50.get <= 3.0)
     // non-numeric columns carry no quartiles
     val s = ColumnProfiler.profile(Seq("x").toDF("t")).variables("t")
@@ -346,6 +349,33 @@ class ProfileSpec extends SparkSpecBase {
     // a: median 2.5, MAD = median(|v-2.5|) = median(1.5,0.5,0.5,97.5) = 1.0
     assert(math.abs(out(("a", 100.0)).doubleValue - (97.5 / 1.4826)) < 1e-6)
     assert(out(("b", 5.0)) == null) // constant group: MAD 0 -> null
+  }
+
+  test("the bounded-memory HLL mode is the DEFAULT profiling mode") {
+    import spark.implicits._
+    // plan-level: a default profileByGroup aggregates with
+    // approx_count_distinct (fixed-size HLL buffers), never the exact
+    // set-buffer kernel (per-distinct-value memory) — the safe default
+    // for a table of unknown cardinality
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val defPlan = ColumnProfiler.profileByGroup(df, "g", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(defPlan.contains("approx_count_distinct"), s"default not HLL:\n$defPlan")
+    assert(!defPlan.contains("distinct_count_set"), s"default uses exact kernel:\n$defPlan")
+    // exact mode stays opt-in
+    val exPlan = ColumnProfiler.profileByGroup(df, "g", Seq("v"),
+      exactDistinct = true).queryExecution.executedPlan.toString
+    assert(!exPlan.contains("approx_count_distinct"))
+    // behavior-level: at high cardinality the default count is an HLL
+    // estimate (not exact), while exactDistinct = true is exact — the two
+    // modes are genuinely different paths, so the default really is HLL
+    val wide = (0 until 60000).map(i => s"id_$i").toDF("s")
+    val approx = ColumnProfiler.profile(wide).variables("s").nDistinct
+    val exact = ColumnProfiler.profile(wide, exactDistinct = true)
+      .variables("s").nDistinct
+    assert(exact == 60000L)
+    assert(approx != 60000L && math.abs(approx - 60000L) < 6000,
+      s"expected an HLL estimate near 60000, got $approx")
   }
 
 }
