@@ -439,11 +439,12 @@ object SparkEntry {
       // directories (PlanSpec asserts PartitionFilters) and broadcasts the
       // query table. nProbe = numLists ⇒ exact search, so the stored-path
       // plan runs under the same brute-force oracle as q40's fused run
-      val (path, centroids) = stageIvfLists(s, dir)
+      // centroids load from the layout's sidecar (no-array overload)
+      val (path, _) = stageIvfLists(s, dir)
       val emb = read(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopKStored(path, centroids, queries, "qid", "qvec",
+      Similarity.ivfTopKStored(path, queries, "qid", "qvec",
           k = 5, nProbe = 16)
         .select(col("query_id"), col("nbr_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
@@ -481,10 +482,13 @@ object SparkEntry {
     // (nearest pairs 0.4322 / 0.4104 at sf0.01) carries over unchanged.
     "q206_semdedup_stored" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
-      val (path, seeds) = stageSemDedupClusters(s, dir)
+      // the no-array overload: centroids + clusterDims come from the
+      // layout's own sidecar, so the CORRECTNESS row exercises the
+      // sidecar load+verify round-trip, not caller-remembered arrays
+      val (path, _) = stageSemDedupClusters(s, dir)
       Similarity.semDedupProbeStored(
           emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          path, seeds, tau = 0.42, clusterDims = 8)
+          path, tau = 0.42)
         .select(col("id").as("vec_id"), col("cluster"), col("dup_of"),
           col("max_corpus_cos"), col("keep"))
         .gateOrdered(col("vec_id"))
@@ -606,10 +610,12 @@ object SparkEntry {
     // distance is the same left-to-right double chain on both engines.
     "q207_ivfpq_stored" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
-      val (path, cents, cbs) = stageIvfPq(s, dir)
+      // centroids + codebooks load from the layout's sidecar (no-array
+      // overload) — the oracle row pins the self-describing round-trip
+      val (path, _, _) = stageIvfPq(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfPqTopK(path, cents, cbs, queries, "qid", "qvec",
+      Similarity.ivfPqTopK(path, queries, "qid", "qvec",
           k = 10, nProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -656,12 +662,13 @@ object SparkEntry {
     // embedding column never loads (PlanSpec pins ReadSchema). Same
     // codebooks ⇒ same ADC distances ⇒ q194's oracle verbatim
     "q196_pq_stored" -> ((s, dir) => {
-      val (path, cbs) = stagePqCodes(s, dir)
+      // codebooks load from the layout's sidecar (no-array overload)
+      val (path, _) = stagePqCodes(s, dir)
       val emb = read(s, dir, "embeddings")
       Similarity.pqTopKStored(path,
           emb.filter(col("vec_id") < 5)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "qid", "qvec", cbs, k = 10)
+          "qid", "qvec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -21,7 +21,7 @@ object AnnSidecar {
   val FileName = "_graft_ann.json"
 
   final case class Meta(
-      kind: String, // "ivf" | "ivfpq" | "semdedup"
+      kind: String, // "ivf" | "ivfpq" | "semdedup" | "pq"
       params: Map[String, Int],
       centroids: Array[Array[Double]],
       codebooks: Option[Array[Array[Array[Double]]]]) {
@@ -67,16 +67,39 @@ object AnnSidecar {
     val p = new Path(layoutPath, FileName)
     val tmp = new Path(layoutPath, s"$FileName.${java.util.UUID.randomUUID}.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     try {
       val out = fs.create(tmp, true)
-      try out.write(mapper.writerWithDefaultPrettyPrinter()
-        .writeValueAsBytes(root))
+      try out.write(bytes)
       finally out.close()
-      fs.delete(p, false) // rename does not overwrite on local FS
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"rename $tmp -> $p failed")
     } catch {
+      // only an INCOMPLETE tmp is ever deleted; once fully written it is
+      // the recovery copy and survives every publish failure below
       case e: Throwable => fs.delete(tmp, false); throw e
+    }
+    // Publish. On a local FS use an ATOMIC replacing move — there is no
+    // delete-then-rename window in which BOTH sidecars are absent (a crash
+    // inside that window previously lost old and new at once, and a
+    // concurrent reader saw an unverified layout). Remote FSs without
+    // atomic replace fall back to delete+rename; if the rename fails the
+    // COMPLETED tmp is kept and named so the layout stays recoverable.
+    val replaced =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.AtomicMoveNotSupportedException => false }
+      } else false
+    if (!replaced) {
+      fs.delete(p, false) // rename does not overwrite on Hadoop FSs
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"rename $tmp -> $p failed; the completed sidecar was KEPT at " +
+            s"$tmp — move it into place or re-run write")
     }
   }
 

@@ -743,9 +743,22 @@ object Similarity {
     * the codebooks with the table — they are the layout's contract, like
     * [[writeIvfLists]]'s centroids. */
   def writePqCodes(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
     pqEncode(corpus, idCol, vecCol, codebooks)
       .write.mode("overwrite").parquet(path)
+    graft.io.AnnSidecar.write(corpus.sparkSession, path, graft.io.AnnSidecar.Meta(
+      "pq", Map("m" -> codebooks.length, "codes" -> codebooks.head.length,
+        "sub" -> codebooks.head.head.length),
+      Array.empty, Some(codebooks)))
+  }
+
+  /** [[pqTopKStored]] with the codebooks loaded from the layout's own
+    * sidecar — probing a stored codes table needs only its path. */
+  def pqTopKStored(path: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int): DataFrame = {
+    val meta = graft.io.AnnSidecar.load(queries.sparkSession, path, "pq")
+    pqTopKStored(path, queries, queryId, queryVec, meta.codebooks.get, k)
+  }
 
   /** [[pqTopK]] against codes stored by [[writePqCodes]]: identical
     * semantics (same codebooks ⇒ same ADC distances); only the plan
@@ -753,9 +766,12 @@ object Similarity {
     * vectors are never touched. */
   def pqTopKStored(path: String, queries: DataFrame, queryId: String,
       queryVec: String, codebooks: Array[Array[Array[Double]]],
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    graft.io.AnnSidecar.verifyIfPresent(queries.sparkSession, path, "pq",
+      Array.empty, Some(codebooks))
     pqTopK(queries.sparkSession.read.parquet(path).select(col("id"), col("codes")),
       queries, queryId, queryVec, codebooks, k)
+  }
 
   /** The production ANN pairing — IVF + PQ with per-list RESIDUAL encoding
     * (Jégou et al. 2011 §IV: quantize `x − c_list`, not `x` — residuals
