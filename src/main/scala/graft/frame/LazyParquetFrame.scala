@@ -144,6 +144,16 @@ final class LazyParquetFrame private (
     if (index.isEmpty)
       throw new IllegalStateException(
         ".loc requires index columns (setIndex or construction-time index)")
+    // the varargs overload binds lp.loc(Seq(7L)) as ONE Seq-typed label,
+    // which would otherwise fail much later with an opaque lit() analysis
+    // error — reject collection-typed labels with a usage hint instead
+    labels.foreach {
+      case _: Seq[_] | _: Array[_] =>
+        throw new IllegalArgumentException(
+          ".loc labels must be scalar values — pass loc(7L) (varargs) or " +
+            "use the loc(Seq(...), Seq(...)) row/column overload")
+      case _ => ()
+    }
     if (labels.size != index.size)
       throw new IllegalArgumentException(
         s".loc label arity ${labels.size} != index arity ${index.size} " +

@@ -76,16 +76,35 @@ object ScaleOps {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
-  /** Release EVERY block a DataFrame's plan pinned, both kinds:
-    * `localCheckpoint` leaves (`LogicalRDD` — registered with the RDD,
-    * unreachable from `Dataset.unpersist`/`Catalog.clearCache`) AND
-    * internal `persist` subtrees (CacheManager entries the caller holds no
-    * handle to — e.g. the per-distinct-value table inside
-    * [[withExclusiveRunningSums]]). The `materialize = true` dedup
-    * operators return checkpointed results and the two-phase rank/cumsum
-    * consumers return plans over cached subtrees — invoke this once the
-    * result is consumed and the session is block-free again. Safe on any
-    * DataFrame (no-op without pinned blocks); the frame must not be
+  /** Frames the LIBRARY itself persisted (e.g. [[withExclusiveRunningSums]]'
+    * per-distinct-value table), keyed by their analyzed plan so
+    * [[releaseCheckpointBlocks]] can unpersist exactly these — and never a
+    * cache the CALLER created inside the same plan. Bounded (oldest entries
+    * age out at 256 — the cache itself was already leaked if its consumer
+    * was discarded unreleased; the registry must not compound it). */
+  private val internalPersists: java.util.Map[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame])
+            : Boolean = size() > 256
+      })
+
+  /** Release EVERY block a DataFrame's plan pinned by THIS LIBRARY, both
+    * kinds: `localCheckpoint` leaves (`LogicalRDD` — registered with the
+    * RDD, unreachable from `Dataset.unpersist`/`Catalog.clearCache`) AND
+    * internal `persist` subtrees the library registered (CacheManager
+    * entries the caller holds no handle to — e.g. the per-distinct-value
+    * table inside [[withExclusiveRunningSums]]). Caches the CALLER created
+    * on inputs or subplans are left untouched — releasing a user's persist
+    * without notice is not this method's job. The `materialize = true`
+    * dedup operators return checkpointed results and the two-phase
+    * rank/cumsum consumers return plans over cached subtrees — invoke this
+    * once the result is consumed and the session is block-free again. Safe
+    * on any DataFrame (no-op without pinned blocks); the frame must not be
     * re-executed afterwards (checkpointed lineage is cut; cached subtrees
     * merely recompute). */
   def releaseCheckpointBlocks(df: DataFrame): Unit = {
@@ -93,8 +112,24 @@ object ScaleOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
-    // drop cache entries for any cached subplan inside this plan
-    org.apache.spark.sql.graft.CacheBridge.uncacheSubplans(df)
+    // unpersist exactly the library-registered persists inside this plan
+    val plan = df.queryExecution.analyzed
+    val hits = Vector.newBuilder[DataFrame]
+    internalPersists.synchronized {
+      val it = internalPersists.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (plan.exists(_.sameResult(e.getKey))) { hits += e.getValue; it.remove() }
+      }
+    }
+    hits.result().foreach(_.unpersist(false))
+  }
+
+  /** Record a frame the library persisted internally so
+    * [[releaseCheckpointBlocks]] on any consumer plan releases it. */
+  private[graft] def registerInternalPersist(cached: DataFrame): DataFrame = {
+    internalPersists.put(cached.queryExecution.analyzed, cached)
+    cached
   }
 
   // ---- bloom-prefiltered joins -----------------------------------------
@@ -429,7 +464,8 @@ object ScaleOps {
     // clearCache, or [[releaseCheckpointBlocks]] on the returned frame.
     val cached =
       if (hasNondeterministicPlan(perV)) perV.localCheckpoint()
-      else perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else registerInternalPersist(
+        perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // split points: caller-supplied hint first (zero jobs), then footer
     // statistics when `order` is a plain attribute tracing to one parquet
     // relation (zero jobs), else one low-accuracy quantile pass

@@ -22,22 +22,3 @@ object ColumnBridge {
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
-
-/** Bridge into the `private[sql]` CacheManager: cascade-uncache a frame's
-  * plan and every cached subplan — the release path for caches pinned
-  * INSIDE library operators, where the caller never held the cached
-  * Dataset handle. */
-object CacheBridge {
-  /** Unpersist every CACHED SUBPLAN inside `df`'s plan — the release path
-    * for caches pinned INSIDE library operators, where the caller never
-    * held the cached Dataset handle. (`uncacheQuery(cascade = true)` runs
-    * the other direction: it drops caches built ON TOP of a plan.) */
-  def uncacheSubplans(df: org.apache.spark.sql.DataFrame): Unit = {
-    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val cm = spark.sharedState.cacheManager
-    df.queryExecution.analyzed.foreach { sub =>
-      if (cm.lookupCachedData(spark, sub).isDefined)
-        cm.uncacheQuery(spark, sub, cascade = false)
-    }
-  }
-}

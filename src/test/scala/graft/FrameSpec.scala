@@ -195,6 +195,10 @@ class FrameSpec extends SparkSpecBase {
     val multi = LazyParquetFrame(spark, sf("nation"), Seq("n_nationkey", "n_regionkey"))
     assertThrows[IllegalArgumentException](multi.loc(3))
     assert(multi.loc(3, 3).count() == 1)
+    // the varargs overload binds loc(Seq(3)) as ONE Seq-typed label — a
+    // pointed usage error, not a deferred lit() analysis failure
+    val e = intercept[IllegalArgumentException](lp.loc(Seq(3)))
+    assert(e.getMessage.contains("scalar"), e.getMessage)
   }
 
   test("loc: label assignment rewrites matching rows only; new column is NULL elsewhere") {
