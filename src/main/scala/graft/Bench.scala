@@ -24,15 +24,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+    /** (wall seconds, driver GC ms INSIDE the timed region) — the GC share
+      * separates "the query got slower" from "the JVM was collecting under
+      * this query" when hunting the interference band. */
+    def run(name: String): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0L)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
     }
 
     // whole-suite warm pass (JIT, codegen cache, FS metadata) — not measured.
@@ -56,9 +64,30 @@ object Bench {
     // un-reclaimed broadcasts build steady memory pressure that lands on
     // unrelated mid-tier queries (r7: a ~1.6-2.3x inflation band vs r6).
     // An explicit driver GC every GC_EVERY queries keeps the cleaner fed;
-    // it runs between queries, outside any timed region.
-    val GC_EVERY = 16
+    // it runs between queries, outside any timed region. 16 → 8 per the r9
+    // audit: ~10 unchanged-code queries still sat >2× best-known under
+    // GC_EVERY=16, so halve the broadcast-reclamation latency.
+    val GC_EVERY = 8
     def maybeGc(i: Int): Unit = if ((i + 1) % GC_EVERY == 0) System.gc()
+
+    // Host-speed probe: a fixed synthetic workload (range → hash → shuffle
+    // agg → sort; no IO, deterministic), min-of-3. Measured BOTH before and
+    // after the timed passes (min of the two): this session's probe ranged
+    // 1.5–2.4× across a single hour, so one end-of-run sample can land in a
+    // slow window and mis-normalize every per-query comparison against
+    // minima that were just recorded in a faster one.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(20L * 1000 * 1000)
+          .selectExpr("xxhash64(id) % 9973 AS k", "id")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+          .orderBy("s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    }
 
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names =
@@ -67,6 +96,7 @@ object Bench {
     names.zipWithIndex.foreach { case (n, i) =>
       run(n); dropAllBlocks(); maybeGc(i)
     }
+    val calibPre = calibrate()
 
     // min of two runs per query: the host shows multi-second noise spikes
     // (same code measured 50s/118s/69s total across runs), and min-of-N is
@@ -78,10 +108,12 @@ object Bench {
     // accumulate and the resulting memory pressure lands on unrelated later
     // queries (BENCH_r02: q05, a plain broadcast join, clocked 11.7s under
     // the driver where an isolated run takes 1.5s).
+    val gcOfMin = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val resultsMin2 = names.zipWithIndex.map { case (n, i) =>
-      val a = run(n)
-      val b = run(n)
+      val (a, ga) = run(n)
+      val (b, gb) = run(n)
       dropAllBlocks(); maybeGc(i)
+      gcOfMin(n) = if (a >= 0 && (b < 0 || a <= b)) ga else gb
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // The stdout contract line is FIXED-SIZE (totals only): the driver
@@ -108,29 +140,16 @@ object Bench {
     // (BENCH_LOCAL.json is the canonical driver-scale sf0.1 artifact;
     // other sfs get BENCH_LOCAL_sf{sf}.json) so a local sf0.01 iteration
     // run can never clobber the committed sf0.1 baseline.
-    // Host-speed calibration: a fixed synthetic workload (range → hash →
-    // shuffle agg → sort; no IO, deterministic) measured min-of-2 per run
-    // and stored with the baseline. Best-known times are ALL-TIME minima —
-    // recorded during the host's fastest windows — so on a slower day every
+    // Host-speed calibration (probe defined above, run pre + post): stored
+    // with the baseline. Best-known times are ALL-TIME minima — recorded
+    // during the host's fastest windows — so on a slower day every
     // unchanged query reads as a "regression" (r8/r9 evidence: the flagged
     // set changes every run, and a fresh-JVM isolated q121 cannot get
     // within 1.5× of its stored best). Comparisons scale the stored best
     // by current_calib/stored_calib, clamped to [1, 2]: a slower host
     // relaxes the bar proportionally (never more than 2×), a faster host
     // never TIGHTENS it below the recorded numbers.
-    def calibrate(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(20L * 1000 * 1000)
-          .selectExpr("xxhash64(id) % 9973 AS k", "id")
-          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
-          .orderBy("s")
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once(); math.min(once(), once())
-    }
-    val calib = calibrate()
+    val calib = math.min(calibPre, calibrate())
 
     val sfTag = sfDir.split('/').last.stripPrefix("sf")
     val prevFile = new java.io.File(
@@ -191,7 +210,8 @@ object Bench {
     val results = resultsMin2.map { case (k, v) =>
       if (!flagged(k, v)) k -> v
       else {
-        val c = run(k); dropAllBlocks()
+        val (c, gc) = run(k); dropAllBlocks()
+        if (c >= 0 && c < v) gcOfMin(k) = gc
         k -> (if (c < 0) v else math.min(v, c))
       }
     }
@@ -246,9 +266,15 @@ object Bench {
       // per-query minima were actually recorded under.
       val calibMs = math.round(1000 *
         prevCalib.map(math.min(_, calib)).getOrElse(calib / hostFactor))
+      // last_run_gc_ms: driver GC time inside each query's counted (min)
+      // run — the instrument for separating real plan regressions from
+      // collector interference when a query sits >2× its best-known
+      val gcJson = results.map { case (k, _) =>
+        "\"" + qk(k) + "\":" + gcOfMin.getOrElse(k, 0L)
+      }.mkString("{", ",", "}")
       val fw = new java.io.PrintWriter(prevFile)
       try fw.println(
-        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","calib_ms":$calibMs,"regressions":$regJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose}""")
+        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","calib_ms":$calibMs,"regressions":$regJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose,"last_run_gc_ms":$gcJson}""")
       finally fw.close()
     }
 
