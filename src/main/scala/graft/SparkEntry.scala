@@ -580,24 +580,6 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // ---- Z-order layout key (multi-column row-group pruning) ------------
-    // the Morton key is a pure deterministic projection — fixed-point
-    // cells against driver-collected [min,max] literals, then a
-    // shift/and/or bit interleave — so the oracle replays it exactly from
-    // SQL GENERATED by the same (i,j)→bit mapping (ZOrder.mortonSql: one
-    // definition, two engines). The write side (ZOrder.zOrderWrite) is
-    // layout-only and asserted by ZOrderSpec via footer row-group ranges.
-    "q214_zorder_key" -> ((s, dir) => {
-      val li = read(s, dir, "lineitem")
-      val cols = Seq("l_orderkey", "l_partkey")
-      val bounds = graft.ops.ZOrder.keyBounds(li, cols)
-      graft.ops.ZOrder.withMortonKey(li, cols, "z", bits = 16, Some(bounds))
-        .orderBy(col("z"), col("l_orderkey"), col("l_partkey"),
-          col("l_linenumber"))
-        .select(col("l_orderkey"), col("l_partkey"), col("z"))
-        .limit(100)
-    }),
-
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3702,26 +3684,6 @@ object SparkEntry {
                 CAST(sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS docs_with_pii
          FROM cnt GROUP BY lang ORDER BY lang""",
-    // Morton-key replay: bounds recomputed from the table (scalar CTE),
-    // the cell arithmetic and the interleave GENERATED from the same
-    // definitions as the Spark plan (fixedPointCellSqlDyn / mortonSql)
-    "q214_zorder_key" -> {
-      val c1 = graft.ops.ZOrder.fixedPointCellSqlDyn("l_orderkey", "lo1", "hi1", 16)
-      val c2 = graft.ops.ZOrder.fixedPointCellSqlDyn("l_partkey", "lo2", "hi2", 16)
-      s"""WITH b AS (
-           SELECT min(l_orderkey) AS lo1, max(l_orderkey) AS hi1,
-                  min(l_partkey) AS lo2, max(l_partkey) AS hi2
-           FROM lineitem),
-         c AS (
-           SELECT l_orderkey, l_partkey, l_linenumber,
-                  $c1 AS c1, $c2 AS c2
-           FROM lineitem, b)
-         SELECT l_orderkey, l_partkey,
-                ${graft.ops.ZOrder.mortonSql(Seq("c1", "c2"), 16)} AS z
-         FROM c
-         ORDER BY z, l_orderkey, l_partkey, l_linenumber LIMIT 100"""
-    },
-
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
     "q212_int8_quant" ->
