@@ -65,36 +65,45 @@ object AnnSidecar {
     // bricks every later probe of an otherwise-valid layout (the
     // AtomicFiles contract, spelled out on the Hadoop FS API)
     val p = new Path(layoutPath, FileName)
-    val tmp = new Path(layoutPath, s"$FileName.${java.util.UUID.randomUUID}.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-    try {
-      val out = fs.create(tmp, true)
-      try out.write(bytes)
-      finally out.close()
-    } catch {
-      // only an INCOMPLETE tmp is ever deleted; once fully written it is
-      // the recovery copy and survives every publish failure below
-      case e: Throwable => fs.delete(tmp, false); throw e
-    }
-    // Publish. On a local FS use an ATOMIC replacing move — there is no
-    // delete-then-rename window in which BOTH sidecars are absent (a crash
-    // inside that window previously lost old and new at once, and a
-    // concurrent reader saw an unverified layout). Remote FSs without
-    // atomic replace fall back to delete+rename; if the rename fails the
-    // COMPLETED tmp is kept and named so the layout stays recoverable.
-    val replaced =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(p.toUri.getPath),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.nio.file.AtomicMoveNotSupportedException => false }
-      } else false
-    if (!replaced) {
+    if (fs.getScheme == "file") {
+      // Local FS: publish with an ATOMIC replacing move — there is no
+      // delete-then-rename window in which BOTH sidecars are absent (a
+      // crash inside that window previously lost old and new at once, and
+      // a concurrent reader saw an unverified layout). The whole write
+      // rides java.nio, NOT the checksummed Hadoop LocalFileSystem — a nio
+      // move under a Hadoop-created file would leave a stale .crc sidecar
+      // that fails every later read; any legacy .crc is removed instead.
+      val dir = java.nio.file.Paths.get(new Path(layoutPath).toUri.getPath)
+      val target = dir.resolve(FileName)
+      val tmpP = dir.resolve(s"$FileName.${java.util.UUID.randomUUID}.tmp")
+      try java.nio.file.Files.write(tmpP, bytes)
+      catch { // only an INCOMPLETE tmp is ever deleted
+        case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(tmpP); throw e
+      }
+      try java.nio.file.Files.move(tmpP, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmpP, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      java.nio.file.Files.deleteIfExists(dir.resolve(s".$FileName.crc"))
+    } else {
+      // Remote FS without atomic replace: delete + rename. If the rename
+      // fails the COMPLETED tmp is kept and named so the layout stays
+      // recoverable (the AtomicFiles.atomicOutputDir precedent).
+      val tmp = new Path(layoutPath, s"$FileName.${java.util.UUID.randomUUID}.tmp")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(bytes)
+        finally out.close()
+      } catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
       fs.delete(p, false) // rename does not overwrite on Hadoop FSs
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(

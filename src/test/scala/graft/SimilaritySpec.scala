@@ -466,6 +466,13 @@ class SimilaritySpec extends SparkSpecBase {
     // missing sidecar: clear contract error from the no-array overload
     assertThrows[IllegalStateException](
       Similarity.ivfPqTopK(tmpDir("no_sidecar"), q, "qid", "qvec", k = 5, nProbe = 1))
+    // REWRITE: replacing an existing sidecar atomically and reading the
+    // NEW content back (the local-FS publish must not leave a stale
+    // Hadoop .crc behind — that failed every later read)
+    val cents2 = Array(Array(0.0, 0.0), Array(20.0, 20.0))
+    Similarity.writeIvfPqCodes(corpus, "id", "vec", cents2, cbs, path)
+    val meta2 = graft.io.AnnSidecar.load(spark, path, "ivfpq")
+    assert(meta2.centroids.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
     spark.catalog.clearCache()
   }
 
