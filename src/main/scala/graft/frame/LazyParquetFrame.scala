@@ -148,7 +148,7 @@ final class LazyParquetFrame private (
     // which would otherwise fail much later with an opaque lit() analysis
     // error — reject collection-typed labels with a usage hint instead
     labels.foreach {
-      case _: Seq[_] | _: Array[_] =>
+      case _: Iterable[_] | _: Array[_] | _: java.util.Collection[_] =>
         throw new IllegalArgumentException(
           ".loc labels must be scalar values — pass loc(7L) (varargs) or " +
             "use the loc(Seq(...), Seq(...)) row/column overload")

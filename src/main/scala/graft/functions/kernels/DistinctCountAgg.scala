@@ -32,7 +32,8 @@ final class Hash128Set(initialCapacity: Int) {
   def add(h1: Long, h2: Long): Unit = {
     if (h1 == 0L && h2 == 0L) { hasZero = true; return }
     // grow at 70% load BEFORE probing, so the probe always terminates
-    if ((used + 1) * 10 >= a.length * 7) grow()
+    // (Long arithmetic: the Int product wraps negative past ~188M entries)
+    if ((used + 1).toLong * 10 >= a.length.toLong * 7) grow()
     val mask = a.length - 1
     var i = java.lang.Long.hashCode(h1 * 0x9E3779B97F4A7C15L ^ h2) & mask
     while (!(a(i) == 0L && b(i) == 0L)) {
@@ -44,6 +45,13 @@ final class Hash128Set(initialCapacity: Int) {
 
   private def grow(): Unit = {
     val (oa, ob) = (a, b)
+    if (oa.length >= (1 << 30))
+      // 2^30 slots = 16 GB of hash arrays in ONE buffer — past any sane
+      // exact-mode use; fail with guidance instead of a wrapped shift
+      throw new IllegalStateException(
+        "exact distinct set exceeded 2^30 entries in one aggregation " +
+          "buffer — use the approximate mode (exactDistinct = false) for " +
+          "columns of this cardinality")
     a = new Array[Long](oa.length << 1)
     b = new Array[Long](oa.length << 1)
     used = 0
@@ -127,7 +135,13 @@ case class DistinctCountAgg(
   override def eval(buf: Hash128Set): Any = buf.size.toLong
 
   override def serialize(buf: Hash128Set): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(4 + 16 * buf.size)
+    val bytesNeeded = 4L + 16L * buf.size
+    if (bytesNeeded > Int.MaxValue - 8)
+      throw new IllegalStateException(
+        s"exact distinct buffer (${buf.size} entries) exceeds the 2 GB " +
+          "serialized-partial limit — use exactDistinct = false for " +
+          "columns of this cardinality")
+    val bos = new ByteArrayOutputStream(bytesNeeded.toInt)
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreachPair { (h1, h2) => out.writeLong(h1); out.writeLong(h2) }

@@ -20,6 +20,15 @@ object AnnSidecar {
 
   val FileName = "_graft_ann.json"
 
+  // Layout + sidecar crash consistency: every write* operator overwrites
+  // the parquet layout FIRST (Spark's static overwrite deletes the whole
+  // directory — the old sidecar included) and writes the sidecar LAST. A
+  // crash between the two leaves a layout with NO sidecar, so the
+  // no-array overloads fail loudly ("no sidecar") instead of probing new
+  // codes under stale arrays — re-running the write recovers. A stale
+  // sidecar describing different codes cannot survive a completed
+  // parquet overwrite.
+
   final case class Meta(
       kind: String, // "ivf" | "ivfpq" | "semdedup" | "pq"
       params: Map[String, Int],

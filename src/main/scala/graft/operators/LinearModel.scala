@@ -244,12 +244,24 @@ object LinearModel {
     val thr = ranked
       .filter(col("__above") < k && col("__above") + col("__cnt") >= k)
       .select(col("score")).head().getDouble(0)
+    // null-tolerant driver scalars: n_kept/kp floor at 0 via otherwise(0)
+    // (0 kept is legal when every score is NaN — `>= NaN` is false); the
+    // label sum stays NULLABLE (an unlabeled gate-tuning set must report a
+    // null rate, not crash on unboxing)
     val stats = ranked.agg(
-        sum(when(col("score") >= thr, col("__cnt"))).cast("long").as("n_kept"),
-        sum(when(col("score") >= thr, col("__pos"))).cast("long").as("__kp"),
+        sum(when(col("score") >= thr, col("__cnt")).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("score") >= thr, coalesce(col("__pos"), lit(0L)))
+          .otherwise(0L)).cast("long").as("__kp"),
         sum(col("__pos")).cast("long").as("__p"))
       .head()
-    val (nKept, kp, p) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val (nKept, kp) = (stats.getLong(0), stats.getLong(1))
+    val p: Option[Long] = if (stats.isNullAt(2)) None else Some(stats.getLong(2))
+    def rate(num: Option[Long], den: Long): Column = num match {
+      case Some(v) if den > 0 =>
+        round(lit(v.toDouble / den), roundTo).cast("double")
+      case _ => lit(null).cast("double")
+    }
     // every output is a driver scalar now — release the cumsum's cached
     // per-score table (unreachable from the returned literal frame, so no
     // caller could release it later) and emit the one-row report
@@ -257,8 +269,8 @@ object LinearModel {
     scored.sparkSession.range(1).select(
       round(lit(thr), roundTo).as("threshold"), lit(n).as("n"),
       lit(k).as("n_target"), lit(nKept).as("n_kept"),
-      round(lit(kp) / lit(nKept).cast("double"), roundTo).as("kept_pos_rate"),
-      round(lit(p) / lit(n).cast("double"), roundTo).as("overall_pos_rate"))
+      rate(p.map(_ => kp), nKept).as("kept_pos_rate"),
+      rate(p, n).as("overall_pos_rate"))
   }
 
   /** Per-(doc, bucket) counts + per-doc (label, token count) for

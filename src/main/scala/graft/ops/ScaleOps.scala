@@ -79,9 +79,13 @@ object ScaleOps {
   /** Frames the LIBRARY itself persisted (e.g. [[withExclusiveRunningSums]]'
     * per-distinct-value table), keyed by their analyzed plan so
     * [[releaseCheckpointBlocks]] can unpersist exactly these — and never a
-    * cache the CALLER created inside the same plan. Bounded (oldest entries
-    * age out at 256 — the cache itself was already leaked if its consumer
-    * was discarded unreleased; the registry must not compound it). */
+    * cache the CALLER created inside the same plan. Bounded at 256 entries:
+    * an aged-out frame is UNPERSISTED on eviction (unpersist on a plan
+    * still in use is safe — the consumer merely recomputes), so an
+    * application that builds hundreds of cumsum-backed frames before
+    * releasing any cannot pin unbounded cache. Two concurrent identical
+    * computations may both match one release via `sameResult` — also safe
+    * for the same reason. */
   private val internalPersists: java.util.Map[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
     java.util.Collections.synchronizedMap(
@@ -90,7 +94,8 @@ object ScaleOps {
         override def removeEldestEntry(
             e: java.util.Map.Entry[
               org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame])
-            : Boolean = size() > 256
+            : Boolean =
+          if (size() > 256) { e.getValue.unpersist(false); true } else false
       })
 
   /** Release EVERY block a DataFrame's plan pinned by THIS LIBRARY, both

@@ -374,7 +374,10 @@ class ProfileSpec extends SparkSpecBase {
     val exact = ColumnProfiler.profile(wide, exactDistinct = true)
       .variables("s").nDistinct
     assert(exact == 60000L)
-    assert(approx != 60000L && math.abs(approx - 60000L) < 6000,
+    // the estimate only needs to land within HLL tolerance — asserting it
+    // differs from the true count would break if a future sketch happened
+    // to land exactly (the mode split is already pinned at plan level)
+    assert(math.abs(approx - 60000L) < 6000,
       s"expected an HLL estimate near 60000, got $approx")
   }
 
