@@ -201,7 +201,12 @@ object Components {
     * (`Dataset.checkpoint`): files survive executor loss — the required
     * mode for long iterative jobs on a real cluster. */
   private def cutLineage(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    if (reliable) df.checkpoint(eager = true)
+    // registered so the PUBLIC releaseCheckpointBlocks can release the
+    // final returned frame; intermediate iterations self-release via
+    // releaseCheckpoint below (stale registered ids are harmless — RDD
+    // ids are never reused within a SparkContext)
+    else graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
 
   /** Release the cached blocks behind a `localCheckpoint(true)` DataFrame.
     * `Dataset.unpersist` only consults the CacheManager (checkpoints are

@@ -323,7 +323,8 @@ object Dedup {
       materialize: Boolean): DataFrame =
     if (!materialize) result
     else {
-      val out = result.localCheckpoint(true)
+      val out = graft.ops.ScaleOps.registerInternalCheckpoint(
+        result.localCheckpoint(true))
       bases.foreach(_.unpersist(false))
       out
     }

@@ -155,11 +155,12 @@ object IndexOps {
   private[graft] def stableRowNumberGeneric(df: DataFrame,
       orderColumns: Seq[String], outCol: String): DataFrame = {
     val orderCols = orderColumns.map(col)
-    val base = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .select(col("*"), spark_partition_id().as("__g_pid"),
-        monotonically_increasing_id().as("__g_mid"))
-      .localCheckpoint()
+    val base = ScaleOps.registerInternalCheckpoint(
+      df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .select(col("*"), spark_partition_id().as("__g_pid"),
+          monotonically_increasing_id().as("__g_mid"))
+        .localCheckpoint())
     val stats = base.groupBy("__g_pid")
       .agg(count(lit(1)).as("_c"), min("__g_mid").as("__g_m0"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

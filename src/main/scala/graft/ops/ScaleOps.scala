@@ -98,14 +98,44 @@ object ScaleOps {
           if (size() > 256) { e.getValue.unpersist(false); true } else false
       })
 
+  /** RDD ids of `localCheckpoint`s the LIBRARY created (cumsum's frozen
+    * nondeterministic inputs, `materialize = true` dedup results, the
+    * generic stable-row-number base) so [[releaseCheckpointBlocks]] can
+    * scope its `LogicalRDD` sweep to them. Unpersisting a CALLER's
+    * checkpoint would be worse than sweeping a cache: checkpointed lineage
+    * is CUT, so the caller's frame would become unrecomputable, not merely
+    * slow. Ids are monotonic per SparkContext (never reused), so a stale
+    * entry is harmless; bounded at 1024. */
+  private val internalCheckpointIds: java.util.Set[Integer] =
+    java.util.Collections.newSetFromMap(
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[Integer, java.lang.Boolean]() {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[Integer, java.lang.Boolean]): Boolean =
+            size() > 1024
+        }))
+
+  /** Record the `LogicalRDD` leaves of a frame the library just
+    * `localCheckpoint`ed so the public release can find them. */
+  private[graft] def registerInternalCheckpoint(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        internalCheckpointIds.add(lr.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
   /** Release EVERY block a DataFrame's plan pinned by THIS LIBRARY, both
     * kinds: `localCheckpoint` leaves (`LogicalRDD` — registered with the
     * RDD, unreachable from `Dataset.unpersist`/`Catalog.clearCache`) AND
     * internal `persist` subtrees the library registered (CacheManager
     * entries the caller holds no handle to — e.g. the per-distinct-value
-    * table inside [[withExclusiveRunningSums]]). Caches the CALLER created
-    * on inputs or subplans are left untouched — releasing a user's persist
-    * without notice is not this method's job. The `materialize = true`
+    * table inside [[withExclusiveRunningSums]]). Blocks the CALLER pinned —
+    * their persists on inputs, their own localCheckpoints feeding an
+    * operator — are left untouched: releasing a user's cache silently
+    * forces recomputes, and releasing a user's checkpoint (whose lineage
+    * is cut) would brick their frame outright. The `materialize = true`
     * dedup operators return checkpointed results and the two-phase
     * rank/cumsum consumers return plans over cached subtrees — invoke this
     * once the result is consumed and the session is block-free again. Safe
@@ -114,7 +144,9 @@ object ScaleOps {
     * merely recompute). */
   def releaseCheckpointBlocks(df: DataFrame): Unit = {
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if internalCheckpointIds.remove(lr.rdd.id) =>
+        lr.rdd.unpersist(false)
       case _ => ()
     }
     // unpersist exactly the library-registered persists inside this plan
@@ -468,7 +500,8 @@ object ScaleOps {
     // beats silent renumbering). Blocks release via catalog sweeps,
     // clearCache, or [[releaseCheckpointBlocks]] on the returned frame.
     val cached =
-      if (hasNondeterministicPlan(perV)) perV.localCheckpoint()
+      if (hasNondeterministicPlan(perV))
+        registerInternalCheckpoint(perV.localCheckpoint())
       else registerInternalPersist(
         perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // split points: caller-supplied hint first (zero jobs), then footer

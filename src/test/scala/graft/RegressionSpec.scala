@@ -205,6 +205,30 @@ class RegressionSpec extends SparkSpecBase {
     } finally userCached.unpersist()
   }
 
+  test("releaseCheckpointBlocks leaves CALLER-created checkpoints untouched") {
+    // a user's localCheckpoint has its lineage CUT — unpersisting its
+    // blocks would make the frame unrecomputable, so the LogicalRDD sweep
+    // is scoped to library-registered checkpoint ids only
+    val userFrozen = (1 to 300).map(i => (i.toLong, (i % 5).toDouble))
+      .toDF("id", "score").localCheckpoint(true)
+    try {
+      val perV = userFrozen.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val out = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("score"), "c", "x")
+      out.write.format("noop").mode("overwrite").save()
+      graft.ops.ScaleOps.releaseCheckpointBlocks(out)
+      // the caller's frame must still be fully usable after release
+      assert(userFrozen.count() == 300L)
+    } finally {
+      // direct RDD unpersist — the public release deliberately won't touch
+      // a caller-owned checkpoint, which is exactly what this test pins
+      userFrozen.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("releaseCheckpointBlocks cascade-releases the cumsum's internal cache") {
     // the two-phase cumsum persists its per-distinct-value table
     // internally; the caller holds no Dataset handle to it, so the public
