@@ -90,17 +90,17 @@ final case class ParqTools(spark: SparkSession) {
 
   // ---- parq_profile ----------------------------------------------------
   def profileReport(path: String, columns: Option[Seq[String]] = None,
-      exactDistinct: Boolean = true): ColumnProfiler.TableProfile =
+      exactDistinct: Boolean = false): ColumnProfiler.TableProfile =
     ColumnProfiler.profileFile(spark, path, columns, exactDistinct)
 
   def profileReportHtml(path: String, title: String = "Profile report",
-      exactDistinct: Boolean = true): String =
+      exactDistinct: Boolean = false): String =
     ProfileReport.profileFileHtml(spark, path, title, exactDistinct)
 
   /** reference compare_parquet_profiles / build_parquet_profile_comparison */
   def compareParquetProfiles(paths: Seq[String], labels: Seq[String] = Nil,
       absTol: Double = 0.0, relTol: Double = 0.0,
-      exactDistinct: Boolean = true): ProfileComparison.ComparisonSummary = {
+      exactDistinct: Boolean = false): ProfileComparison.ComparisonSummary = {
     require(paths.size >= 2, "need at least two files to compare")
     val names = if (labels.nonEmpty) labels else paths
     require(names.size == paths.size, "labels must match files")

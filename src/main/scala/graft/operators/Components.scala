@@ -209,13 +209,11 @@ object Components {
     else graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
 
   /** Release the cached blocks behind a `localCheckpoint(true)` DataFrame.
-    * `Dataset.unpersist` only consults the CacheManager (checkpoints are
-    * not registered there); the blocks belong to the underlying RDD.
+    * Routed through the public registry-scoped release so the iteration's
+    * id is also DEREGISTERED (a raw per-leaf unpersist would leave one
+    * stale id per iteration accumulating toward the registry bound).
     * No-op for reliable checkpoints (their data is files, not blocks) and
     * for never-checkpointed frames (no `LogicalRDD` leaf). */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.ops.ScaleOps.releaseCheckpointBlocks(df)
 }

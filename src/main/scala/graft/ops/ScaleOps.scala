@@ -105,14 +105,18 @@ object ScaleOps {
     * checkpoint would be worse than sweeping a cache: checkpointed lineage
     * is CUT, so the caller's frame would become unrecomputable, not merely
     * slow. Ids are monotonic per SparkContext (never reused), so a stale
-    * entry is harmless; bounded at 1024. */
+    * entry is harmless. Bounded at 65536 — ids are 4-byte ints, and an
+    * eviction here (unlike [[internalPersists]]') cannot unpersist, so the
+    * bound is set far above any plausible count of LIVE library
+    * checkpoints; internal self-releases deregister through the public
+    * release path to keep stale ids from accumulating toward it. */
   private val internalCheckpointIds: java.util.Set[Integer] =
     java.util.Collections.newSetFromMap(
       java.util.Collections.synchronizedMap(
         new java.util.LinkedHashMap[Integer, java.lang.Boolean]() {
           override def removeEldestEntry(
               e: java.util.Map.Entry[Integer, java.lang.Boolean]): Boolean =
-            size() > 1024
+            size() > 65536
         }))
 
   /** Record the `LogicalRDD` leaves of a frame the library just
@@ -163,8 +167,18 @@ object ScaleOps {
   }
 
   /** Record a frame the library persisted internally so
-    * [[releaseCheckpointBlocks]] on any consumer plan releases it. */
+    * [[releaseCheckpointBlocks]] on any consumer plan releases it. Entries
+    * whose SparkSession has stopped are pruned here — an app that releases
+    * blocks via `clearCache()` (the documented alternative) never matches
+    * entries out of the registry, and without pruning a restart would keep
+    * the stopped session's whole object graph reachable for the JVM
+    * lifetime. */
   private[graft] def registerInternalPersist(cached: DataFrame): DataFrame = {
+    internalPersists.synchronized {
+      val it = internalPersists.values().iterator()
+      while (it.hasNext)
+        if (it.next().sparkSession.sparkContext.isStopped) it.remove()
+    }
     internalPersists.put(cached.queryExecution.analyzed, cached)
     cached
   }
@@ -341,20 +355,25 @@ object ScaleOps {
     * correctness never depends on WHERE the splits fall, only on their
     * being fixed literals — hence the LOW `accuracy` default: a
     * percentile_approx summary sized for placement-insensitive splits
-    * costs a fraction of the 2500-default buffers on merge). One
+    * costs a fraction of the 2500-default buffers on merge. The summary
+    * must still RESOLVE n distinct split points, so the effective
+    * accuracy scales as max(100, 4n): a fixed 100 under thousands of
+    * shuffle partitions would collapse the n requested quantiles onto
+    * ~100 distinct stored tuples and quietly merge buckets). One
     * aggregation job over the single cast column; on a parquet source
     * that scan is column-pruned. */
   private[graft] def rangeSplits(df: DataFrame, order: Column,
-      accuracy: Int = 100): Array[Double] = {
+      accuracy: Int = 0): Array[Double] = {
     val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     if (n == 1) return Array.empty
+    val acc = if (accuracy > 0) accuracy else math.max(100, 4 * n)
     val probs = (1 until n).map(_.toDouble / n)
     // percentile_approx: codegen'd partial aggregate — one cheap pruned
     // scan (vs the RDD-path Dataset.stat.approxQuantile, ~3× slower on
     // job overhead alone)
     val row = df
       .agg(percentile_approx(order.cast("double"),
-        array(probs.map(lit(_)): _*), lit(accuracy)).as("__qs"))
+        array(probs.map(lit(_)): _*), lit(acc)).as("__qs"))
       .head()
     if (row.isNullAt(0)) Array.empty // all-null / empty input
     else row.getSeq[Double](0).filterNot(_.isNaN).distinct.sorted.toArray

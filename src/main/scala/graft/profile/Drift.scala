@@ -119,16 +119,16 @@ object Drift {
     // quantile pass over the freshly-joined distinct-value table. Each
     // side that traces contributes its splits; the union covers the
     // combined range (placement only affects balance, never correctness).
-    // A one-sided EMPTY result (degenerate/constant column in that side's
-    // footers) must not hint while the OTHER side is untraceable — an
-    // empty hint would short-circuit the quantile fallback and route the
-    // untraced side's full range into one bucket (the single-partition
-    // stall). Both-sides-traced empties are legitimate: both constant.
+    // The hint applies only when BOTH sides trace to parquet footers: a
+    // one-sided hint covers one side's range only, and if the other
+    // side's values sit outside it (disjoint snapshots, time-like
+    // columns) they would ALL land in one edge bucket — the
+    // single-partition stall — while the hint suppressed the quantile
+    // fallback that would have covered both. Both-sides-traced empties
+    // are legitimate (both constant).
     val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
         graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
       case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
-      case (Some(x), None) if x.nonEmpty => Some(x)
-      case (None, Some(y)) if y.nonEmpty => Some(y)
       case _ => None
     }
 
