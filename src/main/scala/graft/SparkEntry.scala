@@ -580,6 +580,26 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- persisted seen-bloom incremental exact admission (Dedup) -------
+    // 10% of orders seed a persisted bloom sidecar over o_custkey (the
+    // "100 TB history" stand-in); the remaining 90% arrive as the batch.
+    // Bloom-negative rows are admitted with ZERO join work (no false
+    // negatives); only the bloom-positive sliver pays the exact anti-join
+    // — so the result provably equals `batch ANTI JOIN corpus`, which is
+    // exactly what the oracle replays
+    "q214_bloom_admit" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      val corpus = orders.filter(col("o_orderkey") % 10 === 0)
+      val batch = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_seen_").toString
+      Dedup.writeSeenBloom(s, path, corpus, Seq("o_custkey"),
+        expectedItems = 10000L, fpp = 0.03)
+      Dedup.admitAgainstSeenBloom(batch, Seq("o_custkey"), path,
+        corpus = Some(corpus))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3684,6 +3704,16 @@ object SparkEntry {
                 CAST(sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS docs_with_pii
          FROM cnt GROUP BY lang ORDER BY lang""",
+    // seen-bloom admission ≡ exact anti-join (the bloom only routes rows
+    // around the join; no false negatives ⇒ identical result)
+    "q214_bloom_admit" ->
+      """SELECT o_orderkey, o_custkey
+         FROM orders b
+         WHERE o_orderkey % 10 <> 0
+           AND NOT EXISTS (SELECT 1 FROM orders c
+                           WHERE c.o_orderkey % 10 = 0
+                             AND c.o_custkey = b.o_custkey)
+         ORDER BY o_orderkey""",
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
     "q212_int8_quant" ->

@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.util.sketch.BloomFilter
+
 import graft.functions.kernels.{TextKernelFunctions, VectorKernelFunctions}
+import graft.io.BloomSidecar
 
 /** Deduplication operators for training-data pipelines (north-star
   * extensions, SURVEY §7.2 step 10): exact, MinHash+LSH, SimHash, n-gram
@@ -286,6 +289,99 @@ object Dedup {
       shingleSize, numHashes, numBands, threshold, materialize)
       .select(col("new_id").as("__matched")).distinct()
     newDf.join(matched, newDf(idCol) === matched("__matched"), "left_anti")
+  }
+
+  // ---- persisted seen-bloom: incremental EXACT admission ----------------
+  //
+  // The exact-dedup counterpart of [[precomputeLshCorpus]]/
+  // [[minhashLshProbeStored]]: admitting a daily batch against a 100 TB
+  // history must not shuffle the history. A persisted bloom filter over the
+  // history's keys ([[graft.io.BloomSidecar]]) answers "definitely never
+  // seen" with zero history-side work — no false negatives, so a negative
+  // probe ADMITS a row outright. Only bloom-positive rows (true duplicates
+  // + ~fpp false alarms) pay an exact anti-join, and that join's left side
+  // is candidate-sized, not batch-sized. At a 1% duplicate rate and 3%
+  // fpp, ~96% of the batch never enters a shuffle.
+
+  /** The batch/corpus key the seen-bloom probes: `xxhash64` over `cols`.
+    * One fixed column list per sidecar — build and probe must agree. */
+  private def seenKey(cols: Seq[String]): Column =
+    xxhash64(cols.map(col): _*)
+
+  /** Build a seen-bloom over `corpus`'s `cols` key and persist it as a
+    * sidecar at `dir` (atomic publish; see [[graft.io.BloomSidecar]]).
+    * One aggregation job over the corpus — the only time the history is
+    * read. Size `expectedItems` to the corpus's DISTINCT key count; fpp
+    * degrades smoothly past it (the sidecar records `itemsAdded` so later
+    * probes can warn). Returns the persisted meta. */
+  def writeSeenBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, cols: Seq[String],
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): BloomSidecar.Meta = {
+    require(cols.nonEmpty, "at least one key column required")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val (bytesOpt, n) = graft.ops.ScaleOps.buildBloomWithCount(
+      corpus, seenKey(cols), expectedItems, numBits)
+    val filter = bytesOpt match {
+      case Some(b) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+      case None => BloomFilter.create(expectedItems, numBits) // empty corpus
+    }
+    val meta = BloomSidecar.Meta(expectedItems, numBits, fpp, n, filter)
+    BloomSidecar.write(spark, dir, meta)
+    meta
+  }
+
+  /** Fold `addedRows`' keys into the sidecar at `dir` (read → build a
+    * merge-compatible filter with the STORED spec → `mergeInPlace` →
+    * atomic re-publish) — the post-admission maintenance step that keeps
+    * the bloom covering the history as it grows. No-op on an empty batch.
+    * Not safe under concurrent writers (last publish wins); serialize
+    * maintenance per sidecar. */
+  def mergeIntoSeenBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
+      addedRows: DataFrame, cols: Seq[String]): BloomSidecar.Meta = {
+    val meta = BloomSidecar.load(spark, dir)
+    val (bytesOpt, n) = graft.ops.ScaleOps.buildBloomWithCount(
+      addedRows, seenKey(cols), meta.expectedItems, meta.numBits)
+    bytesOpt match {
+      case None => meta
+      case Some(b) =>
+        meta.filter.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        val merged = meta.copy(itemsAdded = meta.itemsAdded + n)
+        BloomSidecar.write(spark, dir, merged)
+        merged
+    }
+  }
+
+  /** Rows of `batch` whose `cols` key the history has never seen, probed
+    * through the sidecar at `dir`.
+    *
+    * With `corpus` supplied the result EQUALS `batch LEFT ANTI JOIN corpus
+    * ON cols` (provided the sidecar was built over a superset of
+    * `corpus`'s keys — its only soundness requirement): bloom-negative
+    * rows are admitted with no join at all, and only the bloom-positive
+    * sliver joins. Without `corpus` the probe alone decides — every
+    * bloom-positive row is dropped, over-dropping ~fpp of genuinely-new
+    * rows; the zero-join mode for pipelines that accept that loss.
+    *
+    * The batch is scanned twice (once per probe polarity) — it is the
+    * daily increment, not the history; the history is never read. */
+  def admitAgainstSeenBloom(batch: DataFrame, cols: Seq[String], dir: String,
+      corpus: Option[DataFrame] = None): DataFrame = {
+    val meta = BloomSidecar.load(batch.sparkSession, dir)
+    if (meta.itemsAdded > meta.expectedItems)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"seen-bloom at $dir holds ~${meta.itemsAdded} items but was sized " +
+          s"for ${meta.expectedItems} — fpp has degraded past the declared " +
+          s"${meta.fpp}; rebuild with a larger expectedItems")
+    val pos = graft.ops.ScaleOps.mightContain(meta.bytes, seenKey(cols))
+    val definitelyNew = batch.filter(!pos)
+    corpus match {
+      case None => definitelyNew
+      case Some(c) =>
+        val resolved = batch.filter(pos)
+          .join(c.select(cols.map(col): _*).distinct(), cols, "left_anti")
+        definitelyNew.unionByName(resolved)
+    }
   }
 
   /** Shared kernel base for the LSH operators: shingle-hash set + MinHash

@@ -204,11 +204,24 @@ object ScaleOps {
   def buildBloom(df: DataFrame, key: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): Option[Array[Byte]] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    buildBloomWithCount(df, col(key), expectedItems, numBits)._1
+  }
+
+  /** [[buildBloom]] with the spec made explicit (so two filters built at
+    * different times stay `mergeInPlace`-compatible — bit size and hash
+    * count are pure functions of `expectedItems`/`numBits`) and the row
+    * count piggybacked on the SAME aggregation job (no second pass).
+    * Used by the persisted seen-bloom admission path
+    * ([[graft.operators.Dedup.writeSeenBloom]]). */
+  private[graft] def buildBloomWithCount(df: DataFrame, key: Column,
+      expectedItems: Long, numBits: Long): (Option[Array[Byte]], Long) = {
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col(key))),
+      ColumnBridge.expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = df.select(ColumnBridge.column(agg).as("bf")).head()
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+    val row = df.select(ColumnBridge.column(agg).as("bf"),
+      count(lit(1)).as("n")).head()
+    (if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0)),
+      row.getLong(1))
   }
 
   /** `might_contain(bloom, xxhash64(key))` as a Column — a codegen'd

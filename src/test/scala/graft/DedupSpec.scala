@@ -342,4 +342,84 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_matches") == 2 && r.getAs[Long]("n_runs") == 2)
     assert(r.getAs[Long]("max_run_tokens") == 3)
   }
+
+  test("seen-bloom admission equals the exact anti-join (corpus supplied)") {
+    val dir = tmpDir("graft_bloom_")
+    val orders = spark.read.parquet(sf("orders"))
+    // "history has seen customer X" admission: 10% of orders seed the
+    // seen-set; the rest arrive as the batch — both outcomes populated
+    val corpus = orders.filter($"o_orderkey" % 10 === 0)
+    val batch = orders.filter($"o_orderkey" % 10 =!= 0)
+    Dedup.writeSeenBloom(spark, dir, corpus, Seq("o_custkey"),
+      expectedItems = 2000L, fpp = 0.03)
+    val admitted = Dedup.admitAgainstSeenBloom(batch, Seq("o_custkey"), dir,
+      corpus = Some(corpus))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = batch.join(corpus.select("o_custkey").distinct(),
+        Seq("o_custkey"), "left_anti")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(admitted == expected)
+    // non-degenerate both ways: some rows admitted, some dropped
+    assert(expected.nonEmpty && expected.size < batch.count())
+    // multi-column key variant resolves identically
+    val dir2 = tmpDir("graft_bloom_")
+    val li = spark.read.parquet(sf("lineitem")).limit(2000)
+    val c2 = li.filter($"l_orderkey" % 4 === 0)
+    val b2 = li.filter($"l_orderkey" % 4 =!= 0)
+    Dedup.writeSeenBloom(spark, dir2, c2, Seq("l_partkey", "l_suppkey"),
+      expectedItems = 2000L)
+    val a2 = Dedup.admitAgainstSeenBloom(b2, Seq("l_partkey", "l_suppkey"),
+      dir2, corpus = Some(c2)).count()
+    val e2 = b2.join(c2.select("l_partkey", "l_suppkey").distinct(),
+      Seq("l_partkey", "l_suppkey"), "left_anti").count()
+    assert(a2 == e2)
+  }
+
+  test("seen-bloom probe-only mode never admits a seen key; fpp bounds over-drop") {
+    val dir = tmpDir("graft_bloom_")
+    val corpus = docs // the 5-doc fixture: ids 1..5
+    Dedup.writeSeenBloom(spark, dir, corpus, Seq("text"),
+      expectedItems = 100L, fpp = 0.01)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // seen (dup of 1)
+      (11L, "a genuinely novel sentence the corpus has never contained at all"))
+      .toDF("doc_id", "text")
+    val ids = Dedup.admitAgainstSeenBloom(batch, Seq("text"), dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L)) // no false negatives, ever
+    // 11 admitted unless it false-positives (p = 1%; deterministic filter,
+    // deterministic key → this either always passes or we pick new text)
+    assert(ids.contains(11L))
+  }
+
+  test("seen-bloom merge folds a batch in; sidecar survives the round-trip") {
+    val dir = tmpDir("graft_bloom_")
+    val m0 = Dedup.writeSeenBloom(spark, dir,
+      docs.filter($"doc_id" <= 3), Seq("text"), expectedItems = 100L)
+    val m1 = Dedup.mergeIntoSeenBloom(spark, dir,
+      docs.filter($"doc_id" > 3), Seq("text"))
+    assert(m1.itemsAdded == m0.itemsAdded + 2)
+    // after the merge, every fixture doc probes positive through a FRESH load
+    val admitted = Dedup.admitAgainstSeenBloom(
+      docs.select($"doc_id" + 100 as "doc_id", $"text"), Seq("text"), dir)
+    assert(admitted.count() == 0)
+    // empty batch is a no-op (and does not corrupt the sidecar)
+    val m2 = Dedup.mergeIntoSeenBloom(spark, dir,
+      docs.filter($"doc_id" > 99), Seq("text"))
+    assert(m2.itemsAdded == m1.itemsAdded)
+    assert(graft.io.BloomSidecar.load(spark, dir).expectedItems == 100L)
+  }
+
+  test("seen-bloom: missing sidecar fails loudly; empty corpus admits everything") {
+    val dir = tmpDir("graft_bloom_")
+    val e = intercept[IllegalStateException] {
+      Dedup.admitAgainstSeenBloom(docs, Seq("text"), dir)
+    }
+    assert(e.getMessage.contains("no seen-bloom sidecar"))
+    Dedup.writeSeenBloom(spark, dir, docs.filter($"doc_id" < 0), Seq("text"))
+    val ids = Dedup.admitAgainstSeenBloom(docs, Seq("text"), dir,
+      corpus = Some(docs.filter($"doc_id" < 0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
