@@ -600,6 +600,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- BPE tokenizer merge training (CorpusStats) ---------------------
+    // 6 merges over the [a-z]+ word-count table (hapax pruned): the
+    // oracle replays every step in SQL — the weighted pair statistics,
+    // the (count desc, left asc, right asc) argmax, and the literal
+    // left-to-right non-overlapping replace — so the learned merge table
+    // must agree row for row; integer counts, no floats anywhere
+    "q215_bpe_train" -> ((s, dir) => {
+      CorpusStats.bpeTrain(read(s, dir, "documents"), "text", merges = 6,
+        minWordCount = 2L)
+        .orderBy(col("step"))
+    }),
+
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3348,6 +3360,36 @@ object SparkEntry {
     s"$base,\n         $iters"
   }
 
+  /** q215 oracle: the BPE merge loop replayed as chained CTEs. `v0` is the
+    * hapax-pruned word-count table with every word symbolized `|c||c||…|`;
+    * step i explodes adjacent symbol pairs of `v{i-1}` weighted by word
+    * count, takes the (count desc, left asc, right asc) argmax — a total
+    * order, so ties are deterministic — and applies the merge as the same
+    * literal left-to-right non-overlapping `replace` Spark runs. All
+    * counts are integers; nothing floats. */
+  private def bpeCtes(merges: Int, minCount: Long): String = {
+    val base =
+      s"""bw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+         v0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS syms,
+                  count(*)::BIGINT AS cnt
+                FROM bw GROUP BY word HAVING count(*) >= $minCount)"""
+    val iters = (1 to merges).map { i =>
+      val prev = s"v${i - 1}"
+      s"""e$i AS (SELECT a, cnt, unnest(range(1, len(a))) AS j
+             FROM (SELECT string_split(trim(syms, '|'), '||') AS a, cnt
+                   FROM $prev) t),
+         p$i AS (SELECT a[j] AS l, a[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+             FROM e$i GROUP BY 1, 2),
+         m$i AS (SELECT l, r, pc, l || r AS mg FROM p$i
+             ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         v$i AS (SELECT replace(syms, '|' || l || '||' || r || '|',
+                    '|' || mg || '|') AS syms, cnt
+             FROM $prev CROSS JOIN m$i)"""
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
+  }
+
   /** q194 oracle: PQ + ADC replayed — per-subspace encoding is the same
     * unrolled left-to-right squared-L2 argmin the nearest-centroid kernel
     * runs (ties to the lowest code), codebook j's centroid c IS seed c's
@@ -3714,6 +3756,18 @@ object SparkEntry {
                            WHERE c.o_orderkey % 10 = 0
                              AND c.o_custkey = b.o_custkey)
          ORDER BY o_orderkey""",
+    // BPE merge loop replayed as chained CTEs: v0 is the pruned
+    // word-count table symbolized with pipe delimiters; each step
+    // recomputes pair statistics from v{i-1}, takes the same total-order
+    // argmax, applies the same literal replace. Integer counts and a
+    // total argmax order — the replay is exact
+    "q215_bpe_train" ->
+      s"""WITH ${bpeCtes(merges = 6, minCount = 2L)}
+         SELECT * FROM (
+           ${(1 to 6).map(i =>
+        s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count,
+               mg AS merged FROM m$i""").mkString("\n           UNION ALL ")}
+         ) u ORDER BY step""",
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
     "q212_int8_quant" ->

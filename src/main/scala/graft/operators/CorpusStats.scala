@@ -388,6 +388,82 @@ object CorpusStats {
       .distinct()
   }
 
+  /** BPE tokenizer merge training over the corpus — the learn-the-vocab
+    * step of a training-data pipeline (Sennrich et al. 2016, the
+    * word-count formulation every production tokenizer trainer uses: the
+    * corpus is scanned ONCE into a word→count table, and all `merges`
+    * iterations run on that vocab-bounded table, never on the corpus).
+    *
+    * Words are `[a-z]+` runs of the lowercased text (a closed, digit-free
+    * alphabet keeps the symbol grammar unambiguous). Each word is
+    * symbolized as `|c||c||…|` — every symbol pipe-delimited, so a merged
+    * multi-character symbol can never be confused with the concatenation
+    * of its parts. One merge step is:
+    *   1. pair statistics: every ADJACENT symbol pair, weighted by word
+    *      count (overlapping occurrences each count, the classic
+    *      formulation);
+    *   2. argmax by (count desc, left asc, right asc) — a total order, so
+    *      ties are deterministic across engines;
+    *   3. apply: literal left-to-right non-overlapping
+    *      `replace("|l||r|" -> "|lr|")` — exactly BPE's greedy merge scan,
+    *      and exactly what both Spark's and DuckDB's `replace` implement,
+    *      so the oracle replays the whole loop in SQL.
+    *
+    * Returns the learned merge table: `(step, left, right, pair_count,
+    * merged)`, `merges` rows (fewer if the vocab runs out of pairs).
+    *
+    * Scale: one corpus scan (map-side-combined word count) → a persisted
+    * vocab table orders of magnitude smaller than the corpus; each of the
+    * `merges` driver-sequenced jobs is a pure projection (the i−1 learned
+    * replaces composed over the SAME persisted base — no checkpoint, no
+    * growing lineage over data) + a bounded pair explode + a partially
+    * aggregated groupBy, with the argmax taken as TakeOrderedAndProject
+    * (one row collected per step). No global window anywhere. `minWordCount`
+    * prunes hapax words before the loop — at 100 TB the long tail of the
+    * vocab is noise the merge statistics never need. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      minWordCount: Long = 1L): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    val spark = docs.sparkSession
+    val vocab = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+      .withColumn("syms", regexp_replace(col("word"), "(.)", "|$1|"))
+      .select(col("syms"), col("cnt"))
+    vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, String)]
+      for (step <- 1 to merges) {
+        // i−1 learned merges composed as literal replaces over the base
+        val cur = learned.foldLeft("syms") { case (sql, (_, l, r, _, m)) =>
+          s"replace($sql, '|$l||$r|', '|$m|')"
+        }
+        val top = vocab
+          .select(expr(s"split(trim(BOTH '|' FROM $cur), '\\\\|\\\\|')")
+            .as("arr"), col("cnt"))
+          .filter(size(col("arr")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(arr)-1)," +
+              " i -> struct(arr[i-1] AS left, arr[i] AS right))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+          .limit(1)
+          .collect()
+        top.headOption.foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          learned += ((step, l, r, row.getLong(2), l + r))
+        }
+      }
+      import spark.implicits._
+      learned.toSeq.toDF("step", "left", "right", "pair_count", "merged")
+    } finally vocab.unpersist(false)
+  }
+
   /** Near-dup / overlap candidates from winnowed fingerprints: unordered
     * document pairs sharing at least `minShared` selected fingerprints,
     * with the shared count — MOSS's candidate report. By the winnowing

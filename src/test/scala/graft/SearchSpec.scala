@@ -361,6 +361,44 @@ class SearchSpec extends SparkSpecBase {
       top.isNullAt(top.fieldIndex("rank_c")))
   }
 
+  test("bpeTrain replays the Sennrich worked example with deterministic ties") {
+    // counts: low:5, lower:2, newest:6, widest:3
+    val corpus = Seq(
+      (1L, "low low low Low! low?"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(corpus, "text", merges = 4)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    // (e,s) and (s,t) tie at 9 → left-asc tie-break picks (e,s) first;
+    // (l,o) and (o,w) tie at 7 → (l,o) first
+    assert(out.toSeq == Seq(
+      (1, "e", "s", 9L, "es"),
+      (2, "es", "t", 9L, "est"),
+      (3, "l", "o", 7L, "lo"),
+      (4, "lo", "w", 7L, "low")))
+  }
+
+  test("bpeTrain: overlapping pairs all count, merges apply left-to-right") {
+    val corpus = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(corpus, "text", merges = 2)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    // word 'aaa' ×2: (a,a) occurs twice per word (overlap counted) → 4;
+    // the greedy merge leaves |aa||a| → step 2 merges (aa,a) at count 2
+    assert(out.toSeq == Seq((1, "a", "a", 4L, "aa"), (2, "aa", "a", 2L, "aaa")))
+  }
+
+  test("bpeTrain stops when no pairs remain and honors minWordCount") {
+    val corpus = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // cd is hapax → pruned; ab fully merges in one step, then no pairs
+    val out = CorpusStats.bpeTrain(corpus, "text", merges = 3, minWordCount = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(4), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "ab", 2L)))
+  }
+
   test("charLmScore separates reference-like text from alien text") {
     val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
     val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
