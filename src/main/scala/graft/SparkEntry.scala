@@ -612,6 +612,26 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // ---- BPE fertility under the learned vocab (CorpusStats) ------------
+    // train-then-apply composition: the 6 learned merges replayed over the
+    // corpus as one codegen'd projection (no explode, no shuffle), rolled
+    // up per language — the fertility report a tokenizer team reads.
+    // Counts are integers; fertility is one double division rounded at 4dp
+    "q216_bpe_fertility" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val merges = CorpusStats.bpeTrain(docs, "text", merges = 6,
+        minWordCount = 2L)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusStats.bpeEncode(docs, "text", merges)
+        .groupBy(col("lang"))
+        .agg(sum(col("bpe_words")).as("n_words"),
+          sum(col("bpe_subwords")).as("n_subwords"))
+        .withColumn("fertility",
+          round(col("n_subwords") / col("n_words"), 4))
+        .orderBy(col("lang"))
+    }),
+
     // ---- shape alerts: skewed, imbalance, duplicate rows ----------------
     // engineered margins (checked at sf0.01): spiky g1 ≈ 30 (> 20), label
     // imbalance ≈ 0.82 (> 0.5), event_type ≈ 0 (< 0.5); 3 low-cardinality
@@ -3768,6 +3788,28 @@ object SparkEntry {
         s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count,
                mg AS merged FROM m$i""").mkString("\n           UNION ALL ")}
          ) u ORDER BY step""",
+    // BPE train-then-apply: the same 6-merge replay, then every word
+    // re-encoded through the learned chain (the m1…m6 rows applied as the
+    // same sequential literal replaces) and symbol counts rolled up per
+    // language. Pipe counting: a word with n symbols carries exactly 2n
+    // pipes, so n = (len − len-without-pipes)/2 — integer-exact
+    "q216_bpe_fertility" ->
+      s"""WITH ${bpeCtes(merges = 6, minCount = 2L)},
+         d0 AS (SELECT lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents),
+         s0 AS (SELECT lang, regexp_replace(w, '(.)', '|\\1|', 'g') AS e
+                FROM d0),
+         ${(1 to 6).map(i =>
+        s"""s$i AS (SELECT lang, replace(e, '|' || m$i.l || '||' || m$i.r || '|',
+                  '|' || m$i.mg || '|') AS e
+                FROM s${i - 1} CROSS JOIN m$i)""").mkString(",\n         ")}
+         SELECT lang, count(*)::BIGINT AS n_words,
+           CAST(sum(CAST((len(e) - len(replace(e, '|', ''))) / 2 AS BIGINT))
+             AS BIGINT) AS n_subwords,
+           round(sum(CAST((len(e) - len(replace(e, '|', ''))) / 2 AS BIGINT))
+                 / count(*)::DOUBLE, 4) AS fertility
+         FROM s6 GROUP BY lang ORDER BY lang""",
     // SQ8 replay: same scale, same ⌊x/s + 0.5⌋ clamp, cosine over the
     // integer code vectors (scale cancels; sums integer-exact)
     "q212_int8_quant" ->

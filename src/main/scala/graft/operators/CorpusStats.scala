@@ -464,6 +464,35 @@ object CorpusStats {
     } finally vocab.unpersist(false)
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output, in step
+    * order) to the corpus: every `[a-z]+` word of the lowercased text is
+    * symbolized and the merges replayed as the same literal left-to-right
+    * replaces the trainer used, then counted. Appends `wordsOut` (words
+    * in the doc) and `subwordsOut` (total BPE symbols after all merges) —
+    * the per-document fertility numerator/denominator, the number a
+    * tokenizer team watches per language/source before training.
+    *
+    * Scale: a PURE projection — the merge chain is composed into one
+    * codegen'd expression over the words array (aggregate/transform HOFs,
+    * no explode of the corpus, no shuffle, no UDF). The merge table is
+    * `merges` literal replaces long; it rides inside whole-stage codegen
+    * at scan cost. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)],
+      wordsOut: String = "bpe_words", subwordsOut: String = "bpe_subwords")
+      : DataFrame = {
+    val enc = merges.foldLeft("regexp_replace(w, '(.)', '|$1|')") {
+      case (sql, (l, r)) => s"replace($sql, '|$l||$r|', '|$l$r|')"
+    }
+    val words = s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"
+    docs
+      .withColumn(wordsOut, expr(s"size($words)").cast("long"))
+      .withColumn(subwordsOut, expr(
+        s"""aggregate($words, 0L, (acc, w) ->
+            acc + CAST((length($enc) - length(replace($enc, '|', ''))) / 2
+                  AS BIGINT))"""))
+  }
+
   /** Near-dup / overlap candidates from winnowed fingerprints: unordered
     * document pairs sharing at least `minShared` selected fingerprints,
     * with the shared count — MOSS's candidate report. By the winnowing

@@ -399,6 +399,25 @@ class SearchSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1, "ab", 2L)))
   }
 
+  test("bpeEncode applies learned merges and counts subwords per doc") {
+    val corpus = Seq(
+      (1L, "low low low Low! low?"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest")).toDF("doc_id", "text")
+    val merges = CorpusStats.bpeTrain(corpus, "text", merges = 4)
+      .orderBy($"step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val probe = Seq((1L, "low lower newest widest"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bpeEncode(probe, "text", merges)
+      .select($"doc_id", $"bpe_words", $"bpe_subwords")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // after merges es/est/lo/low: low→[low]=1, lower→[low,e,r]=3,
+    // newest→[n,e,w,est]=4, widest→[w,i,d,est]=4 → 12 subwords / 4 words
+    assert(out(1L) == ((4L, 12L)))
+    assert(out(2L) == ((0L, 0L)))
+  }
+
   test("charLmScore separates reference-like text from alien text") {
     val ref = spark.read.parquet(sf("documents")).filter($"lang" === "en")
     val lm = CorpusStats.charLmCounts(ref, "text", n = 3)
