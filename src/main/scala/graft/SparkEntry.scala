@@ -1564,6 +1564,18 @@ object SparkEntry {
       LinearModel.evalScores(scored, threshold = 0.77)
     }),
 
+    // ---- full PR/ROC curve: one operating point per distinct score ------
+    // riding the shared two-phase cumsum (both running counts in one
+    // pass, no global window); integer-exact counts, 4-dp rates
+    "q217_pr_curve" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.prCurve(scored)
+        .gateOrdered(col("threshold").desc)
+    }),
+
     // ---- calibration curve: decile reliability bins ---------------------
     "q203_reliability" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
@@ -3943,6 +3955,32 @@ object SparkEntry {
              4) AS kept_pos_rate,
            round(sum(y) / count(*)::DOUBLE, 4) AS overall_pos_rate
          FROM scored""",
+    // PR/ROC curve over the scored table: cumulative kept/tp under
+    // score-desc (distinct scores, so the RANGE default frame ≡ ROWS),
+    // rates derived from integer-exact counts
+    "q217_pr_curve" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         per AS (SELECT score, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+                 FROM scored GROUP BY score),
+         cum AS (SELECT score, cnt, pos,
+                   sum(cnt) OVER (ORDER BY score DESC) AS kept,
+                   sum(pos) OVER (ORDER BY score DESC) AS tp
+                 FROM per),
+         tot AS (SELECT sum(y)::BIGINT AS p, count(*)::BIGINT AS n FROM scored)
+         SELECT round(score, 4) AS threshold, kept::BIGINT AS n_kept,
+           tp::BIGINT AS tp, (kept - tp)::BIGINT AS fp,
+           round(tp / kept::DOUBLE, 4) AS "precision",
+           round(tp / p::DOUBLE, 4) AS recall,
+           round((kept - tp) / (n - p)::DOUBLE, 4) AS fpr,
+           round(2 * tp / (kept + p)::DOUBLE, 4) AS f1
+         FROM cum CROSS JOIN tot ORDER BY threshold DESC""",
     // ... and the trained model applied per document
     "q201_logreg_score" ->
       s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},

@@ -273,6 +273,48 @@ object LinearModel {
       rate(p, n).as("overall_pos_rate"))
   }
 
+  /** Precision–recall / ROC operating points at EVERY distinct score: for
+    * each threshold t (the gate `score >= t`), the kept/tp/fp counts and
+    * the derived precision, recall, FPR and F1 — the full curve the
+    * q202 single-operating-point report summarizes. Null labels count as
+    * negative (an unlabeled row can never be a true positive); rates whose
+    * denominator is 0 (recall with no positives, FPR with no negatives)
+    * are null, not a division artifact.
+    *
+    * Scale: one per-distinct-score aggregation, then the shared two-phase
+    * cumsum ([[graft.ops.ScaleOps.withExclusiveRunningSums]]) attaches
+    * BOTH running counts (rows above, positives above) in one pass — no
+    * global single-partition window, and the output is bounded by the
+    * distinct-score cardinality (4-dp sigmoid scores ⇒ ≤ 20 001 rows no
+    * matter the corpus size). */
+  def prCurve(scored: DataFrame, roundTo: Int = 4): DataFrame = {
+    val perScore = scored
+      .select(coalesce(col("label").cast("int"), lit(0)).as("__y"),
+        col("score").cast("double").as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perScore, col("score").desc, Seq("__cnt", "__pos"),
+      Seq("__cntAbove", "__posAbove"))
+    val (n, p) = (grand(0), grand(1))
+    val kept = col("__cntAbove") + col("__cnt")
+    val tp = col("__posAbove") + col("__pos")
+    val fp = kept - tp
+    def ratio(num: Column, den: Long): Column =
+      if (den > 0) round(num.cast("double") / den, roundTo).cast("double")
+      else lit(null).cast("double")
+    ranked.select(
+      round(col("score"), roundTo).as("threshold"),
+      kept.cast("long").as("n_kept"),
+      tp.cast("long").as("tp"),
+      fp.cast("long").as("fp"),
+      round(tp.cast("double") / kept, roundTo).cast("double").as("precision"),
+      ratio(tp, p).as("recall"),
+      ratio(fp, n - p).as("fpr"),
+      round(tp.cast("double") * 2 / (kept + lit(p.toDouble)), roundTo)
+        .cast("double").as("f1"))
+  }
+
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

@@ -105,4 +105,26 @@ class LinearModelSpec extends SparkSpecBase {
     // it is absent from the scored output (no evidence, no row)
     assert(s.count() == 1 && s.head().getLong(0) == 1L)
   }
+
+  test("prCurve: every operating point matches the hand computation") {
+    val scored = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0))
+      .toDF("score", "label")
+    val out = LinearModel.prCurve(scored)
+      .orderBy(desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // P = 2, N = 2; thresholds 0.9 / 0.8 / 0.7 inclusive
+    assert(out.toSeq == Seq(
+      (0.9, 1L, 1L, 0L, 1.0, 0.5, 0.0, 0.6667),
+      (0.8, 3L, 2L, 1L, 0.6667, 1.0, 0.5, 0.8),
+      (0.7, 4L, 2L, 2L, 0.5, 1.0, 1.0, 0.6667)))
+  }
+
+  test("prCurve: null labels are negatives; no-positive set nulls recall") {
+    val scored = Seq((0.9, Some(0)), (0.5, None)).toDF("score", "label")
+    val rows = LinearModel.prCurve(scored).orderBy(desc("threshold")).collect()
+    assert(rows.forall(_.getLong(2) == 0L)) // tp = 0 everywhere
+    assert(rows.forall(_.isNullAt(5)))      // recall null (P = 0)
+    assert(rows.map(_.getDouble(6)).toSeq == Seq(0.5, 1.0)) // FPR over N = 2
+  }
 }
