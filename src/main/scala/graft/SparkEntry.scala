@@ -1489,6 +1489,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- per-document TF-IDF keywords -----------------------------------
+    // top-3 terms per doc by tf·ln(N/df) over the corpus's own df table;
+    // minDf=5 drops hapax noise; ranked on the 6-dp-rounded score with
+    // term-asc tie-break (a total order — deterministic across engines)
+    "q218_tfidf_keywords" -> ((s, dir) => {
+      Search.tfidfKeywords(read(s, dir, "documents"), "doc_id", "text",
+        k = 3, minDf = 5L)
+        .gateOrdered(col("doc_id"), col("rank"))
+    }),
+
     // ---- hybrid retrieval: BM25 ⊕ dense ANN via reciprocal-rank fusion --
     // the q72 lexical queries and the matching dense query vectors
     // (query_id ≡ vec_id — the synthetic tables share one id space) each
@@ -4853,6 +4863,27 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // TF-IDF keywords: the same tokenizer and posting/df tables as q72,
+    // classic tf·ln(N/df), rank on the ROUNDED score + term asc
+    "q218_tfidf_keywords" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks FROM base WHERE len(toks) > 0),
+         post AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS term FROM d) s
+                  GROUP BY term, doc_id),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post
+                   GROUP BY term HAVING count(*) >= 5),
+         nn AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+         sc AS (SELECT p.doc_id, p.term, p.tf, f.df,
+                  round(p.tf * ln(nn.n_docs::DOUBLE / f.df), 6) AS tfidf
+                FROM post p JOIN dfreq f USING (term) CROSS JOIN nn),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
+         SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
     // RRF hybrid: q72's BM25 CTEs (top-20) ⊕ q21's dense knn (top-20,
     // query vectors vec_id < 3), fused with the same left-to-right
     // coalesce(1/(60+r)) sum the Scala side folds (DuckDB promotes '/'

@@ -12,6 +12,43 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** Top-k TF-IDF keywords per document: for every doc, the `k` terms with
+    * the highest `tf · ln(N/df)` (classic idf over the corpus's own
+    * document frequencies), ranked on the ROUNDED score with term-asc
+    * tie-break — a total order, so the selection is deterministic across
+    * engines. `minDf` drops hapax noise from the candidate vocabulary.
+    * Output: (doc_id, term, tf, df, tfidf, rank).
+    *
+    * Plan shape — the bm25 discipline applied doc-side: one corpus scan
+    * into the (term, doc) posting aggregation (map-side combined); df and
+    * the corpus size are vocabulary-/scalar-sized broadcasts onto the
+    * postings; the per-doc top-k runs through the k-bounded heap aggregate
+    * ([[Sampling.quotaPerGroup]]) — each partition ships at most k rows
+    * per doc into the shuffle, never the full posting list. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDf: Long = 1L, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val posting = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val scored = posting
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), roundTo))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    Sampling.quotaPerGroup(scored, Seq("doc_id"),
+        Seq(col("tfidf").desc, col("term").asc), k)
+      .withColumnRenamed("quota_rank", "rank")
+  }
+
   /** Okapi BM25 top-k: for each query, the `k` highest-scoring documents
     * with `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * over the query's DISTINCT terms, where

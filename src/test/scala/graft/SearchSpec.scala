@@ -361,6 +361,28 @@ class SearchSpec extends SparkSpecBase {
       top.isNullAt(top.fieldIndex("rank_c")))
   }
 
+  test("tfidfKeywords: scores, rounded-tie ranking, minDf pruning by hand") {
+    // N=4; df: apple 2, banana 2, cherry/date/elderberry/fig 1
+    val out = Search.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Double]("tfidf"), r.getAs[Int]("rank")))
+    def s(tf: Int, n: Int, df: Int): Double =
+      BigDecimal(tf * math.log(n.toDouble / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, "apple", 2L, s(2, 4, 2), 1), (1L, "banana", 1L, s(1, 4, 2), 2),
+      (2L, "apple", 1L, s(1, 4, 2), 1),
+      // doc 3: four ln(4) ties → term-asc picks cherry then date
+      (3L, "cherry", 1L, s(1, 4, 1), 1), (3L, "date", 1L, s(1, 4, 1), 2),
+      (4L, "banana", 4L, s(4, 4, 2), 1)))
+    // minDf = 2 drops every hapax term → doc 3 has no keywords at all
+    val pruned = Search.tfidfKeywords(docs, "doc_id", "text", k = 2, minDf = 2L)
+    assert(pruned.filter($"doc_id" === 3L).count() == 0)
+    assert(pruned.select("term").distinct().collect().map(_.getString(0)).toSet
+      == Set("apple", "banana"))
+  }
+
   test("bpeTrain replays the Sennrich worked example with deterministic ties") {
     // counts: low:5, lower:2, newest:6, widest:3
     val corpus = Seq(
