@@ -1499,6 +1499,17 @@ object SparkEntry {
         .gateOrdered(col("doc_id"), col("rank"))
     }),
 
+    // ---- seeded Rademacher random projection (JL, 64 -> 8) --------------
+    // the projection matrix is md5-derived from the seed string on BOTH
+    // engines — no storage, no RNG state; per-dim sums are sequential
+    // left-to-right doubles (≡ DuckDB's list_dot_product), so values are
+    // bit-identical before the shared 6-dp round
+    "q219_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(read(s, dir, "embeddings"), "vec_id",
+        "embedding", inDims = 64, outDims = 8)
+        .gateOrdered(col("vec_id"), col("dim"))
+    }),
+
     // ---- hybrid retrieval: BM25 ⊕ dense ANN via reciprocal-rank fusion --
     // the q72 lexical queries and the matching dense query vectors
     // (query_id ≡ vec_id — the synthetic tables share one id space) each
@@ -4863,6 +4874,20 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Rademacher projection replay: the ±1 matrix regenerated from the
+    // same md5 seed strings, the dot product sequential ascending
+    // (list_dot_product ≡ the unrolled Spark fold), same √k scale and
+    // 6-dp round
+    "q219_random_projection" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sg AS (SELECT j, list_transform(range(0, 64), i ->
+                  CASE WHEN substring(md5('rp:' || j || ':' || i), 1, 1) < '8'
+                       THEN 1.0 ELSE -1.0 END) AS s
+                FROM range(0, 8) t(j)),
+         p AS (SELECT vec_id, j,
+                 round(list_dot_product(v, s) / sqrt(8), 6) AS value
+               FROM b CROSS JOIN sg)
+         SELECT vec_id, j::INT AS dim, value FROM p ORDER BY vec_id, dim""",
     // TF-IDF keywords: the same tokenizer and posting/df tables as q72,
     // classic tf·ln(N/df), rank on the ROUNDED score + term asc
     "q218_tfidf_keywords" ->

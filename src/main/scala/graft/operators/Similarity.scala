@@ -105,6 +105,47 @@ object Similarity {
       graft.functions.VectorFunctions.l2Normalize(slice(col(vecCol), 1, dims)))
   }
 
+  /** Deterministic Rademacher random projection (Johnson–Lindenstrauss /
+    * Achlioptas 2003): `out_j = Σ_i v_i · s_ij / √outDims` with
+    * `s_ij ∈ {±1}` derived from `md5("<seed>:<j>:<i>")` — the
+    * [[Sampling]] md5 convention, so the projection matrix needs no
+    * storage, no broadcast and no RNG state: any engine (including the
+    * oracle) regenerates it bit-identically from the seed string alone.
+    * Long-form output `(id, dim, value)`, `value` rounded to `roundTo`.
+    *
+    * Scale: a PURE projection — each output dim is an unrolled
+    * left-to-right sum (the kmeans/cosine kernel ordering contract,
+    * bit-identical to a sequential dot product), inside whole-stage
+    * codegen at scan cost; no shuffle, no UDF, no stored layout. The JL
+    * use at 100 TB: 64→8 dims cuts downstream ANN/clustering bytes 8×
+    * while preserving pairwise geometry to O(√(ln n / outDims)), and the
+    * same seed regenerates the identical projection on every batch —
+    * incremental corpora project consistently forever. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int, seed: String = "rp",
+      roundTo: Int = 6): DataFrame = {
+    require(inDims >= 1 && outDims >= 1,
+      s"dims must be >= 1: $inDims -> $outDims")
+    val scale = math.sqrt(outDims.toDouble)
+    val projs = (0 until outDims).map { j =>
+      (1 to inDims).map(i =>
+          col(vecCol).getItem(i - 1).cast("double") *
+            lit(rademacherSign(seed, j, i - 1)))
+        .reduceLeft(_ + _)
+    }.map(s => round(s / lit(scale), roundTo))
+    df.select(col(idCol), posexplode(array(projs: _*)))
+      .select(col(idCol), col("pos").cast("int").as("dim"),
+        col("col").cast("double").as("value"))
+  }
+
+  /** ±1 from the first hex nibble of `md5("<seed>:<j>:<i>")` — below 8 is
+    * +1. Engine-portable: identical md5 hex for identical bytes. */
+  private[graft] def rademacherSign(seed: String, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * tuning instrument every production ANN deployment runs before
     * trading accuracy for cost (bands, probes, prefix dims are all tuned

@@ -562,4 +562,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       s"stats row must broadcast:\n$plan")
   }
+
+  test("randomProjection: values match the seeded sign matrix by hand") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+    val out = Similarity.randomProjection(df, "id", "vec",
+        inDims = 3, outDims = 2, seed = "t")
+      .orderBy($"dim").collect().map(_.getDouble(2))
+    val expected = (0 until 2).map { j =>
+      val s = (0 until 3).map(i => Similarity.rademacherSign("t", j, i))
+      val dot = 1.0f.toDouble * s(0) + 2.0f.toDouble * s(1) + 3.0f.toDouble * s(2)
+      BigDecimal(dot / math.sqrt(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq == expected)
+    // the sign material is genuinely mixed (not all +1 / all -1)
+    val signs = for (j <- 0 until 8; i <- 0 until 64)
+      yield Similarity.rademacherSign("rp", j, i)
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+  }
+
+  test("randomProjection preserves squared norms in expectation (JL)") {
+    // E[||Pv||^2] = ||v||^2 for Rademacher projections — check the
+    // corpus-mean ratio lands near 1 at 64 -> 8 dims
+    val proj = Similarity.randomProjection(corpus, "vec_id", "embedding",
+      inDims = 64, outDims = 8)
+    val projNorm = proj.groupBy($"vec_id")
+      .agg(sum($"value" * $"value").as("p2"))
+    val origNorm = corpus.select($"vec_id",
+      aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x).as("o2"))
+    val ratio = projNorm.join(origNorm, "vec_id")
+      .agg(avg($"p2" / $"o2")).head().getDouble(0)
+    assert(ratio > 0.7 && ratio < 1.3, s"mean norm ratio $ratio")
+  }
 }
