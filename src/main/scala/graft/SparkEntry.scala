@@ -1499,6 +1499,22 @@ object SparkEntry {
         .gateOrdered(col("doc_id"), col("rank"))
     }),
 
+    // ---- cross-source duplicate-overlap matrix --------------------------
+    // distinct md5 content fingerprints per source (the q28 convention),
+    // pair overlap counts + content-set jaccard — the pre-merge
+    // contamination report between crawl snapshots. The synthetic corpus
+    // has no NATURAL cross-source dups, so a partial "re-crawl" overlay
+    // (every 5th doc, relabeled re:<source>) stands in for the second
+    // snapshot — each re:X row must share exactly its docs' content with X
+    "q220_source_overlap" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("source", concat(lit("re:"), col("source")))
+      Dedup.crossSourceOverlap(docs.unionByName(recrawl), "doc_id", "text",
+        "source")
+        .gateOrdered(col("source_a"), col("source_b"))
+    }),
+
     // ---- seeded Rademacher random projection (JL, 64 -> 8) --------------
     // the projection matrix is md5-derived from the seed string on BOTH
     // engines — no storage, no RNG state; per-dim sums are sequential
@@ -4874,6 +4890,33 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc) r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Cross-source overlap: same md5 token-normalized fingerprints as
+    // q28, distinct per (source, fp), pair counts + jaccard
+    "q220_source_overlap" ->
+      """WITH corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 're:' || source AS source, text FROM documents
+           WHERE doc_id % 5 = 0),
+         fps AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END,
+               ' ')) AS fp
+           FROM corpus),
+         tot AS (SELECT source, count(*)::BIGINT AS n FROM fps GROUP BY source),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::BIGINT AS n_shared
+                   FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, p.n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           round(p.n_shared / (ta.n + tb.n - p.n_shared)::DOUBLE, 6) AS jaccard
+         FROM pairs p
+         JOIN tot ta ON ta.source = p.source_a
+         JOIN tot tb ON tb.source = p.source_b
+         ORDER BY source_a, source_b""",
     // Rademacher projection replay: the ±1 matrix regenerated from the
     // same md5 seed strings, the dot product sequential ascending
     // (list_dot_product ≡ the unrolled Spark fold), same √k scale and

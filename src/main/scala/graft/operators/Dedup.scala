@@ -872,4 +872,43 @@ object Dedup {
         (max(col("__len")) + lit(shingleSize - 1)).as("max_run_tokens"))
       .filter(col("n_matches") >= minShared)
   }
+
+  /** Cross-source duplicate-overlap matrix: for every unordered pair of
+    * `sourceCol` values, how many DISTINCT exact-duplicate fingerprints
+    * (md5 of token-normalized text — the q28 cross-engine convention) the
+    * two sources share, plus each side's distinct-content size and the
+    * Jaccard of the two content sets. The report a curation team reads
+    * before merging crawl snapshots: a high-overlap pair means one source
+    * is largely a re-crawl of the other and its mixture weight is an
+    * illusion.
+    *
+    * Scale: the corpus collapses to DISTINCT (fingerprint, source) —
+    * nothing bigger than the 32-char hash ever shuffles; the pair join
+    * keys on the fingerprint (the [[Dedup]] bucketed-candidate shape), so
+    * a fingerprint present in s sources contributes s·(s−1)/2 pair rows —
+    * bounded by the source count, not the corpus; per-source totals are a
+    * source-cardinality-sized broadcast. */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, roundTo: Int = 6): DataFrame = {
+    val fps = df.select(col(sourceCol).as("source"),
+        graft.functions.TextFunctions.md5Fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val totals = fps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val a = fps.select(col("source").as("source_a"), col("fp"))
+    val b = fps.select(col("source").as("source_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_distinct", "n_a")), Seq("source_a"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_distinct", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), roundTo)
+          .as("jaccard"))
+  }
 }

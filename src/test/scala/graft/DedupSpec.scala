@@ -422,4 +422,18 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("crossSourceOverlap: shared-content counts and jaccard by hand") {
+    val docs = Seq(
+      (1L, "x", "A"), (2L, "y", "A"), (3L, "z", "A"),
+      (4L, "  x  ", "A"),                 // token-normalized dup inside A
+      (5L, "x", "B"), (6L, "y", "B"), (7L, "w", "B"),
+      (8L, "q", "C")).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only A-B share content: {x, y}; A has 3 DISTINCT texts (the
+    // whitespace variant collapses), B has 3; jaccard 2/(3+3-2) = 0.5
+    assert(out.toSeq == Seq(("A", "B", 2L, 3L, 3L, 0.5)))
+  }
 }
