@@ -1391,6 +1391,33 @@ object SparkEntry {
     // Hourly windowed agg through the real stream: append mode emits only
     // windows the final watermark (max ts, ms-floored, minus the 1-hour
     // delay) has sealed
+    // ---- streaming PSI drift monitor ------------------------------------
+    // per-hour PSI of `value` against the table's own overall bin rates
+    // (the baseline a deployed monitor would carry as literals); binning
+    // is pure literal comparisons, psi a fixed left-to-right fold — both
+    // engines replay it bit-identically before the 6-dp round
+    "q221_psi_drift_stream" -> ((s, dir) => {
+      val staged = stageEventsMicros(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val edges = psiStreamEdges
+      val ev = s.read.parquet(staged).filter(col("value").isNotNull)
+      val bin = edges.foldLeft(lit(0)) { (a, e) =>
+        a + when(col("value").cast("double") > e, 1).otherwise(0) }
+      val counts = (0 to edges.length).map(b =>
+        sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"c$b"))
+      val base = ev.select(bin.as("__b"))
+        .agg(count(lit(1)).as("n"), counts: _*).head()
+      val n = base.getLong(0)
+      val rates = (0 to edges.length).map(b => base.getLong(b + 1).toDouble / n)
+      val out = runToCompletion(s, "q221_psi",
+        EventStream.psiDriftStream(s, staged, schema, "value", edges,
+          rates.toArray))
+      out.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("psi"))
+        .orderBy(col("hour"))
+    }),
+
     "q81_hourly_stream" -> ((s, dir) => {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
@@ -3100,6 +3127,11 @@ object SparkEntry {
     * volume this is the same `spark.sql.shuffle.partitions` lever, raised
     * instead of lowered — the partition count is captured at stream START,
     * so the scoped set/restore pins it per query. */
+  /** q221's fixed bin edges over events.value — shared by the query's
+    * baseline computation and the oracle generator so they cannot drift. */
+  private val psiStreamEdges: Array[Double] =
+    Array(5.0, 10.0, 20.0, 50.0, 100.0, 200.0)
+
   private def runToCompletion(s: SparkSession, name: String,
       stream: DataFrame): DataFrame = {
     s.catalog.dropTempView(name) // re-runs in one session
@@ -4641,6 +4673,34 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     // Closed hourly windows only: window end at or below the final
     // watermark (max ts ms-floored minus the 1-hour delay)
+    // Streaming PSI replay: same literal-edge bins, same per-hour and
+    // overall integer counts, same greatest(share, 1e-6) floors and the
+    // same left-to-right psi-term chain; q81's watermark CTE gates which
+    // windows closed
+    "q221_psi_drift_stream" -> {
+      val nb = psiStreamEdges.length + 1
+      val binSql = psiStreamEdges.map(e =>
+        s"CASE WHEN value > $e THEN 1 ELSE 0 END").mkString(" + ")
+      val hourCnts = (0 until nb).map(b =>
+        s"sum(CASE WHEN b = $b THEN 1 ELSE 0 END)::BIGINT AS c$b").mkString(", ")
+      val baseCnts = (0 until nb).map(b =>
+        s"sum(CASE WHEN b = $b THEN 1 ELSE 0 END)::BIGINT AS qc$b").mkString(", ")
+      val psiChain = (0 until nb).map(b =>
+        s"""(greatest(c$b / n, 1e-6) - greatest(qc$b / qn, 1e-6))
+            * ln(greatest(c$b / n, 1e-6) / greatest(qc$b / qn, 1e-6))""")
+        .mkString(" + ")
+      s"""WITH wm AS (
+           SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+         ev AS (SELECT ts, ($binSql) AS b FROM events WHERE value IS NOT NULL),
+         q AS (SELECT count(*)::BIGINT AS qn, $baseCnts FROM ev),
+         h AS (SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS n,
+                 $hourCnts,
+                 epoch_us(date_trunc('hour', ts)) + 3600000000 AS end_us
+               FROM ev GROUP BY 1)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           round($psiChain, 6) AS psi
+         FROM h CROSS JOIN q, wm WHERE end_us <= wm_us ORDER BY hour"""
+    },
     "q81_hourly_stream" ->
       """WITH wm AS (
            SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),

@@ -59,6 +59,53 @@ object EventStream {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Streaming PSI drift monitor: per tumbling event-time window, the
+    * population-stability index of `valueCol`'s distribution against a
+    * FIXED baseline — the alert a serving pipeline fires when today's
+    * traffic stops looking like the corpus the model was trained on.
+    * `edges` (sorted) define the bins: bin b counts values in
+    * (edges(b−1), edges(b)]; `baselineRates` are the reference
+    * per-bin shares (edges.length + 1 of them, e.g. the training
+    * corpus's own rates). Output per closed window: (window, n, psi),
+    * with each side's share floored at `eps` before the log-ratio — the
+    * [[graft.profile.Drift.psiBins]] convention.
+    *
+    * Scale/streaming shape: binning is a chain of literal comparisons
+    * (no float divide — nothing to drift across engines or partial
+    * aggregations); the per-window state is ONE row of bins+1 counters
+    * (conditional sums, map-side combined), and PSI is a pure projection
+    * over that aggregated row — so state is O(windows-in-horizon), not
+    * data-sized, and the whole monitor is one watermarked streaming
+    * aggregation in append mode. The PSI term sum is a fixed
+    * left-to-right fold over bins — deterministic, oracle-replayable. */
+  def psiDriftStream(spark: SparkSession, dir: String, schema: StructType,
+      valueCol: String, edges: Array[Double], baselineRates: Array[Double],
+      eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty && edges.sameElements(edges.sorted),
+      "edges must be non-empty and sorted")
+    require(baselineRates.length == edges.length + 1,
+      s"need ${edges.length + 1} baseline rates, got ${baselineRates.length}")
+    require(eps > 0.0, s"eps must be positive: $eps")
+    val nBins = edges.length + 1
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(valueCol).cast("double") > e, 1).otherwise(0)
+    }
+    val counts = (0 until nBins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val agg = spark.readStream.schema(schema).parquet(dir)
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), bin.as("__bin"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val psi = (0 until nBins).map { b =>
+      val pa = greatest(col(s"__c$b") / col("n"), lit(eps))
+      val pb = lit(math.max(baselineRates(b), eps))
+      (pa - pb) * log(pa / pb)
+    }.reduceLeft(_ + _)
+    agg.select(col("window"), col("n"), round(psi, 6).as("psi"))
+  }
+
   /** Streaming form: parquet source, 1-hour watermark, append mode. The
     * window column is kept as (start, end) struct per streaming semantics. */
   def hourlyAggStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =

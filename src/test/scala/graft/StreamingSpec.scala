@@ -21,6 +21,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("psiDriftStream: baseline hour scores 0, skewed hour alerts") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 10 matches the 50/50 baseline; hour 11 is all-low (skewed);
+    // the hour-13 sentinel advances the watermark past both
+    val rows = Seq(
+      (ts(10, 5), 5.0), (ts(10, 10), 15.0),
+      (ts(11, 5), 5.0), (ts(11, 10), 5.0), (ts(11, 15), 5.0), (ts(11, 20), 5.0),
+      (ts(13, 0), 15.0))
+    val dir = tmpDir("psi-stream") + "/events"
+    rows.toDF("ts", "value").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = EventStream.psiDriftStream(spark, dir, schema, "value",
+      edges = Array(10.0), baselineRates = Array(0.5, 0.5))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("psi_drift_t").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("psi_drift_t")
+      .select(date_format($"window.start", "HH").as("h"), $"n", $"psi")
+      .orderBy($"h").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("10", 2L), ("11", 4L)))
+    assert(out(0)._3 == 0.0)              // on-baseline hour: psi exactly 0
+    assert(out(1)._3 > 1.0, s"skewed hour psi ${out(1)._3}") // major shift
+  }
+
   test("sessionizeStream emits exactly the batch sessions closed by the watermark") {
     val dir = tmpDir("events-sess") + "/events"
     graft.sources.EventsSource.read(spark, sf("events")).write.parquet(dir)
