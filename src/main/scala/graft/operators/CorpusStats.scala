@@ -420,7 +420,16 @@ object CorpusStats {
     * aggregated groupBy, with the argmax taken as TakeOrderedAndProject
     * (one row collected per step). No global window anywhere. `minWordCount`
     * prunes hapax words before the loop — at 100 TB the long tail of the
-    * vocab is noise the merge statistics never need. */
+    * vocab is noise the merge statistics never need.
+    *
+    * Regime: step i re-applies i−1 literal replaces, so total work is
+    * O(merges²) replace evaluations over the vocab — right for the
+    * analysis regime (merges up to a few hundred; at 500 the composed
+    * expression is still ~100 µs/row on a vocab that fits one executor's
+    * partition). A production 30k-merge trainer would instead maintain
+    * the materialized vocab incrementally (write each round's vocab back
+    * to parquet every few hundred merges) — same per-step plan, bounded
+    * expression depth. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
       minWordCount: Long = 1L): DataFrame = {
     require(merges >= 1, s"merges must be >= 1: $merges")
@@ -476,7 +485,9 @@ object CorpusStats {
     * codegen'd expression over the words array (aggregate/transform HOFs,
     * no explode of the corpus, no shuffle, no UDF). The merge table is
     * `merges` literal replaces long; it rides inside whole-stage codegen
-    * at scan cost. */
+    * at scan cost. Same regime note as [[bpeTrain]]: a chain of a few
+    * hundred merges compiles and runs fine; a 30k-merge production vocab
+    * belongs in a dictionary-driven kernel, not an expression chain. */
   def bpeEncode(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)],
       wordsOut: String = "bpe_words", subwordsOut: String = "bpe_subwords")

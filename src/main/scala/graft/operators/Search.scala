@@ -20,11 +20,16 @@ object Search {
     * Output: (doc_id, term, tf, df, tfidf, rank).
     *
     * Plan shape — the bm25 discipline applied doc-side: one corpus scan
-    * into the (term, doc) posting aggregation (map-side combined); df and
-    * the corpus size are vocabulary-/scalar-sized broadcasts onto the
-    * postings; the per-doc top-k runs through the k-bounded heap aggregate
-    * ([[Sampling.quotaPerGroup]]) — each partition ships at most k rows
-    * per doc into the shuffle, never the full posting list. */
+    * into the (term, doc) posting aggregation (map-side combined); the
+    * corpus size is a scalar broadcast; df joins back on the term key
+    * WITHOUT a broadcast hint — unlike bm25's df table (bounded by the
+    * QUERY vocabulary), this df covers the corpus's full vocabulary,
+    * which at 100 TB is itself billions of hapax-heavy terms, so the
+    * planner/AQE must stay free to pick a shuffle join (raise `minDf`
+    * to shrink it first); the per-doc top-k runs through the k-bounded
+    * heap aggregate ([[Sampling.quotaPerGroup]]) — each partition ships
+    * at most k rows per doc into the shuffle, never the full posting
+    * list. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minDf: Long = 1L, roundTo: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -39,7 +44,7 @@ object Search {
       .filter(col("df") >= minDf)
     val stats = base.agg(count(lit(1)).as("n_docs"))
     val scored = posting
-      .join(broadcast(dfreq), Seq("term"))
+      .join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("tfidf", round(
         col("tf") * log(col("n_docs").cast("double") / col("df")), roundTo))
