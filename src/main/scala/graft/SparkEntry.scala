@@ -1825,6 +1825,14 @@ object SparkEntry {
         read(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 3), "o_orderkey")
     }),
 
+    // ---- k-anonymity release gate ---------------------------------------
+    // quasi-identifiers (nation, market segment) over customers: class
+    // counts → achieved k, at-risk rows, pass flag at k=5
+    "q222_k_anonymity" -> ((s, dir) => {
+      QualityOps.kAnonymity(read(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5L)
+    }),
+
     // ---- SCD2 validity intervals from a change log ----------------------
     "q110_scd2_history" -> ((s, dir) => {
       MergeOps.scd2History(
@@ -5384,6 +5392,18 @@ object SparkEntry {
                 round(v::DOUBLE / n.n, 6) AS violation_rate,
                 CASE WHEN v = 0 THEN 1 ELSE 0 END AS pass
          FROM r CROSS JOIN n ORDER BY rule""",
+    // k-anonymity: class counts over the quasi columns, scalar reduce
+    "q222_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+                    FROM customer GROUP BY 1, 2)
+         SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+           min(n)::BIGINT AS k_anonymity,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_k,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_rows_at_risk,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) / sum(n)::DOUBLE, 6)
+             AS risk_share,
+           (min(n) >= 5) AS pass
+         FROM c""",
     // Orphans = fact keys with no surviving dim key (dim drops keys ≡ 3
     // mod 10); null fact keys counted separately on both sides
     "q109_referential" ->

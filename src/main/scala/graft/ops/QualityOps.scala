@@ -133,4 +133,35 @@ object QualityOps {
       dim: DataFrame, dimKey: String): DataFrame =
     fact.filter(col(factKey).isNotNull).join(
       dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
+
+  /** k-anonymity report over quasi-identifier columns — the governance
+    * check a training-data release runs before shipping: every row must
+    * share its quasi-identifier combination (its equivalence class) with
+    * at least `k−1` others, or it is re-identifiable. One row out:
+    * `(n_rows, n_classes, k_anonymity, n_classes_below_k,
+    * n_rows_at_risk, risk_share, pass)` where `k_anonymity` is the
+    * dataset's ACTUAL minimum class size (its achieved k) and `pass`
+    * means `k_anonymity >= k`. NULL quasi-values form their own classes
+    * (a null birthdate is itself an identifying pattern).
+    *
+    * Scale: one partial-aggregated groupBy on the quasi columns → class
+    * counts (quasi-cardinality-sized, never row-sized), then one scalar
+    * reduce. Same budget as an exact distinct over the same columns. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 1, s"k must be >= 1: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__n")).cast("long").as("k_anonymity"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).cast("long")
+          .as("n_classes_below_k"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).cast("long")
+          .as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .withColumn("pass", col("k_anonymity") >= k)
+  }
 }

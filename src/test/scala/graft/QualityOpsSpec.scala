@@ -67,4 +67,24 @@ class QualityOpsSpec extends SparkSpecBase {
     assert(out(0).getLong(1) == 3L && out(0).isNullAt(2) && out(0).isNullAt(3))
     assert(out(1).isNullAt(1) && out(1).getLong(2) == 5L)
   }
+
+  test("kAnonymity: class sizes, risk share and null classes by hand") {
+    import spark.implicits._
+    // classes: (US,M)x3, (US,F)x2, (DE,M)x1, (null,M)x1
+    val df = Seq(
+      (1L, "US", "M"), (2L, "US", "M"), (3L, "US", "M"),
+      (4L, "US", "F"), (5L, "US", "F"),
+      (6L, "DE", "M"),
+      (7L, null.asInstanceOf[String], "M")).toDF("id", "country", "g")
+    val r = graft.ops.QualityOps.kAnonymity(df, Seq("country", "g"), k = 2).head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)     // rows, classes
+    assert(r.getLong(2) == 1L)                           // achieved k
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)     // below-k classes/rows
+    assert(r.getDouble(5) == BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!r.getBoolean(6))
+    // k = 1 always passes (every class has >= 1 member)
+    assert(graft.ops.QualityOps.kAnonymity(df, Seq("country", "g"), k = 1)
+      .head().getBoolean(6))
+  }
 }
