@@ -572,6 +572,38 @@ class PlanSpec extends SparkSpecBase {
         "Every entry needs a boundedness argument in this allowlist.")
   }
 
+  test("random projection is a pure scan projection — no exchange, no UDF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .randomProjection(emb, "vec_id", "embedding", inDims = 64, outDims = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("bpe encode composes the merge chain without exploding the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.CorpusStats
+      .bpeEncode(docs, "text", Seq("e" -> "r", "i" -> "n"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"no explode in the encode path:\n$p")
+    assert(!p.contains("Exchange"), s"encode is scan-local:\n$p")
+  }
+
+  test("tfidf keywords: heap-capped per-doc top-k; df join is NOT broadcast") {
+    val p = plan("q218_tfidf_keywords")
+    // the k-bounded heap aggregate (TypedImperativeAggregate) plans as
+    // ObjectHashAggregate with a partial stage
+    assert(p.contains("ObjectHashAggregate"), s"expected heap top-k:\n$p")
+    // the full-vocabulary df table must stay a planner decision (no
+    // broadcast hint) — at sf0.001 AQE may still choose broadcast, so
+    // assert the absence of the HINT by checking the analyzed plan
+    val analyzed = SparkEntry.queries("q218_tfidf_keywords")(
+      spark, "/root/testdata/sf0.001").queryExecution.analyzed.toString
+    val hinted = analyzed.linesIterator.count(_.contains("ResolvedHint"))
+    assert(hinted <= 1, s"only the scalar stats row may carry a hint:\n$analyzed")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
