@@ -623,7 +623,11 @@ object SparkEntry {
         minWordCount = 2L)
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // a lang whose docs contain no [a-z]+ word has no fertility (the
+      // oracle unnests words first, so such a lang never reaches its
+      // GROUP BY) — drop zero-word docs so both sides agree by shape
       CorpusStats.bpeEncode(docs, "text", merges)
+        .filter(col("bpe_words") > 0)
         .groupBy(col("lang"))
         .agg(sum(col("bpe_words")).as("n_words"),
           sum(col("bpe_subwords")).as("n_subwords"))
@@ -1708,7 +1712,10 @@ object SparkEntry {
       Similarity.groupCentroids(read(s, dir, "embeddings"), "label", "embedding")
         .select(col("group").as("label"), col("n_vectors"),
           posexplode(col("centroid")).as(Seq("dim", "value")))
-        .select(col("label"), col("dim"), round(col("value"), 4).as("value"),
+        .select(col("label"), col("dim"),
+          // + 0.0 folds IEEE −0.0 into +0.0 (DuckDB prints 0; a zero mean
+          // of negative values would otherwise hash-mismatch)
+          (round(col("value"), 4) + lit(0.0)).as("value"),
           col("n_vectors"))
         .orderBy(col("label"), col("dim"))
     }),
@@ -2265,9 +2272,11 @@ object SparkEntry {
             .cast("double"))
       Drift.trendSlope(hourly, Seq("event_type"), "x", "n")
         .select(col("event_type"), col("n_points"),
-          round(col("slope"), 4).as("slope"),
-          round(col("intercept"), 4).as("intercept"),
-          round(col("r2"), 4).as("r2"))
+          // + 0.0 folds IEEE −0.0 into +0.0 (a flat series rounds to −0.0
+          // on the Spark side; DuckDB prints 0)
+          (round(col("slope"), 4) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"),
+          (round(col("r2"), 4) + lit(0.0)).as("r2"))
         .orderBy(col("event_type"))
     }),
 
@@ -6071,9 +6080,9 @@ object SparkEntry {
                   ((epoch_us(h) - 1704067200000000) // 3600000000)::DOUBLE AS x
            FROM h)
          SELECT event_type, count(*)::BIGINT AS n_points,
-                round(regr_slope(n, x), 4) AS slope,
-                round(regr_intercept(n, x), 4) AS intercept,
-                round(regr_r2(n, x), 4) AS r2
+                round(regr_slope(n, x), 4) + 0.0 AS slope,
+                round(regr_intercept(n, x), 4) + 0.0 AS intercept,
+                round(regr_r2(n, x), 4) + 0.0 AS r2
          FROM x GROUP BY event_type ORDER BY event_type""",
     // Per-source duplication over the cross-engine md5 fingerprint
     "q150_dedup_report" ->
@@ -6595,7 +6604,7 @@ object SparkEntry {
     // Element-wise mean embedding per label; dim is 0-based
     "q82_group_centroids" ->
       """SELECT label, (i - 1)::INT AS dim,
-           round(avg(embedding[i]::DOUBLE), 4) AS value,
+           round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS value,
            count(*)::BIGINT AS n_vectors
          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
          GROUP BY label, dim ORDER BY label, dim""",

@@ -70,55 +70,13 @@ object AnnSidecar {
       val arr = root.putArray("codebooks")
       cbs.foreach(cb => putMatrix(arr.addArray(), cb))
     }
-    // temp + rename: a crash mid-write must not leave a torn JSON that
-    // bricks every later probe of an otherwise-valid layout (the
-    // AtomicFiles contract, spelled out on the Hadoop FS API)
-    val p = new Path(layoutPath, FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-consistency contract (atomic replace, stale-.crc removal,
+    // completed-tmp-kept-on-rename-failure) lives in AtomicFiles — one
+    // implementation shared by every sidecar writer
+    val fs = new Path(layoutPath, FileName)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-    if (fs.getScheme == "file") {
-      // Local FS: publish with an ATOMIC replacing move — there is no
-      // delete-then-rename window in which BOTH sidecars are absent (a
-      // crash inside that window previously lost old and new at once, and
-      // a concurrent reader saw an unverified layout). The whole write
-      // rides java.nio, NOT the checksummed Hadoop LocalFileSystem — a nio
-      // move under a Hadoop-created file would leave a stale .crc sidecar
-      // that fails every later read; any legacy .crc is removed instead.
-      val dir = java.nio.file.Paths.get(new Path(layoutPath).toUri.getPath)
-      val target = dir.resolve(FileName)
-      val tmpP = dir.resolve(s"$FileName.${java.util.UUID.randomUUID}.tmp")
-      try java.nio.file.Files.write(tmpP, bytes)
-      catch { // only an INCOMPLETE tmp is ever deleted
-        case e: Throwable =>
-          java.nio.file.Files.deleteIfExists(tmpP); throw e
-      }
-      try java.nio.file.Files.move(tmpP, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          java.nio.file.Files.move(tmpP, target,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      java.nio.file.Files.deleteIfExists(dir.resolve(s".$FileName.crc"))
-    } else {
-      // Remote FS without atomic replace: delete + rename. If the rename
-      // fails the COMPLETED tmp is kept and named so the layout stays
-      // recoverable (the AtomicFiles.atomicOutputDir precedent).
-      val tmp = new Path(layoutPath, s"$FileName.${java.util.UUID.randomUUID}.tmp")
-      try {
-        val out = fs.create(tmp, true)
-        try out.write(bytes)
-        finally out.close()
-      } catch {
-        case e: Throwable => fs.delete(tmp, false); throw e
-      }
-      fs.delete(p, false) // rename does not overwrite on Hadoop FSs
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(
-          s"rename $tmp -> $p failed; the completed sidecar was KEPT at " +
-            s"$tmp — move it into place or re-run write")
-    }
+    AtomicFiles.publishAtomically(fs, layoutPath, FileName, bytes)
   }
 
   /** Read the sidecar; None when the layout predates self-description. */

@@ -96,6 +96,58 @@ object AtomicFiles {
   def atomicFileCopy(src: String, dst: String): Path =
     atomicFileCopy(Paths.get(src), Paths.get(dst))
 
+  /** Publish `bytes` as `dir/fileName` with atomic-replace semantics on
+    * any Hadoop filesystem — the one implementation behind every sidecar
+    * artifact ([[AnnSidecar]], [[BloomSidecar]]); the crash-consistency
+    * rules live HERE so they cannot drift between writers.
+    *
+    *  - Local FS: java.nio end-to-end (temp write + `ATOMIC_MOVE` replace;
+    *    falls back to a plain replacing move where the FS lacks atomic
+    *    moves). There is NO delete-then-rename window in which both old
+    *    and new file are absent. Any legacy Hadoop `.crc` checksum for the
+    *    target is removed — a nio move under a Hadoop-created file would
+    *    otherwise leave a stale `.crc` that fails every checksummed read.
+    *  - Remote FS (no atomic replace in the Hadoop API): temp write, then
+    *    delete + rename. Only an INCOMPLETE temp is ever deleted; if the
+    *    final rename fails the COMPLETED temp is kept and named in the
+    *    thrown exception so the artifact stays recoverable. */
+  def publishAtomically(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      fileName: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, fileName)
+    if (fs.getScheme == "file") {
+      val d = Paths.get(new org.apache.hadoop.fs.Path(dir).toUri.getPath)
+      Files.createDirectories(d)
+      val target = d.resolve(fileName)
+      val tmp = d.resolve(s"$fileName.${java.util.UUID.randomUUID}.tmp")
+      try Files.write(tmp, bytes)
+      catch { // only an INCOMPLETE tmp is ever deleted
+        case e: Throwable => Files.deleteIfExists(tmp); throw e
+      }
+      try Files.move(tmp, target,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.deleteIfExists(d.resolve(s".$fileName.crc"))
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"$fileName.${java.util.UUID.randomUUID}.tmp")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(bytes)
+        finally out.close()
+      } catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+      fs.delete(p, false) // Hadoop rename does not overwrite
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"rename $tmp -> $p failed; the completed artifact was KEPT at " +
+            s"$tmp — move it into place or re-run write")
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {

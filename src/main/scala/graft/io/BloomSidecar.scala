@@ -68,43 +68,9 @@ object BloomSidecar {
       java.util.Base64.getEncoder.encodeToString(meta.bytes))
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
 
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getScheme == "file") {
-      // Local FS: java.nio end-to-end (atomic replacing move; no Hadoop
-      // .crc sidecar that a later checksummed read would trip over).
-      val d = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
-      java.nio.file.Files.createDirectories(d)
-      val target = d.resolve(FileName)
-      val tmp = d.resolve(s"$FileName.${java.util.UUID.randomUUID}.tmp")
-      try java.nio.file.Files.write(tmp, bytes)
-      catch { case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(tmp); throw e
-      }
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      java.nio.file.Files.deleteIfExists(d.resolve(s".$FileName.crc"))
-    } else {
-      val tmp = new Path(dir, s"$FileName.${java.util.UUID.randomUUID}.tmp")
-      try {
-        val out = fs.create(tmp, true)
-        try out.write(bytes)
-        finally out.close()
-      } catch {
-        case e: Throwable => fs.delete(tmp, false); throw e
-      }
-      fs.delete(p, false) // Hadoop rename does not overwrite
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(
-          s"rename $tmp -> $p failed; the completed sidecar was KEPT at " +
-            s"$tmp — move it into place or re-run write")
-    }
+    val fs = new Path(dir, FileName)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicFiles.publishAtomically(fs, dir, FileName, bytes)
   }
 
   /** Read the sidecar; None when absent. */

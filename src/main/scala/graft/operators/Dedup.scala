@@ -29,10 +29,12 @@ import graft.io.BloomSidecar
   * (MEMORY_AND_DISK) because it feeds both the banding plan and the
   * verification joins. By default the returned DataFrame references that
   * cache lazily, so the operator cannot unpersist it itself; blocks are
-  * evicted LRU under memory pressure. Long-lived applications issuing
-  * many dedup calls should pass `materialize = true`: the (small) pair
-  * result is evaluated into a lineage-free checkpoint and the base cache
-  * is released before the call returns.
+  * evicted LRU under memory pressure. The bases are registered with
+  * [[graft.ops.ScaleOps.releaseCheckpointBlocks]], so long-lived
+  * applications can release them once the result is consumed — without
+  * touching caches THEY created — or pass `materialize = true`: the
+  * (small) pair result is evaluated into a lineage-free checkpoint and
+  * the base cache is released before the call returns.
   */
 object Dedup {
 
@@ -234,7 +236,7 @@ object Dedup {
       graft.ops.ScaleOps.writeBucketed(
         base.select(col("id"), col("shingles")),
         s"${tablePrefix}_shingles", Seq("id"), numBuckets)
-    } finally base.unpersist(false)
+    } finally graft.ops.ScaleOps.deregisterInternalPersist(base)
   }
 
   /** [[minhashLshAgainst]] against a corpus precomputed by
@@ -395,6 +397,7 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", TextKernelFunctions.minhashSignature(col("shingles"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
 
   /** (id[, carry…], band, bucket) rows from a signature base — band value
     * = hash of the signature slice. Must stay bit-identical across call
@@ -421,7 +424,7 @@ object Dedup {
     else {
       val out = graft.ops.ScaleOps.registerInternalCheckpoint(
         result.localCheckpoint(true))
-      bases.foreach(_.unpersist(false))
+      bases.foreach(graft.ops.ScaleOps.deregisterInternalPersist)
       out
     }
 
@@ -746,6 +749,7 @@ object Dedup {
       simhash(col(textCol)).as("sh"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     // Bucket rows carry only what the pre-distinct prunes need: the shingle
     // count always (size-ratio prune: J ≥ t needs min(sz)/max(sz) ≥ t), the
     // simhash only when hamming pruning is requested. Both prunes run
@@ -795,6 +799,7 @@ object Dedup {
       .withColumn("bits", VectorKernelFunctions.signBits(col("vec"), dim, numBits, seed))
       .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     val banded = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))

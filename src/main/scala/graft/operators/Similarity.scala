@@ -640,15 +640,16 @@ object Similarity {
     // persisted: the batch scan + assignment kernel feed the probed-id
     // collect, the join's broadcast side AND the final left join — without
     // the cache they would run three times per probe. Caller-release
-    // contract as with the LSH kernel bases: blocks live in the
-    // CacheManager (spark.catalog.clearCache() or a targeted unpersist
-    // releases them; the bench/verify harnesses sweep between queries).
+    // contract as with the LSH kernel bases: registered so
+    // ScaleOps.releaseCheckpointBlocks(result) frees exactly this block
+    // (clearCache() remains the blunt alternative).
     val assigned = newDf.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v"))
       .withColumn("cluster",
         VectorKernelFunctions.nearestCentroid(
           slice(col("__v"), 1, clusterDims), centroids.map(_.clone())))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     val probed = assigned.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(path)
@@ -898,7 +899,7 @@ object Similarity {
     // nondeterministic) query plan would execute twice, and a second
     // execution assigning a list OUTSIDE the collected literal filter
     // would silently drop candidates. Caller-release contract as with
-    // the LSH kernel bases (CacheManager blocks; harness sweeps).
+    // the LSH kernel bases (registered for releaseCheckpointBlocks).
     val probes0 = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
       .withColumn("__cells", cells)
@@ -909,6 +910,7 @@ object Similarity {
           1, np),
         s => s.getField("i"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     val probedLists = probes0.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val qres = VectorKernelFunctions.centroidResidual(

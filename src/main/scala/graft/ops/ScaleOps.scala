@@ -183,6 +183,20 @@ object ScaleOps {
     cached
   }
 
+  /** Unpersist a library-internal frame AND drop its registry entry — the
+    * release path for operators that free their own kernel base eagerly
+    * (`materialize = true` dedup, the stored-corpus precompute). Keeps the
+    * 256-entry registry from filling with already-released frames. Safe on
+    * an unregistered frame (plain unpersist). */
+  private[graft] def deregisterInternalPersist(cached: DataFrame): Unit = {
+    val plan = cached.queryExecution.analyzed
+    internalPersists.synchronized {
+      val it = internalPersists.keySet().iterator()
+      while (it.hasNext) if (it.next().sameResult(plan)) it.remove()
+    }
+    cached.unpersist(false)
+  }
+
   // ---- bloom-prefiltered joins -----------------------------------------
   //
   // The selective-join lever for 100 TB: when a big fact side joins a

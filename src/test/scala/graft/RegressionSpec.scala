@@ -188,6 +188,28 @@ class RegressionSpec extends SparkSpecBase {
     }
   }
 
+  test("releaseCheckpointBlocks frees a lazy LSH kernel base without clearCache") {
+    // lazy-mode dedup (materialize = false, the default) persists a kernel
+    // base the caller holds no handle to; after the registry-scoped sweep
+    // landed (r10), those bases must be registered or the ONLY remaining
+    // lever is clearCache(), which also nukes the caller's caches
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1 to 80).map(i =>
+      (i.toLong, if (i % 2 == 0) "the quick brown fox jumps over the dog"
+                 else s"unique text number $i with words ${i * 31}"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+    pairs.write.format("noop").mode("overwrite").save()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected the LSH kernel base to be cached")
+    graft.ops.ScaleOps.releaseCheckpointBlocks(pairs) // NO clearCache
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      "releaseCheckpointBlocks must release the registered kernel base")
+  }
+
   test("releaseCheckpointBlocks leaves CALLER-created caches untouched") {
     // the release must unpersist exactly the library's own internal
     // persists — sweeping every cached subplan silently dropped a user's
