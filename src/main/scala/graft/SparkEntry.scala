@@ -1840,6 +1840,40 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 5L)
     }),
 
+    // ---- lang × source association (Association) -------------------------
+    // χ² / Cramér's V / mutual information from ONE cell-bounded
+    // contingency shuffle; the empty-cell χ² mass folds in closed form
+    "q223_lang_source_assoc" -> ((s, dir) => {
+      graft.profile.Association
+        .categoricalAssociation(read(s, dir, "documents"), "lang", "source")
+        .select(col("n"), col("k_a"), col("k_b"),
+          round(col("chi2"), 4).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v"),
+          round(col("mutual_info"), 6).as("mutual_info"))
+    }),
+
+    // ---- ingestion novelty curve (CorpusStats) ----------------------------
+    // new-fingerprint rate per doc_id batch; the cumulative distinct count
+    // rides the deterministic-bucket cumsum (no global window at any scale)
+    "q224_novelty_curve" -> ((s, dir) => {
+      CorpusStats.noveltyCurve(read(s, dir, "documents"), "doc_id", "text",
+          batchSize = 100L)
+        .orderBy(col("batch"))
+    }),
+
+    // ---- embedding mislabel candidates (Similarity) -----------------------
+    // k farthest-from-own-centroid vectors per label with within-label
+    // z-score; top-k is the bounded-heap aggregate (map-side combining),
+    // NOT a per-label sort window
+    "q225_mislabel_candidates" -> ((s, dir) => {
+      Similarity.mislabelCandidates(read(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("label"), col("id"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"),
+          (round(col("z"), 4) + lit(0.0)).as("z"), col("rank"))
+        .orderBy(col("label"), col("rank"))
+    }),
+
     // ---- SCD2 validity intervals from a change log ----------------------
     "q110_scd2_history" -> ((s, dir) => {
       MergeOps.scd2History(
@@ -5413,6 +5447,73 @@ object SparkEntry {
              AS risk_share,
            (min(n) >= 5) AS pass
          FROM c""",
+    // χ² over ALL kₐ·k_b cells from observed cells only: an empty cell's
+    // term is its expected count e, and Σ_all e = n, so the empty-cell
+    // mass is n − Σ_observed e. MI empty cells contribute 0.
+    "q223_lang_source_assoc" ->
+      """WITH cells AS (SELECT lang AS va, source AS vb, count(*)::DOUBLE AS o
+                        FROM documents
+                        WHERE lang IS NOT NULL AND source IS NOT NULL
+                        GROUP BY 1, 2),
+         ma AS (SELECT va, sum(o) AS ca FROM cells GROUP BY 1),
+         mb AS (SELECT vb, sum(o) AS cb FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) AS n, count(DISTINCT va) AS k_a,
+                      count(DISTINCT vb) AS k_b FROM cells),
+         z AS (SELECT max(t.n) AS n, max(t.k_a) AS k_a, max(t.k_b) AS k_b,
+                 sum(pow(c.o - c.ca * c.cb / t.n, 2) / (c.ca * c.cb / t.n))
+                   + max(t.n) - sum(c.ca * c.cb / t.n) AS chi2,
+                 sum(c.o / t.n * ln(c.o * t.n / (c.ca * c.cb))) AS mi
+               FROM (SELECT cells.*, ma.ca, mb.cb FROM cells
+                     JOIN ma USING (va) JOIN mb USING (vb)) c, t)
+         SELECT n::BIGINT AS n, k_a::BIGINT AS k_a, k_b::BIGINT AS k_b,
+           round(chi2, 4) AS chi2,
+           CASE WHEN least(k_a, k_b) > 1
+                THEN round(sqrt(chi2 / (n * (least(k_a, k_b) - 1))), 6)
+           END AS cramers_v,
+           round(mi, 6) AS mutual_info
+         FROM z""",
+    // Fingerprint = the q150 whitespace-normalized md5; first-seen batch
+    // per fingerprint, inclusive running distinct count over the batch
+    // spine (batches are distinct rows, so RANGE ≡ ROWS here)
+    "q224_novelty_curve" ->
+      """WITH b AS (SELECT floor(doc_id / 100)::BIGINT AS batch,
+                  md5(array_to_string(
+                    CASE WHEN length(trim(text)) = 0 THEN []
+                         ELSE string_split_regex(lower(trim(text)), '\s+') END,
+                    ' ')) AS fp
+                FROM documents),
+         pb AS (SELECT batch, count(*)::BIGINT AS n_docs FROM b GROUP BY 1),
+         fs AS (SELECT fp, min(batch) AS batch FROM b GROUP BY 1),
+         nn AS (SELECT batch, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+         c AS (SELECT pb.batch, pb.n_docs, coalesce(nn.n_new, 0)::BIGINT AS n_new
+               FROM pb LEFT JOIN nn USING (batch))
+         SELECT batch, n_docs, n_new,
+           (sum(n_new) OVER (ORDER BY batch))::BIGINT AS cum_new,
+           round(n_new::DOUBLE / n_docs, 6) AS novelty_rate
+         FROM c ORDER BY batch""",
+    // Centroid = per-dim mean (q82's construction); dist = 1 − cos to the
+    // OWN label's centroid; z over the label's population σ; top-5 per
+    // label by dist desc, id asc
+    "q225_mislabel_candidates" ->
+      """WITH ex AS (SELECT label, vec_id, embedding::DOUBLE[] AS e
+                     FROM embeddings),
+         cent AS (SELECT label, list(m ORDER BY dim) AS c FROM (
+                    SELECT label, i AS dim, avg(e[i]) AS m
+                    FROM ex, unnest(range(1, len(e) + 1)) AS u(i)
+                    GROUP BY label, i) GROUP BY label),
+         d AS (SELECT ex.label, vec_id,
+                 1 - list_cosine_similarity(e, c) AS dist
+               FROM ex JOIN cent USING (label)),
+         s AS (SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sigma
+               FROM d GROUP BY label),
+         r AS (SELECT d.label, vec_id, dist,
+                 CASE WHEN sigma > 0 THEN (dist - mu) / sigma END AS z,
+                 row_number() OVER (PARTITION BY d.label
+                   ORDER BY dist DESC, vec_id ASC) AS rank
+               FROM d JOIN s USING (label))
+         SELECT label, vec_id AS id, round(dist, 4) + 0.0 AS dist,
+                round(z, 4) + 0.0 AS z, rank
+         FROM r WHERE rank <= 5 ORDER BY label, rank""",
     // Orphans = fact keys with no surviving dim key (dim drops keys ≡ 3
     // mod 10); null fact keys counted separately on both sides
     "q109_referential" ->

@@ -528,4 +528,41 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Ingestion novelty curve: per batch of `batchSize` consecutive doc
+    * ids, how many documents arrive (`n_docs`), how many carry a text
+    * fingerprint never seen in ANY earlier batch (`n_new`), the running
+    * distinct-corpus size (`cum_new`, inclusive) and `novelty_rate =
+    * n_new / n_docs` — the diminishing-returns report a crawl team reads
+    * to decide when a source is exhausted. Fingerprint =
+    * [[graft.functions.TextFunctions.md5Fingerprint]] (whitespace-
+    * normalized md5, cross-engine replayable).
+    *
+    * Scale: two bounded shuffles — min(batch) per fingerprint (8/16-byte
+    * rows), then a per-batch count — and the cumulative sum rides
+    * [[graft.ops.ScaleOps.withExclusiveRunningSum]]'s deterministic-
+    * bucket cumsum over the ≤ max(id)/batchSize-row batch spine: no
+    * global single-partition window at any batch count. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Long = 1000L): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val batched = docs.select(
+      floor(col(idCol) / batchSize).cast("long").as("batch"),
+      graft.functions.TextFunctions.md5Fingerprint(col(textCol)).as("fp"))
+    val perBatch = batched.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+    val firstSeen = batched.groupBy(col("fp"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    // left join: a batch of pure re-crawls (no new fingerprints) must
+    // still appear with n_new = 0
+    val curve = perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    graft.ops.ScaleOps
+      .withExclusiveRunningSum(curve, col("batch"), "n_new", "cum_prev")
+      .select(col("batch"), col("n_docs"), col("n_new"),
+        (col("cum_prev") + col("n_new")).as("cum_new"),
+        round(col("n_new").cast("double") / col("n_docs"), 6).as("novelty_rate"))
+  }
 }

@@ -393,6 +393,47 @@ object Similarity {
         stddev_pop(col("__v")).as("std"),
         min(col("__v")).as("min"), max(col("__v")).as("max"))
 
+  /** Mislabel / outlier candidates per label: the k vectors FARTHEST
+    * (cosine distance) from their own label's centroid, with the
+    * within-label z-score of that distance — the triage list an
+    * annotation-QA pass reads first (a vector many σ from its class
+    * centroid is either mislabeled or genuinely anomalous; the RANKED
+    * complement of [[centroidOutliers]]' fixed-threshold flag). Output:
+    * `(label, id, dist, z, rank)`, rank 1 = farthest; `z` is NULL for a
+    * zero-variance label.
+    *
+    * Scale: centroids come from [[groupCentroids]] (dimension-bounded
+    * aggregation) and broadcast back; distances are one scan-stage pass.
+    * Per-label mean/σ and the top-k ride ONE aggregation — the top-k is
+    * [[graft.functions.kernels.TopKRowsAgg]]'s bounded heap, combining
+    * map-side, so the shuffle carries ≤ k rows per label per partition,
+    * never a per-label sort of the corpus (the `row_number` window
+    * formulation would sort every label's full slice). */
+  def mislabelCandidates(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val cents = groupCentroids(df, labelCol, vecCol)
+      .select(col("group").as("__lbl"), col("centroid"))
+    val withD = df
+      .select(col(labelCol).as("__lbl"), col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cents), "__lbl")
+      .withColumn("dist",
+        lit(1.0) - VectorKernelFunctions.cosineSimilarity(col("__v"), col("centroid")))
+    withD.groupBy(col("__lbl"))
+      .agg(
+        avg(col("dist")).as("mu"),
+        stddev_pop(col("dist")).as("sigma"),
+        graft.functions.kernels.TopKRowsAgg.topK(k,
+          Seq("id" -> col("id"), "dist" -> col("dist")),
+          Seq("dist" -> false, "id" -> true)).as("__topk"))
+      .select(col("__lbl"), col("mu"), col("sigma"),
+        posexplode(col("__topk")).as(Seq("pos", "r")))
+      .select(col("__lbl").as("label"), col("r.id").as("id"),
+        col("r.dist").as("dist"),
+        when(col("sigma") > 0, (col("r.dist") - col("mu")) / col("sigma")).as("z"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** Dimension-wise z-normalization: `(vᵢ − meanᵢ) / stdᵢ` per dimension
     * over the whole corpus (constant dimensions map to 0) — the standard
     * whitening-lite preprocessing before clustering or quantization when

@@ -381,4 +381,34 @@ class ProfileSpec extends SparkSpecBase {
       s"expected an HLL estimate near 60000, got $approx")
   }
 
+  test("categoricalAssociation: hand-computed chi2, Cramer's V and MI on a 2x2") {
+    // contingency [[2,1],[0,1]]: chi2 = n(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))
+    //   = 4*(2*1-1*0)^2 / (3*1*2*2) = 4/3;
+    // MI = .5 ln(4/3) + .25 ln(2/3) + .25 ln 2 = 0.2157615...
+    // V = sqrt((4/3)/(4*(2-1))) = 1/sqrt(3)
+    val df = Seq(("x", "u"), ("x", "v"), ("x", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val r = graft.profile.Association.categoricalAssociation(df, "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("k_a") == 2L && r.getAs[Long]("k_b") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cramers_v") - 1.0 / math.sqrt(3.0)) < 1e-9)
+    val mi = 0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0) +
+      0.25 * math.log(2.0)
+    assert(math.abs(r.getAs[Double]("mutual_info") - mi) < 1e-9)
+  }
+
+  test("categoricalAssociation: independent columns give chi2 ~ 0, MI ~ 0") {
+    // perfectly independent 2x2 (all marginals uniform, o = e everywhere)
+    val df = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val r = graft.profile.Association.categoricalAssociation(df, "a", "b")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mutual_info")) < 1e-9)
+    // constant column: V is NULL (min(k)-1 = 0), chi2 still defined
+    val c = graft.profile.Association.categoricalAssociation(
+      Seq(("x", "u"), ("x", "v")).toDF("a", "b"), "a", "b").collect().head
+    assert(c.isNullAt(c.fieldIndex("cramers_v")))
+  }
 }

@@ -451,4 +451,22 @@ class SearchSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(1L) < out(2L)) // English scores closer to the English LM
   }
+
+  test("noveltyCurve: first-seen batches, cumulative distincts, zero-new batch") {
+    val d = Seq(
+      (0L, "alpha"), (1L, "beta"),   // batch 0: both new
+      (2L, "alpha"), (3L, "gamma"),  // batch 1: one re-crawl, one new
+      (4L, "beta"), (5L, "delta"),   // batch 2: one new
+      (6L, "alpha"), (7L, "beta"))   // batch 3: pure re-crawl, n_new = 0
+      .toDF("doc_id", "text")
+    val out = CorpusStats.noveltyCurve(d, "doc_id", "text", batchSize = 2L)
+      .orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 1.0),
+      (1L, 2L, 1L, 3L, 0.5),
+      (2L, 2L, 1L, 4L, 0.5),
+      (3L, 2L, 0L, 4L, 0.0)))
+  }
 }

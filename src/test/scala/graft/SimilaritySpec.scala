@@ -581,6 +581,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(signs.contains(1.0) && signs.contains(-1.0))
   }
 
+  test("mislabelCandidates: hand-computed distances, z-scores and ranks") {
+    // label A: two vectors at (1,0), one at (0,1); centroid = (2/3, 1/3)
+    //   dist(1,0) = 1 − (2/3)/√(5/9) = 0.10557…  (×2)
+    //   dist(0,1) = 1 − (1/3)/√(5/9) = 0.55279…
+    //   μ = 0.25464…, σ_pop = 0.21082… ⇒ z(outlier) = √2, z(inlier) = −1/√2
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(1.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "A"),
+      (4L, Seq(0.5f, 0.5f), "B"), // constant label: σ = 0 ⇒ z NULL
+      (5L, Seq(0.5f, 0.5f), "B"))
+      .toDF("id", "vec", "lbl")
+    val out = Similarity.mislabelCandidates(df, "id", "vec", "lbl", k = 2)
+      .orderBy($"label", $"rank").collect()
+    assert(out.length == 4)
+    val a1 = out(0) // label A rank 1: the off-axis outlier
+    assert(a1.getAs[Long]("id") == 3L && a1.getAs[Int]("rank") == 1)
+    assert(math.abs(a1.getAs[Double]("dist") - 0.5527864) < 1e-6)
+    assert(math.abs(a1.getAs[Double]("z") - math.sqrt(2.0)) < 1e-6)
+    val a2 = out(1) // tie between ids 1 and 2 breaks by id asc
+    assert(a2.getAs[Long]("id") == 1L && a2.getAs[Int]("rank") == 2)
+    assert(math.abs(a2.getAs[Double]("z") + 1.0 / math.sqrt(2.0)) < 1e-6)
+    // zero-variance label: rows surface, z is NULL
+    assert(out(2).getAs[String]("label") == "B" && out(2).isNullAt(out(2).fieldIndex("z")))
+  }
+
+  test("mislabelCandidates plan: bounded-heap top-k, no per-label sort window") {
+    val plan = Similarity.mislabelCandidates(corpus, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows"),
+      s"expected the bounded-heap aggregate, combining map-side:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"per-label top-k must not be a sort window:\n$plan")
+  }
+
   test("randomProjection preserves squared norms in expectation (JL)") {
     // E[||Pv||^2] = ||v||^2 for Rademacher projections — check the
     // corpus-mean ratio lands near 1 at 64 -> 8 dims
