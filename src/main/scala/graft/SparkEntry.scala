@@ -1840,6 +1840,26 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 5L)
     }),
 
+    // ---- l-diversity release gate (QualityOps) -----------------------------
+    // k-anonymity's companion: min distinct sensitive values per
+    // quasi-class; l_linenumber spans 1..7, so l = 5 gives a real margin
+    "q226_l_diversity" -> ((s, dir) => {
+      QualityOps.lDiversity(read(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_linenumber", l = 5L)
+    }),
+
+    // ---- Benford first-digit test (QualityOps) -----------------------------
+    // synthetic-data smell test on order totals; the off-by-one log10
+    // corrections make the digit exact under either engine's rounding
+    "q227_benford" -> ((s, dir) => {
+      QualityOps.benfordTest(read(s, dir, "orders"), "o_totalprice")
+        .select(col("digit"), col("n"),
+          round(col("share"), 6).as("share"),
+          round(col("expected_share"), 6).as("expected_share"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy(col("digit"))
+    }),
+
     // ---- lang × source association (Association) -------------------------
     // χ² / Cramér's V / mutual information from ONE cell-bounded
     // contingency shuffle; the empty-cell χ² mass folds in closed form
@@ -5447,6 +5467,40 @@ object SparkEntry {
              AS risk_share,
            (min(n) >= 5) AS pass
          FROM c""",
+    // min distinct sensitive values per quasi-class; count(DISTINCT)
+    // ignores nulls identically on both engines
+    "q226_l_diversity" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+                      count(DISTINCT l_linenumber) AS l
+                    FROM lineitem GROUP BY 1, 2)
+         SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+           min(l)::BIGINT AS l_diversity,
+           sum(CASE WHEN l < 5 THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_l,
+           sum(CASE WHEN l < 5 THEN n ELSE 0 END)::BIGINT AS n_rows_at_risk,
+           round(sum(CASE WHEN l < 5 THEN n ELSE 0 END) / sum(n)::DOUBLE, 6)
+             AS risk_share,
+           (min(l) >= 5) AS pass
+         FROM c""",
+    // leading digit via floor(x / 10^floor(log10 x)) with the 10→1 / 0→9
+    // off-by-one corrections (exact under either engine's log10 rounding);
+    // all 9 digits always emitted; chi2 = the TOTAL statistic on each row
+    "q227_benford" ->
+      """WITH v AS (SELECT abs(o_totalprice)::DOUBLE AS x FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice) AND abs(o_totalprice) > 0),
+         d0 AS (SELECT floor(x / pow(10, floor(log10(x)))) AS d FROM v),
+         dd AS (SELECT (CASE WHEN d = 10 THEN 1 WHEN d = 0 THEN 9
+                        ELSE d END)::INT AS digit FROM d0),
+         o AS (SELECT digit, count(*)::BIGINT AS n FROM dd GROUP BY 1),
+         t AS (SELECT count(*)::DOUBLE AS total FROM dd),
+         sp AS (SELECT unnest(range(1, 10))::INT AS digit),
+         j AS (SELECT sp.digit, coalesce(o.n, 0)::BIGINT AS n, t.total,
+                 log10(1 + 1.0 / sp.digit) AS e
+               FROM sp CROSS JOIN t LEFT JOIN o ON sp.digit = o.digit),
+         x2 AS (SELECT sum(pow(n - total * e, 2) / (total * e)) AS chi2 FROM j)
+         SELECT j.digit, j.n, round(j.n / j.total, 6) AS share,
+                round(j.e, 6) AS expected_share, round(x2.chi2, 4) AS chi2
+         FROM j CROSS JOIN x2 ORDER BY j.digit""",
     // χ² over ALL kₐ·k_b cells from observed cells only: an empty cell's
     // term is its expected count e, and Σ_all e = n, so the empty-cell
     // mass is n − Σ_observed e. MI empty cells contribute 0.

@@ -164,4 +164,86 @@ object QualityOps {
         round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
       .withColumn("pass", col("k_anonymity") >= k)
   }
+
+  /** l-diversity release gate — [[kAnonymity]]'s companion: a k-anonymous
+    * class is still disclosive when every row in it shares the SAME
+    * sensitive value, so the gate also requires ≥ `l` DISTINCT sensitive
+    * values per quasi-identifier class. Output mirrors [[kAnonymity]]:
+    * one row with achieved `l_diversity` (the minimum class diversity),
+    * the classes/rows below `l`, and the pass flag. Nulls in the
+    * sensitive column are ignored by the distinct count (standard
+    * `count(DISTINCT …)` semantics on both engines) — a class whose
+    * sensitive values are ALL null has diversity 0 and fails any l ≥ 1.
+    *
+    * Scale: one partial-aggregated groupBy on the quasi columns (the
+    * distinct count is exact per class — bounded by the sensitive
+    * domain, which is small for any column l-diversity makes sense on),
+    * then a scalar reduce. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(l >= 1, s"l must be >= 1: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col(sensitiveCol)).as("__l"))
+      .agg(
+        sum(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__l")).cast("long").as("l_diversity"),
+        sum(when(col("__l") < l, 1L).otherwise(0L)).cast("long")
+          .as("n_classes_below_l"),
+        sum(when(col("__l") < l, col("__n")).otherwise(0L)).cast("long")
+          .as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .withColumn("pass", col("l_diversity") >= l)
+  }
+
+  /** Benford first-digit test — the classic synthetic-/fabricated-data
+    * smell test for naturally-occurring magnitudes (prices, populations,
+    * file sizes follow P(d) = log₁₀(1 + 1/d); uniform or hand-typed data
+    * does not). One row per digit 1–9 (always all nine, observed or
+    * not): `(digit, n, share, expected_share, chi2)` where `chi2` is the
+    * TOTAL χ² statistic over all nine digits, repeated on each row
+    * (8 degrees of freedom; > 20.09 rejects Benford at α = 0.01).
+    *
+    * The leading digit is `⌊x / 10^⌊log₁₀x⌋⌋` with the two off-by-one
+    * float corrections (a log₁₀ that rounds across an integer boundary
+    * yields 10 or 0; the true digit is then 1 or 9 respectively), so
+    * ANY correctly-rounded-to-±1ulp log₁₀ — Spark's and DuckDB's both —
+    * produces the exact digit. Zero, null, NaN and ±∞ values are
+    * excluded.
+    *
+    * Scale: one scan projection + a 9-group aggregation; the 9-row
+    * digit spine and totals broadcast. */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = abs(col(valueCol).cast("double"))
+    val usable = df
+      .filter(col(valueCol).isNotNull && !isnan(x) &&
+        x > 0.0 && x < Double.PositiveInfinity)
+      .select(x.as("__x"))
+    val raw = floor(col("__x") / pow(lit(10.0), floor(log10(col("__x")))))
+    val observed = usable
+      .select(when(raw === 10.0, 1).when(raw === 0.0, 9)
+        .otherwise(raw.cast("int")).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__o"))
+    val total = observed.agg(sum(col("__o")).cast("double").as("__n"))
+    val spine = (1 to 9).toDF("digit")
+    val e = log(10.0, lit(1.0) + lit(1.0) / col("digit")) // log₁₀(1+1/d)
+    val perDigit = spine
+      .join(broadcast(observed), Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("__o"), lit(0L)).as("n"),
+        (coalesce(col("__o"), lit(0L)) / col("__n")).as("share"),
+        e.as("expected_share"),
+        (pow(coalesce(col("__o"), lit(0L)) - col("__n") * e, 2) /
+          (col("__n") * e)).as("__chi2_term"))
+    perDigit
+      .crossJoin(broadcast(perDigit.agg(sum(col("__chi2_term")).as("chi2"))))
+      .select(col("digit"), col("n"), col("share"), col("expected_share"),
+        col("chi2"))
+  }
 }

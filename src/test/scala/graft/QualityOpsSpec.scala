@@ -87,4 +87,45 @@ class QualityOpsSpec extends SparkSpecBase {
     assert(graft.ops.QualityOps.kAnonymity(df, Seq("country", "g"), k = 1)
       .head().getBoolean(6))
   }
+
+  test("lDiversity: min class diversity, all-null sensitive class has l = 0") {
+    import spark.implicits._
+    // classes: A -> {x,x,y} l=2; B -> {z} l=1; C -> {x,y,z} l=3;
+    //          D -> {null,null} l=0
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "z"),
+      ("C", "x"), ("C", "y"), ("C", "z"),
+      ("D", null.asInstanceOf[String]), ("D", null.asInstanceOf[String]))
+      .toDF("q", "s")
+    val r = QualityOps.lDiversity(df, Seq("q"), "s", l = 2).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 4L)  // rows, classes
+    assert(r.getLong(2) == 0L)                        // achieved l (class D)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L)  // B + D, 1 + 2 rows
+    assert(r.getDouble(5) == BigDecimal(3.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!r.getBoolean(6))
+    assert(QualityOps.lDiversity(df.filter(col("q") =!= "D"), Seq("q"), "s", l = 1)
+      .head().getBoolean(6))
+  }
+
+  test("benfordTest: digit extraction with boundary corrections, all 9 rows") {
+    import spark.implicits._
+    // usable: 1.0, 1.5, 19.0 -> d1; 2.0 -> d2; 300.0 -> d3; -4.0 -> d4;
+    // 1000.0 -> d1 (10-correction path if log10 misrounds); 999.9 -> d9;
+    // 0.002 -> d2; excluded: 0, null, NaN
+    val df = Seq[java.lang.Double](1.0, 1.5, 19.0, 2.0, 300.0, -4.0,
+      1000.0, 999.9, 0.002, 0.0, null, Double.NaN).toDF("v")
+    val rows = QualityOps.benfordTest(df, "v")
+      .orderBy(col("digit")).collect()
+    assert(rows.length == 9)
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 4L, 2 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    assert(math.abs(rows(0).getDouble(3) - math.log10(2.0)) < 1e-12)
+    assert(math.abs(rows(0).getDouble(2) - 4.0 / 9.0) < 1e-12)
+    // the total chi2 repeats on every row and is strictly positive
+    val chi2 = rows.map(_.getDouble(4)).distinct
+    assert(chi2.length == 1 && chi2.head > 0.0)
+  }
 }
