@@ -411,4 +411,42 @@ class ProfileSpec extends SparkSpecBase {
       Seq(("x", "u"), ("x", "v")).toDF("a", "b"), "a", "b").collect().head
     assert(c.isNullAt(c.fieldIndex("cramers_v")))
   }
+
+  test("categoricalAssociation matches a naive reference on seeded random tables") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val ka = 1 + rnd.nextInt(4); val kb = 1 + rnd.nextInt(4)
+      val rows = Seq.fill(20 + rnd.nextInt(180))(
+        (s"a${rnd.nextInt(ka)}", s"b${rnd.nextInt(kb)}"))
+      val r = graft.profile.Association
+        .categoricalAssociation(rows.toDF("a", "b"), "a", "b").collect().head
+      // naive reference over the in-memory rows
+      val n = rows.size.toDouble
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val ma = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val mb = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      // keys.toSeq: a Set comprehension would DEDUPE equal chi2 terms
+      val chi2 = (for (x <- ma.keys.toSeq; y <- mb.keys.toSeq) yield {
+        val e = ma(x) * mb(y) / n
+        val o = cells.getOrElse((x, y), 0.0)
+        (o - e) * (o - e) / e
+      }).sum
+      val mi = cells.map { case ((x, y), o) =>
+        o / n * math.log(o * n / (ma(x) * mb(y))) }.sum
+      assert(r.getAs[Long]("n") == rows.size.toLong, s"trial $trial")
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-7 * (1 + chi2),
+        s"trial $trial chi2 ${r.getAs[Double]("chi2")} vs $chi2")
+      assert(math.abs(r.getAs[Double]("mutual_info") - mi) < 1e-9,
+        s"trial $trial")
+      // invariants: MI >= 0 (KL), MI <= min(ln ka, ln kb); V in [0,1] or NULL
+      assert(mi >= -1e-12)
+      assert(mi <= math.log(math.min(ma.size, mb.size).toDouble) + 1e-9)
+      val vIdx = r.fieldIndex("cramers_v")
+      if (math.min(ma.size, mb.size) == 1) assert(r.isNullAt(vIdx))
+      else {
+        val v = r.getDouble(vIdx)
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"trial $trial V=$v")
+      }
+    }
+  }
 }

@@ -469,4 +469,18 @@ class SearchSpec extends SparkSpecBase {
       (2L, 2L, 1L, 4L, 0.5),
       (3L, 2L, 0L, 4L, 0.0)))
   }
+
+  test("noveltyCurve invariants on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map(i => (i, s"text ${rnd.nextInt(60)}"))
+    val out = CorpusStats.noveltyCurve(rows.toDF("doc_id", "text"),
+      "doc_id", "text", batchSize = 50L).orderBy(col("batch")).collect()
+    val distinctTexts = rows.map(_._2).distinct.size.toLong
+    assert(out.map(_.getLong(1)).sum == 400L)             // n_docs covers all
+    assert(out.map(_.getLong(2)).sum == distinctTexts)    // n_new sums to distinct
+    assert(out.last.getLong(3) == distinctTexts)          // final cum_new
+    // cum_new is the running inclusive sum of n_new
+    val runs = out.scanLeft(0L)((acc, r) => acc + r.getLong(2)).drop(1)
+    assert(out.map(_.getLong(3)).toSeq == runs.toSeq)
+  }
 }
