@@ -1867,9 +1867,11 @@ object SparkEntry {
       graft.profile.Association
         .categoricalAssociation(read(s, dir, "documents"), "lang", "source")
         .select(col("n"), col("k_a"), col("k_b"),
-          round(col("chi2"), 4).as("chi2"),
-          round(col("cramers_v"), 6).as("cramers_v"),
-          round(col("mutual_info"), 6).as("mutual_info"))
+          // + 0.0 folds IEEE −0.0 (near-independent data rounds the tiny
+          // mixed-sign MI sum — and a clamped χ² — to zero)
+          (round(col("chi2"), 4) + lit(0.0)).as("chi2"),
+          (round(col("cramers_v"), 6) + lit(0.0)).as("cramers_v"),
+          (round(col("mutual_info"), 6) + lit(0.0)).as("mutual_info"))
     }),
 
     // ---- ingestion novelty curve (CorpusStats) ----------------------------
@@ -5514,17 +5516,18 @@ object SparkEntry {
          t AS (SELECT sum(o) AS n, count(DISTINCT va) AS k_a,
                       count(DISTINCT vb) AS k_b FROM cells),
          z AS (SELECT max(t.n) AS n, max(t.k_a) AS k_a, max(t.k_b) AS k_b,
-                 sum(pow(c.o - c.ca * c.cb / t.n, 2) / (c.ca * c.cb / t.n))
-                   + max(t.n) - sum(c.ca * c.cb / t.n) AS chi2,
+                 greatest(sum(pow(c.o - c.ca * c.cb / t.n, 2)
+                              / (c.ca * c.cb / t.n))
+                   + max(t.n) - sum(c.ca * c.cb / t.n), 0) AS chi2,
                  sum(c.o / t.n * ln(c.o * t.n / (c.ca * c.cb))) AS mi
                FROM (SELECT cells.*, ma.ca, mb.cb FROM cells
                      JOIN ma USING (va) JOIN mb USING (vb)) c, t)
          SELECT n::BIGINT AS n, k_a::BIGINT AS k_a, k_b::BIGINT AS k_b,
-           round(chi2, 4) AS chi2,
+           round(chi2, 4) + 0.0 AS chi2,
            CASE WHEN least(k_a, k_b) > 1
-                THEN round(sqrt(chi2 / (n * (least(k_a, k_b) - 1))), 6)
+                THEN round(sqrt(chi2 / (n * (least(k_a, k_b) - 1))), 6) + 0.0
            END AS cramers_v,
-           round(mi, 6) AS mutual_info
+           round(mi, 6) + 0.0 AS mutual_info
          FROM z""",
     // Fingerprint = the q150 whitespace-normalized md5; first-seen batch
     // per fingerprint, inclusive running distinct count over the batch
@@ -5563,7 +5566,7 @@ object SparkEntry {
          r AS (SELECT d.label, vec_id, dist,
                  CASE WHEN sigma > 0 THEN (dist - mu) / sigma END AS z,
                  row_number() OVER (PARTITION BY d.label
-                   ORDER BY dist DESC, vec_id ASC) AS rank
+                   ORDER BY round(dist, 4) DESC, vec_id ASC) AS rank
                FROM d JOIN s USING (label))
          SELECT label, vec_id AS id, round(dist, 4) + 0.0 AS dist,
                 round(z, 4) + 0.0 AS z, rank

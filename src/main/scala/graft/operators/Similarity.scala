@@ -400,7 +400,12 @@ object Similarity {
     * centroid is either mislabeled or genuinely anomalous; the RANKED
     * complement of [[centroidOutliers]]' fixed-threshold flag). Output:
     * `(label, id, dist, z, rank)`, rank 1 = farthest; `z` is NULL for a
-    * zero-variance label.
+    * zero-variance label. Ranking compares the distance ROUNDED to 4
+    * decimals (ties broken by id) — the centroid is an aggregated mean,
+    * so raw distances carry summation-order float noise an external
+    * replay cannot reproduce bit-for-bit; on the rounded value both
+    * engines make the identical cutoff decision (the tfidfKeywords
+    * precedent).
     *
     * Scale: centroids come from [[groupCentroids]] (dimension-bounded
     * aggregation) and broadcast back; distances are one scan-stage pass.
@@ -424,8 +429,9 @@ object Similarity {
         avg(col("dist")).as("mu"),
         stddev_pop(col("dist")).as("sigma"),
         graft.functions.kernels.TopKRowsAgg.topK(k,
-          Seq("id" -> col("id"), "dist" -> col("dist")),
-          Seq("dist" -> false, "id" -> true)).as("__topk"))
+          Seq("id" -> col("id"), "dist" -> col("dist"),
+            "rdist" -> round(col("dist"), 4)),
+          Seq("rdist" -> false, "id" -> true)).as("__topk"))
       .select(col("__lbl"), col("mu"), col("sigma"),
         posexplode(col("__topk")).as(Seq("pos", "r")))
       .select(col("__lbl").as("label"), col("r.id").as("id"),

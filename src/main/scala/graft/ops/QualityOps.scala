@@ -148,21 +148,32 @@ object QualityOps {
     * counts (quasi-cardinality-sized, never row-sized), then one scalar
     * reduce. Same budget as an exact distinct over the same columns. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
-    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
     require(k >= 1, s"k must be >= 1: $k")
+    classGate(df, quasiCols, count(lit(1)), "k_anonymity",
+      "n_classes_below_k", k)
+  }
+
+  /** Shared shape of the per-class release gates ([[kAnonymity]],
+    * [[lDiversity]]): class table keyed by the quasi columns with a
+    * per-class `metric`, then ONE scalar reduce — achieved minimum,
+    * classes/rows below `threshold`, risk share, pass flag. */
+  private def classGate(df: DataFrame, quasiCols: Seq[String],
+      metric: Column, metricName: String, belowName: String,
+      threshold: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
     df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"), metric.as("__m"))
       .agg(
         sum(col("__n")).cast("long").as("n_rows"),
         count(lit(1)).as("n_classes"),
-        min(col("__n")).cast("long").as("k_anonymity"),
-        sum(when(col("__n") < k, 1L).otherwise(0L)).cast("long")
-          .as("n_classes_below_k"),
-        sum(when(col("__n") < k, col("__n")).otherwise(0L)).cast("long")
+        min(col("__m")).cast("long").as(metricName),
+        sum(when(col("__m") < threshold, 1L).otherwise(0L)).cast("long")
+          .as(belowName),
+        sum(when(col("__m") < threshold, col("__n")).otherwise(0L)).cast("long")
           .as("n_rows_at_risk"))
       .withColumn("risk_share",
         round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
-      .withColumn("pass", col("k_anonymity") >= k)
+      .withColumn("pass", col(metricName) >= threshold)
   }
 
   /** l-diversity release gate — [[kAnonymity]]'s companion: a k-anonymous
@@ -181,22 +192,9 @@ object QualityOps {
     * then a scalar reduce. */
   def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       l: Long): DataFrame = {
-    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
     require(l >= 1, s"l must be >= 1: $l")
-    df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-        count_distinct(col(sensitiveCol)).as("__l"))
-      .agg(
-        sum(col("__n")).cast("long").as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("__l")).cast("long").as("l_diversity"),
-        sum(when(col("__l") < l, 1L).otherwise(0L)).cast("long")
-          .as("n_classes_below_l"),
-        sum(when(col("__l") < l, col("__n")).otherwise(0L)).cast("long")
-          .as("n_rows_at_risk"))
-      .withColumn("risk_share",
-        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
-      .withColumn("pass", col("l_diversity") >= l)
+    classGate(df, quasiCols, count_distinct(col(sensitiveCol)), "l_diversity",
+      "n_classes_below_l", l)
   }
 
   /** Benford first-digit test — the classic synthetic-/fabricated-data

@@ -50,9 +50,13 @@ object Association {
       first(col("n")).cast("long").as("n"),
       first(col("k_a")).as("k_a"),
       first(col("k_b")).as("k_b"),
-      // observed-cell terms + the empty-cell mass (n − Σ_observed e)
-      (sum(pow(col("o") - e, 2) / e) +
-        first(col("n")) - sum(e)).as("chi2"),
+      // observed-cell terms + the empty-cell mass (n − Σ_observed e);
+      // clamped at 0: on near-independent data the closed-form empty mass
+      // carries first-order float rounding (±cells·ulp(n)) that can land
+      // a mathematically-zero χ² at −1e-12, which sqrt would turn into
+      // NaN (and an error in a DuckDB replay)
+      greatest(sum(pow(col("o") - e, 2) / e) +
+        first(col("n")) - sum(e), lit(0.0)).as("chi2"),
       sum(col("o") / col("n") *
         log(col("o") * col("n") / (col("ca") * col("cb")))).as("mutual_info"))
       .withColumn("cramers_v",
