@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * partial aggregation collapses each partition to ≤ kₐ·k_b cells before
   * the exchange, so shuffle volume is cell-bounded, never row-bounded.
   * Marginals and totals reduce from the cell table (tiny), and the final
-  * statistics are one aggregation over cells. Empty cells never
+  * statistics are one aggregation over cells. The marginal/total
+  * derivations repeat the cells subtree in the logical plan; at
+  * execution AQE's exchange reuse computes the corpus-sized exchange
+  * ONCE and the repeats read it back (PlanSpec pins the `ReusedExchange`
+  * nodes), so the corpus is scanned and aggregated a single time. Empty cells never
   * materialize: Σ over ALL kₐ·k_b cells of the χ² term is computed as
   * Σ_observed (o−e)²/e + (n − Σ_observed e), exact because an empty
   * cell's term is (0−e)²/e = e and Σ_all e = n. Empty cells contribute

@@ -604,6 +604,48 @@ class PlanSpec extends SparkSpecBase {
     assert(hinted <= 1, s"only the scalar stats row may carry a hint:\n$analyzed")
   }
 
+  test("association: corpus aggregates once (exchange reuse); marginals broadcast") {
+    // the pre-AQE plan repeats the cells subtree under ma/mb/totals; at
+    // execution AQE's exchange reuse dedupes the identical corpus-sized
+    // exchanges, so the corpus scans+aggregates ONCE and every other
+    // exchange moves only the cell-bounded table
+    val df = SparkEntry.queries("q223_lang_source_assoc")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the corpus contingency exchange must be computed once and reused:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"marginals/totals must broadcast:\n$p")
+  }
+
+  test("benford: scan projection into a 9-group aggregate; spine broadcasts") {
+    val p = plan("q227_benford")
+    assert(p.contains("BroadcastExchange"), s"spine/totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // digit extraction is a projection in the scan stage — pushed filter
+    // on the value column reaches parquet
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)"),
+      s"the usable-value filter must push down:\n$p")
+  }
+
+  test("novelty curve: no global single-partition window at any batch count") {
+    // the cumulative sum rides the deterministic-bucket cumsum — its only
+    // windows are bucket-keyed (the blanket global-window lint also covers
+    // this; pinned here because the curve's input is data-sized at 100 TB)
+    val sp = SparkEntry.queries("q224_novelty_curve")(
+      spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+    val global = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"data-sized global window:\n$sp")
+    val p = plan("q224_novelty_curve")
+    assert(p.contains("HashAggregate"),
+      s"fingerprint/batch aggregations must partial-combine:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct — the blanket invariant") {
     // every query's physical plan at sf0.001; broadcast nested loops over
     // provably tiny sides are allowed (and documented per query), a true
