@@ -1874,6 +1874,21 @@ object SparkEntry {
           (round(col("mutual_info"), 6) + lit(0.0)).as("mutual_info"))
     }),
 
+    // ---- all-pairs association matrix (Association) -----------------------
+    // the pre-training leakage scan: every column pair's chi2/V/MI row
+    // over (lang, source, 500-char length bucket)
+    "q228_assoc_matrix" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+        .withColumn("len_bucket", floor(col("n_chars") / 500).cast("long"))
+      graft.profile.Association
+        .associationMatrix(d, Seq("lang", "source", "len_bucket"))
+        .select(col("col_a"), col("col_b"), col("n"), col("k_a"), col("k_b"),
+          (round(col("chi2"), 4) + lit(0.0)).as("chi2"),
+          (round(col("cramers_v"), 6) + lit(0.0)).as("cramers_v"),
+          (round(col("mutual_info"), 6) + lit(0.0)).as("mutual_info"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // ---- ingestion novelty curve (CorpusStats) ----------------------------
     // new-fingerprint rate per doc_id batch; the cumulative distinct count
     // rides the deterministic-bucket cumsum (no global window at any scale)
@@ -5529,6 +5544,44 @@ object SparkEntry {
            END AS cramers_v,
            round(mi, 6) + 0.0 AS mutual_info
          FROM z""",
+    // per-pair replay of the q223 chain over pair-suffixed CTEs, unioned
+    "q228_assoc_matrix" -> {
+      val cols = Seq("lang", "source", "len_bucket")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      val ctes = pairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""cells_$i AS (SELECT $a AS va, $b AS vb, count(*)::DOUBLE AS o
+                  FROM base WHERE $a IS NOT NULL AND $b IS NOT NULL
+                  GROUP BY 1, 2),
+         ma_$i AS (SELECT va, sum(o) AS ca FROM cells_$i GROUP BY 1),
+         mb_$i AS (SELECT vb, sum(o) AS cb FROM cells_$i GROUP BY 1),
+         t_$i AS (SELECT sum(o) AS n, count(DISTINCT va) AS k_a,
+                      count(DISTINCT vb) AS k_b FROM cells_$i),
+         z_$i AS (SELECT max(t.n) AS n, max(t.k_a) AS k_a, max(t.k_b) AS k_b,
+                 greatest(sum(pow(c.o - c.ca * c.cb / t.n, 2)
+                              / (c.ca * c.cb / t.n))
+                   + max(t.n) - sum(c.ca * c.cb / t.n), 0) AS chi2,
+                 sum(c.o / t.n * ln(c.o * t.n / (c.ca * c.cb))) AS mi
+               FROM (SELECT cells_$i.*, ma.ca, mb.cb FROM cells_$i
+                     JOIN ma_$i ma USING (va) JOIN mb_$i mb USING (vb)) c,
+                    t_$i t)"""
+      }.mkString(",\n         ")
+      val selects = pairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n::BIGINT AS n,
+           k_a::BIGINT AS k_a, k_b::BIGINT AS k_b,
+           round(chi2, 4) + 0.0 AS chi2,
+           CASE WHEN least(k_a, k_b) > 1
+                THEN round(sqrt(chi2 / (n * (least(k_a, k_b) - 1))), 6) + 0.0
+           END AS cramers_v,
+           round(mi, 6) + 0.0 AS mutual_info
+         FROM z_$i"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT lang, source, floor(n_chars / 500)::BIGINT
+                  AS len_bucket FROM documents),
+         $ctes
+         $selects
+         ORDER BY col_a, col_b"""
+    },
     // Fingerprint = the q150 whitespace-normalized md5; first-seen batch
     // per fingerprint, inclusive running distinct count over the batch
     // spine (batches are distinct rows, so RANGE ≡ ROWS here)

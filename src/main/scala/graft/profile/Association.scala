@@ -69,4 +69,24 @@ object Association {
       .select(col("n"), col("k_a"), col("k_b"), col("chi2"),
         col("cramers_v"), col("mutual_info"))
   }
+
+  /** All-pairs association matrix over `cols` — the leakage scan a
+    * labeled dataset runs before training: every unordered column pair's
+    * `(n, k_a, k_b, chi2, cramers_v, mutual_info)` row, `col_a`/`col_b`
+    * in `cols` order (the categorical analogue of a correlation matrix).
+    *
+    * Scale: one [[categoricalAssociation]] plan per pair, unioned —
+    * pair count is k·(k−1)/2 over the HANDFUL of columns worth scanning,
+    * each a 2-column pruned scan into a cell-bounded aggregation, and
+    * the independent sub-plans schedule concurrently. */
+  def associationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      categoricalAssociation(df, a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"), col("k_a"),
+          col("k_b"), col("chi2"), col("cramers_v"), col("mutual_info"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -449,4 +449,18 @@ class ProfileSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("associationMatrix: one row per unordered pair, equal to the pairwise op") {
+    val df = Seq(("x", "u", 1L), ("x", "v", 2L), ("y", "u", 1L), ("y", "v", 1L))
+      .toDF("a", "b", "c")
+    val m = graft.profile.Association.associationMatrix(df, Seq("a", "b", "c"))
+      .orderBy(col("col_a"), col("col_b")).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val direct = graft.profile.Association.categoricalAssociation(df, "a", "c")
+      .collect().head
+    val ac = m.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Double]("chi2") == direct.getAs[Double]("chi2"))
+    assert(ac.getAs[Double]("mutual_info") == direct.getAs[Double]("mutual_info"))
+  }
 }
