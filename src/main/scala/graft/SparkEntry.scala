@@ -591,7 +591,14 @@ object SparkEntry {
       val orders = read(s, dir, "orders")
       val corpus = orders.filter(col("o_orderkey") % 10 === 0)
       val batch = orders.filter(col("o_orderkey") % 10 =!= 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_seen_").toString
+      // stable per-sf path (NOT a fresh createTempDirectory): the sidecar
+      // publish is atomic-overwrite, so re-runs replace one directory
+      // instead of accumulating temp dirs across bench/verify runs
+      val path = {
+        val d = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_seen_q214_" + Integer.toHexString(dir.hashCode))
+        d.mkdirs(); d.toString
+      }
       Dedup.writeSeenBloom(s, path, corpus, Seq("o_custkey"),
         expectedItems = 10000L, fpp = 0.03)
       Dedup.admitAgainstSeenBloom(batch, Seq("o_custkey"), path,
@@ -5076,7 +5083,7 @@ object SparkEntry {
                        THEN 1.0 ELSE -1.0 END) AS s
                 FROM range(0, 8) t(j)),
          p AS (SELECT vec_id, j,
-                 round(list_dot_product(v, s) / sqrt(8), 6) AS value
+                 round(list_dot_product(v, s) / sqrt(8), 6) + 0.0 AS value
                FROM b CROSS JOIN sg)
          SELECT vec_id, j::INT AS dim, value FROM p ORDER BY vec_id, dim""",
     // TF-IDF keywords: the same tokenizer and posting/df tables as q72,

@@ -465,6 +465,11 @@ object CorpusStats {
           .collect()
         top.headOption.foreach { row =>
           val (l, r) = (row.getString(0), row.getString(1))
+          // symbols feed back into composed SQL replaces — anything outside
+          // the [a-z]+ word alphabet here means the split/replace grammar
+          // broke, and interpolating it would corrupt the next step
+          assert(l.matches("[a-z]+") && r.matches("[a-z]+"),
+            s"bpeTrain step $step learned a non-[a-z]+ symbol pair ('$l','$r')")
           learned += ((step, l, r, row.getLong(2), l + r))
         }
       }
@@ -492,6 +497,14 @@ object CorpusStats {
       merges: Seq[(String, String)],
       wordsOut: String = "bpe_words", subwordsOut: String = "bpe_subwords")
       : DataFrame = {
+    // the merge symbols are interpolated into SQL string literals below and
+    // '|' is the symbol-boundary sentinel — anything outside the trainer's
+    // [a-z]+ alphabet would break parsing or corrupt the symbol grammar
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+        s"merge #$i ('$l','$r') is not [a-z]+ — bpeEncode only accepts " +
+          "bpeTrain-style lowercase-letter symbols")
+    }
     val enc = merges.foldLeft("regexp_replace(w, '(.)', '|$1|')") {
       case (sql, (l, r)) => s"replace($sql, '|$l||$r|', '|$l$r|')"
     }

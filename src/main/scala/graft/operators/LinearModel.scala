@@ -273,10 +273,14 @@ object LinearModel {
       rate(p, n).as("overall_pos_rate"))
   }
 
-  /** Precision–recall / ROC operating points at EVERY distinct score: for
-    * each threshold t (the gate `score >= t`), the kept/tp/fp counts and
-    * the derived precision, recall, FPR and F1 — the full curve the
-    * q202 single-operating-point report summarizes. Null labels count as
+  /** Precision–recall / ROC operating points at EVERY distinct ROUNDED
+    * score: scores are rounded to `roundTo` decimals FIRST and each
+    * threshold t gates `round(score, roundTo) >= t` — one consistent
+    * contract whether or not the caller pre-rounded (a raw-score caller
+    * gets `roundTo`-granular operating points, never duplicate-threshold
+    * rows with disagreeing cumulatives). kept/tp/fp counts and the derived
+    * precision, recall, FPR and F1 — the full curve the q202
+    * single-operating-point report summarizes. Null labels count as
     * negative (an unlabeled row can never be a true positive); rates whose
     * denominator is 0 (recall with no positives, FPR with no negatives)
     * are null, not a division artifact.
@@ -290,7 +294,10 @@ object LinearModel {
   def prCurve(scored: DataFrame, roundTo: Int = 4): DataFrame = {
     val perScore = scored
       .select(coalesce(col("label").cast("int"), lit(0)).as("__y"),
-        col("score").cast("double").as("score"))
+        // group on the ROUNDED score: the emitted threshold and the group
+        // key must be the same value or an unrounded caller gets duplicate
+        // threshold rows whose cumulatives disagree with the gate
+        round(col("score").cast("double"), roundTo).as("score"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
     val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(

@@ -132,7 +132,9 @@ object Similarity {
           col(vecCol).getItem(i - 1).cast("double") *
             lit(rademacherSign(seed, j, i - 1)))
         .reduceLeft(_ + _)
-    }.map(s => round(s / lit(scale), roundTo))
+      // + 0.0 folds IEEE −0.0: a mixed-sign dot product that rounds to zero
+      // from below would otherwise print "-0" in engines that keep the sign
+    }.map(s => round(s / lit(scale), roundTo) + lit(0.0))
     df.select(col(idCol), posexplode(array(projs: _*)))
       .select(col(idCol), col("pos").cast("int").as("dim"),
         col("col").cast("double").as("value"))

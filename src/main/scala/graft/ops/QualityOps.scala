@@ -212,8 +212,11 @@ object QualityOps {
     * produces the exact digit. Zero, null, NaN and ±∞ values are
     * excluded.
     *
-    * Scale: one scan projection + a 9-group aggregation; the 9-row
-    * digit spine and totals broadcast. */
+    * Scale: ONE scan projection + a 9-group aggregation, collapsed to a
+    * single row carrying the digit→count map, the total AND the χ² total
+    * (an `aggregate` fold over the fixed 9-digit domain), then joined to
+    * the 9-row digit spine — the scan lineage appears exactly once in the
+    * plan, so no exchange-reuse dependence and no second data pass. */
   def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -227,21 +230,33 @@ object QualityOps {
       .select(when(raw === 10.0, 1).when(raw === 0.0, 9)
         .otherwise(raw.cast("int")).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("__o"))
-    val total = observed.agg(sum(col("__o")).cast("double").as("__n"))
+    // digit d's Benford share, log₁₀(1 + 1/d), as the SAME correctly-
+    // rounded primitive the oracle uses (ln-ratio log(10, x) can differ
+    // by 1 ulp from a native log10)
+    def expected(d: Column): Column = log10(lit(1.0) + lit(1.0) / d)
+    // ≤ 9 rows fold to ONE: the digit→count map, the grand total, and the
+    // total χ² as a closed fold over the full 1–9 domain (absent digits
+    // contribute (0 − n·e)²/(n·e))
+    val oneRow = observed.agg(
+      map_from_entries(collect_list(struct(col("digit"), col("__o")))).as("__om"),
+      sum(col("__o")).cast("double").as("__n"))
+    val chi2All = aggregate(
+      sequence(lit(1), lit(9)),
+      lit(0.0),
+      (acc, d) => {
+        val o = coalesce(element_at(col("__om"), d), lit(0L)).cast("double")
+        val ne = col("__n") * expected(d.cast("int"))
+        acc + pow(o - ne, 2) / ne
+      })
     val spine = (1 to 9).toDF("digit")
-    val e = log(10.0, lit(1.0) + lit(1.0) / col("digit")) // log₁₀(1+1/d)
-    val perDigit = spine
-      .join(broadcast(observed), Seq("digit"), "left")
-      .crossJoin(broadcast(total))
+    spine
+      .crossJoin(broadcast(oneRow.select(col("__om"), col("__n"),
+        chi2All.as("chi2"))))
       .select(col("digit"),
-        coalesce(col("__o"), lit(0L)).as("n"),
-        (coalesce(col("__o"), lit(0L)) / col("__n")).as("share"),
-        e.as("expected_share"),
-        (pow(coalesce(col("__o"), lit(0L)) - col("__n") * e, 2) /
-          (col("__n") * e)).as("__chi2_term"))
-    perDigit
-      .crossJoin(broadcast(perDigit.agg(sum(col("__chi2_term")).as("chi2"))))
-      .select(col("digit"), col("n"), col("share"), col("expected_share"),
+        coalesce(element_at(col("__om"), col("digit")), lit(0L)).as("n"),
+        (coalesce(element_at(col("__om"), col("digit")), lit(0L)) / col("__n"))
+          .as("share"),
+        expected(col("digit")).as("expected_share"),
         col("chi2"))
   }
 }

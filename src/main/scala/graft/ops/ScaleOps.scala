@@ -513,8 +513,10 @@ object ScaleOps {
     * NumericType or timestamp qualifies). */
   def withExclusiveRunningSum(perV: DataFrame, order: Column,
       cntCol: String, outCol: String,
-      splitsHint: Option[Array[Double]] = None): DataFrame =
-    withExclusiveRunningSums(perV, order, Seq(cntCol), Seq(outCol), splitsHint)._1
+      splitsHint: Option[Array[Double]] = None,
+      persistInput: Boolean = true): DataFrame =
+    withExclusiveRunningSums(perV, order, Seq(cntCol), Seq(outCol), splitsHint,
+      persistInput)._1
 
   /** Multi-column form of [[withExclusiveRunningSum]] — one bucket
     * assignment, ONE totals pass and ONE window stage carry any number of
@@ -528,28 +530,43 @@ object ScaleOps {
     * Callers whose `perV` is a join/aggregate the footer tracer cannot see
     * through should derive splits from the RAW upstream column (e.g.
     * [[footerRangeSplits]] on the pre-join side — zero jobs) and pass them
-    * here, skipping the data-sized quantile pass entirely. */
+    * here, skipping the data-sized quantile pass entirely.
+    *
+    * `persistInput`: whether to cache `perV` across the (splits +) totals
+    * and consumer jobs. CORRECTNESS never needs it on a deterministic plan
+    * (the bucket id is a pure function of the row, so every job recomputes
+    * identical assignments); it is purely the recompute-vs-materialize
+    * trade. Keep the default (true) when the lineage above `perV` is
+    * expensive — e.g. a multi-stage feature/scoring pipeline (measured at
+    * sf0.1: dropping it doubled the logreg-gate consumers). Pass false
+    * when `perV` is cheap to replay AND the splits arrive job-free
+    * (hint/footer) — a large distinct-value table then skips a
+    * data-sized MEMORY_AND_DISK materialization entirely (measured: the
+    * KS continuous path fell 1.42 s → 0.62 s), which is also the only
+    * shape that survives 100 TB, where the cache write IS the bottleneck. */
   private[graft] def withExclusiveRunningSums(perV: DataFrame, order: Column,
       cntCols: Seq[String], outCols: Seq[String],
-      splitsHint: Option[Array[Double]] = None): (DataFrame, Seq[Long]) = {
+      splitsHint: Option[Array[Double]] = None,
+      persistInput: Boolean = true): (DataFrame, Seq[Long]) = {
     require(cntCols.nonEmpty && cntCols.size == outCols.size,
       s"need matching cnt/out columns: $cntCols vs $outCols")
     import org.apache.spark.sql.expressions.Window
     val (orderVal, desc, nullsFirst) = sortParts(order)
-    // persist: perV is typically an aggregation (a shuffle) — the splits
-    // job materializes the cache and the totals + consumer jobs read it.
-    // Safe even on block loss: the bucket id is a pure function of the row,
-    // so a recomputed block reproduces identical assignments (the property
-    // the old localCheckpoint existed to fake) — PROVIDED the row values
-    // themselves are deterministic; a plan carrying rand()/uuid()-class
-    // expressions freezes a materialization instead (fail-stop on loss
-    // beats silent renumbering). Blocks release via catalog sweeps,
-    // clearCache, or [[releaseCheckpointBlocks]] on the returned frame.
+    // A DETERMINISTIC plan never NEEDS materialization between the totals
+    // job and the consumer job: the bucket id is a pure function of the
+    // row, so each job recomputes identical assignments by construction —
+    // even after block loss on a real cluster. Whether to cache anyway is
+    // the caller's recompute-vs-materialize trade (`persistInput`, see
+    // scaladoc). A plan carrying rand()/uuid()-class expressions would
+    // silently renumber on recompute, so THAT case always freezes a
+    // localCheckpoint (fail-stop on block loss beats corruption); release
+    // via [[releaseCheckpointBlocks]].
     val cached =
       if (hasNondeterministicPlan(perV))
         registerInternalCheckpoint(perV.localCheckpoint())
-      else registerInternalPersist(
+      else if (persistInput) registerInternalPersist(
         perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else perV
     // split points: caller-supplied hint first (zero jobs), then footer
     // statistics when `order` is a plain attribute tracing to one parquet
     // relation (zero jobs), else one low-accuracy quantile pass

@@ -74,19 +74,63 @@ object Association {
     * labeled dataset runs before training: every unordered column pair's
     * `(n, k_a, k_b, chi2, cramers_v, mutual_info)` row, `col_a`/`col_b`
     * in `cols` order (the categorical analogue of a correlation matrix).
+    * A pair with ZERO co-observed (both-non-null) rows keeps its row with
+    * null statistics.
     *
-    * Scale: one [[categoricalAssociation]] plan per pair, unioned —
-    * pair count is k·(k−1)/2 over the HANDFUL of columns worth scanning,
-    * each a 2-column pruned scan into a cell-bounded aggregation, and
-    * the independent sub-plans schedule concurrently. */
+    * Scale: ONE corpus scan for ANY column count — every pair's
+    * `(pair_id, value_a, value_b)` struct is exploded in a single
+    * projection (values cast to string: injective within a column, so
+    * cell identity is preserved) and all pairs' contingency cells
+    * aggregate in one partial-aggregated shuffle whose volume is
+    * Σ_pairs kₐ·k_b cells, never row-bound. Marginals/totals/statistics
+    * reduce from that one cell table exactly as the single-pair operator
+    * does (per-pair keys replace the implicit single pair). The k(k−1)/2
+    * explode multiplies rows INTO the map-side partial aggregation only —
+    * the corpus itself is read once, which is what matters at 100 TB. */
   def associationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
-      categoricalAssociation(df, a, b)
-        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"), col("k_a"),
-          col("k_b"), col("chi2"), col("cramers_v"), col("mutual_info"))
-    }.reduce(_ unionByName _)
+    val pairStructs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("pid"), col(a).cast("string").as("va"),
+        col(b).cast("string").as("vb"))
+    }
+    val cells = df
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.pid").as("pid"), col("p.va").as("va"), col("p.vb").as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .groupBy(col("pid"), col("va"), col("vb"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("pid"), col("va")).agg(sum(col("o")).as("ca"))
+    val mb = cells.groupBy(col("pid"), col("vb")).agg(sum(col("o")).as("cb"))
+    val totals = cells.groupBy(col("pid")).agg(
+      sum(col("o")).as("n"),
+      count_distinct(col("va")).as("k_a"),
+      count_distinct(col("vb")).as("k_b"))
+    val e = col("ca") * col("cb") / col("n")
+    val joined = cells
+      .join(broadcast(ma), Seq("pid", "va"))
+      .join(broadcast(mb), Seq("pid", "vb"))
+      .join(broadcast(totals), Seq("pid"))
+    val stats = joined.groupBy(col("pid")).agg(
+        first(col("n")).cast("long").as("n"),
+        first(col("k_a")).as("k_a"),
+        first(col("k_b")).as("k_b"),
+        // same closed-form empty-cell mass + clamp as the single-pair op
+        greatest(sum(pow(col("o") - e, 2) / e) +
+          first(col("n")) - sum(e), lit(0.0)).as("chi2"),
+        sum(col("o") / col("n") *
+          log(col("o") * col("n") / (col("ca") * col("cb")))).as("mutual_info"))
+      .withColumn("cramers_v",
+        when(least(col("k_a"), col("k_b")) > 1,
+          sqrt(col("chi2") / (col("n") * (least(col("k_a"), col("k_b")) - 1)))))
+    val names = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("pid", "col_a", "col_b")
+    names.join(broadcast(stats), Seq("pid"), "left")
+      .select(col("col_a"), col("col_b"), col("n"), col("k_a"), col("k_b"),
+        col("chi2"), col("cramers_v"), col("mutual_info"))
   }
 }

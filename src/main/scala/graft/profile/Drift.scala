@@ -140,8 +140,17 @@ object Drift {
     // included); no global single-partition window, no checkpoint — the
     // bucket id is a pure function of the value, so every job agrees by
     // construction.
+    // persistInput = false when the splits are footer-derived: the joined
+    // distinct-value table may be ~row-sized for continuous columns, and a
+    // MEMORY_AND_DISK materialization of it costs more than replaying the
+    // two pruned scans + cell join for the totals and consumer jobs
+    // (measured at sf0.1: 1.42 s → 0.62 s on the continuous-column KS) —
+    // and at 100 TB the cache write would be the bottleneck outright.
+    // Without the hint the cumsum pays a quantile pass too (3 replays), so
+    // the cache earns its keep there.
     val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
-      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"), splitsHint)
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"), splitsHint,
+      persistInput = splitsHint.isEmpty)
     val (ta, tb) = (grand(0), grand(1))
     cum
       .withColumn("_d", abs(

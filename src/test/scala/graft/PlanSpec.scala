@@ -628,6 +628,33 @@ class PlanSpec extends SparkSpecBase {
     // on the value column reaches parquet
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)"),
       s"the usable-value filter must push down:\n$p")
+    // the χ² total rides the same one-row aggregate as the digit map — the
+    // scan lineage must appear exactly once (r10 VERDICT: the old shape
+    // re-evaluated the per-digit subtree for the total)
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"benford must read the corpus exactly once, got $scans:\n$p")
+  }
+
+  test("associationMatrix: ONE parquet scan for a 4-column matrix") {
+    // the all-pairs leakage scan explodes every pair's (pid, va, vb) struct
+    // in one projection — 6 pairs over 4 columns must still read the corpus
+    // once (r10 VERDICT: the old shape planned one scan per pair). After
+    // execution AQE's exchange reuse collapses the repeated cells subtree
+    // under the marginal/total derivations to ReusedExchange nodes.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("len_bucket", floor(col("n_chars") / 500).cast("long"))
+      .withColumn("id_mod", (col("doc_id") % 7).cast("long"))
+    val df = graft.profile.Association.associationMatrix(
+      docs, Seq("lang", "source", "len_bucket", "id_mod"))
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section,
+    // which still shows one scan per subtree — count the FINAL plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"matrix must read the corpus exactly once, got $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the cells exchange must be computed once and reused:\n$p")
   }
 
   test("novelty curve: no global single-partition window at any batch count") {

@@ -460,7 +460,33 @@ class ProfileSpec extends SparkSpecBase {
     val direct = graft.profile.Association.categoricalAssociation(df, "a", "c")
       .collect().head
     val ac = m.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
-    assert(ac.getAs[Double]("chi2") == direct.getAs[Double]("chi2"))
-    assert(ac.getAs[Double]("mutual_info") == direct.getAs[Double]("mutual_info"))
+    // tolerance, not ==: the single-scan matrix sums its cells in a
+    // different partition order than the pairwise plan (float addition is
+    // non-associative); the statistics agree to well past any report dp
+    assert(math.abs(ac.getAs[Double]("chi2") - direct.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(ac.getAs[Double]("mutual_info") -
+      direct.getAs[Double]("mutual_info")) < 1e-9)
+  }
+
+  test("associationMatrix: a mixed-type pair keeps cell identity via string cast") {
+    // long-typed categorical column: the matrix casts to string internally;
+    // distinct longs must stay distinct cells (injective cast)
+    val df = Seq(("x", 1L), ("x", 10L), ("y", 1L), ("y", 10L), ("y", 10L))
+      .toDF("a", "v")
+    val m = graft.profile.Association.associationMatrix(df, Seq("a", "v"))
+      .collect().head
+    assert(m.getAs[Long]("k_a") == 2L && m.getAs[Long]("k_b") == 2L)
+    assert(m.getAs[Long]("n") == 5L)
+  }
+
+  test("associationMatrix: a pair with zero co-observed rows keeps a null-stat row") {
+    val df = Seq(("x", Some("u"), None: Option[String]),
+        ("y", None, Some("w")))
+      .toDF("a", "b", "c")
+    val m = graft.profile.Association.associationMatrix(df, Seq("a", "b", "c"))
+      .orderBy(col("col_a"), col("col_b")).collect()
+    assert(m.length == 3)
+    val bc = m.find(r => r.getString(0) == "b" && r.getString(1) == "c").get
+    assert(bc.isNullAt(bc.fieldIndex("n")) && bc.isNullAt(bc.fieldIndex("chi2")))
   }
 }

@@ -251,23 +251,50 @@ class RegressionSpec extends SparkSpecBase {
     }
   }
 
-  test("releaseCheckpointBlocks cascade-releases the cumsum's internal cache") {
-    // the two-phase cumsum persists its per-distinct-value table
-    // internally; the caller holds no Dataset handle to it, so the public
-    // release must cascade through the returned plan
+  test("cumsum block contract: persistInput=false pins nothing; default cache releases") {
+    // persistInput = false (the KS footer-hint path): the bucket id is a
+    // pure function of the row, so NOTHING needs pinning — and nothing is
     // assert on the DELTA of persistent RDDs: other suites sharing the
     // session may hold their own caches legitimately
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val perV = (1 to 500).map(i => (i.toDouble, 1L)).toDF("v", "c").repartition(3)
-    val out = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x")
+    val out = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x",
+      persistInput = false)
     out.write.format("noop").mode("overwrite").save()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "persistInput=false cumsum must not pin any block")
+    // correctness of the unpersisted two-phase plan: exclusive sums 0..499
+    val got = out.orderBy(col("v")).select(col("x"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 500L), "exclusive running sum must be 0..n-1")
+
+    // default (persistInput = true, the expensive-lineage consumers): the
+    // internal cache materializes; the caller holds no handle, so the
+    // public release must cascade through the returned plan
+    val out1 = graft.ops.ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x")
+    out1.write.format("noop").mode("overwrite").save()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "expected the internal cache to be materialized")
-    graft.ops.ScaleOps.releaseCheckpointBlocks(out)
+    graft.ops.ScaleOps.releaseCheckpointBlocks(out1)
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
     assert(leaked.isEmpty, "cascade release must reach the internal persist")
+
+    // nondeterministic input (rand-valued rows): must freeze a
+    // localCheckpoint regardless of persistInput — silent renumbering on
+    // recompute is corruption — and the public release must reach it
+    val ndPerV = spark.range(500)
+      .select((rand(42) * 100).as("v"), lit(1L).as("c"))
+    val out2 = graft.ops.ScaleOps.withExclusiveRunningSum(ndPerV, col("v"), "c", "x",
+      persistInput = false)
+    out2.write.format("noop").mode("overwrite").save()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "nondeterministic input must be frozen via localCheckpoint")
+    graft.ops.ScaleOps.releaseCheckpointBlocks(out2)
+    val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline2) Thread.sleep(100)
+    assert(leaked.isEmpty, "release must reach the internal checkpoint blocks")
   }
 
   test("stableRowNumber stays correct on a nondeterministic input plan") {
