@@ -435,8 +435,13 @@ object ScaleOps {
            _: FloatType | _: DoubleType => true
       case _ => false
     }
-    @annotation.tailrec
-    def trace(plan: LogicalPlan, attr: Attribute): Option[(LogicalRelation, Attribute)] =
+    // Returns EVERY (relation, column) leaf the attribute traces to — one
+    // for a plain scan, one per branch through a Union (a union's range is
+    // the min/max over its children's, so tall-concat inputs keep the
+    // zero-job path). None (not a partial list) when ANY branch fails to
+    // trace: a partial range does not bound the union.
+    def trace(plan: LogicalPlan, attr: Attribute)
+        : Option[Seq[(LogicalRelation, Attribute)]] =
       plan match {
         case p: Project =>
           p.projectList.find(_.exprId == attr.exprId) match {
@@ -459,24 +464,44 @@ object ScaleOps {
             case Some(Alias(ar: AttributeReference, _)) => trace(a.child, ar)
             case _ => None
           }
+        case u: Union =>
+          // union output attrs are positional over the children's outputs
+          val idx = u.output.indexWhere(_.exprId == attr.exprId)
+          if (idx < 0) None
+          else {
+            val perChild = u.children.map(c =>
+              if (idx < c.output.length) trace(c, c.output(idx)) else None)
+            if (perChild.exists(_.isEmpty)) None
+            else Some(perChild.flatMap(_.get))
+          }
         case lr: LogicalRelation if lr.output.exists(_.exprId == attr.exprId) =>
-          Some((lr, lr.output.find(_.exprId == attr.exprId).get))
+          Some(Seq((lr, lr.output.find(_.exprId == attr.exprId).get)))
         case _ => None
       }
 
-    val (lr, baseAttr) = trace(analyzed, top).getOrElse(return None)
-    if (!numericish(baseAttr.dataType)) return None
-    val files = lr.relation match {
-      case h: HadoopFsRelation if h.fileFormat.isInstanceOf[ParquetFileFormat] =>
-        h.location.inputFiles.toSeq
-      case _ => return None
+    val leaves = trace(analyzed, top).getOrElse(return None)
+    if (leaves.isEmpty || leaves.exists(l => !numericish(l._2.dataType)))
+      return None
+    val perLeafFiles = leaves.map { case (lr, baseAttr) =>
+      lr.relation match {
+        case h: HadoopFsRelation if h.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          (h.location.inputFiles.toSeq, baseAttr.name)
+        case _ => return None
+      }
     }
-    if (files.isEmpty || files.length > 256) return None
+    if (perLeafFiles.exists(_._1.isEmpty) ||
+      perLeafFiles.map(_._1.length).sum > 256) return None
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    // min/max across every traced leaf (each may bind a different column
+    // name — unions align positionally, not by name)
     val (lo, hi) =
-      try graft.io.FooterStats.columnRange(conf, files, baseAttr.name)
-        .getOrElse(return None)
-      catch { case scala.util.control.NonFatal(_) => return None }
+      try {
+        val ranges = perLeafFiles.map { case (files, name) =>
+          graft.io.FooterStats.columnRange(conf, files, name)
+            .getOrElse(return None)
+        }
+        (ranges.map(_._1).min, ranges.map(_._2).max)
+      } catch { case scala.util.control.NonFatal(_) => return None }
     if (hi <= lo) {
       // constant (or degenerate-range) column: every row lands in bucket 0,
       // i.e. the single-partition window this machinery exists to avoid —

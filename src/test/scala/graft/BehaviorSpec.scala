@@ -394,4 +394,51 @@ class BehaviorSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- publish-gated DELIBERATE deviations from the reference ----------
+  // These two behaviors intentionally differ from the reference; the specs
+  // exist so a refactor cannot silently flip them back (r10 VERDICT item 7).
+
+  test("DEVIATION parq_filter.py:63-67: empty filter result writes an empty " +
+      "file WITH the projected schema (the reference writes nothing)") {
+    // the reference's writer returns before creating any output when the
+    // first batch never arrives (parq_filter.py:63-67 `except StopIteration:
+    // return`); we instead publish an empty parquet file carrying the
+    // projected schema — downstream readers and schema contracts see a
+    // stable table either way (SURVEY §7.4 item 4 decision)
+    val in = tmpDir("dev_empty_in") + "/in"
+    val out = tmpDir("dev_empty_out") + "/result"
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(in)
+    graft.ops.FilterOps.filterFile(spark, in, out,
+      filterExpression = Some("id > 100"), columns = Some(Seq("id", "v")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0, "empty result must still be readable")
+    assert(back.columns.toSeq == Seq("id", "v"),
+      "the empty file must carry the PROJECTED schema")
+  }
+
+  test("DEVIATION ydata uniform alert: chi-square runs over HISTOGRAM bins, " +
+      "not per-distinct-value counts") {
+    // ydata-profiling's uniform alert chi-squares the per-VALUE counts —
+    // on a continuous column every count is 1, the statistic is 0 and the
+    // alert fires vacuously. Ours asks "is the DENSITY flat" over the
+    // histogram bins the profile already computes (ColumnProfiler scaladoc).
+    // Pin the case where the two semantics DISAGREE: all-distinct values
+    // (ydata: fires for any shape) with a heavily skewed density (ours:
+    // must NOT fire)...
+    val skewed = (1 to 2000).map(i => math.pow(i.toDouble / 2000.0, 8.0))
+      .toDF("x")
+    val sv = graft.profile.ColumnProfiler
+      .profile(skewed, exactDistinct = true).variables("x")
+    assert(!sv.alerts.contains("uniform"),
+      s"skewed density must not read as uniform (ydata's per-value form " +
+        s"would fire here): ${sv.alerts}")
+    // ...and the case where they AGREE: flat density, all-distinct values
+    val flat = (1 to 2000).map(_.toDouble).toDF("x")
+    val fv = graft.profile.ColumnProfiler
+      .profile(flat, exactDistinct = true).variables("x")
+    assert(fv.alerts.contains("uniform"),
+      s"flat density must fire the uniform alert: ${fv.alerts}")
+  }
 }

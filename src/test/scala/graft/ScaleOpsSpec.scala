@@ -257,4 +257,48 @@ class ScaleOpsSpec extends SparkSpecBase {
     val grouped = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     assert(ScaleOps.footerRangeSplits(grouped, "o_custkey").isDefined)
   }
+
+  test("footerRangeSplits traces through Union — tall concat keeps the zero-job path") {
+    // two parquet files with DISJOINT ranges; their union's footer range
+    // must be the min/max over both children, derived with ZERO Spark jobs
+    val dirA = tmpDir("footer_union_a") + "/t"
+    val dirB = tmpDir("footer_union_b") + "/t"
+    (1 to 1000).map(_.toDouble).toDF("v").coalesce(1).write.parquet(dirA)
+    (5000 to 9000).map(_.toDouble).toDF("v").coalesce(1).write.parquet(dirB)
+    val unioned = spark.read.parquet(dirA).unionByName(spark.read.parquet(dirB))
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val splits = ScaleOps.footerRangeSplits(unioned, "v")
+      // listener events are queued — give the bus a moment to drain
+      Thread.sleep(500)
+      assert(jobs == 0, s"footer path must launch zero jobs, saw $jobs")
+      assert(splits.isDefined, "union of two parquet scans must trace")
+      assert(splits.get.head > 1.0 && splits.get.last < 9000.0 &&
+        splits.get.exists(_ > 1000.0),
+        "splits must span the COMBINED range of both children")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // cumsum over the unioned input stays correct on the footer path
+    val perV = unioned.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val out = ScaleOps.withExclusiveRunningSum(perV, col("v"), "c", "x",
+      persistInput = false)
+    val got = out.orderBy(col("v")).select(col("x"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until (1000L + 4001L)),
+      "exclusive running sum over the union must be 0..n-1")
+
+    // a union with an UNTRACEABLE child (in-memory) must NOT half-bound
+    val mixed = spark.read.parquet(dirA)
+      .unionByName(Seq(42.0).toDF("v"))
+    assert(ScaleOps.footerRangeSplits(mixed, "v").isEmpty,
+      "a partial range does not bound the union")
+    spark.catalog.clearCache()
+  }
 }
