@@ -1918,6 +1918,132 @@ object SparkEntry {
         .orderBy(col("label"), col("rank"))
     }),
 
+    // ---- Mann-Whitney U location drift (Drift) ---------------------------
+    // rank-sum test between the two order-status slices' price
+    // distributions; the rank sum is EXACT on both engines (half-integer
+    // double sums below 2^52 never round), so u values are bit-stable
+    "q229_mann_whitney" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      Drift.mannWhitneyU(
+          orders.filter(col("o_orderstatus") === "F"),
+          orders.filter(col("o_orderstatus") === "O"), "o_totalprice")
+        .select(col("n_a"), col("n_b"),
+          (round(col("u_a"), 2) + lit(0.0)).as("u_a"),
+          (round(col("u_b"), 2) + lit(0.0)).as("u_b"),
+          (round(col("u"), 2) + lit(0.0)).as("u"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+    }),
+
+    // ---- Jensen-Shannon divergence (Drift) -------------------------------
+    // event-type mix shift between the first week and the rest of the
+    // corpus — symmetric, finite, bounded at ln 2 (PSI's eps-free cousin)
+    "q230_js_divergence" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val cut = lit("2024-01-08").cast("date")
+      Drift.jsDivergence(
+          ev.filter(to_date(col("ts")) < cut),
+          ev.filter(to_date(col("ts")) >= cut), "event_type")
+        .select(col("n_a"), col("n_b"), col("k"),
+          (round(col("jsd_nats"), 8) + lit(0.0)).as("jsd_nats"),
+          (round(col("jsd_bits"), 8) + lit(0.0)).as("jsd_bits"))
+    }),
+
+    // ---- correlation ratio eta (Association) -----------------------------
+    // cat->num leakage scan: share of n_chars variance explained by lang
+    // (the third leg beside Cramer's V for cat-cat and Pearson num-num)
+    "q231_correlation_ratio" -> ((s, dir) => {
+      graft.profile.Association
+        .correlationRatio(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("eta2"), 6) + lit(0.0)).as("eta2"),
+          (round(col("eta"), 6) + lit(0.0)).as("eta"))
+    }),
+
+    // ---- Spearman rank correlation (Association) -------------------------
+    // monotone association on the raw columns; average ranks come from
+    // the shared per-distinct-value cumsum, never a global sort window
+    "q232_spearman" -> ((s, dir) => {
+      graft.profile.Association
+        .spearmanCorrelation(read(s, dir, "lineitem"),
+          "l_quantity", "l_extendedprice")
+        .select(col("n"),
+          (round(col("rho"), 6) + lit(0.0)).as("rho"))
+    }),
+
+    // ---- source/lang concentration report (CorpusStats) ------------------
+    // Gini + HHI + top-share of docs per language — the diversity gate a
+    // mixture designer reads before trusting per-source weights
+    "q233_concentration" -> ((s, dir) => {
+      CorpusStats.concentrationReport(read(s, dir, "documents"), "lang")
+        .select(col("n_rows"), col("n_keys"),
+          (round(col("gini"), 6) + lit(0.0)).as("gini"),
+          (round(col("hhi"), 6) + lit(0.0)).as("hhi"),
+          (round(col("top_share"), 6) + lit(0.0)).as("top_share"))
+    }),
+
+    // ---- rank-biased overlap of two term rankings (Search) ---------------
+    // top-20 tf rankings of the even/odd document halves, compared with
+    // the top-weighted RBO measure; everything after the term counts is
+    // k-bounded by construction
+    "q234_rbo" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      def topTerms(half: Int): DataFrame = {
+        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        docs.filter(col("doc_id") % 2 === half)
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(20)
+          .withColumn("rank", row_number().over(w))
+      }
+      Search.rbo(topTerms(0), topTerms(1), "term", "rank", p = 0.9, k = 20)
+        .select(col("depth"), col("n_common"),
+          (round(col("rbo"), 6) + lit(0.0)).as("rbo"),
+          (round(col("rbo_ext"), 6) + lit(0.0)).as("rbo_ext"))
+    }),
+
+    // ---- Kaplan-Meier time-to-first-purchase survival (Behavior) ---------
+    // right-censored: a user with no purchase by corpus end contributes a
+    // lower-bound duration (first event -> horizon). Hour granularity; the
+    // survival product is exp of a fixed-point prefix sum, identical on
+    // both engines (no float product-order ambiguity)
+    "q235_km_survival" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val durations = perUser.crossJoin(broadcast(horizon)).select(
+        floor((unix_timestamp(coalesce(col("p_ts"), col("h_ts"))) -
+          unix_timestamp(col("first_ts"))) / 3600).cast("long").as("dur_h"),
+        col("p_ts").isNull.as("cens"))
+      Behavior.kmCurve(durations, "dur_h", "cens")
+        .select(col("duration").as("hours"), col("n_risk"), col("n_churned")
+            .as("n_events"), col("n_censored"),
+          (round(col("survival"), 6) + lit(0.0)).as("survival"))
+        .gateOrdered(col("hours"))
+    }),
+
+    // ---- Unicode anomaly scan (QualityOps) --------------------------------
+    // encoding-health gate per language: U+FFFD replacement chars, stray
+    // C0 controls, Latin+Cyrillic homoglyph mixing, non-ASCII share —
+    // shared \x-escape character classes on both engines (the q213 lesson)
+    "q236_unicode_anomaly" -> ((s, dir) => {
+      QualityOps.unicodeAnomalies(read(s, dir, "documents"), "text", "lang")
+        .select(col("lang"), col("n_docs"), col("n_docs_replacement"),
+          col("n_docs_control"), col("n_docs_mixed_script"),
+          (round(col("nonascii_share"), 6) + lit(0.0)).as("nonascii_share"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- per-source boilerplate heads (CorpusStats) -----------------------
+    // scraper-template detector: the share of a source one normalized
+    // 40-char document head dominates; keyed window only, never global
+    "q237_boilerplate" -> ((s, dir) => {
+      CorpusStats.boilerplateHeads(read(s, dir, "documents"),
+          "text", "source", headChars = 40)
+        .orderBy(col("source"))
+    }),
+
     // ---- SCD2 validity intervals from a change log ----------------------
     "q110_scd2_history" -> ((s, dir) => {
       MergeOps.scd2History(
@@ -5525,6 +5651,220 @@ object SparkEntry {
          SELECT j.digit, j.n, round(j.n / j.total, 6) AS share,
                 round(j.e, 6) AS expected_share, round(x2.chi2, 4) AS chi2
          FROM j CROSS JOIN x2 ORDER BY j.digit""",
+    // Mann-Whitney U via per-distinct-value counts + exclusive cumulative
+    // rank offsets (avg rank = before + (cnt+1)/2); rank sums are exact
+    // half-integer doubles on both engines, tie cubes go through DOUBLE
+    "q229_mann_whitney" ->
+      """WITH av AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+                     WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+         bv AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+                WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
+         ca AS (SELECT v, count(*)::BIGINT AS na FROM av GROUP BY 1),
+         cb AS (SELECT v, count(*)::BIGINT AS nb FROM bv GROUP BY 1),
+         j AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(na, 0) AS na,
+                      coalesce(nb, 0) AS nb
+               FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         c AS (SELECT v, na, nb, na + nb AS cnt FROM j),
+         w AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+               FROM c),
+         t AS (SELECT sum(na)::DOUBLE AS na, sum(nb)::DOUBLE AS nb,
+                 sum(cnt)::DOUBLE AS n,
+                 sum(na * (bef + (cnt + 1) / 2.0)) AS ra,
+                 sum(cnt::DOUBLE * cnt::DOUBLE * cnt::DOUBLE - cnt::DOUBLE)
+                   AS ties
+               FROM w)
+         SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(ra - na * (na + 1) / 2.0, 2) + 0.0 AS u_a,
+           round(na * nb - (ra - na * (na + 1) / 2.0), 2) + 0.0 AS u_b,
+           round(least(ra - na * (na + 1) / 2.0,
+                       na * nb - (ra - na * (na + 1) / 2.0)), 2) + 0.0 AS u,
+           round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))), 6)
+             + 0.0 AS z
+         FROM t""",
+    // JSD over the union of observed categories; one-sided categories
+    // contribute their full p*ln(2) mass (no smoothing)
+    "q230_js_divergence" ->
+      """WITH ea AS (SELECT event_type AS v FROM events
+                     WHERE ts::DATE < DATE '2024-01-08' AND event_type IS NOT NULL),
+         eb AS (SELECT event_type AS v FROM events
+                WHERE ts::DATE >= DATE '2024-01-08' AND event_type IS NOT NULL),
+         ca AS (SELECT v, count(*)::BIGINT AS cnt_a FROM ea GROUP BY 1),
+         cb AS (SELECT v, count(*)::BIGINT AS cnt_b FROM eb GROUP BY 1),
+         j AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(cnt_a, 0) AS cnt_a,
+                      coalesce(cnt_b, 0) AS cnt_b
+               FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         t AS (SELECT sum(cnt_a)::DOUBLE AS ta, sum(cnt_b)::DOUBLE AS tb,
+                      count(*)::BIGINT AS k FROM j),
+         z AS (SELECT max(t.ta) AS ta, max(t.tb) AS tb, max(t.k) AS k,
+                 sum(CASE WHEN cnt_a > 0 THEN cnt_a / t.ta / 2 *
+                       ln((cnt_a / t.ta) / ((cnt_a / t.ta + cnt_b / t.tb) / 2))
+                     ELSE 0 END +
+                     CASE WHEN cnt_b > 0 THEN cnt_b / t.tb / 2 *
+                       ln((cnt_b / t.tb) / ((cnt_a / t.ta + cnt_b / t.tb) / 2))
+                     ELSE 0 END) AS jsd
+               FROM j, t)
+         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, k,
+           round(jsd, 8) + 0.0 AS jsd_nats,
+           round(jsd / ln(2), 8) + 0.0 AS jsd_bits
+         FROM z""",
+    // correlation ratio from the same moment identity (SS via sums and
+    // sums of squares; integer-valued doubles sum exactly below 2^52)
+    "q231_correlation_ratio" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS ng,
+                      sum(n_chars::DOUBLE) AS sg,
+                      sum(n_chars::DOUBLE * n_chars::DOUBLE) AS qg
+                    FROM documents
+                    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                    GROUP BY 1),
+         t AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+                 sum(sg) AS s, sum(qg) AS q,
+                 sum(sg * sg / ng) AS b
+               FROM g),
+         e AS (SELECT n, k,
+                 CASE WHEN (q - s * s / n) > 0 THEN
+                   least(greatest((b - s * s / n) / (q - s * s / n), 0.0), 1.0)
+                 END AS eta2
+               FROM t)
+         SELECT n, k, round(eta2, 6) + 0.0 AS eta2,
+           round(sqrt(eta2), 6) + 0.0 AS eta
+         FROM e""",
+    // Spearman = Pearson over average ranks; ranks from per-distinct-value
+    // counts + exclusive cumsum, exactly the Spark construction
+    "q232_spearman" ->
+      """WITH p AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         cx AS (SELECT x, count(*)::BIGINT AS cnt FROM p GROUP BY 1),
+         wx AS (SELECT x, coalesce(sum(cnt) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (cnt + 1) / 2.0 AS rx FROM cx),
+         cy AS (SELECT y, count(*)::BIGINT AS cnt FROM p GROUP BY 1),
+         wy AS (SELECT y, coalesce(sum(cnt) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (cnt + 1) / 2.0 AS ry FROM cy)
+         SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) + 0.0 AS rho
+         FROM p JOIN wx USING (x) JOIN wy USING (y)""",
+    // Gini over per-key counts: sum of i*x_i is order-invariant within
+    // tied counts, so any deterministic row_number tiebreak agrees with
+    // the closed-form tie-block expression the Spark side evaluates
+    "q233_concentration" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents
+                    WHERE lang IS NOT NULL GROUP BY 1),
+         w AS (SELECT c, row_number() OVER (ORDER BY c, lang) AS i FROM c),
+         t AS (SELECT count(*)::DOUBLE AS k, sum(c)::DOUBLE AS tt,
+                 sum(i * c::DOUBLE) AS s,
+                 sum(c::DOUBLE * c::DOUBLE) AS q,
+                 max(c)::DOUBLE AS mx
+               FROM w)
+         SELECT tt::BIGINT AS n_rows, k::BIGINT AS n_keys,
+           CASE WHEN k > 1
+                THEN round(2 * s / (k * tt) - (k + 1) / k, 6) + 0.0 END AS gini,
+           round(q / (tt * tt), 6) + 0.0 AS hhi,
+           round(mx / tt, 6) + 0.0 AS top_share
+         FROM t""",
+    // RBO from the overlap-at-depth table: X_d = pairs whose max rank <= d;
+    // same q72-convention tokenizer, (count desc, term asc) rankings
+    "q234_rbo" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents),
+         ra AS (SELECT term, row_number() OVER
+                  (ORDER BY count(*) DESC, term ASC) AS r
+                FROM toks WHERE doc_id % 2 = 0 GROUP BY term
+                ORDER BY count(*) DESC, term ASC LIMIT 20),
+         rb AS (SELECT term, row_number() OVER
+                  (ORDER BY count(*) DESC, term ASC) AS r
+                FROM toks WHERE doc_id % 2 = 1 GROUP BY term
+                ORDER BY count(*) DESC, term ASC LIMIT 20),
+         fd AS (SELECT greatest(ra.r, rb.r) AS g FROM ra JOIN rb USING (term)),
+         xd AS (SELECT d, (SELECT count(*) FROM fd WHERE g <= d)::BIGINT AS x
+                FROM range(1, 21) t(d)),
+         s AS (SELECT sum(pow(0.9, d - 1) * x / d) AS acc,
+                 max(CASE WHEN d = 20 THEN x END)::BIGINT AS nc
+               FROM xd)
+         SELECT 20 AS depth, nc AS n_common,
+           round(0.1 * acc, 6) + 0.0 AS rbo,
+           round(0.1 * acc + nc / 20.0 * pow(0.9, 20), 6) + 0.0 AS rbo_ext
+         FROM s""",
+    // Kaplan-Meier via two chained prefix sums; the survival product is
+    // exp of a 1e-12 fixed-point running sum on BOTH engines, so float
+    // product-order can never diverge
+    "q235_km_survival" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS hm FROM events),
+         bl AS (SELECT floor((floor(epoch(coalesce(p, hm))) -
+                  floor(epoch(f))) / 3600)::BIGINT AS life,
+                  (p IS NULL) AS cens
+                FROM pu, h),
+         g AS (SELECT life,
+                 sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+                 sum(CASE WHEN cens THEN 1 ELSE 0 END)::BIGINT AS cns,
+                 count(*)::BIGINT AS al
+               FROM bl GROUP BY 1),
+         w AS (SELECT *, coalesce(sum(al) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+                 (SELECT sum(al) FROM g) AS n
+               FROM g),
+         x AS (SELECT life, d, cns, (n - bef)::BIGINT AS nr,
+                 CASE WHEN d > 0 AND d < (n - bef)
+                      THEN round(ln(1 - d / (n - bef)::DOUBLE) * 1e12)::BIGINT
+                      ELSE 0 END AS lnq,
+                 (d = (n - bef)) AS dead
+               FROM w),
+         y AS (SELECT *, sum(lnq) OVER (ORDER BY life
+                 ROWS UNBOUNDED PRECEDING) AS lncum FROM x)
+         SELECT life AS hours, nr AS n_risk, d AS n_events,
+           cns AS n_censored,
+           (CASE WHEN dead THEN 0.0 ELSE round(exp(lncum / 1e12), 6) END)
+             + 0.0 AS survival
+         FROM y WHERE d > 0 ORDER BY 1""",
+    // same \x-escape character classes as QualityOps (interpolated from
+    // one definition — never engine-native classes like \s)
+    "q236_unicode_anomaly" -> {
+      def cnt(cls: String) =
+        s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+      s"""WITH d AS (SELECT lang, length(text) AS len,
+             ${cnt(graft.ops.QualityOps.ReplacementClass)} AS repl,
+             ${cnt(graft.ops.QualityOps.ControlClass)} AS ctrl,
+             ${cnt(graft.ops.QualityOps.NonAsciiClass)} AS na,
+             (regexp_matches(text, '${graft.ops.QualityOps.LatinClass}') AND
+              regexp_matches(text, '${graft.ops.QualityOps.CyrillicClass}'))
+               AS mixed
+           FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_replacement,
+           sum(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_control,
+           sum(CASE WHEN mixed THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_mixed_script,
+           (CASE WHEN sum(len) > 0
+                 THEN round(sum(na) / sum(len)::DOUBLE, 6) END) + 0.0
+             AS nonascii_share
+         FROM d GROUP BY lang ORDER BY lang"""
+    },
+    // head fingerprint = first 40 chars of lowercased whitespace-collapsed
+    // text; top head per source by (count desc, head asc)
+    "q237_boilerplate" ->
+      """WITH h AS (SELECT source,
+             substr(regexp_replace(lower(trim(text)), '[ \t\n\r]+', ' ', 'g'),
+               1, 40) AS hd
+           FROM documents WHERE source IS NOT NULL),
+         c AS (SELECT source, hd, count(*)::BIGINT AS hc FROM h GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY hc DESC, hd ASC) AS rk FROM c)
+         SELECT source, sum(hc)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_distinct_heads,
+           max(CASE WHEN rk = 1 THEN hc END)::BIGINT AS top_count,
+           round(max(CASE WHEN rk = 1 THEN hc END) / sum(hc)::DOUBLE, 6)
+             AS top_share,
+           max(CASE WHEN rk = 1 THEN hd END) AS top_head
+         FROM r GROUP BY source ORDER BY source""",
     // χ² over ALL kₐ·k_b cells from observed cells only: an empty cell's
     // term is its expected count e, and Σ_all e = n, so the empty-cell
     // mass is n − Σ_observed e. MI empty cells contribute 0.

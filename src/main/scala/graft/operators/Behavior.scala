@@ -516,4 +516,95 @@ object Behavior {
       .groupBy(col("touch_event"), col(userCol))
       .agg(count(lit(1)).as("n_convs"), sum(col("__credit")).as("credit"))
   }
+
+  /** Kaplan–Meier survival estimate of user LIFETIME (days between a
+    * user's first and last event), with right-censoring: a user whose
+    * last event falls within `censorDays` of the corpus's latest
+    * timestamp may still be active — their lifetime is a LOWER bound and
+    * they leave the at-risk set without counting as churned. The naive
+    * "mean lifetime" systematically understates retention precisely
+    * because of those users; KM is the standard correction. Output: one
+    * row per distinct lifetime at which a churn event occurs —
+    * `(lifetime_days, n_risk, n_churned, n_censored, survival)` where
+    * `survival` = Π_{t ≤ lifetime} (1 − d_t / n_t), the estimated share
+    * of users surviving PAST that lifetime.
+    *
+    * Scale shape: per-user first/last (one keyed aggregation), collapsed
+    * to one row per DISTINCT lifetime (day-granular — a bounded spine in
+    * practice), then TWO chained deterministic-bucket cumsums: the
+    * exclusive count of earlier exits gives n_risk = N − before, and the
+    * running Σ ln(1 − d/n) gives the product as exp of a prefix sum
+    * (identical evaluation on any engine — no float product-order
+    * ambiguity). No global window; nothing after the first aggregation
+    * is user-sized. */
+  def kmSurvival(events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+    val horizon = perUser.agg(max(col("__last")).as("__hmax"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(datediff(col("__last"), col("__first")).cast("long")
+          .as("duration"),
+        (datediff(col("__hmax"), col("__last")) < censorDays).as("censored"))
+    kmCurve(durations, "duration", "censored")
+      .withColumnRenamed("duration", "lifetime_days")
+  }
+
+  /** Generic Kaplan–Meier estimator over a DURATIONS frame — one row per
+    * subject with an integer `durationCol` (days, hours, any unit) and a
+    * boolean `censoredCol` (true = the event was NOT observed; the
+    * duration is a lower bound). [[kmSurvival]] is the events-table
+    * convenience over this; any time-to-event question (time to first
+    * purchase, time to churn, label latency) reduces to building the
+    * durations frame and calling this. Output and scale shape as
+    * documented on [[kmSurvival]]. */
+  def kmCurve(durations: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val byLife = durations
+      .filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("life"),
+        coalesce(col(censoredCol), lit(false)).as("__cens"))
+      .groupBy(col("life"))
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
+        count(lit(1)).as("all"))
+    // cumsum 1: exits (churned + censored) strictly BEFORE each lifetime
+    val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
+      persistInput = false)
+    val n = grand.head
+    val nRisk = lit(n) - col("__exitsBefore")
+    // ln(1 − d/n_risk): d = n_risk only at the terminal lifetime where
+    // everyone remaining churns — survival is exactly 0 there, flagged and
+    // excluded from the log (ln(0) is undefined under ANSI)
+    val withTerm = cum1
+      .withColumn("__nRisk", nRisk)
+      .withColumn("__dead", col("d") === col("__nRisk"))
+      .withColumn("__lnTerm",
+        when(col("d") > 0 && !col("__dead"),
+          log(lit(1.0) - col("d").cast("double") / col("__nRisk")))
+          .otherwise(lit(0.0)))
+    // cumsum 2: running Σ ln-terms (inclusive = exclusive + own)
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSum(
+      withTerm.withColumn("__lnQ",
+        // fixed-point (12 dp) so the long-typed cumsum machinery carries
+        // it exactly; 1e-12 granularity is far below the 6-dp report
+        round(col("__lnTerm") * 1e12, 0).cast("long")),
+      col("life"), "__lnQ", "__lnBefore",
+      persistInput = false)
+    cum2
+      .withColumn("__lnCum",
+        (col("__lnBefore") + col("__lnQ")).cast("double") / 1e12)
+      .filter(col("d") > 0) // KM steps at churn times only
+      .select(col("life").as("duration"),
+        col("__nRisk").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_churned"),
+        col("cns").cast("long").as("n_censored"),
+        when(col("__dead"), lit(0.0)).otherwise(exp(col("__lnCum")))
+          .as("survival"))
+  }
 }

@@ -578,4 +578,94 @@ object CorpusStats {
         (col("cum_prev") + col("n_new")).as("cum_new"),
         round(col("n_new").cast("double") / col("n_docs"), 6).as("novelty_rate"))
   }
+
+  /** Concentration report over `keyCol` — "how dominated is this corpus by
+    * a few keys?", the diversity check a mixture designer runs before
+    * trusting per-source weights (a corpus whose Gini over sources is 0.9
+    * is one source wearing twenty names). One row out:
+    * `(n_rows, n_keys, gini, hhi, top_share)` — Gini coefficient of the
+    * per-key row counts (0 = perfectly even, → 1 = one key holds all),
+    * Herfindahl–Hirschman index Σ share² (1/k at even, 1 at monopoly),
+    * and the single heaviest key's share. NULL gini for a single key
+    * (undefined); NULL row when the input is empty.
+    *
+    * Scale: per-key counts (one partial-aggregated shuffle), collapsed to
+    * one row per DISTINCT count value (a far smaller table — web-scale key
+    * counts are heavy-tailed with few distinct low values), the shared
+    * deterministic-bucket cumsum for the sorted-rank prefix, one reduce.
+    * Gini over ties is order-invariant, so ranks within a tied count
+    * resolve in closed form: Σᵢ i·xᵢ over the tie block of m keys at count
+    * c starting after `before` keys is c·(m·before + m(m+1)/2). No sort of
+    * the key table, no global window. */
+  def concentrationReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val byC = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byC, col("c"), Seq("m"), Seq("before"),
+      persistInput = false) // replaying two cheap aggs beats caching them
+    val nKeys = grand.head
+    // rank products in DOUBLE: before·m and c² cross Long range on corpora
+    // with billions of keys (ANSI long overflow would error; the statistic
+    // tolerates double rounding)
+    val cD = col("c").cast("double"); val mD = col("m").cast("double")
+    val bD = col("before").cast("double")
+    val agg = cum.agg(
+      sum(col("c") * col("m")).cast("long").as("_t"),
+      sum(cD * (mD * bD + mD * (mD + 1) / 2.0)).as("_s"),
+      sum(mD * cD * cD).as("_q"),
+      max(col("c")).cast("long").as("_max"))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    agg.select(
+      col("_t").as("n_rows"),
+      lit(nKeys).as("n_keys"),
+      when(lit(nKeys) > 1,
+        lit(2.0) * col("_s") / (lit(nKeys.toDouble) * col("_t")) -
+          (lit(nKeys + 1).cast("double") / nKeys.toDouble)).as("gini"),
+      (col("_q") / (col("_t") * col("_t"))).as("hhi"),
+      (col("_max").cast("double") / col("_t")).as("top_share"))
+  }
+
+  /** Per-source boilerplate detector over the DOCUMENT HEAD: groups
+    * documents by a normalized head fingerprint (first `headChars` chars
+    * of the lowercased, whitespace-collapsed text — the scraper-template
+    * signature: navigation headers, cookie banners, licence preambles) and
+    * reports, per source, how much of the corpus one head dominates.
+    * Output per source: `(source, n_docs, n_distinct_heads, top_count,
+    * top_share, top_head)` — `top_share` near 1.0 means the source is one
+    * template; strike it with [[Dedup.dedupLines]] before training. Ties
+    * on count break by head ascending (deterministic on both engines).
+    *
+    * Scale: one scan projection → one (source, head)-keyed count (partial-
+    * aggregated; the head is ≤ `headChars` chars, so shuffle rows are
+    * bounded-width) → a source-KEYED window for the argmax (never global)
+    * → one source-keyed reduce. Output height = |sources|. */
+  def boilerplateHeads(docs: DataFrame, textCol: String, sourceCol: String,
+      headChars: Int = 40): DataFrame = {
+    require(headChars >= 1, s"headChars must be >= 1: $headChars")
+    import org.apache.spark.sql.expressions.Window
+    val head = substring(
+      regexp_replace(lower(trim(col(textCol))), "[ \\t\\n\\r]+", " "),
+      1, headChars)
+    val perHead = docs
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"), head.as("__head"))
+      .groupBy(col("source"), col("__head"))
+      .agg(count(lit(1)).as("__hc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__hc").desc, col("__head").asc)
+    perHead
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__hc")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct_heads"),
+        max(when(col("__rk") === 1, col("__hc"))).cast("long").as("top_count"),
+        max(when(col("__rk") === 1, col("__head"))).as("top_head"))
+      .select(col("source"), col("n_docs"), col("n_distinct_heads"),
+        col("top_count"),
+        round(col("top_count").cast("double") / col("n_docs"), 6)
+          .as("top_share"),
+        col("top_head"))
+  }
 }

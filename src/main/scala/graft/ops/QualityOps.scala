@@ -259,4 +259,59 @@ object QualityOps {
         expected(col("digit")).as("expected_share"),
         col("chi2"))
   }
+
+  // Shared regex character classes for [[unicodeAnomalies]] — ONE
+  // definition used by both the Spark plan and the DuckDB oracle (the q213
+  // lesson: engine-native classes like \s diverge between Java and RE2;
+  // explicit \x escapes are interpreted identically). All BMP, so
+  // code-point counting agrees across engines.
+  /** U+FFFD — the decoder's substitution char: mojibake smoking gun. */
+  val ReplacementClass = "[\\x{FFFD}]"
+  /** C0/DEL control chars EXCLUDING \t \n \r (legitimate in text). */
+  val ControlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** Anything outside printable ASCII + \t \n \r. */
+  val NonAsciiClass = "[^\\x09\\x0A\\x0D\\x20-\\x7E]"
+  /** Basic Latin letters. */
+  val LatinClass = "[A-Za-z]"
+  /** Cyrillic block — the classic Latin-lookalike homoglyph source. */
+  val CyrillicClass = "[\\x{0400}-\\x{04FF}]"
+
+  /** Per-language Unicode-anomaly report — the encoding-health gate a
+    * corpus passes before tokenizer training: replacement characters
+    * (U+FFFD) mean a decode already failed upstream; stray C0 controls
+    * mean binary contamination; Latin+Cyrillic mixing inside one document
+    * is the canonical homoglyph-spoofing / poisoning signature. Output per
+    * `langCol` value: `(lang, n_docs, n_docs_replacement, n_docs_control,
+    * n_docs_mixed_script, nonascii_share)` — the share is corpus-weighted
+    * (Σ non-ASCII chars / Σ chars), NULL on an all-empty slice.
+    *
+    * Scale: counts are `length(x) − length(regexp_replace(x, class, ""))`
+    * — pure codegen'd scan projections, no explode, no UDF — into one
+    * lang-keyed partial aggregation. Output height = |languages|. */
+  def unicodeAnomalies(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    def cnt(cls: String) =
+      length(col(textCol)) - length(regexp_replace(col(textCol), cls, ""))
+    docs
+      .filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        cnt(ReplacementClass).as("__repl"),
+        cnt(ControlClass).as("__ctrl"),
+        cnt(NonAsciiClass).as("__nonascii"),
+        length(col(textCol)).as("__len"),
+        (col(textCol).rlike(LatinClass) &&
+          col(textCol).rlike(CyrillicClass)).as("__mixed"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__repl") > 0, 1L).otherwise(0L)).as("n_docs_replacement"),
+        sum(when(col("__ctrl") > 0, 1L).otherwise(0L)).as("n_docs_control"),
+        sum(when(col("__mixed"), 1L).otherwise(0L)).as("n_docs_mixed_script"),
+        sum(col("__nonascii")).as("__na"),
+        sum(col("__len")).as("__chars"))
+      .select(col("lang"), col("n_docs"), col("n_docs_replacement"),
+        col("n_docs_control"), col("n_docs_mixed_script"),
+        when(col("__chars") > 0,
+          col("__na").cast("double") / col("__chars")).as("nonascii_share"))
+  }
 }

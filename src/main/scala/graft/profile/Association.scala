@@ -133,4 +133,78 @@ object Association {
       .select(col("col_a"), col("col_b"), col("n"), col("k_a"), col("k_b"),
         col("chi2"), col("cramers_v"), col("mutual_info"))
   }
+
+  /** Correlation ratio η (eta) between a CATEGORICAL and a NUMERIC column —
+    * the third leg of the leakage-scan triad ([[categoricalAssociation]]
+    * covers cat×cat, plain Pearson covers num×num): η² = SS_between /
+    * SS_total, the share of the numeric column's variance explained by
+    * group membership. η² near 1 on a supposedly-neutral numeric feature
+    * vs the label (or vice versa) flags leakage before training. One row
+    * out: `(n, k, eta2, eta)`; NULL η when the numeric column is constant
+    * (zero total variance). Complete-case: rows with NULL in either
+    * column are excluded.
+    *
+    * Scale: ONE partial-aggregated groupBy on the category (per-group
+    * count/sum/sum-of-squares), then a scalar reduce over the k-bounded
+    * group table. η² from the moment identity SS_total = Σx² − n·mean²,
+    * SS_between = Σ n_g·mean_g² − n·mean² — no second data pass for the
+    * grand mean. */
+  def correlationRatio(df: DataFrame, catCol: String,
+      numCol: String): DataFrame = {
+    val x = col(numCol).cast("double")
+    val groups = df
+      .filter(col(catCol).isNotNull && x.isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("ng"), sum(x).as("sg"), sum(x * x).as("qg"))
+    groups.agg(
+        sum(col("ng")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("sg")).as("_s"),
+        sum(col("qg")).as("_q"),
+        sum(col("sg") * col("sg") / col("ng")).as("_b"))
+      .select(col("n"), col("k"),
+        (col("_b") - col("_s") * col("_s") / col("n")).as("_ssb"),
+        (col("_q") - col("_s") * col("_s") / col("n")).as("_sst"))
+      .select(col("n"), col("k"),
+        // clamp to [0, 1]: the moment identity carries float rounding that
+        // can land an exact-0 or exact-1 ratio a hair outside
+        when(col("_sst") > 0,
+          least(greatest(col("_ssb") / col("_sst"), lit(0.0)), lit(1.0)))
+          .as("eta2"))
+      .withColumn("eta", sqrt(col("eta2")))
+  }
+
+  /** Spearman rank correlation between two numeric columns — Pearson on
+    * AVERAGE ranks (the standard tie policy), the monotone-association
+    * measure that survives heavy tails and nonlinearity where raw Pearson
+    * saturates on outliers. One row out: `(n, rho)`; NULL when either
+    * column is constant. Complete-case: rows with NULL in either column
+    * are excluded BEFORE ranking (ranks are over the paired sample).
+    *
+    * Scale shape: each column's average rank is a per-DISTINCT-value
+    * table — counts per value, the shared deterministic-bucket cumsum for
+    * the exclusive prefix, avg rank = before + (cnt+1)/2 — joined back to
+    * the paired rows by value (two value-keyed joins of a distinct-bounded
+    * table against the data, the unavoidable cost of exact ranks), then
+    * ONE `corr` aggregate over the ranked pairs. No global window, no
+    * sort of the data. */
+  def spearmanCorrelation(df: DataFrame, colX: String,
+      colY: String): DataFrame = {
+    val pairs = df
+      .select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ranks(c: String): DataFrame = {
+      val perV = pairs.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      graft.ops.ScaleOps.withExclusiveRunningSum(
+          perV, col(c), "cnt", "_before",
+          persistInput = false) // counts-per-value replay is one cheap agg
+        .select(col(c), (col("_before") + (col("cnt") + 1) / lit(2.0))
+          .as(s"_r$c"))
+    }
+    pairs
+      .join(ranks("x"), Seq("x"))
+      .join(ranks("y"), Seq("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        corr(col("_rx"), col("_ry")).as("rho"))
+  }
 }

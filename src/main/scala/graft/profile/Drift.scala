@@ -250,4 +250,111 @@ object Drift {
         regr_intercept(col(yCol), col(xCol)).as("intercept"),
         regr_r2(col(yCol), col(xCol)).as("r2"))
   }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    * LOCATION-shift drift test (KS asks "any shape change?"; U asks "did
+    * the distribution slide up or down?", robust to outliers where a
+    * t-test on means is not). Ties get average ranks with the standard
+    * tie-corrected variance; no continuity correction (both engines
+    * evaluate the identical formula). One row out:
+    * `(n_a, n_b, u_a, u_b, u, z)` — `u = min(u_a, u_b)`, `z` the normal
+    * approximation of `u_a` (|z| > 1.96 rejects "same location" at 5%;
+    * exact tables belong at n < 20, below this operator's regime). NULL
+    * `z` when either side is empty or all values tie (zero variance).
+    *
+    * Scale shape: identical to [[ksStatistic]] — per-side counts per
+    * DISTINCT value, the shared deterministic-bucket cumsum for the
+    * exclusive rank offset (avg rank of value v = before(v) + (cnt+1)/2,
+    * a pure per-row expression over the cumsum frame), one final
+    * aggregation. Footer-derived splits skip both the quantile pass and
+    * the input cache exactly as KS does. */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("cnt", col("n_a") + col("n_b"))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("cnt", "n_a"), Seq("_before", "_beforeA"),
+      splitsHint, persistInput = splitsHint.isEmpty)
+    val (n, na) = (grand(0), grand(1))
+    val nb = n - na
+    val avgRank = col("_before") + (col("cnt") + 1) / lit(2.0)
+    // rank sum in double is EXACT (half-integers are representable and
+    // their sums stay representable below 2^52); the tie cubes go through
+    // double because cnt³ crosses Long range at ~2M rows per value (ANSI
+    // overflow would error) — the tie CORRECTION tolerates double rounding
+    val cntD = col("cnt").cast("double")
+    val agg = cum.agg(
+      sum(col("n_a") * avgRank).as("_ra"),
+      sum(cntD * cntD * cntD - cntD).as("_ties"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0 || n < 2) {
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("u_a"), lit(null).cast("double").as("u_b"),
+        lit(null).cast("double").as("u"), lit(null).cast("double").as("z"))
+    }
+    val ra = agg.getDouble(0)
+    val ties = agg.getDouble(1)
+    val ua = ra - na.toDouble * (na + 1) / 2.0
+    val ub = na.toDouble * nb - ua
+    val mu = na.toDouble * nb / 2.0
+    val sigma2 =
+      na.toDouble * nb / 12.0 * ((n + 1).toDouble - ties / (n.toDouble * (n - 1)))
+    val z: Option[Double] =
+      if (sigma2 > 0) Some((ua - mu) / math.sqrt(sigma2)) else None
+    spark.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(ua).as("u_a"), lit(ub).as("u_b"),
+      lit(math.min(ua, ub)).as("u"),
+      z.map(v => lit(v).cast("double")).getOrElse(lit(null).cast("double")).as("z"))
+  }
+
+  /** Jensen–Shannon divergence between two slices' CATEGORICAL
+    * distributions over `column` — the symmetric, always-finite
+    * distribution-shift measure (PSI needs bins and an eps floor; KL blows
+    * up on one-sided categories; JSD is bounded: ≤ ln 2 nats ≡ 1 bit).
+    * One row out: `(n_a, n_b, k, jsd_nats, jsd_bits)` over the union of
+    * observed categories (one-sided categories contribute their full
+    * p·ln 2 mass — no smoothing). NULL when either side is empty.
+    *
+    * Scale: one partial-aggregated count per side (category-bounded), a
+    * category-keyed join, one reduce. Nothing is row-sized after the two
+    * scans. */
+  def jsDivergence(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    def side(df: DataFrame, out: String) = df
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as(out))
+    val joined = side(a, "cnt_a").join(side(b, "cnt_b"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val totals = joined.agg(
+      sum(col("cnt_a")).as("_ta"), sum(col("cnt_b")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val p = col("cnt_a") / col("_ta")
+    val q = col("cnt_b") / col("_tb")
+    val m = (p + q) / 2
+    val term =
+      when(col("cnt_a") > 0, p / 2 * log(p / m)).otherwise(lit(0.0)) +
+      when(col("cnt_b") > 0, q / 2 * log(q / m)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        first(col("_ta")).cast("long").as("n_a"),
+        first(col("_tb")).cast("long").as("n_b"),
+        first(col("_k")).cast("long").as("k"),
+        sum(term).as("jsd_nats"))
+      .select(col("n_a"), col("n_b"), col("k"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("jsd_nats")).as("jsd_nats"))
+      .withColumn("jsd_bits", col("jsd_nats") / lit(math.log(2.0)))
+  }
 }

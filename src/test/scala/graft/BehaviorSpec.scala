@@ -395,6 +395,33 @@ class BehaviorSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kmCurve: textbook small-sample survival with censoring") {
+    // durations: 1 (event), 2 (censored), 3 (event), 4 (event)
+    // S(1) = 3/4; S(3) = 3/4 * 1/2 = 0.375 (the censored subject left the
+    // risk set without an event); S(4): last subject dies -> 0
+    val d = Seq((1L, false), (2L, true), (3L, false), (4L, false))
+      .toDF("dur", "cens")
+    val rows = Behavior.kmCurve(d, "dur", "cens")
+      .orderBy("duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == 3)
+    assert(rows(0)._1 == 1L && rows(0)._2 == 4L && math.abs(rows(0)._5 - 0.75) < 1e-9)
+    assert(rows(1)._1 == 3L && rows(1)._2 == 2L && math.abs(rows(1)._5 - 0.375) < 1e-9)
+    assert(rows(2)._1 == 4L && rows(2)._2 == 1L && rows(2)._5 == 0.0)
+  }
+
+  test("kmCurve: all-censored input yields no step rows; ties at one time") {
+    val allCens = Seq((5L, true), (6L, true)).toDF("dur", "cens")
+    assert(Behavior.kmCurve(allCens, "dur", "cens").count() == 0)
+    // two events + one censored subject AT the same duration: both events
+    // count against the full risk set of 3
+    val tied = Seq((2L, false), (2L, false), (2L, true)).toDF("dur", "cens")
+    val r = Behavior.kmCurve(tied, "dur", "cens").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(4) - (1.0 - 2.0 / 3.0)) < 1e-9)
+  }
+
   // ---- publish-gated DELIBERATE deviations from the reference ----------
   // These two behaviors intentionally differ from the reference; the specs
   // exist so a refactor cannot silently flip them back (r10 VERDICT item 7).

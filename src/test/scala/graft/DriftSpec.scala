@@ -145,4 +145,43 @@ class DriftSpec extends SparkSpecBase {
     val row = graft.profile.Drift.trendSlope(df, Seq("k"), "x", "y").collect().head
     assert(row.isNullAt(2)) // var(x) = 0 -> NULL, native regr_slope semantics
   }
+
+  test("mannWhitneyU: hand-computed ranks, ties and z on a 3v3 sample") {
+    // a = {1,2,3}, b = {2,3,4}: avg ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // R_a = 1 + 2.5 + 4.5 = 8, U_a = 8 - 6 = 2, U_b = 7
+    // ties: two groups of 2 -> sum(t^3 - t) = 12
+    // sigma^2 = (9/12)*(7 - 12/30) = 4.95, z = (2 - 4.5)/sqrt(4.95)
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 7.0 && r.getDouble(4) == 2.0)
+    assert(math.abs(r.getDouble(5) - (-2.5 / math.sqrt(4.95))) < 1e-12)
+  }
+
+  test("mannWhitneyU: empty side and all-tied sample yield NULL z") {
+    val a = Seq(1.0, 1.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val r1 = Drift.mannWhitneyU(a, empty, "v").collect().head
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 0L && r1.isNullAt(5))
+    // all values identical: one tie group of 4 -> sigma^2 = 0
+    val r2 = Drift.mannWhitneyU(a, Seq(1.0, 1.0).toDF("v"), "v").collect().head
+    assert(r2.getDouble(2) == 2.0 && r2.isNullAt(5))
+  }
+
+  test("jsDivergence: hand-computed mix, identical = 0, disjoint = ln 2") {
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    val b = Seq("x", "x", "x", "y").toDF("c")
+    val r = Drift.jsDivergence(a, b, "c").collect().head
+    val expect = 0.5 * (0.5 * math.log(0.5 / 0.625) + 0.5 * math.log(0.5 / 0.375)) +
+      0.5 * (0.75 * math.log(0.75 / 0.625) + 0.25 * math.log(0.25 / 0.375))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+    assert(math.abs(r.getDouble(4) - expect / math.log(2.0)) < 1e-12)
+    val same = Drift.jsDivergence(a, a, "c").collect().head
+    assert(math.abs(same.getDouble(3)) < 1e-15)
+    val disj = Drift.jsDivergence(Seq("x").toDF("c"), Seq("y").toDF("c"), "c")
+      .collect().head
+    assert(math.abs(disj.getDouble(3) - math.log(2.0)) < 1e-12)
+  }
 }

@@ -555,7 +555,9 @@ class PlanSpec extends SparkSpecBase {
       // rank over the top-`topK`-limited term table (post-limit)
       "q95_zipf_fit" -> 1,
       // same block-table cumsum as q47 (packing stats)
-      "q96_packing_stats" -> 1)
+      "q96_packing_stats" -> 1,
+      // rank over each 20-row post-limit term ranking (two rankings)
+      "q234_rbo" -> 2)
     val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // sparkPlan (pre-AQE): WindowExec nodes are visible without running
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan

@@ -489,4 +489,42 @@ class ProfileSpec extends SparkSpecBase {
     val bc = m.find(r => r.getString(0) == "b" && r.getString(1) == "c").get
     assert(bc.isNullAt(bc.fieldIndex("n")) && bc.isNullAt(bc.fieldIndex("chi2")))
   }
+
+  test("correlationRatio: hand-computed eta2; extremes at 0 and 1") {
+    // g1 = {1,2,3} mean 2, g2 = {4,5,6} mean 5, grand 3.5:
+    // SSB = 13.5, SST = 17.5 -> eta2 = 0.771428...
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)).toDF("g", "x")
+    val r = graft.profile.Association.correlationRatio(df, "g", "x")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 13.5 / 17.5) < 1e-12)
+    // perfect separation with zero within-group variance -> 1
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 9.0)).toDF("g", "x")
+    val r1 = graft.profile.Association.correlationRatio(sep, "g", "x")
+      .collect().head
+    assert(math.abs(r1.getDouble(2) - 1.0) < 1e-12)
+    // constant numeric column -> SST = 0 -> NULL
+    val const = Seq(("a", 2.0), ("b", 2.0)).toDF("g", "x")
+    val r2 = graft.profile.Association.correlationRatio(const, "g", "x")
+      .collect().head
+    assert(r2.isNullAt(2))
+  }
+
+  test("spearmanCorrelation: monotone = 1, reversed = -1, tie case hand-checked") {
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)).toDF("x", "y")
+    val r = graft.profile.Association.spearmanCorrelation(mono, "x", "y")
+      .collect().head
+    assert(r.getLong(0) == 4L && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val rev = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    val r2 = graft.profile.Association.spearmanCorrelation(rev, "x", "y")
+      .collect().head
+    assert(math.abs(r2.getDouble(1) - (-1.0)) < 1e-12)
+    // x = {1,2,2,3}: avg ranks {1, 2.5, 2.5, 4} vs y ranks {1,2,3,4}
+    // -> Pearson = 1.5 / sqrt(1.5 * 5/3)
+    val tie = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val r3 = graft.profile.Association.spearmanCorrelation(tie, "x", "y")
+      .collect().head
+    assert(math.abs(r3.getDouble(1) - 1.5 / math.sqrt(1.5 * 5.0 / 3.0)) < 1e-12)
+  }
 }

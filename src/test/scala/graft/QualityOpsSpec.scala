@@ -128,4 +128,28 @@ class QualityOpsSpec extends SparkSpecBase {
     val chi2 = rows.map(_.getDouble(4)).distinct
     assert(chi2.length == 1 && chi2.head > 0.0)
   }
+
+  test("unicodeAnomalies: replacement, control, homoglyph-mix and shares") {
+    val docs = Seq(
+      ("en", "hello � world"),   // one replacement char
+      ("en", "ok\u0001"),            // one C0 control
+      ("en", "mix яz"),         // Latin + Cyrillic ya -> mixed script
+      ("en", "plain text\twith\ntabs"), // \t \n are NOT control here
+      ("ru", "пример")) // Cyrillic only: not mixed
+      .toDF("lang", "text")
+    val byLang = QualityOps.unicodeAnomalies(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = byLang("en")
+    assert(en.getLong(1) == 4L)
+    assert(en.getLong(2) == 1L, "one doc with U+FFFD")
+    assert(en.getLong(3) == 1L, "one doc with a C0 control")
+    assert(en.getLong(4) == 1L, "one Latin+Cyrillic doc")
+    // en non-ASCII chars: FFFD + \x01 + cyrillic ya = 3
+    val enChars = "hello � world".length + "ok\u0001".length +
+      "mix яz".length + "plain text\twith\ntabs".length
+    assert(math.abs(en.getDouble(5) - 3.0 / enChars) < 1e-12)
+    val ru = byLang("ru")
+    assert(ru.getLong(4) == 0L, "Cyrillic-only is not mixed-script")
+    assert(math.abs(ru.getDouble(5) - 1.0) < 1e-12, "all chars non-ASCII")
+  }
 }

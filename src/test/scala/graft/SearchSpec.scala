@@ -483,4 +483,71 @@ class SearchSpec extends SparkSpecBase {
     val runs = out.scanLeft(0L)((acc, r) => acc + r.getLong(2)).drop(1)
     assert(out.map(_.getLong(3)).toSeq == runs.toSeq)
   }
+
+  test("concentrationReport: hand-computed Gini/HHI on a skewed key") {
+    // counts per key: a=1, b=1, c=8 -> sorted {1,1,8}, sum(i*x) = 27
+    // gini = 2*27/(3*10) - 4/3 = 0.4666..; hhi = 0.01+0.01+0.64 = 0.66
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(8)("c"))
+      .toDF("k")
+    val r = graft.operators.CorpusStats.concentrationReport(df, "k")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - (2.0 * 27 / 30 - 4.0 / 3)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.66) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.8) < 1e-12)
+    // perfectly even -> gini 0; single key -> gini NULL
+    val even = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val re = graft.operators.CorpusStats.concentrationReport(even, "k")
+      .collect().head
+    assert(math.abs(re.getDouble(2)) < 1e-12)
+    val one = Seq.fill(4)("a").toDF("k")
+    assert(graft.operators.CorpusStats.concentrationReport(one, "k")
+      .collect().head.isNullAt(2))
+  }
+
+  test("boilerplateHeads: shared normalized 40-char head dominates a source") {
+    val banner = "Cookie consent notice please accept all cookies now"
+    val docs = Seq(
+      ("s1", s"$banner\nbody one with words"),
+      ("s1", s"  ${banner.toUpperCase}   \n body two"), // case/ws-normalized
+      ("s1", "a unique document"),
+      ("s2", "only one here"))
+      .toDF("source", "text")
+    val out = graft.operators.CorpusStats
+      .boilerplateHeads(docs, "text", "source", headChars = 40)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) == 3L && s1.getLong(2) == 2L)
+    assert(s1.getLong(3) == 2L)
+    assert(math.abs(s1.getDouble(4) - 2.0 / 3) < 1e-6)
+    assert(s1.getString(5) == banner.toLowerCase.take(40))
+    assert(out("s2").getLong(3) == 1L)
+  }
+
+  test("rbo: identical lists give 1 - p^k (ext = 1); disjoint give 0") {
+    import graft.operators.Search
+    val l = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
+    val r = Search.rbo(l, l, "id", "rank", p = 0.9, k = 5).collect().head
+    assert(r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - (1.0 - math.pow(0.9, 5))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    val other = (1 to 5).map(i => (s"u$i", i)).toDF("id", "rank")
+    val d = Search.rbo(l, other, "id", "rank", p = 0.9, k = 5).collect().head
+    assert(d.getLong(1) == 0L && d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
+  }
+
+  test("rbo: top-weighted — agreement at rank 1 outweighs agreement at rank k") {
+    import graft.operators.Search
+    val base = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
+    // shares only the rank-1 item vs only the rank-5 item
+    val top = Seq(("t1", 1), ("u2", 2), ("u3", 3), ("u4", 4), ("u5", 5))
+      .toDF("id", "rank")
+    val bottom = Seq(("u1", 1), ("u2", 2), ("u3", 3), ("u4", 4), ("t5", 5))
+      .toDF("id", "rank")
+    val rt = Search.rbo(base, top, "id", "rank", p = 0.9, k = 5)
+      .collect().head.getDouble(2)
+    val rb = Search.rbo(base, bottom, "id", "rank", p = 0.9, k = 5)
+      .collect().head.getDouble(2)
+    assert(rt > rb, s"rank-1 overlap ($rt) must outweigh rank-5 overlap ($rb)")
+  }
 }
