@@ -2044,6 +2044,74 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- per-source KS battery with BH-FDR gate (Drift) -------------------
+    // one KS test per source (price distribution, first half vs second
+    // half of the order keys), asymptotic p from the 100-term Kolmogorov
+    // series (identical truncation both engines), BH step-up at 10%
+    "q238_ks_fdr" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .join(read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("grp", (col("o_custkey") % 10).cast("long"))
+      Drift.ksByGroupFdr(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1), "grp", "l_extendedprice",
+          alpha = 0.10)
+        .select(col("group").as("grp"), col("n_a"), col("n_b"), col("ks"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"),
+          col("rejected"))
+        .orderBy(col("grp"))
+    }),
+
+    // ---- two-proportion z-test with Wilson intervals (Drift) --------------
+    // error-rate shift between the first week of events and the rest
+    "q239_proportion_z" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .withColumn("is_err", col("event_type") === "error")
+      val cut = lit("2024-01-08").cast("date")
+      Drift.proportionZTest(
+          ev.filter(to_date(col("ts")) < cut),
+          ev.filter(to_date(col("ts")) >= cut), "is_err")
+        .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          (round(col("rate_a"), 6) + lit(0.0)).as("rate_a"),
+          (round(col("rate_b"), 6) + lit(0.0)).as("rate_b"),
+          (round(col("diff"), 6) + lit(0.0)).as("diff"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("wilson_lo_a"), 6) + lit(0.0)).as("wilson_lo_a"),
+          (round(col("wilson_hi_a"), 6) + lit(0.0)).as("wilson_hi_a"),
+          (round(col("wilson_lo_b"), 6) + lit(0.0)).as("wilson_lo_b"),
+          (round(col("wilson_hi_b"), 6) + lit(0.0)).as("wilson_hi_b"))
+    }),
+
+    // ---- empirical-Bayes shrunken per-source rates (QualityOps) -----------
+    // per-source "mentions spark" rate shrunk toward the beta-binomial
+    // MoM prior — small sources pull to the corpus mean
+    "q240_eb_shrink" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("hit", col("text").contains("spark"))
+      QualityOps.ebShrinkRates(docs, "source", "hit")
+        .select(col("key").as("source"), col("n"), col("k"),
+          (round(col("raw_rate"), 6) + lit(0.0)).as("raw_rate"),
+          (round(col("shrunk_rate"), 6) + lit(0.0)).as("shrunk_rate"),
+          (round(col("alpha"), 4) + lit(0.0)).as("alpha"),
+          (round(col("beta"), 4) + lit(0.0)).as("beta"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- OOV rate vs a reference vocabulary (CorpusStats) -----------------
+    // top-500 English terms as the vocab; per-language coverage gate
+    "q241_oov_rate" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val ref = docs.filter(col("lang") === "en")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(500)
+      CorpusStats.oovRate(docs, "text", "lang", ref, "term")
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          (round(col("oov_rate"), 6) + lit(0.0)).as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- SCD2 validity intervals from a change log ----------------------
     "q110_scd2_history" -> ((s, dir) => {
       MergeOps.scd2History(
@@ -5848,6 +5916,122 @@ object SparkEntry {
              AS nonascii_share
          FROM d GROUP BY lang ORDER BY lang"""
     },
+    // per-group KS + the 100-term Kolmogorov series (identical truncation)
+    // + BH step-up with the inclusive-count (largest-in-tie) convention;
+    // p computed from the 6-dp-rounded ks exactly as the Spark side does
+    "q238_ks_fdr" ->
+      """WITH li AS (SELECT l.l_extendedprice::DOUBLE AS v,
+                  (o.o_custkey % 10)::BIGINT AS grp, l.l_orderkey
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         ca AS (SELECT grp, v, count(*)::BIGINT AS na FROM li
+                WHERE l_orderkey % 2 = 0 GROUP BY 1, 2),
+         cb AS (SELECT grp, v, count(*)::BIGINT AS nb FROM li
+                WHERE l_orderkey % 2 = 1 GROUP BY 1, 2),
+         j AS (SELECT coalesce(ca.grp, cb.grp) AS grp,
+                      coalesce(ca.v, cb.v) AS v,
+                      coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+               FROM ca FULL OUTER JOIN cb
+                 ON ca.grp = cb.grp AND ca.v = cb.v),
+         t AS (SELECT grp, sum(na) AS ta, sum(nb) AS tb FROM j GROUP BY 1),
+         w AS (SELECT j.grp, v, na, nb, ta, tb,
+                 sum(na) OVER (PARTITION BY j.grp ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cna,
+                 sum(nb) OVER (PARTITION BY j.grp ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cnb
+               FROM j JOIN t ON j.grp = t.grp WHERE ta > 0 AND tb > 0),
+         k AS (SELECT grp, max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+                 round(max(abs(cna / ta::DOUBLE - cnb / tb::DOUBLE)), 6) AS ks
+               FROM w GROUP BY 1),
+         p AS (SELECT *, CASE
+                 WHEN sqrt(n_a * n_b / (n_a + n_b)::DOUBLE) * ks < 0.037
+                 THEN 1.0
+                 ELSE least(greatest(list_sum(list_transform(range(1, 101),
+                   jj -> (CASE WHEN jj % 2 = 1 THEN 2.0 ELSE -2.0 END)
+                     * exp(-2.0 * jj * jj
+                       * pow(sqrt(n_a * n_b / (n_a + n_b)::DOUBLE) * ks, 2)))),
+                   0.0), 1.0) END AS pv
+               FROM k),
+         r AS (SELECT pv, count(*) OVER (ORDER BY pv
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+               FROM p),
+         s AS (SELECT max(CASE WHEN pv <= rk * 0.10 /
+                   (SELECT count(*) FROM p) THEN pv END) AS pstar FROM r)
+         SELECT grp, n_a, n_b, ks, round(pv, 6) + 0.0 AS p_value,
+           (s.pstar IS NOT NULL AND pv <= s.pstar) AS rejected
+         FROM p, s ORDER BY grp""",
+    // pooled-variance z + Wilson score intervals with the shared
+    // z-critical literal 1.959963984540054 on both engines
+    "q239_proportion_z" ->
+      """WITH sa AS (SELECT count(*)::BIGINT AS n_a,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                    AS k_a
+                FROM events WHERE ts::DATE < DATE '2024-01-08'),
+         sb AS (SELECT count(*)::BIGINT AS n_b,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                    AS k_b
+                FROM events WHERE ts::DATE >= DATE '2024-01-08'),
+         c AS (SELECT n_a, k_a, n_b, k_b,
+                 k_a / n_a::DOUBLE AS pa, k_b / n_b::DOUBLE AS pb,
+                 (k_a + k_b) / (n_a + n_b)::DOUBLE AS pool,
+                 1.959963984540054 AS zc
+               FROM sa, sb)
+         SELECT n_a, k_a, n_b, k_b,
+           round(pa, 6) + 0.0 AS rate_a, round(pb, 6) + 0.0 AS rate_b,
+           round(pa - pb, 6) + 0.0 AS diff,
+           (CASE WHEN pool > 0 AND pool < 1 THEN
+             round((pa - pb) / sqrt(pool * (1 - pool)
+               * (1.0 / n_a + 1.0 / n_b)), 6) END) + 0.0 AS z,
+           round((pa + zc*zc/(2*n_a) - zc * sqrt(pa*(1-pa)/n_a
+             + zc*zc/(4.0*n_a*n_a))) / (1 + zc*zc/n_a), 6) + 0.0 AS wilson_lo_a,
+           round((pa + zc*zc/(2*n_a) + zc * sqrt(pa*(1-pa)/n_a
+             + zc*zc/(4.0*n_a*n_a))) / (1 + zc*zc/n_a), 6) + 0.0 AS wilson_hi_a,
+           round((pb + zc*zc/(2*n_b) - zc * sqrt(pb*(1-pb)/n_b
+             + zc*zc/(4.0*n_b*n_b))) / (1 + zc*zc/n_b), 6) + 0.0 AS wilson_lo_b,
+           round((pb + zc*zc/(2*n_b) + zc * sqrt(pb*(1-pb)/n_b
+             + zc*zc/(4.0*n_b*n_b))) / (1 + zc*zc/n_b), 6) + 0.0 AS wilson_hi_b
+         FROM c""",
+    // beta-binomial MoM prior over raw per-source rates; degenerate
+    // variance falls back to the raw rate with NULL alpha/beta
+    "q240_eb_shrink" ->
+      """WITH pk AS (SELECT source AS key, count(*)::BIGINT AS n,
+                  sum(CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END)::BIGINT
+                    AS k
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+                GROUP BY 1),
+         r AS (SELECT *, k / n::DOUBLE AS raw_rate FROM pk),
+         mv AS (SELECT avg(raw_rate) AS m, var_samp(raw_rate) AS v FROM r),
+         pr AS (SELECT
+                 CASE WHEN v > 0 AND m > 0 AND m < 1
+                       AND (m * (1 - m) / v - 1) > 0
+                      THEN m * (m * (1 - m) / v - 1) END AS a,
+                 CASE WHEN v > 0 AND m > 0 AND m < 1
+                       AND (m * (1 - m) / v - 1) > 0
+                      THEN (1 - m) * (m * (1 - m) / v - 1) END AS b
+               FROM mv)
+         SELECT key AS source, n, k,
+           round(raw_rate, 6) + 0.0 AS raw_rate,
+           round(CASE WHEN a IS NULL THEN raw_rate
+                 ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
+           round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
+         FROM r, pr ORDER BY source""",
+    // top-500 en vocabulary (count desc, term asc — deterministic cut),
+    // per-lang token coverage; same q72-convention tokenizer
+    "q241_oov_rate" ->
+      """WITH toks AS (SELECT lang,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents WHERE lang IS NOT NULL),
+         ref AS (SELECT term FROM (
+             SELECT term, count(*) AS cnt FROM toks WHERE lang = 'en'
+             GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 500)),
+         m AS (SELECT t.lang, t.term, (r.term IS NULL) AS oov
+               FROM toks t LEFT JOIN ref r ON t.term = r.term)
+         SELECT lang, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN oov THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+             + 0.0 AS oov_rate
+         FROM m GROUP BY lang ORDER BY lang""",
     // head fingerprint = first 40 chars of lowercased whitespace-collapsed
     // text; top head per source by (count desc, head asc)
     "q237_boilerplate" ->

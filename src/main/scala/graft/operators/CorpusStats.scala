@@ -626,6 +626,36 @@ object CorpusStats {
       (col("_max").cast("double") / col("_t")).as("top_share"))
   }
 
+  /** Out-of-vocabulary rate per language against a reference vocabulary —
+    * the tokenizer-coverage gate: a language whose corpus tokens are 40%
+    * OOV against the training vocab will fragment into bytes at encode
+    * time ([[bpeEncode]]'s fertility says how badly; this says WHERE the
+    * vocab is thin before training even starts). `vocab` carries the
+    * reference terms in `termCol` — typically a top-N frequency cut or a
+    * trained tokenizer's word list, BOUNDED by construction (the contract
+    * that justifies the broadcast). Output per language:
+    * `(lang, n_tokens, n_oov, oov_rate)`.
+    *
+    * Scale: token explode → broadcast left join against the distinct
+    * vocab → one lang-keyed partial aggregation. The corpus never
+    * shuffles; only per-lang counters do. */
+  def oovRate(docs: DataFrame, textCol: String, langCol: String,
+      vocab: DataFrame, termCol: String): DataFrame = {
+    val v = vocab.select(col(termCol).cast("string").as("term")).distinct()
+      .withColumn("__in", lit(1))
+    docs
+      .filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .join(broadcast(v), Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Per-source boilerplate detector over the DOCUMENT HEAD: groups
     * documents by a normalized head fingerprint (first `headChars` chars
     * of the lowercased, whitespace-collapsed text — the scraper-template

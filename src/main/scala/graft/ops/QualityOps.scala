@@ -276,6 +276,53 @@ object QualityOps {
   /** Cyrillic block — the classic Latin-lookalike homoglyph source. */
   val CyrillicClass = "[\\x{0400}-\\x{04FF}]"
 
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-key success rates —
+    * the fix for "this source has 3 docs and a 100% violation rate": raw
+    * per-key rates from few observations are noise; shrinking toward the
+    * cross-key prior by observation count ranks keys honestly. Prior
+    * (α, β) by method of moments over the raw rates: with m = mean(rate)
+    * and v = var_samp(rate), common = m(1−m)/v − 1, α = m·common,
+    * β = (1−m)·common; shrunk rate = (k + α)/(n + α + β). Degenerate
+    * priors (zero/invalid variance, m at 0 or 1, fewer than 2 keys) fall
+    * back to the raw rate with NULL α/β — fail-open, never a fabricated
+    * prior. Output per key: `(key, n, k, raw_rate, shrunk_rate, alpha,
+    * beta)` (α/β repeated on each row for transparency).
+    *
+    * Scale: one keyed count/sum aggregation, one scalar moment reduce
+    * over the key-bounded rate table (collected — two doubles), one
+    * projection. */
+  def ebShrinkRates(df: DataFrame, keyCol: String,
+      successCol: String): DataFrame = {
+    val perKey = df
+      .filter(col(keyCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("boolean").cast("long")).as("k"))
+      .withColumn("raw_rate", col("k").cast("double") / col("n"))
+    val mv = perKey.agg(avg(col("raw_rate")).as("m"),
+      var_samp(col("raw_rate")).as("v")).head()
+    val prior: Option[(Double, Double)] =
+      if (mv.isNullAt(0) || mv.isNullAt(1)) None
+      else {
+        val (m, v) = (mv.getDouble(0), mv.getDouble(1))
+        if (v <= 0 || m <= 0 || m >= 1) None
+        else {
+          val common = m * (1 - m) / v - 1
+          if (common <= 0) None else Some((m * common, (1 - m) * common))
+        }
+      }
+    prior match {
+      case Some((a, b)) => perKey.select(col("key"), col("n"), col("k"),
+        col("raw_rate"),
+        ((col("k") + a) / (col("n") + a + b)).as("shrunk_rate"),
+        lit(a).as("alpha"), lit(b).as("beta"))
+      case None => perKey.select(col("key"), col("n"), col("k"),
+        col("raw_rate"), col("raw_rate").as("shrunk_rate"),
+        lit(null).cast("double").as("alpha"),
+        lit(null).cast("double").as("beta"))
+    }
+  }
+
   /** Per-language Unicode-anomaly report — the encoding-health gate a
     * corpus passes before tokenizer training: replacement characters
     * (U+FFFD) mean a decode already failed upstream; stray C0 controls

@@ -320,6 +320,110 @@ object Drift {
       z.map(v => lit(v).cast("double")).getOrElse(lit(null).cast("double")).as("z"))
   }
 
+  /** Asymptotic two-sided KS p-value: the Kolmogorov distribution tail
+    * `p = 2 Σ_{j≥1} (−1)^{j−1} exp(−2 j² λ²)` with `λ = √(nₐ·n_b/(nₐ+n_b))·D`,
+    * truncated at 100 terms. The series is EXACT for λ > 0 and the
+    * truncation error (first omitted term, 2·exp(−2·101²λ²)) is < 1e-12
+    * for λ ≥ 0.037; below that the alternating tail has not died out yet,
+    * so the guard returns 1 outright — the true p there is 1 to within
+    * e^{−900}. The guard and truncation are IDENTICAL on both engines, so
+    * the value is reproducible, not just accurate. Clamped to [0, 1]. A
+    * pure fold expression — codegen'd, no UDF. */
+  private[graft] def ksPValue(lambda: Column): Column = {
+    val series = aggregate(
+      sequence(lit(1), lit(100)),
+      lit(0.0),
+      (acc, j) => acc +
+        when(j % 2 === 1, lit(2.0)).otherwise(lit(-2.0)) *
+          exp(lit(-2.0) * j.cast("double") * j.cast("double") * lambda * lambda))
+    when(lambda < 0.037, lit(1.0))
+      .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))
+  }
+
+  /** [[ksByGroup]] + per-group p-values + a Benjamini–Hochberg FDR gate —
+    * the DRIFT BATTERY: when twenty sources each get a KS test, raw
+    * α = 0.05 flags one source by chance alone every run; BH controls the
+    * expected false-discovery rate across the battery. Output one row per
+    * group present in both snapshots: `(group, n_a, n_b, ks, p_value,
+    * rejected)` — `rejected` = the group survives the BH step-up at
+    * `alpha` (p ≤ p* where p* is the largest p_(k) ≤ k·α/m).
+    *
+    * Scale: everything after [[ksByGroup]] operates on the GROUP-bounded
+    * result table; the BH rank prefix rides the shared deterministic-
+    * bucket cumsum over distinct p-values (inclusive count = BH's
+    * largest-index-in-tie convention), never a global window. */
+  def ksByGroupFdr(a: DataFrame, b: DataFrame, groupCol: String,
+      column: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val ks = ksByGroup(a, b, groupCol, column)
+    val ne = col("n_a").cast("double") * col("n_b") /
+      (col("n_a") + col("n_b"))
+    val withP = ks.withColumn("p_value",
+      ksPValue(sqrt(ne) * col("ks")))
+    // BH step-up over the m group p-values: distinct-p counts + inclusive
+    // cumulative rank (= BH's largest-index-in-tie convention). The p
+    // table's LINEAGE is the whole battery, so the cumsum keeps its
+    // default cache (the battery evaluates once for the threshold), the
+    // one-row p* collects to the driver, and the cache releases eagerly —
+    // the returned frame re-evaluates the battery exactly once more.
+    val byP = withP.groupBy(col("p_value")).agg(count(lit(1)).as("__c"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byP, col("p_value"), Seq("__c"), Seq("__below"))
+    val m = grand.head
+    val pstarRow = cum
+      .withColumn("__rank", col("__below") + col("__c"))
+      .agg(max(when(col("p_value") <=
+        (col("__rank").cast("double") * alpha / m), col("p_value")))
+        .as("__pstar"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val rejected =
+      if (pstarRow.isNullAt(0)) lit(false)
+      else col("p_value") <= lit(pstarRow.getDouble(0))
+    withP.withColumn("rejected", rejected)
+  }
+
+  /** Two-proportion z-test between slices — "did the success rate move?"
+    * for conversion/error/violation rates, the categorical complement of
+    * [[mannWhitneyU]]. `successCol` must be boolean(-castable). One row:
+    * `(n_a, k_a, n_b, k_b, rate_a, rate_b, diff, z, wilson_lo_a,
+    * wilson_hi_a, wilson_lo_b, wilson_hi_b)` — pooled-variance z for the
+    * difference, Wilson 95% score intervals per side (the interval that
+    * behaves at rates near 0/1, unlike the Wald ±1.96√pq/n). NULL z when
+    * the pooled rate is degenerate (0 or 1: zero variance).
+    *
+    * Scale: one count/sum aggregation per side; everything downstream is
+    * two scalar rows. */
+  def proportionZTest(a: DataFrame, b: DataFrame,
+      successCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, k: String) = df
+      .filter(col(successCol).isNotNull)
+      .agg(count(lit(1)).as(n),
+        sum(col(successCol).cast("boolean").cast("long")).as(k))
+    val j = side(a, "n_a", "k_a").crossJoin(side(b, "n_b", "k_b"))
+    val (na, ka) = (col("n_a").cast("double"), col("k_a").cast("double"))
+    val (nb, kb) = (col("n_b").cast("double"), col("k_b").cast("double"))
+    val pa = ka / na
+    val pb = kb / nb
+    val pool = (ka + kb) / (na + nb)
+    val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val zc = lit(1.959963984540054) // Φ⁻¹(0.975), both engines as a literal
+    def wilson(p: Column, n: Column, up: Boolean): Column = {
+      val center = p + zc * zc / (n * 2)
+      val spread = zc * sqrt(p * (lit(1.0) - p) / n + zc * zc / (n * n * 4))
+      val denom = lit(1.0) + zc * zc / n
+      if (up) (center + spread) / denom else (center - spread) / denom
+    }
+    j.select(
+      col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      pa.as("rate_a"), pb.as("rate_b"), (pa - pb).as("diff"),
+      when(pool > 0 && pool < 1, (pa - pb) / se).as("z"),
+      wilson(pa, na, up = false).as("wilson_lo_a"),
+      wilson(pa, na, up = true).as("wilson_hi_a"),
+      wilson(pb, nb, up = false).as("wilson_lo_b"),
+      wilson(pb, nb, up = true).as("wilson_hi_b"))
+  }
+
   /** Jensen–Shannon divergence between two slices' CATEGORICAL
     * distributions over `column` — the symmetric, always-finite
     * distribution-shift measure (PSI needs bins and an eps floor; KL blows

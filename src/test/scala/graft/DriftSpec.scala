@@ -169,6 +169,45 @@ class DriftSpec extends SparkSpecBase {
     assert(r2.getDouble(2) == 2.0 && r2.isNullAt(5))
   }
 
+  test("ksPValue: Kolmogorov tail at known points; small-lambda guard") {
+    val df = Seq(1.0, 0.5, 0.01).toDF("l")
+      .select(Drift.ksPValue(col("l")).as("p"), col("l"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(0)).toMap
+    assert(math.abs(df(1.0) - 0.26999967) < 1e-6)   // scipy kstwobign.sf(1.0)
+    assert(math.abs(df(0.5) - 0.9639452) < 1e-5)    // scipy kstwobign.sf(0.5)
+    assert(df(0.01) == 1.0, "guard: truncated series invalid below 0.037")
+  }
+
+  test("ksByGroupFdr: drifted group rejected, identical group keeps p = 1") {
+    val a = ((1 to 20).map(i => ("g1", i.toDouble)) ++
+      (1 to 20).map(i => ("g2", i.toDouble))).toDF("g", "v")
+    val b = ((1 to 20).map(i => ("g1", i.toDouble + 100)) ++ // disjoint: D = 1
+      (1 to 20).map(i => ("g2", i.toDouble))).toDF("g", "v")
+    val rows = Drift.ksByGroupFdr(a, b, "g", "v", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows("g1")._1 == 1.0 && rows("g1")._2 < 1e-6 && rows("g1")._3,
+      s"disjoint group must reject: ${rows("g1")}")
+    assert(rows("g2")._1 == 0.0 && rows("g2")._2 == 1.0 && !rows("g2")._3,
+      s"identical group must not reject: ${rows("g2")}")
+  }
+
+  test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
+    val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
+    val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")
+    val r = Drift.proportionZTest(a, b, "s").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L && r.getLong(3) == 1L)
+    // pool = 0.25, se = sqrt(0.25*0.75*0.2), z = 0.3/se
+    assert(math.abs(r.getDouble(7) - 0.3 / math.sqrt(0.0375)) < 1e-9)
+    // classic Wilson 95% CI for 4/10: (0.1682, 0.6873)
+    assert(math.abs(r.getDouble(8) - 0.16818) < 1e-4)
+    assert(math.abs(r.getDouble(9) - 0.68732) < 1e-4)
+    // degenerate pool (all failures on both sides) -> NULL z
+    val z0 = Drift.proportionZTest(
+      Seq(false, false).toDF("s"), Seq(false).toDF("s"), "s").collect().head
+    assert(z0.isNullAt(7))
+  }
+
   test("jsDivergence: hand-computed mix, identical = 0, disjoint = ln 2") {
     val a = Seq("x", "x", "y", "y").toDF("c")
     val b = Seq("x", "x", "x", "y").toDF("c")

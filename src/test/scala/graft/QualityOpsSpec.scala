@@ -129,6 +129,28 @@ class QualityOpsSpec extends SparkSpecBase {
     assert(chi2.length == 1 && chi2.head > 0.0)
   }
 
+  test("ebShrinkRates: MoM prior shrinks small-sample rates toward the mean") {
+    // per-key rates {0.2, 0.3, 0.4, 0.3}: m = 0.3, v = 0.02/3
+    val rows = Seq(("A", 2), ("B", 3), ("C", 4), ("D", 3)).flatMap {
+      case (key, k) => (0 until 10).map(i => (key, i < k))
+    }.toDF("key", "s")
+    val out = QualityOps.ebShrinkRates(rows, "key", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val m = 0.3; val v = 0.02 / 3
+    val common = m * (1 - m) / v - 1
+    val (al, be) = (m * common, (1 - m) * common)
+    assert(math.abs(out("A")._3 - al) < 1e-9 && math.abs(out("A")._4 - be) < 1e-9)
+    assert(math.abs(out("A")._2 - (2 + al) / (10 + al + be)) < 1e-9)
+    // shrinkage direction: below-mean keys move up, above-mean move down
+    assert(out("A")._2 > out("A")._1 && out("C")._2 < out("C")._1)
+    // degenerate prior (zero variance across keys) -> raw rates, NULL prior
+    val flat = Seq(("A", true), ("A", false), ("B", true), ("B", false))
+      .toDF("key", "s")
+    val f = QualityOps.ebShrinkRates(flat, "key", "s").collect().head
+    assert(f.getDouble(3) == f.getDouble(4) && f.isNullAt(5))
+  }
+
   test("unicodeAnomalies: replacement, control, homoglyph-mix and shares") {
     val docs = Seq(
       ("en", "hello � world"),   // one replacement char

@@ -524,6 +524,18 @@ class SearchSpec extends SparkSpecBase {
     assert(out("s2").getLong(3) == 1L)
   }
 
+  test("oovRate: per-lang coverage against a bounded reference vocab") {
+    val docs = Seq(("en", "a b c"), ("fr", "a x y"), ("fr", "b b"))
+      .toDF("lang", "text")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = graft.operators.CorpusStats
+      .oovRate(docs, "text", "lang", vocab, "term")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("en") == ((3L, 1L, 1.0 / 3)))
+    assert(out("fr") == ((5L, 2L, 0.4)))
+  }
+
   test("rbo: identical lists give 1 - p^k (ext = 1); disjoint give 0") {
     import graft.operators.Search
     val l = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
