@@ -2098,6 +2098,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- md5-seeded permutation test (Drift) ------------------------------
+    // randomization test for the es-vs-de mean n_chars gap: 200
+    // deterministic relabelings; n_chars is integer-valued so every
+    // permutation mean is a bit-exact dyadic ratio on both engines
+    "q242_permutation_test" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.permutationTestMeanDiff(
+          docs.filter(col("lang") === "es"),
+          docs.filter(col("lang") === "de"),
+          "doc_id", "n_chars", nPerms = 200, seed = "pt")
+        .select(col("n_a"), col("n_b"),
+          (round(col("observed"), 6) + lit(0.0)).as("observed"),
+          col("n_perms"), col("n_ge"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- OOV rate vs a reference vocabulary (CorpusStats) -----------------
     // top-500 English terms as the vocab; per-language coverage gate
     "q241_oov_rate" -> ((s, dir) => {
@@ -6015,6 +6031,36 @@ object SparkEntry {
                  ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
            round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
          FROM r, pr ORDER BY source""",
+    // identical md5 relabeling per (seed, perm, side, id); integer-valued
+    // n_chars makes every group mean bit-exact, so the >= count can never
+    // sit on a float boundary; add-one p estimator
+    "q242_permutation_test" ->
+      """WITH ca AS (SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS v,
+                  'a' AS side FROM documents
+                WHERE lang = 'es' AND n_chars IS NOT NULL),
+         cb AS (SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS v,
+                  'b' AS side FROM documents
+                WHERE lang = 'de' AND n_chars IS NOT NULL),
+         comb AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+         obs AS (SELECT abs(avg(CASE WHEN side = 'a' THEN v END)
+                   - avg(CASE WHEN side = 'b' THEN v END)) AS o,
+                 sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
+               FROM comb),
+         asg AS (SELECT p, v,
+                   substring(md5('pt:' || p || ':' || side || ':' || id), 1, 1)
+                     < '8' AS g
+                 FROM comb, range(1, 201) t(p)),
+         st AS (SELECT p, abs(avg(CASE WHEN g THEN v END)
+                  - avg(CASE WHEN NOT g THEN v END)) AS s
+                FROM asg GROUP BY p),
+         c AS (SELECT sum(CASE WHEN round(s, 9) >= round(obs.o, 9)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_ge
+               FROM st, obs)
+         SELECT obs.n_a, obs.n_b, round(obs.o, 6) + 0.0 AS observed,
+           200 AS n_perms, c.n_ge,
+           round((c.n_ge + 1) / 201.0, 6) + 0.0 AS p_value
+         FROM obs, c""",
     // top-500 en vocabulary (count desc, term asc — deterministic cut),
     // per-lang token coverage; same q72-convention tokenizer
     "q241_oov_rate" ->

@@ -383,6 +383,66 @@ object Drift {
     withP.withColumn("rejected", rejected)
   }
 
+  /** Distributed randomization (permutation) test for a mean difference —
+    * the assumption-free significance test: no normality, no variance
+    * formula, just "how often does a random relabeling of the combined
+    * sample produce a gap this large?". The relabeling is md5-SEEDED per
+    * (seed, permutation, side, id) — fully deterministic, so any engine
+    * reproduces the identical null distribution (no RNG state, the
+    * [[graft.operators.Sampling]] convention). One row out: `(n_a, n_b,
+    * observed, n_perms, n_ge, p_value)` with the add-one estimator
+    * `p = (1 + #{perm : stat ≥ observed}) / (nPerms + 1)`. Stats compare
+    * after a shared 9-dp round so a float-noise tie cannot flip the count
+    * across engines. Permutations with an empty side (vanishingly rare
+    * beyond toy sizes) drop out of `n_ge` on both engines.
+    *
+    * Scale: ONE scan of the combined sample exploded ×`nPerms` into a
+    * partial-aggregated groupBy — shuffle volume is 2·nPerms aggregate
+    * rows, never data-sized. The md5 assignment is a pure projection. */
+  def permutationTestMeanDiff(a: DataFrame, b: DataFrame, idCol: String,
+      valueCol: String, nPerms: Int = 200,
+      seed: String = "pt"): DataFrame = {
+    require(nPerms >= 1, s"nPerms must be >= 1: $nPerms")
+    def side(df: DataFrame, tag: String) = df
+      .select(col(idCol).cast("string").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("side", lit(tag))
+    val comb = side(a, "a").unionByName(side(b, "b"))
+    val obsRow = comb.agg(
+      avg(when(col("side") === "a", col("v"))).as("ma"),
+      avg(when(col("side") === "b", col("v"))).as("mb"),
+      sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b")).head()
+    val (na, nb) = (obsRow.getLong(2), obsRow.getLong(3))
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0) {
+      return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("observed"), lit(nPerms).as("n_perms"),
+        lit(null).cast("long").as("n_ge"),
+        lit(null).cast("double").as("p_value"))
+    }
+    val observed = math.abs(obsRow.getDouble(0) - obsRow.getDouble(1))
+    val bit = substring(md5(concat(lit(s"$seed:"),
+      col("perm").cast("string"), lit(":"), col("side"), lit(":"),
+      col("id"))), 1, 1) < "8"
+    val stats = comb
+      .select(col("v"),
+        explode(sequence(lit(1), lit(nPerms))).as("perm"),
+        col("side"), col("id"))
+      .select(col("v"), col("perm"), bit.as("g"))
+      .groupBy(col("perm"))
+      .agg((abs(avg(when(col("g"), col("v"))) -
+        avg(when(!col("g"), col("v"))))).as("s"))
+    stats.agg(
+      sum(when(round(col("s"), 9) >= round(lit(observed), 9), 1L)
+        .otherwise(0L)).cast("long").as("n_ge"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(observed).as("observed"), lit(nPerms).as("n_perms"),
+        col("n_ge"),
+        ((col("n_ge") + 1).cast("double") / (nPerms + 1)).as("p_value"))
+  }
+
   /** Two-proportion z-test between slices — "did the success rate move?"
     * for conversion/error/violation rates, the categorical complement of
     * [[mannWhitneyU]]. `successCol` must be boolean(-castable). One row:

@@ -208,6 +208,27 @@ class DriftSpec extends SparkSpecBase {
     assert(z0.isNullAt(7))
   }
 
+  test("permutationTestMeanDiff: identical samples p = 1, separated samples reject") {
+    val ids = (1 to 30)
+    val same = ids.map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val r = Drift.permutationTestMeanDiff(same, same, "id", "v", nPerms = 50)
+      .collect().head
+    // observed gap 0 and every relabeling also 0 -> all perms >= observed
+    assert(r.getDouble(2) == 0.0 && r.getLong(4) == 50L &&
+      math.abs(r.getDouble(5) - 1.0) < 1e-12)
+    val lo = ids.map(i => (i.toLong, 0.0)).toDF("id", "v")
+    val hi = ids.map(i => (i.toLong, 100.0)).toDF("id", "v")
+    val sep = Drift.permutationTestMeanDiff(lo, hi, "id", "v", nPerms = 200)
+      .collect().head
+    assert(sep.getDouble(2) == 100.0)
+    assert(sep.getDouble(5) < 0.05,
+      s"fully separated samples must reject, p = ${sep.getDouble(5)}")
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val e = Drift.permutationTestMeanDiff(same, empty, "id", "v", nPerms = 10)
+      .collect().head
+    assert(e.isNullAt(2) && e.isNullAt(5))
+  }
+
   test("jsDivergence: hand-computed mix, identical = 0, disjoint = ln 2") {
     val a = Seq("x", "x", "y", "y").toDF("c")
     val b = Seq("x", "x", "x", "y").toDF("c")
