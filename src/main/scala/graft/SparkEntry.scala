@@ -2114,6 +2114,21 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- Poisson-bootstrap mean CI (Drift) --------------------------------
+    // deterministic md5->Poisson(1) weights per (rep, id): streamable
+    // bootstrap, bit-reproducible on both engines; 95% percentile CI over
+    // 200 replicate means of en-doc n_chars
+    "q243_bootstrap_ci" -> ((s, dir) => {
+      Drift.bootstrapMeanCI(
+          read(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "n_chars", reps = 200, level = 0.95, seed = "bs")
+        .select(col("n"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean"),
+          col("boot_reps"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
     // ---- OOV rate vs a reference vocabulary (CorpusStats) -----------------
     // top-500 English terms as the vocab; per-language coverage gate
     "q241_oov_rate" -> ((s, dir) => {
@@ -6031,6 +6046,32 @@ object SparkEntry {
                  ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
            round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
          FROM r, pr ORDER BY source""",
+    // same md5->uniform (q102 convention) -> shared Poisson(1) inverse-CDF
+    // literals; replicate means are exact dyadic ratios (integer n_chars),
+    // percentile interpolation is the same (n-1)p formula on both engines
+    "q243_bootstrap_ci" ->
+      """WITH base AS (SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS v
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+         asg AS (SELECT r, v,
+                   ('0x' || substr(md5('bs:' || r || ':' || id), 1, 8))::UBIGINT
+                     / 4294967296.0 AS u
+                 FROM base, range(1, 201) t(r)),
+         wts AS (SELECT r, v,
+                   CASE WHEN u < 0.36787944117144233 THEN 0
+                        WHEN u < 0.7357588823428847 THEN 1
+                        WHEN u < 0.9196986029286058 THEN 2
+                        WHEN u < 0.9810118431238463 THEN 3
+                        WHEN u < 0.9963401531726563 THEN 4
+                        ELSE 5 END AS w
+                 FROM asg),
+         rm AS (SELECT r, sum(w * v) / sum(w)::DOUBLE AS m FROM wts
+                GROUP BY r HAVING sum(w) > 0),
+         ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+                       quantile_cont(m, 0.975) AS hi FROM rm),
+         st AS (SELECT count(*)::BIGINT AS n, avg(v) AS mean FROM base)
+         SELECT st.n, round(st.mean, 6) + 0.0 AS mean, 200 AS boot_reps,
+           round(ci.lo, 6) + 0.0 AS ci_lo, round(ci.hi, 6) + 0.0 AS ci_hi
+         FROM st, ci""",
     // identical md5 relabeling per (seed, perm, side, id); integer-valued
     // n_chars makes every group mean bit-exact, so the >= count can never
     // sit on a float boundary; add-one p estimator

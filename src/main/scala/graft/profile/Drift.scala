@@ -443,6 +443,57 @@ object Drift {
         ((col("n_ge") + 1).cast("double") / (nPerms + 1)).as("p_value"))
   }
 
+  /** Deterministic Poisson bootstrap confidence interval for a mean — the
+    * distribution-free error bar for any corpus statistic. Classic
+    * bootstrap resampling needs a global multinomial draw (unscalable and
+    * RNG-stateful); the Poisson(1) approximation gives every row an
+    * independent md5-derived weight per replicate — streamable, shardable,
+    * and bit-reproducible on any engine (the same inverse-CDF table from
+    * the same hash). One row out: `(n, mean, boot_reps, ci_lo, ci_hi)` —
+    * the percentile interval at `level` over the replicate means.
+    * Replicates whose total weight is 0 (probability e^{−n} — only toy
+    * inputs) drop out on both engines.
+    *
+    * Scale: one scan exploded ×`reps` into a partial-aggregated groupBy
+    * (shuffle = `reps` aggregate rows); the percentile reduces over the
+    * reps-bounded replicate table. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 200, level: Double = 0.95,
+      seed: String = "bs"): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1: $reps")
+    require(level > 0 && level < 1, s"level must be in (0,1): $level")
+    val base = df
+      .select(col(idCol).cast("string").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    // u = first-8-hex-chars / 2^32 ∈ [0,1); Poisson(1) inverse CDF, capped
+    // at 5 (P(X>5) ≈ 0.06%) — the SAME table evaluates in the oracle
+    val u = conv(substring(md5(concat(lit(s"$seed:"),
+      col("rep").cast("string"), lit(":"), col("id"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val repMeans = base
+      .select(col("v"), explode(sequence(lit(1), lit(reps))).as("rep"),
+        col("id"))
+      .select(col("v"), col("rep"), w.as("w"))
+      .groupBy(col("rep"))
+      .agg((sum(col("w") * col("v")) / sum(col("w"))).as("m"))
+      .filter(col("m").isNotNull)
+    val alpha = (1 - level) / 2
+    val ci = repMeans.agg(
+      percentile(col("m"), lit(alpha)).as("ci_lo"),
+      percentile(col("m"), lit(1 - alpha)).as("ci_hi"))
+    val stats = base.agg(count(lit(1)).as("n"), avg(col("v")).as("mean"))
+    stats.crossJoin(broadcast(ci))
+      .select(col("n"), col("mean"), lit(reps).as("boot_reps"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Two-proportion z-test between slices — "did the success rate move?"
     * for conversion/error/violation rates, the categorical complement of
     * [[mannWhitneyU]]. `successCol` must be boolean(-castable). One row:

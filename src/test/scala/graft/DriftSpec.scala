@@ -229,6 +229,26 @@ class DriftSpec extends SparkSpecBase {
     assert(e.isNullAt(2) && e.isNullAt(5))
   }
 
+  test("bootstrapMeanCI: interval brackets the mean, tightens with n, reproducible") {
+    val small = (1 to 40).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val r = Drift.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket mean $mean")
+    assert(lo < hi, "non-degenerate data gives a non-degenerate interval")
+    // determinism: same seed -> identical interval, different seed -> valid too
+    val r2 = Drift.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
+    assert(r2.getDouble(3) == lo && r2.getDouble(4) == hi)
+    // 4x the sample (same distribution) -> narrower interval
+    val big = (1 to 160).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val rb = Drift.bootstrapMeanCI(big, "id", "v", reps = 100).collect().head
+    assert(rb.getDouble(4) - rb.getDouble(3) < hi - lo,
+      "quadrupled sample must tighten the CI")
+    // constant data -> zero-width interval at the constant
+    val const = (1 to 20).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val rc = Drift.bootstrapMeanCI(const, "id", "v", reps = 50).collect().head
+    assert(rc.getDouble(3) == 7.0 && rc.getDouble(4) == 7.0)
+  }
+
   test("jsDivergence: hand-computed mix, identical = 0, disjoint = ln 2") {
     val a = Seq("x", "x", "y", "y").toDF("c")
     val b = Seq("x", "x", "x", "y").toDF("c")
