@@ -659,6 +659,27 @@ class PlanSpec extends SparkSpecBase {
       s"the cells exchange must be computed once and reused:\n$p")
   }
 
+  test("resampling ops shuffle replicate aggregates only; OOV vocab broadcasts") {
+    // permutation test / bootstrap: the corpus is exploded INTO a partial
+    // aggregation — the exchanges carry 2·nPerms (resp. reps) aggregate
+    // rows, never data; the md5 assignment is a plain projection
+    for (q <- Seq("q242_permutation_test", "q243_bootstrap_ci")) {
+      val p = plan(q)
+      assert(p.contains("Generate explode"), s"$q: replicate explode missing:\n$p")
+      assert(p.contains("partial"), s"$q: aggregation must map-side combine:\n$p")
+      val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges <= 4,
+        s"$q: expected only replicate-sized exchanges, got $exchanges:\n$p")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q: md5 resampling must stay codegen'd:\n$p")
+    }
+    // OOV: the bounded vocab joins broadcast — the corpus tokens never
+    // shuffle for the membership probe
+    val p = plan("q241_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast join:\n$p")
+  }
+
   test("novelty curve: no global single-partition window at any batch count") {
     // the cumulative sum rides the deterministic-bucket cumsum — its only
     // windows are bucket-keyed (the blanket global-window lint also covers
