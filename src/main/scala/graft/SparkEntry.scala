@@ -2114,6 +2114,24 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- CUPED variance reduction (Drift) ---------------------------------
+    // per-user week-1 activity as the pre-period covariate for the
+    // rest-of-month activity metric; one co-moment aggregation pass
+    "q244_cuped" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val cut = lit("2024-01-08").cast("date")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        sum(when(to_date(col("ts")) < cut, 1L).otherwise(0L)).as("pre"),
+        sum(when(to_date(col("ts")) >= cut, 1L).otherwise(0L)).as("post"))
+      Drift.cuped(perUser, "pre", "post")
+        .select(col("n"),
+          (round(col("theta"), 6) + lit(0.0)).as("theta"),
+          (round(col("mean_metric"), 6) + lit(0.0)).as("mean_metric"),
+          (round(col("var_metric"), 6) + lit(0.0)).as("var_metric"),
+          (round(col("var_adjusted"), 6) + lit(0.0)).as("var_adjusted"),
+          (round(col("var_reduction"), 6) + lit(0.0)).as("var_reduction"))
+    }),
+
     // ---- Poisson-bootstrap mean CI (Drift) --------------------------------
     // deterministic md5->Poisson(1) weights per (rep, id): streamable
     // bootstrap, bit-reproducible on both engines; 95% percentile CI over
@@ -6046,6 +6064,28 @@ object SparkEntry {
                  ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
            round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
          FROM r, pr ORDER BY source""",
+    // same var_samp/covar_samp primitives; the adjusted variance uses the
+    // exact identity var_y - cov^2/var_x on both engines
+    "q244_cuped" ->
+      """WITH pu AS (SELECT user_id,
+                  sum(CASE WHEN ts::DATE < DATE '2024-01-08' THEN 1 ELSE 0 END)
+                    ::DOUBLE AS x,
+                  sum(CASE WHEN ts::DATE >= DATE '2024-01-08' THEN 1 ELSE 0 END)
+                    ::DOUBLE AS y
+                FROM events GROUP BY 1),
+         s AS (SELECT count(*)::BIGINT AS n, var_samp(x) AS vx,
+                 var_samp(y) AS vy, covar_samp(x, y) AS cxy, avg(y) AS my
+               FROM pu)
+         SELECT n,
+           (CASE WHEN vx > 0 THEN round(cxy / vx, 6) END) + 0.0 AS theta,
+           round(my, 6) + 0.0 AS mean_metric,
+           round(vy, 6) + 0.0 AS var_metric,
+           round(CASE WHEN vx > 0 THEN vy - cxy * cxy / vx ELSE vy END, 6)
+             + 0.0 AS var_adjusted,
+           (CASE WHEN vy > 0 THEN round(1.0 - (CASE WHEN vx > 0
+                 THEN vy - cxy * cxy / vx ELSE vy END) / vy, 6) END)
+             + 0.0 AS var_reduction
+         FROM s""",
     // same md5->uniform (q102 convention) -> shared Poisson(1) inverse-CDF
     // literals; replicate means are exact dyadic ratios (integer n_chars),
     // percentile interpolation is the same (n-1)p formula on both engines

@@ -443,6 +443,42 @@ object Drift {
         ((col("n_ge") + 1).cast("double") / (nPerms + 1)).as("p_value"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the experimentation
+    * staple: adjust a metric by a pre-period covariate
+    * (`y_adj = y − θ(x − mean(x))`, θ = cov(x,y)/var(x)) and report how
+    * much metric variance the covariate removes. A 40% `var_reduction`
+    * means every downstream test needs ~40% less traffic for the same
+    * power. One row out: `(n, theta, mean_metric, var_metric,
+    * var_adjusted, var_reduction)` — the adjusted variance uses the exact
+    * algebraic identity `var_y − cov²/var_x` (evaluated identically on
+    * any engine; re-computing the variance of the adjusted series would
+    * differ by accumulation order). NULL θ when the covariate is constant.
+    * Complete-case: rows with NULL in either column are excluded.
+    *
+    * Scale: ONE count/avg/var/cov aggregation pass — all codegen'd
+    * co-moment aggregates; nothing downstream is data-sized. */
+  def cuped(df: DataFrame, covariateCol: String,
+      metricCol: String): DataFrame = {
+    val x = col(covariateCol).cast("double")
+    val y = col(metricCol).cast("double")
+    df.filter(x.isNotNull && y.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        var_samp(x).as("_vx"),
+        var_samp(y).as("var_metric"),
+        covar_samp(x, y).as("_cxy"),
+        avg(y).as("mean_metric"))
+      .select(col("n"),
+        when(col("_vx") > 0, col("_cxy") / col("_vx")).as("theta"),
+        col("mean_metric"), col("var_metric"),
+        when(col("_vx") > 0,
+          col("var_metric") - col("_cxy") * col("_cxy") / col("_vx"))
+          .otherwise(col("var_metric")).as("var_adjusted"))
+      .withColumn("var_reduction",
+        when(col("var_metric") > 0,
+          lit(1.0) - col("var_adjusted") / col("var_metric")))
+  }
+
   /** Deterministic Poisson bootstrap confidence interval for a mean — the
     * distribution-free error bar for any corpus statistic. Classic
     * bootstrap resampling needs a global multinomial draw (unscalable and

@@ -249,6 +249,26 @@ class DriftSpec extends SparkSpecBase {
     assert(rc.getDouble(3) == 7.0 && rc.getDouble(4) == 7.0)
   }
 
+  test("cuped: perfect covariate removes all variance; independent removes none") {
+    // y = 2x + 5 exactly: theta = 2, adjusted variance 0, reduction 1
+    val perfect = (1 to 20).map(i => (i.toDouble, 2.0 * i + 5)).toDF("x", "y")
+    val r = Drift.cuped(perfect, "x", "y").collect().head
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(4)) < 1e-9 &&
+      math.abs(r.getDouble(5) - 1.0) < 1e-9)
+    // constant covariate: NULL theta, variance unchanged
+    val const = (1 to 10).map(i => (1.0, i.toDouble)).toDF("x", "y")
+    val rc = Drift.cuped(const, "x", "y").collect().head
+    assert(rc.isNullAt(1))
+    assert(rc.getDouble(4) == rc.getDouble(3))
+    // hand check of the identity on a small sample: var_adj = vy - cov^2/vx
+    val mixed = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 4.0)).toDF("x", "y")
+    val rm = Drift.cuped(mixed, "x", "y").collect().head
+    val (vx, vy, cov) = (5.0 / 3, 10.0 / 3, 5.0 / 3) // var_samp/covar_samp by hand
+    assert(math.abs(rm.getDouble(1) - cov / vx) < 1e-9)
+    assert(math.abs(rm.getDouble(4) - (vy - cov * cov / vx)) < 1e-9)
+  }
+
   test("jsDivergence: hand-computed mix, identical = 0, disjoint = ln 2") {
     val a = Seq("x", "x", "y", "y").toDF("c")
     val b = Seq("x", "x", "x", "y").toDF("c")
