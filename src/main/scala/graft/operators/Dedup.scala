@@ -738,10 +738,12 @@ object Dedup {
       threshold: Double = 0.8,
       maxHamming: Option[Int] = None,
       numChunks: Int = 8,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false,
+      maxBucket: Option[Long] = None): DataFrame = {
     maxHamming.foreach(mh => require(mh < numChunks,
       s"pigeonhole guarantee needs maxHamming ($mh) < numChunks ($numChunks)"))
     require(64 % numChunks == 0, "numChunks must divide 64")
+    maxBucket.foreach(c => require(c >= 2, s"maxBucket must be >= 2: $c"))
     val bitsPerChunk = 64 / numChunks
     val base = df.select(
       col(idCol).as("id"),
@@ -762,7 +764,21 @@ object Dedup {
         shiftright(col("sh"), c * bitsPerChunk)
           .bitwiseAND((1L << bitsPerChunk) - 1L)
       }: _*)).as(Seq("chunk", "value")): _*)
-    def side(suffix: String) = chunked.select(
+    // maxBucket: the hot-bucket analogue of ngramJaccard's maxDocFreq — an
+    // LSH bucket with b members contributes b² candidate rows, and at web
+    // scale the hottest simhash chunks are boilerplate clusters. Buckets
+    // over the cap drop BEFORE the pair join (a recall cap, never a
+    // precision risk: every emitted pair still verifies exact Jaccard).
+    // The size table derives from the same (chunk, value)-keyed exchange
+    // the pair join shuffles on, so AQE reuses it.
+    val capped = maxBucket.fold(chunked) { cap =>
+      val small = chunked.groupBy(col("chunk"), col("value"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select(col("chunk"), col("value"))
+      chunked.join(small, Seq("chunk", "value"))
+    }
+    def side(suffix: String) = capped.select(
       Seq(col("chunk"), col("value"), col("id").as(s"id_$suffix"),
         col("sz").as(s"sz_$suffix")) ++
         (if (carrySh) Seq(col("sh").as(s"sh_$suffix")) else Nil): _*)
@@ -790,8 +806,10 @@ object Dedup {
       numBits: Int = 32,
       numBands: Int = 8,
       seed: Long = 42L,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(numBits % numBands == 0, "numBits must divide into numBands evenly")
+    maxBucket.foreach(c => require(c >= 2, s"maxBucket must be >= 2: $c"))
     val bitsPerBand = numBits / numBands
     // persisted: feeds banding and both verification-join sides (see
     // minhashLsh note)
@@ -800,7 +818,17 @@ object Dedup {
       .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.ops.ScaleOps.registerInternalPersist)
-    val banded = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val exploded = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // hot-bucket cap — see simhashNearDup's maxBucket note (a replica-heavy
+    // or boilerplate corpus makes one band bucket quadratic; dropping it is
+    // a recall cap, the verification stage keeps precision exact)
+    val banded = maxBucket.fold(exploded) { cap =>
+      val small = exploded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select(col("band"), col("bucket"))
+      exploded.join(small, Seq("band", "bucket"))
+    }
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // distinct id pairs FIRST: cosine runs once per unique pair, and the

@@ -197,6 +197,38 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("maxBucket cap drops hot-cluster pairs, keeps small-bucket pairs") {
+    // a 5-member boilerplate clique: every LSH bucket it touches has >= 5
+    // members; the unrelated near-dup pair sits in buckets of size 2
+    val boiler = (1L to 5L).map(i =>
+      (i, "the same cookie banner text repeated on every page again"))
+    val docs = (boiler ++ Seq(
+      (10L, "completely different unique article about spark joins here"),
+      (11L, "completely different unique article about spark joins there")))
+      .toSeq.toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDup(docs, "doc_id", "text",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = Dedup.simhashNearDup(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 <= 5 && p._2 <= 5),
+      s"clique pairs must drop under the cap: $capped")
+    assert(capped.contains((10L, 11L)), "small-bucket pair must survive")
+
+    val vecs = ((1L to 5L).map(i => (i, Seq.tabulate(8)(j => j.toFloat + 1))) ++
+      Seq((10L, Seq.tabulate(8)(j => if (j % 2 == 0) 5.0f else -5.0f)),
+        (11L, Seq.tabulate(8)(j => if (j % 2 == 0) 5.01f else -4.99f))))
+      .toDF("id", "vec")
+    val vCapped = Dedup.embeddingNearDup(vecs, "id", "vec", dim = 8,
+      threshold = 0.99, numBits = 16, numBands = 8, maxBucket = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!vCapped.exists(p => p._1 <= 5 && p._2 <= 5),
+      s"identical-vector clique must drop under the cap: $vCapped")
+    assert(vCapped.contains((10L, 11L)))
+    spark.catalog.clearCache()
+  }
+
   test("dedup operators run on the real documents table") {
     val real = spark.read.parquet(sf("documents"))
     val n = Dedup.minhashLsh(real, "doc_id", "text",
