@@ -2114,6 +2114,17 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- per-source lexical KL vs the corpus (CorpusStats) ----------------
+    // token-distribution distinctiveness over the global top-200 vocab +
+    // OTHER bucket; one corpus scan, |sources|x(V+1)-bounded aggregation
+    "q245_source_divergence" -> ((s, dir) => {
+      CorpusStats.sourceDivergence(read(s, dir, "documents"),
+          "text", "source", topV = 200)
+        .select(col("source"), col("n_tokens"),
+          (round(col("kl_nats"), 6) + lit(0.0)).as("kl_nats"))
+        .orderBy(col("source"))
+    }),
+
     // ---- CUPED variance reduction (Drift) ---------------------------------
     // per-user week-1 activity as the pre-period covariate for the
     // rest-of-month activity metric; one co-moment aggregation pass
@@ -6064,6 +6075,29 @@ object SparkEntry {
                  ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
            round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
          FROM r, pr ORDER BY source""",
+    // same q72-convention tokenizer; OTHER bucket keyed by '' (impossible
+    // as a real token), global support contains every source's support
+    "q245_source_divergence" ->
+      """WITH toks AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents WHERE source IS NOT NULL),
+         vocab AS (SELECT term FROM (
+             SELECT term, count(*) AS c FROM toks
+             GROUP BY 1 ORDER BY c DESC, term ASC LIMIT 200)),
+         b AS (SELECT t.source,
+                 CASE WHEN v.term IS NOT NULL THEN t.term ELSE '' END AS t
+               FROM toks t LEFT JOIN vocab v ON t.term = v.term),
+         ps AS (SELECT source, t, count(*)::BIGINT AS cs FROM b GROUP BY 1, 2),
+         ts AS (SELECT source, sum(cs) AS ts FROM ps GROUP BY 1),
+         g AS (SELECT t, sum(cs) AS cg FROM ps GROUP BY 1),
+         tg AS (SELECT sum(cg) AS tg FROM g)
+         SELECT ps.source, max(ts.ts)::BIGINT AS n_tokens,
+           round(greatest(sum((cs / ts.ts::DOUBLE)
+             * ln((cs / ts.ts::DOUBLE) / (cg / tg.tg::DOUBLE))), 0.0), 6)
+             + 0.0 AS kl_nats
+         FROM ps JOIN ts USING (source) JOIN g USING (t) CROSS JOIN tg
+         GROUP BY ps.source ORDER BY ps.source""",
     // same var_samp/covar_samp primitives; the adjusted variance uses the
     // exact identity var_y - cov^2/var_x on both engines
     "q244_cuped" ->

@@ -656,6 +656,55 @@ object CorpusStats {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Per-source KL divergence from the GLOBAL token distribution — "how
+    * lexically distinctive is each source?", the mixture-design companion
+    * to [[sourceScorecard]]: a source whose token distribution sits far
+    * from the corpus contributes diversity a weight bump amplifies; a
+    * near-zero-KL source is more of the same. Computed over the global
+    * top-`topV` vocabulary with all remaining tokens folded into one
+    * OTHER bucket (keyed by the empty string — impossible as a real
+    * token), so every source's support is contained in the global support
+    * and the KL is always finite. Output per source:
+    * `(source, n_tokens, kl_nats)`.
+    *
+    * Scale: one token explode → broadcast membership join against the
+    * bounded vocab → (source, term)-keyed partial aggregation bounded by
+    * |sources|·(topV+1) rows; the global distribution reduces from the
+    * same table. One corpus scan. */
+  def sourceDivergence(docs: DataFrame, textCol: String, sourceCol: String,
+      topV: Int = 500): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1: $topV")
+    val toks = docs
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc).limit(topV)
+      .select(col("term")).withColumn("__in", lit(1))
+    val bucketed = toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("source"),
+        when(col("__in").isNotNull, col("term")).otherwise(lit("")).as("t"))
+    val perSource = bucketed.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("cs"))
+    val totals = perSource.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ts"))
+    val global = perSource.groupBy(col("t"))
+      .agg(sum(col("cs")).as("cg"))
+    val grand = global.agg(sum(col("cg")).as("tg"))
+    val p = col("cs").cast("double") / col("ts")
+    val q = col("cg").cast("double") / col("tg")
+    perSource
+      .join(broadcast(totals), Seq("source"))
+      .join(broadcast(global), Seq("t"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).cast("long").as("n_tokens"),
+        // clamp: KL >= 0 mathematically; summation noise on a
+        // near-identical source could land at -1e-17
+        greatest(sum(p * log(p / q)), lit(0.0)).as("kl_nats"))
+  }
+
   /** Per-source boilerplate detector over the DOCUMENT HEAD: groups
     * documents by a normalized head fingerprint (first `headChars` chars
     * of the lowercased, whitespace-collapsed text — the scraper-template

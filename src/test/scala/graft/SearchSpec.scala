@@ -536,6 +536,36 @@ class SearchSpec extends SparkSpecBase {
     assert(out("fr") == ((5L, 2L, 0.4)))
   }
 
+  test("sourceDivergence: KL vs the corpus distribution, OTHER bucket folds tail") {
+    val docs = Seq(("A", "x y"), ("B", "x y"), ("C", "z w z w"))
+      .toDF("source", "text")
+    val out = graft.operators.CorpusStats
+      .sourceDivergence(docs, "text", "source", topV = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // global = uniform over {x,y,z,w}; A/B at {x:.5,y:.5}, C at {z:.5,w:.5}
+    // -> every source's KL = ln 2
+    assert(out("A")._1 == 2L && math.abs(out("A")._2 - math.log(2)) < 1e-9)
+    assert(math.abs(out("C")._2 - math.log(2)) < 1e-9)
+    // single source == the corpus -> KL exactly 0 (clamped against noise)
+    val solo = Seq(("A", "x y z")).toDF("source", "text")
+    val s = graft.operators.CorpusStats
+      .sourceDivergence(solo, "text", "source").collect().head
+    assert(s.getDouble(2) == 0.0)
+    // topV = 1: everything but the top token folds into OTHER, and a
+    // source matching the global mix still lands at 0
+    val t1 = graft.operators.CorpusStats
+      .sourceDivergence(docs, "text", "source", topV = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // vocab = {w}? top-1 by (count desc, term asc): counts x:2,y:2,z:2,w:2
+    // -> 'w' wins the tie ascending? no: term ASC on equal counts -> 'w'
+    // loses to 'x'? ascending order picks the SMALLEST term: 'w' < 'x'
+    // -> vocab = {w}. A/B: all OTHER; C: {w:.5, OTHER:.5}
+    // global: w 2/8, OTHER 6/8. KL_A = 1*ln(1/0.75); KL_C = .5ln(.5/.25)+.5ln(.5/.75)
+    assert(math.abs(t1("A") - math.log(1 / 0.75)) < 1e-9)
+    assert(math.abs(t1("C") - (0.5 * math.log(2.0) +
+      0.5 * math.log(0.5 / 0.75))) < 1e-9)
+  }
+
   test("rbo: identical lists give 1 - p^k (ext = 1); disjoint give 0") {
     import graft.operators.Search
     val l = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
