@@ -289,6 +289,16 @@ object Bench {
           Some("\"" + qk(k) + "\":\"" + rebaseline(qk(k)) + "\"")
         else None
       }.mkString("{", ",", "}")
+      // markers whose query FAILED this round (cur = -1) were not consumed
+      // (the stored best stayed at the old unreachable floor) — write them
+      // back under "rebaseline" so the next successful full run can
+      // consume them instead of dropping the marker and flagging forever
+      val consumed = results.collect {
+        case (k, v) if v > 0 && rebaseline.contains(qk(k)) => qk(k)
+      }.toSet
+      val carriedJson = (rebaseline -- consumed).map { case (q, why) =>
+        "\"" + q + "\":\"" + why + "\""
+      }.mkString("{", ",", "}")
       val bestMs = results.map { case (k, _) => "\"" + qk(k) + "\":" + ms(best(qk(k))) }
         .mkString("{", ",", "}")
       val bestSec = results.map { case (k, _) =>
@@ -309,10 +319,11 @@ object Bench {
         "\"" + qk(k) + "\":" + gcOfMin.getOrElse(k, 0L)
       }.mkString("{", ",", "}")
       // "rebaselined" records markers THIS run consumed (audit trail);
-      // no "rebaseline" key is written back — the marker is one-shot
+      // "rebaseline" carries forward only UNCONSUMED markers (failed
+      // measurement this round) — a consumed marker stays one-shot
       val fw = new java.io.PrintWriter(prevFile)
       try fw.println(
-        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","calib_ms":$calibMs,"regressions":$regJson,"rebaselined":$rebasedJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose,"last_run_gc_ms":$gcJson}""")
+        s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","calib_ms":$calibMs,"regressions":$regJson,"rebaseline":$carriedJson,"rebaselined":$rebasedJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose,"last_run_gc_ms":$gcJson}""")
       finally fw.close()
     }
 

@@ -43,7 +43,12 @@ object BenchScale {
     "q176_attribution_left_stream", "q26_simhash_pairs",
     "q31_embedding_neardup", "q67_attribution_stream", "q20_ngram_jaccard",
     "q154_profile_batched", "q216_bpe_fertility", "q142_fuzzy_join",
-    "q17_profile_stats")
+    "q17_profile_stats",
+    // round-11 statistics additions — the expensive new shapes (the KS
+    // battery, the two value-keyed rank joins, the chained cumsums) plus
+    // the ×200 resampling explode pair
+    "q238_ks_fdr", "q232_spearman", "q235_km_survival",
+    "q245_source_divergence", "q242_permutation_test", "q243_bootstrap_ci")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation
@@ -83,6 +88,11 @@ object BenchScale {
       reps.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+    // completion manifest: the skip-guard keys on THIS file, so a run
+    // killed mid-materialize (some tables written, some missing/stale)
+    // rebuilds everything instead of silently benching a partial set
+    val fw = new java.io.PrintWriter(s"$outDir/_GRAFT_MATERIALIZED")
+    try fw.println(s"factor=$factor src=$srcDir") finally fw.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,7 +110,7 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    if (!new java.io.File(s"$outDir/_GRAFT_MATERIALIZED").exists()) {
       System.err.println(s"[bench-sf1] materializing ${factor}x of $srcDir -> $outDir")
       materialize(spark, srcDir, outDir, factor)
     }
@@ -173,6 +183,13 @@ object BenchScale {
           spark.read.parquet(s"$outDir/embeddings.parquet"),
           "vec_id", "embedding", dim = 64, threshold = 0.4,
           numBits = 32, numBands = 16, maxBucket = Some(64L))
+      },
+      runCapped("q142_capped") { // q142's exact parameters + maxBlock
+        graft.operators.Linkage.fuzzyDedupPairs(
+          spark.read.parquet(s"$outDir/customer.parquet"),
+          "c_custkey", "c_name",
+          blocker = graft.operators.Linkage.prefixBlocker(16),
+          maxDistance = 1, maxBlock = Some(64L))
       })
     val total = results.map(_._2).filter(_ >= 0).sum
     val qjson = (results.map { case (n, v) =>

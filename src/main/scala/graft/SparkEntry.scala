@@ -2125,6 +2125,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- hot-block-capped fuzzy self-linkage (Linkage.maxBlock) ----------
+    // the oracle-pinned member of the hot-cap family: the 6-char p_name
+    // prefix gives naturally skewed blocks (21..269 members at sf0.01) and
+    // maxBlock=64 drops the five hottest WHOLE — DuckDB replays the block-
+    // size filter itself, so drop-whole-blocks-only is hash-checked, not
+    // just spec-asserted. (simhashNearDup's maxBucket shares this exact
+    // code shape but its xxhash64 chunk buckets are not computable in SQL;
+    // DedupSpec pins that variant at unit level.)
+    "q246_linkage_capped" -> ((s, dir) => {
+      Linkage.fuzzyDedupPairs(read(s, dir, "part"), "p_partkey", "p_name",
+          blocker = Linkage.prefixBlocker(6), maxDistance = 1,
+          maxBlock = Some(64L))
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .gateOrdered(col("id_a"), col("id_b"))
+    }),
+
     // ---- CUPED variance reduction (Drift) ---------------------------------
     // per-user week-1 activity as the pre-period covariate for the
     // rest-of-month activity metric; one co-moment aggregation pass
@@ -6020,16 +6036,20 @@ object SparkEntry {
            (s.pstar IS NOT NULL AND pv <= s.pstar) AS rejected
          FROM p, s ORDER BY grp""",
     // pooled-variance z + Wilson score intervals with the shared
-    // z-critical literal 1.959963984540054 on both engines
+    // z-critical literal 1.959963984540054 on both engines; the
+    // event_type IS NOT NULL predicate mirrors Spark's complete-case
+    // filter (proportionZTest drops NULL successCol rows from n)
     "q239_proportion_z" ->
       """WITH sa AS (SELECT count(*)::BIGINT AS n_a,
                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
                     AS k_a
-                FROM events WHERE ts::DATE < DATE '2024-01-08'),
+                FROM events WHERE ts::DATE < DATE '2024-01-08'
+                  AND event_type IS NOT NULL),
          sb AS (SELECT count(*)::BIGINT AS n_b,
                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
                     AS k_b
-                FROM events WHERE ts::DATE >= DATE '2024-01-08'),
+                FROM events WHERE ts::DATE >= DATE '2024-01-08'
+                  AND event_type IS NOT NULL),
          c AS (SELECT n_a, k_a, n_b, k_b,
                  k_a / n_a::DOUBLE AS pa, k_b / n_b::DOUBLE AS pb,
                  (k_a + k_b) / (n_a + n_b)::DOUBLE AS pool,
@@ -6075,6 +6095,20 @@ object SparkEntry {
                  ELSE (k + a) / (n + a + b) END, 6) + 0.0 AS shrunk_rate,
            round(a, 4) + 0.0 AS alpha, round(b, 4) + 0.0 AS beta
          FROM r, pr ORDER BY source""",
+    // hot-block cap replayed natively: per-prefix block sizes, blocks over
+    // 64 drop whole BEFORE the self-join, survivors link at levenshtein<=1
+    "q246_linkage_capped" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS key,
+                  substring(p_name, 1, 6) AS b FROM part),
+         sz AS (SELECT b, count(*) AS c FROM p GROUP BY 1),
+         small AS (SELECT b FROM sz WHERE c <= 64)
+         SELECT a.id AS id_a, x.id AS id_b,
+                levenshtein(a.key, x.key) AS dist
+         FROM p a JOIN p x ON a.b = x.b AND a.id < x.id
+         JOIN small s ON s.b = a.b
+         WHERE abs(len(a.key) - len(x.key)) <= 1
+           AND levenshtein(a.key, x.key) <= 1
+         ORDER BY id_a, id_b""",
     // same q72-convention tokenizer; OTHER bucket keyed by '' (impossible
     // as a real token), global support contains every source's support
     "q245_source_divergence" ->
@@ -6146,7 +6180,10 @@ object SparkEntry {
          SELECT st.n, round(st.mean, 6) + 0.0 AS mean, 200 AS boot_reps,
            round(ci.lo, 6) + 0.0 AS ci_lo, round(ci.hi, 6) + 0.0 AS ci_hi
          FROM st, ci""",
-    // identical md5 relabeling per (seed, perm, side, id); integer-valued
+    // identical md5 relabeling per (seed, perm, side, id), coin WEIGHTED
+    // at n_a/(n_a+n_b) (unconditional randomization conditioning on the
+    // observed imbalance in expectation); u = hex8/2^32 exactly as q243,
+    // so both engines compare the identical exact double. Integer-valued
     // n_chars makes every group mean bit-exact, so the >= count can never
     // sit on a float boundary; add-one p estimator
     "q242_permutation_test" ->
@@ -6163,8 +6200,9 @@ object SparkEntry {
                  sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
                FROM comb),
          asg AS (SELECT p, v,
-                   substring(md5('pt:' || p || ':' || side || ':' || id), 1, 1)
-                     < '8' AS g
+                   ('0x' || substr(md5('pt:' || p || ':' || side || ':' || id),
+                      1, 8))::UBIGINT / 4294967296.0
+                     < (SELECT n_a::DOUBLE / (n_a + n_b)::DOUBLE FROM obs) AS g
                  FROM comb, range(1, 201) t(p)),
          st AS (SELECT p, abs(avg(CASE WHEN g THEN v END)
                   - avg(CASE WHEN NOT g THEN v END)) AS s

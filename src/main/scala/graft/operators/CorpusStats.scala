@@ -610,20 +610,41 @@ object CorpusStats {
     // tolerates double rounding)
     val cD = col("c").cast("double"); val mD = col("m").cast("double")
     val bD = col("before").cast("double")
-    val agg = cum.agg(
+    // Execute the one-row aggregate BEFORE releasing the cumsum blocks and
+    // build the result from literals: returning a plan over `cum` after
+    // release would hit unpersisted, unrecomputable blocks whenever the
+    // input plan is nondeterministic (sample()/rand-derived frames freeze
+    // a localCheckpoint whose lineage is cut) — the mannWhitneyU pattern.
+    val row = cum.agg(
       sum(col("c") * col("m")).cast("long").as("_t"),
       sum(cD * (mD * bD + mD * (mD + 1) / 2.0)).as("_s"),
       sum(mD * cD * cD).as("_q"),
       max(col("c")).cast("long").as("_max"))
+      .head()
     graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
-    agg.select(
-      col("_t").as("n_rows"),
-      lit(nKeys).as("n_keys"),
-      when(lit(nKeys) > 1,
-        lit(2.0) * col("_s") / (lit(nKeys.toDouble) * col("_t")) -
-          (lit(nKeys + 1).cast("double") / nKeys.toDouble)).as("gini"),
-      (col("_q") / (col("_t") * col("_t"))).as("hhi"),
-      (col("_max").cast("double") / col("_t")).as("top_share"))
+    val spark = df.sparkSession
+    if (row.isNullAt(0)) {
+      // empty input: NULL row (n_keys 0), same shape as before
+      return spark.range(1).select(
+        lit(null).cast("long").as("n_rows"), lit(nKeys).as("n_keys"),
+        lit(null).cast("double").as("gini"),
+        lit(null).cast("double").as("hhi"),
+        lit(null).cast("double").as("top_share"))
+    }
+    val t = row.getLong(0); val s = row.getDouble(1); val q = row.getDouble(2)
+    val mx = row.getLong(3)
+    // same arithmetic order as the previous in-plan expressions (gini's
+    // 2s/(k·t) − (k+1)/k; hhi in double to dodge long t² overflow at
+    // billions of rows)
+    val gini: java.lang.Double =
+      if (nKeys > 1) 2.0 * s / (nKeys.toDouble * t.toDouble) -
+        (nKeys + 1).toDouble / nKeys.toDouble
+      else null
+    spark.range(1).select(
+      lit(t).as("n_rows"), lit(nKeys).as("n_keys"),
+      lit(gini).cast("double").as("gini"),
+      lit(q / (t.toDouble * t.toDouble)).as("hhi"),
+      lit(mx.toDouble / t.toDouble).as("top_share"))
   }
 
   /** Out-of-vocabulary rate per language against a reference vocabulary —

@@ -46,17 +46,41 @@ object Linkage {
     * second pass with an independent blocker (e.g. soundex, or a suffix)
     * and union the results for multi-blocker recall, as record-linkage
     * practice does.
+    *
+    * `maxBlock`: the hot-block analogue of
+    * [[graft.operators.Dedup.simhashNearDup]]'s `maxBucket` — a block
+    * with l left members and r right members contributes l·r candidate
+    * pairs, and on replica-heavy keys the hottest block goes quadratic
+    * (the sf1 bench measured the uncapped q142 join 2× super-linear).
+    * Blocks whose COMBINED member count (left + right) exceeds the cap
+    * drop whole BEFORE the pair join — a recall cap, never a precision
+    * risk (every emitted pair still passes the exact edit-distance
+    * verification); candidate pairs per surviving block are ≤ cap²/4.
+    * [[sortedNeighborhoodPairs]] is the no-blowup alternative when the
+    * dropped blocks matter.
     */
   def fuzzyJoin(
       left: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       blocker: Column => Column,
-      maxDistance: Int = 1): DataFrame = {
+      maxDistance: Int = 1,
+      maxBlock: Option[Long] = None): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
-    val l = left.select(col(leftId).as("left_id"), col(leftKey).as("left_key"),
+    maxBlock.foreach(c => require(c >= 2, s"maxBlock must be >= 2: $c"))
+    val l0 = left.select(col(leftId).as("left_id"), col(leftKey).as("left_key"),
       blocker(col(leftKey)).as("__block"))
-    val r = right.select(col(rightId).as("right_id"), col(rightKey).as("right_key"),
+    val r0 = right.select(col(rightId).as("right_id"), col(rightKey).as("right_key"),
       blocker(col(rightKey)).as("__block"))
+    // hot-block cap: per-block sizes derive from the same __block-keyed
+    // exchange the pair join shuffles on, so AQE reuses it
+    val (l, r) = maxBlock.fold((l0, r0)) { cap =>
+      val small = l0.select(col("__block"))
+        .unionAll(r0.select(col("__block")))
+        .groupBy(col("__block")).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select(col("__block"))
+      (l0.join(small, Seq("__block")), r0.join(small, Seq("__block")))
+    }
     // Shape note: the cheap prunes (length band) ride in the join
     // condition, but the thresholded levenshtein is computed ONCE in a
     // post-join projection and filtered on the projected column. Folding
@@ -74,16 +98,26 @@ object Linkage {
   /** Self-linkage: distinct unordered pairs of rows of one table whose keys
     * are within `maxDistance` edits, `id_a < id_b`. Output:
     * `(id_a, id_b, key_a, key_b, dist)`. Same blocking/prune/threshold
-    * mechanics as [[fuzzyJoin]]. */
+    * mechanics as [[fuzzyJoin]], including the `maxBlock` hot-block cap
+    * (here block size = member count; blocks over the cap drop whole
+    * before the self-join — recall cap, precision intact). */
   def fuzzyDedupPairs(
       df: DataFrame, idCol: String, keyCol: String,
       blocker: Column => Column,
-      maxDistance: Int = 1): DataFrame = {
+      maxDistance: Int = 1,
+      maxBlock: Option[Long] = None): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
-    val a = df.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+    maxBlock.foreach(c => require(c >= 2, s"maxBlock must be >= 2: $c"))
+    val a0 = df.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
       blocker(col(keyCol)).as("__block"))
-    val b = df.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+    val b0 = df.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
       blocker(col(keyCol)).as("__block"))
+    val (a, b) = maxBlock.fold((a0, b0)) { cap =>
+      val small = a0.groupBy(col("__block")).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select(col("__block"))
+      (a0.join(small, Seq("__block")), b0.join(small, Seq("__block")))
+    }
     // Same single-evaluation shape as [[fuzzyJoin]]: id ordering + length
     // band prune in the join condition, levenshtein once in the projection.
     a.join(b, Seq("__block"))

@@ -358,17 +358,25 @@ object Drift {
     val ks = ksByGroup(a, b, groupCol, column)
     val ne = col("n_a").cast("double") * col("n_b") /
       (col("n_a") + col("n_b"))
+    // The battery table is GROUP-bounded (one row per group), so persist
+    // IT — both the BH threshold below and the returned frame then read
+    // the expensive two-sided join-plus-battery lineage exactly once. The
+    // persist rides the internal registry: the harness's post-consume
+    // releaseCheckpointBlocks / clearCache drops it (the same
+    // caller-unpersist contract as the dedup kernel bases).
     val withP = ks.withColumn("p_value",
       ksPValue(sqrt(ne) * col("ks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     // BH step-up over the m group p-values: distinct-p counts + inclusive
-    // cumulative rank (= BH's largest-index-in-tie convention). The p
-    // table's LINEAGE is the whole battery, so the cumsum keeps its
-    // default cache (the battery evaluates once for the threshold), the
-    // one-row p* collects to the driver, and the cache releases eagerly —
-    // the returned frame re-evaluates the battery exactly once more.
+    // cumulative rank (= BH's largest-index-in-tie convention). byP is a
+    // cheap agg over the PERSISTED battery, so the cumsum skips its own
+    // input cache; the one-row p* collects to the driver and the cumsum
+    // blocks release eagerly.
     val byP = withP.groupBy(col("p_value")).agg(count(lit(1)).as("__c"))
     val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
-      byP, col("p_value"), Seq("__c"), Seq("__below"))
+      byP, col("p_value"), Seq("__c"), Seq("__below"),
+      persistInput = false)
     val m = grand.head
     val pstarRow = cum
       .withColumn("__rank", col("__below") + col("__c"))
@@ -376,20 +384,30 @@ object Drift {
         (col("__rank").cast("double") * alpha / m), col("p_value")))
         .as("__pstar"))
       .head()
-    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    // no cumsum release here: with persistInput=false on a deterministic
+    // plan the cumsum pins nothing, and cum's lineage CONTAINS the
+    // registered withP persist — releasing through it would drop the very
+    // cache the returned frame exists to reuse
     val rejected =
       if (pstarRow.isNullAt(0)) lit(false)
       else col("p_value") <= lit(pstarRow.getDouble(0))
     withP.withColumn("rejected", rejected)
   }
 
-  /** Distributed randomization (permutation) test for a mean difference —
-    * the assumption-free significance test: no normality, no variance
+  /** Distributed randomization test for a mean difference — the
+    * assumption-free significance test: no normality, no variance
     * formula, just "how often does a random relabeling of the combined
     * sample produce a gap this large?". The relabeling is md5-SEEDED per
     * (seed, permutation, side, id) — fully deterministic, so any engine
     * reproduces the identical null distribution (no RNG state, the
-    * [[graft.operators.Sampling]] convention). One row out: `(n_a, n_b,
+    * [[graft.operators.Sampling]] convention). Each row relabels to group
+    * "a" independently with probability nₐ/(nₐ+n_b) — an UNCONDITIONAL
+    * randomization test whose expected split matches the observed design
+    * (asymptotically the permutation null; a fair 1/2 coin would shrink
+    * the null variance on unbalanced designs and go anti-conservative).
+    * Exact-permutation semantics (group sizes fixed per relabeling) are
+    * not expressible as a streamable per-row decision; the binomial size
+    * wobble is O(1/√n) and vanishes at corpus scale. One row out: `(n_a, n_b,
     * observed, n_perms, n_ge, p_value)` with the add-one estimator
     * `p = (1 + #{perm : stat ≥ observed}) / (nPerms + 1)`. Stats compare
     * after a shared 9-dp round so a float-noise tie cannot flip the count
@@ -423,9 +441,22 @@ object Drift {
         lit(null).cast("double").as("p_value"))
     }
     val observed = math.abs(obsRow.getDouble(0) - obsRow.getDouble(1))
-    val bit = substring(md5(concat(lit(s"$seed:"),
+    // Relabeling coin WEIGHTED by the observed group sizes: a classic
+    // permutation test conditions on the nₐ:n_b split, and an unbalanced
+    // design (90:10) relabeled by a fair coin draws its null stats from
+    // ~50:50 splits — the tightest-possible null variance, so p-values go
+    // anti-conservative exactly when the design is unbalanced. Drawing
+    // label "a" with probability nₐ/(nₐ+n_b) keeps the EXPECTED split at
+    // the observed one (the asymptotically-correct randomization null).
+    // Group sizes still vary binomially across relabelings — an
+    // unconditional randomization test, not an exact permutation (stated
+    // in the operator doc). u = first-8-hex-chars / 2^32, the q243
+    // convention; both engines compare the identical exact double.
+    val thresh = na.toDouble / (na + nb).toDouble
+    val bit = conv(substring(md5(concat(lit(s"$seed:"),
       col("perm").cast("string"), lit(":"), col("side"), lit(":"),
-      col("id"))), 1, 1) < "8"
+      col("id"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0) < lit(thresh)
     val stats = comb
       .select(col("v"),
         explode(sequence(lit(1), lit(nPerms))).as("perm"),

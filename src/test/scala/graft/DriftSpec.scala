@@ -192,6 +192,46 @@ class DriftSpec extends SparkSpecBase {
       s"identical group must not reject: ${rows("g2")}")
   }
 
+  test("ksByGroupFdr: the returned frame reads the persisted battery once") {
+    val a = (1 to 20).map(i => ("g1", i.toDouble)).toDF("g", "v")
+    val b = (1 to 20).map(i => ("g1", i.toDouble)).toDF("g", "v")
+    val out = Drift.ksByGroupFdr(a, b, "g", "v")
+    // structural collect on the pre-AQE plan: InMemoryTableScanExec has no
+    // children, so any Join NODE here would be a battery re-evaluation
+    // OUTSIDE the cache (the cached relation's internal plan is not
+    // traversed)
+    val p = out.queryExecution.sparkPlan
+    assert(p.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }.nonEmpty,
+      s"returned frame must read the persisted battery:\n$p")
+    assert(p.collect {
+      case j if j.nodeName.contains("Join") => j }.isEmpty,
+      s"no battery re-evaluation in the returned plan:\n$p")
+    graft.ops.ScaleOps.releaseCheckpointBlocks(out)
+  }
+
+  test("permutation coin conditions on a 9:1 design (empirical level holds)") {
+    // two samples DRAWN FROM THE SAME distribution, sizes 90 and 10: a
+    // fair 1/2 coin would relabel to ~50:50 splits whose null stats are
+    // too tight, inflating rejections. With the n_a/(n_a+n_b)-weighted
+    // coin the add-one p-value is near-uniform: at a true null, p below
+    // 0.10 should be rare across these deterministic relabelings.
+    val vals = (1 to 100).map(i => (i * 37 % 101).toDouble) // fixed scramble
+    val a = (1 to 90).map(i => (i.toLong, vals(i - 1))).toDF("id", "v")
+    val bb = (91 to 100).map(i => (i.toLong, vals(i - 1))).toDF("id", "v")
+    val r = Drift.permutationTestMeanDiff(a, bb, "id", "v", nPerms = 200)
+      .collect().head
+    assert(r.getLong(0) == 90L && r.getLong(1) == 10L)
+    assert(r.getDouble(5) > 0.10,
+      s"null 9:1 design must not reject, p = ${r.getDouble(5)}")
+    // and a genuinely shifted 9:1 design still rejects
+    val hi = (91 to 100).map(i => (i.toLong, vals(i - 1) + 500.0)).toDF("id", "v")
+    val s = Drift.permutationTestMeanDiff(a, hi, "id", "v", nPerms = 200)
+      .collect().head
+    assert(s.getDouble(5) < 0.05,
+      s"shifted 9:1 design must reject, p = ${s.getDouble(5)}")
+  }
+
   test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
     val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
     val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")

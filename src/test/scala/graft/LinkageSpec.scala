@@ -81,6 +81,36 @@ class LinkageSpec extends SparkSpecBase {
     assert(out == Set((1L, 2L, 2)))
   }
 
+  test("maxBlock drops hot blocks whole; small blocks survive untouched") {
+    // block "acme" has 4 members (hot), block "zeni" has 2 (small)
+    val df = catalog.unionByName(Seq((6L, "zenith ltd.")).toDF("id", "name"))
+    val capped = Linkage.fuzzyDedupPairs(df, "id", "name",
+        blocker = Linkage.prefixBlocker(4), maxDistance = 1,
+        maxBlock = Some(3L))
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // the whole acme block (4 > 3) drops — NO partial survival — while the
+    // zenith pair (2 <= 3) still links at distance 1
+    assert(capped == Set((5L, 6L, 1)), s"got $capped")
+    // uncapped keeps everything (default None path unchanged)
+    val full = Linkage.fuzzyDedupPairs(df, "id", "name",
+        blocker = Linkage.prefixBlocker(4), maxDistance = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (5L, 6L)))
+  }
+
+  test("fuzzyJoin maxBlock caps on the COMBINED left+right block size") {
+    val dirty = Seq((10L, "acme c0rp"), (11L, "acme inc"), (12L, "zenith ltd"))
+      .toDF("rid", "rname")
+    // block "acme": 4 left + 2 right = 6 members; "zeni": 1 + 1 = 2.
+    // cap 5 drops the acme block whole, keeps the zenith link
+    val out = Linkage.fuzzyJoin(catalog, "id", "name", dirty, "rid", "rname",
+        blocker = Linkage.prefixBlocker(4), maxDistance = 1,
+        maxBlock = Some(5L))
+      .select("left_id", "right_id", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(out == Set((5L, 12L, 0)), s"got $out")
+  }
+
   test("length prune never drops a legal pair (|len diff| <= cap matches kept)") {
     // insertion-only pair at exactly the cap: must survive the prune
     val out = Linkage.fuzzyDedupPairs(

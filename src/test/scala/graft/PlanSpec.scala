@@ -556,7 +556,9 @@ class PlanSpec extends SparkSpecBase {
       "q95_zipf_fit" -> 1,
       // same block-table cumsum as q47 (packing stats)
       "q96_packing_stats" -> 1,
-      // rank over each 20-row post-limit term ranking (two rankings)
+      // rank over each 20-row post-limit term ranking (two rankings) —
+      // the post-limit shape is machine-checked by the dedicated q234
+      // window-above-TakeOrdered test below
       "q234_rbo" -> 2)
     val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // sparkPlan (pre-AQE): WindowExec nodes are visible without running
@@ -572,6 +574,26 @@ class PlanSpec extends SparkSpecBase {
       s"global-window set changed.\n  new/changed: ${(found.toSet -- allowed.toSet).toSeq.sorted}" +
         s"\n  missing:     ${(allowed.toSet -- found.toSet).toSeq.sorted}\n" +
         "Every entry needs a boundedness argument in this allowlist.")
+  }
+
+  test("q234 ranking windows run ABOVE the top-20 limit, never on the vocab") {
+    // each row_number window's immediate child must be the
+    // TakeOrderedAndProject that cuts the data-sized term-count table to
+    // 20 rows — the window input is the LIMITED table by plan shape, not
+    // by allowlist trust
+    val p = SparkEntry.queries("q234_rbo")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected the two ranking windows:\n$p")
+    windows.foreach { w =>
+      assert(w.child.isInstanceOf[
+          org.apache.spark.sql.execution.TakeOrderedAndProjectExec],
+        s"window must sit directly above the top-k limit:\n${w.treeString}")
+      assert(w.child.asInstanceOf[
+          org.apache.spark.sql.execution.TakeOrderedAndProjectExec].limit == 20)
+    }
   }
 
   test("random projection is a pure scan projection — no exchange, no UDF") {
