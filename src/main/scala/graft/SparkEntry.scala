@@ -2141,6 +2141,153 @@ object SparkEntry {
         .gateOrdered(col("id_a"), col("id_b"))
     }),
 
+    // ---- Welch two-sample t (Drift) ---------------------------------------
+    // unequal-variance mean comparison of en vs de doc lengths; exact
+    // integer moments -> identical closed-form t/df/d on both engines
+    "q247_welch_ttest" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.welchTTest(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("t"), 6) + lit(0.0)).as("t"),
+          (round(col("df"), 6) + lit(0.0)).as("df"),
+          (round(col("cohens_d"), 6) + lit(0.0)).as("cohens_d"))
+    }),
+
+    // ---- one-way ANOVA F across languages (Drift) -------------------------
+    // k-group mean comparison of doc lengths by lang; moment-identity sums
+    // of squares (ss rounded at 2dp: the 1e10-magnitude sums carry ~1e-5
+    // cross-engine summation-order noise)
+    "q248_anova" -> ((s, dir) => {
+      Drift.anovaF(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("ss_between"), 2) + lit(0.0)).as("ss_between"),
+          (round(col("ss_within"), 2) + lit(0.0)).as("ss_within"),
+          (round(col("f"), 6) + lit(0.0)).as("f"))
+    }),
+
+    // ---- Kruskal-Wallis H across languages (Drift) -------------------------
+    // the rank-based ANOVA sibling; avg ranks via the shared cumsum, H at
+    // 4dp (rank-sum squares cross 2^53, the division noise sits ~1e-7)
+    "q249_kruskal" -> ((s, dir) => {
+      Drift.kruskalWallis(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("h"), 4) + lit(0.0)).as("h"),
+          (round(col("tie_correction"), 9) + lit(0.0)).as("tie_correction"))
+    }),
+
+    // ---- Theil's uncertainty coefficient lang<->source (Association) ------
+    // the ASYMMETRIC association: how much of lang does source explain,
+    // and vice versa — directions differ, unlike q223's Cramer's V
+    "q250_uncertainty" -> ((s, dir) => {
+      graft.profile.Association
+        .uncertaintyCoefficient(read(s, dir, "documents"), "lang", "source")
+        .select(col("n"),
+          (round(col("h_a"), 6) + lit(0.0)).as("h_a"),
+          (round(col("h_b"), 6) + lit(0.0)).as("h_b"),
+          (round(col("mi"), 6) + lit(0.0)).as("mi"),
+          (round(col("u_a_given_b"), 6) + lit(0.0)).as("u_a_given_b"),
+          (round(col("u_b_given_a"), 6) + lit(0.0)).as("u_b_given_a"))
+    }),
+
+    // ---- Cohen's kappa: stored lang vs heuristic lang-id (Association) ----
+    // chance-corrected agreement between the corpus label and the q27
+    // stopword-share predictor — the labeler-audit primitive; both engines
+    // replay the identical argmax (ties break to the max language code)
+    "q251_kappa" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+      graft.profile.Association.cohenKappa(docs, "lang", "pred")
+        .select(col("n"),
+          (round(col("po"), 6) + lit(0.0)).as("po"),
+          (round(col("pe"), 6) + lit(0.0)).as("pe"),
+          (round(col("kappa"), 6) + lit(0.0)).as("kappa"))
+    }),
+
+    // ---- Chao1 + Good-Turing vocabulary richness (CorpusStats) ------------
+    // unseen-vocabulary estimators from the term frequency-of-frequencies
+    "q252_vocab_richness" -> ((s, dir) => {
+      CorpusStats.vocabRichness(read(s, dir, "documents"), "text")
+        .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+          (round(col("chao1"), 4) + lit(0.0)).as("chao1"),
+          (round(col("gt_unseen_mass"), 6) + lit(0.0)).as("gt_unseen_mass"))
+    }),
+
+    // ---- Hill tail-index of the term-frequency law (CorpusStats) ----------
+    // the heavy-tail exponent from the top-50 order statistics
+    "q253_hill_tail" -> ((s, dir) => {
+      // k = 20: the synthetic corpus draws from a ~31-term pool, so the
+      // estimator needs k + 1 <= vocabulary
+      CorpusStats.hillTailIndex(read(s, dir, "documents"), "text", k = 20)
+        .select(col("k"), col("x_tail"),
+          (round(col("alpha"), 6) + lit(0.0)).as("alpha"))
+    }),
+
+    // ---- CUSUM changepoint in daily event rate (Drift) --------------------
+    // the at-most-one-change level-shift estimator; integer-exact scaled
+    // CUSUM so the argmax day can never flip on float noise
+    "q254_cusum" -> ((s, dir) => {
+      Drift.cusumChangepoint(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+        .select(col("n_days"), col("change_day"),
+          (round(col("cusum_max"), 6) + lit(0.0)).as("cusum_max"),
+          (round(col("rate_before"), 6) + lit(0.0)).as("rate_before"),
+          (round(col("rate_after"), 6) + lit(0.0)).as("rate_after"))
+    }),
+
+    // ---- TV / Hellinger / chi2 distance battery (Drift) -------------------
+    // event-type mix shift between the first week and the rest — the
+    // metrics panel sibling of q230's JS divergence
+    "q255_dist_distance" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val cut = lit("2024-01-08").cast("date")
+      Drift.distributionDistances(
+          ev.filter(to_date(col("ts")) < cut),
+          ev.filter(to_date(col("ts")) >= cut), "event_type")
+        .select(col("n_a"), col("n_b"), col("k"),
+          (round(col("tv"), 6) + lit(0.0)).as("tv"),
+          (round(col("hellinger"), 6) + lit(0.0)).as("hellinger"),
+          (round(col("chi2_sym"), 6) + lit(0.0)).as("chi2_sym"))
+    }),
+
+    // ---- gains/lift decile table for the trained classifier (LinearModel) -
+    // rank-ordered positive capture per decile; tie blocks never split, so
+    // the bin assignment is integer-exact on both engines
+    "q256_lift_table" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.liftTable(scored, bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          (round(col("pos_rate"), 6) + lit(0.0)).as("pos_rate"),
+          col("cum_n"), col("cum_pos"),
+          (round(col("gain"), 6) + lit(0.0)).as("gain"),
+          (round(col("lift"), 6) + lit(0.0)).as("lift"))
+        .gateOrdered(col("bin"))
+    }),
+
+    // ---- per-source lexical diversity: TTR + hapax share (CorpusStats) ----
+    "q257_lexical_diversity" -> ((s, dir) => {
+      CorpusStats.lexicalDiversity(read(s, dir, "documents"), "text", "source")
+        .select(col("group").as("source"), col("n_tokens"), col("n_types"),
+          (round(col("ttr"), 6) + lit(0.0)).as("ttr"),
+          (round(col("hapax_rate"), 6) + lit(0.0)).as("hapax_rate"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- term burstiness: Fisher dispersion of top terms (CorpusStats) ----
+    // variance-to-mean of per-doc counts, zeros in closed form
+    "q258_burstiness" -> ((s, dir) => {
+      CorpusStats.termBurstiness(read(s, dir, "documents"), "doc_id", "text",
+          k = 20)
+        .select(col("term"), col("total"), col("doc_freq"),
+          (round(col("vmr"), 6) + lit(0.0)).as("vmr"))
+        .gateOrdered(col("total").desc, col("term"))
+    }),
+
     // ---- CUPED variance reduction (Drift) ---------------------------------
     // per-user week-1 activity as the pre-period covariate for the
     // rest-of-month activity metric; one co-moment aggregation pass
@@ -6109,6 +6256,259 @@ object SparkEntry {
          WHERE abs(len(a.key) - len(x.key)) <= 1
            AND levenshtein(a.key, x.key) <= 1
          ORDER BY id_a, id_b""",
+    // exact integer moments -> the identical closed-form Welch t / df /
+    // Cohen's d expression on both engines
+    "q247_welch_ttest" ->
+      """WITH a AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s,
+                  sum(n_chars::DOUBLE * n_chars::DOUBLE) q
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+         b AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s,
+                  sum(n_chars::DOUBLE * n_chars::DOUBLE) q
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL),
+         c AS (SELECT a.n na, b.n nb, a.s / a.n ma, b.s / b.n mb,
+                 (a.q - a.s * a.s / a.n) / (a.n - 1) va,
+                 (b.q - b.s * b.s / b.n) / (b.n - 1) vb
+               FROM a, b),
+         w AS (SELECT na, nb, ma, mb, va, vb, va / na wa, vb / nb wb FROM c)
+         SELECT na AS n_a, nb AS n_b,
+           round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+           round((ma - mb) / sqrt(wa + wb), 6) + 0.0 AS t,
+           round((wa + wb) * (wa + wb)
+             / (wa * wa / (na - 1) + wb * wb / (nb - 1)), 6) + 0.0 AS df,
+           round((ma - mb)
+             / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 6)
+             + 0.0 AS cohens_d
+         FROM w""",
+    // moment-identity sums of squares; 2dp on the 1e10-scale ss values
+    // absorbs cross-engine group-summation order
+    "q248_anova" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT ng, sum(n_chars::DOUBLE) s,
+                  sum(n_chars::DOUBLE * n_chars::DOUBLE) q
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(ng)::BIGINT n, count(*)::BIGINT k,
+                 sum(s * s / ng) sg, sum(s) st, sum(q) qt FROM g)
+         SELECT n, k,
+           round(sg - st * st / n, 2) + 0.0 AS ss_between,
+           round(qt - sg, 2) + 0.0 AS ss_within,
+           round(((sg - st * st / n) / (k - 1)) / ((qt - sg) / (n - k)), 6)
+             + 0.0 AS f
+         FROM t""",
+    // average ranks from the exclusive distinct-value cumsum; the tie mass
+    // rides the group join as (t^2-1)*c (exact); H at 4dp
+    "q249_kruskal" ->
+      """WITH d AS (SELECT lang g, n_chars::DOUBLE v FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         pv AS (SELECT v, count(*)::BIGINT cnt FROM d GROUP BY 1),
+         r AS (SELECT v, cnt, coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS bel
+               FROM pv),
+         rk AS (SELECT v, bel + (cnt + 1) / 2.0 AS ar, cnt::DOUBLE AS t
+                FROM r),
+         gv AS (SELECT g, v, count(*)::BIGINT c FROM d GROUP BY 1, 2),
+         bg AS (SELECT g, sum(c)::BIGINT ng, sum(c * ar) rg,
+                  sum((t * t - 1) * c) tg
+                FROM gv JOIN rk USING (v) GROUP BY g),
+         agg AS (SELECT count(*)::BIGINT k, sum(rg * rg / ng) sr,
+                   sum(tg) tmass FROM bg),
+         nn AS (SELECT count(*)::BIGINT n FROM d)
+         SELECT nn.n, agg.k,
+           round((12.0 / (nn.n::DOUBLE * (nn.n + 1)) * agg.sr
+               - 3.0 * (nn.n + 1))
+             / (1.0 - agg.tmass / (nn.n::DOUBLE * nn.n * nn.n - nn.n)), 4)
+             + 0.0 AS h,
+           round(1.0 - agg.tmass / (nn.n::DOUBLE * nn.n * nn.n - nn.n), 9)
+             + 0.0 AS tie_correction
+         FROM nn, agg""",
+    // entropies over observed cells only (each margin's mass splits across
+    // its cells); U = MI / H per direction
+    "q250_uncertainty" ->
+      """WITH cells AS (SELECT lang::VARCHAR va, source::VARCHAR vb,
+                  count(*)::DOUBLE o
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         ma AS (SELECT va, sum(o) ca FROM cells GROUP BY 1),
+         mb AS (SELECT vb, sum(o) cb FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) n FROM cells),
+         j AS (SELECT o, ca, cb, n FROM cells
+               JOIN ma USING (va) JOIN mb USING (vb) CROSS JOIN t)
+         SELECT max(n)::BIGINT AS n,
+           round(sum(-o / n * ln(ca / n)), 6) + 0.0 AS h_a,
+           round(sum(-o / n * ln(cb / n)), 6) + 0.0 AS h_b,
+           round(sum(o / n * ln(o * n / (ca * cb))), 6) + 0.0 AS mi,
+           (CASE WHEN sum(-o / n * ln(ca / n)) > 0 THEN
+             round(sum(o / n * ln(o * n / (ca * cb)))
+               / sum(-o / n * ln(ca / n)), 6) END) + 0.0 AS u_a_given_b,
+           (CASE WHEN sum(-o / n * ln(cb / n)) > 0 THEN
+             round(sum(o / n * ln(o * n / (ca * cb)))
+               / sum(-o / n * ln(cb / n)), 6) END) + 0.0 AS u_b_given_a
+         FROM j""",
+    // q27's stopword-share language argmax replayed (ties break to the
+    // lexicographically largest code), then the kappa contingency algebra
+    "q251_kappa" -> {
+      val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, words) =>
+        s"len(list_intersect(toks, ${sqlList(words)}))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS s_$lang"
+      }.mkString(",\n             ")
+      val gs = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH t AS (
+           SELECT lang, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         sc AS (SELECT lang, $scoreCols FROM t),
+         pred AS (SELECT lang AS va,
+             CASE WHEN $gs = 0 THEN 'und'
+                  WHEN s_fr = $gs THEN 'fr'
+                  WHEN s_es = $gs THEN 'es'
+                  WHEN s_en = $gs THEN 'en'
+                  ELSE 'de' END AS vb
+           FROM sc),
+         cells AS (SELECT va, vb, count(*)::DOUBLE o FROM pred GROUP BY 1, 2),
+         ma AS (SELECT va, sum(o) ca FROM cells GROUP BY 1),
+         mb AS (SELECT vb, sum(o) cb FROM cells GROUP BY 1),
+         ex AS (SELECT sum(ca * cb) pn FROM ma JOIN mb ON va = vb),
+         ag AS (SELECT sum(o) n,
+                  sum(CASE WHEN va = vb THEN o ELSE 0 END) agree FROM cells)
+         SELECT ag.n::BIGINT AS n,
+           round(ag.agree / ag.n, 6) + 0.0 AS po,
+           round(coalesce(ex.pn, 0) / (ag.n * ag.n), 6) + 0.0 AS pe,
+           (CASE WHEN coalesce(ex.pn, 0) / (ag.n * ag.n) < 1 THEN
+             round((ag.agree / ag.n - coalesce(ex.pn, 0) / (ag.n * ag.n))
+               / (1.0 - coalesce(ex.pn, 0) / (ag.n * ag.n)), 6) END)
+             + 0.0 AS kappa
+         FROM ag, ex"""
+    },
+    // frequency-of-frequencies -> Chao1 + Good-Turing; same q72 tokenizer
+    "q252_vocab_richness" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents),
+         tc AS (SELECT term, count(*)::BIGINT c FROM toks GROUP BY 1),
+         ff AS (SELECT c, count(*)::BIGINT m FROM tc GROUP BY 1),
+         t AS (SELECT sum(c * m)::BIGINT n_tokens, sum(m)::BIGINT n_types,
+                 coalesce(sum(CASE WHEN c = 1 THEN m END), 0)::BIGINT f1,
+                 coalesce(sum(CASE WHEN c = 2 THEN m END), 0)::BIGINT f2
+               FROM ff)
+         SELECT n_tokens, n_types, f1, f2,
+           round(n_types + f1::DOUBLE * (f1 - 1) / (2.0 * (f2 + 1)), 4)
+             + 0.0 AS chao1,
+           (CASE WHEN n_tokens > 0
+             THEN round(f1::DOUBLE / n_tokens, 6) END) + 0.0
+             AS gt_unseen_mass
+         FROM t""",
+    // top-51 counts under (count desc, term asc); boundary ties contribute
+    // ln(1)=0 so the 51-row sum equals the top-50 sum exactly
+    "q253_hill_tail" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents),
+         tc AS (SELECT term, count(*)::BIGINT c FROM toks GROUP BY 1),
+         top AS (SELECT c FROM tc ORDER BY c DESC, term ASC LIMIT 21),
+         t AS (SELECT min(c)::BIGINT xt FROM top),
+         s AS (SELECT sum(ln(c::DOUBLE / t.xt)) ls FROM top, t)
+         SELECT 20 AS k, t.xt AS x_tail,
+           (CASE WHEN s.ls > 0 THEN round(20.0 / s.ls, 6) END) + 0.0 AS alpha
+         FROM t, s""",
+    // integer-exact scaled CUSUM D_t = n*S_t - t*S_total; argmax by
+    // (|D| desc, day asc)
+    "q254_cusum" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT c FROM events
+                WHERE ts IS NOT NULL GROUP BY 1),
+         p AS (SELECT day, c, sum(c) OVER (ORDER BY day) s,
+                 row_number() OVER (ORDER BY day) t FROM d),
+         tot AS (SELECT max(t)::BIGINT n, max(s)::BIGINT tt FROM p),
+         sc AS (SELECT day, s, t, n, tt, n * s - t * tt AS dd FROM p, tot)
+         SELECT n AS n_days, day AS change_day,
+           round(abs(dd)::DOUBLE / n, 6) + 0.0 AS cusum_max,
+           round(s::DOUBLE / t, 6) + 0.0 AS rate_before,
+           (CASE WHEN n > t
+             THEN round((tt - s)::DOUBLE / (n - t), 6) END) + 0.0
+             AS rate_after
+         FROM sc ORDER BY abs(dd) DESC, day ASC LIMIT 1""",
+    // the q230 join shape; three distances over the category union
+    "q255_dist_distance" ->
+      """WITH a AS (SELECT event_type::VARCHAR v, count(*)::BIGINT ca
+                FROM events WHERE ts::DATE < DATE '2024-01-08'
+                  AND event_type IS NOT NULL GROUP BY 1),
+         b AS (SELECT event_type::VARCHAR v, count(*)::BIGINT cb
+                FROM events WHERE ts::DATE >= DATE '2024-01-08'
+                  AND event_type IS NOT NULL GROUP BY 1),
+         j AS (SELECT coalesce(a.v, b.v) v, coalesce(ca, 0) ca,
+                 coalesce(cb, 0) cb
+               FROM a FULL OUTER JOIN b ON a.v = b.v),
+         t AS (SELECT sum(ca)::BIGINT ta, sum(cb)::BIGINT tb,
+                 count(*)::BIGINT k FROM j)
+         SELECT t.ta AS n_a, t.tb AS n_b, t.k AS k,
+           round(sum(abs(ca / t.ta::DOUBLE - cb / t.tb::DOUBLE)) / 2, 6)
+             + 0.0 AS tv,
+           round(sqrt(least(sum(pow(sqrt(ca / t.ta::DOUBLE)
+             - sqrt(cb / t.tb::DOUBLE), 2)) / 2, 1.0)), 6) + 0.0 AS hellinger,
+           round(sum(pow(ca / t.ta::DOUBLE - cb / t.tb::DOUBLE, 2)
+             / (ca / t.ta::DOUBLE + cb / t.tb::DOUBLE)), 6) + 0.0 AS chi2_sym
+         FROM j, t GROUP BY t.ta, t.tb, t.k""",
+    // the q217 scoring replay -> distinct-score cumulatives -> tie-safe
+    // integer bin ids -> per-decile capture
+    "q256_lift_table" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         per AS (SELECT score, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+                 FROM scored GROUP BY score),
+         cum AS (SELECT score, cnt, pos,
+                   sum(cnt) OVER (ORDER BY score DESC) AS cend,
+                   sum(pos) OVER (ORDER BY score DESC) AS pend
+                 FROM per),
+         tot AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT p FROM scored),
+         bb AS (SELECT least(CAST(floor((cend * 10 + n - 1)::DOUBLE / n)
+                   AS BIGINT), 10) AS bin,
+                 cnt, pos, cend, pend, n, p
+               FROM cum CROSS JOIN tot)
+         SELECT bin, sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+           round(sum(pos)::DOUBLE / sum(cnt), 6) + 0.0 AS pos_rate,
+           max(cend)::BIGINT AS cum_n, max(pend)::BIGINT AS cum_pos,
+           round(max(pend)::DOUBLE / max(p), 6) + 0.0 AS gain,
+           round((sum(pos)::DOUBLE / sum(cnt))
+             / (max(p)::DOUBLE / max(n)), 6) + 0.0 AS lift
+         FROM bb GROUP BY bin ORDER BY bin""",
+    // per-source type/token/hapax counts; same q72 tokenizer
+    "q257_lexical_diversity" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents WHERE source IS NOT NULL),
+         gt AS (SELECT source, term, count(*)::BIGINT c FROM toks
+                GROUP BY 1, 2),
+         g AS (SELECT source, sum(c)::BIGINT n_tokens,
+                 count(*)::BIGINT n_types,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT hapax
+               FROM gt GROUP BY 1)
+         SELECT source, n_tokens, n_types,
+           round(n_types::DOUBLE / n_tokens, 6) + 0.0 AS ttr,
+           round(hapax::DOUBLE / n_types, 6) + 0.0 AS hapax_rate
+         FROM g ORDER BY source""",
+    // per-(term, doc) counts; zero docs enter the dispersion in closed
+    // form (VMR = sq/total - total/D)
+    "q258_burstiness" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents),
+         td AS (SELECT term, doc_id, count(*)::BIGINT c FROM toks
+                GROUP BY 1, 2),
+         dd AS (SELECT count(*)::BIGINT nd FROM documents),
+         t AS (SELECT term, sum(c)::BIGINT total, count(*)::BIGINT doc_freq,
+                 sum(c * c)::BIGINT sq FROM td GROUP BY 1)
+         SELECT term, total, doc_freq,
+           round(sq::DOUBLE / total - total::DOUBLE / dd.nd, 6) + 0.0 AS vmr
+         FROM t, dd ORDER BY total DESC, term ASC LIMIT 20""",
     // same q72-convention tokenizer; OTHER bucket keyed by '' (impossible
     // as a real token), global support contains every source's support
     "q245_source_divergence" ->

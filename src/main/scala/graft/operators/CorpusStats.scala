@@ -768,4 +768,138 @@ object CorpusStats {
           .as("top_share"),
         col("top_head"))
   }
+
+  /** Vocabulary-richness estimators — "how much vocabulary have we NOT
+    * seen yet?", the coverage question behind tokenizer-vocab sizing and
+    * crawl-more-or-stop decisions. From the term frequency-of-frequencies:
+    * bias-corrected Chao1 richness (observed types + f₁(f₁−1)/(2(f₂+1)),
+    * a lower bound on true vocabulary size driven by singletons f₁ and
+    * doubletons f₂) and the Good–Turing unseen-probability mass f₁/N (the
+    * chance the NEXT token is a never-seen type). One row:
+    * `(n_tokens, n_types, f1, f2, chao1, gt_unseen_mass)`.
+    *
+    * Scale: term counts (one partial-aggregated shuffle over distinct
+    * terms), collapsed to counts-of-counts (a far smaller table — Zipfian
+    * corpora have few distinct low frequencies), one scalar reduce. */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .agg(
+        sum(col("c") * col("m")).cast("long").as("n_tokens"),
+        sum(col("m")).cast("long").as("n_types"),
+        coalesce(sum(when(col("c") === 1, col("m"))), lit(0L)).cast("long")
+          .as("f1"),
+        coalesce(sum(when(col("c") === 2, col("m"))), lit(0L)).cast("long")
+          .as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        (col("n_types") + col("f1").cast("double") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1))).as("chao1"),
+        when(col("n_tokens") > 0,
+          col("f1").cast("double") / col("n_tokens")).as("gt_unseen_mass"))
+  }
+
+  /** Hill tail-index estimator over the term-frequency distribution — the
+    * measured heavy-tail exponent ([[zipfFit]] regresses the WHOLE
+    * rank-frequency line; Hill estimates the tail law x^(−α) from the top
+    * k order statistics only, the estimator of record for power-law
+    * tails): α̂ = k / Σᵢ₌₁..k ln(xᵢ/x₍ₖ₊₁₎) over the k largest term counts.
+    * One row: `(k, x_tail, alpha)` — `x_tail` = the (k+1)-th count. NULL
+    * alpha when the top k+1 counts all tie (zero log-sum) or the corpus
+    * has fewer than k+1 distinct terms.
+    *
+    * Scale: term counts → `TakeOrderedAndProject` top-(k+1) under
+    * (count desc, term asc) — per-partition heaps, a k-row driver merge,
+    * never a global sort; the k-row tail computes on the driver from the
+    * collected bounded set. */
+  def hillTailIndex(docs: DataFrame, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val top = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(k + 1)
+      .collect() // k+1 rows by construction — a bounded-table collect
+    val spark = docs.sparkSession
+    def dNull = lit(null).cast("double")
+    if (top.length < k + 1) {
+      return spark.range(1).select(lit(k).as("k"),
+        lit(null).cast("long").as("x_tail"), dNull.as("alpha"))
+    }
+    val xs = top.map(_.getLong(1))
+    val xTail = xs.last
+    // deterministic summation order: the (count desc, term asc) collect
+    // order, matching the oracle's ORDER BY inside its aggregate
+    val lnSum = xs.take(k).map(x => math.log(x.toDouble / xTail)).sum
+    val alpha: Option[Double] = if (lnSum > 0) Some(k / lnSum) else None
+    spark.range(1).select(lit(k).as("k"), lit(xTail).as("x_tail"),
+      alpha.map(lit(_).cast("double")).getOrElse(dNull).as("alpha"))
+  }
+
+  /** Per-group lexical diversity — type-token ratio and hapax share, the
+    * classic "is this source templated or genuinely varied?" signals (a
+    * log-spam source has huge token volume, tiny TTR, near-zero hapax
+    * share; human text keeps both up). Per group:
+    * `(group, n_tokens, n_types, ttr, hapax_rate)` — hapax rate = share of
+    * the group's TYPES occurring exactly once in the group.
+    *
+    * Scale: one partial-aggregated count per (group, term) — the tf-idf
+    * shuffle class — then one group-keyed reduce; output height =
+    * |groups|. */
+  def lexicalDiversity(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("group"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("group"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("_hapax"))
+      .select(col("group"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("_hapax").cast("double") / col("n_types")).as("hapax_rate"))
+  }
+
+  /** Term burstiness for the top-k corpus terms — the variance-to-mean
+    * ratio (Fisher dispersion) of a term's per-document count ACROSS ALL
+    * documents, zeros included: VMR ≈ 1 is Poisson scatter (function
+    * words), VMR ≫ 1 is bursty (topical words clump in few documents) —
+    * the signal separating content terms from glue, and template spam
+    * (absurd VMR) from both. Per term:
+    * `(term, total, doc_freq, vmr)` for the k most frequent terms.
+    *
+    * Scale: per-(term, doc) counts (tf-idf shuffle class) → per-term
+    * moments (Σc, Σc², df) — the zero documents enter in CLOSED FORM via
+    * the corpus doc count D (mean = Σc/D, E[x²] = Σc²/D), so nothing
+    * materializes D×V rows. Top-k via `TakeOrderedAndProject`. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val nDocs = docs.count()
+    val perTD = docs
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("term"), col("__id")).agg(count(lit(1)).as("c"))
+    val d = lit(nDocs.toDouble)
+    perTD.groupBy(col("term"))
+      .agg(sum(col("c")).cast("long").as("total"),
+        count(lit(1)).cast("long").as("doc_freq"),
+        sum(col("c") * col("c")).cast("long").as("_sq"))
+      .select(col("term"), col("total"), col("doc_freq"),
+        // population variance over ALL D docs / mean, in one expression:
+        // VMR = (Σc²/D − (Σc/D)²) / (Σc/D) = Σc²/Σc − Σc/D
+        (col("_sq").cast("double") / col("total") -
+          col("total").cast("double") / d).as("vmr"))
+      .orderBy(col("total").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -322,6 +322,64 @@ object LinearModel {
         .cast("double").as("f1"))
   }
 
+  /** Gains/lift table — the campaign-economics view of a scored set
+    * ([[prCurve]] answers "what threshold?"; this answers "how much of the
+    * value lives in the top decile?"): rank rows by score descending, cut
+    * into `bins` quantile bins, and report per-bin and cumulative positive
+    * capture. Per bin: `(bin, n, n_pos, pos_rate, cum_n, cum_pos, gain,
+    * lift)` — `gain` = share of ALL positives captured through this bin,
+    * `lift` = bin positive rate over the base rate. Tie handling: rows
+    * sharing one (rounded) score NEVER split across bins — the whole tie
+    * block lands in the bin of its cumulative END (deterministic on any
+    * engine; bins are unequal exactly where ties straddle a boundary,
+    * which the per-bin `n` makes visible).
+    *
+    * Scale: the [[prCurve]] shape — per-DISTINCT-score counts, the shared
+    * deterministic-bucket cumsum, then a ≤`bins`-row aggregation. The bin
+    * id is integer arithmetic on exact cumulative counts
+    * (⌈cumEnd·bins/n⌉), so no float boundary can flip an assignment. */
+  def liftTable(scored: DataFrame, bins: Int = 10,
+      roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val perScore = scored
+      .select(coalesce(col("label").cast("int"), lit(0)).as("__y"),
+        round(col("score").cast("double"), roundTo).as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perScore, col("score").desc, Seq("__cnt", "__pos"),
+      Seq("__cntAbove", "__posAbove"))
+    val (n, p) = (grand(0), grand(1))
+    val spark = scored.sparkSession
+    if (n == 0) {
+      return spark.range(0).select(
+        lit(0L).as("bin"), lit(0L).as("n"), lit(0L).as("n_pos"),
+        lit(0.0).as("pos_rate"), lit(0L).as("cum_n"), lit(0L).as("cum_pos"),
+        lit(0.0).as("gain"), lit(0.0).as("lift"))
+    }
+    val cumEnd = col("__cntAbove") + col("__cnt")
+    // exact integers below 2^53 — the double round-trip cannot flip a bin
+    val bin = least(
+      floor((cumEnd * bins + (n - 1)).cast("double") / n).cast("long"),
+      lit(bins.toLong))
+    val baseRate = p.toDouble / n
+    ranked
+      .withColumn("__bin", bin)
+      .groupBy(col("__bin"))
+      .agg(
+        sum(col("__cnt")).cast("long").as("n"),
+        sum(col("__pos")).cast("long").as("n_pos"),
+        max(col("__cntAbove") + col("__cnt")).cast("long").as("cum_n"),
+        max(col("__posAbove") + col("__pos")).cast("long").as("cum_pos"))
+      .select(col("__bin").as("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        col("cum_n"), col("cum_pos"),
+        (if (p > 0) col("cum_pos").cast("double") / p
+         else lit(null).cast("double")).as("gain"),
+        (if (p > 0) col("n_pos").cast("double") / col("n") / lit(baseRate)
+         else lit(null).cast("double")).as("lift"))
+  }
+
   /** Per-(doc, bucket) counts + per-doc (label, token count) for
     * documents with at least one token. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

@@ -207,4 +207,83 @@ object Association {
       .agg(count(lit(1)).cast("long").as("n"),
         corr(col("_rx"), col("_ry")).as("rho"))
   }
+
+  /** Theil's uncertainty coefficient U — the ASYMMETRIC categorical
+    * association ([[categoricalAssociation]]'s Cramér's V is symmetric and
+    * hides direction): `u_a_given_b` = the fraction of `a`'s entropy that
+    * knowing `b` removes (U(a|b) = MI/H(a)), and vice versa. "source
+    * determines language" and "language determines source" get different
+    * numbers — the direction a mixture designer actually asks about. One
+    * row: `(n, h_a, h_b, mi, u_a_given_b, u_b_given_a)` in nats; NULL U
+    * when the conditioned entropy is 0 (a constant column is trivially
+    * "explained").
+    *
+    * Scale: the [[categoricalAssociation]] plan — one cell-bounded
+    * contingency aggregation, broadcast marginals, one reduce; AQE
+    * exchange reuse keeps it one corpus scan. Empty cells contribute 0 to
+    * every entropy term (lim p→0 of p·ln p), so only observed cells
+    * evaluate. */
+  def uncertaintyCoefficient(df: DataFrame, a: String,
+      b: String): DataFrame = {
+    val cells = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("va")).agg(sum(col("o")).as("ca"))
+    val mb = cells.groupBy(col("vb")).agg(sum(col("o")).as("cb"))
+    val totals = cells.agg(sum(col("o")).as("n"))
+    val joined = cells
+      .join(broadcast(ma), "va")
+      .join(broadcast(mb), "vb")
+      .crossJoin(broadcast(totals))
+    // H(a) over cells: Σ_cells −(o/n)·ln(ca/n) ≡ Σ_a −(ca/n)·ln(ca/n)
+    // (each a-margin's mass splits across its cells) — rides the one
+    // reduce without a second marginal aggregation. Same for H(b).
+    joined.agg(
+        first(col("n")).cast("long").as("n"),
+        sum(-col("o") / col("n") * log(col("ca") / col("n"))).as("h_a"),
+        sum(-col("o") / col("n") * log(col("cb") / col("n"))).as("h_b"),
+        sum(col("o") / col("n") *
+          log(col("o") * col("n") / (col("ca") * col("cb")))).as("mi"))
+      .select(col("n"), col("h_a"), col("h_b"), col("mi"),
+        when(col("h_a") > 0, col("mi") / col("h_a")).as("u_a_given_b"),
+        when(col("h_b") > 0, col("mi") / col("h_b")).as("u_b_given_a"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers over
+    * the same items (the inter-annotator metric; raw percent-agreement
+    * flatters any skewed label set, kappa subtracts what marginal chance
+    * alone would produce). Here "labelers" are any two label columns —
+    * e.g. a stored language tag vs a heuristic language-ID prediction.
+    * One row: `(n, po, pe, kappa)` — observed agreement, expected-by-
+    * chance agreement (Σ over labels of both labelers' marginal shares),
+    * κ = (po−pe)/(1−pe). NULL κ at pe = 1 (both labelers constant and
+    * equal — agreement is vacuous). Complete-case on both columns.
+    *
+    * Scale: one cell-bounded contingency aggregation; marginals and the
+    * diagonal reduce from the broadcast cell table. */
+  def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("va")).agg(sum(col("o")).as("ca"))
+    val mb = cells.groupBy(col("vb")).agg(sum(col("o")).as("cb"))
+    // pe = Σ_label (ca/n)(cb/n) over labels PRESENT FOR BOTH labelers
+    // (absent-from-one labels contribute 0) — a label-keyed join of the
+    // two tiny marginal tables
+    val pe = ma.join(mb, col("va") === col("vb"))
+      .agg(sum(col("ca") * col("cb")).as("_pe_num"))
+    val po = cells.agg(
+      sum(col("o")).as("n"),
+      sum(when(col("va") === col("vb"), col("o")).otherwise(lit(0.0)))
+        .as("_agree"))
+    po.crossJoin(broadcast(pe))
+      .select(
+        col("n").cast("long").as("n"),
+        (col("_agree") / col("n")).as("po"),
+        (coalesce(col("_pe_num"), lit(0.0)) / (col("n") * col("n"))).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

@@ -639,4 +639,242 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0, col("jsd_nats")).as("jsd_nats"))
       .withColumn("jsd_bits", col("jsd_nats") / lit(math.log(2.0)))
   }
+
+  /** Welch's two-sample t-test — the unequal-variance mean comparison
+    * (Student's pooled t assumes equal variances; two corpus slices never
+    * oblige). One row out: `(n_a, n_b, mean_a, mean_b, t, df, cohens_d)` —
+    * Welch t with the Satterthwaite degrees of freedom and the
+    * pooled-variance Cohen's d effect size (the magnitude a significance
+    * bit can't carry). NULL t/df when either side has n < 2 or both
+    * variances are 0; NULL d when the pooled variance is 0. Complete-case:
+    * NULL values drop per side.
+    *
+    * Scale: ONE count/sum/sum-of-squares aggregation per side — codegen'd
+    * sums; everything downstream is two scalar rows combined on the
+    * driver. */
+  def welchTTest(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    // moments, not var_samp: Σv and Σv² are EXACT for integer-valued data
+    // (< 2^53), so mean and variance derive from the identical closed
+    // formula on any engine — var_samp's partial-merge accumulation order
+    // is not cross-engine reproducible at the rounding precision
+    def side(df: DataFrame) = df
+      .select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .head()
+    val (ra, rb) = (side(a), side(b))
+    val (na, nb) = (ra.getLong(0), rb.getLong(0))
+    val spark = a.sparkSession
+    def dNull = lit(null).cast("double")
+    if (na < 2 || nb < 2) {
+      return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        (if (na > 0) lit(ra.getDouble(1) / na) else dNull).as("mean_a"),
+        (if (nb > 0) lit(rb.getDouble(1) / nb) else dNull).as("mean_b"),
+        dNull.as("t"), dNull.as("df"), dNull.as("cohens_d"))
+    }
+    val (ma, mb) = (ra.getDouble(1) / na, rb.getDouble(1) / nb)
+    val va = (ra.getDouble(2) - ra.getDouble(1) * ra.getDouble(1) / na) / (na - 1)
+    val vb = (rb.getDouble(2) - rb.getDouble(1) * rb.getDouble(1) / nb) / (nb - 1)
+    val (wa, wb) = (va / na, vb / nb)
+    val se2 = wa + wb
+    val t: Option[Double] =
+      if (se2 > 0) Some((ma - mb) / math.sqrt(se2)) else None
+    val dfw: Option[Double] =
+      if (se2 > 0) Some(se2 * se2 /
+        (wa * wa / (na - 1) + wb * wb / (nb - 1))) else None
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2).toDouble
+    val d: Option[Double] =
+      if (sp2 > 0) Some((ma - mb) / math.sqrt(sp2)) else None
+    def out(o: Option[Double]) = o.map(lit(_).cast("double")).getOrElse(dNull)
+    spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(ma).as("mean_a"), lit(mb).as("mean_b"),
+      out(t).as("t"), out(dfw).as("df"), out(d).as("cohens_d"))
+  }
+
+  /** One-way ANOVA F — "do these k slices share a mean?" for k > 2 (the
+    * k-group generalization of the t-test; [[kruskalWallis]] is its
+    * rank-based sibling for non-normal data). One row out:
+    * `(n, k, ss_between, ss_within, f)` with
+    * F = (SSB/(k−1)) / (SSW/(n−k)). NULL f for degenerate designs (k < 2,
+    * n ≤ k, or zero within-group variance). Complete-case on both columns.
+    *
+    * Scale: per-group (sum, sumsq, count) moments — one partial-aggregated
+    * shuffle bounded by the group count — then a one-row scalar reduce.
+    * The sums of squares use the moment identities
+    * SSW = Σ_g (Σx² − (Σx)²/n_g) and SSB = Σ_g (Σx)²/n_g − (Σx)²/n, which
+    * are exact (no subtraction of near-equal grand means per row) and
+    * evaluate identically on any engine for integer-valued data. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val byG = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val row = byG.agg(
+      sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("s") * col("s") / col("ng")).as("_sg"),
+      sum(col("s")).as("_st"), sum(col("q")).as("_qt"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (row.isNullAt(0) || row.getLong(0) == 0) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("k"),
+        dNull.as("ss_between"), dNull.as("ss_within"), dNull.as("f"))
+    }
+    val n = row.getLong(0); val k = row.getLong(1)
+    val sg = row.getDouble(2); val st = row.getDouble(3)
+    val qt = row.getDouble(4)
+    val ssb = sg - st * st / n
+    val ssw = qt - sg
+    val f: Option[Double] =
+      if (k >= 2 && n > k && ssw > 0)
+        Some((ssb / (k - 1)) / (ssw / (n - k))) else None
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(ssb).as("ss_between"), lit(ssw).as("ss_within"),
+      f.map(lit(_).cast("double")).getOrElse(dNull).as("f"))
+  }
+
+  /** Kruskal–Wallis H — the k-group rank test ([[anovaF]] without the
+    * normality assumption; the k-group generalization of
+    * [[mannWhitneyU]]): "do these k slices share a location?" on ranks,
+    * robust to outliers and any monotone transform. One row out:
+    * `(n, k, h, tie_correction)` — H with the standard tie correction
+    * C = 1 − Σ(t³−t)/(n³−n); under H₀, H ~ χ²(k−1). NULL h when k < 2 or
+    * every value ties (C = 0).
+    *
+    * Scale: the [[mannWhitneyU]] rank shape generalized per group —
+    * per-(group, value) counts (one partial-aggregated shuffle), global
+    * per-value counts + the shared deterministic-bucket cumsum for
+    * average ranks, one value-keyed join back to the group×value table,
+    * one scalar reduce. Rank sums are half-integer-exact in double; the
+    * tie mass rides the same join as (t²−1)·c_gv (exact — avoids summing
+    * t³ once per group sharing the value). */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val gv = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val perGV = gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val perV = perGV.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perV, col("v"), Seq("cnt"), Seq("_before"))
+    val n = grand.head
+    val avgRank = col("_before") + (col("cnt") + 1) / lit(2.0)
+    val cntD = col("cnt").cast("double")
+    val ranks = cum.select(col("v"), avgRank.as("_r"), cntD.as("_t"))
+    val row = perGV.join(ranks, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"), sum(col("c") * col("_r")).as("rg"),
+        sum((col("_t") * col("_t") - 1) * col("c")).as("tg"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("rg") * col("rg") / col("ng")).as("_sr"),
+        sum(col("tg")).as("_ties"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (n < 2 || row.isNullAt(0) || row.getLong(0) < 2) {
+      val k = if (row.isNullAt(0)) 0L else row.getLong(0)
+      return spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+        dNull.as("h"), dNull.as("tie_correction"))
+    }
+    val k = row.getLong(0)
+    val sr = row.getDouble(1)
+    val ties = row.getDouble(2)
+    val nD = n.toDouble
+    val c = 1.0 - ties / (nD * nD * nD - nD)
+    val hRaw = 12.0 / (nD * (nD + 1)) * sr - 3.0 * (nD + 1)
+    val h: Option[Double] = if (c > 0) Some(hRaw / c) else None
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      h.map(lit(_).cast("double")).getOrElse(dNull).as("h"),
+      lit(c).as("tie_correction"))
+  }
+
+  /** Distribution-distance battery between two slices' categorical
+    * distributions — total variation, Hellinger, and the symmetric χ²
+    * distance in one pass (the metrics panel behind "how far did the mix
+    * move": TV is the worst-case probability gap and bounds every event's
+    * shift; Hellinger is the geometry-friendly one (true metric, bounded
+    * [0,1]); symmetric χ² = Σ(p−q)²/(p+q) weights rare-category moves up).
+    * [[jsDivergence]] is the information-theoretic sibling — same join
+    * shape, reported separately because its units (nats) differ. One row:
+    * `(n_a, n_b, k, tv, hellinger, chi2_sym)`; NULLs when either side is
+    * empty.
+    *
+    * Scale: one category-bounded count per side, one category join, one
+    * reduce — the [[jsDivergence]] plan exactly. */
+  def distributionDistances(a: DataFrame, b: DataFrame,
+      column: String): DataFrame = {
+    def side(df: DataFrame, out: String) = df
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as(out))
+    val joined = side(a, "cnt_a").join(side(b, "cnt_b"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val totals = joined.agg(
+      sum(col("cnt_a")).as("_ta"), sum(col("cnt_b")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val p = col("cnt_a") / col("_ta")
+    val q = col("cnt_b") / col("_tb")
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        first(col("_ta")).cast("long").as("n_a"),
+        first(col("_tb")).cast("long").as("n_b"),
+        first(col("_k")).cast("long").as("k"),
+        (sum(abs(p - q)) / 2).as("_tv"),
+        sum(pow(sqrt(p) - sqrt(q), 2)).as("_h2"),
+        sum(pow(p - q, 2) / (p + q)).as("_x2"))
+      .select(col("n_a"), col("n_b"), col("k"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_tv")).as("tv"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(least(col("_h2") / 2, lit(1.0)))).as("hellinger"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_x2")).as("chi2_sym"))
+  }
+
+  /** Offline CUSUM changepoint in event RATE — "when did the level shift?"
+    * for a counter series (deploys, crawler behavior changes, pipeline
+    * regime switches). Buckets events by calendar day, computes the CUSUM
+    * of per-day counts against the overall mean, and reports the day
+    * maximizing |CUSUM| — the classic single-changepoint estimator (the
+    * at-most-one-change alternative to the rolling z of `rateAnomaly`,
+    * which flags LOCAL spikes, not a sustained level shift). One row:
+    * `(n_days, change_day, cusum_max, rate_before, rate_after)` —
+    * `change_day` = last day of the before-regime, ties on |CUSUM| break
+    * to the earliest day.
+    *
+    * Scale: one partial-aggregated count per day (calendar-bounded), a
+    * prefix sum over the day spine (a global window over a
+    * bounded-by-construction table — the q119/q122 class), one top-1
+    * reduce. Determinism: the scaled statistic D_t = T·S_t − t·S_T is
+    * integer-exact in long arithmetic, so the argmax can never flip on
+    * float noise across engines; `cusum_max` = max|D|/T is derived from
+    * it. */
+  def cusumChangepoint(df: DataFrame, timeCol: String): DataFrame = {
+    val days = df.filter(col(timeCol).isNotNull)
+      .groupBy(to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy(col("day"))
+    val withPrefix = days
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("t", row_number().over(wt).cast("long"))
+    val totals = withPrefix.agg(max(col("t")).as("_n"), max(col("s")).as("_tot"))
+    val scored = withPrefix.crossJoin(broadcast(totals))
+      .withColumn("_d", col("_n") * col("s") - col("t") * col("_tot"))
+    scored
+      .orderBy(abs(col("_d")).desc, col("day").asc).limit(1)
+      .select(
+        col("_n").as("n_days"),
+        col("day").as("change_day"),
+        (abs(col("_d")).cast("double") / col("_n")).as("cusum_max"),
+        (col("s").cast("double") / col("t")).as("rate_before"),
+        when(col("_n") > col("t"),
+          (col("_tot") - col("s")).cast("double") / (col("_n") - col("t")))
+          .as("rate_after"))
+  }
 }

@@ -232,6 +232,78 @@ class DriftSpec extends SparkSpecBase {
       s"shifted 9:1 design must reject, p = ${s.getDouble(5)}")
   }
 
+  test("welchTTest: hand-computed t/df/d; degenerate sides go NULL") {
+    val a = Seq(1, 2, 3, 4, 5).map(_.toDouble).toDF("v")
+    val b = Seq(2, 4, 6, 8).map(_.toDouble).toDF("v")
+    val r = Drift.welchTTest(a, b, "v").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0)
+    assert(math.abs(r.getDouble(4) - (-1.3587324409735149)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 4.749414519906324) < 1e-12)
+    assert(math.abs(r.getDouble(6) - (-0.9660917830792959)) < 1e-12)
+    // n < 2 on one side -> NULL t/df/d, means still reported
+    val one = Seq(7.0).toDF("v")
+    val e = Drift.welchTTest(a, one, "v").collect().head
+    assert(e.getDouble(3) == 7.0 && e.isNullAt(4) && e.isNullAt(5))
+    // zero variance both sides -> NULL t (se = 0)
+    val c1 = Seq(2.0, 2.0).toDF("v"); val c2 = Seq(3.0, 3.0).toDF("v")
+    assert(Drift.welchTTest(c1, c2, "v").collect().head.isNullAt(4))
+  }
+
+  test("anovaF: hand-computed F on three groups; one group -> NULL") {
+    val df = (Seq(1, 2, 3).map(("g1", _)) ++ Seq(2, 3, 4).map(("g2", _)) ++
+      Seq(10, 11, 12).map(("g3", _))).toDF("g", "v")
+    val r = Drift.anovaF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 146.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 73.0) < 1e-9)
+    val single = Seq(("g1", 1), ("g1", 2)).toDF("g", "v")
+    assert(Drift.anovaF(single, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("kruskalWallis: tie-free H = 3.857...; all-tied -> NULL") {
+    // ranks 1..6, R1 = 6, R2 = 15: H = 12/42*(12+75) - 21 = 27/7
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = Drift.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 27.0 / 7.0) < 1e-12, s"h=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0) // no ties
+    // every value equal: tie correction 0 -> NULL H
+    val tied = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
+    val tr = Drift.kruskalWallis(tied, "g", "v").collect().head
+    assert(tr.isNullAt(2) && tr.getDouble(3) == 0.0)
+  }
+
+  test("distributionDistances: hand-computed TV/Hellinger/chi2 on 2 cats") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(1)("y")).toDF("c")
+    val b = (Seq.fill(1)("x") ++ Seq.fill(3)("y")).toDF("c")
+    val r = Drift.distributionDistances(a, b, "c").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) -
+      (math.sqrt(0.75) - math.sqrt(0.25))) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+    // identical distributions -> all zeros
+    val z = Drift.distributionDistances(a, a, "c").collect().head
+    assert(z.getDouble(3) == 0.0 && z.getDouble(4) == 0.0 &&
+      z.getDouble(5) == 0.0)
+  }
+
+  test("cusumChangepoint: level shift located exactly; rates per regime") {
+    // 5 days at 2 events/day then 5 days at 10/day
+    val rows = (1 to 5).flatMap(d => Seq.fill(2)(s"2024-01-0$d 12:00:00")) ++
+      (6 to 10).flatMap(d => Seq.fill(10)(f"2024-01-$d%02d 12:00:00"))
+    val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val r = Drift.cusumChangepoint(df, "ts").collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getDate(1).toString == "2024-01-05", s"day=${r.getDate(1)}")
+    // D_5 = 10*10 - 5*60 = -200 -> |D|/T = 20
+    assert(math.abs(r.getDouble(2) - 20.0) < 1e-12)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 10.0)
+  }
+
   test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
     val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
     val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")

@@ -127,4 +127,27 @@ class LinearModelSpec extends SparkSpecBase {
     assert(rows.forall(_.isNullAt(5)))      // recall null (P = 0)
     assert(rows.map(_.getDouble(6)).toSeq == Seq(0.5, 1.0)) // FPR over N = 2
   }
+
+  test("liftTable: hand-computed deciles; tie blocks never split") {
+    // 10 distinct scores, one row each, positives at the top 3 scores:
+    // with bins = 5 each bin holds 2 rows
+    val scored = (1 to 10)
+      .map(i => (1.0 - i * 0.05, if (i <= 3) 1 else 0))
+      .toDF("score", "label")
+    val out = LinearModel.liftTable(scored, bins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.length == 5)
+    // bin 1: top-2 scores, both positive -> rate 1.0, gain 2/3, lift 1/.3
+    assert(out(0) == (1L, 2L, 2L, 1.0, 2L, 2L, 2.0 / 3, 1.0 / 0.3))
+    // bin 2: one positive (3rd) -> cumulative capture complete (gain 1)
+    assert(out(1)._3 == 1L && math.abs(out(1)._7 - 1.0) < 1e-12)
+    assert(out(4)._5 == 10L && out(4)._6 == 3L)
+    // ALL rows share one score: a single bin (the last), never split
+    val tied = (1 to 10).map(i => (0.5, i % 2)).toDF("score", "label")
+    val tb = LinearModel.liftTable(tied, bins = 5).collect()
+    assert(tb.length == 1 && tb.head.getLong(0) == 5L &&
+      tb.head.getLong(1) == 10L, s"got ${tb.toSeq}")
+  }
 }

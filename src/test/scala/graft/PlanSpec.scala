@@ -559,7 +559,10 @@ class PlanSpec extends SparkSpecBase {
       // rank over each 20-row post-limit term ranking (two rankings) —
       // the post-limit shape is machine-checked by the dedicated q234
       // window-above-TakeOrdered test below
-      "q234_rbo" -> 2)
+      "q234_rbo" -> 2,
+      // CUSUM prefix sum + day index over the per-day bucket spine
+      // (calendar-sized, the q119/q122 class)
+      "q254_cusum" -> 2)
     val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // sparkPlan (pre-AQE): WindowExec nodes are visible without running
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan

@@ -511,6 +511,56 @@ class ProfileSpec extends SparkSpecBase {
     assert(r2.isNullAt(2))
   }
 
+  test("uncertaintyCoefficient: determined = 1, independent = 0, asymmetric") {
+    // b refines a (a = first char of b): knowing b pins a, not vice versa
+    val df = Seq(("x", "x1"), ("x", "x2"), ("y", "y1"), ("y", "y2"))
+      .toDF("a", "b")
+    val r = graft.profile.Association.uncertaintyCoefficient(df, "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12,
+      s"b determines a: U(a|b) = ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12,
+      s"a halves b's 2-bit entropy: U(b|a) = ${r.getDouble(5)}")
+    // independent columns: MI = 0, U = 0 both ways
+    val ind = (for (a <- Seq("p", "q"); b <- Seq("u", "v"))
+      yield (a, b)).toDF("a", "b")
+    val ri = graft.profile.Association.uncertaintyCoefficient(ind, "a", "b")
+      .collect().head
+    assert(math.abs(ri.getDouble(3)) < 1e-12 &&
+      math.abs(ri.getDouble(4)) < 1e-12)
+    // constant a: H(a) = 0 -> NULL U(a|b)
+    val const = Seq(("k", "u"), ("k", "v")).toDF("a", "b")
+    assert(graft.profile.Association.uncertaintyCoefficient(const, "a", "b")
+      .collect().head.isNullAt(4))
+  }
+
+  test("cohenKappa: textbook 2x2 table gives kappa = 0.4; agreement = 1") {
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no:
+    // po = 0.7, pe = 0.5*0.6 + 0.5*0.4 = 0.5, kappa = 0.4
+    val df = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no")))
+      .toDF("a", "b")
+    val r = graft.profile.Association.cohenKappa(df, "a", "b").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(math.abs(r.getDouble(1) - 0.7) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-12)
+    // perfect agreement -> kappa 1 (pe < 1 as long as labels vary)
+    val p = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(math.abs(graft.profile.Association.cohenKappa(p, "a", "b")
+      .collect().head.getDouble(3) - 1.0) < 1e-12)
+    // both labelers constant and equal: pe = 1 -> NULL kappa
+    val c = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(graft.profile.Association.cohenKappa(c, "a", "b")
+      .collect().head.isNullAt(3))
+    // disjoint label sets: zero agreement, pe = 0 -> kappa = 0 - 0 / 1 = 0
+    val d = Seq(("x", "u"), ("y", "v")).toDF("a", "b")
+    val rd = graft.profile.Association.cohenKappa(d, "a", "b").collect().head
+    assert(rd.getDouble(1) == 0.0 && rd.getDouble(2) == 0.0 &&
+      rd.getDouble(3) == 0.0)
+  }
+
   test("spearmanCorrelation: monotone = 1, reversed = -1, tie case hand-checked") {
     val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)).toDF("x", "y")
     val r = graft.profile.Association.spearmanCorrelation(mono, "x", "y")

@@ -566,6 +566,71 @@ class SearchSpec extends SparkSpecBase {
       0.5 * math.log(0.5 / 0.75))) < 1e-9)
   }
 
+  test("vocabRichness: hand-computed Chao1 and Good-Turing mass") {
+    // tokens: a a a b b c d -> V=4, N=7, f1=2 (c,d), f2=1 (b)
+    val docs = Seq("a a a b", "b c d").toDF("text")
+    val r = graft.operators.CorpusStats.vocabRichness(docs, "text")
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    // chao1 = 4 + 2*1/(2*2) = 4.5; gt = 2/7
+    assert(math.abs(r.getDouble(4) - 4.5) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 2.0 / 7) < 1e-12)
+    // no singletons: chao1 = V, unseen mass 0
+    val sat = Seq("x x y y").toDF("text")
+    val rs = graft.operators.CorpusStats.vocabRichness(sat, "text")
+      .collect().head
+    assert(rs.getDouble(4) == 2.0 && rs.getDouble(5) == 0.0)
+  }
+
+  test("hillTailIndex: k=2 over counts 8,4,2 gives 2/(3 ln 2)") {
+    val docs = Seq(Seq.fill(8)("a").mkString(" "),
+      Seq.fill(4)("b").mkString(" "), Seq.fill(2)("c").mkString(" "),
+      "d").toDF("text")
+    val r = graft.operators.CorpusStats.hillTailIndex(docs, "text", k = 2)
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3 * math.log(2.0))) < 1e-12)
+    // fewer than k+1 distinct terms -> NULL alpha
+    val tiny = Seq("a a b").toDF("text")
+    assert(graft.operators.CorpusStats.hillTailIndex(tiny, "text", k = 5)
+      .collect().head.isNullAt(2))
+    // all top-(k+1) counts tied -> zero log-sum -> NULL alpha
+    val flat = Seq("a b c d").toDF("text")
+    assert(graft.operators.CorpusStats.hillTailIndex(flat, "text", k = 2)
+      .collect().head.isNullAt(2))
+  }
+
+  test("lexicalDiversity: per-group TTR and hapax share") {
+    val docs = Seq(("s1", "a a a b"), ("s1", "c"), ("s2", "x y"))
+      .toDF("source", "text")
+    val out = graft.operators.CorpusStats
+      .lexicalDiversity(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1") // tokens 5, types {a,b,c}, hapax {b,c}
+    assert(s1.getLong(1) == 5L && s1.getLong(2) == 3L)
+    assert(math.abs(s1.getDouble(3) - 0.6) < 1e-12)
+    assert(math.abs(s1.getDouble(4) - 2.0 / 3) < 1e-12)
+    val s2 = out("s2") // all hapax
+    assert(s2.getDouble(3) == 1.0 && s2.getDouble(4) == 1.0)
+  }
+
+  test("termBurstiness: clumped term disperses, spread term stays Poissonish") {
+    // x: 4 occurrences in 1 of 2 docs -> vmr = 16/4 - 4/2 = 2
+    // y: 1 occurrence -> vmr = 1/1 - 1/2 = 0.5
+    val docs = Seq((1L, "x x x x"), (2L, "y")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats
+      .termBurstiness(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getLong(1) == 4L && out("x").getLong(2) == 1L)
+    assert(math.abs(out("x").getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(out("y").getDouble(3) - 0.5) < 1e-12)
+    // k caps the output at the top-k by total
+    assert(graft.operators.CorpusStats
+      .termBurstiness(docs, "doc_id", "text", k = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
   test("rbo: identical lists give 1 - p^k (ext = 1); disjoint give 0") {
     import graft.operators.Search
     val l = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
