@@ -2288,6 +2288,76 @@ object SparkEntry {
         .gateOrdered(col("total").desc, col("term"))
     }),
 
+    // ---- exact ROC AUC of the trained classifier (LinearModel) -------------
+    // rank-based (Mann-Whitney) AUC with average ranks over tied scores;
+    // rank sums are half-integer-exact on both engines
+    "q259_auc" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.aucRoc(scored)
+        .select(col("n"), col("n_pos"),
+          (round(col("auc"), 6) + lit(0.0)).as("auc"),
+          (round(col("gini"), 6) + lit(0.0)).as("gini"))
+    }),
+
+    // ---- McNemar's paired test: stored lang vs lang-id on 'en' (Assoc) ----
+    // do the two 'is English' labelers disagree symmetrically? only the
+    // discordant pairs carry signal
+    "q260_mcnemar" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select((col("lang") === "en").as("a"),
+          (TextFunctions.langId(col("text")) === "en").as("b"))
+      graft.profile.Association.mcnemar(docs, "a", "b")
+        .select(col("n"), col("n10"), col("n01"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
+          (round(col("chi2_cc"), 6) + lit(0.0)).as("chi2_cc"))
+    }),
+
+    // ---- Q-Q drift of event value, week 1 vs rest (Drift) ------------------
+    // per-decile shift table: WHERE the distribution moved, not just
+    // whether; exact quantiles, Spark-percentile interpolation
+    "q261_qq_drift" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val cut = lit("2024-01-08").cast("date")
+      Drift.qqDrift(ev.filter(to_date(col("ts")) < cut),
+          ev.filter(to_date(col("ts")) >= cut), "value")
+        .select((round(col("p"), 2) + lit(0.0)).as("p"),
+          (round(col("q_a"), 4) + lit(0.0)).as("q_a"),
+          (round(col("q_b"), 4) + lit(0.0)).as("q_b"),
+          (round(col("shift"), 4) + lit(0.0)).as("shift"))
+        .orderBy(col("p"))
+    }),
+
+    // ---- Murphy decomposition of the Brier score (LinearModel) ------------
+    // reliability / resolution / uncertainty over the q203 decile bins
+    "q262_brier" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.brierDecomposition(scored, bins = 10)
+        .select(col("n"),
+          (round(col("brier"), 6) + lit(0.0)).as("brier"),
+          (round(col("reliability"), 6) + lit(0.0)).as("reliability"),
+          (round(col("resolution"), 6) + lit(0.0)).as("resolution"),
+          (round(col("uncertainty"), 6) + lit(0.0)).as("uncertainty"))
+    }),
+
+    // ---- top-k bigram collocations by PMI (CorpusStats) --------------------
+    // adjacent-pair pointwise mutual information — linear in corpus size,
+    // never a co-occurrence pair explosion
+    "q263_pmi" -> ((s, dir) => {
+      CorpusStats.pmiCollocations(read(s, dir, "documents"), "text",
+          k = 20, minCount = 5)
+        .select(col("w1"), col("w2"), col("count"),
+          (round(col("pmi"), 6) + lit(0.0)).as("pmi"),
+          (round(col("npmi"), 6) + lit(0.0)).as("npmi"))
+        .gateOrdered(col("count").desc, col("w1"), col("w2"))
+    }),
+
     // ---- CUPED variance reduction (Drift) ---------------------------------
     // per-user week-1 activity as the pre-period covariate for the
     // rest-of-month activity metric; one co-moment aggregation pass
@@ -6509,6 +6579,135 @@ object SparkEntry {
          SELECT term, total, doc_freq,
            round(sq::DOUBLE / total - total::DOUBLE / dd.nd, 6) + 0.0 AS vmr
          FROM t, dd ORDER BY total DESC, term ASC LIMIT 20""",
+    // rank-based AUC over the replayed scores: average ranks from the
+    // exclusive distinct-score cumsum, Mann-Whitney identity
+    "q259_auc" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         per AS (SELECT score, count(*)::BIGINT cnt, sum(y)::BIGINT pos
+                 FROM scored GROUP BY score),
+         r AS (SELECT score, cnt, pos,
+                 coalesce(sum(cnt) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bel
+               FROM per),
+         t AS (SELECT sum(pos * (bel + (cnt + 1) / 2.0)) rp,
+                 sum(pos)::BIGINT p, sum(cnt)::BIGINT n FROM r)
+         SELECT n, p AS n_pos,
+           round((rp - p::DOUBLE * (p + 1) / 2.0)
+             / (p::DOUBLE * (n - p)), 6) + 0.0 AS auc,
+           round(2.0 * ((rp - p::DOUBLE * (p + 1) / 2.0)
+             / (p::DOUBLE * (n - p))) - 1.0, 6) + 0.0 AS gini
+         FROM t""",
+    // the q27 lang-id argmax replayed; discordant-pair chi2 with and
+    // without the Edwards continuity correction
+    "q260_mcnemar" -> {
+      val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, words) =>
+        s"len(list_intersect(toks, ${sqlList(words)}))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS s_$lang"
+      }.mkString(",\n             ")
+      val gs = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH t AS (
+           SELECT lang, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         sc AS (SELECT lang, $scoreCols FROM t),
+         pred AS (SELECT (lang = 'en') a,
+             ((CASE WHEN $gs = 0 THEN 'und'
+                  WHEN s_fr = $gs THEN 'fr'
+                  WHEN s_es = $gs THEN 'es'
+                  WHEN s_en = $gs THEN 'en'
+                  ELSE 'de' END) = 'en') b
+           FROM sc),
+         c AS (SELECT count(*)::BIGINT n,
+                 sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT n10,
+                 sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT n01
+               FROM pred)
+         SELECT n, n10, n01,
+           (CASE WHEN n10 + n01 > 0 THEN
+             round(pow(n01 - n10, 2) / (n01 + n10), 6) END) + 0.0 AS chi2,
+           (CASE WHEN n10 + n01 > 0 THEN
+             round(pow(greatest(abs(n01 - n10) - 1, 0), 2)
+               / (n01 + n10), 6) END) + 0.0 AS chi2_cc
+         FROM c"""
+    },
+    // per-decile quantile_cont on each side; 4dp absorbs the
+    // interpolation-order difference (the q17 convention)
+    "q261_qq_drift" ->
+      """WITH a AS (SELECT value v FROM events
+                WHERE ts::DATE < DATE '2024-01-08' AND value IS NOT NULL),
+         b AS (SELECT value v FROM events
+                WHERE ts::DATE >= DATE '2024-01-08' AND value IS NOT NULL),
+         qa AS (SELECT quantile_cont(v,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) l FROM a),
+         qb AS (SELECT quantile_cont(v,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) l FROM b)
+         SELECT round(i / 10.0, 2) + 0.0 AS p,
+           round(qa.l[i], 4) + 0.0 AS q_a,
+           round(qb.l[i], 4) + 0.0 AS q_b,
+           round(qb.l[i] - qa.l[i], 4) + 0.0 AS shift
+         FROM range(1, 10) t(i), qa, qb ORDER BY p""",
+    // Murphy decomposition over the q203 fixed-width decile bins; decimal
+    // score sums make bin means engine-exact
+    "q262_brier" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y::DOUBLE y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         bb AS (SELECT least(CAST(floor(score * 10) AS INT), 9) bin, y, score
+                FROM scored),
+         g AS (SELECT bin, count(*)::BIGINT nk,
+                 sum(CAST(score AS DECIMAL(20,8)))::DOUBLE ss, sum(y) sy,
+                 sum((score - y) * (score - y)) sq
+               FROM bb GROUP BY 1),
+         tt AS (SELECT sum(nk)::BIGINT n, sum(sy) yt FROM g)
+         SELECT tt.n,
+           round(sum(sq) / tt.n, 6) + 0.0 AS brier,
+           round(sum(nk * pow(ss / nk - sy / nk, 2)) / tt.n, 6) + 0.0
+             AS reliability,
+           round(sum(nk * pow(sy / nk - yt / tt.n, 2)) / tt.n, 6) + 0.0
+             AS resolution,
+           round((yt / tt.n) * (1 - yt / tt.n), 6) + 0.0 AS uncertainty
+         FROM g, tt GROUP BY tt.n, tt.yt""",
+    // adjacent bigram + unigram counts -> PMI/NPMI for the top-20
+    // (count desc, bigram asc) qualifying pairs
+    "q263_pmi" ->
+      """WITH t AS (SELECT list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) toks
+           FROM documents),
+         bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) bigram
+               FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT bigram, count(*)::BIGINT c12 FROM bi GROUP BY 1),
+         un AS (SELECT unnest(toks) term FROM t),
+         uc AS (SELECT term, count(*)::BIGINT cu FROM un GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c12) FROM bc)::BIGINT nb,
+                   (SELECT sum(cu) FROM uc)::BIGINT nu),
+         top AS (SELECT bigram, c12, split_part(bigram, ' ', 1) w1,
+                   split_part(bigram, ' ', 2) w2
+                 FROM bc WHERE c12 >= 5
+                 ORDER BY c12 DESC, bigram ASC LIMIT 20)
+         SELECT w1, w2, c12 AS "count",
+           round(ln((c12 / nb::DOUBLE)
+             / ((u1.cu / nu::DOUBLE) * (u2.cu / nu::DOUBLE))), 6) + 0.0
+             AS pmi,
+           (CASE WHEN -ln(c12 / nb::DOUBLE) > 0 THEN
+             round(ln((c12 / nb::DOUBLE)
+               / ((u1.cu / nu::DOUBLE) * (u2.cu / nu::DOUBLE)))
+               / (-ln(c12 / nb::DOUBLE)), 6) END) + 0.0 AS npmi
+         FROM top JOIN uc u1 ON u1.term = top.w1
+           JOIN uc u2 ON u2.term = top.w2 CROSS JOIN tot
+         ORDER BY "count" DESC, w1, w2""",
     // same q72-convention tokenizer; OTHER bucket keyed by '' (impossible
     // as a real token), global support contains every source's support
     "q245_source_divergence" ->

@@ -868,6 +868,52 @@ object CorpusStats {
         (col("_hapax").cast("double") / col("n_types")).as("hapax_rate"))
   }
 
+  /** Top-k bigram collocations by PMI — which word pairs are GLUED
+    * (pointwise mutual information of adjacent-token pairs: "new york"
+    * scores high because its parts rarely appear apart; "of the" scores
+    * near zero despite huge counts) — the collocation detector behind
+    * tokenizer-merge candidates and boilerplate-phrase discovery. Per
+    * pair: `(w1, w2, count, pmi, npmi)` — npmi normalizes to [−1, 1]
+    * (1 = the words only ever co-occur). `minCount` floors the bigram
+    * count (PMI is notoriously noisy on rare pairs); output = the k most
+    * frequent qualifying bigrams with their PMI.
+    *
+    * Scale: adjacent bigrams are LINEAR in corpus size (no pair
+    * explosion — this is not a co-occurrence window): one bigram count
+    * aggregation + one unigram count aggregation, top-k via
+    * `TakeOrderedAndProject`, then the k-bounded table joins the
+    * vocabulary-sized unigram counts twice (broadcast of the k rows). */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 20,
+      minCount: Long = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val bi = docs.select(
+        explode(TextKernelFunctions.shingleStrings(col(textCol), 2))
+          .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val uni = docs.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val totals = bi.agg(sum(col("c12")).as("_nb"))
+      .crossJoin(uni.agg(sum(col("cu")).as("_nu")))
+    val top = bi.filter(col("c12") >= minCount)
+      .orderBy(col("c12").desc, col("bigram").asc).limit(k)
+      .select(col("bigram"), col("c12"),
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+    val u1 = uni.select(col("term").as("w1"), col("cu").as("c1"))
+    val u2 = uni.select(col("term").as("w2"), col("cu").as("c2"))
+    val p12 = col("c12") / col("_nb")
+    val pmi = log(p12 / ((col("c1") / col("_nu")) * (col("c2") / col("_nu"))))
+    broadcast(top).join(u1, Seq("w1")).join(u2, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12").as("count"),
+        pmi.as("pmi"),
+        // NULL at p12 = 1 (a degenerate one-bigram corpus: −ln p12 = 0)
+        when(-log(p12) > 0, pmi / -log(p12)).as("npmi"))
+  }
+
   /** Term burstiness for the top-k corpus terms — the variance-to-mean
     * ratio (Fisher dispersion) of a term's per-document count ACROSS ALL
     * documents, zeros included: VMR ≈ 1 is Poisson scatter (function

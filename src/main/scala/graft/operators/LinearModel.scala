@@ -322,6 +322,92 @@ object LinearModel {
         .cast("double").as("f1"))
   }
 
+  /** Exact ROC AUC — the threshold-free ranking quality of a scored set
+    * ([[prCurve]] sweeps operating points; AUC is their integral, and the
+    * one number model selection compares). Computed rank-based (AUC ≡ the
+    * Mann–Whitney statistic): `AUC = (Σ ranks of positives − P(P+1)/2) /
+    * (P·N)` with AVERAGE ranks over ties — exactly the
+    * trapezoidal-over-tied-scores convention. One row:
+    * `(n, n_pos, auc, gini)` (gini = 2·AUC − 1); NULL when either class
+    * is absent. Null labels count as negatives (the [[prCurve]]
+    * contract).
+    *
+    * Scale: per-DISTINCT-(rounded-)score counts + the shared
+    * deterministic-bucket cumsum for rank offsets; rank sums are
+    * half-integer-exact doubles, so the statistic is bit-reproducible. */
+  def aucRoc(scored: DataFrame, roundTo: Int = 4): DataFrame = {
+    val perScore = scored
+      .select(coalesce(col("label").cast("int"), lit(0)).as("__y"),
+        round(col("score").cast("double"), roundTo).as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perScore, col("score"), Seq("__cnt"), Seq("__below"))
+    val n = grand.head
+    val avgRank = col("__below") + (col("__cnt") + 1) / lit(2.0)
+    val row = ranked.agg(sum(col("__pos") * avgRank).as("_rp"),
+      sum(col("__pos")).cast("long").as("_p")).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
+    val spark = scored.sparkSession
+    def dNull = lit(null).cast("double")
+    val p = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val neg = n - p
+    if (p == 0 || neg == 0) {
+      return spark.range(1).select(lit(n).as("n"), lit(p).as("n_pos"),
+        dNull.as("auc"), dNull.as("gini"))
+    }
+    val auc = (row.getDouble(0) - p.toDouble * (p + 1) / 2.0) /
+      (p.toDouble * neg)
+    spark.range(1).select(lit(n).as("n"), lit(p).as("n_pos"),
+      lit(auc).as("auc"), lit(2.0 * auc - 1.0).as("gini"))
+  }
+
+  /** Murphy decomposition of the Brier score — WHY is the probability
+    * model good or bad: `reliability` (calibration gap — how far bin mean
+    * scores sit from bin outcome rates; lower is better), `resolution`
+    * (how much the bins separate outcomes; higher is better),
+    * `uncertainty` (the outcome base-rate entropy term ȳ(1−ȳ) — the
+    * irreducible floor). Bins are the [[reliabilityBins]] fixed-width
+    * score bins; with scores constant per bin the identity
+    * `brier = reliability − resolution + uncertainty` is exact, otherwise
+    * the within-bin score spread separates them (reported raw `brier`
+    * makes the gap visible). One row:
+    * `(n, brier, reliability, resolution, uncertainty)`. Null labels are
+    * negatives.
+    *
+    * Scale: one bin-keyed aggregation (≤ bins rows) + one scalar reduce;
+    * the Brier mean rides the same single scan. */
+  def brierDecomposition(scored: DataFrame, bins: Int = 10,
+      roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val base = scored.select(
+      coalesce(col("label").cast("int"), lit(0)).cast("double").as("__y"),
+      round(col("score").cast("double"), roundTo).as("__s"))
+    val byBin = base
+      .withColumn("__bin",
+        least(floor(col("__s") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("nk"),
+        // decimal sums: the roundTo-dp scores and 0/1 labels sum exactly,
+        // so bin means are the identical division on any engine
+        sum(col("__s").cast("decimal(20,8)")).cast("double").as("ss"),
+        sum(col("__y")).cast("double").as("sy"),
+        sum((col("__s") - col("__y")) * (col("__s") - col("__y"))).as("sq"))
+    val totals = byBin.agg(sum(col("nk")).as("_n"), sum(col("sy")).as("_y"))
+    val sBar = col("ss") / col("nk")
+    val yBar = col("sy") / col("nk")
+    val yAll = col("_y") / col("_n")
+    byBin.crossJoin(broadcast(totals))
+      .agg(
+        first(col("_n")).cast("long").as("n"),
+        (sum(col("sq")) / first(col("_n"))).as("brier"),
+        (sum(col("nk") * pow(sBar - yBar, 2)) / first(col("_n")))
+          .as("reliability"),
+        (sum(col("nk") * pow(yBar - yAll, 2)) / first(col("_n")))
+          .as("resolution"),
+        first(yAll * (lit(1.0) - yAll)).as("uncertainty"))
+  }
+
   /** Gains/lift table — the campaign-economics view of a scored set
     * ([[prCurve]] answers "what threshold?"; this answers "how much of the
     * value lives in the top decile?"): rank rows by score descending, cut

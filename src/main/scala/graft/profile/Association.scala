@@ -250,6 +250,34 @@ object Association {
         when(col("h_b") > 0, col("mi") / col("h_b")).as("u_b_given_a"))
   }
 
+  /** McNemar's test — did a CHANGE help, on PAIRED binary outcomes
+    * ([[cohenKappa]] measures agreement; McNemar tests whether the two
+    * labelers/models DISAGREE SYMMETRICALLY): only the discordant pairs
+    * carry signal — n01 (a false, b true) vs n10 (a true, b false) — and
+    * under H₀ they split 50/50. One row:
+    * `(n, n10, n01, chi2, chi2_cc)` — the plain χ² (b−c)²/(b+c) and the
+    * Edwards continuity-corrected (|b−c|−1)²/(b+c), both ~ χ²(1) under
+    * H₀. NULL χ² when no pairs disagree. Complete-case: rows with NULL
+    * in either column drop.
+    *
+    * Scale: ONE count aggregation — four conditional sums over one scan. */
+  def mcnemar(df: DataFrame, a: String, b: String): DataFrame = {
+    val x = col(a).cast("boolean"); val y = col(b).cast("boolean")
+    df.filter(x.isNotNull && y.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(x && !y, 1L).otherwise(0L)).as("n10"),
+        sum(when(!x && y, 1L).otherwise(0L)).as("n01"))
+      .select(col("n"), col("n10"), col("n01"),
+        when(col("n10") + col("n01") > 0,
+          pow(col("n01") - col("n10"), 2) / (col("n01") + col("n10")))
+          .as("chi2"),
+        when(col("n10") + col("n01") > 0,
+          pow(greatest(abs(col("n01") - col("n10")) - 1, lit(0L)), 2) /
+            (col("n01") + col("n10")))
+          .as("chi2_cc"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers over
     * the same items (the inter-annotator metric; raw percent-agreement
     * flatters any skewed label set, kappa subtracts what marginal chance

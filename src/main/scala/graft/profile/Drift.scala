@@ -835,6 +835,30 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0, col("_x2")).as("chi2_sym"))
   }
 
+  /** Q–Q drift table — WHERE in the distribution did the shift happen:
+    * exact quantiles of both snapshots at the requested probabilities,
+    * side by side with the per-quantile shift (KS gives one worst-case
+    * number; a Q–Q table says "the median moved 2%, the p99 moved 40%" —
+    * the tail-vs-body diagnosis that decides the response). One row per
+    * p: `(p, q_a, q_b, shift)`; NULL quantiles when a side has no
+    * non-null values.
+    *
+    * Scale: rides [[ExactQuantiles]] — histogram-refinement passes shared
+    * across all requested ps (a handful of scans regardless of |ps|),
+    * exact values with Spark-percentile interpolation, no sort. */
+  def qqDrift(a: DataFrame, b: DataFrame, column: String,
+      ps: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(ps.nonEmpty, "at least one probability required")
+    val qa = ExactQuantiles.quantiles(a, Seq(column), ps)(column)
+    val qb = ExactQuantiles.quantiles(b, Seq(column), ps)(column)
+    val spark = a.sparkSession
+    import spark.implicits._
+    ps.indices.map { i =>
+      (ps(i), qa(i), qb(i),
+        for (x <- qa(i); y <- qb(i)) yield y - x)
+    }.toDF("p", "q_a", "q_b", "shift")
+  }
+
   /** Offline CUSUM changepoint in event RATE — "when did the level shift?"
     * for a counter series (deploys, crawler behavior changes, pipeline
     * regime switches). Buckets events by calendar day, computes the CUSUM

@@ -304,6 +304,20 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 10.0)
   }
 
+  test("qqDrift: constant shift appears at every decile; empty side nulls") {
+    val a = (1 to 10).map(_.toDouble).toDF("v")
+    val b = (1 to 10).map(_ + 5.0).toDF("v")
+    val rows = Drift.qqDrift(a, b, "v").orderBy("p").collect()
+    assert(rows.length == 9)
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 5.0) < 1e-9),
+      s"got ${rows.map(_.getDouble(3)).toSeq}")
+    // median of 1..10 under linear interpolation = 5.5
+    assert(math.abs(rows(4).getDouble(1) - 5.5) < 1e-12)
+    val empty = Seq.empty[Double].toDF("v")
+    val e = Drift.qqDrift(a, empty, "v").collect()
+    assert(e.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
     val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
     val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")

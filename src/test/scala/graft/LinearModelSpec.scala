@@ -128,6 +128,52 @@ class LinearModelSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(6)).toSeq == Seq(0.5, 1.0)) // FPR over N = 2
   }
 
+  test("aucRoc: perfect = 1, reversed = 0, all-tied = 0.5, one-class NULL") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    val rp = LinearModel.aucRoc(perfect).collect().head
+    assert(rp.getLong(0) == 4L && rp.getLong(1) == 2L)
+    assert(rp.getDouble(2) == 1.0 && rp.getDouble(3) == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))
+      .toDF("score", "label")
+    assert(LinearModel.aucRoc(reversed).collect().head.getDouble(2) == 0.0)
+    // every score tied: average ranks give exactly 0.5
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "label")
+    assert(LinearModel.aucRoc(tied).collect().head.getDouble(2) == 0.5)
+    // one class absent -> NULL
+    val onecls = Seq((0.9, 1), (0.1, 1)).toDF("score", "label")
+    assert(LinearModel.aucRoc(onecls).collect().head.isNullAt(2))
+    // hand case with a tie straddling the classes:
+    // scores 0.3(y=0), 0.5(y=0), 0.5(y=1), 0.9(y=1): ranks 1, 2.5, 2.5, 4
+    // -> rank sum of positives = 6.5, AUC = (6.5 - 3)/(2*2) = 0.875
+    val mix = Seq((0.3, 0), (0.5, 0), (0.5, 1), (0.9, 1))
+      .toDF("score", "label")
+    assert(math.abs(LinearModel.aucRoc(mix).collect().head.getDouble(2)
+      - 0.875) < 1e-12)
+  }
+
+  test("brierDecomposition: Murphy identity exact with constant-score bins") {
+    // 4 rows at score 0.25 (1 positive), 4 at 0.75 (3 positives):
+    // brier = 0.1875, rel = 0 (perfectly calibrated bins), res = 0.0625,
+    // unc = 0.25; brier = rel - res + unc exactly
+    val scored = (Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq((0.75, 0))).toDF("score", "label")
+    val r = LinearModel.brierDecomposition(scored, bins = 10).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) - 0.1875) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.0625) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(1) -
+      (r.getDouble(2) - r.getDouble(3) + r.getDouble(4))) < 1e-12)
+    // miscalibrated: same scores, labels flipped -> reliability > 0
+    val bad = (Seq.fill(3)((0.25, 1)) ++ Seq((0.25, 0)) ++
+      Seq.fill(3)((0.75, 0)) ++ Seq((0.75, 1))).toDF("score", "label")
+    assert(LinearModel.brierDecomposition(bad, bins = 10)
+      .collect().head.getDouble(2) > 0.2)
+  }
+
   test("liftTable: hand-computed deciles; tie blocks never split") {
     // 10 distinct scores, one row each, positives at the top 3 scores:
     // with bins = 5 each bin holds 2 rows

@@ -561,6 +561,26 @@ class ProfileSpec extends SparkSpecBase {
       rd.getDouble(3) == 0.0)
   }
 
+  test("mcnemar: only discordant pairs matter; hand chi2 on a 3-vs-7 split") {
+    // concordant counts are irrelevant: chi2 = (7-3)^2/10 = 1.6,
+    // cc = (|4|-1)^2/10 = 0.9
+    val df = (Seq.fill(20)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(7)((false, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("a", "b")
+    val r = graft.profile.Association.mcnemar(df, "a", "b").collect().head
+    assert(r.getLong(0) == 35L && r.getLong(1) == 3L && r.getLong(2) == 7L)
+    assert(math.abs(r.getDouble(3) - 1.6) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.9) < 1e-12)
+    // perfect agreement: no discordant pairs -> NULL chi2
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val ra = graft.profile.Association.mcnemar(agree, "a", "b").collect().head
+    assert(ra.isNullAt(3) && ra.isNullAt(4))
+    // |b-c| <= 1: continuity correction floors at 0
+    val close = Seq((true, false), (false, true), (true, true)).toDF("a", "b")
+    assert(graft.profile.Association.mcnemar(close, "a", "b")
+      .collect().head.getDouble(4) == 0.0)
+  }
+
   test("spearmanCorrelation: monotone = 1, reversed = -1, tie case hand-checked") {
     val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)).toDF("x", "y")
     val r = graft.profile.Association.spearmanCorrelation(mono, "x", "y")

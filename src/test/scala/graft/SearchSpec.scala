@@ -631,6 +631,27 @@ class SearchSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("x"))
   }
 
+  test("pmiCollocations: hand PMI on a glued pair; minCount floors") {
+    // docs: "a b" x4, "a c" x1 -> bigrams {a b: 4, a c: 1}, Nbi = 5;
+    // unigrams a:5, b:4, c:1, Nuni = 10
+    val docs = (Seq.fill(4)("a b") ++ Seq("a c")).toDF("text")
+    val out = graft.operators.CorpusStats
+      .pmiCollocations(docs, "text", k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 4L)
+    // pmi = ln((4/5)/((5/10)*(4/10))) = ln 4
+    assert(math.abs(ab.getDouble(3) - math.log(4.0)) < 1e-12)
+    // npmi = ln 4 / -ln(4/5)
+    assert(math.abs(ab.getDouble(4) -
+      math.log(4.0) / -math.log(0.8)) < 1e-12)
+    // minCount = 2 drops the singleton bigram
+    val floored = graft.operators.CorpusStats
+      .pmiCollocations(docs, "text", k = 10, minCount = 2)
+      .collect()
+    assert(floored.length == 1 && floored.head.getString(1) == "b")
+  }
+
   test("rbo: identical lists give 1 - p^k (ext = 1); disjoint give 0") {
     import graft.operators.Search
     val l = (1 to 5).map(i => (s"t$i", i)).toDF("id", "rank")
