@@ -2358,6 +2358,88 @@ object SparkEntry {
         .gateOrdered(col("count").desc, col("w1"), col("w2"))
     }),
 
+    // ---- Wald SPRT quality gate on the error rate (QualityOps) ------------
+    // H0: error rate <= 2% vs H1: >= 5% at alpha = beta = 0.05 — the
+    // sequential gate that knows when it has seen enough
+    "q264_sprt" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .withColumn("is_err", col("event_type") === "error")
+      QualityOps.sprtGate(ev, "is_err", p0 = 0.02, p1 = 0.05)
+        .select(col("n"), col("k"),
+          (round(col("llr"), 4) + lit(0.0)).as("llr"),
+          (round(col("lower"), 6) + lit(0.0)).as("lower"),
+          (round(col("upper"), 6) + lit(0.0)).as("upper"),
+          col("decision"))
+    }),
+
+    // ---- Theil-Sen robust trend of the daily event rate (Drift) -----------
+    // median of pairwise slopes over the calendar-bounded day table
+    "q265_theil_sen" -> ((s, dir) => {
+      Drift.theilSenTrend(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+        .select(col("n_days"), col("n_pairs"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"))
+    }),
+
+    // ---- per-event-type CUSUM changepoint (Drift) --------------------------
+    // one level-shift estimate per slice; keyed windows, nothing global
+    "q266_cusum_by_type" -> ((s, dir) => {
+      Drift.cusumChangepointByKey(
+          EventsSource.read(s, s"$dir/events.parquet"), "ts", "event_type")
+        .select(col("key").as("event_type"), col("n_days"), col("change_day"),
+          (round(col("cusum_max"), 6) + lit(0.0)).as("cusum_max"),
+          (round(col("rate_before"), 6) + lit(0.0)).as("rate_before"),
+          (round(col("rate_after"), 6) + lit(0.0)).as("rate_after"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- weekday seasonality strength: ANOVA F over day-of-week (Drift) ---
+    // does the daily event rate depend on the weekday? anovaF composed on
+    // the calendar-bounded per-day count table (group labels differ across
+    // engines — Spark 1..7, DuckDB 0..6 — but the PARTITION is identical
+    // and only n/k/ss/f leave the operator)
+    "q267_seasonality" -> ((s, dir) => {
+      val daily = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        .withColumn("dow", dayofweek(col("day")))
+      Drift.anovaF(daily, "dow", "c")
+        .select(col("n"), col("k"),
+          (round(col("ss_between"), 4) + lit(0.0)).as("ss_between"),
+          (round(col("ss_within"), 4) + lit(0.0)).as("ss_within"),
+          (round(col("f"), 6) + lit(0.0)).as("f"))
+    }),
+
+    // ---- Fellegi-Sunter EM: per-field match weights (Linkage) -------------
+    // unsupervised m/u probabilities + log-likelihood weights from
+    // customer-block candidate pairs with 3 agreement indicators; EM runs
+    // on the driver over the <= 8-row pattern table
+    "q268_fs_weights" -> ((s, dir) => {
+      Linkage.fellegiSunterWeights(fsPairs(read(s, dir, "customer")),
+          Seq("nation_agree", "segment_agree", "balance_agree"))
+        .select(col("field"),
+          (round(col("m"), 6) + lit(0.0)).as("m"),
+          (round(col("u"), 6) + lit(0.0)).as("u"),
+          (round(col("w_agree"), 6) + lit(0.0)).as("w_agree"),
+          (round(col("w_disagree"), 6) + lit(0.0)).as("w_disagree"),
+          (round(col("lambda"), 6) + lit(0.0)).as("lambda"))
+        .orderBy(col("field"))
+    }),
+
+    // ---- Fellegi-Sunter EM: per-pattern posteriors (Linkage) --------------
+    // the linkage decision table: every observed agreement pattern with
+    // its pair count, additive FS log-likelihood ratio and posterior
+    "q269_fs_posteriors" -> ((s, dir) => {
+      Linkage.fellegiSunterPosteriors(fsPairs(read(s, dir, "customer")),
+          Seq("nation_agree", "segment_agree", "balance_agree"))
+        .select(col("nation_agree"), col("segment_agree"),
+          col("balance_agree"), col("n_pairs"),
+          (round(col("llr"), 6) + lit(0.0)).as("llr"),
+          (round(col("posterior"), 6) + lit(0.0)).as("posterior"))
+        .orderBy(col("nation_agree"), col("segment_agree"),
+          col("balance_agree"))
+    }),
+
     // ---- CUPED variance reduction (Drift) ---------------------------------
     // per-user week-1 activity as the pre-period covariate for the
     // rest-of-month activity metric; one co-moment aggregation pass
@@ -4010,6 +4092,72 @@ object SparkEntry {
     * hash), decimal-exact margins/gradients, 12-dp inter-iteration weight
     * rounding (the pageRank-oracle pattern), sigmoid on decimal-exact
     * inputs. Ends with CTE `w$iterations` holding (b, w). */
+  /** q268/q269's shared candidate pairs: customer-name prefix blocks with
+    * three field-agreement indicators (nation, segment, balance sign). */
+  private def fsPairs(customer: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey").as("k"),
+      substring(col("c_name"), 1, 16).as("blk"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      (col("c_acctbal") >= 0).as("pos"))
+    val a = c.select(col("k").as("ka"), col("blk"), col("nk").as("nka"),
+      col("seg").as("sega"), col("pos").as("posa"))
+    val b = c.select(col("k").as("kb"), col("blk"), col("nk").as("nkb"),
+      col("seg").as("segb"), col("pos").as("posb"))
+    a.join(b, Seq("blk")).filter(col("ka") < col("kb"))
+      .select((col("nka") === col("nkb")).as("nation_agree"),
+        (col("sega") === col("segb")).as("segment_agree"),
+        (col("posa") === col("posb")).as("balance_agree"))
+  }
+
+  /** Fellegi–Sunter EM replay for the q268/q269 oracles: customer-block
+    * candidate pairs → 3-field agreement-pattern counts → `iterations`
+    * E/M steps as chained CTEs, mirroring `Linkage.fsEm`'s arithmetic
+    * exactly (left-assoc field products, su = tot − sw, the
+    * [1e-6, 1−1e-6] clamps). Final CTE `s$iterations` carries
+    * (m1..m3, u1..u3, lam); `p` carries the pattern counts. Field order:
+    * g1 = nation, g2 = segment, g3 = balance sign. */
+  private def fsCtes(iterations: Int): String = {
+    def pm(src: String, pre: String) =
+      s"""(CASE WHEN g1 THEN $src.${pre}1 ELSE 1 - $src.${pre}1 END)
+             * (CASE WHEN g2 THEN $src.${pre}2 ELSE 1 - $src.${pre}2 END)
+             * (CASE WHEN g3 THEN $src.${pre}3 ELSE 1 - $src.${pre}3 END)"""
+    val base = """cfs AS (SELECT c_custkey k, substring(c_name, 1, 16) blk,
+               c_nationkey nk, c_mktsegment seg, (c_acctbal >= 0) pos
+             FROM customer),
+         prs AS (SELECT (a.nk = b.nk) g1, (a.seg = b.seg) g2,
+                   (a.pos = b.pos) g3
+                 FROM cfs a JOIN cfs b ON a.blk = b.blk AND a.k < b.k),
+         p AS (SELECT g1, g2, g3, count(*)::BIGINT n FROM prs
+               GROUP BY 1, 2, 3),
+         s0 AS (SELECT 0.9::DOUBLE m1, 0.9::DOUBLE m2, 0.9::DOUBLE m3,
+                  0.1::DOUBLE u1, 0.1::DOUBLE u2, 0.1::DOUBLE u3,
+                  0.1::DOUBLE lam)"""
+    val iters = (1 to iterations).map { i =>
+      val pv = s"s${i - 1}"
+      s"""e$i AS (SELECT g1, g2, g3, n,
+             ($pv.lam * (${pm(pv, "m")}))
+               / ($pv.lam * (${pm(pv, "m")})
+                 + (1 - $pv.lam) * (${pm(pv, "u")})) w
+           FROM p, $pv),
+         s$i AS (SELECT
+             least(greatest(sum(CASE WHEN g1 THEN n * w ELSE 0 END)
+               / sum(n * w), 0.000001), 0.999999) m1,
+             least(greatest(sum(CASE WHEN g2 THEN n * w ELSE 0 END)
+               / sum(n * w), 0.000001), 0.999999) m2,
+             least(greatest(sum(CASE WHEN g3 THEN n * w ELSE 0 END)
+               / sum(n * w), 0.000001), 0.999999) m3,
+             least(greatest(sum(CASE WHEN g1 THEN n * (1 - w) ELSE 0 END)
+               / (sum(n) - sum(n * w)), 0.000001), 0.999999) u1,
+             least(greatest(sum(CASE WHEN g2 THEN n * (1 - w) ELSE 0 END)
+               / (sum(n) - sum(n * w)), 0.000001), 0.999999) u2,
+             least(greatest(sum(CASE WHEN g3 THEN n * (1 - w) ELSE 0 END)
+               / (sum(n) - sum(n * w)), 0.000001), 0.999999) u3,
+             least(greatest(sum(n * w) / sum(n), 0.000001), 0.999999) lam
+           FROM e$i)"""
+    }
+    (base +: iters).mkString(",\n         ")
+  }
+
   private def logregCtes(iterations: Int, buckets: Int, lr: Double): String = {
     val base = s"""tb AS (
            SELECT doc_id, CASE WHEN haskw THEN 1 ELSE 0 END AS y,
@@ -6708,6 +6856,105 @@ object SparkEntry {
          FROM top JOIN uc u1 ON u1.term = top.w1
            JOIN uc u2 ON u2.term = top.w2 CROSS JOIN tot
          ORDER BY "count" DESC, w1, w2""",
+    // Wald boundaries and per-observation log-ratios from the same
+    // double literals; one count/sum
+    "q264_sprt" ->
+      """WITH c AS (SELECT count(*)::BIGINT n,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT k
+                FROM events WHERE event_type IS NOT NULL),
+         s AS (SELECT n, k,
+                 k * ln(0.05 / 0.02) + (n - k) * ln(0.95 / 0.98) AS llr,
+                 ln(0.05 / 0.95) AS lo, ln(0.95 / 0.05) AS hi
+               FROM c)
+         SELECT n, k, round(llr, 4) + 0.0 AS llr,
+           round(lo, 6) + 0.0 AS lower, round(hi, 6) + 0.0 AS upper,
+           CASE WHEN llr >= hi THEN 'reject_h0'
+                WHEN llr <= lo THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM s""",
+    // median pairwise slope over the bounded day table; epoch-day x
+    "q265_theil_sen" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::DOUBLE y FROM events
+                WHERE ts IS NOT NULL GROUP BY 1),
+         dd AS (SELECT (day - DATE '1970-01-01')::DOUBLE x, y FROM d),
+         sl AS (SELECT (b.y - a.y) / (b.x - a.x) s
+                FROM dd a JOIN dd b ON b.x > a.x),
+         t AS (SELECT count(*)::BIGINT np, quantile_cont(s, 0.5) m FROM sl),
+         i AS (SELECT quantile_cont(dd.y - t.m * dd.x, 0.5) ic FROM dd, t)
+         SELECT (SELECT count(*) FROM d)::BIGINT AS n_days, t.np AS n_pairs,
+           round(t.m, 6) + 0.0 AS slope, round(i.ic, 4) + 0.0 AS intercept
+         FROM t, i""",
+    // per-key integer-exact scaled CUSUM; earliest-day tie rule per key
+    "q266_cusum_by_type" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*)::BIGINT c
+               FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+         p AS (SELECT event_type, day, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY day) s,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) t
+               FROM d),
+         tot AS (SELECT event_type, max(t)::BIGINT n, max(s)::BIGINT tt
+                 FROM p GROUP BY 1),
+         sc AS (SELECT p.event_type, day, s, t, n, tt,
+                  n * s - t * tt AS dd,
+                  row_number() OVER (PARTITION BY p.event_type
+                    ORDER BY abs(n * s - t * tt) DESC, day ASC) rk
+                FROM p JOIN tot USING (event_type))
+         SELECT event_type, n AS n_days, day AS change_day,
+           round(abs(dd)::DOUBLE / n, 6) + 0.0 AS cusum_max,
+           round(s::DOUBLE / t, 6) + 0.0 AS rate_before,
+           (CASE WHEN n > t
+             THEN round((tt - s)::DOUBLE / (n - t), 6) END) + 0.0
+             AS rate_after
+         FROM sc WHERE rk = 1 ORDER BY event_type""",
+    // weekday partition of the per-day count table -> the q248 moment
+    // identities (group labels differ across engines; the partition and
+    // the statistics are identical)
+    "q267_seasonality" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::DOUBLE c FROM events
+                WHERE ts IS NOT NULL GROUP BY 1),
+         g AS (SELECT dayofweek(day) dow, count(*)::BIGINT ng, sum(c) s,
+                 sum(c * c) q FROM d GROUP BY 1),
+         t AS (SELECT sum(ng)::BIGINT n, count(*)::BIGINT k,
+                 sum(s * s / ng) sg, sum(s) st, sum(q) qt FROM g)
+         SELECT n, k,
+           round(sg - st * st / n, 4) + 0.0 AS ss_between,
+           round(qt - sg, 4) + 0.0 AS ss_within,
+           round(((sg - st * st / n) / (k - 1)) / ((qt - sg) / (n - k)), 6)
+             + 0.0 AS f
+         FROM t""",
+    // 3-iteration EM replayed as chained CTEs (fsCtes); per-field
+    // weights from the final parameter row
+    "q268_fs_weights" ->
+      s"""WITH ${fsCtes(3)}
+         SELECT field,
+           round(m, 6) + 0.0 AS m, round(u, 6) + 0.0 AS u,
+           round(ln(m / u), 6) + 0.0 AS w_agree,
+           round(ln((1 - m) / (1 - u)), 6) + 0.0 AS w_disagree,
+           round(lam, 6) + 0.0 AS lambda
+         FROM (
+           SELECT 'nation_agree' field, m1 m, u1 u, lam FROM s3
+           UNION ALL SELECT 'segment_agree', m2, u2, lam FROM s3
+           UNION ALL SELECT 'balance_agree', m3, u3, lam FROM s3)
+         ORDER BY field""",
+    // same EM fit; per-pattern likelihood ratio and posterior
+    "q269_fs_posteriors" ->
+      s"""WITH ${fsCtes(3)},
+         fin AS (SELECT p.g1, p.g2, p.g3, p.n,
+             (CASE WHEN g1 THEN s3.m1 ELSE 1 - s3.m1 END)
+               * (CASE WHEN g2 THEN s3.m2 ELSE 1 - s3.m2 END)
+               * (CASE WHEN g3 THEN s3.m3 ELSE 1 - s3.m3 END) pm,
+             (CASE WHEN g1 THEN s3.u1 ELSE 1 - s3.u1 END)
+               * (CASE WHEN g2 THEN s3.u2 ELSE 1 - s3.u2 END)
+               * (CASE WHEN g3 THEN s3.u3 ELSE 1 - s3.u3 END) pu,
+             s3.lam
+           FROM p, s3)
+         SELECT g1 AS nation_agree, g2 AS segment_agree,
+           g3 AS balance_agree, n AS n_pairs,
+           round(ln(pm / pu), 6) + 0.0 AS llr,
+           round((lam * pm) / (lam * pm + (1 - lam) * pu), 6) + 0.0
+             AS posterior
+         FROM fin ORDER BY nation_agree, segment_agree, balance_agree""",
     // same q72-convention tokenizer; OTHER bucket keyed by '' (impossible
     // as a real token), global support contains every source's support
     "q245_source_divergence" ->

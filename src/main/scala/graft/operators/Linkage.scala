@@ -128,6 +128,141 @@ object Linkage {
       .filter(col("dist") >= 0)
   }
 
+  /** Shared Fellegi–Sunter EM over agreement-PATTERN counts — the
+    * classical probabilistic record-linkage model (Fellegi & Sunter 1969;
+    * the engine inside splink/RecordLinkage): candidate pairs carry J
+    * boolean field-agreement indicators; EM fits, per field, the
+    * probability of agreement among true matches (m) and among non-matches
+    * (u) plus the match prevalence λ — unsupervised, from the pattern
+    * counts alone. Patterns are sorted canonically so the driver-side
+    * arithmetic is deterministic; m/u clamp to [1e-6, 1−1e-6] each step
+    * (an absorbing 0/1 would NaN the products). Everything here is exact
+    * double arithmetic over ≤ 2^J integer counts — engine-reproducible. */
+  private def fsEm(patterns: Seq[(Seq[Boolean], Long)], iterations: Int,
+      lambda0: Double, m0: Double,
+      u0: Double): (Double, Array[Double], Array[Double]) = {
+    val j = patterns.head._1.length
+    val total = patterns.map(_._2).sum.toDouble
+    var lambda = lambda0
+    var m = Array.fill(j)(m0)
+    var u = Array.fill(j)(u0)
+    def clamp(v: Double) = math.min(math.max(v, 0.000001), 0.999999)
+    for (_ <- 1 to iterations) {
+      val w = patterns.map { case (g, _) =>
+        val pm = g.indices.map(i => if (g(i)) m(i) else 1 - m(i)).product
+        val pu = g.indices.map(i => if (g(i)) u(i) else 1 - u(i)).product
+        val num = lambda * pm
+        num / (num + (1 - lambda) * pu)
+      }
+      val sw = patterns.zip(w).map { case ((_, n), wi) => n * wi }.sum
+      val su = total - sw
+      m = Array.tabulate(j) { i =>
+        clamp(patterns.zip(w).map { case ((g, n), wi) =>
+          if (g(i)) n * wi else 0.0 }.sum / sw)
+      }
+      u = Array.tabulate(j) { i =>
+        clamp(patterns.zip(w).map { case ((g, n), wi) =>
+          if (g(i)) n * (1 - wi) else 0.0 }.sum / su)
+      }
+      lambda = clamp(sw / total)
+    }
+    (lambda, m, u)
+  }
+
+  /** Canonically-sorted agreement-pattern counts (≤ 2^J rows — a bounded
+    * collect by construction). Complete-case: pairs with a NULL indicator
+    * drop. */
+  private def fsPatterns(pairs: DataFrame,
+      agreementCols: Seq[String]): Seq[(Seq[Boolean], Long)] = {
+    require(agreementCols.nonEmpty, "at least one agreement column")
+    val keep = agreementCols.map(c => col(c).cast("boolean").isNotNull)
+      .reduce(_ && _)
+    pairs.filter(keep)
+      .groupBy(agreementCols.map(c => col(c).cast("boolean").as(c)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => agreementCols.indices.map(r.getBoolean).toSeq ->
+        r.getLong(agreementCols.length))
+      .sortBy(_._1.map(b => if (b) "1" else "0").mkString)
+  }
+
+  /** Fellegi–Sunter per-field match parameters — WHICH fields carry the
+    * linkage evidence: for every agreement indicator, the EM-fitted
+    * `(m, u)` probabilities and the log-likelihood-ratio weights a
+    * scoring rule adds per agreement (`w_agree = ln(m/u)`) or
+    * disagreement (`w_disagree = ln((1−m)/(1−u))`), plus the fitted match
+    * prevalence λ (same value on every row). Output one row per field in
+    * `agreementCols` order: `(field, m, u, w_agree, w_disagree, lambda)`.
+    *
+    * Scale: ONE pattern-count aggregation over the pairs (≤ 2^J cells,
+    * partial-aggregated), EM on the driver over the bounded pattern
+    * table, literal output. The pairs input typically comes from
+    * [[fuzzyJoin]]/[[fuzzyDedupPairs]] candidates with per-field equality
+    * indicators attached. */
+  def fellegiSunterWeights(pairs: DataFrame, agreementCols: Seq[String],
+      iterations: Int = 3, lambda0: Double = 0.1, m0: Double = 0.9,
+      u0: Double = 0.1): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val patterns = fsPatterns(pairs, agreementCols)
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("field", StringType), StructField("m", DoubleType),
+      StructField("u", DoubleType), StructField("w_agree", DoubleType),
+      StructField("w_disagree", DoubleType), StructField("lambda", DoubleType)))
+    if (patterns.isEmpty) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val (lambda, m, u) = fsEm(patterns, iterations, lambda0, m0, u0)
+    val rows = agreementCols.indices.map { i =>
+      org.apache.spark.sql.Row(agreementCols(i), m(i), u(i),
+        math.log(m(i) / u(i)), math.log((1 - m(i)) / (1 - u(i))), lambda)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Fellegi–Sunter per-PATTERN posteriors — the actual linkage decision
+    * table: for every observed agreement pattern, how many candidate
+    * pairs show it, the posterior match probability under the fitted
+    * model, and the pattern's log-likelihood ratio
+    * `llr = ln(P(γ|match)/P(γ|non-match))` (the additive FS score).
+    * Output one row per observed pattern: `(agreementCols…, n_pairs,
+    * llr, posterior)`, pattern columns boolean.
+    *
+    * Same EM fit and scale shape as [[fellegiSunterWeights]]. */
+  def fellegiSunterPosteriors(pairs: DataFrame, agreementCols: Seq[String],
+      iterations: Int = 3, lambda0: Double = 0.1, m0: Double = 0.9,
+      u0: Double = 0.1): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val patterns = fsPatterns(pairs, agreementCols)
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      agreementCols.map(c => StructField(c, BooleanType)) ++ Seq(
+        StructField("n_pairs", LongType), StructField("llr", DoubleType),
+        StructField("posterior", DoubleType)))
+    if (patterns.isEmpty) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val (lambda, m, u) = fsEm(patterns, iterations, lambda0, m0, u0)
+    val rows = patterns.map { case (g, n) =>
+      val pm = g.indices.map(i => if (g(i)) m(i) else 1 - m(i)).product
+      val pu = g.indices.map(i => if (g(i)) u(i) else 1 - u(i)).product
+      val num = lambda * pm
+      // Seq[Any]: a bare Seq(n, …) would numeric-widen the Long count to
+      // Double and break the LongType schema slot
+      org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](n,
+        math.log(pm / pu), num / (num + (1 - lambda) * pu)))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Sorted-neighborhood dedup pairs — the classic COMPLEMENT to key
     * blocking ([[fuzzyDedupPairs]]): sort the corpus once on the key and
     * compare each record only to its `window` successors, so candidates

@@ -361,4 +361,38 @@ object QualityOps {
         when(col("__chars") > 0,
           col("__na").cast("double") / col("__chars")).as("nonascii_share"))
   }
+
+  /** Wald's sequential probability ratio test (SPRT) gate — the quality
+    * gate that knows when it has SEEN ENOUGH: test H₀ "rate ≤ p0" against
+    * H₁ "rate ≥ p1" on a boolean column and answer accept / reject /
+    * continue with guaranteed error rates (α false-reject, β
+    * false-accept) — the sequential alternative to fixed-n tests that
+    * lets a pipeline stop sampling a source early. One row:
+    * `(n, k, llr, lower, upper, decision)` — the binomial log-likelihood
+    * ratio `k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))` against Wald's
+    * boundaries `ln(β/(1−α))` / `ln((1−β)/α)`. Complete-case on the
+    * boolean.
+    *
+    * Scale: ONE count/sum aggregation; everything else is literals. */
+  def sprtGate(df: DataFrame, successCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p1 < 1 && p0 < p1, s"need 0 < p0 < p1 < 1: $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1): $alpha, $beta")
+    val lower = math.log(beta / (1 - alpha))
+    val upper = math.log((1 - beta) / alpha)
+    val lrPos = math.log(p1 / p0)
+    val lrNeg = math.log((1 - p1) / (1 - p0))
+    df.filter(col(successCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("boolean").cast("long")).as("k"))
+      .select(col("n"), coalesce(col("k"), lit(0L)).as("k"),
+        (coalesce(col("k"), lit(0L)) * lrPos +
+          (col("n") - coalesce(col("k"), lit(0L))) * lrNeg).as("llr"),
+        lit(lower).as("lower"), lit(upper).as("upper"))
+      .withColumn("decision",
+        when(col("llr") >= col("upper"), lit("reject_h0"))
+          .when(col("llr") <= col("lower"), lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
 }

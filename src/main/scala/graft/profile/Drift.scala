@@ -859,6 +859,80 @@ object Drift {
     }.toDF("p", "q_a", "q_b", "shift")
   }
 
+  /** Theil–Sen robust trend of the daily event rate — the slope estimator
+    * that one crazy day cannot move (OLS `trendSlope` folds every outlier
+    * into the fit; Theil–Sen takes the MEDIAN of all pairwise slopes,
+    * 29.3% breakdown point). One row: `(n_days, n_pairs, slope,
+    * intercept)` — slope in events/day over epoch-day x, intercept the
+    * median of `y − slope·x` (the standard Theil–Sen companion). NULL
+    * slope with fewer than 2 days.
+    *
+    * Scale: the pairwise slopes live on the per-DAY table — calendar-
+    * bounded, so the T(T−1)/2 pair join is a bounded-side broadcast
+    * nested loop by construction (the q234 class), never data-sized;
+    * medians are exact percentiles of bounded sets. */
+  def theilSenTrend(df: DataFrame, timeCol: String): DataFrame = {
+    val days = df.filter(col(timeCol).isNotNull)
+      .groupBy(to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("double"))
+    val a = days.select(col("x").as("x1"), col("y").as("y1"))
+    val b = days.select(col("x").as("x2"), col("y").as("y2"))
+    val slopes = broadcast(a).join(b, col("x2") > col("x1"))
+      .select(((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("s"))
+    val sRow = slopes.agg(count(lit(1)).as("np"),
+      percentile(col("s"), lit(0.5)).as("m")).head()
+    val nDays = days.count()
+    val spark = df.sparkSession
+    if (nDays < 2) {
+      return spark.range(1).select(lit(nDays).as("n_days"),
+        lit(0L).as("n_pairs"), lit(null).cast("double").as("slope"),
+        lit(null).cast("double").as("intercept"))
+    }
+    val slope = sRow.getDouble(1)
+    val iRow = days.agg(
+      percentile(col("y") - lit(slope) * col("x"), lit(0.5)).as("i")).head()
+    spark.range(1).select(lit(nDays).as("n_days"),
+      lit(sRow.getLong(0)).as("n_pairs"), lit(slope).as("slope"),
+      lit(iRow.getDouble(0)).as("intercept"))
+  }
+
+  /** [[cusumChangepoint]] PER KEY — one level-shift estimate per slice
+    * (per event type, per source): the keyed windows partition by the
+    * key, so nothing is global. One row per key:
+    * `(key, n_days, change_day, cusum_max, rate_before, rate_after)`;
+    * same integer-exact scaled statistic and earliest-day tie rule. */
+  def cusumChangepointByKey(df: DataFrame, timeCol: String,
+      keyCol: String): DataFrame = {
+    val days = df.filter(col(timeCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("key")).orderBy(col("day"))
+    val withPrefix = days
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("t", row_number().over(wt).cast("long"))
+    val totals = withPrefix.groupBy(col("key"))
+      .agg(max(col("t")).as("_n"), max(col("s")).as("_tot"))
+    val scored = withPrefix.join(totals, Seq("key"))
+      .withColumn("_d", col("_n") * col("s") - col("t") * col("_tot"))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(abs(col("_d")).desc, col("day").asc)
+    scored.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(
+        col("key"),
+        col("_n").as("n_days"),
+        col("day").as("change_day"),
+        (abs(col("_d")).cast("double") / col("_n")).as("cusum_max"),
+        (col("s").cast("double") / col("t")).as("rate_before"),
+        when(col("_n") > col("t"),
+          (col("_tot") - col("s")).cast("double") / (col("_n") - col("t")))
+          .as("rate_after"))
+  }
+
   /** Offline CUSUM changepoint in event RATE — "when did the level shift?"
     * for a counter series (deploys, crawler behavior changes, pipeline
     * regime switches). Buckets events by calendar day, computes the CUSUM

@@ -318,6 +318,42 @@ class DriftSpec extends SparkSpecBase {
     assert(e.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("theilSenTrend: median slope shrugs off a 50x outlier day") {
+    // daily counts 2,4,6,100,10 on consecutive days: OLS would chase the
+    // 100; the median pairwise slope is exactly 2
+    val counts = Seq(2, 4, 6, 100, 10)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"2024-01-${i + 1}%02d 12:00:00")
+    }
+    val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val r = Drift.theilSenTrend(df, "ts").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 2.0, s"slope=${r.getDouble(2)}")
+    // intercept = median(y - 2x) over epoch-day x (2024-01-01 = 19723)
+    assert(r.getDouble(3) == 2.0 - 2.0 * 19723, s"intercept=${r.getDouble(3)}")
+    // single day -> NULL slope
+    val one = Seq.fill(3)("2024-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    assert(Drift.theilSenTrend(one, "ts").collect().head.isNullAt(2))
+  }
+
+  test("cusumChangepointByKey: independent shifts located per key") {
+    // key A shifts 2->10 after day 5; key B shifts 8->2 after day 3
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(2)(("A", f"2024-01-$d%02d 12:00:00"))) ++
+      (6 to 10).flatMap(d => Seq.fill(10)(("A", f"2024-01-$d%02d 12:00:00"))) ++
+      (1 to 3).flatMap(d => Seq.fill(8)(("B", f"2024-01-$d%02d 12:00:00"))) ++
+      (4 to 10).flatMap(d => Seq.fill(2)(("B", f"2024-01-$d%02d 12:00:00")))
+    val df = rows.toDF("k", "s")
+      .select(col("k"), col("s").cast("timestamp").as("ts"))
+    val out = Drift.cusumChangepointByKey(df, "ts", "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDate(2).toString == "2024-01-05")
+    assert(out("A").getDouble(4) == 2.0 && out("A").getDouble(5) == 10.0)
+    assert(out("B").getDate(2).toString == "2024-01-03")
+    assert(out("B").getDouble(4) == 8.0 && out("B").getDouble(5) == 2.0)
+  }
+
   test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
     val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
     val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")

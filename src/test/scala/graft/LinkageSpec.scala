@@ -111,6 +111,47 @@ class LinkageSpec extends SparkSpecBase {
     assert(out == Set((5L, 12L, 0)), s"got $out")
   }
 
+  test("fellegiSunter EM separates an obvious match cluster") {
+    // 10 all-agree pairs (the duplicates) among 90 all-disagree pairs:
+    // EM must drive m up, u down, lambda toward 0.1, and the posteriors
+    // to the two extremes
+    val pairs = (Seq.fill(10)((true, true, true)) ++
+      Seq.fill(90)((false, false, false)))
+      .toDF("f1", "f2", "f3")
+    val cols = Seq("f1", "f2", "f3")
+    val w = Linkage.fellegiSunterWeights(pairs, cols, iterations = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val r = w(c)
+      assert(r.getDouble(1) > 0.95, s"$c m=${r.getDouble(1)}")
+      assert(r.getDouble(2) < 0.05, s"$c u=${r.getDouble(2)}")
+      assert(r.getDouble(3) > 0 && r.getDouble(4) < 0,
+        s"$c agreement weight must be positive, disagreement negative")
+      assert(math.abs(r.getDouble(5) - 0.1) < 0.02, s"lambda=${r.getDouble(5)}")
+    }
+    val post = Linkage.fellegiSunterPosteriors(pairs, cols, iterations = 10)
+      .collect().map(r => (r.getBoolean(0), r.getLong(3), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(post.length == 2)
+    assert(post(0)._2 == 90L && post(0)._3 < 0.01, s"got ${post(0)}")
+    assert(post(1)._2 == 10L && post(1)._3 > 0.99, s"got ${post(1)}")
+    // determinism: a second run reproduces the identical doubles
+    val w2 = Linkage.fellegiSunterWeights(pairs, cols, iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cols.foreach(c => assert(w2(c) == w(c).getDouble(1)))
+  }
+
+  test("fellegiSunter: NULL-indicator pairs drop; empty input gives empty") {
+    val pairs = Seq((Some(true), true), (None, false), (Some(false), true))
+      .toDF("a", "b")
+    val post = Linkage.fellegiSunterPosteriors(pairs, Seq("a", "b"),
+      iterations = 2)
+    assert(post.agg(sum(col("n_pairs"))).head().getLong(0) == 2L)
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("a", "b")
+    assert(Linkage.fellegiSunterWeights(empty, Seq("a", "b")).count() == 0)
+    assert(Linkage.fellegiSunterPosteriors(empty, Seq("a", "b")).count() == 0)
+  }
+
   test("length prune never drops a legal pair (|len diff| <= cap matches kept)") {
     // insertion-only pair at exactly the cap: must survive the prune
     val out = Linkage.fuzzyDedupPairs(

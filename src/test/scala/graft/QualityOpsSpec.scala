@@ -174,4 +174,22 @@ class QualityOpsSpec extends SparkSpecBase {
     assert(ru.getLong(4) == 0L, "Cyrillic-only is not mixed-script")
     assert(math.abs(ru.getDouble(5) - 1.0) < 1e-12, "all chars non-ASCII")
   }
+
+  test("sprtGate: hand llr at p0=0.2/p1=0.8; all three decisions") {
+    import graft.ops.QualityOps
+    // llr = k ln4 + (n-k) ln(1/4): k=9,n=10 -> 8 ln4 = 11.09 > upper 2.944
+    def df(k: Int, n: Int) =
+      (Seq.fill(k)(true) ++ Seq.fill(n - k)(false)).toDF("s")
+    val rej = QualityOps.sprtGate(df(9, 10), "s", 0.2, 0.8).collect().head
+    assert(rej.getLong(0) == 10L && rej.getLong(1) == 9L)
+    assert(math.abs(rej.getDouble(2) - 8 * math.log(4.0)) < 1e-9)
+    assert(math.abs(rej.getDouble(4) - math.log(0.95 / 0.05)) < 1e-12)
+    assert(rej.getString(5) == "reject_h0")
+    val acc = QualityOps.sprtGate(df(1, 10), "s", 0.2, 0.8).collect().head
+    assert(acc.getString(5) == "accept_h0")
+    // k = 5: llr = 0 sits strictly between the Wald boundaries
+    val cont = QualityOps.sprtGate(df(5, 10), "s", 0.2, 0.8).collect().head
+    assert(math.abs(cont.getDouble(2)) < 1e-9)
+    assert(cont.getString(5) == "continue")
+  }
 }
