@@ -2426,6 +2426,46 @@ object SparkEntry {
         .orderBy(col("field"))
     }),
 
+    // ---- t-closeness release gate (QualityOps) ----------------------------
+    // ordered-EMD of each (returnflag, linestatus) class's quantity
+    // distribution vs the global one — the third privacy gate beside
+    // q222 k-anonymity and q226 l-diversity
+    "q270_t_closeness" -> ((s, dir) => {
+      QualityOps.tCloseness(read(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity", t = 0.05)
+        .select(col("n_rows"), col("n_classes"),
+          (round(col("t_closeness"), 6) + lit(0.0)).as("t_closeness"),
+          col("n_classes_above_t"), col("n_rows_at_risk"),
+          col("risk_share"), col("pass"))
+    }),
+
+    // ---- confident-learning label-noise estimate (LinearModel) ------------
+    // per-class self-confidence thresholds partition the confident rows
+    // into a joint count whose off-diagonals are the estimated mislabels
+    "q271_label_noise" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.labelNoiseEstimate(scored)
+        .select(col("n"),
+          (round(col("t0"), 6) + lit(0.0)).as("t0"),
+          (round(col("t1"), 6) + lit(0.0)).as("t1"),
+          col("n_00"), col("n_01"), col("n_10"), col("n_11"),
+          (round(col("noise_0_to_1"), 6) + lit(0.0)).as("noise_0_to_1"),
+          (round(col("noise_1_to_0"), 6) + lit(0.0)).as("noise_1_to_0"))
+    }),
+
+    // ---- Mann-Kendall monotone-trend test on the daily rate (Drift) -------
+    // the significance companion of q265's Theil-Sen slope; integer-exact
+    // S and tie mass
+    "q272_mann_kendall" -> ((s, dir) => {
+      Drift.mannKendall(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+        .select(col("n_days"), col("s"),
+          (round(col("var_s"), 4) + lit(0.0)).as("var_s"),
+          (round(col("z"), 6) + lit(0.0)).as("z"), col("trend"))
+    }),
+
     // ---- Fellegi-Sunter EM: per-pattern posteriors (Linkage) --------------
     // the linkage decision table: every observed agreement pattern with
     // its pair count, additive FS log-likelihood ratio and posterior
@@ -6923,6 +6963,109 @@ object SparkEntry {
            round(((sg - st * st / n) / (k - 1)) / ((qt - sg) / (n - k)), 6)
              + 0.0 AS f
          FROM t""",
+    // ordered-EMD per class over the bounded quantity spine; global
+    // cumulative + class-keyed cumulatives, worst-class gate at t = 0.05
+    "q270_t_closeness" ->
+      """WITH b AS (SELECT l_returnflag q1, l_linestatus q2,
+                  l_quantity::DOUBLE v
+                FROM lineitem WHERE l_quantity IS NOT NULL),
+         g AS (SELECT v, count(*)::BIGINT c FROM b GROUP BY 1),
+         kn AS (SELECT count(*)::BIGINT k, sum(c)::BIGINT n FROM g),
+         sp AS (SELECT v, sum(c) OVER (ORDER BY v)::DOUBLE / kn.n pcum
+                FROM g, kn),
+         cls AS (SELECT q1, q2, count(*)::BIGINT cn FROM b GROUP BY 1, 2),
+         cv AS (SELECT q1, q2, v, count(*)::BIGINT c FROM b GROUP BY 1, 2, 3),
+         grid AS (SELECT cls.q1, cls.q2, cls.cn, sp.v, sp.pcum,
+                    coalesce(cv.c, 0) c
+                  FROM cls CROSS JOIN sp
+                  LEFT JOIN cv ON cv.q1 = cls.q1 AND cv.q2 = cls.q2
+                    AND cv.v = sp.v),
+         cum AS (SELECT q1, q2, cn, pcum,
+                   sum(c) OVER (PARTITION BY q1, q2 ORDER BY v)::DOUBLE / cn
+                     qcum
+                 FROM grid),
+         emd AS (SELECT q1, q2, max(cn) cn,
+                   sum(abs(qcum - pcum)) / ((SELECT k FROM kn) - 1) emd
+                 FROM cum GROUP BY 1, 2)
+         SELECT sum(cn)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+           round(max(emd), 6) + 0.0 AS t_closeness,
+           sum(CASE WHEN emd > 0.05 THEN 1 ELSE 0 END)::BIGINT
+             AS n_classes_above_t,
+           sum(CASE WHEN emd > 0.05 THEN cn ELSE 0 END)::BIGINT
+             AS n_rows_at_risk,
+           round(sum(CASE WHEN emd > 0.05 THEN cn ELSE 0 END)
+             / sum(cn)::DOUBLE, 6) AS risk_share,
+           max(emd) <= 0.05 AS pass
+         FROM emd""",
+    // thresholds from exact decimal score sums; the margin tiebreak and
+    // the abstention mirror the operator exactly
+    "q271_label_noise" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         th AS (SELECT
+             sum(CASE WHEN y = 1 THEN CAST(score AS DECIMAL(20,8)) END)::DOUBLE
+               / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) t1,
+             sum(CASE WHEN y = 0 THEN CAST(1.0 - score AS DECIMAL(20,8)) END)::DOUBLE
+               / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) t0
+           FROM scored),
+         sug AS (SELECT y,
+             CASE WHEN score >= th.t1 AND (1.0 - score) >= th.t0 THEN
+                    CASE WHEN score - th.t1 >= (1.0 - score) - th.t0
+                      THEN 1 ELSE 0 END
+                  WHEN score >= th.t1 THEN 1
+                  WHEN (1.0 - score) >= th.t0 THEN 0 END sg,
+             th.t0, th.t1
+           FROM scored, th),
+         c AS (SELECT count(*)::BIGINT n, max(t0) t0, max(t1) t1,
+             sum(CASE WHEN y = 0 AND sg = 0 THEN 1 ELSE 0 END)::BIGINT n_00,
+             sum(CASE WHEN y = 0 AND sg = 1 THEN 1 ELSE 0 END)::BIGINT n_01,
+             sum(CASE WHEN y = 1 AND sg = 0 THEN 1 ELSE 0 END)::BIGINT n_10,
+             sum(CASE WHEN y = 1 AND sg = 1 THEN 1 ELSE 0 END)::BIGINT n_11
+           FROM sug WHERE sg IS NOT NULL)
+         SELECT n, round(t0, 6) + 0.0 AS t0, round(t1, 6) + 0.0 AS t1,
+           n_00, n_01, n_10, n_11,
+           (CASE WHEN n_00 + n_01 > 0 THEN
+             round(n_01::DOUBLE / (n_00 + n_01), 6) END) + 0.0
+             AS noise_0_to_1,
+           (CASE WHEN n_10 + n_11 > 0 THEN
+             round(n_10::DOUBLE / (n_10 + n_11), 6) END) + 0.0
+             AS noise_1_to_0
+         FROM c""",
+    // integer-exact S and tie mass over the bounded day-pair join;
+    // continuity-corrected z with the shared z-critical literal
+    "q272_mann_kendall" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT y FROM events
+                WHERE ts IS NOT NULL GROUP BY 1),
+         s AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                          WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT s
+               FROM d a JOIN d b ON b.day > a.day),
+         tt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT m
+                FROM (SELECT count(*)::BIGINT t FROM d GROUP BY y) ts2),
+         nn AS (SELECT count(*)::BIGINT n FROM d),
+         v AS (SELECT nn.n, s.s,
+                 (nn.n::DOUBLE * (nn.n - 1) * (2 * nn.n + 5) - tt.m) / 18.0
+                   vs
+               FROM nn, s, tt)
+         SELECT n AS n_days, s,
+           round(vs, 4) + 0.0 AS var_s,
+           (CASE WHEN vs > 0 THEN round(CASE WHEN s > 0
+               THEN (s - 1) / sqrt(vs)
+               WHEN s < 0 THEN (s + 1) / sqrt(vs) ELSE 0.0 END, 6) END)
+             + 0.0 AS z,
+           CASE WHEN vs > 0 AND (CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+                  WHEN s < 0 THEN (s + 1) / sqrt(vs) ELSE 0.0 END)
+                  > 1.959963984540054 THEN 'increasing'
+                WHEN vs > 0 AND (CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+                  WHEN s < 0 THEN (s + 1) / sqrt(vs) ELSE 0.0 END)
+                  < -1.959963984540054 THEN 'decreasing'
+                ELSE 'none' END AS trend
+         FROM v""",
     // 3-iteration EM replayed as chained CTEs (fsCtes); per-field
     // weights from the final parameter row
     "q268_fs_weights" ->

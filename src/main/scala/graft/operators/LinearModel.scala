@@ -408,6 +408,76 @@ object LinearModel {
         first(yAll * (lit(1.0) - yAll)).as("uncertainty"))
   }
 
+  /** Confident-learning label-noise estimate (binary Cleanlab shape) —
+    * HOW MANY labels are wrong, from the model's own scores: per-class
+    * self-confidence thresholds (t₁ = mean score among label-1 rows,
+    * t₀ = mean of 1−score among label-0 rows) partition the CONFIDENT
+    * rows into a joint count C[given][suggested]; the off-diagonal cells
+    * are the estimated mislabels. One row: `(n, t0, t1, n_00, n_01,
+    * n_10, n_11, noise_0_to_1, noise_1_to_0)` — `n_01` = labeled 0 but
+    * confidently 1 (suggested flips), rates relative to each label's
+    * CONFIDENT count; rows confident for neither class stay out (the
+    * abstention is what makes the counts robust). Null labels are
+    * negatives. NULL rates when a class has no confident rows.
+    *
+    * Scale: one aggregation for the two thresholds, one conditional-sum
+    * aggregation for the joint — two scans, no shuffle beyond scalar
+    * rows. */
+  def labelNoiseEstimate(scored: DataFrame, roundTo: Int = 4): DataFrame = {
+    val base = scored.select(
+      coalesce(col("label").cast("int"), lit(0)).as("__y"),
+      round(col("score").cast("double"), roundTo).as("__s"))
+    // decimal sums: roundTo-dp scores sum exactly, so the thresholds are
+    // the identical division on any engine (a float-sum mean could sit
+    // one ulp off a score exactly at the boundary)
+    val tRow = base.agg(
+      (sum(when(col("__y") === 1, col("__s")).cast("decimal(20,8)"))
+        .cast("double") /
+        sum(when(col("__y") === 1, 1L).otherwise(0L))).as("t1"),
+      (sum(when(col("__y") === 0, lit(1.0) - col("__s"))
+        .cast("decimal(20,8)")).cast("double") /
+        sum(when(col("__y") === 0, 1L).otherwise(0L))).as("t0"))
+      .head()
+    val spark = scored.sparkSession
+    def dNull = lit(null).cast("double")
+    if (tRow.isNullAt(0) || tRow.isNullAt(1)) {
+      // one label class absent: no joint to estimate
+      return spark.range(1).select(
+        lit(0L).as("n"), dNull.as("t0"), dNull.as("t1"),
+        lit(0L).as("n_00"), lit(0L).as("n_01"), lit(0L).as("n_10"),
+        lit(0L).as("n_11"), dNull.as("noise_0_to_1"),
+        dNull.as("noise_1_to_0"))
+    }
+    val (t0, t1) = (tRow.getDouble(1), tRow.getDouble(0))
+    // suggested class: 1 when s >= t1, 0 when 1-s >= t0; both -> the
+    // larger margin (s - t1 vs (1-s) - t0); neither -> abstain
+    val conf1 = col("__s") >= t1
+    val conf0 = (lit(1.0) - col("__s")) >= t0
+    val sug = when(conf1 && conf0,
+        when(col("__s") - t1 >= (lit(1.0) - col("__s")) - t0, 1).otherwise(0))
+      .when(conf1, 1).when(conf0, 0)
+    base.withColumn("__sug", sug)
+      .filter(col("__sug").isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y") === 0 && col("__sug") === 0, 1L).otherwise(0L))
+          .as("n_00"),
+        sum(when(col("__y") === 0 && col("__sug") === 1, 1L).otherwise(0L))
+          .as("n_01"),
+        sum(when(col("__y") === 1 && col("__sug") === 0, 1L).otherwise(0L))
+          .as("n_10"),
+        sum(when(col("__y") === 1 && col("__sug") === 1, 1L).otherwise(0L))
+          .as("n_11"))
+      .select(col("n"), lit(t0).as("t0"), lit(t1).as("t1"),
+        col("n_00"), col("n_01"), col("n_10"), col("n_11"),
+        when(col("n_00") + col("n_01") > 0,
+          col("n_01").cast("double") / (col("n_00") + col("n_01")))
+          .as("noise_0_to_1"),
+        when(col("n_10") + col("n_11") > 0,
+          col("n_10").cast("double") / (col("n_10") + col("n_11")))
+          .as("noise_1_to_0"))
+  }
+
   /** Gains/lift table — the campaign-economics view of a scored set
     * ([[prCurve]] answers "what threshold?"; this answers "how much of the
     * value lives in the top decile?"): rank rows by score descending, cut

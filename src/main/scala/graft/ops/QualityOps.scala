@@ -197,6 +197,76 @@ object QualityOps {
       "n_classes_below_l", l)
   }
 
+  /** t-closeness release gate — the third privacy gate ([[kAnonymity]]
+    * hides identity, [[lDiversity]] forces value variety; t-closeness
+    * bounds how much a quasi-class's SENSITIVE DISTRIBUTION deviates from
+    * the global one — a class that is 95% "cancer" leaks even with l = 3).
+    * For an ORDERED sensitive attribute the distance is the standard
+    * ordered-EMD: `(1/(k−1)) Σᵢ |cumP(i) − cumQ(i)|` over the k distinct
+    * sensitive values. One row:
+    * `(n_rows, n_classes, t_closeness, n_classes_above_t,
+    * n_rows_at_risk, risk_share, pass)` — `t_closeness` = the WORST
+    * class's EMD; pass when it is ≤ `t`.
+    *
+    * Scale: global per-value counts ride the shared deterministic-bucket
+    * cumsum (no global window); the class × value grid is
+    * classes·k-bounded (the sensitive domain is small by the same
+    * contract as [[lDiversity]]'s exact distinct), built from one
+    * class-value count aggregation joined to the broadcast value spine;
+    * per-class cumulatives use CLASS-KEYED windows. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    import org.apache.spark.sql.expressions.Window
+    val s = col(sensitiveCol).cast("double")
+    val base = df.filter(s.isNotNull)
+      .select(quasiCols.map(col) :+ s.as("__v"): _*)
+    val globalCounts = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val kn = globalCounts
+      .agg(count(lit(1)).as("k"), sum(col("__g")).as("n")).head()
+    val k = kn.getLong(0)
+    val n = if (kn.isNullAt(1)) 0L else kn.getLong(1)
+    val spark = df.sparkSession
+    if (n == 0 || k < 2) {
+      // a 0/1-value sensitive domain: every class matches trivially
+      return spark.range(1).select(lit(n).as("n_rows"),
+        lit(0L).as("n_classes"), lit(0.0).as("t_closeness"),
+        lit(0L).as("n_classes_above_t"), lit(0L).as("n_rows_at_risk"),
+        lit(0.0).as("risk_share"), lit(true).as("pass"))
+    }
+    val (cum, _) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      globalCounts, col("__v"), Seq("__g"), Seq("__gBelow"),
+      persistInput = false)
+    val spine = cum.select(col("__v"),
+      ((col("__gBelow") + col("__g")).cast("double") / n).as("__pCum"))
+    val classes = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val cv = base.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // complete class × value grid (bounded by contract), zero-filled
+    val grid = classes.crossJoin(broadcast(spine))
+      .join(cv, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val w = Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid
+      .withColumn("__qCum", sum(col("__c")).over(w).cast("double") / col("__cn"))
+      .groupBy(quasiCols.map(col) :+ col("__cn").as("__n"): _*)
+      .agg((sum(abs(col("__qCum") - col("__pCum"))) / (k - 1)).as("__emd"))
+    perClass.agg(
+        sum(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        max(col("__emd")).as("t_closeness"),
+        sum(when(col("__emd") > t, 1L).otherwise(0L)).cast("long")
+          .as("n_classes_above_t"),
+        sum(when(col("__emd") > t, col("__n")).otherwise(0L)).cast("long")
+          .as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .withColumn("pass", col("t_closeness") <= t)
+  }
+
   /** Benford first-digit test — the classic synthetic-/fabricated-data
     * smell test for naturally-occurring magnitudes (prices, populations,
     * file sizes follow P(d) = log₁₀(1 + 1/d); uniform or hand-typed data

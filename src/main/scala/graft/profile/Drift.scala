@@ -898,6 +898,62 @@ object Drift {
       lit(iRow.getDouble(0)).as("intercept"))
   }
 
+  /** Mann–Kendall trend test on the daily event rate — [[theilSenTrend]]'s
+    * SIGNIFICANCE companion (Theil–Sen says how steep; Mann–Kendall says
+    * whether a monotone trend exists at all, nonparametrically):
+    * `S = Σ_{i<j} sgn(yⱼ − yᵢ)` over the day-ordered counts, the standard
+    * tie-corrected variance, and the continuity-corrected normal z. One
+    * row: `(n_days, s, var_s, z, trend)` — trend ∈ increasing /
+    * decreasing / none at |z| > 1.959963984540054 (the shared z-critical
+    * literal). NULL z when the variance degenerates (fewer than 2 days or
+    * all counts tie).
+    *
+    * Scale: the [[theilSenTrend]] bounded pair join on the calendar-sized
+    * day table; S and the tie mass are exact integers, so the statistic
+    * can never flip across engines. */
+  def mannKendall(df: DataFrame, timeCol: String): DataFrame = {
+    val days = df.filter(col(timeCol).isNotNull)
+      .groupBy(to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = days.select(col("day").as("d1"), col("y").as("y1"))
+    val b = days.select(col("day").as("d2"), col("y").as("y2"))
+    val sRow = broadcast(a).join(b, col("d2") > col("d1"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+      .head()
+    val nDays = days.count()
+    // tie groups on the VALUE: Σ t(t−1)(2t+5) over tied-count groups
+    val tieRow = days.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("_tt"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (nDays < 2) {
+      return spark.range(1).select(lit(nDays).as("n_days"),
+        lit(null).cast("long").as("s"), dNull.as("var_s"), dNull.as("z"),
+        lit("none").as("trend"))
+    }
+    val s = sRow.getLong(0)
+    val ties = tieRow.getLong(0)
+    val n = nDays
+    val varS = (n.toDouble * (n - 1) * (2 * n + 5) - ties) / 18.0
+    val z: Option[Double] =
+      if (varS > 0)
+        Some(if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS)
+        else 0.0)
+      else None
+    val zc = 1.959963984540054
+    val trend = z match {
+      case Some(v) if v > zc => "increasing"
+      case Some(v) if v < -zc => "decreasing"
+      case _ => "none"
+    }
+    spark.range(1).select(lit(n).as("n_days"), lit(s).as("s"),
+      lit(varS).as("var_s"),
+      z.map(lit(_).cast("double")).getOrElse(dNull).as("z"),
+      lit(trend).as("trend"))
+  }
+
   /** [[cusumChangepoint]] PER KEY — one level-shift estimate per slice
     * (per event type, per source): the keyed windows partition by the
     * key, so nothing is global. One row per key:

@@ -337,6 +337,25 @@ class DriftSpec extends SparkSpecBase {
     assert(Drift.theilSenTrend(one, "ts").collect().head.isNullAt(2))
   }
 
+  test("mannKendall: monotone series rejects; flat series degenerates") {
+    // counts 1..6 over six days: S = 15, varS = 6*5*17/18, z = 14/sqrt(varS)
+    val inc = (1 to 6).flatMap(d =>
+      Seq.fill(d)(f"2024-01-0$d 12:00:00")).toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val r = Drift.mannKendall(inc, "ts").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 15L)
+    val varS = 6.0 * 5 * 17 / 18
+    assert(math.abs(r.getDouble(2) - varS) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 14.0 / math.sqrt(varS)) < 1e-12)
+    assert(r.getString(4) == "increasing")
+    // constant rate: all counts tie -> varS = 0 -> NULL z, no trend
+    val flat = (1 to 6).flatMap(d =>
+      Seq.fill(3)(f"2024-01-0$d 12:00:00")).toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val rf = Drift.mannKendall(flat, "ts").collect().head
+    assert(rf.getLong(1) == 0L && rf.isNullAt(3) && rf.getString(4) == "none")
+  }
+
   test("cusumChangepointByKey: independent shifts located per key") {
     // key A shifts 2->10 after day 5; key B shifts 8->2 after day 3
     val rows =

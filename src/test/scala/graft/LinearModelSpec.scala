@@ -174,6 +174,26 @@ class LinearModelSpec extends SparkSpecBase {
       .collect().head.getDouble(2) > 0.2)
   }
 
+  test("labelNoiseEstimate: hand thresholds, abstention, one flagged mislabel") {
+    // t1 = mean(0.9, 0.7) = 0.8; t0 = mean(0.8, 0.6, 0.1) = 0.5.
+    // (0.9,1)->n_11; (0.7,1)->abstains; (0.2,0),(0.4,0)->n_00;
+    // (0.9,0)->confident 1 -> the flagged mislabel (n_01)
+    val scored = Seq((0.9, 1), (0.7, 1), (0.2, 0), (0.4, 0), (0.9, 0))
+      .toDF("score", "label")
+    val r = LinearModel.labelNoiseEstimate(scored).collect().head
+    assert(r.getLong(0) == 4L, s"abstention must drop one row: ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L &&
+      r.getLong(5) == 0L && r.getLong(6) == 1L)
+    assert(math.abs(r.getDouble(7) - 1.0 / 3) < 1e-12)
+    assert(r.getDouble(8) == 0.0)
+    // one class absent -> empty estimate with NULL thresholds
+    val onecls = Seq((0.9, 1), (0.8, 1)).toDF("score", "label")
+    val e = LinearModel.labelNoiseEstimate(onecls).collect().head
+    assert(e.isNullAt(1) && e.isNullAt(2) && e.getLong(0) == 0L)
+  }
+
   test("liftTable: hand-computed deciles; tie blocks never split") {
     // 10 distinct scores, one row each, positives at the top 3 scores:
     // with bins = 5 each bin holds 2 rows

@@ -175,6 +175,27 @@ class QualityOpsSpec extends SparkSpecBase {
     assert(math.abs(ru.getDouble(5) - 1.0) < 1e-12, "all chars non-ASCII")
   }
 
+  test("tCloseness: hand EMD on a 2-value domain; balanced classes pass") {
+    import graft.ops.QualityOps
+    // global {1,1,2,2}: pcum = (0.5, 1). class A = {1,1}: qcum (1,1) ->
+    // EMD 0.5; class B = {2,2}: qcum (0,1) -> EMD 0.5
+    val skew = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("q", "v")
+    val r = QualityOps.tCloseness(skew, Seq("q"), "v", t = 0.4)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 4L && !r.getBoolean(6))
+    // each class mirrors the global distribution -> EMD 0, pass
+    val bal = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("q", "v")
+    val rb = QualityOps.tCloseness(bal, Seq("q"), "v", t = 0.4)
+      .collect().head
+    assert(rb.getDouble(2) == 0.0 && rb.getBoolean(6))
+    // single-value domain: trivially t-close
+    val one = Seq(("A", 7), ("B", 7)).toDF("q", "v")
+    assert(QualityOps.tCloseness(one, Seq("q"), "v", t = 0.1)
+      .collect().head.getBoolean(6))
+  }
+
   test("sprtGate: hand llr at p0=0.2/p1=0.8; all three decisions") {
     import graft.ops.QualityOps
     // llr = k ln4 + (n-k) ln(1/4): k=9,n=10 -> 8 ln4 = 11.09 > upper 2.944
