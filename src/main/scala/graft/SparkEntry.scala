@@ -2456,6 +2456,44 @@ object SparkEntry {
           (round(col("noise_1_to_0"), 6) + lit(0.0)).as("noise_1_to_0"))
     }),
 
+    // ---- Cochran-Mantel-Haenszel stratified association (Association) -----
+    // is the even-user vs odd-user error-rate gap consistent across
+    // weekdays? pooled 2x2 per-stratum test + Mantel-Haenszel odds ratio
+    "q273_cmh" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+        .select(dayofweek(to_date(col("ts"))).as("dow"),
+          (col("user_id") % 2 === 0).as("even_user"),
+          (col("event_type") === "error").as("is_err"))
+      graft.profile.Association.cmhTest(ev, "dow", "even_user", "is_err")
+        .select(col("n_strata"), col("n"), col("sum_a"),
+          (round(col("sum_e_a"), 6) + lit(0.0)).as("sum_e_a"),
+          (round(col("chi2_cmh"), 6) + lit(0.0)).as("chi2_cmh"),
+          (round(col("or_mh"), 6) + lit(0.0)).as("or_mh"))
+    }),
+
+    // ---- two-group log-rank survival test (Behavior) -----------------------
+    // do even- and odd-user time-to-first-purchase curves differ? the
+    // Mantel-Cox companion of q235's KM curve, same duration construction
+    "q274_log_rank" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val durations = perUser.crossJoin(broadcast(horizon)).select(
+        floor((unix_timestamp(coalesce(col("p_ts"), col("h_ts"))) -
+          unix_timestamp(col("first_ts"))) / 3600).cast("long").as("dur_h"),
+        col("p_ts").isNull.as("cens"),
+        when(col("user_id") % 2 === 0, "even").otherwise("odd").as("grp"))
+      Behavior.logRankTest(durations, "dur_h", "cens", "grp")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("events_a"), col("events_b"),
+          (round(col("expected_a"), 6) + lit(0.0)).as("expected_a"),
+          (round(col("var_a"), 6) + lit(0.0)).as("var_a"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"))
+    }),
+
     // ---- Mann-Kendall monotone-trend test on the daily rate (Drift) -------
     // the significance companion of q265's Theil-Sen slope; integer-exact
     // S and tie mass
@@ -7037,6 +7075,77 @@ object SparkEntry {
              round(n_10::DOUBLE / (n_10 + n_11), 6) END) + 0.0
              AS noise_1_to_0
          FROM c""",
+    // per-weekday 2x2 tables -> hypergeometric mean/variance, pooled with
+    // the 0.5 continuity correction; MH odds ratio alongside
+    "q273_cmh" ->
+      """WITH b AS (SELECT dayofweek(ts::DATE) s,
+                  (user_id % 2 = 0) e, (event_type = 'error') o
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+         st AS (SELECT s,
+                  sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT a,
+                  sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT bb,
+                  sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT c,
+                  sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT d
+                FROM b GROUP BY 1),
+         sn AS (SELECT *, a + bb + c + d AS n FROM st WHERE a+bb+c+d > 1),
+         agg AS (SELECT count(*)::BIGINT n_strata, sum(n)::BIGINT n,
+             sum(a)::BIGINT sum_a,
+             sum((a + bb)::DOUBLE * (a + c) / n) sum_e,
+             sum((a + bb)::DOUBLE * (c + d) / n * (a + c) / n * (bb + d)
+               / (n - 1)) v,
+             sum(a::DOUBLE * d / n) orn, sum(bb::DOUBLE * c / n) ord
+           FROM sn)
+         SELECT n_strata, n, sum_a, round(sum_e, 6) + 0.0 AS sum_e_a,
+           (CASE WHEN v > 0 THEN
+             round(pow(greatest(abs(sum_a - sum_e) - 0.5, 0.0), 2) / v, 6)
+            END) + 0.0 AS chi2_cmh,
+           (CASE WHEN ord > 0 THEN round(orn / ord, 6) END) + 0.0 AS or_mh
+         FROM agg""",
+    // the q235 duration construction split even/odd; at-risk prefixes via
+    // exclusive cumulative exits, pooled hypergeometric O/E/V
+    "q274_log_rank" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS hm FROM events),
+         bl AS (SELECT floor((floor(epoch(coalesce(p, hm))) -
+                  floor(epoch(f))) / 3600)::BIGINT AS life,
+                  (p IS NULL) AS cens,
+                  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+                FROM pu, h),
+         gl AS (SELECT life,
+                 sum(CASE WHEN g = 'even' AND NOT cens THEN 1 ELSE 0 END)::BIGINT da,
+                 sum(CASE WHEN g = 'odd' AND NOT cens THEN 1 ELSE 0 END)::BIGINT db,
+                 sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END)::BIGINT alla,
+                 sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END)::BIGINT allb
+               FROM bl GROUP BY 1),
+         w AS (SELECT *,
+                 coalesce(sum(alla) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ba,
+                 coalesce(sum(allb) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bb,
+                 (SELECT sum(alla) FROM gl) na,
+                 (SELECT sum(allb) FROM gl) nb
+               FROM gl),
+         x AS (SELECT da, db, (na - ba)::BIGINT nra, (nb - bb)::BIGINT nrb
+               FROM w WHERE da + db > 0),
+         agg AS (SELECT sum(da)::BIGINT oa, sum(db)::BIGINT ob,
+             sum((da + db)::DOUBLE * nra / (nra + nrb)) ea,
+             sum(CASE WHEN nra + nrb > 1 THEN
+               (da + db)::DOUBLE * nra / (nra + nrb) * nrb / (nra + nrb)
+                 * (nra + nrb - da - db) / (nra + nrb - 1) ELSE 0.0 END) va
+           FROM x),
+         tot AS (SELECT (SELECT sum(alla) FROM gl)::BIGINT na,
+                   (SELECT sum(allb) FROM gl)::BIGINT nb)
+         SELECT 'even' AS group_a, 'odd' AS group_b, tot.na AS n_a,
+           tot.nb AS n_b, agg.oa AS events_a, agg.ob AS events_b,
+           round(agg.ea, 6) + 0.0 AS expected_a,
+           round(agg.va, 6) + 0.0 AS var_a,
+           (CASE WHEN agg.va > 0 THEN
+             round((agg.oa - agg.ea) * (agg.oa - agg.ea) / agg.va, 6) END)
+             + 0.0 AS chi2
+         FROM agg, tot""",
     // integer-exact S and tie mass over the bounded day-pair join;
     // continuity-corrected z with the shared z-critical literal
     "q272_mann_kendall" ->

@@ -562,6 +562,74 @@ object Behavior {
     * purchase, time to churn, label latency) reduces to building the
     * durations frame and calling this. Output and scale shape as
     * documented on [[kmSurvival]]. */
+  /** Two-group log-rank test — DO the survival curves differ ([[kmCurve]]
+    * draws them; log-rank is the significance test every KM plot quotes):
+    * at each event time, compare group A's observed events to the
+    * expectation under "same hazard" given the at-risk counts, and pool
+    * over time (Mantel–Cox). One row: `(group_a, group_b, n_a, n_b,
+    * events_a, events_b, expected_a, var_a, chi2)` — χ² = (O−E)²/V ~
+    * χ²(1) under H₀ (> 3.84 rejects at 5%). NULL χ² when V = 0 (no
+    * comparable event times). Exactly two groups required; censoring as
+    * in [[kmCurve]].
+    *
+    * Scale: the [[kmCurve]] shape with two at-risk prefixes — per-
+    * distinct-duration counts, ONE multi-column deterministic-bucket
+    * cumsum, one scalar reduce over event times. */
+  def logRankTest(durations: DataFrame, durationCol: String,
+      censoredCol: String, groupCol: String): DataFrame = {
+    val base = durations
+      .filter(col(durationCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(durationCol).cast("long").as("life"),
+        coalesce(col(censoredCol), lit(false)).as("__cens"))
+    val groups = base.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0))
+    require(groups.length == 2,
+      s"log-rank needs exactly 2 groups, got ${groups.toSeq}")
+    val (ga, gb) = (groups(0), groups(1))
+    val byLife = base.groupBy(col("life")).agg(
+      sum(when(col("g") === ga && !col("__cens"), 1L).otherwise(0L)).as("da"),
+      sum(when(col("g") === gb && !col("__cens"), 1L).otherwise(0L)).as("db"),
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("alla"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("allb"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), Seq("alla", "allb"), Seq("_ba", "_bb"),
+      persistInput = false)
+    val (nA, nB) = (grand(0), grand(1))
+    val nra = lit(nA) - col("_ba")
+    val nrb = lit(nB) - col("_bb")
+    val nr = nra + nrb
+    val d = (col("da") + col("db")).cast("double")
+    // hypergeometric mean/variance of group-A events at each event time;
+    // the chained left-assoc form is mirrored verbatim in the oracle
+    val ea = d * nra / nr
+    val va = d * nra / nr * nrb / nr * (nr - col("da") - col("db")) / (nr - 1)
+    val row = cum
+      .filter(col("da") + col("db") > 0)
+      .agg(sum(col("da")).cast("long").as("oa"),
+        sum(col("db")).cast("long").as("ob"),
+        sum(ea).as("ea"),
+        sum(when(nr > 1, va).otherwise(lit(0.0))).as("va"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val spark = durations.sparkSession
+    def dNull = lit(null).cast("double")
+    if (row.isNullAt(0)) {
+      return spark.range(1).select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+        lit(nA).as("n_a"), lit(nB).as("n_b"), lit(0L).as("events_a"),
+        lit(0L).as("events_b"), dNull.as("expected_a"), dNull.as("var_a"),
+        dNull.as("chi2"))
+    }
+    val (oa, ob) = (row.getLong(0), row.getLong(1))
+    val (eaV, vaV) = (row.getDouble(2), row.getDouble(3))
+    val chi2: Option[Double] =
+      if (vaV > 0) Some((oa - eaV) * (oa - eaV) / vaV) else None
+    spark.range(1).select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+      lit(nA).as("n_a"), lit(nB).as("n_b"), lit(oa).as("events_a"),
+      lit(ob).as("events_b"), lit(eaV).as("expected_a"), lit(vaV).as("var_a"),
+      chi2.map(lit(_).cast("double")).getOrElse(dNull).as("chi2"))
+  }
+
   def kmCurve(durations: DataFrame, durationCol: String,
       censoredCol: String): DataFrame = {
     val byLife = durations

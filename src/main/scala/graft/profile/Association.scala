@@ -250,6 +250,53 @@ object Association {
         when(col("h_b") > 0, col("mi") / col("h_b")).as("u_b_given_a"))
   }
 
+  /** Cochran–Mantel–Haenszel test — is the exposure→outcome association
+    * CONSISTENT across strata ([[categoricalAssociation]] on the pooled
+    * table falls to Simpson's paradox; CMH tests the common odds ratio
+    * across per-stratum 2×2 tables): per stratum, group-A events vs the
+    * hypergeometric expectation, pooled with the 0.5 continuity
+    * correction. One row: `(n_strata, n, sum_a, sum_e_a, chi2_cmh,
+    * or_mh)` — the Mantel–Haenszel pooled odds ratio alongside. Strata
+    * with n ≤ 1 contribute nothing; NULL χ² when ΣV = 0, NULL OR when
+    * its denominator Σ(b·c/n) is 0. Complete-case on all three columns
+    * (exposure/outcome boolean-castable).
+    *
+    * Scale: ONE stratum-keyed count aggregation (four conditional sums),
+    * one scalar reduce — stratum-bounded throughout. */
+  def cmhTest(df: DataFrame, stratumCol: String, exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposureCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val strata = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val r1 = col("a") + col("b"); val r0 = col("c") + col("d")
+    val c1 = col("a") + col("c"); val c0 = col("b") + col("d")
+    val ea = r1.cast("double") * c1 / col("n")
+    val va = r1.cast("double") * r0 / col("n") * c1 / col("n") * c0 /
+      (col("n") - 1)
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("n")).cast("long").as("n"),
+        sum(col("a")).cast("long").as("sum_a"),
+        sum(ea).as("sum_e_a"),
+        sum(va).as("_v"),
+        sum(col("a").cast("double") * col("d") / col("n")).as("_orn"),
+        sum(col("b").cast("double") * col("c") / col("n")).as("_ord"))
+      .select(col("n_strata"), col("n"), col("sum_a"), col("sum_e_a"),
+        when(col("_v") > 0,
+          pow(greatest(abs(col("sum_a") - col("sum_e_a")) - 0.5, lit(0.0)), 2)
+            / col("_v")).as("chi2_cmh"),
+        when(col("_ord") > 0, col("_orn") / col("_ord")).as("or_mh"))
+  }
+
   /** McNemar's test — did a CHANGE help, on PAIRED binary outcomes
     * ([[cohenKappa]] measures agreement; McNemar tests whether the two
     * labelers/models DISAGREE SYMMETRICALLY): only the discordant pairs

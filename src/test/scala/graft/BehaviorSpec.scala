@@ -468,4 +468,34 @@ class BehaviorSpec extends SparkSpecBase {
     assert(fv.alerts.contains("uniform"),
       s"flat density must fire the uniform alert: ${fv.alerts}")
   }
+
+  test("logRankTest: hand-computed O/E/V; identical curves give chi2 = 0") {
+    // A events at 1,2; B events at 3,4:
+    // E_a = 0.5 + 1/3, V = 1/4 + 2/9, chi2 = (2 - 5/6)^2 / (17/36) = 49/17
+    val d = Seq((1L, false, "A"), (2L, false, "A"),
+      (3L, false, "B"), (4L, false, "B")).toDF("dur", "cens", "g")
+    val r = Behavior.logRankTest(d, "dur", "cens", "g").collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L)
+    assert(math.abs(r.getDouble(6) - 5.0 / 6) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 17.0 / 36) < 1e-12)
+    assert(math.abs(r.getDouble(8) - 49.0 / 17) < 1e-12)
+    // perfectly symmetric groups: O = E exactly -> chi2 = 0
+    val same = Seq((1L, false, "A"), (2L, false, "A"),
+      (1L, false, "B"), (2L, false, "B")).toDF("dur", "cens", "g")
+    assert(Behavior.logRankTest(same, "dur", "cens", "g")
+      .collect().head.getDouble(8) == 0.0)
+    // censored rows shape the at-risk counts but never the events
+    val cens = Seq((1L, false, "A"), (2L, true, "A"),
+      (1L, false, "B"), (2L, true, "B")).toDF("dur", "cens", "g")
+    val rc = Behavior.logRankTest(cens, "dur", "cens", "g").collect().head
+    assert(rc.getLong(4) == 1L && rc.getLong(5) == 1L)
+    // three groups refuse
+    val three = Seq((1L, false, "A"), (1L, false, "B"), (1L, false, "C"))
+      .toDF("dur", "cens", "g")
+    intercept[IllegalArgumentException] {
+      Behavior.logRankTest(three, "dur", "cens", "g")
+    }
+  }
 }

@@ -561,6 +561,29 @@ class ProfileSpec extends SparkSpecBase {
       rd.getDouble(3) == 0.0)
   }
 
+  test("cmhTest: hand-computed pooled chi2 and MH odds ratio") {
+    // two identical strata with a = 8, b = 2, c = 2, d = 8 (n = 20 each):
+    // E_a = 5/stratum, V = 25/19/stratum, chi2 = (|16-10|-0.5)^2/(50/19),
+    // OR_MH = (2*3.2)/(2*0.2) = 16
+    def stratum(s: Int) =
+      Seq.fill(8)((s, true, true)) ++ Seq.fill(2)((s, true, false)) ++
+      Seq.fill(2)((s, false, true)) ++ Seq.fill(8)((s, false, false))
+    val df = (stratum(1) ++ stratum(2)).toDF("s", "e", "o")
+    val r = graft.profile.Association.cmhTest(df, "s", "e", "o")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L && r.getLong(2) == 16L)
+    assert(math.abs(r.getDouble(3) - 10.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 30.25 * 19 / 50) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 16.0) < 1e-12)
+    // independence: O = E -> continuity correction floors chi2 at 0; OR 1
+    val ind = (Seq.fill(5)((1, true, true)) ++ Seq.fill(5)((1, true, false)) ++
+      Seq.fill(5)((1, false, true)) ++ Seq.fill(5)((1, false, false)))
+      .toDF("s", "e", "o")
+    val ri = graft.profile.Association.cmhTest(ind, "s", "e", "o")
+      .collect().head
+    assert(ri.getDouble(4) == 0.0 && ri.getDouble(5) == 1.0)
+  }
+
   test("mcnemar: only discordant pairs matter; hand chi2 on a 3-vs-7 split") {
     // concordant counts are irrelevant: chi2 = (7-3)^2/10 = 1.6,
     // cc = (|4|-1)^2/10 = 0.9
