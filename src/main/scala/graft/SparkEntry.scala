@@ -2456,6 +2456,17 @@ object SparkEntry {
           (round(col("noise_1_to_0"), 6) + lit(0.0)).as("noise_1_to_0"))
     }),
 
+    // ---- Brown-Forsythe variance homogeneity across languages (Drift) -----
+    // the assumption check beside q248's ANOVA: F on |x - median_g|;
+    // integer values make medians and deviation moments engine-exact
+    "q275_brown_forsythe" -> ((s, dir) => {
+      Drift.brownForsythe(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("ss_between"), 2) + lit(0.0)).as("ss_between"),
+          (round(col("ss_within"), 2) + lit(0.0)).as("ss_within"),
+          (round(col("f"), 6) + lit(0.0)).as("f"))
+    }),
+
     // ---- Cochran-Mantel-Haenszel stratified association (Association) -----
     // is the even-user vs odd-user error-rate gap consistent across
     // weekdays? pooled 2x2 per-stratum test + Mantel-Haenszel odds ratio
@@ -7075,6 +7086,22 @@ object SparkEntry {
              round(n_10::DOUBLE / (n_10 + n_11), 6) END) + 0.0
              AS noise_1_to_0
          FROM c""",
+    // per-group exact medians -> |x - m_g| -> the q248 moment identities
+    "q275_brown_forsythe" ->
+      """WITH b AS (SELECT lang g, n_chars::DOUBLE v FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         md AS (SELECT g, quantile_cont(v, 0.5) m FROM b GROUP BY 1),
+         z AS (SELECT b.g, abs(b.v - md.m) z FROM b JOIN md USING (g)),
+         gg AS (SELECT g, count(*)::BIGINT ng, sum(z) s, sum(z * z) q
+                FROM z GROUP BY 1),
+         t AS (SELECT sum(ng)::BIGINT n, count(*)::BIGINT k,
+                 sum(s * s / ng) sg, sum(s) st, sum(q) qt FROM gg)
+         SELECT n, k,
+           round(sg - st * st / n, 2) + 0.0 AS ss_between,
+           round(qt - sg, 2) + 0.0 AS ss_within,
+           round(((sg - st * st / n) / (k - 1)) / ((qt - sg) / (n - k)), 6)
+             + 0.0 AS f
+         FROM t""",
     // per-weekday 2x2 tables -> hypergeometric mean/variance, pooled with
     // the 0.5 continuity correction; MH odds ratio alongside
     "q273_cmh" ->

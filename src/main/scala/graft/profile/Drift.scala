@@ -737,6 +737,29 @@ object Drift {
       f.map(lit(_).cast("double")).getOrElse(dNull).as("f"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test — the assumption check that
+    * gates [[anovaF]] (F compares means ASSUMING equal spread; a slice
+    * with 10× the variance silently breaks it) and a drift signal in its
+    * own right ("the mean held but the spread exploded"). The robust
+    * Levene variant: ANOVA F computed on |x − median_g| — one row, the
+    * [[anovaF]] output shape on the absolute deviations. For
+    * integer-valued data the group medians (exact percentiles) and the
+    * deviation moments are bit-reproducible across engines.
+    *
+    * Scale: per-group exact medians (group-bounded aggregation), one
+    * broadcast join back, then the [[anovaF]] moment pass — two scans. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("__m"))
+    anovaF(base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("__m")).as("z")), "g", "z")
+  }
+
   /** Kruskal–Wallis H — the k-group rank test ([[anovaF]] without the
     * normality assumption; the k-group generalization of
     * [[mannWhitneyU]]): "do these k slices share a location?" on ranks,

@@ -262,6 +262,25 @@ class DriftSpec extends SparkSpecBase {
     assert(Drift.anovaF(single, "g", "v").collect().head.isNullAt(4))
   }
 
+  test("brownForsythe: unequal spreads reject; equal spreads give F ~ 0") {
+    // g1 tightly packed around 10, g2 spread wide around 10: same means,
+    // very different |x - median| deviations
+    val df = (Seq(9, 10, 10, 11).map(("g1", _)) ++
+      Seq(1, 5, 15, 19).map(("g2", _))).toDF("g", "v")
+    val r = Drift.brownForsythe(df, "g", "v").collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    // z1 = (1,0,0,1), z2 = (9,5,5,9): hand F = anovaF on those
+    // ssb = (2^2/4 + 28^2/4) - 30^2/8 = 84.5; ssw = (2 - 1) + (212 - 196) = 17
+    assert(math.abs(r.getDouble(2) - 84.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 17.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 84.5 / (17.0 / 6)) < 1e-9)
+    // identical groups: deviations identical -> SSB exactly 0
+    val same = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _)))
+      .toDF("g", "v")
+    assert(math.abs(Drift.brownForsythe(same, "g", "v")
+      .collect().head.getDouble(2)) < 1e-9)
+  }
+
   test("kruskalWallis: tie-free H = 3.857...; all-tied -> NULL") {
     // ranks 1..6, R1 = 6, R2 = 15: H = 12/42*(12+75) - 21 = 27/7
     val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
