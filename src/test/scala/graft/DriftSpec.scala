@@ -262,6 +262,57 @@ class DriftSpec extends SparkSpecBase {
     assert(Drift.anovaF(single, "g", "v").collect().head.isNullAt(4))
   }
 
+  test("welch/anova/kruskal match naive references on seeded random groups") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(3)
+      val groups = (0 until k).map { g =>
+        g -> Seq.fill(5 + rnd.nextInt(25))((rnd.nextInt(12) + 1).toDouble)
+      }
+      val df = groups.flatMap { case (g, vs) => vs.map((s"g$g", _)) }
+        .toDF("g", "v")
+      // ANOVA reference from definitional sums of squares
+      val all = groups.flatMap(_._2)
+      val grand = all.sum / all.size
+      val ssb = groups.map { case (_, vs) =>
+        val m = vs.sum / vs.size; vs.size * (m - grand) * (m - grand) }.sum
+      val ssw = groups.map { case (_, vs) =>
+        val m = vs.sum / vs.size; vs.map(x => (x - m) * (x - m)).sum }.sum
+      val fRef = (ssb / (k - 1)) / (ssw / (all.size - k))
+      val fr = Drift.anovaF(df, "g", "v").collect().head
+      assert(math.abs(fr.getDouble(2) - ssb) < 1e-6 * (1 + ssb), s"trial $trial ssb")
+      assert(math.abs(fr.getDouble(3) - ssw) < 1e-6 * (1 + ssw), s"trial $trial ssw")
+      assert(math.abs(fr.getDouble(4) - fRef) < 1e-6 * (1 + fRef), s"trial $trial F")
+      // Kruskal-Wallis reference with average ranks + tie correction
+      val sorted = all.sorted
+      val rank = all.distinct.map { v =>
+        val below = sorted.count(_ < v); val cnt = sorted.count(_ == v)
+        v -> (below + (cnt + 1) / 2.0)
+      }.toMap
+      val nAll = all.size.toDouble
+      val sr = groups.map { case (_, vs) =>
+        val rg = vs.map(rank).sum; rg * rg / vs.size }.sum
+      val ties = all.groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val c = 1.0 - ties / (nAll * nAll * nAll - nAll)
+      val hRef = (12.0 / (nAll * (nAll + 1)) * sr - 3.0 * (nAll + 1)) / c
+      val kr = Drift.kruskalWallis(df, "g", "v").collect().head
+      assert(math.abs(kr.getDouble(2) - hRef) < 1e-6 * (1 + math.abs(hRef)),
+        s"trial $trial H ${kr.getDouble(2)} vs $hRef")
+      // Welch reference on the first two groups
+      val (va0, vb0) = (groups(0)._2, groups(1)._2)
+      def m(v: Seq[Double]) = v.sum / v.size
+      def s2(v: Seq[Double]) = {
+        val mm = m(v); v.map(x => (x - mm) * (x - mm)).sum / (v.size - 1) }
+      val (wa, wb) = (s2(va0) / va0.size, s2(vb0) / vb0.size)
+      val tRef = (m(va0) - m(vb0)) / math.sqrt(wa + wb)
+      val wr = Drift.welchTTest(
+        va0.toDF("v"), vb0.toDF("v"), "v").collect().head
+      assert(math.abs(wr.getDouble(4) - tRef) < 1e-6 * (1 + math.abs(tRef)),
+        s"trial $trial t ${wr.getDouble(4)} vs $tRef")
+    }
+  }
+
   test("brownForsythe: unequal spreads reject; equal spreads give F ~ 0") {
     // g1 tightly packed around 10, g2 spread wide around 10: same means,
     // very different |x - median| deviations
