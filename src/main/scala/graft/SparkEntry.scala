@@ -2467,6 +2467,37 @@ object SparkEntry {
           (round(col("f"), 6) + lit(0.0)).as("f"))
     }),
 
+    // ---- ranked-retrieval eval: per-query NDCG@10 / AP / RR (Search) ------
+    // brand recommendations from first-half spend, judged against
+    // second-half purchases: ranks on the ROUNDED H1 revenue (brand-asc
+    // tiebreak — the repo's deterministic-ranking pattern), graded
+    // relevance = H2 purchase count capped at 4
+    "q276_ndcg" -> ((s, dir) => {
+      val (res, rel) = brandRecEval(s, dir)
+      Search.rankingMetrics(res, rel, "c", "b", "r", "rel", k = 10)
+        .select(col("c").as("custkey"), col("n_ranked"), col("n_rel"),
+          (round(col("dcg"), 6) + lit(0.0)).as("dcg"),
+          (round(col("idcg"), 6) + lit(0.0)).as("idcg"),
+          (round(col("ndcg"), 6) + lit(0.0)).as("ndcg"),
+          (round(col("ap"), 6) + lit(0.0)).as("ap"),
+          (round(col("rr"), 6) + lit(0.0)).as("rr"))
+        .gateOrdered(col("custkey"))
+    }),
+
+    // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
+    // trec_eval convention: queries with no relevant documents are NULL
+    // per-query and excluded from the means (avg ignores NULLs on both
+    // engines)
+    "q277_map_mrr" -> ((s, dir) => {
+      val (res, rel) = brandRecEval(s, dir)
+      Search.rankingMetrics(res, rel, "c", "b", "r", "rel", k = 10)
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("ndcg")).as("n_judged"),
+          (round(avg(col("ndcg")), 6) + lit(0.0)).as("mean_ndcg"),
+          (round(avg(col("ap")), 6) + lit(0.0)).as("map"),
+          (round(avg(col("rr")), 6) + lit(0.0)).as("mrr"))
+    }),
+
     // ---- Cochran-Mantel-Haenszel stratified association (Association) -----
     // is the even-user vs odd-user error-rate gap consistent across
     // weekdays? pooled 2x2 per-stratum test + Mantel-Haenszel odds ratio
@@ -3609,6 +3640,32 @@ object SparkEntry {
     * fixture. */
   private val eventsMicrosCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+  /** Shared q276/q277 eval scenario: brand recommendations per sampled
+    * customer (custkey % 20 == 1 — a bounded query set at any sf) ranked
+    * by first-half revenue, judged on second-half purchase counts. Returns
+    * (results(c, b, r), qrels(c, b, rel)). Ranks use the ROUNDED revenue
+    * with brand-asc tiebreak — a total order, identical on both engines. */
+  private def brandRecEval(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = read(s, dir, "lineitem")
+    val ord = read(s, dir, "orders").filter(col("o_custkey") % 20 === 1)
+    val part = read(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("b"),
+        to_date(col("o_orderdate")).as("d"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val split = lit("1998-06-01").cast("date")
+    val h1 = base.filter(col("d") < split)
+      .groupBy(col("c"), col("b")).agg(round(sum(col("rev")), 2).as("s"))
+    val w = Window.partitionBy(col("c")).orderBy(col("s").desc, col("b").asc)
+    val res = h1.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select(col("c"), col("b"), col("r"))
+    val rel = base.filter(col("d") >= split)
+      .groupBy(col("c"), col("b"))
+      .agg(least(count(lit(1)), lit(4L)).as("rel"))
+    (res, rel)
+  }
+
   private def stageEventsMicros(s: SparkSession, dir: String,
       duplicate: Boolean = false): String =
     // cached per (dir, variant) per JVM: 7 streaming queries × 3 bench
@@ -4451,6 +4508,54 @@ object SparkEntry {
        SELECT doc_id, n_chars, ${terms.mkString(" + ")} AS zval
        FROM t ORDER BY doc_id"""
   }
+
+  /** Shared q276/q277 oracle scaffold — the brandRecEval scenario plus the
+    * trec_eval metric algebra, ending at a CTE `m(c, n_ranked, n_rel, dcg,
+    * idcg, ndcg, ap, rr)` for the per-query (q276) and corpus-mean (q277)
+    * finals to select from. */
+  private def rankingEvalSql: String =
+    """WITH base AS (
+         SELECT o.o_custkey c, p.p_brand b, o.o_orderdate::DATE d,
+                l.l_extendedprice * (1 - l.l_discount) rev
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE o.o_custkey % 20 = 1),
+       res AS (
+         SELECT c, b, r FROM (
+           SELECT c, b, row_number() OVER (PARTITION BY c
+             ORDER BY round(sum(rev), 2) DESC, b ASC) r
+           FROM base WHERE d < DATE '1998-06-01' GROUP BY c, b) rk
+         WHERE r <= 10),
+       rel AS (
+         SELECT c, b, least(count(*), 4)::DOUBLE rel
+         FROM base WHERE d >= DATE '1998-06-01' GROUP BY c, b),
+       scored AS (
+         SELECT res.c, res.r, coalesce(rel.rel, 0) rel,
+           (pow(2, coalesce(rel.rel, 0)) - 1) / log2(res.r + 1) gain,
+           sum(CASE WHEN coalesce(rel.rel, 0) > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY res.c ORDER BY res.r) cumrel
+         FROM res LEFT JOIN rel ON res.c = rel.c AND res.b = rel.b),
+       ranked AS (
+         SELECT c, count(*)::BIGINT n_ranked, sum(gain) dcg,
+           sum(CASE WHEN rel > 0 THEN cumrel::DOUBLE / r ELSE 0 END) apnum,
+           min(CASE WHEN rel > 0 THEN r END) firstrel
+         FROM scored GROUP BY c),
+       ideal AS (
+         SELECT c, count(*)::BIGINT n_rel,
+           sum(CASE WHEN ir <= 10 THEN (pow(2, rel) - 1) / log2(ir + 1)
+               ELSE 0 END) idcg
+         FROM (SELECT c, rel, b, row_number() OVER (PARTITION BY c
+                 ORDER BY rel DESC, b ASC) ir FROM rel) iq
+         GROUP BY c),
+       m AS (
+         SELECT ranked.c, n_ranked, coalesce(n_rel, 0)::BIGINT n_rel, dcg,
+           coalesce(idcg, 0) idcg,
+           CASE WHEN idcg > 0 THEN dcg / idcg END ndcg,
+           CASE WHEN n_rel > 0 THEN apnum / least(n_rel, 10) END ap,
+           CASE WHEN firstrel IS NOT NULL THEN 1.0 / firstrel END rr
+         FROM ranked LEFT JOIN ideal ON ranked.c = ideal.c)
+    """
 
   /** DuckDB list literal for a stopword list — interpolated into the q27
     * oracle from [[TextFunctions.stopwords]] so query and oracle can never
@@ -7102,6 +7207,23 @@ object SparkEntry {
            round(((sg - st * st / n) / (k - 1)) / ((qt - sg) / (n - k)), 6)
              + 0.0 AS f
          FROM t""",
+    // trec_eval conventions: graded gain (2^rel-1)/log2(r+1), IDCG from
+    // grades sorted desc truncated at k, AP denominator min(R, k), NULL
+    // metrics for queries with nothing relevant
+    "q276_ndcg" ->
+      (rankingEvalSql + """
+         SELECT c AS custkey, n_ranked, n_rel,
+           round(dcg, 6) + 0.0 AS dcg, round(idcg, 6) + 0.0 AS idcg,
+           round(ndcg, 6) + 0.0 AS ndcg, round(ap, 6) + 0.0 AS ap,
+           round(rr, 6) + 0.0 AS rr
+         FROM m"""),
+    "q277_map_mrr" ->
+      (rankingEvalSql + """
+         SELECT count(*)::BIGINT AS n_queries, count(ndcg)::BIGINT AS n_judged,
+           round(avg(ndcg), 6) + 0.0 AS mean_ndcg,
+           round(avg(ap), 6) + 0.0 AS map,
+           round(avg(rr), 6) + 0.0 AS mrr
+         FROM m"""),
     // per-weekday 2x2 tables -> hypergeometric mean/variance, pooled with
     // the 0.5 continuity correction; MH odds ratio alongside
     "q273_cmh" ->

@@ -254,4 +254,82 @@ object Search {
         ((lit(1.0) - p) * col("__sum") +
           col("n_common").cast("double") / k * math.pow(p, k)).as("rbo_ext"))
   }
+
+  /** Per-query ranked-retrieval quality metrics — the offline-eval battery
+    * for any ranker in the repo (BM25 [[bm25TopK]], ANN top-k, RRF fusion,
+    * recommendation lists): graded NDCG@k, average precision (MAP's
+    * per-query term), and reciprocal rank, judged against a relevance
+    * table. Inputs: `results(queryCol, docCol, rankCol)` with ranks 1..k
+    * per query, and `qrels(queryCol, docCol, relCol)` with integer grades
+    * ≥ 0 (absent pair ⇒ grade 0). Output one row per query present in
+    * `results`: `(queryCol, n_ranked, n_rel, dcg, idcg, ndcg, ap, rr)`.
+    *
+    * Semantics (the standard trec_eval conventions):
+    *   - gain(rel, rank) = (2^rel − 1) / log₂(rank + 1), ranks beyond `k`
+    *     ignored;
+    *   - IDCG@k from the query's grades sorted descending (ties share a
+    *     gain value, so tie order cannot change the sum), truncated at k;
+    *   - AP@k = Σ_{rank r with rel>0} P@r / min(R, k) with R = the query's
+    *     TOTAL relevant count (binary rel>0) — the min(R,k) denominator is
+    *     the trec_eval truncation convention;
+    *   - RR = 1/rank of the first relevant result.
+    *   NDCG/AP/RR are NULL for queries with no relevant documents (0/0 is
+    *   undefined, and reporting 0 would conflate "ranker failed" with
+    *   "nothing to find").
+    *
+    * Scale: every window is PARTITIONED BY the query key — per-query work
+    * is k-bounded (results) or qrel-bounded (IDCG ranking), never global.
+    * The results↔qrels join is an equi-join on (query, doc); output height
+    * = |queries|. No corpus scan, no global window, no driver collect. */
+  def rankingMetrics(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, relCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val res = results.select(
+        col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("int").as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+    val rel = qrels.select(
+        col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(relCol).cast("double").as("__rel"))
+      .filter(col("__rel").isNotNull && col("__rel") > 0)
+    // ranked side: graded gain + binary-precision prefix, per query
+    val joined = res.join(rel, Seq("__q", "__d"), "left")
+      .na.fill(0.0, Seq("__rel"))
+    val wRank = Window.partitionBy(col("__q")).orderBy(col("__r"))
+    val isRel = when(col("__rel") > 0, 1L).otherwise(0L)
+    val perRank = joined
+      .withColumn("__gain", (pow(lit(2.0), col("__rel")) - 1) / log2(col("__r") + 1))
+      .withColumn("__cumRel", sum(isRel).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = perRank.groupBy(col("__q")).agg(
+      count(lit(1)).as("n_ranked"),
+      sum(col("__gain")).as("dcg"),
+      // AP numerator: precision@r summed at relevant ranks
+      sum(when(col("__rel") > 0, col("__cumRel").cast("double") / col("__r"))
+        .otherwise(lit(0.0))).as("__apNum"),
+      min(when(col("__rel") > 0, col("__r"))).as("__firstRel"))
+    // ideal side: grades sorted descending within each query, top k
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__d").asc)
+    val ideal = rel
+      .withColumn("__ir", row_number().over(wIdeal))
+      .groupBy(col("__q")).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__ir") <= k,
+          (pow(lit(2.0), col("__rel")) - 1) / log2(col("__ir") + 1))
+          .otherwise(lit(0.0))).as("idcg"))
+    ranked.join(ideal, Seq("__q"), "left")
+      .select(
+        col("__q").as(queryCol), col("n_ranked"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("dcg"),
+        coalesce(col("idcg"), lit(0.0)).as("idcg"),
+        when(col("idcg") > 0, col("dcg") / col("idcg")).as("ndcg"),
+        when(col("n_rel") > 0,
+          col("__apNum") / least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .as("ap"),
+        when(col("__firstRel").isNotNull,
+          lit(1.0) / col("__firstRel")).as("rr"))
+  }
 }

@@ -678,4 +678,41 @@ class SearchSpec extends SparkSpecBase {
       .collect().head.getDouble(2)
     assert(rt > rb, s"rank-1 overlap ($rt) must outweigh rank-5 overlap ($rb)")
   }
+
+  test("rankingMetrics: hand-computed NDCG/AP/RR with graded + unretrieved rels") {
+    val results = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4))
+      .toDF("q", "doc", "rank")
+    // e is relevant but never retrieved — counts in n_rel and IDCG
+    val qrels = Seq((1L, "b", 2), (1L, "d", 1), (1L, "e", 3), (1L, "z", 0))
+      .toDF("q", "doc", "rel")
+    val r = Search.rankingMetrics(results, qrels, "q", "doc", "rank", "rel", k = 10)
+      .collect().head
+    assert(r.getAs[Long]("n_ranked") == 4L && r.getAs[Long]("n_rel") == 3L)
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(5) / math.log(2))
+    val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r.getAs[Double]("dcg") - dcg) < 1e-12)
+    assert(math.abs(r.getAs[Double]("idcg") - idcg) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ndcg") - dcg / idcg) < 1e-12)
+    // relevant at ranks 2 (P=1/2) and 4 (P=2/4); denominator min(R=3, k)
+    assert(math.abs(r.getAs[Double]("ap") - (0.5 + 0.5) / 3.0) < 1e-12)
+    assert(r.getAs[Double]("rr") == 0.5)
+  }
+
+  test("rankingMetrics: no relevant docs -> NULL metrics; ranks beyond k ignored") {
+    val results = Seq((1L, "a", 1), (1L, "b", 2), (2L, "x", 1), (2L, "y", 3))
+      .toDF("q", "doc", "rank")
+    val qrels = Seq((2L, "y", 1)).toDF("q", "doc", "rel")
+    val rows = Search.rankingMetrics(results, qrels, "q", "doc", "rank", "rel", k = 2)
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    val q1 = rows(1L)
+    assert(q1.getAs[Long]("n_rel") == 0L && q1.isNullAt(q1.fieldIndex("ndcg")) &&
+      q1.isNullAt(q1.fieldIndex("ap")) && q1.isNullAt(q1.fieldIndex("rr")))
+    // q2's only relevant doc sits at rank 3 > k=2 — retrieved-side metrics
+    // see nothing relevant, but n_rel still counts it (and IDCG > 0 so
+    // ndcg is a true 0, not NULL)
+    val q2 = rows(2L)
+    assert(q2.getAs[Long]("n_ranked") == 1L && q2.getAs[Long]("n_rel") == 1L)
+    assert(q2.getAs[Double]("ndcg") == 0.0)
+    assert(q2.isNullAt(q2.fieldIndex("rr")))
+  }
 }
