@@ -2484,6 +2484,20 @@ object SparkEntry {
         .gateOrdered(col("custkey"))
     }),
 
+    // ---- Kendall tau-b on quantity vs price bucket (Association) ----------
+    // pair counting via the densified distinct-cell grid + two chained
+    // PARTITIONED prefix sums — C/D/tie masses are integer-exact, only
+    // tau/z round
+    "q278_kendall_tau" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").select(col("l_quantity").as("x"),
+        floor(col("l_extendedprice") / 5000).as("y"))
+      graft.profile.Association.kendallTau(li, "x", "y")
+        .select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          (round(col("tau_b"), 6) + lit(0.0)).as("tau_b"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7224,6 +7238,52 @@ object SparkEntry {
            round(avg(ap), 6) + 0.0 AS map,
            round(avg(rr), 6) + 0.0 AS mrr
          FROM m"""),
+    // same densified-grid dominance counting: two chained partitioned
+    // prefix sums over the observed-x x observed-y grid, scipy's
+    // tie-corrected variance for z
+    "q278_kendall_tau" ->
+      """WITH p AS (SELECT l_quantity::DOUBLE x,
+                  floor(l_extendedprice / 5000)::DOUBLE y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         sparse AS (SELECT x, y, count(*)::BIGINT n FROM p GROUP BY 1, 2),
+         grid AS (SELECT xs.x, ys.y, coalesce(s.n, 0)::BIGINT n
+                FROM (SELECT DISTINCT x FROM sparse) xs
+                CROSS JOIN (SELECT DISTINCT y FROM sparse) ys
+                LEFT JOIN sparse s ON s.x = xs.x AND s.y = ys.y),
+         aa AS (SELECT x, y, n,
+                  coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE a
+                FROM grid),
+         bb AS (SELECT x, y, n, a,
+                  coalesce(sum(a) OVER (PARTITION BY x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) b,
+                  sum(a) OVER (PARTITION BY x) atot
+                FROM aa),
+         core AS (SELECT sum(n)::BIGINT n,
+                  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT n_cells,
+                  sum(n::DOUBLE * b) c, sum(n::DOUBLE * (atot - a - b)) d
+                FROM bb),
+         tx AS (SELECT sum(t * (t - 1) / 2) pairs,
+                  sum(t * (t - 1) * (2 * t + 5)) v,
+                  sum(t * (t - 1)) t1, sum(t * (t - 1) * (t - 2)) t2
+                FROM (SELECT count(*)::DOUBLE t FROM p GROUP BY x) g),
+         ty AS (SELECT sum(t * (t - 1) / 2) pairs,
+                  sum(t * (t - 1) * (2 * t + 5)) v,
+                  sum(t * (t - 1)) t1, sum(t * (t - 1) * (t - 2)) t2
+                FROM (SELECT count(*)::DOUBLE t FROM p GROUP BY y) g),
+         f AS (SELECT core.n, core.n_cells, core.c, core.d, core.n::DOUBLE nd,
+                 tx.pairs txp, tx.v txv, tx.t1 txt1, tx.t2 txt2,
+                 ty.pairs typ, ty.v tyv, ty.t1 tyt1, ty.t2 tyt2
+               FROM core, tx, ty)
+         SELECT n, n_cells, c AS concordant, d AS discordant,
+           txp AS ties_x, typ AS ties_y,
+           round((c - d) / sqrt((nd * (nd - 1) / 2 - txp)
+             * (nd * (nd - 1) / 2 - typ)), 6) + 0.0 AS tau_b,
+           round((c - d) / sqrt((nd * (nd - 1) * (2 * nd + 5) - txv - tyv) / 18
+             + txt1 * tyt1 / (2 * nd * (nd - 1))
+             + txt2 * tyt2 / (9 * nd * (nd - 1) * (nd - 2))), 6) + 0.0 AS z
+         FROM f""",
     // per-weekday 2x2 tables -> hypergeometric mean/variance, pooled with
     // the 0.5 continuity correction; MH odds ratio alongside
     "q273_cmh" ->

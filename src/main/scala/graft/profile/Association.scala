@@ -208,6 +208,99 @@ object Association {
         corr(col("_rx"), col("_ry")).as("rho"))
   }
 
+  /** Kendall's τ-b rank correlation between two DISCRETE (or pre-binned)
+    * numeric columns, with the tie-corrected normal z — the
+    * outlier-immune, tie-honest companion to [[spearmanCorrelation]]
+    * (Spearman squares rank gaps; τ only asks "which direction", so a
+    * single wild pair can't dominate). One row: `(n, n_cells, concordant,
+    * discordant, ties_x, ties_y, tau_b, z)`; τ/z NULL when either column
+    * is constant.
+    *
+    * Pair counting never enumerates pairs: over the joint distinct-cell
+    * grid `n(x,y)`, each cell's dominance count `#{(x',y') : x'<x, y'<y}`
+    * comes from two chained PARTITIONED prefix sums — `A(x,y) =
+    * Σ_{x'<x} n(x',y)` (window by y, ordered by x) then `B(x,y) =
+    * Σ_{y'<y} A(x,y')` (window by x, ordered by y) — so C = Σ n·B counts
+    * every concordant pair exactly once at its greater cell, and
+    * D = Σ n·(A_tot − A − B) the discordant ones (A_tot = Σ_y A(x,y),
+    * the full column sum: points left of x at ANY y; subtracting the
+    * ≤ y prefix leaves y' > y). Products run in double — cell counts
+    * cross Long·Long range at corpus scale.
+    *
+    * Scale contract: one cell-bounded contingency shuffle (partial agg
+    * collapses partitions to ≤ |X|·|Y| cells), a DENSIFIED |X|·|Y| grid
+    * (prefix sums only telescope when every (x, y') row exists), then
+    * windows PARTITIONED by one value axis — per-partition work is
+    * bounded by the other axis's distinct count. Intended for
+    * discrete/low-cardinality columns (grades, bucketed metrics); bin
+    * continuous columns first or the dense grid is quadratic in the
+    * data. z uses the full tie-corrected variance (the scipy ASYMPTOTIC
+    * formula): var = (v0 − vt − vu)/18 + v1 + v2 with v1, v2 the
+    * joint-tie cross terms. */
+  def kendallTau(df: DataFrame, colX: String, colY: String): DataFrame = {
+    val pairs = df
+      .select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val sparse = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    // DENSIFY over observed-x × observed-y: the chained prefix sums only
+    // telescope when every (x, y') row exists — a missing cell with a
+    // nonzero A(x, y') would silently drop its contribution to B. The
+    // grid is |X|·|Y| rows — bounded by the discrete-column contract;
+    // the broadcast side is a distinct-value list.
+    val xs = sparse.select(col("x")).distinct()
+    val ys = sparse.select(col("y")).distinct()
+    val cells = xs.crossJoin(broadcast(ys))
+      .join(sparse, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("n"))
+    import org.apache.spark.sql.expressions.Window
+    val byYOverX = Window.partitionBy(col("y")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byXOverY = Window.partitionBy(col("x")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byXAll = Window.partitionBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dom = cells
+      .withColumn("_a", coalesce(sum(col("n")).over(byYOverX), lit(0L)).cast("double"))
+      .withColumn("_b", coalesce(sum(col("_a")).over(byXOverY), lit(0.0)))
+      .withColumn("_atot", sum(col("_a")).over(byXAll))
+    val nD = col("n").cast("double")
+    val core = dom.agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_cells"),
+      sum(nD * col("_b")).as("concordant"),
+      sum(nD * (col("_atot") - col("_a") - col("_b"))).as("discordant"))
+    def tieSums(c: String, pfx: String): DataFrame = {
+      val t = pairs.groupBy(col(c)).agg(count(lit(1)).cast("double").as("t"))
+      t.agg(
+        coalesce(sum(col("t") * (col("t") - 1) / 2), lit(0.0)).as(s"${pfx}_pairs"),
+        coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)), lit(0.0))
+          .as(s"${pfx}_v"),
+        coalesce(sum(col("t") * (col("t") - 1)), lit(0.0)).as(s"${pfx}_t1"),
+        coalesce(sum(col("t") * (col("t") - 1) * (col("t") - 2)), lit(0.0))
+          .as(s"${pfx}_t2"))
+    }
+    val joined = core
+      .crossJoin(broadcast(tieSums("x", "tx")))
+      .crossJoin(broadcast(tieSums("y", "ty")))
+    val nDbl = col("n").cast("double")
+    val n0 = nDbl * (nDbl - 1) / 2
+    val denom = sqrt((n0 - col("tx_pairs")) * (n0 - col("ty_pairs")))
+    val s = col("concordant") - col("discordant")
+    val v0 = nDbl * (nDbl - 1) * (nDbl * 2 + 5)
+    // the cross terms' denominators vanish at n <= 2 (ANSI would error);
+    // both terms are exactly 0 there anyway (no pairs / no triples)
+    val v1 = when(nDbl > 1,
+      col("tx_t1") * col("ty_t1") / (nDbl * (nDbl - 1) * 2)).otherwise(0.0)
+    val v2 = when(nDbl > 2, col("tx_t2") * col("ty_t2") /
+      (lit(9.0) * nDbl * (nDbl - 1) * (nDbl - 2))).otherwise(0.0)
+    val varS = (v0 - col("tx_v") - col("ty_v")) / 18 + v1 + v2
+    joined.select(
+      col("n"), col("n_cells"), col("concordant"), col("discordant"),
+      col("tx_pairs").as("ties_x"), col("ty_pairs").as("ties_y"),
+      when(denom > 0, s / denom).as("tau_b"),
+      when(varS > 0, s / sqrt(varS)).as("z"))
+  }
+
   /** Theil's uncertainty coefficient U — the ASYMMETRIC categorical
     * association ([[categoricalAssociation]]'s Cramér's V is symmetric and
     * hides direction): `u_a_given_b` = the fraction of `a`'s entropy that

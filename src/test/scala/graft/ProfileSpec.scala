@@ -620,4 +620,55 @@ class ProfileSpec extends SparkSpecBase {
       .collect().head
     assert(math.abs(r3.getDouble(1) - 1.5 / math.sqrt(1.5 * 5.0 / 3.0)) < 1e-12)
   }
+
+  test("kendallTau: monotone = 1, reversed = -1, sparse-grid pair hand-checked") {
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)).toDF("x", "y")
+    val r = graft.profile.Association.kendallTau(mono, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("concordant") == 6.0 && r.getAs[Double]("discordant") == 0.0)
+    assert(math.abs(r.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val rev = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    val r2 = graft.profile.Association.kendallTau(rev, "x", "y").collect().head
+    assert(r2.getAs[Double]("discordant") == 3.0)
+    assert(math.abs(r2.getAs[Double]("tau_b") - (-1.0)) < 1e-12)
+    // the densification regression case: cells (1,1) and (2,2) only — the
+    // concordant pair is counted through the zero-filled (2,1) grid row
+    val diag = Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val r3 = graft.profile.Association.kendallTau(diag, "x", "y").collect().head
+    assert(r3.getAs[Double]("concordant") == 1.0 && r3.getAs[Double]("discordant") == 0.0)
+  }
+
+  test("kendallTau matches a naive pairwise reference on seeded random ties") {
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(80)((rnd.nextInt(6).toDouble, rnd.nextInt(5).toDouble))
+    val got = graft.profile.Association.kendallTau(
+      data.toDF("x", "y"), "x", "y").collect().head
+    var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- data.indices; j <- (i + 1) until data.length) {
+      val ((x1, y1), (x2, y2)) = (data(i), data(j))
+      val sx = math.signum(x2 - x1); val sy = math.signum(y2 - y1)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+    }
+    assert(got.getAs[Double]("concordant") == c.toDouble, s"C ${got.getAs[Double]("concordant")} vs $c")
+    assert(got.getAs[Double]("discordant") == d.toDouble, s"D ${got.getAs[Double]("discordant")} vs $d")
+    assert(got.getAs[Double]("ties_x") == tx.toDouble)
+    assert(got.getAs[Double]("ties_y") == ty.toDouble)
+    val n0 = data.length.toLong * (data.length - 1) / 2
+    val tauRef = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(math.abs(got.getAs[Double]("tau_b") - tauRef) < 1e-12)
+    // scipy-formula variance on the same data, rebuilt from tie counts
+    def tieSums(vals: Seq[Double]) = {
+      val ts = vals.groupBy(identity).values.map(_.size.toDouble).filter(_ > 1)
+      (ts.map(t => t * (t - 1) * (2 * t + 5)).sum,
+        ts.map(t => t * (t - 1)).sum, ts.map(t => t * (t - 1) * (t - 2)).sum)
+    }
+    val n = data.length.toDouble
+    val (vtx, t1x, t2x) = tieSums(data.map(_._1))
+    val (vty, t1y, t2y) = tieSums(data.map(_._2))
+    val varS = (n * (n - 1) * (2 * n + 5) - vtx - vty) / 18 +
+      t1x * t1y / (2 * n * (n - 1)) + t2x * t2y / (9 * n * (n - 1) * (n - 2))
+    assert(math.abs(got.getAs[Double]("z") - (c - d) / math.sqrt(varS)) < 1e-10)
+  }
 }
