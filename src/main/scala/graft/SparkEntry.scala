@@ -2498,6 +2498,33 @@ object SparkEntry {
           (round(col("z"), 6) + lit(0.0)).as("z"))
     }),
 
+    // ---- Cliff's delta effect size en vs de doc lengths (Drift) -----------
+    // the ordinal effect-size companion of q229's Mann-Whitney U: exact
+    // cross-pair counts from the distinct-value cumsum, delta and the
+    // probability of superiority
+    "q279_cliffs_delta" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.cliffsDelta(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
+          col("ties").as("tie_pairs"),
+          (round(col("delta"), 6) + lit(0.0)).as("delta"),
+          (round(col("p_superiority"), 6) + lit(0.0)).as("p_superiority"))
+    }),
+
+    // ---- exact 1-D Wasserstein distance en vs de doc lengths (Drift) ------
+    // the drift metric with units: mass-transport distance over the merged
+    // distinct-value CDF, neighbor gaps via a rank+1 equi-join (no global
+    // window)
+    "q280_wasserstein" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.wasserstein1(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          (round(col("w1"), 6) + lit(0.0)).as("w1"),
+          (round(col("w1_norm"), 6) + lit(0.0)).as("w1_norm"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7284,6 +7311,57 @@ object SparkEntry {
              + txt1 * tyt1 / (2 * nd * (nd - 1))
              + txt2 * tyt2 / (9 * nd * (nd - 1) * (nd - 2))), 6) + 0.0 AS z
          FROM f""",
+    // exact cross-pair counts from the exclusive distinct-value cumsum —
+    // gt = sum n_a(v) * (#b below v), lt symmetric, ties at equal v
+    "q279_cliffs_delta" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         c AS (SELECT v, na, nb,
+                 coalesce(sum(na) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ba,
+                 coalesce(sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bb
+               FROM j),
+         t AS (SELECT sum(na)::BIGINT tna, sum(nb)::BIGINT tnb,
+                 sum(na::DOUBLE * bb) gt, sum(nb::DOUBLE * ba) lt,
+                 sum(na::DOUBLE * nb) tp
+               FROM c)
+         SELECT tna AS n_a, tnb AS n_b, gt, lt, tp AS tie_pairs,
+           round((gt - lt) / (tna::DOUBLE * tnb), 6) + 0.0 AS delta,
+           round((gt + 0.5 * tp) / (tna::DOUBLE * tnb), 6) + 0.0
+             AS p_superiority
+         FROM t""",
+    // W1 = sum |F_a - F_b| * gap over consecutive merged distinct values
+    "q280_wasserstein" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(na)::BIGINT tna, sum(nb)::BIGINT tnb,
+                 count(*)::BIGINT nv, min(v) lo, max(v) hi FROM j),
+         c AS (SELECT v, sum(na) OVER (ORDER BY v) cna,
+                 sum(nb) OVER (ORDER BY v) cnb,
+                 lead(v) OVER (ORDER BY v) vn
+               FROM j),
+         w AS (SELECT sum(abs(cna::DOUBLE / tna - cnb::DOUBLE / tnb)
+                 * (vn - v)) w1
+               FROM c, t WHERE vn IS NOT NULL)
+         SELECT tna AS n_a, tnb AS n_b, nv AS n_values,
+           round(coalesce(w1, 0), 6) + 0.0 AS w1,
+           CASE WHEN hi > lo THEN round(w1 / (hi - lo), 6) + 0.0 END AS w1_norm
+         FROM w, t""",
     // per-weekday 2x2 tables -> hypergeometric mean/variance, pooled with
     // the 0.5 continuity correction; MH odds ratio alongside
     "q273_cmh" ->

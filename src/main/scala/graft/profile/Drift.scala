@@ -858,6 +858,130 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0, col("_x2")).as("chi2_sym"))
   }
 
+  /** Cliff's delta — the ORDINAL effect size companion to
+    * [[mannWhitneyU]]: δ = (#(x>y) − #(x<y)) / (nₐ·n_b) over all cross
+    * pairs, the probability a random a-value exceeds a random b-value
+    * minus the reverse. U answers "is there a shift?"; δ answers "how
+    * big, on a scale a human can read" ([−1, 1]; |δ| < .147 negligible
+    * by the conventional bands) with no normality or variance
+    * assumption. Also reports the probability of superiority
+    * P(X>Y) + P(X=Y)/2 (the common-language effect size, = AUC of a
+    * rank classifier). One row: `(n_a, n_b, gt, lt, ties, delta,
+    * p_superiority)`; NULLs when either side is empty.
+    *
+    * Scale: the [[mannWhitneyU]] plan — per-DISTINCT-value counts from
+    * both sides (partial-aggregated, value-bounded), the shared
+    * deterministic-bucket exclusive cumsum for "how many b-values lie
+    * strictly below v", one reduce. Pair counts go through double (they
+    * cross Long at ~3M×3M rows); they are exact integers below 2^53. */
+  def cliffsDelta(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_beforeA", "_beforeB"),
+      splitsHint, persistInput = splitsHint.isEmpty)
+    val (na, nb) = (grand(0), grand(1))
+    val agg = cum.agg(
+      sum(col("n_a").cast("double") * col("_beforeB")).as("_gt"),
+      sum(col("n_b").cast("double") * col("_beforeA")).as("_lt"),
+      sum(col("n_a").cast("double") * col("n_b")).as("_ties"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0) {
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("gt"), lit(null).cast("double").as("lt"),
+        lit(null).cast("double").as("ties"),
+        lit(null).cast("double").as("delta"),
+        lit(null).cast("double").as("p_superiority"))
+    }
+    val gt = agg.getDouble(0); val lt = agg.getDouble(1)
+    val ties = agg.getDouble(2)
+    val pairs = na.toDouble * nb.toDouble
+    spark.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(gt).as("gt"), lit(lt).as("lt"), lit(ties).as("ties"),
+      lit((gt - lt) / pairs).as("delta"),
+      lit((gt + 0.5 * ties) / pairs).as("p_superiority"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between two numeric
+    * slices — the drift metric with UNITS: W₁ = ∫|F_a − F_b| dx is the
+    * average distance probability mass must move, in the column's own
+    * scale ("the length distribution moved 37 tokens"), where KS reports
+    * a unitless worst-case gap and [[psi]] depends on binning. Computed
+    * exactly over the merged distinct values: Σᵢ |F_a(vᵢ) − F_b(vᵢ)| ·
+    * (vᵢ₊₁ − vᵢ). One row: `(n_a, n_b, n_values, w1, w1_norm)` with
+    * `w1_norm` = W₁/(v_max − v_min) ∈ [0,1] (NULL when constant);
+    * NULLs when either side is empty.
+    *
+    * Scale: per-distinct-value counts (partial-aggregated), ONE
+    * deterministic-bucket cumsum pass producing inclusive CDFs AND the
+    * value's global rank (a ones-column running sum), then the
+    * consecutive-value gaps come from a rank⁺¹ EQUI-join of the value
+    * table with itself — a shuffle join on the rank key, NOT a global
+    * window, so no single-partition stall on high-cardinality columns. */
+  def wasserstein1(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("one", lit(1L))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b", "one"),
+      Seq("_beforeA", "_beforeB", "_rank"),
+      splitsHint, persistInput = splitsHint.isEmpty)
+    val (na, nb) = (grand(0), grand(1))
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(grand(2)).as("n_values"),
+        lit(null).cast("double").as("w1"),
+        lit(null).cast("double").as("w1_norm"))
+    }
+    val cur = cum.select(col("v"), col("_rank"),
+      ((col("_beforeA") + col("n_a")).cast("double") / na).as("_fa"),
+      ((col("_beforeB") + col("n_b")).cast("double") / nb).as("_fb"))
+    val next = cur.select(col("v").as("_vNext"), (col("_rank") - 1).as("_rank"))
+    val agg = cur.join(next, Seq("_rank"))
+      .agg(
+        sum(abs(col("_fa") - col("_fb")) * (col("_vNext") - col("v"))).as("_w1"),
+        min(col("v")).as("_lo"), max(col("_vNext")).as("_hi"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    if (agg.isNullAt(0)) {
+      // a single merged distinct value: zero mass distance by definition
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"), lit(grand(2)).as("n_values"),
+        lit(0.0).as("w1"), lit(null).cast("double").as("w1_norm"))
+    }
+    val w1 = agg.getDouble(0)
+    val range = agg.getDouble(2) - agg.getDouble(1)
+    spark.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"), lit(grand(2)).as("n_values"),
+      lit(w1).as("w1"),
+      (if (range > 0) lit(w1 / range) else lit(null).cast("double")).as("w1_norm"))
+  }
+
   /** Q–Q drift table — WHERE in the distribution did the shift happen:
     * exact quantiles of both snapshots at the requested probabilities,
     * side by side with the per-quantile shift (KS gives one worst-case

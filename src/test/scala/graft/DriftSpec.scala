@@ -535,4 +535,61 @@ class DriftSpec extends SparkSpecBase {
       .collect().head
     assert(math.abs(disj.getDouble(3) - math.log(2.0)) < 1e-12)
   }
+
+  test("cliffsDelta: hand cases and a naive pairwise reference") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 2.0).toDF("v")
+    val r = Drift.cliffsDelta(a, b, "v").collect().head
+    assert(r.getAs[Double]("gt") == 2.0 && r.getAs[Double]("lt") == 2.0 &&
+      r.getAs[Double]("ties") == 2.0)
+    assert(r.getAs[Double]("delta") == 0.0)
+    assert(r.getAs[Double]("p_superiority") == 0.5)
+    // full separation
+    val sep = Drift.cliffsDelta(Seq(5.0, 6.0).toDF("v"), Seq(1.0).toDF("v"), "v")
+      .collect().head
+    assert(sep.getAs[Double]("delta") == 1.0)
+    // empty side -> NULLs
+    val e = Drift.cliffsDelta(a, Seq.empty[Double].toDF("v"), "v").collect().head
+    assert(e.isNullAt(e.fieldIndex("delta")))
+    // seeded naive reference
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(40)(rnd.nextInt(9).toDouble)
+    val ys = Seq.fill(55)(rnd.nextInt(9).toDouble)
+    val got = Drift.cliffsDelta(xs.toDF("v"), ys.toDF("v"), "v").collect().head
+    val gt = (for (x <- xs; y <- ys if x > y) yield 1).size
+    val lt = (for (x <- xs; y <- ys if x < y) yield 1).size
+    val ties = (for (x <- xs; y <- ys if x == y) yield 1).size
+    assert(got.getAs[Double]("gt") == gt.toDouble &&
+      got.getAs[Double]("lt") == lt.toDouble &&
+      got.getAs[Double]("ties") == ties.toDouble)
+    val pairs = xs.size.toDouble * ys.size
+    assert(math.abs(got.getAs[Double]("delta") - (gt - lt) / pairs) < 1e-12)
+    assert(math.abs(got.getAs[Double]("p_superiority") - (gt + 0.5 * ties) / pairs) < 1e-12)
+  }
+
+  test("wasserstein1: hand case, zero self-distance, sorted-quantile reference") {
+    // b = a + 1 pointwise -> W1 = 1 exactly
+    val r = Drift.wasserstein1(Seq(0.0, 1.0).toDF("v"),
+      Seq(1.0, 2.0).toDF("v"), "v").collect().head
+    assert(r.getAs[Double]("w1") == 1.0)
+    assert(r.getAs[Long]("n_values") == 3L)
+    assert(math.abs(r.getAs[Double]("w1_norm") - 0.5) < 1e-15)
+    val self = Drift.wasserstein1(Seq(1.0, 5.0, 9.0).toDF("v"),
+      Seq(1.0, 5.0, 9.0).toDF("v"), "v").collect().head
+    assert(self.getAs[Double]("w1") == 0.0)
+    // constant equal columns: single merged value, w1 = 0, norm undefined
+    val const = Drift.wasserstein1(Seq(3.0, 3.0).toDF("v"),
+      Seq(3.0).toDF("v"), "v").collect().head
+    assert(const.getAs[Double]("w1") == 0.0 &&
+      const.isNullAt(const.fieldIndex("w1_norm")))
+    // equal-size samples: W1 = mean |x_(i) - y_(i)| over sorted pairs
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(60)(rnd.nextInt(40).toDouble)
+    val ys = Seq.fill(60)((rnd.nextInt(40) + 5).toDouble)
+    val got = Drift.wasserstein1(xs.toDF("v"), ys.toDF("v"), "v")
+      .collect().head.getAs[Double]("w1")
+    val ref = xs.sorted.zip(ys.sorted).map { case (x, y) => math.abs(x - y) }
+      .sum / 60.0
+    assert(math.abs(got - ref) < 1e-9, s"w1 $got vs sorted-pair ref $ref")
+  }
 }
