@@ -2525,6 +2525,42 @@ object SparkEntry {
           (round(col("w1_norm"), 6) + lit(0.0)).as("w1_norm"))
     }),
 
+    // ---- D'Agostino-Pearson K2 normality test on doc lengths (Drift) ------
+    // one moment pass -> skew/kurtosis z transforms; chi2(2) survival is
+    // the closed form exp(-K2/2), engine-identical
+    "q281_dagostino" -> ((s, dir) => {
+      Drift.dagostinoK2(read(s, dir, "documents"), "n_chars")
+        .select(col("n"),
+          (round(col("g1"), 6) + lit(0.0)).as("g1"),
+          (round(col("b2"), 6) + lit(0.0)).as("b2"),
+          (round(col("z_skew"), 6) + lit(0.0)).as("z_skew"),
+          (round(col("z_kurt"), 6) + lit(0.0)).as("z_kurt"),
+          (round(col("k2"), 6) + lit(0.0)).as("k2"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Ljung-Box white-noise test on the hourly event rate (Drift) ------
+    // zero-filled calendar-hour series; lag products via a shifted-index
+    // equi-join, chi2(10) survival in the closed even-dof form
+    "q282_ljung_box" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 3600).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 3600).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val series = spine.join(hourly, Seq("h"), "left")
+        .na.fill(0.0, Seq("y"))
+      Drift.ljungBox(series, "h", "y", maxLag = 10)
+        .select(col("n"), col("lags"),
+          (round(col("r1"), 6) + lit(0.0)).as("r1"),
+          (round(col("q_stat"), 6) + lit(0.0)).as("q_stat"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7338,6 +7374,78 @@ object SparkEntry {
            round((gt + 0.5 * tp) / (tna::DOUBLE * tnb), 6) + 0.0
              AS p_superiority
          FROM t""",
+    // same raw-power-sum central moments + transform algebra as the Scala
+    // scalar path; cbrt handles the negative cube-root branch identically
+    "q281_dagostino" ->
+      """WITH s AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s1,
+                  sum(pow(n_chars::DOUBLE, 2)) s2,
+                  sum(pow(n_chars::DOUBLE, 3)) s3,
+                  sum(pow(n_chars::DOUBLE, 4)) s4
+                FROM documents WHERE n_chars IS NOT NULL),
+         mo AS (SELECT n, n::DOUBLE nd, s2 / n - pow(s1 / n, 2) m2,
+                  (s3 - 3 * (s1 / n) * s2 + 2 * n * pow(s1 / n, 3)) / n m3,
+                  (s4 - 4 * (s1 / n) * s3 + 6 * pow(s1 / n, 2) * s2
+                    - 3 * n * pow(s1 / n, 4)) / n m4
+                FROM s),
+         g AS (SELECT n, nd, m3 / pow(m2, 1.5) g1, m4 / (m2 * m2) b2 FROM mo),
+         sk AS (SELECT n, nd, g1, b2,
+                 g1 * sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2))) y,
+                 -1 + sqrt(2 * (3 * (nd * nd + 27 * nd - 70) * (nd + 1)
+                   * (nd + 3) / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+                   - 1)) w2
+               FROM g),
+         z1t AS (SELECT n, nd, g1, b2,
+                  (1 / sqrt(ln(sqrt(w2)))) * ln(y / sqrt(2 / (w2 - 1))
+                    + sqrt(y * y / (2 / (w2 - 1)) + 1)) z1
+                FROM sk),
+         ku AS (SELECT *,
+                 (b2 - 3 * (nd - 1) / (nd + 1))
+                   / sqrt(24 * nd * (nd - 2) * (nd - 3)
+                     / (pow(nd + 1, 2) * (nd + 3) * (nd + 5))) xk,
+                 6 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9))
+                   * sqrt(6 * (nd + 3) * (nd + 5)
+                     / (nd * (nd - 2) * (nd - 3))) sb1
+               FROM z1t),
+         ku2 AS (SELECT *, 6 + 8 / sb1 * (2 / sb1
+                   + sqrt(1 + 4 / (sb1 * sb1))) aa FROM ku),
+         z2t AS (SELECT n, g1, b2, z1,
+                  ((1 - 2 / (9 * aa)) - cbrt((1 - 2 / aa)
+                    / (1 + xk * sqrt(2 / (aa - 4))))) / sqrt(2 / (9 * aa)) z2
+                FROM ku2),
+         f AS (SELECT n, g1, b2, z1, z2, z1 * z1 + z2 * z2 k2 FROM z2t)
+         SELECT n, round(g1, 6) + 0.0 AS g1, round(b2, 6) + 0.0 AS b2,
+           round(z1, 6) + 0.0 AS z_skew, round(z2, 6) + 0.0 AS z_kurt,
+           round(k2, 6) + 0.0 AS k2,
+           round(exp(-k2 / 2), 6) + 0.0 AS p_value
+         FROM f""",
+    // zero-filled hour spine; r_k via the h = h' + k self-join; chi2(10)
+    // survival = exp(-q/2) * sum_{j<5} (q/2)^j / j!
+    "q282_ljung_box" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h FROM events
+                WHERE ts IS NOT NULL),
+         hourly AS (SELECT h, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(h) FROM e),
+                  (SELECT max(h) FROM e) + 1)) h),
+         series AS (SELECT spine.h, coalesce(hourly.y, 0) y
+                FROM spine LEFT JOIN hourly USING (h)),
+         st AS (SELECT count(*)::BIGINT n, sum(y) / count(*) mu,
+                  sum(y * y) - count(*) * pow(sum(y) / count(*), 2) ss
+                FROM series),
+         lagk AS (SELECT t.k, a.y ya, b.y yb
+                FROM series a
+                CROSS JOIN (SELECT unnest(range(1, 11)) k) t
+                JOIN series b ON a.h = b.h + t.k),
+         rk AS (SELECT k, st.n,
+                  sum((ya - st.mu) * (yb - st.mu)) / st.ss r
+                FROM lagk, st GROUP BY k, st.mu, st.ss, st.n),
+         qq AS (SELECT n, n::DOUBLE * (n + 2) * sum(r * r / (n - k)) q,
+                  max(CASE WHEN k = 1 THEN r END) r1
+                FROM rk GROUP BY n)
+         SELECT n, 10 AS lags, round(r1, 6) + 0.0 AS r1,
+           round(q, 6) + 0.0 AS q_stat,
+           round(least(1.0, exp(-q / 2) * (1 + q / 2 + pow(q / 2, 2) / 2
+             + pow(q / 2, 3) / 6 + pow(q / 2, 4) / 24)), 6) + 0.0 AS p_value
+         FROM qq""",
     // W1 = sum |F_a - F_b| * gap over consecutive merged distinct values
     "q280_wasserstein" ->
       """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na

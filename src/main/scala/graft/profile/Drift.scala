@@ -982,6 +982,134 @@ object Drift {
       (if (range > 0) lit(w1 / range) else lit(null).cast("double")).as("w1_norm"))
   }
 
+  /** D'Agostino–Pearson K² omnibus normality test — "is this column
+    * normal enough for the z-score/CUPED/t-machinery?" answered from ONE
+    * moment pass: the skewness z (D'Agostino 1970 transform), the
+    * kurtosis z (Anscombe–Glynn 1983), and K² = z₁² + z₂² ~ χ²(2) whose
+    * survival is the CLOSED FORM exp(−K²/2) — no incomplete-gamma,
+    * identical on every engine. One row: `(n, g1, b2, z_skew, z_kurt,
+    * k2, p_value)`; NULLs when n < 9 (the transforms' small-sample
+    * domain) or the column is constant.
+    *
+    * Scale: one partial-aggregated scan for (n, Σx, Σx², Σx³, Σx⁴); all
+    * remaining algebra is scalar on the driver (the head()-then-literals
+    * pattern — nothing distributed left to do). Central moments come
+    * from raw power sums; fine for columns whose mean/σ ratio is
+    * moderate (profile-scale features — lengths, scores, rates). */
+  def dagostinoK2(df: DataFrame, column: String): DataFrame = {
+    val x = col(column).cast("double")
+    val row = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+      .head()
+    val spark = df.sparkSession
+    def nulls(n: Long) = spark.range(1).select(
+      lit(n).as("n"), lit(null).cast("double").as("g1"),
+      lit(null).cast("double").as("b2"),
+      lit(null).cast("double").as("z_skew"),
+      lit(null).cast("double").as("z_kurt"),
+      lit(null).cast("double").as("k2"),
+      lit(null).cast("double").as("p_value"))
+    val n = row.getLong(0)
+    if (n < 9) return nulls(n)
+    val nd = n.toDouble
+    val s1 = row.getDouble(1); val s2 = row.getDouble(2)
+    val s3 = row.getDouble(3); val s4 = row.getDouble(4)
+    val m = s1 / nd
+    val m2 = s2 / nd - m * m
+    if (m2 <= 0) return nulls(n)
+    val m3 = (s3 - 3 * m * s2 + 2 * nd * m * m * m) / nd
+    val m4 = (s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * nd * m * m * m * m) / nd
+    val g1 = m3 / math.pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    // skewness: D'Agostino's normalizing transform
+    val y = g1 * math.sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2)))
+    val beta2 = 3.0 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3) /
+      ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    val delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2.0 / (w2 - 1))
+    val z1 = delta * math.log(y / alpha + math.sqrt(y * y / (alpha * alpha) + 1))
+    // kurtosis: Anscombe–Glynn's cube-root transform
+    val eb2 = 3.0 * (nd - 1) / (nd + 1)
+    val vb2 = 24.0 * nd * (nd - 2) * (nd - 3) /
+      ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))
+    val xk = (b2 - eb2) / math.sqrt(vb2)
+    val sb1 = 6.0 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9)) *
+      math.sqrt(6.0 * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3)))
+    val aa = 6.0 + 8.0 / sb1 * (2.0 / sb1 + math.sqrt(1 + 4.0 / (sb1 * sb1)))
+    val z2 = ((1 - 2.0 / (9 * aa)) -
+      math.cbrt((1 - 2.0 / aa) / (1 + xk * math.sqrt(2.0 / (aa - 4))))) /
+      math.sqrt(2.0 / (9 * aa))
+    val k2 = z1 * z1 + z2 * z2
+    spark.range(1).select(
+      lit(n).as("n"), lit(g1).as("g1"), lit(b2).as("b2"),
+      lit(z1).as("z_skew"), lit(z2).as("z_kurt"), lit(k2).as("k2"),
+      lit(math.exp(-k2 / 2)).as("p_value"))
+  }
+
+  /** Ljung–Box portmanteau test for autocorrelation — "is this metric
+    * series white noise, or does it carry structure the anomaly baseline
+    * must model?": Q = n(n+2) Σ_{k≤m} r_k²/(n−k) over the first `maxLag`
+    * sample autocorrelations, Q ~ χ²(m) under independence. `maxLag`
+    * must be EVEN so the χ² survival has the closed Poisson-sum form
+    * exp(−Q/2)·Σ_{j<m/2}(Q/2)^j/j! — engine-identical, no incomplete
+    * gamma. One row: `(n, lags, r1, q_stat, p_value)`; NULLs when the
+    * series is constant or shorter than maxLag + 2.
+    *
+    * Input contract: `series` is ONE regular gap-free sequence keyed by
+    * an integer time index (hour number, day number) — densify sparse
+    * event counts onto the calendar spine (zero-fill) first; with gaps
+    * the lag pairing silently skips them and the statistic is a
+    * different (Pearson-over-pairs) quantity.
+    *
+    * Scale: one stats pass, then the m lag products come from ONE
+    * broadcast of the 1..m spine against the series and ONE equi-join on
+    * the shifted index (shuffle keyed on t − k, never a global window),
+    * a k-bounded reduce, scalar tail math on the driver. */
+  def ljungBox(series: DataFrame, timeCol: String, valueCol: String,
+      maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 2 && maxLag % 2 == 0,
+      s"maxLag must be a positive even integer: $maxLag")
+    val s = series
+      .select(col(timeCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val stats = s.agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+      sum(col("y") * col("y")).as("s2")).head()
+    val n = stats.getLong(0)
+    val spark = series.sparkSession
+    def nulls = spark.range(1).select(
+      lit(n).as("n"), lit(maxLag).as("lags"),
+      lit(null).cast("double").as("r1"),
+      lit(null).cast("double").as("q_stat"),
+      lit(null).cast("double").as("p_value"))
+    if (n < maxLag + 2) return nulls
+    val mu = stats.getDouble(1) / n
+    val ss = stats.getDouble(2) - n * mu * mu
+    if (ss <= 0) return nulls
+    val spine = spark.range(1, maxLag + 1).select(col("id").as("k"))
+    val shifted = s.crossJoin(broadcast(spine))
+      .select(col("k"), (col("t") - col("k")).as("tj"),
+        (col("y") - mu).as("dyt"))
+    val rk = shifted
+      .join(s.select(col("t").as("tj"), (col("y") - mu).as("dyl")), Seq("tj"))
+      .groupBy(col("k"))
+      .agg((sum(col("dyt") * col("dyl")) / ss).as("r"))
+    val agg = rk.agg(
+      sum(pow(col("r"), 2) / (lit(n.toDouble) - col("k"))).as("qs"),
+      max(when(col("k") === 1, col("r"))).as("r1")).head()
+    val q = n.toDouble * (n + 2) * agg.getDouble(0)
+    val r1 = agg.getDouble(1)
+    // chi2(m) survival, m even: exp(-q/2) * Σ_{j=0}^{m/2-1} (q/2)^j / j!
+    var term = 1.0; var acc = 1.0
+    for (j <- 1 until maxLag / 2) { term *= (q / 2) / j; acc += term }
+    val p = math.min(1.0, math.exp(-q / 2) * acc)
+    spark.range(1).select(
+      lit(n).as("n"), lit(maxLag).as("lags"), lit(r1).as("r1"),
+      lit(q).as("q_stat"), lit(p).as("p_value"))
+  }
+
   /** Q–Q drift table — WHERE in the distribution did the shift happen:
     * exact quantiles of both snapshots at the requested probabilities,
     * side by side with the per-quantile shift (KS gives one worst-case

@@ -592,4 +592,73 @@ class DriftSpec extends SparkSpecBase {
       .sum / 60.0
     assert(math.abs(got - ref) < 1e-9, s"w1 $got vs sorted-pair ref $ref")
   }
+
+  test("dagostinoK2 matches a definitional-central-moment reference") {
+    val rnd = new scala.util.Random(5)
+    // rounded gaussian-ish sample — the raw-power-sum algebra in the
+    // operator must agree with direct Σ(x−m)^k central moments here
+    val xs = Seq.fill(200)(math.round(50 + 10 * rnd.nextGaussian()).toDouble)
+    val r = Drift.dagostinoK2(xs.toDF("v"), "v").collect().head
+    val n = xs.size; val nd = n.toDouble
+    val m = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5); val b2 = m4 / (m2 * m2)
+    assert(math.abs(r.getAs[Double]("g1") - g1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - b2) < 1e-9)
+    // the transformed zs, independently recomputed
+    val y = g1 * math.sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2)))
+    val beta2 = 3 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3) /
+      ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    val z1 = (1 / math.sqrt(math.log(math.sqrt(w2)))) *
+      math.log(y / math.sqrt(2 / (w2 - 1)) +
+        math.sqrt(y * y * (w2 - 1) / 2 + 1))
+    assert(math.abs(r.getAs[Double]("z_skew") - z1) < 1e-9,
+      s"z1 ${r.getAs[Double]("z_skew")} vs $z1")
+    assert(r.getAs[Double]("k2") >= 0)
+    assert(math.abs(r.getAs[Double]("p_value") -
+      math.exp(-r.getAs[Double]("k2") / 2)) < 1e-12)
+    // a gaussian sample should NOT be rejected wildly
+    assert(r.getAs[Double]("p_value") > 0.01)
+    // uniform data: platykurtic — kurtosis z strongly negative
+    val unif = (1 to 500).map(_.toDouble)
+    val ru = Drift.dagostinoK2(unif.toDF("v"), "v").collect().head
+    assert(ru.getAs[Double]("z_kurt") < -3)
+    // edges: constant and tiny n
+    assert(Drift.dagostinoK2(Seq.fill(20)(7.0).toDF("v"), "v")
+      .collect().head.isNullAt(5))
+    assert(Drift.dagostinoK2(Seq(1.0, 2.0, 3.0).toDF("v"), "v")
+      .collect().head.isNullAt(5))
+  }
+
+  test("ljungBox matches a naive ACF reference; alternating series rejects") {
+    val rnd = new scala.util.Random(9)
+    val ys = Seq.fill(120)(rnd.nextInt(10).toDouble)
+    val series = ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }
+      .toDF("t", "y")
+    val r = Drift.ljungBox(series, "t", "y", maxLag = 6).collect().head
+    val n = ys.size; val mu = ys.sum / n
+    val ss = ys.map(y => (y - mu) * (y - mu)).sum
+    def rk(k: Int) = (k until n).map(t => (ys(t) - mu) * (ys(t - k) - mu)).sum / ss
+    val qRef = n.toDouble * (n + 2) *
+      (1 to 6).map(k => rk(k) * rk(k) / (n - k)).sum
+    assert(math.abs(r.getAs[Double]("r1") - rk(1)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("q_stat") - qRef) < 1e-9)
+    // closed-form chi2(6) survival cross-check
+    val q = r.getAs[Double]("q_stat")
+    val pRef = math.exp(-q / 2) * (1 + q / 2 + q * q / 8)
+    assert(math.abs(r.getAs[Double]("p_value") - pRef) < 1e-12)
+    // white noise should usually not reject at extreme levels
+    assert(r.getAs[Double]("p_value") > 1e-4)
+    // strict alternation: r1 ~ -1, Q huge, p ~ 0
+    val alt = (0 until 100).map(t => (t.toLong, (t % 2).toDouble)).toDF("t", "y")
+    val ra = Drift.ljungBox(alt, "t", "y", maxLag = 4).collect().head
+    assert(ra.getAs[Double]("r1") < -0.9)
+    assert(ra.getAs[Double]("p_value") < 1e-10)
+    // constant series -> NULLs
+    val const = (0 until 50).map(t => (t.toLong, 3.0)).toDF("t", "y")
+    assert(Drift.ljungBox(const, "t", "y", maxLag = 4).collect().head.isNullAt(3))
+  }
 }
