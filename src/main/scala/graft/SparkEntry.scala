@@ -2561,6 +2561,21 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- Fisher exact test: German docs vs long docs (Association) --------
+    // exact hypergeometric tails over the margin-bounded support, log-space
+    // binomials via the lgamma kernel
+    "q283_fisher_exact" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "de").as("a"), (col("n_chars") > 900).as("b"))
+      graft.profile.Association.fisherExact(docs, "a", "b")
+        .select(col("a11"), col("a10"), col("a01"), col("a00"),
+          (round(col("odds_ratio"), 6) + lit(0.0)).as("odds_ratio"),
+          (round(col("p_two_sided"), 6) + lit(0.0)).as("p_two_sided"),
+          (round(col("p_greater"), 6) + lit(0.0)).as("p_greater"),
+          (round(col("p_less"), 6) + lit(0.0)).as("p_less"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7418,6 +7433,52 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // same hypergeometric enumeration with DuckDB's lgamma; the 1e-7
+    // relative slack keeps mirror-table inclusion engine-stable
+    "q283_fisher_exact" ->
+      """WITH c AS (SELECT
+           sum(CASE WHEN lang = 'de' AND n_chars > 900 THEN 1 ELSE 0 END)::BIGINT a11,
+           sum(CASE WHEN lang = 'de' AND n_chars <= 900 THEN 1 ELSE 0 END)::BIGINT a10,
+           sum(CASE WHEN lang <> 'de' AND n_chars > 900 THEN 1 ELSE 0 END)::BIGINT a01,
+           sum(CASE WHEN lang <> 'de' AND n_chars <= 900 THEN 1 ELSE 0 END)::BIGINT a00
+         FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         m AS (SELECT *, a11 + a10 r1, a01 + a00 r2, a11 + a01 c1,
+                 a11 + a10 + a01 + a00 n
+               FROM c),
+         obs AS (SELECT *,
+                 lgamma(r1 + 1.0) - lgamma(a11 + 1.0) - lgamma(r1 - a11 + 1.0)
+                 + lgamma(r2 + 1.0) - lgamma(c1 - a11 + 1.0)
+                   - lgamma(r2 - c1 + a11 + 1.0)
+                 - (lgamma(n + 1.0) - lgamma(c1 + 1.0)
+                   - lgamma(n - c1 + 1.0)) lpobs
+               FROM m),
+         ks AS (SELECT obs.*,
+                 unnest(range(greatest(0, c1 - r2), least(r1, c1) + 1)) k
+               FROM obs),
+         lp AS (SELECT *,
+                 lgamma(r1 + 1.0) - lgamma(k + 1.0) - lgamma(r1 - k + 1.0)
+                 + lgamma(r2 + 1.0) - lgamma(c1 - k + 1.0)
+                   - lgamma(r2 - c1 + k + 1.0)
+                 - (lgamma(n + 1.0) - lgamma(c1 + 1.0)
+                   - lgamma(n - c1 + 1.0)) l
+               FROM ks),
+         t AS (SELECT any_value(a11) a11, any_value(a10) a10,
+                 any_value(a01) a01, any_value(a00) a00,
+                 least(1.0, sum(CASE WHEN l <= lpobs + 1e-7
+                   THEN exp(l) ELSE 0 END)) p2,
+                 least(1.0, sum(CASE WHEN k >= a11
+                   THEN exp(l) ELSE 0 END)) pg,
+                 least(1.0, sum(CASE WHEN k <= a11
+                   THEN exp(l) ELSE 0 END)) pl
+               FROM lp)
+         SELECT a11, a10, a01, a00,
+           CASE WHEN a10 > 0 AND a01 > 0 THEN
+             round(a11::DOUBLE * a00 / (a10::DOUBLE * a01), 6) + 0.0
+           END AS odds_ratio,
+           round(p2, 6) + 0.0 AS p_two_sided,
+           round(pg, 6) + 0.0 AS p_greater,
+           round(pl, 6) + 0.0 AS p_less
+         FROM t""",
     // zero-filled hour spine; r_k via the h = h' + k self-join; chi2(10)
     // survival = exp(-q/2) * sum_{j<5} (q/2)^j / j!
     "q282_ljung_box" ->

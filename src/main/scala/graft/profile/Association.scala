@@ -418,6 +418,76 @@ object Association {
           .as("chi2_cc"))
   }
 
+  /** Fisher's EXACT test on the 2×2 table of two boolean conditions —
+    * the small-count companion of the χ²/CMH machinery: χ²'s normal
+    * approximation fails exactly where curation decisions live (rare
+    * failure modes, small strata, "3 of the 14 flagged docs are from
+    * this source"), while the hypergeometric tail is exact at any count.
+    * One row: `(a11, a10, a01, a00, odds_ratio, p_two_sided, p_greater,
+    * p_less)` — `p_two_sided` sums all tables with the observed margins
+    * whose probability ≤ the observed table's (the standard
+    * "method of small P values", with a 1e−7 relative slack so float
+    * noise cannot flip inclusion of the mirror-symmetric table);
+    * `p_greater`/`p_less` are the one-sided tails on the a11 cell.
+    * NULL odds ratio when a margin cell is 0.
+    *
+    * Scale: ONE count aggregation over the data; the hypergeometric
+    * support (min-margin + 1 tables) enumerates through `spark.range`
+    * with the codegen'd [[graft.functions.kernels.LnGammaExpr]] lgamma
+    * kernel — log-space binomials, so nothing overflows at corpus-scale
+    * margins, and the support scan is distributed, never a driver loop. */
+  def fisherExact(df: DataFrame, a: String, b: String): DataFrame = {
+    val x = col(a).cast("boolean"); val y = col(b).cast("boolean")
+    val row = df.filter(x.isNotNull && y.isNotNull)
+      .agg(
+        sum(when(x && y, 1L).otherwise(0L)).as("a11"),
+        sum(when(x && !y, 1L).otherwise(0L)).as("a10"),
+        sum(when(!x && y, 1L).otherwise(0L)).as("a01"),
+        sum(when(!x && !y, 1L).otherwise(0L)).as("a00"))
+      .head()
+    val spark = df.sparkSession
+    if (row.isNullAt(0)) {
+      return spark.range(1).select(
+        lit(0L).as("a11"), lit(0L).as("a10"), lit(0L).as("a01"),
+        lit(0L).as("a00"), lit(null).cast("double").as("odds_ratio"),
+        lit(null).cast("double").as("p_two_sided"),
+        lit(null).cast("double").as("p_greater"),
+        lit(null).cast("double").as("p_less"))
+    }
+    val a11 = row.getLong(0); val a10 = row.getLong(1)
+    val a01 = row.getLong(2); val a00 = row.getLong(3)
+    val r1 = a11 + a10; val r2 = a01 + a00
+    val c1 = a11 + a01; val n = r1 + r2
+    val kmin = math.max(0L, c1 - r2); val kmax = math.min(r1, c1)
+    def lnCh(nn: Long, kk: Long): Double =
+      graft.profile.Stat.lnGamma(nn + 1.0) -
+        graft.profile.Stat.lnGamma(kk + 1.0) -
+        graft.profile.Stat.lnGamma(nn - kk + 1.0)
+    val lpObs = lnCh(r1, a11) + lnCh(r2, c1 - a11) - lnCh(n, c1)
+    import graft.functions.kernels.MathKernelFunctions.lnChoose
+    val ks = spark.range(kmin, kmax + 1).select(col("id").cast("double").as("k"))
+    val lp = ks.select(col("k"),
+      (lnChoose(lit(r1.toDouble), col("k")) +
+        lnChoose(lit(r2.toDouble), lit(c1.toDouble) - col("k")) -
+        lit(lnCh(n, c1))).as("lp"))
+    val tails = lp.agg(
+      sum(when(col("lp") <= lpObs + 1e-7, exp(col("lp"))).otherwise(0.0)).as("p2"),
+      sum(when(col("k") >= a11.toDouble, exp(col("lp"))).otherwise(0.0)).as("pg"),
+      sum(when(col("k") <= a11.toDouble, exp(col("lp"))).otherwise(0.0)).as("pl"))
+      .head()
+    val or: Option[Double] =
+      if (a10 > 0 && a01 > 0) Some(a11.toDouble * a00 / (a10.toDouble * a01))
+      else None
+    spark.range(1).select(
+      lit(a11).as("a11"), lit(a10).as("a10"), lit(a01).as("a01"),
+      lit(a00).as("a00"),
+      or.map(v => lit(v).cast("double")).getOrElse(lit(null).cast("double"))
+        .as("odds_ratio"),
+      lit(math.min(1.0, tails.getDouble(0))).as("p_two_sided"),
+      lit(math.min(1.0, tails.getDouble(1))).as("p_greater"),
+      lit(math.min(1.0, tails.getDouble(2))).as("p_less"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers over
     * the same items (the inter-annotator metric; raw percent-agreement
     * flatters any skewed label set, kappa subtracts what marginal chance

@@ -893,7 +893,7 @@ object Stat {
   }
 
   /** Lanczos approximation of ln Γ(x) (g = 7, 9-term public constants). */
-  private def lnGamma(xIn: Double): Double = {
+  def lnGamma(xIn: Double): Double = {
     val g = Array(676.5203681218851, -1259.1392167224028, 771.32342877765313,
       -176.61502916214059, 12.507343278686905, -0.13857109526572012,
       9.9843695780195716e-6, 1.5056327351493116e-7)

@@ -671,4 +671,31 @@ class ProfileSpec extends SparkSpecBase {
       t1x * t1y / (2 * n * (n - 1)) + t2x * t2y / (9 * n * (n - 1) * (n - 2))
     assert(math.abs(got.getAs[Double]("z") - (c - d) / math.sqrt(varS)) < 1e-10)
   }
+
+  test("fisherExact matches the textbook hypergeometric tails") {
+    // the scipy-docs table [[1,9],[11,3]]: two-sided 0.00275946,
+    // greater 0.99996635, less 0.00137973
+    def table(a11: Int, a10: Int, a01: Int, a00: Int) =
+      (Seq.fill(a11)((true, true)) ++ Seq.fill(a10)((true, false)) ++
+        Seq.fill(a01)((false, true)) ++ Seq.fill(a00)((false, false)))
+        .toDF("a", "b")
+    val r = graft.profile.Association.fisherExact(table(1, 9, 11, 3), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("a11") == 1L && r.getAs[Long]("a00") == 3L)
+    assert(math.abs(r.getAs[Double]("p_two_sided") - 0.002759456185220094) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_greater") - 0.9999663480953025) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_less") - 0.001379728092610047) < 1e-9)
+    assert(math.abs(r.getAs[Double]("odds_ratio") - 1.0 * 3 / (9.0 * 11)) < 1e-12)
+    val r2 = graft.profile.Association.fisherExact(table(7, 3, 2, 8), "a", "b")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("p_two_sided") - 0.06977851869492707) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("p_greater") - 0.034889259347463536) < 1e-9)
+    // degenerate margins: a constant condition -> the only table is the
+    // observed one, every tail is 1
+    val const = graft.profile.Association.fisherExact(table(0, 0, 5, 7), "a", "b")
+      .collect().head
+    assert(const.getAs[Double]("p_two_sided") == 1.0 &&
+      const.getAs[Double]("p_greater") == 1.0 &&
+      const.isNullAt(const.fieldIndex("odds_ratio")))
+  }
 }
