@@ -2576,6 +2576,23 @@ object SparkEntry {
           (round(col("p_less"), 6) + lit(0.0)).as("p_less"))
     }),
 
+    // ---- KMV distinct-count sketch vs exact (ScaleOps) --------------------
+    // the replayable cardinality estimator: md5-prefix hashes, k-bounded
+    // minima aggregate, closed-form (k-1)/u_(k) — DuckDB lands on the
+    // bit-identical estimate
+    "q284_kmv_distinct" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val sk = ScaleOps.kmvDistinct(li, "l_orderkey", k = 256)
+      val exact = li.filter(col("l_orderkey").isNotNull)
+        .agg(count_distinct(col("l_orderkey")).as("exact"))
+      sk.crossJoin(broadcast(exact))
+        .select(col("k"), col("n_kept"),
+          (round(col("estimate"), 6) + lit(0.0)).as("estimate"),
+          col("exact"),
+          (round(abs(col("estimate") - col("exact")) / col("exact"), 6)
+            + lit(0.0)).as("rel_error"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7433,6 +7450,23 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // replay the identical sketch: same md5-prefix hash, same k smallest
+    // DISTINCT values, same closed-form estimator
+    "q284_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5('kmv:'
+                  || l_orderkey::VARCHAR), 1, 15))::UBIGINT::BIGINT hv
+                FROM lineitem WHERE l_orderkey IS NOT NULL),
+         kk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+         t AS (SELECT count(*)::BIGINT n_kept, max(hv)::DOUBLE hk FROM kk),
+         ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT exact
+                FROM lineitem WHERE l_orderkey IS NOT NULL),
+         est AS (SELECT n_kept,
+                  CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+                    ELSE 255.0 / (hk / 1152921504606846976.0) END e
+                FROM t)
+         SELECT 256 AS k, n_kept, round(e, 6) + 0.0 AS estimate, exact,
+           round(abs(e - exact) / exact, 6) + 0.0 AS rel_error
+         FROM est, ex""",
     // same hypergeometric enumeration with DuckDB's lgamma; the 1e-7
     // relative slack keeps mirror-table inclusion engine-stable
     "q283_fisher_exact" ->

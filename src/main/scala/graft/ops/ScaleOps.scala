@@ -664,4 +664,38 @@ object ScaleOps {
       .select((col("i") + 1).as("rank"), col("e.key").as("key"),
         col("e.count").as("count"), col("e.err").as("err"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the REPLAYABLE
+    * cardinality estimator: md5-prefix hashes (the repo's deterministic
+    * resampling idiom) feed a k-bounded minima aggregate
+    * ([[graft.functions.kernels.KmvAgg]]), and the estimate is the
+    * closed form (k−1)/u_(k) over the k-th smallest normalized hash —
+    * so an external engine replaying the same md5 arithmetic lands on
+    * the IDENTICAL estimate, bit for bit (HLL answers faster per byte
+    * but its register layout is engine-private; this sketch is the one
+    * you can oracle-check and diff across systems). Exact below k:
+    * with fewer than k distinct hashes the minima set IS the distinct
+    * set and the estimate equals the true count. One row:
+    * `(k, n_kept, estimate)`.
+    *
+    * Scale: one scan; each partition's partial is ≤ k longs (map-side
+    * combining), the shuffle carries k·partitions longs. Hash
+    * collisions: 60-bit space ⇒ birthday effects are ~1e-9 relative at
+    * a billion distinct keys — inside the sketch's own √(2/k) noise. */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    // 15 md5 hex chars = 60 bits, normalized by 2^60 into [0, 1)
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val norm = lit(1152921504606846976.0) // 2^60, exactly representable
+    df.filter(col(keyCol).isNotNull)
+      .agg(graft.functions.kernels.KmvAgg.kMinima(h, k).as("mins"))
+      .select(
+        lit(k).as("k"),
+        size(col("mins")).cast("long").as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("mins"), k).cast("double") / norm))
+          .as("estimate"))
+  }
 }

@@ -301,4 +301,23 @@ class ScaleOpsSpec extends SparkSpecBase {
       "a partial range does not bound the union")
     spark.catalog.clearCache()
   }
+
+  test("kmvDistinct: exact below k, accurate above k, duplicate-invariant") {
+    // below k the minima set IS the distinct set
+    val small = (1 to 10).map(i => s"key$i").toDF("id")
+    val r = ScaleOps.kmvDistinct(small, "id", k = 16).collect().head
+    assert(r.getAs[Long]("n_kept") == 10L)
+    assert(r.getAs[Double]("estimate") == 10.0)
+    // above k: deterministic md5 sketch, estimate within the sketch's
+    // noise band (rel std ~ 1/sqrt(k-2) ~ 6% at k=256; assert 4 sigma)
+    val big = (1 to 5000).map(i => s"user-$i").toDF("id")
+    val rb = ScaleOps.kmvDistinct(big, "id", k = 256).collect().head
+    assert(rb.getAs[Long]("n_kept") == 256L)
+    val est = rb.getAs[Double]("estimate")
+    assert(math.abs(est - 5000) < 0.25 * 5000, s"estimate $est vs 5000")
+    // multiplicity must not move the sketch — distinct hashes only
+    val dup = (1 to 5000).flatMap(i => Seq.fill(3)(s"user-$i")).toDF("id")
+    val rd = ScaleOps.kmvDistinct(dup, "id", k = 256).collect().head
+    assert(rd.getAs[Double]("estimate") == est)
+  }
 }
