@@ -2593,6 +2593,23 @@ object SparkEntry {
             + lit(0.0)).as("rel_error"))
     }),
 
+    // ---- Heaps'-law vocabulary growth fit (CorpusStats) -------------------
+    // first-occurrence curve over the doc_id-ordered token stream at 10
+    // checkpoints + the closed-form log-log OLS. The synthetic corpus's
+    // 31-token vocabulary saturates before the first checkpoint (flat
+    // curve, fit undefined), so the query appends one per-doc unique
+    // token — the id-minting corpus shape the operator exists to flag
+    "q285_heaps_law" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" uid"), col("doc_id")))
+      CorpusStats.heapsLaw(docs, "doc_id", "text", checkpoints = 10)
+        .select(col("i"), col("n_prefix"), col("v_types"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("log_k"), 6) + lit(0.0)).as("log_k"),
+          (round(col("r2"), 6) + lit(0.0)).as("r2"))
+        .gateOrdered(col("i"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7450,6 +7467,43 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // same doc_id-ordered token positions, first-occurrence minima,
+    // checkpoint prefix counts and log-log OLS
+    "q285_heaps_law" ->
+      """WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(
+                    text || ' uid' || doc_id::VARCHAR)), '\s+'),
+                    x -> len(x) > 0) toks
+                FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) len FROM t),
+         o AS (SELECT doc_id, toks,
+                 coalesce(sum(len) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doff
+               FROM d),
+         tok AS (SELECT doff + i gpos, toks[i] term
+                FROM o, unnest(range(1, len(toks) + 1)) r(i)),
+         fo AS (SELECT term, min(gpos) fp FROM tok GROUP BY 1),
+         nt AS (SELECT sum(len)::BIGINT n FROM d),
+         spine AS (SELECT i::INT i, (i * n) // 10 np
+                FROM nt, unnest(range(1, 11)) s(i)),
+         curve AS (SELECT s.i, s.np, count(fo.term)::BIGINT v
+                FROM spine s LEFT JOIN fo ON fo.fp <= s.np GROUP BY 1, 2),
+         pts AS (SELECT ln(np::DOUBLE) x, ln(v::DOUBLE) y FROM curve
+                WHERE np > 0 AND v > 0),
+         mm AS (SELECT avg(x) mx, avg(y) my FROM pts),
+         ss AS (SELECT sum((x - mx) * (x - mx)) sxx,
+                 sum((x - mx) * (y - my)) sxy,
+                 sum((y - my) * (y - my)) syy
+               FROM pts, mm),
+         fit AS (SELECT CASE WHEN sxx > 0 AND syy > 0 THEN sxy / sxx END beta,
+                 CASE WHEN sxx > 0 AND syy > 0 THEN my - sxy / sxx * mx END lk,
+                 CASE WHEN sxx > 0 AND syy > 0
+                   THEN sxy * sxy / (sxx * syy) END r2
+               FROM ss, mm)
+         SELECT i, np AS n_prefix, v AS v_types,
+           round(beta, 6) + 0.0 AS beta, round(lk, 6) + 0.0 AS log_k,
+           round(r2, 6) + 0.0 AS r2
+         FROM curve, fit ORDER BY i""",
     // replay the identical sketch: same md5-prefix hash, same k smallest
     // DISTINCT values, same closed-form estimator
     "q284_kmv_distinct" ->

@@ -948,4 +948,82 @@ object CorpusStats {
       .orderBy(col("total").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Heaps'-law vocabulary-growth fit — "how fast does the vocabulary
+    * still grow if we ingest 10× more of this corpus?": V(n) ≈ K·n^β
+    * over the first-occurrence curve (β near 1: the source keeps minting
+    * new types — ids, hashes, boilerplate noise; β ≈ 0.4–0.6: natural
+    * language; a β jump between snapshots is a contamination smell). The
+    * curve samples `checkpoints` evenly-spaced token-prefix sizes
+    * (prefix order = doc_id order, position within doc), and the fit is
+    * the closed-form log–log OLS over those points. Output one row per
+    * checkpoint: `(i, n_prefix, v_types, beta, log_k, r2)` — the fit
+    * columns are constant across rows (the curve and its summary in one
+    * frame).
+    *
+    * Scale: one tokenize+posexplode scan; per-doc lengths cumsum through
+    * the shared deterministic-bucket machinery (doc offsets without a
+    * global window); global positions via an id-keyed join; first
+    * occurrence = one min per term; the checkpoint spine is
+    * `checkpoints` rows broadcast against the vocab table. The curve is
+    * checkpoint-bounded, so the OLS runs on the driver over collected
+    * literals (the head()-then-literals pattern — release-safe). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3, s"need >= 3 checkpoints for a fit: $checkpoints")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      lens, col("id"), Seq("len"), Seq("off"))
+    val nTokens = grand.head
+    val spark = docs.sparkSession
+    if (nTokens < checkpoints) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(0).select(
+        lit(0).as("i"), lit(0L).as("n_prefix"), lit(0L).as("v_types"),
+        lit(null).cast("double").as("beta"),
+        lit(null).cast("double").as("log_k"),
+        lit(null).cast("double").as("r2"))
+    }
+    val firstOcc = toks
+      .join(cum.select(col("id"), col("off")), Seq("id"))
+      .groupBy(col("term"))
+      .agg(min(col("off") + col("pos") + 1).as("first_pos"))
+    // inner inequality join STREAMS the vocab side against the broadcast
+    // checkpoint spine (a left-outer spine join would need the vocab side
+    // broadcast — wrong way round at corpus scale); empty checkpoints
+    // fill from the spine on the driver
+    import spark.implicits._
+    val spineRows = (1 to checkpoints)
+      .map(i => (i, i.toLong * nTokens / checkpoints))
+    val counts = firstOcc
+      .join(broadcast(spineRows.toDF("i", "n_prefix")),
+        col("first_pos") <= col("n_prefix"))
+      .groupBy(col("i")).agg(count(lit(1)).as("v"))
+      .collect()
+      .map(r => r.getAs[Int]("i") -> r.getAs[Long]("v")).toMap
+    val curve = spineRows.map { case (i, np) => (i, np, counts.getOrElse(i, 0L)) }
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    // log-log OLS over the checkpoint curve (driver-side: bounded rows)
+    val pts = curve.filter(p => p._2 > 0 && p._3 > 0)
+      .map(p => (math.log(p._2.toDouble), math.log(p._3.toDouble)))
+    val fit: Option[(Double, Double, Double)] =
+      if (pts.length < 3) None
+      else {
+        val n = pts.length
+        val mx = pts.map(_._1).sum / n; val my = pts.map(_._2).sum / n
+        val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+        val sxy = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+        val syy = pts.map(p => (p._2 - my) * (p._2 - my)).sum
+        if (sxx <= 0 || syy <= 0) None
+        else Some((sxy / sxx, my - sxy / sxx * mx, sxy * sxy / (sxx * syy)))
+      }
+    val fitted = curve.map { case (i, np, v) =>
+      (i, np, v, fit.map(_._1), fit.map(_._2), fit.map(_._3))
+    }
+    fitted.toDF("i", "n_prefix", "v_types", "beta", "log_k", "r2")
+  }
 }

@@ -679,6 +679,25 @@ class SearchSpec extends SparkSpecBase {
     assert(rt > rb, s"rank-1 overlap ($rt) must outweigh rank-5 overlap ($rb)")
   }
 
+  test("heapsLaw: hand-computed first-occurrence curve and a sane fit") {
+    val corpus = Seq((1L, "a b a c"), (2L, "b d"), (3L, "e a"))
+      .toDF("doc_id", "text")
+    val rows = CorpusStats.heapsLaw(corpus, "doc_id", "text", checkpoints = 4)
+      .orderBy("i").collect()
+    // N=8 tokens in doc_id order; first occurrences at 1(a) 2(b) 4(c) 6(d) 7(e)
+    assert(rows.map(_.getAs[Long]("n_prefix")).toSeq == Seq(2L, 4L, 6L, 8L))
+    assert(rows.map(_.getAs[Long]("v_types")).toSeq == Seq(2L, 3L, 4L, 5L))
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta > 0 && beta < 1.2, s"beta $beta")
+    val r2 = rows.head.getAs[Double]("r2")
+    assert(r2 > 0.9 && r2 <= 1.0, s"r2 $r2")
+    // last checkpoint must cover the full vocabulary
+    assert(rows.last.getAs[Long]("v_types") == 5L)
+    // degenerate: blank corpus -> empty frame
+    assert(CorpusStats.heapsLaw(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0L)
+  }
+
   test("rankingMetrics: hand-computed NDCG/AP/RR with graded + unretrieved rels") {
     val results = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4))
       .toDF("q", "doc", "rank")
