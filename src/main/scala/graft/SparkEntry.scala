@@ -2624,6 +2624,23 @@ object SparkEntry {
         .gateOrdered(col("name_a"), col("name_b"))
     }),
 
+    // ---- split-conformal prediction interval (LinearModel) ----------------
+    // predict n_chars from token count: md5 40/30/30 split, OLS on train,
+    // exact conformal order statistic on calibration, empirical coverage
+    // on test
+    "q287_conformal" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("x"),
+          col("n_chars").cast("double").as("y"))
+      LinearModel.conformalInterval(docs, "doc_id", "x", "y", alpha = 0.1)
+        .select(col("n_train"), col("n_cal"), col("n_test"), col("alpha"),
+          (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("q_hat"), 6) + lit(0.0)).as("q_hat"),
+          (round(col("coverage"), 6) + lit(0.0)).as("coverage"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7481,6 +7498,43 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // replay the md5 split, moment-sum OLS, row_number order statistic
+    // and coverage reduce
+    "q287_conformal" ->
+      """WITH b AS (SELECT doc_id::VARCHAR id,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                    '\s+'), t -> len(t) > 0))::DOUBLE x,
+                  n_chars::DOUBLE y
+                FROM documents WHERE n_chars IS NOT NULL),
+         sp AS (SELECT *, ('0x' || substr(md5('conf:' || id), 1, 8))::UBIGINT
+                  / 4294967296.0 u
+               FROM b),
+         tagged AS (SELECT *, CASE WHEN u < 0.4 THEN 'train'
+                  WHEN u < 0.7 THEN 'cal' ELSE 'test' END split
+               FROM sp),
+         f AS (SELECT count(*)::BIGINT n, sum(x) sx, sum(y) sy,
+                 sum(x * x) sxx, sum(x * y) sxy
+               FROM tagged WHERE split = 'train'),
+         ab AS (SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) bb,
+                 sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n aa
+               FROM f),
+         calres AS (SELECT abs(y - (aa + bb * x)) r
+               FROM tagged, ab WHERE split = 'cal'),
+         nc AS (SELECT count(*)::BIGINT ncal FROM calres),
+         kth AS (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r) rn
+                  FROM calres) q, nc
+               WHERE rn = CAST(ceil((ncal + 1) * 0.9) AS BIGINT)),
+         cov AS (SELECT count(*)::BIGINT ntest,
+                 avg(CASE WHEN abs(y - (aa + bb * x)) <= (SELECT r FROM kth)
+                   THEN 1.0 ELSE 0.0 END) c
+               FROM tagged, ab WHERE split = 'test')
+         SELECT (SELECT n FROM ab) AS n_train, (SELECT ncal FROM nc) AS n_cal,
+           ntest AS n_test, 0.1 AS alpha,
+           round((SELECT aa FROM ab), 6) + 0.0 AS intercept,
+           round((SELECT bb FROM ab), 6) + 0.0 AS slope,
+           round((SELECT r FROM kth), 6) + 0.0 AS q_hat,
+           round(c, 6) + 0.0 AS coverage
+         FROM cov""",
     // DuckDB's native jaro_winkler_similarity IS the independent oracle
     // for the kernel (conventions brute-force matched over random pairs)
     "q286_jaro_winkler" ->

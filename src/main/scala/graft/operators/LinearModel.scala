@@ -551,4 +551,89 @@ object LinearModel {
 
   private def round12(v: Double): Double =
     BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Split-conformal prediction interval for a 1-D linear predictor —
+    * the DISTRIBUTION-FREE error bar: fit ŷ = a + b·x on the train
+    * split, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual
+    * on the calibration split, and ŷ ± q̂ covers a fresh y with
+    * probability ≥ 1−α under exchangeability alone — no normality, no
+    * homoscedasticity, the guarantee modern eval pipelines quote. The
+    * test split reports the EMPIRICAL coverage beside the nominal level.
+    * One row: `(n_train, n_cal, n_test, alpha, intercept, slope, q_hat,
+    * coverage)`; q_hat NULL (and coverage 1 by convention — the interval
+    * is ±∞) when the calibration split is too small for the rank.
+    *
+    * Determinism: the 3-way split is md5-keyed on the id (the repo's
+    * resampling idiom — 40/30/30), so an external engine replays the
+    * identical split, fit, rank and coverage. The conformal rank is an
+    * exact ORDER STATISTIC, not an interpolated percentile: computed as
+    * the smallest distinct residual whose inclusive cumulative count
+    * reaches k, via per-distinct-value counts + the shared
+    * deterministic-bucket cumsum — no sort, no interpolation ambiguity.
+    *
+    * Scale: one moment pass (fit), one value-bounded cumsum (rank), one
+    * test-split reduce (coverage) — three scans, nothing data-sized on
+    * the driver. */
+  def conformalInterval(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val base = df.select(col(idCol).cast("string").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val u = conv(substring(md5(concat(lit("conf:"), col("id"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val tagged = base.withColumn("split",
+      when(u < 0.4, "train").when(u < 0.7, "cal").otherwise("test"))
+    val fitRow = tagged.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val nTrain = fitRow.getLong(0)
+    def emptyOut(nt: Long) = spark.range(1).select(
+      lit(nt).as("n_train"), lit(0L).as("n_cal"), lit(0L).as("n_test"),
+      lit(alpha).as("alpha"), dNull.as("intercept"), dNull.as("slope"),
+      dNull.as("q_hat"), dNull.as("coverage"))
+    if (nTrain < 2) return emptyOut(nTrain)
+    val n = nTrain.toDouble
+    val sx = fitRow.getDouble(1); val sy = fitRow.getDouble(2)
+    val sxx = fitRow.getDouble(3); val sxy = fitRow.getDouble(4)
+    val den = sxx - sx * sx / n
+    if (den <= 0) return emptyOut(nTrain)
+    val b = (sxy - sx * sy / n) / den
+    val a = sy / n - b * sx / n
+    val resid = abs(col("y") - (lit(a) + lit(b) * col("x")))
+    // conformal rank over the calibration split: exact order statistic
+    val calCounts = tagged.filter(col("split") === "cal")
+      .groupBy(resid.as("r")).agg(count(lit(1)).as("cnt"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      calCounts, col("r"), Seq("cnt"), Seq("_before"))
+    val nCal = grand.head
+    val k = math.ceil((nCal + 1) * (1 - alpha)).toLong
+    val qHat: Option[Double] =
+      if (nCal == 0 || k > nCal) None
+      else Some(cum.filter(col("_before") < k && col("_before") + col("cnt") >= k)
+        .select(col("r")).head().getDouble(0))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val cov = qHat match {
+      case None => tagged.filter(col("split") === "test")
+        .agg(count(lit(1)).as("nt"),
+          avg(lit(1.0)).as("c")) // ±∞ interval: everything covered
+        .head()
+      case Some(q) => tagged.filter(col("split") === "test")
+        .agg(count(lit(1)).as("nt"),
+          avg(when(resid <= q, 1.0).otherwise(0.0)).as("c"))
+        .head()
+    }
+    val nTest = cov.getLong(0)
+    spark.range(1).select(
+      lit(nTrain).as("n_train"), lit(nCal).as("n_cal"), lit(nTest).as("n_test"),
+      lit(alpha).as("alpha"), lit(a).as("intercept"), lit(b).as("slope"),
+      qHat.map(v => lit(v).cast("double")).getOrElse(dNull).as("q_hat"),
+      (if (nTest == 0) dNull
+       else if (qHat.isEmpty) lit(1.0)
+       else lit(cov.getDouble(1))).as("coverage"))
+  }
 }

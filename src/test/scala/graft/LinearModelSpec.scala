@@ -216,4 +216,54 @@ class LinearModelSpec extends SparkSpecBase {
     assert(tb.length == 1 && tb.head.getLong(0) == 5L &&
       tb.head.getLong(1) == 10L, s"got ${tb.toSeq}")
   }
+
+  test("conformalInterval: exact on noiseless data; matches a naive replica") {
+    // perfectly linear: zero residuals everywhere -> q_hat 0, coverage 1
+    val lin = (1 to 300).map(i => (i.toLong, i.toDouble, 3.0 + 2.0 * i))
+      .toDF("id", "x", "y")
+    val r = LinearModel.conformalInterval(lin, "id", "x", "y", alpha = 0.1)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(r.getAs[Double]("q_hat") < 1e-9)
+    assert(r.getAs[Double]("coverage") == 1.0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") == 300L)
+
+    // noisy data: replicate split/fit/rank/coverage naively and compare
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map { i =>
+      val x = rnd.nextInt(100).toDouble
+      (i.toLong, x, 5.0 + 0.5 * x + (rnd.nextInt(21) - 10))
+    }
+    val got = LinearModel.conformalInterval(
+      rows.toDF("id", "x", "y"), "id", "x", "y", alpha = 0.2).collect().head
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"conf:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+        .toDouble / 4294967296.0
+    }
+    val train = rows.filter(p => u(p._1) < 0.4)
+    val cal = rows.filter(p => { val v = u(p._1); v >= 0.4 && v < 0.7 })
+    val test = rows.filter(p => u(p._1) >= 0.7)
+    assert(got.getAs[Long]("n_train") == train.size.toLong)
+    assert(got.getAs[Long]("n_cal") == cal.size.toLong)
+    val n = train.size.toDouble
+    val sx = train.map(_._2).sum; val sy = train.map(_._3).sum
+    val sxx = train.map(p => p._2 * p._2).sum
+    val sxy = train.map(p => p._2 * p._3).sum
+    val b = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val a = sy / n - b * sx / n
+    assert(math.abs(got.getAs[Double]("slope") - b) < 1e-9)
+    val k = math.ceil((cal.size + 1) * 0.8).toInt
+    val qRef = cal.map(p => math.abs(p._3 - (a + b * p._2))).sorted.apply(k - 1)
+    assert(math.abs(got.getAs[Double]("q_hat") - qRef) < 1e-9,
+      s"q_hat ${got.getAs[Double]("q_hat")} vs $qRef")
+    val covRef = test.count(p => math.abs(p._3 - (a + b * p._2)) <= qRef)
+      .toDouble / test.size
+    assert(math.abs(got.getAs[Double]("coverage") - covRef) < 1e-12)
+    // the guarantee itself: empirical coverage near the nominal 0.8
+    assert(covRef > 0.7 && covRef <= 1.0, s"coverage $covRef")
+  }
 }
