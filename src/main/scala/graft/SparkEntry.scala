@@ -2641,6 +2641,66 @@ object SparkEntry {
           (round(col("coverage"), 6) + lit(0.0)).as("coverage"))
     }),
 
+    // ---- Cramer-von Mises two-sample test en vs de (Drift) ----------------
+    // the integrated-CDF companion of q171's KS: same distinct-value
+    // cumsum, squared gaps summed with multiplicity, exact null moments
+    "q288_cvm" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.cramerVonMises(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("t"), 6) + lit(0.0)).as("t"),
+          (round(col("t_expected"), 6) + lit(0.0)).as("t_expected"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+    }),
+
+    // ---- proportion effect-size panel: even vs odd users (Drift) ----------
+    // the size companion of q239's z test: risk ratio / odds ratio / risk
+    // difference with their Wald/Woolf CIs, Cohen's h
+    "q289_risk_ratio" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select((col("user_id") % 2 === 0).as("even"),
+          (col("event_type") === "error").as("is_err"))
+      Drift.proportionEffects(ev.filter(col("even")),
+          ev.filter(!col("even")), "is_err")
+        .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          (round(col("p_a"), 6) + lit(0.0)).as("p_a"),
+          (round(col("p_b"), 6) + lit(0.0)).as("p_b"),
+          (round(col("risk_ratio"), 6) + lit(0.0)).as("risk_ratio"),
+          (round(col("rr_lo"), 6) + lit(0.0)).as("rr_lo"),
+          (round(col("rr_hi"), 6) + lit(0.0)).as("rr_hi"),
+          (round(col("odds_ratio"), 6) + lit(0.0)).as("odds_ratio"),
+          (round(col("or_lo"), 6) + lit(0.0)).as("or_lo"),
+          (round(col("or_hi"), 6) + lit(0.0)).as("or_hi"),
+          (round(col("risk_diff"), 6) + lit(0.0)).as("risk_diff"),
+          (round(col("rd_lo"), 6) + lit(0.0)).as("rd_lo"),
+          (round(col("rd_hi"), 6) + lit(0.0)).as("rd_hi"),
+          (round(col("cohens_h"), 6) + lit(0.0)).as("cohens_h"))
+    }),
+
+    // ---- Nelson-Aalen cumulative hazard (Behavior) -------------------------
+    // q235's additive companion on the same censored durations; hazard and
+    // variance ride one two-column fixed-point cumsum
+    "q290_nelson_aalen" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val durations = perUser.crossJoin(broadcast(horizon)).select(
+        floor((unix_timestamp(coalesce(col("p_ts"), col("h_ts"))) -
+          unix_timestamp(col("first_ts"))) / 3600).cast("long").as("dur_h"),
+        col("p_ts").isNull.as("cens"))
+      Behavior.naCurve(durations, "dur_h", "cens")
+        .select(col("duration").as("hours"), col("n_risk"),
+          col("n_churned").as("n_events"), col("n_censored"),
+          (round(col("cum_hazard"), 6) + lit(0.0)).as("cum_hazard"),
+          (round(col("var_hazard"), 8) + lit(0.0)).as("var_hazard"),
+          (round(col("survival_na"), 6) + lit(0.0)).as("survival_na"))
+        .gateOrdered(col("hours"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7498,6 +7558,107 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // same distinct-value inclusive CDFs; Anderson's exact null moments
+    "q288_cvm" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         c AS (SELECT v, na, nb, sum(na) OVER (ORDER BY v) cna,
+                 sum(nb) OVER (ORDER BY v) cnb
+               FROM j),
+         tt AS (SELECT sum(na)::DOUBLE m, sum(nb)::DOUBLE n FROM j),
+         s AS (SELECT sum((na + nb)::DOUBLE
+                 * pow(cna::DOUBLE / m - cnb::DOUBLE / n, 2)) ss
+               FROM c, tt),
+         f AS (SELECT m, n, m + n bn, m * n / ((m + n) * (m + n)) * ss t2
+               FROM s, tt)
+         SELECT m::BIGINT AS n_a, n::BIGINT AS n_b,
+           round(t2, 6) + 0.0 AS t,
+           round((1 + 1 / bn) / 6, 6) + 0.0 AS t_expected,
+           round((t2 - (1 + 1 / bn) / 6)
+             / sqrt((bn + 1) / (45 * bn * bn)
+               * (4 * m * n * bn - 3 * (m * m + n * n) - 2 * m * n)
+               / (4 * m * n)), 6) + 0.0 AS z
+         FROM f""",
+    // per-side counts -> the Wald/Woolf log-scale CIs and Cohen's h
+    "q289_risk_ratio" ->
+      """WITH b AS (SELECT user_id % 2 = 0 ev, event_type = 'error' er
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         sa AS (SELECT count(*)::BIGINT n1, sum(CASE WHEN er THEN 1 ELSE 0
+                  END)::BIGINT k1 FROM b WHERE ev),
+         sb AS (SELECT count(*)::BIGINT n2, sum(CASE WHEN er THEN 1 ELSE 0
+                  END)::BIGINT k2 FROM b WHERE NOT ev),
+         f AS (SELECT n1, k1, n2, k2, n1::DOUBLE nd1, k1::DOUBLE kd1,
+                 n2::DOUBLE nd2, k2::DOUBLE kd2, 1.959963984540054 zc
+               FROM sa, sb),
+         g AS (SELECT *, kd1 / nd1 p1, kd2 / nd2 p2,
+                 sqrt(1 / kd1 - 1 / nd1 + 1 / kd2 - 1 / nd2) rrse,
+                 (kd1 * (nd2 - kd2)) / (kd2 * (nd1 - kd1)) orr,
+                 sqrt(1 / kd1 + 1 / (nd1 - kd1) + 1 / kd2
+                   + 1 / (nd2 - kd2)) orse
+               FROM f),
+         h AS (SELECT *, sqrt(p1 * (1 - p1) / nd1 + p2 * (1 - p2) / nd2) rdse
+               FROM g)
+         SELECT n1 AS n_a, k1 AS k_a, n2 AS n_b, k2 AS k_b,
+           round(p1, 6) + 0.0 AS p_a, round(p2, 6) + 0.0 AS p_b,
+           CASE WHEN k2 > 0 THEN round(p1 / p2, 6) + 0.0 END AS risk_ratio,
+           CASE WHEN k1 > 0 AND k2 > 0
+             THEN round(exp(ln(p1 / p2) - zc * rrse), 6) + 0.0 END AS rr_lo,
+           CASE WHEN k1 > 0 AND k2 > 0
+             THEN round(exp(ln(p1 / p2) + zc * rrse), 6) + 0.0 END AS rr_hi,
+           CASE WHEN k1 > 0 AND k2 > 0 AND k1 < n1 AND k2 < n2
+             THEN round(orr, 6) + 0.0 END AS odds_ratio,
+           CASE WHEN k1 > 0 AND k2 > 0 AND k1 < n1 AND k2 < n2
+             THEN round(exp(ln(orr) - zc * orse), 6) + 0.0 END AS or_lo,
+           CASE WHEN k1 > 0 AND k2 > 0 AND k1 < n1 AND k2 < n2
+             THEN round(exp(ln(orr) + zc * orse), 6) + 0.0 END AS or_hi,
+           round(p1 - p2, 6) + 0.0 AS risk_diff,
+           round(p1 - p2 - zc * rdse, 6) + 0.0 AS rd_lo,
+           round(p1 - p2 + zc * rdse, 6) + 0.0 AS rd_hi,
+           round(2 * asin(sqrt(p1)) - 2 * asin(sqrt(p2)), 6) + 0.0 AS cohens_h
+         FROM h""",
+    // q235's duration construction; hazard + variance through the same
+    // 1e12 fixed-point prefix sums
+    "q290_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS hm FROM events),
+         bl AS (SELECT floor((floor(epoch(coalesce(p, hm))) -
+                  floor(epoch(f))) / 3600)::BIGINT AS life,
+                  (p IS NULL) AS cens
+                FROM pu, h),
+         g AS (SELECT life,
+                 sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+                 sum(CASE WHEN cens THEN 1 ELSE 0 END)::BIGINT AS cns,
+                 count(*)::BIGINT AS al
+               FROM bl GROUP BY 1),
+         w AS (SELECT *, coalesce(sum(al) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+                 (SELECT sum(al) FROM g) AS n
+               FROM g),
+         x AS (SELECT life, d, cns, (n - bef)::BIGINT AS nr,
+                 round(d / (n - bef)::DOUBLE * 1e12)::BIGINT AS hq,
+                 round(d / ((n - bef)::DOUBLE * (n - bef)) * 1e12)::BIGINT
+                   AS vq
+               FROM w),
+         y AS (SELECT *, sum(hq) OVER (ORDER BY life
+                 ROWS UNBOUNDED PRECEDING) AS hc,
+                 sum(vq) OVER (ORDER BY life
+                 ROWS UNBOUNDED PRECEDING) AS vc
+               FROM x)
+         SELECT life AS hours, nr AS n_risk, d AS n_events, cns AS n_censored,
+           round(hc / 1e12, 6) + 0.0 AS cum_hazard,
+           round(vc / 1e12, 8) + 0.0 AS var_hazard,
+           round(exp(-hc / 1e12), 6) + 0.0 AS survival_na
+         FROM y WHERE d > 0 ORDER BY 1""",
     // replay the md5 split, moment-sum OLS, row_number order statistic
     // and coverage reduce
     "q287_conformal" ->

@@ -675,4 +675,55 @@ object Behavior {
         when(col("__dead"), lit(0.0)).otherwise(exp(col("__lnCum")))
           .as("survival"))
   }
+
+  /** Nelson–Aalen cumulative-hazard curve — [[kmCurve]]'s additive
+    * companion: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² — the
+    * hazard VIEW of the same censored durations ("how much churn
+    * pressure has accumulated by hour t"), numerically gentler than KM
+    * near small risk sets (no log of a near-zero survival) and the
+    * quantity hazard-ratio models are fit against. Output one row per
+    * event time: `(duration, n_risk, n_churned, n_censored, cum_hazard,
+    * var_hazard, survival_na)` with `survival_na = exp(−Ĥ)` (the
+    * Fleming–Harrington survival estimate).
+    *
+    * Scale: the [[kmCurve]] plan exactly — one lifetime aggregation,
+    * the shared deterministic-bucket cumsum for at-risk counts, then
+    * the hazard and its variance ride ONE two-column fixed-point (12 dp)
+    * cumsum pass; no global window, no sort. */
+  def naCurve(durations: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val byLife = durations
+      .filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("life"),
+        coalesce(col(censoredCol), lit(false)).as("__cens"))
+      .groupBy(col("life"))
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
+        count(lit(1)).as("all"))
+    val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
+      persistInput = false)
+    val n = grand.head
+    val withTerms = cum1
+      .withColumn("__nRisk", lit(n) - col("__exitsBefore"))
+      .withColumn("__hQ", round(col("d").cast("double") / col("__nRisk")
+        * 1e12, 0).cast("long"))
+      .withColumn("__vQ", round(col("d").cast("double")
+        / (col("__nRisk").cast("double") * col("__nRisk")) * 1e12, 0)
+        .cast("long"))
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
+      withTerms, col("life"), Seq("__hQ", "__vQ"),
+      Seq("__hBefore", "__vBefore"), persistInput = false)._1
+    cum2
+      .withColumn("__h", (col("__hBefore") + col("__hQ")).cast("double") / 1e12)
+      .withColumn("__v", (col("__vBefore") + col("__vQ")).cast("double") / 1e12)
+      .filter(col("d") > 0)
+      .select(col("life").as("duration"),
+        col("__nRisk").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_churned"),
+        col("cns").cast("long").as("n_censored"),
+        col("__h").as("cum_hazard"),
+        col("__v").as("var_hazard"),
+        exp(-col("__h")).as("survival_na"))
+  }
 }

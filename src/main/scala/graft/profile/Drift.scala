@@ -915,6 +915,113 @@ object Drift {
       lit((gt + 0.5 * ties) / pairs).as("p_superiority"))
   }
 
+  /** Two-sample Cramér–von Mises test — the WHOLE-distribution companion
+    * of KS ([[ksStatistic]] reacts to the single worst CDF gap; CvM
+    * integrates the SQUARED gap over every observation, so many small
+    * body shifts that KS shrugs at accumulate): the tie-aware statistic
+    * T = nₐ·n_b/N² · Σ_z (F_a(z) − F_b(z))² summed over the combined
+    * sample WITH multiplicity, plus the exact null mean
+    * E[T] = (1 + 1/N)/6 and Anderson's exact null variance, reported as
+    * the standardized z. One row: `(n_a, n_b, t, t_expected, z)`; NULLs
+    * when either side is empty.
+    *
+    * Scale: the [[mannWhitneyU]] plan — per-distinct-value counts, the
+    * shared deterministic-bucket cumsum for inclusive CDFs, one reduce. */
+  def cramerVonMises(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_beforeA", "_beforeB"),
+      splitsHint, persistInput = splitsHint.isEmpty)
+    val (na, nb) = (grand(0), grand(1))
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("t"),
+        lit(null).cast("double").as("t_expected"),
+        lit(null).cast("double").as("z"))
+    }
+    val fa = (col("_beforeA") + col("n_a")).cast("double") / na
+    val fb = (col("_beforeB") + col("n_b")).cast("double") / nb
+    val s = cum.agg(
+      sum((col("n_a") + col("n_b")).cast("double") * pow(fa - fb, 2)).as("_s"))
+      .head().getDouble(0)
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val (m, nn) = (na.toDouble, nb.toDouble)
+    val bigN = m + nn
+    val t = m * nn / (bigN * bigN) * s
+    val et = (1 + 1 / bigN) / 6
+    val varT = (bigN + 1) / (45 * bigN * bigN) *
+      (4 * m * nn * bigN - 3 * (m * m + nn * nn) - 2 * m * nn) / (4 * m * nn)
+    val z: Option[Double] =
+      if (varT > 0) Some((t - et) / math.sqrt(varT)) else None
+    spark.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"), lit(t).as("t"),
+      lit(et).as("t_expected"),
+      z.map(v => lit(v).cast("double")).getOrElse(lit(null).cast("double"))
+        .as("z"))
+  }
+
+  /** Proportion effect-size panel — what [[proportionZTest]]'s z does NOT
+    * say: how BIG the gap is, on the three scales decisions are made on.
+    * Risk ratio with its log-space Wald CI (the epidemiology/experiment
+    * readout), odds ratio with the Woolf CI (the logistic-regression
+    * scale), risk difference with its Wald CI (absolute percentage
+    * points), and Cohen's h (the arcsine-stabilized effect size whose
+    * magnitude bands don't depend on the base rate). One row:
+    * `(n_a, k_a, n_b, k_b, p_a, p_b, risk_ratio, rr_lo, rr_hi,
+    * odds_ratio, or_lo, or_hi, risk_diff, rd_lo, rd_hi, cohens_h)`;
+    * ratio CIs NULL when any contributing cell is 0 (the Wald/Woolf
+    * standard errors divide by every cell).
+    *
+    * Scale: one count-aggregation per side, scalar algebra in the plan —
+    * the [[proportionZTest]] shape. */
+  def proportionEffects(a: DataFrame, b: DataFrame,
+      successCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, k: String) = df
+      .filter(col(successCol).isNotNull)
+      .agg(count(lit(1)).as(n),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as(k))
+    val zc = lit(1.959963984540054) // Φ⁻¹(0.975), both engines as a literal
+    val j = side(a, "n_a", "k_a").crossJoin(broadcast(side(b, "n_b", "k_b")))
+    val (n1, k1) = (col("n_a").cast("double"), col("k_a").cast("double"))
+    val (n2, k2) = (col("n_b").cast("double"), col("k_b").cast("double"))
+    val p1 = k1 / n1; val p2 = k2 / n2
+    val rr = p1 / p2
+    val one = lit(1.0)
+    val rrSe = sqrt(one / k1 - one / n1 + one / k2 - one / n2)
+    val orr = (k1 * (n2 - k2)) / (k2 * (n1 - k1))
+    val orSe = sqrt(one / k1 + one / (n1 - k1) + one / k2 + one / (n2 - k2))
+    val rd = p1 - p2
+    val rdSe = sqrt(p1 * (one - p1) / n1 + p2 * (one - p2) / n2)
+    val ratioOk = col("k_a") > 0 && col("k_b") > 0
+    val orOk = ratioOk && col("k_a") < col("n_a") && col("k_b") < col("n_b")
+    j.filter(col("n_a") > 0 && col("n_b") > 0).select(
+      col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      p1.as("p_a"), p2.as("p_b"),
+      when(col("k_b") > 0, rr).as("risk_ratio"),
+      when(ratioOk, exp(log(rr) - zc * rrSe)).as("rr_lo"),
+      when(ratioOk, exp(log(rr) + zc * rrSe)).as("rr_hi"),
+      when(orOk, orr).as("odds_ratio"),
+      when(orOk, exp(log(orr) - zc * orSe)).as("or_lo"),
+      when(orOk, exp(log(orr) + zc * orSe)).as("or_hi"),
+      rd.as("risk_diff"),
+      (rd - zc * rdSe).as("rd_lo"),
+      (rd + zc * rdSe).as("rd_hi"),
+      (lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2))).as("cohens_h"))
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance between two numeric
     * slices — the drift metric with UNITS: W₁ = ∫|F_a − F_b| dx is the
     * average distance probability mass must move, in the column's own

@@ -411,6 +411,34 @@ class BehaviorSpec extends SparkSpecBase {
     assert(rows(2)._1 == 4L && rows(2)._2 == 1L && rows(2)._5 == 0.0)
   }
 
+  test("naCurve: textbook cumulative hazard with censoring") {
+    // durations: 1 (event), 2 (event), 2 (censored), 3 (event)
+    // H(1) = 1/4; H(2) = 1/4 + 1/3; H(3) = ... + 1/1
+    val d = Seq((1L, false), (2L, false), (2L, true), (3L, false))
+      .toDF("dur", "cens")
+    val rows = Behavior.naCurve(d, "dur", "cens").orderBy("duration").collect()
+    assert(rows.length == 3)
+    val h1 = rows(0).getAs[Double]("cum_hazard")
+    val h2 = rows(1).getAs[Double]("cum_hazard")
+    val h3 = rows(2).getAs[Double]("cum_hazard")
+    assert(math.abs(h1 - 0.25) < 1e-9)
+    assert(math.abs(h2 - (0.25 + 1.0 / 3)) < 1e-9)
+    assert(math.abs(h3 - (0.25 + 1.0 / 3 + 1.0)) < 1e-9)
+    assert(rows(0).getAs[Long]("n_risk") == 4L &&
+      rows(1).getAs[Long]("n_risk") == 3L &&
+      rows(2).getAs[Long]("n_risk") == 1L)
+    assert(math.abs(rows(1).getAs[Double]("var_hazard")
+      - (1.0 / 16 + 1.0 / 9)) < 1e-9)
+    assert(math.abs(rows(2).getAs[Double]("survival_na") - math.exp(-h3)) < 1e-12)
+    // Fleming-Harrington survival sits at-or-above KM everywhere
+    val km = Behavior.kmCurve(d, "dur", "cens").orderBy("duration").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival_na")
+      assert(s >= km(r.getAs[Long]("duration")) - 1e-12)
+    }
+  }
+
   test("kmCurve: all-censored input yields no step rows; ties at one time") {
     val allCens = Seq((5L, true), (6L, true)).toDF("dur", "cens")
     assert(Behavior.kmCurve(allCens, "dur", "cens").count() == 0)

@@ -593,6 +593,51 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(got - ref) < 1e-9, s"w1 $got vs sorted-pair ref $ref")
   }
 
+  test("cramerVonMises matches a naive per-observation reference") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(70)(rnd.nextInt(15).toDouble)
+    val ys = Seq.fill(90)((rnd.nextInt(15) + 2).toDouble)
+    val got = Drift.cramerVonMises(xs.toDF("v"), ys.toDF("v"), "v")
+      .collect().head
+    val (m, n) = (xs.size.toDouble, ys.size.toDouble); val bigN = m + n
+    def fa(z: Double) = xs.count(_ <= z) / m
+    def fb(z: Double) = ys.count(_ <= z) / n
+    val s = (xs ++ ys).map(z => math.pow(fa(z) - fb(z), 2)).sum
+    val tRef = m * n / (bigN * bigN) * s
+    assert(math.abs(got.getAs[Double]("t") - tRef) < 1e-10,
+      s"t ${got.getAs[Double]("t")} vs $tRef")
+    assert(math.abs(got.getAs[Double]("t_expected") - (1 + 1 / bigN) / 6) < 1e-14)
+    // a genuine shift must standardize well above the null
+    assert(got.getAs[Double]("z") > 3)
+    // identical samples: T = 0 exactly, z below its null mean
+    val same = Drift.cramerVonMises(xs.toDF("v"), xs.toDF("v"), "v")
+      .collect().head
+    assert(same.getAs[Double]("t") == 0.0 && same.getAs[Double]("z") < 0)
+  }
+
+  test("proportionEffects: hand-computed panel on a 2x2") {
+    val a = (Seq.fill(30)(true) ++ Seq.fill(70)(false)).toDF("s")
+    val b = (Seq.fill(20)(true) ++ Seq.fill(80)(false)).toDF("s")
+    val r = Drift.proportionEffects(a, b, "s").collect().head
+    assert(r.getAs[Double]("p_a") == 0.3 && r.getAs[Double]("p_b") == 0.2)
+    assert(math.abs(r.getAs[Double]("risk_ratio") - 1.5) < 1e-12)
+    val zc = 1.959963984540054
+    val rrSe = math.sqrt(1.0 / 30 - 1.0 / 100 + 1.0 / 20 - 1.0 / 100)
+    assert(math.abs(r.getAs[Double]("rr_lo") - 1.5 * math.exp(-zc * rrSe)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("odds_ratio") - (30.0 * 80) / (20.0 * 70)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("risk_diff") - 0.1) < 1e-12)
+    val h = 2 * math.asin(math.sqrt(0.3)) - 2 * math.asin(math.sqrt(0.2))
+    assert(math.abs(r.getAs[Double]("cohens_h") - h) < 1e-12)
+    // zero-success side: rr is a true 0, but every log-scale CI is NULL
+    val z = Drift.proportionEffects(Seq(false, false).toDF("s"), b, "s")
+      .collect().head
+    assert(z.getAs[Double]("risk_ratio") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("rr_lo")) &&
+      z.isNullAt(z.fieldIndex("odds_ratio")) &&
+      z.isNullAt(z.fieldIndex("or_lo")))
+    assert(math.abs(z.getAs[Double]("risk_diff") - (-0.2)) < 1e-12)
+  }
+
   test("dagostinoK2 matches a definitional-central-moment reference") {
     val rnd = new scala.util.Random(5)
     // rounded gaussian-ish sample — the raw-power-sum algebra in the
