@@ -2701,6 +2701,58 @@ object SparkEntry {
         .gateOrdered(col("hours"))
     }),
 
+    // ---- Count-Min sketch vs exact counts (ScaleOps) -----------------------
+    // 4x64 cells over the supplier key (100 keys force collisions): the
+    // one-sided guarantee audited key by key, summarized
+    "q291_count_min" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val cells = ScaleOps.countMinCells(li, "l_suppkey", depth = 4, width = 64)
+      val keys = li.select(col("l_suppkey")).distinct()
+      val est = ScaleOps.countMinEstimates(cells, keys, "l_suppkey",
+        depth = 4, width = 64)
+      val exact = li.filter(col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("key"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("exact")).as("sum_exact"),
+          sum(col("estimate")).as("sum_est"),
+          sum(when(col("estimate") > col("exact"), 1L).otherwise(0L))
+            .as("n_over"),
+          max(col("estimate") - col("exact")).as("max_over"))
+        .select(col("n_keys"), lit(4).as("depth"), lit(64).as("width"),
+          col("sum_exact"), col("sum_est"), col("n_over"), col("max_over"))
+    }),
+
+    // ---- Cochran-Armitage trend: error rate across day quarters -----------
+    // one linear-trend degree of freedom over the ordered 6-hour bins
+    "q292_cochran_armitage" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select((hour(col("ts")) / 6).cast("int").cast("double").as("w"),
+          (col("event_type") === "error").as("s"))
+      graft.profile.Association.cochranArmitage(ev, "w", "s")
+        .select(col("n"), col("k_groups"),
+          (round(col("slope_num"), 6) + lit(0.0)).as("slope_num"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("chi2_trend"), 6) + lit(0.0)).as("chi2_trend"))
+    }),
+
+    // ---- DeLong AUC confidence interval (LinearModel) ----------------------
+    // q259's AUC with its error bar: placement variances from the same
+    // distinct-score cumsum
+    "q293_auc_delong" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = trainedKeywordWeights(s, dir)
+      val scored = LinearModel.logregScoreHashed(docs, "doc_id", "text",
+        label = col("text").contains("spark"), weights = w, numBuckets = 64)
+      LinearModel.aucDeLong(scored)
+        .select(col("n"), col("n_pos"),
+          (round(col("auc"), 6) + lit(0.0)).as("auc"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7558,6 +7610,88 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // identical md5 bucket hashing, cells, and min-over-rows probe
+    "q291_count_min" ->
+      """WITH k AS (SELECT DISTINCT l_suppkey FROM lineitem
+                WHERE l_suppkey IS NOT NULL),
+         cells AS (SELECT d, ('0x' || substr(md5('cms:' || d || ':'
+                  || l_suppkey::VARCHAR), 1, 8))::UBIGINT % 64 bucket,
+                  count(*)::BIGINT cnt
+                FROM lineitem, unnest(range(0, 4)) t(d)
+                WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
+         probe AS (SELECT l_suppkey, d, ('0x' || substr(md5('cms:' || d
+                  || ':' || l_suppkey::VARCHAR), 1, 8))::UBIGINT % 64 bucket
+                FROM k, unnest(range(0, 4)) t(d)),
+         est AS (SELECT p.l_suppkey sk, min(coalesce(c.cnt, 0)) estimate
+                FROM probe p LEFT JOIN cells c
+                  ON c.d = p.d AND c.bucket = p.bucket
+                GROUP BY 1),
+         ex AS (SELECT l_suppkey sk, count(*)::BIGINT exact FROM lineitem
+                WHERE l_suppkey IS NOT NULL GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_keys, 4 AS depth, 64 AS width,
+           sum(exact)::BIGINT AS sum_exact,
+           sum(estimate)::BIGINT AS sum_est,
+           sum(CASE WHEN estimate > exact THEN 1 ELSE 0 END)::BIGINT
+             AS n_over,
+           max(estimate - exact)::BIGINT AS max_over
+         FROM est JOIN ex USING (sk)""",
+    // k-bounded count table -> the exact one-degree trend algebra
+    "q292_cochran_armitage" ->
+      """WITH b AS (SELECT (hour(ts) // 6)::DOUBLE w, event_type = 'error' s
+                FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         g AS (SELECT w, count(*)::BIGINT ni,
+                 sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT ki
+               FROM b GROUP BY 1),
+         a AS (SELECT sum(ni)::BIGINT n, count(*)::BIGINT kg,
+                 sum(ki)::DOUBLE kk, sum(ki * w) skw, sum(ni * w) snw,
+                 sum(ni * w * w) snw2
+               FROM g),
+         f AS (SELECT n, kg, kk / n pbar, skw, snw, snw2, n::DOUBLE nd
+               FROM a)
+         SELECT n, kg AS k_groups,
+           round(skw - pbar * snw, 6) + 0.0 AS slope_num,
+           CASE WHEN pbar * (1 - pbar) * (snw2 - snw * snw / nd) > 0 THEN
+             round((skw - pbar * snw) / sqrt(pbar * (1 - pbar)
+               * (snw2 - snw * snw / nd)), 6) + 0.0 END AS z,
+           CASE WHEN pbar * (1 - pbar) * (snw2 - snw * snw / nd) > 0 THEN
+             round(pow(skw - pbar * snw, 2) / (pbar * (1 - pbar)
+               * (snw2 - snw * snw / nd)), 6) + 0.0 END AS chi2_trend
+         FROM f""",
+    // q259's scored frame + the placement-variance algebra
+    "q293_auc_delong" ->
+      s"""WITH ${logregCtes(iterations = 4, buckets = 64, lr = 100.0)},
+         mf AS (SELECT xc.doc_id,
+               CAST(sum(CAST(xc.c AS DECIMAL(9,0)) * CAST(w4.w AS DECIMAL(28,12)))
+                 AS DOUBLE) AS rawm
+             FROM xc JOIN w4 USING (b) GROUP BY xc.doc_id),
+         scored AS (SELECT yv.doc_id, yv.y,
+               round(1.0/(1.0 + exp(-(coalesce(mf.rawm, 0.0) / yv.len))), 4) AS score
+             FROM yv LEFT JOIN mf USING (doc_id)),
+         per AS (SELECT score, count(*)::BIGINT cnt, sum(y)::BIGINT pos
+                 FROM scored GROUP BY score),
+         cc AS (SELECT score, cnt, pos, cnt - pos neg,
+                 coalesce(sum(pos) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) pb,
+                 coalesce(sum(cnt - pos) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nb
+               FROM per),
+         tot AS (SELECT sum(pos)::BIGINT p,
+                 sum(cnt - pos)::BIGINT nn FROM per),
+         au AS (SELECT sum(pos * ((nb + neg / 2.0) / nn)) / max(p) auc
+               FROM cc, tot),
+         mo AS (SELECT sum(pos * pow((nb + neg / 2.0) / nn - auc, 2)) m10,
+                 sum(neg * pow((p - pb - pos / 2.0) / p - auc, 2)) m01
+               FROM cc, tot, au),
+         sef AS (SELECT p, nn, auc,
+                 sqrt(m10 / (p - 1) / p + m01 / (nn - 1) / nn) se
+               FROM mo, tot, au)
+         SELECT p + nn AS n, p AS n_pos, round(auc, 6) + 0.0 AS auc,
+           round(se, 6) + 0.0 AS se,
+           round(greatest(0.0, auc - 1.959963984540054 * se), 6) + 0.0
+             AS ci_lo,
+           round(least(1.0, auc + 1.959963984540054 * se), 6) + 0.0
+             AS ci_hi
+         FROM sef""",
     // same distinct-value inclusive CDFs; Anderson's exact null moments
     "q288_cvm" ->
       """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na

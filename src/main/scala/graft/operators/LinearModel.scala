@@ -362,6 +362,63 @@ object LinearModel {
       lit(auc).as("auc"), lit(2.0 * auc - 1.0).as("gini"))
   }
 
+  /** DeLong AUC with its standard error and 95% CI — [[aucRoc]] plus the
+    * error bar: is 0.871 vs 0.874 between two model versions signal or
+    * ranking noise? DeLong's placement-variance estimator answers
+    * without bootstrap resampling: each positive's placement v₁₀ = the
+    * fraction of negatives it outranks (ties half), each negative's v₀₁
+    * symmetric; Var(AUC) = S₁₀/P + S₀₁/N over the placement variances.
+    * One row: `(n, n_pos, auc, se, ci_lo, ci_hi)` (CI clamped to [0,1]);
+    * NULLs when either class is absent, se NULL when a class has one
+    * member (sample variance undefined).
+    *
+    * Scale: the [[aucRoc]] plan — per-distinct-score counts, ONE cumsum
+    * pass carrying both class prefix counts, two value-bounded reduces
+    * (AUC, then the centered placement moments). Placements are exact
+    * half-integer ratios, so the estimate replays bit-identically. */
+  def aucDeLong(scored: DataFrame, roundTo: Int = 4): DataFrame = {
+    val perScore = scored
+      .select(coalesce(col("label").cast("int"), lit(0)).as("__y"),
+        round(col("score").cast("double"), roundTo).as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+      .withColumn("__neg", col("__cnt") - col("__pos"))
+    val (ranked, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perScore, col("score"), Seq("__pos", "__neg"),
+      Seq("__posBelow", "__negBelow"))
+    val p = grand(0); val nn = grand(1)
+    val spark = scored.sparkSession
+    def dNull = lit(null).cast("double")
+    if (p == 0 || nn == 0) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
+      return spark.range(1).select(lit(p + nn).as("n"), lit(p).as("n_pos"),
+        dNull.as("auc"), dNull.as("se"), dNull.as("ci_lo"), dNull.as("ci_hi"))
+    }
+    val v10 = (col("__negBelow") + col("__neg") / lit(2.0)) / nn
+    val v01 = (lit(p) - col("__posBelow") - col("__pos") / lit(2.0)) / p
+    val aucRow = ranked.agg(sum(col("__pos") * v10).as("_s")).head()
+    val auc = aucRow.getDouble(0) / p
+    val moments = ranked.agg(
+      sum(col("__pos") * pow(v10 - auc, 2)).as("_m10"),
+      sum(col("__neg") * pow(v01 - auc, 2)).as("_m01")).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(ranked)
+    val se: Option[Double] =
+      if (p < 2 || nn < 2) None
+      else {
+        val s10 = moments.getDouble(0) / (p - 1)
+        val s01 = moments.getDouble(1) / (nn - 1)
+        Some(math.sqrt(s10 / p + s01 / nn))
+      }
+    val zc = 1.959963984540054
+    spark.range(1).select(lit(p + nn).as("n"), lit(p).as("n_pos"),
+      lit(auc).as("auc"),
+      se.map(v => lit(v).cast("double")).getOrElse(dNull).as("se"),
+      se.map(v => lit(math.max(0.0, auc - zc * v)).cast("double"))
+        .getOrElse(dNull).as("ci_lo"),
+      se.map(v => lit(math.min(1.0, auc + zc * v)).cast("double"))
+        .getOrElse(dNull).as("ci_hi"))
+  }
+
   /** Murphy decomposition of the Brier score — WHY is the probability
     * model good or bad: `reliability` (calibration gap — how far bin mean
     * scores sit from bin outcome rates; lower is better), `resolution`

@@ -698,4 +698,57 @@ object ScaleOps {
             (element_at(col("mins"), k).cast("double") / norm))
           .as("estimate"))
   }
+
+  /** Count–Min bucket hash for row `d` of the sketch: first-8-hex md5 of
+    * `"cms:<d>:<key>"` mod `width` — the deterministic per-row hash both
+    * the build and the probe (and an external replaying engine) share. */
+  private def cmsBucket(d: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(lit("cms:"), d.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** Count–Min sketch cells — the REPLAYABLE frequency sketch: `depth`
+    * md5-derived hash rows × `width` buckets of summed counts, built in
+    * one pass. Answers "approximately how often does key X occur" with
+    * the one-sided guarantee estimate ≥ truth (collisions only ADD), at
+    * depth·width cells of state regardless of key cardinality — the
+    * heavy-hitters complement to [[heavyHittersSketch]] (SpaceSaving
+    * tracks the top keys; CMS answers point queries about ANY key,
+    * including ones it never saw whole). Deterministic md5 hashing, so
+    * an external engine replays the identical cells and estimates.
+    * Output: `(d, bucket, cnt)` — at most depth·width rows.
+    *
+    * Scale: the depth-way explode multiplies rows into the MAP-side
+    * partial aggregation only; the shuffle carries ≤ depth·width cells
+    * per partition, never the data. */
+  def countMinCells(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), cmsBucket(col("d"), col("__k"), width).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates from [[countMinCells]]: for each key in
+    * `keys`, the minimum over the sketch's `depth` rows of its bucket
+    * count (an absent cell reads 0 — the key's bucket was never hit).
+    * Output: `(key, estimate)`. The cells table is depth·width-bounded,
+    * so it broadcasts; the probe side streams. */
+  def countMinEstimates(cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    keys.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"))
+      .distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col("key"), width))
+      .join(broadcast(cells), Seq("d", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col("key"))
+      .agg(min(col("cnt")).as("estimate"))
+  }
 }

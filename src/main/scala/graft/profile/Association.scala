@@ -488,6 +488,44 @@ object Association {
       lit(math.min(1.0, tails.getDouble(2))).as("p_less"))
   }
 
+  /** Cochran–Armitage trend test — "does the failure rate RISE along an
+    * ordered axis" (severity bands, size buckets, hours into the run):
+    * χ² on a 2×k table spends k−1 degrees of freedom and cannot say
+    * "monotone"; CA pools them into ONE linear-trend degree of freedom,
+    * Z = Σᵢwᵢkᵢ − p̄·Σᵢwᵢnᵢ over its exact conditional variance, with
+    * wᵢ the caller's ordered scores. One row:
+    * `(n, k_groups, slope_num, z, chi2_trend)`; NULL z when the
+    * variance vanishes (constant outcome or a single score).
+    *
+    * Scale: one score-keyed count aggregation (k-bounded), one reduce. */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      successCol: String): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("w"),
+        col(successCol).cast("boolean").as("s"))
+    val byScore = base.groupBy(col("w"))
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("ki"))
+    val niD = col("ni").cast("double"); val kiD = col("ki").cast("double")
+    val agg = byScore.agg(
+      sum(col("ni")).cast("long").as("n"),
+      count(lit(1)).as("k_groups"),
+      sum(col("ki")).cast("double").as("kk"),
+      sum(kiD * col("w")).as("skw"),
+      sum(niD * col("w")).as("snw"),
+      sum(niD * col("w") * col("w")).as("snw2"))
+    val nD = col("n").cast("double")
+    val pBar = col("kk") / nD
+    val t = col("skw") - pBar * col("snw")
+    val varT = pBar * (lit(1.0) - pBar) *
+      (col("snw2") - col("snw") * col("snw") / nD)
+    agg.select(col("n"), col("k_groups"),
+      t.as("slope_num"),
+      when(varT > 0, t / sqrt(varT)).as("z"),
+      when(varT > 0, t * t / varT).as("chi2_trend"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers over
     * the same items (the inter-annotator metric; raw percent-agreement
     * flatters any skewed label set, kappa subtracts what marginal chance

@@ -217,6 +217,36 @@ class LinearModelSpec extends SparkSpecBase {
       tb.head.getLong(1) == 10L, s"got ${tb.toSeq}")
   }
 
+  test("aucDeLong matches a naive placement-variance reference") {
+    val rnd = new scala.util.Random(13)
+    // coarse integer scores force heavy ties — the half-placement path
+    val rows = Seq.fill(250)((rnd.nextInt(12).toDouble +
+      (if (rnd.nextBoolean()) 2 else 0), rnd.nextInt(2)))
+    val scored = rows.toDF("score", "label")
+    val r = LinearModel.aucDeLong(scored).collect().head
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val (pc, nc) = (pos.size.toDouble, neg.size.toDouble)
+    def v10(x: Double) = (neg.count(_ < x) + 0.5 * neg.count(_ == x)) / nc
+    def v01(y: Double) = (pos.count(_ > y) + 0.5 * pos.count(_ == y)) / pc
+    val aucRef = pos.map(v10).sum / pc
+    assert(math.abs(r.getAs[Double]("auc") - aucRef) < 1e-12)
+    val s10 = pos.map(x => math.pow(v10(x) - aucRef, 2)).sum / (pc - 1)
+    val s01 = neg.map(y => math.pow(v01(y) - aucRef, 2)).sum / (nc - 1)
+    val seRef = math.sqrt(s10 / pc + s01 / nc)
+    assert(math.abs(r.getAs[Double]("se") - seRef) < 1e-12,
+      s"se ${r.getAs[Double]("se")} vs $seRef")
+    val zc = 1.959963984540054
+    assert(math.abs(r.getAs[Double]("ci_lo") -
+      math.max(0.0, aucRef - zc * seRef)) < 1e-12)
+    // agreement with the rank-based AUC on the same data
+    val plain = LinearModel.aucRoc(scored).collect().head.getAs[Double]("auc")
+    assert(math.abs(plain - aucRef) < 1e-12)
+    // single-class edge
+    val oneClass = Seq((0.5, 1), (0.7, 1)).toDF("score", "label")
+    assert(LinearModel.aucDeLong(oneClass).collect().head.isNullAt(2))
+  }
+
   test("conformalInterval: exact on noiseless data; matches a naive replica") {
     // perfectly linear: zero residuals everywhere -> q_hat 0, coverage 1
     val lin = (1 to 300).map(i => (i.toLong, i.toDouble, 3.0 + 2.0 * i))

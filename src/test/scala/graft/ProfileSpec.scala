@@ -672,6 +672,33 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(got.getAs[Double]("z") - (c - d) / math.sqrt(varS)) < 1e-10)
   }
 
+  test("cochranArmitage: monotone trend detected, formula hand-checked") {
+    def grp(w: Double, k: Int, n: Int) =
+      (Seq.fill(k)((w, true)) ++ Seq.fill(n - k)((w, false)))
+    val rising = (grp(0.0, 1, 10) ++ grp(1.0, 5, 10) ++ grp(2.0, 9, 10))
+      .toDF("w", "s")
+    val r = graft.profile.Association.cochranArmitage(rising, "w", "s")
+      .collect().head
+    // hand formula: T = sum k_i w_i - pbar sum n_i w_i
+    val pbar = 15.0 / 30
+    val tRef = (1 * 0.0 + 5 * 1.0 + 9 * 2.0) - pbar * (10 * 0.0 + 10 * 1.0 + 10 * 2.0)
+    val varRef = pbar * (1 - pbar) *
+      ((10 * 0.0 + 10 * 1.0 + 10 * 4.0) - math.pow(10 * 0.0 + 10 * 1.0 + 10 * 2.0, 2) / 30)
+    assert(math.abs(r.getAs[Double]("slope_num") - tRef) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - tRef / math.sqrt(varRef)) < 1e-12)
+    assert(r.getAs[Double]("z") > 3, "a 10%->50%->90% ramp is a strong trend")
+    // flat rates: |z| small; constant outcome: NULL
+    val flat = (grp(0.0, 5, 10) ++ grp(1.0, 5, 10) ++ grp(2.0, 5, 10))
+      .toDF("w", "s")
+    val rf = graft.profile.Association.cochranArmitage(flat, "w", "s")
+      .collect().head
+    assert(math.abs(rf.getAs[Double]("z")) < 1e-9)
+    val const = (grp(0.0, 10, 10) ++ grp(1.0, 10, 10)).toDF("w", "s")
+    val rc = graft.profile.Association.cochranArmitage(const, "w", "s")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("z")))
+  }
+
   test("fisherExact matches the textbook hypergeometric tails") {
     // the scipy-docs table [[1,9],[11,3]]: two-sided 0.00275946,
     // greater 0.99996635, less 0.00137973

@@ -302,6 +302,36 @@ class ScaleOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("countMin: one-sided guarantee, exactness when wide, collisions when narrow") {
+    import org.apache.spark.sql.functions._
+    val data = (1 to 60).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("key")
+    val exact = data.groupBy(col("key")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = exact.keys.toSeq.toDF("key")
+    // wide sketch: 60 keys in 4x2048 buckets — everything exact
+    val wide = ScaleOps.countMinEstimates(
+      ScaleOps.countMinCells(data, "key", depth = 4, width = 2048),
+      keys, "key", depth = 4, width = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact, "wide sketch must be collision-free here")
+    // narrow sketch: overestimates allowed, undercounts NEVER
+    val narrow = ScaleOps.countMinEstimates(
+      ScaleOps.countMinCells(data, "key", depth = 4, width = 8),
+      keys, "key", depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(narrow(k) >= c, s"CMS undercounted $k: ${narrow(k)} < $c")
+    }
+    assert(narrow.exists { case (k, c) => c > exact(k) },
+      "8 buckets over 60 keys must collide somewhere")
+    // a key never inserted still answers (collision mass only)
+    val ghost = ScaleOps.countMinEstimates(
+      ScaleOps.countMinCells(data, "key", depth = 4, width = 8),
+      Seq("never-seen").toDF("key"), "key", depth = 4, width = 8)
+      .collect().head.getLong(1)
+    assert(ghost >= 0)
+  }
+
   test("kmvDistinct: exact below k, accurate above k, duplicate-invariant") {
     // below k the minima set IS the distinct set
     val small = (1 to 10).map(i => s"key$i").toDF("id")
