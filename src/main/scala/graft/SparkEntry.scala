@@ -2753,6 +2753,66 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- Wilcoxon signed-rank: per-user H1 vs H2 activity (Drift) ---------
+    // the PAIRED shift test (q229's MW assumes independent samples);
+    // zero-difference users drop, ties get average ranks
+    "q294_wilcoxon" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val split = lit("2024-01-16").cast("date")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        sum(when(to_date(col("ts")) < split, 1L).otherwise(0L))
+          .cast("double").as("x"),
+        sum(when(to_date(col("ts")) >= split, 1L).otherwise(0L))
+          .cast("double").as("y"))
+      Drift.wilcoxonSignedRank(perUser, "x", "y")
+        .select(col("n_pairs"), col("n_nonzero"),
+          col("w_plus"), col("w_minus"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+    }),
+
+    // ---- Friedman test: event-type preference across users (Association) --
+    // k=5 related treatments (event types) blocked by user; within-user
+    // ranks cancel per-user activity scale
+    "q295_friedman" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.profile.Association.friedmanTest(ev, "user_id", "event_type", "cnt")
+        .select(col("n_blocks"), col("k"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"), col("dof"))
+    }),
+
+    // ---- partial correlation: price vs line count given quantity ----------
+    // does order value track line count once total quantity is held fixed?
+    "q296_partial_corr" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).cast("double").as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"))
+      val ord = read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val base = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      graft.profile.Association.partialCorrelation(
+          base, "o_totalprice", "n_lines", "sum_qty")
+        .select(col("n"),
+          (round(col("r_xy"), 6) + lit(0.0)).as("r_xy"),
+          (round(col("r_xz"), 6) + lit(0.0)).as("r_xz"),
+          (round(col("r_yz"), 6) + lit(0.0)).as("r_yz"),
+          (round(col("r_xy_given_z"), 6) + lit(0.0)).as("r_xy_given_z"))
+    }),
+
+    // ---- ICC(1): doc-length clustering within sources (Drift) -------------
+    // the design-effect number: how clone-like are same-source docs
+    "q297_icc" -> ((s, dir) => {
+      Drift.icc1(read(s, dir, "documents"), "source", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("k0"), 6) + lit(0.0)).as("k0"),
+          (round(col("ms_between"), 4) + lit(0.0)).as("ms_between"),
+          (round(col("ms_within"), 4) + lit(0.0)).as("ms_within"),
+          (round(col("icc1"), 6) + lit(0.0)).as("icc1"))
+    }),
+
     // ---- corpus-level MAP / MRR / mean-NDCG over the same eval ------------
     // trec_eval convention: queries with no relevant documents are NULL
     // per-query and excluded from the means (avg ignores NULLs on both
@@ -7609,6 +7669,104 @@ object SparkEntry {
            round(z1, 6) + 0.0 AS z_skew, round(z2, 6) + 0.0 AS z_kurt,
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
+         FROM f""",
+    // same distinct-|d| average-rank cumsum and tie-corrected variance
+    "q294_wilcoxon" ->
+      """WITH pu AS (SELECT user_id,
+                  sum(CASE WHEN ts::DATE < DATE '2024-01-16'
+                    THEN 1 ELSE 0 END)::DOUBLE x,
+                  sum(CASE WHEN ts::DATE >= DATE '2024-01-16'
+                    THEN 1 ELSE 0 END)::DOUBLE y
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1),
+         dd AS (SELECT x - y d FROM pu),
+         nz AS (SELECT abs(d) v, d FROM dd WHERE d <> 0),
+         byv AS (SELECT v, count(*)::BIGINT cnt,
+                  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT pos
+                FROM nz GROUP BY 1),
+         c AS (SELECT v, cnt, pos,
+                 coalesce(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bef
+               FROM byv),
+         t AS (SELECT sum(pos * (bef + (cnt + 1) / 2.0)) wp,
+                 sum(cnt::DOUBLE * cnt * cnt - cnt) tmass,
+                 sum(cnt)::BIGINT n
+               FROM c),
+         np AS (SELECT count(*)::BIGINT npairs FROM pu)
+         SELECT npairs AS n_pairs, n AS n_nonzero, wp AS w_plus,
+           n::DOUBLE * (n + 1) / 2 - wp AS w_minus,
+           round((wp - n::DOUBLE * (n + 1) / 4)
+             / sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24 - tmass / 48), 6)
+             + 0.0 AS z
+         FROM t, np""",
+    // within-block average ranks via RANGE-frame peer counts; the
+    // tie-general chi2 with A - C in the denominator
+    "q295_friedman" ->
+      """WITH cell AS (SELECT user_id b, event_type t, count(*)::DOUBLE v
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+         kt AS (SELECT count(DISTINCT t) kk FROM cell),
+         comp AS (SELECT b FROM cell GROUP BY b
+                HAVING count(*) = (SELECT kk FROM kt)),
+         cells AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+         rk AS (SELECT b, t,
+                 (2 * (count(*) OVER (PARTITION BY b ORDER BY v
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - count(*) OVER (PARTITION BY b, v))
+                  + count(*) OVER (PARTITION BY b, v) + 1) / 2.0 r
+               FROM cells),
+         rs AS (SELECT t, sum(r) rj, sum(r * r) r2 FROM rk GROUP BY 1),
+         f AS (SELECT count(*)::BIGINT kk, sum(rj * rj) rj2, sum(r2) a2
+               FROM rs),
+         nb AS (SELECT count(*)::BIGINT nbl FROM comp)
+         SELECT nbl AS n_blocks, kk::INT AS k,
+           CASE WHEN a2 - nbl::DOUBLE * kk * (kk + 1) * (kk + 1) / 4 > 0 THEN
+             round((kk - 1) * (rj2 - nbl::DOUBLE * nbl * kk * (kk + 1)
+                 * (kk + 1) / 4)
+               / (a2 - nbl::DOUBLE * kk * (kk + 1) * (kk + 1) / 4), 6) + 0.0
+           END AS chi2,
+           (kk - 1)::INT AS dof
+         FROM f, nb""",
+    // three Pearson marginals from one pass -> the first-order identity
+    "q296_partial_corr" ->
+      """WITH li AS (SELECT l_orderkey, count(*)::DOUBLE nl,
+                  sum(l_quantity) sq
+                FROM lineitem GROUP BY 1),
+         b AS (SELECT o_totalprice x, nl y, sq z
+               FROM orders JOIN li ON o_orderkey = l_orderkey
+               WHERE o_totalprice IS NOT NULL),
+         c AS (SELECT count(*)::BIGINT n, corr(x, y) rxy, corr(x, z) rxz,
+                 corr(y, z) ryz
+               FROM b)
+         SELECT n, round(rxy, 6) + 0.0 AS r_xy, round(rxz, 6) + 0.0 AS r_xz,
+           round(ryz, 6) + 0.0 AS r_yz,
+           CASE WHEN rxy IS NOT NULL AND rxz IS NOT NULL AND ryz IS NOT NULL
+               AND (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+             round((rxy - rxz * ryz)
+               / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) + 0.0
+           END AS r_xy_given_z
+         FROM c""",
+    // the anova moment pass + sum ni^2 for the unbalanced k0
+    "q297_icc" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT ng,
+                  sum(n_chars::DOUBLE) s, sum(n_chars::DOUBLE * n_chars) q
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(ng)::BIGINT n, count(*)::BIGINT k,
+                 sum(s * s / ng) sg, sum(s) st, sum(q) qt,
+                 sum(ng::DOUBLE * ng) n2
+               FROM g),
+         f AS (SELECT n, k, (sg - st * st / n) / (k - 1) msb,
+                 (qt - sg) / (n - k) msw,
+                 (n - n2 / n) / (k - 1) k0
+               FROM t)
+         SELECT n, k, round(k0, 6) + 0.0 AS k0,
+           round(msb, 4) + 0.0 AS ms_between,
+           round(msw, 4) + 0.0 AS ms_within,
+           CASE WHEN msb + (k0 - 1) * msw > 0 THEN
+             round((msb - msw) / (msb + (k0 - 1) * msw), 6) + 0.0
+           END AS icc1
          FROM f""",
     // identical md5 bucket hashing, cells, and min-over-rows probe
     "q291_count_min" ->

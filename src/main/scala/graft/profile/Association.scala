@@ -526,6 +526,104 @@ object Association {
       when(varT > 0, t * t / varT).as("chi2_trend"))
   }
 
+  /** Friedman test — k related treatments measured on the SAME blocks
+    * (the repeated-measures Kruskal–Wallis: per-user metrics across k
+    * event types, per-doc scores from k scorers): values rank WITHIN
+    * each block, so between-block scale differences cancel, and the
+    * tie-general statistic χ² = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (A − C) with
+    * A = Σ r², C = nk(k+1)²/4 tests whether any treatment
+    * systematically outranks the others. Blocks must be COMPLETE (one
+    * value per treatment); incomplete blocks drop with their whole
+    * block. One row: `(n_blocks, k, chi2, dof)`; NULL χ² when every
+    * block ranks identically tie-flat (A = C).
+    *
+    * Scale: ranks come from windows PARTITIONED BY block (k-bounded
+    * partitions), treatment rank sums from one k-bounded aggregation —
+    * no global window, no driver loop. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .select(col(blockCol).as("b"), col(treatmentCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("b").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    val k = base.select(col("t")).distinct().count().toInt
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (k < 2) {
+      return spark.range(1).select(lit(0L).as("n_blocks"),
+        lit(k).as("k"), dNull.as("chi2"), lit(k - 1).as("dof"))
+    }
+    // complete blocks only: exactly one value per (block, treatment)
+    val perCell = base.groupBy(col("b"), col("t")).agg(avg(col("v")).as("v"))
+    val complete = perCell.groupBy(col("b")).agg(count(lit(1)).as("__kc"))
+      .filter(col("__kc") === k).select(col("b"))
+    val cells = perCell.join(complete, Seq("b"))
+    // average ranks within each block (window partitioned by block)
+    import org.apache.spark.sql.expressions.Window
+    val wLess = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("b"), col("v"))
+    val ranked = cells
+      .withColumn("__less", coalesce(count(lit(1)).over(wLess), lit(0L)))
+      .withColumn("__eq", count(lit(1)).over(
+        wEq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // __less counts rows strictly before in (v) order INCLUDING equal
+    // values that sort earlier — correct average rank needs count(< v),
+    // so recompute: less = rows before minus equals before. Simpler and
+    // exact: rank = (2·#(<v) + #(=v) + 1)/2 with #(<v) from a window
+    // over distinct-ordered rows — derive from __less and __eq via the
+    // first row of each tie run: min(__less) over the (b, v) frame.
+    val rankCol = (min(col("__less")).over(wEq) * 2 + col("__eq") + 1) / lit(2.0)
+    val rsums = ranked.withColumn("__r", rankCol)
+      .groupBy(col("t"))
+      .agg(sum(col("__r")).as("rj"), sum(col("__r") * col("__r")).as("r2j"))
+    val agg = rsums.agg(
+      count(lit(1)).as("kk"),
+      sum(col("rj")).as("rsum"),
+      sum(col("rj") * col("rj")).as("rj2"),
+      sum(col("r2j")).as("a2")).head()
+    val nBlocks = cells.count() / k
+    if (nBlocks == 0) {
+      return spark.range(1).select(lit(0L).as("n_blocks"),
+        lit(k).as("k"), dNull.as("chi2"), lit(k - 1).as("dof"))
+    }
+    val nD = nBlocks.toDouble; val kD = k.toDouble
+    val cC = nD * kD * (kD + 1) * (kD + 1) / 4
+    val a2 = agg.getDouble(3)
+    val rj2 = agg.getDouble(2)
+    val num = (kD - 1) * (rj2 - nD * nD * kD * (kD + 1) * (kD + 1) / 4)
+    val chi2: Option[Double] =
+      if (a2 - cC > 0) Some(num / (a2 - cC)) else None
+    spark.range(1).select(lit(nBlocks).as("n_blocks"), lit(k).as("k"),
+      chi2.map(v => lit(v).cast("double")).getOrElse(dNull).as("chi2"),
+      lit(k - 1).as("dof"))
+  }
+
+  /** Partial correlation r(x,y | z) — does the x–y relationship SURVIVE
+    * holding the confounder fixed ("long docs score higher... or do
+    * both just track the source"): the first-order formula
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over the three
+    * pairwise Pearson correlations, computed from ONE complete-case
+    * co-moment pass. One row: `(n, r_xy, r_xz, r_yz, r_xy_given_z)`;
+    * NULL when any marginal correlation is undefined or |r·z| = 1. */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"), col(zCol).cast("double").as("z"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n"),
+      corr(col("x"), col("y")).as("r_xy"),
+      corr(col("x"), col("z")).as("r_xz"),
+      corr(col("y"), col("z")).as("r_yz"))
+    val denom = sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz")))
+    agg.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+      when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+        col("r_yz").isNotNull && denom > 0,
+        (col("r_xy") - col("r_xz") * col("r_yz")) / denom)
+        .as("r_xy_given_z"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers over
     * the same items (the inter-annotator metric; raw percent-agreement
     * flatters any skewed label set, kappa subtracts what marginal chance

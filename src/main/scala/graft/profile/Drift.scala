@@ -737,6 +737,59 @@ object Drift {
       f.map(lit(_).cast("double")).getOrElse(dNull).as("f"))
   }
 
+  /** Intraclass correlation ICC(1) — how much of a metric's variance is
+    * BETWEEN groups ("are docs from the same source basically clones of
+    * each other?"): the one-way random-effects estimate
+    * (MS_between − MS_within) / (MS_between + (k₀−1)·MS_within) with
+    * k₀ the unbalanced-design average group size
+    * (n − Σnᵢ²/n)/(k−1). ICC near 1 means sampling whole groups buys
+    * almost no diversity — the design-effect number behind cluster
+    * sampling and dedup-aware mixture design. One row:
+    * `(n, k, k0, ms_between, ms_within, icc1)`; NULL when fewer than 2
+    * groups or zero within-variance.
+    *
+    * Scale: the [[anovaF]] single moment pass plus Σnᵢ² from the same
+    * group-bounded table. */
+  def icc1(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val byG = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val row = byG.agg(
+      sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("s") * col("s") / col("ng")).as("_sg"),
+      sum(col("s")).as("_st"), sum(col("q")).as("_qt"),
+      sum(col("ng").cast("double") * col("ng")).as("_n2"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (row.isNullAt(0) || row.getLong(0) == 0) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("k"),
+        dNull.as("k0"), dNull.as("ms_between"), dNull.as("ms_within"),
+        dNull.as("icc1"))
+    }
+    val n = row.getLong(0); val k = row.getLong(1)
+    val sg = row.getDouble(2); val st = row.getDouble(3)
+    val qt = row.getDouble(4); val n2 = row.getDouble(5)
+    if (k < 2 || n <= k) {
+      return spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+        dNull.as("k0"), dNull.as("ms_between"), dNull.as("ms_within"),
+        dNull.as("icc1"))
+    }
+    val msb = (sg - st * st / n) / (k - 1)
+    val msw = (qt - sg) / (n - k)
+    val k0 = (n - n2 / n) / (k - 1)
+    val icc: Option[Double] =
+      if (msb + (k0 - 1) * msw > 0) Some((msb - msw) / (msb + (k0 - 1) * msw))
+      else None
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(k0).as("k0"), lit(msb).as("ms_between"), lit(msw).as("ms_within"),
+      icc.map(lit(_).cast("double")).getOrElse(dNull).as("icc1"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test — the assumption check that
     * gates [[anovaF]] (F compares means ASSUMING equal spread; a slice
     * with 10× the variance silently breaks it) and a drift signal in its
@@ -971,6 +1024,65 @@ object Drift {
       lit(et).as("t_expected"),
       z.map(v => lit(v).cast("double")).getOrElse(lit(null).cast("double"))
         .as("z"))
+  }
+
+  /** Wilcoxon signed-rank test — the PAIRED companion of
+    * [[mannWhitneyU]]: before/after metrics on the SAME key (doc length
+    * before/after cleaning, per-user spend H1 vs H2) violate the
+    * independent-samples assumption; the signed-rank statistic tests the
+    * median of the paired differences instead. Zero differences drop
+    * (the standard Wilcoxon convention), |d| gets average ranks over
+    * ties, W⁺ = Σ ranks of positive differences, and z uses the
+    * tie-corrected normal approximation
+    * (σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48). One row:
+    * `(n_pairs, n_nonzero, w_plus, w_minus, z)`; NULL z when every
+    * difference is 0 or the variance vanishes.
+    *
+    * Scale: one scan to the per-DISTINCT-|d| count table (with its
+    * positive-side split), the shared deterministic-bucket cumsum for
+    * rank offsets, one reduce — the [[mannWhitneyU]] plan on |d|. */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val pairs = df
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val nPairs = pairs.count()
+    val byAbs = pairs
+      .select((col("x") - col("y")).as("d"))
+      .filter(col("d") =!= 0.0)
+      .groupBy(abs(col("d")).as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byAbs, col("v"), Seq("cnt"), Seq("_before"))
+    val n = grand.head
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (n == 0) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(1).select(
+        lit(nPairs).as("n_pairs"), lit(0L).as("n_nonzero"),
+        dNull.as("w_plus"), dNull.as("w_minus"), dNull.as("z"))
+    }
+    val avgRank = col("_before") + (col("cnt") + 1) / lit(2.0)
+    val cntD = col("cnt").cast("double")
+    val agg = cum.agg(
+      sum(col("pos") * avgRank).as("_wp"),
+      sum(cntD * cntD * cntD - cntD).as("_ties"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val wp = agg.getDouble(0)
+    val ties = agg.getDouble(1)
+    val nD = n.toDouble
+    val wm = nD * (nD + 1) / 2 - wp
+    val mu = nD * (nD + 1) / 4
+    val sigma2 = nD * (nD + 1) * (2 * nD + 1) / 24 - ties / 48
+    val z: Option[Double] =
+      if (sigma2 > 0) Some((wp - mu) / math.sqrt(sigma2)) else None
+    spark.range(1).select(
+      lit(nPairs).as("n_pairs"), lit(n).as("n_nonzero"),
+      lit(wp).as("w_plus"), lit(wm).as("w_minus"),
+      z.map(v => lit(v).cast("double")).getOrElse(dNull).as("z"))
   }
 
   /** Proportion effect-size panel — what [[proportionZTest]]'s z does NOT

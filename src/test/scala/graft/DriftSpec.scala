@@ -593,6 +593,52 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(got - ref) < 1e-9, s"w1 $got vs sorted-pair ref $ref")
   }
 
+  test("wilcoxonSignedRank: textbook ranks, tie correction, zero-drop") {
+    // diffs 1.5, -0.5, 2, 3, -1 -> |d| ranks .5:1, 1:2, 1.5:3, 2:4, 3:5
+    // W+ = 3+4+5 = 12, W- = 3, mu = 7.5, var = 13.75
+    val d = Seq((1.5, 0.0), (0.0, 0.5), (2.0, 0.0), (3.0, 0.0), (0.0, 1.0),
+      (4.0, 4.0)) // the zero pair drops
+      .toDF("x", "y")
+    val r = Drift.wilcoxonSignedRank(d, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L && r.getAs[Long]("n_nonzero") == 5L)
+    assert(r.getAs[Double]("w_plus") == 12.0 && r.getAs[Double]("w_minus") == 3.0)
+    assert(math.abs(r.getAs[Double]("z") - 4.5 / math.sqrt(13.75)) < 1e-12)
+    // naive reference with heavy integer ties
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(120)((rnd.nextInt(8).toDouble, rnd.nextInt(8).toDouble))
+    val got = Drift.wilcoxonSignedRank(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    val ds = rows.map(p => p._1 - p._2).filter(_ != 0)
+    val absSorted = ds.map(math.abs).sorted
+    def rank(a: Double) =
+      (absSorted.count(_ < a) * 2 + absSorted.count(_ == a) + 1) / 2.0
+    val wpRef = ds.filter(_ > 0).map(x => rank(math.abs(x))).sum
+    assert(math.abs(got.getAs[Double]("w_plus") - wpRef) < 1e-9)
+    val n = ds.size.toDouble
+    val ties = absSorted.groupBy(identity).values
+      .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+    val zRef = (wpRef - n * (n + 1) / 4) /
+      math.sqrt(n * (n + 1) * (2 * n + 1) / 24 - ties / 48)
+    assert(math.abs(got.getAs[Double]("z") - zRef) < 1e-9)
+  }
+
+  test("icc1: clone groups give 1, hand-checked balanced case") {
+    val clones = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0),
+      ("c", 2.0), ("c", 2.0)).toDF("g", "v")
+    val r = Drift.icc1(clones, "g", "v").collect().head
+    assert(r.getAs[Double]("ms_within") == 0.0)
+    assert(math.abs(r.getAs[Double]("icc1") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("k0") - 2.0) < 1e-12)
+    // balanced two-group case vs hand algebra
+    val two = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
+    val r2 = Drift.icc1(two, "g", "v").collect().head
+    // group means 2 and 7, grand 4.5: ssb = 2*(2-4.5)^2 + 2*(7-4.5)^2 = 25
+    // ssw = (1-2)^2+(3-2)^2+(5-7)^2+(9-7)^2 = 10; msb = 25, msw = 5
+    assert(math.abs(r2.getAs[Double]("ms_between") - 25.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("ms_within") - 5.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("icc1") - (25.0 - 5) / (25 + 5)) < 1e-9)
+  }
+
   test("cramerVonMises matches a naive per-observation reference") {
     val rnd = new scala.util.Random(17)
     val xs = Seq.fill(70)(rnd.nextInt(15).toDouble)

@@ -672,6 +672,55 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(got.getAs[Double]("z") - (c - d) / math.sqrt(varS)) < 1e-10)
   }
 
+  test("friedmanTest: clear treatment ordering detected; incomplete blocks drop") {
+    // 4 blocks, 3 treatments, treatment c always ranks 3, b 2, a 1:
+    // Rj = (4, 8, 12); no ties -> classic chi2 = 12/(4*3*4)*(16+64+144) - 3*4*4 = 8
+    val rows = for (blk <- 1 to 4; (t, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+      yield (s"u$blk", t, v + blk * 10) // block offsets cancel in ranks
+    val r = graft.profile.Association.friedmanTest(
+      rows.toDF("b", "t", "v"), "b", "t", "v").collect().head
+    assert(r.getAs[Long]("n_blocks") == 4L && r.getAs[Int]("k") == 3)
+    assert(math.abs(r.getAs[Double]("chi2") - 8.0) < 1e-9,
+      s"chi2 ${r.getAs[Double]("chi2")}")
+    assert(r.getAs[Int]("dof") == 2)
+    // an incomplete block (missing treatment) must drop whole
+    val withPartial = rows ++ Seq(("u5", "a", 1.0), ("u5", "b", 2.0))
+    val r2 = graft.profile.Association.friedmanTest(
+      withPartial.toDF("b", "t", "v"), "b", "t", "v").collect().head
+    assert(r2.getAs[Long]("n_blocks") == 4L)
+    assert(math.abs(r2.getAs[Double]("chi2") - 8.0) < 1e-9)
+    // all-tied blocks: A = C -> NULL chi2
+    val flat = for (blk <- 1 to 3; t <- Seq("a", "b", "c"))
+      yield (s"u$blk", t, 1.0)
+    val r3 = graft.profile.Association.friedmanTest(
+      flat.toDF("b", "t", "v"), "b", "t", "v").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("chi2")))
+  }
+
+  test("partialCorrelation: confounder-driven association vanishes") {
+    val rnd = new scala.util.Random(3)
+    // x and y depend on z only — partial correlation ~ 0, marginal strong
+    val rows = Seq.fill(500) {
+      val z = rnd.nextInt(50).toDouble
+      (z + rnd.nextInt(7), z + rnd.nextInt(7), z)
+    }
+    val r = graft.profile.Association.partialCorrelation(
+      rows.toDF("x", "y", "z"), "x", "y", "z").collect().head
+    assert(r.getAs[Double]("r_xy") > 0.8, "marginal must be strong")
+    assert(math.abs(r.getAs[Double]("r_xy_given_z")) < 0.15,
+      s"partial ${r.getAs[Double]("r_xy_given_z")} should be near 0")
+    // formula cross-check from the marginals it reports
+    val (rxy, rxz, ryz) = (r.getAs[Double]("r_xy"), r.getAs[Double]("r_xz"),
+      r.getAs[Double]("r_yz"))
+    val ref = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(r.getAs[Double]("r_xy_given_z") - ref) < 1e-12)
+    // degenerate: y == z -> |r_yz| = 1 -> NULL
+    val degen = rows.map { case (x, _, z) => (x, z, z) }
+    val r2 = graft.profile.Association.partialCorrelation(
+      degen.toDF("x", "y", "z"), "x", "y", "z").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("r_xy_given_z")))
+  }
+
   test("cochranArmitage: monotone trend detected, formula hand-checked") {
     def grp(w: Double, k: Int, n: Int) =
       (Seq.fill(k)((w, true)) ++ Seq.fill(n - k)((w, false)))
