@@ -2753,6 +2753,21 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- Kneser-Ney bigram LM perplexity by language (CorpusStats) --------
+    // train on even docs, score odd docs: the perplexity-filtering signal;
+    // every probability is a ratio of exact counts, replayed bit-identically
+    "q298_kn_bigram" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("lang").isNotNull)
+      CorpusStats.knBigramPerplexity(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .select(col("lang"), col("n_docs"), col("n_bigrams"),
+          (round(col("avg_nll"), 6) + lit(0.0)).as("avg_nll"),
+          (round(col("ppl"), 4) + lit(0.0)).as("ppl"))
+        .gateOrdered(col("lang"))
+    }),
+
     // ---- Wilcoxon signed-rank: per-user H1 vs H2 activity (Drift) ---------
     // the PAIRED shift test (q229's MW assumes independent samples);
     // zero-difference users drop, ties get average ranks
@@ -7670,6 +7685,39 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // identical bigram extraction (toks[i], toks[i+1]), count tables,
+    // interpolated-KN formula with the same discount and floor
+    "q298_kn_bigram" ->
+      """WITH dd AS (SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> len(x) > 0) toks
+                FROM documents WHERE lang IS NOT NULL),
+         tb AS (SELECT toks[i] v, toks[i+1] w
+                FROM dd, unnest(range(1, len(toks))) r(i)
+                WHERE doc_id % 2 = 0),
+         bc AS (SELECT v, w, count(*)::BIGINT cvw FROM tb GROUP BY 1, 2),
+         ctx AS (SELECT v, sum(cvw)::BIGINT cv, count(*)::BIGINT n1v
+                FROM bc GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT tbn FROM bc),
+         cont AS (SELECT w, count(*)::DOUBLE / (SELECT tbn FROM tot) pc
+                FROM bc GROUP BY 1),
+         te AS (SELECT doc_id, lang, toks[i] v, toks[i+1] w
+                FROM dd, unnest(range(1, len(toks))) r(i)
+                WHERE doc_id % 2 = 1),
+         j AS (SELECT te.doc_id, te.lang,
+                 greatest(CASE WHEN ctx.cv IS NOT NULL AND ctx.cv > 0 THEN
+                     (greatest(coalesce(bc.cvw, 0)::DOUBLE - 0.75, 0)
+                      + 0.75 * ctx.n1v * coalesce(cont.pc, 0)) / ctx.cv
+                   ELSE coalesce(cont.pc, 0) END, 1e-10) p
+               FROM te
+               LEFT JOIN bc ON te.v = bc.v AND te.w = bc.w
+               LEFT JOIN ctx ON te.v = ctx.v
+               LEFT JOIN cont ON te.w = cont.w)
+         SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(p)), 6) + 0.0 AS avg_nll,
+           round(exp(avg(-ln(p))), 4) + 0.0 AS ppl
+         FROM j GROUP BY 1 ORDER BY 1""",
     // same distinct-|d| average-rank cumsum and tie-corrected variance
     "q294_wilcoxon" ->
       """WITH pu AS (SELECT user_id,

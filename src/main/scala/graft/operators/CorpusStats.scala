@@ -1026,4 +1026,70 @@ object CorpusStats {
     }
     fitted.toDF("i", "n_prefix", "v_types", "beta", "log_k", "r2")
   }
+
+  /** Word bigrams of a text column as `(v, w)` rows — in-plan (zip of
+    * the token array against its own tail), no positional self-join. */
+  private def bigramRows(df: DataFrame, textCol: String,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val len = greatest(size(toks) - 1, lit(0))
+    val exploded = df.select(keep :+ explode(arrays_zip(
+      slice(toks, lit(1), len).as("v"),
+      slice(toks, lit(2), len).as("w"))).as("bg"): _*)
+    val keepOut = exploded.columns.dropRight(1).map(col).toSeq
+    exploded.select(keepOut :+ col("bg.v") :+ col("bg.w"): _*)
+  }
+
+  /** Interpolated Kneser–Ney bigram language model: train on one corpus
+    * slice, report per-group perplexity of another — THE classic
+    * data-quality signal (perplexity filtering: a slice whose text
+    * surprises a clean-reference LM is boilerplate, another language,
+    * or garbage). Absolute discount δ with continuation-count backoff:
+    * P(w|v) = (max(c(vw)−δ, 0) + δ·N₁₊(v·)·P_cont(w)) / c(v) when the
+    * context is known, else P_cont(w) = N₁₊(·w)/|distinct bigrams| (the
+    * "how many contexts does w complete" distribution — the KN insight
+    * that makes 'francisco' rare outside 'san'); unseen words floor at
+    * `floorProb` so the NLL stays finite. Per-group output:
+    * `(group, n_docs, n_bigrams, avg_nll, ppl)` with ppl = exp(avg NLL)
+    * — docs shorter than 2 tokens contribute nothing.
+    *
+    * Scale: one tokenize scan per side (bigrams zip in-plan — no
+    * positional self-join); model tables are vocabulary-bounded
+    * ((v,w) counts, v-contexts, w-continuations) and the three test-side
+    * joins are equi-joins on those keys; AQE exchange reuse computes the
+    * bigram-count shuffle once for its three derivations. Every
+    * probability is a ratio of exact counts, so the score replays
+    * bit-identically on any engine. */
+  def knBigramPerplexity(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, groupCol: String,
+      discount: Double = 0.75, floorProb: Double = 1e-10): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    require(floorProb > 0, s"floorProb must be positive: $floorProb")
+    val bc = bigramRows(train, textCol, Seq.empty)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val ctx = bc.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val tot = bc.agg(count(lit(1)).as("totB"))
+    val cont = bc.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"), (col("n1w").cast("double") / col("totB")).as("pc"))
+    val te = bigramRows(test, textCol,
+      Seq(col(idCol).as("__id"), col(groupCol).as("__g")))
+    val d = lit(discount)
+    val pcF = coalesce(col("pc"), lit(0.0))
+    val p = when(col("cv").isNotNull && col("cv") > 0,
+        (greatest(coalesce(col("cvw"), lit(0L)).cast("double") - d, lit(0.0)) +
+          d * col("n1v") * pcF) / col("cv"))
+      .otherwise(pcF)
+    te.join(bc, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .select(col("__id"), col("__g"),
+        (-log(greatest(p, lit(floorProb)))).as("__nll"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count_distinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll"),
+        exp(avg(col("__nll"))).as("ppl"))
+  }
 }

@@ -698,6 +698,35 @@ class SearchSpec extends SparkSpecBase {
       "doc_id", "text").count() == 0L)
   }
 
+  test("knBigramPerplexity: hand-computed KN probabilities and normalization") {
+    // train "a b a c": bigrams ab, ba, ac; c(a)=2 N1(a.)=2, c(b)=1 N1(b.)=1
+    // |distinct bigrams|=3; Pcont: a,b,c each 1/3
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    def score(text: String) = CorpusStats.knBigramPerplexity(
+      train, Seq((9L, text, "g")).toDF("doc_id", "text", "grp"),
+      "doc_id", "text", "grp").collect().head
+    // P(b|a) = (max(1-.75,0) + .75*2*(1/3)) / 2 = 0.375
+    val r1 = score("a b")
+    assert(math.abs(r1.getAs[Double]("avg_nll") - (-math.log(0.375))) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("ppl") - 1.0 / 0.375) < 1e-9)
+    // unseen context x: backoff to Pcont(a) = 1/3
+    val r2 = score("x a")
+    assert(math.abs(r2.getAs[Double]("avg_nll") - (-math.log(1.0 / 3))) < 1e-12)
+    // known context, unseen word: discount mass * Pcont(x)=0 -> floor
+    val r3 = score("a x")
+    assert(math.abs(r3.getAs[Double]("avg_nll") - (-math.log(1e-10))) < 1e-9)
+    // KN normalization: sum over the vocab of P(w|a) = 1
+    val pSum = Seq("a a", "a b", "a c").map(t =>
+      math.exp(-score(t).getAs[Double]("avg_nll"))).sum
+    assert(math.abs(pSum - 1.0) < 1e-12, s"P(.|a) must normalize: $pSum")
+    // n_docs / n_bigrams accounting over a group
+    val multi = Seq((1L, "a b a", "g"), (2L, "c", "g"), (3L, "b a", "g"))
+      .toDF("doc_id", "text", "grp")
+    val rm = CorpusStats.knBigramPerplexity(train, multi,
+      "doc_id", "text", "grp").collect().head
+    assert(rm.getAs[Long]("n_docs") == 2L && rm.getAs[Long]("n_bigrams") == 3L)
+  }
+
   test("rankingMetrics: hand-computed NDCG/AP/RR with graded + unretrieved rels") {
     val results = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4))
       .toDF("q", "doc", "rank")
