@@ -2753,6 +2753,57 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- covariate balance: even vs odd doc cohorts (Drift) ---------------
+    // the pre-analysis randomization check: per-covariate SMD + variance
+    // ratio from one moment pass per cohort
+    "q299_covariate_balance" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("double").as("x_chars"),
+        TextFunctions.tokenCount(col("text")).cast("double").as("x_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text"))))
+          .cast("double").as("x_types"))
+      Drift.covariateBalance(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          Seq("x_chars", "x_tokens", "x_types"))
+        .select(col("covariate"), col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("smd"), 6) + lit(0.0)).as("smd"),
+          (round(col("var_ratio"), 6) + lit(0.0)).as("var_ratio"))
+        .gateOrdered(col("covariate"))
+    }),
+
+    // ---- exact energy distance en vs de doc lengths (Drift) ---------------
+    // Szekely's 1-D identity: 2 * integral of the squared CDF gap — the
+    // wasserstein plan with squared gaps
+    "q300_energy" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.energyDistance(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("e2"), 6) + lit(0.0)).as("e2"),
+          (round(col("e"), 6) + lit(0.0)).as("e"))
+    }),
+
+    // ---- seasonal-naive MASE backtest on daily volume (Drift) -------------
+    // MASE < 1 = weekly structure beats yesterday; zero-filled day spine
+    "q301_mase" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val daily = ev.groupBy(floor(unix_timestamp(col("ts")) / 86400).as("t"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 86400).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("t"))
+      val series = spine.join(daily, Seq("t"), "left").na.fill(0.0, Seq("y"))
+      Drift.maseBacktest(series, "t", "y", season = 7)
+        .select(col("n"), col("n_scored"),
+          (round(col("mae_seasonal"), 6) + lit(0.0)).as("mae_seasonal"),
+          (round(col("mae_naive1"), 6) + lit(0.0)).as("mae_naive1"),
+          (round(col("mase"), 6) + lit(0.0)).as("mase"))
+    }),
+
     // ---- Kneser-Ney bigram LM perplexity by language (CorpusStats) --------
     // train on even docs, score odd docs: the perplexity-filtering signal;
     // every probability is a ratio of exact counts, replayed bit-identically
@@ -7685,6 +7736,76 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // one moment pass per cohort, reshaped to per-covariate rows
+    "q299_covariate_balance" ->
+      """WITH d AS (SELECT doc_id, n_chars::DOUBLE xc,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                    '\s+'), x -> len(x) > 0))::DOUBLE xt,
+                  len(list_distinct(list_filter(regexp_split_to_array(
+                    trim(lower(text)), '\s+'), x -> len(x) > 0)))::DOUBLE xd
+                FROM documents),
+         a AS (SELECT count(*)::BIGINT n, avg(xc) m1, var_samp(xc) v1,
+                 avg(xt) m2, var_samp(xt) v2, avg(xd) m3, var_samp(xd) v3
+               FROM d WHERE doc_id % 2 = 0),
+         b AS (SELECT count(*)::BIGINT n, avg(xc) m1, var_samp(xc) v1,
+                 avg(xt) m2, var_samp(xt) v2, avg(xd) m3, var_samp(xd) v3
+               FROM d WHERE doc_id % 2 = 1),
+         u AS (SELECT 'x_chars' c, a.n na, b.n nb, a.m1 ma, b.m1 mb,
+                 a.v1 va, b.v1 vb FROM a, b
+               UNION ALL SELECT 'x_tokens', a.n, b.n, a.m2, b.m2, a.v2, b.v2
+                 FROM a, b
+               UNION ALL SELECT 'x_types', a.n, b.n, a.m3, b.m3, a.v3, b.v3
+                 FROM a, b)
+         SELECT c AS covariate, na AS n_a, nb AS n_b,
+           round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+           CASE WHEN (va + vb) / 2 > 0 THEN
+             round((ma - mb) / sqrt((va + vb) / 2), 6) + 0.0 END AS smd,
+           CASE WHEN vb > 0 THEN round(va / vb, 6) + 0.0 END AS var_ratio
+         FROM u ORDER BY 1""",
+    // the wasserstein CTE chain with squared gaps, doubled
+    "q300_energy" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(na)::BIGINT tna, sum(nb)::BIGINT tnb FROM j),
+         c AS (SELECT v, sum(na) OVER (ORDER BY v) cna,
+                 sum(nb) OVER (ORDER BY v) cnb,
+                 lead(v) OVER (ORDER BY v) vn
+               FROM j),
+         w AS (SELECT 2 * sum(pow(cna::DOUBLE / tna - cnb::DOUBLE / tnb, 2)
+                 * (vn - v)) e2
+               FROM c, t WHERE vn IS NOT NULL)
+         SELECT tna AS n_a, tnb AS n_b,
+           round(coalesce(e2, 0), 6) + 0.0 AS e2,
+           round(sqrt(greatest(coalesce(e2, 0), 0)), 6) + 0.0 AS e
+         FROM w, t""",
+    // zero-filled day spine; two shifted equi-joins, one reduce
+    "q301_mase" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 86400)::BIGINT d FROM events
+                WHERE ts IS NOT NULL),
+         daily AS (SELECT d, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(d) FROM e),
+                  (SELECT max(d) FROM e) + 1)) d),
+         series AS (SELECT spine.d t, coalesce(daily.y, 0) y
+                FROM spine LEFT JOIN daily ON daily.d = spine.d),
+         sc AS (SELECT s.y, s7.y ys, s1.y y1
+                FROM series s
+                JOIN series s7 ON s.t = s7.t + 7
+                JOIN series s1 ON s.t = s1.t + 1),
+         nn AS (SELECT count(*)::BIGINT n FROM series),
+         t AS (SELECT count(*)::BIGINT ns, avg(abs(y - ys)) ms,
+                 avg(abs(y - y1)) m1
+               FROM sc)
+         SELECT n, ns AS n_scored, round(ms, 6) + 0.0 AS mae_seasonal,
+           round(m1, 6) + 0.0 AS mae_naive1,
+           CASE WHEN m1 > 0 THEN round(ms / m1, 6) + 0.0 END AS mase
+         FROM t, nn""",
     // identical bigram extraction (toks[i], toks[i+1]), count tables,
     // interpolated-KN formula with the same discount and floor
     "q298_kn_bigram" ->

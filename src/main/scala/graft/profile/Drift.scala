@@ -1329,6 +1329,132 @@ object Drift {
       lit(q).as("q_stat"), lit(p).as("p_value"))
   }
 
+  /** Seasonal-naive MASE backtest — is there exploitable weekly (or any
+    * `season`-lag) structure in a metric series, measured the way
+    * forecasters measure it: MASE = MAE(seasonal-naive forecast
+    * ŷ_t = y_{t−season}) / MAE(one-step naive ŷ_t = y_{t−1}). MASE < 1
+    * means last-week beats last-day — real seasonality; ≈ 1 means the
+    * series is structureless at that lag. Same gap-free integer-index
+    * series contract as [[ljungBox]] (densify first). One row:
+    * `(n, n_scored, mae_seasonal, mae_naive1, mase)`; NULL mase when
+    * the one-step MAE is 0 (a constant series forecasts itself).
+    *
+    * Scale: two shifted-index EQUI-joins (t−season, t−1) + one reduce —
+    * no window, no sort. */
+  def maseBacktest(series: DataFrame, timeCol: String, valueCol: String,
+      season: Int = 7): DataFrame = {
+    require(season >= 2, s"season must be >= 2: $season")
+    val s = series
+      .select(col(timeCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val lagS = s.select((col("t") + season).as("t"), col("y").as("ys"))
+    val lag1 = s.select((col("t") + 1).as("t"), col("y").as("y1"))
+    val scored = s.join(lagS, Seq("t")).join(lag1, Seq("t"))
+    val n = s.count()
+    val agg = scored.agg(
+      count(lit(1)).as("ns"),
+      avg(abs(col("y") - col("ys"))).as("ms"),
+      avg(abs(col("y") - col("y1"))).as("m1")).head()
+    val spark = series.sparkSession
+    def dNull = lit(null).cast("double")
+    if (agg.getLong(0) == 0) {
+      return spark.range(1).select(lit(n).as("n"), lit(0L).as("n_scored"),
+        dNull.as("mae_seasonal"), dNull.as("mae_naive1"), dNull.as("mase"))
+    }
+    val ms = agg.getDouble(1); val m1 = agg.getDouble(2)
+    spark.range(1).select(lit(n).as("n"), lit(agg.getLong(0)).as("n_scored"),
+      lit(ms).as("mae_seasonal"), lit(m1).as("mae_naive1"),
+      (if (m1 > 0) lit(ms / m1) else dNull).as("mase"))
+  }
+
+  /** Covariate balance table — the experiment-QA check that runs BEFORE
+    * any effect estimate: per covariate, the standardized mean
+    * difference SMD = (m_a − m_b)/√((v_a+v_b)/2) between two cohorts
+    * (|SMD| < 0.1 is the conventional "balanced" band — a randomization
+    * or join bug shows up here first) and the variance ratio. One row
+    * per covariate: `(covariate, n_a, n_b, mean_a, mean_b, smd,
+    * var_ratio)`; NULL smd/ratio when a pooled variance vanishes.
+    *
+    * Scale: ONE moment aggregation per cohort covering every covariate
+    * (no per-column scans); the k-bounded result reshapes to rows on
+    * the driver. */
+  def covariateBalance(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one covariate required")
+    def side(df: DataFrame) = df.agg(
+      count(lit(1)).as("__n"),
+      cols.flatMap(c => Seq(
+        avg(col(c).cast("double")).as(s"__m_$c"),
+        var_samp(col(c).cast("double")).as(s"__v_$c"))): _*)
+      .head()
+    val ra = side(a); val rb = side(b)
+    val na = ra.getLong(0); val nb = rb.getLong(0)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val rows = cols.map { c =>
+      def g(r: org.apache.spark.sql.Row, pfx: String): Option[Double] = {
+        val i = r.fieldIndex(s"__${pfx}_$c")
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      }
+      val (ma, va) = (g(ra, "m"), g(ra, "v"))
+      val (mb, vb) = (g(rb, "m"), g(rb, "v"))
+      val pooled = for (x <- va; y <- vb) yield (x + y) / 2
+      val smd = for (x <- ma; y <- mb; p <- pooled if p > 0)
+        yield (x - y) / math.sqrt(p)
+      val vr = for (x <- va; y <- vb if y > 0) yield x / y
+      (c, na, nb, ma, mb, smd, vr)
+    }
+    rows.toDF("covariate", "n_a", "n_b", "mean_a", "mean_b", "smd",
+      "var_ratio")
+  }
+
+  /** Exact 1-D energy distance between two numeric slices — the
+    * two-sample metric that is zero IFF the distributions are equal
+    * (unlike W₁'s units or KS's sup-norm, energy distance powers the
+    * general-purpose two-sample test behind modern drift monitors). In
+    * one dimension Székely's identity collapses the pairwise definition
+    * 2E|X−Y| − E|X−X'| − E|Y−Y'| to 2∫(F_a−F_b)² dx — the
+    * [[wasserstein1]] plan with SQUARED gaps, computed exactly over the
+    * merged distinct values. One row: `(n_a, n_b, e2, e)` with
+    * e = √e2; NULLs when either side is empty.
+    *
+    * Scale: identical to [[wasserstein1]] — distinct-value counts, one
+    * cumsum carrying CDFs + rank, neighbor gaps via the rank⁺¹
+    * equi-join. */
+  def energyDistance(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("one", lit(1L))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b", "one"),
+      Seq("_beforeA", "_beforeB", "_rank"))
+    val (na, nb) = (grand(0), grand(1))
+    val spark = a.sparkSession
+    if (na == 0 || nb == 0) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(1).select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("e2"), lit(null).cast("double").as("e"))
+    }
+    val cur = cum.select(col("v"), col("_rank"),
+      ((col("_beforeA") + col("n_a")).cast("double") / na).as("_fa"),
+      ((col("_beforeB") + col("n_b")).cast("double") / nb).as("_fb"))
+    val next = cur.select(col("v").as("_vNext"), (col("_rank") - 1).as("_rank"))
+    val agg = cur.join(next, Seq("_rank"))
+      .agg(sum(pow(col("_fa") - col("_fb"), 2) * (col("_vNext") - col("v")))
+        .as("_i"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val e2 = if (agg.isNullAt(0)) 0.0 else 2 * agg.getDouble(0)
+    spark.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(e2).as("e2"), lit(math.sqrt(math.max(0.0, e2))).as("e"))
+  }
+
   /** Q–Q drift table — WHERE in the distribution did the shift happen:
     * exact quantiles of both snapshots at the requested probabilities,
     * side by side with the per-quantile shift (KS gives one worst-case

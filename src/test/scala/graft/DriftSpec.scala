@@ -639,6 +639,70 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r2.getAs[Double]("icc1") - (25.0 - 5) / (25 + 5)) < 1e-9)
   }
 
+  test("covariateBalance: hand SMD, balanced randomization near zero") {
+    val a = Seq((10.0, 1.0), (14.0, 3.0)).toDF("x1", "x2") // m=12, v=8; m=2, v=2
+    val b = Seq((8.0, 2.0), (10.0, 2.0)).toDF("x1", "x2")  // m=9,  v=2; m=2, v=0
+    val rows = Drift.covariateBalance(a, b, Seq("x1", "x2"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    val x1 = rows("x1")
+    assert(math.abs(x1.getAs[Double]("smd") - (12.0 - 9) / math.sqrt((8.0 + 2) / 2)) < 1e-12)
+    assert(math.abs(x1.getAs[Double]("var_ratio") - 4.0) < 1e-12)
+    // x2: var_b = 0 -> ratio NULL; pooled var = 1 > 0 -> smd defined
+    val x2 = rows("x2")
+    assert(x2.isNullAt(x2.fieldIndex("var_ratio")))
+    assert(math.abs(x2.getAs[Double]("smd") - 0.0) < 1e-12)
+    // a fair md5-ish split of one population balances
+    val pop = (1 to 2000).map(i => (i % 97 + 0.0, (i * 7 % 31) + 0.0))
+    val (ca, cb) = pop.zipWithIndex.partition(_._2 % 2 == 0)
+    val bal = Drift.covariateBalance(
+      ca.map(_._1).toDF("x1", "x2"), cb.map(_._1).toDF("x1", "x2"),
+      Seq("x1", "x2")).collect()
+    bal.foreach(r => assert(math.abs(r.getAs[Double]("smd")) < 0.1,
+      s"${r.getAs[String]("covariate")} smd ${r.getAs[Double]("smd")}"))
+  }
+
+  test("energyDistance: Szekely identity vs naive pairwise expectations") {
+    val rnd = new scala.util.Random(29)
+    val xs = Seq.fill(50)(rnd.nextInt(20).toDouble)
+    val ys = Seq.fill(70)((rnd.nextInt(20) + 4).toDouble)
+    val got = Drift.energyDistance(xs.toDF("v"), ys.toDF("v"), "v")
+      .collect().head
+    def meanAbs(u: Seq[Double], w: Seq[Double]) =
+      (for (x <- u; y <- w) yield math.abs(x - y)).sum / (u.size.toDouble * w.size)
+    val e2Ref = 2 * meanAbs(xs, ys) - meanAbs(xs, xs) - meanAbs(ys, ys)
+    assert(math.abs(got.getAs[Double]("e2") - e2Ref) < 1e-9,
+      s"e2 ${got.getAs[Double]("e2")} vs pairwise $e2Ref")
+    assert(math.abs(got.getAs[Double]("e") - math.sqrt(e2Ref)) < 1e-9)
+    // identical samples: exactly zero
+    val same = Drift.energyDistance(xs.toDF("v"), xs.toDF("v"), "v")
+      .collect().head
+    assert(same.getAs[Double]("e2") == 0.0)
+  }
+
+  test("maseBacktest: weekly structure scores below 1; constant -> NULL") {
+    // strong period-7 pattern with noise-free repetition
+    val weekly = (0 until 70).map(t => (t.toLong, (t % 7 * 3).toDouble))
+    val r = Drift.maseBacktest(weekly.toDF("t", "y"), "t", "y", season = 7)
+      .collect().head
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("mase") == 0.0)
+    assert(r.getAs[Long]("n_scored") == 63L)
+    // hand check on a short series: y = [1,2,4,8,16,32], season=2
+    // seasonal errs at t=2..5: |4-1|,|8-2|,|16-4|,|32-8| = 3,6,12,24 -> 11.25
+    // naive1 errs same rows:    |4-2|,|8-4|,|16-8|,|32-16| = 2,4,8,16 -> 7.5
+    val s = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0).zipWithIndex
+      .map { case (y, t) => (t.toLong, y) }
+    val r2 = Drift.maseBacktest(s.toDF("t", "y"), "t", "y", season = 2)
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("mae_seasonal") - 11.25) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("mae_naive1") - 7.5) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("mase") - 1.5) < 1e-12)
+    val const = (0 until 20).map(t => (t.toLong, 5.0))
+    val rc = Drift.maseBacktest(const.toDF("t", "y"), "t", "y", season = 7)
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("mase")))
+  }
+
   test("cramerVonMises matches a naive per-observation reference") {
     val rnd = new scala.util.Random(17)
     val xs = Seq.fill(70)(rnd.nextInt(15).toDouble)
