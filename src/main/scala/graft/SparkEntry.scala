@@ -2753,6 +2753,22 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- Poisson overdispersion of per-user event counts (Drift) ----------
+    // Fisher's index-of-dispersion test: is per-user load Poisson or
+    // bursty? closed-form normal approximation on both engines
+    "q302_overdispersion" -> ((s, dir) => {
+      val perUser = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      Drift.overdispersionTest(perUser, "c")
+        .select(col("n"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean"),
+          (round(col("variance"), 6) + lit(0.0)).as("variance"),
+          (round(col("dispersion"), 6) + lit(0.0)).as("dispersion"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+    }),
+
     // ---- covariate balance: even vs odd doc cohorts (Drift) ---------------
     // the pre-analysis randomization check: per-covariate SMD + variance
     // ratio from one moment pass per cohort
@@ -7736,6 +7752,18 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // one keyed count + one moment reduce; same closed-form z
+    "q302_overdispersion" ->
+      """WITH u AS (SELECT user_id, count(*)::DOUBLE c FROM events
+                WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (SELECT count(*)::BIGINT n, avg(c) mu, var_samp(c) v FROM u)
+         SELECT n, round(mu, 6) + 0.0 AS mean,
+           round(v, 6) + 0.0 AS variance,
+           round(v / mu, 6) + 0.0 AS dispersion,
+           round((n - 1) * v / mu, 6) + 0.0 AS chi2,
+           round(sqrt(2 * (n - 1) * v / mu) - sqrt(2.0 * (n - 1) - 1), 6)
+             + 0.0 AS z
+         FROM m""",
     // one moment pass per cohort, reshaped to per-covariate rows
     "q299_covariate_balance" ->
       """WITH d AS (SELECT doc_id, n_chars::DOUBLE xc,

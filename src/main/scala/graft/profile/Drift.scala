@@ -1329,6 +1329,40 @@ object Drift {
       lit(q).as("q_stat"), lit(p).as("p_value"))
   }
 
+  /** Poisson overdispersion test — "are these counts Poisson, or is the
+    * load bursty?": the variance-to-mean dispersion index and the exact
+    * conditional χ² statistic (n−1)·s²/ȳ (Fisher's index-of-dispersion
+    * test), standardized through the Wilson–Hilferty-free normal
+    * approximation z = √(2χ²) − √(2·dof − 1) — closed form on both
+    * engines, accurate for the dof this test meets (hundreds of keys
+    * up). Overdispersion (z ≫ 0) means per-key rates are heterogeneous
+    * — the negative-binomial world where Poisson alert thresholds
+    * misfire. One row: `(n, mean, variance, dispersion, chi2, z)`;
+    * NULLs when the mean is 0 or n < 2.
+    *
+    * Scale: one moment aggregation over the (already key-aggregated)
+    * count column. */
+  def overdispersionTest(df: DataFrame, countCol: String): DataFrame = {
+    val c = col(countCol).cast("double")
+    val row = df.filter(c.isNotNull)
+      .agg(count(lit(1)).as("n"), avg(c).as("m"), var_samp(c).as("v"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val n = row.getLong(0)
+    if (n < 2 || row.isNullAt(1) || row.getDouble(1) <= 0) {
+      return spark.range(1).select(lit(n).as("n"), dNull.as("mean"),
+        dNull.as("variance"), dNull.as("dispersion"), dNull.as("chi2"),
+        dNull.as("z"))
+    }
+    val m = row.getDouble(1); val v = row.getDouble(2)
+    val chi2 = (n - 1) * v / m
+    val z = math.sqrt(2 * chi2) - math.sqrt(2.0 * (n - 1) - 1)
+    spark.range(1).select(lit(n).as("n"), lit(m).as("mean"),
+      lit(v).as("variance"), lit(v / m).as("dispersion"),
+      lit(chi2).as("chi2"), lit(z).as("z"))
+  }
+
   /** Seasonal-naive MASE backtest — is there exploitable weekly (or any
     * `season`-lag) structure in a metric series, measured the way
     * forecasters measure it: MASE = MAE(seasonal-naive forecast

@@ -639,6 +639,29 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r2.getAs[Double]("icc1") - (25.0 - 5) / (25 + 5)) < 1e-9)
   }
 
+  test("overdispersionTest: Poisson-ish accepts, clumped counts reject") {
+    // geometric-ish clumped counts: variance >> mean
+    val clumped = Seq.fill(150)(0.0) ++ Seq.fill(50)(8.0)
+    val r = Drift.overdispersionTest(clumped.toDF("c"), "c").collect().head
+    assert(r.getAs[Double]("dispersion") > 3, "clumped must overdisperse")
+    assert(r.getAs[Double]("z") > 5)
+    // hand algebra
+    val n = clumped.size.toDouble
+    val m = clumped.sum / n
+    val v = clumped.map(x => (x - m) * (x - m)).sum / (n - 1)
+    assert(math.abs(r.getAs[Double]("chi2") - (n - 1) * v / m) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") -
+      (math.sqrt(2 * (n - 1) * v / m) - math.sqrt(2 * (n - 1) - 1))) < 1e-9)
+    // near-Poisson sample (binomial with small p): |z| modest
+    val rnd = new scala.util.Random(19)
+    val pois = Seq.fill(400)((1 to 60).count(_ => rnd.nextInt(20) == 0).toDouble)
+    val rp = Drift.overdispersionTest(pois.toDF("c"), "c").collect().head
+    assert(math.abs(rp.getAs[Double]("z")) < 3, s"z ${rp.getAs[Double]("z")}")
+    // zero-mean degenerate
+    val zero = Seq.fill(10)(0.0).toDF("c")
+    assert(Drift.overdispersionTest(zero, "c").collect().head.isNullAt(4))
+  }
+
   test("covariateBalance: hand SMD, balanced randomization near zero") {
     val a = Seq((10.0, 1.0), (14.0, 3.0)).toDF("x1", "x2") // m=12, v=8; m=2, v=2
     val b = Seq((8.0, 2.0), (10.0, 2.0)).toDF("x1", "x2")  // m=9,  v=2; m=2, v=0

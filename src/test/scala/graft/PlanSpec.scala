@@ -226,6 +226,39 @@ class PlanSpec extends SparkSpecBase {
       s"sketch must combine map-side before the exchange:\n$p")
   }
 
+  test("KMV sketch aggregates partially; estimate needs no second scan") {
+    val p = plan("q284_kmv_distinct")
+    assert(p.contains("partial_kmv_minima"),
+      s"KMV minima must combine map-side before the exchange:\n$p")
+  }
+
+  test("jaro-winkler pairs join on the prefix block — equi-join, kernel in plan") {
+    val p = plan("q286_jaro_winkler")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked JW pairs must be an equi-join:\n$p")
+    assert(p.contains("jaro_winkler"),
+      s"the compiled kernel must appear, not a UDF:\n$p")
+  }
+
+  test("KN bigram LM: corpus-side extraction is scan-local; model joins are equi") {
+    val p = plan("q298_kn_bigram")
+    assert(!p.contains("CartesianProduct"),
+      s"KN scoring must never go cartesian:\n$p")
+    // bigram extraction zips in-plan: a Generate above the scan, no join
+    // between the text scan and the first aggregation
+    assert(p.contains("Generate explode"),
+      s"bigrams must come from an in-plan zip, not a positional self-join:\n$p")
+  }
+
+  test("ranking metrics windows are partitioned by the query key") {
+    val df = SparkEntry.queries("q276_ndcg")(spark, "/root/testdata/sf0.001")
+    val bad = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q276 must not plan a partition-less window")
+  }
+
   test("multi-touch attribution candidates come from an equi-join on the bucket") {
     val p = plan("q147_multitouch")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
