@@ -48,7 +48,11 @@ object BenchScale {
     // battery, the two value-keyed rank joins, the chained cumsums) plus
     // the ×200 resampling explode pair
     "q238_ks_fdr", "q232_spearman", "q235_km_survival",
-    "q245_source_divergence", "q242_permutation_test", "q243_bootstrap_ci")
+    "q245_source_divergence", "q242_permutation_test", "q243_bootstrap_ci",
+    // round-12 session additions — the two corpus-heavy new shapes: the
+    // KN bigram LM (bigram explode + three model joins) and the Heaps
+    // first-occurrence curve (posexplode + doc-offset cumsum + min agg)
+    "q298_kn_bigram", "q285_heaps_law")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

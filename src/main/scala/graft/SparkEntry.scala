@@ -2753,6 +2753,34 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- periodogram power at the daily/weekly lines (Drift) --------------
+    // DFT power at caller-named periods over the zero-filled hourly series;
+    // the hour index is REBASED to 0..n-1 so cos/sin arguments stay small
+    // (large-argument reduction is where libm implementations drift)
+    "q303_periodogram" -> ((s, dir) => {
+      val series = rebasedHourlySeries(s, dir)
+      Drift.periodogramPower(series, "t", "y", Seq(24, 168))
+        .select(col("period"), col("n"),
+          (round(col("c"), 4) + lit(0.0)).as("c"),
+          (round(col("s"), 4) + lit(0.0)).as("s"),
+          (round(col("power"), 2) + lit(0.0)).as("power"),
+          (round(col("frac"), 6) + lit(0.0)).as("frac"))
+        .gateOrdered(col("period"))
+    }),
+
+    // ---- Hurst exponent (R/S) of the hourly load (Drift) ------------------
+    // long-memory diagnostic: block-partitioned rescaled ranges at four
+    // scales, log-log fit
+    "q304_hurst" -> ((s, dir) => {
+      val series = rebasedHourlySeries(s, dir)
+      Drift.hurstRS(series, "t", "y", Seq(8, 16, 32, 64))
+        .select(col("b"), col("n_blocks"),
+          (round(col("mean_rs"), 6) + lit(0.0)).as("mean_rs"),
+          (round(col("hurst"), 6) + lit(0.0)).as("hurst"),
+          (round(col("r2"), 6) + lit(0.0)).as("r2"))
+        .gateOrdered(col("b"))
+    }),
+
     // ---- Poisson overdispersion of per-user event counts (Drift) ----------
     // Fisher's index-of-dispersion test: is per-user load Poisson or
     // bursty? closed-form normal approximation on both engines
@@ -4051,6 +4079,24 @@ object SparkEntry {
     * fixture. */
   private val eventsMicrosCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+  /** Shared q303/q304 series: zero-filled hourly event counts with the
+    * hour index REBASED to 0..n−1 (cos/sin arguments stay small — the
+    * q282 spine shifted to the origin). */
+  private def rebasedHourlySeries(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsSource.read(s, s"$dir/events.parquet")
+      .filter(col("ts").isNotNull)
+    val hourly = ev
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val bounds = ev
+      .agg(floor(unix_timestamp(min(col("ts"))) / 3600).as("lo"),
+        floor(unix_timestamp(max(col("ts"))) / 3600).as("hi"))
+    bounds.select(col("lo"), explode(sequence(col("lo"), col("hi"))).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .na.fill(0.0, Seq("y"))
+      .select((col("h") - col("lo")).as("t"), col("y"))
+  }
+
   /** Shared q276/q277 eval scenario: brand recommendations per sampled
     * customer (custkey % 20 == 1 — a bounded query set at any sf) ranked
     * by first-half revenue, judged on second-half purchase counts. Returns
@@ -7752,6 +7798,74 @@ object SparkEntry {
            round(k2, 6) + 0.0 AS k2,
            round(exp(-k2 / 2), 6) + 0.0 AS p_value
          FROM f""",
+    // rebased zero-filled hourly series; same cos/sin sums per period
+    "q303_periodogram" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h FROM events
+                WHERE ts IS NOT NULL),
+         hourly AS (SELECT h, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(h) FROM e),
+                  (SELECT max(h) FROM e) + 1)) h),
+         series AS (SELECT (spine.h - (SELECT min(h) FROM e))::BIGINT t,
+                  coalesce(hourly.y, 0) y
+                FROM spine LEFT JOIN hourly USING (h)),
+         st AS (SELECT count(*)::BIGINT n, avg(y) mu,
+                 sum(y * y) - count(*) * avg(y) * avg(y) ss
+               FROM series),
+         p AS (SELECT unnest([24, 168]) period),
+         a AS (SELECT p.period,
+                 sum((y - st.mu) * cos(2 * pi() / p.period * t)) c,
+                 sum((y - st.mu) * sin(2 * pi() / p.period * t)) s
+               FROM series, st, p GROUP BY p.period),
+         f AS (SELECT a.period, a.c, a.s, st.n, st.ss FROM a, st)
+         SELECT period, n, round(c, 4) + 0.0 AS c, round(s, 4) + 0.0 AS s,
+           round(c * c + s * s, 2) + 0.0 AS power,
+           CASE WHEN ss > 0 THEN
+             round((c * c + s * s) * 2 / (n * ss), 6) + 0.0 END AS frac
+         FROM f ORDER BY period""",
+    // same block partitioning, mean-adjusted cumulative ranges, and
+    // log-log fit over the four scales
+    "q304_hurst" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h FROM events
+                WHERE ts IS NOT NULL),
+         hourly AS (SELECT h, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(h) FROM e),
+                  (SELECT max(h) FROM e) + 1)) h),
+         series AS (SELECT (spine.h - (SELECT min(h) FROM e))::BIGINT t,
+                  coalesce(hourly.y, 0) y
+                FROM spine LEFT JOIN hourly USING (h)),
+         sc AS (SELECT unnest([8, 16, 32, 64]) b),
+         tagged AS (SELECT sc.b, series.t // sc.b blk, series.t, series.y
+                FROM series, sc),
+         fullb AS (SELECT b, blk FROM tagged GROUP BY 1, 2
+                HAVING count(*) = b),
+         blocks AS (SELECT tg.* FROM tagged tg JOIN fullb USING (b, blk)),
+         wm AS (SELECT b, blk, t, y,
+                 avg(y) OVER (PARTITION BY b, blk) mu
+               FROM blocks),
+         cums AS (SELECT b, blk, y,
+                 sum(y - mu) OVER (PARTITION BY b, blk ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) cum
+               FROM wm),
+         rs AS (SELECT b, blk,
+                 max(cum) - least(min(cum), 0) r,
+                 sqrt(greatest(avg(y * y) - avg(y) * avg(y), 0)) sg
+               FROM cums GROUP BY 1, 2),
+         ms AS (SELECT b, count(*)::BIGINT n_blocks, avg(r / sg) mean_rs
+               FROM rs WHERE sg > 0 GROUP BY 1),
+         pts AS (SELECT ln(b::DOUBLE) x, ln(mean_rs) y FROM ms
+               WHERE mean_rs > 0),
+         mm AS (SELECT avg(x) mx, avg(y) my FROM pts),
+         ssq AS (SELECT sum((x - mx) * (x - mx)) sxx,
+                 sum((x - mx) * (y - my)) sxy,
+                 sum((y - my) * (y - my)) syy
+               FROM pts, mm),
+         fit AS (SELECT CASE WHEN sxx > 0 AND syy > 0 THEN sxy / sxx END hh,
+                 CASE WHEN sxx > 0 AND syy > 0
+                   THEN sxy * sxy / (sxx * syy) END r2
+               FROM ssq)
+         SELECT b::INT AS b, n_blocks, round(mean_rs, 6) + 0.0 AS mean_rs,
+           round(hh, 6) + 0.0 AS hurst, round(r2, 6) + 0.0 AS r2
+         FROM ms, fit ORDER BY b""",
     // one keyed count + one moment reduce; same closed-form z
     "q302_overdispersion" ->
       """WITH u AS (SELECT user_id, count(*)::DOUBLE c FROM events
@@ -7965,17 +8079,20 @@ object SparkEntry {
              round((msb - msw) / (msb + (k0 - 1) * msw), 6) + 0.0
            END AS icc1
          FROM f""",
-    // identical md5 bucket hashing, cells, and min-over-rows probe
+    // identical md5 slicing (one digest, four 8-hex-char row hashes),
+    // cells, and min-over-rows probe
     "q291_count_min" ->
       """WITH k AS (SELECT DISTINCT l_suppkey FROM lineitem
                 WHERE l_suppkey IS NOT NULL),
-         cells AS (SELECT d, ('0x' || substr(md5('cms:' || d || ':'
-                  || l_suppkey::VARCHAR), 1, 8))::UBIGINT % 64 bucket,
+         cells AS (SELECT d, ('0x' || substr(md5('cms:'
+                  || l_suppkey::VARCHAR), (d * 8 + 1)::INT, 8))::UBIGINT
+                    % 64 bucket,
                   count(*)::BIGINT cnt
                 FROM lineitem, unnest(range(0, 4)) t(d)
                 WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
-         probe AS (SELECT l_suppkey, d, ('0x' || substr(md5('cms:' || d
-                  || ':' || l_suppkey::VARCHAR), 1, 8))::UBIGINT % 64 bucket
+         probe AS (SELECT l_suppkey, d, ('0x' || substr(md5('cms:'
+                  || l_suppkey::VARCHAR), (d * 8 + 1)::INT, 8))::UBIGINT
+                    % 64 bucket
                 FROM k, unnest(range(0, 4)) t(d)),
          est AS (SELECT p.l_suppkey sk, min(coalesce(c.cnt, 0)) estimate
                 FROM probe p LEFT JOIN cells c

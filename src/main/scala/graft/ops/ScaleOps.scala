@@ -699,12 +699,18 @@ object ScaleOps {
           .as("estimate"))
   }
 
-  /** Count–Min bucket hash for row `d` of the sketch: first-8-hex md5 of
-    * `"cms:<d>:<key>"` mod `width` — the deterministic per-row hash both
-    * the build and the probe (and an external replaying engine) share. */
-  private def cmsBucket(d: Column, key: Column, width: Int): Column =
-    conv(substring(md5(concat(lit("cms:"), d.cast("string"), lit(":"),
-      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+  /** Count–Min row buckets: ONE md5 per key, its 32 hex chars sliced into
+    * four independent 8-char (32-bit) row hashes — md5's diffusion makes
+    * the slices pairwise independent for bucketing purposes, and one
+    * digest per row instead of `depth` was the difference between this
+    * being the catalog's slowest query and a sub-second one. Returns the
+    * bucket array indexed by sketch row; both the build and the probe
+    * (and an external replaying engine) share it. */
+  private def cmsBuckets(key: Column, depth: Int, width: Int): Column = {
+    val h = md5(concat(lit("cms:"), key.cast("string")))
+    array((0 until depth).map(d =>
+      conv(substring(h, d * 8 + 1, 8), 16, 10).cast("long") % width): _*)
+  }
 
   /** Count–Min sketch cells — the REPLAYABLE frequency sketch: `depth`
     * md5-derived hash rows × `width` buckets of summed counts, built in
@@ -722,12 +728,12 @@ object ScaleOps {
     * per partition, never the data. */
   def countMinCells(df: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(depth >= 1 && depth <= 4,
+      s"depth in [1,4] (one md5 supplies four 32-bit row hashes): $depth")
     require(width >= 2, s"width must be >= 2: $width")
     df.filter(col(keyCol).isNotNull)
-      .select(col(keyCol).cast("string").as("__k"),
-        explode(sequence(lit(0), lit(depth - 1))).as("d"))
-      .select(col("d"), cmsBucket(col("d"), col("__k"), width).as("bucket"))
+      .select(posexplode(cmsBuckets(col(keyCol), depth, width))
+        .as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -739,13 +745,14 @@ object ScaleOps {
     * so it broadcasts; the probe side streams. */
   def countMinEstimates(cells: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(depth >= 1 && depth <= 4,
+      s"depth in [1,4] (one md5 supplies four 32-bit row hashes): $depth")
     require(width >= 2, s"width must be >= 2: $width")
     keys.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("key"))
       .distinct()
-      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
-      .withColumn("bucket", cmsBucket(col("d"), col("key"), width))
+      .select(col("key"),
+        posexplode(cmsBuckets(col("key"), depth, width)).as(Seq("d", "bucket")))
       .join(broadcast(cells), Seq("d", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy(col("key"))

@@ -1329,6 +1329,125 @@ object Drift {
       lit(q).as("q_stat"), lit(p).as("p_value"))
   }
 
+  /** Periodogram power at CANDIDATE periods — "is there a daily/weekly
+    * cycle, and how much of the variance does it carry": for each
+    * requested period p, the DFT power at frequency 2π/p over the
+    * demeaned series, reported with its variance fraction
+    * 2(C² + S²)/(n·SS) (for Fourier-aligned periods the fractions of all
+    * frequencies sum to 1 — the share of variance that cycle explains).
+    * Same gap-free integer-index contract as [[ljungBox]]. One row per
+    * period: `(period, n, c, s, power, frac)`; NULL frac on a constant
+    * series.
+    *
+    * Scale: ONE broadcast of the period spine against the series, one
+    * period-keyed reduce of cos/sin-weighted sums — no FFT machinery,
+    * no window, exactly right when the ANALYST names the suspect
+    * periods (24, 168, …). */
+  def periodogramPower(series: DataFrame, timeCol: String, valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must all be >= 2: $periods")
+    val s = series
+      .select(col(timeCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val stats = s.agg(count(lit(1)).as("n"), avg(col("y")).as("mu"),
+      sum(col("y") * col("y")).as("s2")).head()
+    val n = stats.getLong(0)
+    val spark = series.sparkSession
+    import spark.implicits._
+    if (n == 0) {
+      return periods.map(p => (p, 0L, None: Option[Double],
+        None: Option[Double], None: Option[Double], None: Option[Double]))
+        .toDF("period", "n", "c", "s", "power", "frac")
+    }
+    val mu = stats.getDouble(1)
+    val ss = stats.getDouble(2) - n * mu * mu
+    val spine = periods.toDF("period")
+    val f = lit(2 * math.Pi) / col("period").cast("double")
+    val agg = s.crossJoin(broadcast(spine))
+      .groupBy(col("period"))
+      .agg(
+        sum((col("y") - mu) * cos(f * col("t"))).as("c"),
+        sum((col("y") - mu) * sin(f * col("t"))).as("s"))
+    agg.select(col("period"), lit(n).as("n"), col("c"), col("s"),
+      (col("c") * col("c") + col("s") * col("s")).as("power"),
+      (if (ss > 0)
+        (col("c") * col("c") + col("s") * col("s")) * 2 / (n * ss)
+      else lit(null).cast("double")).as("frac"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis — the long-memory
+    * diagnostic: H ≈ 0.5 is a memoryless series, H → 1 means shocks
+    * persist (load today predicts load next week — anomaly baselines
+    * must widen), H < 0.5 mean-reverts. For each block size b, the
+    * series splits into ⌊n/b⌋ blocks; each block's rescaled range
+    * R/S = (max − min of the mean-adjusted cumulative sum) / population
+    * σ; H is the log–log OLS slope of the per-size mean R/S. Same
+    * gap-free contract as [[ljungBox]]. One row per block size:
+    * `(b, n_blocks, mean_rs, hurst, r2)` — the fit columns constant
+    * (the [[graft.operators.CorpusStats.heapsLaw]] shape); NULL fit
+    * below 3 usable sizes.
+    *
+    * Scale: every window is PARTITIONED by (block size, block id) —
+    * per-partition work is b-bounded; the per-size reduce and the OLS
+    * run over a handful of rows on the driver. */
+  def hurstRS(series: DataFrame, timeCol: String, valueCol: String,
+      blockSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 4),
+      s"block sizes must all be >= 4: $blockSizes")
+    val s = series
+      .select(col(timeCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val tMin = s.agg(min(col("t"))).head()
+    val spark = series.sparkSession
+    import spark.implicits._
+    def emptyOut = Seq.empty[(Int, Long, Double, Option[Double], Option[Double])]
+      .toDF("b", "n_blocks", "mean_rs", "hurst", "r2")
+    if (tMin.isNullAt(0)) return emptyOut
+    val t0 = tMin.getLong(0)
+    val spine = blockSizes.toDF("b")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = s.crossJoin(broadcast(spine))
+      .withColumn("__blk", floor((col("t") - t0) / col("b")))
+    val wBlk = Window.partitionBy(col("b"), col("__blk")).orderBy(col("t"))
+    val wAll = Window.partitionBy(col("b"), col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perBlock = tagged
+      .withColumn("__bn", count(lit(1)).over(wAll))
+      .filter(col("__bn") === col("b")) // full blocks only
+      .withColumn("__mu", avg(col("y")).over(wAll))
+      .withColumn("__cum", sum(col("y") - col("__mu")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("b"), col("__blk"))
+      .agg((max(col("__cum")) - least(min(col("__cum")), lit(0.0))).as("__r"),
+        // population sigma; clamped at 0 against float-cancellation noise
+        sqrt(greatest(avg(col("y") * col("y")) - pow(avg(col("y")), 2),
+          lit(0.0))).as("__s"))
+      .filter(col("__s") > 0)
+    val perSize = perBlock.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_blocks"), avg(col("__r") / col("__s")).as("mean_rs"))
+      .collect()
+      .map(r => (r.getAs[Int]("b"), r.getAs[Long]("n_blocks"),
+        r.getAs[Double]("mean_rs")))
+      .sortBy(_._1)
+    val pts = perSize.filter(p => p._3 > 0)
+      .map(p => (math.log(p._1.toDouble), math.log(p._3)))
+    val fit: Option[(Double, Double)] =
+      if (pts.length < 3) None
+      else {
+        val k = pts.length
+        val mx = pts.map(_._1).sum / k; val my = pts.map(_._2).sum / k
+        val sxx = pts.map(q => (q._1 - mx) * (q._1 - mx)).sum
+        val sxy = pts.map(q => (q._1 - mx) * (q._2 - my)).sum
+        val syy = pts.map(q => (q._2 - my) * (q._2 - my)).sum
+        if (sxx <= 0 || syy <= 0) None
+        else Some((sxy / sxx, sxy * sxy / (sxx * syy)))
+      }
+    perSize.toSeq.map { case (b, nb, rs) =>
+      (b, nb, rs, fit.map(_._1), fit.map(_._2))
+    }.toDF("b", "n_blocks", "mean_rs", "hurst", "r2")
+  }
+
   /** Poisson overdispersion test — "are these counts Poisson, or is the
     * load bursty?": the variance-to-mean dispersion index and the exact
     * conditional χ² statistic (n−1)·s²/ȳ (Fisher's index-of-dispersion

@@ -639,6 +639,51 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r2.getAs[Double]("icc1") - (25.0 - 5) / (25 + 5)) < 1e-9)
   }
 
+  test("periodogramPower: aligned sinusoid carries frac ~1; naive reference") {
+    // pure cos(2*pi*t/8) over 8 full cycles: the period-8 line owns the
+    // variance (frac = 1 exactly under Fourier alignment)
+    val wave = (0 until 64).map(t => (t.toLong, math.cos(2 * math.Pi * t / 8)))
+    val rows = Drift.periodogramPower(wave.toDF("t", "y"), "t", "y",
+      Seq(8, 5)).collect().map(r => r.getAs[Int]("period") -> r).toMap
+    assert(math.abs(rows(8).getAs[Double]("frac") - 1.0) < 1e-9)
+    assert(rows(5).getAs[Double]("frac") < 0.05)
+    // naive reference on seeded noise
+    val rnd = new scala.util.Random(47)
+    val ys = (0 until 100).map(_ => rnd.nextInt(9).toDouble)
+    val got = Drift.periodogramPower(
+      ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }.toDF("t", "y"),
+      "t", "y", Seq(7)).collect().head
+    val mu = ys.sum / ys.size
+    val c = ys.zipWithIndex.map { case (y, t) =>
+      (y - mu) * math.cos(2 * math.Pi / 7 * t) }.sum
+    val sRef = ys.zipWithIndex.map { case (y, t) =>
+      (y - mu) * math.sin(2 * math.Pi / 7 * t) }.sum
+    assert(math.abs(got.getAs[Double]("c") - c) < 1e-9)
+    assert(math.abs(got.getAs[Double]("s") - sRef) < 1e-9)
+    assert(math.abs(got.getAs[Double]("power") - (c * c + sRef * sRef)) < 1e-6)
+  }
+
+  test("hurstRS: hand block R/S; random walk persists above white noise") {
+    // block [1,2,3,4]: cums -1.5,-2,-1.5,0 -> R=2; sigma=sqrt(1.25)
+    val rep = (0 until 32).flatMap(_ => Seq(1.0, 2.0, 3.0, 4.0))
+    val series = rep.zipWithIndex.map { case (y, t) => (t.toLong, y) }
+    val r4 = Drift.hurstRS(series.toDF("t", "y"), "t", "y", Seq(4, 8, 16, 32))
+      .collect().map(r => r.getAs[Int]("b") -> r).toMap
+    assert(math.abs(r4(4).getAs[Double]("mean_rs") - 2.0 / math.sqrt(1.25)) < 1e-9)
+    assert(r4(4).getAs[Long]("n_blocks") == 32L)
+    // persistence ordering: a random walk's H sits well above white noise's
+    val rnd = new scala.util.Random(53)
+    val steps = Seq.fill(512)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val walk = steps.scanLeft(0.0)(_ + _).drop(1)
+    val noise = Seq.fill(512)(rnd.nextInt(11).toDouble)
+    def h(ys: Seq[Double]) = Drift.hurstRS(
+      ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }.toDF("t", "y"),
+      "t", "y").collect().head.getAs[Double]("hurst")
+    val (hw, hn) = (h(walk), h(noise))
+    assert(hw > 0.75, s"random walk H $hw")
+    assert(hw > hn + 0.15, s"walk $hw must out-persist noise $hn")
+  }
+
   test("overdispersionTest: Poisson-ish accepts, clumped counts reject") {
     // geometric-ish clumped counts: variance >> mean
     val clumped = Seq.fill(150)(0.0) ++ Seq.fill(50)(8.0)
