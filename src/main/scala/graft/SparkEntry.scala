@@ -2797,6 +2797,94 @@ object SparkEntry {
           (round(col("z"), 6) + lit(0.0)).as("z"))
     }),
 
+    // ---- Jarque-Bera normality on doc lengths (Drift) ---------------------
+    // one power-sum scan; chi2(2) survival is the exact exp(-jb/2)
+    "q303_jarque_bera" -> ((s, dir) => {
+      Drift.jarqueBera(read(s, dir, "documents"), "n_chars")
+        .select(col("n"),
+          (round(col("g1"), 6) + lit(0.0)).as("g1"),
+          (round(col("b2"), 6) + lit(0.0)).as("b2"),
+          (round(col("jb"), 6) + lit(0.0)).as("jb"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Bartlett variance homogeneity across langs (Drift) ---------------
+    // normal-theory companion of q275 brown_forsythe; per-group moments
+    // only; df = 4 (even) so the survival is closed-form on both engines
+    "q304_bartlett" -> ((s, dir) => {
+      Drift.bartlettTest(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("pooled_var"), 6) + lit(0.0)).as("pooled_var"),
+          (round(col("statistic"), 6) + lit(0.0)).as("statistic"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- standardized effect sizes en vs de doc lengths (Drift) -----------
+    // the d / g / glass panel from one moment pass per slice
+    "q305_effect_sizes" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.effectSizes(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("diff"), 6) + lit(0.0)).as("diff"),
+          (round(col("cohens_d"), 6) + lit(0.0)).as("cohens_d"),
+          (round(col("hedges_g"), 6) + lit(0.0)).as("hedges_g"),
+          (round(col("glass_delta"), 6) + lit(0.0)).as("glass_delta"),
+          (round(col("var_ratio"), 6) + lit(0.0)).as("var_ratio"))
+    }),
+
+    // ---- Mood's median test on doc lengths across langs (Drift) -----------
+    // rank-exact lower grand median + a 2xk contingency chi2; df = 4 even
+    "q307_mood_median" -> ((s, dir) => {
+      Drift.moodMedianTest(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("grand_median"), 6) + lit(0.0)).as("grand_median"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Cochran's Q: per-user high-value success across types (Assoc) ----
+    // matched binary design: every user rated by all five event types,
+    // success = any value > 50 event in the cell
+    "q308_cochran_q" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          (col("value") > 50.0).cast("int").as("succ"))
+      graft.profile.Association.cochranQ(ev, "user_id", "event_type", "succ")
+        .select(col("n_items"), col("k"),
+          (round(col("q"), 6) + lit(0.0)).as("q"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Wald-Wolfowitz runs test per event type (Drift) ------------------
+    // keyed windows only; above/below the key mean over (ts, event_id)
+    "q309_runs_test" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      Drift.runsTestByKey(ev, "event_type", Seq("ts", "event_id"), "value")
+        .select(col("key"), col("n1"), col("n2"), col("runs"),
+          (round(col("z"), 6) + lit(0.0)).as("z"))
+        .gateOrdered(col("key"))
+    }),
+
+    // ---- Fleiss' kappa: per-user agreement over event types (Association) -
+    // multi-rater agreement treating each user as an item and each of
+    // their events as one rating; items with < 2 ratings drop
+    "q306_fleiss_kappa" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      graft.profile.Association.fleissKappa(ev, "user_id", "event_type")
+        .select(col("n_items"), col("n_ratings"), col("k_categories"),
+          (round(col("p_bar"), 6) + lit(0.0)).as("p_bar"),
+          (round(col("p_e"), 6) + lit(0.0)).as("p_e"),
+          (round(col("kappa"), 6) + lit(0.0)).as("kappa"))
+    }),
+
     // ---- covariate balance: even vs odd doc cohorts (Drift) ---------------
     // the pre-analysis randomization check: per-covariate SMD + variance
     // ratio from one moment pass per cohort
@@ -7878,6 +7966,169 @@ object SparkEntry {
            round(sqrt(2 * (n - 1) * v / mu) - sqrt(2.0 * (n - 1) - 1), 6)
              + 0.0 AS z
          FROM m""",
+    // the dagostino power-sum CTE chain, ending in the JB statistic and
+    // the exact chi2(2) survival exp(-jb/2)
+    "q303_jarque_bera" ->
+      """WITH s AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s1,
+                  sum(pow(n_chars::DOUBLE, 2)) s2,
+                  sum(pow(n_chars::DOUBLE, 3)) s3,
+                  sum(pow(n_chars::DOUBLE, 4)) s4
+                FROM documents WHERE n_chars IS NOT NULL),
+         mo AS (SELECT n, n::DOUBLE nd, s2 / n - pow(s1 / n, 2) m2,
+                  (s3 - 3 * (s1 / n) * s2 + 2 * n * pow(s1 / n, 3)) / n m3,
+                  (s4 - 4 * (s1 / n) * s3 + 6 * pow(s1 / n, 2) * s2
+                    - 3 * n * pow(s1 / n, 4)) / n m4
+                FROM s),
+         g AS (SELECT n, nd, m3 / pow(m2, 1.5) g1, m4 / (m2 * m2) b2 FROM mo),
+         j AS (SELECT n, g1, b2,
+                 nd / 6 * (g1 * g1 + (b2 - 3) * (b2 - 3) / 4) jb FROM g)
+         SELECT n, round(g1, 6) + 0.0 AS g1, round(b2, 6) + 0.0 AS b2,
+           round(jb, 6) + 0.0 AS jb,
+           round(exp(-jb / 2), 6) + 0.0 AS p_value
+         FROM j""",
+    // per-group sample variances from exact power sums; df = k-1 = 4 is
+    // even, so the survival is the closed form exp(-x/2)(1 + x/2)
+    "q304_bartlett" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT ng, sum(n_chars::DOUBLE) s,
+                  sum(pow(n_chars::DOUBLE, 2)) q
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY 1 HAVING count(*) >= 2),
+         v AS (SELECT ng, (q - s * s / ng) / (ng - 1) vg FROM g),
+         t AS (SELECT sum(ng)::BIGINT n, count(*)::BIGINT k,
+                 sum((ng - 1) * ln(vg)) slnv, sum(1.0 / (ng - 1)) sinv,
+                 sum(vg * (ng - 1)) ssw
+               FROM v),
+         b AS (SELECT n, k, ssw / (n - k) sp2,
+                 ((n - k) * ln(ssw / (n - k)) - slnv)
+                   / (1 + (sinv - 1.0 / (n - k)) / (3 * (k - 1))) stat
+               FROM t)
+         SELECT n, k, round(sp2, 6) + 0.0 AS pooled_var,
+           round(stat, 6) + 0.0 AS statistic, k - 1 AS df,
+           round(exp(-stat / 2) * (1 + stat / 2), 6) + 0.0 AS p_value
+         FROM b""",
+    // one moment CTE per slice; the same pooled-sd algebra as the Spark
+    // driver literals
+    "q305_effect_sizes" ->
+      """WITH a AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s,
+                  sum(pow(n_chars::DOUBLE, 2)) q
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+         b AS (SELECT count(*)::BIGINT n, sum(n_chars::DOUBLE) s,
+                  sum(pow(n_chars::DOUBLE, 2)) q
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL),
+         m AS (SELECT a.n na, b.n nb, a.s / a.n ma, b.s / b.n mb,
+                 (a.q - a.s * a.s / a.n) / (a.n - 1) va,
+                 (b.q - b.s * b.s / b.n) / (b.n - 1) vb
+               FROM a, b),
+         e AS (SELECT na, nb, ma, mb, ma - mb diff, va, vb,
+                 ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2) sp2
+               FROM m)
+         SELECT na AS n_a, nb AS n_b, round(ma, 6) + 0.0 AS mean_a,
+           round(mb, 6) + 0.0 AS mean_b, round(diff, 6) + 0.0 AS diff,
+           CASE WHEN sp2 > 0
+             THEN round(diff / sqrt(sp2), 6) + 0.0 END AS cohens_d,
+           CASE WHEN sp2 > 0
+             THEN round(diff / sqrt(sp2)
+               * (1 - 3.0 / (4 * (na + nb) - 9)), 6) + 0.0 END AS hedges_g,
+           CASE WHEN va > 0
+             THEN round(diff / sqrt(va), 6) + 0.0 END AS glass_delta,
+           CASE WHEN vb > 0
+             THEN round(va / vb, 6) + 0.0 END AS var_ratio
+         FROM e""",
+    // rank-exact lower median from the distinct-count prefix sum; the
+    // same 2xk Pearson cells; df = 4 closed-form survival
+    "q307_mood_median" ->
+      """WITH b AS (SELECT lang g, n_chars::DOUBLE v FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         nn AS (SELECT count(*)::BIGINT n FROM b),
+         dc AS (SELECT v, count(*)::BIGINT c FROM b GROUP BY 1),
+         cm AS (SELECT v, sum(c) OVER (ORDER BY v) cum FROM dc),
+         cut AS (SELECT min(v) m FROM cm, nn WHERE cum >= (n + 1) // 2),
+         cells AS (SELECT g,
+                 sum(CASE WHEN v > m THEN 1 ELSE 0 END)::DOUBLE a,
+                 sum(CASE WHEN v <= m THEN 1 ELSE 0 END)::DOUBLE l
+               FROM b, cut GROUP BY 1),
+         t AS (SELECT sum(a) ta, sum(l) tl, count(*)::BIGINT k FROM cells),
+         x AS (SELECT sum(pow(a - (a + l) * ta / n, 2)
+                   / ((a + l) * ta / n)
+                 + pow(l - (a + l) * tl / n, 2)
+                   / ((a + l) * tl / n)) chi2
+               FROM cells, t, nn)
+         SELECT n, k, round(m, 6) + 0.0 AS grand_median,
+           round(chi2, 6) + 0.0 AS chi2, k - 1 AS df,
+           round(exp(-chi2 / 2) * (1 + chi2 / 2), 6) + 0.0 AS p_value
+         FROM x, t, cut, nn""",
+    // complete-block filter on the (user, type) cell table; the Q
+    // identity over row/column totals; df = 4 closed-form survival
+    "q308_cochran_q" ->
+      """WITH cells AS (SELECT user_id i, event_type j,
+                  max(CASE WHEN value > 50 THEN 1 ELSE 0 END) x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT j)::BIGINT k FROM cells),
+         rowt AS (SELECT i, count(*)::BIGINT cnt, sum(x)::DOUBLE ri
+                FROM cells GROUP BY 1),
+         comp AS (SELECT i, ri FROM rowt, kk WHERE cnt = k),
+         ra AS (SELECT count(*)::BIGINT n_items, sum(ri) st,
+                 sum(ri * ri) sr2 FROM comp),
+         colt AS (SELECT c.j, sum(c.x)::DOUBLE tj FROM cells c
+                JOIN comp ON comp.i = c.i GROUP BY 1),
+         ca AS (SELECT sum(tj * tj) stj2 FROM colt),
+         qq AS (SELECT n_items, k,
+                 (k - 1) * (k * stj2 - st * st) / (k * st - sr2) q
+               FROM ra, ca, kk)
+         SELECT n_items, k, round(q, 6) + 0.0 AS q, k - 1 AS df,
+           round(exp(-q / 2) * (1 + q / 2), 6) + 0.0 AS p_value
+         FROM qq""",
+    // keyed lag window over (ts, event_id); the same mu_R / sigma_R
+    // normal approximation
+    "q309_runs_test" ->
+      """WITH b AS (SELECT event_type kk, ts, event_id, value v FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND ts IS NOT NULL AND event_id IS NOT NULL),
+         m AS (SELECT kk, sum(v) / count(*) mu FROM b GROUP BY 1),
+         s AS (SELECT b.kk, ts, event_id,
+                 CASE WHEN v > mu THEN 1 ELSE 0 END s
+               FROM b JOIN m ON m.kk = b.kk WHERE v <> mu),
+         lg AS (SELECT kk, s,
+                 lag(s) OVER (PARTITION BY kk ORDER BY ts, event_id) p
+               FROM s),
+         r AS (SELECT kk, sum(s)::BIGINT n1, sum(1 - s)::BIGINT n2,
+                 sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0
+                   END)::BIGINT runs
+               FROM lg GROUP BY 1)
+         SELECT kk AS "key", n1, n2, runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+               AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) > 0
+             THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                 / (pow((n1 + n2)::DOUBLE, 2) * (n1 + n2 - 1))), 6) + 0.0
+             END AS z
+         FROM r ORDER BY kk""",
+    // (user, event_type) contingency cells; items with >= 2 ratings;
+    // the unequal-n Fleiss generalization
+    "q306_fleiss_kappa" ->
+      """WITH cells AS (SELECT user_id i, event_type j, count(*)::DOUBLE nij
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+         pi AS (SELECT i, sum(nij) ni, sum(nij * nij) sq FROM cells
+                GROUP BY 1 HAVING sum(nij) >= 2),
+         ia AS (SELECT count(*)::BIGINT n_items, sum(ni)::BIGINT n_ratings,
+                 avg((sq - ni) / (ni * (ni - 1))) p_bar
+               FROM pi),
+         kept AS (SELECT c.j, c.nij FROM cells c JOIN pi ON pi.i = c.i),
+         bc AS (SELECT j, sum(nij) cj FROM kept GROUP BY 1),
+         pe AS (SELECT count(*)::BIGINT k_categories,
+                 sum(pow(cj / (SELECT sum(cj) FROM bc), 2)) p_e
+               FROM bc)
+         SELECT n_items, n_ratings, k_categories,
+           round(p_bar, 6) + 0.0 AS p_bar, round(p_e, 6) + 0.0 AS p_e,
+           CASE WHEN p_e < 1
+             THEN round((p_bar - p_e) / (1 - p_e), 6) + 0.0 END AS kappa
+         FROM ia, pe""",
     // one moment pass per cohort, reshaped to per-covariate rows
     "q299_covariate_balance" ->
       """WITH d AS (SELECT doc_id, n_chars::DOUBLE xc,

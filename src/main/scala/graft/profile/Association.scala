@@ -660,4 +660,106 @@ object Association {
       .withColumn("kappa",
         when(col("pe") < 1, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
+
+  /** Cochran's Q — "do these k binary treatments succeed at the same
+    * rate on the same items?", the k-treatment generalization of
+    * [[mcnemar]] and the binary-outcome sibling of [[friedmanTest]]
+    * (matched design: each item is its own control, so item-to-item
+    * heterogeneity cancels). Input: one row per observation
+    * `(itemCol, treatmentCol, successCol)`; multiple observations of a
+    * cell reduce to MAX (any success counts — document the reduction in
+    * the caller if it matters). Only COMPLETE blocks score: items missing
+    * any of the k treatments drop (k = distinct treatments overall). One
+    * row out: `(n_items, k, q, df, p_value)` with
+    * Q = (k−1)·(k·ΣT_j² − (ΣT_j)²) / (k·ΣR_i − ΣR_i²) ~ χ²(k−1); NULL
+    * q/p when every kept item has all-0 or all-k rows (denominator 0) or
+    * fewer than 2 treatments exist.
+    *
+    * Scale: one `(item, treatment)` cell aggregation, one item-keyed
+    * reduce for row totals + completeness, one treatment-bounded column
+    * total — shuffles bounded by cells, then items, then k. */
+  def cochranQ(df: DataFrame, itemCol: String, treatmentCol: String,
+      successCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(itemCol).as("i"), col(treatmentCol).cast("string").as("j"))
+      .agg(max(col(successCol).cast("int")).as("x"))
+    val k = cells.agg(count_distinct(col("j"))).head().getLong(0)
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls(nItems: Long) = spark.range(1).select(
+      lit(nItems).as("n_items"), lit(k).as("k"), dNull.as("q"),
+      lit(math.max(k - 1, 0)).as("df"), dNull.as("p_value"))
+    if (k < 2) return nulls(0)
+    val complete = cells.groupBy(col("i"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("x")).as("ri"))
+      .filter(col("_cnt") === k)
+    val kept = cells.join(complete.select(col("i")), Seq("i"), "left_semi")
+    val rowAgg = complete.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("ri")).cast("double").as("st"),
+      sum(col("ri") * col("ri")).cast("double").as("sr2")).head()
+    val nItems = rowAgg.getLong(0)
+    if (nItems == 0) return nulls(0)
+    val colAgg = kept.groupBy(col("j")).agg(sum(col("x")).as("tj"))
+      .agg(sum(col("tj") * col("tj")).cast("double").as("stj2")).head()
+    val st = rowAgg.getDouble(1); val sr2 = rowAgg.getDouble(2)
+    val denom = k * st - sr2
+    if (denom <= 0) return nulls(nItems)
+    val q = (k - 1) * (k * colAgg.getDouble(0) - st * st) / denom
+    val p = Drift.chi2Survival((k - 1).toInt, q)
+    spark.range(1).select(lit(nItems).as("n_items"), lit(k).as("k"),
+      lit(q).as("q"), lit(k - 1).as("df"), lit(p).as("p_value"))
+  }
+
+  /** Fleiss' κ — chance-corrected agreement for MANY raters per item
+    * ([[cohenKappa]] handles exactly two fixed raters; Fleiss handles "n
+    * annotators rated each item with a category", the multi-annotator
+    * labeling-QA shape). Input: one row per individual rating
+    * `(itemCol, categoryCol)`. Items with fewer than 2 ratings are
+    * dropped (within-item agreement is undefined on a single rating);
+    * unequal ratings-per-item use the standard generalization
+    * P_i = (Σ_j n_ij² − n_i) / (n_i(n_i−1)) with P̄ the unweighted item
+    * mean and P_e = Σ_j p_j² from the overall category proportions. One
+    * row out: `(n_items, n_ratings, k_categories, p_bar, p_e, kappa)`;
+    * NULL κ when P_e = 1 (a single category — agreement is vacuous).
+    *
+    * Scale: one `(item, category)` contingency aggregation (partial
+    * aggregation collapses to cells before the exchange), one item-keyed
+    * reduce, one category-bounded marginal — nothing row-sized after the
+    * scan. */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("i"), col(categoryCol).cast("string").as("j"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val perItem = cells
+      .groupBy(col("i"))
+      .agg(sum(col("nij")).as("ni"), sum(col("nij") * col("nij")).as("sq"))
+      .filter(col("ni") >= 2)
+      .select(col("ni"),
+        ((col("sq") - col("ni")) / (col("ni") * (col("ni") - 1))).as("pi"))
+    val itemAgg = perItem.agg(
+      count(lit(1)).as("n_items"), sum(col("ni")).as("n_ratings"),
+      avg(col("pi")).as("p_bar"))
+    // category proportions over the SURVIVING items only (the same
+    // ratings P̄ is computed from), via a semi-join-free re-aggregation of
+    // the cell table against the per-item filter
+    val kept = cells.join(
+      cells.groupBy(col("i")).agg(sum(col("nij")).as("_ni"))
+        .filter(col("_ni") >= 2).select(col("i")),
+      Seq("i"), "left_semi")
+    val byCat = kept.groupBy(col("j")).agg(sum(col("nij")).as("cj"))
+    val pe = byCat
+      .crossJoin(broadcast(byCat.agg(sum(col("cj")).as("_t"),
+        count(lit(1)).as("k_categories"))))
+      .agg(first(col("k_categories")).as("k_categories"),
+        sum(pow(col("cj") / col("_t"), 2)).as("p_e"))
+    itemAgg.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_ratings").cast("long").as("n_ratings"),
+        col("k_categories"), col("p_bar"), col("p_e"),
+        when(col("p_e") < 1,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))).as("kappa"))
+  }
 }

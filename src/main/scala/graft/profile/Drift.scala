@@ -1804,4 +1804,273 @@ object Drift {
           (col("_tot") - col("s")).cast("double") / (col("_n") - col("t")))
           .as("rate_after"))
   }
+
+  /** Chi-square upper-tail survival shared by the k-group tests below:
+    * the closed finite sum `exp(-x/2) Σ_{j<df/2} (x/2)^j / j!` for EVEN
+    * df (exact, and replayable verbatim in oracle SQL — the [[ljungBox]]
+    * convention), [[ColumnProfiler]]'s incomplete-gamma `Stat.chiSquareP`
+    * for odd df (exact to 1e-14, but not SQL-expressible — oracle-backed
+    * queries should stick to even-df designs). */
+  private[graft] def chi2Survival(dof: Int, x: Double): Double = {
+    require(dof >= 1, s"dof must be >= 1: $dof")
+    if (x <= 0) return 1.0
+    if (dof % 2 == 0) {
+      var term = 1.0; var acc = 1.0
+      for (j <- 1 until dof / 2) { term *= (x / 2) / j; acc += term }
+      math.min(1.0, math.exp(-x / 2) * acc)
+    } else Stat.chiSquareP(dof, x)
+  }
+
+  /** Jarque–Bera normality test — the moment-based screen "are skewness
+    * and excess kurtosis jointly consistent with a normal?" (the simpler,
+    * large-n sibling of [[dagostinoK2]], whose small-sample Z transforms
+    * it drops: JB = n/6·(g₁² + (b₂−3)²/4) ~ χ²(2) under normality). One
+    * row: `(n, g1, b2, jb, p_value)` with the exact χ²(2) survival
+    * `exp(−jb/2)`. NULL g1/b2/jb/p when n < 2 or the variance is 0.
+    * Complete-case on the column.
+    *
+    * Scale: ONE partial-aggregated scan for (n, Σx, Σx², Σx³, Σx⁴); all
+    * remaining algebra is scalar on the driver. Central moments come from
+    * raw power sums — the [[dagostinoK2]] caveat applies (fine for
+    * moderate mean/σ ratios: lengths, scores, rates). */
+  def jarqueBera(df: DataFrame, column: String): DataFrame = {
+    val x = col(column).cast("double")
+    val row = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .head()
+    val spark = df.sparkSession
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    def dNull = lit(null).cast("double")
+    def nulls = spark.range(1).select(lit(n).as("n"), dNull.as("g1"),
+      dNull.as("b2"), dNull.as("jb"), dNull.as("p_value"))
+    if (n < 2) return nulls
+    val nd = n.toDouble
+    val mu = row.getDouble(1) / nd
+    val m2 = row.getDouble(2) / nd - mu * mu
+    if (m2 <= 0) return nulls
+    val m3 = (row.getDouble(3) - 3 * mu * row.getDouble(2) + 2 * nd * mu * mu * mu) / nd
+    val m4 = (row.getDouble(4) - 4 * mu * row.getDouble(3) +
+      6 * mu * mu * row.getDouble(2) - 3 * nd * mu * mu * mu * mu) / nd
+    val g1 = m3 / math.pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    val jb = nd / 6.0 * (g1 * g1 + (b2 - 3.0) * (b2 - 3.0) / 4.0)
+    val p = math.exp(-jb / 2.0)
+    spark.range(1).select(lit(n).as("n"), lit(g1).as("g1"), lit(b2).as("b2"),
+      lit(jb).as("jb"), lit(p).as("p_value"))
+  }
+
+  /** Bartlett's test of variance homogeneity across k groups — the
+    * normal-theory complement of [[brownForsythe]] (Bartlett is the more
+    * powerful test when the data ARE near-normal; Brown–Forsythe is the
+    * robust one when they are not — ship both, read them together). One
+    * row: `(n, k, pooled_var, statistic, df, p_value)` with
+    * T = ((N−k)·ln Sp² − Σ(n_g−1)·ln s_g²) / C,
+    * C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)), T ~ χ²(k−1). Groups with
+    * n_g < 2 are dropped (their sample variance is undefined); NULL
+    * statistic when fewer than 2 groups survive or any surviving group
+    * has zero variance (ln s² = −∞). Complete-case on both columns.
+    *
+    * Scale: per-group (count, Σv, Σv²) moments — one partial-aggregated
+    * shuffle bounded by the group count — then a group-bounded scalar
+    * reduce on the driver. The p-value uses the even-df closed survival
+    * when k−1 is even (oracle-replayable), incomplete gamma otherwise. */
+  def bartlettTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val byG = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .filter(col("ng") >= 2)
+    // sample variance from exact power sums (the welchTTest convention)
+    val vg = (col("q") - col("s") * col("s") / col("ng")) / (col("ng") - 1)
+    val row = byG.agg(
+      sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      min(vg).as("_vmin"),
+      sum((col("ng") - 1) * when(vg > 0, log(vg))).as("_slnv"),
+      sum(lit(1.0) / (col("ng") - 1)).as("_sinv"),
+      sum(vg * (col("ng") - 1)).as("_ssw"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val k = if (row.isNullAt(1)) 0L else row.getLong(1)
+    def nulls = spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      dNull.as("pooled_var"), dNull.as("statistic"),
+      lit(math.max(k - 1, 0)).as("df"), dNull.as("p_value"))
+    if (k < 2 || n <= k || row.getDouble(2) <= 0) return nulls
+    val sp2 = row.getDouble(5) / (n - k)
+    val t0 = (n - k) * math.log(sp2) - row.getDouble(3)
+    val c = 1.0 + (row.getDouble(4) - 1.0 / (n - k)) / (3.0 * (k - 1))
+    val t = t0 / c
+    val p = chi2Survival((k - 1).toInt, t)
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(sp2).as("pooled_var"), lit(t).as("statistic"),
+      lit(k - 1).as("df"), lit(p).as("p_value"))
+  }
+
+  /** Mood's median test — "do these k groups share a median?", the
+    * coarsest and most outlier-proof of the k-group location tests
+    * ([[anovaF]] needs near-normality, [[kruskalWallis]] full rank
+    * information; Mood's only asks which side of the grand median each
+    * value falls on — use it when the data are heavy-tailed or censored
+    * at the tails). One row: `(n, k, grand_median, chi2, df, p_value)`:
+    * the 2×k contingency of (≤ median / > median) per group, Pearson χ²
+    * with k−1 df. The grand median is the LOWER median (the value at rank
+    * ⌈n/2⌉ of the sorted multiset — rank-exact, no interpolation, so both
+    * engines land on an observed value). NULL chi2/p when every value
+    * falls on one side (a constant column) or any group's expected count
+    * is 0. Complete-case on both columns.
+    *
+    * Scale: one distinct-value count (value-bounded) + a prefix sum over
+    * the distinct table for the median, then ONE per-group conditional
+    * count — two scans total, shuffles bounded by distinct values and
+    * group count. */
+  def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val counts = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum(col("c"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls(k: Long) = spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      dNull.as("grand_median"), dNull.as("chi2"),
+      lit(math.max(k - 1, 0)).as("df"), dNull.as("p_value"))
+    if (n == 0) return nulls(0)
+    // prefix sum over the DISTINCT-value table (value-bounded window, the
+    // wasserstein/energy pattern); lower median = first value whose
+    // cumulative count reaches ceil(n/2)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = counts.withColumn("cum", sum(col("c")).over(w))
+      .filter(col("cum") >= lit((n + 1) / 2))
+      .agg(min(col("v"))).head().getDouble(0)
+    val cells = base.groupBy(col("g")).agg(
+      sum(when(col("v") > cut, 1L).otherwise(0L)).cast("double").as("a"),
+      sum(when(col("v") <= cut, 1L).otherwise(0L)).cast("double").as("l"))
+    val row = cells
+      .crossJoin(broadcast(cells.agg(sum(col("a")).as("_ta"),
+        sum(col("l")).as("_tl"), count(lit(1)).as("_k"))))
+      .agg(
+        first(col("_k")).as("k"),
+        first(col("_ta")).as("ta"), first(col("_tl")).as("tl"),
+        // degenerate marginals (constant column) guard INSIDE the
+        // expression: ANSI mode turns the 0-expected division into an
+        // error, so the whole summand is gated on both totals being > 0
+        sum(when(col("_ta") > 0 && col("_tl") > 0,
+          pow(col("a") - (col("a") + col("l")) * col("_ta") / n, 2) /
+            ((col("a") + col("l")) * col("_ta") / n) +
+            pow(col("l") - (col("a") + col("l")) * col("_tl") / n, 2) /
+            ((col("a") + col("l")) * col("_tl") / n))).as("chi2"))
+      .head()
+    val k = row.getLong(0)
+    if (k < 2 || row.getDouble(1) == 0.0 || row.getDouble(2) == 0.0 ||
+        row.isNullAt(3)) return nulls(k)
+    val chi2 = row.getDouble(3)
+    val p = chi2Survival((k - 1).toInt, chi2)
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(cut).as("grand_median"), lit(chi2).as("chi2"),
+      lit(k - 1).as("df"), lit(p).as("p_value"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — "is this keyed series random
+    * noise around its level, or does it trend/cluster?": too FEW runs of
+    * above/below-mean values means positive autocorrelation (regimes),
+    * too many means oscillation. Per key: binarize at the key's mean
+    * (values exactly equal to the mean drop — the standard convention),
+    * count runs R over the `orderCols` order, and report
+    * z = (R − μ_R)/σ_R with μ_R = 2n₁n₂/n + 1. One row per key:
+    * `(key, n1, n2, runs, z)`; NULL z when either side is empty or n < 2;
+    * a constant key (every value equals the mean) drops from the output
+    * entirely. Negative z = fewer runs than chance = clustering/trend.
+    *
+    * Scale: one per-key moment pass for the means, one keyed window scan
+    * (partitioned by key — never a global window) for the lag compare,
+    * one per-key reduce. Keyed cardinality bounds every shuffle. */
+  def runsTestByKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "runsTestByKey needs at least one order column")
+    val base = df
+      .select((col(keyCol).cast("string").as("key") +:
+        col(valueCol).cast("double").as("v") +:
+        orderCols.map(c => col(c))): _*)
+      .filter(col("key").isNotNull && col("v").isNotNull)
+    val means = base.groupBy(col("key"))
+      .agg((sum(col("v")) / count(lit(1))).as("_mu"))
+    val signed = base.join(means, Seq("key"))
+      .filter(col("v") =!= col("_mu"))
+      .withColumn("_s", when(col("v") > col("_mu"), 1).otherwise(0))
+    val w = Window.partitionBy(col("key")).orderBy(orderCols.map(col): _*)
+    val runs = signed
+      .withColumn("_prev", lag(col("_s"), 1).over(w))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("_s")).cast("long").as("n1"),
+        sum(lit(1) - col("_s")).cast("long").as("n2"),
+        (sum(when(col("_prev").isNull || col("_prev") =!= col("_s"), 1L)
+          .otherwise(0L))).cast("long").as("runs"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val muR = lit(2.0) * n1 * n2 / nn + 1
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1))
+    runs.select(col("key"), col("n1"), col("n2"), col("runs"),
+      when(col("n1") > 0 && col("n2") > 0 && nn > 1 && varR > 0,
+        (col("runs") - muR) / sqrt(varR)).as("z"))
+  }
+
+  /** Standardized effect-size panel for a two-slice mean difference — the
+    * magnitude report a significance test can't carry ([[welchTTest]]
+    * emits Cohen's d alone; this is the full family a drift review wants
+    * side by side). One row: `(n_a, n_b, mean_a, mean_b, diff, cohens_d,
+    * hedges_g, glass_delta, var_ratio)` — d on the pooled SD, Hedges' g =
+    * d·(1 − 3/(4(nₐ+n_b)−9)) (the small-sample bias correction), Glass's
+    * Δ on slice-a's SD alone (a = the control/reference slice — use when
+    * the treatment changes the variance), and the a/b variance ratio.
+    * NULLs where the respective denominator variance is 0 or a slice has
+    * n < 2. Complete-case per side.
+    *
+    * Scale: ONE (count, Σv, Σv²) aggregation per side; scalar algebra on
+    * the driver. */
+  def effectSizes(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    def side(df: DataFrame) = df
+      .select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .head()
+    val (ra, rb) = (side(a), side(b))
+    val (na, nb) = (ra.getLong(0), rb.getLong(0))
+    val spark = a.sparkSession
+    def dNull = lit(null).cast("double")
+    def out(o: Option[Double]) = o.map(lit(_).cast("double")).getOrElse(dNull)
+    val ma = if (na > 0) Some(ra.getDouble(1) / na) else None
+    val mb = if (nb > 0) Some(rb.getDouble(1) / nb) else None
+    if (na < 2 || nb < 2) {
+      return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        out(ma).as("mean_a"), out(mb).as("mean_b"),
+        out(for (x <- ma; y <- mb) yield x - y).as("diff"),
+        dNull.as("cohens_d"), dNull.as("hedges_g"), dNull.as("glass_delta"),
+        dNull.as("var_ratio"))
+    }
+    val va = (ra.getDouble(2) - ra.getDouble(1) * ra.getDouble(1) / na) / (na - 1)
+    val vb = (rb.getDouble(2) - rb.getDouble(1) * rb.getDouble(1) / nb) / (nb - 1)
+    val diff = ma.get - mb.get
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2).toDouble
+    val d = if (sp2 > 0) Some(diff / math.sqrt(sp2)) else None
+    val g = d.map(_ * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)))
+    val glass = if (va > 0) Some(diff / math.sqrt(va)) else None
+    val vr = if (vb > 0) Some(va / vb) else None
+    spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(ma.get).as("mean_a"), lit(mb.get).as("mean_b"),
+      lit(diff).as("diff"), out(d).as("cohens_d"), out(g).as("hedges_g"),
+      out(glass).as("glass_delta"), out(vr).as("var_ratio"))
+  }
 }

@@ -884,4 +884,147 @@ class DriftSpec extends SparkSpecBase {
     val const = (0 until 50).map(t => (t.toLong, 3.0)).toDF("t", "y")
     assert(Drift.ljungBox(const, "t", "y", maxLag = 4).collect().head.isNullAt(3))
   }
+
+  test("jarqueBera matches a definitional reference; skewed data rejects") {
+    val xs = (1 to 400).map(i => math.pow(i % 21 + 1, 2).toDouble)
+    val r = Drift.jarqueBera(xs.toDF("x"), "x").collect().head
+    // naive central-moment reference
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    def m(k: Int) = xs.map(v => math.pow(v - mu, k)).sum / n
+    val g1 = m(3) / math.pow(m(2), 1.5)
+    val b2 = m(4) / (m(2) * m(2))
+    val jb = n / 6 * (g1 * g1 + (b2 - 3) * (b2 - 3) / 4)
+    assert(r.getLong(0) == 400L)
+    assert(math.abs(r.getAs[Double]("g1") - g1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - b2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("jb") - jb) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-jb / 2)) < 1e-12)
+    assert(r.getAs[Double]("p_value") < 0.01, "quadratic ramp is skewed")
+    // symmetric near-normal data (full-factorial sum of 4 base-5 digits:
+    // exactly zero skew, excess kurtosis -1.3/4) keeps JB in the accept
+    // region at n = 625
+    val tri = (0 until 625).map(i =>
+      (i % 5 + i / 5 % 5 + i / 25 % 5 + i / 125 % 5).toDouble)
+    val rt = Drift.jarqueBera(tri.toDF("x"), "x").collect().head
+    assert(math.abs(rt.getAs[Double]("g1")) < 1e-9, "factorial sum is symmetric")
+    assert(rt.getAs[Double]("p_value") > 0.05,
+      s"near-normal sum should not reject: ${rt.getAs[Double]("p_value")}")
+    // constant column -> NULLs
+    assert(Drift.jarqueBera(Seq(5.0, 5.0, 5.0).toDF("x"), "x")
+      .collect().head.isNullAt(3))
+  }
+
+  test("bartlettTest: equal variances accept, 10x variance rejects, hand ref") {
+    // three groups with identical shapes -> statistic ~ 0
+    val eq = (0 until 300).map(i => (s"g${i % 3}", (i / 3 % 20).toDouble))
+    val re = Drift.bartlettTest(eq.toDF("g", "v"), "g", "v").collect().head
+    assert(re.getLong(1) == 3L)
+    assert(math.abs(re.getAs[Double]("statistic")) < 1e-9)
+    assert(re.getAs[Double]("p_value") > 0.999)
+    // one group scaled 5x in spread (25x variance) -> reject
+    val un = (0 until 300).map { i =>
+      val g = i % 3
+      (s"g$g", (i / 3 % 20).toDouble * (if (g == 0) 5 else 1))
+    }
+    val ru = Drift.bartlettTest(un.toDF("g", "v"), "g", "v").collect().head
+    assert(ru.getAs[Double]("p_value") < 1e-6)
+    // definitional reference on the unequal case
+    val byG = un.groupBy(_._1).values.toSeq.map { rows =>
+      val vs = rows.map(_._2)
+      val ng = vs.length
+      val mean = vs.sum / ng
+      (ng, vs.map(v => (v - mean) * (v - mean)).sum / (ng - 1))
+    }
+    val nTot = byG.map(_._1).sum
+    val k = byG.size
+    val sp2 = byG.map { case (ng, v) => (ng - 1) * v }.sum / (nTot - k)
+    val t0 = (nTot - k) * math.log(sp2) -
+      byG.map { case (ng, v) => (ng - 1) * math.log(v) }.sum
+    val c = 1.0 + (byG.map(g => 1.0 / (g._1 - 1)).sum - 1.0 / (nTot - k)) /
+      (3.0 * (k - 1))
+    assert(math.abs(ru.getAs[Double]("statistic") - t0 / c) < 1e-8)
+    // a zero-variance group -> NULL statistic
+    val z = (0 until 60).map(i => (s"g${i % 2}",
+      if (i % 2 == 0) 7.0 else (i % 10).toDouble))
+    assert(Drift.bartlettTest(z.toDF("g", "v"), "g", "v")
+      .collect().head.isNullAt(3))
+    // single-rating groups drop: only one group survives -> NULLs
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 5.0))
+    assert(Drift.bartlettTest(tiny.toDF("g", "v"), "g", "v")
+      .collect().head.getLong(1) == 1L)
+  }
+
+  test("moodMedianTest: hand 2x2 chi2, constant NULL, lower-median contract") {
+    // g0 all below the grand median, g1 all above: maximal separation
+    val df = ((1 to 10).map(i => ("g0", i.toDouble)) ++
+      (1 to 10).map(i => ("g1", 100.0 + i))).toDF("g", "v")
+    val r = Drift.moodMedianTest(df, "g", "v").collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 2L)
+    // lower median of 1..10,101..110 = value at rank 10 = 10.0
+    assert(r.getAs[Double]("grand_median") == 10.0)
+    // cells: g0 (a=0, l=10), g1 (a=10, l=0); every e = 5 -> chi2 = 20
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0) < 1e-9)
+    assert(r.getAs[Double]("p_value") < 1e-4)
+    // identical groups: chi2 ~ small, p large
+    val same = (0 until 200).map(i => (s"g${i % 2}", (i / 2 % 10).toDouble))
+    val rs = Drift.moodMedianTest(same.toDF("g", "v"), "g", "v").collect().head
+    assert(math.abs(rs.getAs[Double]("chi2")) < 1e-9)
+    assert(rs.getAs[Double]("p_value") > 0.999)
+    // constant column: everything <= median -> NULL chi2
+    val c = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Drift.moodMedianTest(c, "g", "v").collect().head.isNullAt(3))
+    // odd n: lower median of {1,2,3} is 2
+    val odd = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(Drift.moodMedianTest(odd, "g", "v")
+      .collect().head.getAs[Double]("grand_median") == 2.0)
+  }
+
+  test("runsTestByKey: alternating vs block series, equal-to-mean drop") {
+    // alternating 0/10 around mean 5: maximal runs -> strongly positive z
+    val alt = (0 until 40).map(i => ("a", i.toLong, if (i % 2 == 0) 0.0 else 10.0))
+    // block series: 20 lows then 20 highs -> 2 runs -> strongly negative z
+    val blk = (0 until 40).map(i => ("b", i.toLong, if (i < 20) 0.0 else 10.0))
+    val df = (alt ++ blk).toDF("k", "t", "v")
+    val out = Drift.runsTestByKey(df, "k", Seq("t"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(3) == 40L, "alternation = one run per value")
+    assert(out("a").getAs[Double]("z") > 5.0)
+    assert(out("b").getLong(3) == 2L)
+    assert(out("b").getAs[Double]("z") < -5.0)
+    // hand z for the block case: n1 = n2 = 20, R = 2
+    val mu = 2.0 * 20 * 20 / 40 + 1
+    val v2 = 2.0 * 20 * 20 * (2.0 * 20 * 20 - 40) / (40.0 * 40 * 39)
+    assert(math.abs(out("b").getAs[Double]("z") - (2 - mu) / math.sqrt(v2)) < 1e-12)
+    // values equal to the key mean drop; constant key vanishes
+    val mixed = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 2.0),
+      ("c", 4L, 8.0), ("d", 1L, 7.0), ("d", 2L, 7.0)).toDF("k", "t", "v")
+    val rows = Drift.runsTestByKey(mixed, "k", Seq("t"), "v").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("c"), "constant key drops")
+    val rc = rows.head
+    assert(rc.getLong(1) == 1L && rc.getLong(2) == 1L, "equal-to-mean drops")
+  }
+
+  test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
+    val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
+    val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
+    val r = Drift.effectSizes(a, b, "x").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(math.abs(r.getAs[Double]("diff") - 3.0) < 1e-12)
+    val d = 3.0 / math.sqrt(10.0)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hedges_g") - d * (1 - 3.0 / 31)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("glass_delta") - d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_ratio") - 1.0) < 1e-12)
+    // constant slices: d/g/glass NULL, diff still present
+    val c1 = Seq(2.0, 2.0).toDF("x")
+    val c2 = Seq(1.0, 1.0).toDF("x")
+    val rc = Drift.effectSizes(c1, c2, "x").collect().head
+    assert(math.abs(rc.getAs[Double]("diff") - 1.0) < 1e-12)
+    assert(rc.isNullAt(rc.fieldIndex("cohens_d")) &&
+      rc.isNullAt(rc.fieldIndex("var_ratio")))
+    // n < 2 on one side -> moments only
+    val r1 = Drift.effectSizes(Seq(3.0).toDF("x"), b, "x").collect().head
+    assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
+  }
 }

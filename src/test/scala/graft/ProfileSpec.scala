@@ -774,4 +774,67 @@ class ProfileSpec extends SparkSpecBase {
       const.getAs[Double]("p_greater") == 1.0 &&
       const.isNullAt(const.fieldIndex("odds_ratio")))
   }
+
+  test("cochranQ: hand-computed Q, incomplete-block drop, degenerate NULL") {
+    // 4 items x 3 treatments: T = (4,2,1), R = (2,1,3,1)
+    // Q = (k-1)(k*SumT^2 - (SumT)^2)/(k*SumR - SumR^2) = 2*(63-49)/6 = 14/3
+    val obs = Seq(
+      (1L, "A", 1), (1L, "B", 1), (1L, "C", 0),
+      (2L, "A", 1), (2L, "B", 0), (2L, "C", 0),
+      (3L, "A", 1), (3L, "B", 1), (3L, "C", 1),
+      (4L, "A", 1), (4L, "B", 0), (4L, "C", 0)).toDF("i", "tr", "x")
+    val r = graft.profile.Association.cochranQ(obs, "i", "tr", "x")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(3) == 2L)
+    assert(math.abs(r.getAs[Double]("q") - 14.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-7.0 / 3.0)) < 1e-12)
+    // an item missing treatment C drops; duplicates reduce by max
+    val more = obs.union(Seq((5L, "A", 1), (5L, "B", 1),
+      (2L, "C", 1), (2L, "C", 0)).toDF("i", "tr", "x"))
+    val rm = graft.profile.Association.cochranQ(more, "i", "tr", "x")
+      .collect().head
+    assert(rm.getLong(0) == 4L, "incomplete item 5 must drop")
+    // max-reduction flipped item 2's C cell to 1: T = (4,2,2), R = (2,2,3,1)
+    // Q = 2*(3*24 - 64)/(3*8 - 18) = 16/6
+    assert(math.abs(rm.getAs[Double]("q") - 16.0 / 6.0) < 1e-12)
+    // all-success blocks: denominator 0 -> NULL
+    val flat = Seq((1L, "A", 1), (1L, "B", 1), (2L, "A", 1), (2L, "B", 1))
+      .toDF("i", "tr", "x")
+    assert(graft.profile.Association.cochranQ(flat, "i", "tr", "x")
+      .collect().head.isNullAt(2))
+  }
+
+  test("fleissKappa: Fleiss 1971 table, single-rating drop, constant NULL") {
+    // the classic 10-subject / 14-rater / 5-category table (Fleiss 1971):
+    // kappa = 0.210 (P-bar 0.378, Pe 0.213)
+    val counts = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val ratings = counts.zipWithIndex.flatMap { case (row, item) =>
+      row.zipWithIndex.flatMap { case (c, cat) =>
+        Seq.fill(c)((item.toLong, s"c$cat"))
+      }
+    }
+    val r = graft.profile.Association
+      .fleissKappa(ratings.toDF("item", "cat"), "item", "cat")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 140L && r.getLong(2) == 5L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 0.3780219780219781) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.2127551020408163) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.20993) < 5e-4)
+    // items with a single rating drop from BOTH P-bar and the marginals
+    val mixed = ratings ++ Seq((99L, "c0"))
+    val rm = graft.profile.Association
+      .fleissKappa(mixed.toDF("item", "cat"), "item", "cat").collect().head
+    assert(rm.getLong(0) == 10L && rm.getLong(1) == 140L)
+    assert(math.abs(rm.getAs[Double]("p_bar") - r.getAs[Double]("p_bar")) < 1e-12)
+    // a single category everywhere: pe = 1 -> NULL kappa
+    val c = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("item", "cat")
+    val rc = graft.profile.Association.fleissKappa(c, "item", "cat")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+    assert(math.abs(rc.getAs[Double]("p_bar") - 1.0) < 1e-12)
+  }
 }
