@@ -2873,6 +2873,62 @@ object SparkEntry {
         .gateOrdered(col("key"))
     }),
 
+    // ---- Durbin-Watson per event type: value vs hour trend (Drift) --------
+    // x centered at the 2024-01-01 epoch so the OLS denominator never
+    // cancels; keyed windows over (ts, event_id)
+    "q310_durbin_watson" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
+        .withColumn("xh",
+          (floor(unix_timestamp(col("ts")) / 3600) - lit(473702L)).cast("double"))
+        .withColumn("yc", col("value") - 35.0)
+      Drift.durbinWatson(ev, "event_type", Seq("ts", "event_id"), "xh", "yc")
+        .select(col("key"), col("n"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+          (round(col("dw"), 6) + lit(0.0)).as("dw"))
+        .gateOrdered(col("key"))
+    }),
+
+    // ---- Breusch-Pagan heteroscedasticity: value vs hour (Drift) ----------
+    // two moment passes; chi2(1) survival via the shared A&S polynomial
+    "q311_breusch_pagan" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("xh",
+          (floor(unix_timestamp(col("ts")) / 3600) - lit(473702L)).cast("double"))
+        .withColumn("yc", col("value") - 35.0)
+      Drift.breuschPagan(ev, "xh", "yc")
+        .select(col("n"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+          (round(col("lm"), 6) + lit(0.0)).as("lm"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- classical seasonal decomposition of daily volume (Temporal) ------
+    // period-7 centered MA trend + zero-mean weekday indices on the
+    // zero-filled day spine
+    "q312_seasonal_decompose" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val daily = ev.groupBy(floor(unix_timestamp(col("ts")) / 86400).as("t"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 86400).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("t"))
+      val series = spine.join(daily, Seq("t"), "left").na.fill(0.0, Seq("y"))
+      Temporal.classicalDecompose(series, "t", "y", period = 7)
+        .select(col("t"), col("y"),
+          (round(col("trend"), 6) + lit(0.0)).as("trend"),
+          (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+          (round(col("remainder"), 6) + lit(0.0)).as("remainder"))
+        .gateOrdered(col("t"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8107,6 +8163,82 @@ object SparkEntry {
                  / (pow((n1 + n2)::DOUBLE, 2) * (n1 + n2 - 1))), 6) + 0.0
              END AS z
          FROM r ORDER BY kk""",
+    // per-key closed-form OLS from raw moments (x centered at the same
+    // epoch literal), residual lag window, the same DW ratio
+    "q310_durbin_watson" ->
+      """WITH b AS (SELECT event_type kk, ts, event_id,
+                  floor(epoch(ts) / 3600) - 473702 x, value - 35.0 y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         m AS (SELECT kk, count(*)::BIGINT n, sum(x) sx, sum(y) sy,
+                 sum(x * x) sxx, sum(x * y) sxy
+               FROM b GROUP BY 1),
+         f AS (SELECT kk, n, sx, sy,
+                 CASE WHEN n * sxx - sx * sx > 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END b0
+               FROM m),
+         f2 AS (SELECT kk, n, b0, (sy - b0 * sx) / n a0 FROM f),
+         e AS (SELECT b.kk, f2.n, b0, a0, y - a0 - b0 * x e,
+                 lag(y - a0 - b0 * x)
+                   OVER (PARTITION BY b.kk ORDER BY ts, event_id) ep
+               FROM b JOIN f2 ON f2.kk = b.kk),
+         r AS (SELECT kk, max(n) n, max(b0) b0, max(a0) a0,
+                 sum(e * e) see, sum((e - ep) * (e - ep)) sde
+               FROM e GROUP BY 1)
+         SELECT kk AS "key", n, round(b0, 6) + 0.0 AS slope,
+           round(a0, 6) + 0.0 AS intercept,
+           CASE WHEN see > 0 THEN round(sde / see, 6) + 0.0 END AS dw
+         FROM r ORDER BY kk""",
+    // the two-pass LM construction; p via the identical A&S erfc
+    // polynomial (t in 1/(1 + 0.3275911*sqrt(lm/2)))
+    "q311_breusch_pagan" ->
+      """WITH b AS (SELECT floor(epoch(ts) / 3600) - 473702 x,
+                  value - 35.0 y
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         m AS (SELECT count(*)::BIGINT n, sum(x) sx, sum(y) sy,
+                 sum(x * x) sxx, sum(x * y) sxy FROM b),
+         f AS (SELECT n, sx, sy, n * sxx - sx * sx den,
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) b0 FROM m),
+         f2 AS (SELECT n, sx, den, b0, (sy - b0 * sx) / n a0 FROM f),
+         m2 AS (SELECT n, sx, den, b0, a0,
+                 sum(pow(y - a0 - b0 * x, 2)) su,
+                 sum(x * pow(y - a0 - b0 * x, 2)) sxu,
+                 sum(pow(pow(y - a0 - b0 * x, 2), 2)) suu
+               FROM b, f2 GROUP BY 1, 2, 3, 4, 5),
+         lmx AS (SELECT n, b0, a0,
+                 n * pow(n * sxu - sx * su, 2) / (den * (n * suu - su * su)) lm
+               FROM m2),
+         pp AS (SELECT n, b0, a0, lm,
+                 1 / (1 + 0.3275911 * sqrt(lm / 2)) t FROM lmx)
+         SELECT n, round(b0, 6) + 0.0 AS slope, round(a0, 6) + 0.0 AS intercept,
+           round(lm, 6) + 0.0 AS lm, 1 AS df,
+           round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+             + t * (-1.453152027 + t * 1.061405429)))) * exp(-lm / 2), 6)
+             + 0.0 AS p_value
+         FROM pp""",
+    // the q301 day spine; trend via the bounded offsets join; weekday
+    // indices re-centered to zero mean
+    "q312_seasonal_decompose" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 86400)::BIGINT d FROM events
+                WHERE ts IS NOT NULL),
+         daily AS (SELECT d, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(d) FROM e),
+                  (SELECT max(d) FROM e) + 1)) t),
+         s AS (SELECT spine.t, coalesce(daily.y, 0) y
+               FROM spine LEFT JOIN daily ON daily.d = spine.t),
+         off AS (SELECT unnest(range(-3, 4)) o),
+         tr AS (SELECT s.t + o tt, count(*) cnt, sum(y) / 7 trv
+                FROM s, off GROUP BY 1 HAVING count(*) = 7),
+         detr AS (SELECT s.t, s.y, tr.trv
+                FROM s LEFT JOIN tr ON tr.tt = s.t),
+         ph AS (SELECT t % 7 p, avg(y - trv) s0 FROM detr
+                WHERE trv IS NOT NULL GROUP BY 1),
+         c AS (SELECT p, s0 - (SELECT avg(s0) FROM ph) sv FROM ph)
+         SELECT d.t, d.y, round(d.trv, 6) + 0.0 AS trend,
+           round(c.sv, 6) + 0.0 AS seasonal,
+           round(d.y - d.trv - c.sv, 6) + 0.0 AS remainder
+         FROM detr d LEFT JOIN c ON c.p = d.t % 7 ORDER BY d.t""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

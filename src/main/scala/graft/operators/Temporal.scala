@@ -215,4 +215,54 @@ object Temporal {
     }
     filled.select(keyCols.map(col) :+ col("bucket") :+ col("n_events") :+ col("value"): _*)
   }
+
+  /** Classical additive seasonal decomposition — y = trend + seasonal +
+    * remainder over a REGULAR integer time index (the moving-average
+    * decomposition behind every "is this weekly pattern or real growth?"
+    * question; STL's simpler, deterministic ancestor). Trend is the
+    * centered moving average of width `period` (the standard 2×p MA when
+    * `period` is even: half-weight endpoints, so the window stays
+    * symmetric); rows whose full window runs off either edge get NULL
+    * trend. Seasonal indices are the per-phase means of the detrended
+    * series, re-centered to sum to zero; remainder = y − trend −
+    * seasonal. Output: `(t, y, trend, seasonal, remainder)`, one row per
+    * input row.
+    *
+    * Scale: the series is calendar-bounded (a day/hour spine), but every
+    * step is still a bounded keyed operation — the trend is ONE
+    * broadcast-offsets explode + re-key by target index (never a global
+    * window), seasonal is a `period`-bounded groupBy, and the final
+    * assembly is two keyed joins. Nothing materializes on the driver. */
+  def classicalDecompose(series: DataFrame, tCol: String, yCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val spark = series.sparkSession
+    val base = series
+      .select(col(tCol).cast("long").as("t"), col(yCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val h = period / 2
+    val even = period % 2 == 0
+    // offset table: |o| = h gets weight 0.5 in the even-period 2xp MA
+    val offsets = spark.range(-h, h + 1).select(col("id").as("o"),
+      (if (even) when(abs(col("id")) === h, 0.5).otherwise(1.0)
+       else lit(1.0)).as("w"))
+    val full = if (even) period + 1 else period
+    val trend = base.crossJoin(broadcast(offsets))
+      .groupBy((col("t") + col("o")).as("t"))
+      .agg(count(lit(1)).as("_cnt"), (sum(col("w") * col("y")) / period).as("_tr"))
+      .filter(col("_cnt") === full)
+      .select(col("t"), col("_tr"))
+    val detr = base.join(trend, Seq("t"), "left")
+      .withColumn("_phase", pmod(col("t"), lit(period.toLong)))
+      .withColumn("_d", col("y") - col("_tr"))
+    val phase = detr.filter(col("_d").isNotNull)
+      .groupBy(col("_phase")).agg(avg(col("_d")).as("_s0"))
+    val centered = phase
+      .crossJoin(broadcast(phase.agg(avg(col("_s0")).as("_m"))))
+      .select(col("_phase"), (col("_s0") - col("_m")).as("_s"))
+    detr.join(broadcast(centered), Seq("_phase"), "left")
+      .select(col("t"), col("y"), col("_tr").as("trend"),
+        col("_s").as("seasonal"),
+        (col("y") - col("_tr") - col("_s")).as("remainder"))
+  }
 }

@@ -2026,6 +2026,116 @@ object Drift {
         (col("runs") - muR) / sqrt(varR)).as("z"))
   }
 
+  /** Durbin–Watson autocorrelation diagnostic per key — "after fitting a
+    * linear trend, are the residuals still serially correlated?" (DW ≈ 2
+    * = none; → 0 = positive autocorrelation, the usual time-series
+    * failure; → 4 = negative). Per key: closed-form simple-OLS fit of
+    * `yCol` on `xCol` from one moment pass, then
+    * DW = Σ(e_t−e_{t−1})² / Σe_t² over the `orderCols` order. One row per
+    * key: `(key, n, slope, intercept, dw)`; NULL slope/dw for a key with
+    * constant x, NULL dw for a perfect fit (Σe² = 0). Complete-case.
+    *
+    * Callers should CENTER x (e.g. epoch − a literal base) — the
+    * slope denominator n·Σx² − (Σx)² cancels catastrophically for raw
+    * epoch-scale x. Scale: one per-key moment aggregation, one keyed
+    * join back, one keyed-window lag pass — shuffles bounded by keys and
+    * rows, never a global window. */
+  def durbinWatson(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "durbinWatson needs at least one order column")
+    val base = df
+      .select((col(keyCol).cast("string").as("key") +:
+        col(xCol).cast("double").as("x") +:
+        col(yCol).cast("double").as("y") +:
+        orderCols.map(c => col(c))): _*)
+      .filter(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val mom = base.groupBy(col("key")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val fit2 = mom.select(col("key"), col("n"),
+      when(den > 0, (col("n") * col("sxy") - col("sx") * col("sy")) / den)
+        .as("slope"), col("sx"), col("sy"))
+      .select(col("key"), col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+    val j = base.join(fit2, Seq("key"))
+      .withColumn("_e", col("y") - col("intercept") - col("slope") * col("x"))
+    val w = Window.partitionBy(col("key")).orderBy(orderCols.map(col): _*)
+    val resid = j.withColumn("_de", col("_e") - lag(col("_e"), 1).over(w))
+      .groupBy(col("key"))
+      .agg(first(col("n")).as("n"), first(col("slope")).as("slope"),
+        first(col("intercept")).as("intercept"),
+        sum(col("_e") * col("_e")).as("_see"),
+        sum(col("_de") * col("_de")).as("_sde"))
+    resid.select(col("key"), col("n"), col("slope"), col("intercept"),
+      when(col("_see") > 0, col("_sde") / col("_see")).as("dw"))
+  }
+
+  /** Upper-tail standard-normal survival via the Abramowitz–Stegun
+    * 7.1.26 erfc polynomial (|ε| < 1.5e-7) — NOT a maximally-exact Φ̄:
+    * the point is that the SAME closed formula evaluates on any SQL
+    * engine (exp + a degree-5 polynomial), so oracle replays agree to
+    * double rounding rather than to "whose erf implementation". Used for
+    * odd-df chi-square survivals (χ²(1) = 2·Φ̄(√x)). */
+  private[graft] def normalSfAS(z: Double): Double = {
+    if (z < 0) return 1.0 - normalSfAS(-z)
+    val zz = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * zz)
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    0.5 * poly * math.exp(-zz * zz)
+  }
+
+  /** Breusch–Pagan (Koenker studentized) heteroscedasticity test — "does
+    * the residual VARIANCE of y ~ x move with x?" (constant variance is
+    * what every OLS standard error and every z-monitor on a rate
+    * assumes; funnel-shaped residuals silently break them). Closed-form
+    * simple OLS of y on x, then the auxiliary regression of e² on x:
+    * LM = n·R²_aux ~ χ²(1). One row: `(n, slope, intercept, lm, df,
+    * p_value)`; NULL lm/p when x is constant or e² is constant (no
+    * auxiliary variance). The p-value is the A&S-polynomial χ²(1)
+    * survival ([[normalSfAS]]) — reproducible verbatim in oracle SQL.
+    * Complete-case.
+    *
+    * Scale: two partial-aggregated moment scans (the OLS coefficients
+    * must land before e² sums can accumulate — inherent to the test),
+    * scalar algebra on the driver. Center x; see [[durbinWatson]]. */
+  def breuschPagan(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy")).head()
+    val spark = df.sparkSession
+    val n = if (m.isNullAt(0)) 0L else m.getLong(0)
+    def dNull = lit(null).cast("double")
+    def nulls(slope: Option[Double], icept: Option[Double]) = {
+      def o(v: Option[Double]) = v.map(lit(_).cast("double")).getOrElse(dNull)
+      spark.range(1).select(lit(n).as("n"), o(slope).as("slope"),
+        o(icept).as("intercept"), dNull.as("lm"), lit(1).as("df"),
+        dNull.as("p_value"))
+    }
+    if (n < 3) return nulls(None, None)
+    val den = n * m.getDouble(3) - m.getDouble(1) * m.getDouble(1)
+    if (den <= 0) return nulls(None, None)
+    val b = (n * m.getDouble(4) - m.getDouble(1) * m.getDouble(2)) / den
+    val a = (m.getDouble(2) - b * m.getDouble(1)) / n
+    val u = pow(col("y") - a - col("x") * b, 2)
+    val m2 = base.agg(sum(u).as("su"), sum(col("x") * u).as("sxu"),
+      sum(u * u).as("suu")).head()
+    val su = m2.getDouble(0); val sxu = m2.getDouble(1); val suu = m2.getDouble(2)
+    val denU = n * suu - su * su
+    if (denU <= 0) return nulls(Some(b), Some(a))
+    val cov = n * sxu - m.getDouble(1) * su
+    val r2 = cov * cov / (den * denU)
+    val lm = n * r2
+    val p = 2.0 * normalSfAS(math.sqrt(lm))
+    spark.range(1).select(lit(n).as("n"), lit(b).as("slope"),
+      lit(a).as("intercept"), lit(lm).as("lm"), lit(1).as("df"),
+      lit(p).as("p_value"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

@@ -1005,6 +1005,71 @@ class DriftSpec extends SparkSpecBase {
     assert(rc.getLong(1) == 1L && rc.getLong(2) == 1L, "equal-to-mean drops")
   }
 
+  test("durbinWatson: exact OLS recovery, hand DW, degenerate guards") {
+    // residuals orthogonal to x and zero-mean: OLS recovers (2, 3) exactly
+    // and the residuals equal e, so DW = sum(de^2)/sum(e^2) = 18/8
+    val e = Seq(1.0, -1.0, -1.0, 1.0, 0.0, 0.0, 1.0, -1.0, -1.0, 1.0)
+    val rows = e.zipWithIndex.map { case (ei, t) =>
+      ("a", t.toLong, t.toDouble, 2.0 + 3.0 * t + ei)
+    }
+    val r = Drift.durbinWatson(rows.toDF("k", "t", "x", "y"),
+      "k", Seq("t"), "x", "y").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dw") - 18.0 / 8.0) < 1e-9)
+    // perfect fit: NULL dw, exact coefficients
+    val fit = (0 until 8).map(t => ("b", t.toLong, t.toDouble, 5.0 - 2.0 * t))
+    val rf = Drift.durbinWatson(fit.toDF("k", "t", "x", "y"),
+      "k", Seq("t"), "x", "y").collect().head
+    assert(math.abs(rf.getAs[Double]("slope") + 2.0) < 1e-9)
+    assert(rf.isNullAt(rf.fieldIndex("dw")))
+    // constant x: NULL slope/intercept/dw
+    val cx = (0 until 5).map(t => ("c", t.toLong, 1.0, t.toDouble))
+    val rc = Drift.durbinWatson(cx.toDF("k", "t", "x", "y"),
+      "k", Seq("t"), "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("slope")) &&
+      rc.isNullAt(rc.fieldIndex("dw")))
+  }
+
+  test("breuschPagan: naive two-pass reference; fan-shaped noise rejects") {
+    // heteroscedastic: noise amplitude grows with x
+    val het = (0 until 400).map { i =>
+      val x = (i / 4).toDouble
+      (x, 1.0 + 0.5 * x + (if (i % 2 == 0) 1 else -1) * 0.1 * x)
+    }
+    val r = Drift.breuschPagan(het.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getAs[Double]("p_value") < 1e-6, "fan noise must reject")
+    // naive reference of the same construction
+    val n = het.size.toDouble
+    val (sx, sy) = (het.map(_._1).sum, het.map(_._2).sum)
+    val sxx = het.map(p => p._1 * p._1).sum
+    val sxy = het.map(p => p._1 * p._2).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val u = het.map { case (x, y) => (x, math.pow(y - a - b * x, 2)) }
+    val (su, sxu, suu) = (u.map(_._2).sum, u.map(p => p._1 * p._2).sum,
+      u.map(p => p._2 * p._2).sum)
+    val lmRef = n * math.pow(n * sxu - sx * su, 2) /
+      ((n * sxx - sx * sx) * (n * suu - su * su))
+    assert(math.abs(r.getAs[Double]("lm") - lmRef) < 1e-6)
+    assert(math.abs(r.getAs[Double]("slope") - b) < 1e-9)
+    // homoscedastic noise (same +-1/+-2 pattern at every x): u is
+    // uncorrelated with x by construction, LM = 0, p ~ 1
+    val pat = Seq(1.0, -1.0, 2.0, -2.0)
+    val hom = (0 until 400).map { i =>
+      val x = (i / 4).toDouble
+      (x, 1.0 + 0.5 * x + pat(i % 4))
+    }
+    val rh = Drift.breuschPagan(hom.toDF("x", "y"), "x", "y").collect().head
+    assert(rh.getAs[Double]("p_value") > 0.5,
+      s"flat noise must accept: ${rh.getAs[Double]("p_value")}")
+    // constant x: NULL lm
+    val cx = (0 until 10).map(i => (1.0, i.toDouble))
+    assert(Drift.breuschPagan(cx.toDF("x", "y"), "x", "y")
+      .collect().head.isNullAt(3))
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10

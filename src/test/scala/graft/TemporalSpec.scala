@@ -158,4 +158,37 @@ class TemporalSpec extends SparkSpecBase {
       fill = "null").filter($"n_events" === 0)
     assert(nulls.collect().forall(_.isNullAt(3)))
   }
+
+  test("classicalDecompose: exact recovery of trend+seasonal, edge NULLs") {
+    import spark.implicits._
+    // even period 4: y = 10 + t + s(t%4), s = (2,-1,0,-1) sums to zero.
+    // The 2x4 centered MA reproduces the linear trend exactly and kills
+    // the seasonal, so interior rows decompose exactly.
+    val s4 = Seq(2.0, -1.0, 0.0, -1.0)
+    val df = (0L until 24L).map(t => (t, 10.0 + t + s4((t % 4).toInt)))
+      .toDF("t", "y")
+    val out = Temporal.classicalDecompose(df, "t", "y", period = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (t <- 2L to 21L) {
+      val r = out(t)
+      assert(math.abs(r.getAs[Double]("trend") - (10.0 + t)) < 1e-9, s"t=$t")
+      assert(math.abs(r.getAs[Double]("seasonal") - s4((t % 4).toInt)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("remainder")) < 1e-9)
+    }
+    // the half-weight window needs t-2..t+2: first/last two rows NULL
+    for (t <- Seq(0L, 1L, 22L, 23L)) {
+      assert(out(t).isNullAt(2) && out(t).isNullAt(4), s"edge t=$t")
+      assert(!out(t).isNullAt(3), "seasonal index still joins at edges")
+    }
+    // odd period 3: plain width-3 MA, edges are one row each side
+    val s3 = Seq(3.0, 0.0, -3.0)
+    val d3 = (0L until 12L).map(t => (t, 5.0 + s3((t % 3).toInt))).toDF("t", "y")
+    val o3 = Temporal.classicalDecompose(d3, "t", "y", period = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (t <- 1L to 10L) {
+      assert(math.abs(o3(t).getAs[Double]("trend") - 5.0) < 1e-9)
+      assert(math.abs(o3(t).getAs[Double]("seasonal") - s3((t % 3).toInt)) < 1e-9)
+    }
+    assert(o3(0L).isNullAt(2) && o3(11L).isNullAt(2))
+  }
 }
