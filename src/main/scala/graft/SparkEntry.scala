@@ -2929,6 +2929,31 @@ object SparkEntry {
         .gateOrdered(col("t"))
     }),
 
+    // ---- Adamic-Adar supplier pairs sharing parts (GraphFeatures) ---------
+    // bipartite co-occurrence: keyed self-join over parts, never
+    // all-pairs; jaccard over full supplier part-sets
+    "q313_adamic_adar" -> ((s, dir) => {
+      val edges = read(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      graft.operators.GraphFeatures
+        .coOccurrencePairs(edges, "supp", "part", minCommon = 140)
+        .select(col("a"), col("b"), col("common"),
+          (round(col("adamic_adar"), 6) + lit(0.0)).as("adamic_adar"),
+          (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
+        .gateOrdered(col("a"), col("b"))
+    }),
+
+    // ---- degree assortativity of the supplier-part graph (GraphFeatures) --
+    // integer-exact endpoint-degree correlation over the distinct edges
+    "q314_assortativity" -> ((s, dir) => {
+      val edges = read(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      graft.operators.GraphFeatures
+        .degreeAssortativity(edges, "supp", "part", directed = true)
+        .select(col("n_edges"), col("n_src"), col("n_dst"),
+          (round(col("assortativity"), 6) + lit(0.0)).as("assortativity"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8239,6 +8264,41 @@ object SparkEntry {
            round(c.sv, 6) + 0.0 AS seasonal,
            round(d.y - d.trv - c.sv, 6) + 0.0 AS remainder
          FROM detr d LEFT JOIN c ON c.p = d.t % 7 ORDER BY d.t""",
+    // the same distinct-edge self-join over parts; AA weight from the
+    // part's supplier degree; jaccard from full degrees
+    "q313_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey a, l_partkey nb FROM lineitem
+                WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         nd AS (SELECT nb, count(*)::BIGINT dn FROM e GROUP BY 1),
+         sd AS (SELECT a, count(*)::BIGINT d FROM e GROUP BY 1),
+         p AS (SELECT l.a a, r.a b, count(*)::BIGINT common,
+                 sum(1.0 / ln(nd.dn)) aa
+               FROM e l JOIN e r ON l.nb = r.nb AND l.a < r.a
+               JOIN nd ON nd.nb = l.nb
+               GROUP BY 1, 2 HAVING count(*) >= 140)
+         SELECT p.a, p.b, common, round(aa, 6) + 0.0 AS adamic_adar,
+           round(common::DOUBLE / (da.d + db.d - common), 6) + 0.0 AS jaccard
+         FROM p JOIN sd da ON da.a = p.a JOIN sd db ON db.a = p.b
+         ORDER BY p.a, p.b""",
+    // endpoint-degree Pearson over the distinct directed edge list;
+    // integer moments are exact on both engines
+    "q314_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey u, l_partkey v FROM lineitem
+                WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         du AS (SELECT u, count(*)::DOUBLE d FROM e GROUP BY 1),
+         dv AS (SELECT v, count(*)::DOUBLE d FROM e GROUP BY 1),
+         j AS (SELECT du.d x, dv.d y FROM e
+               JOIN du ON du.u = e.u JOIN dv ON dv.v = e.v),
+         m AS (SELECT count(*)::BIGINT n, sum(x) sx, sum(y) sy,
+                 sum(x * x) sxx, sum(y * y) syy, sum(x * y) sxy FROM j),
+         nn AS (SELECT count(DISTINCT u)::BIGINT n_src,
+                 count(DISTINCT v)::BIGINT n_dst FROM e)
+         SELECT n AS n_edges, n_src, n_dst,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+             END AS assortativity
+         FROM m, nn""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-structure features over an edge list — the link-prediction and
+  * topology-QA primitives a relationship-heavy corpus needs (entity
+  * co-mention graphs, user-item interactions, citation webs): which node
+  * pairs share suspiciously many neighbors (near-duplicate entities,
+  * collusion), and does the graph wire hubs-to-hubs or hubs-to-leaves?
+  * (North-star extension — the reference has no graph surface; these
+  * compose with [[Components]]' PageRank / connected components /
+  * triangles into a full structural toolkit.)
+  *
+  * Scale design: everything is keyed aggregation and keyed self-join —
+  * never an all-pairs product. The co-occurrence pair generation is the
+  * classic Σ deg² fan-out, bounded per neighbor and cappable with
+  * `maxDegree` (the same hot-bucket knob as `Dedup.simhashNearDup`'s
+  * `maxBucket` and `Linkage`'s `maxBlock`: drop WHOLE hub neighbors, so
+  * every emitted pair's counts stay exact over the kept graph).
+  */
+object GraphFeatures {
+
+  /** Node pairs ranked by shared neighbors, with the classic
+    * link-prediction scores: `common` (co-occurrence count),
+    * `adamic_adar` (Σ 1/ln(deg(shared neighbor)) — rare shared neighbors
+    * weigh more), and `jaccard` (|Γa∩Γb| / |Γa∪Γb|). Works on bipartite
+    * data directly (`srcCol` = entity, `nbrCol` = context); for a
+    * unipartite graph pass the symmetrized edge list. Pairs are emitted
+    * once with `a < b`; duplicate edges collapse first.
+    *
+    * `maxDegree`: drop neighbors connected to more than this many
+    * sources BEFORE pairing — a neighbor of degree d generates d(d−1)/2
+    * candidate pairs, so one mega-hub (a stopword-like context) goes
+    * output-quadratic exactly like a hot LSH bucket. Capped mode trades
+    * recall of pairs ONLY-connected through hubs for a hard bound;
+    * `common`/`adamic_adar` then count the kept graph, while `jaccard`'s
+    * denominator keeps the FULL degrees (documented asymmetry: the union
+    * size is a per-node fact, not a pair enumeration).
+    *
+    * Scale: distinct + two keyed aggregations + one neighbor-keyed
+    * self-join (Σ deg² bounded, cappable) + two degree joins. */
+  def coOccurrencePairs(edges: DataFrame, srcCol: String, nbrCol: String,
+      minCommon: Int = 2, maxDegree: Option[Long] = None): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    maxDegree.foreach(c => require(c >= 2, s"maxDegree must be >= 2: $c"))
+    val e = edges.select(col(srcCol).as("a"), col(nbrCol).as("_nb"))
+      .filter(col("a").isNotNull && col("_nb").isNotNull)
+      .distinct()
+    val nbrDeg = e.groupBy(col("_nb")).agg(count(lit(1)).as("_dn"))
+    val kept = maxDegree.map(c => nbrDeg.filter(col("_dn") <= c))
+      .getOrElse(nbrDeg)
+    val ek = e.join(kept, Seq("_nb"))
+    val pairs = ek.select(col("_nb"), col("a"), col("_dn"))
+      .join(ek.select(col("_nb"), col("a").as("b")), Seq("_nb"))
+      .filter(col("a") < col("b"))
+    val srcDeg = e.groupBy(col("a")).agg(count(lit(1)).as("_d"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("_dn").cast("double"))).as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+      .join(srcDeg.select(col("a"), col("_d").as("_da")), Seq("a"))
+      .join(srcDeg.select(col("a").as("b"), col("_d").as("_db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("adamic_adar"),
+        (col("common").cast("double") /
+          (col("_da") + col("_db") - col("common"))).as("jaccard"))
+  }
+
+  /** Degree assortativity — the Pearson correlation between the degrees
+    * at the two ends of each edge: positive = hubs attach to hubs
+    * (social-network shape), negative = hubs attach to leaves
+    * (star/bipartite-catalog shape), ~0 = degree-agnostic wiring. For
+    * `directed = true` the x is the source's out-degree and y the
+    * target's in-degree over the distinct edge list; `directed = false`
+    * symmetrizes first (each edge contributes both orientations — the
+    * standard undirected convention). One row:
+    * `(n_edges, n_src, n_dst, assortativity)`; NULL when either degree
+    * is constant. Degrees are integers, so every moment sum is EXACT in
+    * doubles — the correlation is bit-reproducible across engines.
+    *
+    * Scale: distinct + two keyed degree aggregations + two keyed joins +
+    * one moment reduce. Nothing leaves keyed-shuffle shape. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String,
+      directed: Boolean = true): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val e = if (directed) e0
+      else e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val du = e.groupBy(col("u")).agg(count(lit(1)).as("_du"))
+    val dv = e.groupBy(col("v")).agg(count(lit(1)).as("_dv"))
+    val j = e.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(col("_du").cast("double").as("x"), col("_dv").cast("double").as("y"))
+    val m = j.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val nn = e.agg(count_distinct(col("u")).as("n_src"),
+      count_distinct(col("v")).as("n_dst"))
+    val varX = m("n") * col("sxx") - col("sx") * col("sx")
+    val varY = m("n") * col("syy") - col("sy") * col("sy")
+    m.crossJoin(broadcast(nn))
+      .select(col("n").as("n_edges"), col("n_src"), col("n_dst"),
+        when(varX > 0 && varY > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(varX * varY)).as("assortativity"))
+  }
+}

@@ -163,4 +163,54 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L) // one cluster
     assert(out(4L) == 4L) // untouched doc is its own component
   }
+
+  test("coOccurrencePairs: hand AA/jaccard, minCommon, hub cap semantics") {
+    import graft.operators.GraphFeatures
+    // src 1 -> {x,y,z}, 2 -> {x,y}, 3 -> {y}; deg(x)=2, deg(y)=3, deg(z)=1
+    val edges = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "y")).toDF("s", "nb") // duplicate edge collapses
+    val all = GraphFeatures.coOccurrencePairs(edges, "s", "nb", minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(all.size == 3)
+    val p12 = all((1L, 2L))
+    assert(p12.getLong(2) == 2L)
+    assert(math.abs(p12.getAs[Double]("adamic_adar") -
+      (1 / math.log(2) + 1 / math.log(3))) < 1e-12)
+    assert(math.abs(p12.getAs[Double]("jaccard") - 2.0 / 3.0) < 1e-12)
+    assert(all((1L, 3L)).getLong(2) == 1L && all((2L, 3L)).getLong(2) == 1L)
+    // minCommon = 2 keeps only (1,2)
+    assert(GraphFeatures.coOccurrencePairs(edges, "s", "nb", minCommon = 2)
+      .count() == 1L)
+    // maxDegree = 2 drops hub y: (1,2) survives via x alone; jaccard
+    // keeps FULL degrees in the denominator
+    val capped = GraphFeatures.coOccurrencePairs(edges, "s", "nb",
+      minCommon = 1, maxDegree = Some(2L)).collect()
+    assert(capped.length == 1)
+    val c12 = capped.head
+    assert(c12.getLong(2) == 1L)
+    assert(math.abs(c12.getAs[Double]("adamic_adar") - 1 / math.log(2)) < 1e-12)
+    assert(math.abs(c12.getAs[Double]("jaccard") - 1.0 / 4.0) < 1e-12)
+  }
+
+  test("degreeAssortativity: star = -1, path = -0.5, regular = NULL") {
+    import graft.operators.GraphFeatures
+    // undirected star K_{1,4}: perfect hub-to-leaf wiring
+    val star = (2L to 5L).map(l => (1L, l)).toDF("u", "v")
+    val rs = GraphFeatures.degreeAssortativity(star, "u", "v",
+      directed = false).collect().head
+    assert(rs.getLong(0) == 8L, "symmetrized edge count")
+    assert(math.abs(rs.getAs[Double]("assortativity") + 1.0) < 1e-12)
+    // path 1-2-3-4: the textbook -0.5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val rp = GraphFeatures.degreeAssortativity(path, "u", "v",
+      directed = false).collect().head
+    assert(math.abs(rp.getAs[Double]("assortativity") + 0.5) < 1e-12)
+    // 4-cycle: every degree 2 -> zero variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    assert(GraphFeatures.degreeAssortativity(cyc, "u", "v", directed = false)
+      .collect().head.isNullAt(3))
+    // directed star: constant out-degree -> NULL as well
+    assert(GraphFeatures.degreeAssortativity(star, "u", "v", directed = true)
+      .collect().head.isNullAt(3))
+  }
 }
