@@ -2954,6 +2954,62 @@ object SparkEntry {
           (round(col("assortativity"), 6) + lit(0.0)).as("assortativity"))
     }),
 
+    // ---- embedding covariance via the one-pass moments kernel (Similarity)
+    // upper-triangle cells from ONE VectorMomentsAgg scan
+    "q315_embedding_cov" -> ((s, dir) => {
+      Similarity.embeddingCovariance(read(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"),
+          (round(col("mean_i"), 6) + lit(0.0)).as("mean_i"),
+          (round(col("mean_j"), 6) + lit(0.0)).as("mean_j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .gateOrdered(col("i"), col("j"))
+    }),
+
+    // ---- PCA top-4 components by deterministic power iteration ------------
+    // no SQL oracle (eigendecomposition) -> driver rows-only check; the
+    // spec pins a hand-checkable spectrum
+    "q316_pca_components" -> ((s, dir) => {
+      Similarity.pcaComponents(read(s, dir, "embeddings"), "embedding", k = 4)
+        .select(col("component"), col("dim"),
+          (round(col("value"), 6) + lit(0.0)).as("value"),
+          (round(col("eigenvalue"), 6) + lit(0.0)).as("eigenvalue"),
+          (round(col("explained_var_ratio"), 6) + lit(0.0))
+            .as("explained_var_ratio"))
+        .gateOrdered(col("component"), col("dim"))
+    }),
+
+    // ---- PCA whitening closes the loop: unit variance, zero cross-cov -----
+    // project + whiten on top-2 components, then verify the moments of
+    // the projected coordinates (rows-only check; the variance ~ 1 /
+    // cov ~ 0 structure is the self-certifying part)
+    "q317_pca_whiten" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val comps = Similarity.pcaComponents(emb, "embedding", k = 2)
+        .collect()
+      val d = comps.map(_.getInt(1)).max + 1
+      val w = Array.ofDim[Double](2, d)
+      val lam = new Array[Double](2)
+      comps.foreach { r =>
+        w(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        lam(r.getInt(0)) = r.getDouble(3)
+      }
+      val mRow = Similarity.embeddingCovariance(emb, "embedding")
+        .filter(col("i") === col("j")).select(col("i"), col("mean_i"))
+        .collect()
+      val means = new Array[Double](d)
+      mRow.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+      val proj = Similarity.pcaProject(emb, "embedding", means, w,
+        eigenvalues = lam, eps = 0.0)
+      proj.select(col("projection")(0).as("z0"), col("projection")(1).as("z1"))
+        .agg(count(lit(1)).as("n"),
+          (round(var_samp(col("z0")), 4) + lit(0.0)).as("var_z0"),
+          (round(var_samp(col("z1")), 4) + lit(0.0)).as("var_z1"),
+          // the embeddings' spectrum is near-degenerate, so the exact
+          // cross-covariance rotates with fp summation order — assert
+          // the decorrelation CONTRACT, not the unstable digits
+          (abs(covar_samp(col("z0"), col("z1"))) < 0.05).as("decorrelated"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8299,6 +8355,22 @@ object SparkEntry {
                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
              END AS assortativity
          FROM m, nn""",
+    // d-bounded index cross join replays the same raw-moment covariance
+    // cell algebra (1-based list access shifted back to 0-based)
+    "q315_embedding_cov" ->
+      """WITH x AS (SELECT embedding e FROM embeddings
+                WHERE embedding IS NOT NULL),
+         dd AS (SELECT max(len(e)) d FROM x),
+         idx AS (SELECT unnest(range(1, (SELECT d FROM dd) + 1)) i),
+         p AS (SELECT a.i i, b.i j FROM idx a, idx b WHERE a.i <= b.i),
+         cgg AS (SELECT p.i, p.j, count(*)::BIGINT n,
+                 sum(e[p.i]::DOUBLE) si, sum(e[p.j]::DOUBLE) sj,
+                 sum(e[p.i]::DOUBLE * e[p.j]::DOUBLE) sij
+               FROM x, p GROUP BY 1, 2)
+         SELECT i - 1 AS i, j - 1 AS j, round(si / n, 6) + 0.0 AS mean_i,
+           round(sj / n, 6) + 0.0 AS mean_j,
+           round((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
+         FROM cgg ORDER BY 1, 2""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -630,4 +630,75 @@ class SimilaritySpec extends SparkSpecBase {
       .agg(avg($"p2" / $"o2")).head().getDouble(0)
     assert(ratio > 0.7 && ratio < 1.3, s"mean norm ratio $ratio")
   }
+
+  test("embeddingCovariance matches a naive reference; kernel dim checks") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0f, 2.0f, 0.0f), Array(3.0f, 1.0f, -1.0f),
+      Array(-1.0f, 0.0f, 2.0f), Array(2.0f, -2.0f, 1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    val out = Similarity.embeddingCovariance(df, "emb").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("cov")).toMap
+    assert(out.size == 6)
+    // naive reference
+    val n = vecs.length
+    val xs = vecs.map(_.map(_.toDouble))
+    def cov(i: Int, j: Int): Double = {
+      val mi = xs.map(_(i)).sum / n; val mj = xs.map(_(j)).sum / n
+      xs.map(v => (v(i) - mi) * (v(j) - mj)).sum / (n - 1)
+    }
+    for (i <- 0 until 3; j <- i until 3)
+      assert(math.abs(out((i, j)) - cov(i, j)) < 1e-12, s"cell ($i,$j)")
+    // mean columns
+    val means = Similarity.embeddingCovariance(df, "emb")
+      .filter($"i" === $"j").collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("mean_i")).toMap
+    assert(math.abs(means(0) - 1.25) < 1e-12)
+    // dimension mismatch raises with the sizes in the message
+    val bad = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "emb")
+    val ex = intercept[Exception] {
+      Similarity.embeddingCovariance(bad, "emb").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pcaComponents: exact axis-aligned spectrum, whitening round trip") {
+    import spark.implicits._
+    // grid data along the first two axes: cov = diag(16/3, 4/3, 0)
+    val pts = Seq(
+      Array(2.0f, 1.0f, 0.0f), Array(2.0f, -1.0f, 0.0f),
+      Array(-2.0f, 1.0f, 0.0f), Array(-2.0f, -1.0f, 0.0f))
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    val comps = Similarity.pcaComponents(df, "emb", k = 3).collect()
+    val byComp = comps.groupBy(_.getInt(0))
+    val v0 = byComp(0).sortBy(_.getInt(1)).map(_.getAs[Double]("value"))
+    val v1 = byComp(1).sortBy(_.getInt(1)).map(_.getAs[Double]("value"))
+    val l = (0 to 2).map(c => byComp(c).head.getAs[Double]("eigenvalue"))
+    assert(math.abs(l(0) - 16.0 / 3) < 1e-9 && math.abs(l(1) - 4.0 / 3) < 1e-9)
+    assert(math.abs(l(2)) < 1e-9, "rank-2 data: third eigenvalue 0")
+    assert(math.abs(v0(0) - 1.0) < 1e-9 && math.abs(v0(1)) < 1e-9,
+      s"first component must be +e0: ${v0.toSeq}")
+    assert(math.abs(v1(1) - 1.0) < 1e-9, "second component +e1 (sign fixed)")
+    // explained ratio sums to 1 over the full spectrum
+    val ratios = (0 to 2).map(c => byComp(c).head.getAs[Double]("explained_var_ratio"))
+    assert(math.abs(ratios.sum - 1.0) < 1e-9)
+    // whitening: projected coordinates have unit sample variance
+    val proj = Similarity.pcaProject(df, "emb",
+      means = Array(0.0, 0.0, 0.0),
+      components = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      eigenvalues = Array(16.0 / 3, 4.0 / 3), eps = 0.0)
+    val vr = proj
+      .select($"projection" (0).as("z0"), $"projection" (1).as("z1"))
+      .agg(var_samp($"z0"), var_samp($"z1")).head()
+    assert(math.abs(vr.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(vr.getDouble(1) - 1.0) < 1e-9)
+    // plain projection without whitening keeps raw scale
+    val raw = Similarity.pcaProject(df, "emb", Array(0.0, 0.0, 0.0),
+      Array(Array(1.0, 0.0, 0.0)))
+      .select($"projection" (0)).collect().map(_.getDouble(0)).sorted
+    assert(raw.toSeq == Seq(-2.0, -2.0, 2.0, 2.0))
+  }
 }
