@@ -3010,6 +3010,19 @@ object SparkEntry {
           (abs(covar_samp(col("z0"), col("z1"))) < 0.05).as("decorrelated"))
     }),
 
+    // ---- Bayesian A/B: is click's high-value rate above view's? (Drift) ---
+    // Beta-posterior overlap by the same 4000-cell midpoint quadrature
+    // on both engines (lgamma is the only engine-native function)
+    "q318_bayesian_ab" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .withColumn("hv", (col("value") > 50.0).cast("int"))
+      Drift.bayesianAB(ev, "event_type", "hv", armA = "view", armB = "click")
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("prob_b_gt_a"), 6) + lit(0.0)).as("prob_b_gt_a"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8371,6 +8384,33 @@ object SparkEntry {
            round(sj / n, 6) + 0.0 AS mean_j,
            round((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
          FROM cgg ORDER BY 1, 2""",
+    // identical midpoint quadrature: F_A by the shifted running sum,
+    // P(B>A) = sum fb * F_A / m; engine lgamma differences are ~1e-10
+    "q318_bayesian_ab" ->
+      """WITH a AS (SELECT count(*)::BIGINT n,
+                  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT s
+                FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+         b AS (SELECT count(*)::BIGINT n,
+                  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT s
+                FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+         pr AS (SELECT a.s + 1.0 aa, a.n - a.s + 1.0 ab,
+                 b.s + 1.0 ba, b.n - b.s + 1.0 bb FROM a, b),
+         g AS (SELECT (unnest(range(0, 4000)) + 0.5) / 4000.0 x),
+         pdf AS (SELECT x,
+                 exp(lgamma(aa + ab) - lgamma(aa) - lgamma(ab)
+                   + (aa - 1) * ln(x) + (ab - 1) * ln(1 - x)) fa,
+                 exp(lgamma(ba + bb) - lgamma(ba) - lgamma(bb)
+                   + (ba - 1) * ln(x) + (bb - 1) * ln(1 - x)) fb
+               FROM g, pr),
+         cum AS (SELECT x, fb,
+                 (sum(fa) OVER (ORDER BY x) - 0.5 * fa) / 4000.0 cfa
+               FROM pdf),
+         p AS (SELECT least(1.0, sum(fb * cfa) / 4000.0) prob FROM cum)
+         SELECT a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b,
+           round((a.s + 1.0) / (a.n + 2.0), 6) + 0.0 AS mean_a,
+           round((b.s + 1.0) / (b.n + 2.0), 6) + 0.0 AS mean_b,
+           round(prob, 6) + 0.0 AS prob_b_gt_a
+         FROM a, b, p""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

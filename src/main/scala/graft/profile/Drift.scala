@@ -2136,6 +2136,59 @@ object Drift {
       lit(p).as("p_value"))
   }
 
+  /** Bayesian A/B test on conversion rates — P(rate_B > rate_A) under
+    * independent Beta posteriors (the decision-ready complement of
+    * [[proportionZTest]]'s frequentist z: "how likely is B actually
+    * better", not "how surprising is this gap under H0"). Beta(α₀,β₀)
+    * prior per arm (default uniform); the posterior-overlap integral
+    * ∫ f_B(x)·F_A(x) dx evaluates by midpoint-rule quadrature on a fixed
+    * `grid` (deterministic — no MC sampling, and the SAME finite sum
+    * replays verbatim in oracle SQL; midpoint error is O(grid⁻²), ~6e-8
+    * at the default 4000). One row: `(n_a, s_a, n_b, s_b, mean_a,
+    * mean_b, prob_b_gt_a)` with posterior means (s+α₀)/(n+α₀+β₀). A
+    * missing arm degrades to its prior (documented fail-open — the
+    * output then reflects prior belief, n 0).
+    *
+    * Scale: ONE arm-keyed count/sum aggregation; the quadrature is a
+    * `grid`-bounded scalar loop on the driver. */
+  def bayesianAB(df: DataFrame, armCol: String, successCol: String,
+      armA: String, armB: String, alpha0: Double = 1.0, beta0: Double = 1.0,
+      grid: Int = 4000): DataFrame = {
+    require(grid >= 100, s"grid must be >= 100: $grid")
+    require(alpha0 > 0 && beta0 > 0, "prior parameters must be positive")
+    val rows = df
+      .filter(col(armCol).isin(armA, armB) && col(successCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("int")).cast("long").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (na, sa) = rows.getOrElse(armA, (0L, 0L))
+    val (nb, sb) = rows.getOrElse(armB, (0L, 0L))
+    val (aa, ab) = (sa + alpha0, na - sa + beta0)
+    val (ba, bb) = (sb + alpha0, nb - sb + beta0)
+    def lnBetaPdf(x: Double, al: Double, be: Double): Double =
+      Stat.lnGamma(al + be) - Stat.lnGamma(al) - Stat.lnGamma(be) +
+        (al - 1) * math.log(x) + (be - 1) * math.log(1 - x)
+    val m = grid
+    var cumA = 0.0
+    var p = 0.0
+    var i = 0
+    while (i < m) {
+      val x = (i + 0.5) / m
+      val fa = math.exp(lnBetaPdf(x, aa, ab))
+      val fb = math.exp(lnBetaPdf(x, ba, bb))
+      cumA += fa
+      val cfa = (cumA - 0.5 * fa) / m
+      p += fb * cfa / m
+      i += 1
+    }
+    val spark = df.sparkSession
+    spark.range(1).select(lit(na).as("n_a"), lit(sa).as("s_a"),
+      lit(nb).as("n_b"), lit(sb).as("s_b"),
+      lit(aa / (aa + ab)).as("mean_a"), lit(ba / (ba + bb)).as("mean_b"),
+      lit(math.min(1.0, p)).as("prob_b_gt_a"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

@@ -1070,6 +1070,27 @@ class DriftSpec extends SparkSpecBase {
       .collect().head.isNullAt(3))
   }
 
+  test("bayesianAB: closed-form 2/3 case, symmetry, dominant winner") {
+    // A unobserved (uniform prior), B = 1/1 success -> Beta(2,1):
+    // P(B > A) = integral 2x * x dx = 2/3 exactly
+    val d1 = Seq(("b", 1)).toDF("arm", "ok")
+    val r1 = Drift.bayesianAB(d1, "arm", "ok", "a", "b").collect().head
+    assert(r1.getLong(0) == 0L && r1.getLong(2) == 1L && r1.getLong(3) == 1L)
+    assert(math.abs(r1.getAs[Double]("prob_b_gt_a") - 2.0 / 3.0) < 1e-4)
+    assert(math.abs(r1.getAs[Double]("mean_b") - 2.0 / 3.0) < 1e-12)
+    // identical arms: P = 1/2 by symmetry
+    val d2 = ((1 to 40).map(i => ("a", i % 3 min 1)) ++
+      (1 to 40).map(i => ("b", i % 3 min 1))).toDF("arm", "ok")
+    val r2 = Drift.bayesianAB(d2, "arm", "ok", "a", "b").collect().head
+    assert(math.abs(r2.getAs[Double]("prob_b_gt_a") - 0.5) < 1e-4)
+    // B dominates: P ~ 1; other event types are ignored
+    val d3 = ((1 to 50).map(_ => ("a", 0)) ++ (1 to 50).map(_ => ("b", 1)) ++
+      (1 to 9).map(_ => ("c", 1))).toDF("arm", "ok")
+    val r3 = Drift.bayesianAB(d3, "arm", "ok", "a", "b").collect().head
+    assert(r3.getAs[Double]("prob_b_gt_a") > 0.999)
+    assert(r3.getLong(0) == 50L && r3.getLong(1) == 0L)
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
