@@ -3023,6 +3023,38 @@ object SparkEntry {
           (round(col("prob_b_gt_a"), 6) + lit(0.0)).as("prob_b_gt_a"))
     }),
 
+    // ---- Gopher quality-rule panel: per-rule pass counts (Curation) -------
+    // the published MassiveText thresholds as codegen'd projections; one
+    // summary row of per-rule pass counts
+    "q319_gopher_rules" -> ((s, dir) => {
+      graft.operators.Curation
+        .gopherQualityFlags(read(s, dir, "documents")
+          .filter(col("text").isNotNull), "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass_words").cast("int")).as("pass_words"),
+          sum(col("pass_mean_word").cast("int")).as("pass_mean_word"),
+          sum(col("pass_symbol").cast("int")).as("pass_symbol"),
+          sum(col("pass_bullet").cast("int")).as("pass_bullet"),
+          sum(col("pass_ellipsis").cast("int")).as("pass_ellipsis"),
+          sum(col("pass_alpha").cast("int")).as("pass_alpha"),
+          sum(col("pass_stopwords").cast("int")).as("pass_stopwords"),
+          sum(col("pass").cast("int")).as("pass_all"),
+          (round(avg(col("mean_word_len")), 6) + lit(0.0))
+            .as("avg_mean_word_len"))
+    }),
+
+    // ---- C4 line filter over synthesized line structure (Curation) --------
+    // the corpus has no newlines, so the query manufactures them with a
+    // deterministic replace; the operator's keep/drop rules do the rest
+    "q320_c4_filter" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("text2", replace(col("text"), lit(" table "), lit(".\n")))
+      graft.operators.Curation.c4LineFilter(docs, "doc_id", "text2")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text_clean")).as("clean_md5"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8411,6 +8443,66 @@ object SparkEntry {
            round((b.s + 1.0) / (b.n + 2.0), 6) + 0.0 AS mean_b,
            round(prob, 6) + 0.0 AS prob_b_gt_a
          FROM a, b, p""",
+    // identical counting conventions: \s+ tokens of the trimmed lowered
+    // text, chr(10) lines, replace-based symbol counts
+    "q319_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, lower(trim(text)) lt FROM documents
+                WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lt, '\s+'),
+                   w -> len(w) > 0) toks,
+                 string_split(text, chr(10)) ls
+               FROM d),
+         sig AS (SELECT len(toks) nw,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE len(regexp_replace(lower(trim(text)), '\s+', '',
+                     'g'))::DOUBLE / len(toks) END mw,
+                 (len(text) - len(replace(text, '#', ''))
+                   + len(text) - len(replace(text, '…', ''))
+                   + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                   / greatest(len(toks), 1) sym,
+                 len(list_filter(ls, l -> regexp_matches(trim(l),
+                   '^[-*•‣▪]')))::DOUBLE / greatest(len(ls), 1) bf,
+                 len(list_filter(ls, l -> regexp_matches(trim(l),
+                   '(\.\.\.|…)$')))::DOUBLE / greatest(len(ls), 1) ef,
+                 len(list_filter(toks, w -> regexp_matches(w,
+                   '\p{L}')))::DOUBLE / greatest(len(toks), 1) af,
+                 len(list_intersect(toks, ['the', 'be', 'to', 'of', 'and',
+                   'that', 'have', 'with'])) sh
+               FROM s)
+         SELECT count(*)::BIGINT n_docs,
+           sum(CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0
+             END)::BIGINT pass_words,
+           sum(CASE WHEN mw >= 3 AND mw <= 10 THEN 1 ELSE 0
+             END)::BIGINT pass_mean_word,
+           sum(CASE WHEN sym < 0.1 THEN 1 ELSE 0 END)::BIGINT pass_symbol,
+           sum(CASE WHEN bf < 0.9 THEN 1 ELSE 0 END)::BIGINT pass_bullet,
+           sum(CASE WHEN ef < 0.3 THEN 1 ELSE 0 END)::BIGINT pass_ellipsis,
+           sum(CASE WHEN af > 0.8 THEN 1 ELSE 0 END)::BIGINT pass_alpha,
+           sum(CASE WHEN sh >= 2 THEN 1 ELSE 0 END)::BIGINT pass_stopwords,
+           sum(CASE WHEN nw >= 50 AND nw <= 100000 AND mw >= 3 AND mw <= 10
+             AND sym < 0.1 AND bf < 0.9 AND ef < 0.3 AND af > 0.8
+             AND sh >= 2 THEN 1 ELSE 0 END)::BIGINT pass_all,
+           round(avg(mw), 6) + 0.0 AS avg_mean_word_len
+         FROM sig""",
+    // the same synthesized '.\n' line structure, then the C4 keep rules
+    // per line and doc-level lorem/brace drops
+    "q320_c4_filter" ->
+      """WITH d AS (SELECT doc_id,
+                  replace(text, ' table ', '.' || chr(10)) t
+                FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lower(t) low FROM d
+               WHERE lower(t) NOT LIKE '%lorem ipsum%'
+                 AND lower(t) NOT LIKE '%{%'),
+         k AS (SELECT doc_id, string_split(low, chr(10)) ls,
+                 list_filter(string_split(low, chr(10)), l ->
+                   regexp_matches(trim(l), '[.!?"”]$')
+                   AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                   AND l NOT LIKE '%javascript%') kept
+               FROM f)
+         SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+           md5(array_to_string(kept, chr(10))) AS clean_md5
+         FROM k WHERE len(kept) > 0 ORDER BY doc_id""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->
