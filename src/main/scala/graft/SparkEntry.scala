@@ -3055,6 +3055,35 @@ object SparkEntry {
         .gateOrdered(col("doc_id"))
     }),
 
+    // ---- embedding isotropy: exact mean pairwise cosine (Similarity) ------
+    // the no-pair-join identity (|sum u|^2 - n)/(n(n-1))
+    "q321_isotropy" -> ((s, dir) => {
+      Similarity.isotropyScore(read(s, dir, "embeddings"), "embedding")
+        .select(col("n"),
+          (round(col("mean_pairwise_cos"), 6) + lit(0.0))
+            .as("mean_pairwise_cos"))
+    }),
+
+    // ---- EWMA one-step backtest on daily volume (Drift) -------------------
+    // the scaled-prefix closed form of exponential smoothing on the
+    // q301 day spine; scores vs naive-1
+    "q322_ewma_backtest" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val daily = ev.groupBy(floor(unix_timestamp(col("ts")) / 86400).as("t"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 86400).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("t"))
+      val series = spine.join(daily, Seq("t"), "left").na.fill(0.0, Seq("y"))
+      Drift.ewmaBacktest(series, "t", "y", alpha = 0.3)
+        .select(col("n"), col("n_scored"),
+          (round(col("mae_ewma"), 6) + lit(0.0)).as("mae_ewma"),
+          (round(col("mae_naive1"), 6) + lit(0.0)).as("mae_naive1"),
+          (round(col("rel_mae"), 6) + lit(0.0)).as("rel_mae"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8503,6 +8532,52 @@ object SparkEntry {
          SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
            md5(array_to_string(kept, chr(10))) AS clean_md5
          FROM k WHERE len(kept) > 0 ORDER BY doc_id""",
+    // per-dim sums of the normalized vectors; the same pair-free identity
+    "q321_isotropy" ->
+      """WITH x AS (SELECT embedding e,
+                  sqrt(list_sum(list_transform(embedding,
+                    v -> v::DOUBLE * v))) nrm
+                FROM embeddings WHERE embedding IS NOT NULL),
+         u AS (SELECT list_transform(e, v -> v::DOUBLE / nrm) uu
+               FROM x WHERE nrm > 0),
+         dims AS (SELECT unnest(uu) v,
+                 generate_subscripts(uu, 1) i FROM u),
+         s AS (SELECT i, sum(v) sv FROM dims GROUP BY 1),
+         tot AS (SELECT sum(sv * sv) s2 FROM s),
+         nn AS (SELECT count(*)::BIGINT n FROM u)
+         SELECT n,
+           CASE WHEN n >= 2
+             THEN round((s2 - n) / (n * (n - 1.0)), 6) + 0.0
+             END AS mean_pairwise_cos
+         FROM tot, nn""",
+    // identical scaled-prefix EWMA: cum of y*(1/(1-a))^k, first_value
+    // y0, lag for the one-step forecast
+    "q322_ewma_backtest" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 86400)::BIGINT d FROM events
+                WHERE ts IS NOT NULL),
+         daily AS (SELECT d, count(*)::DOUBLE y FROM e GROUP BY 1),
+         spine AS (SELECT unnest(range((SELECT min(d) FROM e),
+                  (SELECT max(d) FROM e) + 1)) t),
+         series AS (SELECT spine.t, coalesce(daily.y, 0) y
+                FROM spine LEFT JOIN daily ON daily.d = spine.t),
+         kk AS (SELECT t - (SELECT min(t) FROM series) k, y FROM series),
+         c AS (SELECT k, y,
+                 sum(CASE WHEN k > 0 THEN y * pow(1 / 0.7, k) ELSE 0 END)
+                   OVER (ORDER BY k) cum,
+                 first_value(y) OVER (ORDER BY k) y0
+               FROM kk),
+         s AS (SELECT k, y, pow(0.7, k) * (y0 + 0.3 * cum) sv FROM c),
+         f AS (SELECT k, y, lag(sv) OVER (ORDER BY k) fc,
+                 lag(y) OVER (ORDER BY k) yp FROM s),
+         m AS (SELECT count(*)::BIGINT n_scored, avg(abs(y - fc)) mae_e,
+                 avg(abs(y - yp)) mae_n
+               FROM f WHERE k > 0),
+         nn AS (SELECT count(*)::BIGINT n FROM series)
+         SELECT n, n_scored, round(mae_e, 6) + 0.0 AS mae_ewma,
+           round(mae_n, 6) + 0.0 AS mae_naive1,
+           CASE WHEN mae_n > 0
+             THEN round(mae_e / mae_n, 6) + 0.0 END AS rel_mae
+         FROM m, nn""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -1228,6 +1228,35 @@ object Similarity {
       .toDF("component", "dim", "value", "eigenvalue", "explained_var_ratio")
   }
 
+  /** Isotropy score of an embedding column — the expected cosine between
+    * two RANDOM vectors from the corpus, computed exactly without any
+    * pair enumeration: for unit vectors, E[cos(u_i, u_j)] over distinct
+    * pairs = (‖Σu‖² − n) / (n(n−1)). A healthy embedding space scores
+    * near 0 (directions spread out); anisotropic/collapsed spaces (the
+    * common contextual-embedding pathology) score high, which breaks
+    * cosine-threshold dedup and ANN recall assumptions — check this
+    * BEFORE trusting [[Dedup.embeddingNearDup]] thresholds. One row:
+    * `(n, mean_pairwise_cos)`; zero-norm vectors drop.
+    *
+    * Scale: one normalize-and-posexplode pass partially aggregated to d
+    * per-dimension sums — no pair join anywhere; the identity does the
+    * n² work. */
+  def isotropyScore(df: DataFrame, vecCol: String): DataFrame = {
+    val u = df.filter(col(vecCol).isNotNull)
+      .select(VectorFunctions.l2Normalize(col(vecCol)).as("u"),
+        VectorFunctions.norm(col(vecCol)).as("_nrm"))
+      .filter(col("_nrm") > 0)
+    val dims = u.select(posexplode(col("u")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(sum(col("v")).as("sv"))
+    val tot = dims.agg(sum(col("sv") * col("sv")).as("s2"))
+    val nn = u.agg(count(lit(1)).as("n"))
+    tot.crossJoin(broadcast(nn))
+      .select(col("n"),
+        when(col("n") >= 2,
+          (col("s2") - col("n")) / (col("n") * (col("n") - lit(1.0))))
+          .as("mean_pairwise_cos"))
+  }
+
   /** Project (and optionally whiten) an embedding column onto fixed
     * components — z_c = wᵀ(x − μ), ÷ √(λ+eps) when whitening. Components
     * and means arrive as plain driver arrays (the [[pcaComponents]]

@@ -2189,6 +2189,59 @@ object Drift {
       lit(math.min(1.0, p)).as("prob_b_gt_a"))
   }
 
+  /** Simple-exponential-smoothing (EWMA) one-step backtest — "does
+    * recency-weighted smoothing beat yesterday's value?" on a REGULAR
+    * integer-indexed series (the [[maseBacktest]] sibling for
+    * non-seasonal level-tracking). s_t = α·y_t + (1−α)·s_{t−1} with
+    * s_0 = y_0, evaluated in closed scaled-prefix form
+    * s_k = (1−α)^k·(y_0 + α·Σ_{j=1..k} y_j·(1−α)^{−j}) so the whole
+    * recursion is ONE ordered prefix sum (no sequential driver loop, and
+    * the identical finite arithmetic replays in oracle SQL). Forecast
+    * for step k is s_{k−1}; scores are MAE vs the naive-1 forecast. One
+    * row: `(n, n_scored, mae_ewma, mae_naive1, rel_mae)`; NULL rel when
+    * the series is constant.
+    *
+    * Numerics: the scaled prefix grows like (1−α)^{−k} — fine to
+    * ~(1−α)^{-700} before double overflow (α=0.3 → spans ≤ ~2000 steps;
+    * calendar-bounded series by contract, same class as [[maseBacktest]]).
+    * The prefix window is global but runs over the bounded series spine
+    * (the q119/q122 PlanSpec class). */
+  def ewmaBacktest(series: DataFrame, tCol: String, yCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val base = series
+      .select(col(tCol).cast("long").as("t"), col(yCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val tmin = base.agg(min(col("t"))).head()
+    val spark = series.sparkSession
+    def dNull = lit(null).cast("double")
+    if (tmin.isNullAt(0)) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("n_scored"),
+        dNull.as("mae_ewma"), dNull.as("mae_naive1"), dNull.as("rel_mae"))
+    }
+    val r = 1.0 / (1.0 - alpha)
+    val k = (col("t") - tmin.getLong(0)).as("k")
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("k"))
+    val scored = base.select(k, col("y"))
+      .withColumn("_cum", sum(when(col("k") > 0,
+        col("y") * pow(lit(r), col("k"))).otherwise(lit(0.0))).over(w))
+      .withColumn("_y0", first(col("y")).over(w))
+      .withColumn("_s",
+        pow(lit(1.0 - alpha), col("k")) * (col("_y0") + col("_cum") * alpha))
+      .withColumn("_f", lag(col("_s"), 1).over(wl))
+      .withColumn("_yp", lag(col("y"), 1).over(wl))
+    scored.agg(
+        count(lit(1)).as("n"),
+        count(when(col("k") > 0, lit(1))).as("n_scored"),
+        avg(when(col("k") > 0, abs(col("y") - col("_f")))).as("mae_ewma"),
+        avg(when(col("k") > 0, abs(col("y") - col("_yp")))).as("mae_naive1"))
+      .select(col("n"), col("n_scored"), col("mae_ewma"), col("mae_naive1"),
+        when(col("mae_naive1") > 0, col("mae_ewma") / col("mae_naive1"))
+          .as("rel_mae"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

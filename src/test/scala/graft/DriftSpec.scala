@@ -1091,6 +1091,36 @@ class DriftSpec extends SparkSpecBase {
     assert(r3.getLong(0) == 50L && r3.getLong(1) == 0L)
   }
 
+  test("ewmaBacktest matches the sequential smoothing recursion") {
+    val ys = Seq(10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 15.0)
+    val df = ys.zipWithIndex.map { case (y, t) => (t.toLong + 100, y) }
+      .toDF("t", "y") // offset start: k derives from t - min(t)
+    val alpha = 0.3
+    val r = Drift.ewmaBacktest(df, "t", "y", alpha).collect().head
+    // sequential reference: s_0 = y_0, s_t = a*y_t + (1-a)*s_{t-1}
+    var s = ys.head
+    var (se, sn) = (0.0, 0.0)
+    for (t <- 1 until ys.size) {
+      se += math.abs(ys(t) - s)
+      sn += math.abs(ys(t) - ys(t - 1))
+      s = alpha * ys(t) + (1 - alpha) * s
+    }
+    assert(r.getLong(0) == 8L && r.getLong(1) == 7L)
+    assert(math.abs(r.getAs[Double]("mae_ewma") - se / 7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mae_naive1") - sn / 7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rel_mae") - (se / sn)) < 1e-9)
+    // constant series: both MAEs 0, rel NULL
+    val c = (0 until 10).map(t => (t.toLong, 5.0)).toDF("t", "y")
+    val rc = Drift.ewmaBacktest(c, "t", "y").collect().head
+    // the scaled-prefix form carries ~1e-15 float residue on a constant
+    assert(rc.getAs[Double]("mae_ewma") < 1e-9 &&
+      rc.isNullAt(rc.fieldIndex("rel_mae")))
+    // empty input: zero-row guard
+    val re = Drift.ewmaBacktest(c.filter(col("y") < 0), "t", "y")
+      .collect().head
+    assert(re.getLong(0) == 0L && re.isNullAt(2))
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10

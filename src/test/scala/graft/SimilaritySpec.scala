@@ -664,6 +664,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ex.getMessage != null)
   }
 
+  test("isotropyScore: orthonormal = 0, identical = 1, naive pair check") {
+    import spark.implicits._
+    val ortho = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f))
+    val r0 = Similarity.isotropyScore(
+      ortho.zipWithIndex.map(_.swap).toDF("id", "e"), "e").collect().head
+    assert(r0.getLong(0) == 3L)
+    assert(math.abs(r0.getAs[Double]("mean_pairwise_cos")) < 1e-12)
+    // identical (collapsed) space scores 1; zero vectors drop
+    val same = Seq(Array(3.0f, 4.0f, 0.0f), Array(3.0f, 4.0f, 0.0f),
+      Array(6.0f, 8.0f, 0.0f), Array(0.0f, 0.0f, 0.0f))
+    val r1 = Similarity.isotropyScore(
+      same.zipWithIndex.map(_.swap).toDF("id", "e"), "e").collect().head
+    assert(r1.getLong(0) == 3L, "zero vector must drop")
+    assert(math.abs(r1.getAs[Double]("mean_pairwise_cos") - 1.0) < 1e-9)
+    // general case vs the naive pairwise mean
+    val mix = Seq(Array(1.0f, 2.0f, 0.0f), Array(-1.0f, 1.0f, 1.0f),
+      Array(0.5f, 0.5f, -2.0f), Array(2.0f, -1.0f, 1.0f))
+    val rm = Similarity.isotropyScore(
+      mix.zipWithIndex.map(_.swap).toDF("id", "e"), "e").collect().head
+    def unit(a: Array[Float]) = {
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+      a.map(_ / n)
+    }
+    val us = mix.map(unit)
+    val pairs = for (i <- us.indices; j <- us.indices if i < j)
+      yield us(i).zip(us(j)).map { case (x, y) => x * y }.sum
+    assert(math.abs(rm.getAs[Double]("mean_pairwise_cos") -
+      pairs.sum / pairs.size) < 1e-9)
+  }
+
   test("pcaComponents: exact axis-aligned spectrum, whitening round trip") {
     import spark.implicits._
     // grid data along the first two axes: cov = diag(16/3, 4/3, 0)
