@@ -3084,6 +3084,77 @@ object SparkEntry {
           (round(col("rel_mae"), 6) + lit(0.0)).as("rel_mae"))
     }),
 
+    // ---- chi-square GoF: weekday uniformity of events (Drift) -------------
+    // pure-arithmetic day-of-epoch categories (engine-neutral); df = 6
+    "q323_chisq_gof" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+        .select((floor(unix_timestamp(col("ts")) / 86400) % 7)
+          .cast("string").as("dow"))
+      Drift.chiSquareGof(ev, "dow",
+          (0 to 6).map(i => (i.toString, 1.0 / 7.0)))
+        .select(col("n"), col("k"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- G-test of independence: lang x source (Association) --------------
+    // the likelihood-ratio companion of q228's chi2; df = 76 (even)
+    "q324_g_test" -> ((s, dir) => {
+      graft.profile.Association.gTest(read(s, dir, "documents"),
+          "lang", "source")
+        .select(col("n"), col("k_a"), col("k_b"),
+          (round(col("g"), 6) + lit(0.0)).as("g"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Cronbach's alpha over per-user event-type counts (Association) ---
+    // are the five activity counters one "activity" construct?
+    "q325_cronbach" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t => sum(when(col("event_type") === t, 1)
+        .otherwise(0)).cast("double").as(s"n_$t"))
+      val wide = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+      graft.profile.Association.cronbachAlpha(wide, types.map(t => s"n_$t"))
+        .select(col("n"), col("k"),
+          (round(col("sum_item_var"), 6) + lit(0.0)).as("sum_item_var"),
+          (round(col("total_var"), 6) + lit(0.0)).as("total_var"),
+          (round(col("alpha"), 6) + lit(0.0)).as("alpha"))
+    }),
+
+    // ---- Hosmer-Lemeshow calibration of a deterministic score (Model) -----
+    // pseudo-model: logistic of n_chars vs the is-english label; decile
+    // cutpoints rank-exact from the distinct-score cumsum; df = 8
+    "q326_hosmer_lemeshow" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").cast("int").as("y"),
+          (lit(1.0) / (lit(1.0) +
+            exp((lit(400.0) - col("n_chars")) / 100.0))).as("s"))
+      LinearModel.hosmerLemeshow(docs, "y", "s", bins = 10)
+        .select(col("n"), col("n_bins"),
+          (round(col("hl"), 6) + lit(0.0)).as("hl"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- robust location panel on doc lengths (Drift) ---------------------
+    // rank-exact trimmed/winsorized means from the distinct-value cumsum
+    "q327_robust_location" -> ((s, dir) => {
+      Drift.robustLocation(read(s, dir, "documents"), "n_chars",
+          trimFrac = 0.1)
+        .select(col("n"), col("n_trim_each"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean"),
+          (round(col("trimmed_mean"), 6) + lit(0.0)).as("trimmed_mean"),
+          (round(col("winsorized_mean"), 6) + lit(0.0)).as("winsorized_mean"),
+          (round(col("median"), 6) + lit(0.0)).as("median"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8578,6 +8649,124 @@ object SparkEntry {
            CASE WHEN mae_n > 0
              THEN round(mae_e / mae_n, 6) + 0.0 END AS rel_mae
          FROM m, nn""",
+    // arithmetic day-of-epoch categories; uniform expectation; df = 6
+    // closed survival exp(-x/2)(1 + x/2 + (x/2)^2/2)
+    "q323_chisq_gof" ->
+      """WITH b AS (SELECT (floor(epoch(ts) / 86400)::BIGINT % 7)::VARCHAR v
+                FROM events WHERE ts IS NOT NULL),
+         o AS (SELECT v, count(*)::BIGINT o FROM b GROUP BY 1),
+         e AS (SELECT unnest(range(0, 7))::VARCHAR v, 1.0 / 7 p),
+         j AS (SELECT e.v, e.p, coalesce(o.o, 0) o
+               FROM e LEFT JOIN o ON o.v = e.v),
+         t AS (SELECT sum(o)::BIGINT n FROM j),
+         x AS (SELECT sum(pow(o - n * p, 2) / (n * p)) chi2 FROM j, t)
+         SELECT n, 7 AS k, round(chi2, 6) + 0.0 AS chi2, 6 AS df,
+           round(exp(-chi2 / 2) * (1 + chi2 / 2 + pow(chi2 / 2, 2) / 2), 6)
+             + 0.0 AS p_value
+         FROM x, t""",
+    // observed-cell likelihood-ratio sum; df = 76 survival as the
+    // 38-term lgamma series (same even-df closed form, different but
+    // equally exact arithmetic)
+    "q324_g_test" ->
+      """WITH cells AS (SELECT lang va, source vb, count(*)::DOUBLE o
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY 1, 2),
+         ma AS (SELECT va, sum(o) ca FROM cells GROUP BY 1),
+         mb AS (SELECT vb, sum(o) cb FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) n, count(DISTINCT va)::BIGINT ka,
+                 count(DISTINCT vb)::BIGINT kb FROM cells),
+         gx AS (SELECT 2 * sum(o * ln(o * n / (ca * cb))) g
+               FROM cells JOIN ma USING (va) JOIN mb USING (vb), t),
+         pp AS (SELECT g, (SELECT sum(exp(-g / 2 + j * ln(g / 2)
+                   - lgamma(j + 1.0)))
+                 FROM unnest(range(0, 38)) u(j)) p
+               FROM gx)
+         SELECT n::BIGINT AS n, ka AS k_a, kb AS k_b,
+           round(g, 6) + 0.0 AS g, 76 AS df,
+           round(least(p, 1.0), 6) + 0.0 AS p_value
+         FROM pp, t""",
+    // the same per-user conditional counts and moment-sum variances
+    "q325_cronbach" ->
+      """WITH u AS (SELECT user_id,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::DOUBLE x0,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                    END)::DOUBLE x1,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::DOUBLE x2,
+                  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                    END)::DOUBLE x3,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::DOUBLE x4
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (SELECT count(*)::BIGINT n,
+                 sum(x0) s0, sum(x0 * x0) q0, sum(x1) s1, sum(x1 * x1) q1,
+                 sum(x2) s2, sum(x2 * x2) q2, sum(x3) s3, sum(x3 * x3) q3,
+                 sum(x4) s4, sum(x4 * x4) q4,
+                 sum(x0 + x1 + x2 + x3 + x4) st,
+                 sum(pow(x0 + x1 + x2 + x3 + x4, 2)) qt
+               FROM u),
+         v AS (SELECT n,
+                 ((q0 - s0 * s0 / n) + (q1 - s1 * s1 / n) + (q2 - s2 * s2 / n)
+                   + (q3 - s3 * s3 / n) + (q4 - s4 * s4 / n)) / (n - 1) sv,
+                 (qt - st * st / n) / (n - 1) vt
+               FROM m)
+         SELECT n, 5 AS k, round(sv, 6) + 0.0 AS sum_item_var,
+           round(vt, 6) + 0.0 AS total_var,
+           CASE WHEN vt > 0
+             THEN round(5.0 / 4 * (1 - sv / vt), 6) + 0.0 END AS alpha
+         FROM v""",
+    // identical logistic pseudo-score; decile cutpoints from the
+    // distinct-score cumsum; df = 8 closed survival (4 terms)
+    "q326_hosmer_lemeshow" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END y,
+                  1.0 / (1.0 + exp((400.0 - n_chars) / 100.0)) s
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         dc AS (SELECT s, count(*)::BIGINT c FROM b GROUP BY 1),
+         cm AS (SELECT s, sum(c) OVER (ORDER BY s) hi FROM dc),
+         nn AS (SELECT count(*)::BIGINT n FROM b),
+         rk AS (SELECT DISTINCT ((j * n + 9) // 10) r
+               FROM unnest(range(1, 10)) u(j), nn),
+         cuts AS (SELECT DISTINCT min(s) cut FROM cm, rk WHERE hi >= r
+               GROUP BY r),
+         bb AS (SELECT y, s,
+                 (SELECT count(*) FROM cuts WHERE b.s > cut) bin FROM b),
+         byb AS (SELECT bin, count(*)::BIGINT nb, sum(y)::DOUBLE o1,
+                 sum(s) e1 FROM bb GROUP BY 1),
+         hh AS (SELECT count(*)::BIGINT k,
+                 sum(pow(o1 - e1, 2) / (e1 * (1 - e1 / nb))) hl
+               FROM byb)
+         SELECT n, k AS n_bins, round(hl, 6) + 0.0 AS hl, 8 AS df,
+           round(exp(-hl / 2) * (1 + hl / 2 + pow(hl / 2, 2) / 2
+             + pow(hl / 2, 3) / 6), 6) + 0.0 AS p_value
+         FROM hh, nn""",
+    // the same rank-overlap algebra over the distinct-value cumsum
+    "q327_robust_location" ->
+      """WITH b AS (SELECT n_chars::DOUBLE v FROM documents
+                WHERE n_chars IS NOT NULL),
+         dc AS (SELECT v, count(*)::BIGINT c FROM b GROUP BY 1),
+         cm AS (SELECT v, c, sum(c) OVER (ORDER BY v) hi FROM dc),
+         t AS (SELECT sum(c)::BIGINT n, sum(v * c) s FROM dc),
+         k AS (SELECT floor(n * 0.1)::BIGINT tr FROM t),
+         j AS (SELECT v, c, hi, hi - c + 1 lo, n, s, tr FROM cm, t, k),
+         x AS (SELECT max(n) n, max(s) s, max(tr) tr,
+                 sum(v * greatest(least(hi, n - tr)
+                   - greatest(lo, tr + 1) + 1, 0)) tsum,
+                 sum(v * (greatest(least(hi, n - tr)
+                     - greatest(lo, tr + 1) + 1, 0)
+                   + CASE WHEN lo <= tr + 1 AND tr + 1 <= hi
+                       THEN tr ELSE 0 END
+                   + CASE WHEN lo <= n - tr AND n - tr <= hi
+                       THEN tr ELSE 0 END)) wsum,
+                 min(CASE WHEN hi >= (n + 1) // 2 THEN v END) med
+               FROM j)
+         SELECT n, tr AS n_trim_each, round(s / n, 6) + 0.0 AS mean,
+           round(tsum / (n - 2 * tr), 6) + 0.0 AS trimmed_mean,
+           round(wsum / n, 6) + 0.0 AS winsorized_mean,
+           round(med, 6) + 0.0 AS median
+         FROM x""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -203,6 +203,71 @@ object LinearModel {
           .as("observed_rate"))
   }
 
+  /** Hosmer–Lemeshow calibration test — "are the predicted
+    * probabilities honest?" as ONE p-value ([[reliabilityBins]] shows
+    * the calibration curve; HL decides it): group by DECILE-OF-RISK
+    * bins (cutpoints = the rank-exact score values at ranks ⌈i·n/bins⌉
+    * over the distinct-score prefix sum — deterministic, never a global
+    * ntile window; scores tying a cutpoint share a bin), then
+    * HL = Σ_b [(o₁−e₁)²/(e₁·(1−e₁/n_b))] with e₁ = Σ score in the bin,
+    * HL ~ χ²(bins−2). One row: `(n, n_bins, hl, df, p_value)` where
+    * `n_bins` counts NON-EMPTY bins; NULL hl/p when any non-empty bin
+    * is degenerate (e₁ = 0 or e₁ = n_b — division undefined; a model
+    * predicting hard 0/1 can't be HL-tested).
+    *
+    * Scale: one distinct-score cumsum for the cutpoints (value-bounded
+    * window), a broadcast cutpoint array for bin assignment, one
+    * bin-bounded aggregation, scalar algebra on the driver. */
+  def hosmerLemeshow(scored: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 3, s"bins must be >= 3: $bins")
+    val base = scored.select(col(labelCol).cast("int").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("hi", sum(col("c")).over(w))
+    val nRow = counts.agg(sum(col("c"))).head()
+    val spark = scored.sparkSession
+    import spark.implicits._
+    def dNull = lit(null).cast("double")
+    def nulls(n: Long, nb: Long) = spark.range(1).select(lit(n).as("n"),
+      lit(nb).as("n_bins"), dNull.as("hl"), lit((bins - 2).toLong).as("df"),
+      dNull.as("p_value"))
+    if (nRow.isNullAt(0)) return nulls(0, 0)
+    val n = nRow.getLong(0)
+    // cutpoints at ranks ceil(i*n/bins), i = 1..bins-1 — ALL resolved in
+    // one pass (rank spine broadcast against the distinct-score cumsum)
+    val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
+      .distinct.sorted
+    val cuts = cum.crossJoin(broadcast(ranks.toDF("r")))
+      .filter(col("hi") >= col("r"))
+      .groupBy(col("r")).agg(min(col("s")).as("cut"))
+      .collect().map(_.getDouble(1)).distinct.sorted.toSeq
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("s") > c, 1).otherwise(0)
+    }
+    val byBin = base.withColumn("b", bin)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).cast("double").as("o1"),
+        sum(col("s")).as("e1"))
+    val agg = byBin.agg(count(lit(1)).as("k"),
+        min(least(col("e1"), col("nb") - col("e1"))).as("minE"),
+        sum(when(col("e1") > 0 && col("e1") < col("nb"),
+          pow(col("o1") - col("e1"), 2) /
+            (col("e1") * (lit(1.0) - col("e1") / col("nb"))))).as("hl"))
+      .head()
+    val nBins = agg.getLong(0)
+    if (agg.isNullAt(1) || agg.getDouble(1) <= 0 || agg.isNullAt(2))
+      return nulls(n, nBins)
+    val hl = agg.getDouble(2)
+    spark.range(1).select(lit(n).as("n"), lit(nBins).as("n_bins"),
+      lit(hl).as("hl"), lit((bins - 2).toLong).as("df"),
+      lit(graft.profile.Drift.chi2Survival(bins - 2, hl)).as("p_value"))
+  }
+
   /** Operationalize a score gate: the admission threshold that keeps
     * `keepRate` of the scored set, plus what actually happens at that
     * threshold. The threshold is the score of the rank-⌈n·keepRate⌉ row

@@ -713,6 +713,96 @@ object Association {
       lit(q).as("q"), lit(k - 1).as("df"), lit(p).as("p_value"))
   }
 
+  /** G-test (likelihood-ratio) of independence — the χ² companion that
+    * behaves better on small expected counts and adds EXACTLY across
+    * nested tables (G decomposes; Pearson χ² does not): G = 2·Σ o·ln(o·n
+    * / (rowΣ·colΣ)) over observed cells, df = (kₐ−1)(k_b−1). One row:
+    * `(n, k_a, k_b, g, df, p_value)`; empty cells contribute 0 (the
+    * o·ln o limit), NULL g when either column is constant. p is exact
+    * for even df ([[Drift.chi2Survival]]) — pick query designs
+    * accordingly. Complete-case.
+    *
+    * Scale: the one cell-bounded contingency shuffle + two tiny marginal
+    * reduces — the [[categoricalAssociation]] plan with a different
+    * summand. */
+  def gTest(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("va")).agg(sum(col("o")).as("ca"))
+    val mb = cells.groupBy(col("vb")).agg(sum(col("o")).as("cb"))
+    val totals = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("va")).as("ka"), count_distinct(col("vb")).as("kb"))
+    val row = cells
+      .join(broadcast(ma), "va").join(broadcast(mb), "vb")
+      .crossJoin(broadcast(totals))
+      .agg(first(col("n")).as("n"), first(col("ka")).as("ka"),
+        first(col("kb")).as("kb"),
+        (sum(col("o") * log(col("o") * col("n") / (col("ca") * col("cb"))))
+          * 2).as("g"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (row.isNullAt(0)) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("k_a"),
+        lit(0L).as("k_b"), dNull.as("g"), lit(0L).as("df"), dNull.as("p_value"))
+    }
+    val n = row.getDouble(0).toLong
+    val (ka, kb) = (row.getLong(1), row.getLong(2))
+    val dof = (ka - 1) * (kb - 1)
+    if (dof < 1) {
+      return spark.range(1).select(lit(n).as("n"), lit(ka).as("k_a"),
+        lit(kb).as("k_b"), dNull.as("g"), lit(dof).as("df"), dNull.as("p_value"))
+    }
+    val g = row.getDouble(3)
+    spark.range(1).select(lit(n).as("n"), lit(ka).as("k_a"), lit(kb).as("k_b"),
+      lit(g).as("g"), lit(dof).as("df"),
+      lit(Drift.chi2Survival(dof.toInt, g)).as("p_value"))
+  }
+
+  /** Cronbach's α — internal-consistency reliability of k parallel item
+    * columns ("do these k signals measure one underlying thing?"; the
+    * multi-item generalization of the split-half correlation, and the
+    * sanity check before AVERAGING k quality signals into one score):
+    * α = k/(k−1) · (1 − Σ var(itemᵢ) / var(Σ items)). One row:
+    * `(n, k, sum_item_var, total_var, alpha)`; NULL α when the total
+    * variance is 0 or n < 2. Complete-case across ALL item columns
+    * (listwise deletion, the standard convention).
+    *
+    * Scale: ONE aggregation computing every item's (Σx, Σx²) plus the
+    * row-sum moments — 2k+3 codegen'd sums in a single pass. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha needs at least 2 items")
+    val k = itemCols.size
+    val items = itemCols.map(c => col(c).cast("double"))
+    val base = df.filter(items.map(_.isNotNull).reduce(_ && _))
+      .select(items.zipWithIndex.map { case (c, i) => c.as(s"x$i") } :+
+        items.reduce(_ + _).as("t"): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("t") * col("t")).as("qt")) ++
+      (0 until k).flatMap(i => Seq(sum(col(s"x$i")).as(s"s$i"),
+        sum(col(s"x$i") * col(s"x$i")).as(s"q$i")))
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (n < 2) {
+      return spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+        dNull.as("sum_item_var"), dNull.as("total_var"), dNull.as("alpha"))
+    }
+    def sampleVar(s: Double, q: Double): Double = (q - s * s / n) / (n - 1)
+    val varT = sampleVar(row.getDouble(1), row.getDouble(2))
+    val sumVarI = (0 until k).map(i =>
+      sampleVar(row.getDouble(3 + 2 * i), row.getDouble(4 + 2 * i))).sum
+    val alpha: Option[Double] =
+      if (varT > 0) Some(k.toDouble / (k - 1) * (1.0 - sumVarI / varT))
+      else None
+    spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+      lit(sumVarI).as("sum_item_var"), lit(varT).as("total_var"),
+      alpha.map(lit(_).cast("double")).getOrElse(dNull).as("alpha"))
+  }
+
   /** Fleiss' κ — chance-corrected agreement for MANY raters per item
     * ([[cohenKappa]] handles exactly two fixed raters; Fleiss handles "n
     * annotators rated each item with a category", the multi-annotator

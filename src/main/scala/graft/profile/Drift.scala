@@ -2242,6 +2242,121 @@ object Drift {
           .as("rel_mae"))
   }
 
+  /** Chi-square goodness-of-fit against SPECIFIED category proportions —
+    * "does this column follow the distribution it is supposed to?"
+    * (weekday uniformity of traffic, a documented source mix, Benford is
+    * the digit special case at [[graft.ops.QualityOps.benfordTest]]).
+    * `expected` lists every category with its theoretical proportion
+    * (must sum to ~1); observed categories OUTSIDE the list fail fast —
+    * a silent "other" bucket would make the test pass vacuously. One
+    * row: `(n, k, chi2, df, p_value)` with df = k−1 over the EXPECTED
+    * categories (zero-observed expected cells contribute n·p each).
+    *
+    * Scale: one category-bounded count aggregation joined to the
+    * broadcast literal expectation table; a scalar reduce. */
+  def chiSquareGof(df: DataFrame, column: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "expected proportions required")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"expected proportions must sum to 1: ${expected.map(_._2).sum}")
+    require(expected.forall(_._2 > 0), "every expected proportion must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as("o"))
+    val exp = expected.toDF("v", "p")
+    val unknown = obs.join(broadcast(exp), Seq("v"), "left_anti").count()
+    require(unknown == 0,
+      s"$unknown observed categories are missing from the expected list")
+    val row = exp.join(obs, Seq("v"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(obs.agg(sum(col("o")).as("_n"))))
+      .agg(first(col("_n")).as("n"), count(lit(1)).as("k"),
+        sum(pow(col("o") - col("_n") * col("p"), 2) /
+          (col("_n") * col("p"))).as("chi2"))
+      .head()
+    def dNull = lit(null).cast("double")
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val k = row.getLong(1)
+    if (n == 0 || k < 2) {
+      return spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+        dNull.as("chi2"), lit(math.max(k - 1, 0)).as("df"),
+        dNull.as("p_value"))
+    }
+    val chi2 = row.getDouble(2)
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(chi2).as("chi2"), lit(k - 1).as("df"),
+      lit(chi2Survival((k - 1).toInt, chi2)).as("p_value"))
+  }
+
+  /** Exact robust-location panel — mean, `trimFrac`-trimmed mean,
+    * winsorized mean and the lower median in ONE summary row, all
+    * RANK-EXACT (no interpolated percentiles: trimming drops exactly
+    * ⌊n·f⌋ values per tail by sorted rank, winsorizing clamps them to
+    * the surviving extremes — both engines land on identical values).
+    * The robust pair is what survives the heavy tails that make the
+    * plain mean useless as a drift baseline. One row:
+    * `(n, n_trim_each, mean, trimmed_mean, winsorized_mean, median)`;
+    * NULL trimmed/winsorized when 2·⌊n·f⌋ ≥ n.
+    *
+    * Scale: one distinct-value count aggregation + a prefix sum over
+    * the distinct table (value-bounded window) — per-rank overlap
+    * algebra turns "drop the k smallest/largest" into closed-form
+    * per-distinct-value contributions. One scan. */
+  def robustLocation(df: DataFrame, column: String,
+      trimFrac: Double = 0.1): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5): $trimFrac")
+    val counts = df
+      .select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1) // 1-based rank range [lo, hi]
+    val tot = counts.agg(sum(col("c")).as("_n"), sum(col("v") * col("c")).as("_s"))
+    val j = cum.crossJoin(broadcast(tot))
+    val trim = floor(col("_n") * trimFrac).cast("long")
+    val keepLo = trim + 1
+    val keepHi = col("_n") - trim
+    // rank-overlap of this value's [lo, hi] with the kept band
+    val kept = greatest(least(col("hi"), keepHi) - greatest(col("lo"), keepLo) +
+      1, lit(0L))
+    // winsorize: ALL ⌊n·f⌋ ranks below the band clamp to the value AT
+    // rank keepLo, all above to the value at keepHi — the boundary
+    // values absorb the full tails
+    val lowClamped = when(col("lo") <= keepLo && keepLo <= col("hi"),
+      keepLo - 1).otherwise(lit(0L))
+    val highClamped = when(col("lo") <= keepHi && keepHi <= col("hi"),
+      col("_n") - keepHi).otherwise(lit(0L))
+    val medTarget = floor((col("_n") + 1) / 2) // lower-median rank ⌈n/2⌉
+    val row = j.agg(
+        first(col("_n")).as("n"), first(col("_s")).as("s"),
+        first(trim).as("tr"),
+        sum(col("v") * kept).as("tsum"),
+        sum(col("v") * (kept + lowClamped + highClamped)).as("wsum"),
+        min(when(col("hi") >= medTarget, col("v"))).as("med"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (row.isNullAt(0)) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("n_trim_each"),
+        dNull.as("mean"), dNull.as("trimmed_mean"),
+        dNull.as("winsorized_mean"), dNull.as("median"))
+    }
+    val n = row.getLong(0); val tr = row.getLong(2)
+    val keptN = n - 2 * tr
+    def out(o: Option[Double]) = o.map(lit(_).cast("double")).getOrElse(dNull)
+    spark.range(1).select(lit(n).as("n"), lit(tr).as("n_trim_each"),
+      lit(row.getDouble(1) / n).as("mean"),
+      out(if (keptN > 0) Some(row.getDouble(3) / keptN) else None)
+        .as("trimmed_mean"),
+      out(if (keptN > 0) Some(row.getDouble(4) / n) else None)
+        .as("winsorized_mean"),
+      lit(row.getDouble(5)).as("median"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

@@ -1121,6 +1121,57 @@ class DriftSpec extends SparkSpecBase {
     assert(re.getLong(0) == 0L && re.isNullAt(2))
   }
 
+  test("chiSquareGof: uniform accepts, skew rejects, unknown category fails") {
+    val exp = (0 to 3).map(i => (i.toString, 0.25))
+    val uni = (0 until 400).map(i => (i % 4).toString).toDF("v")
+    val ru = Drift.chiSquareGof(uni, "v", exp).collect().head
+    assert(ru.getLong(0) == 400L && ru.getLong(1) == 4L && ru.getLong(3) == 3L)
+    assert(math.abs(ru.getAs[Double]("chi2")) < 1e-12)
+    assert(ru.getAs[Double]("p_value") > 0.999)
+    // skewed: all mass on one category (others expected but absent)
+    val skew = (0 until 400).map(_ => "0").toDF("v")
+    val rs = Drift.chiSquareGof(skew, "v", exp).collect().head
+    // chi2 = (400-100)^2/100 + 3*(0-100)^2/100 = 900 + 300 = 1200
+    assert(math.abs(rs.getAs[Double]("chi2") - 1200.0) < 1e-9)
+    assert(rs.getAs[Double]("p_value") < 1e-10)
+    // observed category outside the expected list fails fast
+    val bad = Seq("0", "1", "zzz").toDF("v")
+    intercept[IllegalArgumentException] {
+      Drift.chiSquareGof(bad, "v", exp).collect()
+    }
+    // proportions must sum to 1
+    intercept[IllegalArgumentException] {
+      Drift.chiSquareGof(uni, "v", Seq(("0", 0.5), ("1", 0.2)))
+    }
+  }
+
+  test("robustLocation: hand rank algebra, duplicate boundaries, guards") {
+    val r = Drift.robustLocation((1 to 10).map(_.toDouble).toDF("v"), "v",
+      trimFrac = 0.2).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
+    assert(math.abs(r.getAs[Double]("mean") - 5.5) < 1e-12)
+    // kept ranks 3..8 -> values 3..8, mean 5.5
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - 5.5) < 1e-12)
+    // winsorized: 3,3,3,4,5,6,7,8,8,8 -> 5.5
+    assert(math.abs(r.getAs[Double]("winsorized_mean") - 5.5) < 1e-12)
+    assert(r.getAs[Double]("median") == 5.0, "lower median of 1..10")
+    // duplicates straddling the trim boundary
+    val d = Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).toDF("v")
+    val rd = Drift.robustLocation(d, "v", trimFrac = 0.2).collect().head
+    assert(rd.getLong(1) == 1L)
+    assert(math.abs(rd.getAs[Double]("trimmed_mean") - 5.0) < 1e-12)
+    assert(math.abs(rd.getAs[Double]("winsorized_mean") - 5.0) < 1e-12)
+    assert(rd.getAs[Double]("median") == 5.0)
+    // trimFrac 0 degrades to the plain mean
+    val r0 = Drift.robustLocation(d, "v", trimFrac = 0.0).collect().head
+    assert(math.abs(r0.getAs[Double]("trimmed_mean") -
+      r0.getAs[Double]("mean")) < 1e-12)
+    // over-trimming a tiny input -> NULLs
+    val tiny = Seq(1.0, 2.0).toDF("v")
+    val rt = Drift.robustLocation(tiny, "v", trimFrac = 0.49).collect().head
+    assert(!rt.isNullAt(rt.fieldIndex("mean")))
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10

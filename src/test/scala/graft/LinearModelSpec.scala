@@ -296,4 +296,39 @@ class LinearModelSpec extends SparkSpecBase {
     // the guarantee itself: empirical coverage near the nominal 0.8
     assert(covRef > 0.7 && covRef <= 1.0, s"coverage $covRef")
   }
+
+  test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
+    import spark.implicits._
+    // 5 score levels, 10 rows each, observed positives exactly 10*s:
+    // every bin has o1 = e1 -> HL = 0, p = 1
+    val cal = (0 until 50).map { i =>
+      val lvl = i / 10
+      val s = 0.1 + 0.2 * lvl // 0.1, 0.3, 0.5, 0.7, 0.9
+      val y = if (i % 10 < math.round(10 * s)) 1 else 0
+      (y, s)
+    }.toDF("y", "s")
+    val rc = graft.operators.LinearModel.hosmerLemeshow(cal, "y", "s", bins = 5)
+      .collect().head
+    assert(rc.getLong(0) == 50L && rc.getLong(1) == 5L && rc.getLong(3) == 3L)
+    assert(math.abs(rc.getAs[Double]("hl")) < 1e-12)
+    assert(rc.getAs[Double]("p_value") > 0.999)
+    // anti-calibrated: labels inverted -> large HL, tiny p
+    val bad = cal.select((lit(1) - col("y")).as("y"), col("s"))
+    val rb = graft.operators.LinearModel.hosmerLemeshow(bad, "y", "s", bins = 5)
+      .collect().head
+    assert(rb.getAs[Double]("hl") > 50.0)
+    assert(rb.getAs[Double]("p_value") < 1e-6)
+    // hand check on the anti-calibrated table: per level o1 = 10-10s,
+    // e1 = 10s -> term = (10-20s)^2 / (10s(1-s))
+    val ref = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { s =>
+      math.pow(10 - 20 * s, 2) / (10 * s * (1 - s))
+    }.sum
+    assert(math.abs(rb.getAs[Double]("hl") - ref) < 1e-9)
+    // degenerate: hard-0/1 scores make e1*(nb-e1) = 0 -> NULL
+    val hard = (0 until 20).map(i => (i % 2, if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("y", "s")
+    val rh = graft.operators.LinearModel.hosmerLemeshow(hard, "y", "s",
+      bins = 4).collect().head
+    assert(rh.isNullAt(rh.fieldIndex("hl")))
+  }
 }

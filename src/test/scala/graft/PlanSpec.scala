@@ -595,7 +595,11 @@ class PlanSpec extends SparkSpecBase {
       "q234_rbo" -> 2,
       // CUSUM prefix sum + day index over the per-day bucket spine
       // (calendar-sized, the q119/q122 class)
-      "q254_cusum" -> 2)
+      "q254_cusum" -> 2,
+      // EWMA scaled prefix sum + first_value (one WindowExec) and the
+      // lag pair (second) over the zero-filled day spine —
+      // calendar-sized, the q119/q122 class
+      "q322_ewma_backtest" -> 2)
     val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // sparkPlan (pre-AQE): WindowExec nodes are visible without running
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan

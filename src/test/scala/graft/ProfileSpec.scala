@@ -775,6 +775,55 @@ class ProfileSpec extends SparkSpecBase {
       const.isNullAt(const.fieldIndex("odds_ratio")))
   }
 
+  test("gTest: independence ~ 0, perfect association hand value") {
+    // independent 2x2: every cell 25 -> G = 0
+    val ind = (0 until 100).map(i => ((i % 2).toString, (i / 2 % 2).toString))
+      .toDF("a", "b")
+    val ri = graft.profile.Association.gTest(ind, "a", "b").collect().head
+    assert(ri.getLong(0) == 100L && ri.getLong(4) == 1L)
+    assert(math.abs(ri.getAs[Double]("g")) < 1e-12)
+    // perfect association: diagonal cells only -> G = 2*n*ln(2) for 2x2
+    val per = ((1 to 10).map(_ => ("x", "u")) ++ (1 to 10).map(_ => ("y", "v")))
+      .toDF("a", "b")
+    val rp = graft.profile.Association.gTest(per, "a", "b").collect().head
+    assert(math.abs(rp.getAs[Double]("g") - 2 * 20 * math.log(2)) < 1e-9)
+    assert(rp.getAs[Double]("p_value") < 1e-6)
+    // constant column: df 0 -> NULL
+    val c = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(graft.profile.Association.gTest(c, "a", "b")
+      .collect().head.isNullAt(3))
+  }
+
+  test("cronbachAlpha: parallel items = 1, orthogonal = 0, reversed < 0") {
+    // three identical items: alpha exactly 1
+    val par = (0 until 40).map { i =>
+      val x = (i % 7).toDouble; (x, x, x)
+    }.toDF("a", "b", "c")
+    val rp = graft.profile.Association.cronbachAlpha(par, Seq("a", "b", "c"))
+      .collect().head
+    assert(rp.getLong(0) == 40L && rp.getLong(1) == 3L)
+    assert(math.abs(rp.getAs[Double]("alpha") - 1.0) < 1e-12)
+    // pairwise-orthogonal sign patterns: total var = sum of item vars
+    val pats = Seq((1, 1, 1), (1, -1, -1), (-1, 1, -1), (-1, -1, 1))
+    val ort = (0 until 80).map { i =>
+      val (a, b, c) = pats(i % 4); (a.toDouble, b.toDouble, c.toDouble)
+    }.toDF("a", "b", "c")
+    val ro = graft.profile.Association.cronbachAlpha(ort, Seq("a", "b", "c"))
+      .collect().head
+    assert(math.abs(ro.getAs[Double]("alpha")) < 1e-12)
+    // a reversed item drives alpha negative
+    val rev = (0 until 40).map { i =>
+      val x = (i % 7).toDouble; (x, x, -x)
+    }.toDF("a", "b", "c")
+    val rr = graft.profile.Association.cronbachAlpha(rev, Seq("a", "b", "c"))
+      .collect().head
+    assert(rr.getAs[Double]("alpha") < -0.5)
+    // constant total: NULL
+    val const = (0 until 10).map(_ => (1.0, 1.0, 1.0)).toDF("a", "b", "c")
+    assert(graft.profile.Association.cronbachAlpha(const, Seq("a", "b", "c"))
+      .collect().head.isNullAt(4))
+  }
+
   test("cochranQ: hand-computed Q, incomplete-block drop, degenerate NULL") {
     // 4 items x 3 treatments: T = (4,2,1), R = (2,1,3,1)
     // Q = (k-1)(k*SumT^2 - (SumT)^2)/(k*SumR - SumR^2) = 2*(63-49)/6 = 14/3
