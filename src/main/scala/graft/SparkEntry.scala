@@ -3155,6 +3155,69 @@ object SparkEntry {
           (round(col("median"), 6) + lit(0.0)).as("median"))
     }),
 
+    // ---- Kuiper two-sample test: en vs de doc lengths (Drift) -------------
+    // the KS distributed-cumsum plan with directional maxima; identical
+    // 100-term asymptotic series on both engines
+    "q328_kuiper" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.kuiperTest(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("d_plus"), 6) + lit(0.0)).as("d_plus"),
+          (round(col("d_minus"), 6) + lit(0.0)).as("d_minus"),
+          (round(col("v"), 6) + lit(0.0)).as("v"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Holm adjustment over the runs-test battery (Drift) ---------------
+    // per-type runs-test z -> two-sided A&S p -> Holm step-down; the
+    // battery is 5 rows, so its sort windows are bounded by construction
+    "q329_p_adjust" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      val battery = Drift.runsTestByKey(ev, "event_type",
+          Seq("ts", "event_id"), "value")
+        .withColumn("_az", abs(col("z")) / math.sqrt(2.0))
+        .withColumn("_t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("_az")))
+        .withColumn("p", col("_t") * (lit(0.254829592) + col("_t") *
+          (lit(-0.284496736) + col("_t") * (lit(1.421413741) + col("_t") *
+            (lit(-1.453152027) + col("_t") * 1.061405429)))) *
+          exp(-col("_az") * col("_az")))
+        .select(col("key"), col("p"))
+      Drift.pAdjust(battery, "p", method = "holm")
+        .select(col("key"),
+          (round(col("p"), 6) + lit(0.0)).as("p"),
+          (round(col("p_adjusted"), 6) + lit(0.0)).as("p_adjusted"))
+        .gateOrdered(col("key"))
+    }),
+
+    // ---- expected calibration error of the q326 pseudo-model (Model) ------
+    "q330_calibration_error" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").cast("int").as("y"),
+          (lit(1.0) / (lit(1.0) +
+            exp((lit(400.0) - col("n_chars")) / 100.0))).as("s"))
+      LinearModel.calibrationError(docs, "y", "s", bins = 10)
+        .select(col("n"), col("n_bins"),
+          (round(col("ece"), 6) + lit(0.0)).as("ece"),
+          (round(col("mce"), 6) + lit(0.0)).as("mce"))
+    }),
+
+    // ---- inequality panel over per-user event loads (CorpusStats) ---------
+    // Theil/Atkinson/CV2 from one moment pass on the keyed count table
+    "q331_inequality" -> ((s, dir) => {
+      val perUser = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      CorpusStats.inequalityPanel(perUser, "c")
+        .select(col("n"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean"),
+          (round(col("theil_t"), 6) + lit(0.0)).as("theil_t"),
+          (round(col("atkinson_1"), 6) + lit(0.0)).as("atkinson_1"),
+          (round(col("cv2"), 6) + lit(0.0)).as("cv2"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8767,6 +8830,104 @@ object SparkEntry {
            round(wsum / n, 6) + 0.0 AS winsorized_mean,
            round(med, 6) + 0.0 AS median
          FROM x""",
+    // the wasserstein CDF chain with directional maxima and the same
+    // truncated Kuiper series
+    "q328_kuiper" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(na)::BIGINT ta, sum(nb)::BIGINT tb FROM j),
+         c AS (SELECT sum(na) OVER (ORDER BY v) ca,
+                 sum(nb) OVER (ORDER BY v) cb FROM j),
+         d AS (SELECT greatest(max(ca::DOUBLE / ta - cb::DOUBLE / tb), 0) dp,
+                 greatest(max(cb::DOUBLE / tb - ca::DOUBLE / ta), 0) dm
+               FROM c, t),
+         vv AS (SELECT dp, dm, dp + dm v, ta::DOUBLE * tb / (ta + tb) ne
+               FROM d, t),
+         ll AS (SELECT dp, dm, v,
+                 (sqrt(ne) + 0.155 + 0.24 / sqrt(ne)) * v lam FROM vv),
+         pp AS (SELECT dp, dm, v, CASE WHEN lam < 0.4 THEN 1.0
+                 ELSE least(1.0, greatest(0.0,
+                   2 * (SELECT sum((4 * m * m * lam * lam - 1)
+                       * exp(-2 * m * m * lam * lam))
+                     FROM unnest(range(1, 101)) u(m)))) END p
+               FROM ll)
+         SELECT ta AS n_a, tb AS n_b, round(dp, 6) + 0.0 AS d_plus,
+           round(dm, 6) + 0.0 AS d_minus, round(v, 6) + 0.0 AS v,
+           round(p, 6) + 0.0 AS p_value
+         FROM pp, t""",
+    // the q309 battery, the shared A&S two-sided p, and the Holm
+    // step-down (rank window + running max, both over 5 rows)
+    "q329_p_adjust" ->
+      """WITH b AS (SELECT event_type kk, ts, event_id, value v FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND ts IS NOT NULL AND event_id IS NOT NULL),
+         m AS (SELECT kk, sum(v) / count(*) mu FROM b GROUP BY 1),
+         s AS (SELECT b.kk, ts, event_id,
+                 CASE WHEN v > mu THEN 1 ELSE 0 END s
+               FROM b JOIN m ON m.kk = b.kk WHERE v <> mu),
+         lg AS (SELECT kk, s,
+                 lag(s) OVER (PARTITION BY kk ORDER BY ts, event_id) p
+               FROM s),
+         r AS (SELECT kk, sum(s)::BIGINT n1, sum(1 - s)::BIGINT n2,
+                 sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0
+                   END)::BIGINT runs
+               FROM lg GROUP BY 1),
+         z AS (SELECT kk, (runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                   / (pow((n1 + n2)::DOUBLE, 2) * (n1 + n2 - 1))) zz
+               FROM r),
+         pv AS (SELECT kk, abs(zz) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)) t FROM z),
+         pr AS (SELECT kk, t * (0.254829592 + t * (-0.284496736
+                 + t * (1.421413741 + t * (-1.453152027
+                 + t * 1.061405429)))) * exp(-az * az) p FROM pv),
+         hm AS (SELECT kk, p,
+                 p * (count(*) OVER () - row_number()
+                   OVER (ORDER BY p ASC) + 1) raw
+               FROM pr),
+         ad AS (SELECT kk, p, least(max(raw) OVER (ORDER BY p ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0) pa
+               FROM hm)
+         SELECT kk AS "key", round(p, 6) + 0.0 AS p,
+           round(pa, 6) + 0.0 AS p_adjusted
+         FROM ad ORDER BY kk""",
+    // the q326 pseudo-score over fixed-width bins; weighted and max gaps
+    "q330_calibration_error" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END y,
+                  1.0 / (1.0 + exp((400.0 - n_chars) / 100.0)) s
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         bb AS (SELECT y, s, least(floor(s * 10)::INT, 9) bn FROM b),
+         byb AS (SELECT bn, count(*)::BIGINT nb, sum(s) ss,
+                 sum(y)::DOUBLE sy FROM bb GROUP BY 1),
+         g AS (SELECT sum(nb)::BIGINT n, count(*)::BIGINT n_bins,
+                 sum(nb * abs(ss / nb - sy / nb)) wg,
+                 max(abs(ss / nb - sy / nb)) mce
+               FROM byb)
+         SELECT n, n_bins, round(wg / n, 6) + 0.0 AS ece,
+           round(mce, 6) + 0.0 AS mce
+         FROM g""",
+    // one moment pass over the positive per-user loads
+    "q331_inequality" ->
+      """WITH u AS (SELECT count(*)::DOUBLE x FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id),
+         m AS (SELECT count(*)::BIGINT n, sum(x) sx, sum(x * ln(x)) sxlx,
+                 sum(ln(x)) slx, sum(x * x) sxx
+               FROM u WHERE x > 0)
+         SELECT n, round(sx / n, 6) + 0.0 AS mean,
+           round(sxlx / sx - ln(sx / n), 6) + 0.0 AS theil_t,
+           round(1 - exp(slx / n) / (sx / n), 6) + 0.0 AS atkinson_1,
+           round(((sxx - sx * (sx / n)) / (n - 1)) / pow(sx / n, 2), 6)
+             + 0.0 AS cv2
+         FROM m""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -1092,4 +1092,36 @@ object CorpusStats {
         avg(col("__nll")).as("avg_nll"),
         exp(avg(col("__nll"))).as("ppl"))
   }
+
+  /** Inequality panel over a positive quantity (tokens per source, spend
+    * per user) — Theil T, Atkinson(ε=1) and the squared coefficient of
+    * variation side by side ([[concentrationReport]] carries Gini/HHI
+    * over a KEYED count table; this panel reads a plain numeric column
+    * and adds the decomposable indices: Theil T sums EXACTLY across
+    * subgroups, which is why pipeline dashboards prefer it). Non-positive
+    * values drop (logarithmic indices are undefined there — documented
+    * complete-case-positive contract). One row:
+    * `(n, mean, theil_t, atkinson_1, cv2)`; NULLs when n = 0 or the
+    * mean is 0.
+    *
+    * Scale: ONE aggregation of (n, Σx, Σx·ln x, Σln x, Σx²) — codegen'd
+    * sums, scalar algebra in-plan. */
+  def inequalityPanel(df: DataFrame, column: String): DataFrame = {
+    val x = col(column).cast("double")
+    val base = df.filter(x.isNotNull && x > 0).select(x.as("x"))
+    val agg = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * log(col("x"))).as("sxlx"),
+      sum(log(col("x"))).as("slx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val mu = col("sx") / col("n")
+    agg.select(col("n"),
+      when(col("n") > 0, mu).as("mean"),
+      when(col("n") > 0 && col("sx") > 0,
+        col("sxlx") / col("sx") - log(mu)).as("theil_t"),
+      when(col("n") > 0 && col("sx") > 0,
+        lit(1.0) - exp(col("slx") / col("n")) / mu).as("atkinson_1"),
+      when(col("n") > 1 && col("sx") > 0,
+        ((col("sxx") - col("sx") * mu) / (col("n") - 1)) / (mu * mu))
+        .as("cv2"))
+  }
 }

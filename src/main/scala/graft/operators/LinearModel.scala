@@ -268,6 +268,32 @@ object LinearModel {
       lit(graft.profile.Drift.chi2Survival(bins - 2, hl)).as("p_value"))
   }
 
+  /** Expected / maximum calibration error — the one-number summaries of
+    * the [[reliabilityBins]] curve (ECE = Σ (n_b/n)·|mean score −
+    * observed rate|, MCE = max over bins): the headline metric every
+    * model-calibration report leads with. Fixed-width score bins (the
+    * reliabilityBins convention). One row: `(n, n_bins, ece, mce)`;
+    * `n_bins` counts non-empty bins.
+    *
+    * Scale: one bin-bounded aggregation + a scalar reduce. */
+  def calibrationError(scored: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val base = scored.select(col(labelCol).cast("int").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    val byBin = base
+      .withColumn("b", least(floor(col("s") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("s")).as("ss"),
+        sum(col("y")).cast("double").as("sy"))
+    val gap = abs(col("ss") / col("nb") - col("sy") / col("nb"))
+    byBin.agg(sum(col("nb")).as("_n"), count(lit(1)).as("n_bins"),
+        sum(col("nb") * gap).as("_wgap"), max(gap).as("mce"))
+      .select(col("_n").as("n"), col("n_bins"),
+        when(col("_n") > 0, col("_wgap") / col("_n")).as("ece"), col("mce"))
+  }
+
   /** Operationalize a score gate: the admission threshold that keeps
     * `keepRate` of the scored set, plus what actually happens at that
     * threshold. The threshold is the score of the rank-⌈n·keepRate⌉ row

@@ -2357,6 +2357,114 @@ object Drift {
       lit(row.getDouble(5)).as("median"))
   }
 
+  /** Kuiper two-sample test — the rotation-invariant KS: V = D⁺ + D⁻
+    * (max CDF exceedance in EACH direction) weighs the tails equally and
+    * is invariant to cyclic shifts, so it catches phase drift in
+    * periodic features (hour-of-day, day-of-week usage) that plain KS —
+    * anchored at the median — underweights. One row:
+    * `(n_a, n_b, d_plus, d_minus, v, p_value)` with the standard
+    * asymptotic series p = 2·Σ_{m≥1} (4m²λ²−1)·e^(−2m²λ²) at
+    * λ = (√Nₑ + 0.155 + 0.24/√Nₑ)·V, truncated at 100 terms — the
+    * identical finite sum replays in oracle SQL. NULL p when either side
+    * is empty.
+    *
+    * Scale: the [[ksStatistic]] plan verbatim — per-side distinct-value
+    * counts, ONE shared two-phase distributed cumsum (footer-split
+    * hinted), a max reduce. No global window, no row-sized state. */
+  def kuiperTest(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"), splitsHint,
+      persistInput = splitsHint.isEmpty)
+    val (ta, tb) = (grand(0), grand(1))
+    val spark = a.sparkSession
+    def dNull = lit(null).cast("double")
+    if (ta == 0 || tb == 0) {
+      return spark.range(1).select(lit(ta).as("n_a"), lit(tb).as("n_b"),
+        dNull.as("d_plus"), dNull.as("d_minus"), dNull.as("v"),
+        dNull.as("p_value"))
+    }
+    val gap = (col("_ea") + col("n_a")) / lit(ta).cast("double") -
+      (col("_eb") + col("n_b")) / lit(tb).cast("double")
+    val row = cum.withColumn("_g", gap)
+      .agg(greatest(max(col("_g")), lit(0.0)).as("dp"),
+        greatest(max(-col("_g")), lit(0.0)).as("dm"))
+      .head()
+    val (dp, dm) = (row.getDouble(0), row.getDouble(1))
+    val v = dp + dm
+    val ne = ta.toDouble * tb / (ta + tb)
+    val lam = (math.sqrt(ne) + 0.155 + 0.24 / math.sqrt(ne)) * v
+    // the asymptotic series diverges as λ → 0 (every term → −1); the
+    // standard guard (Numerical Recipes' probkp) returns 1 below 0.4,
+    // where the true survival is 1 to double precision anyway
+    val p = if (lam < 0.4) 1.0 else {
+      var acc = 0.0
+      var m = 1
+      while (m <= 100) {
+        acc += (4.0 * m * m * lam * lam - 1.0) *
+          math.exp(-2.0 * m * m * lam * lam)
+        m += 1
+      }
+      math.min(1.0, math.max(0.0, 2.0 * acc))
+    }
+    spark.range(1).select(lit(ta).as("n_a"), lit(tb).as("n_b"),
+      lit(dp).as("d_plus"), lit(dm).as("d_minus"), lit(v).as("v"),
+      lit(p).as("p_value"))
+  }
+
+  /** Multiple-testing p-value adjustment over a battery table —
+    * Bonferroni, Holm step-down and Benjamini–Hochberg step-up in one
+    * operator ("which of these k tests survive?"; [[ksByGroupFdr]] wires
+    * BH into the KS battery specifically, this adjusts ANY table with a
+    * p column). Returns the input columns plus `p_adjusted`, clamped to
+    * [0,1], with the standard monotonicity enforcement (running max up
+    * the sorted order for holm, running min down it for bh). NULL p rows
+    * pass through with NULL adjusted. Ties order by p only — the
+    * adjusted value is tie-invariant for all three methods.
+    *
+    * Scale: the battery table is TEST-bounded (tens to thousands of
+    * rows), so the sort windows are bounded by construction — the
+    * q95/q234 PlanSpec class; the corpus never enters this operator. */
+  def pAdjust(df: DataFrame, pCol: String, method: String = "bh"): DataFrame = {
+    require(Set("bonferroni", "holm", "bh")(method),
+      s"method must be bonferroni|holm|bh: $method")
+    val withP = df.filter(col(pCol).isNotNull)
+    val nullP = df.filter(col(pCol).isNull)
+      .withColumn("p_adjusted", lit(null).cast("double"))
+    val m = count(lit(1)).over(Window.partitionBy())
+    val adjusted = method match {
+      case "bonferroni" =>
+        withP.withColumn("p_adjusted", least(col(pCol) * m, lit(1.0)))
+      case "holm" =>
+        val wAsc = Window.orderBy(col(pCol).asc)
+        val run = Window.orderBy(col(pCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withP
+          .withColumn("_raw", col(pCol) * (m - row_number().over(wAsc) + 1))
+          .withColumn("p_adjusted", least(max(col("_raw")).over(run), lit(1.0)))
+          .drop("_raw")
+      case "bh" =>
+        val wDesc = Window.orderBy(col(pCol).desc)
+        val run = Window.orderBy(col(pCol).desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withP
+          .withColumn("_rk", m - row_number().over(wDesc) + 1)
+          .withColumn("_raw", col(pCol) * m / col("_rk"))
+          .withColumn("p_adjusted", least(min(col("_raw")).over(run), lit(1.0)))
+          .drop("_rk").drop("_raw")
+    }
+    adjusted.unionByName(nullP)
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

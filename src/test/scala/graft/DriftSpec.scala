@@ -1172,6 +1172,57 @@ class DriftSpec extends SparkSpecBase {
     assert(!rt.isNullAt(rt.fieldIndex("mean")))
   }
 
+  test("kuiperTest: identical ~ 0, disjoint V = 1, V >= KS") {
+    val a = (1 to 200).map(i => (i % 50).toDouble).toDF("x")
+    val b = (1 to 200).map(i => (i % 50).toDouble).toDF("x")
+    val ri = Drift.kuiperTest(a, b, "x").collect().head
+    assert(math.abs(ri.getAs[Double]("v")) < 1e-12)
+    assert(ri.getAs[Double]("p_value") > 0.999)
+    // disjoint supports: one direction saturates at 1, the other is 0
+    val lo = Seq(1.0, 2.0, 3.0).toDF("x")
+    val hi = Seq(10.0, 11.0).toDF("x")
+    val rd = Drift.kuiperTest(lo, hi, "x").collect().head
+    assert(rd.getAs[Double]("d_plus") == 1.0 && rd.getAs[Double]("d_minus") == 0.0)
+    assert(rd.getAs[Double]("v") == 1.0)
+    // V dominates the KS D on a shifted pair
+    val s1 = (1 to 300).map(i => (i % 60).toDouble).toDF("x")
+    val s2 = (1 to 300).map(i => (i % 60 + 20).toDouble).toDF("x")
+    val rv = Drift.kuiperTest(s1, s2, "x").collect().head
+    val ks = Drift.ksStatistic(s1, s2, "x").collect().head.getAs[Double]("ks")
+    assert(rv.getAs[Double]("v") >= ks - 1e-9)
+    assert(rv.getAs[Double]("p_value") < 1e-6)
+    // empty side -> NULLs
+    val re = Drift.kuiperTest(lo.filter(col("x") < 0), hi, "x").collect().head
+    assert(re.isNullAt(re.fieldIndex("v")))
+  }
+
+  test("pAdjust: hand bonferroni/holm/bh, monotonicity, NULL passthrough") {
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.2))
+      .toDF("id", "p")
+    def adj(method: String) = Drift.pAdjust(df, "p", method).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p_adjusted")).toMap
+    val bf = adj("bonferroni")
+    assert(math.abs(bf("a") - 0.04) < 1e-12 && math.abs(bf("d") - 0.8) < 1e-12)
+    val hm = adj("holm")
+    assert(math.abs(hm("a") - 0.04) < 1e-12)
+    assert(math.abs(hm("b") - 0.06) < 1e-12)
+    assert(math.abs(hm("c") - 0.08) < 1e-12)
+    assert(math.abs(hm("d") - 0.2) < 1e-12)
+    val bh = adj("bh")
+    assert(math.abs(bh("a") - 0.04) < 1e-12)
+    assert(math.abs(bh("b") - 0.04) < 1e-12)
+    assert(math.abs(bh("c") - 0.04 * 4 / 3) < 1e-12)
+    assert(math.abs(bh("d") - 0.2) < 1e-12)
+    // clamping at 1 and NULL passthrough
+    val withNull = Seq(("a", Some(0.9)), ("b", Some(0.8)), ("c", None))
+      .toDF("id", "p")
+    val rn = Drift.pAdjust(withNull, "p", "bonferroni").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rn("a").getAs[Double]("p_adjusted") == 1.0)
+    assert(rn("c").isNullAt(rn("c").fieldIndex("p_adjusted")))
+    intercept[IllegalArgumentException] { Drift.pAdjust(df, "p", "what") }
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10

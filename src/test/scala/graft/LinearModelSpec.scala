@@ -297,6 +297,35 @@ class LinearModelSpec extends SparkSpecBase {
     assert(covRef > 0.7 && covRef <= 1.0, s"coverage $covRef")
   }
 
+  test("calibrationError: calibrated = 0, hand gaps, bin clamp") {
+    import spark.implicits._
+    // per bin: scores constant, observed rate equal -> ece = mce = 0
+    val cal = (0 until 40).map { i =>
+      val s = 0.25 + 0.5 * (i / 20) // 0.25 (bin 2), 0.75 (bin 7)
+      val y = if (i % 20 < math.round(20 * s)) 1 else 0
+      (y, s)
+    }.toDF("y", "s")
+    val rc = graft.operators.LinearModel.calibrationError(cal, "y", "s")
+      .collect().head
+    assert(rc.getLong(0) == 40L && rc.getLong(1) == 2L)
+    assert(math.abs(rc.getAs[Double]("ece")) < 1e-12)
+    assert(math.abs(rc.getAs[Double]("mce")) < 1e-12)
+    // hand gaps: bin 2 gap 0.25 (n 20), bin 7 gap 0.75 (n 20)
+    val off = cal.select((lit(1) - col("y")).as("y"), col("s"))
+    val ro = graft.operators.LinearModel.calibrationError(off, "y", "s")
+      .collect().head
+    // inverted labels: bin .25 observed .5? no - observed = 1 - 0.25 = 0.75
+    // gap = |0.25 - 0.75| = 0.5 in both bins
+    assert(math.abs(ro.getAs[Double]("ece") - 0.5) < 1e-12)
+    assert(math.abs(ro.getAs[Double]("mce") - 0.5) < 1e-12)
+    // score exactly 1.0 clamps into the last bin
+    val edge = Seq((1, 1.0), (0, 1.0)).toDF("y", "s")
+    val re = graft.operators.LinearModel.calibrationError(edge, "y", "s")
+      .collect().head
+    assert(re.getLong(1) == 1L)
+    assert(math.abs(re.getAs[Double]("mce") - 0.5) < 1e-12)
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:

@@ -599,7 +599,11 @@ class PlanSpec extends SparkSpecBase {
       // EWMA scaled prefix sum + first_value (one WindowExec) and the
       // lag pair (second) over the zero-filled day spine —
       // calendar-sized, the q119/q122 class
-      "q322_ewma_backtest" -> 2)
+      "q322_ewma_backtest" -> 2,
+      // Holm step-down over the 5-row runs-test battery: the battery
+      // count, the ascending rank, and the running max each plan one
+      // node — all over a TEST-bounded table (the q95 class)
+      "q329_p_adjust" -> 3)
     val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // sparkPlan (pre-AQE): WindowExec nodes are visible without running
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan

@@ -484,6 +484,29 @@ class SearchSpec extends SparkSpecBase {
     assert(out.map(_.getLong(3)).toSeq == runs.toSeq)
   }
 
+  test("inequalityPanel: hand Theil/Atkinson/CV2, equal = 0, positives only") {
+    val r = graft.operators.CorpusStats
+      .inequalityPanel(Seq(1.0, 3.0).toDF("x"), "x").collect().head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getAs[Double]("mean") - 2.0) < 1e-12)
+    // theil = (3 ln 3)/4 - ln 2; atkinson = 1 - sqrt(3)/2; cv2 = 0.5
+    assert(math.abs(r.getAs[Double]("theil_t") -
+      (3 * math.log(3) / 4 - math.log(2))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("atkinson_1") -
+      (1 - math.sqrt(3) / 2)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cv2") - 0.5) < 1e-12)
+    // perfectly equal: every index 0
+    val eq = graft.operators.CorpusStats
+      .inequalityPanel(Seq.fill(6)(4.0).toDF("x"), "x").collect().head
+    assert(math.abs(eq.getAs[Double]("theil_t")) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("atkinson_1")) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("cv2")) < 1e-12)
+    // zero/negative values drop (logarithmic contract)
+    val mix = graft.operators.CorpusStats
+      .inequalityPanel(Seq(-1.0, 0.0, 1.0, 3.0).toDF("x"), "x").collect().head
+    assert(mix.getLong(0) == 2L)
+  }
+
   test("concentrationReport: hand-computed Gini/HHI on a skewed key") {
     // counts per key: a=1, b=1, c=8 -> sorted {1,1,8}, sum(i*x) = 27
     // gini = 2*27/(3*10) - 4/3 = 0.4666..; hhi = 0.01+0.01+0.64 = 0.66
