@@ -3218,6 +3218,45 @@ object SparkEntry {
           (round(col("cv2"), 6) + lit(0.0)).as("cv2"))
     }),
 
+    // ---- two-sample Anderson-Darling: en vs de doc lengths (Drift) --------
+    // tie-adjusted A2akN on the shared distributed cumsum; sigma from
+    // the two O(N) harmonic loops
+    "q332_anderson_darling" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.andersonDarling2(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars")
+        .select(col("n_a"), col("n_b"),
+          (round(col("a2"), 6) + lit(0.0)).as("a2"),
+          (round(col("sigma"), 6) + lit(0.0)).as("sigma"),
+          (round(col("t_stat"), 6) + lit(0.0)).as("t_stat"))
+    }),
+
+    // ---- count-model fit of per-user-day event loads (Drift) --------------
+    // zero-filled user x day grid; Poisson vs NB-MoM zero-mass diagnosis
+    "q333_count_model" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val counts = ev
+        .groupBy(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val users = ev.select(col("user_id")).distinct()
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts")))  / 86400).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val grid = users.crossJoin(broadcast(spine))
+        .join(counts, Seq("user_id", "d"), "left").na.fill(0.0, Seq("c"))
+      Drift.countModelFit(grid, "c")
+        .select(col("n"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean"),
+          (round(col("variance"), 6) + lit(0.0)).as("variance"),
+          (round(col("zero_frac_obs"), 6) + lit(0.0)).as("zero_frac_obs"),
+          (round(col("zero_frac_poisson"), 6) + lit(0.0))
+            .as("zero_frac_poisson"),
+          (round(col("nb_r"), 6) + lit(0.0)).as("nb_r"),
+          (round(col("zero_frac_nb"), 6) + lit(0.0)).as("zero_frac_nb"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -8928,6 +8967,86 @@ object SparkEntry {
            round(((sxx - sx * (sx / n)) / (n - 1)) / pow(sx / n, 2), 6)
              + 0.0 AS cv2
          FROM m""",
+    // the pooled-distinct-value cumsum with midrank adjustments; h and g
+    // via the same harmonic identities over range spines
+    "q332_anderson_darling" ->
+      """WITH va AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT na
+                FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         vb AS (SELECT n_chars::DOUBLE v, count(*)::BIGINT nb
+                FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+                GROUP BY 1),
+         j AS (SELECT coalesce(va.v, vb.v) v, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+         t AS (SELECT sum(na)::BIGINT ta, sum(nb)::BIGINT tb,
+                 (sum(na) + sum(nb))::BIGINT nn FROM j),
+         c AS (SELECT v, na, nb, (na + nb)::DOUBLE l,
+                 sum(na) OVER (ORDER BY v) ca,
+                 sum(nb) OVER (ORDER BY v) cb FROM j),
+         s AS (SELECT
+                 sum(CASE WHEN (ca + cb - l / 2) * (nn - (ca + cb - l / 2))
+                     - nn * l / 4 > 0 THEN
+                   l * pow(nn * (ca - na / 2.0) - ta * (ca + cb - l / 2), 2)
+                     / ((ca + cb - l / 2) * (nn - (ca + cb - l / 2))
+                       - nn * l / 4) END) sa,
+                 sum(CASE WHEN (ca + cb - l / 2) * (nn - (ca + cb - l / 2))
+                     - nn * l / 4 > 0 THEN
+                   l * pow(nn * (cb - nb / 2.0) - tb * (ca + cb - l / 2), 2)
+                     / ((ca + cb - l / 2) * (nn - (ca + cb - l / 2))
+                       - nn * l / 4) END) sb
+               FROM c, t),
+         a2x AS (SELECT (nn - 1.0) / nn * (sa / ta + sb / tb) / nn a2
+               FROM s, t),
+         hh AS (SELECT (SELECT sum(1.0 / i)
+                 FROM unnest(range(1, (SELECT nn FROM t)))
+                   u(i)) h),
+         gg AS (SELECT sum((h - hm) / (nn - m)) g
+               FROM (SELECT m, sum(1.0 / m) OVER (ORDER BY m) hm
+                     FROM unnest(range(1, (SELECT nn FROM t) - 1)) u(m)),
+                 hh, t),
+         cf AS (SELECT
+                 (4 * g - 6) * 1 + (10 - 6 * g) * (1.0 / ta + 1.0 / tb) aa,
+                 (2 * g - 4) * 4 + 16 * h
+                   + (2 * g - 14 * h - 4) * (1.0 / ta + 1.0 / tb)
+                   - 8 * h + 4 * g - 6 bb,
+                 (6 * h + 2 * g - 2) * 4 + (4 * h - 4 * g + 6) * 2
+                   + (2 * h - 6) * (1.0 / ta + 1.0 / tb) + 4 * h cc,
+                 (2 * h + 6) * 4 - 8 * h dd
+               FROM hh, gg, t),
+         vr AS (SELECT (aa * pow(nn::DOUBLE, 3) + bb * pow(nn::DOUBLE, 2)
+                   + cc * nn + dd)
+                 / ((nn - 1.0) * (nn - 2) * (nn - 3)) v2 FROM cf, t)
+         SELECT ta AS n_a, tb AS n_b, round(a2, 6) + 0.0 AS a2,
+           round(sqrt(v2), 6) + 0.0 AS sigma,
+           round((a2 - 1) / sqrt(v2), 6) + 0.0 AS t_stat
+         FROM a2x, vr, t""",
+    // the same zero-filled grid; moment algebra and the MoM NB fit
+    "q333_count_model" ->
+      """WITH e AS (SELECT user_id u, floor(epoch(ts) / 86400)::BIGINT d
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         cts AS (SELECT u, d, count(*)::DOUBLE c FROM e GROUP BY 1, 2),
+         us AS (SELECT DISTINCT u FROM e),
+         sp AS (SELECT unnest(range((SELECT min(d) FROM e),
+                  (SELECT max(d) FROM e) + 1)) d),
+         grid AS (SELECT coalesce(cts.c, 0) c
+               FROM us CROSS JOIN sp
+               LEFT JOIN cts ON cts.u = us.u AND cts.d = sp.d),
+         m AS (SELECT count(*)::BIGINT n, sum(c) s, sum(c * c) q,
+                 sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT z
+               FROM grid),
+         st AS (SELECT n, s / n mu, (q - s * s / n) / (n - 1) v,
+                 z::DOUBLE / n zo FROM m)
+         SELECT n, round(mu, 6) + 0.0 AS mean, round(v, 6) + 0.0 AS variance,
+           round(zo, 6) + 0.0 AS zero_frac_obs,
+           round(exp(-mu), 6) + 0.0 AS zero_frac_poisson,
+           CASE WHEN v > mu AND mu > 0
+             THEN round(mu * mu / (v - mu), 6) + 0.0 END AS nb_r,
+           CASE WHEN v > mu AND mu > 0
+             THEN round(pow((mu * mu / (v - mu))
+               / (mu * mu / (v - mu) + mu), mu * mu / (v - mu)), 6) + 0.0
+             END AS zero_frac_nb
+         FROM st""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

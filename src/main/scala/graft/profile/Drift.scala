@@ -2465,6 +2465,133 @@ object Drift {
     adjusted.unionByName(nullP)
   }
 
+  /** Two-sample Anderson–Darling test (tie-adjusted A²ₐₖN of Scholz &
+    * Stephens 1987, k = 2) — the rank test that weighs the TAILS where
+    * KS's single-supremum statistic is least sensitive; the standard
+    * choice for "same distribution?" when tail drift is what matters.
+    * Ties use the midrank adjustment exactly (discrete columns are
+    * first-class, not a caveat). One row:
+    * `(n_a, n_b, a2, sigma, t_stat)` where `t_stat` = (A² − 1)/σ_N is
+    * the Scholz–Stephens standardization (compare to their critical
+    * table: 1.960 at 5%, 3.752 at 1% — no closed p-value exists, which
+    * is why none is emitted). NULL when either side is empty or the
+    * pooled column is constant.
+    *
+    * Scale: the [[ksStatistic]] distributed-cumsum plan for the A²
+    * sums; the σ_N constants need the harmonic numbers h and the double
+    * sum g, folded to TWO O(N) driver loops (no array, no N² — the
+    * u-substitution g = Σᵤ (1/u)(H_{N−1} − H_{N−u})); `maxN` bounds the
+    * loop (default 10⁷ — at corpus scale a distribution TEST runs on a
+    * slice/sample by design; the power of N > 10⁷ is vacuous anyway). */
+  def andersonDarling2(a: DataFrame, b: DataFrame, column: String,
+      maxN: Long = 10000000L): DataFrame = {
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_b"))
+    val joined = va.join(vb, Seq("v"), "full_outer").na.fill(0L, Seq("n_a", "n_b"))
+    val splitsHint = (graft.ops.ScaleOps.footerRangeSplits(va, "v"),
+        graft.ops.ScaleOps.footerRangeSplits(vb, "v")) match {
+      case (Some(x), Some(y)) => Some((x ++ y).distinct.sorted)
+      case _ => None
+    }
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("n_a", "n_b"), Seq("_ea", "_eb"), splitsHint,
+      persistInput = splitsHint.isEmpty)
+    val (na, nb) = (grand(0), grand(1))
+    val bigN = na + nb
+    val spark = a.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls = spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      dNull.as("a2"), dNull.as("sigma"), dNull.as("t_stat"))
+    if (na == 0 || nb == 0) return nulls
+    require(bigN <= maxN,
+      s"andersonDarling2: pooled N $bigN exceeds maxN $maxN — sample the slices")
+    val l = col("n_a") + col("n_b")
+    val bj = col("_ea") + col("_eb") + l
+    val ba = bj - l / lit(2.0)
+    val maA = col("_ea") + col("n_a") / lit(2.0)
+    val maB = col("_eb") + col("n_b") / lit(2.0)
+    val denom = ba * (lit(bigN.toDouble) - ba) - lit(bigN.toDouble) * l / 4
+    def side(ma: org.apache.spark.sql.Column, n: Long) =
+      sum(when(denom > 0,
+        l * pow(lit(bigN.toDouble) * ma - lit(n.toDouble) * ba, 2) / denom))
+    val row = cum.agg(side(maA, na).as("sa"), side(maB, nb).as("sb")).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return nulls // constant column
+    val a2 = (bigN - 1.0) / bigN *
+      (row.getDouble(0) / na + row.getDouble(1) / nb) / bigN
+    // Scholz–Stephens variance: two O(N) loops, no arrays
+    var h = 0.0
+    var i = 1L
+    while (i < bigN) { h += 1.0 / i; i += 1 }
+    var g = 0.0
+    var hm = 0.0
+    var m = 1L
+    while (m <= bigN - 2) {
+      hm += 1.0 / m // H_m
+      g += (h - hm) / (bigN - m) // u = N − m
+      m += 1
+    }
+    val k = 2.0
+    val bigH = 1.0 / na + 1.0 / nb
+    val ca = (4 * g - 6) * (k - 1) + (10 - 6 * g) * bigH
+    val cb = (2 * g - 4) * k * k + 8 * h * k +
+      (2 * g - 14 * h - 4) * bigH - 8 * h + 4 * g - 6
+    val cc = (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k +
+      (2 * h - 6) * bigH + 4 * h
+    val cd = (2 * h + 6) * k * k - 4 * h * k
+    val nD = bigN.toDouble
+    val var2 = (ca * nD * nD * nD + cb * nD * nD + cc * nD + cd) /
+      ((nD - 1) * (nD - 2) * (nD - 3))
+    if (var2 <= 0) return nulls
+    val sigma = math.sqrt(var2)
+    spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(a2).as("a2"), lit(sigma).as("sigma"),
+      lit((a2 - (k - 1)) / sigma).as("t_stat"))
+  }
+
+  /** Count-model fit diagnostic — "are these counts Poisson, or do they
+    * need a negative binomial (and is there excess zero mass)?": the
+    * method-of-moments NB fit r̂ = μ²/(σ²−μ) beside the observed /
+    * Poisson-expected / NB-expected zero fractions
+    * ([[overdispersionTest]] DETECTS overdispersion; this panel says
+    * what to fit instead and whether zero inflation remains on top).
+    * One row: `(n, mean, variance, zero_frac_obs, zero_frac_poisson,
+    * nb_r, zero_frac_nb)`; NULL NB columns when σ² ≤ μ (no
+    * overdispersion — Poisson already fits). Complete-case.
+    *
+    * Scale: ONE (count, Σx, Σx², zero-count) aggregation; scalar driver
+    * algebra. */
+  def countModelFit(df: DataFrame, countCol: String): DataFrame = {
+    val x = col(countCol).cast("double")
+    val row = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("s"), sum(x * x).as("q"),
+        sum(when(x === 0, 1L).otherwise(0L)).as("z"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (n < 2) {
+      return spark.range(1).select(lit(n).as("n"), dNull.as("mean"),
+        dNull.as("variance"), dNull.as("zero_frac_obs"),
+        dNull.as("zero_frac_poisson"), dNull.as("nb_r"),
+        dNull.as("zero_frac_nb"))
+    }
+    val mu = row.getDouble(1) / n
+    val v = (row.getDouble(2) - row.getDouble(1) * row.getDouble(1) / n) / (n - 1)
+    val zObs = row.getLong(3).toDouble / n
+    val nb: Option[(Double, Double)] =
+      if (v > mu && mu > 0) {
+        val r = mu * mu / (v - mu)
+        Some((r, math.pow(r / (r + mu), r)))
+      } else None
+    def out(o: Option[Double]) = o.map(lit(_).cast("double")).getOrElse(dNull)
+    spark.range(1).select(lit(n).as("n"), lit(mu).as("mean"),
+      lit(v).as("variance"), lit(zObs).as("zero_frac_obs"),
+      lit(math.exp(-mu)).as("zero_frac_poisson"),
+      out(nb.map(_._1)).as("nb_r"), out(nb.map(_._2)).as("zero_frac_nb"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

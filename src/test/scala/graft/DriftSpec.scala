@@ -1223,6 +1223,76 @@ class DriftSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Drift.pAdjust(df, "p", "what") }
   }
 
+  test("andersonDarling2 matches a naive reference; sigma vs brute-force g") {
+    val as = Seq(3.0, 7.0, 7.0, 12.0, 15.0, 18.0, 21.0)
+    val bs = Seq(5.0, 7.0, 9.0, 14.0, 14.0, 22.0)
+    val r = Drift.andersonDarling2(as.toDF("x"), bs.toDF("x"), "x")
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 6L)
+    // naive A2akN from sorted pooled distinct values
+    val pooled = (as ++ bs).distinct.sorted
+    val nA = as.size; val nB = bs.size; val nn = nA + nB
+    var (ca, cb, sa, sb) = (0.0, 0.0, 0.0, 0.0)
+    for (v <- pooled) {
+      val la = as.count(_ == v); val lb = bs.count(_ == v)
+      val l = (la + lb).toDouble
+      ca += la; cb += lb
+      val baj = ca + cb - l / 2
+      val den = baj * (nn - baj) - nn * l / 4
+      if (den > 0) {
+        sa += l * math.pow(nn * (ca - la / 2.0) - nA * baj, 2) / den
+        sb += l * math.pow(nn * (cb - lb / 2.0) - nB * baj, 2) / den
+      }
+    }
+    val a2Ref = (nn - 1.0) / nn * (sa / nA + sb / nB) / nn
+    assert(math.abs(r.getAs[Double]("a2") - a2Ref) < 1e-9)
+    // sigma against the brute-force O(N^2) g (validates the u-fold)
+    val h = (1 until nn).map(1.0 / _).sum
+    var g = 0.0
+    for (i <- 1 to nn - 2; j <- i + 1 to nn - 1) g += 1.0 / ((nn - i) * j.toDouble)
+    val bigH = 1.0 / nA + 1.0 / nB
+    val aa = (4 * g - 6) + (10 - 6 * g) * bigH
+    val bb = (2 * g - 4) * 4 + 16 * h + (2 * g - 14 * h - 4) * bigH - 8 * h + 4 * g - 6
+    val cc = (6 * h + 2 * g - 2) * 4 + (4 * h - 4 * g + 6) * 2 + (2 * h - 6) * bigH + 4 * h
+    val dd = (2 * h + 6) * 4 - 8 * h
+    val v2 = (aa * math.pow(nn, 3) + bb * nn * nn + cc * nn + dd) /
+      ((nn - 1.0) * (nn - 2) * (nn - 3))
+    assert(math.abs(r.getAs[Double]("sigma") - math.sqrt(v2)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      (a2Ref - 1) / math.sqrt(v2)) < 1e-9)
+    // clearly different distributions: t_stat far above the 1% point
+    val big1 = (1 to 200).map(i => (i % 40).toDouble).toDF("x")
+    val big2 = (1 to 200).map(i => (i % 40 + 30).toDouble).toDF("x")
+    assert(Drift.andersonDarling2(big1, big2, "x").collect().head
+      .getAs[Double]("t_stat") > 10.0)
+    // constant pooled column -> NULL
+    val c1 = Seq(5.0, 5.0).toDF("x"); val c2 = Seq(5.0).toDF("x")
+    assert(Drift.andersonDarling2(c1, c2, "x").collect().head.isNullAt(2))
+  }
+
+  test("countModelFit: hand moments, zero inflation, NB guard") {
+    // overdispersed, zero-heavy counts: {0,0,0,0,1,1,6,8} -> mu 2, var 10
+    val xs = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 6.0, 8.0)
+    val r = Drift.countModelFit(xs.toDF("c"), "c").collect().head
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getAs[Double]("mean") - 2.0) < 1e-12)
+    val vRef = xs.map(x => (x - 2.0) * (x - 2.0)).sum / 7
+    assert(math.abs(r.getAs[Double]("variance") - vRef) < 1e-12)
+    assert(math.abs(r.getAs[Double]("zero_frac_obs") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("zero_frac_poisson") - math.exp(-2.0)) < 1e-12)
+    // NB branch: variance > mean, so r and its zero mass emit — and the
+    // NB zero mass sits far closer to the observed 0.5 than Poisson's
+    val nbR = 4.0 / (vRef - 2.0)
+    assert(math.abs(r.getAs[Double]("nb_r") - nbR) < 1e-9)
+    val zNb = math.pow(nbR / (nbR + 2.0), nbR)
+    assert(math.abs(r.getAs[Double]("zero_frac_nb") - zNb) < 1e-9)
+    assert(math.abs(zNb - 0.5) < math.abs(math.exp(-2.0) - 0.5))
+    // underdispersed (constant-ish): NB columns NULL
+    val u = Seq(2.0, 2.0, 2.0, 2.0).toDF("c")
+    val ru = Drift.countModelFit(u, "c").collect().head
+    assert(ru.isNullAt(ru.fieldIndex("nb_r")))
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
