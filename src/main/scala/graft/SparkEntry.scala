@@ -3257,6 +3257,34 @@ object SparkEntry {
           (round(col("zero_frac_nb"), 6) + lit(0.0)).as("zero_frac_nb"))
     }),
 
+    // ---- multiclass confusion report for a pseudo lang-ID (Model) ---------
+    // deterministic 80%-ish predictor (every 5th doc mislabeled 'en');
+    // per-class precision/recall/F1
+    "q334_confusion" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("lang").isNotNull)
+        .withColumn("pred",
+          when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang")))
+      LinearModel.confusionMatrix(docs, "lang", "pred")
+        .select(col("class"), col("n_actual"), col("n_pred"), col("tp"),
+          (round(col("precision"), 6) + lit(0.0)).as("precision"),
+          (round(col("recall"), 6) + lit(0.0)).as("recall"),
+          (round(col("f1"), 6) + lit(0.0)).as("f1"))
+        .gateOrdered(col("class"))
+    }),
+
+    // ---- one-row multiclass summary of the same predictor (Model) ---------
+    "q335_classification_summary" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("lang").isNotNull)
+        .withColumn("pred",
+          when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang")))
+      LinearModel.classificationSummary(docs, "lang", "pred")
+        .select(col("n"), col("n_classes"),
+          (round(col("accuracy"), 6) + lit(0.0)).as("accuracy"),
+          (round(col("macro_precision"), 6) + lit(0.0)).as("macro_precision"),
+          (round(col("macro_recall"), 6) + lit(0.0)).as("macro_recall"),
+          (round(col("macro_f1"), 6) + lit(0.0)).as("macro_f1"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9047,6 +9075,62 @@ object SparkEntry {
                / (mu * mu / (v - mu) + mu), mu * mu / (v - mu)), 6) + 0.0
              END AS zero_frac_nb
          FROM st""",
+    // the same pseudo-predictor; cells + marginals + per-class PRF
+    "q334_confusion" ->
+      """WITH b AS (SELECT lang a,
+                  CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END p
+                FROM documents WHERE lang IS NOT NULL),
+         na AS (SELECT a cls, count(*)::BIGINT n_actual FROM b GROUP BY 1),
+         np AS (SELECT p cls, count(*)::BIGINT n_pred FROM b GROUP BY 1),
+         tp AS (SELECT a cls, count(*)::BIGINT tp FROM b WHERE a = p
+               GROUP BY 1),
+         m AS (SELECT coalesce(na.cls, np.cls) cls,
+                 coalesce(n_actual, 0) n_actual, coalesce(n_pred, 0) n_pred
+               FROM na FULL OUTER JOIN np ON na.cls = np.cls),
+         j AS (SELECT m.cls, n_actual, n_pred, coalesce(tp.tp, 0) tp
+               FROM m LEFT JOIN tp ON tp.cls = m.cls),
+         x AS (SELECT cls, n_actual, n_pred, tp,
+                 CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred END prec,
+                 CASE WHEN n_actual > 0 THEN tp::DOUBLE / n_actual END rec
+               FROM j)
+         SELECT cls AS "class", n_actual, n_pred, tp,
+           round(prec, 6) + 0.0 AS precision, round(rec, 6) + 0.0 AS recall,
+           CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+             THEN round(2 * coalesce(prec, 0) * coalesce(rec, 0)
+               / (coalesce(prec, 0) + coalesce(rec, 0)), 6) + 0.0
+             END AS f1
+         FROM x ORDER BY cls""",
+    // macro over actual-present classes; sklearn zero_division = 0
+    "q335_classification_summary" ->
+      """WITH b AS (SELECT lang a,
+                  CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END p
+                FROM documents WHERE lang IS NOT NULL),
+         na AS (SELECT a cls, count(*)::BIGINT n_actual FROM b GROUP BY 1),
+         np AS (SELECT p cls, count(*)::BIGINT n_pred FROM b GROUP BY 1),
+         tp AS (SELECT a cls, count(*)::BIGINT tp FROM b WHERE a = p
+               GROUP BY 1),
+         m AS (SELECT coalesce(na.cls, np.cls) cls,
+                 coalesce(n_actual, 0) n_actual, coalesce(n_pred, 0) n_pred
+               FROM na FULL OUTER JOIN np ON na.cls = np.cls),
+         j AS (SELECT m.cls, n_actual, n_pred, coalesce(tp.tp, 0) tp
+               FROM m LEFT JOIN tp ON tp.cls = m.cls),
+         x AS (SELECT n_actual, tp,
+                 CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred END prec,
+                 CASE WHEN n_actual > 0 THEN tp::DOUBLE / n_actual END rec
+               FROM j WHERE n_actual > 0),
+         f AS (SELECT n_actual, tp, coalesce(prec, 0) prec,
+                 coalesce(rec, 0) rec,
+                 CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+                   THEN 2 * coalesce(prec, 0) * coalesce(rec, 0)
+                     / (coalesce(prec, 0) + coalesce(rec, 0))
+                   ELSE 0 END f1
+               FROM x)
+         SELECT sum(n_actual)::BIGINT AS n, count(*)::BIGINT AS n_classes,
+           round(sum(tp)::DOUBLE / sum(n_actual), 6) + 0.0 AS accuracy,
+           round(avg(prec), 6) + 0.0 AS macro_precision,
+           round(avg(rec), 6) + 0.0 AS macro_recall,
+           round(avg(f1), 6) + 0.0 AS macro_f1
+         FROM f""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

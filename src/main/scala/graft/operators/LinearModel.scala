@@ -294,6 +294,62 @@ object LinearModel {
         when(col("_n") > 0, col("_wgap") / col("_n")).as("ece"), col("mce"))
   }
 
+  /** Multiclass confusion report — one row per class with the counts and
+    * the per-class precision/recall/F1 ([[evalScores]] is the BINARY
+    * score evaluator; this is the label-vs-label report for language-ID,
+    * domain routing, any categorical predictor). Classes = union of
+    * observed actual and predicted labels; precision is NULL when the
+    * class is never predicted, recall NULL when it never occurs (the
+    * honest convention — summarizers choose their own zero-fill;
+    * [[classificationSummary]] uses sklearn's zero_division = 0).
+    * Output: `(class, n_actual, n_pred, tp, precision, recall, f1)`.
+    * Complete-case on both columns.
+    *
+    * Scale: one (actual, predicted) cell aggregation (class²-bounded
+    * after partial agg), two class-bounded marginals, keyed joins on the
+    * class. */
+  def confusionMatrix(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val base = df.select(col(actualCol).cast("string").as("a"),
+        col(predCol).cast("string").as("p"))
+      .filter(col("a").isNotNull && col("p").isNotNull)
+    val na = base.groupBy(col("a").as("class")).agg(count(lit(1)).as("n_actual"))
+    val np = base.groupBy(col("p").as("class")).agg(count(lit(1)).as("n_pred"))
+    val tp = base.filter(col("a") === col("p"))
+      .groupBy(col("a").as("class")).agg(count(lit(1)).as("tp"))
+    na.join(np, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .na.fill(0L, Seq("n_actual", "n_pred", "tp"))
+      .select(col("class"), col("n_actual"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0, col("tp") / col("n_pred")).as("precision"),
+        when(col("n_actual") > 0, col("tp") / col("n_actual")).as("recall"))
+      .withColumn("f1",
+        when(coalesce(col("precision"), lit(0.0)) +
+          coalesce(col("recall"), lit(0.0)) > 0,
+          lit(2.0) * coalesce(col("precision"), lit(0.0)) *
+            coalesce(col("recall"), lit(0.0)) /
+            (coalesce(col("precision"), lit(0.0)) +
+              coalesce(col("recall"), lit(0.0)))))
+  }
+
+  /** One-row multiclass summary over [[confusionMatrix]]'s table:
+    * `(n, n_classes, accuracy, macro_precision, macro_recall, macro_f1)`
+    * — micro-averaged accuracy plus macro averages over the classes
+    * PRESENT IN THE ACTUALS (absent-prediction classes contribute 0, the
+    * sklearn zero_division = 0 convention; predicted-only ghost classes
+    * don't dilute the macro denominators). */
+  def classificationSummary(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val cm = confusionMatrix(df, actualCol, predCol)
+      .filter(col("n_actual") > 0)
+    cm.agg(
+      sum(col("n_actual")).as("n"),
+      count(lit(1)).as("n_classes"),
+      (sum(col("tp")) / sum(col("n_actual"))).as("accuracy"),
+      avg(coalesce(col("precision"), lit(0.0))).as("macro_precision"),
+      avg(coalesce(col("recall"), lit(0.0))).as("macro_recall"),
+      avg(coalesce(col("f1"), lit(0.0))).as("macro_f1"))
+  }
+
   /** Operationalize a score gate: the admission threshold that keeps
     * `keepRate` of the scored set, plus what actually happens at that
     * threshold. The threshold is the score of the rank-⌈n·keepRate⌉ row

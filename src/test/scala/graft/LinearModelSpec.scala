@@ -326,6 +326,39 @@ class LinearModelSpec extends SparkSpecBase {
     assert(math.abs(re.getAs[Double]("mce") - 0.5) < 1e-12)
   }
 
+  test("confusionMatrix + classificationSummary: hand PRF, ghost classes") {
+    import spark.implicits._
+    // actual: a x4, b x2; predicted: a->a x3, a->b x1, b->b x1, b->c x1
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "c")).toDF("y", "p")
+    val cm = graft.operators.LinearModel.confusionMatrix(df, "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cm.keySet == Set("a", "b", "c"))
+    val a = cm("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 3L && a.getLong(3) == 3L)
+    assert(math.abs(a.getAs[Double]("precision") - 1.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("recall") - 0.75) < 1e-12)
+    assert(math.abs(a.getAs[Double]("f1") - 2 * 0.75 / 1.75) < 1e-12)
+    val b = cm("b")
+    assert(math.abs(b.getAs[Double]("precision") - 0.5) < 1e-12)
+    assert(math.abs(b.getAs[Double]("recall") - 0.5) < 1e-12)
+    // ghost class c: predicted once, never actual -> recall NULL, p = 0
+    val c = cm("c")
+    assert(c.getLong(1) == 0L && c.getLong(2) == 1L)
+    assert(c.getAs[Double]("precision") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("recall")))
+    assert(c.isNullAt(c.fieldIndex("f1")))
+    // summary: ghost class excluded from macro; accuracy = 4/6
+    val s = graft.operators.LinearModel.classificationSummary(df, "y", "p")
+      .collect().head
+    assert(s.getLong(0) == 6L && s.getLong(1) == 2L)
+    assert(math.abs(s.getAs[Double]("accuracy") - 4.0 / 6) < 1e-12)
+    assert(math.abs(s.getAs[Double]("macro_precision") - (1.0 + 0.5) / 2) < 1e-12)
+    assert(math.abs(s.getAs[Double]("macro_recall") - (0.75 + 0.5) / 2) < 1e-12)
+    assert(math.abs(s.getAs[Double]("macro_f1") -
+      (2 * 0.75 / 1.75 + 0.5) / 2) < 1e-12)
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:
