@@ -3285,6 +3285,22 @@ object SparkEntry {
           (round(col("macro_f1"), 6) + lit(0.0)).as("macro_f1"))
     }),
 
+    // ---- Mahalanobis outlier scores over the embeddings (Similarity) ------
+    // rows-only check (Cholesky is not SQL-expressible); the identity
+    // sum(d^2) = (n-1)*dim makes the output self-certifying
+    "q336_mahalanobis" -> ((s, dir) => {
+      val scored = Similarity.mahalanobisScores(
+        read(s, dir, "embeddings"), "embedding")
+      scored.agg(count(lit(1)).as("n"),
+        (round(avg(col("mahalanobis_sq")), 2) + lit(0.0)).as("mean_md2"),
+        // tolerance absorbs the default ridge's O(ridge/var) bias on a
+        // ~32k sum (measured ~3e-3)
+        (abs(avg(col("mahalanobis_sq")) * count(lit(1)) -
+          (count(lit(1)) - 1) * 64) < 1.0).as("identity_holds"),
+        sum(when(col("mahalanobis_sq") > 64 + 3 * math.sqrt(128.0), 1L)
+          .otherwise(0L)).as("n_above_3sigma"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop

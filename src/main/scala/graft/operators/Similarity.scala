@@ -1257,6 +1257,77 @@ object Similarity {
           .as("mean_pairwise_cos"))
   }
 
+  /** Mahalanobis distance per vector — the covariance-aware outlier
+    * score ([[centroidOutliers]] uses raw cosine distance, which
+    * over-flags along high-variance directions; Mahalanobis whitens
+    * first, so "3σ" means 3σ in EVERY direction). One pass of the
+    * moments kernel lands μ and C on the driver; C + ridge·I factors by
+    * Cholesky, L⁻¹ comes from d forward substitutions, and each row's
+    * d² = ‖L⁻¹(x−μ)‖² evaluates as d codegen'd dot-product kernels
+    * against literal rows — no UDF, corpus never shuffles. Output: the
+    * input plus `mahalanobis_sq` (squared distance; E[d²] ≈ dim under
+    * the fitted model — a self-check the spec and the catalog query
+    * both pin). Needs n ≥ dim + 1 for a non-degenerate C; `ridge`
+    * regularizes collapsed directions (documented bias: distances along
+    * a zero-variance direction read as (Δ/√ridge)², i.e. huge — which
+    * is exactly the outlier semantics you want for a frozen dim).
+    *
+    * Scale: one kernel aggregation + one projection scan; driver work
+    * is O(d³) for the factorization (d = 64 → microseconds). */
+  def mahalanobisScores(df: DataFrame, vecCol: String,
+      ridge: Double = 1e-9, outCol: String = "mahalanobis_sq"): DataFrame = {
+    require(ridge >= 0, s"ridge must be >= 0: $ridge")
+    val row = df.filter(col(vecCol).isNotNull)
+      .agg(graft.functions.kernels.VectorMomentsAgg
+        .vectorMoments(col(vecCol)).as("m"))
+      .selectExpr("m.n", "m.sums", "m.xtx").head()
+    require(!row.isNullAt(0) && row.getLong(0) >= 2,
+      "mahalanobisScores needs at least 2 non-null vectors")
+    val n = row.getLong(0)
+    val s = row.getSeq[Double](1).toArray
+    val ss = row.getSeq[Double](2).toArray
+    val d = s.length
+    val mu = s.map(_ / n)
+    val c = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val kk = i * d - i * (i - 1) / 2 + (j - i)
+      val cov = (ss(kk) - s(i) * s(j) / n) / (n - 1)
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    for (i <- 0 until d) c(i)(i) += ridge
+    // Cholesky C = L Lt (lower), then W = L^-1 by forward substitution
+    val lm = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var acc = c(i)(j)
+      var k = 0
+      while (k < j) { acc -= lm(i)(k) * lm(j)(k); k += 1 }
+      if (i == j) {
+        require(acc > 0,
+          s"covariance not positive definite at dim $i — raise ridge")
+        lm(i)(i) = math.sqrt(acc)
+      } else lm(i)(j) = acc / lm(j)(j)
+    }
+    val wInv = Array.ofDim[Double](d, d) // rows of L^-1
+    for (i <- 0 until d) {
+      wInv(i)(i) = 1.0 / lm(i)(i)
+      // W_ij = −(Σ_{k=j}^{i−1} L_ik·W_kj) / L_ii, rows k < i complete
+      for (j <- 0 until i) {
+        var acc = 0.0
+        var k = j
+        while (k < i) { acc -= lm(i)(k) * wInv(k)(j); k += 1 }
+        wInv(i)(j) = acc / lm(i)(i)
+      }
+    }
+    // d^2 = sum_i (w_i . x - w_i . mu)^2 — one dot kernel per component
+    val zs = (0 until d).map { i =>
+      val w = wInv(i)
+      val shift = w.zip(mu).map { case (a, b) => a * b }.sum
+      val z = VectorFunctions.dot(col(vecCol), typedLit(w.toSeq)) - shift
+      z * z
+    }
+    df.withColumn(outCol, zs.reduce(_ + _))
+  }
+
   /** Project (and optionally whiten) an embedding column onto fixed
     * components — z_c = wᵀ(x − μ), ÷ √(λ+eps) when whitening. Components
     * and means arrive as plain driver arrays (the [[pcaComponents]]

@@ -695,6 +695,48 @@ class SimilaritySpec extends SparkSpecBase {
       pairs.sum / pairs.size) < 1e-9)
   }
 
+  test("mahalanobisScores: hand 2-D case, trace identity, ridge rescue") {
+    import spark.implicits._
+    // diagonal covariance diag(4, 1): d^2((2,1)) vs the closed form
+    val pts = Seq(Array(2.0f, 1.0f), Array(-2.0f, -1.0f),
+      Array(2.0f, -1.0f), Array(-2.0f, 1.0f))
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    val out = Similarity.mahalanobisScores(df, "emb").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mahalanobis_sq")).toMap
+    // sample covariance: var x = 16/3, var y = 4/3, cov 0
+    // d^2 = 4/(16/3) + 1/(4/3) = 0.75 + 0.75 = 1.5 for every point
+    // default ridge (1e-9) shifts the inverse by O(ridge/var)
+    out.values.foreach(v => assert(math.abs(v - 1.5) < 1e-6))
+    // the trace identity: sum d^2 = (n-1)*dim
+    assert(math.abs(out.values.sum - 3.0 * 2) < 1e-6)
+    // correlated data vs a naive 2x2 inverse
+    val cor = Seq(Array(1.0f, 1.0f), Array(2.0f, 1.5f), Array(3.0f, 3.5f),
+      Array(4.0f, 4.0f), Array(0.0f, 0.5f))
+    val dfc = cor.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    val oc = Similarity.mahalanobisScores(dfc, "emb").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mahalanobis_sq")).toMap
+    val xs = cor.map(_(0).toDouble); val ys = cor.map(_(1).toDouble)
+    val (mx, my) = (xs.sum / 5, ys.sum / 5)
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum / 4
+    val syy = ys.map(y => (y - my) * (y - my)).sum / 4
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / 4
+    val det = sxx * syy - sxy * sxy
+    cor.zipWithIndex.foreach { case (v, i) =>
+      val (dx, dy) = (v(0) - mx, v(1) - my)
+      val ref = (syy * dx * dx - 2 * sxy * dx * dy + sxx * dy * dy) / det
+      assert(math.abs(oc(i.toLong) - ref) < 1e-6, s"row $i")
+    }
+    // rank-deficient data: default ridge keeps the factorization alive
+    // and the dead dimension reads as a huge-distance direction
+    val flat = Seq(Array(1.0f, 0.0f), Array(2.0f, 0.0f), Array(3.0f, 0.0f))
+      .toDF("emb").withColumn("id", lit(1L))
+    val rf = Similarity.mahalanobisScores(flat, "emb", ridge = 1e-6)
+      .collect()
+    assert(rf.forall(!_.isNullAt(rf.head.fieldIndex("mahalanobis_sq"))))
+  }
+
   test("pcaComponents: exact axis-aligned spectrum, whitening round trip") {
     import spark.implicits._
     // grid data along the first two axes: cov = diag(16/3, 4/3, 0)
