@@ -52,7 +52,13 @@ object BenchScale {
     // round-12 session additions — the two corpus-heavy new shapes: the
     // KN bigram LM (bigram explode + three model joins) and the Heaps
     // first-occurrence curve (posexplode + doc-offset cumsum + min agg)
-    "q298_kn_bigram", "q285_heaps_law")
+    "q298_kn_bigram", "q285_heaps_law",
+    // round-12 closing additions: the Σdeg² co-occurrence self-join (key
+    // shifts make the stress graph 10 disjoint copies — pair output
+    // scales LINEARLY here, the honest contrast to the near-dup pair
+    // explosions above), the one-pass d²/2-buffer moments kernel, and
+    // the A²akN distributed cumsum with its O(N) driver loops
+    "q313_adamic_adar", "q315_embedding_cov", "q332_anderson_darling")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

@@ -3301,6 +3301,41 @@ object SparkEntry {
           .otherwise(0L)).as("n_above_3sigma"))
     }),
 
+    // ---- weighted kappa: quantized view-vs-click value ratings (Assoc) ----
+    // ordinal 0..4 ratings per user from two event types; quadratic
+    // penalties over the k-level index
+    "q337_weighted_kappa" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+      def rating(t: String, out: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"))
+        .agg(least(floor(avg(col("value")) / 25), lit(4.0)).as(out))
+      val paired = rating("view", "ra").join(rating("click", "rb"), Seq("user_id"))
+      graft.profile.Association.weightedKappa(paired, "ra", "rb")
+        .select(col("n"), col("k"),
+          (round(col("obs_penalty"), 6) + lit(0.0)).as("obs_penalty"),
+          (round(col("exp_penalty"), 6) + lit(0.0)).as("exp_penalty"),
+          (round(col("kappa_w"), 6) + lit(0.0)).as("kappa_w"))
+    }),
+
+    // ---- binary diagnostics of the is-english pseudo-gate (Model) ---------
+    // MCC / balanced accuracy / Youden beside the confusion counts
+    "q338_binary_diagnostics" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("lang").isNotNull)
+        .select((col("lang") === "en").cast("int").as("y"),
+          (col("doc_id") % 5 === 0 || col("lang") === "en").cast("int").as("p"))
+      LinearModel.binaryDiagnostics(docs, "y", "p")
+        .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+          (round(col("accuracy"), 6) + lit(0.0)).as("accuracy"),
+          (round(col("precision"), 6) + lit(0.0)).as("precision"),
+          (round(col("recall"), 6) + lit(0.0)).as("recall"),
+          (round(col("f1"), 6) + lit(0.0)).as("f1"),
+          (round(col("balanced_accuracy"), 6) + lit(0.0))
+            .as("balanced_accuracy"),
+          (round(col("youden_j"), 6) + lit(0.0)).as("youden_j"),
+          (round(col("mcc"), 6) + lit(0.0)).as("mcc"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9147,6 +9182,73 @@ object SparkEntry {
            round(avg(rec), 6) + 0.0 AS macro_recall,
            round(avg(f1), 6) + 0.0 AS macro_f1
          FROM f""",
+    // the same quantized ratings; ordinal index via row_number over the
+    // distinct levels; quadratic penalties on observed and expected
+    "q337_weighted_kappa" ->
+      """WITH ra AS (SELECT user_id u, least(floor(avg(value) / 25), 4) r
+                FROM events WHERE event_type = 'view' AND value IS NOT NULL
+                  AND user_id IS NOT NULL GROUP BY 1),
+         rb AS (SELECT user_id u, least(floor(avg(value) / 25), 4) r
+                FROM events WHERE event_type = 'click' AND value IS NOT NULL
+                  AND user_id IS NOT NULL GROUP BY 1),
+         p AS (SELECT ra.r va, rb.r vb FROM ra JOIN rb ON ra.u = rb.u),
+         lv AS (SELECT DISTINCT v FROM
+                (SELECT va v FROM p UNION ALL SELECT vb FROM p)),
+         ix AS (SELECT v, row_number() OVER (ORDER BY v) - 1 i FROM lv),
+         kx AS (SELECT count(*)::BIGINT k FROM lv),
+         cells AS (SELECT ia.i ia, ib.i ib, count(*)::DOUBLE o FROM p
+               JOIN ix ia ON ia.v = p.va JOIN ix ib ON ib.v = p.vb
+               GROUP BY 1, 2),
+         mm AS (SELECT sum(o) n FROM cells),
+         ob AS (SELECT sum(o * pow(abs(ia - ib)::DOUBLE / (k - 1), 2)) od
+               FROM cells, kx),
+         ma AS (SELECT ia, sum(o) ra FROM cells GROUP BY 1),
+         mb AS (SELECT ib, sum(o) cb FROM cells GROUP BY 1),
+         ex AS (SELECT sum(ra * cb * pow(abs(ia - ib)::DOUBLE / (k - 1), 2))
+                   / (SELECT n FROM mm) ed
+               FROM ma, mb, kx)
+         SELECT n::BIGINT AS n, k, round(od / n, 6) + 0.0 AS obs_penalty,
+           round(ed / n, 6) + 0.0 AS exp_penalty,
+           CASE WHEN ed > 0
+             THEN round(1 - od / ed, 6) + 0.0 END AS kappa_w
+         FROM ob, ex, mm, kx""",
+    // one conditional-count pass; the same marginal-guarded panel
+    "q338_binary_diagnostics" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END y,
+                  CASE WHEN doc_id % 5 = 0 OR lang = 'en' THEN 1 ELSE 0
+                    END p
+                FROM documents WHERE lang IS NOT NULL),
+         c AS (SELECT count(*)::BIGINT n,
+                 sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0
+                   END)::BIGINT tp,
+                 sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0
+                   END)::BIGINT fp,
+                 sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0
+                   END)::BIGINT tn,
+                 sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0
+                   END)::BIGINT fn
+               FROM b),
+         x AS (SELECT n, tp, fp, tn, fn,
+                 CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END prec,
+                 CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END rec,
+                 CASE WHEN tn + fp > 0 THEN tn::DOUBLE / (tn + fp) END tnr
+               FROM c)
+         SELECT n, tp, fp, tn, fn,
+           round((tp + tn)::DOUBLE / n, 6) + 0.0 AS accuracy,
+           round(prec, 6) + 0.0 AS precision, round(rec, 6) + 0.0 AS recall,
+           CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+             THEN round(2 * coalesce(prec, 0) * coalesce(rec, 0)
+               / (coalesce(prec, 0) + coalesce(rec, 0)), 6) + 0.0 END AS f1,
+           round((coalesce(rec, 0) + coalesce(tnr, 0)) / 2, 6) + 0.0
+             AS balanced_accuracy,
+           round(coalesce(rec, 0) + coalesce(tnr, 0) - 1, 6) + 0.0
+             AS youden_j,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+             THEN round((tp::DOUBLE * tn - fp::DOUBLE * fn)
+               / sqrt(((tp + fp) * (tp + fn))::DOUBLE
+                 * ((tn + fp) * (tn + fn))::DOUBLE), 6) + 0.0
+             END AS mcc
+         FROM x""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

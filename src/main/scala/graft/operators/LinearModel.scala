@@ -350,6 +350,44 @@ object LinearModel {
       avg(coalesce(col("f1"), lit(0.0))).as("macro_f1"))
   }
 
+  /** Binary-classifier diagnostics beyond accuracy — the confusion
+    * counts plus the prevalence-robust summary set: Matthews correlation
+    * (the single number that survives class imbalance), balanced
+    * accuracy, Youden's J, and F1 ([[evalScores]] ranks SCORES; this
+    * evaluates a hard 0/1 prediction). One row: `(n, tp, fp, tn, fn,
+    * accuracy, precision, recall, f1, balanced_accuracy, youden_j,
+    * mcc)`; NULLs where a marginal is empty (e.g. MCC with no predicted
+    * positives). Complete-case.
+    *
+    * Scale: ONE conditional-count aggregation; scalar algebra in-plan. */
+  def binaryDiagnostics(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val p = col(predCol).cast("int")
+    val agg = df.filter(y.isNotNull && p.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(y === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(y === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(y === 0 && p === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(y === 1 && p === 0, 1L).otherwise(0L)).as("fn"))
+    val (tp, fp, tn, fn) = (col("tp").cast("double"), col("fp").cast("double"),
+      col("tn").cast("double"), col("fn").cast("double"))
+    val prec = when(tp + fp > 0, tp / (tp + fp))
+    val rec = when(tp + fn > 0, tp / (tp + fn))
+    val tnr = when(tn + fp > 0, tn / (tn + fp))
+    val mccDen = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    agg.select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+      when(col("n") > 0, (tp + tn) / col("n")).as("accuracy"),
+      prec.as("precision"), rec.as("recall"),
+      when(coalesce(prec, lit(0.0)) + coalesce(rec, lit(0.0)) > 0,
+        lit(2.0) * coalesce(prec, lit(0.0)) * coalesce(rec, lit(0.0)) /
+          (coalesce(prec, lit(0.0)) + coalesce(rec, lit(0.0)))).as("f1"),
+      ((coalesce(rec, lit(0.0)) + coalesce(tnr, lit(0.0))) / 2)
+        .as("balanced_accuracy"),
+      (coalesce(rec, lit(0.0)) + coalesce(tnr, lit(0.0)) - 1).as("youden_j"),
+      when(mccDen > 0, (tp * tn - fp * fn) / sqrt(mccDen)).as("mcc"))
+  }
+
   /** Operationalize a score gate: the admission threshold that keeps
     * `keepRate` of the scored set, plus what actually happens at that
     * threshold. The threshold is the score of the rank-⌈n·keepRate⌉ row

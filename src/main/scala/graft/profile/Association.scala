@@ -803,6 +803,66 @@ object Association {
       alpha.map(lit(_).cast("double")).getOrElse(dNull).as("alpha"))
   }
 
+  /** Weighted Cohen's κ for ORDINAL ratings — a one-step disagreement
+    * should cost less than a five-step one ([[cohenKappa]] treats every
+    * miss equally, which punishes near-miss ordinal raters absurdly).
+    * Ratings are ordered by NUMERIC value; penalties d_ij = |i−j|/(k−1)
+    * (`"linear"`) or its square (`"quadratic"`, the default — equivalent
+    * to an ICC under mild conditions); κ_w = 1 − Σo·d / Σe·d with e the
+    * independence expectation. One row:
+    * `(n, k, obs_penalty, exp_penalty, kappa_w)`; NULL κ when the
+    * expected penalty is 0 (a single shared rating level). The distinct
+    * rating scale must be small (`maxLevels` guards the k² cross of the
+    * penalty table — ordinal scales are single digits in practice).
+    *
+    * Scale: one cell-bounded contingency + two k-bounded marginals; the
+    * k-level index table is collected (k ≤ maxLevels) and joined back as
+    * literals — no window, no row-sized driver data. */
+  def weightedKappa(df: DataFrame, a: String, b: String,
+      weight: String = "quadratic", maxLevels: Int = 1000): DataFrame = {
+    require(Set("linear", "quadratic")(weight),
+      s"weight must be linear|quadratic: $weight")
+    val base = df
+      .select(col(a).cast("double").as("va"), col(b).cast("double").as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    val levels = base.select(col("va").as("v"))
+      .union(base.select(col("vb").as("v")))
+      .distinct().orderBy(col("v")).limit(maxLevels + 1)
+      .collect().map(_.getDouble(0))
+    require(levels.length <= maxLevels,
+      s"more than $maxLevels distinct rating levels — not an ordinal scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = levels.length
+    def dNull = lit(null).cast("double")
+    if (k == 0) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("k"),
+        dNull.as("obs_penalty"), dNull.as("exp_penalty"), dNull.as("kappa_w"))
+    }
+    val idx = broadcast(levels.zipWithIndex.toSeq.toDF("v", "i"))
+    val cells = base
+      .join(idx.select(col("v").as("va"), col("i").as("ia")), Seq("va"))
+      .join(idx.select(col("v").as("vb"), col("i").as("ib")), Seq("vb"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("ia")).agg(sum(col("o")).as("ra"))
+    val mb = cells.groupBy(col("ib")).agg(sum(col("o")).as("cb"))
+    val nTot = cells.agg(sum(col("o"))).head().getDouble(0)
+    def pen(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) = {
+      val lin = if (k > 1) abs(i - j).cast("double") / (k - 1) else lit(0.0)
+      if (weight == "linear") lin else lin * lin
+    }
+    val obs = cells.agg(sum(col("o") * pen(col("ia"), col("ib"))))
+      .head().getDouble(0)
+    val exp = ma.crossJoin(broadcast(mb))
+      .agg(sum(col("ra") * col("cb") * pen(col("ia"), col("ib"))))
+      .head().getDouble(0) / nTot
+    val kap: Option[Double] =
+      if (exp > 0) Some(1.0 - obs / exp) else None
+    spark.range(1).select(lit(nTot.toLong).as("n"), lit(k.toLong).as("k"),
+      lit(obs / nTot).as("obs_penalty"), lit(exp / nTot).as("exp_penalty"),
+      kap.map(lit(_).cast("double")).getOrElse(dNull).as("kappa_w"))
+  }
+
   /** Fleiss' κ — chance-corrected agreement for MANY raters per item
     * ([[cohenKappa]] handles exactly two fixed raters; Fleiss handles "n
     * annotators rated each item with a category", the multi-annotator

@@ -359,6 +359,31 @@ class LinearModelSpec extends SparkSpecBase {
       (2 * 0.75 / 1.75 + 0.5) / 2) < 1e-12)
   }
 
+  test("binaryDiagnostics: hand confusion panel, degenerate marginals") {
+    import spark.implicits._
+    // tp=3, fp=1, tn=4, fn=2
+    val df = (Seq.fill(3)((1, 1)) ++ Seq.fill(1)((0, 1)) ++
+      Seq.fill(4)((0, 0)) ++ Seq.fill(2)((1, 0))).toDF("y", "p")
+    val r = graft.operators.LinearModel.binaryDiagnostics(df, "y", "p")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L &&
+      r.getLong(3) == 4L && r.getLong(4) == 2L)
+    assert(math.abs(r.getAs[Double]("accuracy") - 0.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("precision") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("balanced_accuracy") - (0.6 + 0.8) / 2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("youden_j") - 0.4) < 1e-12)
+    val mccRef = (3.0 * 4 - 1.0 * 2) / math.sqrt(4.0 * 5 * 5 * 6)
+    assert(math.abs(r.getAs[Double]("mcc") - mccRef) < 1e-12)
+    // never predicts positive: precision and MCC NULL, recall 0
+    val nop = Seq((1, 0), (0, 0), (1, 0)).toDF("y", "p")
+    val rn = graft.operators.LinearModel.binaryDiagnostics(nop, "y", "p")
+      .collect().head
+    assert(rn.isNullAt(rn.fieldIndex("precision")))
+    assert(rn.isNullAt(rn.fieldIndex("mcc")))
+    assert(rn.getAs[Double]("recall") == 0.0)
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:

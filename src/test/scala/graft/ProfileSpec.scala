@@ -824,6 +824,43 @@ class ProfileSpec extends SparkSpecBase {
       .collect().head.isNullAt(4))
   }
 
+  test("weightedKappa: perfect = 1, hand quadratic case, near-miss ordering") {
+    // perfect agreement: kappa_w = 1 regardless of weights
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 1.0))
+      .toDF("a", "b")
+    val rp = graft.profile.Association.weightedKappa(perfect, "a", "b")
+      .collect().head
+    assert(math.abs(rp.getAs[Double]("kappa_w") - 1.0) < 1e-12)
+    // hand case on a 3-level scale (k = 3): ratings (1,2) and (1,3)
+    // disagree by 1 and 2 steps; quadratic penalties 1/4 and 1
+    val h = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0), (2.0, 2.0))
+      .toDF("a", "b")
+    val rh = graft.profile.Association.weightedKappa(h, "a", "b")
+      .collect().head
+    assert(rh.getLong(0) == 4L && rh.getLong(1) == 3L)
+    // observed penalty = (0 + 1/4 + 1 + 0)/4
+    assert(math.abs(rh.getAs[Double]("obs_penalty") - 1.25 / 4) < 1e-12)
+    // near-miss raters must score HIGHER than far-miss raters with the
+    // same plain-kappa disagreement count
+    val near = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 2.0))
+      .toDF("a", "b")
+    val far = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 3.0))
+      .toDF("a", "b")
+    val kn = graft.profile.Association.weightedKappa(near, "a", "b")
+      .collect().head.getAs[Double]("kappa_w")
+    val kf = graft.profile.Association.weightedKappa(far, "a", "b")
+      .collect().head.getAs[Double]("kappa_w")
+    assert(kn > kf, s"near-miss $kn must beat far-miss $kf")
+    // linear vs quadratic: quadratic punishes the far miss harder
+    val kl = graft.profile.Association.weightedKappa(far, "a", "b", "linear")
+      .collect().head.getAs[Double]("kappa_w")
+    assert(kl != kf)
+    // single shared level: expected penalty 0 -> NULL
+    val c = Seq((1.0, 1.0), (1.0, 1.0)).toDF("a", "b")
+    assert(graft.profile.Association.weightedKappa(c, "a", "b")
+      .collect().head.isNullAt(4))
+  }
+
   test("cochranQ: hand-computed Q, incomplete-block drop, degenerate NULL") {
     // 4 items x 3 treatments: T = (4,2,1), R = (2,1,3,1)
     // Q = (k-1)(k*SumT^2 - (SumT)^2)/(k*SumR - SumR^2) = 2*(63-49)/6 = 14/3
