@@ -3336,6 +3336,45 @@ object SparkEntry {
           (round(col("mcc"), 6) + lit(0.0)).as("mcc"))
     }),
 
+    // ---- linear CKA: embedding vs its 16-dim truncation (Similarity) ------
+    // one concatenated moments pass; Frobenius block algebra on the
+    // driver; the oracle rebuilds the blocks from raw pair moments
+    "q339_linear_cka" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+        .withColumn("head16", slice(col("embedding"), 1, 16))
+      Similarity.linearCka(emb, "embedding", "head16")
+        .select(col("n"), col("dim_a"), col("dim_b"),
+          (round(col("cka"), 6) + lit(0.0)).as("cka"))
+    }),
+
+    // ---- balanced class downsampling by md5 rank (Sampling) ---------------
+    // every lang kept at the smallest lang's count; id-sum pins the
+    // exact kept SET, not just its size
+    "q340_balanced_downsample" -> ((s, dir) => {
+      val bal = Sampling.downsampleToBalance(
+        read(s, dir, "documents").filter(col("lang").isNotNull),
+        "lang", "doc_id")
+      bal.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .gateOrdered(col("lang"))
+    }),
+
+    // ---- hive-partitioned write + pruned read (LayoutOps) -----------------
+    // writePartitioned routes one writer per value; the read back
+    // filters on the partition column (PlanSpec pins PartitionFilters)
+    "q341_partition_pruning" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val path = s"$tmp/events_by_type"
+      graft.ops.LayoutOps.writePartitioned(
+        EventsSource.read(s, s"$dir/events.parquet")
+          .filter(col("event_type").isNotNull),
+        path, Seq("event_type"))
+      s.read.parquet(path).filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9249,6 +9288,50 @@ object SparkEntry {
                  * ((tn + fp) * (tn + fn))::DOUBLE), 6) + 0.0
              END AS mcc
          FROM x""",
+    // covariance blocks from raw pair moments over the upper triangle;
+    // the rectangle/diagonal multiplicities fold the symmetric cells
+    "q339_linear_cka" ->
+      """WITH x AS (SELECT embedding e FROM embeddings
+                WHERE embedding IS NOT NULL),
+         idx AS (SELECT unnest(range(1, 65)) i),
+         caa AS (SELECT a.i i, b.i j, count(*)::BIGINT n,
+                 sum(e[a.i]::DOUBLE) si, sum(e[b.i]::DOUBLE) sj,
+                 sum(e[a.i]::DOUBLE * e[b.i]::DOUBLE) sij
+               FROM x, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
+         cv AS (SELECT i, j, pow((sij - si * sj / n) / (n - 1), 2) c2,
+                 max(n) OVER () nn FROM caa),
+         f AS (SELECT
+                 sum(CASE WHEN i = j THEN c2 ELSE 2 * c2 END) faa,
+                 sum(CASE WHEN i <= 16 AND j <= 16 THEN
+                   CASE WHEN i = j THEN c2 ELSE 2 * c2 END ELSE 0 END) fbb,
+                 sum(CASE WHEN i <= 16 AND j <= 16 AND i <> j THEN 2 * c2
+                   WHEN i <= 16 AND j <= 16 AND i = j THEN c2
+                   WHEN i <= 16 AND j > 16 THEN c2
+                   ELSE 0 END) fab,
+                 max(nn) nn
+               FROM cv)
+         SELECT nn AS n, 64 AS dim_a, 16 AS dim_b,
+           CASE WHEN faa > 0 AND fbb > 0
+             THEN round(fab / sqrt(faa * fbb), 6) + 0.0 END AS cka
+         FROM f""",
+    // the same salted md5 per-class rank; id-sum pins the kept set
+    "q340_balanced_downsample" ->
+      """WITH m AS (SELECT min(c) mn FROM
+                (SELECT count(*) c FROM documents WHERE lang IS NOT NULL
+                 GROUP BY lang)),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('balance' || '|' || doc_id::VARCHAR),
+                     doc_id) rk
+               FROM documents WHERE lang IS NOT NULL)
+         SELECT lang, count(*)::BIGINT n_kept, sum(doc_id)::BIGINT id_sum
+         FROM r, m WHERE rk <= mn GROUP BY lang ORDER BY lang""",
+    // the layout round trip reduces to the source predicate: the pruned
+    // read must return exactly the click slice
+    "q341_partition_pruning" ->
+      """SELECT count(*)::BIGINT AS n,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
+         FROM events WHERE event_type = 'click'""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -475,6 +475,34 @@ object Sampling {
       .limit(k)
   }
 
+  /** Downsample every class to the SMALLEST class's size — the
+    * deterministic class-balancer a classifier-training set needs
+    * ([[quotaPerGroup]] caps at a FIXED quota; this derives the quota
+    * from the data so no class dominates and none is starved). Row
+    * selection is md5-ranked per class (salted, id-tiebroken) — the same
+    * hash-order convention as every sampler here, so reruns and engines
+    * agree bit-for-bit. Returns the kept rows with their original
+    * columns.
+    *
+    * Scale: one class-bounded count, one keyed window rank (partitioned
+    * by class — never global), one filter. */
+  def downsampleToBalance(df: DataFrame, classCol: String, idCol: String,
+      salt: String = "balance"): DataFrame = {
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("_c"))
+      .agg(min(col("_c"))).head()
+    if (counts.isNullAt(0)) return df.limit(0)
+    val m = counts.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))),
+        col(idCol))
+    df.filter(col(classCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= m)
+      .drop("__rk")
+  }
+
   /** Rewrite plain-column sort keys to rank NULLs last in either direction
     * — the heap aggregate's fixed contract — so [[quotaPerGroup]]'s two
     * paths select identical rows. Non-plain-column expressions pass

@@ -1257,6 +1257,59 @@ object Similarity {
           .as("mean_pairwise_cos"))
   }
 
+  /** Linear CKA (centered kernel alignment) between two embedding
+    * columns — the standard "do these two representations encode the
+    * same structure?" score (Kornblith et al. 2019): CKA = ‖C_ab‖²_F /
+    * (‖C_aa‖_F·‖C_bb‖_F) over the centered cross/self covariance
+    * blocks. 1 = same geometry up to rotation/scale, → 0 = unrelated.
+    * Use it to judge a truncation, a quantization, or a re-embedding
+    * before swapping models under a dedup threshold. One row:
+    * `(n, dim_a, dim_b, cka)`; NULL when either side has zero variance.
+    * Rows need BOTH vectors (complete-case).
+    *
+    * Scale: the two vectors CONCATENATE per row and ride ONE
+    * [[graft.functions.kernels.VectorMomentsAgg]] pass ((dₐ+d_b)²/2
+    * buffer doubles); the block algebra is driver-side. No second scan,
+    * no pairwise anything. */
+  def linearCka(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+    val da = base.select(size(col(colA))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    if (da == 0) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0).as("dim_a"),
+        lit(0).as("dim_b"), dNull.as("cka"))
+    }
+    val row = base
+      .select(concat(col(colA), col(colB)).as("_cat"))
+      .agg(graft.functions.kernels.VectorMomentsAgg
+        .vectorMoments(col("_cat")).as("m"))
+      .selectExpr("m.n", "m.sums", "m.xtx").head()
+    val n = row.getLong(0)
+    val s = row.getSeq[Double](1).toArray
+    val ss = row.getSeq[Double](2).toArray
+    val d = s.length
+    val db = d - da
+    require(db >= 1, s"colB must be non-empty (total $d, dim_a $da)")
+    def cov(i: Int, j: Int): Double = {
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      val k = lo * d - lo * (lo - 1) / 2 + (hi - lo)
+      (ss(k) - s(i) * s(j) / n) / (n - 1)
+    }
+    var (fab, faa, fbb) = (0.0, 0.0, 0.0)
+    for (i <- 0 until da; j <- 0 until da) { val c = cov(i, j); faa += c * c }
+    for (i <- da until d; j <- da until d) { val c = cov(i, j); fbb += c * c }
+    for (i <- 0 until da; j <- da until d) { val c = cov(i, j); fab += c * c }
+    val cka: Option[Double] =
+      if (faa > 0 && fbb > 0) Some(fab / math.sqrt(faa * fbb)) else None
+    spark.range(1).select(lit(n).as("n"), lit(da).as("dim_a"),
+      lit(db).as("dim_b"),
+      cka.map(lit(_).cast("double")).getOrElse(dNull).as("cka"))
+  }
+
   /** Mahalanobis distance per vector — the covariance-aware outlier
     * score ([[centroidOutliers]] uses raw cosine distance, which
     * over-flags along high-variance directions; Mahalanobis whitens

@@ -93,4 +93,26 @@ object LayoutOps {
     sized.write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Hive-style partitioned layout: directory-per-value of
+    * `partitionCols` so a reader filtering on them PRUNES whole
+    * directories from the listing — the zero-IO complement of
+    * [[writeZOrdered]] (z-order skips row groups WITHIN files via
+    * min/max stats; partitioning skips files via paths; low-cardinality
+    * routing columns like source/date/lang belong in the partitioning,
+    * high-cardinality range columns in the z-order). Pre-shuffles on the
+    * partition columns so each directory gets ONE writer's files instead
+    * of (input partitions × values) fragments — the small-files failure
+    * that makes naive partitionBy writes unusable at scale. Cardinality
+    * is the caller's contract: partitioning on a near-unique column
+    * creates a directory per row (`maxPartitions` guards it). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxPartitions: Long = 10000): Unit = {
+    require(partitionCols.nonEmpty, "at least one partition column required")
+    val card = df.select(partitionCols.map(col): _*).distinct().count()
+    require(card <= maxPartitions,
+      s"$card distinct partition values exceed maxPartitions $maxPartitions")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

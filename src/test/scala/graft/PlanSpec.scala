@@ -640,6 +640,34 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("writePartitioned: pruned read lists only the filtered directory") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type").isNotNull)
+    graft.ops.LayoutOps.writePartitioned(src, s"$tmp/by_type",
+      Seq("event_type"))
+    val back = spark.read.parquet(s"$tmp/by_type")
+      .filter(col("event_type") === "click")
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"partition filter must prune directories:\n${scan.treeString}")
+    // the pruned read returns exactly the source slice
+    val expected = src.filter(col("event_type") === "click").count()
+    assert(back.count() == expected)
+    // every value gets its own directory
+    val dirs = new java.io.File(s"$tmp/by_type").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=click")), s"dirs: $dirs")
+    // cardinality guard fires on near-unique partition columns
+    intercept[IllegalArgumentException] {
+      graft.ops.LayoutOps.writePartitioned(src, s"$tmp/bad",
+        Seq("event_id"), maxPartitions = 100)
+    }
+  }
+
   test("random projection is a pure scan projection — no exchange, no UDF") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = graft.operators.Similarity

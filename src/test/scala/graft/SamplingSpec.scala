@@ -365,4 +365,32 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(avg("en") > avg("zh"), s"en should score above zh: $avg")
   }
+
+  test("downsampleToBalance: min-class quota, deterministic md5 selection") {
+    import spark.implicits._
+    val df = ((1L to 5L).map(i => (i, "a")) ++ (6L to 8L).map(i => (i, "b")) ++
+      (9L to 10L).map(i => (i, "c"))).toDF("id", "cls")
+    val out = Sampling.downsampleToBalance(df, "cls", "id")
+    val byClass = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // selection matches a manual md5 ranking of class 'a'
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long): String = md.digest(s"balance|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectA = (1L to 5L).sortBy(i => (h(i), i)).take(2).toSet
+    val gotA = out.filter(col("cls") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotA == expectA, s"got $gotA expected $expectA")
+    // reruns agree (pure function of ids + salt)
+    val again = Sampling.downsampleToBalance(df, "cls", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    // a different salt may pick a different (same-sized) subset
+    val salted = Sampling.downsampleToBalance(df, "cls", "id", salt = "v2")
+    assert(salted.count() == 6L)
+    // null classes drop
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "cls"))
+    assert(Sampling.downsampleToBalance(withNull, "cls", "id").count() == 6L)
+  }
 }

@@ -695,6 +695,34 @@ class SimilaritySpec extends SparkSpecBase {
       pairs.sum / pairs.size) < 1e-9)
   }
 
+  test("linearCka: self = 1, scale-invariant, independent ~ low, guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "a")
+    // identical representation: CKA exactly 1
+    val self = vecs.withColumn("b", col("a"))
+    val rs = Similarity.linearCka(self, "a", "b").collect().head
+    assert(rs.getLong(0) == 200L && rs.getInt(1) == 4 && rs.getInt(2) == 4)
+    assert(math.abs(rs.getAs[Double]("cka") - 1.0) < 1e-9)
+    // uniform scaling leaves CKA at 1
+    val scaled = vecs.withColumn("b", transform(col("a"), x => x * 2.0f))
+    assert(math.abs(Similarity.linearCka(scaled, "a", "b")
+      .collect().head.getAs[Double]("cka") - 1.0) < 1e-9)
+    // an independent random representation scores near 0
+    val indep = (0 until 200).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat),
+        Array.fill(4)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "a", "b")
+    val ri = Similarity.linearCka(indep, "a", "b").collect().head
+    assert(ri.getAs[Double]("cka") < 0.2,
+      s"independent reps must score low: ${ri.getAs[Double]("cka")}")
+    // constant second representation: zero variance -> NULL
+    val const = vecs.withColumn("b", typedLit(Seq(1.0f, 1.0f)))
+    assert(Similarity.linearCka(const, "a", "b").collect().head.isNullAt(3))
+  }
+
   test("mahalanobisScores: hand 2-D case, trace identity, ridge rescue") {
     import spark.implicits._
     // diagonal covariance diag(4, 1): d^2((2,1)) vs the closed form
