@@ -3375,6 +3375,18 @@ object SparkEntry {
             .cast("double").as("sum_value"))
     }),
 
+    // ---- numeric MI: doc chars vs token count (Association) ---------------
+    // rank-exact decile bins on both axes; plug-in MI + NMI
+    "q342_numeric_mi" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+        .withColumn("tok", TextFunctions.tokenCount(col("text")).cast("double"))
+      graft.profile.Association.numericMutualInfo(docs, "n_chars", "tok")
+        .select(col("n"), col("bins_a"), col("bins_b"),
+          (round(col("mi_nats"), 6) + lit(0.0)).as("mi_nats"),
+          (round(col("nmi"), 6) + lit(0.0)).as("nmi"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9332,6 +9344,40 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n,
            round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
          FROM events WHERE event_type = 'click'""",
+    // the q326 rank-exact cutpoints on BOTH axes; the same plug-in MI
+    "q342_numeric_mi" ->
+      """WITH b AS (SELECT n_chars::DOUBLE va,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                    '\s+'), x -> len(x) > 0))::DOUBLE vb
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         nn0 AS (SELECT count(*)::BIGINT n FROM b),
+         dca AS (SELECT va v, count(*)::BIGINT c FROM b GROUP BY 1),
+         cma AS (SELECT v, sum(c) OVER (ORDER BY v) hi FROM dca),
+         rk AS (SELECT DISTINCT ((j * n + 9) // 10) r
+               FROM unnest(range(1, 10)) u(j), nn0),
+         cta AS (SELECT DISTINCT min(v) cut FROM cma, rk WHERE hi >= r
+               GROUP BY r),
+         dcb AS (SELECT vb v, count(*)::BIGINT c FROM b GROUP BY 1),
+         cmb AS (SELECT v, sum(c) OVER (ORDER BY v) hi FROM dcb),
+         ctb AS (SELECT DISTINCT min(v) cut FROM cmb, rk WHERE hi >= r
+               GROUP BY r),
+         bbn AS (SELECT (SELECT count(*) FROM cta WHERE b.va > cut) ba,
+                 (SELECT count(*) FROM ctb WHERE b.vb > cut) bb2 FROM b),
+         cells AS (SELECT ba, bb2, count(*)::DOUBLE o FROM bbn GROUP BY 1, 2),
+         ma AS (SELECT ba, sum(o) ra FROM cells GROUP BY 1),
+         mb AS (SELECT bb2, sum(o) cb2 FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) tn, count(DISTINCT ba)::BIGINT ka,
+                 count(DISTINCT bb2)::BIGINT kb FROM cells),
+         mi AS (SELECT sum(o / tn * ln(o * tn / (ra * cb2))) m
+               FROM cells JOIN ma USING (ba) JOIN mb USING (bb2), t),
+         ha AS (SELECT -sum(ra / tn * ln(ra / tn)) h FROM ma, t),
+         hb AS (SELECT -sum(cb2 / tn * ln(cb2 / tn)) h FROM mb, t)
+         SELECT tn::BIGINT AS n, ka AS bins_a, kb AS bins_b,
+           round(m, 6) + 0.0 AS mi_nats,
+           CASE WHEN ha.h > 0 AND hb.h > 0
+             THEN round(m / sqrt(ha.h * hb.h), 6) + 0.0 END AS nmi
+         FROM mi, ha, hb, t""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

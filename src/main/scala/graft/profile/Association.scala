@@ -863,6 +863,81 @@ object Association {
       kap.map(lit(_).cast("double")).getOrElse(dNull).as("kappa_w"))
   }
 
+  /** Mutual information between two NUMERIC columns over rank-exact
+    * quantile bins — the nonlinear-dependence companion of Pearson/
+    * Spearman (a U-shaped relation scores 0 correlation but high MI; the
+    * num×num leg of the leakage triad beside [[categoricalAssociation]]
+    * and [[correlationRatio]]). Bin edges are the values at ranks
+    * ⌈i·n/bins⌉ from each column's distinct-value prefix sum
+    * (deterministic, tie-collapsing — heavy ties reduce the effective
+    * bin count, reported as `bins_a`/`bins_b`); MI is the plug-in
+    * estimate over the bin cells, with NMI = MI/√(H_a·H_b). One row:
+    * `(n, bins_a, bins_b, mi_nats, nmi)`; NULL NMI when either margin
+    * has a single bin. Complete-case on both columns.
+    *
+    * Scale: two distinct-value cumsums for the edges (value-bounded),
+    * broadcast literal cuts for binning, one bins²-bounded cell
+    * aggregation. */
+  def numericMutualInfo(df: DataFrame, a: String, b: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val base = df.select(col(a).cast("double").as("va"),
+        col(b).cast("double").as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def cuts(c: String): Seq[Double] = {
+      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.withColumn("hi", sum(col("cnt")).over(w))
+      val nRow = counts.agg(sum(col("cnt"))).head()
+      if (nRow.isNullAt(0)) return Seq.empty
+      val n = nRow.getLong(0)
+      val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
+        .distinct.sorted
+      cum.crossJoin(broadcast(ranks.toDF("r")))
+        .filter(col("hi") >= col("r"))
+        .groupBy(col("r")).agg(min(col("v")).as("cut"))
+        .collect().map(_.getDouble(1)).distinct.sorted.toSeq
+    }
+    val (ca, cb) = (cuts("va"), cuts("vb"))
+    def dNull = lit(null).cast("double")
+    if (ca.isEmpty && cb.isEmpty && base.isEmpty) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("bins_a"),
+        lit(0L).as("bins_b"), dNull.as("mi_nats"), dNull.as("nmi"))
+    }
+    def binOf(c: String, cs: Seq[Double]) =
+      cs.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(col(c) > cut, 1).otherwise(0)
+      }
+    val cells = base
+      .select(binOf("va", ca).as("ba"), binOf("vb", cb).as("bb"))
+      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).cast("double").as("o"))
+    val ma = cells.groupBy(col("ba")).agg(sum(col("o")).as("ra"))
+    val mb = cells.groupBy(col("bb")).agg(sum(col("o")).as("cb2"))
+    val totals = cells.agg(sum(col("o")).as("nn"),
+      count_distinct(col("ba")).as("ka"), count_distinct(col("bb")).as("kb"))
+    cells.join(broadcast(ma), "ba").join(broadcast(mb), "bb")
+      .crossJoin(broadcast(totals))
+      .agg(first(col("nn")).cast("long").as("n"),
+        first(col("ka")).as("bins_a"), first(col("kb")).as("bins_b"),
+        sum(col("o") / col("nn") *
+          log(col("o") * col("nn") / (col("ra") * col("cb2")))).as("mi_nats"))
+      .crossJoin(broadcast(
+        ma.crossJoin(broadcast(totals.select(col("nn").as("_t"))))
+          .agg((-sum(col("ra") / col("_t") * log(col("ra") / col("_t"))))
+            .as("_ha"))))
+      .crossJoin(broadcast(
+        mb.crossJoin(broadcast(totals.select(col("nn").as("_t"))))
+          .agg((-sum(col("cb2") / col("_t") * log(col("cb2") / col("_t"))))
+            .as("_hb"))))
+      .select(col("n"), col("bins_a"), col("bins_b"), col("mi_nats"),
+        when(col("_ha") > 0 && col("_hb") > 0,
+          col("mi_nats") / sqrt(col("_ha") * col("_hb"))).as("nmi"))
+  }
+
   /** Fleiss' κ — chance-corrected agreement for MANY raters per item
     * ([[cohenKappa]] handles exactly two fixed raters; Fleiss handles "n
     * annotators rated each item with a category", the multi-annotator

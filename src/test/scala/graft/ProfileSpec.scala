@@ -824,6 +824,36 @@ class ProfileSpec extends SparkSpecBase {
       .collect().head.isNullAt(4))
   }
 
+  test("numericMutualInfo: identity ~ max, independent ~ 0, U-shape caught") {
+    // y = x: every bin maps 1:1 -> MI = H = ln(bins), NMI = 1
+    val ident = (0 until 400).map(i => (i.toDouble, i.toDouble)).toDF("a", "b")
+    val ri = graft.profile.Association.numericMutualInfo(ident, "a", "b",
+      bins = 10).collect().head
+    assert(ri.getLong(0) == 400L && ri.getLong(1) == 10L)
+    assert(math.abs(ri.getAs[Double]("mi_nats") - math.log(10)) < 1e-9)
+    assert(math.abs(ri.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // independent grid: MI exactly 0
+    val ind = (0 until 400).map(i => ((i % 20).toDouble, (i / 20).toDouble))
+      .toDF("a", "b")
+    val rn = graft.profile.Association.numericMutualInfo(ind, "a", "b",
+      bins = 4).collect().head
+    assert(math.abs(rn.getAs[Double]("mi_nats")) < 1e-12)
+    // U-shape: zero linear correlation, strong MI
+    val u = (-200 until 200).map(i => (i.toDouble, (i.toDouble * i)))
+      .toDF("a", "b")
+    val ru = graft.profile.Association.numericMutualInfo(u, "a", "b", bins = 8)
+      .collect().head
+    assert(ru.getAs[Double]("mi_nats") > 0.5,
+      s"U-shape must carry MI: ${ru.getAs[Double]("mi_nats")}")
+    // constant column: single bin -> MI 0, NMI NULL
+    val c = (0 until 50).map(i => (i.toDouble, 7.0)).toDF("a", "b")
+    val rc = graft.profile.Association.numericMutualInfo(c, "a", "b")
+      .collect().head
+    assert(rc.getLong(2) == 1L)
+    assert(math.abs(rc.getAs[Double]("mi_nats")) < 1e-12)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")))
+  }
+
   test("weightedKappa: perfect = 1, hand quadratic case, near-miss ordering") {
     // perfect agreement: kappa_w = 1 regardless of weights
     val perfect = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 1.0))
