@@ -3387,6 +3387,17 @@ object SparkEntry {
           (round(col("nmi"), 6) + lit(0.0)).as("nmi"))
     }),
 
+    // ---- seasonal Mann-Kendall on daily volume, period 7 (Drift) ----------
+    // within-weekday pairs only; combined S and variance across phases
+    "q343_seasonal_mk" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      Drift.seasonalMannKendall(ev, "ts", period = 7)
+        .select(col("n_days"), col("period"), col("s"),
+          (round(col("var_s"), 6) + lit(0.0)).as("var_s"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          col("trend"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9378,6 +9389,35 @@ object SparkEntry {
            CASE WHEN ha.h > 0 AND hb.h > 0
              THEN round(m / sqrt(ha.h * hb.h), 6) + 0.0 END AS nmi
          FROM mi, ha, hb, t""",
+    // the same phase-keyed pair join and per-phase tie algebra
+    "q343_seasonal_mk" ->
+      """WITH days AS (SELECT ts::DATE dd, count(*)::BIGINT y FROM events
+                WHERE ts IS NOT NULL GROUP BY 1),
+         d2 AS (SELECT dd, y,
+                 ((dd - DATE '1970-01-01') % 7 + 7) % 7 g FROM days),
+         sx AS (SELECT coalesce(sum(CASE WHEN b.y > a.y THEN 1
+                   WHEN b.y < a.y THEN -1 ELSE 0 END), 0)::BIGINT s
+               FROM d2 a JOIN d2 b ON a.g = b.g AND b.dd > a.dd),
+         ps AS (SELECT g, count(*)::BIGINT ng FROM d2 GROUP BY 1),
+         tp AS (SELECT g, sum(t * (t - 1) * (t * 2 + 5))::BIGINT tt FROM
+                (SELECT g, y, count(*)::BIGINT t FROM d2 GROUP BY 1, 2)
+               GROUP BY 1),
+         vx AS (SELECT sum((ng * (ng - 1) * (ng * 2 + 5) - tt)::DOUBLE / 18) v,
+                 sum(ng)::BIGINT n
+               FROM ps JOIN tp USING (g))
+         SELECT n AS n_days, 7 AS period, s,
+           round(v, 6) + 0.0 AS var_s,
+           CASE WHEN v > 0 THEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+             WHEN s < 0 THEN (s + 1) / sqrt(v) ELSE 0.0 END, 6) + 0.0
+             END AS z,
+           CASE WHEN v > 0 AND (CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+               WHEN s < 0 THEN (s + 1) / sqrt(v) ELSE 0.0 END)
+               > 1.959963984540054 THEN 'increasing'
+             WHEN v > 0 AND (CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+               WHEN s < 0 THEN (s + 1) / sqrt(v) ELSE 0.0 END)
+               < -1.959963984540054 THEN 'decreasing'
+             ELSE 'none' END AS trend
+         FROM sx, vx""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -1727,6 +1727,68 @@ object Drift {
       lit(trend).as("trend"))
   }
 
+  /** Seasonal Mann–Kendall trend test — [[mannKendall]] with the weekly
+    * (or any fixed-period) cycle REMOVED: pairs compare only within the
+    * same season phase (Monday vs later Mondays), so a strong weekday
+    * pattern can neither fake nor mask a monotone trend (Hirsch & Slack
+    * 1984). S' = Σ_g S_g, Var' = Σ_g Var_g (independence across phases),
+    * continuity-corrected z on the combined S'. One row:
+    * `(n_days, period, s, var_s, z, trend)`.
+    *
+    * Scale: the per-day count table is calendar-bounded; the within-
+    * season pair join is season-keyed over that bounded spine (broadcast
+    * small side), ties reduce per (season, value). */
+  def seasonalMannKendall(df: DataFrame, timeCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val days = df.filter(col(timeCol).isNotNull)
+      .groupBy(to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("g", pmod(datediff(col("day"), lit("1970-01-01")),
+        lit(period)))
+    val a = days.select(col("g"), col("day").as("d1"), col("y").as("y1"))
+    val b = days.select(col("g"), col("day").as("d2"), col("y").as("y2"))
+    val sRow = broadcast(a).join(b, Seq("g"))
+      .filter(col("d2") > col("d1"))
+      .agg(coalesce(sum(signum(col("y2") - col("y1")).cast("long")), lit(0L)))
+      .head()
+    val perSeason = days.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+    val tiePer = days.groupBy(col("g"), col("y")).agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"))
+    val vRow = perSeason.join(tiePer, Seq("g"))
+      .agg(sum((col("ng") * (col("ng") - 1) * (col("ng") * 2 + 5) - col("tt"))
+        .cast("double") / 18.0).as("v"),
+        sum(col("ng")).as("n"))
+      .head()
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val nDays = if (vRow.isNullAt(1)) 0L else vRow.getLong(1)
+    if (nDays < 2) {
+      return spark.range(1).select(lit(nDays).as("n_days"),
+        lit(period).as("period"), lit(null).cast("long").as("s"),
+        dNull.as("var_s"), dNull.as("z"), lit("none").as("trend"))
+    }
+    val s = sRow.getLong(0)
+    val varS = vRow.getDouble(0)
+    val z: Option[Double] =
+      if (varS > 0)
+        Some(if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS)
+        else 0.0)
+      else None
+    val zc = 1.959963984540054
+    val trend = z match {
+      case Some(v) if v > zc => "increasing"
+      case Some(v) if v < -zc => "decreasing"
+      case _ => "none"
+    }
+    spark.range(1).select(lit(nDays).as("n_days"), lit(period).as("period"),
+      lit(s).as("s"), lit(varS).as("var_s"),
+      z.map(lit(_).cast("double")).getOrElse(dNull).as("z"),
+      lit(trend).as("trend"))
+  }
+
   /** [[cusumChangepoint]] PER KEY — one level-shift estimate per slice
     * (per event type, per source): the keyed windows partition by the
     * key, so nothing is global. One row per key:

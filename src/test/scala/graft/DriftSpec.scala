@@ -1293,6 +1293,33 @@ class DriftSpec extends SparkSpecBase {
     assert(ru.isNullAt(ru.fieldIndex("nb_r")))
   }
 
+  test("seasonalMannKendall: cycle-masked trend caught, pure cycle = none") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // strong weekly cycle + a monotone drift: plain MK's cross-weekday
+    // pairs are dominated by the cycle; the seasonal variant sees the
+    // within-weekday monotone rise cleanly
+    def build(counts: Int => Int) = (0 until 28).flatMap { d =>
+      (0 until counts(d)).map(_ => Tuple1(ts(d)))
+    }.toDF("t")
+    val trended = build(d => 10 + (d % 7) * 20 + d) // +1 event per day
+    val rt = Drift.seasonalMannKendall(trended, "t", period = 7)
+      .collect().head
+    assert(rt.getLong(0) == 28L)
+    // every within-weekday pair rises: S = 7 seasons * C(4,2) = 42
+    assert(rt.getLong(2) == 42L)
+    assert(rt.getString(5) == "increasing")
+    // pure cycle, no drift: every within-weekday pair ties -> S = 0
+    val cyc = build(d => 10 + (d % 7) * 20)
+    val rc = Drift.seasonalMannKendall(cyc, "t", period = 7).collect().head
+    assert(rc.getLong(2) == 0L)
+    assert(rc.getString(5) == "none")
+    // variance: ties collapse each season completely in the pure cycle
+    // (ng = 4 tied values -> var contribution 0)
+    assert(math.abs(rc.getAs[Double]("var_s")) < 1e-12)
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
