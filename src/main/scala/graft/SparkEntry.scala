@@ -3398,6 +3398,19 @@ object SparkEntry {
           col("trend"))
     }),
 
+    // ---- quantile-bin PSI: first-week vs rest event values (Drift) --------
+    // decile-of-reference bins (rank-exact cutpoints); the production
+    // PSI scale
+    "q344_psi_quantile" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val ref = ev.filter(to_date(col("ts")) < lit("2024-01-08"))
+      val cur = ev.filter(to_date(col("ts")) >= lit("2024-01-08"))
+      Drift.psiQuantile(ref, cur, "value", bins = 10)
+        .select(col("n_a"), col("n_b"), col("n_bins"),
+          (round(col("psi"), 6) + lit(0.0)).as("psi"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9418,6 +9431,39 @@ object SparkEntry {
                < -1.959963984540054 THEN 'decreasing'
              ELSE 'none' END AS trend
          FROM sx, vx""",
+    // the q326 rank-exact cutpoints on the reference week; eps-floored
+    // shares on both sides
+    "q344_psi_quantile" ->
+      """WITH ref AS (SELECT value v FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND ts::DATE < DATE '2024-01-08'),
+         cur AS (SELECT value v FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND ts::DATE >= DATE '2024-01-08'),
+         dc AS (SELECT v, count(*)::BIGINT c FROM ref GROUP BY 1),
+         cm AS (SELECT v, sum(c) OVER (ORDER BY v) hi FROM dc),
+         nn AS (SELECT count(*)::BIGINT n FROM ref),
+         rk AS (SELECT DISTINCT ((j * n + 9) // 10) r
+               FROM unnest(range(1, 10)) u(j), nn),
+         cuts AS (SELECT DISTINCT min(v) cut FROM cm, rk WHERE hi >= r
+               GROUP BY r),
+         ra AS (SELECT (SELECT count(*) FROM cuts WHERE ref.v > cut) b,
+                 count(*)::BIGINT na FROM ref GROUP BY 1),
+         rb AS (SELECT (SELECT count(*) FROM cuts WHERE cur.v > cut) b,
+                 count(*)::BIGINT nb FROM cur GROUP BY 1),
+         j AS (SELECT coalesce(ra.b, rb.b) b, coalesce(na, 0) na,
+                 coalesce(nb, 0) nb
+               FROM ra FULL OUTER JOIN rb ON ra.b = rb.b),
+         t AS (SELECT sum(na)::BIGINT ta, sum(nb)::BIGINT tb,
+                 count(*)::BIGINT k FROM j),
+         x AS (SELECT sum((greatest(na::DOUBLE / ta, 1e-6)
+                   - greatest(nb::DOUBLE / tb, 1e-6))
+                 * ln(greatest(na::DOUBLE / ta, 1e-6)
+                   / greatest(nb::DOUBLE / tb, 1e-6))) psi
+               FROM j, t)
+         SELECT ta AS n_a, tb AS n_b, k AS n_bins,
+           CASE WHEN tb > 0 THEN round(psi, 6) + 0.0 END AS psi
+         FROM x, t""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

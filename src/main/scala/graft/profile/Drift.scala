@@ -2654,6 +2654,70 @@ object Drift {
       out(nb.map(_._1)).as("nb_r"), out(nb.map(_._2)).as("zero_frac_nb"))
   }
 
+  /** PSI over RANK-EXACT quantile bins of the reference slice — the
+    * production PSI variant ([[psi]] uses fixed-width bins over the
+    * combined range, which one outlier can stretch until every row
+    * lands in two bins; decile-of-reference bins give each bin ~10% of
+    * the baseline by construction, so the index reads on the usual
+    * 0.1/0.25 scale). Cutpoints are the reference's values at ranks
+    * ⌈i·n/bins⌉ (tie-collapsing); both sides bin against them; each
+    * side's share floors at `eps` before the log-ratio. One row:
+    * `(n_a, n_b, n_bins, psi)`; side A is the reference.
+    *
+    * Scale: one distinct-value cumsum on the reference (value-bounded
+    * window) for the cuts, then ONE bin-bounded count per side. */
+  def psiQuantile(reference: DataFrame, current: DataFrame, column: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(eps > 0, s"eps must be positive: $eps")
+    val refV = reference.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val curV = current.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val spark = reference.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = refV.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("hi", sum(col("c")).over(w))
+    val nRow = counts.agg(sum(col("c"))).head()
+    def dNull = lit(null).cast("double")
+    if (nRow.isNullAt(0)) {
+      return spark.range(1).select(lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(0L).as("n_bins"), dNull.as("psi"))
+    }
+    val n = nRow.getLong(0)
+    val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
+      .distinct.sorted
+    val cuts = cum.crossJoin(broadcast(ranks.toDF("r")))
+      .filter(col("hi") >= col("r"))
+      .groupBy(col("r")).agg(min(col("v")).as("cut"))
+      .collect().map(_.getDouble(1)).distinct.sorted.toSeq
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("v") > c, 1).otherwise(0)
+    }
+    def side(df: DataFrame, out: String) = df.select(bin.as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as(out))
+    val joined = side(refV, "na").join(side(curV, "nb"), Seq("b"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val totals = joined.agg(sum(col("na")).as("_ta"), sum(col("nb")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val pa = greatest(col("na") / col("_ta"), lit(eps))
+    // ANSI guard: an empty current slice has _tb = 0 — the division must
+    // not evaluate (the final when() nulls the psi, but only AFTER the
+    // aggregate would have run)
+    val pb = greatest(when(col("_tb") > 0, col("nb") / col("_tb"))
+      .otherwise(lit(0.0)), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .agg(first(col("_ta")).cast("long").as("n_a"),
+        first(col("_tb")).cast("long").as("n_b"),
+        first(col("_k")).cast("long").as("n_bins"),
+        sum((pa - pb) * log(pa / pb)).as("psi"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        when(col("n_b") > 0, col("psi")).as("psi"))
+  }
+
   /** Standardized effect-size panel for a two-slice mean difference — the
     * magnitude report a significance test can't carry ([[welchTTest]]
     * emits Cohen's d alone; this is the full family a drift review wants

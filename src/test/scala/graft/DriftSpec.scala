@@ -1320,6 +1320,28 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(rc.getAs[Double]("var_s")) < 1e-12)
   }
 
+  test("psiQuantile: identical ~ 0, shift detected, outlier robustness") {
+    val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val b = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val ri = Drift.psiQuantile(a, b, "x").collect().head
+    assert(ri.getLong(0) == 1000L && ri.getLong(2) == 10L)
+    assert(math.abs(ri.getAs[Double]("psi")) < 1e-12)
+    // a major shift reads on the usual scale
+    val shifted = (1 to 1000).map(i => (i % 100 + 50).toDouble).toDF("x")
+    assert(Drift.psiQuantile(a, shifted, "x").collect().head
+      .getAs[Double]("psi") > 0.25)
+    // THE point of quantile bins: one extreme outlier in the current
+    // slice leaves the reference bins untouched — fixed-width PSI would
+    // squeeze everything into the bottom bins instead
+    val outlier = b.union(Seq(1e9).toDF("x"))
+    val rq = Drift.psiQuantile(a, outlier, "x").collect().head
+    assert(rq.getAs[Double]("psi") < 0.01,
+      s"one outlier must not dominate: ${rq.getAs[Double]("psi")}")
+    // empty current: NULL psi
+    assert(Drift.psiQuantile(a, b.filter(col("x") < 0), "x")
+      .collect().head.isNullAt(3))
+  }
+
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
