@@ -215,37 +215,28 @@ object LinearModel {
     * is degenerate (e₁ = 0 or e₁ = n_b — division undefined; a model
     * predicting hard 0/1 can't be HL-tested).
     *
-    * Scale: one distinct-score cumsum for the cutpoints (value-bounded
-    * window), a broadcast cutpoint array for bin assignment, one
-    * bin-bounded aggregation, scalar algebra on the driver. */
+    * Scale: the two-phase DISTRIBUTED cumsum over the distinct-score
+    * table for the cutpoints ([[graft.ops.ScaleOps.rankCutpoints]] —
+    * never an unkeyed window), a broadcast cutpoint array for bin
+    * assignment, one bin-bounded aggregation, scalar algebra on the
+    * driver. */
   def hosmerLemeshow(scored: DataFrame, labelCol: String, scoreCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 3, s"bins must be >= 3: $bins")
     val base = scored.select(col(labelCol).cast("int").as("y"),
         col(scoreCol).cast("double").as("s"))
       .filter(col("y").isNotNull && col("s").isNotNull)
-    import org.apache.spark.sql.expressions.Window
     val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("hi", sum(col("c")).over(w))
-    val nRow = counts.agg(sum(col("c"))).head()
+    // cutpoints at ranks ceil(i*n/bins), i = 1..bins-1 — all resolved by
+    // the distributed cumsum (its totals pass also yields n)
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "s", "c",
+      total => (1 until bins).map(i => (i.toLong * total + bins - 1) / bins))
     val spark = scored.sparkSession
-    import spark.implicits._
     def dNull = lit(null).cast("double")
     def nulls(n: Long, nb: Long) = spark.range(1).select(lit(n).as("n"),
       lit(nb).as("n_bins"), dNull.as("hl"), lit((bins - 2).toLong).as("df"),
       dNull.as("p_value"))
-    if (nRow.isNullAt(0)) return nulls(0, 0)
-    val n = nRow.getLong(0)
-    // cutpoints at ranks ceil(i*n/bins), i = 1..bins-1 — ALL resolved in
-    // one pass (rank spine broadcast against the distinct-score cumsum)
-    val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
-      .distinct.sorted
-    val cuts = cum.crossJoin(broadcast(ranks.toDF("r")))
-      .filter(col("hi") >= col("r"))
-      .groupBy(col("r")).agg(min(col("s")).as("cut"))
-      .collect().map(_.getDouble(1)).distinct.sorted.toSeq
+    if (n == 0) return nulls(0, 0)
     val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col("s") > c, 1).otherwise(0)
     }

@@ -630,6 +630,50 @@ object ScaleOps {
     (out, grand)
   }
 
+  /** Rank-exact cutpoints over a distinct-value count table — the shared
+    * engine behind every "values at ranks ⌈i·n/bins⌉" operator
+    * ([[graft.profile.Drift.psiQuantile]] decile-of-reference edges,
+    * [[graft.profile.Association.numericMutualInfo]] quantile bins,
+    * [[graft.operators.LinearModel.hosmerLemeshow]] deciles of risk,
+    * [[graft.profile.Drift.moodMedianTest]]'s grand median). `counts` is a
+    * per-distinct-value `(value, count)` aggregate; `ranksOf(n)` maps the
+    * grand total to the 1-based target ranks; the result is the DISTINCT
+    * sorted values at those ranks of the expanded multiset ("first value
+    * whose cumulative count reaches the rank" — tie-collapsing, both
+    * engines land on observed values).
+    *
+    * Scale: the running sum is [[withExclusiveRunningSums]] — the
+    * two-phase distributed cumsum (range buckets on the value, per-bucket
+    * keyed windows, driver prefix over ≤ numShufflePartitions totals) —
+    * NEVER an unkeyed data-sized window; its totals pass also yields `n`,
+    * so no separate count job. The only collect is the ≤|ranks| hit rows.
+    * `persistInput` stays off: a distinct-count aggregate is cheap to
+    * replay, and skipping the data-sized materialization is the shape that
+    * survives 100 TB (the [[graft.profile.Drift.ksStatistic]] precedent). */
+  def rankCutpoints(counts: DataFrame, vCol: String, cntCol: String,
+      ranksOf: Long => Seq[Long]): (Long, Seq[Double]) = {
+    val perV = counts.select(col(vCol).cast("double").as("__rc_v"),
+      col(cntCol).cast("long").as("__rc_c"))
+    val (cum, grand) = withExclusiveRunningSums(perV, col("__rc_v"),
+      Seq("__rc_c"), Seq("__rc_e"), persistInput = false)
+    val n = grand.head
+    if (n == 0) return (0L, Seq.empty)
+    val targets = ranksOf(n).filter(t => t >= 1 && t <= n).distinct.sorted
+    if (targets.isEmpty) return (n, Seq.empty)
+    // each target rank t hits exactly ONE distinct value: the row with
+    // exclusive-cum < t <= exclusive-cum + count (its predecessor's
+    // inclusive cum is below t, its own reaches it)
+    val tArr = typedLit(targets)
+    val hits = cum
+      .select(col("__rc_v"),
+        filter(tArr, t => t > col("__rc_e") &&
+          t <= col("__rc_e") + col("__rc_c")).as("__rc_hit"))
+      .filter(size(col("__rc_hit")) > 0)
+      .select(col("__rc_v"))
+      .collect().map(_.getDouble(0))
+    (n, hits.distinct.sorted.toSeq)
+  }
+
   /** Exclusive prefix sums over `nb` bucket totals, dense-indexed by bucket
     * id (buckets absent from `totals` contribute 0 and carry the running
     * total forward). */

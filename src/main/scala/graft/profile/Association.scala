@@ -875,7 +875,8 @@ object Association {
     * `(n, bins_a, bins_b, mi_nats, nmi)`; NULL NMI when either margin
     * has a single bin. Complete-case on both columns.
     *
-    * Scale: two distinct-value cumsums for the edges (value-bounded),
+    * Scale: two DISTRIBUTED two-phase cumsums for the edges
+    * ([[graft.ops.ScaleOps.rankCutpoints]] — never an unkeyed window),
     * broadcast literal cuts for binning, one bins²-bounded cell
     * aggregation. */
   def numericMutualInfo(df: DataFrame, a: String, b: String,
@@ -885,22 +886,10 @@ object Association {
         col(b).cast("double").as("vb"))
       .filter(col("va").isNotNull && col("vb").isNotNull)
     val spark = df.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     def cuts(c: String): Seq[Double] = {
       val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts.withColumn("hi", sum(col("cnt")).over(w))
-      val nRow = counts.agg(sum(col("cnt"))).head()
-      if (nRow.isNullAt(0)) return Seq.empty
-      val n = nRow.getLong(0)
-      val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
-        .distinct.sorted
-      cum.crossJoin(broadcast(ranks.toDF("r")))
-        .filter(col("hi") >= col("r"))
-        .groupBy(col("r")).agg(min(col("v")).as("cut"))
-        .collect().map(_.getDouble(1)).distinct.sorted.toSeq
+      graft.ops.ScaleOps.rankCutpoints(counts, "v", "cnt",
+        n => (1 until bins).map(i => (i.toLong * n + bins - 1) / bins))._2
     }
     val (ca, cb) = (cuts("va"), cuts("vb"))
     def dNull = lit(null).cast("double")

@@ -1986,34 +1986,30 @@ object Drift {
     * falls on one side (a constant column) or any group's expected count
     * is 0. Complete-case on both columns.
     *
-    * Scale: one distinct-value count (value-bounded) + a prefix sum over
-    * the distinct table for the median, then ONE per-group conditional
-    * count — two scans total, shuffles bounded by distinct values and
-    * group count. */
+    * Scale: one distinct-value count aggregation + the two-phase
+    * DISTRIBUTED cumsum ([[graft.ops.ScaleOps.rankCutpoints]]) for the
+    * median rank — never an unkeyed window — then ONE per-group
+    * conditional count; shuffles bounded by distinct values and group
+    * count. */
   def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val base = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
     val counts = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val n = counts.agg(sum(col("c"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // lower median = value at rank ⌈n/2⌉ of the sorted multiset — resolved
+    // by the DISTRIBUTED two-phase cumsum over the distinct-value table
+    // (rankCutpoints; its totals pass also yields n — no separate count
+    // job, and no unkeyed data-sized window anywhere)
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "v", "c",
+      total => Seq((total + 1) / 2))
     val spark = df.sparkSession
     def dNull = lit(null).cast("double")
     def nulls(k: Long) = spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
       dNull.as("grand_median"), dNull.as("chi2"),
       lit(math.max(k - 1, 0)).as("df"), dNull.as("p_value"))
     if (n == 0) return nulls(0)
-    // prefix sum over the DISTINCT-value table (value-bounded window, the
-    // wasserstein/energy pattern); lower median = first value whose
-    // cumulative count reaches ceil(n/2)
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cut = counts.withColumn("cum", sum(col("c")).over(w))
-      .filter(col("cum") >= lit((n + 1) / 2))
-      .agg(min(col("v"))).head().getDouble(0)
+    val cut = cuts.head
     val cells = base.groupBy(col("g")).agg(
       sum(when(col("v") > cut, 1L).otherwise(0L)).cast("double").as("a"),
       sum(when(col("v") <= cut, 1L).otherwise(0L)).cast("double").as("l"))
@@ -2361,10 +2357,11 @@ object Drift {
     * `(n, n_trim_each, mean, trimmed_mean, winsorized_mean, median)`;
     * NULL trimmed/winsorized when 2·⌊n·f⌋ ≥ n.
     *
-    * Scale: one distinct-value count aggregation + a prefix sum over
-    * the distinct table (value-bounded window) — per-rank overlap
-    * algebra turns "drop the k smallest/largest" into closed-form
-    * per-distinct-value contributions. One scan. */
+    * Scale: one distinct-value count aggregation + the two-phase
+    * DISTRIBUTED cumsum ([[graft.ops.ScaleOps.withExclusiveRunningSum]] —
+    * never an unkeyed window) — per-rank overlap algebra turns "drop the
+    * k smallest/largest" into closed-form per-distinct-value
+    * contributions. One scan. */
   def robustLocation(df: DataFrame, column: String,
       trimFrac: Double = 0.1): DataFrame = {
     require(trimFrac >= 0 && trimFrac < 0.5,
@@ -2373,10 +2370,10 @@ object Drift {
       .select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("hi", sum(col("c")).over(w))
-      .withColumn("lo", col("hi") - col("c") + 1) // 1-based rank range [lo, hi]
+    val cum = graft.ops.ScaleOps.withExclusiveRunningSum(counts, col("v"),
+        "c", "_excl", persistInput = false)
+      .withColumn("hi", col("_excl") + col("c"))
+      .withColumn("lo", col("_excl") + 1) // 1-based rank range [lo, hi]
     val tot = counts.agg(sum(col("c")).as("_n"), sum(col("v") * col("c")).as("_s"))
     val j = cum.crossJoin(broadcast(tot))
     val trim = floor(col("_n") * trimFrac).cast("long")
@@ -2664,8 +2661,10 @@ object Drift {
     * side's share floors at `eps` before the log-ratio. One row:
     * `(n_a, n_b, n_bins, psi)`; side A is the reference.
     *
-    * Scale: one distinct-value cumsum on the reference (value-bounded
-    * window) for the cuts, then ONE bin-bounded count per side. */
+    * Scale: the two-phase DISTRIBUTED cumsum over the reference's
+    * distinct-value table ([[graft.ops.ScaleOps.rankCutpoints]] — never
+    * an unkeyed window) for the cuts, then ONE bin-bounded count per
+    * side. */
   def psiQuantile(reference: DataFrame, current: DataFrame, column: String,
       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
@@ -2675,25 +2674,14 @@ object Drift {
     val curV = current.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val spark = reference.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val counts = refV.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("hi", sum(col("c")).over(w))
-    val nRow = counts.agg(sum(col("c"))).head()
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "v", "c",
+      total => (1 until bins).map(i => (i.toLong * total + bins - 1) / bins))
     def dNull = lit(null).cast("double")
-    if (nRow.isNullAt(0)) {
+    if (n == 0) {
       return spark.range(1).select(lit(0L).as("n_a"), lit(0L).as("n_b"),
         lit(0L).as("n_bins"), dNull.as("psi"))
     }
-    val n = nRow.getLong(0)
-    val ranks = (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
-      .distinct.sorted
-    val cuts = cum.crossJoin(broadcast(ranks.toDF("r")))
-      .filter(col("hi") >= col("r"))
-      .groupBy(col("r")).agg(min(col("v")).as("cut"))
-      .collect().map(_.getDouble(1)).distinct.sorted.toSeq
     val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col("v") > c, 1).otherwise(0)
     }

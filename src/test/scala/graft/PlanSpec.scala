@@ -604,20 +604,72 @@ class PlanSpec extends SparkSpecBase {
       // count, the ascending rank, and the running max each plan one
       // node — all over a TEST-bounded table (the q95 class)
       "q329_p_adjust" -> 3)
-    val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // sparkPlan (pre-AQE): WindowExec nodes are visible without running
-      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
-      name -> plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-        case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if g.partitionSpec.isEmpty => g
-      }.size
-    }.filter(_._2 > 0).toMap
+    // Sub-job lint: queries whose CONSTRUCTION executes jobs (cutpoint
+    // collects, Lloyd steps, stored-layout writes) evade the returned-plan
+    // inspection above — round 12 shipped five quantile-cut operators with
+    // an unkeyed data-sized window exactly there. A QueryExecutionListener
+    // captures every executed plan during construction; the allowlist
+    // below pins the queries allowed to execute one, with the boundedness
+    // argument per entry (currently none — eager sub-jobs route rank work
+    // through ScaleOps' distributed cumsum).
+    val allowedEager = Map.empty[String, Int]
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def unkeyedWindows(p: SparkPlan): Int = {
+      var hits = 0
+      def go(n: SparkPlan): Unit = {
+        n match {
+          case w: WindowExec if w.partitionSpec.isEmpty => hits += 1
+          case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => hits += 1
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case q: QueryStageExec => go(q.plan)
+          case _ =>
+        }
+        n.children.foreach(go)
+        n.subqueries.foreach(go)
+      }
+      go(p)
+      hits
+    }
+    val eagerHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        eagerHits.addAndGet(unkeyedWindows(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (found, foundEager) =
+      try {
+        val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          eagerHits.set(0)
+          // sparkPlan (pre-AQE): WindowExec nodes are visible without running
+          val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+          // async listener delivery: drain before attributing to `name`
+          org.apache.spark.ListenerBusHatch.drain(spark.sparkContext)
+          (name, plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+            case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g
+          }.size, eagerHits.get)
+        }
+        (perQuery.collect { case (n, c, _) if c > 0 => n -> c }.toMap,
+          perQuery.collect { case (n, _, e) if e > 0 => n -> e }.toMap)
+      } finally spark.listenerManager.unregister(listener)
     assert(found == allowed,
       s"global-window set changed.\n  new/changed: ${(found.toSet -- allowed.toSet).toSeq.sorted}" +
         s"\n  missing:     ${(allowed.toSet -- found.toSet).toSeq.sorted}\n" +
         "Every entry needs a boundedness argument in this allowlist.")
+    assert(foundEager == allowedEager,
+      s"eager sub-job global-window set changed.\n" +
+        s"  new/changed: ${(foundEager.toSet -- allowedEager.toSet).toSeq.sorted}\n" +
+        s"  missing:     ${(allowedEager.toSet -- foundEager.toSet).toSeq.sorted}\n" +
+        "A query CONSTRUCTION executed an unkeyed WindowExec — route the " +
+        "rank/cutpoint work through ScaleOps.rankCutpoints/" +
+        "withExclusiveRunningSums, or justify boundedness here.")
   }
 
   test("q234 ranking windows run ABOVE the top-20 limit, never on the vocab") {
