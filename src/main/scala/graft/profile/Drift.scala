@@ -1883,6 +1883,40 @@ object Drift {
     } else Stat.chiSquareP(dof, x)
   }
 
+  /** Euler–Mascheroni γ (H_n = ψ(n+1) + γ). */
+  private[graft] val EulerGamma = 0.5772156649015328606
+
+  /** Digamma ψ(x) for x ≥ 1 — upward recurrence ψ(x) = ψ(x+1) − 1/x to
+    * x ≥ 10, then the A&S 6.3.18 asymptotic series (the same published
+    * Abramowitz & Stegun polynomial precedent as [[chi2Survival]]'s
+    * erfc family); |rel err| < 1e-15 on the harmonic-number range used
+    * here. */
+  private[graft] def digamma(x0: Double): Double = {
+    require(x0 > 0, s"digamma needs x > 0: $x0")
+    var x = x0
+    var acc = 0.0
+    while (x < 10.0) { acc -= 1.0 / x; x += 1.0 }
+    val inv = 1.0 / x
+    val inv2 = inv * inv
+    acc + math.log(x) - 0.5 * inv -
+      inv2 * (1.0 / 12 - inv2 * (1.0 / 120 - inv2 *
+        (1.0 / 252 - inv2 * (1.0 / 240 - inv2 / 132))))
+  }
+
+  /** Trigamma ψ'(x) for x ≥ 1 — upward recurrence ψ'(x) = ψ'(x+1) + 1/x²
+    * to x ≥ 10, then the A&S 6.4.12 asymptotic series.
+    * H_n^(2) = π²/6 − ψ'(n+1). */
+  private[graft] def trigamma(x0: Double): Double = {
+    require(x0 > 0, s"trigamma needs x > 0: $x0")
+    var x = x0
+    var acc = 0.0
+    while (x < 10.0) { acc += 1.0 / (x * x); x += 1.0 }
+    val inv = 1.0 / x
+    val inv2 = inv * inv
+    acc + inv * (1.0 + inv * (0.5 + inv * (1.0 / 6 - inv2 *
+      (1.0 / 30 - inv2 * (1.0 / 42 - inv2 / 30)))))
+  }
+
   /** Jarque–Bera normality test — the moment-based screen "are skewness
     * and excess kurtosis jointly consistent with a normal?" (the simpler,
     * large-n sibling of [[dagostinoK2]], whose small-sample Z transforms
@@ -2537,13 +2571,12 @@ object Drift {
     * pooled column is constant.
     *
     * Scale: the [[ksStatistic]] distributed-cumsum plan for the A²
-    * sums; the σ_N constants need the harmonic numbers h and the double
-    * sum g, folded to TWO O(N) driver loops (no array, no N² — the
-    * u-substitution g = Σᵤ (1/u)(H_{N−1} − H_{N−u})); `maxN` bounds the
-    * loop (default 10⁷ — at corpus scale a distribution TEST runs on a
-    * slice/sample by design; the power of N > 10⁷ is vacuous anyway). */
-  def andersonDarling2(a: DataFrame, b: DataFrame, column: String,
-      maxN: Long = 10000000L): DataFrame = {
+    * sums; the σ_N harmonic constants evaluate in O(1) at ANY N via
+    * [[digamma]]/[[trigamma]] closed forms (h = H_{N−1} = ψ(N) + γ, and
+    * the double sum collapses exactly through the Euler-sum identity
+    * Σ_{m=1}^{n−1} H_m/(n−m) = H_n² − H_n^(2) to
+    * g = H_N^(2) − 2H_{N−1}/N − 1/N²) — no driver loop, no N bound. */
+  def andersonDarling2(a: DataFrame, b: DataFrame, column: String): DataFrame = {
     val va = a.select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("n_a"))
     val vb = b.select(col(column).cast("double").as("v"))
@@ -2564,8 +2597,6 @@ object Drift {
     def nulls = spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
       dNull.as("a2"), dNull.as("sigma"), dNull.as("t_stat"))
     if (na == 0 || nb == 0) return nulls
-    require(bigN <= maxN,
-      s"andersonDarling2: pooled N $bigN exceeds maxN $maxN — sample the slices")
     val l = col("n_a") + col("n_b")
     val bj = col("_ea") + col("_eb") + l
     val ba = bj - l / lit(2.0)
@@ -2579,18 +2610,15 @@ object Drift {
     if (row.isNullAt(0) || row.isNullAt(1)) return nulls // constant column
     val a2 = (bigN - 1.0) / bigN *
       (row.getDouble(0) / na + row.getDouble(1) / nb) / bigN
-    // Scholz–Stephens variance: two O(N) loops, no arrays
-    var h = 0.0
-    var i = 1L
-    while (i < bigN) { h += 1.0 / i; i += 1 }
-    var g = 0.0
-    var hm = 0.0
-    var m = 1L
-    while (m <= bigN - 2) {
-      hm += 1.0 / m // H_m
-      g += (h - hm) / (bigN - m) // u = N − m
-      m += 1
-    }
+    // Scholz–Stephens harmonic constants in O(1): h = H_{N−1} = ψ(N)+γ,
+    // and g = Σ_{m=1}^{N−2} (H_{N−1} − H_m)/(N−m) collapses EXACTLY via
+    // Σ_{m=1}^{n−1} H_m/(n−m) = H_n² − H_n^(2) (the classic Euler-sum
+    // convolution, from Σ_{s≤n} H_s/s = (H_n² + H_n^(2))/2) to
+    // g = H_N^(2) − 2H_{N−1}/N − 1/N², with H_N^(2) = π²/6 − ψ'(N+1).
+    val nD0 = bigN.toDouble
+    val h = digamma(nD0) + EulerGamma
+    val h2 = math.Pi * math.Pi / 6 - trigamma(nD0 + 1)
+    val g = h2 - 2.0 * h / nD0 - 1.0 / (nD0 * nD0)
     val k = 2.0
     val bigH = 1.0 / na + 1.0 / nb
     val ca = (4 * g - 6) * (k - 1) + (10 - 6 * g) * bigH

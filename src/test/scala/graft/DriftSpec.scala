@@ -1270,6 +1270,24 @@ class DriftSpec extends SparkSpecBase {
     assert(Drift.andersonDarling2(c1, c2, "x").collect().head.isNullAt(2))
   }
 
+  test("digamma/trigamma closed-form harmonics match direct summation") {
+    // h = H_{N−1} = ψ(N) + γ; g collapses via the Euler-sum identity to
+    // H_N^(2) − 2H_{N−1}/N − 1/N². Pin both against the former O(N)
+    // loops across small (recurrence path) and large (series path) N.
+    for (n <- Seq(4L, 5L, 9L, 10L, 11L, 137L, 10000L, 1234567L)) {
+      val hLoop = (1L until n).foldLeft(0.0)((acc, i) => acc + 1.0 / i)
+      val hClosed = Drift.digamma(n.toDouble) + Drift.EulerGamma
+      assert(math.abs(hClosed - hLoop) <= 1e-11 * math.max(1.0, hLoop),
+        s"H_{N-1} mismatch at N=$n: $hClosed vs $hLoop")
+      var g = 0.0; var hm = 0.0; var m = 1L
+      while (m <= n - 2) { hm += 1.0 / m; g += (hLoop - hm) / (n - m); m += 1 }
+      val h2 = math.Pi * math.Pi / 6 - Drift.trigamma(n.toDouble + 1)
+      val gClosed = h2 - 2.0 * hClosed / n - 1.0 / (n.toDouble * n)
+      assert(math.abs(gClosed - g) <= 1e-10 * math.max(1.0, g),
+        s"g mismatch at N=$n: $gClosed vs $g")
+    }
+  }
+
   test("countModelFit: hand moments, zero inflation, NB guard") {
     // overdispersed, zero-heavy counts: {0,0,0,0,1,1,6,8} -> mu 2, var 10
     val xs = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 6.0, 8.0)
