@@ -2965,17 +2965,52 @@ object SparkEntry {
         .gateOrdered(col("i"), col("j"))
     }),
 
-    // ---- PCA top-4 components by deterministic power iteration ------------
-    // no SQL oracle (eigendecomposition) -> driver rows-only check; the
-    // spec pins a hand-checkable spectrum
+    // ---- PCA top-4: the eigen CONTRACT verified in DuckDB -----------------
+    // eigendecomposition itself is not SQL, but its invariants are: unit
+    // norms, pairwise orthogonality and C·v = λ·v residuals (against the
+    // SAME covariance the operator consumed) pin to literal 0/1 at Jacobi
+    // precision; the trace is independently recomputed by the oracle from
+    // the parquet (Σ var_samp over dims); descending eigenvalue order is a
+    // boolean. The component VALUES are pinned by q345's closed-form 2-d
+    // replay and the SimilaritySpec spectrum test.
     "q316_pca_components" -> ((s, dir) => {
-      Similarity.pcaComponents(read(s, dir, "embeddings"), "embedding", k = 4)
-        .select(col("component"), col("dim"),
-          (round(col("value"), 6) + lit(0.0)).as("value"),
-          (round(col("eigenvalue"), 6) + lit(0.0)).as("eigenvalue"),
-          (round(col("explained_var_ratio"), 6) + lit(0.0))
-            .as("explained_var_ratio"))
-        .gateOrdered(col("component"), col("dim"))
+      import s.implicits._
+      val emb = read(s, dir, "embeddings")
+      val kTop = 4
+      val comps = Similarity.pcaComponents(emb, "embedding", kTop).collect()
+      val d = comps.map(_.getInt(1)).max + 1
+      val v = Array.ofDim[Double](kTop, d)
+      val lam = new Array[Double](kTop)
+      comps.foreach { r =>
+        v(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        lam(r.getInt(0)) = r.getDouble(3)
+      }
+      val cm = Array.ofDim[Double](d, d)
+      Similarity.embeddingCovariance(emb, "embedding").collect().foreach { r =>
+        cm(r.getInt(0))(r.getInt(1)) = r.getDouble(4)
+        cm(r.getInt(1))(r.getInt(0)) = r.getDouble(4)
+      }
+      val trace = (0 until d).map(i => cm(i)(i)).sum
+      val eigDesc = (1 until kTop).forall(i => lam(i) <= lam(i - 1))
+      (0 until kTop).map { comp =>
+        val cv = (0 until d).map(i =>
+          (0 until d).map(j => cm(i)(j) * v(comp)(j)).sum)
+        val res = math.sqrt((0 until d).map(i =>
+          math.pow(cv(i) - lam(comp) * v(comp)(i), 2)).sum)
+        val nrm = math.sqrt(v(comp).map(x => x * x).sum)
+        val ortho = if (comp == 0) 0.0
+          else (0 until comp).map(j =>
+            math.abs(v(comp).zip(v(j)).map(t => t._1 * t._2).sum)).max
+        (comp, nrm, ortho, res / lam(comp), trace, eigDesc)
+      }.toDF("component", "norm", "max_ortho", "rel_residual", "trace",
+          "eig_descending")
+        .select(col("component"),
+          (round(col("norm"), 6) + lit(0.0)).as("norm"),
+          (round(col("max_ortho"), 6) + lit(0.0)).as("max_ortho"),
+          (round(col("rel_residual"), 6) + lit(0.0)).as("rel_residual"),
+          (round(col("trace"), 6) + lit(0.0)).as("trace"),
+          col("eig_descending"))
+        .gateOrdered(col("component"))
     }),
 
     // ---- PCA whitening closes the loop: unit variance, zero cross-cov -----
@@ -3285,20 +3320,21 @@ object SparkEntry {
           (round(col("macro_f1"), 6) + lit(0.0)).as("macro_f1"))
     }),
 
-    // ---- Mahalanobis outlier scores over the embeddings (Similarity) ------
-    // rows-only check (Cholesky is not SQL-expressible); the identity
-    // sum(d^2) = (n-1)*dim makes the output self-certifying
+    // ---- Mahalanobis outlier scores: FULL per-row oracle replay at d=2 ----
+    // the 2×2 inverse is closed-form SQL, so every score the Cholesky
+    // whitening path emits is independently recomputed by DuckDB (means,
+    // sample covariance, per-row d²) — a value-level pin of the whole
+    // pipeline; the 64-d run of the SAME code path keeps its trace
+    // identity Σd² = (n−1)·dim in SimilaritySpec. ridge = 0 for exact
+    // parity (the 1e-9 default shifts d² by ~1e-6, visible at round 6).
     "q336_mahalanobis" -> ((s, dir) => {
-      val scored = Similarity.mahalanobisScores(
-        read(s, dir, "embeddings"), "embedding")
-      scored.agg(count(lit(1)).as("n"),
-        (round(avg(col("mahalanobis_sq")), 2) + lit(0.0)).as("mean_md2"),
-        // tolerance absorbs the default ridge's O(ridge/var) bias on a
-        // ~32k sum (measured ~3e-3)
-        (abs(avg(col("mahalanobis_sq")) * count(lit(1)) -
-          (count(lit(1)) - 1) * 64) < 1.0).as("identity_holds"),
-        sum(when(col("mahalanobis_sq") > 64 + 3 * math.sqrt(128.0), 1L)
-          .otherwise(0L)).as("n_above_3sigma"))
+      val e2 = read(s, dir, "embeddings").select(col("vec_id"),
+        array(element_at(col("embedding"), 1),
+          element_at(col("embedding"), 2)).as("v2"))
+      Similarity.mahalanobisScores(e2, "v2", ridge = 0.0)
+        .select(col("vec_id"),
+          (round(col("mahalanobis_sq"), 6) + lit(0.0)).as("md2"))
+        .gateOrdered(col("vec_id"))
     }),
 
     // ---- weighted kappa: quantized view-vs-click value ratings (Assoc) ----
@@ -3409,6 +3445,25 @@ object SparkEntry {
       Drift.psiQuantile(ref, cur, "value", bins = 10)
         .select(col("n_a"), col("n_b"), col("n_bins"),
           (round(col("psi"), 6) + lit(0.0)).as("psi"))
+    }),
+
+    // ---- PCA at d=2: closed-form FULL-value oracle replay (Similarity) ----
+    // the 2×2 eigenproblem is closed-form SQL (λ = (t ± √(t²−4·det))/2,
+    // v₁ ∝ (c_xy, λ₁−c_xx), v₂ = v₁⊥), so every value pcaComponents
+    // emits — vectors, eigenvalues, explained ratios, the sign
+    // convention — replays verbatim in DuckDB; the companion of q316's
+    // invariant panel at full dimensionality
+    "q345_pca2_closed_form" -> ((s, dir) => {
+      val e2 = read(s, dir, "embeddings").select(col("vec_id"),
+        array(element_at(col("embedding"), 1),
+          element_at(col("embedding"), 2)).as("v2"))
+      Similarity.pcaComponents(e2, "v2", k = 2)
+        .select(col("component"), col("dim"),
+          (round(col("value"), 6) + lit(0.0)).as("value"),
+          (round(col("eigenvalue"), 6) + lit(0.0)).as("eigenvalue"),
+          (round(col("explained_var_ratio"), 6) + lit(0.0))
+            .as("explained_var_ratio"))
+        .gateOrdered(col("component"), col("dim"))
     }),
 
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
@@ -8772,6 +8827,28 @@ object SparkEntry {
            round(sj / n, 6) + 0.0 AS mean_j,
            round((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
          FROM cgg ORDER BY 1, 2""",
+    // the eigen contract: unit norms / zero orthogonality / zero C·v−λv
+    // residual are literal at Jacobi precision; the trace is recomputed
+    // from the parquet with the q315 covariance moment formula
+    "q316_pca_components" ->
+      """WITH x AS (SELECT embedding e FROM embeddings
+                WHERE embedding IS NOT NULL),
+         dd AS (SELECT max(len(e)) d FROM x),
+         idx AS (SELECT unnest(range(1, (SELECT d FROM dd) + 1)) i),
+         m AS (SELECT i, count(*)::BIGINT n, sum(e[i]::DOUBLE) si,
+                 sum(e[i]::DOUBLE * e[i]::DOUBLE) sii
+               FROM x, idx GROUP BY i),
+         tr AS (SELECT round(sum((sii - si * si / n) / (n - 1)), 6) + 0.0 t
+               FROM m)
+         SELECT c::INT AS component, 1.0 AS norm, 0.0 AS max_ortho,
+           0.0 AS rel_residual, t AS trace, true AS eig_descending
+         FROM range(4) r(c), tr ORDER BY component""",
+    // whitening contract: z = wᵀ(x−μ)/√λ with λ the Rayleigh quotient of
+    // w under the SAME sample covariance forces var_samp(z) = 1 exactly
+    // (to fp); decorrelation follows from Jacobi orthogonality
+    "q317_pca_whiten" ->
+      """SELECT count(*)::BIGINT AS n, 1.0 AS var_z0, 1.0 AS var_z1,
+           true AS decorrelated FROM embeddings""",
     // identical midpoint quadrature: F_A by the shifted running sum,
     // P(B>A) = sum fb * F_A / m; engine lgamma differences are ~1e-10
     "q318_bayesian_ab" ->
@@ -9257,6 +9334,27 @@ object SparkEntry {
            round(avg(rec), 6) + 0.0 AS macro_recall,
            round(avg(f1), 6) + 0.0 AS macro_f1
          FROM f""",
+    // full per-row replay: the 2×2 inverse is closed-form, so DuckDB
+    // recomputes every Mahalanobis score from the same parquet (means +
+    // sample covariance via the q315 moment formula, then the quadratic
+    // form) — value-level pin of the Cholesky whitening path
+    "q336_mahalanobis" ->
+      """WITH s AS (SELECT count(*)::BIGINT n,
+                  sum(embedding[1]::DOUBLE) sx, sum(embedding[2]::DOUBLE) sy,
+                  sum(embedding[1]::DOUBLE * embedding[1]::DOUBLE) sxx,
+                  sum(embedding[2]::DOUBLE * embedding[2]::DOUBLE) syy,
+                  sum(embedding[1]::DOUBLE * embedding[2]::DOUBLE) sxy
+                FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT sx / n mx, sy / n my,
+                 (sxx - sx * sx / n) / (n - 1) cxx,
+                 (syy - sy * sy / n) / (n - 1) cyy,
+                 (sxy - sx * sy / n) / (n - 1) cxy FROM s)
+         SELECT vec_id,
+           round((cyy * (embedding[1]::DOUBLE - mx) * (embedding[1]::DOUBLE - mx)
+             - 2 * cxy * (embedding[1]::DOUBLE - mx) * (embedding[2]::DOUBLE - my)
+             + cxx * (embedding[2]::DOUBLE - my) * (embedding[2]::DOUBLE - my))
+             / (cxx * cyy - cxy * cxy), 6) + 0.0 AS md2
+         FROM embeddings, c ORDER BY vec_id""",
     // the same quantized ratings; ordinal index via row_number over the
     // distinct levels; quadratic penalties on observed and expected
     "q337_weighted_kappa" ->
@@ -9464,6 +9562,51 @@ object SparkEntry {
          SELECT ta AS n_a, tb AS n_b, k AS n_bins,
            CASE WHEN tb > 0 THEN round(psi, 6) + 0.0 END AS psi
          FROM x, t""",
+    // closed-form 2×2 eigen replay: λ = (t ± √((cxx−cyy)² + 4cxy²))/2,
+    // v₁ ∝ (cxy, λ₁−cxx), v₂ = v₁⊥, the operator's sign convention
+    // (largest-|coordinate| positive, ties → lower index) as CASE
+    "q345_pca2_closed_form" ->
+      """WITH s AS (SELECT count(*)::BIGINT n,
+                  sum(embedding[1]::DOUBLE) sx, sum(embedding[2]::DOUBLE) sy,
+                  sum(embedding[1]::DOUBLE * embedding[1]::DOUBLE) sxx,
+                  sum(embedding[2]::DOUBLE * embedding[2]::DOUBLE) syy,
+                  sum(embedding[1]::DOUBLE * embedding[2]::DOUBLE) sxy
+                FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT (sxx - sx * sx / n) / (n - 1) cxx,
+                 (syy - sy * sy / n) / (n - 1) cyy,
+                 (sxy - sx * sy / n) / (n - 1) cxy FROM s),
+         e AS (SELECT cxx, cyy, cxy, cxx + cyy tr,
+                 (cxx + cyy + sqrt((cxx - cyy) * (cxx - cyy)
+                   + 4 * cxy * cxy)) / 2 l1,
+                 (cxx + cyy - sqrt((cxx - cyy) * (cxx - cyy)
+                   + 4 * cxy * cxy)) / 2 l2 FROM c),
+         u AS (SELECT l1, l2, tr,
+                 cxy / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx)) ux,
+                 (l1 - cxx) / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx)) uy
+               FROM e),
+         v1 AS (SELECT l1, l2, tr,
+                 CASE WHEN (CASE WHEN abs(ux) >= abs(uy) THEN ux
+                   ELSE uy END) < 0 THEN -ux ELSE ux END x,
+                 CASE WHEN (CASE WHEN abs(ux) >= abs(uy) THEN ux
+                   ELSE uy END) < 0 THEN -uy ELSE uy END y
+               FROM u),
+         v2 AS (SELECT l1, l2, tr, x, y,
+                 CASE WHEN (CASE WHEN abs(y) >= abs(x) THEN -y
+                   ELSE x END) < 0 THEN y ELSE -y END px,
+                 CASE WHEN (CASE WHEN abs(y) >= abs(x) THEN -y
+                   ELSE x END) < 0 THEN -x ELSE x END py
+               FROM v1)
+         SELECT * FROM (
+           SELECT 0::INT AS component, 0::INT AS dim,
+             round(x, 6) + 0.0 AS value, round(l1, 6) + 0.0 AS eigenvalue,
+             round(l1 / tr, 6) + 0.0 AS explained_var_ratio FROM v2
+           UNION ALL SELECT 0, 1, round(y, 6) + 0.0, round(l1, 6) + 0.0,
+             round(l1 / tr, 6) + 0.0 FROM v2
+           UNION ALL SELECT 1, 0, round(px, 6) + 0.0, round(l2, 6) + 0.0,
+             round(l2 / tr, 6) + 0.0 FROM v2
+           UNION ALL SELECT 1, 1, round(py, 6) + 0.0, round(l2, 6) + 0.0,
+             round(l2 / tr, 6) + 0.0 FROM v2)
+         ORDER BY component, dim""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

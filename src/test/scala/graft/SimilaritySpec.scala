@@ -765,6 +765,57 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rf.forall(!_.isNullAt(rf.head.fieldIndex("mahalanobis_sq"))))
   }
 
+  test("mahalanobisScores at full 64-d: trace identity on the test corpus") {
+    // the invariant the former q336 catalog shape carried (the catalog row
+    // moved to a full-value 2-d oracle replay): with the sample covariance
+    // and zero ridge, Σd² = (n−1)·dim exactly
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val st = Similarity.mahalanobisScores(emb, "embedding", ridge = 0.0)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"mahalanobis_sq").as("s")).head()
+    val n = st.getLong(0)
+    assert(math.abs(st.getDouble(1) - (n - 1.0) * 64) < 1e-6 * n,
+      s"sum d^2 = ${st.getDouble(1)} vs (n-1)*64 = ${(n - 1.0) * 64}")
+  }
+
+  test("symmetricEigen: machine-precision eigenpairs on a near-degenerate spectrum") {
+    // the exact failure mode that motivated Jacobi over power iteration:
+    // eigenvalue gaps of ~1e-3 relative still resolve to ~1e-14 residual
+    val d = 8
+    // symmetric matrix with a clustered spectrum via A = Q D Qt where Q is
+    // a deterministic product of plane rotations
+    val diag = Array(1.000, 0.999, 0.998, 0.5, 0.4999, 0.3, 0.1, 0.05)
+    val a = Array.tabulate(d, d)((i, j) => if (i == j) diag(i) else 0.0)
+    def rotate(m: Array[Array[Double]], p: Int, q: Int, th: Double): Unit = {
+      val (c, s) = (math.cos(th), math.sin(th))
+      for (k <- 0 until d) {
+        val mkp = m(k)(p); val mkq = m(k)(q)
+        m(k)(p) = c * mkp - s * mkq; m(k)(q) = s * mkp + c * mkq
+      }
+      for (k <- 0 until d) {
+        val mpk = m(p)(k); val mqk = m(q)(k)
+        m(p)(k) = c * mpk - s * mqk; m(q)(k) = s * mpk + c * mqk
+      }
+    }
+    var th = 0.3
+    for (p <- 0 until d - 1; q <- p + 1 until d) { rotate(a, p, q, th); th += 0.17 }
+    val (eig, vecs) = Similarity.symmetricEigen(a)
+    val sortedEig = eig.sorted.reverse
+    diag.sorted.reverse.zip(sortedEig).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 1e-12, s"eigenvalue $want vs $got")
+    }
+    for (c <- 0 until d) {
+      val v = Array.tabulate(d)(i => vecs(i)(c))
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      val res = math.sqrt((0 until d).map(i =>
+        math.pow(av(i) - eig(c) * v(i), 2)).sum)
+      assert(res < 1e-12, s"residual $res for eigenvalue ${eig(c)}")
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-12)
+    }
+  }
+
   test("pcaComponents: exact axis-aligned spectrum, whitening round trip") {
     import spark.implicits._
     // grid data along the first two axes: cov = diag(16/3, 4/3, 0)
