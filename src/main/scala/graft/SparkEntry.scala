@@ -62,6 +62,35 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(cols: _*)
   }
 
+  /** 48-bit md5 token-multiset SimHash per document — the
+    * ORACLE-REPLAYABLE simhash variant behind q346: every step (md5 hex
+    * prefix → 48-bit token hash → per-bit ±1 majority over the multiset →
+    * bit pack) is recomputable in DuckDB SQL, unlike the compiled
+    * xxhash-based production kernel. 48 bits (12 hex chars) keep the hash
+    * inside exact BIGINT/double range on both engines. Built as keyed
+    * explodes + aggregations (all codegen'd projections, shuffles keyed by
+    * doc) rather than interpreted higher-order lambdas. Returns
+    * `(__sid, __sh48)`. Tie rule: a bit with majority count 0 packs as 0. */
+  private def md5Simhash48(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__sid"),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("__tok"))
+    val h = conv(substring(md5(col("__tok")), 1, 12), 16, 10).cast("long")
+    toks.select(col("__sid"), h.as("__h"))
+      .select(col("__sid"), explode(sequence(lit(0), lit(47))).as("__j"),
+        col("__h"))
+      // bit j of the 48-bit hash via exact double pow2 (shiftright needs a
+      // literal shift), mapped to a ±1 vote
+      .select(col("__sid"), col("__j"),
+        (pmod(floor(col("__h") / pow(lit(2.0), col("__j"))).cast("long"),
+          lit(2L)) * 2L - 1L).as("__s"))
+      .groupBy(col("__sid"), col("__j")).agg(sum(col("__s")).as("__cnt"))
+      .groupBy(col("__sid"))
+      .agg(sum(when(col("__cnt") > 0, pow(lit(2.0), col("__j")))
+        .otherwise(lit(0.0))).cast("long").as("__sh48"))
+  }
+
   /** Shared q17/q154 output contract: one row per profiled column with the
     * rounded numeric profile (the batched-merge path must be
     * value-identical to the single-pass path). */
@@ -3464,6 +3493,42 @@ object SparkEntry {
           (round(col("explained_var_ratio"), 6) + lit(0.0))
             .as("explained_var_ratio"))
         .gateOrdered(col("component"), col("dim"))
+    }),
+
+    // ---- simhash near-dup with the hot-bucket cap ORACLE-PINNED -----------
+    // q26 runs the production (compiled-simhash) path uncapped; this twin
+    // swaps in the md5-derived 48-bit simhash (DuckDB recomputes md5 hex
+    // bit-for-bit) so the oracle replays the ENTIRE capped pipeline: token
+    // hashes → per-bit majority → 8-bit chunks → bucket sizes → the
+    // maxBucket=50 drop (binds: the two all-zero top chunks carry every
+    // doc, and the boilerplate near-dup clusters bucket at 61-128) → pair
+    // join → exact shingle-Jaccard ≥ 0.8. The cap's recall semantics are
+    // value-pinned, not just spec-asserted.
+    "q346_simhash_capped" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val withSh = docs.join(md5Simhash48(docs, "doc_id", "text"),
+        col("doc_id") === col("__sid")).drop("__sid")
+      Dedup.simhashNearDup(withSh, "doc_id", "text", shingleSize = 3,
+        threshold = 0.8, numChunks = 8, maxBucket = Some(50L),
+        hashExpr = Some(col("__sh48")))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .gateOrdered(col("id_a"), col("id_b"))
+    }),
+
+    // ---- embedding near-dup with the hot-bucket cap ORACLE-PINNED ---------
+    // q31 runs the production (seeded random-projection) path uncapped;
+    // this twin derives the LSH bits from axis-aligned signs (DuckDB
+    // recomputes them from the embedding column), 8 bands × 4 bits, so the
+    // oracle replays band buckets → the maxBucket=40 drop (binds: measured
+    // max bucket 48, mean 31) → candidate pairs → exact cosine ≥ 0.4.
+    "q347_embedding_neardup_capped" -> ((s, dir) => {
+      val axisBits = transform(slice(col("embedding"), 1, 32),
+        x => when(x >= 0, 1).otherwise(0))
+      Dedup.embeddingNearDup(read(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 8,
+        maxBucket = Some(40L), bitsExpr = Some(axisBits))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .gateOrdered(col("id_a"), col("id_b"))
     }),
 
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
@@ -9607,6 +9672,65 @@ object SparkEntry {
            UNION ALL SELECT 1, 1, round(py, 6) + 0.0, round(l2, 6) + 0.0,
              round(l2 / tr, 6) + 0.0 FROM v2)
          ORDER BY component, dim""",
+    // FULL replay of the capped simhash pipeline: md5-derived 48-bit
+    // token-multiset simhash, 8-bit chunks, bucket sizes, the
+    // maxBucket=50 drop, pair join, exact shingle-Jaccard >= 0.8
+    "q346_simhash_capped" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0) AS toks FROM documents),
+         tt AS (SELECT doc_id, unnest(toks) tok FROM t WHERE len(toks) >= 3),
+         th AS (SELECT doc_id, list_sum(list_transform(range(1, 13), i ->
+                 (strpos('0123456789abcdef', md5(tok)[i]) - 1)
+                   * (1::BIGINT << (4 * (12 - i)))))::BIGINT h
+               FROM tt),
+         bt AS (SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) cnt
+               FROM th, range(0, 48) r(j) GROUP BY 1, 2),
+         sh AS (SELECT doc_id, sum(CASE WHEN cnt > 0
+                 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT sh
+               FROM bt GROUP BY 1),
+         ch AS (SELECT doc_id, c, (sh >> (8 * c)) & 255 val
+               FROM sh, range(0, 8) r(c)),
+         keep AS (SELECT c, val FROM ch GROUP BY c, val
+               HAVING count(*) <= 50),
+         kc AS (SELECT ch.doc_id, ch.c, ch.val
+               FROM ch JOIN keep USING (c, val)),
+         cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+               FROM kc a JOIN kc b USING (c, val) WHERE a.doc_id < b.doc_id),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh3
+               FROM t WHERE len(toks) >= 3)
+         SELECT ia AS id_a, ib AS id_b, round(jac, 4) AS jaccard FROM (
+           SELECT ia, ib, len(list_intersect(a.sh3, b.sh3))::DOUBLE
+               / len(list_distinct(list_concat(a.sh3, b.sh3)))::DOUBLE jac
+           FROM cand JOIN s a ON a.doc_id = ia JOIN s b ON b.doc_id = ib)
+         WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+    // FULL replay of the capped embedding-LSH pipeline: axis-aligned sign
+    // bits, 8 bands x 4 bits (MSB-first like bandBuckets), the
+    // maxBucket=40 drop, candidate pairs, exact cosine >= 0.4
+    "q347_embedding_neardup_capped" ->
+      """WITH bits AS (SELECT vec_id, list_transform(range(1, 33),
+                 i -> CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END) b
+               FROM embeddings),
+         bands AS (SELECT vec_id, bd, list_aggregate(list_transform(
+                 range(1, 5), k -> b[bd * 4 + k] * (1 << (4 - k))),
+                 'sum') v
+               FROM bits, range(0, 8) r(bd)),
+         keep AS (SELECT bd, v FROM bands GROUP BY bd, v
+               HAVING count(*) <= 40),
+         kb AS (SELECT bands.vec_id, bands.bd, bands.v
+               FROM bands JOIN keep USING (bd, v)),
+         cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib
+               FROM kb a JOIN kb b USING (bd, v) WHERE a.vec_id < b.vec_id)
+         SELECT ia AS id_a, ib AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cosine
+         FROM cand JOIN embeddings a ON a.vec_id = ia
+           JOIN embeddings b ON b.vec_id = ib
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

@@ -739,7 +739,13 @@ object Dedup {
       maxHamming: Option[Int] = None,
       numChunks: Int = 8,
       materialize: Boolean = false,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None,
+      // pluggable 64-bit bucket hash (default: the compiled token-multiset
+      // SimHash). Lets a caller swap in an oracle-replayable variant (e.g.
+      // an md5-derived simhash DuckDB can recompute — the q346 cap pin)
+      // while exercising the SAME chunk/cap/verify pipeline; candidate
+      // RECALL depends on the hash's locality, verification stays exact.
+      hashExpr: Option[Column] = None): DataFrame = {
     maxHamming.foreach(mh => require(mh < numChunks,
       s"pigeonhole guarantee needs maxHamming ($mh) < numChunks ($numChunks)"))
     require(64 % numChunks == 0, "numChunks must divide 64")
@@ -748,7 +754,7 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"),
       TextKernelFunctions.shingleHashSet(col(textCol), shingleSize).as("shingles"),
-      simhash(col(textCol)).as("sh"))
+      hashExpr.getOrElse(simhash(col(textCol))).as("sh"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.ops.ScaleOps.registerInternalPersist)
@@ -807,14 +813,22 @@ object Dedup {
       numBands: Int = 8,
       seed: Long = 42L,
       materialize: Boolean = false,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None,
+      // pluggable sign-bit array (default: seeded random-projection
+      // signBits). Lets a caller swap in an oracle-replayable bit
+      // derivation (e.g. axis-aligned signs DuckDB can recompute — the
+      // q347 cap pin) while exercising the SAME band/cap/verify pipeline;
+      // evaluated against the ORIGINAL df columns.
+      bitsExpr: Option[Column] = None): DataFrame = {
     require(numBits % numBands == 0, "numBits must divide into numBands evenly")
     maxBucket.foreach(c => require(c >= 2, s"maxBucket must be >= 2: $c"))
     val bitsPerBand = numBits / numBands
     // persisted: feeds banding and both verification-join sides (see
     // minhashLsh note)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bits", VectorKernelFunctions.signBits(col("vec"), dim, numBits, seed))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        bitsExpr.getOrElse(
+          VectorKernelFunctions.signBits(col(vecCol), dim, numBits, seed))
+          .as("bits"))
       .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.ops.ScaleOps.registerInternalPersist)

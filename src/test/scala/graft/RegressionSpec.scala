@@ -318,4 +318,26 @@ class RegressionSpec extends SparkSpecBase {
     val row = graft.operators.Behavior.lagAutocorrelation(ev, "k", "ts").collect().head
     assert(row.getLong(1) == 3L && row.isNullAt(2))
   }
+
+  test("capped near-dup twins emit SUBSETS of the exact pair sets") {
+    // verification is exact on both paths, so a capped candidate net can
+    // only REMOVE pairs relative to the exact Jaccard/cosine sets that
+    // q26/q31 pin — never add or alter one
+    val dir = "/root/testdata/sf0.001"
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactJ = pairs("q26_simhash_pairs")
+    val cappedJ = pairs("q346_simhash_capped")
+    assert(cappedJ.subsetOf(exactJ),
+      s"capped simhash pairs not in the exact set: ${cappedJ -- exactJ}")
+    assert(cappedJ.nonEmpty, "cap must not empty the simhash pair set")
+    val exactC = pairs("q31_embedding_neardup")
+    val cappedC = pairs("q347_embedding_neardup_capped")
+    assert(cappedC.subsetOf(exactC),
+      s"capped embedding pairs not in the exact set: ${cappedC -- exactC}")
+    assert(cappedC.nonEmpty, "cap must not empty the embedding pair set")
+    spark.catalog.clearCache()
+  }
 }
