@@ -58,7 +58,17 @@ object BenchScale {
     // scales LINEARLY here, the honest contrast to the near-dup pair
     // explosions above), the one-pass d²/2-buffer moments kernel, and
     // the A²akN distributed cumsum with its O(N) driver loops
-    "q313_adamic_adar", "q315_embedding_cov", "q332_anderson_darling")
+    "q313_adamic_adar", "q315_embedding_cov", "q332_anderson_darling",
+    // round-13 additions — the five re-planned quantile-cutpoint
+    // operators (previously an unkeyed data-sized window executed at
+    // query construction; these rows prove the distributed-cumsum
+    // re-plan holds at 10×), the Kuiper two-sided cumsum, the per-row
+    // 2-d Mahalanobis replay, and the two oracle-pinned capped twins
+    // (the caps' value shows on the replica-heavy stress corpus)
+    "q307_mood_median", "q326_hosmer_lemeshow", "q327_robust_location",
+    "q342_numeric_mi", "q344_psi_quantile", "q328_kuiper",
+    "q336_mahalanobis", "q346_simhash_capped",
+    "q347_embedding_neardup_capped")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

@@ -3531,6 +3531,61 @@ object SparkEntry {
         .gateOrdered(col("id_a"), col("id_b"))
     }),
 
+    // ---- Dunn's post-hoc: WHICH language pairs differ in length (Drift) ---
+    // the pairwise follow-up to q249's Kruskal-Wallis, same rank plan;
+    // Holm across the pair family
+    "q348_dunn_posthoc" -> ((s, dir) => {
+      Drift.dunnTest(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          (round(col("mean_rank_a"), 4) + lit(0.0)).as("mean_rank_a"),
+          (round(col("mean_rank_b"), 4) + lit(0.0)).as("mean_rank_b"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"),
+          (round(col("p_holm"), 6) + lit(0.0)).as("p_holm"))
+        .gateOrdered(col("group_a"), col("group_b"))
+    }),
+
+    // ---- Benjamini-Yekutieli over the q329 battery (Drift) ----------------
+    // FDR under arbitrary dependence: the harmonic penalty c(m) = H_m
+    // accumulates as sum(1/rank) over the battery itself, so both engines
+    // replay it exactly
+    "q349_p_adjust_by" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      val battery = Drift.runsTestByKey(ev, "event_type",
+          Seq("ts", "event_id"), "value")
+        .withColumn("_az", abs(col("z")) / math.sqrt(2.0))
+        .withColumn("_t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("_az")))
+        .withColumn("p", col("_t") * (lit(0.254829592) + col("_t") *
+          (lit(-0.284496736) + col("_t") * (lit(1.421413741) + col("_t") *
+            (lit(-1.453152027) + col("_t") * 1.061405429)))) *
+          exp(-col("_az") * col("_az")))
+        .select(col("key"), col("p"))
+      Drift.pAdjust(battery, "p", method = "by")
+        .select(col("key"),
+          (round(col("p"), 6) + lit(0.0)).as("p"),
+          (round(col("p_adjusted"), 6) + lit(0.0)).as("p_adjusted"))
+        .gateOrdered(col("key"))
+    }),
+
+    // ---- Jonckheere-Terpstra: do event values TREND across weeks? ---------
+    // ordered-cohort trend test (KW asks "any difference", JT asks for a
+    // monotone trend along the week order); integer-bucketed values keep
+    // every J/tie ingredient half-integer-exact on both engines
+    "q350_jonckheere" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(floor(unix_timestamp(col("ts")) / 604800).cast("string")
+          .as("wk"), floor(col("value")).as("vb"))
+      Drift.jonckheereTerpstra(ev, "wk", "vb")
+        .select(col("n"), col("k"),
+          (round(col("j_stat"), 4) + lit(0.0)).as("j_stat"),
+          (round(col("mean_j"), 4) + lit(0.0)).as("mean_j"),
+          (round(col("var_j"), 4) + lit(0.0)).as("var_j"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- Fleiss' kappa: per-user agreement over event types (Association) -
     // multi-rater agreement treating each user as an item and each of
     // their events as one rating; items with < 2 ratings drop
@@ -9731,6 +9786,126 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
+    // the q249 average-rank spine, pairwise z with the tie-corrected
+    // sigma^2, the shared A&S two-sided p, Holm over the pair family
+    "q348_dunn_posthoc" ->
+      """WITH gv AS (SELECT lang g, n_chars::DOUBLE v FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         pv AS (SELECT v, count(*)::BIGINT cnt FROM gv GROUP BY 1),
+         rk AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt
+                 + (cnt + 1) / 2.0 r
+               FROM pv),
+         nn AS (SELECT sum(cnt)::BIGINT n,
+                 sum(cnt::DOUBLE * cnt * cnt - cnt)::DOUBLE tmass FROM pv),
+         gs AS (SELECT g, count(*)::BIGINT ng, sum(r) rg
+               FROM gv JOIN rk USING (v) GROUP BY g),
+         s2 AS (SELECT (n * (n + 1.0) - tmass / (n - 1)) / 12.0 s2 FROM nn),
+         pr AS (SELECT a.g ga, b.g gb, a.ng na, b.ng nb,
+                 a.rg / a.ng ra, b.rg / b.ng rb
+               FROM gs a JOIN gs b ON a.g < b.g),
+         zz AS (SELECT ga, gb, na, nb, ra, rb,
+                 CASE WHEN s2 > 0 THEN (ra - rb)
+                   / sqrt(s2 * (1.0 / na + 1.0 / nb)) END z
+               FROM pr, s2),
+         pz AS (SELECT *, abs(z) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) t FROM zz),
+         pp AS (SELECT ga, gb, na, nb, ra, rb, z,
+                 CASE WHEN z IS NOT NULL THEN least(1.0,
+                   t * (0.254829592 + t * (-0.284496736
+                     + t * (1.421413741 + t * (-1.453152027
+                     + t * 1.061405429)))) * exp(-az * az)) END p
+               FROM pz),
+         hm AS (SELECT *, p * (count(*) OVER ()
+                 - row_number() OVER (ORDER BY p ASC) + 1) raw
+               FROM pp),
+         ad AS (SELECT *, least(max(raw) OVER (ORDER BY p ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0) ph
+               FROM hm)
+         SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+           round(ra, 4) + 0.0 AS mean_rank_a,
+           round(rb, 4) + 0.0 AS mean_rank_b,
+           round(z, 6) + 0.0 AS z, round(p, 6) + 0.0 AS p_value,
+           round(ph, 6) + 0.0 AS p_holm
+         FROM ad ORDER BY group_a, group_b""",
+    // the q329 battery with the BY harmonic penalty: c(m) = sum(1/rank)
+    // over the battery, running-min monotonicity down the descending p
+    "q349_p_adjust_by" ->
+      """WITH b AS (SELECT event_type kk, ts, event_id, value v FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND ts IS NOT NULL AND event_id IS NOT NULL),
+         m AS (SELECT kk, sum(v) / count(*) mu FROM b GROUP BY 1),
+         s AS (SELECT b.kk, ts, event_id,
+                 CASE WHEN v > mu THEN 1 ELSE 0 END s
+               FROM b JOIN m ON m.kk = b.kk WHERE v <> mu),
+         lg AS (SELECT kk, s,
+                 lag(s) OVER (PARTITION BY kk ORDER BY ts, event_id) p
+               FROM s),
+         r AS (SELECT kk, sum(s)::BIGINT n1, sum(1 - s)::BIGINT n2,
+                 sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0
+                   END)::BIGINT runs
+               FROM lg GROUP BY 1),
+         z AS (SELECT kk, (runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                   / (pow((n1 + n2)::DOUBLE, 2) * (n1 + n2 - 1))) zz
+               FROM r),
+         pv AS (SELECT kk, abs(zz) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)) t FROM z),
+         pr AS (SELECT kk, t * (0.254829592 + t * (-0.284496736
+                 + t * (1.421413741 + t * (-1.453152027
+                 + t * 1.061405429)))) * exp(-az * az) p FROM pv),
+         rkd AS (SELECT kk, p, count(*) OVER () m,
+                 count(*) OVER () - row_number() OVER (ORDER BY p DESC)
+                   + 1 rnk
+               FROM pr),
+         cm AS (SELECT sum(1.0 / rnk) OVER () hm, kk, p, m, rnk FROM rkd),
+         raw AS (SELECT kk, p, p * m * hm / rnk raw FROM cm),
+         ad AS (SELECT kk, p, least(min(raw) OVER (ORDER BY p DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0) pa
+               FROM raw)
+         SELECT kk AS "key", round(p, 6) + 0.0 AS p,
+           round(pa, 6) + 0.0 AS p_adjusted
+         FROM ad ORDER BY kk""",
+    // naive pairwise J* over the (week, bucket) count cells (bounded by
+    // buckets x weeks), tie-corrected Hollander-Wolfe variance, shared
+    // A&S two-sided p — every ingredient half-integer-exact
+    "q350_jonckheere" ->
+      """WITH gv AS (SELECT floor(epoch(ts) / 604800)::BIGINT::VARCHAR wk,
+                  floor(value) vb
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         pgv AS (SELECT wk, vb, count(*)::BIGINT c FROM gv GROUP BY 1, 2),
+         nn AS (SELECT count(*)::BIGINT n FROM gv),
+         gsz AS (SELECT wk, sum(c)::DOUBLE ng FROM pgv GROUP BY 1),
+         jj AS (SELECT sum(a.c::DOUBLE * b.c *
+                 CASE WHEN a.vb < b.vb THEN 1.0 WHEN a.vb = b.vb THEN 0.5
+                   ELSE 0.0 END) j
+               FROM pgv a JOIN pgv b ON a.wk < b.wk),
+         tm AS (SELECT sum(t * (t - 1) * (t * 2 + 5)) t1,
+                 sum(t * (t - 1) * (t - 2)) t2, sum(t * (t - 1)) t3
+               FROM (SELECT sum(c)::DOUBLE t FROM pgv GROUP BY vb)),
+         gm AS (SELECT sum(ng * ng) sn2,
+                 sum(ng * (ng - 1) * (ng * 2 + 5)) g1,
+                 sum(ng * (ng - 1) * (ng - 2)) g2,
+                 sum(ng * (ng - 1)) g3, count(*)::BIGINT k FROM gsz),
+         st AS (SELECT n, k, j, (n::DOUBLE * n - sn2) / 4.0 meanj,
+                 (n::DOUBLE * (n - 1) * (n::DOUBLE * 2 + 5) - g1 - t1)
+                   / 72.0
+                   + g2 * t2 / (36.0 * n * (n - 1.0) * (n - 2))
+                   + g3 * t3 / (8.0 * n * (n - 1.0)) varj
+               FROM nn, jj, tm, gm),
+         zz AS (SELECT *, CASE WHEN k >= 2 AND varj > 0
+                 THEN (j - meanj) / sqrt(varj) END z FROM st),
+         pz AS (SELECT *, abs(z) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) t FROM zz)
+         SELECT n, k, round(j, 4) + 0.0 AS j_stat,
+           round(meanj, 4) + 0.0 AS mean_j, round(varj, 4) + 0.0 AS var_j,
+           round(z, 6) + 0.0 AS z,
+           CASE WHEN z IS NOT NULL THEN round(least(1.0,
+             t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429)))) * exp(-az * az)),
+             6) + 0.0 END AS p_value
+         FROM pz""",
     // (user, event_type) contingency cells; items with >= 2 ratings;
     // the unequal-n Fleiss generalization
     "q306_fleiss_kappa" ->

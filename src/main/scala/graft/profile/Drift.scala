@@ -870,6 +870,198 @@ object Drift {
       lit(c).as("tie_correction"))
   }
 
+  /** Dunn's post-hoc pairwise rank comparison — AFTER [[kruskalWallis]]
+    * rejects, WHICH pairs of groups differ? For each unordered group
+    * pair: z = (R̄_a − R̄_b) / √(σ²(1/n_a + 1/n_b)) with the tie-corrected
+    * rank variance σ² = (N(N+1) − Σ(t³−t)/(N−1))/12, two-sided p from
+    * the shared A&S normal survival ([[normalSfAS]] — replayable verbatim
+    * in oracle SQL), and the Holm step-down adjustment ACROSS the
+    * k(k−1)/2 pairs (the family the post-hoc creates). One row per pair,
+    * `group_a < group_b` lexicographically:
+    * `(group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z, p_value,
+    * p_holm)`; NULL z/p when σ² = 0 (every value tied). Complete-case.
+    *
+    * Scale: the [[kruskalWallis]] rank plan verbatim — per-(group, value)
+    * counts, the shared distributed cumsum for average ranks, one
+    * group-keyed reduce — then all pair algebra on the k-bounded
+    * collected group table (`maxGroups` guards the k² driver loop). */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String,
+      maxGroups: Int = 1000): DataFrame = {
+    val gv = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val perGV = gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val perV = perGV.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perV, col("v"), Seq("cnt"), Seq("_before"))
+    val n = grand.head
+    val avgRank = col("_before") + (col("cnt") + 1) / lit(2.0)
+    val ranks = cum.select(col("v"), avgRank.as("_r"),
+      col("cnt").cast("double").as("_t"))
+    val gstats = perGV.join(ranks, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"), sum(col("c") * col("_r")).as("rg"),
+        sum((col("_t") * col("_t") - 1) * col("c")).as("tg"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    require(gstats.length <= maxGroups,
+      s"dunnTest: ${gstats.length} groups exceed maxGroups $maxGroups — " +
+        "a k² post-hoc over that many groups is not a pairwise report")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (gstats.length < 2) {
+      return Seq.empty[(String, String, Long, Long, Double, Double,
+          Option[Double], Option[Double], Option[Double])]
+        .toDF("group_a", "group_b", "n_a", "n_b", "mean_rank_a",
+          "mean_rank_b", "z", "p_value", "p_holm")
+    }
+    val nD = n.toDouble
+    val ties = gstats.map(_._4).sum // Σ(t³−t), each value's groups sum to t
+    val sigma2 = (nD * (nD + 1) - ties / (nD - 1)) / 12.0
+    val pairs = for {
+      i <- gstats.indices
+      j <- (i + 1) until gstats.length
+    } yield {
+      val (ga, na, ra, _) = gstats(i)
+      val (gb, nb, rb, _) = gstats(j)
+      val z: Option[Double] =
+        if (sigma2 > 0)
+          Some((ra / na - rb / nb) / math.sqrt(sigma2 * (1.0 / na + 1.0 / nb)))
+        else None
+      (ga, gb, na, nb, ra / na, rb / nb, z,
+        z.map(x => math.min(1.0, 2.0 * normalSfAS(math.abs(x)))))
+    }
+    // Holm step-down across the pair family (bounded driver loop)
+    val m = pairs.length
+    val order = pairs.zipWithIndex
+      .sortBy { case (p, _) => p._8.getOrElse(Double.PositiveInfinity) }
+    val holm = new Array[Option[Double]](m)
+    var runMax = 0.0
+    order.zipWithIndex.foreach { case ((p, idx), rank) =>
+      holm(idx) = p._8.map { pv =>
+        runMax = math.max(runMax, (m - rank) * pv)
+        math.min(1.0, runMax)
+      }
+    }
+    pairs.zipWithIndex.map { case ((ga, gb, na, nb, ra, rb, z, p), idx) =>
+      (ga, gb, na, nb, ra, rb, z, p, holm(idx))
+    }.toDF("group_a", "group_b", "n_a", "n_b", "mean_rank_a",
+      "mean_rank_b", "z", "p_value", "p_holm")
+  }
+
+  /** Jonckheere–Terpstra ordered-alternatives trend test — "do these k
+    * ORDERED groups trend?" ([[kruskalWallis]] asks "any difference?";
+    * JT asks for a monotone location trend along `groupOrder` — dose
+    * levels, cohort weeks, quality tiers — and has far more power when
+    * order is the hypothesis). J* = Σ_{a<b} [#(x_a < x_b) + ½#(x_a = x_b)]
+    * over ordered group pairs, with the tie-corrected normal
+    * approximation (Hollander & Wolfe):
+    * Var = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1)) where
+    * A = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σt(t−1)(2t+5),
+    * B = Σnᵢ(nᵢ−1)(nᵢ−2)·Σt(t−1)(t−2), C = Σnᵢ(nᵢ−1)·Σt(t−1).
+    * One row: `(n, k, j_stat, mean_j, var_j, z, p_value)` with the
+    * two-sided p from the shared [[normalSfAS]]; NULL z/p when k < 2 or
+    * Var ≤ 0 (all values tied). `groupOrder` empty → observed groups in
+    * lexicographic order. Complete-case.
+    *
+    * Scale: per-(group, value) counts pivot to k count columns on the
+    * distinct-value table (k is bounded — `maxGroups` guards), ONE
+    * multi-column distributed cumsum gives every group's
+    * exclusive-below-v count ([[graft.ops.ScaleOps.withExclusiveRunningSums]]
+    * — its totals pass also yields the group sizes), and J, the tie
+    * masses and all variance ingredients reduce in ONE aggregate. No
+    * pair join, no unkeyed window — the k² pair structure collapses into
+    * per-value column algebra. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+      groupOrder: Seq[String] = Seq.empty, maxGroups: Int = 100): DataFrame = {
+    val gv = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val groups: Seq[String] =
+      if (groupOrder.nonEmpty) groupOrder
+      else gv.select(col("g")).distinct().collect().map(_.getString(0))
+        .sorted.toSeq
+    require(groups.size <= maxGroups,
+      s"jonckheereTerpstra: ${groups.size} groups exceed maxGroups $maxGroups")
+    require(groups.distinct.size == groups.size,
+      s"groupOrder has duplicates: $groupOrder")
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val k = groups.size
+    if (k == 0) {
+      return spark.range(1).select(lit(0L).as("n"), lit(0L).as("k"),
+        dNull.as("j_stat"), dNull.as("mean_j"), dNull.as("var_j"),
+        dNull.as("z"), dNull.as("p_value"))
+    }
+    if (groupOrder.nonEmpty) {
+      val observed = gv.select(col("g")).distinct().collect()
+        .map(_.getString(0)).toSet
+      val unknown = observed -- groups.toSet
+      require(unknown.isEmpty,
+        s"groups not in groupOrder: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val perGV = gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // pivot the bounded group list to k per-value count columns
+    val cntCols = groups.indices.map(i => s"_c$i")
+    val perV = perGV.groupBy(col("v"))
+      .agg(
+        coalesce(sum(when(col("g") === groups.head, col("c"))), lit(0L))
+          .as(cntCols.head),
+        groups.indices.tail.map(i =>
+          coalesce(sum(when(col("g") === groups(i), col("c"))), lit(0L))
+            .as(cntCols(i))): _*)
+    val exCols = groups.indices.map(i => s"_e$i")
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      perV, col("v"), cntCols, exCols)
+    val n = grand.sum
+    // J and tie masses in ONE reduce over the distinct-value table:
+    // each later group b contributes c_b·Σ_{a<b}(e_a + c_a/2) at every v
+    val jExpr = (1 until k).map { b =>
+      val inner = (0 until b).map(a =>
+        col(exCols(a)).cast("double") + col(cntCols(a)) / lit(2.0))
+        .reduce(_ + _)
+      col(cntCols(b)) * inner
+    }.reduceOption[Column](_ + _).getOrElse(lit(0.0))
+    val t = cntCols.map(col(_).cast("double")).reduce(_ + _)
+    val row = cum.agg(
+        sum(jExpr).as("j"),
+        sum(t * (t - 1) * (t * 2 + 5)).as("t1"),
+        sum(t * (t - 1) * (t - 2)).as("t2"),
+        sum(t * (t - 1)).as("t3"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    if (n == 0 || row.isNullAt(0)) {
+      return spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+        dNull.as("j_stat"), dNull.as("mean_j"), dNull.as("var_j"),
+        dNull.as("z"), dNull.as("p_value"))
+    }
+    val j = row.getDouble(0)
+    val (t1, t2, t3) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    val nD = n.toDouble
+    val ns = grand.map(_.toDouble)
+    val meanJ = (nD * nD - ns.map(x => x * x).sum) / 4.0
+    val varJ: Option[Double] = if (k >= 2 && n >= 3) {
+      val a = nD * (nD - 1) * (2 * nD + 5) -
+        ns.map(x => x * (x - 1) * (2 * x + 5)).sum - t1
+      val b = ns.map(x => x * (x - 1) * (x - 2)).sum * t2
+      val c = ns.map(x => x * (x - 1)).sum * t3
+      val v = a / 72.0 + b / (36.0 * nD * (nD - 1) * (nD - 2)) +
+        c / (8.0 * nD * (nD - 1))
+      if (v > 0) Some(v) else None
+    } else None
+    def out(o: Option[Double]) = o.map(lit(_).cast("double")).getOrElse(dNull)
+    val z = varJ.map(v => (j - meanJ) / math.sqrt(v))
+    spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+      lit(j).as("j_stat"), lit(meanJ).as("mean_j"), out(varJ).as("var_j"),
+      out(z).as("z"),
+      out(z.map(x => math.min(1.0, 2.0 * normalSfAS(math.abs(x)))))
+        .as("p_value"))
+  }
+
   /** Distribution-distance battery between two slices' categorical
     * distributions — total variation, Hellinger, and the symmetric χ²
     * distance in one pass (the metrics panel behind "how far did the mix
@@ -2515,21 +2707,26 @@ object Drift {
   }
 
   /** Multiple-testing p-value adjustment over a battery table —
-    * Bonferroni, Holm step-down and Benjamini–Hochberg step-up in one
-    * operator ("which of these k tests survive?"; [[ksByGroupFdr]] wires
-    * BH into the KS battery specifically, this adjusts ANY table with a
-    * p column). Returns the input columns plus `p_adjusted`, clamped to
-    * [0,1], with the standard monotonicity enforcement (running max up
-    * the sorted order for holm, running min down it for bh). NULL p rows
-    * pass through with NULL adjusted. Ties order by p only — the
-    * adjusted value is tie-invariant for all three methods.
+    * Bonferroni, Holm step-down, Benjamini–Hochberg step-up and
+    * Benjamini–Yekutieli in one operator ("which of these k tests
+    * survive?"; [[ksByGroupFdr]] wires BH into the KS battery
+    * specifically, this adjusts ANY table with a p column). `by` is BH
+    * with the harmonic penalty c(m) = H_m = Σ1/i — FDR control under
+    * ARBITRARY dependence (correlated tests, the common reality);
+    * c(m) accumulates exactly as Σ 1/rank over the battery itself, so
+    * the oracle replays it with no special function. Returns the input
+    * columns plus `p_adjusted`, clamped to [0,1], with the standard
+    * monotonicity enforcement (running max up the sorted order for
+    * holm, running min down it for bh/by). NULL p rows pass through
+    * with NULL adjusted. Ties order by p only — the adjusted value is
+    * tie-invariant for all four methods.
     *
     * Scale: the battery table is TEST-bounded (tens to thousands of
     * rows), so the sort windows are bounded by construction — the
     * q95/q234 PlanSpec class; the corpus never enters this operator. */
   def pAdjust(df: DataFrame, pCol: String, method: String = "bh"): DataFrame = {
-    require(Set("bonferroni", "holm", "bh")(method),
-      s"method must be bonferroni|holm|bh: $method")
+    require(Set("bonferroni", "holm", "bh", "by")(method),
+      s"method must be bonferroni|holm|bh|by: $method")
     val withP = df.filter(col(pCol).isNotNull)
     val nullP = df.filter(col(pCol).isNull)
       .withColumn("p_adjusted", lit(null).cast("double"))
@@ -2545,13 +2742,19 @@ object Drift {
           .withColumn("_raw", col(pCol) * (m - row_number().over(wAsc) + 1))
           .withColumn("p_adjusted", least(max(col("_raw")).over(run), lit(1.0)))
           .drop("_raw")
-      case "bh" =>
+      case "bh" | "by" =>
         val wDesc = Window.orderBy(col(pCol).desc)
         val run = Window.orderBy(col(pCol).desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        withP
-          .withColumn("_rk", m - row_number().over(wDesc) + 1)
-          .withColumn("_raw", col(pCol) * m / col("_rk"))
+        // BY's harmonic penalty H_m = Σ 1/rank accumulates over the
+        // battery rows themselves (ranks 1..m are a permutation), so no
+        // closed form is needed and the oracle replays the exact sum
+        val ranked = withP.withColumn("_rk", m - row_number().over(wDesc) + 1)
+        val cm = if (method == "by")
+          sum(lit(1.0) / col("_rk")).over(Window.partitionBy())
+        else lit(1.0)
+        ranked
+          .withColumn("_raw", col(pCol) * m * cm / col("_rk"))
           .withColumn("p_adjusted", least(min(col("_raw")).over(run), lit(1.0)))
           .drop("_rk").drop("_raw")
     }

@@ -1288,6 +1288,129 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
+  test("dunnTest: naive rank reference, Holm family, degenerate guards") {
+    // three groups with ties across groups; verify against a direct
+    // O(n log n) reference: sort, average ranks, pairwise z
+    val data = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 2.0), ("b", 6.0), ("b", 7.0), ("b", 8.0),
+      ("c", 9.0), ("c", 10.0), ("c", 10.0), ("c", 12.0))
+    val out = Drift.dunnTest(data.toDF("g", "v"), "g", "v").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r)).toMap
+    assert(out.size == 3 && out.keySet ==
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // reference ranks
+    val vs = data.map(_._2).sorted
+    def avgRank(v: Double): Double = {
+      val idx = vs.zipWithIndex.filter(_._1 == v).map(_._2 + 1)
+      idx.sum.toDouble / idx.size
+    }
+    val byG = data.groupBy(_._1).map { case (g, xs) =>
+      g -> (xs.size, xs.map(x => avgRank(x._2)).sum / xs.size)
+    }
+    val n = data.size
+    val tieMass = data.map(_._2).groupBy(identity).values
+      .map(_.size.toDouble).map(t => t * t * t - t).sum
+    val sigma2 = (n * (n + 1.0) - tieMass / (n - 1)) / 12.0
+    for (((ga, gb), r) <- out) {
+      val (na, ra) = byG(ga); val (nb, rb) = byG(gb)
+      val z = (ra - rb) / math.sqrt(sigma2 * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9, s"z for $ga/$gb")
+      assert(math.abs(r.getAs[Double]("mean_rank_a") - ra) < 1e-9)
+      val p = math.min(1.0, 2.0 * Drift.normalSfAS(math.abs(z)))
+      assert(math.abs(r.getAs[Double]("p_value") - p) < 1e-12)
+    }
+    // Holm across the 3-pair family: sorted ascending, multipliers 3,2,1
+    // with the running max — recompute directly
+    val ps = out.toSeq.map { case (k, r) => k -> r.getAs[Double]("p_value") }
+      .sortBy(_._2)
+    var run = 0.0
+    val expHolm = ps.zipWithIndex.map { case ((k, p), i) =>
+      run = math.max(run, (3 - i) * p); k -> math.min(1.0, run)
+    }.toMap
+    for ((k, h) <- expHolm)
+      assert(math.abs(out(k).getAs[Double]("p_holm") - h) < 1e-12, s"holm $k")
+    // all-tied: sigma2 = 0 -> NULL z/p
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
+    val tr = Drift.dunnTest(tied.toDF("g", "v"), "g", "v").collect().head
+    assert(tr.isNullAt(tr.fieldIndex("z")) && tr.isNullAt(tr.fieldIndex("p_value")))
+    // single group: empty pair table
+    assert(Drift.dunnTest(Seq(("a", 1.0)).toDF("g", "v"), "g", "v").count() == 0)
+  }
+
+  test("pAdjust BY: harmonic penalty, monotonicity, clamp") {
+    val df = Seq(0.01, 0.02, 0.03, 0.2).toDF("p")
+    val h4 = 1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4
+    val got = Drift.pAdjust(df, "p", "by").collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("p_adjusted")).toMap
+    // BY = BH x H_4 with the running-min monotonicity; here raw values
+    // are already monotone: 0.01*4/1*H, 0.02*4/2*H, 0.03*4/3*H, 0.2*4/4*H
+    assert(math.abs(got(0.01) - 0.01 * 4 * h4) < 1e-12)
+    assert(math.abs(got(0.02) - 0.02 * 2 * h4) < 1e-12)
+    assert(math.abs(got(0.03) - 0.03 * 4.0 / 3 * h4) < 1e-12)
+    assert(math.abs(got(0.2) - math.min(1.0, 0.2 * h4)) < 1e-12)
+    // BH unchanged by the shared code path
+    val bh = Drift.pAdjust(df, "p", "bh").collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("p_adjusted")).toMap
+    assert(math.abs(bh(0.01) - 0.04) < 1e-12)
+    intercept[IllegalArgumentException] { Drift.pAdjust(df, "p", "nope") }
+  }
+
+  test("jonckheereTerpstra: naive pairwise reference with ties, trend power") {
+    // ordered groups with a monotone trend AND cross-group ties
+    val data = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0),
+      ("b", 2.0), ("b", 3.0), ("b", 5.0), ("b", 5.0),
+      ("c", 4.0), ("c", 5.0), ("c", 6.0), ("c", 8.0))
+    val r = Drift.jonckheereTerpstra(data.toDF("g", "v"), "g", "v")
+      .collect().head
+    // naive J*: over ordered group pairs, #(x_a < x_b) + 0.5 #(x_a = x_b)
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val order = Seq("a", "b", "c")
+    var jRef = 0.0
+    for (i <- order.indices; l <- (i + 1) until order.size;
+         xa <- byG(order(i)); xb <- byG(order(l))) {
+      if (xa < xb) jRef += 1.0 else if (xa == xb) jRef += 0.5
+    }
+    assert(math.abs(r.getAs[Double]("j_stat") - jRef) < 1e-9,
+      s"J ${r.getAs[Double]("j_stat")} vs naive $jRef")
+    // mean under H0: (N^2 - sum n_i^2)/4
+    val n = data.size
+    val meanRef = (n * n - byG.values.map(x => x.size * x.size).sum) / 4.0
+    assert(math.abs(r.getAs[Double]("mean_j") - meanRef) < 1e-9)
+    // tie-corrected variance (Hollander-Wolfe) recomputed directly
+    val nsz = order.map(byG(_).size.toDouble)
+    val tms = data.map(_._2).groupBy(identity).values.map(_.size.toDouble)
+    val aT = n.toDouble * (n - 1) * (2 * n + 5) -
+      nsz.map(x => x * (x - 1) * (2 * x + 5)).sum -
+      tms.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val bT = nsz.map(x => x * (x - 1) * (x - 2)).sum *
+      tms.map(t => t * (t - 1) * (t - 2)).sum
+    val cT = nsz.map(x => x * (x - 1)).sum * tms.map(t => t * (t - 1)).sum
+    val varRef = aT / 72.0 + bT / (36.0 * n * (n - 1) * (n - 2)) +
+      cT / (8.0 * n * (n - 1))
+    assert(math.abs(r.getAs[Double]("var_j") - varRef) < 1e-9)
+    val zRef = (jRef - meanRef) / math.sqrt(varRef)
+    assert(math.abs(r.getAs[Double]("z") - zRef) < 1e-9)
+    assert(zRef > 2.0, "monotone trend must push z well positive")
+    // custom order reverses the sign
+    val rev = Drift.jonckheereTerpstra(data.toDF("g", "v"), "g", "v",
+      groupOrder = Seq("c", "b", "a")).collect().head
+    assert(math.abs(rev.getAs[Double]("z") + zRef) < 1e-9)
+    // power contrast: kruskalWallis-style unordered shuffles score lower —
+    // a trend-free permutation of the same values has |z| near 0
+    val flat = Seq(("a", 1.0), ("a", 8.0), ("b", 2.0), ("b", 6.0),
+      ("c", 1.0), ("c", 7.0))
+    val zf = Drift.jonckheereTerpstra(flat.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("z")
+    assert(math.abs(zf) < 1.0)
+    // all tied -> NULL z/p; unknown group in groupOrder -> require
+    val tied = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
+    val tr = Drift.jonckheereTerpstra(tied, "g", "v").collect().head
+    assert(tr.isNullAt(tr.fieldIndex("z")))
+    intercept[IllegalArgumentException] {
+      Drift.jonckheereTerpstra(tied, "g", "v", groupOrder = Seq("a", "b"))
+    }
+  }
+
   test("countModelFit: hand moments, zero inflation, NB guard") {
     // overdispersed, zero-heavy counts: {0,0,0,0,1,1,6,8} -> mu 2, var 10
     val xs = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 6.0, 8.0)

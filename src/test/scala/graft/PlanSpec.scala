@@ -603,7 +603,11 @@ class PlanSpec extends SparkSpecBase {
       // Holm step-down over the 5-row runs-test battery: the battery
       // count, the ascending rank, and the running max each plan one
       // node — all over a TEST-bounded table (the q95 class)
-      "q329_p_adjust" -> 3)
+      "q329_p_adjust" -> 3,
+      // Benjamini-Yekutieli over the same 5-row battery: the count, the
+      // descending rank, the harmonic-penalty sum Σ1/rank, and the
+      // running min — all TEST-bounded (the q329/q95 class)
+      "q349_p_adjust_by" -> 4)
     // Sub-job lint: queries whose CONSTRUCTION executes jobs (cutpoint
     // collects, Lloyd steps, stored-layout writes) evade the returned-plan
     // inspection above — round 12 shipped five quantile-cut operators with
