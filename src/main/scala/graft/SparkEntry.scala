@@ -71,7 +71,7 @@ object SparkEntry {
     * explodes + aggregations (all codegen'd projections, shuffles keyed by
     * doc) rather than interpreted higher-order lambdas. Returns
     * `(__sid, __sh48)`. Tie rule: a bit with majority count 0 packs as 0. */
-  private def md5Simhash48(docs: DataFrame, idCol: String,
+  private[graft] def md5Simhash48(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("__sid"),
       explode(filter(split(trim(lower(col(textCol))), "\\s+"),

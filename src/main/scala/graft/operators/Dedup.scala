@@ -825,10 +825,17 @@ object Dedup {
     val bitsPerBand = numBits / numBands
     // persisted: feeds banding and both verification-join sides (see
     // minhashLsh note)
+    // a caller-supplied bits array SHORTER than numBits would silently
+    // band trailing empty slices to bucket 0 — every vector colliding in
+    // those bands is the all-pairs explosion this operator exists to
+    // avoid; fail loudly in-plan instead
+    val bits = bitsExpr.map(be =>
+      when(size(be) === numBits, be).otherwise(raise_error(concat(
+        lit(s"bitsExpr must yield exactly $numBits bits, got "),
+        size(be).cast("string")))))
+      .getOrElse(VectorKernelFunctions.signBits(col(vecCol), dim, numBits, seed))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        bitsExpr.getOrElse(
-          VectorKernelFunctions.signBits(col(vecCol), dim, numBits, seed))
-          .as("bits"))
+        bits.as("bits"))
       .withColumn("bands", graft.functions.VectorFunctions.bandBuckets(col("bits"), numBands, bitsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.ops.ScaleOps.registerInternalPersist)

@@ -230,7 +230,7 @@ object LinearModel {
     // cutpoints at ranks ceil(i*n/bins), i = 1..bins-1 — all resolved by
     // the distributed cumsum (its totals pass also yields n)
     val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "s", "c",
-      total => (1 until bins).map(i => (i.toLong * total + bins - 1) / bins))
+      graft.ops.ScaleOps.quantileRanks(bins))
     val spark = scored.sparkSession
     def dNull = lit(null).cast("double")
     def nulls(n: Long, nb: Long) = spark.range(1).select(lit(n).as("n"),

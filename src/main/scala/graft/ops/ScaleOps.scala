@@ -656,22 +656,36 @@ object ScaleOps {
       col(cntCol).cast("long").as("__rc_c"))
     val (cum, grand) = withExclusiveRunningSums(perV, col("__rc_v"),
       Seq("__rc_c"), Seq("__rc_e"), persistInput = false)
-    val n = grand.head
-    if (n == 0) return (0L, Seq.empty)
-    val targets = ranksOf(n).filter(t => t >= 1 && t <= n).distinct.sorted
-    if (targets.isEmpty) return (n, Seq.empty)
-    // each target rank t hits exactly ONE distinct value: the row with
-    // exclusive-cum < t <= exclusive-cum + count (its predecessor's
-    // inclusive cum is below t, its own reaches it)
-    val tArr = typedLit(targets)
-    val hits = cum
-      .select(col("__rc_v"),
-        filter(tArr, t => t > col("__rc_e") &&
-          t <= col("__rc_e") + col("__rc_c")).as("__rc_hit"))
-      .filter(size(col("__rc_hit")) > 0)
-      .select(col("__rc_v"))
-      .collect().map(_.getDouble(0))
-    (n, hits.distinct.sorted.toSeq)
+    // everything collects to plain Scala values before returning, so any
+    // internal checkpoint (nondeterministic-lineage inputs) must release
+    // HERE — the caller never sees `cum`
+    try {
+      val n = grand.head
+      if (n == 0) return (0L, Seq.empty)
+      val targets = ranksOf(n).filter(t => t >= 1 && t <= n).distinct.sorted
+      if (targets.isEmpty) return (n, Seq.empty)
+      // each target rank t hits exactly ONE distinct value: the row with
+      // exclusive-cum < t <= exclusive-cum + count (its predecessor's
+      // inclusive cum is below t, its own reaches it)
+      val tArr = typedLit(targets)
+      val hits = cum
+        .select(col("__rc_v"),
+          filter(tArr, t => t > col("__rc_e") &&
+            t <= col("__rc_e") + col("__rc_c")).as("__rc_hit"))
+        .filter(size(col("__rc_hit")) > 0)
+        .select(col("__rc_v"))
+        .collect().map(_.getDouble(0))
+      (n, hits.distinct.sorted.toSeq)
+    } finally releaseCheckpointBlocks(cum)
+  }
+
+  /** The shared ⌈i·n/bins⌉ rank spine (i = 1..bins−1) every
+    * decile/quantile-bin consumer of [[rankCutpoints]] uses — ONE home
+    * for the ceiling convention so the operators cannot silently
+    * diverge. */
+  def quantileRanks(bins: Int): Long => Seq[Long] = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    n => (1 until bins).map(i => (i.toLong * n + bins - 1) / bins)
   }
 
   /** Exclusive prefix sums over `nb` bucket totals, dense-indexed by bucket

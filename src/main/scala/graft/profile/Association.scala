@@ -889,7 +889,7 @@ object Association {
     def cuts(c: String): Seq[Double] = {
       val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       graft.ops.ScaleOps.rankCutpoints(counts, "v", "cnt",
-        n => (1 until bins).map(i => (i.toLong * n + bins - 1) / bins))._2
+        graft.ops.ScaleOps.quantileRanks(bins))._2
     }
     val (ca, cb) = (cuts("va"), cuts("vb"))
     def dNull = lit(null).cast("double")

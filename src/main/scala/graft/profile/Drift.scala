@@ -2907,7 +2907,7 @@ object Drift {
     val spark = reference.sparkSession
     val counts = refV.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "v", "c",
-      total => (1 until bins).map(i => (i.toLong * total + bins - 1) / bins))
+      graft.ops.ScaleOps.quantileRanks(bins))
     def dNull = lit(null).cast("double")
     if (n == 0) {
       return spark.range(1).select(lit(0L).as("n_a"), lit(0L).as("n_b"),

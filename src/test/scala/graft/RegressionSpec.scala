@@ -319,25 +319,50 @@ class RegressionSpec extends SparkSpecBase {
     assert(row.getLong(1) == 3L && row.isNullAt(2))
   }
 
-  test("capped near-dup twins emit SUBSETS of the exact pair sets") {
-    // verification is exact on both paths, so a capped candidate net can
-    // only REMOVE pairs relative to the exact Jaccard/cosine sets that
-    // q26/q31 pin — never add or alter one
+  test("capped near-dup twins emit SUBSETS of their own uncapped nets") {
+    // THE theorem the cap guarantees: with the hash/bits derivation held
+    // FIXED, dropping over-cap buckets can only remove candidate pairs —
+    // never add or alter one (comparing against q26/q31 instead would be
+    // unsound: those run a DIFFERENT hash, and two LSH nets' verified
+    // outputs are not subset-ordered in general)
+    import org.apache.spark.sql.functions.{col, element_at, slice, transform, when => sqlWhen, array}
     val dir = "/root/testdata/sf0.001"
-    def pairs(name: String): Set[(Long, Long)] =
-      SparkEntry.queries(name)(spark, dir)
-        .select("id_a", "id_b").collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactJ = pairs("q26_simhash_pairs")
-    val cappedJ = pairs("q346_simhash_capped")
-    assert(cappedJ.subsetOf(exactJ),
-      s"capped simhash pairs not in the exact set: ${cappedJ -- exactJ}")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val withSh = docs.join(SparkEntry.md5Simhash48(docs, "doc_id", "text"),
+      col("doc_id") === col("__sid")).drop("__sid")
+    def simhashRun(cap: Option[Long]) = pairSet(
+      graft.operators.Dedup.simhashNearDup(withSh, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, numChunks = 8, maxBucket = cap,
+        hashExpr = Some(col("__sh48"))))
+    val (cappedJ, uncappedJ) = (simhashRun(Some(50L)), simhashRun(None))
+    assert(cappedJ.subsetOf(uncappedJ),
+      s"capped simhash pairs not in the uncapped net: ${cappedJ -- uncappedJ}")
     assert(cappedJ.nonEmpty, "cap must not empty the simhash pair set")
-    val exactC = pairs("q31_embedding_neardup")
-    val cappedC = pairs("q347_embedding_neardup_capped")
-    assert(cappedC.subsetOf(exactC),
-      s"capped embedding pairs not in the exact set: ${cappedC -- exactC}")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val axisBits = transform(slice(col("embedding"), 1, 32),
+      x => sqlWhen(x >= 0, 1).otherwise(0))
+    def embRun(cap: Option[Long]) = pairSet(
+      graft.operators.Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 8,
+        maxBucket = cap, bitsExpr = Some(axisBits)))
+    val (cappedC, uncappedC) = (embRun(Some(40L)), embRun(None))
+    assert(cappedC.subsetOf(uncappedC),
+      s"capped embedding pairs not in the uncapped net: ${cappedC -- uncappedC}")
     assert(cappedC.nonEmpty, "cap must not empty the embedding pair set")
+    // the bits-length guard fails loudly instead of banding to bucket 0
+    val short = transform(slice(col("embedding"), 1, 16),
+      x => sqlWhen(x >= 0, 1).otherwise(0))
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numBits = 32, numBands = 8,
+        bitsExpr = Some(short)).count()
+    }
+    assert(ex.getMessage != null && (ex.getMessage.contains("32 bits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("32 bits"))),
+      s"expected the bits-length raise_error, got: ${ex.getMessage}")
     spark.catalog.clearCache()
   }
 }
