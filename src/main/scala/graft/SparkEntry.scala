@@ -3568,6 +3568,16 @@ object SparkEntry {
         .gateOrdered(col("key"))
     }),
 
+    // ---- Welch's ANOVA: doc length across languages, unequal variances ----
+    // the heteroscedastic twin of the plain one-way F (language slices
+    // rarely share a variance); Welch-Satterthwaite df2
+    "q351_welch_anova" -> ((s, dir) => {
+      Drift.welchAnova(read(s, dir, "documents"), "lang", "n_chars")
+        .select(col("n"), col("k"),
+          (round(col("f"), 6) + lit(0.0)).as("f"), col("df1"),
+          (round(col("df2"), 4) + lit(0.0)).as("df2"))
+    }),
+
     // ---- Jonckheere-Terpstra: do event values TREND across weeks? ---------
     // ordered-cohort trend test (KW asks "any difference", JT asks for a
     // monotone trend along the week order); integer-bucketed values keep
@@ -9867,6 +9877,31 @@ object SparkEntry {
          SELECT kk AS "key", round(p, 6) + 0.0 AS p,
            round(pa, 6) + 0.0 AS p_adjusted
          FROM ad ORDER BY kk""",
+    // per-language moments, Welch weights w = n/s², the 1951 F* and
+    // Welch-Satterthwaite df2 — pure moment algebra, replayed verbatim
+    "q351_welch_anova" ->
+      """WITH g AS (SELECT lang g, count(*)::BIGINT n_i,
+                  sum(n_chars::DOUBLE) s, sum(n_chars::DOUBLE * n_chars) q
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         m AS (SELECT g, n_i, s / n_i mi,
+                 (q - s * s / n_i) / (n_i - 1) vv FROM g),
+         w AS (SELECT g, n_i, mi, vv, n_i / vv wi FROM m),
+         t AS (SELECT sum(wi) ww, count(*)::BIGINT k, sum(n_i)::BIGINT n,
+                 sum(wi * mi) swm, min(n_i) mn, min(vv) mv FROM w),
+         t2 AS (SELECT ww, k, n, mn, mv, swm / ww mbar FROM t),
+         x AS (SELECT k, n, mn, mv,
+                 sum(wi * (mi - mbar) * (mi - mbar)) / (k - 1) aa,
+                 sum((1 - wi / ww) * (1 - wi / ww) / (n_i - 1)) hh
+               FROM w, t2 GROUP BY k, n, mn, mv)
+         SELECT n, k,
+           CASE WHEN k >= 2 AND mn >= 2 AND mv > 0 THEN
+             round(aa / (1 + 2.0 * (k - 2) / (k::DOUBLE * k - 1) * hh), 6)
+               + 0.0 END AS f,
+           (k - 1)::BIGINT AS df1,
+           CASE WHEN k >= 2 AND mn >= 2 AND mv > 0 THEN
+             round((k::DOUBLE * k - 1) / (3 * hh), 4) + 0.0 END AS df2
+         FROM x""",
     // naive pairwise J* over the (week, bucket) count cells (bounded by
     // buckets x weeks), tie-corrected Hollander-Wolfe variance, shared
     // A&S two-sided p — every ingredient half-integer-exact

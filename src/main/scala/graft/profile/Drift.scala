@@ -737,6 +737,59 @@ object Drift {
       f.map(lit(_).cast("double")).getOrElse(dNull).as("f"))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA — [[anovaF]] without the
+    * equal-variance assumption (the robust default when group variances
+    * differ, which corpus slices usually do): weights w_i = n_i/s_i²,
+    * F* = [Σw_i(m_i − m̄)²/(k−1)] / [1 + 2(k−2)/(k²−1)·H] with
+    * H = Σ(1 − w_i/W)²/(n_i − 1) and the Welch–Satterthwaite
+    * denominator df₂ = (k²−1)/(3H) (Welch 1951). One row:
+    * `(n, k, f, df1, df2)` — no p-value (the F survival needs the
+    * incomplete beta, which is not SQL-replayable; the [[anovaF]]
+    * convention). NULL f/df2 when k < 2, any group has n < 2, or any
+    * group variance is 0 (weights undefined). Complete-case.
+    *
+    * Scale: ONE per-group (count, Σv, Σv²) moment pass — partial
+    * aggregation bounds the shuffle by the group count — then scalar
+    * algebra over the k-bounded collected group table (sorted by group
+    * label: a deterministic driver sum order). */
+  def welchAnova(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val byG = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    val n = byG.map(_._2).sum
+    val k = byG.length
+    def nulls = spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+      dNull.as("f"), lit(math.max(k - 1, 0).toLong).as("df1"),
+      dNull.as("df2"))
+    if (k < 2 || byG.exists(_._2 < 2)) return nulls
+    val stats = byG.map { case (_, ng, s, q) =>
+      val m = s / ng
+      val v = (q - s * s / ng) / (ng - 1)
+      (ng.toDouble, m, v)
+    }
+    if (stats.exists(_._3 <= 0)) return nulls
+    val wi = stats.map { case (ng, _, v) => ng / v }
+    val ww = wi.sum
+    val mbar = wi.zip(stats).map { case (w, (_, m, _)) => w * m }.sum / ww
+    val a = wi.zip(stats).map { case (w, (_, m, _)) =>
+      w * (m - mbar) * (m - mbar) }.sum / (k - 1)
+    val h = wi.zip(stats).map { case (w, (ng, _, _)) =>
+      (1 - w / ww) * (1 - w / ww) / (ng - 1) }.sum
+    val f = a / (1 + 2.0 * (k - 2) / (k.toDouble * k - 1) * h)
+    val df2 = (k.toDouble * k - 1) / (3 * h)
+    spark.range(1).select(lit(n).as("n"), lit(k.toLong).as("k"),
+      lit(f).as("f"), lit((k - 1).toLong).as("df1"), lit(df2).as("df2"))
+  }
+
   /** Intraclass correlation ICC(1) — how much of a metric's variance is
     * BETWEEN groups ("are docs from the same source basically clones of
     * each other?"): the one-way random-effects estimate

@@ -1411,6 +1411,43 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
+  test("welchAnova: direct-formula reference, variance-heterogeneity, guards") {
+    val data = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 14.0), ("b", 18.0),
+      ("c", 5.0), ("c", 5.5), ("c", 6.0), ("c", 6.5), ("c", 7.0))
+    val r = Drift.welchAnova(data.toDF("g", "v"), "g", "v").collect().head
+    // reference from raw lists (definitional mean/variance, not the
+    // moment identities the operator uses)
+    val groups = Seq("a", "b", "c").map(g => data.filter(_._1 == g).map(_._2))
+    val ms = groups.map(x => x.sum / x.size)
+    val vs = groups.zip(ms).map { case (x, m) =>
+      x.map(v => (v - m) * (v - m)).sum / (x.size - 1) }
+    val wi = groups.zip(vs).map { case (x, v) => x.size / v }
+    val ww = wi.sum
+    val mbar = wi.zip(ms).map { case (w, m) => w * m }.sum / ww
+    val k = 3
+    val aRef = wi.zip(ms).map { case (w, m) => w * (m - mbar) * (m - mbar) }
+      .sum / (k - 1)
+    val h = wi.zip(groups).map { case (w, x) =>
+      math.pow(1 - w / ww, 2) / (x.size - 1) }.sum
+    val fRef = aRef / (1 + 2.0 * (k - 2) / (k * k - 1.0) * h)
+    val df2Ref = (k * k - 1.0) / (3 * h)
+    assert(r.getLong(0) == 12L && r.getLong(1) == 3L && r.getLong(3) == 2L)
+    assert(math.abs(r.getAs[Double]("f") - fRef) < 1e-9,
+      s"f ${r.getAs[Double]("f")} vs $fRef")
+    assert(math.abs(r.getAs[Double]("df2") - df2Ref) < 1e-9)
+    assert(fRef > 10.0, "separated groups must reject")
+    // a group of size 1 -> NULL f; a zero-variance group -> NULL f
+    val small = (data :+ (("d", 9.0))).toDF("g", "v")
+    assert(Drift.welchAnova(small, "g", "v").collect().head.isNullAt(2))
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(Drift.welchAnova(flat, "g", "v").collect().head.isNullAt(2))
+    // single group -> NULL with k = 1
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val ro = Drift.welchAnova(one, "g", "v").collect().head
+    assert(ro.getLong(1) == 1L && ro.isNullAt(2))
+  }
+
   test("countModelFit: hand moments, zero inflation, NB guard") {
     // overdispersed, zero-heavy counts: {0,0,0,0,1,1,6,8} -> mu 2, var 10
     val xs = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 6.0, 8.0)

@@ -231,6 +231,41 @@ class ScaleOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("rankCutpoints: naive expansion reference, boundaries, ties, empties") {
+    // heavy ties, multiple values per count row — compare against sorting
+    // the fully-expanded multiset
+    val counts = Seq((5.0, 3L), (1.0, 4L), (9.0, 1L), (3.0, 2L))
+      .toDF("v", "c").repartition(3)
+    val expanded = Seq.fill(4)(1.0) ++ Seq.fill(2)(3.0) ++
+      Seq.fill(3)(5.0) ++ Seq(9.0) // sorted, n = 10
+    def naive(ranks: Seq[Long]): Seq[Double] =
+      ranks.map(r => expanded((r - 1).toInt)).distinct.sorted
+    // boundary ranks 1 and n; a mid-tie rank; duplicate targets collapse
+    val (n1, cuts1) = ScaleOps.rankCutpoints(counts, "v", "c",
+      _ => Seq(1L, 2L, 5L, 6L, 10L, 10L))
+    assert(n1 == 10L)
+    assert(cuts1 == naive(Seq(1L, 2L, 5L, 6L, 10L)),
+      s"got $cuts1 vs ${naive(Seq(1L, 2L, 5L, 6L, 10L))}")
+    // out-of-range targets are dropped, not errors
+    val (_, cuts2) = ScaleOps.rankCutpoints(counts, "v", "c",
+      _ => Seq(-3L, 0L, 4L, 11L, 99L))
+    assert(cuts2 == Seq(1.0), s"got $cuts2")
+    // the shared decile spine agrees with the naive expansion
+    val (_, cutsD) = ScaleOps.rankCutpoints(counts, "v", "c",
+      ScaleOps.quantileRanks(4))
+    val qr = ScaleOps.quantileRanks(4)(10L) // ceil(i*10/4) = 3, 5, 8
+    assert(qr == Seq(3L, 5L, 8L))
+    assert(cutsD == naive(qr))
+    // empty input
+    val empty = Seq.empty[(Double, Long)].toDF("v", "c")
+    assert(ScaleOps.rankCutpoints(empty, "v", "c", _ => Seq(1L)) ==
+      ((0L, Seq.empty[Double])))
+    // no targets requested
+    assert(ScaleOps.rankCutpoints(counts, "v", "c", _ => Seq.empty) ==
+      ((10L, Seq.empty[Double])))
+    spark.catalog.clearCache()
+  }
+
   test("footerRangeSplits: parquet scan yields zero-job splits; memory df does not") {
     val orders = spark.read.parquet(sf("orders"))
       .select(col("o_custkey"), col("o_orderkey"))
