@@ -77,18 +77,18 @@ object SparkEntry {
       explode(filter(split(trim(lower(col(textCol))), "\\s+"),
         t => length(t) > 0)).as("__tok"))
     val h = conv(substring(md5(col("__tok")), 1, 12), 16, 10).cast("long")
+    // one doc-keyed aggregation with 48 conditional-sum columns (bit j is
+    // a literal shiftright — codegen'd) instead of a 48× bit explode: the
+    // row volume stays at the token count, not 48× it
+    val votes = (0 until 48).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1L) * 2L - 1L).as(s"__s$j"))
     toks.select(col("__sid"), h.as("__h"))
-      .select(col("__sid"), explode(sequence(lit(0), lit(47))).as("__j"),
-        col("__h"))
-      // bit j of the 48-bit hash via exact double pow2 (shiftright needs a
-      // literal shift), mapped to a ±1 vote
-      .select(col("__sid"), col("__j"),
-        (pmod(floor(col("__h") / pow(lit(2.0), col("__j"))).cast("long"),
-          lit(2L)) * 2L - 1L).as("__s"))
-      .groupBy(col("__sid"), col("__j")).agg(sum(col("__s")).as("__cnt"))
       .groupBy(col("__sid"))
-      .agg(sum(when(col("__cnt") > 0, pow(lit(2.0), col("__j")))
-        .otherwise(lit(0.0))).cast("long").as("__sh48"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("__sid"),
+        (0 until 48).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__sh48"))
   }
 
   /** Shared q17/q154 output contract: one row per profiled column with the
