@@ -3568,6 +3568,35 @@ object SparkEntry {
         .gateOrdered(col("key"))
     }),
 
+    // ---- Cox proportional hazards: covariate-adjusted time-to-churn -------
+    // per-user active-span durations (hour-index granularity), censored
+    // when still active within 24 hours of the horizon; two feature-scaled
+    // integer covariates. Breslow ties, 4 Newton steps, the logreg
+    // deterministic-decimal recipe — the oracle replays every iteration
+    "q352_cox_ph" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(floor(unix_timestamp(col("ts")) / 3600)).as("__f"),
+          max(floor(unix_timestamp(col("ts")) / 3600)).as("__l"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"),
+          ((sum(when(col("value") > 50, 1L).otherwise(0L)) - 24) / 10.0)
+            .as("x_highval"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__hmax") - col("__l") < 24).as("censored"),
+          col("x_events"), col("x_highval"))
+      Behavior.coxPH(durations, "duration", "censored",
+          Seq("x_events", "x_highval"))
+        .select(col("covariate"), col("n"), col("n_events"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("covariate"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -5570,6 +5599,70 @@ object SparkEntry {
            FROM e$i)"""
     }
     (base +: iters).mkString(",\n         ")
+  }
+
+  /** q352 oracle: the Cox Breslow-Newton loop replayed as chained CTEs —
+    * the [[logregCtes]] deterministic-decimal recipe on survival data.
+    * Per iteration: DECIMAL(20,12) scores at the previous 12-dp β, exact
+    * per-duration decimal sums, suffix (risk-set) sums via a bounded
+    * duration-DESC window, gradient/information from 12-dp-rounded
+    * per-event-time terms summed exactly, closed-form 2×2 Newton step,
+    * round-12 β — every expression mirrors
+    * [[graft.operators.Behavior.coxPH]] verbatim. */
+  private def coxCtes(iterations: Int): String = {
+    val base = """pu AS (SELECT user_id,
+             min(floor(epoch(ts) / 3600))::BIGINT f,
+             max(floor(epoch(ts) / 3600))::BIGINT l,
+             (count(*) - 66) / 10.0 xe,
+             (sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) - 24) / 10.0 xt
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         hz AS (SELECT max(l) hm FROM pu),
+         du AS (SELECT (l - f)::BIGINT life,
+             CASE WHEN (hm - l) < 24 THEN 0 ELSE 1 END ev,
+             CAST(xe AS DECIMAL(8,4)) x0, CAST(xt AS DECIMAL(8,4)) x1
+           FROM pu, hz),
+         nn AS (SELECT count(*)::BIGINT n, sum(ev)::BIGINT ne FROM du),
+         cb0 AS (SELECT 0.0::DOUBLE b0, 0.0::DOUBLE b1)"""
+    def ratio(c: String) = s"CAST($c AS DOUBLE) / CAST(cS0 AS DOUBLE)"
+    def term12(expr: String) =
+      s"CAST(sum(CAST(round($expr, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    val iters = (1 to iterations).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""sc$i AS (SELECT life, ev, x0, x1,
+             CAST(exp(CAST(x0 AS DOUBLE) * b0 + CAST(x1 AS DOUBLE) * b1)
+               AS DECIMAL(20,12)) s
+           FROM du, $prev),
+         pl$i AS (SELECT life, sum(ev)::BIGINT d,
+             sum(CAST(ev AS DECIMAL(8,0)) * x0) sx0,
+             sum(CAST(ev AS DECIMAL(8,0)) * x1) sx1,
+             sum(s) s0, sum(s * x0) s10, sum(s * x1) s11,
+             sum(s * x0 * x0) s200, sum(s * x0 * x1) s201,
+             sum(s * x1 * x1) s211
+           FROM sc$i GROUP BY 1),
+         sf$i AS (SELECT *, sum(s0) OVER w cS0, sum(s10) OVER w cS10,
+             sum(s11) OVER w cS11, sum(s200) OVER w cS200,
+             sum(s201) OVER w cS201, sum(s211) OVER w cS211
+           FROM pl$i
+           WINDOW w AS (ORDER BY life DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         gt$i AS (SELECT
+             CAST(sum(sx0) AS DOUBLE)
+               - ${term12(s"d * (${ratio("cS10")})")} g0,
+             CAST(sum(sx1) AS DOUBLE)
+               - ${term12(s"d * (${ratio("cS11")})")} g1,
+             ${term12(s"d * (${ratio("cS200")} - ${ratio("cS10")} * (${ratio("cS10")}))")} h00,
+             ${term12(s"d * (${ratio("cS201")} - ${ratio("cS10")} * (${ratio("cS11")}))")} h01,
+             ${term12(s"d * (${ratio("cS211")} - ${ratio("cS11")} * (${ratio("cS11")}))")} h11
+           FROM sf$i WHERE d > 0),
+         cb$i AS (SELECT
+             round(b0 + (h11 * g0 - h01 * g1)
+               / (h00 * h11 - h01 * h01), 12) b0,
+             round(b1 + (h00 * g1 - h01 * g0)
+               / (h00 * h11 - h01 * h01), 12) b1
+           FROM $prev, gt$i)"""
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
   }
 
   private def logregCtes(iterations: Int, buckets: Int, lr: Double): String = {
@@ -9877,6 +9970,38 @@ object SparkEntry {
          SELECT kk AS "key", round(p, 6) + 0.0 AS p,
            round(pa, 6) + 0.0 AS p_adjusted
          FROM ad ORDER BY kk""",
+    // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
+    // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
+    // 2×2 solve, SE from the final information, shared A&S two-sided p
+    "q352_cox_ph" ->
+      s"""WITH ${coxCtes(iterations = 4)},
+         fin AS (SELECT b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+         st AS (SELECT n, ne, b0, b1, sqrt(h11 / det) se0,
+                 sqrt(h00 / det) se1 FROM fin, nn),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'x_events' AS covariate, n, ne AS n_events,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_highval', n, ne, round(b1, 6) + 0.0,
+             round(se1, 6) + 0.0, round(z1, 6) + 0.0, round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY covariate""",
     // per-language moments, Welch weights w = n/s², the 1951 F* and
     // Welch-Satterthwaite df2 — pure moment algebra, replayed verbatim
     "q351_welch_anova" ->

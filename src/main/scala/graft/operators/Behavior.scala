@@ -726,4 +726,217 @@ object Behavior {
         col("__v").as("var_hazard"),
         exp(-col("__h")).as("survival_na"))
   }
+
+  /** Cox proportional-hazards regression with Breslow tie handling — the
+    * covariate-adjusted member of the survival shelf ([[kmCurve]] draws
+    * one curve, [[logRankTest]] compares two groups; Cox answers "how
+    * does each FEATURE shift the hazard" with one log-hazard-ratio per
+    * covariate). Newton–Raphson on the Breslow partial likelihood,
+    * `iterations` fixed steps from β = 0; per covariate one row:
+    * `(covariate, n, n_events, beta, se, z, p_value)` — SE from the
+    * final observed-information inverse, two-sided p via the shared A&S
+    * normal survival. NULL beta/se/z/p when there are no events or the
+    * information matrix is singular (a constant covariate).
+    *
+    * Determinism contract (the [[LinearModel.logregTrainHashed]] recipe —
+    * what makes a DuckDB oracle possible): covariates quantize to
+    * DECIMAL(8,4) (feature-scale to |x| ≲ 10³; 4-dp resolution),
+    * per-subject scores exp(βᵀx) land as DECIMAL(20,12), so every
+    * risk-set ingredient (S0, S1_k, S2_kl, per-duration event sums) is an
+    * EXACT decimal sum — partial-aggregation order cannot move a bit.
+    * Per-event-time gradient/information terms round to 12 dp before
+    * their (exact) sums, and β re-rounds to 12 dp between iterations, so
+    * the only cross-engine noise (libm exp, ≤ 1 ulp) is damped two
+    * rounding layers before the output. With TWO covariates the Newton
+    * step and the SE inverse use the closed-form 2×2 expressions the
+    * oracle mirrors verbatim; higher dimensions solve by in-place
+    * Gaussian elimination (documented: oracle replay covers d ≤ 2).
+    *
+    * Scale: per iteration ONE per-distinct-duration decimal aggregation
+    * (partial-aggregated; the duration table is calendar-bounded —
+    * `maxDurations` guards the driver suffix pass), then O(durations·d²)
+    * driver algebra. Subjects never sort globally; no unkeyed window. */
+  def coxPH(durations: DataFrame, durationCol: String, censoredCol: String,
+      covariates: Seq[String], iterations: Int = 4,
+      maxDurations: Long = 100000L): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"coxPH needs 1..8 covariates, got ${covariates.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d = covariates.size
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = durations
+      .filter(col(durationCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(durationCol).cast("long").as("__life") +:
+        (lit(1L) - coalesce(col(censoredCol), lit(false)).cast("long"))
+          .as("__ev") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = durations.sparkSession
+      import spark.implicits._
+      def nullRows(n: Long, nEvents: Long) = covariates.map(c =>
+        (c, n, nEvents, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value")
+      var beta = Array.fill(d)(0.0)
+      var lastInfo: Option[(Array[Array[Double]], Long, Long)] = None
+      var it = 0
+      var singular = false
+      while (it < iterations && !singular) {
+        // exp(βᵀx) with the dot accumulated left-to-right in double from
+        // the 4-dp decimal covariates — the identical expression the
+        // oracle writes — then quantized so every sum below is exact
+        val dot = covariates.indices.map(i =>
+          col(xCols(i)).cast("double") * lit(beta(i)))
+          .reduce(_ + _)
+        val s = exp(dot).cast("decimal(20,12)")
+        val pairIdx = for { i <- 0 until d; j <- i until d } yield (i, j)
+        val aggs =
+          sum(col("__ev")).as("__d") +:
+          (covariates.indices.map(i =>
+            sum(col("__ev").cast("decimal(8,0)") * col(xCols(i)))
+              .as(s"__sx$i")) ++
+           Seq(sum(s).as("__s0")) ++
+           covariates.indices.map(i =>
+             sum(s * col(xCols(i))).as(s"__s1_$i")) ++
+           pairIdx.map { case (i, j) =>
+             sum(s * col(xCols(i)) * col(xCols(j))).as(s"__s2_${i}_$j") })
+        val perLife = base.groupBy(col("__life"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        require(perLife.length <= maxDurations,
+          s"coxPH: ${perLife.length} distinct durations exceed " +
+            s"maxDurations $maxDurations — bucket the durations")
+        // driver suffix sums over durations DESC (exact BigDecimal)
+        val rows = perLife.map { r =>
+          (r.getLong(0), r.getLong(1),
+            covariates.indices.map(i => BigDecimal(r.getDecimal(2 + i))),
+            BigDecimal(r.getDecimal(2 + d)),
+            covariates.indices.map(i => BigDecimal(r.getDecimal(3 + d + i))),
+            pairIdx.indices.map(p => BigDecimal(r.getDecimal(3 + 2 * d + p))))
+        }.sortBy(-_._1)
+        val n = base.count()
+        val nEvents = rows.map(_._2).sum
+        if (nEvents == 0) return nullRows(n, 0)
+        var s0 = BigDecimal(0)
+        val s1 = Array.fill(d)(BigDecimal(0))
+        val s2 = Array.fill(pairIdx.size)(BigDecimal(0))
+        // exact sums of the 12-dp-rounded per-event-time terms (order-free
+        // on both engines) plus the exact Σx-over-events part
+        val gradTerm = Array.fill(d)(BigDecimal(0))
+        val sxSum = Array.fill(d)(BigDecimal(0))
+        val infoTerm = Array.fill(pairIdx.size)(BigDecimal(0))
+        def r12(v: Double): BigDecimal =
+          BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        rows.foreach { case (_, dEv, sx, ps0, ps1, ps2) =>
+          s0 += ps0
+          covariates.indices.foreach(i => s1(i) += ps1(i))
+          pairIdx.indices.foreach(p => s2(p) += ps2(p))
+          if (dEv > 0) {
+            val dD = dEv.toDouble
+            val s0d = s0.toDouble
+            covariates.indices.foreach { i =>
+              sxSum(i) += sx(i)
+              gradTerm(i) += r12(dD * (s1(i).toDouble / s0d))
+            }
+            pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+              infoTerm(p) += r12(dD * (s2(p).toDouble / s0d -
+                s1(i).toDouble / s0d * (s1(j).toDouble / s0d)))
+            }
+          }
+        }
+        val grad = covariates.indices.map(i =>
+          sxSum(i).toDouble - gradTerm(i).toDouble).toArray
+        val info = Array.ofDim[Double](d, d)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = infoTerm(p).toDouble; info(j)(i) = info(i)(j)
+        }
+        lastInfo = Some((info.map(_.clone()), n, nEvents))
+        val step: Option[Array[Double]] =
+          if (d == 2) {
+            // the closed-form 2×2 solve the oracle mirrors verbatim
+            val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+            if (det <= 0) None
+            else Some(Array(
+              (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+              (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+          } else solveSym(info.map(_.clone()), grad.clone())
+        step match {
+          case None => singular = true
+          case Some(st) =>
+            beta = beta.zip(st).map { case (b, x) => round12d(b + x) }
+        }
+        it += 1
+      }
+      val (info, n, nEvents) = lastInfo.getOrElse(
+        return nullRows(base.count(), 0))
+      val seOpt: Seq[Option[Double]] =
+        if (singular) Seq.fill(d)(None)
+        else if (d == 2) {
+          val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+          if (det <= 0) Seq.fill(d)(None)
+          else Seq(Some(math.sqrt(info(1)(1) / det)),
+            Some(math.sqrt(info(0)(0) / det)))
+        } else {
+          val inv = invertSym(info.map(_.clone()))
+          inv.map(m => covariates.indices.map(i =>
+            if (m(i)(i) > 0) Some(math.sqrt(m(i)(i)))
+            else Option.empty[Double]).toSeq)
+            .getOrElse(Seq.fill(d)(None))
+        }
+      covariates.zipWithIndex.map { case (c, i) =>
+        val b = if (singular) None else Some(beta(i))
+        val se = seOpt(i)
+        val z = for (bv <- b; s <- se if s > 0) yield bv / s
+        (c, n, nEvents, b, se, z,
+          z.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+      }.toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value")
+    } finally base.unpersist(false)
+  }
+
+  private def round12d(v: Double): Double =
+    BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Solve A·x = b for a small symmetric positive-definite A by in-place
+    * Gaussian elimination with partial pivoting; None when singular. */
+  private def solveSym(a: Array[Array[Double]],
+      b: Array[Double]): Option[Array[Double]] = {
+    val d = a.length
+    for (c <- 0 until d) {
+      val piv = (c until d).maxBy(r => math.abs(a(r)(c)))
+      if (math.abs(a(piv)(c)) < 1e-300) return None
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      for (r <- c + 1 until d) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c until d) a(r)(k) -= f * a(c)(k)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](d)
+    for (r <- (d - 1) to 0 by -1) {
+      var acc = b(r)
+      for (k <- r + 1 until d) acc -= a(r)(k) * x(k)
+      x(r) = acc / a(r)(r)
+    }
+    Some(x)
+  }
+
+  /** Full inverse of a small symmetric positive-definite matrix via
+    * [[solveSym]] against basis vectors; None when singular. */
+  private def invertSym(a: Array[Array[Double]])
+      : Option[Array[Array[Double]]] = {
+    val d = a.length
+    val cols = (0 until d).map { j =>
+      val e = new Array[Double](d); e(j) = 1.0
+      solveSym(a.map(_.clone()), e) match {
+        case Some(x) => x
+        case None => return None
+      }
+    }
+    Some(Array.tabulate(d, d)((i, j) => cols(j)(i)))
+  }
 }

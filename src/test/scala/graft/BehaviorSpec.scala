@@ -526,4 +526,71 @@ class BehaviorSpec extends SparkSpecBase {
       Behavior.logRankTest(three, "dur", "cens", "g")
     }
   }
+
+  test("coxPH: definitional Breslow-Newton reference, sign, guards") {
+    import spark.implicits._
+    // 16 subjects, ties at several durations, mixed censoring; covariate 0
+    // drives the hazard up, covariate 1 is near-noise
+    val data = Seq(
+      (1L, false, 3.0, 1.0), (1L, false, 2.0, 0.0), (2L, false, 3.0, 1.0),
+      (2L, true, 1.0, 1.0), (3L, false, 2.0, 0.0), (3L, false, 1.0, 1.0),
+      (4L, true, 2.0, 0.0), (4L, false, 0.0, 1.0), (5L, false, 1.0, 0.0),
+      (5L, false, 0.0, 0.0), (6L, true, 1.0, 1.0), (6L, false, 0.0, 0.0),
+      (7L, false, 0.0, 1.0), (7L, true, 1.0, 0.0), (8L, false, 0.0, 0.0),
+      (8L, false, 0.0, 1.0))
+    val df = data.toDF("dur", "cens", "x1", "x2")
+    val out = Behavior.coxPH(df, "dur", "cens", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // definitional reference: risk-set loops, Breslow ties, 4 Newton steps
+    var b = Array(0.0, 0.0)
+    var info = Array.ofDim[Double](2, 2)
+    for (_ <- 1 to 4) {
+      val grad = Array(0.0, 0.0)
+      info = Array.ofDim[Double](2, 2)
+      for (t <- data.filter(!_._2).map(_._1).distinct) {
+        val risk = data.filter(_._1 >= t)
+        val s = risk.map(r => math.exp(b(0) * r._3 + b(1) * r._4))
+        val s0 = s.sum
+        def x(r: (Long, Boolean, Double, Double), k: Int) =
+          if (k == 0) r._3 else r._4
+        val s1 = Array(0, 1).map(k =>
+          risk.zip(s).map { case (r, si) => si * x(r, k) }.sum)
+        val evs = data.filter(r => r._1 == t && !r._2)
+        val dd = evs.size
+        for (k <- 0 to 1)
+          grad(k) += evs.map(x(_, k)).sum - dd * s1(k) / s0
+        for (k <- 0 to 1; l <- 0 to 1) {
+          val s2 = risk.zip(s).map { case (r, si) => si * x(r, k) * x(r, l) }.sum
+          info(k)(l) += dd * (s2 / s0 - s1(k) / s0 * (s1(l) / s0))
+        }
+      }
+      val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+      b = Array(b(0) + (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+        b(1) + (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det)
+    }
+    val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+    val seRef = Array(math.sqrt(info(1)(1) / det), math.sqrt(info(0)(0) / det))
+    val r1 = out("x1"); val r2 = out("x2")
+    assert(r1.getLong(1) == 16L && r1.getLong(2) == 12L, "n / n_events")
+    assert(math.abs(r1.getAs[Double]("beta") - b(0)) < 1e-6,
+      s"beta1 ${r1.getAs[Double]("beta")} vs ${b(0)}")
+    assert(math.abs(r2.getAs[Double]("beta") - b(1)) < 1e-6,
+      s"beta2 ${r2.getAs[Double]("beta")} vs ${b(1)}")
+    assert(math.abs(r1.getAs[Double]("se") - seRef(0)) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("se") - seRef(1)) < 1e-6)
+    assert(r1.getAs[Double]("beta") > 0, "risk covariate must raise hazard")
+    assert(math.abs(r1.getAs[Double]("z") -
+      r1.getAs[Double]("beta") / r1.getAs[Double]("se")) < 1e-9)
+    // all censored -> NULL coefficient rows with n_events 0
+    val allCens = data.map { case (t, _, a, c) => (t, true, a, c) }
+      .toDF("dur", "cens", "x1", "x2")
+    val nc = Behavior.coxPH(allCens, "dur", "cens", Seq("x1", "x2")).collect()
+    assert(nc.length == 2 && nc.forall(r =>
+      r.getLong(2) == 0L && r.isNullAt(r.fieldIndex("beta"))))
+    // constant covariate -> singular information -> NULL stats
+    val flat = data.map { case (t, c, _, x2) => (t, c, 5.0, x2) }
+      .toDF("dur", "cens", "x1", "x2")
+    val fc = Behavior.coxPH(flat, "dur", "cens", Seq("x1", "x2")).collect()
+    assert(fc.forall(_.isNullAt(3)), "singular info must null the betas")
+  }
 }
