@@ -68,7 +68,11 @@ object BenchScale {
     "q307_mood_median", "q326_hosmer_lemeshow", "q327_robust_location",
     "q342_numeric_mi", "q344_psi_quantile", "q328_kuiper",
     "q336_mahalanobis", "q346_simhash_capped",
-    "q347_embedding_neardup_capped")
+    "q347_embedding_neardup_capped",
+    // the Cox Newton loop: 4 per-duration decimal aggregations + a
+    // calendar-bounded driver suffix pass — per-iteration scan cost
+    // should scale linearly, driver cost with distinct durations only
+    "q352_cox_ph")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation
