@@ -3568,6 +3568,28 @@ object SparkEntry {
         .gateOrdered(col("key"))
     }),
 
+    // ---- Restricted mean survival time: churn-free hours within 700 -------
+    // the model-free companion of q352's Cox fit (no proportional-hazards
+    // assumption): expected active hours within the first 700, per user-id
+    // parity cohort, with the Klein variance; same churn-span durations
+    "q353_rmst" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(floor(unix_timestamp(col("ts")) / 3600)).as("__f"),
+          max(floor(unix_timestamp(col("ts")) / 3600)).as("__l"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__hmax") - col("__l") < 24).as("censored"),
+          when(col("user_id") % 2 === 0, "even").otherwise("odd").as("grp"))
+      Behavior.rmst(durations, "duration", "censored", "grp", tau = 700L)
+        .select(col("grp"), col("tau"), col("n"), col("events"),
+          (round(col("rmst"), 6) + lit(0.0)).as("rmst"),
+          (round(col("rmst_se"), 6) + lit(0.0)).as("rmst_se"))
+        .gateOrdered(col("grp"))
+    }),
+
     // ---- Cox proportional hazards: covariate-adjusted time-to-churn -------
     // per-user active-span durations (hour-index granularity), censored
     // when still active within 24 hours of the horizon; two feature-scaled
@@ -9970,6 +9992,80 @@ object SparkEntry {
          SELECT kk AS "key", round(p, 6) + 0.0 AS p,
            round(pa, 6) + 0.0 AS p_adjusted
          FROM ad ORDER BY kk""",
+    // the KM fixed-point ln cumsum (q235's 1e12 trick) per parity group,
+    // then RMST by parts: τ·S(τ) + Σ tᵢ·ΔSᵢ with every τ-window sum
+    // quantized to BIGINT before summing (order-independent on both
+    // engines); Klein variance via the expanded Σw·A² identity
+    "q353_rmst" ->
+      """WITH pu AS (SELECT user_id, min(floor(epoch(ts)/3600)) AS f,
+                  max(floor(epoch(ts)/3600)) AS l
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1),
+         h AS (SELECT max(l) AS hm FROM pu),
+         bl AS (SELECT (CASE WHEN user_id % 2 = 0 THEN 'even'
+                        ELSE 'odd' END) AS g,
+                  (l - f)::BIGINT AS life, (hm - l < 24) AS cens
+                FROM pu, h),
+         g1 AS (SELECT g, life,
+                  sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+                  count(*)::BIGINT AS al
+                FROM bl GROUP BY 1, 2),
+         t AS (SELECT *, coalesce(sum(al) OVER (PARTITION BY g ORDER BY life
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS bef,
+                 sum(al) OVER (PARTITION BY g) AS n
+               FROM g1),
+         x AS (SELECT *, (n - bef)::BIGINT AS nr,
+                 (d > 0 AND d = n - bef) AS dead,
+                 CASE WHEN d > 0 AND d < n - bef
+                      THEN round(ln(1 - d / (n - bef)::DOUBLE)
+                        * 1e12)::BIGINT
+                      ELSE 0 END AS lnq
+               FROM t),
+         y AS (SELECT *, coalesce(sum(lnq) OVER (PARTITION BY g
+                  ORDER BY life
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS lb
+               FROM x),
+         z AS (SELECT *, exp(lb / 1e12) AS sbef,
+                 CASE WHEN dead THEN 0.0
+                      ELSE exp((lb + lnq) / 1e12) END AS s
+               FROM y),
+         a1 AS (SELECT *, CASE WHEN d > 0
+                  THEN round(life * (sbef - s) * 1e12)::BIGINT
+                  ELSE 0 END AS aq
+                FROM z),
+         a2 AS (SELECT *, coalesce(sum(aq) OVER (PARTITION BY g
+                  ORDER BY life
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS ab
+                FROM a1),
+         a3 AS (SELECT *, life * s + (ab + aq) / 1e12 AS area,
+                 CASE WHEN d > 0 AND NOT dead
+                      THEN d / (nr::DOUBLE * (nr - d))
+                      ELSE 0.0 END AS w
+                FROM a2),
+         gr AS (SELECT g, max(n)::BIGINT AS n FROM t GROUP BY 1),
+         f AS (SELECT g, sum(aq)::BIGINT AS saq,
+                 sum(round(w * 1e12)::BIGINT)::BIGINT AS sw,
+                 sum(round(area * w * 1e12)::BIGINT)::BIGINT AS saw,
+                 sum(round(area * area * w * 1e9)::BIGINT)::BIGINT AS sa2w,
+                 min(CASE WHEN d > 0 THEN s END) AS stau,
+                 sum(d)::BIGINT AS ev
+               FROM a3 WHERE life <= 700 GROUP BY 1),
+         r AS (SELECT gr.g, 700::BIGINT AS tau, gr.n,
+                 coalesce(ev, 0)::BIGINT AS events,
+                 700.0 * coalesce(stau, 1.0) + coalesce(saq, 0) / 1e12
+                   AS rm,
+                 coalesce(sw, 0) / 1e12 AS swd,
+                 coalesce(saw, 0) / 1e12 AS sawd,
+                 coalesce(sa2w, 0) / 1e9 AS sa2wd
+               FROM gr LEFT JOIN f ON gr.g = f.g)
+         SELECT g AS grp, tau, n, events,
+           round(rm, 6) + 0.0 AS rmst,
+           round(sqrt(greatest(rm * rm * swd - 2.0 * rm * sawd + sa2wd,
+             0.0)), 6) + 0.0 AS rmst_se
+         FROM r ORDER BY grp""",
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p

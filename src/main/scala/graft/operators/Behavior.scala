@@ -727,6 +727,128 @@ object Behavior {
         exp(-col("__h")).as("survival_na"))
   }
 
+  /** Restricted mean survival time — the AREA under the Kaplan–Meier
+    * curve up to a horizon τ: "expected event-free time within the first
+    * τ hours", the model-free effect measure recommended when
+    * proportional hazards is doubtful (Cox's β is then a weighted
+    * average of nothing in particular; RMST differences stay
+    * interpretable). One row per group: `(grp, tau, n, events, rmst,
+    * rmst_se)` with `events` counted at event times ≤ τ and the SE from
+    * the Klein/Greenwood form Var = Σ_{tᵢ≤τ} Aᵢ²·dᵢ/(nᵢ(nᵢ−dᵢ)), where
+    * Aᵢ = ∫_{tᵢ}^τ Ŝ. A group with no events before τ reports rmst = τ,
+    * se = 0 (the curve never leaves 1).
+    *
+    * No lead/lag anywhere: integration by parts turns the step-curve
+    * area into RMST = τ·Ŝ(τ) + Σ_{tᵢ≤τ} tᵢ·ΔŜᵢ where the drop
+    * ΔŜᵢ = Ŝ(tᵢ⁻) − Ŝ(tᵢ) falls out of the EXCLUSIVE ln-survival prefix
+    * the [[kmCurve]] machinery already carries, and the variance's
+    * Aᵢ = RMST − area(0→tᵢ) expands Σ wᵢAᵢ² into
+    * RMST²·Σw − 2·RMST·Σ(area·w) + Σ(area²·w) — three more per-row
+    * quantities riding the same pass, so ONE final aggregation yields
+    * everything and the driver only combines scalars.
+    *
+    * Determinism contract: the ln-survival and tᵢ·ΔŜᵢ prefixes ride the
+    * fixed-point (12 dp) long cumsum exactly as [[kmCurve]]; every
+    * τ-window sum (Σtᵢ·ΔŜᵢ, Σw, Σ area·w, Σ area²·w) quantizes
+    * per row to a long BEFORE summing, so partial-aggregation order
+    * cannot move a bit and a DuckDB oracle replays the whole estimator
+    * verbatim (area²·w quantizes at 9 dp — its magnitude is τ²·w, the
+    * headroom trade documented at the call site).
+    *
+    * Scale: groups pivot into columns (≤ 16; collect of distinct group
+    * labels only), then the [[kmCurve]] shape — per-distinct-duration
+    * counts, THREE sequential multi-column deterministic-bucket cumsums
+    * (at-risk, ln-survival, area), one single-row final aggregate. No
+    * unkeyed window, no data-sized driver state. */
+  def rmst(durations: DataFrame, durationCol: String, censoredCol: String,
+      groupCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    val base = durations
+      .filter(col(durationCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(durationCol).cast("long").as("life"),
+        coalesce(col(censoredCol), lit(false)).as("__cens"))
+    val groups = base.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0))
+    require(groups.nonEmpty && groups.length <= 16,
+      s"rmst needs 1..16 groups, got ${groups.length}")
+    val gi = groups.indices
+    val pivots = gi.flatMap(i => Seq(
+      sum(when(col("g") === groups(i) && !col("__cens"), 1L)
+        .otherwise(0L)).as(s"__d$i"),
+      sum(when(col("g") === groups(i), 1L).otherwise(0L))
+        .as(s"__all$i")))
+    val byLife = base.groupBy(col("life")).agg(pivots.head, pivots.tail: _*)
+    // cumsum 1: per-group exits strictly before each lifetime → n_risk
+    val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), gi.map(i => s"__all$i"), gi.map(i => s"__b$i"),
+      persistInput = false)
+    val withLn = gi.foldLeft(cum1) { (df, i) =>
+      val nRisk = lit(grand(i)) - col(s"__b$i")
+      val d = col(s"__d$i").cast("double")
+      df.withColumn(s"__nr$i", nRisk)
+        .withColumn(s"__dead$i", col(s"__d$i") > 0 && col(s"__d$i") === nRisk)
+        .withColumn(s"__lnQ$i",
+          when(col(s"__d$i") > 0 && !col(s"__dead$i"),
+            round(log(lit(1.0) - d / nRisk.cast("double")) * 1e12, 0)
+              .cast("long")).otherwise(lit(0L)))
+    }
+    // cumsum 2: per-group running Σ ln(1 − d/n_risk) (exclusive = Ŝ(t⁻))
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
+      withLn, col("life"), gi.map(i => s"__lnQ$i"), gi.map(i => s"__lb$i"),
+      persistInput = false)._1
+    val withDrop = gi.foldLeft(cum2) { (df, i) =>
+      val sBef = exp(col(s"__lb$i").cast("double") / 1e12)
+      val s = when(col(s"__dead$i"), lit(0.0)).otherwise(
+        exp((col(s"__lb$i") + col(s"__lnQ$i")).cast("double") / 1e12))
+      df.withColumn(s"__s$i", s)
+        // tᵢ·ΔŜᵢ, quantized so its running AND final sums are exact longs
+        .withColumn(s"__aQ$i",
+          when(col(s"__d$i") > 0,
+            round(col("life").cast("double") * (sBef - s) * 1e12, 0)
+              .cast("long")).otherwise(lit(0L)))
+    }
+    // cumsum 3: per-group running Σ tⱼ·ΔŜⱼ → area(0→tᵢ) by parts
+    val cum3 = graft.ops.ScaleOps.withExclusiveRunningSums(
+      withDrop, col("life"), gi.map(i => s"__aQ$i"), gi.map(i => s"__ab$i"),
+      persistInput = false)._1
+    val withVarTerms = gi.foldLeft(cum3) { (df, i) =>
+      val area = col("life").cast("double") * col(s"__s$i") +
+        (col(s"__ab$i") + col(s"__aQ$i")).cast("double") / 1e12
+      val nr = col(s"__nr$i").cast("double")
+      val d = col(s"__d$i").cast("double")
+      val w = when(col(s"__d$i") > 0 && !col(s"__dead$i"),
+        d / (nr * (nr - d))).otherwise(lit(0.0))
+      df.withColumn(s"__wQ$i", round(w * 1e12, 0).cast("long"))
+        .withColumn(s"__awQ$i", round(area * w * 1e12, 0).cast("long"))
+        // area² ≤ τ², so 9 dp keeps Σ under Long range with 1e9 headroom
+        .withColumn(s"__a2wQ$i",
+          round(area * area * w * 1e9, 0).cast("long"))
+    }
+    val aggs = gi.flatMap(i => Seq(
+      sum(col(s"__aQ$i")).as(s"saq$i"),
+      sum(col(s"__wQ$i")).as(s"sw$i"),
+      sum(col(s"__awQ$i")).as(s"saw$i"),
+      sum(col(s"__a2wQ$i")).as(s"sa2w$i"),
+      min(when(col(s"__d$i") > 0, col(s"__s$i"))).as(s"stau$i"),
+      sum(col(s"__d$i")).as(s"ev$i")))
+    val row = withVarTerms.filter(col("life") <= tau)
+      .agg(aggs.head, aggs.tail: _*).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(withVarTerms)
+    val spark = durations.sparkSession
+    import spark.implicits._
+    gi.map { i =>
+      val b = i * 6
+      def lng(o: Int) = if (row.isNullAt(b + o)) 0L else row.getLong(b + o)
+      val sTau = if (row.isNullAt(b + 4)) 1.0 else row.getDouble(b + 4)
+      val rm = tau.toDouble * sTau + lng(0) / 1e12
+      val vr = rm * rm * (lng(1) / 1e12) - 2.0 * rm * (lng(2) / 1e12) +
+        lng(3) / 1e9
+      (groups(i), tau, grand(i), lng(5), rm,
+        math.sqrt(math.max(vr, 0.0)))
+    }.toDF("grp", "tau", "n", "events", "rmst", "rmst_se")
+  }
+
   /** Cox proportional-hazards regression with Breslow tie handling — the
     * covariate-adjusted member of the survival shelf ([[kmCurve]] draws
     * one curve, [[logRankTest]] compares two groups; Cox answers "how

@@ -527,6 +527,38 @@ class BehaviorSpec extends SparkSpecBase {
     }
   }
 
+  test("rmst: hand-computed KM areas, Klein variance, edge groups") {
+    // A: events at 1, 3, 5 with a censor at 2 -> S = 3/4, 3/8, 0
+    // B: all censored -> the curve never leaves 1
+    val d = Seq((1L, false, "A"), (2L, true, "A"), (3L, false, "A"),
+      (5L, false, "A"), (2L, true, "B"), (3L, true, "B"))
+      .toDF("dur", "cens", "g")
+    val at4 = Behavior.rmst(d, "dur", "cens", "g", tau = 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // area(0..4) = 1 + 2*(3/4) + 1*(3/8) = 2.875
+    // Var = A1^2/12 + A3^2/2 with A1 = 1.875, A3 = 0.375
+    assert(at4("A")._1 == 4L && at4("A")._2 == 2L)
+    assert(math.abs(at4("A")._3 - 2.875) < 1e-9)
+    assert(math.abs(at4("A")._4 - math.sqrt(0.36328125)) < 1e-6)
+    // no events by tau: rmst = tau exactly, se = 0
+    assert(at4("B") == ((2L, 0L, 4.0, 0.0)))
+    // tau past the terminal event: the dead step contributes area but is
+    // excluded from the variance sum (n - d = 0 there)
+    val at10 = Behavior.rmst(d, "dur", "cens", "g", tau = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    assert(math.abs(at10("A")._1 - 3.25) < 1e-9)
+    assert(math.abs(at10("A")._2 - math.sqrt(0.703125)) < 1e-6)
+    assert(at10("B")._1 == 10.0 && at10("B")._2 == 0.0)
+    // group cap refuses
+    val many = (1 to 17).map(i => (i.toLong, false, s"g$i"))
+      .toDF("dur", "cens", "g")
+    intercept[IllegalArgumentException] {
+      Behavior.rmst(many, "dur", "cens", "g", tau = 4L)
+    }
+  }
+
   test("coxPH: definitional Breslow-Newton reference, sign, guards") {
     import spark.implicits._
     // 16 subjects, ties at several durations, mixed censoring; covariate 0
