@@ -3207,6 +3207,24 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- isotonic calibration of the q326 pseudo-score (LinearModel) ------
+    // the recalibrator the reliability gaps call for: 20 quantile bins
+    // from the distinct-score cumsum, then the minimax (= PAVA) monotone
+    // fit on exact long block sums — driver does O(bins^2) arithmetic
+    "q354_isotonic_calibration" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").cast("int").as("y"),
+          (lit(1.0) / (lit(1.0) +
+            exp((lit(400.0) - col("n_chars")) / 100.0))).as("s"))
+      LinearModel.isotonicCalibration(docs, "y", "s", bins = 20)
+        .select(col("bin"), col("n"),
+          (round(col("mean_score"), 6) + lit(0.0)).as("mean_score"),
+          (round(col("observed_rate"), 6) + lit(0.0)).as("observed_rate"),
+          (round(col("calibrated"), 6) + lit(0.0)).as("calibrated"))
+        .gateOrdered(col("bin"))
+    }),
+
     // ---- robust location panel on doc lengths (Drift) ---------------------
     // rank-exact trimmed/winsorized means from the distinct-value cumsum
     "q327_robust_location" -> ((s, dir) => {
@@ -9320,6 +9338,42 @@ object SparkEntry {
            round(exp(-hl / 2) * (1 + hl / 2 + pow(hl / 2, 2) / 2
              + pow(hl / 2, 3) / 6), 6) + 0.0 AS p_value
          FROM hh, nn""",
+    // identical score + rank-exact 20-bin cutpoints; the minimax isotonic
+    // fit replayed as a three-way bin join (max over i<=k of min over
+    // j>=k of the exact-long block mean)
+    "q354_isotonic_calibration" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END y,
+                  1.0 / (1.0 + exp((400.0 - n_chars) / 100.0)) s
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         dc AS (SELECT s, count(*)::BIGINT c FROM b GROUP BY 1),
+         cm AS (SELECT s, sum(c) OVER (ORDER BY s) hi FROM dc),
+         nn AS (SELECT count(*)::BIGINT n FROM b),
+         rk AS (SELECT DISTINCT ((j * n + 19) // 20) r
+               FROM unnest(range(1, 20)) u(j), nn),
+         cuts AS (SELECT DISTINCT min(s) cut FROM cm, rk WHERE hi >= r
+               GROUP BY r),
+         bb AS (SELECT y, s,
+                 (SELECT count(*) FROM cuts WHERE b.s > cut) bin FROM b),
+         byb AS (SELECT bin, count(*)::BIGINT nb, sum(y)::BIGINT yb,
+                 sum(CAST(s AS DECIMAL(20,12))) sb
+               FROM bb GROUP BY 1),
+         mm AS (SELECT i.bin ib, j.bin jb,
+                 sum(x.yb)::DOUBLE / sum(x.nb) m
+               FROM byb i, byb j, byb x
+               WHERE i.bin <= j.bin AND x.bin BETWEEN i.bin AND j.bin
+               GROUP BY 1, 2),
+         inner_ AS (SELECT mm.ib, k.bin kb, min(m) mn
+               FROM mm, byb k
+               WHERE mm.ib <= k.bin AND mm.jb >= k.bin
+               GROUP BY 1, 2),
+         fit AS (SELECT kb, max(mn) f FROM inner_ GROUP BY 1)
+         SELECT byb.bin, nb AS n,
+           round(sb::DOUBLE / nb, 6) + 0.0 AS mean_score,
+           round(yb::DOUBLE / nb, 6) + 0.0 AS observed_rate,
+           round(f, 6) + 0.0 AS calibrated
+         FROM byb JOIN fit ON byb.bin = fit.kb
+         ORDER BY byb.bin""",
     // the same rank-overlap algebra over the distinct-value cumsum
     "q327_robust_location" ->
       """WITH b AS (SELECT n_chars::DOUBLE v FROM documents

@@ -203,6 +203,69 @@ object LinearModel {
           .as("observed_rate"))
   }
 
+  /** Isotonic (PAVA) probability calibration — the nonparametric
+    * recalibrator [[reliabilityBins]]'s gaps call for: fit the best
+    * MONOTONE nondecreasing map score → P(y=1) and emit it per quantile
+    * bin. One row per non-empty bin: `(bin, n, mean_score,
+    * observed_rate, calibrated)` — `calibrated` is the isotonic fit,
+    * equal to `observed_rate` wherever the empirical curve is already
+    * monotone and the pooled-adjacent value where it violates.
+    *
+    * The fit uses the minimax characterization (equivalent to PAVA,
+    * Robertson–Wright–Dykstra): fit(k) = max_{i≤k} min_{j≥k}
+    * mean(y over bins i..j). Block means divide two EXACT long sums, so
+    * both engines compare the identical doubles and a DuckDB oracle
+    * replays the whole fit as a three-way bin join (bins ≤ 64 → at most
+    * 64³ tiny tuples).
+    *
+    * Scale: quantile cutpoints from the distinct-score distributed
+    * cumsum ([[graft.ops.ScaleOps.rankCutpoints]] — never a global
+    * window), a broadcast cutpoint array for bin assignment, ONE
+    * bin-bounded aggregation; the driver sees ≤ `bins` rows and does
+    * O(bins²) arithmetic. */
+  def isotonicCalibration(scored: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins must be in 2..64: $bins")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "s", "c",
+      graft.ops.ScaleOps.quantileRanks(bins))
+    if (n == 0)
+      return Seq.empty[(Int, Long, Double, Double, Double)]
+        .toDF("bin", "n", "mean_score", "observed_rate", "calibrated")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("s") > c, 1).otherwise(0)
+    }
+    val byBin = base.withColumn("b", bin)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("yb"),
+        sum(col("s").cast("decimal(20,12)")).as("sb"))
+      .orderBy(col("b"))
+      .collect()
+    val k = byBin.length
+    val nb = byBin.map(_.getLong(1))
+    val yb = byBin.map(_.getLong(2))
+    // exclusive prefixes so block sums over i..j are O(1) exact longs
+    val pn = nb.scanLeft(0L)(_ + _)
+    val py = yb.scanLeft(0L)(_ + _)
+    def blockMean(i: Int, j: Int): Double =
+      (py(j + 1) - py(i)).toDouble / (pn(j + 1) - pn(i))
+    val fit = Array.tabulate(k) { kk =>
+      (0 to kk).map { i =>
+        (kk until k).map(j => blockMean(i, j)).min
+      }.max
+    }
+    byBin.zipWithIndex.map { case (r, i) =>
+      (r.getInt(0), nb(i),
+        r.getDecimal(3).doubleValue() / nb(i),
+        yb(i).toDouble / nb(i), fit(i))
+    }.toSeq.toDF("bin", "n", "mean_score", "observed_rate", "calibrated")
+  }
+
   /** Hosmer–Lemeshow calibration test — "are the predicted
     * probabilities honest?" as ONE p-value ([[reliabilityBins]] shows
     * the calibration curve; HL decides it): group by DECILE-OF-RISK

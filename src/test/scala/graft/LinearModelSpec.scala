@@ -384,6 +384,35 @@ class LinearModelSpec extends SparkSpecBase {
     assert(rn.getAs[Double]("recall") == 0.0)
   }
 
+  test("isotonicCalibration: PAVA pooling by hand; monotone passes through") {
+    // 3 quantile bins of 2 rows each; observed rates (0, 1, 0.5):
+    // the last two bins violate monotonicity -> pool to 3/4
+    val d = Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1), (0.5, 0), (0.6, 1))
+      .toDF("s", "y")
+    val out = LinearModel.isotonicCalibration(d, "y", "s", bins = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == ((2L, 0.0, 0.0)))
+    assert(out(1) == ((2L, 1.0, 0.75)))
+    assert(out(2) == ((2L, 0.5, 0.75)))
+    // already-monotone rates are a fixed point of the fit
+    val mono = Seq((0.1, 0), (0.2, 0), (0.3, 0), (0.4, 1), (0.5, 1), (0.6, 1))
+      .toDF("s", "y")
+    LinearModel.isotonicCalibration(mono, "y", "s", bins = 3)
+      .collect().foreach(r => assert(r.getDouble(3) == r.getDouble(4)))
+    // mean_score is the exact per-bin average
+    val ms = LinearModel.isotonicCalibration(d, "y", "s", bins = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ms(0) - 0.15) < 1e-12)
+    assert(math.abs(ms(2) - 0.55) < 1e-12)
+    // empty input yields an empty frame, guards fire
+    assert(LinearModel.isotonicCalibration(
+      d.filter(col("y") < 0), "y", "s", bins = 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      LinearModel.isotonicCalibration(d, "y", "s", bins = 1)
+    }
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:
