@@ -2568,6 +2568,31 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- Dickey-Fuller unit root on the hourly event rate (Drift) ---------
+    // "does the rate mean-revert or wander": OLS of the hourly delta on
+    // the lagged level over the q282 zero-filled series; integer counts
+    // keep every OLS moment long-exact; -2.86 = the 5% constant-only
+    // Fuller critical value
+    "q355_dickey_fuller" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+        .agg(count(lit(1)).as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 3600).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 3600).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val series = spine.join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("y"))
+      Drift.dickeyFuller(series, "h", "y")
+        .select(col("n"),
+          (round(col("gamma"), 6) + lit(0.0)).as("gamma"),
+          (round(col("se_gamma"), 6) + lit(0.0)).as("se_gamma"),
+          (round(col("df_stat"), 6) + lit(0.0)).as("df_stat"),
+          col("stationary_5pct"))
+    }),
+
     // ---- Ljung-Box white-noise test on the hourly event rate (Drift) ------
     // zero-filled calendar-hour series; lag products via a shifted-index
     // equi-join, chi2(10) survival in the closed even-dof form
@@ -10774,6 +10799,36 @@ object SparkEntry {
            round(pg, 6) + 0.0 AS p_greater,
            round(pl, 6) + 0.0 AS p_less
          FROM t""",
+    // the same zero-filled hour spine; lag pairs via the t = t' + 1
+    // self-join; all six OLS moments are exact BIGINT sums, the gamma/
+    // SE/t arithmetic mirrors the driver expression-for-expression
+    "q355_dickey_fuller" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h FROM events
+                WHERE ts IS NOT NULL),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+         sp AS (SELECT unnest(range(lo, hi + 1)) AS h FROM bounds),
+         hc AS (SELECT h, count(*)::BIGINT AS y FROM e GROUP BY 1),
+         ser AS (SELECT sp.h AS t, coalesce(y, 0)::BIGINT AS y
+                FROM sp LEFT JOIN hc ON sp.h = hc.h),
+         pr AS (SELECT l.y AS x, (c.y - l.y) AS dy
+                FROM ser c JOIN ser l ON c.t = l.t + 1),
+         mm AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(dy)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                 sum(x * dy)::BIGINT AS sxy, sum(dy * dy)::BIGINT AS syy
+               FROM pr),
+         cc AS (SELECT n, sxx - sx::DOUBLE * sx / n AS cxx,
+                 sxy - sx::DOUBLE * sy / n AS cxy,
+                 syy - sy::DOUBLE * sy / n AS cyy
+               FROM mm),
+         r AS (SELECT n, cxy / cxx AS gamma,
+                 sqrt(greatest((cyy - cxy / cxx * cxy) / (n - 2.0), 0.0)
+                   / cxx) AS se
+               FROM cc)
+         SELECT n, round(gamma, 6) + 0.0 AS gamma,
+           round(se, 6) + 0.0 AS se_gamma,
+           round(gamma / se, 6) + 0.0 AS df_stat,
+           (gamma / se < -2.86) AS stationary_5pct
+         FROM r""",
     // zero-filled hour spine; r_k via the h = h' + k self-join; chi2(10)
     // survival = exp(-q/2) * sum_{j<5} (q/2)^j / j!
     "q282_ljung_box" ->

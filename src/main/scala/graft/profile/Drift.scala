@@ -1574,6 +1574,65 @@ object Drift {
       lit(q).as("q_stat"), lit(p).as("p_value"))
   }
 
+  /** Dickey–Fuller unit-root test — "does this series mean-revert, or
+    * does it WANDER" (a random walk drifts arbitrarily far; every
+    * forecast/threshold built on a wandering series silently decays):
+    * OLS of Δyₜ on yₜ₋₁ with a constant, t-ratio of the yₜ₋₁
+    * coefficient. γ near 0 → unit root (non-stationary); the DF
+    * t-ratio is NOT Student-t — compare to the Fuller/MacKinnon
+    * constant-only critical values, −2.86 at 5% for large n (emitted as
+    * `stationary_5pct`). One row: `(n, gamma, se_gamma, df_stat,
+    * stationary_5pct)`; NULL stats when n < 4 or yₜ₋₁ is constant.
+    * Same gap-free integer-index contract as [[ljungBox]] (zero-fill
+    * calendar gaps upstream; a gap would silently pair non-adjacent
+    * hours).
+    *
+    * Determinism contract: with an integer-valued series (counts), every
+    * OLS moment (Σx, Σx², ΣxΔy, …) is an EXACT long sum — aggregation
+    * order cannot move a bit, and the driver's closed-form γ/SE/t
+    * arithmetic replays verbatim in the DuckDB oracle.
+    *
+    * Scale: lag pairs via ONE shifted-index equi-join (keyed shuffle,
+    * never a global window/lag), one 6-sum reduce, scalar driver
+    * algebra. */
+  def dickeyFuller(series: DataFrame, timeCol: String, valueCol: String)
+      : DataFrame = {
+    val s = series
+      .select(col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val pairs = s
+      .join(s.select((col("t") + 1).as("t"), col("y").as("ylag")), Seq("t"))
+      .select(col("ylag").as("x"), (col("y") - col("ylag")).as("dy"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("dy")).as("sxy"),
+      sum(col("dy") * col("dy")).as("syy")).head()
+    val n = m.getLong(0)
+    val spark = series.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls = spark.range(1).select(lit(n).as("n"), dNull.as("gamma"),
+      dNull.as("se_gamma"), dNull.as("df_stat"),
+      lit(null).cast("boolean").as("stationary_5pct"))
+    if (n < 4) return nulls
+    val (sx, sy, sxx, sxy, syy) =
+      (m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+    val nd = n.toDouble
+    val cxx = sxx - sx.toDouble * sx / nd
+    val cxy = sxy - sx.toDouble * sy / nd
+    val cyy = syy - sy.toDouble * sy / nd
+    if (cxx <= 0) return nulls
+    val gamma = cxy / cxx
+    val rss = cyy - gamma * cxy
+    val se = math.sqrt(math.max(rss / (nd - 2.0), 0.0) / cxx)
+    if (se == 0) return nulls
+    val stat = gamma / se
+    spark.range(1).select(lit(n).as("n"), lit(gamma).as("gamma"),
+      lit(se).as("se_gamma"), lit(stat).as("df_stat"),
+      lit(stat < -2.86).as("stationary_5pct"))
+  }
+
   /** Periodogram power at CANDIDATE periods — "is there a daily/weekly
     * cycle, and how much of the variance does it carry": for each
     * requested period p, the DFT power at frequency 2π/p over the

@@ -639,6 +639,33 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r2.getAs[Double]("icc1") - (25.0 - 5) / (25 + 5)) < 1e-9)
   }
 
+  test("dickeyFuller: closed-form OLS by hand; degenerate guards") {
+    import spark.implicits._
+    // y = 1,2,1,3,1 -> pairs x=(1,2,1,3), dy=(1,-1,2,-2):
+    // gamma = -20/11, se = sqrt(20)/11, t = -sqrt(20)
+    val r = Drift.dickeyFuller(
+      Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (4L, 1L)).toDF("t", "y"),
+      "t", "y").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getAs[Double]("gamma") - (-20.0 / 11)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_gamma") - math.sqrt(20) / 11) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df_stat") + math.sqrt(20)) < 1e-12)
+    assert(r.getAs[Boolean]("stationary_5pct"))
+    // constant lag level: cxx = 0 -> NULL stats
+    val const = Drift.dickeyFuller(
+      Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("t", "y"),
+      "t", "y").collect().head
+    assert(const.isNullAt(1) && const.isNullAt(3))
+    // a perfect fit (rss = 0 -> se = 0) refuses a t-ratio
+    val exact = Drift.dickeyFuller(
+      Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L)).toDF("t", "y"),
+      "t", "y").collect().head
+    assert(exact.isNullAt(3))
+    // too short
+    assert(Drift.dickeyFuller(Seq((0L, 1L), (1L, 2L)).toDF("t", "y"),
+      "t", "y").collect().head.isNullAt(1))
+  }
+
   test("periodogramPower: aligned sinusoid carries frac ~1; naive reference") {
     // pure cos(2*pi*t/8) over 8 full cycles: the period-8 line owns the
     // variance (frac = 1 exactly under Fourier alignment)
