@@ -3633,6 +3633,26 @@ object SparkEntry {
         .gateOrdered(col("grp"))
     }),
 
+    // ---- Poisson GLM: purchases-per-user rate model (LinearModel) ---------
+    // count regression with a log link: purchase volume vs feature-scaled
+    // activity; 4 Newton steps on exact decimal moment sums (the q352
+    // recipe without risk sets), closed-form 2x2 step replayed verbatim
+    "q356_poisson_glm" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      LinearModel.poissonGlm(perUser, "y", Seq("x_events"))
+        .select(col("term"), col("n"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
     // ---- Cox proportional hazards: covariate-adjusted time-to-churn -------
     // per-user active-span durations (hour-index granularity), censored
     // when still active within 24 hours of the horizon; two feature-scaled
@@ -5674,6 +5694,41 @@ object SparkEntry {
     * per-event-time terms summed exactly, closed-form 2×2 Newton step,
     * round-12 β — every expression mirrors
     * [[graft.operators.Behavior.coxPH]] verbatim. */
+  /** q356 oracle: the Poisson-GLM Newton loop replayed as chained CTEs —
+    * the coxCtes shape without risk sets. Every moment (Σy, Σyx, Σμ,
+    * Σμx, Σμx²) is an exact decimal/long sum; β re-rounds to 12 dp per
+    * iteration; the 2×2 step/SE mirror the driver verbatim. */
+  private def poissonCtes(iterations: Int): String = {
+    val base = """du AS (SELECT
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT y,
+             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id),
+         nn AS (SELECT count(*)::BIGINT n, CAST(sum(y) AS DOUBLE) sy,
+             CAST(sum(CAST(y AS DECIMAL(12,0)) * x0) AS DOUBLE) syx
+           FROM du),
+         cb0 AS (SELECT round(ln(sy / n), 12)::DOUBLE b0, 0.0::DOUBLE b1
+           FROM nn)"""
+    val iters = (1 to iterations).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""sc$i AS (SELECT y, x0,
+             CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
+           FROM du, $prev),
+         gt$i AS (SELECT CAST(sum(mu) AS DOUBLE) h00,
+             CAST(sum(mu * x0) AS DOUBLE) h01,
+             CAST(sum(mu * x0 * x0) AS DOUBLE) h11
+           FROM sc$i),
+         cb$i AS (SELECT
+             round(b0 + (h11 * (sy - h00) - h01 * (syx - h01))
+               / (h00 * h11 - h01 * h01), 12) b0,
+             round(b1 + (h00 * (syx - h01) - h01 * (sy - h00))
+               / (h00 * h11 - h01 * h01), 12) b1
+           FROM $prev, gt$i, nn)"""
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
+  }
+
   private def coxCtes(iterations: Int): String = {
     val base = """pu AS (SELECT user_id,
              min(floor(epoch(ts) / 3600))::BIGINT f,
@@ -10145,6 +10200,38 @@ object SparkEntry {
            round(sqrt(greatest(rm * rm * swd - 2.0 * rm * sawd + sa2wd,
              0.0)), 6) + 0.0 AS rmst_se
          FROM r ORDER BY grp""",
+    // the Poisson-Newton replay (poissonCtes): 4 unrolled iterations on
+    // exact decimal moment sums, closed-form 2x2 step, SE from the final
+    // Fisher information, shared A&S two-sided p
+    "q356_poisson_glm" ->
+      s"""WITH ${poissonCtes(iterations = 4)},
+         fin AS (SELECT b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+         st AS (SELECT n, b0, b1, sqrt(h11 / det) se0,
+                 sqrt(h00 / det) se1 FROM fin, nn),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, round(b1, 6) + 0.0,
+             round(se1, 6) + 0.0, round(z1, 6) + 0.0, round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p

@@ -413,6 +413,42 @@ class LinearModelSpec extends SparkSpecBase {
     }
   }
 
+  test("poissonGlm: saturated binary design has a closed-form MLE; guards") {
+    // x=0 cells mean 2, x=1 cells mean 6 -> b0 = ln2, b1 = ln3;
+    // info at the MLE = [[16,12],[12,12]], se = (0.5, 1/sqrt(3))
+    val d1 = Seq((1L, 0.0), (3L, 0.0), (4L, 1.0), (8L, 1.0)).toDF("y", "x")
+    val r1 = LinearModel.poissonGlm(d1, "y", Seq("x"), iterations = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("beta"), r.getAs[Double]("se"))).toMap
+    assert(math.abs(r1("intercept")._1 - math.log(2)) < 1e-6)
+    assert(math.abs(r1("x")._1 - math.log(3)) < 1e-6)
+    assert(math.abs(r1("intercept")._2 - 0.5) < 1e-6)
+    assert(math.abs(r1("x")._2 - 1 / math.sqrt(3)) < 1e-6)
+    // exactly multiplicative 2x2 design: the log-linear MLE is exact and
+    // the d = 2 Gaussian-elimination path must land on it
+    val d2 = Seq((2L, 0.0, 0.0), (6L, 0.0, 1.0), (4L, 1.0, 0.0),
+      (12L, 1.0, 1.0)).toDF("y", "x1", "x2")
+    val r2 = LinearModel.poissonGlm(d2, "y", Seq("x1", "x2"),
+        iterations = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("beta"), r.getAs[Double]("se"))).toMap
+    assert(math.abs(r2("intercept")._1 - math.log(2)) < 1e-6)
+    assert(math.abs(r2("x1")._1 - math.log(2)) < 1e-6)
+    assert(math.abs(r2("x2")._1 - math.log(3)) < 1e-6)
+    // inv(info) diag = (1/4, 3/16, 2/9) at the MLE
+    assert(math.abs(r2("intercept")._2 - 0.5) < 1e-6)
+    assert(math.abs(r2("x1")._2 - math.sqrt(3.0 / 16)) < 1e-6)
+    assert(math.abs(r2("x2")._2 - math.sqrt(2.0 / 9)) < 1e-6)
+    // constant covariate: information singular -> NULL stats
+    val flat = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("y", "x")
+    LinearModel.poissonGlm(flat, "y", Seq("x")).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
+    // all-zero response: log-mean start undefined -> NULL stats
+    val zero = Seq((0L, 0.0), (0L, 1.0)).toDF("y", "x")
+    LinearModel.poissonGlm(zero, "y", Seq("x")).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:
