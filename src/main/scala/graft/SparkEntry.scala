@@ -2568,6 +2568,33 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- Granger causality: do views LEAD purchases hour-to-hour? ---------
+    // lag-1 F-test of "x_{t-1} adds forecast power over y's own lag" on
+    // the zero-filled hourly view/purchase rates; all ten OLS moments
+    // long-exact; 3.8415 = the F(1,inf) 5% point
+    "q357_granger" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 3600).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 3600).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val series = spine.join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("x", "y"))
+      Drift.grangerLag1(series, "h", "x", "y")
+        .select(col("n"),
+          (round(col("beta_own"), 6) + lit(0.0)).as("beta_own"),
+          (round(col("beta_cross"), 6) + lit(0.0)).as("beta_cross"),
+          (round(col("f"), 6) + lit(0.0)).as("f"),
+          col("df2"), col("granger_5pct"))
+    }),
+
     // ---- Dickey-Fuller unit root on the hourly event rate (Drift) ---------
     // "does the rate mean-revert or wander": OLS of the hourly delta on
     // the lagged level over the q282 zero-filled series; integer counts
@@ -10886,6 +10913,54 @@ object SparkEntry {
            round(pg, 6) + 0.0 AS p_greater,
            round(pl, 6) + 0.0 AS p_less
          FROM t""",
+    // the two-rate hour spine; restricted vs unrestricted OLS from ten
+    // exact BIGINT moments, centered/2x2/RSS arithmetic mirrored
+    // expression-for-expression
+    "q357_granger" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h, event_type
+                FROM events WHERE ts IS NOT NULL),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+         sp AS (SELECT unnest(range(lo, hi + 1)) AS h FROM bounds),
+         hc AS (SELECT h,
+                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS x,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT AS y
+               FROM e GROUP BY 1),
+         ser AS (SELECT sp.h AS t, coalesce(x, 0)::BIGINT AS x,
+                 coalesce(y, 0)::BIGINT AS y
+                FROM sp LEFT JOIN hc ON sp.h = hc.h),
+         pr AS (SELECT c.y AS z, l.y AS w, l.x AS v
+                FROM ser c JOIN ser l ON c.t = l.t + 1),
+         mm AS (SELECT count(*)::BIGINT n, sum(z)::BIGINT sz,
+                 sum(w)::BIGINT sw, sum(v)::BIGINT sv,
+                 sum(z * z)::BIGINT szz, sum(w * w)::BIGINT sww,
+                 sum(v * v)::BIGINT svv, sum(z * w)::BIGINT szw,
+                 sum(z * v)::BIGINT szv, sum(w * v)::BIGINT swv
+               FROM pr),
+         cc AS (SELECT n,
+                 szz - sz::DOUBLE * sz / n AS czz,
+                 sww - sw::DOUBLE * sw / n AS cww,
+                 svv - sv::DOUBLE * sv / n AS cvv,
+                 szw - sz::DOUBLE * sw / n AS czw,
+                 szv - sz::DOUBLE * sv / n AS czv,
+                 swv - sw::DOUBLE * sv / n AS cwv
+               FROM mm),
+         sl AS (SELECT n, czz, czw, czv,
+                 czz - czw / cww * czw AS rssr,
+                 cww * cvv - cwv * cwv AS det,
+                 (cvv * czw - cwv * czv) AS nbo,
+                 (cww * czv - cwv * czw) AS nbc
+               FROM cc),
+         fin AS (SELECT n, nbo / det AS bo, nbc / det AS bc,
+                 czz - nbo / det * czw - nbc / det * czv AS rssu, rssr
+               FROM sl)
+         SELECT n, round(bo, 6) + 0.0 AS beta_own,
+           round(bc, 6) + 0.0 AS beta_cross,
+           round((rssr - rssu) * (n - 3.0) / rssu, 6) + 0.0 AS f,
+           (n - 3)::BIGINT AS df2,
+           ((rssr - rssu) * (n - 3.0) / rssu > 3.8415) AS granger_5pct
+         FROM fin""",
     // the same zero-filled hour spine; lag pairs via the t = t' + 1
     // self-join; all six OLS moments are exact BIGINT sums, the gamma/
     // SE/t arithmetic mirrors the driver expression-for-expression

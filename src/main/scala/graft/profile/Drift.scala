@@ -1633,6 +1633,71 @@ object Drift {
       lit(stat < -2.86).as("stationary_5pct"))
   }
 
+  /** Lag-1 Granger causality — "does series X help FORECAST series Y
+    * beyond Y's own history" (correlation says they move together;
+    * Granger asks whether yesterday's X adds predictive power — the
+    * difference between a dashboard curiosity and an actionable leading
+    * indicator): OLS of yₜ on (1, yₜ₋₁) vs (1, yₜ₋₁, xₜ₋₁), F-test of
+    * the restriction. One row: `(n, beta_own, beta_cross, f, df2,
+    * granger_5pct)` — `beta_cross` is xₜ₋₁'s coefficient in the
+    * unrestricted fit, F ~ F(1, df2 = n−3) under H₀, `granger_5pct`
+    * compares to 3.8415 (the F(1,∞) 5% point; fine for the
+    * hundreds-of-hours series this is meant for — at df2 = 100 the true
+    * point is 3.94). NULL stats when n < 5 or a design moment
+    * degenerates. Same gap-free integer-index contract as [[ljungBox]].
+    *
+    * Determinism contract: with integer-valued series (counts) all ten
+    * OLS moments are EXACT long sums; the centered-moment/2×2-solve/RSS
+    * driver arithmetic replays verbatim in the DuckDB oracle.
+    *
+    * Scale: lag pairs via ONE shifted-index equi-join, one 10-sum
+    * reduce, scalar driver algebra — no window, no sort. */
+  def grangerLag1(series: DataFrame, timeCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val s = series
+      .select(col(timeCol).cast("long").as("t"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .filter(col("t").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val pairs = s.select(col("t"), col("y").as("z"))
+      .join(s.select((col("t") + 1).as("t"), col("y").as("w"),
+        col("x").as("v")), Seq("t"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("z")).as("sz"), sum(col("w")).as("sw"), sum(col("v")).as("sv"),
+      sum(col("z") * col("z")).as("szz"), sum(col("w") * col("w")).as("sww"),
+      sum(col("v") * col("v")).as("svv"), sum(col("z") * col("w")).as("szw"),
+      sum(col("z") * col("v")).as("szv"), sum(col("w") * col("v")).as("swv"))
+      .head()
+    val n = m.getLong(0)
+    val spark = series.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls = spark.range(1).select(lit(n).as("n"), dNull.as("beta_own"),
+      dNull.as("beta_cross"), dNull.as("f"),
+      lit(null).cast("long").as("df2"),
+      lit(null).cast("boolean").as("granger_5pct"))
+    if (n < 5) return nulls
+    val nd = n.toDouble
+    def lg(i: Int) = m.getLong(i)
+    val (sz, sw, sv) = (lg(1), lg(2), lg(3))
+    val czz = lg(4) - sz.toDouble * sz / nd
+    val cww = lg(5) - sw.toDouble * sw / nd
+    val cvv = lg(6) - sv.toDouble * sv / nd
+    val czw = lg(7) - sz.toDouble * sw / nd
+    val czv = lg(8) - sz.toDouble * sv / nd
+    val cwv = lg(9) - sw.toDouble * sv / nd
+    if (cww <= 0) return nulls
+    val rssR = czz - czw / cww * czw
+    val det = cww * cvv - cwv * cwv
+    if (det <= 0) return nulls
+    val bOwn = (cvv * czw - cwv * czv) / det
+    val bCross = (cww * czv - cwv * czw) / det
+    val rssU = czz - bOwn * czw - bCross * czv
+    if (rssU <= 0) return nulls
+    val f = (rssR - rssU) * (nd - 3.0) / rssU
+    spark.range(1).select(lit(n).as("n"), lit(bOwn).as("beta_own"),
+      lit(bCross).as("beta_cross"), lit(f).as("f"),
+      lit(n - 3).as("df2"), lit(f > 3.8415).as("granger_5pct"))
+  }
+
   /** Periodogram power at CANDIDATE periods — "is there a daily/weekly
     * cycle, and how much of the variance does it carry": for each
     * requested period p, the DFT power at frequency 2π/p over the

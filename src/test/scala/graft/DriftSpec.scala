@@ -666,6 +666,32 @@ class DriftSpec extends SparkSpecBase {
       "t", "y").collect().head.isNullAt(1))
   }
 
+  test("grangerLag1: rational-exact two-OLS F by hand; guards") {
+    import spark.implicits._
+    // x = (1,2,1,3,2,4), y = (0,2,3,1,5,3): centered moments are small
+    // rationals -> beta_own = -10/69, beta_cross = 119/69, F = 14161/222
+    val s = Seq((0L, 1L, 0L), (1L, 2L, 2L), (2L, 1L, 3L), (3L, 3L, 1L),
+      (4L, 2L, 5L), (5L, 4L, 3L)).toDF("t", "x", "y")
+    val r = Drift.grangerLag1(s, "t", "x", "y").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(4) == 2L)
+    assert(math.abs(r.getAs[Double]("beta_own") - (-10.0 / 69)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta_cross") - 119.0 / 69) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f") - 14161.0 / 222) < 1e-9)
+    assert(r.getAs[Boolean]("granger_5pct"))
+    // y_t = x_{t-1} exactly: perfect unrestricted fit refuses the ratio
+    val perfect = Seq((0L, 1L, 9L), (1L, 2L, 1L), (2L, 1L, 2L),
+      (3L, 3L, 1L), (4L, 2L, 3L), (5L, 4L, 2L)).toDF("t", "x", "y")
+    assert(Drift.grangerLag1(perfect, "t", "x", "y")
+      .collect().head.isNullAt(3))
+    // constant own-lag level degenerates, short series degenerates
+    val flat = Seq((0L, 1L, 7L), (1L, 2L, 7L), (2L, 1L, 7L), (3L, 3L, 7L),
+      (4L, 2L, 7L), (5L, 4L, 7L)).toDF("t", "x", "y")
+    assert(Drift.grangerLag1(flat, "t", "x", "y")
+      .collect().head.isNullAt(1))
+    assert(Drift.grangerLag1(s.limit(4), "t", "x", "y")
+      .collect().head.isNullAt(1))
+  }
+
   test("periodogramPower: aligned sinusoid carries frac ~1; naive reference") {
     // pure cos(2*pi*t/8) over 8 full cycles: the period-8 line owns the
     // variance (frac = 1 exactly under Fourier alignment)
