@@ -3660,6 +3660,20 @@ object SparkEntry {
         .gateOrdered(col("grp"))
     }),
 
+    // ---- Raking: lang x source mixture weights via IPF (Sampling) ---------
+    // hit TWO margins at once (40% en / 15% each other lang, uniform
+    // sources): 5 alternating-scaling rounds on the cell table, masses
+    // re-quantized to 12-dp decimals so both engines iterate identically
+    "q358_rake_weights" -> ((s, dir) => {
+      Sampling.rakeWeights(read(s, dir, "documents"), "lang", "source",
+          Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+            "zh" -> 0.15), iterations = 5)
+        .select(col("row_key"), col("col_key"), col("n"),
+          (round(col("weight"), 6) + lit(0.0)).as("weight"),
+          (round(col("cell_share"), 6) + lit(0.0)).as("cell_share"))
+        .gateOrdered(col("row_key"), col("col_key"))
+    }),
+
     // ---- Poisson GLM: purchases-per-user rate model (LinearModel) ---------
     // count regression with a log link: purchase volume vs feature-scaled
     // activity; 4 Newton steps on exact decimal moment sums (the q352
@@ -5721,6 +5735,39 @@ object SparkEntry {
     * per-event-time terms summed exactly, closed-form 2×2 Newton step,
     * round-12 β — every expression mirrors
     * [[graft.operators.Behavior.coxPH]] verbatim. */
+  /** q358 oracle: the raking (IPF) loop replayed as unrolled CTEs — one
+    * row-scaling and one column-scaling half-step per iteration, cell
+    * masses re-quantized to DECIMAL(28,12) after each half-step so every
+    * margin total is an exact decimal sum on both engines. */
+  private def rakeCtes(iterations: Int, shares: Seq[(String, Double)])
+      : String = {
+    val vals = shares.map { case (k, v) => s"('$k', $v::DOUBLE)" }
+      .mkString(", ")
+    val base = s"""ce AS (SELECT lang r, source c, count(*)::BIGINT n
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         nn AS (SELECT sum(n)::BIGINT nt FROM ce),
+         kk AS (SELECT count(DISTINCT c)::BIGINT k FROM ce),
+         tr (r, sh) AS (VALUES $vals),
+         w0 AS (SELECT r, c, n, CAST(n AS DECIMAL(28,12)) w FROM ce)"""
+    val iters = (1 to iterations).map { i =>
+      val prev = s"w${i - 1}"
+      s"""rr$i AS (SELECT r, sum(w) tot FROM $prev GROUP BY 1),
+         aa$i AS (SELECT t.r, t.c, t.n,
+             CAST(round(CAST(t.w AS DOUBLE)
+               * (sh * nt / CAST(tot AS DOUBLE)), 12)
+               AS DECIMAL(28,12)) w
+           FROM $prev t JOIN rr$i USING (r) JOIN tr USING (r), nn),
+         cc$i AS (SELECT c, sum(w) tot FROM aa$i GROUP BY 1),
+         w$i AS (SELECT t.r, t.c, t.n,
+             CAST(round(CAST(t.w AS DOUBLE)
+               * (1.0::DOUBLE / k * nt / CAST(tot AS DOUBLE)), 12)
+               AS DECIMAL(28,12)) w
+           FROM aa$i t JOIN cc$i USING (c), kk, nn)"""
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
+  }
+
   /** q356 oracle: the Poisson-GLM Newton loop replayed as chained CTEs —
     * the coxCtes shape without risk sets. Every moment (Σy, Σyx, Σμ,
     * Σμx, Σμx²) is an exact decimal/long sum; β re-rounds to 12 dp per
@@ -10227,6 +10274,16 @@ object SparkEntry {
            round(sqrt(greatest(rm * rm * swd - 2.0 * rm * sawd + sa2wd,
              0.0)), 6) + 0.0 AS rmst_se
          FROM r ORDER BY grp""",
+    // the IPF replay (rakeCtes): 5 unrolled alternating-scaling rounds,
+    // exact decimal margin sums, 12-dp re-quantization per half-step
+    "q358_rake_weights" ->
+      s"""WITH ${rakeCtes(iterations = 5,
+        Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15))}
+         SELECT r AS row_key, c AS col_key, n,
+           round(CAST(w AS DOUBLE) / n, 6) + 0.0 AS weight,
+           round(CAST(w AS DOUBLE) / nt, 6) + 0.0 AS cell_share
+         FROM w5, nn ORDER BY row_key, col_key""",
     // the Poisson-Newton replay (poissonCtes): 4 unrolled iterations on
     // exact decimal moment sums, closed-form 2x2 step, SE from the final
     // Fisher information, shared A&S two-sided p

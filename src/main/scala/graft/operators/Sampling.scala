@@ -187,6 +187,88 @@ object Sampling {
     * deterministic, repartition-stable, and exactly mirrorable by an
     * external SQL oracle (the hex threshold is computed IN the plan with
     * `format_string("%04x", …)`, byte-identical to `printf('%04x', …)`). */
+  /** Raking (iterative proportional fitting) over a two-way cell table —
+    * the mixture tool when you must hit TWO marginal targets at once
+    * ([[temperatureMixture]] reshapes one margin; a corpus rebalance
+    * usually pins language shares AND source shares simultaneously, and
+    * per-cell quotas that satisfy both don't factor into independent
+    * per-margin rates): start from the observed cell counts and
+    * alternately scale rows to the row targets and columns to the column
+    * targets for `iterations` rounds — the classical IPF fixed point
+    * (Deming–Stephan), converging to the max-entropy table with the
+    * requested margins. One row per observed cell: `(row_key, col_key,
+    * n, weight, cell_share)` — `weight` is the per-document sampling
+    * multiplier (raked mass / observed count), `cell_share` the raked
+    * share of the corpus.
+    *
+    * `rowShares` must cover every observed row key and sum to 1; column
+    * targets are uniform over the OBSERVED column keys (the common
+    * "de-bias source skew" ask). Zero cells stay zero (IPF preserves the
+    * support).
+    *
+    * Determinism contract: cell masses re-quantize to 12-dp decimals
+    * after each half-step, so every margin total is an EXACT decimal sum
+    * and both engines iterate on identical values — a DuckDB oracle
+    * replays the loop as unrolled CTEs.
+    *
+    * Scale: ONE (row, col) count aggregation (partial-aggregated); the
+    * driver iterates on ≤ `maxCells` cells (a lang × source table — two
+    * LOW-cardinality dimensions by construction; the guard fail-stops a
+    * high-cardinality misuse). Join the emitted weights back broadcast
+    * to apply them per document. */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+      rowShares: Seq[(String, Double)], iterations: Int = 5,
+      maxCells: Int = 100000): DataFrame = {
+    require(rowShares.nonEmpty, "rowShares must be non-empty")
+    require(math.abs(rowShares.map(_._2).sum - 1.0) < 1e-9,
+      s"row shares must sum to 1, got ${rowShares.map(_._2).sum}")
+    require(rowShares.forall(_._2 > 0), "row shares must be positive")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"rakeWeights: ${cells.length} cells exceed maxCells $maxCells — " +
+        "rake on low-cardinality dimensions")
+    if (cells.isEmpty)
+      return Seq.empty[(String, String, Long, Double, Double)]
+        .toDF("row_key", "col_key", "n", "weight", "cell_share")
+    val shareMap = rowShares.toMap
+    val obsRows = cells.map(_._1).distinct
+    require(obsRows.forall(shareMap.contains),
+      s"rowShares missing observed keys: ${obsRows.filterNot(shareMap.contains).toSeq}")
+    val nTotal = cells.map(_._3).sum
+    val kCols = cells.map(_._2).distinct.length
+    val colTarget = 1.0 / kCols * nTotal
+    def r12(v: Double): BigDecimal =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var w = cells.map { case (_, _, n) => BigDecimal(n) }
+    for (_ <- 1 to iterations) {
+      val rowTot = cells.indices.groupBy(i => cells(i)._1)
+        .map { case (r, is) => r -> is.map(w).sum }
+      w = cells.indices.map { i =>
+        val r = cells(i)._1
+        r12(w(i).toDouble *
+          (shareMap(r) * nTotal / rowTot(r).toDouble))
+      }.toArray
+      val colTot = cells.indices.groupBy(i => cells(i)._2)
+        .map { case (c, is) => c -> is.map(w).sum }
+      w = cells.indices.map { i =>
+        val c = cells(i)._2
+        r12(w(i).toDouble * (colTarget / colTot(c).toDouble))
+      }.toArray
+    }
+    cells.indices.map { i =>
+      val (r, c, n) = cells(i)
+      (r, c, n, w(i).toDouble / n, w(i).toDouble / nTotal)
+    }.toSeq.toDF("row_key", "col_key", "n", "weight", "cell_share")
+  }
+
   def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
       alpha: Double, salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")

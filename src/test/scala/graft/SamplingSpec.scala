@@ -393,4 +393,48 @@ class SamplingSpec extends SparkSpecBase {
     val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "cls"))
     assert(Sampling.downsampleToBalance(withNull, "cls", "id").count() == 6L)
   }
+
+  test("rakeWeights: symmetric fixed point is exact; margins converge; guards") {
+    import spark.implicits._
+    def cellRows(cells: Seq[(String, String, Int)]) =
+      cells.flatMap { case (r, c, n) => Seq.fill(n)((r, c)) }
+        .toDF("lang", "src")
+    // balanced 2x2 with equal margins: IPF is already at its fixed point,
+    // so every per-doc weight is exactly 1
+    val bal = cellRows(Seq(("a", "x", 20), ("a", "y", 10),
+      ("b", "x", 10), ("b", "y", 20)))
+    val wb = Sampling.rakeWeights(bal, "lang", "src",
+      Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    assert(wb.length == 4)
+    wb.foreach { r =>
+      assert(r.getAs[Double]("weight") == 1.0)
+      assert(math.abs(r.getAs[Double]("cell_share") -
+        r.getAs[Long]("n") / 60.0) < 1e-12)
+    }
+    // skewed table: after 5 rounds both margins hit their targets
+    val skew = cellRows(Seq(("a", "x", 30), ("a", "y", 10),
+      ("b", "x", 10), ("b", "y", 50)))
+    val ws = Sampling.rakeWeights(skew, "lang", "src",
+      Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    val rowShare = ws.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("cell_share")).sum }
+    val colShare = ws.groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("cell_share")).sum }
+    rowShare.values.foreach(v => assert(math.abs(v - 0.5) < 1e-3,
+      s"row margins: $rowShare"))
+    colShare.values.foreach(v => assert(math.abs(v - 0.5) < 1e-3,
+      s"col margins: $colShare"))
+    // guards: uncovered observed key, shares not summing to 1, cell cap
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(bal, "lang", "src", Seq("a" -> 1.0)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(bal, "lang", "src",
+        Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(bal, "lang", "src",
+        Seq("a" -> 0.5, "b" -> 0.5), maxCells = 2).collect()
+    }
+  }
 }
