@@ -385,6 +385,21 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- simplified silhouette over the q179 clustering (Similarity) ------
+    // per-cluster quality readout: (b - a)/max(a, b) against decimal-exact
+    // final centroids; per-point scores quantize to 12-dp longs before the
+    // cluster means so both engines sum exact integers
+    "q359_silhouette" -> ((s, dir) => {
+      Similarity.silhouetteSimplified(read(s, dir, "embeddings"), "vec_id",
+          "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 1,
+          dims = 8)
+        .select(col("cluster"), col("n"),
+          (round(col("mean_silhouette"), 6) + lit(0.0)).as("mean_silhouette"),
+          (round(col("mean_dist_own"), 6) + lit(0.0)).as("mean_dist_own"),
+          (round(col("mean_dist_other"), 6) + lit(0.0)).as("mean_dist_other"))
+        .gateOrdered(col("cluster"))
+    }),
+
     // ---- PageRank over the near-dup graph -------------------------------
     // authority scores on the duplicate-pair graph (hub variants rank
     // high — the canonical-doc signal); 2 Lloyd-style driver-sequenced
@@ -5492,14 +5507,16 @@ object SparkEntry {
     * iteration, where previous ≡ seed. A multi-iteration replay must
     * coalesce each round against the prior round's cc CTE instead, or it
     * silently diverges from kmeansLloyd on the first empty cluster. */
-  private def kmeansSql(k: Int, dims: Int): String = {
+  /** The q179 one-Lloyd-iteration CTE chain (ends at `a2`, the final
+    * assignment) — shared by [[kmeansSql]] and [[silhouetteSql]]. */
+  private def kmeansCtes(k: Int, dims: Int): String = {
     def d2(c: Int => String): String =
       (1 to dims).map(i => s"(b.v[$i]-${c(i)})*(b.v[$i]-${c(i)})").mkString(" + ")
     val meanCols = (1 to dims).map(i =>
       s"CAST(sum(v[$i]::DECIMAL(30,12)) AS DOUBLE)/count(*) AS c$i").mkString(", ")
     val ccCols = (1 to dims).map(i =>
       s"coalesce(m.c$i, c0.c[$i]) AS c$i").mkString(", ")
-    s"""WITH b AS (SELECT vec_id AS id, embedding[1:$dims]::DOUBLE[] AS v
+    s"""b AS (SELECT vec_id AS id, embedding[1:$dims]::DOUBLE[] AS v
                    FROM embeddings),
         c0 AS (SELECT id AS j, v AS c FROM b WHERE id < $k),
         s1 AS (SELECT b.id, c0.j, ${d2(i => s"c0.c[$i]")} AS d
@@ -5517,8 +5534,46 @@ object SparkEntry {
         a2 AS (SELECT id, j AS cluster FROM (
                  SELECT id, j, row_number() OVER (PARTITION BY id
                    ORDER BY d ASC, j ASC) AS rn FROM s2) t
-               WHERE rn = 1)
+               WHERE rn = 1)"""
+  }
+
+  private def kmeansSql(k: Int, dims: Int): String =
+    s"""WITH ${kmeansCtes(k, dims)}
         SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id"""
+
+  /** q359 oracle: [[kmeansCtes]]'s final assignment, decimal-exact final
+    * centroids, per-point own/nearest-other distances, and the same
+    * 12-dp per-point quantization the Spark side applies before the
+    * cluster means. */
+  private def silhouetteSql(k: Int, dims: Int): String = {
+    val meanCols = (1 to dims).map(i =>
+      s"CAST(sum(v[$i]::DECIMAL(30,12)) AS DOUBLE)/count(*) AS c$i").mkString(", ")
+    val d2m = (1 to dims).map(i =>
+      s"(b.v[$i]-m2.c$i)*(b.v[$i]-m2.c$i)").mkString(" + ")
+    s"""WITH ${kmeansCtes(k, dims)},
+        m2 AS (SELECT cluster, $meanCols
+               FROM a2 JOIN b USING (id) GROUP BY cluster),
+        s3 AS (SELECT b.id, a2.cluster AS own, m2.cluster AS j, $d2m AS d
+               FROM b JOIN a2 USING (id) CROSS JOIN m2),
+        pp AS (SELECT id, own,
+                 sqrt(max(CASE WHEN j = own THEN d END)) AS a,
+                 sqrt(min(CASE WHEN j <> own THEN d END)) AS bb
+               FROM s3 GROUP BY 1, 2),
+        qq AS (SELECT own AS cluster,
+                 round((CASE WHEN greatest(a, bb) = 0 THEN 0.0
+                        ELSE (bb - a) / greatest(a, bb) END)
+                   * 1e12)::BIGINT AS sq,
+                 round(a * 1e12)::BIGINT AS aq,
+                 round(bb * 1e12)::BIGINT AS bq
+               FROM pp)
+        SELECT cluster, count(*)::BIGINT AS n,
+          round(sum(sq)::DOUBLE / 1e12 / count(*), 6) + 0.0
+            AS mean_silhouette,
+          round(sum(aq)::DOUBLE / 1e12 / count(*), 6) + 0.0
+            AS mean_dist_own,
+          round(sum(bq)::DOUBLE / 1e12 / count(*), 6) + 0.0
+            AS mean_dist_other
+        FROM qq GROUP BY cluster ORDER BY cluster"""
   }
 
   /** q189 oracle: SemDeDup replayed — seed-centroid assignment on the
@@ -6257,6 +6312,9 @@ object SparkEntry {
     "q21_knn_bruteforce" -> knnExactSql,
     // One Lloyd step replayed dimension-by-dimension (see kmeansSql)
     "q179_kmeans_lloyd" -> kmeansSql(k = 4, dims = 8),
+    // kmeansCtes + decimal-exact m2 centroids + the 12-dp per-point
+    // quantization before the cluster means
+    "q359_silhouette" -> silhouetteSql(k = 4, dims = 8),
     // SemDeDup: seed-centroid assignment + within-cluster cosine (see
     // semDedupSql; tau in an empirical gap, so the >= compare is ulp-safe)
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),

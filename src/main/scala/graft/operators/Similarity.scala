@@ -235,6 +235,80 @@ object Similarity {
     base.withColumn("cluster", assignCol).select(col("id"), col("cluster"))
   }
 
+  /** Simplified silhouette over a [[kmeansLloyd]] clustering — "are the
+    * clusters REAL, or did k-means just carve a cloud": per point,
+    * a = distance to its own centroid, b = the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]; the per-cluster mean is the standard
+    * clustering-quality readout (the centroid-based form — the full
+    * pairwise silhouette is O(n²) and adds nothing at corpus scale). One
+    * row per non-empty cluster: `(cluster, n, mean_silhouette,
+    * mean_dist_own, mean_dist_other)`; points equidistant at 0 (both
+    * centroids on top of the point) score 0. Requires ≥ 2 non-empty
+    * clusters.
+    *
+    * Determinism contract: centroids are the decimal-exact means of the
+    * FINAL assignment (Σ DECIMAL(30,12) / n, the [[kmeansLloyd]] update
+    * rule), distances accumulate left-to-right over dimensions with the
+    * centroid values embedded as literals, and each per-point
+    * s/a/b quantizes to a 12-dp long BEFORE the cluster mean — so the
+    * means are exact integer sums and a DuckDB oracle replays everything
+    * from the same parquet.
+    *
+    * Scale: the [[kmeansLloyd]] passes, one more centroid aggregation,
+    * then ONE map-side projection (k·dims literal arithmetic per row,
+    * whole-stage codegen) into a k-bounded aggregate — no shuffle beyond
+    * the groupBy, no pairwise joins. */
+  def silhouetteSimplified(df: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int, dims: Int): DataFrame = {
+    val assigned = kmeansLloyd(df, idCol, vecCol, initIds, iterations, dims)
+    val base = df.select(col(idCol).cast("long").as("id"),
+        slice(col(vecCol), 1, dims).as("v"))
+      .join(assigned, Seq("id"))
+    val aggs = (0 until dims).map(d =>
+      sum(col("v").getItem(d).cast("decimal(30,12)")).as(s"s$d")) :+
+      count(lit(1)).as("n")
+    val rows = base.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    require(rows.length >= 2,
+      s"silhouette needs >= 2 non-empty clusters, got ${rows.length}")
+    val centroids = rows.map { r =>
+      val n = r.getLong(dims + 1).toDouble
+      r.getInt(0) -> (0 until dims).map(d =>
+        r.getDecimal(d + 1).doubleValue() / n).toArray
+    }.sortBy(_._1)
+    def d2To(c: Array[Double]): org.apache.spark.sql.Column =
+      (0 until dims).map { d =>
+        val diff = col("v").getItem(d).cast("double") - lit(c(d))
+        diff * diff
+      }.reduce(_ + _)
+    val withD = centroids.foldLeft(base) { case (acc, (j, c)) =>
+      acc.withColumn(s"__d2_$j", d2To(c))
+    }
+    val own = coalesce(centroids.map { case (j, _) =>
+      when(col("cluster") === j, col(s"__d2_$j"))
+    }: _*) // exactly one branch matches per row
+    val otherMin = least(centroids.map { case (j, _) =>
+      when(col("cluster") === j, lit(Double.PositiveInfinity))
+        .otherwise(col(s"__d2_$j"))
+    }: _*)
+    val a = sqrt(own)
+    val b = sqrt(otherMin)
+    val sRaw = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    val q = withD
+      .withColumn("__sQ", round(sRaw * 1e12, 0).cast("long"))
+      .withColumn("__aQ", round(a * 1e12, 0).cast("long"))
+      .withColumn("__bQ", round(b * 1e12, 0).cast("long"))
+    q.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__sQ")).cast("double") / 1e12 / count(lit(1)))
+          .as("mean_silhouette"),
+        (sum(col("__aQ")).cast("double") / 1e12 / count(lit(1)))
+          .as("mean_dist_own"),
+        (sum(col("__bQ")).cast("double") / 1e12 / count(lit(1)))
+          .as("mean_dist_other"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one band bucket with the
     * query, re-ranked by exact cosine. Recall is tuned by
     * (numBits, numBands): more bands → more probes → higher recall. */

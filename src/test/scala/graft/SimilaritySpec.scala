@@ -214,6 +214,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("silhouetteSimplified: symmetric two-cluster geometry by hand") {
+    // centroids land at (0,1) and (10,1); every point has a = 1,
+    // b = sqrt(101) -> s = (sqrt(101)-1)/sqrt(101), identical by symmetry
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f)), (3L, Array(10.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(df, "vec_id", "embedding",
+        initIds = Seq(0L, 1L), iterations = 1, dims = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_silhouette"),
+         r.getAs[Double]("mean_dist_own"),
+         r.getAs[Double]("mean_dist_other"))).toMap
+    val b = math.sqrt(101.0)
+    val s = (b - 1.0) / b
+    Seq(0, 1).foreach { c =>
+      assert(out(c)._1 == 2L)
+      assert(math.abs(out(c)._2 - s) < 1e-9, s"cluster $c: ${out(c)}")
+      assert(math.abs(out(c)._3 - 1.0) < 1e-9)
+      assert(math.abs(out(c)._4 - b) < 1e-9)
+    }
+    // a single cluster has no "other" centroid — refuse
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(df, "vec_id", "embedding",
+        initIds = Seq(0L), iterations = 1, dims = 2)
+    }
+  }
+
   test("kmeansLloyd at dims=256 / k=64: the compiled kernel lifts the codegen cap") {
     // the pre-kernel unrolled assignment generated O(k·dims) expression
     // terms and fell over janino limits past dims ≈ 64; the kernel must
