@@ -3675,6 +3675,25 @@ object SparkEntry {
         .gateOrdered(col("grp"))
     }),
 
+    // ---- Qini uplift deciles: does activity TARGET the treatment? ---------
+    // the targeting-score audit table: parity cohort as treatment,
+    // high-value purchase as outcome, activity volume as the score;
+    // rank-exact decile edges, every cumulative an exact long sum
+    "q360_qini" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"),
+          count(lit(1)).as("score"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("int"))
+      Drift.qiniDeciles(perUser, "t", "y", "score")
+        .select(col("decile"), col("n_bin"), col("cum_treated"),
+          col("cum_control"), col("cum_y_treated"), col("cum_y_control"),
+          (round(col("qini"), 6) + lit(0.0)).as("qini"))
+        .gateOrdered(col("decile"))
+    }),
+
     // ---- Raking: lang x source mixture weights via IPF (Sampling) ---------
     // hit TWO margins at once (40% en / 15% each other lang, uniform
     // sources): 5 alternating-scaling rounds on the cell table, masses
@@ -10332,6 +10351,43 @@ object SparkEntry {
            round(sqrt(greatest(rm * rm * swd - 2.0 * rm * sawd + sa2wd,
              0.0)), 6) + 0.0 AS rmst_se
          FROM r ORDER BY grp""",
+    // rank-exact decile cutpoints over the distinct-score cumsum (the
+    // q326 pattern), bin-desc cumulative longs, one mirrored double
+    "q360_qini" ->
+      """WITH pu AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END t,
+                  max(CASE WHEN event_type = 'purchase' AND value > 80
+                      THEN 1 ELSE 0 END)::BIGINT y,
+                  count(*)::DOUBLE s
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id),
+         dc AS (SELECT s, count(*)::BIGINT c FROM pu GROUP BY 1),
+         cm AS (SELECT s, sum(c) OVER (ORDER BY s) hi FROM dc),
+         nn AS (SELECT count(*)::BIGINT n FROM pu),
+         rk AS (SELECT DISTINCT ((j * n + 9) // 10) r
+               FROM unnest(range(1, 10)) u(j), nn),
+         cuts AS (SELECT DISTINCT min(s) cut FROM cm, rk WHERE hi >= r
+               GROUP BY r),
+         bb AS (SELECT t, y,
+                 (SELECT count(*) FROM cuts WHERE pu.s > cut) b FROM pu),
+         byb AS (SELECT b, count(*)::BIGINT nb,
+                 sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT nt,
+                 sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END)::BIGINT nc,
+                 sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT yt,
+                 sum(CASE WHEN t <> 1 THEN y ELSE 0 END)::BIGINT yc
+               FROM bb GROUP BY 1),
+         cum AS (SELECT row_number() OVER (ORDER BY b DESC) decile, nb,
+                 sum(nt) OVER w cnt, sum(nc) OVER w cnc,
+                 sum(yt) OVER w cyt, sum(yc) OVER w cyc
+               FROM byb
+               WINDOW w AS (ORDER BY b DESC ROWS UNBOUNDED PRECEDING))
+         SELECT decile::INT AS decile, nb AS n_bin,
+           cnt::BIGINT AS cum_treated, cnc::BIGINT AS cum_control,
+           cyt::BIGINT AS cum_y_treated, cyc::BIGINT AS cum_y_control,
+           (CASE WHEN cnc = 0 THEN NULL
+            ELSE round(cyt - cyc * (cnt::DOUBLE / cnc), 6) + 0.0 END)
+             AS qini
+         FROM cum ORDER BY decile""",
     // the IPF replay (rakeCtes): 5 unrolled alternating-scaling rounds,
     // exact decimal margin sums, 12-dp re-quantization per half-step
     "q358_rake_weights" ->

@@ -1633,6 +1633,67 @@ object Drift {
       lit(stat < -2.86).as("stationary_5pct"))
   }
 
+  /** Qini uplift deciles — the evaluation table for a TARGETING score
+    * ([[cuped]] and the A/B shelf measure the average effect; a targeting
+    * model claims it knows WHO to treat, and the Qini curve is how that
+    * claim is audited): rank everyone by score descending, and at each
+    * cumulative decile compare treated conversions to the
+    * control-rate-scaled expectation, qini = cumYₜ − cumY_c·(cumNₜ/cumN_c)
+    * — the incremental conversions attributable to treating the top k
+    * deciles. A useful score front-loads qini; a useless one tracks the
+    * straight line to the full-population effect. One row per non-empty
+    * decile (1 = top scores): `(decile, n_bin, cum_treated, cum_control,
+    * cum_y_treated, cum_y_control, qini)`; NULL qini while the cumulative
+    * control group is empty.
+    *
+    * Determinism: decile edges are rank-exact cutpoints over the
+    * distinct-score prefix sum ([[graft.ops.ScaleOps.rankCutpoints]] —
+    * tie-collapsing, both engines land on observed values); every
+    * cumulative is an exact long sum, and the single double expression
+    * mirrors verbatim in the DuckDB oracle.
+    *
+    * Scale: the distributed cumsum for the cutpoints, a broadcast edge
+    * array for bin assignment, ONE bin-bounded aggregation, driver
+    * cumulation over ≤ `bins` rows. */
+  def qiniDeciles(df: DataFrame, treatCol: String, outcomeCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in 2..100: $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(treatCol).cast("int").as("t"),
+        col(outcomeCol).cast("long").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .filter(col("t").isNotNull && col("y").isNotNull && col("s").isNotNull)
+    val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "s", "c",
+      graft.ops.ScaleOps.quantileRanks(bins))
+    if (n == 0)
+      return Seq.empty[(Int, Long, Long, Long, Long, Long, Option[Double])]
+        .toDF("decile", "n_bin", "cum_treated", "cum_control",
+          "cum_y_treated", "cum_y_control", "qini")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("s") > c, 1).otherwise(0)
+    }
+    val byBin = base.withColumn("b", bin)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") =!= 1, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("t") =!= 1, col("y")).otherwise(0L)).as("yc"))
+      .orderBy(col("b").desc) // top scores first
+      .collect()
+    var (cnt, cnc, cyt, cyc) = (0L, 0L, 0L, 0L)
+    byBin.zipWithIndex.map { case (r, i) =>
+      cnt += r.getLong(2); cnc += r.getLong(3)
+      cyt += r.getLong(4); cyc += r.getLong(5)
+      val qini: Option[Double] =
+        if (cnc == 0) None else Some(cyt - cyc * (cnt.toDouble / cnc))
+      (i + 1, r.getLong(1), cnt, cnc, cyt, cyc, qini)
+    }.toSeq.toDF("decile", "n_bin", "cum_treated", "cum_control",
+      "cum_y_treated", "cum_y_control", "qini")
+  }
+
   /** Lag-1 Granger causality — "does series X help FORECAST series Y
     * beyond Y's own history" (correlation says they move together;
     * Granger asks whether yesterday's X adds predictive power — the

@@ -666,6 +666,29 @@ class DriftSpec extends SparkSpecBase {
       "t", "y").collect().head.isNullAt(1))
   }
 
+  test("qiniDeciles: hand cumulative uplift; empty-control NULL") {
+    import spark.implicits._
+    // cut at score 2 -> top bin {3,4}, bottom {1,2}
+    val d = Seq((1, 1L, 4.0), (0, 0L, 3.0), (1, 0L, 2.0), (0, 1L, 1.0))
+      .toDF("t", "y", "s")
+    val out = Drift.qiniDeciles(d, "t", "y", "s", bins = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(out(1) == ((1L, 1L, 1L, 0L, Some(1.0))))
+    assert(out(2) == ((2L, 2L, 1L, 1L, Some(0.0))))
+    // all-treated top decile: no control yet -> NULL qini, next fills in
+    val skew = Seq((1, 1L, 4.0), (1, 0L, 3.0), (0, 0L, 2.0), (0, 1L, 1.0))
+      .toDF("t", "y", "s")
+    val o2 = Drift.qiniDeciles(skew, "t", "y", "s", bins = 2)
+      .collect().sortBy(_.getInt(0))
+    assert(o2(0).isNullAt(6))
+    assert(o2(1).getDouble(6) == 0.0) // 1 - 1*(2/2)
+    // empty input yields an empty frame
+    assert(Drift.qiniDeciles(d.filter(col("t") < 0), "t", "y", "s",
+      bins = 2).count() == 0)
+  }
+
   test("grangerLag1: rational-exact two-OLS F by hand; guards") {
     import spark.implicits._
     // x = (1,2,1,3,2,4), y = (0,2,3,1,5,3): centered moments are small
