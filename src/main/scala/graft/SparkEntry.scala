@@ -3292,6 +3292,22 @@ object SparkEntry {
         .gateOrdered(col("bin"))
     }),
 
+    // ---- Yuen trimmed-means test: en vs de doc lengths (Drift) ------------
+    // the robust twin of q247's Welch t: 10%-trimmed means, winsorized
+    // variances, Welch-Satterthwaite df; rank-exact overlap algebra on
+    // the shared two-sided cumsum (integer n_chars keep the sums exact)
+    "q361_yuen_trimmed" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Drift.yuenTrimmedTest(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "de"), "n_chars", trimFrac = 0.1)
+        .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+          (round(col("trimmed_mean_a"), 6) + lit(0.0)).as("trimmed_mean_a"),
+          (round(col("trimmed_mean_b"), 6) + lit(0.0)).as("trimmed_mean_b"),
+          (round(col("t_stat"), 6) + lit(0.0)).as("t_stat"),
+          (round(col("df"), 4) + lit(0.0)).as("df"))
+    }),
+
     // ---- robust location panel on doc lengths (Drift) ---------------------
     // rank-exact trimmed/winsorized means from the distinct-value cumsum
     "q327_robust_location" -> ((s, dir) => {
@@ -9605,6 +9621,72 @@ object SparkEntry {
            round(f, 6) + 0.0 AS calibrated
          FROM byb JOIN fit ON byb.bin = fit.kb
          ORDER BY byb.bin""",
+    // the q327 rank-overlap algebra per side; Yuen/Welch-Satterthwaite
+    // driver arithmetic mirrored expression-for-expression
+    "q361_yuen_trimmed" ->
+      """WITH sa AS (SELECT n_chars::DOUBLE v FROM documents
+                WHERE lang = 'en' AND n_chars IS NOT NULL),
+         sb AS (SELECT n_chars::DOUBLE v FROM documents
+                WHERE lang = 'de' AND n_chars IS NOT NULL),
+         da AS (SELECT v, count(*)::BIGINT c FROM sa GROUP BY 1),
+         db_ AS (SELECT v, count(*)::BIGINT c FROM sb GROUP BY 1),
+         ca_ AS (SELECT v, c, sum(c) OVER (ORDER BY v) hi FROM da),
+         cb_ AS (SELECT v, c, sum(c) OVER (ORDER BY v) hi FROM db_),
+         ta AS (SELECT count(*)::BIGINT n,
+                 floor(count(*) * 0.1::DOUBLE)::BIGINT tr FROM sa),
+         tb AS (SELECT count(*)::BIGINT n,
+                 floor(count(*) * 0.1::DOUBLE)::BIGINT tr FROM sb),
+         ja AS (SELECT v, c, hi, hi - c + 1 lo, n, tr FROM ca_, ta),
+         jb AS (SELECT v, c, hi, hi - c + 1 lo, n, tr FROM cb_, tb),
+         xa AS (SELECT max(n) n, max(tr) tr,
+                 sum(v * greatest(least(hi, n - tr)
+                   - greatest(lo, tr + 1) + 1, 0)) ts,
+                 sum(v * (greatest(least(hi, n - tr)
+                     - greatest(lo, tr + 1) + 1, 0)
+                   + CASE WHEN lo <= tr + 1 AND tr + 1 <= hi
+                       THEN tr ELSE 0 END
+                   + CASE WHEN lo <= n - tr AND n - tr <= hi
+                       THEN tr ELSE 0 END)) ws,
+                 sum(v * v * (greatest(least(hi, n - tr)
+                     - greatest(lo, tr + 1) + 1, 0)
+                   + CASE WHEN lo <= tr + 1 AND tr + 1 <= hi
+                       THEN tr ELSE 0 END
+                   + CASE WHEN lo <= n - tr AND n - tr <= hi
+                       THEN tr ELSE 0 END)) w2
+               FROM ja),
+         xb AS (SELECT max(n) n, max(tr) tr,
+                 sum(v * greatest(least(hi, n - tr)
+                   - greatest(lo, tr + 1) + 1, 0)) ts,
+                 sum(v * (greatest(least(hi, n - tr)
+                     - greatest(lo, tr + 1) + 1, 0)
+                   + CASE WHEN lo <= tr + 1 AND tr + 1 <= hi
+                       THEN tr ELSE 0 END
+                   + CASE WHEN lo <= n - tr AND n - tr <= hi
+                       THEN tr ELSE 0 END)) ws,
+                 sum(v * v * (greatest(least(hi, n - tr)
+                     - greatest(lo, tr + 1) + 1, 0)
+                   + CASE WHEN lo <= tr + 1 AND tr + 1 <= hi
+                       THEN tr ELSE 0 END
+                   + CASE WHEN lo <= n - tr AND n - tr <= hi
+                       THEN tr ELSE 0 END)) w2
+               FROM jb),
+         hh AS (SELECT xa.n na, xb.n nb,
+                 (xa.n - 2 * xa.tr)::BIGINT ha,
+                 (xb.n - 2 * xb.tr)::BIGINT hb,
+                 xa.ts tsa, xa.ws wsa, xa.w2 w2a,
+                 xb.ts tsb, xb.ws wsb, xb.w2 w2b
+               FROM xa, xb),
+         dd AS (SELECT *, tsa / ha tma, tsb / hb tmb,
+                 (w2a - wsa * wsa / na) / (ha::DOUBLE * (ha - 1)) dA,
+                 (w2b - wsb * wsb / nb) / (hb::DOUBLE * (hb - 1)) dB
+               FROM hh)
+         SELECT na AS n_a, nb AS n_b, ha AS h_a, hb AS h_b,
+           round(tma, 6) + 0.0 AS trimmed_mean_a,
+           round(tmb, 6) + 0.0 AS trimmed_mean_b,
+           round((tma - tmb) / sqrt(dA + dB), 6) + 0.0 AS t_stat,
+           round((dA + dB) * (dA + dB)
+             / (dA * dA / (ha - 1) + dB * dB / (hb - 1)), 4) + 0.0 AS df
+         FROM dd""",
     // the same rank-overlap algebra over the distinct-value cumsum
     "q327_robust_location" ->
       """WITH b AS (SELECT n_chars::DOUBLE v FROM documents

@@ -2880,6 +2880,84 @@ object Drift {
       lit(row.getDouble(5)).as("median"))
   }
 
+  /** Yuen's trimmed-means test — the ROBUST two-sample location test
+    * (the q247 Welch t compares means, which one heavy tail owns;
+    * Yuen 1974 compares `trimFrac`-trimmed means with winsorized-variance
+    * standard errors, keeping size and power under the tails every
+    * corpus length/latency column actually has). One row: `(n_a, n_b,
+    * h_a, h_b, trimmed_mean_a, trimmed_mean_b, t_stat, df)` — h = n−2⌊nf⌋
+    * is the effective size, T = (x̄ₜᴬ−x̄ₜᴮ)/√(dᴬ+dᴮ) with
+    * d = (Σw² − (Σw)²/n)/(h(h−1)) from the WINSORIZED values, df by
+    * Welch–Satterthwaite. No p (t survival at fractional df is not SQL —
+    * the Welch-ANOVA convention); NULL stats when either h < 2 or the
+    * variance degenerates.
+    *
+    * Rank-exact like [[robustLocation]]: trimming drops exactly ⌊nf⌋
+    * ranks per tail, winsorizing clamps them to the surviving extremes —
+    * per-distinct-value overlap algebra, no interpolation. On
+    * integer-valued columns every Σv·k / Σv²·k term is an exact integer
+    * in double, so aggregation order cannot move a bit and the oracle
+    * replays verbatim.
+    *
+    * Scale: per-side distinct-value counts, ONE shared two-phase
+    * distributed cumsum over the full-outer value join (the
+    * [[ksStatistic]] plan — absent-side values contribute zero overlap
+    * by construction), a single reduce, scalar driver algebra. */
+  def yuenTrimmedTest(a: DataFrame, b: DataFrame, column: String,
+      trimFrac: Double = 0.1): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5): $trimFrac")
+    val va = a.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("ca"))
+    val vb = b.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).groupBy("v").agg(count(lit(1)).as("cb"))
+    val joined = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      joined, col("v"), Seq("ca", "cb"), Seq("_ea", "_eb"),
+      persistInput = false)
+    val (nA, nB) = (grand(0), grand(1))
+    val spark = a.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls(ha: Long, hb: Long) = spark.range(1).select(
+      lit(nA).as("n_a"), lit(nB).as("n_b"), lit(ha).as("h_a"),
+      lit(hb).as("h_b"), dNull.as("trimmed_mean_a"),
+      dNull.as("trimmed_mean_b"), dNull.as("t_stat"), dNull.as("df"))
+    val tA = (nA * trimFrac).toLong; val tB = (nB * trimFrac).toLong
+    val (hA, hB) = (nA - 2 * tA, nB - 2 * tB)
+    if (hA < 2 || hB < 2) return nulls(math.max(hA, 0), math.max(hB, 0))
+    def side(c: String, e: String, n: Long, t: Long) = {
+      val hi = col(e) + col(c)
+      val lo = col(e) + 1
+      val keepLo = lit(t + 1); val keepHi = lit(n - t)
+      val kept = greatest(least(hi, keepHi) - greatest(lo, keepLo) + 1,
+        lit(0L))
+      val lowCl = when(lo <= keepLo && keepLo <= hi, lit(t)).otherwise(lit(0L))
+      val highCl = when(lo <= keepHi && keepHi <= hi, lit(t)).otherwise(lit(0L))
+      val w = kept + lowCl + highCl
+      (sum(col("v") * kept), sum(col("v") * w), sum(col("v") * col("v") * w))
+    }
+    val (tsA, wsA, w2A) = side("ca", "_ea", nA, tA)
+    val (tsB, wsB, w2B) = side("cb", "_eb", nB, tB)
+    val row = cum.agg(tsA.as("tsa"), wsA.as("wsa"), w2A.as("w2a"),
+      tsB.as("tsb"), wsB.as("wsb"), w2B.as("w2b")).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val tmA = row.getDouble(0) / hA
+    val tmB = row.getDouble(3) / hB
+    val dA = (row.getDouble(2) - row.getDouble(1) * row.getDouble(1) / nA) /
+      (hA.toDouble * (hA - 1))
+    val dB = (row.getDouble(5) - row.getDouble(4) * row.getDouble(4) / nB) /
+      (hB.toDouble * (hB - 1))
+    if (!(dA + dB > 0)) return nulls(hA, hB)
+    val tStat = (tmA - tmB) / math.sqrt(dA + dB)
+    val df = (dA + dB) * (dA + dB) /
+      (dA * dA / (hA - 1) + dB * dB / (hB - 1))
+    spark.range(1).select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+      lit(hA).as("h_a"), lit(hB).as("h_b"),
+      lit(tmA).as("trimmed_mean_a"), lit(tmB).as("trimmed_mean_b"),
+      lit(tStat).as("t_stat"), lit(df).as("df"))
+  }
+
   /** Kuiper two-sample test — the rotation-invariant KS: V = D⁺ + D⁻
     * (max CDF exceedance in EACH direction) weighs the tails equally and
     * is invariant to cyclic shifts, so it catches phase drift in

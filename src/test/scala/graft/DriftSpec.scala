@@ -666,6 +666,35 @@ class DriftSpec extends SparkSpecBase {
       "t", "y").collect().head.isNullAt(1))
   }
 
+  test("yuenTrimmedTest: hand trimmed/winsorized algebra; outlier immunity") {
+    import spark.implicits._
+    // A = (1,2,3,4,100), B = (0,2,4,6,1000), f = 0.2 -> t = 1, h = 3:
+    // tmA = 3, tmB = 4, dA = 2/3, dB = 8/3, T = -1/sqrt(10/3),
+    // df = (10/3)^2 / ((4/9 + 64/9)/2) = 100/34
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val b = Seq(0.0, 2.0, 4.0, 6.0, 1000.0).toDF("x")
+    val r = Drift.yuenTrimmedTest(a, b, "x", trimFrac = 0.2).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(2) == 3L)
+    assert(math.abs(r.getAs[Double]("trimmed_mean_a") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("trimmed_mean_b") - 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat") + 1 / math.sqrt(10.0 / 3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - 100.0 / 34) < 1e-12)
+    // the outliers moved the raw means by ~20x and Yuen by nothing:
+    // same T with the outliers made 100x wilder
+    val a2 = Seq(1.0, 2.0, 3.0, 4.0, 10000.0).toDF("x")
+    val b2 = Seq(0.0, 2.0, 4.0, 6.0, 100000.0).toDF("x")
+    val r2 = Drift.yuenTrimmedTest(a2, b2, "x", trimFrac = 0.2).collect().head
+    assert(r2.getAs[Double]("t_stat") == r.getAs[Double]("t_stat"))
+    // ties split across the trim boundary stay rank-exact
+    val at = Seq(1.0, 2.0, 2.0, 3.0, 100.0).toDF("x")
+    val rt = Drift.yuenTrimmedTest(at, b, "x", trimFrac = 0.2).collect().head
+    assert(math.abs(rt.getAs[Double]("trimmed_mean_a") - 7.0 / 3) < 1e-12)
+    // too small after trimming -> NULL stats
+    val tiny = Seq(1.0, 2.0, 3.0).toDF("x")
+    assert(Drift.yuenTrimmedTest(tiny, b, "x", trimFrac = 0.34)
+      .collect().head.isNullAt(4))
+  }
+
   test("qiniDeciles: hand cumulative uplift; empty-control NULL") {
     import spark.implicits._
     // cut at score 2 -> top bin {3,4}, bottom {1,2}
