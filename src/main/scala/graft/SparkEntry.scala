@@ -385,6 +385,25 @@ object SparkEntry {
         .gateOrdered(col("vec_id"))
     }),
 
+    // ---- Procrustes alignment recovers a planted rotation (Similarity) ----
+    // the model-migration map: B is A pushed through a KNOWN orthogonal
+    // transform (dimension rotate-by-3 with odd-index sign flips);
+    // R = UV^T from the Jacobi SVD of the exact-decimal cross-moment must
+    // land back on that transform to machine precision
+    "q362_procrustes" -> ((s, dir) => {
+      val src = read(s, dir, "embeddings")
+      val planted = src.select(col("vec_id"),
+        array((0 until 8).map { j =>
+          val e = col("embedding").getItem((j + 3) % 8).cast("double")
+          if (j % 2 == 1) -e else e
+        }: _*).as("vb"))
+      Similarity.procrustesAlign(src, planted, "vec_id", "embedding", "vb",
+          dims = 8)
+        .select(col("i"), col("j"),
+          (round(col("r"), 6) + lit(0.0)).as("r"))
+        .gateOrdered(col("i"), col("j"))
+    }),
+
     // ---- simplified silhouette over the q179 clustering (Similarity) ------
     // per-cluster quality readout: (b - a)/max(a, b) against decimal-exact
     // final centroids; per-point scores quantize to 12-dp longs before the
@@ -6350,6 +6369,19 @@ object SparkEntry {
     // kmeansCtes + decimal-exact m2 centroids + the 12-dp per-point
     // quantization before the cluster means
     "q359_silhouette" -> silhouetteSql(k = 4, dims = 8),
+    // the planted transform IS the expected answer: Jacobi lands within
+    // ~1e-13 of the exact permutation/sign matrix, so the 6-dp rounding
+    // snaps to these literals
+    "q362_procrustes" -> {
+      val cells = for (i <- 0 until 8; j <- 0 until 8) yield {
+        val v =
+          if (i == (j + 3) % 8) (if (j % 2 == 1) -1.0 else 1.0) else 0.0
+        s"($i, $j, $v::DOUBLE)"
+      }
+      s"""SELECT i, j, r + 0.0 AS r
+         FROM (VALUES ${cells.mkString(", ")}) t(i, j, r)
+         ORDER BY i, j"""
+    },
     // SemDeDup: seed-centroid assignment + within-cluster cosine (see
     // semDedupSql; tau in an empirical gap, so the >= compare is ulp-safe)
     "q189_semdedup" -> semDedupSql(k = 8, dims = 8, tau = 0.42),

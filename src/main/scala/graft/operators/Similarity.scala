@@ -309,6 +309,73 @@ object Similarity {
           .as("mean_dist_other"))
   }
 
+  /** Orthogonal Procrustes alignment between two embedding spaces — the
+    * model-migration tool: after an embedding upgrade, old and new
+    * vectors for the SAME ids live in rotated/reflected spaces, and the
+    * optimal orthogonal map R = argmin_{RᵀR=I} ‖AR − B‖_F lets cached
+    * old vectors keep serving against the new index. Classical solution
+    * (Schönemann 1966): R = UVᵀ from the SVD of the cross-moment
+    * M = AᵀB. One row per matrix cell: `(i, j, r)` with R in row-major
+    * (i indexes the A dimension).
+    *
+    * No linear-algebra dependency: M lands on the driver as d² EXACT
+    * decimal sums (order-free), the SVD comes from
+    * [[symmetricEigen cyclic Jacobi]] on MᵀM (V and σ², gap-independent)
+    * with U = MVΣ⁻¹ — all O(d³) driver arithmetic at machine precision.
+    * Refuses rank-deficient cross-moments (σ_min ≤ 1e-9·σ_max: the
+    * rotation is not identifiable on the null space — typically ids that
+    * never matched or a collapsed dimension).
+    *
+    * Scale: ONE id-equi-join (the vectors never shuffle twice) into a
+    * d²-column decimal reduce; everything after is driver-side d×d. */
+  def procrustesAlign(a: DataFrame, b: DataFrame, idCol: String,
+      vecColA: String, vecColB: String, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 128, s"dims must be in 2..128: $dims")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val va = a.select(col(idCol).cast("long").as("id"),
+      slice(col(vecColA), 1, dims).as("va"))
+    val vb = b.select(col(idCol).cast("long").as("id"),
+      slice(col(vecColB), 1, dims).as("vb"))
+    val joined = va.join(vb, Seq("id"))
+    val pairIdx = for { i <- 0 until dims; j <- 0 until dims } yield (i, j)
+    val aggs = pairIdx.map { case (i, j) =>
+      sum((col("va").getItem(i).cast("double") *
+        col("vb").getItem(j).cast("double")).cast("decimal(30,12)"))
+        .as(s"m_${i}_$j")
+    } :+ count(lit(1)).as("n")
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(dims * dims)
+    require(n >= dims, s"procrustes needs >= $dims matched ids, got $n")
+    val m = Array.ofDim[Double](dims, dims)
+    pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+      m(i)(j) = if (row.isNullAt(p)) 0.0 else row.getDecimal(p).doubleValue()
+    }
+    // MᵀM = VΣ²Vᵀ by Jacobi; U = MVΣ⁻¹; R = UVᵀ
+    val mtm = Array.tabulate(dims, dims) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < dims) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (evals, v) = symmetricEigen(mtm)
+    val sigma = evals.map(l => math.sqrt(math.max(l, 0.0)))
+    val sMax = sigma.max
+    require(sMax > 0 && sigma.min > 1e-9 * sMax,
+      s"procrustes: cross-moment is rank-deficient (sigma = ${sigma.toSeq})" +
+        " — the rotation is not identifiable")
+    val u = Array.tabulate(dims, dims) { (i, k) =>
+      var s = 0.0; var l = 0
+      while (l < dims) { s += m(i)(l) * v(l)(k); l += 1 }
+      s / sigma(k)
+    }
+    val r = Array.tabulate(dims, dims) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < dims) { s += u(i)(k) * v(j)(k); k += 1 }
+      s
+    }
+    pairIdx.map { case (i, j) => (i, j, r(i)(j)) }.toDF("i", "j", "r")
+  }
+
   /** LSH-bucketed ANN: candidates share at least one band bucket with the
     * query, re-ranked by exact cosine. Recall is tuned by
     * (numBits, numBands): more bands → more probes → higher recall. */

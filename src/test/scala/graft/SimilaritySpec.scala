@@ -242,6 +242,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("procrustesAlign: recovers planted rotations and reflections; guards") {
+    // B = A rotated 90 degrees: R = [[0,1],[-1,0]]
+    val a = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 2.0f)),
+      (2L, Array(3.0f, 4.0f))).toDF("id", "va")
+    val rot = Seq((0L, Array(0.0f, 1.0f)), (1L, Array(-2.0f, 0.0f)),
+      (2L, Array(-4.0f, 3.0f))).toDF("id", "vb")
+    val r = Similarity.procrustesAlign(a, rot, "id", "va", "vb", dims = 2)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((0, 0))) < 1e-9 && math.abs(r((1, 1))) < 1e-9)
+    assert(math.abs(r((0, 1)) - 1.0) < 1e-9)
+    assert(math.abs(r((1, 0)) + 1.0) < 1e-9)
+    // a reflection (det = -1) is recovered too — Schonemann's solution
+    // does not constrain the determinant
+    val refl = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, -2.0f)),
+      (2L, Array(3.0f, -4.0f))).toDF("id", "vb")
+    val r2 = Similarity.procrustesAlign(a, refl, "id", "va", "vb", dims = 2)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r2((0, 0)) - 1.0) < 1e-9)
+    assert(math.abs(r2((1, 1)) + 1.0) < 1e-9)
+    // rank-deficient cross-moment refuses (collapsed second dimension)
+    val flat = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.procrustesAlign(flat, flat, "id", "v", "v", dims = 2)
+    }
+    // too few matched ids refuses
+    intercept[IllegalArgumentException] {
+      Similarity.procrustesAlign(a.limit(1), rot, "id", "va", "vb", dims = 2)
+    }
+  }
+
   test("kmeansLloyd at dims=256 / k=64: the compiled kernel lifts the codegen cap") {
     // the pre-kernel unrolled assignment generated O(k·dims) expression
     // terms and fell over janino limits past dims ≈ 64; the kernel must
