@@ -2561,6 +2561,19 @@ object SparkEntry {
           (round(col("z"), 6) + lit(0.0)).as("z"))
     }),
 
+    // ---- Somers' D: does quantity PREDICT the price bucket? ----------------
+    // the asymmetric concordance (d_{Y|X} excludes predictor ties from the
+    // denominator; = 2*AUC-1 for binary Y) over the q278 machinery
+    "q363_somers_d" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").select(col("l_quantity").as("x"),
+        floor(col("l_extendedprice") / 5000).as("y"))
+      graft.profile.Association.somersD(li, "x", "y")
+        .select(col("n"), col("n_cells"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"),
+          (round(col("d_y_given_x"), 6) + lit(0.0)).as("d_y_given_x"),
+          (round(col("d_x_given_y"), 6) + lit(0.0)).as("d_x_given_y"))
+    }),
+
     // ---- Cliff's delta effect size en vs de doc lengths (Drift) -----------
     // the ordinal effect-size companion of q229's Mann-Whitney U: exact
     // cross-pair counts from the distinct-value cumsum, delta and the
@@ -2600,6 +2613,30 @@ object SparkEntry {
           (round(col("z_kurt"), 6) + lit(0.0)).as("z_kurt"),
           (round(col("k2"), 6) + lit(0.0)).as("k2"),
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- single mean-shift changepoint on the hourly purchase rate --------
+    // "WHERE did the level change": argmax of the scaled CUSUM over the
+    // zero-filled spine; integer counts keep every prefix exact, earliest
+    // hour wins ties; TakeOrdered(1), no global sort
+    "q364_changepoint" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      val spine = ev
+        .agg(floor(unix_timestamp(min(col("ts"))) / 3600).as("lo"),
+          floor(unix_timestamp(max(col("ts"))) / 3600).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val series = spine.join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("y"))
+      Drift.changepointMean(series, "h", "y")
+        .select(col("n"), col("change_at"), col("k"),
+          (round(col("stat"), 6) + lit(0.0)).as("stat"),
+          (round(col("mean_before"), 6) + lit(0.0)).as("mean_before"),
+          (round(col("mean_after"), 6) + lit(0.0)).as("mean_after"))
     }),
 
     // ---- Granger causality: do views LEAD purchases hour-to-hour? ---------
@@ -8950,6 +8987,45 @@ object SparkEntry {
              + txt1 * tyt1 / (2 * nd * (nd - 1))
              + txt2 * tyt2 / (9 * nd * (nd - 1) * (nd - 2))), 6) + 0.0 AS z
          FROM f""",
+    // the q278 grid CTEs with the Somers final ratios: predictor ties
+    // leave the denominator per direction
+    "q363_somers_d" ->
+      """WITH p AS (SELECT l_quantity::DOUBLE x,
+                  floor(l_extendedprice / 5000)::DOUBLE y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         sparse AS (SELECT x, y, count(*)::BIGINT n FROM p GROUP BY 1, 2),
+         grid AS (SELECT xs.x, ys.y, coalesce(s.n, 0)::BIGINT n
+                FROM (SELECT DISTINCT x FROM sparse) xs
+                CROSS JOIN (SELECT DISTINCT y FROM sparse) ys
+                LEFT JOIN sparse s ON s.x = xs.x AND s.y = ys.y),
+         aa AS (SELECT x, y, n,
+                  coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE a
+                FROM grid),
+         bb AS (SELECT x, y, n, a,
+                  coalesce(sum(a) OVER (PARTITION BY x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) b,
+                  sum(a) OVER (PARTITION BY x) atot
+                FROM aa),
+         core AS (SELECT sum(n)::BIGINT n,
+                  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT n_cells,
+                  sum(n::DOUBLE * b) c, sum(n::DOUBLE * (atot - a - b)) d
+                FROM bb),
+         tx AS (SELECT sum(t * (t - 1) / 2) pairs
+                FROM (SELECT count(*)::DOUBLE t FROM p GROUP BY x) g),
+         ty AS (SELECT sum(t * (t - 1) / 2) pairs
+                FROM (SELECT count(*)::DOUBLE t FROM p GROUP BY y) g),
+         f AS (SELECT core.n, core.n_cells, core.c, core.d,
+                 core.n::DOUBLE nd, tx.pairs txp, ty.pairs typ
+               FROM core, tx, ty)
+         SELECT n, n_cells, c AS concordant, d AS discordant,
+           txp AS ties_x, typ AS ties_y,
+           round((c - d) / (nd * (nd - 1) / 2 - txp), 6) + 0.0
+             AS d_y_given_x,
+           round((c - d) / (nd * (nd - 1) / 2 - typ), 6) + 0.0
+             AS d_x_given_y
+         FROM f""",
     // exact cross-pair counts from the exclusive distinct-value cumsum —
     // gt = sum n_a(v) * (#b below v), lt symmetric, ties at equal v
     "q279_cliffs_delta" ->
@@ -11198,6 +11274,34 @@ object SparkEntry {
            round(pg, 6) + 0.0 AS p_greater,
            round(pl, 6) + 0.0 AS p_less
          FROM t""",
+    // the purchase-rate hour spine; scaled-CUSUM argmax with the same
+    // double expressions, earliest-hour tie-break on the unrounded stat
+    "q364_changepoint" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 3600)::BIGINT h, event_type
+                FROM events WHERE ts IS NOT NULL),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+         sp AS (SELECT unnest(range(lo, hi + 1)) AS h FROM bounds),
+         hc AS (SELECT h, sum(CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS y
+               FROM e GROUP BY 1),
+         ser AS (SELECT sp.h AS t, coalesce(y, 0)::BIGINT AS y
+                FROM sp LEFT JOIN hc ON sp.h = hc.h),
+         nn AS (SELECT count(*)::BIGINT n, count(*)::DOUBLE nd,
+                 sum(y)::BIGINT sn, sum(y)::DOUBLE snd FROM ser),
+         w AS (SELECT t, y,
+                 sum(y) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) sk,
+                 row_number() OVER (ORDER BY t) k
+               FROM ser),
+         st AS (SELECT t, k, sk::DOUBLE skd,
+                 abs(sk::DOUBLE - k::DOUBLE * snd / nd)
+                   / sqrt(k::DOUBLE * (nd - k::DOUBLE) / nd) stat
+               FROM w, nn WHERE k < n),
+         best AS (SELECT * FROM st ORDER BY stat DESC, t ASC LIMIT 1)
+         SELECT n, t AS change_at, k::BIGINT AS k,
+           round(stat, 6) + 0.0 AS stat,
+           round(skd / k, 6) + 0.0 AS mean_before,
+           round((sn - skd) / (n - k), 6) + 0.0 AS mean_after
+         FROM best, nn""",
     // the two-rate hour spine; restricted vs unrestricted OLS from ten
     // exact BIGINT moments, centered/2x2/RSS arithmetic mirrored
     // expression-for-expression

@@ -301,6 +301,33 @@ object Association {
       when(varS > 0, s / sqrt(varS)).as("z"))
   }
 
+  /** Somers' D — the ASYMMETRIC member of the concordance family
+    * ([[kendallTau]]'s τ-b is symmetric; Somers' D names a DEPENDENT
+    * variable, which is what an ordinal predictor-vs-outcome question
+    * actually asks — d_{Y|X} is also exactly 2·AUC−1 when Y is binary,
+    * the Gini the credit-scoring world quotes): d_{Y|X} =
+    * (C−D)/(n₀−T_X) excludes pairs tied on the PREDICTOR from the
+    * denominator, d_{X|Y} symmetric. One row: `(n, n_cells, concordant,
+    * discordant, ties_x, ties_y, d_y_given_x, d_x_given_y)`; NULL when
+    * the respective denominator vanishes (a constant predictor).
+    *
+    * Same engine as [[kendallTau]] — one projection over its output, so
+    * the pair counting stays the chained-prefix-sum grid (never
+    * enumerated pairs) and the same discrete-column scale contract
+    * applies. */
+  def somersD(df: DataFrame, colX: String, colY: String): DataFrame = {
+    val k = kendallTau(df, colX, colY)
+    val nd = col("n").cast("double")
+    val n0 = nd * (nd - 1) / 2
+    val s = col("concordant") - col("discordant")
+    k.select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
+      col("ties_x"), col("ties_y"),
+      when(n0 - col("ties_x") > 0, s / (n0 - col("ties_x")))
+        .as("d_y_given_x"),
+      when(n0 - col("ties_y") > 0, s / (n0 - col("ties_y")))
+        .as("d_x_given_y"))
+  }
+
   /** Theil's uncertainty coefficient U — the ASYMMETRIC categorical
     * association ([[categoricalAssociation]]'s Cramér's V is symmetric and
     * hides direction): `u_a_given_b` = the fraction of `a`'s entropy that

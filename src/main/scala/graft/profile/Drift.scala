@@ -1633,6 +1633,58 @@ object Drift {
       lit(stat < -2.86).as("stationary_5pct"))
   }
 
+  /** Single mean-shift changepoint — "WHERE did the level change"
+    * ([[cusum]] alarms that drift is accumulating; binary segmentation's
+    * first step names the hour): maximize the scaled CUSUM
+    * T_k = |S_k − k·S_n/n| / √(k(n−k)/n) over split points k — the
+    * likelihood-ratio statistic for one mean shift under constant
+    * variance; T ≳ 3σ̂ is the usual flag. One row: `(n, change_at, k,
+    * stat, mean_before, mean_after)` with the earliest time winning
+    * ties; NULL stats when n < 3.
+    *
+    * Scale: ONE multi-column distributed cumsum over the series order
+    * carries both the value prefix and the rank (never an unkeyed
+    * window), then a TakeOrdered(1) — per-partition heaps, no global
+    * sort. Integer-valued series keep S_k exact, so both engines
+    * compare identical doubles at the argmax. */
+  def changepointMean(series: DataFrame, timeCol: String, valueCol: String)
+      : DataFrame = {
+    val s = series
+      .select(col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+      .withColumn("one", lit(1L))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      s, col("t"), Seq("y", "one"), Seq("_ey", "_ek"),
+      persistInput = false)
+    val (sn, n) = (grand(0), grand(1))
+    val spark = series.sparkSession
+    def dNull = lit(null).cast("double")
+    if (n < 3) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return spark.range(1).select(lit(n).as("n"),
+        lit(null).cast("long").as("change_at"),
+        lit(null).cast("long").as("k"), dNull.as("stat"),
+        dNull.as("mean_before"), dNull.as("mean_after"))
+    }
+    val k = col("_ek") + 1
+    val sk = (col("_ey") + col("y")).cast("double")
+    val kd = k.cast("double")
+    val num = abs(sk - kd * lit(sn.toDouble) / lit(n.toDouble))
+    val den = sqrt(kd * (lit(n.toDouble) - kd) / lit(n.toDouble))
+    val best = cum.filter(k < n)
+      .select(col("t"), k.cast("long").as("k"), sk.as("sk"),
+        (num / den).as("stat"))
+      .orderBy(col("stat").desc, col("t").asc)
+      .limit(1).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val (kBest, skBest) = (best.getLong(1), best.getDouble(2))
+    spark.range(1).select(lit(n).as("n"), lit(best.getLong(0)).as("change_at"),
+      lit(kBest).as("k"), lit(best.getDouble(3)).as("stat"),
+      lit(skBest / kBest).as("mean_before"),
+      lit((sn - skBest) / (n - kBest)).as("mean_after"))
+  }
+
   /** Qini uplift deciles — the evaluation table for a TARGETING score
     * ([[cuped]] and the A/B shelf measure the average effect; a targeting
     * model claims it knows WHO to treat, and the Qini curve is how that

@@ -666,6 +666,25 @@ class DriftSpec extends SparkSpecBase {
       "t", "y").collect().head.isNullAt(1))
   }
 
+  test("changepointMean: scaled-CUSUM argmax by hand; tie and guard edges") {
+    import spark.implicits._
+    // 0,0,0 -> 6,6,6: the k = 3 split scores |0 - 9|/sqrt(9/6)
+    val step = Seq((10L, 0L), (11L, 0L), (12L, 0L), (13L, 6L), (14L, 6L),
+      (15L, 6L)).toDF("t", "y")
+    val r = Drift.changepointMean(step, "t", "y").collect().head
+    assert(r.getLong(1) == 12L && r.getLong(2) == 3L)
+    assert(math.abs(r.getAs[Double]("stat") - 9.0 / math.sqrt(1.5)) < 1e-9)
+    assert(r.getAs[Double]("mean_before") == 0.0)
+    assert(r.getAs[Double]("mean_after") == 6.0)
+    // constant series: every split scores 0 -> earliest hour wins
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("t", "y")
+    val rf = Drift.changepointMean(flat, "t", "y").collect().head
+    assert(rf.getLong(1) == 1L && rf.getAs[Double]("stat") == 0.0)
+    // too short
+    assert(Drift.changepointMean(flat.limit(2), "t", "y")
+      .collect().head.isNullAt(1))
+  }
+
   test("yuenTrimmedTest: hand trimmed/winsorized algebra; outlier immunity") {
     import spark.implicits._
     // A = (1,2,3,4,100), B = (0,2,4,6,1000), f = 0.2 -> t = 1, h = 3:

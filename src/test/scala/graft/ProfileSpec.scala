@@ -638,6 +638,23 @@ class ProfileSpec extends SparkSpecBase {
     assert(r3.getAs[Double]("concordant") == 1.0 && r3.getAs[Double]("discordant") == 0.0)
   }
 
+  test("somersD: asymmetric denominators by hand; binary-Y Gini identity") {
+    // cells (0,0)x3, (0,1)x1, (1,1)x2: C = 6, D = 0, T_x = 7, T_y = 6
+    // -> d_{Y|X} = 6/(15-7) = 0.75, d_{X|Y} = 6/(15-6) = 2/3
+    val d = (Seq.fill(3)((0.0, 0.0)) ++ Seq((0.0, 1.0)) ++
+      Seq.fill(2)((1.0, 1.0))).toDF("x", "y")
+    val r = graft.profile.Association.somersD(d, "x", "y").collect().head
+    assert(r.getAs[Double]("concordant") == 6.0)
+    assert(r.getAs[Double]("discordant") == 0.0)
+    assert(math.abs(r.getAs[Double]("d_y_given_x") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d_x_given_y") - 2.0 / 3) < 1e-12)
+    // constant predictor: every pair is x-tied -> NULL d_{Y|X}
+    val const = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    val rc = graft.profile.Association.somersD(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("d_y_given_x")))
+    assert(math.abs(rc.getAs[Double]("d_x_given_y")) < 1e-12)
+  }
+
   test("kendallTau matches a naive pairwise reference on seeded random ties") {
     val rnd = new scala.util.Random(42)
     val data = Seq.fill(80)((rnd.nextInt(6).toDouble, rnd.nextInt(5).toDouble))
