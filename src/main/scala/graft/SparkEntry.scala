@@ -4025,6 +4025,24 @@ object SparkEntry {
           (round(col("or_mh"), 6) + lit(0.0)).as("or_mh"))
     }),
 
+    // ---- Breslow-Day homogeneity of the q273 odds ratios -------------------
+    // CMH's required companion: is the even/odd error-rate odds ratio the
+    // SAME on every weekday? quadratic expected cells under the pooled OR,
+    // per-stratum contributions quantized to 9-dp longs before the sum
+    "q365_breslow_day" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+        .select(dayofweek(to_date(col("ts"))).as("dow"),
+          (col("user_id") % 2 === 0).as("even_user"),
+          (col("event_type") === "error").as("is_err"))
+      graft.profile.Association.breslowDay(ev, "dow", "even_user", "is_err")
+        .select(col("n_strata"), col("n"),
+          (round(col("or_mh"), 6) + lit(0.0)).as("or_mh"),
+          (round(col("bd_chi2"), 6) + lit(0.0)).as("bd_chi2"),
+          col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- two-group log-rank survival test (Behavior) -----------------------
     // do even- and odd-user time-to-first-purchase curves differ? the
     // Mantel-Cox companion of q235's KM curve, same duration construction
@@ -11459,6 +11477,55 @@ object SparkEntry {
             END) + 0.0 AS chi2_cmh,
            (CASE WHEN ord > 0 THEN round(orn / ord, 6) END) + 0.0 AS or_mh
          FROM agg""",
+    // the q273 strata; MH odds ratio from 12-dp-quantized long sums, the
+    // in-bounds quadratic root per stratum, 9-dp-quantized BD
+    // contributions, df = 6 even chi2 survival
+    "q365_breslow_day" ->
+      """WITH b AS (SELECT dayofweek(ts::DATE) s,
+                  (user_id % 2 = 0) e, (event_type = 'error') o
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+         st AS (SELECT s,
+                  sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT a,
+                  sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT bb,
+                  sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT c,
+                  sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT d
+                FROM b GROUP BY 1),
+         sn AS (SELECT *, a + bb + c + d AS n FROM st WHERE a+bb+c+d > 1),
+         ps AS (SELECT count(*)::BIGINT k, sum(n)::BIGINT nt,
+                 sum(round(a::DOUBLE * d / n * 1e12)::BIGINT)::BIGINT orn,
+                 sum(round(bb::DOUBLE * c / n * 1e12)::BIGINT)::BIGINT ord
+               FROM sn),
+         pp AS (SELECT k, nt, orn::DOUBLE / ord AS psi FROM ps),
+         term AS (SELECT sn.a, sn.n, pp.psi,
+                 (sn.a + sn.bb)::DOUBLE r1, (sn.a + sn.c)::DOUBLE c1,
+                 sn.n::DOUBLE nd
+               FROM sn, pp),
+         t1 AS (SELECT *, psi * (r1 + c1) + (nd - r1 - c1) AS bq FROM term),
+         t2 AS (SELECT *, sqrt(greatest(bq * bq
+                 - 4.0 * (psi - 1.0) * psi * r1 * c1, 0.0)) AS disc
+               FROM t1),
+         t3 AS (SELECT *, CASE WHEN psi = 1.0 THEN r1 * c1 / nd
+                 ELSE (CASE WHEN (bq - disc) / (2.0 * (psi - 1.0))
+                         > greatest(0.0, r1 + c1 - nd)
+                       AND (bq - disc) / (2.0 * (psi - 1.0)) < least(r1, c1)
+                       THEN (bq - disc) / (2.0 * (psi - 1.0))
+                       ELSE (bq + disc) / (2.0 * (psi - 1.0)) END) END AS t
+               FROM t2),
+         t4 AS (SELECT CASE WHEN t > 0 AND r1 - t > 0 AND c1 - t > 0
+                  AND nd - r1 - c1 + t > 0
+                 THEN round((a - t) * (a - t)
+                   / (1.0 / (1.0 / t + 1.0 / (r1 - t) + 1.0 / (c1 - t)
+                     + 1.0 / (nd - r1 - c1 + t))) * 1e9)::BIGINT
+                 ELSE 0 END AS bdq
+               FROM t3),
+         f AS (SELECT pp.k, pp.nt, pp.psi,
+                 (SELECT sum(bdq) FROM t4) / 1e9 AS bd FROM pp)
+         SELECT k AS n_strata, nt AS n, round(psi, 6) + 0.0 AS or_mh,
+           round(bd, 6) + 0.0 AS bd_chi2, (k - 1)::BIGINT AS df,
+           round(least(1.0, exp(-bd / 2)
+             * (1 + bd / 2 + pow(bd / 2, 2) / 2)), 6) + 0.0 AS p_value
+         FROM f""",
     // the q235 duration construction split even/odd; at-risk prefixes via
     // exclusive cumulative exits, pooled hypergeometric O/E/V
     "q274_log_rank" ->

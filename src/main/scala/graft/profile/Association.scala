@@ -417,6 +417,87 @@ object Association {
         when(col("_ord") > 0, col("_orn") / col("_ord")).as("or_mh"))
   }
 
+  /** Breslow–Day homogeneity test — [[cmhTest]]'s REQUIRED companion:
+    * CMH pools a common odds ratio across strata, which only means
+    * anything if the per-stratum odds ratios AGREE — Breslow–Day tests
+    * exactly that (reject → report per-stratum effects, the pooled OR is
+    * a fiction). Per stratum, the expected exposed-case cell Ã under the
+    * Mantel–Haenszel common OR ψ solves the quadratic
+    * (ψ−1)Ã² − [ψ(r₁+c₁) + (n−r₁−c₁)]Ã + ψr₁c₁ = 0 (the root inside the
+    * cell bounds), with Var = 1/(1/Ã + 1/(r₁−Ã) + 1/(c₁−Ã) +
+    * 1/(n−r₁−c₁+Ã)); BD = Σ (a−Ã)²/Var ~ χ²(K−1). One row: `(n_strata,
+    * n, or_mh, bd_chi2, df, p_value)`; NULL stats when ψ is undefined
+    * (Σbc/n = 0) or K < 2.
+    *
+    * Determinism contract: ψ is a ratio of two 12-dp-quantized long
+    * sums, and each stratum's BD contribution quantizes to a 9-dp long
+    * before the sum — so both engines sum exact integers, and the
+    * quadratic-root selection compares identical doubles (the in-bounds
+    * root; at ψ = 1 the closed linear solution r₁c₁/n applies).
+    *
+    * Scale: ONE stratum-bounded 2×2 aggregation (the [[cmhTest]] scan),
+    * K-row driver algebra, the shared closed-form χ² survival. */
+  def breslowDay(df: DataFrame, stratumCol: String, exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposureCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val strata = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val rows = strata
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val spark = df.sparkSession
+    def dNull = lit(null).cast("double")
+    def nulls(k: Long, n: Long) = spark.range(1).select(
+      lit(k).as("n_strata"), lit(n).as("n"), dNull.as("or_mh"),
+      dNull.as("bd_chi2"), lit(math.max(k - 1, 0)).as("df"),
+      dNull.as("p_value"))
+    val k = rows.length.toLong
+    val nTot = rows.map(_._5).sum
+    if (k < 2) return nulls(k, nTot)
+    def q12(v: Double): Long = math.round(v * 1e12)
+    val orn = rows.map { case (a, _, _, d, n) => q12(a.toDouble * d / n) }.sum
+    val ord = rows.map { case (_, b, c, _, n) => q12(b.toDouble * c / n) }.sum
+    if (ord == 0) return nulls(k, nTot)
+    val psi = orn.toDouble / ord
+    var bdQ = 0L
+    rows.foreach { case (a, b, c, _, n) =>
+      val r1 = (a + b).toDouble; val c1 = (a + c).toDouble
+      val nD = n.toDouble
+      val tilde =
+        if (psi == 1.0) r1 * c1 / nD
+        else {
+          val bq = psi * (r1 + c1) + (nD - r1 - c1)
+          val disc = math.sqrt(math.max(
+            bq * bq - 4.0 * (psi - 1.0) * psi * r1 * c1, 0.0))
+          val a1 = (bq - disc) / (2.0 * (psi - 1.0))
+          val a2 = (bq + disc) / (2.0 * (psi - 1.0))
+          val lo = math.max(0.0, r1 + c1 - nD); val hi = math.min(r1, c1)
+          if (a1 > lo && a1 < hi) a1 else a2
+        }
+      val others = Seq(tilde, r1 - tilde, c1 - tilde, nD - r1 - c1 + tilde)
+      if (others.forall(_ > 0)) {
+        val v = 1.0 / others.map(1.0 / _).sum
+        bdQ += math.round((a - tilde) * (a - tilde) / v * 1e9)
+      }
+    }
+    val bd = bdQ / 1e9
+    spark.range(1).select(lit(k).as("n_strata"), lit(nTot).as("n"),
+      lit(psi).as("or_mh"), lit(bd).as("bd_chi2"),
+      lit(k - 1).as("df"),
+      lit(graft.profile.Drift.chi2Survival((k - 1).toInt, bd)).as("p_value"))
+  }
+
   /** McNemar's test — did a CHANGE help, on PAIRED binary outcomes
     * ([[cohenKappa]] measures agreement; McNemar tests whether the two
     * labelers/models DISAGREE SYMMETRICALLY): only the discordant pairs

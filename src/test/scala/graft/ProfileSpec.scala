@@ -655,6 +655,39 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(rc.getAs[Double]("d_x_given_y")) < 1e-12)
   }
 
+  test("breslowDay: identical per-stratum ORs give BD = 0; heterogeneity fires") {
+    def cells(s: Int, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // both strata have OR = 4 -> psi_MH = 4 exactly, the expected cell
+    // solves to the observed one, BD = 0, p = 1
+    val homog = (cells(1, 10, 5, 5, 10) ++ cells(2, 20, 10, 10, 20))
+      .toDF("s", "e", "o")
+    val r = graft.profile.Association.breslowDay(homog, "s", "e", "o")
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getAs[Double]("or_mh") - 4.0) < 1e-9)
+    assert(r.getAs[Double]("bd_chi2") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    // OR = 4 vs OR = 1/4: homogeneity must reject direction
+    val heter = (cells(1, 10, 5, 5, 10) ++ cells(2, 10, 20, 20, 10))
+      .toDF("s", "e", "o")
+    val rh = graft.profile.Association.breslowDay(heter, "s", "e", "o")
+      .collect().head
+    assert(rh.getAs[Double]("bd_chi2") > 3.84)
+    assert(rh.getAs[Double]("p_value") < 0.05)
+    assert(rh.getLong(rh.fieldIndex("df")) == 1L)
+    // degenerate: no discordant product anywhere -> psi undefined -> NULL
+    val deg = (cells(1, 5, 0, 0, 5) ++ cells(2, 5, 0, 0, 5))
+      .toDF("s", "e", "o")
+    assert(graft.profile.Association.breslowDay(deg, "s", "e", "o")
+      .collect().head.isNullAt(2))
+    // single stratum -> NULL
+    assert(graft.profile.Association.breslowDay(
+      cells(1, 10, 5, 5, 10).toDF("s", "e", "o"), "s", "e", "o")
+      .collect().head.isNullAt(3))
+  }
+
   test("kendallTau matches a naive pairwise reference on seeded random ties") {
     val rnd = new scala.util.Random(42)
     val data = Seq.fill(80)((rnd.nextInt(6).toDouble, rnd.nextInt(5).toDouble))
