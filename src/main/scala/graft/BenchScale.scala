@@ -72,7 +72,14 @@ object BenchScale {
     // the Cox Newton loop: 4 per-duration decimal aggregations + a
     // calendar-bounded driver suffix pass — per-iteration scan cost
     // should scale linearly, driver cost with distinct durations only
-    "q352_cox_ph")
+    "q352_cox_ph",
+    // round-13 second half: the three-pass per-group KM-area cumsums
+    // (q353), the 4-reduce Poisson Newton (q356), the bounded-cell IPF
+    // (q358), the cutpoint-binned Qini (q360), the two-sided trimmed
+    // cumsum (q361), the d²-reduce + driver-SVD Procrustes (q362), and
+    // the cumsum-argmax changepoint's TakeOrdered(1) (q364)
+    "q353_rmst", "q356_poisson_glm", "q358_rake_weights", "q360_qini",
+    "q361_yuen_trimmed", "q362_procrustes", "q364_changepoint")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation
