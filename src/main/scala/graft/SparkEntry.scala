@@ -2086,6 +2086,29 @@ object SparkEntry {
         .gateOrdered(col("hours"))
     }),
 
+    // ---- KM curve with Greenwood log(-log) confidence bands ---------------
+    // the q235 curve nobody should ship bare: the Greenwood term rides
+    // the SAME fixed-point cumsum pass as the ln-survival prefix; the
+    // exponential-Greenwood band stays inside [0,1]
+    "q366_km_ci" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val durations = perUser.crossJoin(broadcast(horizon)).select(
+        floor((unix_timestamp(coalesce(col("p_ts"), col("h_ts"))) -
+          unix_timestamp(col("first_ts"))) / 3600).cast("long").as("dur_h"),
+        col("p_ts").isNull.as("cens"))
+      Behavior.kmCurveCI(durations, "dur_h", "cens")
+        .select(col("duration").as("hours"), col("n_risk"), col("n_events"),
+          (round(col("survival"), 6) + lit(0.0)).as("survival"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+        .gateOrdered(col("hours"))
+    }),
+
     // ---- Unicode anomaly scan (QualityOps) --------------------------------
     // encoding-health gate per language: U+FFFD replacement chars, stray
     // C0 controls, Latin+Cyrillic homoglyph mixing, non-ASCII share —
@@ -8261,6 +8284,59 @@ object SparkEntry {
            (CASE WHEN dead THEN 0.0 ELSE round(exp(lncum / 1e12), 6) END)
              + 0.0 AS survival
          FROM y WHERE d > 0 ORDER BY 1""",
+    // the q235 fixed-point chain with the Greenwood increment as a second
+    // quantized cumsum column; exponential-Greenwood band mirrored
+    "q366_km_ci" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS hm FROM events),
+         bl AS (SELECT floor((floor(epoch(coalesce(p, hm))) -
+                  floor(epoch(f))) / 3600)::BIGINT AS life,
+                  (p IS NULL) AS cens
+                FROM pu, h),
+         g AS (SELECT life,
+                 sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+                 count(*)::BIGINT AS al
+               FROM bl GROUP BY 1),
+         w AS (SELECT *, coalesce(sum(al) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+                 (SELECT sum(al) FROM g) AS n
+               FROM g),
+         x AS (SELECT life, d, (n - bef)::BIGINT AS nr,
+                 (d = (n - bef)) AS dead,
+                 CASE WHEN d > 0 AND d < (n - bef)
+                      THEN round(ln(1 - d / (n - bef)::DOUBLE)
+                        * 1e12)::BIGINT ELSE 0 END AS lnq,
+                 CASE WHEN d > 0 AND d < (n - bef)
+                      THEN round(d / ((n - bef)::DOUBLE * ((n - bef) - d))
+                        * 1e12)::BIGINT ELSE 0 END AS gq
+               FROM w),
+         y AS (SELECT *,
+                 coalesce(sum(lnq) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS lnbef,
+                 coalesce(sum(gq) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS gbef
+               FROM x),
+         z AS (SELECT life, d, nr, dead,
+                 CASE WHEN dead THEN 0.0
+                      ELSE exp((lnbef + lnq) / 1e12) END AS s,
+                 (gbef + gq) / 1e12 AS gg
+               FROM y),
+         f AS (SELECT *, CASE WHEN dead THEN 0.0
+                 ELSE 1.959964::DOUBLE * sqrt(gg) / ln(s) END AS theta
+               FROM z WHERE d > 0)
+         SELECT life AS hours, nr AS n_risk, d AS n_events,
+           round(s, 6) + 0.0 AS survival,
+           (CASE WHEN dead THEN 0.0 ELSE round(s * sqrt(gg), 6) END)
+             + 0.0 AS se,
+           (CASE WHEN dead THEN 0.0
+                 ELSE round(pow(s, exp(-theta)), 6) END) + 0.0 AS ci_lo,
+           (CASE WHEN dead THEN 0.0
+                 ELSE round(pow(s, exp(theta)), 6) END) + 0.0 AS ci_hi
+         FROM f ORDER BY hours""",
     // same \x-escape character classes as QualityOps (interpolated from
     // one definition — never engine-native classes like \s)
     "q236_unicode_anomaly" -> {

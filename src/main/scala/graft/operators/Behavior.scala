@@ -676,6 +676,71 @@ object Behavior {
           .as("survival"))
   }
 
+  /** Kaplan–Meier curve WITH Greenwood confidence bands — the KM plot
+    * nobody should ship bare ([[kmCurve]] draws the point estimate; the
+    * tail of every survival curve rests on a handful of at-risk
+    * subjects, and the band is what says so): per event time the
+    * Greenwood variance V̂ = Ŝ²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)) and the
+    * log(−log) ("exponential Greenwood") interval
+    * Ŝ^exp(±z·√G/ln Ŝ) — the transform keeps the band inside [0, 1]
+    * and is the standard-software default. One row per event time:
+    * `(duration, n_risk, n_events, survival, se, ci_lo, ci_hi)`;
+    * the terminal Ŝ = 0 row reports a degenerate [0, 0] band.
+    *
+    * Scale and determinism: the [[kmCurve]] plan exactly — the
+    * Greenwood term rides the SAME second fixed-point (12 dp) cumsum
+    * pass as the ln-survival prefix (one more long column, no extra
+    * shuffle), so both engines exponentiate identical doubles. */
+  def kmCurveCI(durations: DataFrame, durationCol: String,
+      censoredCol: String, z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0: $z")
+    val byLife = durations
+      .filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("life"),
+        coalesce(col(censoredCol), lit(false)).as("__cens"))
+      .groupBy(col("life"))
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
+        count(lit(1)).as("all"))
+    val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
+      persistInput = false)
+    val n = grand.head
+    val nRisk = lit(n) - col("__exitsBefore")
+    val dD = col("d").cast("double")
+    val nrD = nRisk.cast("double")
+    val withTerm = cum1
+      .withColumn("__nRisk", nRisk)
+      .withColumn("__dead", col("d") === col("__nRisk"))
+      .withColumn("__lnQ",
+        when(col("d") > 0 && !col("__dead"),
+          round(log(lit(1.0) - dD / nrD) * 1e12, 0).cast("long"))
+          .otherwise(lit(0L)))
+      // Greenwood increment d/(n(n−d)), quantized to ride the same pass
+      .withColumn("__gQ",
+        when(col("d") > 0 && !col("__dead"),
+          round(dD / (nrD * (nrD - dD)) * 1e12, 0).cast("long"))
+          .otherwise(lit(0L)))
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
+      withTerm, col("life"), Seq("__lnQ", "__gQ"),
+      Seq("__lnBefore", "__gBefore"), persistInput = false)._1
+    val s = when(col("__dead"), lit(0.0)).otherwise(
+      exp((col("__lnBefore") + col("__lnQ")).cast("double") / 1e12))
+    val g = (col("__gBefore") + col("__gQ")).cast("double") / 1e12
+    val theta = lit(z) * sqrt(g) / log(s) // ln Ŝ < 0 on live rows
+    cum2
+      .filter(col("d") > 0)
+      .select(col("life").as("duration"),
+        col("__nRisk").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_events"),
+        s.as("survival"),
+        when(col("__dead"), lit(0.0)).otherwise(s * sqrt(g)).as("se"),
+        when(col("__dead"), lit(0.0))
+          .otherwise(pow(s, exp(-theta))).as("ci_lo"),
+        when(col("__dead"), lit(0.0))
+          .otherwise(pow(s, exp(theta))).as("ci_hi"))
+  }
+
   /** Nelson–Aalen cumulative-hazard curve — [[kmCurve]]'s additive
     * companion: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² — the
     * hazard VIEW of the same censored durations ("how much churn

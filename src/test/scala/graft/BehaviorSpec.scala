@@ -527,6 +527,38 @@ class BehaviorSpec extends SparkSpecBase {
     }
   }
 
+  test("kmCurveCI: Greenwood band by hand; terminal row degenerates to [0,0]") {
+    // events at 1, 3 with a censor at 2, terminal death at 5
+    val d = Seq((1L, false), (2L, true), (3L, false), (5L, false))
+      .toDF("dur", "cens")
+    val rows = Behavior.kmCurveCI(d, "dur", "cens")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=1: S = 3/4, G = 1/12; exponential-Greenwood band from the formula
+    val r1 = rows(1L)
+    val s1 = 0.75; val g1 = 1.0 / 12
+    assert(math.abs(r1.getAs[Double]("survival") - s1) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("se") - s1 * math.sqrt(g1)) < 1e-9)
+    val th1 = 1.959964 * math.sqrt(g1) / math.log(s1)
+    assert(math.abs(r1.getAs[Double]("ci_lo") -
+      math.pow(s1, math.exp(-th1))) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("ci_hi") -
+      math.pow(s1, math.exp(th1))) < 1e-9)
+    assert(r1.getAs[Double]("ci_lo") < s1 && s1 < r1.getAs[Double]("ci_hi"))
+    assert(r1.getAs[Double]("ci_hi") < 1.0)
+    // t=3: the censor at 2 shrank the risk set to 2 -> S = 3/8,
+    // G = 1/12 + 1/2
+    val r3 = rows(3L)
+    assert(r3.getLong(1) == 2L)
+    assert(math.abs(r3.getAs[Double]("survival") - 0.375) < 1e-9)
+    assert(math.abs(r3.getAs[Double]("se") -
+      0.375 * math.sqrt(1.0 / 12 + 0.5)) < 1e-9)
+    // terminal death: S = 0, degenerate band
+    val r5 = rows(5L)
+    assert(r5.getAs[Double]("survival") == 0.0)
+    assert(r5.getAs[Double]("se") == 0.0 &&
+      r5.getAs[Double]("ci_hi") == 0.0)
+  }
+
   test("rmst: hand-computed KM areas, Klein variance, edge groups") {
     // A: events at 1, 3, 5 with a censor at 2 -> S = 3/4, 3/8, 0
     // B: all censored -> the curve never leaves 1
