@@ -3823,6 +3823,26 @@ object SparkEntry {
         .gateOrdered(col("term"))
     }),
 
+    // ---- quasi-Poisson: the q356 fit with overdispersion-honest SEs -------
+    // identical betas, standard errors scaled by sqrt(Pearson X^2/(n-p));
+    // the correction q302's diagnostic calls for
+    "q367_quasi_poisson" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      LinearModel.quasiPoissonGlm(perUser, "y", Seq("x_events"))
+        .select(col("term"), col("n"),
+          (round(col("phi"), 6) + lit(0.0)).as("phi"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
     // ---- Cox proportional hazards: covariate-adjusted time-to-churn -------
     // per-user active-span durations (hour-index granularity), censored
     // when still active within 24 hours of the horizon; two feature-scaled
@@ -10682,6 +10702,47 @@ object SparkEntry {
            round(CAST(w AS DOUBLE) / n, 6) + 0.0 AS weight,
            round(CAST(w AS DOUBLE) / nt, 6) + 0.0 AS cell_share
          FROM w5, nn ORDER BY row_key, col_key""",
+    // poissonCtes + one more mean pass at cb4: Pearson X^2 terms rounded
+    // to 12dp before the exact decimal sum, SEs scaled by sqrt(phi)
+    "q367_quasi_poisson" ->
+      s"""WITH ${poissonCtes(iterations = 4)},
+         sc5 AS (SELECT y, x0,
+                 CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
+               FROM du, cb4),
+         ph0 AS (SELECT CAST(sum(CAST(round((y - CAST(mu AS DOUBLE))
+                   * (y - CAST(mu AS DOUBLE)) / CAST(mu AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) x2
+               FROM sc5),
+         ph AS (SELECT x2 / (n - 2) phi FROM ph0, nn),
+         fin AS (SELECT b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+         st AS (SELECT n, b0, b1, phi,
+                 sqrt(h11 / det) * sqrt(phi) se0,
+                 sqrt(h00 / det) * sqrt(phi) se1 FROM fin, nn, ph),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n, round(phi, 6) + 0.0 AS phi,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, round(phi, 6) + 0.0,
+             round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
+             round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
     // the Poisson-Newton replay (poissonCtes): 4 unrolled iterations on
     // exact decimal moment sums, closed-form 2x2 step, SE from the final
     // Fisher information, shared A&S two-sided p

@@ -874,7 +874,27 @@ object LinearModel {
     * sums (partial-aggregated, no groupBy, no window), O(d³) driver
     * algebra. */
   def poissonGlm(df: DataFrame, yCol: String, covariates: Seq[String],
-      iterations: Int = 4): DataFrame = {
+      iterations: Int = 4): DataFrame =
+    poissonGlmImpl(df, yCol, covariates, iterations, quasi = false)
+
+  /** Quasi-Poisson GLM — the overdispersion-honest count model (real
+    * event counts are almost never equidispersed; q302's diagnostic
+    * DETECTS it, this CORRECTS for it): identical point estimates to
+    * [[poissonGlm]], standard errors scaled by √φ̂ with
+    * φ̂ = Pearson X²/(n−p) at the final fit — the quasi-likelihood
+    * answer that keeps z/p honest when Var(y) ≈ φ·μ. One row per term:
+    * `(term, n, phi, beta, se, z, p_value)`.
+    *
+    * Determinism: the [[poissonGlm]] Newton verbatim, then ONE more
+    * whole-table reduce at the final β — each row's (y−μ)²/μ rounds to
+    * 12 dp before an exact decimal sum (the coxPH term recipe), so φ̂
+    * replays in the oracle. */
+  def quasiPoissonGlm(df: DataFrame, yCol: String, covariates: Seq[String],
+      iterations: Int = 4): DataFrame =
+    poissonGlmImpl(df, yCol, covariates, iterations, quasi = true)
+
+  private def poissonGlmImpl(df: DataFrame, yCol: String,
+      covariates: Seq[String], iterations: Int, quasi: Boolean): DataFrame = {
     require(covariates.nonEmpty && covariates.size <= 8,
       s"poissonGlm needs 1..8 covariates, got ${covariates.size}")
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
@@ -891,10 +911,16 @@ object LinearModel {
     try {
       val spark = df.sparkSession
       import spark.implicits._
-      def nullRows(n: Long) = terms.map(t =>
-        (t, n, Option.empty[Double], Option.empty[Double],
-          Option.empty[Double], Option.empty[Double]))
-        .toDF("term", "n", "beta", "se", "z", "p_value")
+      def nullRows(n: Long) =
+        if (quasi) terms.map(t =>
+          (t, n, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double], Option.empty[Double],
+            Option.empty[Double]))
+          .toDF("term", "n", "phi", "beta", "se", "z", "p_value")
+        else terms.map(t =>
+          (t, n, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double], Option.empty[Double]))
+          .toDF("term", "n", "beta", "se", "z", "p_value")
       // iteration-independent response sums (exact: long + decimal)
       val yAggs = count(lit(1)).as("__n") +: sum(col("__y")).as("__sy") +:
         covariates.indices.map(i =>
@@ -973,14 +999,42 @@ object LinearModel {
           }
         case None => Seq.fill(dim)(None)
       }
-      terms.zipWithIndex.map { case (t, i) =>
-        val b = if (singular) None else Some(beta(i))
-        val se = seOpt(i)
-        val z = for (bv <- b; s <- se if s > 0) yield bv / s
-        (t, n, b, se, z,
-          z.map(x => math.min(1.0,
-            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
-      }.toDF("term", "n", "beta", "se", "z", "p_value")
+      if (!quasi) {
+        terms.zipWithIndex.map { case (t, i) =>
+          val b = if (singular) None else Some(beta(i))
+          val se = seOpt(i)
+          val z = for (bv <- b; s <- se if s > 0) yield bv / s
+          (t, n, b, se, z,
+            z.map(x => math.min(1.0,
+              2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+        }.toDF("term", "n", "beta", "se", "z", "p_value")
+      } else {
+        // Pearson dispersion at the final β: one more reduce, each term
+        // 12-dp-rounded before the exact decimal sum
+        val phiOpt: Option[Double] =
+          if (singular || n <= dim) None
+          else {
+            val etaF = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
+              acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+            }
+            val muD = exp(etaF).cast("decimal(20,12)").cast("double")
+            val yD = col("__y").cast("double")
+            val x2Row = base.agg(
+              sum(round((yD - muD) * (yD - muD) / muD, 12)
+                .cast("decimal(28,12)")).as("__x2")).head()
+            if (x2Row.isNullAt(0)) None
+            else Some(BigDecimal(x2Row.getDecimal(0)).toDouble / (n - dim))
+          }
+        terms.zipWithIndex.map { case (t, i) =>
+          val b = if (singular) None else Some(beta(i))
+          val seQ = for (s <- seOpt(i); p <- phiOpt if p > 0)
+            yield s * math.sqrt(p)
+          val z = for (bv <- b; s <- seQ if s > 0) yield bv / s
+          (t, n, phiOpt, b, seQ, z,
+            z.map(x => math.min(1.0,
+              2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+        }.toDF("term", "n", "phi", "beta", "se", "z", "p_value")
+      }
     } finally base.unpersist(false)
   }
 

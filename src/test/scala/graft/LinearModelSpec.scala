@@ -449,6 +449,31 @@ class LinearModelSpec extends SparkSpecBase {
       .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
   }
 
+  test("quasiPoissonGlm: same betas, SEs scaled by the exact Pearson phi") {
+    // mu-hat = (2,2,6,6): X^2 = 1/2 + 1/2 + 4/6 + 4/6 = 7/3, phi = 7/6
+    val d1 = Seq((1L, 0.0), (3L, 0.0), (4L, 1.0), (8L, 1.0)).toDF("y", "x")
+    val plain = LinearModel.poissonGlm(d1, "y", Seq("x"), iterations = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("beta"), r.getAs[Double]("se"))).toMap
+    val quasi = LinearModel.quasiPoissonGlm(d1, "y", Seq("x"),
+        iterations = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("phi"), r.getAs[Double]("beta"),
+         r.getAs[Double]("se"))).toMap
+    Seq("intercept", "x").foreach { t =>
+      assert(quasi(t)._2 == plain(t)._1, s"$t beta must be identical")
+      assert(math.abs(quasi(t)._1 - 7.0 / 6) < 1e-6)
+      assert(math.abs(quasi(t)._3 -
+        plain(t)._2 * math.sqrt(quasi(t)._1)) < 1e-12)
+    }
+    // all-zero response: NULL stats with the phi column present
+    val zero = Seq((0L, 0.0), (0L, 1.0)).toDF("y", "x")
+    val rz = LinearModel.quasiPoissonGlm(zero, "y", Seq("x"))
+      .collect().head
+    assert(rz.isNullAt(rz.fieldIndex("phi")) &&
+      rz.isNullAt(rz.fieldIndex("beta")))
+  }
+
   test("hosmerLemeshow: calibrated = 0, miscalibrated rejects, guards") {
     import spark.implicits._
     // 5 score levels, 10 rows each, observed positives exactly 10*s:
