@@ -3823,6 +3823,20 @@ object SparkEntry {
         .gateOrdered(col("term"))
     }),
 
+    // ---- leave-one-out target encoding of source -> P(en) -----------------
+    // the leakage-free categorical feature: each doc's own label is
+    // subtracted and rare sources shrink to the global prior (m = 10);
+    // one broadcast agg + a codegen projection
+    "q368_target_encoding" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      LinearModel.targetEncodeLoo(docs, "doc_id", "source", "y")
+        .select(col("id").as("doc_id"), col("category").as("source"),
+          (round(col("encoded"), 6) + lit(0.0)).as("encoded"))
+        .gateOrdered(col("doc_id"))
+    }),
+
     // ---- quasi-Poisson: the q356 fit with overdispersion-honest SEs -------
     // identical betas, standard errors scaled by sqrt(Pearson X^2/(n-p));
     // the correction q302's diagnostic calls for
@@ -10702,6 +10716,22 @@ object SparkEntry {
            round(CAST(w AS DOUBLE) / n, 6) + 0.0 AS weight,
            round(CAST(w AS DOUBLE) / nt, 6) + 0.0 AS cell_share
          FROM w5, nn ORDER BY row_key, col_key""",
+    // per-source (count, sum) + the global prior; the one LOO double
+    // expression mirrored
+    "q368_target_encoding" ->
+      """WITH b AS (SELECT doc_id, source,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT y
+                FROM documents WHERE lang IS NOT NULL
+                  AND source IS NOT NULL),
+         g AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT sy FROM b),
+         pr AS (SELECT sy::DOUBLE / n AS prior FROM g),
+         pc AS (SELECT source, count(*)::BIGINT ng, sum(y)::BIGINT syg
+               FROM b GROUP BY 1)
+         SELECT b.doc_id, b.source,
+           round((syg - y + 10.0 * prior) / (ng - 1 + 10.0), 6) + 0.0
+             AS encoded
+         FROM b JOIN pc USING (source), pr
+         ORDER BY b.doc_id""",
     // poissonCtes + one more mean pass at cb4: Pearson X^2 terms rounded
     // to 12dp before the exact decimal sum, SEs scaled by sqrt(phi)
     "q367_quasi_poisson" ->

@@ -1038,6 +1038,41 @@ object LinearModel {
     } finally base.unpersist(false)
   }
 
+  /** Leave-one-out target encoding with additive smoothing — the
+    * leakage-free way to hand a high-cardinality categorical to a
+    * model (a plain per-category mean ENCODES each row's own label;
+    * LOO subtracts it, and the prior-smoothing keeps rare categories
+    * from memorizing): enc_i = (Σ_g y − y_i + m·prior) / (n_g − 1 + m)
+    * with prior = the global target mean. Singleton categories land
+    * exactly on the prior (the n_g = 1 algebra does it — no special
+    * case). Output: the id, the category, and `encoded`.
+    *
+    * Scale: ONE per-category (count, sum) aggregation broadcast back
+    * onto the scan + a single codegen projection — no window, no
+    * per-row state; deterministic, so train/serve recompute identically.
+    * Determinism: integer targets keep every sum exact; the one double
+    * expression mirrors in the oracle. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String, smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0: $smoothing")
+    val base = df.select(col(idCol).as("id"), col(catCol).as("category"),
+        col(targetCol).cast("long").as("__y"))
+      .filter(col("category").isNotNull && col("__y").isNotNull)
+    val global = base.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"))
+      .head()
+    val n = global.getLong(0)
+    if (n == 0)
+      return base.select(col("id"), col("category"),
+        lit(null).cast("double").as("encoded"))
+    val prior = global.getLong(1).toDouble / n
+    val perCat = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__syg"))
+    base.join(broadcast(perCat), Seq("category"))
+      .select(col("id"), col("category"),
+        ((col("__syg") - col("__y") + lit(smoothing) * lit(prior)) /
+          (col("__ng") - 1 + lit(smoothing))).as("encoded"))
+  }
+
   /** Solve A·x = b for a small symmetric positive-definite A by in-place
     * Gaussian elimination with partial pivoting; None when singular. */
   private def solveSpd(a: Array[Array[Double]],

@@ -449,6 +449,27 @@ class LinearModelSpec extends SparkSpecBase {
       .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
   }
 
+  test("targetEncodeLoo: own label excluded, singletons land on the prior") {
+    // prior = 3/6; category a: (sum 2, n 3), b: (sum 1, n 2), c singleton
+    val d = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 0),
+      (4L, "b", 0), (5L, "b", 1), (6L, "c", 0)).toDF("id", "cat", "y")
+    val out = LinearModel.targetEncodeLoo(d, "id", "cat", "y",
+        smoothing = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val prior = 0.5
+    // id 1 (y=1, cat a): (2 - 1 + 2*0.5)/(3 - 1 + 2) = 0.5
+    assert(math.abs(out(1L) - 0.5) < 1e-12)
+    // id 3 (y=0, cat a): (2 - 0 + 1)/4 = 0.75 — higher: its own 0 is out
+    assert(math.abs(out(3L) - 0.75) < 1e-12)
+    // id 4 (y=0, cat b): (1 - 0 + 1)/(1 + 2) = 2/3
+    assert(math.abs(out(4L) - 2.0 / 3) < 1e-12)
+    // singleton c: (0 - 0 + 2*0.5)/(0 + 2) = prior exactly
+    assert(out(6L) == prior)
+    // leakage check: the encoding never equals the plain category mean
+    // when the row's own label differs from it
+    assert(out(1L) != out(3L))
+  }
+
   test("quasiPoissonGlm: same betas, SEs scaled by the exact Pearson phi") {
     // mu-hat = (2,2,6,6): X^2 = 1/2 + 1/2 + 4/6 + 4/6 = 7/3, phi = 7/6
     val d1 = Seq((1L, 0.0), (3L, 0.0), (4L, 1.0), (8L, 1.0)).toDF("y", "x")
