@@ -125,8 +125,17 @@ object Bench {
     // now live ONLY in the committed BENCH_LOCAL.json artifact
     // (last_run_ms = this run, queries_ms = best-known minima).
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    // q-number only ("q27" not "q27_lang_quality"), no leading zeros.
-    def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+    // Tracking key = the FULL query name. Numeric-prefix keys ("q303")
+    // collided once two catalog queries shared a number
+    // (q303_jarque_bera / q303_periodogram landed on one rolling-best
+    // row, so a regression in the slower member hid behind the faster
+    // member's min — VERDICT r13 item 1). Legacy short-keyed baseline
+    // files migrate on read: a stored "qN" value applies to the one
+    // catalog query with that prefix, and ambiguous prefixes drop their
+    // stale best (re-recorded by this run).
+    def qk(k: String): String = k
+    def shortKey(k: String): String =
+      "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
 
     // Round-over-round guard (VERDICT r5 item 7, tightened per r7): the
     // stored baseline holds the BEST-KNOWN time per query at this scale
@@ -167,13 +176,25 @@ object Bench {
           // toMap over both would silently prefer the wrong map
           val msObj = """"queries_ms":\{([^}]*)\}""".r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          val m = """"(q\d+)":(-?\d+)""".r.findAllMatchIn(msObj)
+          val m = """"(q\w+)":(-?\d+)""".r.findAllMatchIn(msObj)
             .map(m => m.group(1) -> m.group(2).toDouble / 1000.0).toMap
           val c = """"calib_ms":(\d+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toDouble / 1000.0)
           (m, c)
         }
       }
+    // legacy-file migration: stored keys may be numeric-prefix shorts.
+    // A short key resolves to the unique catalog query carrying that
+    // prefix; a prefix shared by two catalog queries (the q303/q304
+    // collision this migration exists to fix) gets NO stored best —
+    // that row's history was a min across two different queries and is
+    // not a trustworthy floor for either.
+    val uniquePrefix: Map[String, String] = all.groupBy(shortKey)
+      .collect { case (s, Seq(one)) => s -> one }
+    val prevByName: Map[String, Double] =
+      prev.filter { case (k, _) => all.contains(k) } ++
+        prev.flatMap { case (s, v) => uniquePrefix.get(s).map(_ -> v) }
+          .filterNot { case (k, _) => prev.contains(k) }
     // Re-baseline markers: best-known minima are ALL-TIME, so a DELIBERATE
     // design change that trades local speed for scale-safety (r10: q171's
     // checkpoint-frozen shape was faster locally but fail-stop under block
@@ -184,24 +205,40 @@ object Bench {
     // it as a re-baseline, not a regression; the marker is consumed by
     // that run (one-shot — it cannot silently absorb later regressions).
     val rebaseline: Map[String, String] = {
-      if (!prevFile.exists) Map.empty
-      else {
-        val txt = scala.io.Source.fromFile(prevFile).mkString
-        """"rebaseline":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          .map(m => """"(q\d+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
-            .map(x => x.group(1) -> x.group(2)).toMap)
-          .getOrElse(Map.empty)
-      }
+      val raw =
+        if (!prevFile.exists) Map.empty[String, String]
+        else {
+          val txt = scala.io.Source.fromFile(prevFile).mkString
+          """"rebaseline":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(m => """"(q\w+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+              .map(x => x.group(1) -> x.group(2)).toMap)
+            .getOrElse(Map.empty[String, String])
+        }
+      // same legacy-short migration as the best-known map
+      raw.filter { case (k, _) => all.contains(k) } ++
+        raw.flatMap { case (s, v) => uniquePrefix.get(s).map(_ -> v) }
+          .filterNot { case (k, _) => raw.contains(k) }
     }
-    // host-speed factor vs the baseline's recording conditions. Cold start
-    // (minima recorded before calibration existed): the median measured/
-    // best ratio across ALL queries estimates the window gap — robust to a
-    // few real regressions (they sit in the tail, the median doesn't move),
-    // while a uniform genuine slowdown is indistinguishable from host drift
-    // for exactly one run (the synthetic calib pins it from then on).
-    lazy val coldFactor: Double = {
+    // Interference normalization. Two estimators of "how much slower is
+    // this run's environment than the conditions the minima were recorded
+    // under", and the bar relaxes by the LARGER of the two:
+    //   1. the synthetic calib probe ratio (host CPU/scheduler speed at
+    //      two instants — misses bursty load that lands between probes);
+    //   2. the MEDIAN measured/best ratio across the whole suite — the
+    //      suite itself as a 370-point load sensor. Robust to a few real
+    //      regressions (they sit in the tail; the median doesn't move),
+    //      and exactly what the probe misses: rounds 11-13 each produced
+    //      9-25 flags with zero real regressions because the suite ran
+    //      ~1.5x slow under driver interference while the probes caught a
+    //      quieter moment. A SUITE-WIDE genuine slowdown (e.g. a session
+    //      config change) is excused for one run by construction — but it
+    //      would persist in last_run_ms vs queries_ms across rounds while
+    //      interference noise doesn't, and a single-query regression still
+    //      stands out against the median. Clamped to [1, 2] like the
+    //      probe factor; reported in the artifact as median_ratio.
+    lazy val medianRatio: Double = {
       val ratios = resultsMin2.flatMap { case (k, v) =>
-        prev.get(qk(k)).filter(_ > 0).filter(_ => v > 0).map(p => v / p)
+        prevByName.get(k).filter(_ > 0).filter(_ => v > 0).map(p => v / p)
       }.sorted
       // a narrowed local run has too few ratios for a meaningful median —
       // and a 1-query subset's median IS that query, which must not
@@ -209,18 +246,20 @@ object Bench {
       if (ratios.size < 30) 1.0
       else math.min(2.0, math.max(1.0, ratios(ratios.size / 2)))
     }
-    val hostFactor = prevCalib match {
+    val calibFactor = prevCalib match {
       case Some(pc) if pc > 0 => math.min(2.0, math.max(1.0, calib / pc))
-      case _ => coldFactor
+      case _ => 1.0
     }
+    val hostFactor = math.max(calibFactor, medianRatio)
     System.err.println(f"[bench] calibration ${calib}%.3fs" +
-      prevCalib.map(pc => f" (stored ${pc}%.3fs, host factor ${hostFactor}%.2fx)")
-        .getOrElse(f" (no stored calib; cold-start median factor ${hostFactor}%.2fx)"))
+      prevCalib.map(pc => f" (stored ${pc}%.3fs, probe factor $calibFactor%.2fx)")
+        .getOrElse(" (no stored calib)") +
+      f", suite median ratio $medianRatio%.2fx -> host factor $hostFactor%.2fx")
     // two guards beyond the 1.5x ratio: a 0.5s minimum ABSOLUTE delta
     // (sub-second queries live inside scheduler noise — a 0.2s -> 0.45s
     // move is not signal) and the one-shot rebaseline markers (design
     // changes that intentionally moved a query's floor)
-    def flagged(k: String, v: Double): Boolean = prev.get(qk(k)) match {
+    def flagged(k: String, v: Double): Boolean = prevByName.get(k) match {
       case Some(p0) =>
         val p = p0 * hostFactor
         p0 > 0 && v > 0 && v > p * 1.5 && v - p > 0.5 &&
@@ -241,7 +280,7 @@ object Bench {
     }
     val regressions = results.flatMap { case (k, v) =>
       if (flagged(k, v)) {
-        val p = prev(qk(k)) * hostFactor
+        val p = prevByName(k) * hostFactor
         System.err.println(
           f"[bench] REGRESSION ${qk(k)}: $p%.3fs (host-normalized) -> $v%.3fs (${v / p}%.2fx)")
         Some(qk(k))
@@ -268,12 +307,12 @@ object Bench {
     // the next run is otherwise intentional signal, not noise.
     if (args.isEmpty) {
       val best: Map[String, Double] = results.map { case (k, v) =>
-        val merged = (prev.get(qk(k)), v) match {
+        val merged = (prevByName.get(k), v) match {
           // a consumed rebaseline marker REPLACES the stored best with this
           // run's measurement — the honest floor for the new design
           case (_, cur) if cur > 0 && rebaseline.contains(qk(k)) =>
             System.err.println(f"[bench] REBASELINE ${qk(k)}: " +
-              f"${prev.getOrElse(qk(k), -1.0)}%.3fs -> $cur%.3fs " +
+              f"${prevByName.getOrElse(k, -1.0)}%.3fs -> $cur%.3fs " +
               f"(${rebaseline(qk(k))})")
             cur
           case (Some(p), cur) if p > 0 && cur > 0 => math.min(p, cur)

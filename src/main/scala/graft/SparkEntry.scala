@@ -6005,7 +6005,10 @@ object SparkEntry {
            FROM du),
          cb0 AS (SELECT round(ln(sy / n), 12)::DOUBLE b0, 0.0::DOUBLE b1
            FROM nn)"""
-    val iters = (1 to iterations).map { i =>
+    // iterations stepping passes + ONE trailing no-step pass that
+    // re-evaluates the Fisher information at the converged β (the
+    // driver's SE-at-reported-β convention): SE reads gt{iterations+1}
+    val iters = (1 to iterations + 1).map { i =>
       val prev = s"cb${i - 1}"
       s"""sc$i AS (SELECT y, x0,
              CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
@@ -6013,13 +6016,14 @@ object SparkEntry {
          gt$i AS (SELECT CAST(sum(mu) AS DOUBLE) h00,
              CAST(sum(mu * x0) AS DOUBLE) h01,
              CAST(sum(mu * x0 * x0) AS DOUBLE) h11
-           FROM sc$i),
+           FROM sc$i)""" +
+        (if (i > iterations) "" else s""",
          cb$i AS (SELECT
              round(b0 + (h11 * (sy - h00) - h01 * (syx - h01))
                / (h00 * h11 - h01 * h01), 12) b0,
              round(b1 + (h00 * (syx - h01) - h01 * (sy - h00))
                / (h00 * h11 - h01 * h01), 12) b1
-           FROM $prev, gt$i, nn)"""
+           FROM $prev, gt$i, nn)""")
     }.mkString(",\n         ")
     s"$base,\n         $iters"
   }
@@ -6042,7 +6046,11 @@ object SparkEntry {
     def ratio(c: String) = s"CAST($c AS DOUBLE) / CAST(cS0 AS DOUBLE)"
     def term12(expr: String) =
       s"CAST(sum(CAST(round($expr, 12) AS DECIMAL(28,12))) AS DOUBLE)"
-    val iters = (1 to iterations).map { i =>
+    // iterations stepping passes (sc/pl/sf/gt/cb) + ONE trailing no-step
+    // pass (sc/pl/sf/gt only) that re-evaluates the information at the
+    // converged β — mirroring coxPH's SE-at-reported-β convention, so
+    // the SE CTE reads gt{iterations+1} beside cb{iterations}
+    val iters = (1 to iterations + 1).map { i =>
       val prev = s"cb${i - 1}"
       s"""sc$i AS (SELECT life, ev, x0, x1,
              CAST(exp(CAST(x0 AS DOUBLE) * b0 + CAST(x1 AS DOUBLE) * b1)
@@ -6069,13 +6077,14 @@ object SparkEntry {
              ${term12(s"d * (${ratio("cS200")} - ${ratio("cS10")} * (${ratio("cS10")}))")} h00,
              ${term12(s"d * (${ratio("cS201")} - ${ratio("cS10")} * (${ratio("cS11")}))")} h01,
              ${term12(s"d * (${ratio("cS211")} - ${ratio("cS11")} * (${ratio("cS11")}))")} h11
-           FROM sf$i WHERE d > 0),
+           FROM sf$i WHERE d > 0)""" +
+        (if (i > iterations) "" else s""",
          cb$i AS (SELECT
              round(b0 + (h11 * g0 - h01 * g1)
                / (h00 * h11 - h01 * h01), 12) b0,
              round(b1 + (h00 * g1 - h01 * g0)
                / (h00 * h11 - h01 * h01), 12) b1
-           FROM $prev, gt$i)"""
+           FROM $prev, gt$i)""")
     }.mkString(",\n         ")
     s"$base,\n         $iters"
   }
@@ -10732,20 +10741,18 @@ object SparkEntry {
              AS encoded
          FROM b JOIN pc USING (source), pr
          ORDER BY b.doc_id""",
-    // poissonCtes + one more mean pass at cb4: Pearson X^2 terms rounded
-    // to 12dp before the exact decimal sum, SEs scaled by sqrt(phi)
+    // poissonCtes (whose trailing no-step pass sc5/gt5 prices the SE at
+    // the converged cb4): Pearson X^2 terms from the same sc5 means,
+    // rounded to 12dp before the exact decimal sum, SEs scaled by sqrt(phi)
     "q367_quasi_poisson" ->
       s"""WITH ${poissonCtes(iterations = 4)},
-         sc5 AS (SELECT y, x0,
-                 CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
-               FROM du, cb4),
          ph0 AS (SELECT CAST(sum(CAST(round((y - CAST(mu AS DOUBLE))
                    * (y - CAST(mu AS DOUBLE)) / CAST(mu AS DOUBLE), 12)
                    AS DECIMAL(28,12))) AS DOUBLE) x2
                FROM sc5),
          ph AS (SELECT x2 / (n - 2) phi FROM ph0, nn),
          fin AS (SELECT b0, b1, h00, h01, h11,
-                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+                 h00 * h11 - h01 * h01 det FROM cb4, gt5),
          st AS (SELECT n, b0, b1, phi,
                  sqrt(h11 / det) * sqrt(phi) se0,
                  sqrt(h00 / det) * sqrt(phi) se1 FROM fin, nn, ph),
@@ -10774,12 +10781,13 @@ object SparkEntry {
            FROM pp)
          ORDER BY term""",
     // the Poisson-Newton replay (poissonCtes): 4 unrolled iterations on
-    // exact decimal moment sums, closed-form 2x2 step, SE from the final
-    // Fisher information, shared A&S two-sided p
+    // exact decimal moment sums, closed-form 2x2 step, SE from the
+    // Fisher information re-evaluated at the converged cb4 (gt5 — the
+    // trailing no-step pass), shared A&S two-sided p
     "q356_poisson_glm" ->
       s"""WITH ${poissonCtes(iterations = 4)},
          fin AS (SELECT b0, b1, h00, h01, h11,
-                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+                 h00 * h11 - h01 * h01 det FROM cb4, gt5),
          st AS (SELECT n, b0, b1, sqrt(h11 / det) se0,
                  sqrt(h00 / det) se1 FROM fin, nn),
          zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
@@ -10811,7 +10819,7 @@ object SparkEntry {
     "q352_cox_ph" ->
       s"""WITH ${coxCtes(iterations = 4)},
          fin AS (SELECT b0, b1, h00, h01, h11,
-                 h00 * h11 - h01 * h01 det FROM cb4, gt4),
+                 h00 * h11 - h01 * h01 det FROM cb4, gt5),
          st AS (SELECT n, ne, b0, b1, sqrt(h11 / det) se0,
                  sqrt(h00 / det) se1 FROM fin, nn),
          zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
@@ -11645,8 +11653,11 @@ object SparkEntry {
            (CASE WHEN ord > 0 THEN round(orn / ord, 6) END) + 0.0 AS or_mh
          FROM agg""",
     // the q273 strata; MH odds ratio from 12-dp-quantized long sums, the
-    // in-bounds quadratic root per stratum, 9-dp-quantized BD
-    // contributions, df = 6 even chi2 survival
+    // STRICTLY-in-bounds quadratic root per stratum (boundary strata —
+    // no in-bounds root — are excluded from both the BD sum and the df
+    // count, mirroring breslowDay's K_eff rule), 9-dp-quantized BD
+    // contributions; the even-df closed-form survival is specialized to
+    // the keff = 7 this data yields (all 7 dow strata contribute)
     "q365_breslow_day" ->
       """WITH b AS (SELECT dayofweek(ts::DATE) s,
                   (user_id % 2 = 0) e, (event_type = 'error') o
@@ -11672,26 +11683,33 @@ object SparkEntry {
          t2 AS (SELECT *, sqrt(greatest(bq * bq
                  - 4.0 * (psi - 1.0) * psi * r1 * c1, 0.0)) AS disc
                FROM t1),
-         t3 AS (SELECT *, CASE WHEN psi = 1.0 THEN r1 * c1 / nd
-                 ELSE (CASE WHEN (bq - disc) / (2.0 * (psi - 1.0))
-                         > greatest(0.0, r1 + c1 - nd)
-                       AND (bq - disc) / (2.0 * (psi - 1.0)) < least(r1, c1)
-                       THEN (bq - disc) / (2.0 * (psi - 1.0))
-                       ELSE (bq + disc) / (2.0 * (psi - 1.0)) END) END AS t
+         t3 AS (SELECT *, CASE WHEN psi = 1.0 THEN
+                   (CASE WHEN r1 * c1 / nd > greatest(0.0, r1 + c1 - nd)
+                      AND r1 * c1 / nd < least(r1, c1)
+                    THEN r1 * c1 / nd END)
+                 WHEN (bq - disc) / (2.0 * (psi - 1.0))
+                     > greatest(0.0, r1 + c1 - nd)
+                   AND (bq - disc) / (2.0 * (psi - 1.0)) < least(r1, c1)
+                 THEN (bq - disc) / (2.0 * (psi - 1.0))
+                 WHEN (bq + disc) / (2.0 * (psi - 1.0))
+                     > greatest(0.0, r1 + c1 - nd)
+                   AND (bq + disc) / (2.0 * (psi - 1.0)) < least(r1, c1)
+                 THEN (bq + disc) / (2.0 * (psi - 1.0)) END AS t
                FROM t2),
-         t4 AS (SELECT CASE WHEN t > 0 AND r1 - t > 0 AND c1 - t > 0
-                  AND nd - r1 - c1 + t > 0
+         t4 AS (SELECT CASE WHEN t IS NOT NULL AND t > 0 AND r1 - t > 0
+                  AND c1 - t > 0 AND nd - r1 - c1 + t > 0
                  THEN round((a - t) * (a - t)
                    / (1.0 / (1.0 / t + 1.0 / (r1 - t) + 1.0 / (c1 - t)
                      + 1.0 / (nd - r1 - c1 + t))) * 1e9)::BIGINT
-                 ELSE 0 END AS bdq
+                 ELSE NULL END AS bdq
                FROM t3),
          f AS (SELECT pp.k, pp.nt, pp.psi,
-                 (SELECT sum(bdq) FROM t4) / 1e9 AS bd FROM pp)
+                 (SELECT coalesce(sum(bdq), 0) FROM t4) / 1e9 AS bd,
+                 (SELECT count(bdq) FROM t4)::BIGINT AS keff FROM pp)
          SELECT k AS n_strata, nt AS n, round(psi, 6) + 0.0 AS or_mh,
-           round(bd, 6) + 0.0 AS bd_chi2, (k - 1)::BIGINT AS df,
-           round(least(1.0, exp(-bd / 2)
-             * (1 + bd / 2 + pow(bd / 2, 2) / 2)), 6) + 0.0 AS p_value
+           round(bd, 6) + 0.0 AS bd_chi2, (keff - 1)::BIGINT AS df,
+           CASE WHEN keff = 7 THEN round(least(1.0, exp(-bd / 2)
+             * (1 + bd / 2 + pow(bd / 2, 2) / 2)), 6) + 0.0 END AS p_value
          FROM f""",
     // the q235 duration construction split even/odd; at-risk prefixes via
     // exclusive cumulative exits, pooled hypergeometric O/E/V

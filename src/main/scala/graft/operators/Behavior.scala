@@ -828,6 +828,18 @@ object Behavior {
   def rmst(durations: DataFrame, durationCol: String, censoredCol: String,
       groupCol: String, tau: Long): DataFrame = {
     require(tau > 0, s"tau must be > 0: $tau")
+    // Long-headroom fail-stop for the fixed quantization scales: the
+    // variance terms quantize area²·w at 9 dp (area ≤ τ, w < 1), so a
+    // single term can reach τ²·1e9 and the non-ANSI double→long cast
+    // SATURATES silently past Long.MaxValue. τ ≤ 30000 keeps any term
+    // ≤ 9e17 — 10× headroom for the per-group sum (Σw, the Greenwood
+    // mass, is ≲ 1 in practice) — and the 12-dp linear terms (area·w,
+    // t·ΔS) under 3e16 with ~300× headroom. Longer horizons must use a
+    // coarser time unit (hours → days), not a bigger τ.
+    require(tau <= 30000L,
+      s"rmst: tau = $tau exceeds the 9-dp quantization headroom " +
+        "(tau^2 * 1e9 must stay well under Long range or variance terms " +
+        "saturate silently) — re-bucket durations to a coarser time unit")
     val base = durations
       .filter(col(durationCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
@@ -921,9 +933,19 @@ object Behavior {
     * covariate). Newton–Raphson on the Breslow partial likelihood,
     * `iterations` fixed steps from β = 0; per covariate one row:
     * `(covariate, n, n_events, beta, se, z, p_value)` — SE from the
-    * final observed-information inverse, two-sided p via the shared A&S
-    * normal survival. NULL beta/se/z/p when there are no events or the
+    * observed information evaluated AT the reported (post-final-step) β
+    * via one extra no-step aggregation pass after the loop (the lazy
+    * convention of reusing the last in-loop information would price the
+    * SE at the penultimate β), two-sided p via the shared A&S normal
+    * survival. NULL beta/se/z/p when there are no events or the
     * information matrix is singular (a constant covariate).
+    *
+    * Fail-loud overflow guard: exp(βᵀx) lands in DECIMAL(20,12), which
+    * overflows to NULL past |η| ≈ 18.4 under the non-ANSI cast — a NULL
+    * score would silently drop its row from every risk-set sum and bias
+    * β/SE. Each pass therefore counts NULL scores and throws when any
+    * row overflowed (feature-scale the covariates; the contract is
+    * |x| ≲ 10³ at 4 dp).
     *
     * Determinism contract (the [[LinearModel.logregTrainHashed]] recipe —
     * what makes a DuckDB oracle possible): covariates quantize to
@@ -971,7 +993,10 @@ object Behavior {
       var lastInfo: Option[(Array[Array[Double]], Long, Long)] = None
       var it = 0
       var singular = false
-      while (it < iterations && !singular) {
+      // iterations stepping passes + ONE no-step pass that re-evaluates
+      // the observed information at the converged β for the SEs
+      while (it < iterations + 1 && !singular) {
+        val finalPass = it == iterations
         // exp(βᵀx) with the dot accumulated left-to-right in double from
         // the 4-dp decimal covariates — the identical expression the
         // oracle writes — then quantized so every sum below is exact
@@ -989,13 +1014,20 @@ object Behavior {
            covariates.indices.map(i =>
              sum(s * col(xCols(i))).as(s"__s1_$i")) ++
            pairIdx.map { case (i, j) =>
-             sum(s * col(xCols(i)) * col(xCols(j))).as(s"__s2_${i}_$j") })
+             sum(s * col(xCols(i)) * col(xCols(j))).as(s"__s2_${i}_$j") } ++
+           Seq(sum(when(s.isNull, lit(1L)).otherwise(lit(0L)))
+             .as("__overflowed")))
         val perLife = base.groupBy(col("__life"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
         require(perLife.length <= maxDurations,
           s"coxPH: ${perLife.length} distinct durations exceed " +
             s"maxDurations $maxDurations — bucket the durations")
+        val overflowed = perLife.map(_.getLong(3 + 2 * d + pairIdx.size)).sum
+        require(overflowed == 0L,
+          s"coxPH: $overflowed subject scores exp(beta.x) overflowed " +
+            "DECIMAL(20,12) (|eta| > ~18.4) — a NULL score silently drops " +
+            "its row from every risk-set sum; feature-scale the covariates")
         // driver suffix sums over durations DESC (exact BigDecimal)
         val rows = perLife.map { r =>
           (r.getLong(0), r.getLong(1),
@@ -1041,19 +1073,21 @@ object Behavior {
           info(i)(j) = infoTerm(p).toDouble; info(j)(i) = info(i)(j)
         }
         lastInfo = Some((info.map(_.clone()), n, nEvents))
-        val step: Option[Array[Double]] =
-          if (d == 2) {
-            // the closed-form 2×2 solve the oracle mirrors verbatim
-            val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
-            if (det <= 0) None
-            else Some(Array(
-              (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
-              (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
-          } else solveSym(info.map(_.clone()), grad.clone())
-        step match {
-          case None => singular = true
-          case Some(st) =>
-            beta = beta.zip(st).map { case (b, x) => round12d(b + x) }
+        if (!finalPass) {
+          val step: Option[Array[Double]] =
+            if (d == 2) {
+              // the closed-form 2×2 solve the oracle mirrors verbatim
+              val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+              if (det <= 0) None
+              else Some(Array(
+                (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+                (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+            } else solveSym(info.map(_.clone()), grad.clone())
+          step match {
+            case None => singular = true
+            case Some(st) =>
+              beta = beta.zip(st).map { case (b, x) => round12d(b + x) }
+          }
         }
         it += 1
       }

@@ -853,15 +853,19 @@ object LinearModel {
     * defect/token counts want a rate model): y ~ Poisson(exp(β₀ + βᵀx)),
     * `iterations` fixed steps from β = 0, one row per term (`intercept`
     * first, then each covariate): `(term, n, beta, se, z, p_value)` —
-    * each covariate's β is a log rate ratio per unit, SE from the final
-    * Fisher-information inverse, two-sided p via the shared A&S normal
-    * survival. NULL stats when the information matrix goes singular (a
+    * each covariate's β is a log rate ratio per unit, SE from the
+    * Fisher information evaluated AT the reported (post-final-step) β
+    * via one extra no-step pass after the loop, two-sided p via the
+    * shared A&S normal survival. NULL stats when the information matrix goes singular (a
     * constant covariate) or n = 0.
     *
     * Determinism contract (the [[graft.operators.Behavior.coxPH]]
     * recipe, SIMPLER here — no risk sets): covariates quantize to
     * DECIMAL(8,4), per-row means exp(β₀+βᵀx) to DECIMAL(20,12) (keep
-    * |η| ≲ 18 by feature-scaling — the decimal overflows past 1e8), so
+    * |η| ≲ 18 by feature-scaling — the decimal overflows past 1e8, and
+    * every pass counts NULL means and THROWS if any row overflowed: the
+    * non-ANSI cast would otherwise silently drop the row from every
+    * moment sum), so
     * every Newton ingredient (Σμ, Σμxₖ, Σμxₖxₗ, Σy, Σyxₖ) is an EXACT
     * decimal/long sum — aggregation order cannot move a bit; β re-rounds
     * to 12 dp between iterations, damping the ≤ 1 ulp libm exp noise.
@@ -943,7 +947,11 @@ object LinearModel {
       var lastInfo: Option[Array[Array[Double]]] = None
       var singular = false
       var it = 0
-      while (it < iterations && !singular) {
+      // iterations stepping passes + ONE no-step pass that re-evaluates
+      // the expected information at the converged β for the SEs (reusing
+      // the in-loop information would price the SE at the penultimate β)
+      while (it < iterations + 1 && !singular) {
+        val finalPass = it == iterations
         // η = β₀ + Σ βₖxₖ accumulated left-to-right in double — the
         // identical expression the oracle writes — then μ quantized so
         // every sum below is exact
@@ -953,12 +961,19 @@ object LinearModel {
         val mu = exp(eta).cast("decimal(20,12)")
         def x(i: Int): Column =
           if (i == 0) lit(1).cast("decimal(2,0)") else col(xCols(i - 1))
-        val aggs = sum(mu).as("__s_0_0") +:
+        val aggs = (sum(mu).as("__s_0_0") +:
           pairIdx.tail.map { case (i, j) =>
             (if (i == 0) sum(mu * x(j)) else sum(mu * x(i) * x(j)))
               .as(s"__s_${i}_$j")
-          }
+          }) :+ sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
+            .as("__overflowed")
         val r = base.agg(aggs.head, aggs.tail: _*).head()
+        // fail loudly on the non-ANSI decimal overflow: a NULL μ would
+        // silently drop its row from every moment sum and bias β/SE
+        require(r.getLong(pairIdx.size) == 0L,
+          s"poissonGlm: ${r.getLong(pairIdx.size)} row means exp(eta) " +
+            "overflowed DECIMAL(20,12) (|eta| > ~18.4) — feature-scale " +
+            "the covariates")
         val s = pairIdx.indices.map(p =>
           if (r.isNullAt(p)) 0.0 else BigDecimal(r.getDecimal(p)).toDouble)
         val info = Array.ofDim[Double](dim, dim)
@@ -968,19 +983,21 @@ object LinearModel {
         val grad = Array.tabulate(dim)(i =>
           if (i == 0) sy - info(0)(0) else syx(i - 1) - info(0)(i))
         lastInfo = Some(info.map(_.clone()))
-        val step: Option[Array[Double]] =
-          if (dim == 2) {
-            // the closed-form 2×2 solve the oracle mirrors verbatim
-            val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
-            if (det <= 0) None
-            else Some(Array(
-              (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
-              (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
-          } else solveSpd(info.map(_.clone()), grad.clone())
-        step match {
-          case None => singular = true
-          case Some(st) =>
-            beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+        if (!finalPass) {
+          val step: Option[Array[Double]] =
+            if (dim == 2) {
+              // the closed-form 2×2 solve the oracle mirrors verbatim
+              val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+              if (det <= 0) None
+              else Some(Array(
+                (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+                (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+            } else solveSpd(info.map(_.clone()), grad.clone())
+          step match {
+            case None => singular = true
+            case Some(st) =>
+              beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+          }
         }
         it += 1
       }
@@ -1047,9 +1064,15 @@ object LinearModel {
     * exactly on the prior (the n_g = 1 algebra does it — no special
     * case). Output: the id, the category, and `encoded`.
     *
-    * Scale: ONE per-category (count, sum) aggregation broadcast back
+    * Scale: ONE per-category (count, sum) aggregation equi-joined back
     * onto the scan + a single codegen projection — no window, no
     * per-row state; deterministic, so train/serve recompute identically.
+    * The join carries NO broadcast hint on purpose: the aggregate is
+    * unbounded for exactly the high-cardinality categoricals this
+    * operator targets (10^7–10^8 categories at 100 TB would OOM the
+    * driver under a forced broadcast), so the plan stays a shuffled
+    * equi-join and AQE auto-broadcasts only when the aggregate is
+    * measured small at runtime.
     * Determinism: integer targets keep every sum exact; the one double
     * expression mirrors in the oracle. */
   def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
@@ -1067,7 +1090,7 @@ object LinearModel {
     val prior = global.getLong(1).toDouble / n
     val perCat = base.groupBy(col("category"))
       .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__syg"))
-    base.join(broadcast(perCat), Seq("category"))
+    base.join(perCat, Seq("category"))
       .select(col("id"), col("category"),
         ((col("__syg") - col("__y") + lit(smoothing) * lit(prior)) /
           (col("__ng") - 1 + lit(smoothing))).as("encoded"))

@@ -201,7 +201,10 @@ object Sampling {
     * multiplier (raked mass / observed count), `cell_share` the raked
     * share of the corpus.
     *
-    * `rowShares` must cover every observed row key and sum to 1; column
+    * `rowShares` must carry EXACTLY the observed row keys (missing keys
+    * have no target; extra never-observed keys would make the row margin
+    * sum to less than the column margin — inconsistent targets IPF can
+    * only oscillate between) and sum to 1; column
     * targets are uniform over the OBSERVED column keys (the common
     * "de-bias source skew" ask). Zero cells stay zero (IPF preserves the
     * support).
@@ -242,6 +245,16 @@ object Sampling {
     val obsRows = cells.map(_._1).distinct
     require(obsRows.forall(shareMap.contains),
       s"rowShares missing observed keys: ${obsRows.filterNot(shareMap.contains).toSeq}")
+    // the margins must be CONSISTENT: a share on a never-observed row key
+    // makes row targets sum to < nTotal while the uniform column targets
+    // sum to nTotal, so IPF oscillates between the two half-steps forever
+    // instead of converging — fail loudly rather than emit a non-fixed
+    // point
+    require(shareMap.keySet == obsRows.toSet,
+      "rowShares carries keys never observed in the data " +
+        s"(${(shareMap.keySet -- obsRows).toSeq.sorted}) — their mass " +
+        "would leave the row and column targets inconsistent and IPF " +
+        "oscillating; restrict shares to observed keys (renormalized)")
     val nTotal = cells.map(_._3).sum
     val kCols = cells.map(_._2).distinct.length
     val colTarget = 1.0 / kCols * nTotal

@@ -425,9 +425,15 @@ object Association {
     * Mantel–Haenszel common OR ψ solves the quadratic
     * (ψ−1)Ã² − [ψ(r₁+c₁) + (n−r₁−c₁)]Ã + ψr₁c₁ = 0 (the root inside the
     * cell bounds), with Var = 1/(1/Ã + 1/(r₁−Ã) + 1/(c₁−Ã) +
-    * 1/(n−r₁−c₁+Ã)); BD = Σ (a−Ã)²/Var ~ χ²(K−1). One row: `(n_strata,
-    * n, or_mh, bd_chi2, df, p_value)`; NULL stats when ψ is undefined
-    * (Σbc/n = 0) or K < 2.
+    * 1/(n−r₁−c₁+Ã)); BD = Σ (a−Ã)²/Var ~ χ²(K_eff−1), where K_eff counts
+    * only strata with a STRICTLY in-bounds root — boundary strata (no
+    * root strictly inside [max(0,r₁+c₁−n), min(r₁,c₁)]) carry no
+    * homogeneity information and are excluded from BOTH the BD sum and
+    * the df (zeroing their term while counting them in df would deflate
+    * the p-value). One row: `(n_strata, n, or_mh, bd_chi2, df,
+    * p_value)` — `n_strata` reports all K observed strata, `df` is
+    * K_eff−1; NULL stats when ψ is undefined (Σbc/n = 0), K < 2, or
+    * K_eff < 2.
     *
     * Determinism contract: ψ is a ratio of two 12-dp-quantized long
     * sums, and each stratum's BD contribution quantizes to a 9-dp long
@@ -470,32 +476,48 @@ object Association {
     val ord = rows.map { case (_, b, c, _, n) => q12(b.toDouble * c / n) }.sum
     if (ord == 0) return nulls(k, nTot)
     val psi = orn.toDouble / ord
+    // A stratum contributes iff a STRICTLY in-bounds root exists (at a
+    // boundary stratum — expected cell exactly at max(0, r1+c1−n) or
+    // min(r1, c1) — a variance term is 0 and the quadratic carries no
+    // homogeneity information). Such strata are excluded from BOTH the
+    // BD sum and the df count: counting them in k−1 while zeroing their
+    // contribution would overstate the family and deflate the p-value.
     var bdQ = 0L
+    var kEff = 0L
     rows.foreach { case (a, b, c, _, n) =>
       val r1 = (a + b).toDouble; val c1 = (a + c).toDouble
       val nD = n.toDouble
-      val tilde =
-        if (psi == 1.0) r1 * c1 / nD
-        else {
+      val lo = math.max(0.0, r1 + c1 - nD); val hi = math.min(r1, c1)
+      val tildeOpt: Option[Double] =
+        if (psi == 1.0) {
+          val t = r1 * c1 / nD
+          if (t > lo && t < hi) Some(t) else None
+        } else {
           val bq = psi * (r1 + c1) + (nD - r1 - c1)
           val disc = math.sqrt(math.max(
             bq * bq - 4.0 * (psi - 1.0) * psi * r1 * c1, 0.0))
           val a1 = (bq - disc) / (2.0 * (psi - 1.0))
           val a2 = (bq + disc) / (2.0 * (psi - 1.0))
-          val lo = math.max(0.0, r1 + c1 - nD); val hi = math.min(r1, c1)
-          if (a1 > lo && a1 < hi) a1 else a2
+          if (a1 > lo && a1 < hi) Some(a1)
+          else if (a2 > lo && a2 < hi) Some(a2)
+          else None
         }
-      val others = Seq(tilde, r1 - tilde, c1 - tilde, nD - r1 - c1 + tilde)
-      if (others.forall(_ > 0)) {
-        val v = 1.0 / others.map(1.0 / _).sum
-        bdQ += math.round((a - tilde) * (a - tilde) / v * 1e9)
+      tildeOpt.foreach { tilde =>
+        val others = Seq(tilde, r1 - tilde, c1 - tilde, nD - r1 - c1 + tilde)
+        if (others.forall(_ > 0)) {
+          val v = 1.0 / others.map(1.0 / _).sum
+          bdQ += math.round((a - tilde) * (a - tilde) / v * 1e9)
+          kEff += 1
+        }
       }
     }
+    if (kEff < 2) return nulls(k, nTot)
     val bd = bdQ / 1e9
     spark.range(1).select(lit(k).as("n_strata"), lit(nTot).as("n"),
       lit(psi).as("or_mh"), lit(bd).as("bd_chi2"),
-      lit(k - 1).as("df"),
-      lit(graft.profile.Drift.chi2Survival((k - 1).toInt, bd)).as("p_value"))
+      lit(kEff - 1).as("df"),
+      lit(graft.profile.Drift.chi2Survival((kEff - 1).toInt, bd))
+        .as("p_value"))
   }
 
   /** McNemar's test — did a CHANGE help, on PAIRED binary outcomes

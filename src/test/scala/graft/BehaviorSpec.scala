@@ -605,10 +605,12 @@ class BehaviorSpec extends SparkSpecBase {
     val df = data.toDF("dur", "cens", "x1", "x2")
     val out = Behavior.coxPH(df, "dur", "cens", Seq("x1", "x2"))
       .collect().map(r => r.getString(0) -> r).toMap
-    // definitional reference: risk-set loops, Breslow ties, 4 Newton steps
+    // definitional reference: risk-set loops, Breslow ties, 4 Newton
+    // steps + a 5th info-only pass so the SE prices at the REPORTED
+    // (post-final-step) beta — the operator's convention
     var b = Array(0.0, 0.0)
     var info = Array.ofDim[Double](2, 2)
-    for (_ <- 1 to 4) {
+    for (pass <- 1 to 5) {
       val grad = Array(0.0, 0.0)
       info = Array.ofDim[Double](2, 2)
       for (t <- data.filter(!_._2).map(_._1).distinct) {
@@ -628,9 +630,11 @@ class BehaviorSpec extends SparkSpecBase {
           info(k)(l) += dd * (s2 / s0 - s1(k) / s0 * (s1(l) / s0))
         }
       }
-      val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
-      b = Array(b(0) + (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
-        b(1) + (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det)
+      if (pass <= 4) {
+        val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+        b = Array(b(0) + (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+          b(1) + (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det)
+      }
     }
     val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
     val seRef = Array(math.sqrt(info(1)(1) / det), math.sqrt(info(0)(0) / det))
@@ -656,5 +660,39 @@ class BehaviorSpec extends SparkSpecBase {
       .toDF("dur", "cens", "x1", "x2")
     val fc = Behavior.coxPH(flat, "dur", "cens", Seq("x1", "x2")).collect()
     assert(fc.forall(_.isNullAt(3)), "singular info must null the betas")
+  }
+
+  test("coxPH: score overflow past DECIMAL(20,12) fails loudly, never drops rows") {
+    import spark.implicits._
+    // an un-scaled covariate pushes |beta*x| past ~18.4 after the first
+    // Newton step: exp() overflows the decimal and would silently drop
+    // subjects from every risk-set sum — the operator must throw instead
+    // a nearly-constant covariate (4-dp resolution) whose high value
+    // systematically dies first: step-1 info ~ Var(x) ~ 1e-9 while the
+    // gradient stays ~1e-4, so the first Newton step overshoots beta to
+    // ~1e4 and the second pass's exp(beta*x) overflows the decimal
+    val hot = Seq((1.0, false, 1.0001), (2.0, false, 1.0001),
+      (3.0, false, 1.0), (4.0, false, 1.0)).toDF("dur", "cens", "x1")
+    val e = intercept[Exception] {
+      Behavior.coxPH(hot, "dur", "cens", Seq("x1")).collect()
+    }
+    // under ANSI (Spark 4 default) the decimal cast itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE; under a non-ANSI session the cast
+    // yields NULL and the operator's own null-score guard fires — either
+    // way the failure is LOUD, never a silent row drop
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("overflowed") ||
+      msg.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"expected a loud overflow failure, got: $msg")
+  }
+
+  test("rmst: tau beyond the 9-dp quantization headroom fails fast") {
+    import spark.implicits._
+    val d = Seq((100L, false, "a"), (200L, true, "a")).toDF("dur", "cens", "g")
+    val e = intercept[IllegalArgumentException] {
+      Behavior.rmst(d, "dur", "cens", "g", tau = 100000000L)
+    }
+    assert(e.getMessage.contains("quantization headroom"))
   }
 }

@@ -449,6 +449,26 @@ class LinearModelSpec extends SparkSpecBase {
       .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
   }
 
+  test("poissonGlm: mean overflow past DECIMAL(20,12) fails loudly") {
+    // counts with mean > 1e8 start the intercept at ln(mean) > 18.4, so
+    // mu = exp(eta) overflows DECIMAL(20,12) on the very first pass and
+    // would silently drop rows from every moment sum — must throw instead
+    val hot = Seq((400000000L, 1.0), (600000000L, 2.0),
+      (500000000L, 0.0)).toDF("y", "x")
+    val e = intercept[Exception] {
+      LinearModel.poissonGlm(hot, "y", Seq("x")).collect()
+    }
+    // under ANSI (Spark 4 default) the decimal cast itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE; under a non-ANSI session the cast
+    // yields NULL and the operator's own null-mean guard fires — either
+    // way the failure is LOUD, never a silent row drop
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("overflowed") ||
+      msg.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"expected a loud overflow failure, got: $msg")
+  }
+
   test("targetEncodeLoo: own label excluded, singletons land on the prior") {
     // prior = 3/6; category a: (sum 2, n 3), b: (sum 1, n 2), c singleton
     val d = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 0),

@@ -756,6 +756,21 @@ class PlanSpec extends SparkSpecBase {
     assert(hinted <= 1, s"only the scalar stats row may carry a hint:\n$analyzed")
   }
 
+  test("targetEncodeLoo: per-category aggregate join carries no broadcast hint") {
+    // the operator targets HIGH-cardinality categoricals, where the
+    // per-category aggregate is unbounded (10^7-10^8 categories at
+    // 100 TB) — a forced broadcast would OOM the driver. The plan must
+    // leave the join strategy to the planner/AQE: zero ResolvedHint in
+    // the analyzed plan even when every row is its own category.
+    val wide = spark.range(5000).selectExpr(
+      "id", "cast(id as string) AS cat", "cast(id % 2 as long) AS y")
+    val analyzed = graft.operators.LinearModel
+      .targetEncodeLoo(wide, "id", "cat", "y")
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"high-cardinality encode must not force a broadcast:\n$analyzed")
+  }
+
   test("association: corpus aggregates once (exchange reuse); marginals broadcast") {
     // the pre-AQE plan repeats the cells subtree under ma/mb/totals; at
     // execution AQE's exchange reuse dedupes the identical corpus-sized

@@ -686,6 +686,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(graft.profile.Association.breslowDay(
       cells(1, 10, 5, 5, 10).toDF("s", "e", "o"), "s", "e", "o")
       .collect().head.isNullAt(3))
+    // a BOUNDARY stratum (no exposed rows: r1 = 0, so no strictly
+    // in-bounds root exists) carries no homogeneity information — it must
+    // be excluded from BOTH the BD sum and the df count, not just zeroed
+    // in the sum (which would overstate df and deflate the p-value)
+    val bound = (cells(1, 10, 5, 5, 10) ++ cells(2, 20, 10, 10, 20) ++
+      cells(3, 0, 0, 5, 5)).toDF("s", "e", "o")
+    val rb = graft.profile.Association.breslowDay(bound, "s", "e", "o")
+      .collect().head
+    assert(rb.getLong(0) == 3L, "all observed strata still reported")
+    assert(rb.getLong(rb.fieldIndex("df")) == 1L,
+      s"df must count only contributing strata: $rb")
+    assert(rb.getAs[Double]("bd_chi2") == 0.0 &&
+      rb.getAs[Double]("p_value") == 1.0,
+      "the two informative strata are OR-homogeneous")
   }
 
   test("kendallTau matches a naive pairwise reference on seeded random ties") {

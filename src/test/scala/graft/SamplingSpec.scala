@@ -436,5 +436,14 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.rakeWeights(bal, "lang", "src",
         Seq("a" -> 0.5, "b" -> 0.5), maxCells = 2).collect()
     }
+    // a share on a NEVER-OBSERVED key makes the row and column targets
+    // inconsistent (rows sum to 0.8*n, columns to n) — IPF would
+    // oscillate forever instead of converging; must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(bal, "lang", "src",
+        Seq("a" -> 0.4, "b" -> 0.4, "ghost" -> 0.2)).collect()
+    }
+    assert(e.getMessage.contains("never observed"),
+      s"expected the inconsistent-margin guard, got: ${e.getMessage}")
   }
 }
