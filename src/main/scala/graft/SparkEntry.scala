@@ -3886,6 +3886,49 @@ object SparkEntry {
         .gateOrdered(col("covariate"))
     }),
 
+    // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
+    // the Gaussian-elimination path (d > 2) cannot be replayed as closed
+    // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
+    // pattern): the partial-likelihood score at the reported beta-hat —
+    // computed from the SAME per-duration decimal sums by the trailing
+    // no-step pass — must vanish, and the information inverse must yield
+    // positive SEs. The oracle recomputes the anchors (n, n_events) from
+    // the parquet and pins the booleans
+    "q369_cox_d3_contract" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(floor(unix_timestamp(col("ts")) / 3600)).as("__f"),
+          max(floor(unix_timestamp(col("ts")) / 3600)).as("__l"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"),
+          ((sum(when(col("value") > 50, 1L).otherwise(0L)) - 24) / 10.0)
+            .as("x_highval"),
+          ((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            - 13) / 5.0).as("x_purch"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__hmax") - col("__l") < 24).as("censored"),
+          col("x_events"), col("x_highval"), col("x_purch"))
+      val rows = Behavior.coxPHWithGradient(durations, "duration",
+        "censored", Seq("x_events", "x_highval", "x_purch"),
+        iterations = 6).collect()
+      rows.map { r =>
+        val nEv = r.getLong(2)
+        val converged = !r.isNullAt(r.fieldIndex("grad")) && nEv > 0 &&
+          math.abs(r.getAs[Double]("grad")) / nEv < 1e-6
+        val sePos = !r.isNullAt(r.fieldIndex("se")) &&
+          r.getAs[Double]("se") > 0
+        val betaFin = !r.isNullAt(r.fieldIndex("beta")) &&
+          java.lang.Double.isFinite(r.getAs[Double]("beta"))
+        (r.getString(0), r.getLong(1), nEv, converged, sePos, betaFin)
+      }.toSeq
+        .toDF("covariate", "n", "n_events", "converged", "se_positive",
+          "beta_finite")
+        .gateOrdered(col("covariate"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -10816,6 +10859,25 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // fixed-point contract for the d=3 Gaussian-elimination path: the
+    // anchors (n, n_events) recompute from the parquet with the same
+    // duration construction; the convergence/SE/finiteness booleans pin
+    // to true (the score at beta-hat is computed by the operator itself
+    // from the per-duration decimal sums — the q316 residual pattern)
+    "q369_cox_d3_contract" ->
+      """WITH pu AS (SELECT user_id,
+                  min(floor(epoch(ts) / 3600))::BIGINT f,
+                  max(floor(epoch(ts) / 3600))::BIGINT l
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1),
+         hz AS (SELECT max(l) hm FROM pu),
+         du AS (SELECT CASE WHEN (hm - l) < 24 THEN 0 ELSE 1 END ev
+               FROM pu, hz),
+         nn AS (SELECT count(*)::BIGINT n, sum(ev)::BIGINT ne FROM du)
+         SELECT c AS covariate, n, ne AS n_events, true AS converged,
+           true AS se_positive, true AS beta_finite
+         FROM nn, (VALUES ('x_events'), ('x_highval'), ('x_purch')) t(c)
+         ORDER BY covariate""",
     "q352_cox_ph" ->
       s"""WITH ${coxCtes(iterations = 4)},
          fin AS (SELECT b0, b1, h00, h01, h11,

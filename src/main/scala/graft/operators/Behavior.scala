@@ -967,7 +967,28 @@ object Behavior {
     * driver algebra. Subjects never sort globally; no unkeyed window. */
   def coxPH(durations: DataFrame, durationCol: String, censoredCol: String,
       covariates: Seq[String], iterations: Int = 4,
-      maxDurations: Long = 100000L): DataFrame = {
+      maxDurations: Long = 100000L): DataFrame =
+    coxPHImpl(durations, durationCol, censoredCol, covariates, iterations,
+      maxDurations, includeGradient = false)
+
+  /** [[coxPH]] plus a `grad` column: the partial-likelihood score
+    * ∂ℓ/∂βₖ evaluated at the REPORTED β̂ (computed by the same trailing
+    * no-step pass that prices the SEs, from the same per-duration
+    * decimal sums). At a Newton fixed point |grad|/n_events ≈ 0 — the
+    * replayable convergence CONTRACT for dimensions where an external
+    * engine cannot mirror the d×d solve itself (the q316 eigen-residual
+    * pattern): an oracle recomputes the anchors (n, n_events) and pins
+    * the normalized score to zero without replaying Gaussian
+    * elimination. */
+  def coxPHWithGradient(durations: DataFrame, durationCol: String,
+      censoredCol: String, covariates: Seq[String], iterations: Int = 4,
+      maxDurations: Long = 100000L): DataFrame =
+    coxPHImpl(durations, durationCol, censoredCol, covariates, iterations,
+      maxDurations, includeGradient = true)
+
+  private def coxPHImpl(durations: DataFrame, durationCol: String,
+      censoredCol: String, covariates: Seq[String], iterations: Int,
+      maxDurations: Long, includeGradient: Boolean): DataFrame = {
     require(covariates.nonEmpty && covariates.size <= 8,
       s"coxPH needs 1..8 covariates, got ${covariates.size}")
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
@@ -985,12 +1006,18 @@ object Behavior {
     try {
       val spark = durations.sparkSession
       import spark.implicits._
-      def nullRows(n: Long, nEvents: Long) = covariates.map(c =>
-        (c, n, nEvents, Option.empty[Double], Option.empty[Double],
-          Option.empty[Double], Option.empty[Double]))
-        .toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value")
+      def nullRows(n: Long, nEvents: Long) = {
+        val df0 = covariates.map(c =>
+          (c, n, nEvents, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double], Option.empty[Double],
+            Option.empty[Double]))
+          .toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value",
+            "grad")
+        if (includeGradient) df0 else df0.drop("grad")
+      }
       var beta = Array.fill(d)(0.0)
       var lastInfo: Option[(Array[Array[Double]], Long, Long)] = None
+      var lastGrad: Array[Double] = Array.fill(d)(0.0)
       var it = 0
       var singular = false
       // iterations stepping passes + ONE no-step pass that re-evaluates
@@ -1073,6 +1100,7 @@ object Behavior {
           info(i)(j) = infoTerm(p).toDouble; info(j)(i) = info(i)(j)
         }
         lastInfo = Some((info.map(_.clone()), n, nEvents))
+        lastGrad = grad.clone()
         if (!finalPass) {
           val step: Option[Array[Double]] =
             if (d == 2) {
@@ -1107,14 +1135,17 @@ object Behavior {
             else Option.empty[Double]).toSeq)
             .getOrElse(Seq.fill(d)(None))
         }
-      covariates.zipWithIndex.map { case (c, i) =>
+      val out = covariates.zipWithIndex.map { case (c, i) =>
         val b = if (singular) None else Some(beta(i))
         val se = seOpt(i)
         val z = for (bv <- b; s <- se if s > 0) yield bv / s
         (c, n, nEvents, b, se, z,
           z.map(x => math.min(1.0,
-            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
-      }.toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value")
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))),
+          if (singular) Option.empty[Double] else Some(lastGrad(i)))
+      }.toDF("covariate", "n", "n_events", "beta", "se", "z", "p_value",
+        "grad")
+      if (includeGradient) out else out.drop("grad")
     } finally base.unpersist(false)
   }
 

@@ -662,6 +662,33 @@ class BehaviorSpec extends SparkSpecBase {
     assert(fc.forall(_.isNullAt(3)), "singular info must null the betas")
   }
 
+  test("coxPHWithGradient: score at reported beta vanishes; d=3 solve path") {
+    import spark.implicits._
+    // three non-collinear covariates exercise the Gaussian-elimination
+    // (d > 2) Newton path; at the fixed point the partial-likelihood
+    // score evaluated AT the reported beta must be ~0 per event
+    val data = Seq(
+      (1.0, false, 1.0, 0.0, 0.5), (2.0, false, 0.8, 1.0, -0.2),
+      (2.0, false, 0.2, 0.5, 0.9), (3.0, true, -0.3, 0.2, 0.1),
+      (4.0, false, -0.5, -1.0, 0.4), (5.0, false, 0.1, 0.3, -0.8),
+      (5.0, false, -1.0, 0.7, 0.2), (6.0, true, 0.4, -0.6, -0.5),
+      (7.0, false, -0.8, -0.2, 0.7), (8.0, false, 0.6, 0.9, -0.1))
+    val df = data.toDF("dur", "cens", "x1", "x2", "x3")
+    val out = Behavior.coxPHWithGradient(df, "dur", "cens",
+      Seq("x1", "x2", "x3"), iterations = 8).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val nEv = r.getLong(2)
+      assert(!r.isNullAt(r.fieldIndex("grad")))
+      assert(math.abs(r.getAs[Double]("grad")) / nEv < 1e-8,
+        s"score must vanish at the fixed point: $r")
+      assert(r.getAs[Double]("se") > 0)
+    }
+    // the plain surface stays 7 columns — no schema change for callers
+    assert(!Behavior.coxPH(df, "dur", "cens", Seq("x1", "x2", "x3"))
+      .columns.contains("grad"))
+  }
+
   test("coxPH: score overflow past DECIMAL(20,12) fails loudly, never drops rows") {
     import spark.implicits._
     // an un-scaled covariate pushes |beta*x| past ~18.4 after the first
