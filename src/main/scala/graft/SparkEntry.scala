@@ -10,7 +10,7 @@ import graft.functions.{TextClean, TextFunctions}
 import graft.functions.kernels.VectorKernelFunctions
 import graft.operators.{Behavior, CorpusStats, Decontaminate, Dedup, LinearModel, Linkage, Multimodal, Packing, Repetition, Sampling, Search, Similarity, Temporal}
 import graft.ops._
-import graft.profile.{ColumnProfiler, Drift, ProfileComparison, ProfileReport}
+import graft.profile.{ColumnProfiler, Drift, ProfileComparison, ProfileReport, StatTests}
 import graft.sources.EventsSource
 import graft.streaming.EventStream
 
@@ -1987,7 +1987,7 @@ object SparkEntry {
     // double sums below 2^52 never round), so u values are bit-stable
     "q229_mann_whitney" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
-      Drift.mannWhitneyU(
+      StatTests.mannWhitneyU(
           orders.filter(col("o_orderstatus") === "F"),
           orders.filter(col("o_orderstatus") === "O"), "o_totalprice")
         .select(col("n_a"), col("n_b"),
@@ -2155,7 +2155,7 @@ object SparkEntry {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
         .withColumn("is_err", col("event_type") === "error")
       val cut = lit("2024-01-08").cast("date")
-      Drift.proportionZTest(
+      StatTests.proportionZTest(
           ev.filter(to_date(col("ts")) < cut),
           ev.filter(to_date(col("ts")) >= cut), "is_err")
         .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
@@ -2190,7 +2190,7 @@ object SparkEntry {
     // permutation mean is a bit-exact dyadic ratio on both engines
     "q242_permutation_test" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      Drift.permutationTestMeanDiff(
+      StatTests.permutationTestMeanDiff(
           docs.filter(col("lang") === "es"),
           docs.filter(col("lang") === "de"),
           "doc_id", "n_chars", nPerms = 200, seed = "pt")
@@ -2232,7 +2232,7 @@ object SparkEntry {
     // integer moments -> identical closed-form t/df/d on both engines
     "q247_welch_ttest" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      Drift.welchTTest(docs.filter(col("lang") === "en"),
+      StatTests.welchTTest(docs.filter(col("lang") === "en"),
           docs.filter(col("lang") === "de"), "n_chars")
         .select(col("n_a"), col("n_b"),
           (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
@@ -2247,7 +2247,7 @@ object SparkEntry {
     // of squares (ss rounded at 2dp: the 1e10-magnitude sums carry ~1e-5
     // cross-engine summation-order noise)
     "q248_anova" -> ((s, dir) => {
-      Drift.anovaF(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.anovaF(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("ss_between"), 2) + lit(0.0)).as("ss_between"),
           (round(col("ss_within"), 2) + lit(0.0)).as("ss_within"),
@@ -2258,7 +2258,7 @@ object SparkEntry {
     // the rank-based ANOVA sibling; avg ranks via the shared cumsum, H at
     // 4dp (rank-sum squares cross 2^53, the division noise sits ~1e-7)
     "q249_kruskal" -> ((s, dir) => {
-      Drift.kruskalWallis(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.kruskalWallis(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("h"), 4) + lit(0.0)).as("h"),
           (round(col("tie_correction"), 9) + lit(0.0)).as("tie_correction"))
@@ -2316,7 +2316,7 @@ object SparkEntry {
     // the at-most-one-change level-shift estimator; integer-exact scaled
     // CUSUM so the argmax day can never flip on float noise
     "q254_cusum" -> ((s, dir) => {
-      Drift.cusumChangepoint(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+      StatTests.cusumChangepoint(EventsSource.read(s, s"$dir/events.parquet"), "ts")
         .select(col("n_days"), col("change_day"),
           (round(col("cusum_max"), 6) + lit(0.0)).as("cusum_max"),
           (round(col("rate_before"), 6) + lit(0.0)).as("rate_before"),
@@ -2461,7 +2461,7 @@ object SparkEntry {
     // ---- Theil-Sen robust trend of the daily event rate (Drift) -----------
     // median of pairwise slopes over the calendar-bounded day table
     "q265_theil_sen" -> ((s, dir) => {
-      Drift.theilSenTrend(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+      StatTests.theilSenTrend(EventsSource.read(s, s"$dir/events.parquet"), "ts")
         .select(col("n_days"), col("n_pairs"),
           (round(col("slope"), 6) + lit(0.0)).as("slope"),
           (round(col("intercept"), 4) + lit(0.0)).as("intercept"))
@@ -2470,7 +2470,7 @@ object SparkEntry {
     // ---- per-event-type CUSUM changepoint (Drift) --------------------------
     // one level-shift estimate per slice; keyed windows, nothing global
     "q266_cusum_by_type" -> ((s, dir) => {
-      Drift.cusumChangepointByKey(
+      StatTests.cusumChangepointByKey(
           EventsSource.read(s, s"$dir/events.parquet"), "ts", "event_type")
         .select(col("key").as("event_type"), col("n_days"), col("change_day"),
           (round(col("cusum_max"), 6) + lit(0.0)).as("cusum_max"),
@@ -2489,7 +2489,7 @@ object SparkEntry {
         .filter(col("ts").isNotNull)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
         .withColumn("dow", dayofweek(col("day")))
-      Drift.anovaF(daily, "dow", "c")
+      StatTests.anovaF(daily, "dow", "c")
         .select(col("n"), col("k"),
           (round(col("ss_between"), 4) + lit(0.0)).as("ss_between"),
           (round(col("ss_within"), 4) + lit(0.0)).as("ss_within"),
@@ -2546,7 +2546,7 @@ object SparkEntry {
     // the assumption check beside q248's ANOVA: F on |x - median_g|;
     // integer values make medians and deviation moments engine-exact
     "q275_brown_forsythe" -> ((s, dir) => {
-      Drift.brownForsythe(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.brownForsythe(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("ss_between"), 2) + lit(0.0)).as("ss_between"),
           (round(col("ss_within"), 2) + lit(0.0)).as("ss_within"),
@@ -2603,7 +2603,7 @@ object SparkEntry {
     // probability of superiority
     "q279_cliffs_delta" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      Drift.cliffsDelta(docs.filter(col("lang") === "en"),
+      StatTests.cliffsDelta(docs.filter(col("lang") === "en"),
           docs.filter(col("lang") === "de"), "n_chars")
         .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
           col("ties").as("tie_pairs"),
@@ -2628,7 +2628,7 @@ object SparkEntry {
     // one moment pass -> skew/kurtosis z transforms; chi2(2) survival is
     // the closed form exp(-K2/2), engine-identical
     "q281_dagostino" -> ((s, dir) => {
-      Drift.dagostinoK2(read(s, dir, "documents"), "n_chars")
+      StatTests.dagostinoK2(read(s, dir, "documents"), "n_chars")
         .select(col("n"),
           (round(col("g1"), 6) + lit(0.0)).as("g1"),
           (round(col("b2"), 6) + lit(0.0)).as("b2"),
@@ -2655,7 +2655,7 @@ object SparkEntry {
         .select(explode(sequence(col("lo"), col("hi"))).as("h"))
       val series = spine.join(hourly, Seq("h"), "left")
         .na.fill(0L, Seq("y"))
-      Drift.changepointMean(series, "h", "y")
+      StatTests.changepointMean(series, "h", "y")
         .select(col("n"), col("change_at"), col("k"),
           (round(col("stat"), 6) + lit(0.0)).as("stat"),
           (round(col("mean_before"), 6) + lit(0.0)).as("mean_before"),
@@ -2681,7 +2681,7 @@ object SparkEntry {
         .select(explode(sequence(col("lo"), col("hi"))).as("h"))
       val series = spine.join(hourly, Seq("h"), "left")
         .na.fill(0L, Seq("x", "y"))
-      Drift.grangerLag1(series, "h", "x", "y")
+      StatTests.grangerLag1(series, "h", "x", "y")
         .select(col("n"),
           (round(col("beta_own"), 6) + lit(0.0)).as("beta_own"),
           (round(col("beta_cross"), 6) + lit(0.0)).as("beta_cross"),
@@ -2706,7 +2706,7 @@ object SparkEntry {
         .select(explode(sequence(col("lo"), col("hi"))).as("h"))
       val series = spine.join(hourly, Seq("h"), "left")
         .na.fill(0L, Seq("y"))
-      Drift.dickeyFuller(series, "h", "y")
+      StatTests.dickeyFuller(series, "h", "y")
         .select(col("n"),
           (round(col("gamma"), 6) + lit(0.0)).as("gamma"),
           (round(col("se_gamma"), 6) + lit(0.0)).as("se_gamma"),
@@ -2729,7 +2729,7 @@ object SparkEntry {
         .select(explode(sequence(col("lo"), col("hi"))).as("h"))
       val series = spine.join(hourly, Seq("h"), "left")
         .na.fill(0.0, Seq("y"))
-      Drift.ljungBox(series, "h", "y", maxLag = 10)
+      StatTests.ljungBox(series, "h", "y", maxLag = 10)
         .select(col("n"), col("lags"),
           (round(col("r1"), 6) + lit(0.0)).as("r1"),
           (round(col("q_stat"), 6) + lit(0.0)).as("q_stat"),
@@ -2837,7 +2837,7 @@ object SparkEntry {
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
         .select((col("user_id") % 2 === 0).as("even"),
           (col("event_type") === "error").as("is_err"))
-      Drift.proportionEffects(ev.filter(col("even")),
+      StatTests.proportionEffects(ev.filter(col("even")),
           ev.filter(!col("even")), "is_err")
         .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
           (round(col("p_a"), 6) + lit(0.0)).as("p_a"),
@@ -2934,7 +2934,7 @@ object SparkEntry {
     // (large-argument reduction is where libm implementations drift)
     "q303_periodogram" -> ((s, dir) => {
       val series = rebasedHourlySeries(s, dir)
-      Drift.periodogramPower(series, "t", "y", Seq(24, 168))
+      StatTests.periodogramPower(series, "t", "y", Seq(24, 168))
         .select(col("period"), col("n"),
           (round(col("c"), 4) + lit(0.0)).as("c"),
           (round(col("s"), 4) + lit(0.0)).as("s"),
@@ -2948,7 +2948,7 @@ object SparkEntry {
     // scales, log-log fit
     "q304_hurst" -> ((s, dir) => {
       val series = rebasedHourlySeries(s, dir)
-      Drift.hurstRS(series, "t", "y", Seq(8, 16, 32, 64))
+      StatTests.hurstRS(series, "t", "y", Seq(8, 16, 32, 64))
         .select(col("b"), col("n_blocks"),
           (round(col("mean_rs"), 6) + lit(0.0)).as("mean_rs"),
           (round(col("hurst"), 6) + lit(0.0)).as("hurst"),
@@ -2963,7 +2963,7 @@ object SparkEntry {
       val perUser = EventsSource.read(s, s"$dir/events.parquet")
         .filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      Drift.overdispersionTest(perUser, "c")
+      StatTests.overdispersionTest(perUser, "c")
         .select(col("n"),
           (round(col("mean"), 6) + lit(0.0)).as("mean"),
           (round(col("variance"), 6) + lit(0.0)).as("variance"),
@@ -2975,7 +2975,7 @@ object SparkEntry {
     // ---- Jarque-Bera normality on doc lengths (Drift) ---------------------
     // one power-sum scan; chi2(2) survival is the exact exp(-jb/2)
     "q303_jarque_bera" -> ((s, dir) => {
-      Drift.jarqueBera(read(s, dir, "documents"), "n_chars")
+      StatTests.jarqueBera(read(s, dir, "documents"), "n_chars")
         .select(col("n"),
           (round(col("g1"), 6) + lit(0.0)).as("g1"),
           (round(col("b2"), 6) + lit(0.0)).as("b2"),
@@ -2987,7 +2987,7 @@ object SparkEntry {
     // normal-theory companion of q275 brown_forsythe; per-group moments
     // only; df = 4 (even) so the survival is closed-form on both engines
     "q304_bartlett" -> ((s, dir) => {
-      Drift.bartlettTest(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.bartlettTest(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("pooled_var"), 6) + lit(0.0)).as("pooled_var"),
           (round(col("statistic"), 6) + lit(0.0)).as("statistic"),
@@ -2999,7 +2999,7 @@ object SparkEntry {
     // the d / g / glass panel from one moment pass per slice
     "q305_effect_sizes" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      Drift.effectSizes(docs.filter(col("lang") === "en"),
+      StatTests.effectSizes(docs.filter(col("lang") === "en"),
           docs.filter(col("lang") === "de"), "n_chars")
         .select(col("n_a"), col("n_b"),
           (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
@@ -3014,7 +3014,7 @@ object SparkEntry {
     // ---- Mood's median test on doc lengths across langs (Drift) -----------
     // rank-exact lower grand median + a 2xk contingency chi2; df = 4 even
     "q307_mood_median" -> ((s, dir) => {
-      Drift.moodMedianTest(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.moodMedianTest(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("grand_median"), 6) + lit(0.0)).as("grand_median"),
           (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
@@ -3042,7 +3042,7 @@ object SparkEntry {
     "q309_runs_test" -> ((s, dir) => {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
         .filter(col("ts").isNotNull && col("event_id").isNotNull)
-      Drift.runsTestByKey(ev, "event_type", Seq("ts", "event_id"), "value")
+      StatTests.runsTestByKey(ev, "event_type", Seq("ts", "event_id"), "value")
         .select(col("key"), col("n1"), col("n2"), col("runs"),
           (round(col("z"), 6) + lit(0.0)).as("z"))
         .gateOrdered(col("key"))
@@ -3058,7 +3058,7 @@ object SparkEntry {
         .withColumn("xh",
           (floor(unix_timestamp(col("ts")) / 3600) - lit(473702L)).cast("double"))
         .withColumn("yc", col("value") - 35.0)
-      Drift.durbinWatson(ev, "event_type", Seq("ts", "event_id"), "xh", "yc")
+      StatTests.durbinWatson(ev, "event_type", Seq("ts", "event_id"), "xh", "yc")
         .select(col("key"), col("n"),
           (round(col("slope"), 6) + lit(0.0)).as("slope"),
           (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
@@ -3074,7 +3074,7 @@ object SparkEntry {
         .withColumn("xh",
           (floor(unix_timestamp(col("ts")) / 3600) - lit(473702L)).cast("double"))
         .withColumn("yc", col("value") - 35.0)
-      Drift.breuschPagan(ev, "xh", "yc")
+      StatTests.breuschPagan(ev, "xh", "yc")
         .select(col("n"),
           (round(col("slope"), 6) + lit(0.0)).as("slope"),
           (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
@@ -3226,7 +3226,7 @@ object SparkEntry {
     "q318_bayesian_ab" -> ((s, dir) => {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
         .withColumn("hv", (col("value") > 50.0).cast("int"))
-      Drift.bayesianAB(ev, "event_type", "hv", armA = "view", armB = "click")
+      StatTests.bayesianAB(ev, "event_type", "hv", armA = "view", armB = "click")
         .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
           (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
           (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
@@ -3287,7 +3287,7 @@ object SparkEntry {
           floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("t"))
       val series = spine.join(daily, Seq("t"), "left").na.fill(0.0, Seq("y"))
-      Drift.ewmaBacktest(series, "t", "y", alpha = 0.3)
+      StatTests.ewmaBacktest(series, "t", "y", alpha = 0.3)
         .select(col("n"), col("n_scored"),
           (round(col("mae_ewma"), 6) + lit(0.0)).as("mae_ewma"),
           (round(col("mae_naive1"), 6) + lit(0.0)).as("mae_naive1"),
@@ -3301,7 +3301,7 @@ object SparkEntry {
         .filter(col("ts").isNotNull)
         .select((floor(unix_timestamp(col("ts")) / 86400) % 7)
           .cast("string").as("dow"))
-      Drift.chiSquareGof(ev, "dow",
+      StatTests.chiSquareGof(ev, "dow",
           (0 to 6).map(i => (i.toString, 1.0 / 7.0)))
         .select(col("n"), col("k"),
           (round(col("chi2"), 6) + lit(0.0)).as("chi2"),
@@ -3377,7 +3377,7 @@ object SparkEntry {
     // the shared two-sided cumsum (integer n_chars keep the sums exact)
     "q361_yuen_trimmed" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      Drift.yuenTrimmedTest(
+      StatTests.yuenTrimmedTest(
           docs.filter(col("lang") === "en"),
           docs.filter(col("lang") === "de"), "n_chars", trimFrac = 0.1)
         .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
@@ -3390,7 +3390,7 @@ object SparkEntry {
     // ---- robust location panel on doc lengths (Drift) ---------------------
     // rank-exact trimmed/winsorized means from the distinct-value cumsum
     "q327_robust_location" -> ((s, dir) => {
-      Drift.robustLocation(read(s, dir, "documents"), "n_chars",
+      StatTests.robustLocation(read(s, dir, "documents"), "n_chars",
           trimFrac = 0.1)
         .select(col("n"), col("n_trim_each"),
           (round(col("mean"), 6) + lit(0.0)).as("mean"),
@@ -3419,7 +3419,7 @@ object SparkEntry {
     "q329_p_adjust" -> ((s, dir) => {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
         .filter(col("ts").isNotNull && col("event_id").isNotNull)
-      val battery = Drift.runsTestByKey(ev, "event_type",
+      val battery = StatTests.runsTestByKey(ev, "event_type",
           Seq("ts", "event_id"), "value")
         .withColumn("_az", abs(col("z")) / math.sqrt(2.0))
         .withColumn("_t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("_az")))
@@ -3428,7 +3428,7 @@ object SparkEntry {
             (lit(-1.453152027) + col("_t") * 1.061405429)))) *
           exp(-col("_az") * col("_az")))
         .select(col("key"), col("p"))
-      Drift.pAdjust(battery, "p", method = "holm")
+      StatTests.pAdjust(battery, "p", method = "holm")
         .select(col("key"),
           (round(col("p"), 6) + lit(0.0)).as("p"),
           (round(col("p_adjusted"), 6) + lit(0.0)).as("p_adjusted"))
@@ -3490,7 +3490,7 @@ object SparkEntry {
         .select(explode(sequence(col("lo"), col("hi"))).as("d"))
       val grid = users.crossJoin(broadcast(spine))
         .join(counts, Seq("user_id", "d"), "left").na.fill(0.0, Seq("c"))
-      Drift.countModelFit(grid, "c")
+      StatTests.countModelFit(grid, "c")
         .select(col("n"),
           (round(col("mean"), 6) + lit(0.0)).as("mean"),
           (round(col("variance"), 6) + lit(0.0)).as("variance"),
@@ -3636,7 +3636,7 @@ object SparkEntry {
     // within-weekday pairs only; combined S and variance across phases
     "q343_seasonal_mk" -> ((s, dir) => {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
-      Drift.seasonalMannKendall(ev, "ts", period = 7)
+      StatTests.seasonalMannKendall(ev, "ts", period = 7)
         .select(col("n_days"), col("period"), col("s"),
           (round(col("var_s"), 6) + lit(0.0)).as("var_s"),
           (round(col("z"), 6) + lit(0.0)).as("z"),
@@ -3715,7 +3715,7 @@ object SparkEntry {
     // the pairwise follow-up to q249's Kruskal-Wallis, same rank plan;
     // Holm across the pair family
     "q348_dunn_posthoc" -> ((s, dir) => {
-      Drift.dunnTest(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.dunnTest(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
           (round(col("mean_rank_a"), 4) + lit(0.0)).as("mean_rank_a"),
           (round(col("mean_rank_b"), 4) + lit(0.0)).as("mean_rank_b"),
@@ -3732,7 +3732,7 @@ object SparkEntry {
     "q349_p_adjust_by" -> ((s, dir) => {
       val ev = EventsSource.read(s, s"$dir/events.parquet")
         .filter(col("ts").isNotNull && col("event_id").isNotNull)
-      val battery = Drift.runsTestByKey(ev, "event_type",
+      val battery = StatTests.runsTestByKey(ev, "event_type",
           Seq("ts", "event_id"), "value")
         .withColumn("_az", abs(col("z")) / math.sqrt(2.0))
         .withColumn("_t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("_az")))
@@ -3741,7 +3741,7 @@ object SparkEntry {
             (lit(-1.453152027) + col("_t") * 1.061405429)))) *
           exp(-col("_az") * col("_az")))
         .select(col("key"), col("p"))
-      Drift.pAdjust(battery, "p", method = "by")
+      StatTests.pAdjust(battery, "p", method = "by")
         .select(col("key"),
           (round(col("p"), 6) + lit(0.0)).as("p"),
           (round(col("p_adjusted"), 6) + lit(0.0)).as("p_adjusted"))
@@ -3782,7 +3782,7 @@ object SparkEntry {
             col("value") > 80, 1L).otherwise(0L)).as("y"),
           count(lit(1)).as("score"))
         .withColumn("t", (col("user_id") % 2 === 0).cast("int"))
-      Drift.qiniDeciles(perUser, "t", "y", "score")
+      StatTests.qiniDeciles(perUser, "t", "y", "score")
         .select(col("decile"), col("n_bin"), col("cum_treated"),
           col("cum_control"), col("cum_y_treated"), col("cum_y_control"),
           (round(col("qini"), 6) + lit(0.0)).as("qini"))
@@ -3933,7 +3933,7 @@ object SparkEntry {
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
     "q351_welch_anova" -> ((s, dir) => {
-      Drift.welchAnova(read(s, dir, "documents"), "lang", "n_chars")
+      StatTests.welchAnova(read(s, dir, "documents"), "lang", "n_chars")
         .select(col("n"), col("k"),
           (round(col("f"), 6) + lit(0.0)).as("f"), col("df1"),
           (round(col("df2"), 4) + lit(0.0)).as("df2"))
@@ -3948,7 +3948,7 @@ object SparkEntry {
         .filter(col("ts").isNotNull && col("value").isNotNull)
         .select(floor(unix_timestamp(col("ts")) / 604800).cast("string")
           .as("wk"), floor(col("value")).as("vb"))
-      Drift.jonckheereTerpstra(ev, "wk", "vb")
+      StatTests.jonckheereTerpstra(ev, "wk", "vb")
         .select(col("n"), col("k"),
           (round(col("j_stat"), 4) + lit(0.0)).as("j_stat"),
           (round(col("mean_j"), 4) + lit(0.0)).as("mean_j"),
@@ -4013,7 +4013,7 @@ object SparkEntry {
           floor(unix_timestamp(max(col("ts"))) / 86400).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("t"))
       val series = spine.join(daily, Seq("t"), "left").na.fill(0.0, Seq("y"))
-      Drift.maseBacktest(series, "t", "y", season = 7)
+      StatTests.maseBacktest(series, "t", "y", season = 7)
         .select(col("n"), col("n_scored"),
           (round(col("mae_seasonal"), 6) + lit(0.0)).as("mae_seasonal"),
           (round(col("mae_naive1"), 6) + lit(0.0)).as("mae_naive1"),
@@ -4047,7 +4047,7 @@ object SparkEntry {
           .cast("double").as("x"),
         sum(when(to_date(col("ts")) >= split, 1L).otherwise(0L))
           .cast("double").as("y"))
-      Drift.wilcoxonSignedRank(perUser, "x", "y")
+      StatTests.wilcoxonSignedRank(perUser, "x", "y")
         .select(col("n_pairs"), col("n_nonzero"),
           col("w_plus"), col("w_minus"),
           (round(col("z"), 6) + lit(0.0)).as("z"))
@@ -4087,7 +4087,7 @@ object SparkEntry {
     // ---- ICC(1): doc-length clustering within sources (Drift) -------------
     // the design-effect number: how clone-like are same-source docs
     "q297_icc" -> ((s, dir) => {
-      Drift.icc1(read(s, dir, "documents"), "source", "n_chars")
+      StatTests.icc1(read(s, dir, "documents"), "source", "n_chars")
         .select(col("n"), col("k"),
           (round(col("k0"), 6) + lit(0.0)).as("k0"),
           (round(col("ms_between"), 4) + lit(0.0)).as("ms_between"),
@@ -4169,7 +4169,7 @@ object SparkEntry {
     // the significance companion of q265's Theil-Sen slope; integer-exact
     // S and tie mass
     "q272_mann_kendall" -> ((s, dir) => {
-      Drift.mannKendall(EventsSource.read(s, s"$dir/events.parquet"), "ts")
+      StatTests.mannKendall(EventsSource.read(s, s"$dir/events.parquet"), "ts")
         .select(col("n_days"), col("s"),
           (round(col("var_s"), 4) + lit(0.0)).as("var_s"),
           (round(col("z"), 6) + lit(0.0)).as("z"), col("trend"))
@@ -4198,7 +4198,7 @@ object SparkEntry {
       val perUser = ev.groupBy(col("user_id")).agg(
         sum(when(to_date(col("ts")) < cut, 1L).otherwise(0L)).as("pre"),
         sum(when(to_date(col("ts")) >= cut, 1L).otherwise(0L)).as("post"))
-      Drift.cuped(perUser, "pre", "post")
+      StatTests.cuped(perUser, "pre", "post")
         .select(col("n"),
           (round(col("theta"), 6) + lit(0.0)).as("theta"),
           (round(col("mean_metric"), 6) + lit(0.0)).as("mean_metric"),
@@ -4212,7 +4212,7 @@ object SparkEntry {
     // bootstrap, bit-reproducible on both engines; 95% percentile CI over
     // 200 replicate means of en-doc n_chars
     "q243_bootstrap_ci" -> ((s, dir) => {
-      Drift.bootstrapMeanCI(
+      StatTests.bootstrapMeanCI(
           read(s, dir, "documents").filter(col("lang") === "en"),
           "doc_id", "n_chars", reps = 200, level = 0.95, seed = "bs")
         .select(col("n"),

@@ -635,7 +635,7 @@ object ScaleOps {
     * ([[graft.profile.Drift.psiQuantile]] decile-of-reference edges,
     * [[graft.profile.Association.numericMutualInfo]] quantile bins,
     * [[graft.operators.LinearModel.hosmerLemeshow]] deciles of risk,
-    * [[graft.profile.Drift.moodMedianTest]]'s grand median). `counts` is a
+    * [[graft.profile.StatTests.moodMedianTest]]'s grand median). `counts` is a
     * per-distinct-value `(value, count)` aggregate; `ranksOf(n)` maps the
     * grand total to the 1-based target ranks; the result is the DISTINCT
     * sorted values at those ranks of the expanded multiset ("first value

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Sampling
-import graft.profile.Drift
+import graft.profile.{Drift, StatTests}
 import org.apache.spark.sql.functions._
 
 class DriftSpec extends SparkSpecBase {
@@ -153,7 +153,7 @@ class DriftSpec extends SparkSpecBase {
     // sigma^2 = (9/12)*(7 - 12/30) = 4.95, z = (2 - 4.5)/sqrt(4.95)
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(2.0, 3.0, 4.0).toDF("v")
-    val r = Drift.mannWhitneyU(a, b, "v").collect().head
+    val r = StatTests.mannWhitneyU(a, b, "v").collect().head
     assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
     assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 7.0 && r.getDouble(4) == 2.0)
     assert(math.abs(r.getDouble(5) - (-2.5 / math.sqrt(4.95))) < 1e-12)
@@ -162,10 +162,10 @@ class DriftSpec extends SparkSpecBase {
   test("mannWhitneyU: empty side and all-tied sample yield NULL z") {
     val a = Seq(1.0, 1.0).toDF("v")
     val empty = Seq.empty[Double].toDF("v")
-    val r1 = Drift.mannWhitneyU(a, empty, "v").collect().head
+    val r1 = StatTests.mannWhitneyU(a, empty, "v").collect().head
     assert(r1.getLong(0) == 2L && r1.getLong(1) == 0L && r1.isNullAt(5))
     // all values identical: one tie group of 4 -> sigma^2 = 0
-    val r2 = Drift.mannWhitneyU(a, Seq(1.0, 1.0).toDF("v"), "v").collect().head
+    val r2 = StatTests.mannWhitneyU(a, Seq(1.0, 1.0).toDF("v"), "v").collect().head
     assert(r2.getDouble(2) == 2.0 && r2.isNullAt(5))
   }
 
@@ -219,14 +219,14 @@ class DriftSpec extends SparkSpecBase {
     val vals = (1 to 100).map(i => (i * 37 % 101).toDouble) // fixed scramble
     val a = (1 to 90).map(i => (i.toLong, vals(i - 1))).toDF("id", "v")
     val bb = (91 to 100).map(i => (i.toLong, vals(i - 1))).toDF("id", "v")
-    val r = Drift.permutationTestMeanDiff(a, bb, "id", "v", nPerms = 200)
+    val r = StatTests.permutationTestMeanDiff(a, bb, "id", "v", nPerms = 200)
       .collect().head
     assert(r.getLong(0) == 90L && r.getLong(1) == 10L)
     assert(r.getDouble(5) > 0.10,
       s"null 9:1 design must not reject, p = ${r.getDouble(5)}")
     // and a genuinely shifted 9:1 design still rejects
     val hi = (91 to 100).map(i => (i.toLong, vals(i - 1) + 500.0)).toDF("id", "v")
-    val s = Drift.permutationTestMeanDiff(a, hi, "id", "v", nPerms = 200)
+    val s = StatTests.permutationTestMeanDiff(a, hi, "id", "v", nPerms = 200)
       .collect().head
     assert(s.getDouble(5) < 0.05,
       s"shifted 9:1 design must reject, p = ${s.getDouble(5)}")
@@ -235,7 +235,7 @@ class DriftSpec extends SparkSpecBase {
   test("welchTTest: hand-computed t/df/d; degenerate sides go NULL") {
     val a = Seq(1, 2, 3, 4, 5).map(_.toDouble).toDF("v")
     val b = Seq(2, 4, 6, 8).map(_.toDouble).toDF("v")
-    val r = Drift.welchTTest(a, b, "v").collect().head
+    val r = StatTests.welchTTest(a, b, "v").collect().head
     assert(r.getLong(0) == 5L && r.getLong(1) == 4L)
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0)
     assert(math.abs(r.getDouble(4) - (-1.3587324409735149)) < 1e-12)
@@ -243,23 +243,23 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6) - (-0.9660917830792959)) < 1e-12)
     // n < 2 on one side -> NULL t/df/d, means still reported
     val one = Seq(7.0).toDF("v")
-    val e = Drift.welchTTest(a, one, "v").collect().head
+    val e = StatTests.welchTTest(a, one, "v").collect().head
     assert(e.getDouble(3) == 7.0 && e.isNullAt(4) && e.isNullAt(5))
     // zero variance both sides -> NULL t (se = 0)
     val c1 = Seq(2.0, 2.0).toDF("v"); val c2 = Seq(3.0, 3.0).toDF("v")
-    assert(Drift.welchTTest(c1, c2, "v").collect().head.isNullAt(4))
+    assert(StatTests.welchTTest(c1, c2, "v").collect().head.isNullAt(4))
   }
 
   test("anovaF: hand-computed F on three groups; one group -> NULL") {
     val df = (Seq(1, 2, 3).map(("g1", _)) ++ Seq(2, 3, 4).map(("g2", _)) ++
       Seq(10, 11, 12).map(("g3", _))).toDF("g", "v")
-    val r = Drift.anovaF(df, "g", "v").collect().head
+    val r = StatTests.anovaF(df, "g", "v").collect().head
     assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
     assert(math.abs(r.getDouble(2) - 146.0) < 1e-9)
     assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
     assert(math.abs(r.getDouble(4) - 73.0) < 1e-9)
     val single = Seq(("g1", 1), ("g1", 2)).toDF("g", "v")
-    assert(Drift.anovaF(single, "g", "v").collect().head.isNullAt(4))
+    assert(StatTests.anovaF(single, "g", "v").collect().head.isNullAt(4))
   }
 
   test("welch/anova/kruskal match naive references on seeded random groups") {
@@ -279,7 +279,7 @@ class DriftSpec extends SparkSpecBase {
       val ssw = groups.map { case (_, vs) =>
         val m = vs.sum / vs.size; vs.map(x => (x - m) * (x - m)).sum }.sum
       val fRef = (ssb / (k - 1)) / (ssw / (all.size - k))
-      val fr = Drift.anovaF(df, "g", "v").collect().head
+      val fr = StatTests.anovaF(df, "g", "v").collect().head
       assert(math.abs(fr.getDouble(2) - ssb) < 1e-6 * (1 + ssb), s"trial $trial ssb")
       assert(math.abs(fr.getDouble(3) - ssw) < 1e-6 * (1 + ssw), s"trial $trial ssw")
       assert(math.abs(fr.getDouble(4) - fRef) < 1e-6 * (1 + fRef), s"trial $trial F")
@@ -296,7 +296,7 @@ class DriftSpec extends SparkSpecBase {
         .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
       val c = 1.0 - ties / (nAll * nAll * nAll - nAll)
       val hRef = (12.0 / (nAll * (nAll + 1)) * sr - 3.0 * (nAll + 1)) / c
-      val kr = Drift.kruskalWallis(df, "g", "v").collect().head
+      val kr = StatTests.kruskalWallis(df, "g", "v").collect().head
       assert(math.abs(kr.getDouble(2) - hRef) < 1e-6 * (1 + math.abs(hRef)),
         s"trial $trial H ${kr.getDouble(2)} vs $hRef")
       // Welch reference on the first two groups
@@ -306,7 +306,7 @@ class DriftSpec extends SparkSpecBase {
         val mm = m(v); v.map(x => (x - mm) * (x - mm)).sum / (v.size - 1) }
       val (wa, wb) = (s2(va0) / va0.size, s2(vb0) / vb0.size)
       val tRef = (m(va0) - m(vb0)) / math.sqrt(wa + wb)
-      val wr = Drift.welchTTest(
+      val wr = StatTests.welchTTest(
         va0.toDF("v"), vb0.toDF("v"), "v").collect().head
       assert(math.abs(wr.getDouble(4) - tRef) < 1e-6 * (1 + math.abs(tRef)),
         s"trial $trial t ${wr.getDouble(4)} vs $tRef")
@@ -318,7 +318,7 @@ class DriftSpec extends SparkSpecBase {
     // very different |x - median| deviations
     val df = (Seq(9, 10, 10, 11).map(("g1", _)) ++
       Seq(1, 5, 15, 19).map(("g2", _))).toDF("g", "v")
-    val r = Drift.brownForsythe(df, "g", "v").collect().head
+    val r = StatTests.brownForsythe(df, "g", "v").collect().head
     assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
     // z1 = (1,0,0,1), z2 = (9,5,5,9): hand F = anovaF on those
     // ssb = (2^2/4 + 28^2/4) - 30^2/8 = 84.5; ssw = (2 - 1) + (212 - 196) = 17
@@ -328,7 +328,7 @@ class DriftSpec extends SparkSpecBase {
     // identical groups: deviations identical -> SSB exactly 0
     val same = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _)))
       .toDF("g", "v")
-    assert(math.abs(Drift.brownForsythe(same, "g", "v")
+    assert(math.abs(StatTests.brownForsythe(same, "g", "v")
       .collect().head.getDouble(2)) < 1e-9)
   }
 
@@ -336,13 +336,13 @@ class DriftSpec extends SparkSpecBase {
     // ranks 1..6, R1 = 6, R2 = 15: H = 12/42*(12+75) - 21 = 27/7
     val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
       .toDF("g", "v")
-    val r = Drift.kruskalWallis(df, "g", "v").collect().head
+    val r = StatTests.kruskalWallis(df, "g", "v").collect().head
     assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
     assert(math.abs(r.getDouble(2) - 27.0 / 7.0) < 1e-12, s"h=${r.getDouble(2)}")
     assert(r.getDouble(3) == 1.0) // no ties
     // every value equal: tie correction 0 -> NULL H
     val tied = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
-    val tr = Drift.kruskalWallis(tied, "g", "v").collect().head
+    val tr = StatTests.kruskalWallis(tied, "g", "v").collect().head
     assert(tr.isNullAt(2) && tr.getDouble(3) == 0.0)
   }
 
@@ -366,7 +366,7 @@ class DriftSpec extends SparkSpecBase {
     val rows = (1 to 5).flatMap(d => Seq.fill(2)(s"2024-01-0$d 12:00:00")) ++
       (6 to 10).flatMap(d => Seq.fill(10)(f"2024-01-$d%02d 12:00:00"))
     val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
-    val r = Drift.cusumChangepoint(df, "ts").collect().head
+    val r = StatTests.cusumChangepoint(df, "ts").collect().head
     assert(r.getLong(0) == 10L)
     assert(r.getDate(1).toString == "2024-01-05", s"day=${r.getDate(1)}")
     // D_5 = 10*10 - 5*60 = -200 -> |D|/T = 20
@@ -396,7 +396,7 @@ class DriftSpec extends SparkSpecBase {
       Seq.fill(c)(f"2024-01-${i + 1}%02d 12:00:00")
     }
     val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
-    val r = Drift.theilSenTrend(df, "ts").collect().head
+    val r = StatTests.theilSenTrend(df, "ts").collect().head
     assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
     assert(r.getDouble(2) == 2.0, s"slope=${r.getDouble(2)}")
     // intercept = median(y - 2x) over epoch-day x (2024-01-01 = 19723)
@@ -404,7 +404,7 @@ class DriftSpec extends SparkSpecBase {
     // single day -> NULL slope
     val one = Seq.fill(3)("2024-01-01 00:00:00").toDF("s")
       .select(col("s").cast("timestamp").as("ts"))
-    assert(Drift.theilSenTrend(one, "ts").collect().head.isNullAt(2))
+    assert(StatTests.theilSenTrend(one, "ts").collect().head.isNullAt(2))
   }
 
   test("mannKendall: monotone series rejects; flat series degenerates") {
@@ -412,7 +412,7 @@ class DriftSpec extends SparkSpecBase {
     val inc = (1 to 6).flatMap(d =>
       Seq.fill(d)(f"2024-01-0$d 12:00:00")).toDF("s")
       .select(col("s").cast("timestamp").as("ts"))
-    val r = Drift.mannKendall(inc, "ts").collect().head
+    val r = StatTests.mannKendall(inc, "ts").collect().head
     assert(r.getLong(0) == 6L && r.getLong(1) == 15L)
     val varS = 6.0 * 5 * 17 / 18
     assert(math.abs(r.getDouble(2) - varS) < 1e-9)
@@ -422,7 +422,7 @@ class DriftSpec extends SparkSpecBase {
     val flat = (1 to 6).flatMap(d =>
       Seq.fill(3)(f"2024-01-0$d 12:00:00")).toDF("s")
       .select(col("s").cast("timestamp").as("ts"))
-    val rf = Drift.mannKendall(flat, "ts").collect().head
+    val rf = StatTests.mannKendall(flat, "ts").collect().head
     assert(rf.getLong(1) == 0L && rf.isNullAt(3) && rf.getString(4) == "none")
   }
 
@@ -435,7 +435,7 @@ class DriftSpec extends SparkSpecBase {
       (4 to 10).flatMap(d => Seq.fill(2)(("B", f"2024-01-$d%02d 12:00:00")))
     val df = rows.toDF("k", "s")
       .select(col("k"), col("s").cast("timestamp").as("ts"))
-    val out = Drift.cusumChangepointByKey(df, "ts", "k")
+    val out = StatTests.cusumChangepointByKey(df, "ts", "k")
       .collect().map(r => r.getString(0) -> r).toMap
     assert(out("A").getDate(2).toString == "2024-01-05")
     assert(out("A").getDouble(4) == 2.0 && out("A").getDouble(5) == 10.0)
@@ -446,7 +446,7 @@ class DriftSpec extends SparkSpecBase {
   test("proportionZTest: hand-computed z and the 4/10 Wilson interval") {
     val a = (Seq.fill(4)(true) ++ Seq.fill(6)(false)).toDF("s")
     val b = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).toDF("s")
-    val r = Drift.proportionZTest(a, b, "s").collect().head
+    val r = StatTests.proportionZTest(a, b, "s").collect().head
     assert(r.getLong(0) == 10L && r.getLong(1) == 4L && r.getLong(3) == 1L)
     // pool = 0.25, se = sqrt(0.25*0.75*0.2), z = 0.3/se
     assert(math.abs(r.getDouble(7) - 0.3 / math.sqrt(0.0375)) < 1e-9)
@@ -454,7 +454,7 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(8) - 0.16818) < 1e-4)
     assert(math.abs(r.getDouble(9) - 0.68732) < 1e-4)
     // degenerate pool (all failures on both sides) -> NULL z
-    val z0 = Drift.proportionZTest(
+    val z0 = StatTests.proportionZTest(
       Seq(false, false).toDF("s"), Seq(false).toDF("s"), "s").collect().head
     assert(z0.isNullAt(7))
   }
@@ -462,59 +462,59 @@ class DriftSpec extends SparkSpecBase {
   test("permutationTestMeanDiff: identical samples p = 1, separated samples reject") {
     val ids = (1 to 30)
     val same = ids.map(i => (i.toLong, 5.0)).toDF("id", "v")
-    val r = Drift.permutationTestMeanDiff(same, same, "id", "v", nPerms = 50)
+    val r = StatTests.permutationTestMeanDiff(same, same, "id", "v", nPerms = 50)
       .collect().head
     // observed gap 0 and every relabeling also 0 -> all perms >= observed
     assert(r.getDouble(2) == 0.0 && r.getLong(4) == 50L &&
       math.abs(r.getDouble(5) - 1.0) < 1e-12)
     val lo = ids.map(i => (i.toLong, 0.0)).toDF("id", "v")
     val hi = ids.map(i => (i.toLong, 100.0)).toDF("id", "v")
-    val sep = Drift.permutationTestMeanDiff(lo, hi, "id", "v", nPerms = 200)
+    val sep = StatTests.permutationTestMeanDiff(lo, hi, "id", "v", nPerms = 200)
       .collect().head
     assert(sep.getDouble(2) == 100.0)
     assert(sep.getDouble(5) < 0.05,
       s"fully separated samples must reject, p = ${sep.getDouble(5)}")
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
-    val e = Drift.permutationTestMeanDiff(same, empty, "id", "v", nPerms = 10)
+    val e = StatTests.permutationTestMeanDiff(same, empty, "id", "v", nPerms = 10)
       .collect().head
     assert(e.isNullAt(2) && e.isNullAt(5))
   }
 
   test("bootstrapMeanCI: interval brackets the mean, tightens with n, reproducible") {
     val small = (1 to 40).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
-    val r = Drift.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
+    val r = StatTests.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
     assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket mean $mean")
     assert(lo < hi, "non-degenerate data gives a non-degenerate interval")
     // determinism: same seed -> identical interval, different seed -> valid too
-    val r2 = Drift.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
+    val r2 = StatTests.bootstrapMeanCI(small, "id", "v", reps = 100).collect().head
     assert(r2.getDouble(3) == lo && r2.getDouble(4) == hi)
     // 4x the sample (same distribution) -> narrower interval
     val big = (1 to 160).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
-    val rb = Drift.bootstrapMeanCI(big, "id", "v", reps = 100).collect().head
+    val rb = StatTests.bootstrapMeanCI(big, "id", "v", reps = 100).collect().head
     assert(rb.getDouble(4) - rb.getDouble(3) < hi - lo,
       "quadrupled sample must tighten the CI")
     // constant data -> zero-width interval at the constant
     val const = (1 to 20).map(i => (i.toLong, 7.0)).toDF("id", "v")
-    val rc = Drift.bootstrapMeanCI(const, "id", "v", reps = 50).collect().head
+    val rc = StatTests.bootstrapMeanCI(const, "id", "v", reps = 50).collect().head
     assert(rc.getDouble(3) == 7.0 && rc.getDouble(4) == 7.0)
   }
 
   test("cuped: perfect covariate removes all variance; independent removes none") {
     // y = 2x + 5 exactly: theta = 2, adjusted variance 0, reduction 1
     val perfect = (1 to 20).map(i => (i.toDouble, 2.0 * i + 5)).toDF("x", "y")
-    val r = Drift.cuped(perfect, "x", "y").collect().head
+    val r = StatTests.cuped(perfect, "x", "y").collect().head
     assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
     assert(math.abs(r.getDouble(4)) < 1e-9 &&
       math.abs(r.getDouble(5) - 1.0) < 1e-9)
     // constant covariate: NULL theta, variance unchanged
     val const = (1 to 10).map(i => (1.0, i.toDouble)).toDF("x", "y")
-    val rc = Drift.cuped(const, "x", "y").collect().head
+    val rc = StatTests.cuped(const, "x", "y").collect().head
     assert(rc.isNullAt(1))
     assert(rc.getDouble(4) == rc.getDouble(3))
     // hand check of the identity on a small sample: var_adj = vy - cov^2/vx
     val mixed = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 4.0)).toDF("x", "y")
-    val rm = Drift.cuped(mixed, "x", "y").collect().head
+    val rm = StatTests.cuped(mixed, "x", "y").collect().head
     val (vx, vy, cov) = (5.0 / 3, 10.0 / 3, 5.0 / 3) // var_samp/covar_samp by hand
     assert(math.abs(rm.getDouble(1) - cov / vx) < 1e-9)
     assert(math.abs(rm.getDouble(4) - (vy - cov * cov / vx)) < 1e-9)
@@ -539,23 +539,23 @@ class DriftSpec extends SparkSpecBase {
   test("cliffsDelta: hand cases and a naive pairwise reference") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(2.0, 2.0).toDF("v")
-    val r = Drift.cliffsDelta(a, b, "v").collect().head
+    val r = StatTests.cliffsDelta(a, b, "v").collect().head
     assert(r.getAs[Double]("gt") == 2.0 && r.getAs[Double]("lt") == 2.0 &&
       r.getAs[Double]("ties") == 2.0)
     assert(r.getAs[Double]("delta") == 0.0)
     assert(r.getAs[Double]("p_superiority") == 0.5)
     // full separation
-    val sep = Drift.cliffsDelta(Seq(5.0, 6.0).toDF("v"), Seq(1.0).toDF("v"), "v")
+    val sep = StatTests.cliffsDelta(Seq(5.0, 6.0).toDF("v"), Seq(1.0).toDF("v"), "v")
       .collect().head
     assert(sep.getAs[Double]("delta") == 1.0)
     // empty side -> NULLs
-    val e = Drift.cliffsDelta(a, Seq.empty[Double].toDF("v"), "v").collect().head
+    val e = StatTests.cliffsDelta(a, Seq.empty[Double].toDF("v"), "v").collect().head
     assert(e.isNullAt(e.fieldIndex("delta")))
     // seeded naive reference
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(40)(rnd.nextInt(9).toDouble)
     val ys = Seq.fill(55)(rnd.nextInt(9).toDouble)
-    val got = Drift.cliffsDelta(xs.toDF("v"), ys.toDF("v"), "v").collect().head
+    val got = StatTests.cliffsDelta(xs.toDF("v"), ys.toDF("v"), "v").collect().head
     val gt = (for (x <- xs; y <- ys if x > y) yield 1).size
     val lt = (for (x <- xs; y <- ys if x < y) yield 1).size
     val ties = (for (x <- xs; y <- ys if x == y) yield 1).size
@@ -599,14 +599,14 @@ class DriftSpec extends SparkSpecBase {
     val d = Seq((1.5, 0.0), (0.0, 0.5), (2.0, 0.0), (3.0, 0.0), (0.0, 1.0),
       (4.0, 4.0)) // the zero pair drops
       .toDF("x", "y")
-    val r = Drift.wilcoxonSignedRank(d, "x", "y").collect().head
+    val r = StatTests.wilcoxonSignedRank(d, "x", "y").collect().head
     assert(r.getAs[Long]("n_pairs") == 6L && r.getAs[Long]("n_nonzero") == 5L)
     assert(r.getAs[Double]("w_plus") == 12.0 && r.getAs[Double]("w_minus") == 3.0)
     assert(math.abs(r.getAs[Double]("z") - 4.5 / math.sqrt(13.75)) < 1e-12)
     // naive reference with heavy integer ties
     val rnd = new scala.util.Random(41)
     val rows = Seq.fill(120)((rnd.nextInt(8).toDouble, rnd.nextInt(8).toDouble))
-    val got = Drift.wilcoxonSignedRank(rows.toDF("x", "y"), "x", "y")
+    val got = StatTests.wilcoxonSignedRank(rows.toDF("x", "y"), "x", "y")
       .collect().head
     val ds = rows.map(p => p._1 - p._2).filter(_ != 0)
     val absSorted = ds.map(math.abs).sorted
@@ -625,13 +625,13 @@ class DriftSpec extends SparkSpecBase {
   test("icc1: clone groups give 1, hand-checked balanced case") {
     val clones = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0),
       ("c", 2.0), ("c", 2.0)).toDF("g", "v")
-    val r = Drift.icc1(clones, "g", "v").collect().head
+    val r = StatTests.icc1(clones, "g", "v").collect().head
     assert(r.getAs[Double]("ms_within") == 0.0)
     assert(math.abs(r.getAs[Double]("icc1") - 1.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("k0") - 2.0) < 1e-12)
     // balanced two-group case vs hand algebra
     val two = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
-    val r2 = Drift.icc1(two, "g", "v").collect().head
+    val r2 = StatTests.icc1(two, "g", "v").collect().head
     // group means 2 and 7, grand 4.5: ssb = 2*(2-4.5)^2 + 2*(7-4.5)^2 = 25
     // ssw = (1-2)^2+(3-2)^2+(5-7)^2+(9-7)^2 = 10; msb = 25, msw = 5
     assert(math.abs(r2.getAs[Double]("ms_between") - 25.0) < 1e-9)
@@ -643,7 +643,7 @@ class DriftSpec extends SparkSpecBase {
     import spark.implicits._
     // y = 1,2,1,3,1 -> pairs x=(1,2,1,3), dy=(1,-1,2,-2):
     // gamma = -20/11, se = sqrt(20)/11, t = -sqrt(20)
-    val r = Drift.dickeyFuller(
+    val r = StatTests.dickeyFuller(
       Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (4L, 1L)).toDF("t", "y"),
       "t", "y").collect().head
     assert(r.getLong(0) == 4L)
@@ -652,17 +652,17 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("df_stat") + math.sqrt(20)) < 1e-12)
     assert(r.getAs[Boolean]("stationary_5pct"))
     // constant lag level: cxx = 0 -> NULL stats
-    val const = Drift.dickeyFuller(
+    val const = StatTests.dickeyFuller(
       Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("t", "y"),
       "t", "y").collect().head
     assert(const.isNullAt(1) && const.isNullAt(3))
     // a perfect fit (rss = 0 -> se = 0) refuses a t-ratio
-    val exact = Drift.dickeyFuller(
+    val exact = StatTests.dickeyFuller(
       Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L)).toDF("t", "y"),
       "t", "y").collect().head
     assert(exact.isNullAt(3))
     // too short
-    assert(Drift.dickeyFuller(Seq((0L, 1L), (1L, 2L)).toDF("t", "y"),
+    assert(StatTests.dickeyFuller(Seq((0L, 1L), (1L, 2L)).toDF("t", "y"),
       "t", "y").collect().head.isNullAt(1))
   }
 
@@ -671,17 +671,17 @@ class DriftSpec extends SparkSpecBase {
     // 0,0,0 -> 6,6,6: the k = 3 split scores |0 - 9|/sqrt(9/6)
     val step = Seq((10L, 0L), (11L, 0L), (12L, 0L), (13L, 6L), (14L, 6L),
       (15L, 6L)).toDF("t", "y")
-    val r = Drift.changepointMean(step, "t", "y").collect().head
+    val r = StatTests.changepointMean(step, "t", "y").collect().head
     assert(r.getLong(1) == 12L && r.getLong(2) == 3L)
     assert(math.abs(r.getAs[Double]("stat") - 9.0 / math.sqrt(1.5)) < 1e-9)
     assert(r.getAs[Double]("mean_before") == 0.0)
     assert(r.getAs[Double]("mean_after") == 6.0)
     // constant series: every split scores 0 -> earliest hour wins
     val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("t", "y")
-    val rf = Drift.changepointMean(flat, "t", "y").collect().head
+    val rf = StatTests.changepointMean(flat, "t", "y").collect().head
     assert(rf.getLong(1) == 1L && rf.getAs[Double]("stat") == 0.0)
     // too short
-    assert(Drift.changepointMean(flat.limit(2), "t", "y")
+    assert(StatTests.changepointMean(flat.limit(2), "t", "y")
       .collect().head.isNullAt(1))
   }
 
@@ -692,7 +692,7 @@ class DriftSpec extends SparkSpecBase {
     // df = (10/3)^2 / ((4/9 + 64/9)/2) = 100/34
     val a = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
     val b = Seq(0.0, 2.0, 4.0, 6.0, 1000.0).toDF("x")
-    val r = Drift.yuenTrimmedTest(a, b, "x", trimFrac = 0.2).collect().head
+    val r = StatTests.yuenTrimmedTest(a, b, "x", trimFrac = 0.2).collect().head
     assert(r.getLong(0) == 5L && r.getLong(2) == 3L)
     assert(math.abs(r.getAs[Double]("trimmed_mean_a") - 3.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("trimmed_mean_b") - 4.0) < 1e-12)
@@ -702,15 +702,15 @@ class DriftSpec extends SparkSpecBase {
     // same T with the outliers made 100x wilder
     val a2 = Seq(1.0, 2.0, 3.0, 4.0, 10000.0).toDF("x")
     val b2 = Seq(0.0, 2.0, 4.0, 6.0, 100000.0).toDF("x")
-    val r2 = Drift.yuenTrimmedTest(a2, b2, "x", trimFrac = 0.2).collect().head
+    val r2 = StatTests.yuenTrimmedTest(a2, b2, "x", trimFrac = 0.2).collect().head
     assert(r2.getAs[Double]("t_stat") == r.getAs[Double]("t_stat"))
     // ties split across the trim boundary stay rank-exact
     val at = Seq(1.0, 2.0, 2.0, 3.0, 100.0).toDF("x")
-    val rt = Drift.yuenTrimmedTest(at, b, "x", trimFrac = 0.2).collect().head
+    val rt = StatTests.yuenTrimmedTest(at, b, "x", trimFrac = 0.2).collect().head
     assert(math.abs(rt.getAs[Double]("trimmed_mean_a") - 7.0 / 3) < 1e-12)
     // too small after trimming -> NULL stats
     val tiny = Seq(1.0, 2.0, 3.0).toDF("x")
-    assert(Drift.yuenTrimmedTest(tiny, b, "x", trimFrac = 0.34)
+    assert(StatTests.yuenTrimmedTest(tiny, b, "x", trimFrac = 0.34)
       .collect().head.isNullAt(4))
   }
 
@@ -719,7 +719,7 @@ class DriftSpec extends SparkSpecBase {
     // cut at score 2 -> top bin {3,4}, bottom {1,2}
     val d = Seq((1, 1L, 4.0), (0, 0L, 3.0), (1, 0L, 2.0), (0, 1L, 1.0))
       .toDF("t", "y", "s")
-    val out = Drift.qiniDeciles(d, "t", "y", "s", bins = 2)
+    val out = StatTests.qiniDeciles(d, "t", "y", "s", bins = 2)
       .collect().map(r => r.getInt(0) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
@@ -728,12 +728,12 @@ class DriftSpec extends SparkSpecBase {
     // all-treated top decile: no control yet -> NULL qini, next fills in
     val skew = Seq((1, 1L, 4.0), (1, 0L, 3.0), (0, 0L, 2.0), (0, 1L, 1.0))
       .toDF("t", "y", "s")
-    val o2 = Drift.qiniDeciles(skew, "t", "y", "s", bins = 2)
+    val o2 = StatTests.qiniDeciles(skew, "t", "y", "s", bins = 2)
       .collect().sortBy(_.getInt(0))
     assert(o2(0).isNullAt(6))
     assert(o2(1).getDouble(6) == 0.0) // 1 - 1*(2/2)
     // empty input yields an empty frame
-    assert(Drift.qiniDeciles(d.filter(col("t") < 0), "t", "y", "s",
+    assert(StatTests.qiniDeciles(d.filter(col("t") < 0), "t", "y", "s",
       bins = 2).count() == 0)
   }
 
@@ -743,7 +743,7 @@ class DriftSpec extends SparkSpecBase {
     // rationals -> beta_own = -10/69, beta_cross = 119/69, F = 14161/222
     val s = Seq((0L, 1L, 0L), (1L, 2L, 2L), (2L, 1L, 3L), (3L, 3L, 1L),
       (4L, 2L, 5L), (5L, 4L, 3L)).toDF("t", "x", "y")
-    val r = Drift.grangerLag1(s, "t", "x", "y").collect().head
+    val r = StatTests.grangerLag1(s, "t", "x", "y").collect().head
     assert(r.getLong(0) == 5L && r.getLong(4) == 2L)
     assert(math.abs(r.getAs[Double]("beta_own") - (-10.0 / 69)) < 1e-9)
     assert(math.abs(r.getAs[Double]("beta_cross") - 119.0 / 69) < 1e-9)
@@ -752,14 +752,14 @@ class DriftSpec extends SparkSpecBase {
     // y_t = x_{t-1} exactly: perfect unrestricted fit refuses the ratio
     val perfect = Seq((0L, 1L, 9L), (1L, 2L, 1L), (2L, 1L, 2L),
       (3L, 3L, 1L), (4L, 2L, 3L), (5L, 4L, 2L)).toDF("t", "x", "y")
-    assert(Drift.grangerLag1(perfect, "t", "x", "y")
+    assert(StatTests.grangerLag1(perfect, "t", "x", "y")
       .collect().head.isNullAt(3))
     // constant own-lag level degenerates, short series degenerates
     val flat = Seq((0L, 1L, 7L), (1L, 2L, 7L), (2L, 1L, 7L), (3L, 3L, 7L),
       (4L, 2L, 7L), (5L, 4L, 7L)).toDF("t", "x", "y")
-    assert(Drift.grangerLag1(flat, "t", "x", "y")
+    assert(StatTests.grangerLag1(flat, "t", "x", "y")
       .collect().head.isNullAt(1))
-    assert(Drift.grangerLag1(s.limit(4), "t", "x", "y")
+    assert(StatTests.grangerLag1(s.limit(4), "t", "x", "y")
       .collect().head.isNullAt(1))
   }
 
@@ -767,14 +767,14 @@ class DriftSpec extends SparkSpecBase {
     // pure cos(2*pi*t/8) over 8 full cycles: the period-8 line owns the
     // variance (frac = 1 exactly under Fourier alignment)
     val wave = (0 until 64).map(t => (t.toLong, math.cos(2 * math.Pi * t / 8)))
-    val rows = Drift.periodogramPower(wave.toDF("t", "y"), "t", "y",
+    val rows = StatTests.periodogramPower(wave.toDF("t", "y"), "t", "y",
       Seq(8, 5)).collect().map(r => r.getAs[Int]("period") -> r).toMap
     assert(math.abs(rows(8).getAs[Double]("frac") - 1.0) < 1e-9)
     assert(rows(5).getAs[Double]("frac") < 0.05)
     // naive reference on seeded noise
     val rnd = new scala.util.Random(47)
     val ys = (0 until 100).map(_ => rnd.nextInt(9).toDouble)
-    val got = Drift.periodogramPower(
+    val got = StatTests.periodogramPower(
       ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }.toDF("t", "y"),
       "t", "y", Seq(7)).collect().head
     val mu = ys.sum / ys.size
@@ -791,7 +791,7 @@ class DriftSpec extends SparkSpecBase {
     // block [1,2,3,4]: cums -1.5,-2,-1.5,0 -> R=2; sigma=sqrt(1.25)
     val rep = (0 until 32).flatMap(_ => Seq(1.0, 2.0, 3.0, 4.0))
     val series = rep.zipWithIndex.map { case (y, t) => (t.toLong, y) }
-    val r4 = Drift.hurstRS(series.toDF("t", "y"), "t", "y", Seq(4, 8, 16, 32))
+    val r4 = StatTests.hurstRS(series.toDF("t", "y"), "t", "y", Seq(4, 8, 16, 32))
       .collect().map(r => r.getAs[Int]("b") -> r).toMap
     assert(math.abs(r4(4).getAs[Double]("mean_rs") - 2.0 / math.sqrt(1.25)) < 1e-9)
     assert(r4(4).getAs[Long]("n_blocks") == 32L)
@@ -800,7 +800,7 @@ class DriftSpec extends SparkSpecBase {
     val steps = Seq.fill(512)(if (rnd.nextBoolean()) 1.0 else -1.0)
     val walk = steps.scanLeft(0.0)(_ + _).drop(1)
     val noise = Seq.fill(512)(rnd.nextInt(11).toDouble)
-    def h(ys: Seq[Double]) = Drift.hurstRS(
+    def h(ys: Seq[Double]) = StatTests.hurstRS(
       ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }.toDF("t", "y"),
       "t", "y").collect().head.getAs[Double]("hurst")
     val (hw, hn) = (h(walk), h(noise))
@@ -811,7 +811,7 @@ class DriftSpec extends SparkSpecBase {
   test("overdispersionTest: Poisson-ish accepts, clumped counts reject") {
     // geometric-ish clumped counts: variance >> mean
     val clumped = Seq.fill(150)(0.0) ++ Seq.fill(50)(8.0)
-    val r = Drift.overdispersionTest(clumped.toDF("c"), "c").collect().head
+    val r = StatTests.overdispersionTest(clumped.toDF("c"), "c").collect().head
     assert(r.getAs[Double]("dispersion") > 3, "clumped must overdisperse")
     assert(r.getAs[Double]("z") > 5)
     // hand algebra
@@ -824,11 +824,11 @@ class DriftSpec extends SparkSpecBase {
     // near-Poisson sample (binomial with small p): |z| modest
     val rnd = new scala.util.Random(19)
     val pois = Seq.fill(400)((1 to 60).count(_ => rnd.nextInt(20) == 0).toDouble)
-    val rp = Drift.overdispersionTest(pois.toDF("c"), "c").collect().head
+    val rp = StatTests.overdispersionTest(pois.toDF("c"), "c").collect().head
     assert(math.abs(rp.getAs[Double]("z")) < 3, s"z ${rp.getAs[Double]("z")}")
     // zero-mean degenerate
     val zero = Seq.fill(10)(0.0).toDF("c")
-    assert(Drift.overdispersionTest(zero, "c").collect().head.isNullAt(4))
+    assert(StatTests.overdispersionTest(zero, "c").collect().head.isNullAt(4))
   }
 
   test("covariateBalance: hand SMD, balanced randomization near zero") {
@@ -874,7 +874,7 @@ class DriftSpec extends SparkSpecBase {
   test("maseBacktest: weekly structure scores below 1; constant -> NULL") {
     // strong period-7 pattern with noise-free repetition
     val weekly = (0 until 70).map(t => (t.toLong, (t % 7 * 3).toDouble))
-    val r = Drift.maseBacktest(weekly.toDF("t", "y"), "t", "y", season = 7)
+    val r = StatTests.maseBacktest(weekly.toDF("t", "y"), "t", "y", season = 7)
       .collect().head
     assert(r.getAs[Double]("mae_seasonal") == 0.0)
     assert(r.getAs[Double]("mase") == 0.0)
@@ -884,13 +884,13 @@ class DriftSpec extends SparkSpecBase {
     // naive1 errs same rows:    |4-2|,|8-4|,|16-8|,|32-16| = 2,4,8,16 -> 7.5
     val s = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0).zipWithIndex
       .map { case (y, t) => (t.toLong, y) }
-    val r2 = Drift.maseBacktest(s.toDF("t", "y"), "t", "y", season = 2)
+    val r2 = StatTests.maseBacktest(s.toDF("t", "y"), "t", "y", season = 2)
       .collect().head
     assert(math.abs(r2.getAs[Double]("mae_seasonal") - 11.25) < 1e-12)
     assert(math.abs(r2.getAs[Double]("mae_naive1") - 7.5) < 1e-12)
     assert(math.abs(r2.getAs[Double]("mase") - 1.5) < 1e-12)
     val const = (0 until 20).map(t => (t.toLong, 5.0))
-    val rc = Drift.maseBacktest(const.toDF("t", "y"), "t", "y", season = 7)
+    val rc = StatTests.maseBacktest(const.toDF("t", "y"), "t", "y", season = 7)
       .collect().head
     assert(rc.isNullAt(rc.fieldIndex("mase")))
   }
@@ -920,7 +920,7 @@ class DriftSpec extends SparkSpecBase {
   test("proportionEffects: hand-computed panel on a 2x2") {
     val a = (Seq.fill(30)(true) ++ Seq.fill(70)(false)).toDF("s")
     val b = (Seq.fill(20)(true) ++ Seq.fill(80)(false)).toDF("s")
-    val r = Drift.proportionEffects(a, b, "s").collect().head
+    val r = StatTests.proportionEffects(a, b, "s").collect().head
     assert(r.getAs[Double]("p_a") == 0.3 && r.getAs[Double]("p_b") == 0.2)
     assert(math.abs(r.getAs[Double]("risk_ratio") - 1.5) < 1e-12)
     val zc = 1.959963984540054
@@ -931,7 +931,7 @@ class DriftSpec extends SparkSpecBase {
     val h = 2 * math.asin(math.sqrt(0.3)) - 2 * math.asin(math.sqrt(0.2))
     assert(math.abs(r.getAs[Double]("cohens_h") - h) < 1e-12)
     // zero-success side: rr is a true 0, but every log-scale CI is NULL
-    val z = Drift.proportionEffects(Seq(false, false).toDF("s"), b, "s")
+    val z = StatTests.proportionEffects(Seq(false, false).toDF("s"), b, "s")
       .collect().head
     assert(z.getAs[Double]("risk_ratio") == 0.0)
     assert(z.isNullAt(z.fieldIndex("rr_lo")) &&
@@ -945,7 +945,7 @@ class DriftSpec extends SparkSpecBase {
     // rounded gaussian-ish sample — the raw-power-sum algebra in the
     // operator must agree with direct Σ(x−m)^k central moments here
     val xs = Seq.fill(200)(math.round(50 + 10 * rnd.nextGaussian()).toDouble)
-    val r = Drift.dagostinoK2(xs.toDF("v"), "v").collect().head
+    val r = StatTests.dagostinoK2(xs.toDF("v"), "v").collect().head
     val n = xs.size; val nd = n.toDouble
     val m = xs.sum / n
     val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
@@ -971,12 +971,12 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p_value") > 0.01)
     // uniform data: platykurtic — kurtosis z strongly negative
     val unif = (1 to 500).map(_.toDouble)
-    val ru = Drift.dagostinoK2(unif.toDF("v"), "v").collect().head
+    val ru = StatTests.dagostinoK2(unif.toDF("v"), "v").collect().head
     assert(ru.getAs[Double]("z_kurt") < -3)
     // edges: constant and tiny n
-    assert(Drift.dagostinoK2(Seq.fill(20)(7.0).toDF("v"), "v")
+    assert(StatTests.dagostinoK2(Seq.fill(20)(7.0).toDF("v"), "v")
       .collect().head.isNullAt(5))
-    assert(Drift.dagostinoK2(Seq(1.0, 2.0, 3.0).toDF("v"), "v")
+    assert(StatTests.dagostinoK2(Seq(1.0, 2.0, 3.0).toDF("v"), "v")
       .collect().head.isNullAt(5))
   }
 
@@ -985,7 +985,7 @@ class DriftSpec extends SparkSpecBase {
     val ys = Seq.fill(120)(rnd.nextInt(10).toDouble)
     val series = ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }
       .toDF("t", "y")
-    val r = Drift.ljungBox(series, "t", "y", maxLag = 6).collect().head
+    val r = StatTests.ljungBox(series, "t", "y", maxLag = 6).collect().head
     val n = ys.size; val mu = ys.sum / n
     val ss = ys.map(y => (y - mu) * (y - mu)).sum
     def rk(k: Int) = (k until n).map(t => (ys(t) - mu) * (ys(t - k) - mu)).sum / ss
@@ -1001,17 +1001,17 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p_value") > 1e-4)
     // strict alternation: r1 ~ -1, Q huge, p ~ 0
     val alt = (0 until 100).map(t => (t.toLong, (t % 2).toDouble)).toDF("t", "y")
-    val ra = Drift.ljungBox(alt, "t", "y", maxLag = 4).collect().head
+    val ra = StatTests.ljungBox(alt, "t", "y", maxLag = 4).collect().head
     assert(ra.getAs[Double]("r1") < -0.9)
     assert(ra.getAs[Double]("p_value") < 1e-10)
     // constant series -> NULLs
     val const = (0 until 50).map(t => (t.toLong, 3.0)).toDF("t", "y")
-    assert(Drift.ljungBox(const, "t", "y", maxLag = 4).collect().head.isNullAt(3))
+    assert(StatTests.ljungBox(const, "t", "y", maxLag = 4).collect().head.isNullAt(3))
   }
 
   test("jarqueBera matches a definitional reference; skewed data rejects") {
     val xs = (1 to 400).map(i => math.pow(i % 21 + 1, 2).toDouble)
-    val r = Drift.jarqueBera(xs.toDF("x"), "x").collect().head
+    val r = StatTests.jarqueBera(xs.toDF("x"), "x").collect().head
     // naive central-moment reference
     val n = xs.length.toDouble
     val mu = xs.sum / n
@@ -1030,19 +1030,19 @@ class DriftSpec extends SparkSpecBase {
     // region at n = 625
     val tri = (0 until 625).map(i =>
       (i % 5 + i / 5 % 5 + i / 25 % 5 + i / 125 % 5).toDouble)
-    val rt = Drift.jarqueBera(tri.toDF("x"), "x").collect().head
+    val rt = StatTests.jarqueBera(tri.toDF("x"), "x").collect().head
     assert(math.abs(rt.getAs[Double]("g1")) < 1e-9, "factorial sum is symmetric")
     assert(rt.getAs[Double]("p_value") > 0.05,
       s"near-normal sum should not reject: ${rt.getAs[Double]("p_value")}")
     // constant column -> NULLs
-    assert(Drift.jarqueBera(Seq(5.0, 5.0, 5.0).toDF("x"), "x")
+    assert(StatTests.jarqueBera(Seq(5.0, 5.0, 5.0).toDF("x"), "x")
       .collect().head.isNullAt(3))
   }
 
   test("bartlettTest: equal variances accept, 10x variance rejects, hand ref") {
     // three groups with identical shapes -> statistic ~ 0
     val eq = (0 until 300).map(i => (s"g${i % 3}", (i / 3 % 20).toDouble))
-    val re = Drift.bartlettTest(eq.toDF("g", "v"), "g", "v").collect().head
+    val re = StatTests.bartlettTest(eq.toDF("g", "v"), "g", "v").collect().head
     assert(re.getLong(1) == 3L)
     assert(math.abs(re.getAs[Double]("statistic")) < 1e-9)
     assert(re.getAs[Double]("p_value") > 0.999)
@@ -1051,7 +1051,7 @@ class DriftSpec extends SparkSpecBase {
       val g = i % 3
       (s"g$g", (i / 3 % 20).toDouble * (if (g == 0) 5 else 1))
     }
-    val ru = Drift.bartlettTest(un.toDF("g", "v"), "g", "v").collect().head
+    val ru = StatTests.bartlettTest(un.toDF("g", "v"), "g", "v").collect().head
     assert(ru.getAs[Double]("p_value") < 1e-6)
     // definitional reference on the unequal case
     val byG = un.groupBy(_._1).values.toSeq.map { rows =>
@@ -1071,11 +1071,11 @@ class DriftSpec extends SparkSpecBase {
     // a zero-variance group -> NULL statistic
     val z = (0 until 60).map(i => (s"g${i % 2}",
       if (i % 2 == 0) 7.0 else (i % 10).toDouble))
-    assert(Drift.bartlettTest(z.toDF("g", "v"), "g", "v")
+    assert(StatTests.bartlettTest(z.toDF("g", "v"), "g", "v")
       .collect().head.isNullAt(3))
     // single-rating groups drop: only one group survives -> NULLs
     val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 5.0))
-    assert(Drift.bartlettTest(tiny.toDF("g", "v"), "g", "v")
+    assert(StatTests.bartlettTest(tiny.toDF("g", "v"), "g", "v")
       .collect().head.getLong(1) == 1L)
   }
 
@@ -1083,7 +1083,7 @@ class DriftSpec extends SparkSpecBase {
     // g0 all below the grand median, g1 all above: maximal separation
     val df = ((1 to 10).map(i => ("g0", i.toDouble)) ++
       (1 to 10).map(i => ("g1", 100.0 + i))).toDF("g", "v")
-    val r = Drift.moodMedianTest(df, "g", "v").collect().head
+    val r = StatTests.moodMedianTest(df, "g", "v").collect().head
     assert(r.getLong(0) == 20L && r.getLong(1) == 2L)
     // lower median of 1..10,101..110 = value at rank 10 = 10.0
     assert(r.getAs[Double]("grand_median") == 10.0)
@@ -1092,15 +1092,15 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p_value") < 1e-4)
     // identical groups: chi2 ~ small, p large
     val same = (0 until 200).map(i => (s"g${i % 2}", (i / 2 % 10).toDouble))
-    val rs = Drift.moodMedianTest(same.toDF("g", "v"), "g", "v").collect().head
+    val rs = StatTests.moodMedianTest(same.toDF("g", "v"), "g", "v").collect().head
     assert(math.abs(rs.getAs[Double]("chi2")) < 1e-9)
     assert(rs.getAs[Double]("p_value") > 0.999)
     // constant column: everything <= median -> NULL chi2
     val c = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
-    assert(Drift.moodMedianTest(c, "g", "v").collect().head.isNullAt(3))
+    assert(StatTests.moodMedianTest(c, "g", "v").collect().head.isNullAt(3))
     // odd n: lower median of {1,2,3} is 2
     val odd = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
-    assert(Drift.moodMedianTest(odd, "g", "v")
+    assert(StatTests.moodMedianTest(odd, "g", "v")
       .collect().head.getAs[Double]("grand_median") == 2.0)
   }
 
@@ -1110,7 +1110,7 @@ class DriftSpec extends SparkSpecBase {
     // block series: 20 lows then 20 highs -> 2 runs -> strongly negative z
     val blk = (0 until 40).map(i => ("b", i.toLong, if (i < 20) 0.0 else 10.0))
     val df = (alt ++ blk).toDF("k", "t", "v")
-    val out = Drift.runsTestByKey(df, "k", Seq("t"), "v").collect()
+    val out = StatTests.runsTestByKey(df, "k", Seq("t"), "v").collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out("a").getLong(3) == 40L, "alternation = one run per value")
     assert(out("a").getAs[Double]("z") > 5.0)
@@ -1123,7 +1123,7 @@ class DriftSpec extends SparkSpecBase {
     // values equal to the key mean drop; constant key vanishes
     val mixed = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 2.0),
       ("c", 4L, 8.0), ("d", 1L, 7.0), ("d", 2L, 7.0)).toDF("k", "t", "v")
-    val rows = Drift.runsTestByKey(mixed, "k", Seq("t"), "v").collect()
+    val rows = StatTests.runsTestByKey(mixed, "k", Seq("t"), "v").collect()
     assert(rows.map(_.getString(0)).toSet == Set("c"), "constant key drops")
     val rc = rows.head
     assert(rc.getLong(1) == 1L && rc.getLong(2) == 1L, "equal-to-mean drops")
@@ -1136,7 +1136,7 @@ class DriftSpec extends SparkSpecBase {
     val rows = e.zipWithIndex.map { case (ei, t) =>
       ("a", t.toLong, t.toDouble, 2.0 + 3.0 * t + ei)
     }
-    val r = Drift.durbinWatson(rows.toDF("k", "t", "x", "y"),
+    val r = StatTests.durbinWatson(rows.toDF("k", "t", "x", "y"),
       "k", Seq("t"), "x", "y").collect().head
     assert(r.getLong(1) == 10L)
     assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
@@ -1144,13 +1144,13 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("dw") - 18.0 / 8.0) < 1e-9)
     // perfect fit: NULL dw, exact coefficients
     val fit = (0 until 8).map(t => ("b", t.toLong, t.toDouble, 5.0 - 2.0 * t))
-    val rf = Drift.durbinWatson(fit.toDF("k", "t", "x", "y"),
+    val rf = StatTests.durbinWatson(fit.toDF("k", "t", "x", "y"),
       "k", Seq("t"), "x", "y").collect().head
     assert(math.abs(rf.getAs[Double]("slope") + 2.0) < 1e-9)
     assert(rf.isNullAt(rf.fieldIndex("dw")))
     // constant x: NULL slope/intercept/dw
     val cx = (0 until 5).map(t => ("c", t.toLong, 1.0, t.toDouble))
-    val rc = Drift.durbinWatson(cx.toDF("k", "t", "x", "y"),
+    val rc = StatTests.durbinWatson(cx.toDF("k", "t", "x", "y"),
       "k", Seq("t"), "x", "y").collect().head
     assert(rc.isNullAt(rc.fieldIndex("slope")) &&
       rc.isNullAt(rc.fieldIndex("dw")))
@@ -1162,7 +1162,7 @@ class DriftSpec extends SparkSpecBase {
       val x = (i / 4).toDouble
       (x, 1.0 + 0.5 * x + (if (i % 2 == 0) 1 else -1) * 0.1 * x)
     }
-    val r = Drift.breuschPagan(het.toDF("x", "y"), "x", "y").collect().head
+    val r = StatTests.breuschPagan(het.toDF("x", "y"), "x", "y").collect().head
     assert(r.getAs[Double]("p_value") < 1e-6, "fan noise must reject")
     // naive reference of the same construction
     val n = het.size.toDouble
@@ -1185,12 +1185,12 @@ class DriftSpec extends SparkSpecBase {
       val x = (i / 4).toDouble
       (x, 1.0 + 0.5 * x + pat(i % 4))
     }
-    val rh = Drift.breuschPagan(hom.toDF("x", "y"), "x", "y").collect().head
+    val rh = StatTests.breuschPagan(hom.toDF("x", "y"), "x", "y").collect().head
     assert(rh.getAs[Double]("p_value") > 0.5,
       s"flat noise must accept: ${rh.getAs[Double]("p_value")}")
     // constant x: NULL lm
     val cx = (0 until 10).map(i => (1.0, i.toDouble))
-    assert(Drift.breuschPagan(cx.toDF("x", "y"), "x", "y")
+    assert(StatTests.breuschPagan(cx.toDF("x", "y"), "x", "y")
       .collect().head.isNullAt(3))
   }
 
@@ -1198,19 +1198,19 @@ class DriftSpec extends SparkSpecBase {
     // A unobserved (uniform prior), B = 1/1 success -> Beta(2,1):
     // P(B > A) = integral 2x * x dx = 2/3 exactly
     val d1 = Seq(("b", 1)).toDF("arm", "ok")
-    val r1 = Drift.bayesianAB(d1, "arm", "ok", "a", "b").collect().head
+    val r1 = StatTests.bayesianAB(d1, "arm", "ok", "a", "b").collect().head
     assert(r1.getLong(0) == 0L && r1.getLong(2) == 1L && r1.getLong(3) == 1L)
     assert(math.abs(r1.getAs[Double]("prob_b_gt_a") - 2.0 / 3.0) < 1e-4)
     assert(math.abs(r1.getAs[Double]("mean_b") - 2.0 / 3.0) < 1e-12)
     // identical arms: P = 1/2 by symmetry
     val d2 = ((1 to 40).map(i => ("a", i % 3 min 1)) ++
       (1 to 40).map(i => ("b", i % 3 min 1))).toDF("arm", "ok")
-    val r2 = Drift.bayesianAB(d2, "arm", "ok", "a", "b").collect().head
+    val r2 = StatTests.bayesianAB(d2, "arm", "ok", "a", "b").collect().head
     assert(math.abs(r2.getAs[Double]("prob_b_gt_a") - 0.5) < 1e-4)
     // B dominates: P ~ 1; other event types are ignored
     val d3 = ((1 to 50).map(_ => ("a", 0)) ++ (1 to 50).map(_ => ("b", 1)) ++
       (1 to 9).map(_ => ("c", 1))).toDF("arm", "ok")
-    val r3 = Drift.bayesianAB(d3, "arm", "ok", "a", "b").collect().head
+    val r3 = StatTests.bayesianAB(d3, "arm", "ok", "a", "b").collect().head
     assert(r3.getAs[Double]("prob_b_gt_a") > 0.999)
     assert(r3.getLong(0) == 50L && r3.getLong(1) == 0L)
   }
@@ -1220,7 +1220,7 @@ class DriftSpec extends SparkSpecBase {
     val df = ys.zipWithIndex.map { case (y, t) => (t.toLong + 100, y) }
       .toDF("t", "y") // offset start: k derives from t - min(t)
     val alpha = 0.3
-    val r = Drift.ewmaBacktest(df, "t", "y", alpha).collect().head
+    val r = StatTests.ewmaBacktest(df, "t", "y", alpha).collect().head
     // sequential reference: s_0 = y_0, s_t = a*y_t + (1-a)*s_{t-1}
     var s = ys.head
     var (se, sn) = (0.0, 0.0)
@@ -1235,12 +1235,12 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("rel_mae") - (se / sn)) < 1e-9)
     // constant series: both MAEs 0, rel NULL
     val c = (0 until 10).map(t => (t.toLong, 5.0)).toDF("t", "y")
-    val rc = Drift.ewmaBacktest(c, "t", "y").collect().head
+    val rc = StatTests.ewmaBacktest(c, "t", "y").collect().head
     // the scaled-prefix form carries ~1e-15 float residue on a constant
     assert(rc.getAs[Double]("mae_ewma") < 1e-9 &&
       rc.isNullAt(rc.fieldIndex("rel_mae")))
     // empty input: zero-row guard
-    val re = Drift.ewmaBacktest(c.filter(col("y") < 0), "t", "y")
+    val re = StatTests.ewmaBacktest(c.filter(col("y") < 0), "t", "y")
       .collect().head
     assert(re.getLong(0) == 0L && re.isNullAt(2))
   }
@@ -1248,29 +1248,29 @@ class DriftSpec extends SparkSpecBase {
   test("chiSquareGof: uniform accepts, skew rejects, unknown category fails") {
     val exp = (0 to 3).map(i => (i.toString, 0.25))
     val uni = (0 until 400).map(i => (i % 4).toString).toDF("v")
-    val ru = Drift.chiSquareGof(uni, "v", exp).collect().head
+    val ru = StatTests.chiSquareGof(uni, "v", exp).collect().head
     assert(ru.getLong(0) == 400L && ru.getLong(1) == 4L && ru.getLong(3) == 3L)
     assert(math.abs(ru.getAs[Double]("chi2")) < 1e-12)
     assert(ru.getAs[Double]("p_value") > 0.999)
     // skewed: all mass on one category (others expected but absent)
     val skew = (0 until 400).map(_ => "0").toDF("v")
-    val rs = Drift.chiSquareGof(skew, "v", exp).collect().head
+    val rs = StatTests.chiSquareGof(skew, "v", exp).collect().head
     // chi2 = (400-100)^2/100 + 3*(0-100)^2/100 = 900 + 300 = 1200
     assert(math.abs(rs.getAs[Double]("chi2") - 1200.0) < 1e-9)
     assert(rs.getAs[Double]("p_value") < 1e-10)
     // observed category outside the expected list fails fast
     val bad = Seq("0", "1", "zzz").toDF("v")
     intercept[IllegalArgumentException] {
-      Drift.chiSquareGof(bad, "v", exp).collect()
+      StatTests.chiSquareGof(bad, "v", exp).collect()
     }
     // proportions must sum to 1
     intercept[IllegalArgumentException] {
-      Drift.chiSquareGof(uni, "v", Seq(("0", 0.5), ("1", 0.2)))
+      StatTests.chiSquareGof(uni, "v", Seq(("0", 0.5), ("1", 0.2)))
     }
   }
 
   test("robustLocation: hand rank algebra, duplicate boundaries, guards") {
-    val r = Drift.robustLocation((1 to 10).map(_.toDouble).toDF("v"), "v",
+    val r = StatTests.robustLocation((1 to 10).map(_.toDouble).toDF("v"), "v",
       trimFrac = 0.2).collect().head
     assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
     assert(math.abs(r.getAs[Double]("mean") - 5.5) < 1e-12)
@@ -1281,18 +1281,18 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("median") == 5.0, "lower median of 1..10")
     // duplicates straddling the trim boundary
     val d = Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).toDF("v")
-    val rd = Drift.robustLocation(d, "v", trimFrac = 0.2).collect().head
+    val rd = StatTests.robustLocation(d, "v", trimFrac = 0.2).collect().head
     assert(rd.getLong(1) == 1L)
     assert(math.abs(rd.getAs[Double]("trimmed_mean") - 5.0) < 1e-12)
     assert(math.abs(rd.getAs[Double]("winsorized_mean") - 5.0) < 1e-12)
     assert(rd.getAs[Double]("median") == 5.0)
     // trimFrac 0 degrades to the plain mean
-    val r0 = Drift.robustLocation(d, "v", trimFrac = 0.0).collect().head
+    val r0 = StatTests.robustLocation(d, "v", trimFrac = 0.0).collect().head
     assert(math.abs(r0.getAs[Double]("trimmed_mean") -
       r0.getAs[Double]("mean")) < 1e-12)
     // over-trimming a tiny input -> NULLs
     val tiny = Seq(1.0, 2.0).toDF("v")
-    val rt = Drift.robustLocation(tiny, "v", trimFrac = 0.49).collect().head
+    val rt = StatTests.robustLocation(tiny, "v", trimFrac = 0.49).collect().head
     assert(!rt.isNullAt(rt.fieldIndex("mean")))
   }
 
@@ -1323,7 +1323,7 @@ class DriftSpec extends SparkSpecBase {
   test("pAdjust: hand bonferroni/holm/bh, monotonicity, NULL passthrough") {
     val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.2))
       .toDF("id", "p")
-    def adj(method: String) = Drift.pAdjust(df, "p", method).collect()
+    def adj(method: String) = StatTests.pAdjust(df, "p", method).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("p_adjusted")).toMap
     val bf = adj("bonferroni")
     assert(math.abs(bf("a") - 0.04) < 1e-12 && math.abs(bf("d") - 0.8) < 1e-12)
@@ -1340,11 +1340,11 @@ class DriftSpec extends SparkSpecBase {
     // clamping at 1 and NULL passthrough
     val withNull = Seq(("a", Some(0.9)), ("b", Some(0.8)), ("c", None))
       .toDF("id", "p")
-    val rn = Drift.pAdjust(withNull, "p", "bonferroni").collect()
+    val rn = StatTests.pAdjust(withNull, "p", "bonferroni").collect()
       .map(r => r.getString(0) -> r).toMap
     assert(rn("a").getAs[Double]("p_adjusted") == 1.0)
     assert(rn("c").isNullAt(rn("c").fieldIndex("p_adjusted")))
-    intercept[IllegalArgumentException] { Drift.pAdjust(df, "p", "what") }
+    intercept[IllegalArgumentException] { StatTests.pAdjust(df, "p", "what") }
   }
 
   test("andersonDarling2 matches a naive reference; sigma vs brute-force g") {
@@ -1418,7 +1418,7 @@ class DriftSpec extends SparkSpecBase {
     val data = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
       ("b", 2.0), ("b", 6.0), ("b", 7.0), ("b", 8.0),
       ("c", 9.0), ("c", 10.0), ("c", 10.0), ("c", 12.0))
-    val out = Drift.dunnTest(data.toDF("g", "v"), "g", "v").collect()
+    val out = StatTests.dunnTest(data.toDF("g", "v"), "g", "v").collect()
       .map(r => ((r.getString(0), r.getString(1)), r)).toMap
     assert(out.size == 3 && out.keySet ==
       Set(("a", "b"), ("a", "c"), ("b", "c")))
@@ -1455,16 +1455,16 @@ class DriftSpec extends SparkSpecBase {
       assert(math.abs(out(k).getAs[Double]("p_holm") - h) < 1e-12, s"holm $k")
     // all-tied: sigma2 = 0 -> NULL z/p
     val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
-    val tr = Drift.dunnTest(tied.toDF("g", "v"), "g", "v").collect().head
+    val tr = StatTests.dunnTest(tied.toDF("g", "v"), "g", "v").collect().head
     assert(tr.isNullAt(tr.fieldIndex("z")) && tr.isNullAt(tr.fieldIndex("p_value")))
     // single group: empty pair table
-    assert(Drift.dunnTest(Seq(("a", 1.0)).toDF("g", "v"), "g", "v").count() == 0)
+    assert(StatTests.dunnTest(Seq(("a", 1.0)).toDF("g", "v"), "g", "v").count() == 0)
   }
 
   test("pAdjust BY: harmonic penalty, monotonicity, clamp") {
     val df = Seq(0.01, 0.02, 0.03, 0.2).toDF("p")
     val h4 = 1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4
-    val got = Drift.pAdjust(df, "p", "by").collect()
+    val got = StatTests.pAdjust(df, "p", "by").collect()
       .map(r => r.getDouble(0) -> r.getAs[Double]("p_adjusted")).toMap
     // BY = BH x H_4 with the running-min monotonicity; here raw values
     // are already monotone: 0.01*4/1*H, 0.02*4/2*H, 0.03*4/3*H, 0.2*4/4*H
@@ -1473,10 +1473,10 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(got(0.03) - 0.03 * 4.0 / 3 * h4) < 1e-12)
     assert(math.abs(got(0.2) - math.min(1.0, 0.2 * h4)) < 1e-12)
     // BH unchanged by the shared code path
-    val bh = Drift.pAdjust(df, "p", "bh").collect()
+    val bh = StatTests.pAdjust(df, "p", "bh").collect()
       .map(r => r.getDouble(0) -> r.getAs[Double]("p_adjusted")).toMap
     assert(math.abs(bh(0.01) - 0.04) < 1e-12)
-    intercept[IllegalArgumentException] { Drift.pAdjust(df, "p", "nope") }
+    intercept[IllegalArgumentException] { StatTests.pAdjust(df, "p", "nope") }
   }
 
   test("jonckheereTerpstra: naive pairwise reference with ties, trend power") {
@@ -1484,7 +1484,7 @@ class DriftSpec extends SparkSpecBase {
     val data = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0),
       ("b", 2.0), ("b", 3.0), ("b", 5.0), ("b", 5.0),
       ("c", 4.0), ("c", 5.0), ("c", 6.0), ("c", 8.0))
-    val r = Drift.jonckheereTerpstra(data.toDF("g", "v"), "g", "v")
+    val r = StatTests.jonckheereTerpstra(data.toDF("g", "v"), "g", "v")
       .collect().head
     // naive J*: over ordered group pairs, #(x_a < x_b) + 0.5 #(x_a = x_b)
     val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -1516,22 +1516,22 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("z") - zRef) < 1e-9)
     assert(zRef > 2.0, "monotone trend must push z well positive")
     // custom order reverses the sign
-    val rev = Drift.jonckheereTerpstra(data.toDF("g", "v"), "g", "v",
+    val rev = StatTests.jonckheereTerpstra(data.toDF("g", "v"), "g", "v",
       groupOrder = Seq("c", "b", "a")).collect().head
     assert(math.abs(rev.getAs[Double]("z") + zRef) < 1e-9)
     // power contrast: kruskalWallis-style unordered shuffles score lower —
     // a trend-free permutation of the same values has |z| near 0
     val flat = Seq(("a", 1.0), ("a", 8.0), ("b", 2.0), ("b", 6.0),
       ("c", 1.0), ("c", 7.0))
-    val zf = Drift.jonckheereTerpstra(flat.toDF("g", "v"), "g", "v")
+    val zf = StatTests.jonckheereTerpstra(flat.toDF("g", "v"), "g", "v")
       .collect().head.getAs[Double]("z")
     assert(math.abs(zf) < 1.0)
     // all tied -> NULL z/p; unknown group in groupOrder -> require
     val tied = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
-    val tr = Drift.jonckheereTerpstra(tied, "g", "v").collect().head
+    val tr = StatTests.jonckheereTerpstra(tied, "g", "v").collect().head
     assert(tr.isNullAt(tr.fieldIndex("z")))
     intercept[IllegalArgumentException] {
-      Drift.jonckheereTerpstra(tied, "g", "v", groupOrder = Seq("a", "b"))
+      StatTests.jonckheereTerpstra(tied, "g", "v", groupOrder = Seq("a", "b"))
     }
   }
 
@@ -1539,7 +1539,7 @@ class DriftSpec extends SparkSpecBase {
     val data = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
       ("b", 10.0), ("b", 14.0), ("b", 18.0),
       ("c", 5.0), ("c", 5.5), ("c", 6.0), ("c", 6.5), ("c", 7.0))
-    val r = Drift.welchAnova(data.toDF("g", "v"), "g", "v").collect().head
+    val r = StatTests.welchAnova(data.toDF("g", "v"), "g", "v").collect().head
     // reference from raw lists (definitional mean/variance, not the
     // moment identities the operator uses)
     val groups = Seq("a", "b", "c").map(g => data.filter(_._1 == g).map(_._2))
@@ -1563,19 +1563,19 @@ class DriftSpec extends SparkSpecBase {
     assert(fRef > 10.0, "separated groups must reject")
     // a group of size 1 -> NULL f; a zero-variance group -> NULL f
     val small = (data :+ (("d", 9.0))).toDF("g", "v")
-    assert(Drift.welchAnova(small, "g", "v").collect().head.isNullAt(2))
+    assert(StatTests.welchAnova(small, "g", "v").collect().head.isNullAt(2))
     val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
-    assert(Drift.welchAnova(flat, "g", "v").collect().head.isNullAt(2))
+    assert(StatTests.welchAnova(flat, "g", "v").collect().head.isNullAt(2))
     // single group -> NULL with k = 1
     val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
-    val ro = Drift.welchAnova(one, "g", "v").collect().head
+    val ro = StatTests.welchAnova(one, "g", "v").collect().head
     assert(ro.getLong(1) == 1L && ro.isNullAt(2))
   }
 
   test("countModelFit: hand moments, zero inflation, NB guard") {
     // overdispersed, zero-heavy counts: {0,0,0,0,1,1,6,8} -> mu 2, var 10
     val xs = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 6.0, 8.0)
-    val r = Drift.countModelFit(xs.toDF("c"), "c").collect().head
+    val r = StatTests.countModelFit(xs.toDF("c"), "c").collect().head
     assert(r.getLong(0) == 8L)
     assert(math.abs(r.getAs[Double]("mean") - 2.0) < 1e-12)
     val vRef = xs.map(x => (x - 2.0) * (x - 2.0)).sum / 7
@@ -1591,7 +1591,7 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(zNb - 0.5) < math.abs(math.exp(-2.0) - 0.5))
     // underdispersed (constant-ish): NB columns NULL
     val u = Seq(2.0, 2.0, 2.0, 2.0).toDF("c")
-    val ru = Drift.countModelFit(u, "c").collect().head
+    val ru = StatTests.countModelFit(u, "c").collect().head
     assert(ru.isNullAt(ru.fieldIndex("nb_r")))
   }
 
@@ -1606,7 +1606,7 @@ class DriftSpec extends SparkSpecBase {
       (0 until counts(d)).map(_ => Tuple1(ts(d)))
     }.toDF("t")
     val trended = build(d => 10 + (d % 7) * 20 + d) // +1 event per day
-    val rt = Drift.seasonalMannKendall(trended, "t", period = 7)
+    val rt = StatTests.seasonalMannKendall(trended, "t", period = 7)
       .collect().head
     assert(rt.getLong(0) == 28L)
     // every within-weekday pair rises: S = 7 seasons * C(4,2) = 42
@@ -1614,7 +1614,7 @@ class DriftSpec extends SparkSpecBase {
     assert(rt.getString(5) == "increasing")
     // pure cycle, no drift: every within-weekday pair ties -> S = 0
     val cyc = build(d => 10 + (d % 7) * 20)
-    val rc = Drift.seasonalMannKendall(cyc, "t", period = 7).collect().head
+    val rc = StatTests.seasonalMannKendall(cyc, "t", period = 7).collect().head
     assert(rc.getLong(2) == 0L)
     assert(rc.getString(5) == "none")
     // variance: ties collapse each season completely in the pure cycle
@@ -1647,7 +1647,7 @@ class DriftSpec extends SparkSpecBase {
   test("effectSizes: hand-computed d/g/glass panel and degenerate guards") {
     val a = Seq(4.0, 6.0, 8.0, 10.0, 12.0).toDF("x") // mean 8, var 10
     val b = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("x")   // mean 5, var 10
-    val r = Drift.effectSizes(a, b, "x").collect().head
+    val r = StatTests.effectSizes(a, b, "x").collect().head
     assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
     assert(math.abs(r.getAs[Double]("diff") - 3.0) < 1e-12)
     val d = 3.0 / math.sqrt(10.0)
@@ -1658,12 +1658,12 @@ class DriftSpec extends SparkSpecBase {
     // constant slices: d/g/glass NULL, diff still present
     val c1 = Seq(2.0, 2.0).toDF("x")
     val c2 = Seq(1.0, 1.0).toDF("x")
-    val rc = Drift.effectSizes(c1, c2, "x").collect().head
+    val rc = StatTests.effectSizes(c1, c2, "x").collect().head
     assert(math.abs(rc.getAs[Double]("diff") - 1.0) < 1e-12)
     assert(rc.isNullAt(rc.fieldIndex("cohens_d")) &&
       rc.isNullAt(rc.fieldIndex("var_ratio")))
     // n < 2 on one side -> moments only
-    val r1 = Drift.effectSizes(Seq(3.0).toDF("x"), b, "x").collect().head
+    val r1 = StatTests.effectSizes(Seq(3.0).toDF("x"), b, "x").collect().head
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 }
