@@ -79,7 +79,19 @@ object BenchScale {
     // cumsum (q361), the d²-reduce + driver-SVD Procrustes (q362), and
     // the cumsum-argmax changepoint's TakeOrdered(1) (q364)
     "q353_rmst", "q356_poisson_glm", "q358_rake_weights", "q360_qini",
-    "q361_yuen_trimmed", "q362_procrustes", "q364_changepoint")
+    "q361_yuen_trimmed", "q362_procrustes", "q364_changepoint",
+    // round-13 remainder (VERDICT r13 item 4 — previously unmeasured at
+    // sf1): PAVA isotonic (distributed cumsum + bounded driver pool
+    // merge), the two lag-regression shapes (Dickey–Fuller, Granger),
+    // the k-bounded silhouette projection, the pair-concordance Somers'
+    // D, the strata-bounded Breslow–Day, the KM Greenwood bands, the
+    // quasi-Poisson extra Pearson reduce, and the LOO target-encode
+    // shuffled equi-join (no broadcast hint — AQE decides)
+    "q354_isotonic_calibration", "q355_dickey_fuller", "q357_granger",
+    "q359_silhouette", "q363_somers_d", "q365_breslow_day", "q366_km_ci",
+    "q367_quasi_poisson", "q368_target_encoding",
+    // round-14: the d=3 Cox contract (6 Newton passes + gradient pass)
+    "q369_cox_d3_contract")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation
@@ -91,10 +103,18 @@ object BenchScale {
     * (q60's capped Σdf² core is sub-linear at 0.89× despite the same
     * duplication). */
   private val outputQuadratic: Map[String, String] = Map(
-    "q26" -> "pair output ~45x per near-dup cluster of 10 (simhash buckets)",
-    "q31" -> "identical replica vectors: 45 cosine pairs per original vector",
-    "q20" -> "near-dup shingle sets: candidate+output pairs grow ~quadratically",
-    "q142" -> "replica names collide in blocks: linkage pairs grow ~quadratically")
+    "q26" -> ("pair output ~45x per near-dup cluster of 10 (simhash " +
+      "buckets); production mode = the oracle-pinned maxBucket cap — " +
+      "see catalog twin q346 and q26_capped below"),
+    "q31" -> ("identical replica vectors: 45 cosine pairs per original " +
+      "vector; production mode = the oracle-pinned maxBucket cap — see " +
+      "catalog twin q347 and q31_capped below"),
+    "q20" -> ("near-dup shingle sets: candidate+output pairs grow " +
+      "~quadratically; production mode = the oracle-pinned maxDocFreq " +
+      "df cap — see catalog twin q64"),
+    "q142" -> ("replica names collide in blocks: linkage pairs grow " +
+      "~quadratically; production mode = the maxBlock cap — see catalog " +
+      "twin q246 and q142_capped below"))
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -146,15 +166,23 @@ object BenchScale {
       materialize(spark, srcDir, outDir, factor)
     }
 
-    // sf0.1 best-knowns for the linear-extrapolation denominator
-    val sf01Best: Map[String, Double] = {
+    // sf0.1 best-knowns for the linear-extrapolation denominator.
+    // BENCH_LOCAL.json keys by full query name since the r14 tracker fix;
+    // a legacy short-keyed ("qN") file still resolves via the numeric
+    // prefix as long as it is unambiguous.
+    val sf01Raw: Map[String, Double] = {
       val txt = scala.io.Source.fromFile("BENCH_LOCAL.json").mkString
       val msObj = """"queries_ms":\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"(q\d+)":(-?\d+)""".r.findAllMatchIn(msObj)
+      """"(q\w+)":(-?\d+)""".r.findAllMatchIn(msObj)
         .map(m => m.group(1) -> m.group(2).toDouble / 1000.0).toMap
     }
-    def qk(k: String): String = "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+    def shortKey(k: String): String =
+      "q" + k.takeWhile(_ != '_').dropWhile(!_.isDigit).toInt
+    def sf01Best(name: String): Double =
+      sf01Raw.getOrElse(name, sf01Raw.getOrElse(shortKey(name), -1.0))
+    // note keys stay numeric-prefix shorthand (unique within the spot set)
+    def qk(k: String): String = shortKey(k)
 
     def dropAllBlocks(): Unit = {
       spark.catalog.clearCache()
@@ -171,14 +199,45 @@ object BenchScale {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional args narrow the measured set to matching query prefixes
+    // ("q354 q365") so a new wave's rows can be added without re-running
+    // the whole spot set; unmeasured spot queries keep their rows from
+    // the existing BENCH_SF1.json (merge-on-write below). No args = full
+    // re-measure, like the driver-era behavior.
+    val toRun =
+      if (args.isEmpty) spotQueries
+      else spotQueries.filter(n =>
+        args.exists(a => n == a || n.startsWith(a + "_")))
+    // rows carried from the previous artifact for spot queries NOT in
+    // this run (sec / sf01_best_sec / vs_linear verbatim; notes refresh
+    // from the current outputQuadratic map on re-emit)
+    val carried: Map[String, (String, String, String)] = {
+      val f = new java.io.File("BENCH_SF1.json")
+      if (!f.exists) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        val row =
+          (""""(q\w+)":\{"sec":(-?[\d.]+),"sf01_best_sec":(-?[\d.]+),""" +
+            """"vs_linear":(-?[\d.]+|"[^"]*")""").r
+        val byKey = row.findAllMatchIn(txt).map(m =>
+          m.group(1) -> ((m.group(2), m.group(3), m.group(4)))).toMap
+        // legacy short keys resolve via unique numeric prefix
+        spotQueries.flatMap { n =>
+          byKey.get(n).orElse(byKey.get(qk(n))).map(n -> _)
+        }.toMap
+      }
+    }
     // one warm pass (unmeasured), then min-of-2
-    spotQueries.foreach { n => run(n); dropAllBlocks() }
+    toRun.foreach { n => run(n); dropAllBlocks() }
     val results = spotQueries.map { n =>
-      val a = run(n); dropAllBlocks()
-      val b = run(n); dropAllBlocks()
-      val v = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      System.err.println(f"[bench-sf1] $n%-30s $v%.3fs")
-      n -> v
+      if (!toRun.contains(n)) n -> -2.0 // sentinel: carry the stored row
+      else {
+        val a = run(n); dropAllBlocks()
+        val b = run(n); dropAllBlocks()
+        val v = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        System.err.println(f"[bench-sf1] $n%-30s $v%.3fs")
+        n -> v
+      }
     }
     // the hot-bucket-cap counterfactual for the two output-quadratic LSH
     // queries: same operators, maxBucket = 64 — the production knob for a
@@ -202,7 +261,20 @@ object BenchScale {
       tag -> v
     }
     import org.apache.spark.sql.functions.col
-    val capped = Seq(
+    // capped counterfactuals re-measure only on a full run; a narrowed
+    // run carries their stored rows like any unmeasured spot query
+    val cappedCarried: Map[String, Double] = {
+      val f = new java.io.File("BENCH_SF1.json")
+      if (!f.exists) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        """"(q\w+_capped)":\{"sec":(-?[\d.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val capped = if (args.nonEmpty)
+      cappedCarried.toSeq.sortBy(_._1)
+    else Seq(
       runCapped("q26_capped") { // q26's exact parameters + the cap
         graft.operators.Dedup.simhashNearDup(
           spark.read.parquet(s"$outDir/documents.parquet"),
@@ -222,25 +294,38 @@ object BenchScale {
           blocker = graft.operators.Linkage.prefixBlocker(16),
           maxDistance = 1, maxBlock = Some(64L))
       })
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val qjson = (results.map { case (n, v) =>
-      val best = sf01Best.getOrElse(qk(n), -1.0)
-      val vsLinear =
-        if (v > 0 && best > 0) f"${v / (best * factor)}%.3f" else "-1"
+    // merged rows: measured queries use this run's values; carried ones
+    // (sentinel -2) re-emit the stored sec/sf01_best/vs_linear with the
+    // CURRENT note map (so note updates don't require a re-measure)
+    val rows = results.flatMap { case (n, v) =>
       val note = outputQuadratic.get(qk(n))
         .map(s => ",\"note\":\"" + s + "\"").getOrElse("")
-      "\"" + qk(n) + "\":{\"sec\":" + (if (v < 0) "-1" else f"$v%.3f") +
-        ",\"sf01_best_sec\":" + (if (best < 0) "-1" else f"$best%.3f") +
-        ",\"vs_linear\":" + vsLinear + note + "}"
-    } ++ capped.map { case (n, v) =>
+      if (v == -2.0) carried.get(n).map { case (sec, best, vsl) =>
+        (n, sec.toDouble,
+          "\"" + n + "\":{\"sec\":" + sec + ",\"sf01_best_sec\":" + best +
+            ",\"vs_linear\":" + vsl + note + "}")
+      } else {
+        val best = sf01Best(n)
+        val vsLinear =
+          if (v > 0 && best > 0) f"${v / (best * factor)}%.3f" else "-1"
+        Some((n, v,
+          "\"" + n + "\":{\"sec\":" + (if (v < 0) "-1" else f"$v%.3f") +
+            ",\"sf01_best_sec\":" +
+            (if (best < 0) "-1" else f"$best%.3f") +
+            ",\"vs_linear\":" + vsLinear + note + "}"))
+      }
+    }
+    val total = rows.map(_._2).filter(_ >= 0).sum
+    val nFailed = rows.count(_._2 < 0)
+    val qjson = (rows.map(_._3) ++ capped.map { case (n, v) =>
       "\"" + n + "\":{\"sec\":" + (if (v < 0) "-1" else f"$v%.3f") +
         ",\"note\":\"maxBucket=64 counterfactual for the uncapped twin\"}"
     }).mkString("{", ",", "}")
     val fw = new java.io.PrintWriter("BENCH_SF1.json")
     try fw.println(
-      s"""{"factor":$factor,"src":"$srcDir","total_sec":${f"$total%.3f"},"n_failed":${results.count(_._2 < 0)},"queries":$qjson}""")
+      s"""{"factor":$factor,"src":"$srcDir","total_sec":${f"$total%.3f"},"n_failed":$nFailed,"queries":$qjson}""")
     finally fw.close()
-    println(s"""{"metric":"sf1_total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"factor":$factor}""")
+    println(s"""{"metric":"sf1_total","value":${f"$total%.1f"},"unit":"sec","n_queries":${rows.size},"n_failed":$nFailed,"factor":$factor}""")
     spark.stop()
   }
 }
