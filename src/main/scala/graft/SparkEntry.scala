@@ -3886,6 +3886,26 @@ object SparkEntry {
         .gateOrdered(col("covariate"))
     }),
 
+    // ---- Logistic GLM: P(user ever buys high-value) ~ activity ------------
+    // the plain inferential logistic fit (Wald SEs) the propensity/
+    // calibration recipes start from; 4 Newton steps on exact decimal
+    // moments with 12-dp means — the oracle replays every iteration
+    "q370_logistic_glm" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      LinearModel.binomialGlm(perUser, "y", Seq("x_events"))
+        .select(col("term"), col("n"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -6065,6 +6085,51 @@ object SparkEntry {
              round(b0 + (h11 * (sy - h00) - h01 * (syx - h01))
                / (h00 * h11 - h01 * h01), 12) b0,
              round(b1 + (h00 * (syx - h01) - h01 * (sy - h00))
+               / (h00 * h11 - h01 * h01), 12) b1
+           FROM $prev, gt$i, nn)""")
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
+  }
+
+  /** q370 oracle: the logistic-GLM Newton loop replayed as chained CTEs —
+    * the poissonCtes shape with a BOUNDED mean: μ = σ(η) rounds to 12 dp
+    * as DECIMAL(14,12) (no overflow mode), gradient moments are exact
+    * decimal sums, the IRLS weight terms μ(1−μ)xᵢxⱼ round to 12 dp
+    * (computed in double from the shared 12-dp μ) before exact sums,
+    * β re-rounds to 12 dp; intercept starts at round₁₂(logit ȳ). The
+    * trailing no-step pass prices the SE at the converged β. */
+  private def binomialCtes(iterations: Int): String = {
+    val base = """du AS (SELECT
+             max(CASE WHEN event_type = 'purchase' AND value > 80
+               THEN 1 ELSE 0 END)::BIGINT y,
+             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id),
+         nn AS (SELECT count(*)::BIGINT n, CAST(sum(y) AS DOUBLE) sy,
+             CAST(sum(CAST(y AS DECIMAL(12,0)) * x0) AS DOUBLE) syx
+           FROM du),
+         cb0 AS (SELECT round(ln(sy / (n - sy)), 12)::DOUBLE b0,
+             0.0::DOUBLE b1 FROM nn)"""
+    def w12(tail: String) =
+      "CAST(sum(CAST(round(CAST(mu AS DOUBLE) * (1.0 - CAST(mu AS DOUBLE))" +
+        s"$tail, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    val iters = (1 to iterations + 1).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""sc$i AS (SELECT y, x0,
+             CAST(round(1.0 / (1.0 + exp(-(b0 + CAST(x0 AS DOUBLE) * b1))),
+               12) AS DECIMAL(14,12)) mu
+           FROM du, $prev),
+         gt$i AS (SELECT CAST(sum(mu) AS DOUBLE) g0m,
+             CAST(sum(mu * x0) AS DOUBLE) g1m,
+             ${w12(" * 1.0 * 1.0")} h00,
+             ${w12(" * 1.0 * CAST(x0 AS DOUBLE)")} h01,
+             ${w12(" * CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE)")} h11
+           FROM sc$i)""" +
+        (if (i > iterations) "" else s""",
+         cb$i AS (SELECT
+             round(b0 + (h11 * (sy - g0m) - h01 * (syx - g1m))
+               / (h00 * h11 - h01 * h01), 12) b0,
+             round(b1 + (h00 * (syx - g1m) - h01 * (sy - g0m))
                / (h00 * h11 - h01 * h01), 12) b1
            FROM $prev, gt$i, nn)""")
     }.mkString(",\n         ")
@@ -10821,6 +10886,39 @@ object SparkEntry {
            UNION ALL SELECT 'x_events', n, round(phi, 6) + 0.0,
              round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
              round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
+    // the logistic-Newton replay (binomialCtes): 4 unrolled iterations on
+    // exact decimal moments with 12-dp bounded means, closed-form 2x2
+    // step, SE from the trailing no-step information at the converged
+    // cb4, shared A&S two-sided p
+    "q370_logistic_glm" ->
+      s"""WITH ${binomialCtes(iterations = 4)},
+         fin AS (SELECT b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM cb4, gt5),
+         st AS (SELECT n, b0, b1, sqrt(h11 / det) se0,
+                 sqrt(h00 / det) se1 FROM fin, nn),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, round(b1, 6) + 0.0,
+             round(se1, 6) + 0.0, round(z1, 6) + 0.0, round(p1, 6) + 0.0
            FROM pp)
          ORDER BY term""",
     // the Poisson-Newton replay (poissonCtes): 4 unrolled iterations on

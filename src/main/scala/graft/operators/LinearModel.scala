@@ -1055,6 +1055,157 @@ object LinearModel {
     } finally base.unpersist(false)
   }
 
+  /** Binomial (logistic) GLM by Newton–Raphson/IRLS — the plain
+    * logistic regression of the GLM shelf ([[logregTrainHashed]] is the
+    * HASHED-feature corpus classifier trained by SGD; this is the
+    * small-d inferential fit with Wald standard errors, the model every
+    * propensity/uplift/calibration recipe starts from): y ∈ {0,1} ~
+    * Bernoulli(σ(β₀ + βᵀx)), `iterations` fixed Newton steps, one row
+    * per term (`intercept` first): `(term, n, beta, se, z, p_value)` —
+    * SE from the Fisher information evaluated AT the reported β via the
+    * trailing no-step pass (the [[poissonGlm]] convention), two-sided p
+    * via the shared A&S normal survival. NULL stats when the response
+    * is degenerate (all 0 or all 1 — the intercept start is undefined)
+    * or the information goes singular.
+    *
+    * Determinism contract (the [[poissonGlm]] recipe with a BOUNDED
+    * mean): covariates quantize to DECIMAL(8,4); per-row means
+    * μ = σ(η) round to 12 dp as DECIMAL(14,12) — σ ∈ (0,1), so unlike
+    * the Poisson exp there is NO overflow mode; gradient moments
+    * (Σμ, Σμxₖ) are exact decimal sums; the IRLS weight terms
+    * μ(1−μ)xₖxₗ (computed in double FROM the 12-dp μ both engines
+    * share) round to 12 dp before their exact decimal sums; β re-rounds
+    * to 12 dp between iterations. Intercept starts at round₁₂(logit ȳ),
+    * slopes at 0 — the [[poissonGlm]] warm start, mirrored in the
+    * oracle's cb0. With ONE covariate the step/SE are the closed-form
+    * 2×2 a DuckDB oracle replays verbatim; higher dimensions solve by
+    * Gaussian elimination.
+    *
+    * Scale: per iteration ONE whole-table reduce to (d+1)(d+4)/2
+    * decimal sums (partial-aggregated, no shuffle beyond the final
+    * single-row combine), O(d³) driver algebra. */
+  def binomialGlm(df: DataFrame, yCol: String, covariates: Seq[String],
+      iterations: Int = 4): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"binomialGlm needs 1..8 covariates, got ${covariates.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d = covariates.size
+    val terms = "intercept" +: covariates
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = df
+      .filter(col(yCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(yCol).cast("long").as("__y") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def nullRows(n: Long) = terms.map(t =>
+        (t, n, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("term", "n", "beta", "se", "z", "p_value")
+      val yAggs = count(lit(1)).as("__n") +: sum(col("__y")).as("__sy") +:
+        min(col("__y")).as("__ymin") +: max(col("__y")).as("__ymax") +:
+        covariates.indices.map(i =>
+          sum(col("__y").cast("decimal(12,0)") * col(xCols(i)))
+            .as(s"__syx$i"))
+      val yRow = base.agg(yAggs.head, yAggs.tail: _*).head()
+      val n = yRow.getLong(0)
+      if (n == 0) return nullRows(0)
+      require(yRow.getLong(2) >= 0L && yRow.getLong(3) <= 1L,
+        s"binomialGlm needs a 0/1 response, got values in " +
+          s"[${yRow.getLong(2)}, ${yRow.getLong(3)}]")
+      val sy = yRow.getLong(1).toDouble
+      if (sy == 0 || sy == n) return nullRows(n)
+      val syx = covariates.indices.map(i =>
+        BigDecimal(yRow.getDecimal(4 + i)).toDouble)
+      val dim = d + 1
+      val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      var beta = Array.fill(dim)(0.0)
+      beta(0) = round12(math.log(sy / (n - sy)))
+      var lastInfo: Option[Array[Array[Double]]] = None
+      var singular = false
+      var it = 0
+      // iterations stepping passes + ONE no-step pass: SE at reported β
+      while (it < iterations + 1 && !singular) {
+        val finalPass = it == iterations
+        val eta = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        }
+        // μ rounds to 12 dp BEFORE every use, so both engines derive the
+        // IRLS weight w = μ(1−μ) from the identical decimal
+        val mu = round(lit(1.0) / (lit(1.0) + exp(-eta)), 12)
+          .cast("decimal(14,12)")
+        val muD = mu.cast("double")
+        def x(i: Int): Column =
+          if (i == 0) lit(1).cast("decimal(2,0)") else col(xCols(i - 1))
+        def xD(i: Int): Column =
+          if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+        // gradient moments: Σμ and Σμxₖ, exact decimal sums
+        val gradAggs = sum(mu).as("__g0") +:
+          covariates.indices.map(i => sum(mu * x(i + 1)).as(s"__g${i + 1}"))
+        // information: w·xᵢ·xⱼ rounded to 12 dp per row, exact decimal sum
+        val infoAggs = pairIdx.map { case (i, j) =>
+          sum(round(muD * (lit(1.0) - muD) * xD(i) * xD(j), 12)
+            .cast("decimal(28,12)")).as(s"__h_${i}_$j")
+        }
+        val aggs = gradAggs ++ infoAggs
+        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        def dec(o: Int): Double =
+          if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+        val grad = Array.tabulate(dim)(i =>
+          (if (i == 0) sy else syx(i - 1)) - dec(i))
+        val info = Array.ofDim[Double](dim, dim)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = dec(dim + p); info(j)(i) = info(i)(j)
+        }
+        lastInfo = Some(info.map(_.clone()))
+        if (!finalPass) {
+          val step: Option[Array[Double]] =
+            if (dim == 2) {
+              // the closed-form 2×2 solve the oracle mirrors verbatim
+              val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+              if (det <= 0) None
+              else Some(Array(
+                (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+                (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+            } else solveSpd(info.map(_.clone()), grad.clone())
+          step match {
+            case None => singular = true
+            case Some(st) =>
+              beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+          }
+        }
+        it += 1
+      }
+      val seOpt: Seq[Option[Double]] = lastInfo match {
+        case _ if singular => Seq.fill(dim)(None)
+        case Some(info) if dim == 2 =>
+          val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+          if (det <= 0) Seq.fill(dim)(None)
+          else Seq(Some(math.sqrt(info(1)(1) / det)),
+            Some(math.sqrt(info(0)(0) / det)))
+        case Some(info) =>
+          invertSpd(info.map(_.clone())) match {
+            case Some(inv) => (0 until dim).map(i =>
+              if (inv(i)(i) > 0) Some(math.sqrt(inv(i)(i))) else None)
+            case None => Seq.fill(dim)(None)
+          }
+        case None => Seq.fill(dim)(None)
+      }
+      terms.zipWithIndex.map { case (t, i) =>
+        val b = if (singular) None else Some(beta(i))
+        val se = seOpt(i)
+        val z = for (bv <- b; s <- se if s > 0) yield bv / s
+        (t, n, b, se, z,
+          z.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+      }.toDF("term", "n", "beta", "se", "z", "p_value")
+    } finally base.unpersist(false)
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * leakage-free way to hand a high-cardinality categorical to a
     * model (a plain per-category mean ENCODES each row's own label;

@@ -449,6 +449,53 @@ class LinearModelSpec extends SparkSpecBase {
       .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
   }
 
+  test("binomialGlm: definitional IRLS reference, SE at reported beta, guards") {
+    // 12 rows, clear positive slope, not separated
+    val data = Seq(
+      (0L, -2.0), (0L, -1.5), (0L, -1.0), (1L, -0.5), (0L, -0.5),
+      (0L, 0.0), (1L, 0.5), (0L, 0.5), (1L, 1.0), (1L, 1.5),
+      (1L, 2.0), (0L, 2.5))
+    val out = LinearModel.binomialGlm(data.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // definitional reference: Newton from logit(y-bar), 4 steps + a 5th
+    // info-only pass (the operator's SE-at-reported-beta convention)
+    val sy = data.map(_._1).sum.toDouble; val n = data.size
+    var b = Array(math.log(sy / (n - sy)), 0.0)
+    var h = Array.ofDim[Double](2, 2)
+    for (pass <- 1 to 5) {
+      val g = Array(0.0, 0.0); h = Array.ofDim[Double](2, 2)
+      data.foreach { case (y, x) =>
+        val mu = 1.0 / (1.0 + math.exp(-(b(0) + b(1) * x)))
+        val w = mu * (1 - mu)
+        g(0) += y - mu; g(1) += (y - mu) * x
+        h(0)(0) += w; h(0)(1) += w * x; h(1)(1) += w * x * x
+      }
+      h(1)(0) = h(0)(1)
+      if (pass <= 4) {
+        val det = h(0)(0) * h(1)(1) - h(0)(1) * h(0)(1)
+        b = Array(b(0) + (h(1)(1) * g(0) - h(0)(1) * g(1)) / det,
+          b(1) + (h(0)(0) * g(1) - h(0)(1) * g(0)) / det)
+      }
+    }
+    val det = h(0)(0) * h(1)(1) - h(0)(1) * h(0)(1)
+    val seRef = Array(math.sqrt(h(1)(1) / det), math.sqrt(h(0)(0) / det))
+    assert(math.abs(out("intercept").getAs[Double]("beta") - b(0)) < 1e-6)
+    assert(math.abs(out("x").getAs[Double]("beta") - b(1)) < 1e-6)
+    assert(math.abs(out("intercept").getAs[Double]("se") - seRef(0)) < 1e-6)
+    assert(math.abs(out("x").getAs[Double]("se") - seRef(1)) < 1e-6)
+    assert(out("x").getAs[Double]("beta") > 0, "positive slope recovered")
+    // degenerate response (all one class) -> NULL stats
+    val ones = Seq((1L, 0.0), (1L, 1.0)).toDF("y", "x")
+    LinearModel.binomialGlm(ones, "y", Seq("x")).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
+    // non-binary response fails loudly
+    val bad = Seq((2L, 0.0), (0L, 1.0)).toDF("y", "x")
+    val e = intercept[Exception] {
+      LinearModel.binomialGlm(bad, "y", Seq("x")).collect()
+    }
+    assert(e.getMessage.contains("0/1 response"))
+  }
+
   test("poissonGlm: mean overflow past DECIMAL(20,12) fails loudly") {
     // counts with mean > 1e8 start the intercept at ln(mean) > 18.4, so
     // mu = exp(eta) overflows DECIMAL(20,12) on the very first pass and
