@@ -3906,6 +3906,28 @@ object SparkEntry {
         .gateOrdered(col("term"))
     }),
 
+    // ---- IPW ATE: parity-cohort effect on high-value purchase -------------
+    // Hajek inverse-propensity estimate with the q370 logistic propensity
+    // (T = even user ~ activity), influence-function SE; every weighted
+    // sum decimal-exact, arm means re-rounded at 12 dp — full replay
+    "q371_ipw_ate" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      LinearModel.ipwAte(perUser, "t", "y", Seq("x_events"))
+        .select(col("n"), col("n_treated"),
+          (round(col("mu_treated"), 6) + lit(0.0)).as("mu_treated"),
+          (round(col("mu_control"), 6) + lit(0.0)).as("mu_control"),
+          (round(col("ate"), 6) + lit(0.0)).as("ate"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -6098,11 +6120,13 @@ object SparkEntry {
     * (computed in double from the shared 12-dp μ) before exact sums,
     * β re-rounds to 12 dp; intercept starts at round₁₂(logit ȳ). The
     * trailing no-step pass prices the SE at the converged β. */
-  private def binomialCtes(iterations: Int): String = {
-    val base = """du AS (SELECT
-             max(CASE WHEN event_type = 'purchase' AND value > 80
-               THEN 1 ELSE 0 END)::BIGINT y,
-             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
+  private def binomialCtes(iterations: Int,
+      yExpr: String = """max(CASE WHEN event_type = 'purchase'
+             AND value > 80 THEN 1 ELSE 0 END)""",
+      extraCols: String = ""): String = {
+    val base = s"""du AS (SELECT
+             $yExpr::BIGINT y,
+             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0$extraCols
            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
            GROUP BY user_id),
          nn AS (SELECT count(*)::BIGINT n, CAST(sum(y) AS DOUBLE) sy,
@@ -6115,7 +6139,7 @@ object SparkEntry {
         s"$tail, 12) AS DECIMAL(28,12))) AS DOUBLE)"
     val iters = (1 to iterations + 1).map { i =>
       val prev = s"cb${i - 1}"
-      s"""sc$i AS (SELECT y, x0,
+      s"""sc$i AS (SELECT du.*,
              CAST(round(1.0 / (1.0 + exp(-(b0 + CAST(x0 AS DOUBLE) * b1))),
                12) AS DECIMAL(14,12)) mu
            FROM du, $prev),
@@ -10888,6 +10912,52 @@ object SparkEntry {
              round(p1, 6) + 0.0
            FROM pp)
          ORDER BY term""",
+    // the q370 logistic Newton refit with T = parity as the response
+    // (binomialCtes yExpr), propensity = sc5's converged 12-dp mean,
+    // exact clip, decimal-exact Hajek sums, re-rounded arm means, one
+    // phi-squared reduce — the full IPW replay
+    "q371_ipw_ate" ->
+      s"""WITH ${binomialCtes(iterations = 4,
+          yExpr = "max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)",
+          extraCols = """,
+             max(CASE WHEN event_type = 'purchase' AND value > 80
+               THEN 1 ELSE 0 END)::DOUBLE yo""")},
+         ec AS (SELECT y, yo,
+                 greatest(0.01, least(0.99, CAST(mu AS DOUBLE))) e
+               FROM sc5),
+         s1 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT nt,
+             CAST(sum(CAST(round(CAST(y AS DOUBLE) / e, 12)
+               AS DECIMAL(28,12))) AS DOUBLE) sw1,
+             CAST(sum(CAST(round(CAST(y AS DOUBLE) * yo / e, 12)
+               AS DECIMAL(28,12))) AS DOUBLE) swy1,
+             CAST(sum(CAST(round((1.0 - CAST(y AS DOUBLE)) / (1.0 - e), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) sw0,
+             CAST(sum(CAST(round((1.0 - CAST(y AS DOUBLE)) * yo
+               / (1.0 - e), 12) AS DECIMAL(28,12))) AS DOUBLE) swy0
+           FROM ec),
+         m AS (SELECT n, nt, round(swy1 / sw1, 12) mu1,
+                 round(swy0 / sw0, 12) mu0,
+                 round(round(swy1 / sw1, 12) - round(swy0 / sw0, 12), 12)
+                   ate
+               FROM s1),
+         v AS (SELECT CAST(sum(CAST(round(
+                 (CAST(y AS DOUBLE) * (yo - mu1) / e
+                   - (1.0 - CAST(y AS DOUBLE)) * (yo - mu0) / (1.0 - e))
+                 * (CAST(y AS DOUBLE) * (yo - mu1) / e
+                   - (1.0 - CAST(y AS DOUBLE)) * (yo - mu0) / (1.0 - e)),
+                 9) AS DECIMAL(28,9))) AS DOUBLE) sphi
+               FROM ec, m),
+         f AS (SELECT n, nt, mu1, mu0, ate, sqrt(sphi) / n se FROM m, v),
+         zz AS (SELECT *, ate / se z, abs(ate / se) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(ate / se) / sqrt(2.0)) t
+               FROM f)
+         SELECT n, nt AS n_treated, round(mu1, 6) + 0.0 AS mu_treated,
+           round(mu0, 6) + 0.0 AS mu_control, round(ate, 6) + 0.0 AS ate,
+           round(se, 6) + 0.0 AS se, round(z, 6) + 0.0 AS z,
+           round(least(1.0, t * (0.254829592 + t * (-0.284496736
+             + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+             * exp(-az * az)), 6) + 0.0 AS p_value
+         FROM zz""",
     // the logistic-Newton replay (binomialCtes): 4 unrolled iterations on
     // exact decimal moments with 12-dp bounded means, closed-form 2x2
     // step, SE from the trailing no-step information at the converged

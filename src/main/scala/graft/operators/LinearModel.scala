@@ -1206,6 +1206,94 @@ object LinearModel {
     } finally base.unpersist(false)
   }
 
+  /** Inverse-propensity-weighted average treatment effect (Hájek) — the
+    * covariate-adjusted "did the treatment move the outcome" estimator
+    * for OBSERVATIONAL data ([[graft.profile.StatTests.cuped]] reduces
+    * variance in a randomized test; IPW corrects CONFOUNDING when
+    * assignment correlates with covariates): fit the propensity
+    * e(x) = P(T=1|x) by [[binomialGlm]], clip to [clip, 1−clip], and
+    * weight each arm by 1/e (treated) or 1/(1−e) (control). One row:
+    * `(n, n_treated, mu_treated, mu_control, ate, se, z, p_value)` —
+    * the self-normalized (Hájek) arm means, their difference, and the
+    * influence-function SE  √(Σφ²)/n with
+    * φ = t(y−μ̂₁)/e − (1−t)(y−μ̂₀)/(1−e). NULL stats when the propensity
+    * fit degenerates or an arm is empty.
+    *
+    * Determinism contract: the propensity replays via the
+    * [[binomialGlm]] decimal Newton; per-row e re-rounds to 12 dp, the
+    * clip is an exact greatest/least, every weighted term rounds to
+    * 12 dp (φ² to 9 dp) before its exact decimal sum, and the arm means
+    * re-round to 12 dp before the φ pass — an external engine replays
+    * fit, weights, means and variance bit-for-bit.
+    *
+    * Scale: the [[binomialGlm]] passes + TWO more whole-table reduces
+    * (weighted sums, then φ²) — nothing data-sized on the driver. */
+  def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
+      covariates: Seq[String], iterations: Int = 4,
+      clip: Double = 0.01): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5): $clip")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow(n: Long, nt: Long) = Seq((n, nt, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "n_treated", "mu_treated", "mu_control", "ate", "se",
+        "z", "p_value")
+    val cc = df.filter(col(treatCol).isNotNull &&
+      col(outcomeCol).isNotNull &&
+      covariates.map(col(_).isNotNull).reduce(_ && _))
+    val fit = binomialGlm(cc, treatCol, covariates, iterations)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("beta"))) None
+         else Some(r.getAs[Double]("beta")))).toMap
+    val n0 = cc.count()
+    if (fit.values.exists(_.isEmpty)) return nullRow(n0, -1L)
+    val b0 = fit("intercept").get
+    val bs = covariates.map(c => fit(c).get)
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = cc.select((col(treatCol).cast("long").as("__t") +:
+      col(outcomeCol).cast("double").as("__yo") +:
+      covariates.zipWithIndex.map { case (c, i) =>
+        col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+    val eta = covariates.indices.foldLeft(lit(b0)) { (acc, i) =>
+      acc + col(xCols(i)).cast("double") * lit(bs(i))
+    }
+    // the SAME 12-dp mean the fit's oracle replays, then the exact clip
+    val e = greatest(lit(clip), least(lit(1.0 - clip),
+      round(lit(1.0) / (lit(1.0) + exp(-eta)), 12)
+        .cast("decimal(14,12)").cast("double")))
+    val tD = col("__t").cast("double")
+    def d12(c: Column) = sum(round(c, 12).cast("decimal(28,12)"))
+    val s1 = base.agg(
+        count(lit(1)).as("n"), sum(col("__t")).as("nt"),
+        d12(tD / e).as("sw1"), d12(tD * col("__yo") / e).as("swy1"),
+        d12((lit(1.0) - tD) / (lit(1.0) - e)).as("sw0"),
+        d12((lit(1.0) - tD) * col("__yo") / (lit(1.0) - e)).as("swy0"))
+      .head()
+    val n = s1.getLong(0); val nt = s1.getLong(1)
+    def dec(o: Int): Double =
+      if (s1.isNullAt(o)) 0.0 else BigDecimal(s1.getDecimal(o)).toDouble
+    val (sw1, swy1, sw0, swy0) = (dec(2), dec(3), dec(4), dec(5))
+    if (sw1 <= 0 || sw0 <= 0) return nullRow(n, nt)
+    val mu1 = round12(swy1 / sw1)
+    val mu0 = round12(swy0 / sw0)
+    val ate = round12(mu1 - mu0)
+    val phi = tD * (col("__yo") - lit(mu1)) / e -
+      (lit(1.0) - tD) * (col("__yo") - lit(mu0)) / (lit(1.0) - e)
+    val v = base.agg(
+        sum(round(phi * phi, 9).cast("decimal(28,9)")).as("sphi"))
+      .head()
+    val sphi = if (v.isNullAt(0)) 0.0 else BigDecimal(v.getDecimal(0)).toDouble
+    val se = math.sqrt(math.max(sphi, 0.0)) / n
+    val z = if (se > 0) Some(ate / se) else None
+    Seq((n, nt, Some(mu1), Some(mu0), Some(ate),
+        if (se > 0) Some(se) else None, z,
+        z.map(x => math.min(1.0,
+          2.0 * graft.profile.Drift.normalSfAS(math.abs(x))))))
+      .toDF("n", "n_treated", "mu_treated", "mu_control", "ate", "se",
+        "z", "p_value")
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * leakage-free way to hand a high-cardinality categorical to a
     * model (a plain per-category mean ENCODES each row's own label;

@@ -496,6 +496,58 @@ class LinearModelSpec extends SparkSpecBase {
     assert(e.getMessage.contains("0/1 response"))
   }
 
+  test("ipwAte: de-biases a confounded treatment; definitional replay") {
+    // confounding: treatment probability AND outcome both rise with x,
+    // so the naive arm-mean difference overstates the true zero effect
+    val data = Seq(
+      // x = 2 stratum: mostly treated, y = 1 in BOTH arms (no effect)
+      (1L, 2.0, 1.0), (1L, 2.0, 1.0), (1L, 2.0, 1.0), (0L, 2.0, 1.0),
+      // x = 0 stratum: balanced, arm means equal
+      (1L, 0.0, 1.0), (1L, 0.0, 0.0), (0L, 0.0, 1.0), (0L, 0.0, 0.0),
+      // x = -2 stratum: mostly control, y = 0 in BOTH arms (no effect)
+      (1L, -2.0, 0.0), (0L, -2.0, 0.0), (0L, -2.0, 0.0), (0L, -2.0, 0.0))
+    val df = data.toDF("t", "x", "y")
+    val r = LinearModel.ipwAte(df, "t", "y", Seq("x")).collect().head
+    // definitional replay: IRLS propensity (logit-ybar start, 4 steps),
+    // 12-dp rounding as documented, Hajek means
+    val sy = data.map(_._1).sum.toDouble; val n = data.size
+    def r12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var b = Array(r12(math.log(sy / (n - sy))), 0.0)
+    for (_ <- 1 to 4) {
+      val g = Array(0.0, 0.0); val h = Array.ofDim[Double](2, 2)
+      data.foreach { case (t, x, _) =>
+        val mu = r12(1.0 / (1.0 + math.exp(-(b(0) + b(1) * x))))
+        val w = mu * (1 - mu)
+        g(0) += t - mu; g(1) += (t - mu) * x
+        h(0)(0) += r12(w); h(0)(1) += r12(w * x); h(1)(1) += r12(w * x * x)
+      }
+      val det = h(0)(0) * h(1)(1) - h(0)(1) * h(0)(1)
+      b = Array(r12(b(0) + (h(1)(1) * g(0) - h(0)(1) * g(1)) / det),
+        r12(b(1) + (h(0)(0) * g(1) - h(0)(1) * g(0)) / det))
+    }
+    def e(x: Double) = math.max(0.01, math.min(0.99,
+      r12(1.0 / (1.0 + math.exp(-(b(0) + b(1) * x))))))
+    val sw1 = data.map { case (t, x, _) => r12(t / e(x)) }.sum
+    val swy1 = data.map { case (t, x, y) => r12(t * y / e(x)) }.sum
+    val sw0 = data.map { case (t, x, _) => r12((1 - t) / (1 - e(x))) }.sum
+    val swy0 = data.map { case (t, x, y) => r12((1 - t) * y / (1 - e(x))) }.sum
+    val (mu1, mu0) = (r12(swy1 / sw1), r12(swy0 / sw0))
+    assert(math.abs(r.getAs[Double]("mu_treated") - mu1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mu_control") - mu0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ate") - (mu1 - mu0)) < 1e-9)
+    // the IPW estimate must sit closer to zero than the naive difference
+    val naive = data.filter(_._1 == 1L).map(_._3).sum / sy -
+      data.filter(_._1 == 0L).map(_._3).sum / (n - sy)
+    assert(math.abs(r.getAs[Double]("ate")) < math.abs(naive),
+      s"IPW ${r.getAs[Double]("ate")} vs naive $naive")
+    assert(r.getAs[Double]("se") > 0)
+    // empty arm -> NULL stats
+    val oneArm = Seq((1L, 0.0, 1.0), (1L, 1.0, 0.0)).toDF("t", "x", "y")
+    val ra = LinearModel.ipwAte(oneArm, "t", "y", Seq("x")).collect().head
+    assert(ra.isNullAt(ra.fieldIndex("ate")))
+  }
+
   test("poissonGlm: mean overflow past DECIMAL(20,12) fails loudly") {
     // counts with mean > 1e8 start the intercept at ln(mean) > 18.4, so
     // mu = exp(eta) overflows DECIMAL(20,12) on the very first pass and
