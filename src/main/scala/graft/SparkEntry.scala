@@ -3928,6 +3928,36 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- Aalen-Johansen cumulative incidence: purchase vs error -----------
+    // competing first events per user (earlier of first-purchase /
+    // first-error, ties to purchase; neither = censored at the horizon):
+    // what fraction converts vs breaks within 700 hours, honestly — the
+    // 1-KM-per-type overstatement this estimator exists to avoid
+    "q372_cumulative_incidence" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val hr = floor(unix_timestamp(col("ts")) / 3600)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(hr).as("__f"), max(hr).as("__l"),
+          min(when(col("event_type") === "purchase", hr)).as("__p"),
+          min(when(col("event_type") === "error", hr)).as("__e"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val etype = when(col("__p").isNotNull &&
+          (col("__e").isNull || col("__p") <= col("__e")), "purchase")
+        .when(col("__e").isNotNull, "error")
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(etype === "purchase", col("__p") - col("__f"))
+            .when(etype === "error", col("__e") - col("__f"))
+            .otherwise(col("__hmax") - col("__f")).as("duration"),
+          etype.as("first_event"))
+      Behavior.cumulativeIncidence(durations, "duration", "first_event",
+          tau = 700L)
+        .select(col("event_type"), col("tau"), col("n"), col("events"),
+          (round(col("cif"), 6) + lit(0.0)).as("cif"))
+        .gateOrdered(col("event_type"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11027,6 +11057,64 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // the rmst cumsum recipe with competing first events: all-cause KM
+    // via the 1e12-quantized exclusive ln cumsum, per-type increments
+    // S(t-)*d_k/n quantized to 1e12 longs before the tau-filtered sum
+    "q372_cumulative_incidence" ->
+      """WITH pu AS (SELECT user_id,
+                  min(floor(epoch(ts) / 3600))::BIGINT f,
+                  max(floor(epoch(ts) / 3600))::BIGINT l,
+                  min(CASE WHEN event_type = 'purchase'
+                    THEN floor(epoch(ts) / 3600) END)::BIGINT p,
+                  min(CASE WHEN event_type = 'error'
+                    THEN floor(epoch(ts) / 3600) END)::BIGINT e
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1),
+         hz AS (SELECT max(l) hm FROM pu),
+         du AS (SELECT
+                 CASE WHEN p IS NOT NULL AND (e IS NULL OR p <= e)
+                        THEN 'purchase'
+                      WHEN e IS NOT NULL THEN 'error' END k,
+                 (CASE WHEN p IS NOT NULL AND (e IS NULL OR p <= e)
+                         THEN p - f
+                       WHEN e IS NOT NULL THEN e - f
+                       ELSE hm - f END)::BIGINT life
+               FROM pu, hz),
+         gl AS (SELECT life, count(*)::BIGINT alln,
+                 sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT dall,
+                 sum(CASE WHEN k = 'error' THEN 1 ELSE 0 END)::BIGINT d0,
+                 sum(CASE WHEN k = 'purchase' THEN 1 ELSE 0 END)::BIGINT d1
+               FROM du GROUP BY 1),
+         nn AS (SELECT sum(alln)::BIGINT n FROM gl),
+         w AS (SELECT gl.*, nn.n,
+                 coalesce(sum(alln) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) b
+               FROM gl, nn),
+         l1 AS (SELECT *, (n - b)::BIGINT nr,
+                 CASE WHEN dall > 0 AND dall < (n - b)
+                   THEN round(ln(1.0 - dall::DOUBLE / (n - b))
+                     * 1e12)::BIGINT ELSE 0 END lnq
+               FROM w),
+         l2 AS (SELECT *, coalesce(sum(lnq) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) lb
+               FROM l1),
+         inc AS (SELECT life, d0, d1,
+                 CASE WHEN nr > 0 AND d0 > 0 THEN
+                   round(exp(lb / 1e12) * d0 / nr * 1e12)::BIGINT
+                   ELSE 0 END i0,
+                 CASE WHEN nr > 0 AND d1 > 0 THEN
+                   round(exp(lb / 1e12) * d1 / nr * 1e12)::BIGINT
+                   ELSE 0 END i1
+               FROM l2),
+         f AS (SELECT sum(i0)::BIGINT c0, sum(i1)::BIGINT c1,
+                 sum(d0)::BIGINT e0, sum(d1)::BIGINT e1
+               FROM inc WHERE life <= 700)
+         SELECT * FROM (
+           SELECT 'error' AS event_type, 700::BIGINT AS tau, n,
+             e0 AS events, round(c0 / 1e12, 6) + 0.0 AS cif FROM f, nn
+           UNION ALL SELECT 'purchase', 700, n, e1,
+             round(c1 / 1e12, 6) + 0.0 FROM f, nn)
+         ORDER BY event_type""",
     // fixed-point contract for the d=3 Gaussian-elimination path: the
     // anchors (n, n_events) recompute from the parquet with the same
     // duration construction; the convergence/SE/finiteness booleans pin

@@ -926,6 +926,87 @@ object Behavior {
     }.toDF("grp", "tau", "n", "events", "rmst", "rmst_se")
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS — what
+    * fraction of subjects experience event type k by horizon τ when
+    * other event types remove them from risk first ([[kmCurve]] treats
+    * every exit as one event; 1−KM per-type OVERSTATES incidence when
+    * risks compete — the classical misuse this estimator exists to
+    * fix): CIF_k(τ) = Σ_{t ≤ τ} Ŝ(t⁻)·d_k(t)/n_risk(t), with Ŝ the
+    * ALL-cause Kaplan–Meier. One row per event type:
+    * `(event_type, tau, n, events, cif)`; Σ_k CIF_k ≤ 1 − Ŝ(τ) by
+    * construction. NULL `eventCol` = censored.
+    *
+    * Determinism contract (the [[rmst]] recipe): per-distinct-duration
+    * counts; ln(1 − d/n) quantizes to a 1e12 long before the exclusive
+    * running sum (so Ŝ(t⁻) replays exactly); each per-type increment
+    * Ŝ(t⁻)·d_k/n quantizes to a 1e12 long before its final sum —
+    * order-free on both engines.
+    *
+    * Scale: event types pivot into columns (≤ 8; the distinct-type
+    * collect is type-bounded), then per-distinct-duration counts, TWO
+    * deterministic-bucket cumsums (at-risk, ln-survival) and ONE final
+    * τ-filtered aggregate. No unkeyed window, no data-sized driver
+    * state. */
+  def cumulativeIncidence(durations: DataFrame, durationCol: String,
+      eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    val base = durations
+      .filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("life"),
+        col(eventCol).cast("string").as("__k"))
+    val types = base.filter(col("__k").isNotNull)
+      .select(col("__k")).distinct().orderBy(col("__k"))
+      .collect().map(_.getString(0))
+    require(types.nonEmpty && types.length <= 8,
+      s"cumulativeIncidence needs 1..8 event types, got ${types.length}")
+    val ti = types.indices
+    val pivots = (sum(when(col("__k").isNotNull, 1L).otherwise(0L))
+        .as("__dall") +:
+      count(lit(1)).as("__all") +:
+      ti.map(i => sum(when(col("__k") === types(i), 1L).otherwise(0L))
+        .as(s"__d$i")))
+    val byLife = base.groupBy(col("life")).agg(pivots.head, pivots.tail: _*)
+    // cumsum 1: exits strictly before each lifetime → n_risk
+    val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      byLife, col("life"), Seq("__all"), Seq("__b"), persistInput = false)
+    val nTotal = grand(0)
+    val withLn = {
+      val nRisk = lit(nTotal) - col("__b")
+      val d = col("__dall").cast("double")
+      cum1.withColumn("__nr", nRisk)
+        .withColumn("__dead",
+          col("__dall") > 0 && col("__dall") === nRisk)
+        .withColumn("__lnQ",
+          when(col("__dall") > 0 && !col("__dead"),
+            round(log(lit(1.0) - d / nRisk.cast("double")) * 1e12, 0)
+              .cast("long")).otherwise(lit(0L)))
+    }
+    // cumsum 2: running Σ ln(1 − d/n_risk) exclusive = ln Ŝ(t⁻)
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
+      withLn, col("life"), Seq("__lnQ"), Seq("__lb"),
+      persistInput = false)._1
+    val sBef = exp(col("__lb").cast("double") / 1e12)
+    val withInc = ti.foldLeft(cum2) { (df, i) =>
+      df.withColumn(s"__incQ$i",
+        when(col("__nr") > 0 && col(s"__d$i") > 0,
+          round(sBef * col(s"__d$i").cast("double") /
+            col("__nr").cast("double") * 1e12, 0).cast("long"))
+          .otherwise(lit(0L)))
+    }
+    val aggs = ti.flatMap(i => Seq(
+      sum(col(s"__incQ$i")).as(s"cif$i"),
+      sum(col(s"__d$i")).as(s"ev$i")))
+    val row = withInc.filter(col("life") <= tau)
+      .agg(aggs.head, aggs.tail: _*).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(withInc)
+    val spark = durations.sparkSession
+    import spark.implicits._
+    ti.map { i =>
+      def lng(o: Int) = if (row.isNullAt(o)) 0L else row.getLong(o)
+      (types(i), tau, nTotal, lng(2 * i + 1), lng(2 * i) / 1e12)
+    }.toDF("event_type", "tau", "n", "events", "cif")
+  }
+
   /** Cox proportional-hazards regression with Breslow tie handling — the
     * covariate-adjusted member of the survival shelf ([[kmCurve]] draws
     * one curve, [[logRankTest]] compares two groups; Cox answers "how

@@ -662,6 +662,33 @@ class BehaviorSpec extends SparkSpecBase {
     assert(fc.forall(_.isNullAt(3)), "singular info must null the betas")
   }
 
+  test("cumulativeIncidence: hand-computed Aalen-Johansen, sums to 1 - KM") {
+    import spark.implicits._
+    // 6 subjects, two competing event types, one censor mid-stream:
+    //   t=1 'a' (n=6): CIF_a += 1/6              S -> 5/6
+    //   t=2 'b' (n=5): CIF_b += (5/6)(1/5) = 1/6 S -> 2/3
+    //   t=3 cens (n=4)
+    //   t=4 'a' (n=3): CIF_a += (2/3)(1/3) = 2/9 S -> 4/9
+    //   t=5 'b' (n=2): CIF_b += (4/9)(1/2) = 2/9 S -> 2/9
+    //   t=6 cens (n=1)
+    val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("a")), (5L, Some("b")), (6L, None))
+      .toDF("dur", "etype")
+    val out = Behavior.cumulativeIncidence(d, "dur", "etype", tau = 6L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a")._1 == 6L && out("a")._2 == 2L)
+    assert(math.abs(out("a")._3 - 7.0 / 18) < 1e-9, s"cif_a: ${out("a")}")
+    assert(math.abs(out("b")._3 - 7.0 / 18) < 1e-9, s"cif_b: ${out("b")}")
+    // identity: sum of CIFs = 1 - all-cause KM at tau = 1 - 2/9
+    assert(math.abs(out("a")._3 + out("b")._3 - 7.0 / 9) < 1e-9)
+    // an early horizon cuts later increments
+    val at3 = Behavior.cumulativeIncidence(d, "dur", "etype", tau = 3L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(at3("a") - 1.0 / 6) < 1e-9)
+    assert(math.abs(at3("b") - 1.0 / 6) < 1e-9)
+  }
+
   test("coxPHWithGradient: score at reported beta vanishes; d=3 solve path") {
     import spark.implicits._
     // three non-collinear covariates exercise the Gaussian-elimination
