@@ -3958,6 +3958,17 @@ object SparkEntry {
         .gateOrdered(col("event_type"))
     }),
 
+    // ---- Gini / top-share concentration of document length mass ----------
+    // how concentrated is the corpus' character mass across documents —
+    // the inequality summary a mix audit quotes; rank-exact, integer-only
+    "q373_gini_concentration" -> ((s, dir) => {
+      StatTests.giniConcentration(read(s, dir, "documents"), "n_chars")
+        .select(col("n"), col("total"),
+          (round(col("gini"), 6) + lit(0.0)).as("gini"),
+          (round(col("top1_share"), 6) + lit(0.0)).as("top1_share"),
+          (round(col("top10_share"), 6) + lit(0.0)).as("top10_share"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11057,6 +11068,38 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // exact block-rank Gini: per-value counts, exclusive count window,
+    // HUGEINT moment sums (mirroring the decimal(38,0) exact sums), the
+    // boundary block of each top-share threshold resolved per block
+    "q373_gini_concentration" ->
+      """WITH cells AS (SELECT n_chars::BIGINT v, count(*)::BIGINT c
+                FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         cum AS (SELECT *, coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT b FROM cells),
+         nn AS (SELECT sum(c)::BIGINT n FROM cells),
+         rr AS (SELECT n, n - n // 100 r1, n - n // 10 r10 FROM nn),
+         agg AS (SELECT sum(v::HUGEINT * c) t,
+                 sum(v::HUGEINT * (c::HUGEINT * b
+                   + (CASE WHEN c % 2 = 0
+                      THEN (c // 2)::HUGEINT * (c + 1)
+                      ELSE c::HUGEINT * ((c + 1) // 2) END))) nsum,
+                 sum(CASE WHEN b + c <= r1 THEN v::HUGEINT * c
+                     WHEN b < r1 THEN v::HUGEINT * (r1 - b)
+                     ELSE 0::HUGEINT END) s1,
+                 sum(CASE WHEN b + c <= r10 THEN v::HUGEINT * c
+                     WHEN b < r10 THEN v::HUGEINT * (r10 - b)
+                     ELSE 0::HUGEINT END) s10
+               FROM cum, rr)
+         SELECT n, CAST(t AS BIGINT) AS total,
+           round(2.0 * CAST(nsum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - (n + 1.0) / n, 6) + 0.0 AS gini,
+           round(CAST(t - s1 AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+             AS top1_share,
+           round(CAST(t - s10 AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+             AS top10_share
+         FROM agg, rr""",
     // the rmst cumsum recipe with competing first events: all-cause KM
     // via the 1e12-quantized exclusive ln cumsum, per-type increments
     // S(t-)*d_k/n quantized to 1e12 longs before the tau-filtered sum

@@ -26,6 +26,82 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Gini coefficient + top-share concentration of an INTEGER-valued
+    * metric — "how concentrated is the mass" (doc-length mass per
+    * document, events per user, bytes per source): the inequality
+    * summary a corpus-mix audit quotes beside the margins. One row:
+    * `(n, total, gini, top1_share, top10_share)` — Gini by the exact
+    * rank formula G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n (ties handled by
+    * block rank ranges, not averaged approximations), and the exact
+    * value-mass share of the top ⌊n/100⌋ and ⌊n/10⌋ rows. NULL gini
+    * when n < 2 or total ≤ 0.
+    *
+    * Determinism contract: values cast to LONG (pre-quantize fractional
+    * metrics — exactness is the point), every moment is an exact
+    * decimal(38,0) sum of integer products (an external engine mirrors
+    * with 128-bit integers), so no float enters until the final three
+    * ratios.
+    *
+    * Scale: ONE per-distinct-value count aggregation (value-bounded),
+    * the shared deterministic-bucket exclusive cumsum for block rank
+    * offsets, ONE final reduce. The rank formula needs no global sort
+    * and no data-sized window; the top-share boundary blocks are
+    * resolved per-block from the rank offset, not by a second pass. */
+  def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      cells, col("v"), Seq("c"), Seq("b"), persistInput = false)
+    val n = grand(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n < 2) {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+      return Seq((n, Option.empty[Long], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "total", "gini", "top1_share", "top10_share")
+    }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val vD = dec(col("v")); val cD = dec(col("c")); val bD = dec(col("b"))
+    // Σ ranks of a tied block starting after b rows: c·b + c(c+1)/2 —
+    // the halving lands on whichever of c / c+1 is even (shiftright
+    // keeps it integer-exact; the decimal cast happens BEFORE the
+    // products so nothing overflows long)
+    val half = when(col("c") % 2 === 0,
+        dec(shiftright(col("c"), 1)) * dec(col("c") + 1))
+      .otherwise(dec(col("c")) * dec(shiftright(col("c") + 1, 1)))
+    val w = cD * bD + half
+    // bottom-r mass: blocks fully below contribute v·c, the boundary
+    // block contributes v·(r − b) — resolved per block, no second scan
+    def bottom(r: Long, name: String) =
+      sum(when(col("b") + col("c") <= r, vD * cD)
+        .when(col("b") < r, vD * dec(lit(r) - col("b")))
+        .otherwise(dec(lit(0)))).as(name)
+    val r1 = n - n / 100
+    val r10 = n - n / 10
+    val row = cum.agg(
+        sum(vD * cD).as("__t"), sum(vD * w).as("__n"),
+        bottom(r1, "__s1"), bottom(r10, "__s10"))
+      .head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    def bd(o: Int): BigDecimal =
+      if (row.isNullAt(o)) BigDecimal(0) else BigDecimal(row.getDecimal(o))
+    val t = bd(0); val num = bd(1)
+    if (t <= 0)
+      return Seq((n, Some(t.toLong), Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "total", "gini", "top1_share", "top10_share")
+    val gini = 2.0 * num.toDouble / (n.toDouble * t.toDouble) -
+      (n + 1.0) / n
+    // exact integer subtraction first, ONE double division — the order
+    // an external 128-bit-integer engine reproduces
+    val top1 = (t - bd(2)).toDouble / t.toDouble
+    val top10 = (t - bd(3)).toDouble / t.toDouble
+    Seq((n, Some(t.toLong), Some(gini), Some(top1), Some(top10)))
+      .toDF("n", "total", "gini", "top1_share", "top10_share")
+  }
+
 
   /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
     * LOCATION-shift drift test (KS asks "any shape change?"; U asks "did

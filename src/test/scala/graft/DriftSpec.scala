@@ -1666,4 +1666,32 @@ class DriftSpec extends SparkSpecBase {
     val r1 = StatTests.effectSizes(Seq(3.0).toDF("x"), b, "x").collect().head
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
+
+  test("giniConcentration: exact rank formula, ties, top shares, guards") {
+    // values 1..10: G = 2*385/(10*55) - 11/10 = 0.3; top-10% = the
+    // single largest row = 10/55; top-1% has floor(10/100) = 0 rows
+    val r = StatTests.giniConcentration(
+      (1L to 10L).toDF("v"), "v").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 55L)
+    assert(math.abs(r.getAs[Double]("gini") - 0.3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("top10_share") - 10.0 / 55) < 1e-12)
+    assert(r.getAs[Double]("top1_share") == 0.0)
+    // tied block spans the rank boundary: values (1,1,2), ranks of the
+    // 1-block are {1,2} -> N = 1*(1+2) + 2*3 = 9, G = 18/12 - 4/3 = 1/6
+    val rt = StatTests.giniConcentration(
+      Seq(1L, 1L, 2L).toDF("v"), "v").collect().head
+    assert(math.abs(rt.getAs[Double]("gini") - 1.0 / 6) < 1e-12)
+    // perfect equality -> 0; full concentration -> (n-1)/n
+    val eq = StatTests.giniConcentration(
+      Seq.fill(5)(7L).toDF("v"), "v").collect().head
+    assert(math.abs(eq.getAs[Double]("gini")) < 1e-12)
+    val conc = StatTests.giniConcentration(
+      (Seq.fill(9)(0L) :+ 90L).toDF("v"), "v").collect().head
+    assert(math.abs(conc.getAs[Double]("gini") - 0.9) < 1e-12)
+    assert(math.abs(conc.getAs[Double]("top10_share") - 1.0) < 1e-12)
+    // n < 2 -> NULL stats
+    val r0 = StatTests.giniConcentration(Seq(5L).toDF("v"), "v")
+      .collect().head
+    assert(r0.isNullAt(r0.fieldIndex("gini")))
+  }
 }
