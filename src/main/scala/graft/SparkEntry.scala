@@ -3969,6 +3969,25 @@ object SparkEntry {
           (round(col("top10_share"), 6) + lit(0.0)).as("top10_share"))
     }),
 
+    // ---- jackknife SE for revenue-per-event (unit-bucketed) ---------------
+    // the honest error bar for a ratio KPI: rows correlate within a user,
+    // so 32 md5 user-buckets are deleted one at a time and the replicate
+    // spread prices the SE — cluster-robust by construction
+    "q374_jackknife_ratio" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).as("rev"),
+          lit(1.0).as("one"))
+      StatTests.jackknifeRatio(ev, "user_id", "rev", "one")
+        .select(col("n"), col("buckets"),
+          (round(col("ratio"), 6) + lit(0.0)).as("ratio"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11068,6 +11087,36 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // the md5 unit-bucket mirror, per-bucket exact decimal(38,12) sums,
+    // leave-one-out replicates from exact subtractions, (B-1)/B variance
+    "q374_jackknife_ratio" ->
+      """WITH e AS (SELECT
+                 ('0x' || substr(md5('jk:' || user_id::VARCHAR), 1, 8))
+                   ::UBIGINT % 32 b,
+                 CASE WHEN event_type = 'purchase'
+                   THEN coalesce(value, 0.0) ELSE 0.0 END rev
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         pb AS (SELECT b, count(*)::BIGINT c,
+                 sum(CAST(round(CAST(rev AS DOUBLE), 12)
+                   AS DECIMAL(38,12))) sn,
+                 sum(CAST(round(1.0, 12) AS DECIMAL(38,12))) sd
+               FROM e GROUP BY 1),
+         tt AS (SELECT sum(c)::BIGINT n, sum(sn) tn, sum(sd) td,
+                 count(*)::BIGINT bn FROM pb),
+         reps AS (SELECT CAST(tn - sn AS DOUBLE)
+                 / CAST(td - sd AS DOUBLE) r
+               FROM pb, tt),
+         mm AS (SELECT avg(r) rbar, count(*)::BIGINT bn2 FROM reps),
+         vv AS (SELECT sqrt((bn2 - 1.0) / bn2
+                 * sum((r - rbar) * (r - rbar))) se
+               FROM reps, mm GROUP BY bn2),
+         f AS (SELECT n, CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) ratio,
+                 se FROM tt, vv)
+         SELECT n, 32::INT AS buckets, round(ratio, 6) + 0.0 AS ratio,
+           round(se, 6) + 0.0 AS se,
+           round(ratio - 1.959963984540054 * se, 6) + 0.0 AS ci_lo,
+           round(ratio + 1.959963984540054 * se, 6) + 0.0 AS ci_hi
+         FROM f""",
     // exact block-rank Gini: per-value counts, exclusive count window,
     // HUGEINT moment sums (mirroring the decimal(38,0) exact sums), the
     // boundary block of each top-share threshold resolved per block

@@ -26,6 +26,71 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Delete-one-group jackknife SE for a RATIO metric — the honest error
+    * bar for revenue-per-event / clicks-per-session style KPIs, where
+    * rows are correlated within a unit and the ratio-of-sums makes the
+    * i.i.d. CLT formula wrong on two counts: units hash to `buckets`
+    * deterministic md5 groups (bucketing by UNIT, not row, is what
+    * absorbs within-unit correlation), each leave-one-bucket-out
+    * replicate recomputes R₋ᵦ = (N−nᵦ)/(D−dᵦ), and
+    * SE² = (B−1)/B · Σ(R₋ᵦ − R̄)². One row:
+    * `(n, buckets, ratio, se, ci_lo, ci_hi)` (normal 95% CI). NULL
+    * stats when the denominator or any replicate denominator is ≤ 0.
+    *
+    * Determinism contract: the bucket is the shared md5-hex idiom
+    * (replayable byte-for-byte), numerator/denominator terms round to
+    * 12 dp before exact decimal sums, and the replicate algebra runs on
+    * the B collected exact sums — an external engine reproduces every
+    * replicate from the same per-bucket table.
+    *
+    * Scale: ONE aggregation to B ≤ 4096 rows (partial-aggregated),
+    * B-bounded driver algebra. */
+  def jackknifeRatio(df: DataFrame, idCol: String, numCol: String,
+      denCol: String, buckets: Int = 32, salt: String = ""): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets must be in [2, 4096]: $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow(n: Long) = Seq((n, buckets, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "buckets", "ratio", "se", "ci_lo", "ci_hi")
+    val b = conv(substring(md5(concat(lit(s"jk$salt:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+    def d12(c: Column) = sum(round(c.cast("double"), 12)
+      .cast("decimal(38,12)"))
+    val per = df.filter(col(idCol).isNotNull && col(numCol).isNotNull &&
+        col(denCol).isNotNull)
+      .groupBy(b.as("__b"))
+      .agg(count(lit(1)).as("__c"), d12(col(numCol)).as("__sn"),
+        d12(col(denCol)).as("__sd"))
+      .collect()
+    val n = per.map(_.getLong(1)).sum
+    if (per.isEmpty) return nullRow(0)
+    // bucket order fixes the (tiny) double-summation order of the
+    // replicate mean/variance — deterministic across reruns
+    val ord = per.sortBy(_.getLong(0))
+    val sn = ord.map(r => BigDecimal(r.getDecimal(2)))
+    val sd = ord.map(r => BigDecimal(r.getDecimal(3)))
+    val tn = sn.sum; val td = sd.sum
+    if (td.toDouble <= 0) return nullRow(n)
+    val ratio = tn.toDouble / td.toDouble
+    // replicate ratios from EXACT leave-one-out decimal sums
+    val reps = per.indices.map { i =>
+      val dd = (td - sd(i)).toDouble
+      if (dd <= 0) return nullRow(n)
+      (tn - sn(i)).toDouble / dd
+    }
+    val bN = reps.size
+    val rBar = reps.sum / bN
+    val se = math.sqrt(
+      (bN - 1.0) / bN * reps.map(r => (r - rBar) * (r - rBar)).sum)
+    Seq((n, buckets, Some(ratio), Some(se),
+        Some(ratio - 1.959963984540054 * se),
+        Some(ratio + 1.959963984540054 * se)))
+      .toDF("n", "buckets", "ratio", "se", "ci_lo", "ci_hi")
+  }
+
   /** Gini coefficient + top-share concentration of an INTEGER-valued
     * metric — "how concentrated is the mass" (doc-length mass per
     * document, events per user, bytes per source): the inequality

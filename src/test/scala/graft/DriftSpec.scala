@@ -1667,6 +1667,45 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 
+  test("jackknifeRatio: definitional replicates; cluster correlation priced") {
+    // deterministic unit bucketing: replay the same md5 buckets and
+    // leave-one-out algebra in the test
+    val rows = (1L to 200L).flatMap { uid =>
+      // unit-level effect: all rows of a user share its value — maximal
+      // within-unit correlation
+      val v = (uid % 7).toDouble
+      Seq.fill(5)((uid, v, 1.0))
+    }
+    val df = rows.toDF("uid", "num", "den")
+    val r = StatTests.jackknifeRatio(df, "uid", "num", "den", buckets = 16)
+      .collect().head
+    assert(r.getLong(0) == 1000L)
+    // reference replay with the same hash
+    def bucket(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jk:$uid".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val per = rows.groupBy(t => bucket(t._1))
+      .map { case (b, rs) => (b, rs.map(_._2).sum, rs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    val tn = per.map(_._2).sum; val td = per.map(_._3).sum
+    assert(math.abs(r.getAs[Double]("ratio") - tn / td) < 1e-9)
+    val reps = per.map { case (_, s, d) => (tn - s) / (td - d) }
+    val rbar = reps.sum / reps.size
+    val seRef = math.sqrt((reps.size - 1.0) / reps.size *
+      reps.map(x => (x - rbar) * (x - rbar)).sum)
+    assert(math.abs(r.getAs[Double]("se") - seRef) < 1e-9, s"se: $r")
+    assert(math.abs(r.getAs[Double]("ci_hi") -
+      (tn / td + 1.959963984540054 * seRef)) < 1e-8)
+    // empty input -> NULL stats
+    val r0 = StatTests.jackknifeRatio(
+      Seq.empty[(Long, Double, Double)].toDF("uid", "num", "den"),
+      "uid", "num", "den").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("ratio")))
+  }
+
   test("giniConcentration: exact rank formula, ties, top shares, guards") {
     // values 1..10: G = 2*385/(10*55) - 11/10 = 0.3; top-10% = the
     // single largest row = 10/55; top-1% has floor(10/100) = 0 rows
