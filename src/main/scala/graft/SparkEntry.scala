@@ -3988,6 +3988,27 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- Negative-binomial GLM: purchases with an honest variance law ----
+    // quasi-Poisson (q367) patches the SEs; NB2 changes the MODEL
+    // (Var = mu + alpha*mu^2): moment alpha from the q356 Poisson fit,
+    // then Fisher scoring at fixed alpha from the Poisson beta
+    "q375_negative_binomial" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      LinearModel.negativeBinomialGlm(perUser, "y", Seq("x_events"))
+        .select(col("term"), col("n"),
+          (round(col("alpha"), 6) + lit(0.0)).as("alpha"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -6139,7 +6160,10 @@ object SparkEntry {
     * Σμx, Σμx²) is an exact decimal/long sum; β re-rounds to 12 dp per
     * iteration; the 2×2 step/SE mirror the driver verbatim. */
   private def poissonCtes(iterations: Int): String = {
-    val base = """du AS (SELECT
+    // du MATERIALIZED: referenced by every iteration's score pass (and
+    // q375's NB chain on top) — inlining would recompute the per-user
+    // groupby once per reference
+    val base = """du AS MATERIALIZED (SELECT
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                ::BIGINT y,
              CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
@@ -6218,6 +6242,51 @@ object SparkEntry {
            FROM $prev, gt$i, nn)""")
     }.mkString(",\n         ")
     s"$base,\n         $iters"
+  }
+
+  /** q375 oracle: poissonCtes warm-up (sc5 = means at the converged
+    * Poisson cb4), moment α̂ from 12-dp-rounded residual terms, then
+    * unrolled NB2 Fisher iterations at fixed α̂ from the Poisson β —
+    * every expression mirrors
+    * [[graft.operators.LinearModel.negativeBinomialGlm]] verbatim. */
+  private def nbCtes(nbIterations: Int): String = {
+    // MATERIALIZED cuts the NB subtree off from re-inlining the whole
+    // Poisson warm-up chain per reference (DuckDB 1.0 inlines CTEs, so
+    // ten chained iterations would otherwise re-evaluate exponentially)
+    val alpha = """al AS MATERIALIZED (SELECT round(greatest(0.0,
+             CAST(sum(CAST(round((y - CAST(mu AS DOUBLE))
+                 * (y - CAST(mu AS DOUBLE)) - CAST(mu AS DOUBLE), 12)
+               AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(sum(CAST(round(CAST(mu AS DOUBLE)
+                 * CAST(mu AS DOUBLE), 12)
+               AS DECIMAL(28,12))) AS DOUBLE)), 12) a
+           FROM sc5),
+         ncb0 AS MATERIALIZED (SELECT b0, b1 FROM cb4)"""
+    def t12(expr: String) =
+      s"CAST(sum(CAST(round($expr, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    val iters = (1 to nbIterations + 1).map { i =>
+      val prev = s"ncb${i - 1}"
+      val res = "(y - CAST(mu AS DOUBLE)) / (1.0 + a * CAST(mu AS DOUBLE))"
+      val wt = "CAST(mu AS DOUBLE) / (1.0 + a * CAST(mu AS DOUBLE))"
+      s"""ns$i AS (SELECT y, x0,
+             CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
+           FROM du, $prev),
+         ng$i AS (SELECT
+             ${t12(s"$res * 1.0")} g0,
+             ${t12(s"$res * CAST(x0 AS DOUBLE)")} g1,
+             ${t12(s"$wt * 1.0 * 1.0")} h00,
+             ${t12(s"$wt * 1.0 * CAST(x0 AS DOUBLE)")} h01,
+             ${t12(s"$wt * CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE)")} h11
+           FROM ns$i, al)""" +
+        (if (i > nbIterations) "" else s""",
+         ncb$i AS (SELECT
+             round(b0 + (h11 * g0 - h01 * g1)
+               / (h00 * h11 - h01 * h01), 12) b0,
+             round(b1 + (h00 * g1 - h01 * g0)
+               / (h00 * h11 - h01 * h01), 12) b1
+           FROM $prev, ng$i)""")
+    }.mkString(",\n         ")
+    s"${poissonCtes(iterations = 4)},\n         $alpha,\n         $iters"
   }
 
   private def coxCtes(iterations: Int): String = {
@@ -10968,6 +11037,38 @@ object SparkEntry {
              round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
              round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
            UNION ALL SELECT 'x_events', n, round(phi, 6) + 0.0,
+             round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
+             round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
+    // poissonCtes warm-up -> moment alpha -> 4 unrolled NB2 Fisher
+    // iterations (nbCtes); SE from the trailing ng5 at the converged ncb4
+    "q375_negative_binomial" ->
+      s"""WITH ${nbCtes(nbIterations = 4)},
+         fin AS (SELECT a, b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM ncb4, ng5, al),
+         st AS (SELECT n, a, b0, b1, sqrt(h11 / det) se0,
+                 sqrt(h00 / det) se1 FROM fin, nn),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n, round(a, 6) + 0.0 AS alpha,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, round(a, 6) + 0.0,
              round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
              round(p1, 6) + 0.0
            FROM pp)

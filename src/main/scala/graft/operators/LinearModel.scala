@@ -1055,6 +1055,208 @@ object LinearModel {
     } finally base.unpersist(false)
   }
 
+  /** Negative-binomial (NB2) GLM — the overdispersion-honest COUNT
+    * MODEL ([[quasiPoissonGlm]] patches the Poisson's standard errors;
+    * NB2 changes the VARIANCE LAW to Var = μ + αμ², which also moves
+    * the point estimates' weighting): log link, dispersion α̂ by method
+    * of moments from the converged Poisson fit
+    * (α̂ = max(0, Σ[(y−μ̂)²−μ̂] / Σμ̂²)), then `iterations` Fisher-scoring
+    * steps for β at fixed α̂ — grad Σ(y−μ)/(1+αμ)·x, info
+    * Σ μ/(1+αμ)·xxᵀ — started from the Poisson β̂ (already near the NB
+    * optimum; measured: 4 steps reach machine precision). One row per
+    * term: `(term, n, alpha, beta, se, z, p_value)`; SE from the Fisher
+    * information evaluated AT the reported β via the trailing no-step
+    * pass. α̂ = 0 degenerates to the Poisson fit exactly.
+    *
+    * Determinism contract: the [[poissonGlm]] decimal recipe end to
+    * end — DECIMAL(8,4) covariates, DECIMAL(20,12) means with the
+    * fail-loud overflow guard, every per-row moment/residual term
+    * rounded to 12 dp before an exact decimal sum, α̂ and β re-rounded
+    * to 12 dp — so a DuckDB oracle replays Poisson warm-up, moment α̂,
+    * and every NB iteration verbatim.
+    *
+    * Scale: (poissonIterations + iterations + 2) whole-table reduces,
+    * each partial-aggregated to O(d²) decimal sums; O(d³) driver
+    * algebra. */
+  def negativeBinomialGlm(df: DataFrame, yCol: String,
+      covariates: Seq[String], iterations: Int = 4,
+      poissonIterations: Int = 4): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"negativeBinomialGlm needs 1..8 covariates, got ${covariates.size}")
+    require(iterations >= 1 && poissonIterations >= 1,
+      "iterations must be >= 1")
+    val d = covariates.size
+    val terms = "intercept" +: covariates
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = df
+      .filter(col(yCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(yCol).cast("long").as("__y") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def nullRows(n: Long) = terms.map(t =>
+        (t, n, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double]))
+        .toDF("term", "n", "alpha", "beta", "se", "z", "p_value")
+      val yAggs = count(lit(1)).as("__n") +: sum(col("__y")).as("__sy") +:
+        covariates.indices.map(i =>
+          sum(col("__y").cast("decimal(12,0)") * col(xCols(i)))
+            .as(s"__syx$i"))
+      val yRow = base.agg(yAggs.head, yAggs.tail: _*).head()
+      val n = yRow.getLong(0)
+      if (n == 0) return nullRows(0)
+      val sy = yRow.getLong(1).toDouble
+      if (sy == 0) return nullRows(n)
+      val syx = covariates.indices.map(i =>
+        BigDecimal(yRow.getDecimal(2 + i)).toDouble)
+      val dim = d + 1
+      val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      def etaOf(beta: Array[Double]) =
+        covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        }
+      def muOf(beta: Array[Double]) = exp(etaOf(beta)).cast("decimal(20,12)")
+      def xD(i: Int): Column =
+        if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+      def guard(r: org.apache.spark.sql.Row, o: Int): Unit =
+        require(r.getLong(o) == 0L,
+          s"negativeBinomialGlm: ${r.getLong(o)} row means exp(eta) " +
+            "overflowed DECIMAL(20,12) — feature-scale the covariates")
+      // ---- Poisson warm-up: the poissonGlm Newton loop verbatim ----
+      var beta = Array.fill(dim)(0.0)
+      beta(0) = round12(math.log(sy / n))
+      var singular = false
+      var it = 0
+      while (it < poissonIterations && !singular) {
+        val mu = muOf(beta)
+        def x(i: Int): Column =
+          if (i == 0) lit(1).cast("decimal(2,0)") else col(xCols(i - 1))
+        val aggs = (sum(mu).as("__s_0_0") +:
+          pairIdx.tail.map { case (i, j) =>
+            (if (i == 0) sum(mu * x(j)) else sum(mu * x(i) * x(j)))
+              .as(s"__s_${i}_$j")
+          }) :+ sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
+            .as("__overflowed")
+        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        guard(r, pairIdx.size)
+        val s = pairIdx.indices.map(p =>
+          if (r.isNullAt(p)) 0.0 else BigDecimal(r.getDecimal(p)).toDouble)
+        val info = Array.ofDim[Double](dim, dim)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = s(p); info(j)(i) = s(p)
+        }
+        val grad = Array.tabulate(dim)(i =>
+          if (i == 0) sy - info(0)(0) else syx(i - 1) - info(0)(i))
+        val step =
+          if (dim == 2) {
+            val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+            if (det <= 0) None
+            else Some(Array(
+              (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+              (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+          } else solveSpd(info.map(_.clone()), grad.clone())
+        step match {
+          case None => singular = true
+          case Some(st) =>
+            beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+        }
+        it += 1
+      }
+      if (singular) return nullRows(n)
+      // ---- moment dispersion at the Poisson fit ----
+      val alpha = {
+        val mu = muOf(beta)
+        val muD = mu.cast("double"); val yD = col("__y").cast("double")
+        val r = base.agg(
+          sum(round((yD - muD) * (yD - muD) - muD, 12)
+            .cast("decimal(28,12)")).as("__num"),
+          sum(round(muD * muD, 12).cast("decimal(28,12)")).as("__den"),
+          sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
+            .as("__overflowed")).head()
+        guard(r, 2)
+        val den = if (r.isNullAt(1)) 0.0
+          else BigDecimal(r.getDecimal(1)).toDouble
+        if (den <= 0) 0.0
+        else round12(math.max(0.0,
+          BigDecimal(r.getDecimal(0)).toDouble / den))
+      }
+      // ---- NB2 Fisher scoring at fixed alpha, from the Poisson beta ----
+      var lastInfo: Option[Array[Array[Double]]] = None
+      it = 0
+      while (it < iterations + 1 && !singular) {
+        val finalPass = it == iterations
+        val mu = muOf(beta)
+        val muD = mu.cast("double"); val yD = col("__y").cast("double")
+        val denomW = lit(1.0) + lit(alpha) * muD
+        val gradAggs = (0 until dim).map(i =>
+          sum(round((yD - muD) / denomW * xD(i), 12)
+            .cast("decimal(28,12)")).as(s"__g$i"))
+        val infoAggs = pairIdx.map { case (i, j) =>
+          sum(round(muD / denomW * xD(i) * xD(j), 12)
+            .cast("decimal(28,12)")).as(s"__h_${i}_$j")
+        }
+        val aggs = (gradAggs ++ infoAggs) :+
+          sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
+            .as("__overflowed")
+        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        guard(r, dim + pairIdx.size)
+        def dec(o: Int): Double =
+          if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+        val grad = Array.tabulate(dim)(dec)
+        val info = Array.ofDim[Double](dim, dim)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = dec(dim + p); info(j)(i) = info(i)(j)
+        }
+        lastInfo = Some(info.map(_.clone()))
+        if (!finalPass) {
+          val step =
+            if (dim == 2) {
+              // the closed-form 2×2 solve the oracle mirrors verbatim
+              val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+              if (det <= 0) None
+              else Some(Array(
+                (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+                (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+            } else solveSpd(info.map(_.clone()), grad.clone())
+          step match {
+            case None => singular = true
+            case Some(st) =>
+              beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+          }
+        }
+        it += 1
+      }
+      val seOpt: Seq[Option[Double]] = lastInfo match {
+        case _ if singular => Seq.fill(dim)(None)
+        case Some(info) if dim == 2 =>
+          val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+          if (det <= 0) Seq.fill(dim)(None)
+          else Seq(Some(math.sqrt(info(1)(1) / det)),
+            Some(math.sqrt(info(0)(0) / det)))
+        case Some(info) =>
+          invertSpd(info.map(_.clone())) match {
+            case Some(inv) => (0 until dim).map(i =>
+              if (inv(i)(i) > 0) Some(math.sqrt(inv(i)(i))) else None)
+            case None => Seq.fill(dim)(None)
+          }
+        case None => Seq.fill(dim)(None)
+      }
+      terms.zipWithIndex.map { case (t, i) =>
+        val b = if (singular) None else Some(beta(i))
+        val se = seOpt(i)
+        val z = for (bv <- b; s <- se if s > 0) yield bv / s
+        (t, n, if (singular) None else Some(alpha), b, se, z,
+          z.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+      }.toDF("term", "n", "alpha", "beta", "se", "z", "p_value")
+    } finally base.unpersist(false)
+  }
+
   /** Binomial (logistic) GLM by Newton–Raphson/IRLS — the plain
     * logistic regression of the GLM shelf ([[logregTrainHashed]] is the
     * HASHED-feature corpus classifier trained by SGD; this is the

@@ -496,6 +496,49 @@ class LinearModelSpec extends SparkSpecBase {
     assert(e.getMessage.contains("0/1 response"))
   }
 
+  test("negativeBinomialGlm: alpha=0 degenerates to Poisson; overdispersion widens SEs") {
+    // underdispersed-ish data: moment alpha clamps to 0, so the NB fit
+    // must equal the Poisson fit EXACTLY (same decimal recipe)
+    val eq = Seq((1L, 0.0), (2L, 1.0), (1L, 0.5), (2L, 1.5), (1L, 0.2),
+      (2L, 1.2)).toDF("y", "x")
+    val nb0 = LinearModel.negativeBinomialGlm(eq, "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val po0 = LinearModel.poissonGlm(eq, "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    if (nb0("x").getAs[Double]("alpha") == 0.0) {
+      // same optimum, but the NB pass quantizes its grad/info terms on a
+      // different (residual-based) path — agreement to the 12-dp floor
+      Seq("intercept", "x").foreach { t =>
+        assert(math.abs(nb0(t).getAs[Double]("beta") -
+          po0(t).getAs[Double]("beta")) < 1e-9,
+          s"alpha=0 must reproduce the Poisson beta at $t")
+        assert(math.abs(nb0(t).getAs[Double]("se") -
+          po0(t).getAs[Double]("se")) < 1e-9)
+      }
+    }
+    // heavily overdispersed: same mean structure, huge spread -> alpha>0
+    // and NB SEs strictly wider than the (overconfident) Poisson SEs
+    val od = Seq((0L, 0.0), (0L, 0.0), (0L, 0.0), (12L, 0.0),
+      (0L, 1.0), (0L, 1.0), (1L, 1.0), (19L, 1.0),
+      (0L, 2.0), (2L, 2.0), (0L, 2.0), (26L, 2.0)).toDF("y", "x")
+    val nb = LinearModel.negativeBinomialGlm(od, "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val po = LinearModel.poissonGlm(od, "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nb("x").getAs[Double]("alpha") > 0.5,
+      s"moment alpha must detect the overdispersion: ${nb("x")}")
+    Seq("intercept", "x").foreach { t =>
+      assert(nb(t).getAs[Double]("se") > po(t).getAs[Double]("se"),
+        s"NB SE must widen at $t: nb=${nb(t)} poisson=${po(t)}")
+    }
+    // all-zero response: NULL stats with the alpha column present
+    val zero = Seq((0L, 0.0), (0L, 1.0)).toDF("y", "x")
+    val rz = LinearModel.negativeBinomialGlm(zero, "y", Seq("x"))
+      .collect().head
+    assert(rz.isNullAt(rz.fieldIndex("alpha")) &&
+      rz.isNullAt(rz.fieldIndex("beta")))
+  }
+
   test("ipwAte: de-biases a confounded treatment; definitional replay") {
     // confounding: treatment probability AND outcome both rise with x,
     // so the naive arm-mean difference overstates the true zero effect
