@@ -4009,6 +4009,24 @@ object SparkEntry {
         .gateOrdered(col("term"))
     }),
 
+    // ---- Hodges-Lehmann: HOW MUCH do click values exceed view values? -----
+    // the robust shift estimate (median of all pairwise differences) +
+    // Lehmann rank CI; cells quantized to 0.1 so the pair multiset is a
+    // bounded cell cross join, never row-wise
+    "q376_hodges_lehmann" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("value").isNotNull)
+      val av = ev.filter(col("event_type") === "view")
+        .select((round(col("value"), 1) + lit(0.0)).as("v"))
+      val bv = ev.filter(col("event_type") === "click")
+        .select((round(col("value"), 1) + lit(0.0)).as("v"))
+      StatTests.hodgesLehmann(av, bv, "v")
+        .select(col("n_a"), col("n_b"), col("n_pairs"),
+          (round(col("hl_shift"), 6) + lit(0.0)).as("hl_shift"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11188,6 +11206,42 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // per-side value cells, the cell cross-join difference table, the
+    // exclusive-count window, and four exact order statistics (two
+    // middles + the Lehmann CI ranks) resolved per block
+    "q376_hodges_lehmann" ->
+      """WITH av AS (SELECT round(value, 1) + 0.0 v FROM events
+                WHERE value IS NOT NULL AND event_type = 'view'),
+         bv AS (SELECT round(value, 1) + 0.0 v FROM events
+                WHERE value IS NOT NULL AND event_type = 'click'),
+         ca AS (SELECT v va, count(*)::BIGINT wa FROM av GROUP BY 1),
+         cb AS (SELECT v vb, count(*)::BIGINT wb FROM bv GROUP BY 1),
+         nn AS (SELECT (SELECT sum(wa) FROM ca)::BIGINT na,
+                 (SELECT sum(wb) FROM cb)::BIGINT nb),
+         df AS (SELECT (vb - va) d, sum(wb * wa)::BIGINT c
+               FROM cb, ca GROUP BY 1),
+         cum AS (SELECT *, coalesce(sum(c) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT b FROM df),
+         tot AS (SELECT sum(c)::BIGINT np FROM df),
+         rk AS (SELECT na, nb, np, (np + 1) // 2 r1, (np + 2) // 2 r2,
+                 greatest(1, floor(np / 2.0 - 1.959963984540054
+                   * sqrt(na::DOUBLE * nb * (na + nb + 1) / 12.0))
+                   ::BIGINT + 1) klo,
+                 least(np, np - floor(np / 2.0 - 1.959963984540054
+                   * sqrt(na::DOUBLE * nb * (na + nb + 1) / 12.0))
+                   ::BIGINT) khi
+               FROM nn, tot),
+         os AS (SELECT
+                 min(CASE WHEN b < r1 AND b + c >= r1 THEN d END) o1,
+                 min(CASE WHEN b < r2 AND b + c >= r2 THEN d END) o2,
+                 min(CASE WHEN b < klo AND b + c >= klo THEN d END) olo,
+                 min(CASE WHEN b < khi AND b + c >= khi THEN d END) ohi
+               FROM cum, rk)
+         SELECT na AS n_a, nb AS n_b, np AS n_pairs,
+           round((o1 + o2) / 2.0, 6) + 0.0 AS hl_shift,
+           round(olo, 6) + 0.0 AS ci_lo, round(ohi, 6) + 0.0 AS ci_hi
+         FROM os, rk""",
     // the md5 unit-bucket mirror, per-bucket exact decimal(38,12) sums,
     // leave-one-out replicates from exact subtractions, (B-1)/B variance
     "q374_jackknife_ratio" ->

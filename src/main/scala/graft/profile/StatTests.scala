@@ -26,6 +26,71 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Hodges–Lehmann shift estimate with the Lehmann (Moses) rank CI —
+    * the ROBUST "how much did the distribution move" companion of
+    * [[mannWhitneyU]] (U answers whether B stochastically dominates A;
+    * HL answers BY HOW MUCH, as the median of all n_a·n_b pairwise
+    * differences — resistant to outliers where mean-difference is not).
+    * One row: `(n_a, n_b, n_pairs, hl_shift, ci_lo, ci_hi)` — exact
+    * order statistics of the pairwise-difference multiset (even counts
+    * average the two middles), CI bounds at the normal-approximation
+    * ranks k = ⌊N/2 − 1.96·√(n_a n_b (n_a+n_b+1)/12)⌋. NULL when either
+    * side is empty.
+    *
+    * Scale: the pairwise multiset is NEVER row-wise — both sides reduce
+    * to per-distinct-value cells first, the difference table is the
+    * CELL cross join (value-bounded; `maxPairCells` fail-stops a
+    * continuous-valued misuse — quantize first), and every order
+    * statistic resolves from ONE exclusive-cumsum pass per block, no
+    * sort of the pair multiset. Exact integer weights throughout. */
+  def hodgesLehmann(a: DataFrame, b: DataFrame, column: String,
+      maxPairCells: Long = 10000000L): DataFrame = {
+    val ca = a.filter(col(column).isNotNull)
+      .select(col(column).cast("double").as("va"))
+      .groupBy(col("va")).agg(count(lit(1)).as("wa"))
+    val cb = b.filter(col(column).isNotNull)
+      .select(col(column).cast("double").as("vb"))
+      .groupBy(col("vb")).agg(count(lit(1)).as("wb"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    def nullRow(na: Long, nb: Long) = Seq((na, nb, 0L,
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n_a", "n_b", "n_pairs", "hl_shift", "ci_lo", "ci_hi")
+    val sizes = ca.agg(sum(col("wa")), count(lit(1))).head()
+    val sizesB = cb.agg(sum(col("wb")), count(lit(1))).head()
+    val na = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
+    val nb = if (sizesB.isNullAt(0)) 0L else sizesB.getLong(0)
+    if (na == 0 || nb == 0) return nullRow(na, nb)
+    val cellsA = sizes.getLong(1); val cellsB = sizesB.getLong(1)
+    require(cellsA * cellsB <= maxPairCells,
+      s"hodgesLehmann: $cellsA x $cellsB difference cells exceed " +
+        s"maxPairCells $maxPairCells — quantize the value column first")
+    val diffs = cb.crossJoin(ca)
+      .groupBy((col("vb") - col("va")).as("d"))
+      .agg(sum(col("wb") * col("wa")).as("c"))
+    val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+      diffs, col("d"), Seq("c"), Seq("b"), persistInput = false)
+    val nPairs = grand(0)
+    // rank targets: the two middles (equal when N is odd) and the
+    // Lehmann normal-approximation CI ranks
+    val r1 = (nPairs + 1) / 2
+    val r2 = (nPairs + 2) / 2
+    val kD = nPairs / 2.0 - 1.959963984540054 *
+      math.sqrt(na.toDouble * nb * (na + nb + 1) / 12.0)
+    val kLo = math.max(1L, math.floor(kD).toLong + 1)
+    val kHi = math.min(nPairs, nPairs - (math.floor(kD).toLong))
+    def osAgg(r: Long, name: String) =
+      min(when(col("b") < r && col("b") + col("c") >= r, col("d")))
+        .as(name)
+    val row = cum.agg(osAgg(r1, "o1"), osAgg(r2, "o2"),
+      osAgg(kLo, "olo"), osAgg(kHi, "ohi")).head()
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    val hl = (row.getDouble(0) + row.getDouble(1)) / 2.0
+    Seq((na, nb, nPairs, Some(hl), Some(row.getDouble(2)),
+        Some(row.getDouble(3))))
+      .toDF("n_a", "n_b", "n_pairs", "hl_shift", "ci_lo", "ci_hi")
+  }
+
   /** Delete-one-group jackknife SE for a RATIO metric — the honest error
     * bar for revenue-per-event / clicks-per-session style KPIs, where
     * rows are correlated within a unit and the ratio-of-sums makes the

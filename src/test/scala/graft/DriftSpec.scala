@@ -1667,6 +1667,37 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 
+  test("hodgesLehmann: brute-force pairwise median + CI ranks") {
+    val av = Seq(1.0, 3.0, 5.0, 7.0, 9.0)
+    val bv = Seq(4.0, 4.0, 6.0, 10.0, 12.0, 14.0)
+    val r = StatTests.hodgesLehmann(av.toDF("v"), bv.toDF("v"), "v")
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L && r.getLong(2) == 30L)
+    // brute force: all 30 differences b - a, sorted
+    val diffs = (for (x <- av; y <- bv) yield y - x).sorted
+    val hlRef = (diffs(14) + diffs(15)) / 2.0 // two middles of 30
+    assert(r.getAs[Double]("hl_shift") == hlRef, s"hl: $r vs $hlRef")
+    val k = math.floor(15.0 - 1.959963984540054 *
+      math.sqrt(5.0 * 6 * 12 / 12.0)).toLong
+    assert(r.getAs[Double]("ci_lo") == diffs((k + 1 - 1).toInt))
+    assert(r.getAs[Double]("ci_hi") == diffs((30 - k - 1).toInt))
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("hl_shift") &&
+      r.getAs[Double]("hl_shift") <= r.getAs[Double]("ci_hi"))
+    // pure location shift recovers the shift exactly
+    val s2 = StatTests.hodgesLehmann(av.toDF("v"),
+      av.map(_ + 2.5).toDF("v"), "v").collect().head
+    assert(s2.getAs[Double]("hl_shift") == 2.5)
+    // empty side -> NULL
+    val r0 = StatTests.hodgesLehmann(
+      Seq.empty[Double].toDF("v"), bv.toDF("v"), "v").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("hl_shift")))
+    // cell-product guard
+    intercept[IllegalArgumentException] {
+      StatTests.hodgesLehmann(av.toDF("v"), bv.toDF("v"), "v",
+        maxPairCells = 10L).collect()
+    }
+  }
+
   test("jackknifeRatio: definitional replicates; cluster correlation priced") {
     // deterministic unit bucketing: replay the same md5 buckets and
     // leave-one-out algebra in the test
