@@ -4027,6 +4027,20 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- canonical per near-dup bucket: keep the longest, count drops -----
+    // the KEEP decision after dedup: bottom-1 MinHash buckets (q28's
+    // cross-engine min-shingle), canonical = highest n_chars, tie to the
+    // smallest doc_id; one keyed window, no global sort
+    "q377_canonical_dedup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("mk",
+          graft.functions.TextFunctions.minShingleMd5(col("text"), 3))
+      graft.operators.Dedup.canonicalByKey(docs, "doc_id", "mk", "n_chars")
+        .select(col("cluster_key"), col("n_docs"), col("canonical_id"),
+          col("canonical_quality"), col("n_dropped"))
+        .gateOrdered(col("cluster_key"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11206,6 +11220,28 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // the q28 min-shingle mirror + a per-bucket (quality desc, id asc)
+    // argmax — row_number over the same key on both engines
+    "q377_canonical_dedup" ->
+      """WITH toks AS (SELECT doc_id, n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                      END AS t
+               FROM documents),
+         k AS (SELECT doc_id, n_chars,
+                 CASE WHEN len(t) >= 3
+                   THEN list_aggregate(list_transform(range(1, len(t) - 1),
+                        i -> md5(array_to_string(t[i:i+2], ' '))), 'min')
+                   END mk
+               FROM toks),
+         r AS (SELECT mk, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY mk
+                   ORDER BY n_chars DESC, doc_id ASC) rn,
+                 count(*) OVER (PARTITION BY mk)::BIGINT c
+               FROM k WHERE mk IS NOT NULL)
+         SELECT mk AS cluster_key, c AS n_docs, doc_id AS canonical_id,
+           n_chars AS canonical_quality, (c - 1)::BIGINT AS n_dropped
+         FROM r WHERE rn = 1 ORDER BY cluster_key""",
     // per-side value cells, the cell cross-join difference table, the
     // exclusive-count window, and four exact order statistics (two
     // middles + the Lehmann CI ranks) resolved per block

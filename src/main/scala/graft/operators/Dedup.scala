@@ -927,6 +927,42 @@ object Dedup {
       .filter(col("n_matches") >= minShared)
   }
 
+  /** Canonical-document selection per duplicate cluster — the KEEP
+    * decision that follows every dedup pass (first-wins dedup keeps an
+    * arbitrary member; a curation pipeline keeps the BEST one): group by
+    * a caller-supplied cluster key (exact [[graft.functions
+    * .TextFunctions.md5Fingerprint]], bottom-1 MinHash
+    * [[graft.functions.TextFunctions.minShingleMd5]], a [[Components]]
+    * cluster label, …), pick the member with the highest quality score
+    * (ties break to the smallest id — fully deterministic), and report
+    * per cluster what was kept and how much was dropped. One row per
+    * cluster: `(cluster_key, n_docs, canonical_id, canonical_quality,
+    * n_dropped)`. Rows with a NULL cluster key are excluded (a too-short
+    * doc has no shingle key — the caller decides their fate).
+    *
+    * Scale: ONE keyed window (row_number over the cluster key — the
+    * partitionBy makes it shuffle-bounded, never a global sort) sharing
+    * its exchange with the size count; nothing leaves the executors
+    * until the cluster-sized result. */
+  def canonicalByKey(df: DataFrame, idCol: String, keyCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("cluster_key"), col(idCol).as("__id"),
+        col(qualityCol).as("__q"))
+    val w = Window.partitionBy(col("cluster_key"))
+      .orderBy(col("__q").desc, col("__id").asc)
+    base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1))
+        .over(Window.partitionBy(col("cluster_key"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_key"), col("n_docs"),
+        col("__id").as("canonical_id"),
+        col("__q").as("canonical_quality"),
+        (col("n_docs") - 1).as("n_dropped"))
+  }
+
   /** Cross-source duplicate-overlap matrix: for every unordered pair of
     * `sourceCol` values, how many DISTINCT exact-duplicate fingerprints
     * (md5 of token-normalized text — the q28 cross-engine convention) the

@@ -468,4 +468,20 @@ class DedupSpec extends SparkSpecBase {
     // whitespace variant collapses), B has 3; jaccard 2/(3+3-2) = 0.5
     assert(out.toSeq == Seq(("A", "B", 2L, 3L, 3L, 0.5)))
   }
+
+  test("canonicalByKey: quality argmax per cluster, ties to smallest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L), // tie at 30
+      (4L, "k2", 5L),
+      (5L, null.asInstanceOf[String], 99L)) // null key excluded
+      .toDF("id", "key", "q")
+    val out = Dedup.canonicalByKey(d, "id", "key", "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 2, s"null keys must be excluded: $out")
+    assert(out("k1") == ((3L, 2L, 30L, 2L)),
+      s"tie must break to the smaller id: ${out("k1")}")
+    assert(out("k2") == ((1L, 4L, 5L, 0L)))
+  }
 }
