@@ -4041,6 +4041,41 @@ object SparkEntry {
         .gateOrdered(col("cluster_key"))
     }),
 
+    // ---- Neyman allocation: spend a 1000-doc budget across languages ------
+    // n_h ~ N_h * s_h(n_chars): big AND internally-variable strata get
+    // more; the design table a stratified corpus sampler starts from
+    "q378_neyman_allocation" -> ((s, dir) => {
+      Sampling.neymanAllocation(read(s, dir, "documents"), "lang",
+          "n_chars", budget = 1000L)
+        .select(col("stratum"), col("n_rows"),
+          (round(col("stddev"), 6) + lit(0.0)).as("stddev"),
+          (round(col("weight_share"), 6) + lit(0.0)).as("weight_share"),
+          col("alloc"),
+          (round(col("rate"), 6) + lit(0.0)).as("rate"))
+        .gateOrdered(col("stratum"))
+    }),
+
+    // ---- regression-adjusted ATE: parity effect on purchases, x absorbs ---
+    // the ANCOVA estimator: y = a + tau*t + b*x by closed-form OLS from
+    // exact moment sums; the covariate tightens the CI, never the point
+    "q379_regression_ate" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"),
+          ((sum(when(col("value") > 50, 1L).otherwise(0L)) - 24) / 10.0)
+            .as("x_highval"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.regressionAdjustedAte(perUser, "t", "y", "x_highval")
+        .select(col("n"),
+          (round(col("ate"), 6) + lit(0.0)).as("ate"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"),
+          (round(col("beta_covariate"), 6) + lit(0.0)).as("beta_covariate"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11220,6 +11255,71 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // per-stratum exact integer moment sums, textbook sample stddev,
+    // HALF_UP-rounded budget*share clamped to the stratum size
+    "q378_neyman_allocation" ->
+      """WITH g AS (SELECT lang stratum, count(*)::BIGINT n_rows,
+                 sum(n_chars::HUGEINT) s, sum(n_chars::HUGEINT * n_chars) q
+               FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         m AS (SELECT stratum, n_rows,
+                 CASE WHEN n_rows < 2 THEN 0.0
+                   ELSE sqrt(greatest(0.0,
+                     (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / n_rows) / (n_rows - 1.0)))
+                   END sd
+               FROM g),
+         t AS (SELECT sum(n_rows * sd) tw FROM m),
+         f AS (SELECT stratum, n_rows, sd,
+                 CASE WHEN tw > 0 THEN n_rows * sd / tw ELSE 0.0 END wsh
+               FROM m, t),
+         a AS (SELECT *, least(n_rows,
+                 round(1000 * wsh)::BIGINT) alloc FROM f)
+         SELECT stratum, n_rows, round(sd, 6) + 0.0 AS stddev,
+           round(wsh, 6) + 0.0 AS weight_share, alloc,
+           round(CAST(alloc AS DOUBLE) / n_rows, 6) + 0.0 AS rate
+         FROM a ORDER BY stratum""",
+    // the exact 9-moment reduce and the closed-form Frisch-Waugh
+    // 2-regressor solution, classical sigma^2 * cXX / det variance
+    "q379_regression_ate" ->
+      """WITH du AS (SELECT
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT y,
+                 CAST((sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) - 24)
+                   / 10.0 AS DECIMAL(8,4)) x,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         mo AS (SELECT count(*)::BIGINT n, sum(t)::DOUBLE st,
+                 sum(y)::DOUBLE sy, CAST(sum(x) AS DOUBLE) sx,
+                 sum(t * y)::DOUBLE sty,
+                 CAST(sum(CAST(t AS DECIMAL(10,0)) * x) AS DOUBLE) stx,
+                 CAST(sum(CAST(y AS DECIMAL(18,0)) * x) AS DOUBLE) sxy,
+                 CAST(sum(x * x) AS DOUBLE) sxx, sum(y * y)::DOUBLE syy
+               FROM du),
+         cm AS (SELECT n, st - st * st / n ctt, sxx - sx * sx / n cxx,
+                 stx - st * sx / n ctx, sty - st * sy / n cty,
+                 sxy - sx * sy / n cxy, syy - sy * sy / n cyy
+               FROM mo),
+         sol AS (SELECT n, ctt * cxx - ctx * ctx det,
+                 (cty * cxx - ctx * cxy) / (ctt * cxx - ctx * ctx) ate,
+                 (cxy * ctt - ctx * cty) / (ctt * cxx - ctx * ctx) bx,
+                 cty, cxy, cyy, cxx
+               FROM cm),
+         st2 AS (SELECT n, ate, bx,
+                 sqrt(greatest(cyy - ate * cty - bx * cxy, 0.0)
+                   / (n - 3.0) * cxx / det) se
+               FROM sol),
+         zz AS (SELECT *, ate / se z, abs(ate / se) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(ate / se) / sqrt(2.0)) tt
+               FROM st2)
+         SELECT n, round(ate, 6) + 0.0 AS ate, round(se, 6) + 0.0 AS se,
+           round(z, 6) + 0.0 AS z,
+           round(least(1.0, tt * (0.254829592 + tt * (-0.284496736
+             + tt * (1.421413741 + tt * (-1.453152027
+             + tt * 1.061405429)))) * exp(-az * az)), 6) + 0.0 AS p_value,
+           round(bx, 6) + 0.0 AS beta_covariate
+         FROM zz""",
     // the q28 min-shingle mirror + a per-bucket (quality desc, id asc)
     // argmax — row_number over the same key on both engines
     "q377_canonical_dedup" ->

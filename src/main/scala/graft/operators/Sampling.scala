@@ -282,6 +282,60 @@ object Sampling {
     }.toSeq.toDF("row_key", "col_key", "n", "weight", "cell_share")
   }
 
+  /** Neyman-optimal stratified sampling allocation — how to SPEND a
+    * fixed row budget across strata so the stratified mean's variance is
+    * minimal ([[temperatureMixture]] reshapes shares by a temperature;
+    * Neyman allocates by what each stratum contributes to the ESTIMATE:
+    * n_h ∝ N_h·s_h, so big AND internally-variable strata get more).
+    * One row per stratum: `(stratum, n_rows, stddev, weight_share,
+    * alloc, rate)` — `alloc` = round(budget · N_h s_h / Σ N_h s_h)
+    * clamped to N_h, `rate` the realized sampling fraction.
+    * Zero-variance strata (constant metric, or a single row) carry no
+    * estimator variance and allocate 0 — pair with a floor downstream
+    * if every stratum must appear.
+    *
+    * Determinism contract: the metric casts to LONG (pre-quantize
+    * fractional metrics), Σv and Σv² are exact decimal sums, and s_h is
+    * the textbook (q − s²/n)/(n−1) from those exact sums — both engines
+    * compute identical doubles; the HALF_UP rounding of `alloc` is the
+    * same round() on both.
+    *
+    * Scale: ONE aggregation to the stratum-bounded table, driver algebra
+    * on ≤ `maxStrata` rows (fail-stop). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long, maxStrata: Int = 100000): DataFrame = {
+    require(budget > 0, s"budget must be > 0: $budget")
+    val per = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__q"))
+      .collect()
+    require(per.length <= maxStrata,
+      s"neymanAllocation: ${per.length} strata exceed maxStrata $maxStrata")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = per.sortBy(_.getString(0)).map { r =>
+      val nH = r.getLong(1)
+      val s = BigDecimal(r.getDecimal(2)).toDouble
+      val q = BigDecimal(r.getDecimal(3)).toDouble
+      val sd = if (nH < 2) 0.0
+        else math.sqrt(math.max(0.0, (q - s * s / nH) / (nH - 1.0)))
+      (r.getString(0), nH, sd, nH * sd)
+    }
+    val totW = rows.map(_._4).sum
+    rows.map { case (k, nH, sd, w) =>
+      val share = if (totW > 0) w / totW else 0.0
+      val alloc = math.min(nH,
+        BigDecimal(budget * share)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      (k, nH, sd, share, alloc, alloc.toDouble / nH)
+    }.toSeq.toDF("stratum", "n_rows", "stddev", "weight_share", "alloc",
+      "rate")
+  }
+
   def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
       alpha: Double, salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")

@@ -26,6 +26,81 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Regression-adjusted treatment effect (ANCOVA) — the randomized-
+    * experiment companion of [[cuped]] with an inferential SE: fit
+    * y = a + τ·t + b·x by OLS and report τ̂ with its classical standard
+    * error. Under randomization the covariate only ABSORBS VARIANCE
+    * (the ATE stays unbiased either way), so the CI tightens by the
+    * covariate's R² — the same win CUPED buys, but with the Wald
+    * z/p machinery attached. One row: `(n, ate, se, z, p_value,
+    * beta_covariate)`; NULL stats when the design is collinear
+    * (one arm empty, constant covariate) or n ≤ 3.
+    *
+    * Determinism contract: t is 0/1, y casts to long, x quantizes to
+    * DECIMAL(8,4); every raw moment (Σt, Σx, Σy, Σtx, Σty, Σxy, Σx²,
+    * Σy²) is an exact decimal/long sum, and the closed-form centered-
+    * moment solution (Frisch–Waugh for the 2-regressor design) is plain
+    * driver algebra both engines replay from identical sums.
+    *
+    * Scale: ONE whole-table reduce to 9 exact sums. */
+  def regressionAdjustedAte(df: DataFrame, treatCol: String,
+      outcomeCol: String, covariateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow(n: Long) = Seq((n, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+      .toDF("n", "ate", "se", "z", "p_value", "beta_covariate")
+    val base = df.filter(col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(treatCol).cast("long").as("__t"),
+        col(outcomeCol).cast("long").as("__y"),
+        col(covariateCol).cast("decimal(8,4)").as("__x"))
+    val r = base.agg(
+        count(lit(1)).as("n"),
+        sum(col("__t")).as("st"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x")).as("sx"),
+        sum(col("__t") * col("__y")).as("sty"),
+        sum(col("__t").cast("decimal(10,0)") * col("__x")).as("stx"),
+        sum(col("__y").cast("decimal(18,0)") * col("__x")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .head()
+    val n = r.getLong(0)
+    if (n <= 3) return nullRow(n)
+    require(base.agg(max(col("__t")), min(col("__t"))).head() match {
+        case m => m.getLong(0) <= 1L && m.getLong(1) >= 0L
+      }, "regressionAdjustedAte needs a 0/1 treatment")
+    val nD = n.toDouble
+    val st = r.getLong(1).toDouble; val sy = r.getLong(2).toDouble
+    def dec(o: Int): Double = BigDecimal(r.getDecimal(o)).toDouble
+    val sx = dec(3)
+    val sty = r.getLong(4).toDouble
+    val stx = dec(5); val sxy = dec(6); val sxx = dec(7)
+    val syy = r.getLong(8).toDouble
+    // centered moments, then the closed-form 2-regressor solution
+    val cTT = st - st * st / nD
+    val cXX = sxx - sx * sx / nD
+    val cTX = stx - st * sx / nD
+    val cTY = sty - st * sy / nD
+    val cXY = sxy - sx * sy / nD
+    val cYY = syy - sy * sy / nD
+    val det = cTT * cXX - cTX * cTX
+    if (det <= 0) return nullRow(n)
+    val ate = (cTY * cXX - cTX * cXY) / det
+    val bx = (cXY * cTT - cTX * cTY) / det
+    val rss = cYY - ate * cTY - bx * cXY
+    val sigma2 = math.max(rss, 0.0) / (n - 3.0)
+    val se = math.sqrt(sigma2 * cXX / det)
+    val z = if (se > 0) Some(ate / se) else None
+    Seq((n, Some(ate), if (se > 0) Some(se) else None, z,
+        z.map(x => math.min(1.0,
+          2.0 * Drift.normalSfAS(math.abs(x)))),
+        Some(bx)))
+      .toDF("n", "ate", "se", "z", "p_value", "beta_covariate")
+  }
+
   /** Hodges–Lehmann shift estimate with the Lehmann (Moses) rank CI —
     * the ROBUST "how much did the distribution move" companion of
     * [[mannWhitneyU]] (U answers whether B stochastically dominates A;

@@ -1667,6 +1667,47 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 
+  test("regressionAdjustedAte: matches a normal-equations OLS reference") {
+    // randomized t, covariate explains most variance, true effect = 2
+    val data = Seq(
+      (1L, 12L, 1.0), (0L, 10L, 1.0), (1L, 22L, 2.0), (0L, 20L, 2.0),
+      (1L, 32L, 3.0), (0L, 30L, 3.0), (1L, 41L, 4.0), (0L, 40L, 4.0),
+      (1L, 53L, 5.0), (0L, 50L, 5.0))
+    val r = StatTests.regressionAdjustedAte(
+      data.toDF("t", "y", "x"), "t", "y", "x").collect().head
+    // reference: solve the 3x3 normal equations directly
+    val n = data.size.toDouble
+    val st = data.map(_._1).sum.toDouble
+    val sy = data.map(_._2).sum.toDouble
+    val sx = data.map(_._3).sum
+    val sty = data.map(d => d._1 * d._2).sum.toDouble
+    val stx = data.map(d => d._1 * d._3).sum
+    val sxy = data.map(d => d._2 * d._3).sum
+    val sxx = data.map(d => d._3 * d._3).sum
+    val syy = data.map(d => d._2.toDouble * d._2).sum
+    val (ctt, cxx, ctx) = (st - st * st / n, sxx - sx * sx / n,
+      stx - st * sx / n)
+    val (cty, cxy, cyy) = (sty - st * sy / n, sxy - sx * sy / n,
+      syy - sy * sy / n)
+    val det = ctt * cxx - ctx * ctx
+    val ate = (cty * cxx - ctx * cxy) / det
+    val bx = (cxy * ctt - ctx * cty) / det
+    val se = math.sqrt(
+      (cyy - ate * cty - bx * cxy) / (n - 3) * cxx / det)
+    assert(math.abs(r.getAs[Double]("ate") - ate) < 1e-9, s"$r vs $ate")
+    assert(math.abs(r.getAs[Double]("beta_covariate") - bx) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-9)
+    // the adjusted SE must beat the unadjusted two-sample difference SE
+    assert(r.getAs[Double]("se") < 2.0,
+      "the covariate should absorb most variance here")
+    // degenerate: one arm empty -> collinear design -> NULL
+    val one = Seq((1L, 5L, 1.0), (1L, 6L, 2.0), (1L, 7L, 3.0),
+      (1L, 8L, 4.0)).toDF("t", "y", "x")
+    val r0 = StatTests.regressionAdjustedAte(one, "t", "y", "x")
+      .collect().head
+    assert(r0.isNullAt(r0.fieldIndex("ate")))
+  }
+
   test("hodgesLehmann: brute-force pairwise median + CI ranks") {
     val av = Seq(1.0, 3.0, 5.0, 7.0, 9.0)
     val bv = Seq(4.0, 4.0, 6.0, 10.0, 12.0, 14.0)

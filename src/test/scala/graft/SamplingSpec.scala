@@ -446,4 +446,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("never observed"),
       s"expected the inconsistent-margin guard, got: ${e.getMessage}")
   }
+
+  test("neymanAllocation: n_h ~ N_h*s_h, zero-variance strata get 0, clamp") {
+    import spark.implicits._
+    // stratum A: 4 rows, sd = sqrt(20/3); B: 2 rows sd = 0 (constant);
+    // C: 8 rows, sd(0,8 repeated) larger weight
+    val d = (Seq.fill(1)(("A", 1L)) ++ Seq(("A", 3L), ("A", 5L), ("A", 7L))
+      ++ Seq(("B", 4L), ("B", 4L))
+      ++ (1 to 4).flatMap(_ => Seq(("C", 0L), ("C", 8L))))
+      .toDF("s", "v")
+    val out = Sampling.neymanAllocation(d, "s", "v", budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(4))).toMap
+    val sdA = math.sqrt((84.0 - 16.0 * 16 / 4) / 3) // values 1,3,5,7
+    val sdC = math.sqrt((8 * 64.0 / 2 - 32.0 * 32 / 8) / 7)
+    assert(math.abs(out("A")._2 - sdA) < 1e-12)
+    assert(out("B")._2 == 0.0 && out("B")._3 == 0L,
+      "zero-variance stratum allocates nothing")
+    val wA = 4 * sdA; val wC = 8 * sdC
+    val allocA = math.round(10 * wA / (wA + wC))
+    assert(out("A")._3 == allocA, s"A alloc: ${out("A")} vs $allocA")
+    // clamp: a huge budget cannot allocate more than the stratum size
+    val big = Sampling.neymanAllocation(d, "s", "v", budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(big("A") == 4L && big("C") == 8L)
+  }
 }
