@@ -4076,6 +4076,55 @@ object SparkEntry {
           (round(col("beta_covariate"), 6) + lit(0.0)).as("beta_covariate"))
     }),
 
+    // ---- mSPRT: always-valid p for the parity conversion difference -------
+    // the anytime-peeking A/B p-value (N(0, tau) mixing prior); parity is
+    // a true null, so p_always should sit near 1 — and stay valid there
+    "q380_msprt" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.msprtProportions(perUser, "t", "y", tau = 0.0001)
+        .select(col("n_a"), col("n_b"),
+          (round(col("p_a"), 6) + lit(0.0)).as("p_a"),
+          (round(col("p_b"), 6) + lit(0.0)).as("p_b"),
+          (round(col("delta"), 6) + lit(0.0)).as("delta"),
+          (round(col("lambda_stat"), 6) + lit(0.0)).as("lambda_stat"),
+          (round(col("p_always"), 6) + lit(0.0)).as("p_always"),
+          col("reject_05"))
+    }),
+
+    // ---- empirical-Bayes shrinkage: per-source English rate ---------------
+    // the honest per-source leaderboard: moment prior, small sources
+    // shrink hard toward the grand rate, big ones keep their evidence
+    "q381_eb_rates" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("is_en", (col("lang") === "en").cast("long"))
+      StatTests.ebShrinkRates(docs, "source", "is_en")
+        .select(col("group"), col("n"), col("successes"),
+          (round(col("raw_rate"), 6) + lit(0.0)).as("raw_rate"),
+          (round(col("shrinkage"), 6) + lit(0.0)).as("shrinkage"),
+          (round(col("shrunk_rate"), 6) + lit(0.0)).as("shrunk_rate"))
+        .gateOrdered(col("group"))
+    }),
+
+    // ---- Chapman capture-recapture: how big is the content universe? ------
+    // two crawl snapshots (src0, src1) over min-shingle content keys:
+    // overlap sizes the unseen mass; coverage = observed / N-hat
+    "q382_chapman" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("mk",
+          graft.functions.TextFunctions.minShingleMd5(col("text"), 3))
+      graft.operators.Dedup.chapmanEstimate(docs, "source", "mk",
+          "src0", "src1")
+        .select(col("n_a"), col("n_b"), col("overlap"), col("observed"),
+          (round(col("n_hat"), 6) + lit(0.0)).as("n_hat"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("coverage"), 6) + lit(0.0)).as("coverage"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11255,6 +11304,91 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // one 4-long reduce + the closed mSPRT mixture formula
+    "q380_msprt" ->
+      """WITH du AS (SELECT
+                 max(CASE WHEN event_type = 'purchase' AND value > 80
+                   THEN 1 ELSE 0 END)::BIGINT y,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         ag AS (SELECT sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT na,
+                 sum(CASE WHEN t <> 0 THEN 1 ELSE 0 END)::BIGINT nb,
+                 sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT sa,
+                 sum(CASE WHEN t <> 0 THEN y ELSE 0 END)::BIGINT sb
+               FROM du),
+         st AS (SELECT na, nb, sa::DOUBLE / na pa, sb::DOUBLE / nb pb,
+                 (sa + sb)::DOUBLE / (na + nb) pp FROM ag),
+         vv AS (SELECT *, pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) v,
+                 pb - pa delta FROM st),
+         lm AS (SELECT *, sqrt(v / (v + 0.0001))
+                 * exp(delta * delta * 0.0001
+                   / (2.0 * v * (v + 0.0001))) lam FROM vv),
+         f AS (SELECT *, least(1.0, 1.0 / lam) pav FROM lm)
+         SELECT na AS n_a, nb AS n_b, round(pa, 6) + 0.0 AS p_a,
+           round(pb, 6) + 0.0 AS p_b, round(delta, 6) + 0.0 AS delta,
+           round(lam, 6) + 0.0 AS lambda_stat,
+           round(pav, 6) + 0.0 AS p_always, (pav < 0.05) AS reject_05
+         FROM f""",
+    // per-group exact long sums, moment prior (between-group variance
+    // minus average m(1-m)/n noise), James-Stein shrink toward the
+    // grand rate
+    "q381_eb_rates" ->
+      """WITH g AS (SELECT source grp, count(*)::BIGINT n,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT y
+               FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT tn, sum(y)::BIGINT ty,
+                 count(*)::BIGINT k FROM g),
+         m AS (SELECT tn, ty, k, ty::DOUBLE / tn mm FROM t),
+         vh AS (SELECT CASE WHEN k < 2 THEN 0.0 ELSE
+                 sum((y::DOUBLE / n - mm) * (y::DOUBLE / n - mm))
+                   / (k - 1.0) END vhat,
+                 sum(mm * (1.0 - mm) / n) / k nbar
+               FROM g, m GROUP BY k, mm),
+         tau AS (SELECT greatest(0.0, vhat - nbar) t2 FROM vh)
+         SELECT grp AS "group", n, y AS successes,
+           round(y::DOUBLE / n, 6) + 0.0 AS raw_rate,
+           round(CASE WHEN t2 <= 0 THEN 0.0
+             ELSE t2 / (t2 + mm * (1.0 - mm) / n) END, 6) + 0.0
+             AS shrinkage,
+           round(mm + (CASE WHEN t2 <= 0 THEN 0.0
+             ELSE t2 / (t2 + mm * (1.0 - mm) / n) END)
+             * (y::DOUBLE / n - mm), 6) + 0.0 AS shrunk_rate
+         FROM g, m, tau ORDER BY grp""",
+    // distinct (side, min-shingle key) pairs -> the Chapman closed form
+    "q382_chapman" ->
+      """WITH toks AS (SELECT source, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                      END AS t
+               FROM documents WHERE source IN ('src0', 'src1')),
+         k AS (SELECT source,
+                 CASE WHEN len(t) >= 3
+                   THEN list_aggregate(list_transform(range(1, len(t) - 1),
+                        i -> md5(array_to_string(t[i:i+2], ' '))), 'min')
+                   END mk
+               FROM toks),
+         d AS (SELECT DISTINCT source, mk FROM k WHERE mk IS NOT NULL),
+         ag AS (SELECT
+                 count(DISTINCT CASE WHEN source = 'src0' THEN mk END)
+                   ::BIGINT na,
+                 count(DISTINCT CASE WHEN source = 'src1' THEN mk END)
+                   ::BIGINT nb,
+                 count(DISTINCT mk)::BIGINT tot FROM d),
+         f AS (SELECT na, nb, (na + nb - tot)::BIGINT m, tot,
+                 (na + 1.0) * (nb + 1.0) / (na + nb - tot + 1.0) - 1.0
+                   nhat,
+                 (na + 1.0) * (nb + 1.0) * (tot - nb) * (tot - na)
+                   / ((na + nb - tot + 1.0) * (na + nb - tot + 1.0)
+                     * (na + nb - tot + 2.0)) varhat
+               FROM ag)
+         SELECT na AS n_a, nb AS n_b, m AS overlap, tot AS observed,
+           round(nhat, 6) + 0.0 AS n_hat,
+           round(sqrt(greatest(varhat, 0.0)), 6) + 0.0 AS se,
+           round(CASE WHEN nhat > 0 THEN tot / nhat ELSE 1.0 END, 6)
+             + 0.0 AS coverage
+         FROM f""",
     // per-stratum exact integer moment sums, textbook sample stddev,
     // HALF_UP-rounded budget*share clamped to the stratum size
     "q378_neyman_allocation" ->

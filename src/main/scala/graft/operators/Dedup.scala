@@ -963,6 +963,45 @@ object Dedup {
         (col("n_docs") - 1).as("n_dropped"))
   }
 
+  /** Chapman capture–recapture estimate of the TRUE distinct-content
+    * population from two overlapping crawls — "how much of the web did
+    * these two snapshots actually cover": treating source A's distinct
+    * content keys as the marked sample and source B's as the recapture,
+    * N̂ = (n_a+1)(n_b+1)/(m+1) − 1 with
+    * Var = (n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2)). One row:
+    * `(n_a, n_b, overlap, observed, n_hat, se, coverage)` — `coverage`
+    * = observed distinct keys / N̂, the fraction of the estimated
+    * population the pair has already seen. The independence assumption
+    * (capture probability uncorrelated across crawls) is the usual
+    * caveat; a shared crawl frontier biases N̂ low.
+    *
+    * Scale: the corpus collapses to DISTINCT (side, key) — one distinct
+    * + one conditional-count reduce; nothing bigger than the key
+    * shuffles. */
+  def chapmanEstimate(df: DataFrame, sourceCol: String, keyCol: String,
+      sourceA: String, sourceB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.filter(col(sourceCol).isin(sourceA, sourceB) &&
+        col(keyCol).isNotNull)
+      .select(col(sourceCol).as("__s"), col(keyCol).as("__k"))
+      .distinct()
+      .agg(countDistinct(when(col("__s") === sourceA, col("__k")))
+          .as("na"),
+        countDistinct(when(col("__s") === sourceB, col("__k"))).as("nb"),
+        countDistinct(col("__k")).as("tot"))
+      .head()
+    val na = r.getLong(0); val nb = r.getLong(1); val tot = r.getLong(2)
+    val m = na + nb - tot
+    val nHat = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    val varHat = (na + 1.0) * (nb + 1.0) * (na - m) * (nb - m) /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    Seq((na, nb, m, tot, nHat, math.sqrt(math.max(varHat, 0.0)),
+        if (nHat > 0) tot / nHat else 1.0))
+      .toDF("n_a", "n_b", "overlap", "observed", "n_hat", "se",
+        "coverage")
+  }
+
   /** Cross-source duplicate-overlap matrix: for every unordered pair of
     * `sourceCol` values, how many DISTINCT exact-duplicate fingerprints
     * (md5 of token-normalized text — the q28 cross-engine convention) the

@@ -26,6 +26,106 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Mixture sequential probability ratio test (mSPRT) for a two-arm
+    * proportion difference — the ALWAYS-VALID p-value that lets an
+    * experimenter peek continuously without inflating false positives
+    * ([[graft.ops.QualityOps.sprtGate]] is Wald's single-stream H₀/H₁
+    * gate; this is the A/B form with a N(0, τ) mixing prior over effect
+    * sizes, the standard "anytime p" construction): with Δ̂ = p_b − p_a
+    * and V = p̄(1−p̄)(1/n_a + 1/n_b),
+    * Λ = √(V/(V+τ)) · exp(Δ̂²τ / (2V(V+τ))) and p_always = min(1, 1/Λ)
+    * is conservative at EVERY look. One row: `(n_a, n_b, p_a, p_b,
+    * delta, lambda_stat, p_always, reject_05)`. NULL stats when an arm
+    * is empty or the pooled rate is degenerate (V = 0).
+    *
+    * Determinism: ONE reduce to four exact longs; everything after is
+    * closed-form double algebra both engines share.
+    *
+    * Scale: one whole-table reduce, O(1) driver math. */
+  def msprtProportions(df: DataFrame, armCol: String, successCol: String,
+      tau: Double = 0.0001): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(armCol).cast("long"); val y = col(successCol).cast("long")
+    val r = df.filter(t.isNotNull && y.isNotNull)
+      .agg(sum(when(t === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(t =!= 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(t === 0, y).otherwise(0L)).as("sa"),
+        sum(when(t =!= 0, y).otherwise(0L)).as("sb"))
+      .head()
+    val (na, nb, sa, sb) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+    def nullRow = Seq((na, nb, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Boolean]))
+      .toDF("n_a", "n_b", "p_a", "p_b", "delta", "lambda_stat",
+        "p_always", "reject_05")
+    if (na == 0 || nb == 0) return nullRow
+    val pA = sa.toDouble / na; val pB = sb.toDouble / nb
+    val pPool = (sa + sb).toDouble / (na + nb)
+    val v = pPool * (1.0 - pPool) * (1.0 / na + 1.0 / nb)
+    if (v <= 0) return nullRow
+    val delta = pB - pA
+    val lambda = math.sqrt(v / (v + tau)) *
+      math.exp(delta * delta * tau / (2.0 * v * (v + tau)))
+    val pAlways = math.min(1.0, 1.0 / lambda)
+    Seq((na, nb, Some(pA), Some(pB), Some(delta), Some(lambda),
+        Some(pAlways), Some(pAlways < 0.05)))
+      .toDF("n_a", "n_b", "p_a", "p_b", "delta", "lambda_stat",
+        "p_always", "reject_05")
+  }
+
+  /** Empirical-Bayes shrinkage of per-group success rates — the honest
+    * leaderboard for rates over groups of very different sizes (a
+    * 2-doc source at 100% must not outrank a 10k-doc source at 96%):
+    * normal-approximation James–Stein with a moment prior — grand rate
+    * m = Σy/Σn, signal variance τ̂² = max(0, between-group variance −
+    * average binomial noise m(1−m)/n_g), and each group shrinks by
+    * B_g = τ̂²/(τ̂² + m(1−m)/n_g) toward m. One row per group:
+    * `(group, n, successes, raw_rate, shrinkage, shrunk_rate)`;
+    * τ̂² = 0 (no real between-group signal) collapses every group to m.
+    *
+    * Determinism: per-group exact long sums; the driver algebra runs
+    * over groups in key order — both engines replay the same doubles.
+    *
+    * Scale: ONE aggregation to the group-bounded table, ≤ `maxGroups`
+    * driver rows (fail-stop). */
+  def ebShrinkRates(df: DataFrame, groupCol: String, successCol: String,
+      maxGroups: Int = 100000): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("y"))
+      .collect()
+    require(per.length <= maxGroups,
+      s"ebShrinkRates: ${per.length} groups exceed maxGroups $maxGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (per.isEmpty)
+      return Seq.empty[(String, Long, Long, Double, Double, Double)]
+        .toDF("group", "n", "successes", "raw_rate", "shrinkage",
+          "shrunk_rate")
+    val rows = per.sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totN = rows.map(_._2).sum; val totY = rows.map(_._3).sum
+    val m = totY.toDouble / totN
+    val g = rows.length
+    val rates = rows.map(r => r._3.toDouble / r._2)
+    val varHat =
+      if (g < 2) 0.0
+      else rates.map(p => (p - m) * (p - m)).sum / (g - 1.0)
+    val noiseBar = rows.map(r => m * (1.0 - m) / r._2).sum / g
+    val tau2 = math.max(0.0, varHat - noiseBar)
+    rows.zip(rates).map { case ((k, n, y), p) =>
+      val b = if (tau2 <= 0) 0.0 else tau2 / (tau2 + m * (1.0 - m) / n)
+      (k, n, y, p, b, m + b * (p - m))
+    }.toSeq.toDF("group", "n", "successes", "raw_rate", "shrinkage",
+      "shrunk_rate")
+  }
+
   /** Regression-adjusted treatment effect (ANCOVA) — the randomized-
     * experiment companion of [[cuped]] with an inferential SE: fit
     * y = a + τ·t + b·x by OLS and report τ̂ with its classical standard

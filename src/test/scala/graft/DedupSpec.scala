@@ -469,6 +469,24 @@ class DedupSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("A", "B", 2L, 3L, 3L, 0.5)))
   }
 
+  test("chapmanEstimate: textbook capture-recapture numbers") {
+    import spark.implicits._
+    // A sees keys 1..10, B sees 7..16: na = nb = 10, overlap = 4
+    val d = ((1 to 10).map(i => ("A", s"k$i")) ++
+      (7 to 16).map(i => ("B", s"k$i")) ++
+      Seq(("C", "ignored"))) // other sources excluded
+      .toDF("src", "key")
+    val r = Dedup.chapmanEstimate(d, "src", "key", "A", "B")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L &&
+      r.getLong(2) == 4L && r.getLong(3) == 16L)
+    val nHat = 11.0 * 11 / 5 - 1 // 23.2
+    assert(math.abs(r.getDouble(4) - nHat) < 1e-12)
+    val se = math.sqrt(11.0 * 11 * 6 * 6 / (25.0 * 6))
+    assert(math.abs(r.getDouble(5) - se) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 16.0 / nHat) < 1e-12)
+  }
+
   test("canonicalByKey: quality argmax per cluster, ties to smallest id") {
     import spark.implicits._
     val d = Seq(

@@ -1667,6 +1667,61 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 
+  test("msprtProportions: closed-form mixture, null stays near 1, effect rejects") {
+    // balanced null: identical arms -> delta 0 -> lambda = sqrt(v/(v+tau))
+    // < 1 -> p_always clamps to 1
+    val nullArms = (1 to 50).flatMap(i =>
+      Seq((0L, (i % 5 == 0).compare(false).toLong),
+        (1L, (i % 5 == 0).compare(false).toLong)))
+    val rn = StatTests.msprtProportions(nullArms.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(rn.getAs[Double]("p_always") == 1.0)
+    assert(!rn.getAs[Boolean]("reject_05"))
+    // strong effect: 5% vs 95% on 200/arm must reject
+    val eff = (1 to 200).flatMap(i =>
+      Seq((0L, if (i <= 10) 1L else 0L), (1L, if (i <= 190) 1L else 0L)))
+    val re = StatTests.msprtProportions(eff.toDF("t", "y"), "t", "y")
+      .collect().head
+    // hand formula
+    val (pa, pb) = (0.05, 0.95); val pp = 0.5
+    val v = pp * 0.5 * (2.0 / 200); val tau = 0.0001
+    val lam = math.sqrt(v / (v + tau)) *
+      math.exp(0.9 * 0.9 * tau / (2 * v * (v + tau)))
+    assert(math.abs(re.getAs[Double]("lambda_stat") - lam) < 1e-9)
+    assert(re.getAs[Boolean]("reject_05"),
+      s"a 90-point lift must reject anytime: $re")
+    // empty arm -> NULL
+    val r0 = StatTests.msprtProportions(
+      Seq((1L, 1L), (1L, 0L)).toDF("t", "y"), "t", "y").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("p_always")))
+  }
+
+  test("ebShrinkRates: small groups shrink harder; moment prior formula") {
+    // big informative group (200 @ 50%), small lucky group (4 @ 100%),
+    // mid group (50 @ 30%)
+    val d = (Seq.fill(100)(("big", 1L)) ++ Seq.fill(100)(("big", 0L)) ++
+      Seq.fill(4)(("tiny", 1L)) ++
+      Seq.fill(15)(("mid", 1L)) ++ Seq.fill(35)(("mid", 0L)))
+      .toDF("g", "y")
+    val out = StatTests.ebShrinkRates(d, "g", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out("tiny")._2 == 1.0)
+    assert(out("tiny")._3 < out("big")._3,
+      s"the 4-row group must shrink harder: $out")
+    // shrunk tiny sits strictly between the grand mean and its raw rate
+    val m = (100.0 + 4 + 15) / 254
+    assert(out("tiny")._4 > m && out("tiny")._4 < 1.0)
+    // reference replay of the moment prior
+    val rates = Seq(out("big")._2, out("mid")._2, out("tiny")._2)
+    val varHat = rates.map(p => (p - m) * (p - m)).sum / 2.0
+    val noise = Seq(200L, 50L, 4L).map(n => m * (1 - m) / n).sum / 3.0
+    val t2 = math.max(0.0, varHat - noise)
+    val bTiny = t2 / (t2 + m * (1 - m) / 4)
+    assert(math.abs(out("tiny")._3 - bTiny) < 1e-12)
+  }
+
   test("regressionAdjustedAte: matches a normal-equations OLS reference") {
     // randomized t, covariate explains most variance, true effect = 2
     val data = Seq(
