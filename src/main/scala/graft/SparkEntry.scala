@@ -4125,6 +4125,24 @@ object SparkEntry {
           (round(col("coverage"), 6) + lit(0.0)).as("coverage"))
     }),
 
+    // ---- quantile treatment effects: parity's effect across the deciles ---
+    // where in the activity distribution the "treatment" acts — rank-
+    // exact per-arm deciles, differenced; flat ATE + loud tail = QTE's job
+    "q383_qte" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("activity"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.quantileTreatmentEffects(perUser, "t", "activity")
+        .select((round(col("quantile"), 1) + lit(0.0)).as("quantile"),
+          col("n_treated"), col("n_control"),
+          (round(col("q_treated"), 6) + lit(0.0)).as("q_treated"),
+          (round(col("q_control"), 6) + lit(0.0)).as("q_control"),
+          (round(col("qte"), 6) + lit(0.0)).as("qte"))
+        .gateOrdered(col("quantile"))
+    }),
+
     // ---- Cox PH at d = 3: the Newton fixed point as a CONTRACT ------------
     // the Gaussian-elimination path (d > 2) cannot be replayed as closed
     // 2x2 CTEs, but its fixed point CAN be verified (the q316 eigen
@@ -11304,6 +11322,40 @@ object SparkEntry {
     // the full Breslow-Newton replay (coxCtes): 4 unrolled iterations,
     // exact decimal risk-set sums, 12-dp term/β rounding, closed-form
     // 2×2 solve, SE from the final information, shared A&S two-sided p
+    // per-arm per-value counts, exclusive-count windows, rank ceil(q*n)
+    // hit per block — the repo's tie-collapsing cutpoint convention
+    "q383_qte" ->
+      """WITH du AS (SELECT count(*)::BIGINT v,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         ct AS (SELECT v::DOUBLE v, count(*)::BIGINT c FROM du
+               WHERE t = 1 GROUP BY 1),
+         cc AS (SELECT v::DOUBLE v, count(*)::BIGINT c FROM du
+               WHERE t = 0 GROUP BY 1),
+         wt AS (SELECT *, coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT e FROM ct),
+         wc AS (SELECT *, coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT e FROM cc),
+         nt AS (SELECT sum(c)::BIGINT n FROM ct),
+         nc AS (SELECT sum(c)::BIGINT n FROM cc),
+         qs AS (SELECT unnest(range(1, 10))::BIGINT i),
+         ht AS (SELECT i, min(v) qv FROM qs, wt, nt
+               WHERE (i * n + 9) // 10 > e
+                 AND (i * n + 9) // 10 <= e + c GROUP BY i),
+         hc AS (SELECT i, min(v) qv FROM qs, wc, nc
+               WHERE (i * n + 9) // 10 > e
+                 AND (i * n + 9) // 10 <= e + c GROUP BY i)
+         SELECT round(i / 10.0, 1) + 0.0 AS quantile,
+           (SELECT n FROM nt) AS n_treated,
+           (SELECT n FROM nc) AS n_control,
+           round(ht.qv, 6) + 0.0 AS q_treated,
+           round(hc.qv, 6) + 0.0 AS q_control,
+           round(ht.qv - hc.qv, 6) + 0.0 AS qte
+         FROM qs JOIN ht USING (i) JOIN hc USING (i)
+         ORDER BY quantile""",
     // one 4-long reduce + the closed mSPRT mixture formula
     "q380_msprt" ->
       """WITH du AS (SELECT

@@ -26,6 +26,55 @@ import Drift.{chi2Survival, normalSfAS}
   */
 object StatTests {
 
+  /** Quantile treatment effects at the deciles — WHERE in the
+    * distribution the treatment acts ([[regressionAdjustedAte]] gives
+    * one mean shift; a treatment that lifts the tail while leaving the
+    * median alone shows a flat ATE and a loud QTE₀.₉): per arm, the
+    * rank-exact decile values (rank ⌈q·n⌉ of the expanded multiset —
+    * the repo's tie-collapsing cutpoint convention), and
+    * QTE(q) = v_treated(q) − v_control(q). One row per decile:
+    * `(quantile, n_treated, n_control, q_treated, q_control, qte)`.
+    *
+    * Scale: per arm ONE per-distinct-value count aggregate + the shared
+    * deterministic-bucket exclusive cumsum; each decile resolves per
+    * block (the rank-hit filter), only ≤ 9 hit rows reach the driver.
+    * No global sort, no data-sized window. */
+  def quantileTreatmentEffects(df: DataFrame, treatCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(treatCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(treatCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    def armQuantiles(arm: DataFrame): (Long, Map[Long, Double]) = {
+      val counts = arm.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
+        counts, col("__v"), Seq("__c"), Seq("__e"), persistInput = false)
+      try {
+        val n = grand.head
+        if (n == 0) return (0L, Map.empty)
+        val targets = (1L to 9L).map(i => (i * n + 9) / 10)
+          .filter(t => t >= 1 && t <= n).distinct.sorted
+        val tArr = typedLit(targets)
+        val hits = cum
+          .select(col("__v"), explode(filter(tArr,
+            t => t > col("__e") && t <= col("__e") + col("__c")))
+            .as("__r"))
+          .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+        (n, hits)
+      } finally graft.ops.ScaleOps.releaseCheckpointBlocks(cum)
+    }
+    val (nT, qT) = armQuantiles(base.filter(col("__t") =!= 0))
+    val (nC, qC) = armQuantiles(base.filter(col("__t") === 0))
+    (1 to 9).map { i =>
+      val rT = (i * nT + 9) / 10; val rC = (i * nC + 9) / 10
+      val vT = qT.get(rT); val vC = qC.get(rC)
+      (i / 10.0, nT, nC, vT, vC,
+        for (a <- vT; b <- vC) yield a - b)
+    }.toDF("quantile", "n_treated", "n_control", "q_treated",
+      "q_control", "qte")
+  }
+
   /** Mixture sequential probability ratio test (mSPRT) for a two-arm
     * proportion difference — the ALWAYS-VALID p-value that lets an
     * experimenter peek continuously without inflating false positives

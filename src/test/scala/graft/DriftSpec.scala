@@ -1667,6 +1667,36 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.getLong(0) == 1L && r1.isNullAt(r1.fieldIndex("cohens_d")))
   }
 
+  test("quantileTreatmentEffects: rank-exact deciles, tail-only effect located") {
+    // control = 1..100, treated = 1..100 with the top 10% scaled x10:
+    // every DECILE (q <= 0.9) is identical — the rank-exact cutpoints
+    // must stay blind to a strictly-above-the-0.9-rank tail change
+    val rows = (1 to 100).map(i => (0L, i.toDouble)) ++
+      (1 to 100).map(i => (1L, if (i > 90) i * 10.0 else i.toDouble))
+    val out = StatTests.quantileTreatmentEffects(
+      rows.toDF("t", "v"), "t", "v").collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    assert(out.size == 9)
+    (1 to 8).foreach { i =>
+      val q = i / 10.0
+      // rank ceil(q*100) = 10i -> value 10i on both arms
+      assert(out(q)._1 == 10.0 * i && out(q)._3 == 0.0,
+        s"decile $q must show no effect: ${out(q)}")
+    }
+    assert(out(0.9)._1 == 90.0 && out(0.9)._2 == 90.0 && out(0.9)._3 == 0.0)
+    // shift every treated value by +5: uniform QTE of 5 at every decile
+    val shifted = (1 to 100).map(i => (0L, i.toDouble)) ++
+      (1 to 100).map(i => (1L, i + 5.0))
+    StatTests.quantileTreatmentEffects(shifted.toDF("t", "v"), "t", "v")
+      .collect().foreach(r => assert(r.getDouble(5) == 5.0))
+    // empty arm -> NULL qte rows
+    val one = (1 to 10).map(i => (1L, i.toDouble))
+    val r0 = StatTests.quantileTreatmentEffects(one.toDF("t", "v"),
+      "t", "v").collect()
+    assert(r0.forall(_.isNullAt(5)))
+  }
+
   test("msprtProportions: closed-form mixture, null stays near 1, effect rejects") {
     // balanced null: identical arms -> delta 0 -> lambda = sqrt(v/(v+tau))
     // < 1 -> p_always clamps to 1
