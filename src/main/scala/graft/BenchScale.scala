@@ -91,7 +91,20 @@ object BenchScale {
     "q359_silhouette", "q363_somers_d", "q365_breslow_day", "q366_km_ci",
     "q367_quasi_poisson", "q368_target_encoding",
     // round-14: the d=3 Cox contract (6 Newton passes + gradient pass)
-    "q369_cox_d3_contract")
+    "q369_cox_d3_contract",
+    // round-14 wave: the logistic/NB GLM Newton reduces (q370, q375),
+    // the one-aggregation causal estimators (IPW ATE, regression ATE,
+    // Neyman allocation, mSPRT, Chapman), the per-duration cumsum
+    // shapes (Aalen–Johansen CIF, jackknife-by-bucket), the exact-Gini
+    // decimal rank cumsum, the rank-CI Hodges–Lehmann pair grid, the
+    // cluster-keyed canonical-dedup window, the k-bounded EB rate
+    // shrinkage, and the per-rank QTE block resolve
+    "q370_logistic_glm", "q371_ipw_ate", "q372_cumulative_incidence",
+    "q373_gini_concentration", "q374_jackknife_ratio",
+    "q375_negative_binomial", "q376_hodges_lehmann",
+    "q377_canonical_dedup", "q378_neyman_allocation",
+    "q379_regression_ate", "q380_msprt", "q381_eb_rates", "q382_chapman",
+    "q383_qte")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

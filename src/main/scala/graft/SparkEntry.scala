@@ -4186,6 +4186,100 @@ object SparkEntry {
         .gateOrdered(col("covariate"))
     }),
 
+    // ---- difference-in-differences: parity lift net of the common drift ---
+    // per-user purchases before/after the calendar midpoint; DiD removes
+    // both the arm level gap and the shared time shock — parity is a
+    // true null, so did should sit near 0 with an honest Welch SE
+    "q384_did" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("hr", floor(unix_timestamp(col("ts")) / 3600))
+      val mid = ev.agg(floor((min(col("hr")) + max(col("hr"))) / 2)
+        .as("__mid"))
+      val perUser = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase" &&
+            col("hr") <= col("__mid"), 1L).otherwise(0L)).as("y_pre"),
+          sum(when(col("event_type") === "purchase" &&
+            col("hr") > col("__mid"), 1L).otherwise(0L)).as("y_post"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.diffInDiff(perUser, "t", "y_pre", "y_post")
+        .select(col("n_treated"), col("n_control"),
+          (round(col("pre_treated"), 6) + lit(0.0)).as("pre_treated"),
+          (round(col("post_treated"), 6) + lit(0.0)).as("post_treated"),
+          (round(col("pre_control"), 6) + lit(0.0)).as("pre_control"),
+          (round(col("post_control"), 6) + lit(0.0)).as("post_control"),
+          (round(col("did"), 6) + lit(0.0)).as("did"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- power / MDE: how long must the next conversion test run? ---------
+    // the design table from the observed arms: detectable effect at the
+    // current n, required n per arm for the observed delta, achieved power
+    "q385_power_mde" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.powerTwoProportions(perUser, "t", "y")
+        .select(col("n_a"), col("n_b"),
+          (round(col("p_a"), 6) + lit(0.0)).as("p_a"),
+          (round(col("p_b"), 6) + lit(0.0)).as("p_b"),
+          (round(col("delta"), 6) + lit(0.0)).as("delta"),
+          (round(col("mde"), 6) + lit(0.0)).as("mde"),
+          col("n_required_per_arm"),
+          (round(col("power_at_n"), 6) + lit(0.0)).as("power_at_n"))
+    }),
+
+    // ---- SRM: is the parity "assignment" actually 50/50? ------------------
+    // the assignment-health gate before any metric read; chi-square vs
+    // the design shares with the platform-standard p < 0.001 red flag
+    "q386_srm" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+        .withColumn("arm", (col("user_id") % 2).cast("string"))
+      StatTests.srmCheck(perUser, "arm", Seq("0" -> 0.5, "1" -> 0.5))
+        .select(col("arm"), col("n"),
+          (round(col("expected"), 6) + lit(0.0)).as("expected"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"), col("df"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"),
+          col("srm_flag"))
+        .gateOrdered(col("arm"))
+    }),
+
+    // ---- O'Brien-Fleming sequential looks over enrollment quintiles -------
+    // the 5-look interim-analysis table: cumulative pooled z per look vs
+    // the 2.0401*sqrt(5/k) boundary — early looks need overwhelming
+    // evidence, the final look spends the full level
+    "q387_obf_sequential" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("hr", floor(unix_timestamp(col("ts")) / 3600))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("__f"),
+          max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      val span = perUser.agg(min(col("__f")).as("__lo"),
+        max(col("__f")).as("__hi"))
+      val looked = perUser.crossJoin(broadcast(span))
+        .withColumn("look", least(lit(5L), lit(1L) +
+          floor((col("__f") - col("__lo")) * 5 /
+            (col("__hi") - col("__lo") + 1))))
+      StatTests.groupSequentialObf(looked, "look", "t", "y")
+        .select(col("look"), col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+          (round(col("delta"), 6) + lit(0.0)).as("delta"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("boundary"), 6) + lit(0.0)).as("boundary"),
+          col("crossed"))
+        .gateOrdered(col("look"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -11506,6 +11600,142 @@ object SparkEntry {
              + tt * 1.061405429)))) * exp(-az * az)), 6) + 0.0 AS p_value,
            round(bx, 6) + 0.0 AS beta_covariate
          FROM zz""",
+    // the calendar-midpoint split, exact per-user integer change sums,
+    // and the closed-form Welch algebra on the per-arm changes
+    "q384_did" ->
+      """WITH eh AS (SELECT user_id, event_type,
+                 floor(epoch(ts) / 3600)::BIGINT hr
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         md AS (SELECT (min(hr) + max(hr)) // 2 mid FROM eh),
+         du AS (SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase' AND hr <= mid
+                   THEN 1 ELSE 0 END)::BIGINT ypre,
+                 sum(CASE WHEN event_type = 'purchase' AND hr > mid
+                   THEN 1 ELSE 0 END)::BIGINT ypost,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM eh, md GROUP BY user_id, mid),
+         ag AS (SELECT sum(t)::BIGINT n1, sum(1 - t)::BIGINT n0,
+                 sum(t * ypre)::BIGINT p1, sum(t * ypost)::BIGINT q1,
+                 sum((1 - t) * ypre)::BIGINT p0,
+                 sum((1 - t) * ypost)::BIGINT q0,
+                 sum(t * (ypost - ypre) * (ypost - ypre))::BIGINT s1,
+                 sum((1 - t) * (ypost - ypre) * (ypost - ypre))::BIGINT s0
+               FROM du),
+         st AS (SELECT n1, n0, p1, q1, p0, q0,
+                 (q1 - p1)::DOUBLE / n1 - (q0 - p0)::DOUBLE / n0 did,
+                 sqrt(greatest((s1 - (q1 - p1)::DOUBLE * (q1 - p1) / n1)
+                     / (n1 - 1.0), 0.0) / n1 +
+                   greatest((s0 - (q0 - p0)::DOUBLE * (q0 - p0) / n0)
+                     / (n0 - 1.0), 0.0) / n0) se
+               FROM ag),
+         zz AS (SELECT *, did / se z, abs(did / se) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(did / se) / sqrt(2.0)) tt
+               FROM st)
+         SELECT n1 AS n_treated, n0 AS n_control,
+           round(p1::DOUBLE / n1, 6) + 0.0 AS pre_treated,
+           round(q1::DOUBLE / n1, 6) + 0.0 AS post_treated,
+           round(p0::DOUBLE / n0, 6) + 0.0 AS pre_control,
+           round(q0::DOUBLE / n0, 6) + 0.0 AS post_control,
+           round(did, 6) + 0.0 AS did, round(se, 6) + 0.0 AS se,
+           round(z, 6) + 0.0 AS z,
+           round(least(1.0, tt * (0.254829592 + tt * (-0.284496736
+             + tt * (1.421413741 + tt * (-1.453152027
+             + tt * 1.061405429)))) * exp(-az * az)), 6) + 0.0 AS p_value
+         FROM zz""",
+    // one exact count reduce; the published z quantiles; achieved power
+    // via the reflected A&S survival (q lands either side of zero)
+    "q385_power_mde" ->
+      """WITH du AS (SELECT
+                 max(CASE WHEN event_type = 'purchase' AND value > 80
+                   THEN 1 ELSE 0 END)::BIGINT y,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         ag AS (SELECT sum(1 - t)::BIGINT na, sum(t)::BIGINT nb,
+                 sum((1 - t) * y)::BIGINT sa, sum(t * y)::BIGINT sb
+               FROM du),
+         st AS (SELECT na, nb, sa::DOUBLE / na pa, sb::DOUBLE / nb pb,
+                 (sa + sb)::DOUBLE / (na + nb) pp FROM ag),
+         vv AS (SELECT *, pb - pa delta,
+                 sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) se
+               FROM st),
+         qq AS (SELECT *, abs(delta) / se - 1.959963985 q,
+                 (1.959963985 + 0.8416212336) zsum FROM vv),
+         sf AS (SELECT *, abs(q) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(q) / sqrt(2.0)) tt FROM qq),
+         pw AS (SELECT *, 0.5 * tt * (0.254829592 + tt * (-0.284496736
+                 + tt * (1.421413741 + tt * (-1.453152027
+                 + tt * 1.061405429)))) * exp(-az * az) half FROM sf)
+         SELECT na AS n_a, nb AS n_b,
+           round(pa, 6) + 0.0 AS p_a, round(pb, 6) + 0.0 AS p_b,
+           round(delta, 6) + 0.0 AS delta,
+           round(zsum * se, 6) + 0.0 AS mde,
+           CASE WHEN delta = 0 THEN NULL ELSE
+             ceil(zsum * zsum * 2.0 * pp * (1.0 - pp)
+               / (delta * delta))::BIGINT END AS n_required_per_arm,
+           round(1.0 - (CASE WHEN q >= 0 THEN half
+             ELSE 1.0 - half END), 6) + 0.0 AS power_at_n
+         FROM pw""",
+    // exact arm counts vs the 50/50 design; chi2_1 survival as the
+    // reflected normal: p = 2*Phi(-sqrt(chi2)) via the erf polynomial
+    "q386_srm" ->
+      """WITH du AS (SELECT (user_id % 2)::VARCHAR arm FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         c AS (SELECT arm, count(*)::BIGINT n FROM du GROUP BY arm),
+         t AS (SELECT sum(n)::BIGINT tot FROM c),
+         x AS (SELECT sum((n - 0.5 * tot) * (n - 0.5 * tot)
+                 / (0.5 * tot)) chi2 FROM c, t),
+         p AS (SELECT chi2, sqrt(chi2) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * sqrt(chi2) / sqrt(2.0)) tt
+               FROM x),
+         pv AS (SELECT chi2, least(1.0, tt * (0.254829592
+                 + tt * (-0.284496736 + tt * (1.421413741
+                 + tt * (-1.453152027 + tt * 1.061405429))))
+                 * exp(-az * az)) pval FROM p)
+         SELECT c.arm, c.n, round(0.5 * t.tot, 6) + 0.0 AS expected,
+           round(pv.chi2, 6) + 0.0 AS chi2, 1::BIGINT AS df,
+           round(pv.pval, 6) + 0.0 AS p_value, pv.pval < 0.001 AS srm_flag
+         FROM c, t, pv ORDER BY c.arm""",
+    // enrollment quintiles, cumulative pooled z per look via a 5-row
+    // window, and the OBF sqrt(K/k) boundary from the published constant
+    "q387_obf_sequential" ->
+      """WITH eh AS (SELECT user_id,
+                 floor(epoch(ts) / 3600)::BIGINT hr,
+                 CASE WHEN event_type = 'purchase' AND value > 80
+                   THEN 1 ELSE 0 END cv
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         du AS (SELECT user_id, min(hr) f, max(cv)::BIGINT y,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM eh GROUP BY user_id),
+         sp AS (SELECT min(f) lo, max(f) hi FROM du),
+         lk AS (SELECT least(5, 1 + (f - lo) * 5 // (hi - lo + 1)) look,
+                 t, y FROM du, sp),
+         per AS (SELECT look, sum(1 - t)::BIGINT na, sum(t)::BIGINT nb,
+                 sum((1 - t) * y)::BIGINT xa, sum(t * y)::BIGINT xb
+               FROM lk GROUP BY look),
+         kk AS (SELECT count(*)::BIGINT ktot FROM per),
+         cum AS (SELECT look,
+                 sum(na) OVER (ORDER BY look)::BIGINT cna,
+                 sum(nb) OVER (ORDER BY look)::BIGINT cnb,
+                 sum(xa) OVER (ORDER BY look)::BIGINT cxa,
+                 sum(xb) OVER (ORDER BY look)::BIGINT cxb,
+                 row_number() OVER (ORDER BY look)::BIGINT k
+               FROM per),
+         st AS (SELECT look, cna, cnb, cxa, cxb, k, ktot,
+                 (cxa + cxb)::DOUBLE / (cna + cnb) pp,
+                 cxb::DOUBLE / cnb - cxa::DOUBLE / cna delta
+               FROM cum, kk),
+         zz AS (SELECT *, CASE WHEN pp > 0 AND pp < 1 THEN
+                 delta / sqrt(pp * (1.0 - pp)
+                   * (1.0 / cna + 1.0 / cnb)) END z,
+                 2.0401 * sqrt(ktot::DOUBLE / k) bnd
+               FROM st)
+         SELECT look, cna AS n_a, cnb AS n_b, cxa AS x_a, cxb AS x_b,
+           round(delta, 6) + 0.0 AS delta, round(z, 6) + 0.0 AS z,
+           round(bnd, 6) + 0.0 AS boundary,
+           coalesce(abs(z) > bnd, FALSE) AS crossed
+         FROM zz ORDER BY look""",
     // the q28 min-shingle mirror + a per-bucket (quality desc, id asc)
     // argmax — row_number over the same key on both engines
     "q377_canonical_dedup" ->

@@ -75,6 +75,237 @@ object StatTests {
       "q_control", "qte")
   }
 
+  /** Difference-in-differences on a two-period panel — the
+    * before/after × treated/control estimator that removes any level
+    * difference between arms AND any common time shock ([[cuped]] and
+    * [[regressionAdjustedAte]] adjust with a covariate; DiD adjusts
+    * with the unit's OWN pre-period, the parallel-trends workhorse):
+    * with per-unit change d = y_post − y_pre,
+    * DiD = mean(d | treated) − mean(d | control), and the SE is the
+    * Welch two-sample error of the per-unit changes — clustered at the
+    * unit by construction (each unit contributes ONE d). One row:
+    * `(n_treated, n_control, pre_treated, post_treated, pre_control,
+    * post_control, did, se, z, p_value)` — the four cell means are the
+    * audit trail (treated lift minus the counterfactual drift). NULL
+    * stats when an arm is empty or both change variances vanish.
+    *
+    * Determinism contract: treatment is 0/1, outcomes cast to long, so
+    * every sum (Σd, Σd² per arm) is an exact integer; the closed-form
+    * Welch algebra runs on identical doubles in both engines.
+    *
+    * Scale: ONE whole-table reduce to 8 exact sums, O(1) driver math. */
+  def diffInDiff(df: DataFrame, treatCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(treatCol).cast("long")
+    val pre = col(preCol).cast("long"); val post = col(postCol).cast("long")
+    val d = post - pre
+    val r = df.filter(t.isNotNull && pre.isNotNull && post.isNotNull)
+      .agg(
+        sum(when(t =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(t === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(t =!= 0, pre).otherwise(0L)).as("pre1"),
+        sum(when(t =!= 0, post).otherwise(0L)).as("post1"),
+        sum(when(t === 0, pre).otherwise(0L)).as("pre0"),
+        sum(when(t === 0, post).otherwise(0L)).as("post0"),
+        sum(when(t =!= 0, d * d).otherwise(0L)).as("sdd1"),
+        sum(when(t === 0, d * d).otherwise(0L)).as("sdd0"))
+      .head()
+    def lg(o: Int): Long = if (r.isNullAt(o)) 0L else r.getLong(o)
+    val (n1, n0) = (lg(0), lg(1))
+    val (sPre1, sPost1, sPre0, sPost0) = (lg(2), lg(3), lg(4), lg(5))
+    val (sdd1, sdd0) = (lg(6), lg(7))
+    def nullRow = Seq((n1, n0, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n_treated", "n_control", "pre_treated", "post_treated",
+        "pre_control", "post_control", "did", "se", "z", "p_value")
+    if (n1 < 2 || n0 < 2) return nullRow
+    val d1 = (sPost1 - sPre1).toDouble / n1
+    val d0 = (sPost0 - sPre0).toDouble / n0
+    val did = d1 - d0
+    // Welch: per-arm sample variance of d from exact Σd, Σd²
+    val v1 = (sdd1 - (sPost1 - sPre1).toDouble * (sPost1 - sPre1) / n1) /
+      (n1 - 1.0)
+    val v0 = (sdd0 - (sPost0 - sPre0).toDouble * (sPost0 - sPre0) / n0) /
+      (n0 - 1.0)
+    val se = math.sqrt(math.max(v1, 0.0) / n1 + math.max(v0, 0.0) / n0)
+    val z = if (se > 0) Some(did / se) else None
+    Seq((n1, n0, Some(sPre1.toDouble / n1), Some(sPost1.toDouble / n1),
+        Some(sPre0.toDouble / n0), Some(sPost0.toDouble / n0), Some(did),
+        if (se > 0) Some(se) else None, z,
+        z.map(x => math.min(1.0, 2.0 * normalSfAS(math.abs(x))))))
+      .toDF("n_treated", "n_control", "pre_treated", "post_treated",
+        "pre_control", "post_control", "did", "se", "z", "p_value")
+  }
+
+  /** Two-proportion power analysis — the experiment-DESIGN companion of
+    * [[proportionEffects]] (that shelf judges a finished test; this one
+    * answers "how long must the next one run"): from the observed arm
+    * rates, (a) the minimum detectable effect at the CURRENT sample
+    * sizes — MDE = (z_{α/2} + z_pow)·√(p̄(1−p̄)(1/n_a + 1/n_b)) — and
+    * (b) the per-arm n required to detect the OBSERVED delta —
+    * n = (z_{α/2} + z_pow)²·2·p̄(1−p̄)/Δ̂² (ceiling; NULL when Δ̂ = 0) —
+    * and (c) the achieved power of the observed delta at the current n,
+    * Φ(|Δ̂|/SE − z_{α/2}). One row: `(n_a, n_b, p_a, p_b, delta, mde,
+    * n_required_per_arm, power_at_n)`. NULL stats when an arm is empty
+    * or the pooled rate is degenerate.
+    *
+    * The quantiles z_{0.975} = 1.959963985 and z_{0.80} = 0.8416212336
+    * are the published normal quantiles both engines hard-code; Φ
+    * replays via the shared A&S survival polynomial.
+    *
+    * Scale: one whole-table reduce to four exact longs. */
+  def powerTwoProportions(df: DataFrame, armCol: String,
+      successCol: String, zAlpha: Double = 1.959963985,
+      zPower: Double = 0.8416212336): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(armCol).cast("long"); val y = col(successCol).cast("long")
+    val r = df.filter(t.isNotNull && y.isNotNull)
+      .agg(sum(when(t === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(t =!= 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(t === 0, y).otherwise(0L)).as("sa"),
+        sum(when(t =!= 0, y).otherwise(0L)).as("sb"))
+      .head()
+    val (na, nb, sa, sb) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+    def nullRow = Seq((na, nb, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Long],
+        Option.empty[Double]))
+      .toDF("n_a", "n_b", "p_a", "p_b", "delta", "mde",
+        "n_required_per_arm", "power_at_n")
+    if (na == 0 || nb == 0) return nullRow
+    val pA = sa.toDouble / na; val pB = sb.toDouble / nb
+    val pPool = (sa + sb).toDouble / (na + nb)
+    val v = pPool * (1.0 - pPool) * (1.0 / na + 1.0 / nb)
+    if (v <= 0) return nullRow
+    val se = math.sqrt(v)
+    val delta = pB - pA
+    val mde = (zAlpha + zPower) * se
+    val nReq: Option[Long] =
+      if (delta == 0) None
+      else Some(math.ceil((zAlpha + zPower) * (zAlpha + zPower) * 2.0 *
+        pPool * (1.0 - pPool) / (delta * delta)).toLong)
+    // Φ(q) = 1 − SF(q); the SF reflects for q < 0, so both engines
+    // replay the same polynomial whichever side of zero q lands on
+    val power = 1.0 - normalSfAS(math.abs(delta) / se - zAlpha)
+    Seq((na, nb, Some(pA), Some(pB), Some(delta), Some(mde), nReq,
+        Some(power)))
+      .toDF("n_a", "n_b", "p_a", "p_b", "delta", "mde",
+        "n_required_per_arm", "power_at_n")
+  }
+
+  /** Sample-ratio-mismatch check — the assignment-health gate every
+    * experimentation platform runs BEFORE reading any metric (a 50/50
+    * split that lands 52/48 at scale means the randomizer, logging, or
+    * bot filter is biased, and every downstream estimate inherits it):
+    * χ² goodness-of-fit of the observed arm counts against the design
+    * shares, df = arms − 1, with the standard p < 0.001 red flag
+    * (SRM alarms demand a stricter bar than metric tests — an unhealthy
+    * assignment invalidates the whole experiment). One row per arm with
+    * the shared verdict: `(arm, n, expected, chi2, df, p_value,
+    * srm_flag)`.
+    *
+    * Determinism: ONE count aggregation to exact longs; expected counts
+    * and the χ² sum are closed-form driver doubles; p replays via the
+    * shared Wilson–Hilferty χ² survival.
+    *
+    * Scale: one count reduce to an arm-bounded table (≤ 64 arms). */
+  def srmCheck(df: DataFrame, armCol: String,
+      shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.size <= 64,
+      s"srmCheck needs 1..64 design shares, got ${shares.size}")
+    require(math.abs(shares.map(_._2).sum - 1.0) < 1e-9,
+      s"design shares must sum to 1, got ${shares.map(_._2).sum}")
+    require(shares.forall(_._2 > 0), "design shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shareMap = shares.toMap
+    val counts = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val extra = counts.keySet -- shareMap.keySet
+    require(extra.isEmpty,
+      s"arms not in the design: ${extra.toSeq.sorted.mkString(", ")}")
+    val total = counts.values.sum
+    val rows = shares.sortBy(_._1).map { case (a, s) =>
+      (a, counts.getOrElse(a, 0L), s * total)
+    }
+    val chi2 = rows.map { case (_, o, e) => (o - e) * (o - e) / e }.sum
+    val dfree = shares.size - 1
+    // df = 1 (the two-arm norm) via χ²₁ SF(x) = 2·Φ(−√x) so the oracle
+    // replays the shared erf polynomial; even df via the closed sum
+    val p = if (total == 0 || dfree == 0) 1.0
+      else if (dfree == 1) math.min(1.0, 2.0 * normalSfAS(math.sqrt(chi2)))
+      else chi2Survival(dfree, chi2)
+    rows.map { case (a, o, e) =>
+      (a, o, e, chi2, dfree.toLong, p, p < 0.001)
+    }.toDF("arm", "n", "expected", "chi2", "df", "p_value", "srm_flag")
+  }
+
+  /** Group-sequential monitoring table with O'Brien–Fleming boundaries
+    * — the SCHEDULED-peeking discipline ([[msprtProportions]] prices
+    * continuous peeking; OBF is the classical K-interim-looks design
+    * that spends almost no alpha early and the full level at the end):
+    * per look k = 1..K, the pooled two-proportion z from the CUMULATIVE
+    * arm counts against the OBF critical value c·√(K/k) (c is the
+    * published constant for the (K, α) design — 2.0401 for K = 5,
+    * two-sided α = 0.05, O'Brien & Fleming 1979). One row per look:
+    * `(look, n_a, n_b, x_a, x_b, delta, z, boundary, crossed)`; z NULL
+    * (crossed false) while the pooled variance is degenerate.
+    *
+    * Determinism: ONE per-look count aggregation to exact longs; the
+    * ≤ `maxLooks` cumulative table accumulates on the driver in look
+    * order — both engines replay identical doubles.
+    *
+    * Scale: one aggregation to a K-bounded table (`maxLooks` ≤ 64
+    * fail-stop); no window, no data-sized driver state. */
+  def groupSequentialObf(df: DataFrame, lookCol: String, armCol: String,
+      successCol: String, critical: Double = 2.0401,
+      maxLooks: Int = 64): DataFrame = {
+    require(critical > 0, s"critical must be > 0: $critical")
+    require(maxLooks >= 1 && maxLooks <= 64,
+      s"maxLooks must be in [1, 64]: $maxLooks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(armCol).cast("long"); val y = col(successCol).cast("long")
+    val per = df.filter(col(lookCol).isNotNull && t.isNotNull && y.isNotNull)
+      .groupBy(col(lookCol).cast("long").as("look"))
+      .agg(sum(when(t === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(t =!= 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(t === 0, y).otherwise(0L)).as("xa"),
+        sum(when(t =!= 0, y).otherwise(0L)).as("xb"))
+      .collect()
+    require(per.length <= maxLooks,
+      s"groupSequentialObf: ${per.length} looks exceed maxLooks $maxLooks")
+    val looks = per.sortBy(_.getLong(0))
+    val kTot = looks.length
+    var (cna, cnb, cxa, cxb) = (0L, 0L, 0L, 0L)
+    looks.zipWithIndex.map { case (r, i) =>
+      def lg(o: Int): Long = if (r.isNullAt(o)) 0L else r.getLong(o)
+      cna += lg(1); cnb += lg(2); cxa += lg(3); cxb += lg(4)
+      val zOpt: Option[Double] =
+        if (cna == 0 || cnb == 0) None
+        else {
+          val pPool = (cxa + cxb).toDouble / (cna + cnb)
+          val v = pPool * (1.0 - pPool) * (1.0 / cna + 1.0 / cnb)
+          if (v <= 0) None
+          else Some((cxb.toDouble / cnb - cxa.toDouble / cna) /
+            math.sqrt(v))
+        }
+      val boundary = critical * math.sqrt(kTot.toDouble / (i + 1))
+      (r.getLong(0), cna, cnb, cxa, cxb,
+        if (cna > 0 && cnb > 0)
+          Some(cxb.toDouble / cnb - cxa.toDouble / cna) else None,
+        zOpt, boundary, zOpt.exists(z => math.abs(z) > boundary))
+    }.toSeq.toDF("look", "n_a", "n_b", "x_a", "x_b", "delta", "z",
+      "boundary", "crossed")
+  }
+
   /** Mixture sequential probability ratio test (mSPRT) for a two-arm
     * proportion difference — the ALWAYS-VALID p-value that lets an
     * experimenter peek continuously without inflating false positives

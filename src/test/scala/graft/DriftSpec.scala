@@ -1890,4 +1890,144 @@ class DriftSpec extends SparkSpecBase {
       .collect().head
     assert(r0.isNullAt(r0.fieldIndex("gini")))
   }
+
+  test("diffInDiff: removes level gap and common shock; Welch reference") {
+    // treated start 10 higher (level gap) and everyone gains +3 post
+    // (common shock); the true DiD effect is exactly +2 on treated
+    val data = (1 to 40).map { i =>
+      val t = i % 2; val base = 5L + 10L * t + (i % 4)
+      (t.toLong, base, base + 3 + 2 * t)
+    }
+    val r = StatTests.diffInDiff(data.toDF("t", "pre", "post"),
+      "t", "pre", "post").collect().head
+    assert(r.getAs[Double]("did") == 2.0, s"did must isolate +2: $r")
+    // per-arm changes are constant -> zero variance -> se 0 -> NULL z
+    assert(r.isNullAt(r.fieldIndex("z")))
+    // noisy version against the hand Welch formula
+    val noisy = (1 to 30).map { i =>
+      val t = i % 2
+      (t.toLong, (i % 5).toLong, (i % 5) + (i % 3) + 2L * t)
+    }
+    val rn = StatTests.diffInDiff(noisy.toDF("t", "pre", "post"),
+      "t", "pre", "post").collect().head
+    val d1 = noisy.filter(_._1 == 1).map(x => (x._3 - x._2).toDouble)
+    val d0 = noisy.filter(_._1 == 0).map(x => (x._3 - x._2).toDouble)
+    def m(xs: Seq[Double]) = xs.sum / xs.size
+    def v(xs: Seq[Double]) =
+      xs.map(x => (x - m(xs)) * (x - m(xs))).sum / (xs.size - 1)
+    val did = m(d1) - m(d0)
+    val se = math.sqrt(v(d1) / d1.size + v(d0) / d0.size)
+    assert(math.abs(rn.getAs[Double]("did") - did) < 1e-9)
+    assert(math.abs(rn.getAs[Double]("se") - se) < 1e-9)
+    // cell means are the audit trail
+    assert(math.abs(rn.getAs[Double]("pre_treated") - m(
+      noisy.filter(_._1 == 1).map(_._2.toDouble))) < 1e-12)
+    // an arm with < 2 units -> NULL stats
+    val r1 = StatTests.diffInDiff(
+      Seq((1L, 1L, 2L), (0L, 1L, 2L), (0L, 2L, 3L))
+        .toDF("t", "pre", "post"), "t", "pre", "post").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("did")))
+  }
+
+  test("powerTwoProportions: textbook design formulas") {
+    // 10% vs 14% on 500/arm
+    val data = (1 to 500).flatMap(i => Seq(
+      (0L, if (i <= 50) 1L else 0L), (1L, if (i <= 70) 1L else 0L)))
+    val r = StatTests.powerTwoProportions(data.toDF("t", "y"), "t", "y")
+      .collect().head
+    val (pa, pb) = (0.1, 0.14); val pp = 0.12
+    val se = math.sqrt(pp * 0.88 * (2.0 / 500))
+    val zsum = 1.959963985 + 0.8416212336
+    assert(math.abs(r.getAs[Double]("p_a") - pa) < 1e-12)
+    assert(math.abs(r.getAs[Double]("delta") - 0.04) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mde") - zsum * se) < 1e-12)
+    val nReq = math.ceil(zsum * zsum * 2 * pp * 0.88 / (0.04 * 0.04)).toLong
+    assert(r.getAs[Long]("n_required_per_arm") == nReq)
+    // a 4-point lift on 500/arm is underpowered: power < 0.8, so the
+    // required n must exceed the current n
+    assert(r.getAs[Double]("power_at_n") < 0.8 && nReq > 500)
+    // power is monotone in n: 5000/arm must beat 500/arm
+    val big = (1 to 5000).flatMap(i => Seq(
+      (0L, if (i <= 500) 1L else 0L), (1L, if (i <= 700) 1L else 0L)))
+    val rb = StatTests.powerTwoProportions(big.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(rb.getAs[Double]("power_at_n") > r.getAs[Double]("power_at_n"))
+    // zero delta -> NULL required n, power = alpha/2 tail only
+    val eq = (1 to 100).flatMap(i => Seq((0L, i % 5L / 4L), (1L, i % 5L / 4L)))
+    val re = StatTests.powerTwoProportions(eq.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(re.isNullAt(re.fieldIndex("n_required_per_arm")))
+    // empty arm -> NULL stats
+    val r0 = StatTests.powerTwoProportions(
+      Seq((1L, 1L)).toDF("t", "y"), "t", "y").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("p_a")))
+  }
+
+  test("srmCheck: chi2 vs the design, the 0.001 bar, guards") {
+    // perfect 50/50 -> chi2 0, p 1, no flag
+    val ok = (1 to 100).map(i => Tuple1((i % 2).toString)).toDF("arm")
+    val rows = StatTests.srmCheck(ok, "arm", Seq("0" -> 0.5, "1" -> 0.5))
+      .collect()
+    assert(rows.length == 2 && rows.forall(!_.getAs[Boolean]("srm_flag")))
+    assert(rows.forall(_.getAs[Double]("chi2") == 0.0))
+    // a real mismatch: 5300/4700 on a 50/50 design -> chi2 = 36 ->
+    // p ~ 2*Phi(-6) ~ 2e-9 -> flagged
+    val bad = ((1 to 5300).map(_ => "a") ++ (1 to 4700).map(_ => "b"))
+      .map(Tuple1(_)).toDF("arm")
+    val rb = StatTests.srmCheck(bad, "arm", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect()
+    assert(rb.forall(_.getAs[Boolean]("srm_flag")))
+    assert(math.abs(rb.head.getAs[Double]("chi2") - 36.0) < 1e-9)
+    assert(rb.head.getAs[Double]("p_value") < 1e-6)
+    // missing arm in data is fine (counts 0); unknown arm in data fails
+    val missing = StatTests.srmCheck(
+      Seq(Tuple1("a")).toDF("arm"), "arm", Seq("a" -> 0.9, "b" -> 0.1))
+      .collect()
+    assert(missing.length == 2)
+    intercept[IllegalArgumentException] {
+      StatTests.srmCheck(Seq(Tuple1("zz")).toDF("arm"), "arm",
+        Seq("a" -> 1.0)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      StatTests.srmCheck(ok, "arm", Seq("0" -> 0.6, "1" -> 0.6))
+    }
+  }
+
+  test("groupSequentialObf: cumulative z per look, OBF boundary shape") {
+    // 5 looks, 100 users per look per arm; treated converts at 30% vs
+    // control 10% -> z grows with information, boundary shrinks
+    val data = (1 to 5).flatMap { k =>
+      (1 to 100).flatMap { i =>
+        Seq((k.toLong, 0L, if (i <= 10) 1L else 0L),
+          (k.toLong, 1L, if (i <= 30) 1L else 0L))
+      }
+    }
+    val out = StatTests.groupSequentialObf(data.toDF("look", "t", "y"),
+      "look", "t", "y").collect().sortBy(_.getLong(0))
+    assert(out.length == 5)
+    // cumulative counts accumulate exactly
+    assert(out(4).getAs[Long]("n_a") == 500L &&
+      out(4).getAs[Long]("x_b") == 150L)
+    // boundary at look k is 2.0401*sqrt(5/k): strictly decreasing to
+    // the published final critical value
+    (0 until 4).foreach(i => assert(out(i).getAs[Double]("boundary") >
+      out(i + 1).getAs[Double]("boundary")))
+    assert(math.abs(out(4).getAs[Double]("boundary") - 2.0401) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("boundary") -
+      2.0401 * math.sqrt(5.0)) < 1e-12)
+    // hand z at look 2: pooled over 200/arm
+    val (cx, tx) = (20.0, 60.0)
+    val pp = (cx + tx) / 400
+    val z2 = (tx / 200 - cx / 200) /
+      math.sqrt(pp * (1 - pp) * (2.0 / 200))
+    assert(math.abs(out(1).getAs[Double]("z") - z2) < 1e-9)
+    // a 20-point lift crosses by the final look
+    assert(out(4).getAs[Boolean]("crossed"))
+    // degenerate look (no conversions anywhere yet) -> NULL z, not crossed
+    val cold = Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 1L), (2L, 1L, 1L))
+    val oc = StatTests.groupSequentialObf(cold.toDF("look", "t", "y"),
+      "look", "t", "y").collect().sortBy(_.getLong(0))
+    assert(oc.head.isNullAt(oc.head.fieldIndex("z")) &&
+      !oc.head.getAs[Boolean]("crossed"))
+  }
 }
