@@ -4280,6 +4280,49 @@ object SparkEntry {
         .gateOrdered(col("look"))
     }),
 
+    // ---- gamma GLM: per-user spend with the constant-CV variance law ------
+    // spend is positive and right-skewed with sd ~ mean — Gamma's home
+    // turf; log link, Fisher scoring with the constant XtX information,
+    // Pearson dispersion at the reported beta
+    "q388_gamma_glm" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase" && col("value") > 0,
+            round(col("value"), 2).cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("spend"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+        .filter(col("spend") > 0)
+      LinearModel.gammaGlm(perUser, "spend", Seq("x_events"))
+        .select(col("term"), col("n"),
+          (round(col("phi"), 6) + lit(0.0)).as("phi"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
+    // ---- AIPW doubly-robust ATE: the efficient influence function --------
+    // q371's IPW leans on the propensity alone; AIPW adds per-arm
+    // outcome regressions and reweights only their residuals — right
+    // if EITHER model is right
+    "q389_aipw_ate" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      LinearModel.aipwAte(perUser, "t", "y", "x_events")
+        .select(col("n"), col("n_treated"),
+          (round(col("ate"), 6) + lit(0.0)).as("ate"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -6470,6 +6513,54 @@ object SparkEntry {
            FROM $prev, gt$i, nn)""")
     }.mkString(",\n         ")
     s"$base,\n         $iters"
+  }
+
+  /** q388 oracle: the gamma-GLM Fisher scoring replayed as chained
+    * CTEs — the poissonCtes shape with a CONSTANT information (under
+    * the log link the Fisher weight is 1, so XᵀX is computed once in
+    * `xx` and every iteration only adds a score reduce); per-row score
+    * and Pearson terms round to 12 dp before exact decimal sums,
+    * β re-rounds to 12 dp, intercept starts at round₁₂(ln ȳ). */
+  private def gammaCtes(iterations: Int): String = {
+    val spend = """sum(CASE WHEN event_type = 'purchase' AND value > 0
+             THEN CAST(round(value, 2) AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END)"""
+    val base = s"""du AS MATERIALIZED (SELECT
+             CAST($spend AS DECIMAL(18,6)) y,
+             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id
+           HAVING $spend > 0),
+         nn AS (SELECT count(*)::BIGINT n, CAST(sum(y) AS DOUBLE) sy
+           FROM du),
+         xx AS (SELECT CAST(count(*) AS DOUBLE) s00,
+             CAST(sum(x0) AS DOUBLE) s01,
+             CAST(sum(x0 * x0) AS DOUBLE) s11 FROM du),
+         dt AS (SELECT s00, s01, s11, s00 * s11 - s01 * s01 det FROM xx),
+         cb0 AS (SELECT round(ln(sy / n), 12)::DOUBLE b0, 0.0::DOUBLE b1
+           FROM nn)"""
+    def s12(expr: String) =
+      s"CAST(sum(CAST(round($expr, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    val iters = (1 to iterations).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""sc$i AS (SELECT y, x0,
+             CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
+           FROM du, $prev),
+         gt$i AS (SELECT
+             ${s12("CAST(y AS DOUBLE) / CAST(mu AS DOUBLE) - 1.0")} g0,
+             ${s12("(CAST(y AS DOUBLE) / CAST(mu AS DOUBLE) - 1.0)" +
+               " * CAST(x0 AS DOUBLE)")} g1
+           FROM sc$i),
+         cb$i AS (SELECT
+             round(b0 + (s11 * g0 - s01 * g1) / det, 12) b0,
+             round(b1 + (s00 * g1 - s01 * g0) / det, 12) b1
+           FROM $prev, gt$i, dt)"""
+    }.mkString(",\n         ")
+    // the trailing pass: means at the REPORTED β for the Pearson φ̂
+    val trail = s"""scf AS (SELECT y, x0,
+             CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
+           FROM du, cb$iterations)"""
+    s"$base,\n         $iters,\n         $trail"
   }
 
   /** q375 oracle: poissonCtes warm-up (sc5 = means at the converged
@@ -11599,6 +11690,109 @@ object SparkEntry {
              + tt * (1.421413741 + tt * (-1.453152027
              + tt * 1.061405429)))) * exp(-az * az)), 6) + 0.0 AS p_value,
            round(bx, 6) + 0.0 AS beta_covariate
+         FROM zz""",
+    // gammaCtes: constant-XtX Fisher scoring, 4 unrolled score reduces,
+    // Pearson dispersion at the converged beta (scf), closed-form 2x2 SE
+    "q388_gamma_glm" ->
+      s"""WITH ${gammaCtes(iterations = 4)},
+         ph0 AS (SELECT CAST(sum(CAST(round((CAST(y AS DOUBLE)
+                   - CAST(mu AS DOUBLE)) * (CAST(y AS DOUBLE)
+                   - CAST(mu AS DOUBLE)) / (CAST(mu AS DOUBLE)
+                   * CAST(mu AS DOUBLE)), 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) x2
+               FROM scf),
+         ph AS (SELECT x2 / (n - 2) phi FROM ph0, nn),
+         st AS (SELECT n, b0, b1, phi,
+                 sqrt(phi * s11 / det) se0,
+                 sqrt(phi * s00 / det) se1 FROM cb4, dt, nn, ph),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n, round(phi, 6) + 0.0 AS phi,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, round(phi, 6) + 0.0,
+             round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
+             round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
+    // the q371 propensity replay (binomialCtes with the parity response)
+    // + per-arm closed-form OLS outcome models from exact moments + one
+    // 12-dp psi reduce — consistent if EITHER model is right
+    "q389_aipw_ate" ->
+      s"""WITH ${binomialCtes(iterations = 4,
+          yExpr = "max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)",
+          extraCols = """,
+             max(CASE WHEN event_type = 'purchase' AND value > 80
+               THEN 1 ELSE 0 END)::BIGINT yo""")},
+         mo AS (SELECT sum(y)::BIGINT n1, (count(*) - sum(y))::BIGINT n0,
+                 CAST(sum(CASE WHEN y = 1 THEN x0
+                   ELSE CAST(0 AS DECIMAL(8,4)) END) AS DOUBLE) sx1,
+                 sum(CASE WHEN y = 1 THEN yo ELSE 0 END)::DOUBLE sy1,
+                 CAST(sum(CASE WHEN y = 1
+                   THEN CAST(yo AS DECIMAL(18,0)) * x0
+                   ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE) sxy1,
+                 CAST(sum(CASE WHEN y = 1 THEN x0 * x0
+                   ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) sxx1,
+                 CAST(sum(CASE WHEN y = 0 THEN x0
+                   ELSE CAST(0 AS DECIMAL(8,4)) END) AS DOUBLE) sx0,
+                 sum(CASE WHEN y = 0 THEN yo ELSE 0 END)::DOUBLE sy0,
+                 CAST(sum(CASE WHEN y = 0
+                   THEN CAST(yo AS DECIMAL(18,0)) * x0
+                   ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE) sxy0,
+                 CAST(sum(CASE WHEN y = 0 THEN x0 * x0
+                   ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) sxx0
+               FROM du),
+         co AS (SELECT n1, n0,
+                 round((sxy1 - sx1 * sy1 / n1)
+                   / (sxx1 - sx1 * sx1 / n1), 12) b1c,
+                 round((sxy0 - sx0 * sy0 / n0)
+                   / (sxx0 - sx0 * sx0 / n0), 12) b0c
+               FROM mo),
+         ci AS (SELECT co.n1, co.n0, b1c, b0c,
+                 round(sy1 / co.n1 - b1c * sx1 / co.n1, 12) a1c,
+                 round(sy0 / co.n0 - b0c * sx0 / co.n0, 12) a0c
+               FROM co, mo),
+         ps AS (SELECT sc5.y, sc5.yo, sc5.x0,
+                 greatest(0.01, least(0.99, CAST(mu AS DOUBLE))) e,
+                 a1c + CAST(x0 AS DOUBLE) * b1c m1,
+                 a0c + CAST(x0 AS DOUBLE) * b0c m0
+               FROM sc5, ci),
+         pz AS (SELECT (m1 - m0 + CAST(y AS DOUBLE) * (yo - m1) / e
+                 - (1.0 - CAST(y AS DOUBLE)) * (yo - m0) / (1.0 - e)) psi
+               FROM ps),
+         s1 AS (SELECT
+                 CAST(sum(CAST(round(psi, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) sp,
+                 CAST(sum(CAST(round(psi * psi, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE) sp2
+               FROM pz),
+         f AS (SELECT n, n1, round(sp / n, 12) ate, sp, sp2 FROM s1, nn, ci),
+         g AS (SELECT n, n1, ate,
+                 sqrt(greatest(sp2 - 2.0 * ate * sp + n * ate * ate, 0.0))
+                   / n se
+               FROM f),
+         zz AS (SELECT *, ate / se z, abs(ate / se) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(ate / se) / sqrt(2.0)) t
+               FROM g)
+         SELECT n, n1 AS n_treated, round(ate, 6) + 0.0 AS ate,
+           round(se, 6) + 0.0 AS se, round(z, 6) + 0.0 AS z,
+           round(least(1.0, t * (0.254829592 + t * (-0.284496736
+             + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+             * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
     // the calendar-midpoint split, exact per-user integer change sums,
     // and the closed-form Welch algebra on the per-arm changes

@@ -1257,6 +1257,160 @@ object LinearModel {
     } finally base.unpersist(false)
   }
 
+  /** Gamma GLM (log link) by Fisher scoring — the POSITIVE-CONTINUOUS
+    * outcome regression completing the GLM shelf ([[binomialGlm]] for
+    * 0/1, [[poissonGlm]]/[[negativeBinomialGlm]] for counts; spend,
+    * latency and size metrics are positive, right-skewed, and have
+    * sd ∝ mean — exactly Gamma's constant-CV variance law
+    * Var = φ·μ²): y ~ Gamma with mean exp(β₀ + βᵀx). Under the log
+    * link the Fisher weight (dμ/dη)²/V(μ) = μ²/μ² is CONSTANT, so the
+    * expected information is XᵀX/φ — computed ONCE — and each scoring
+    * step only needs the score reduce Σ(y/μ − 1)·x (φ cancels in the
+    * step). One row per term (`intercept` first): `(term, n, phi,
+    * beta, se, z, p_value)` — φ̂ is the Pearson dispersion
+    * Σ((y−μ)/μ)²/(n−p) at the reported β (evaluated by the trailing
+    * pass, the SE-at-reported-β convention), SE = √(φ̂·(XᵀX)⁻¹ⱼⱼ).
+    * NULL stats when XᵀX is singular (constant covariate) or n ≤ p;
+    * y ≤ 0 fails loudly (a Gamma response is strictly positive).
+    *
+    * Determinism contract (the [[poissonGlm]] recipe): y quantizes to
+    * DECIMAL(18,6), covariates to DECIMAL(8,4); XᵀX is an exact
+    * decimal sum; per-row means exp(η) to DECIMAL(20,12) with the
+    * fail-loud overflow count; each score and Pearson term rounds to
+    * 12 dp before its exact decimal sum; β re-rounds to 12 dp between
+    * iterations, starting from intercept = round₁₂(ln ȳ). With ONE
+    * covariate the step and SE are the closed-form 2×2 expressions a
+    * DuckDB oracle replays verbatim.
+    *
+    * Scale: ONE XᵀX reduce + one score reduce per iteration + one
+    * Pearson reduce — each partial-aggregated to O(d²) decimal sums,
+    * no shuffle beyond the single-row combine; O(d³) driver algebra. */
+  def gammaGlm(df: DataFrame, yCol: String, covariates: Seq[String],
+      iterations: Int = 4): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"gammaGlm needs 1..8 covariates, got ${covariates.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d = covariates.size
+    val terms = "intercept" +: covariates
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = df
+      .filter(col(yCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(yCol).cast("decimal(18,6)").as("__y") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def nullRows(n: Long) = terms.map(t =>
+        (t, n, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double]))
+        .toDF("term", "n", "phi", "beta", "se", "z", "p_value")
+      val dim = d + 1
+      val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      def x(i: Int): Column =
+        if (i == 0) lit(1).cast("decimal(2,0)") else col(xCols(i - 1))
+      def xD(i: Int): Column =
+        if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+      // one pass: n, Σy (exact), min y (the positivity guard), and the
+      // constant XᵀX — the Fisher information is iteration-independent
+      val aggs0 = count(lit(1)).as("__n") +: sum(col("__y")).as("__sy") +:
+        min(col("__y")).as("__ymin") +:
+        pairIdx.map { case (i, j) => sum(x(i) * x(j)).as(s"__s_${i}_$j") }
+      val r0 = base.agg(aggs0.head, aggs0.tail: _*).head()
+      val n = r0.getLong(0)
+      if (n == 0) return nullRows(0)
+      require(BigDecimal(r0.getDecimal(2)) > 0,
+        s"gammaGlm needs y > 0, got min(y) = ${r0.getDecimal(2)}")
+      val sy = BigDecimal(r0.getDecimal(1)).toDouble
+      val info = Array.ofDim[Double](dim, dim)
+      pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+        val v = if (r0.isNullAt(3 + p)) 0.0
+          else BigDecimal(r0.getDecimal(3 + p)).toDouble
+        info(i)(j) = v; info(j)(i) = v
+      }
+      if (n <= dim) return nullRows(n)
+      var beta = Array.fill(dim)(0.0)
+      beta(0) = round12(math.log(sy / n))
+      var singular = false
+      var it = 0
+      def etaOf(b: Array[Double]) =
+        covariates.indices.foldLeft(lit(b(0))) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * lit(b(i + 1))
+        }
+      while (it < iterations && !singular) {
+        val muD = exp(etaOf(beta)).cast("decimal(20,12)").cast("double")
+        val yD = col("__y").cast("double")
+        val scoreAggs = covariates.indices.map(i =>
+          sum(round((yD / muD - lit(1.0)) * xD(i + 1), 12)
+            .cast("decimal(28,12)")).as(s"__g${i + 1}")) :+
+          sum(round(yD / muD - lit(1.0), 12).cast("decimal(28,12)"))
+            .as("__g0") :+
+          sum(when(exp(etaOf(beta)).cast("decimal(20,12)").isNull, 1L)
+            .otherwise(0L)).as("__overflowed")
+        val r = base.agg(scoreAggs.head, scoreAggs.tail: _*).head()
+        require(r.getLong(d + 1) == 0L,
+          s"gammaGlm: ${r.getLong(d + 1)} row means exp(eta) overflowed " +
+            "DECIMAL(20,12) (|eta| > ~18.4) — feature-scale the covariates")
+        def dec(o: Int): Double =
+          if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+        val grad = Array.tabulate(dim)(i =>
+          if (i == 0) dec(d) else dec(i - 1))
+        val step: Option[Array[Double]] =
+          if (dim == 2) {
+            // the closed-form 2×2 solve the oracle mirrors verbatim
+            val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+            if (det <= 0) None
+            else Some(Array(
+              (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+              (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+          } else solveSpd(info.map(_.clone()), grad.clone())
+        step match {
+          case None => singular = true
+          case Some(st) =>
+            beta = beta.zip(st).map { case (b, v) => round12(b + v) }
+        }
+        it += 1
+      }
+      if (singular) return nullRows(n)
+      // trailing pass at the REPORTED β: Pearson dispersion for gamma,
+      // Σ((y−μ)/μ)² — each term 12-dp-rounded before the exact sum
+      val muF = exp(etaOf(beta)).cast("decimal(20,12)").cast("double")
+      val yD = col("__y").cast("double")
+      val x2Row = base.agg(
+        sum(round((yD - muF) * (yD - muF) / (muF * muF), 12)
+          .cast("decimal(28,12)")).as("__x2"),
+        sum(when(exp(etaOf(beta)).cast("decimal(20,12)").isNull, 1L)
+          .otherwise(0L)).as("__ovf")).head()
+      require(x2Row.getLong(1) == 0L,
+        "gammaGlm: final-pass exp(eta) overflowed DECIMAL(20,12)")
+      val phi =
+        if (x2Row.isNullAt(0)) 0.0
+        else BigDecimal(x2Row.getDecimal(0)).toDouble / (n - dim)
+      val seOpt: Seq[Option[Double]] =
+        if (dim == 2) {
+          val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+          if (det <= 0 || phi <= 0) Seq.fill(dim)(None)
+          else Seq(Some(math.sqrt(phi * info(1)(1) / det)),
+            Some(math.sqrt(phi * info(0)(0) / det)))
+        } else invertSpd(info.map(_.clone())) match {
+          case Some(inv) if phi > 0 => (0 until dim).map(i =>
+            if (inv(i)(i) > 0) Some(math.sqrt(phi * inv(i)(i))) else None)
+          case _ => Seq.fill(dim)(None)
+        }
+      terms.zipWithIndex.map { case (t, i) =>
+        val b = Some(beta(i))
+        val se = seOpt(i)
+        val z = for (bv <- b; s <- se if s > 0) yield bv / s
+        (t, n, if (phi > 0) Some(phi) else None, b, se, z,
+          z.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+      }.toDF("term", "n", "phi", "beta", "se", "z", "p_value")
+    } finally base.unpersist(false)
+  }
+
   /** Binomial (logistic) GLM by Newton–Raphson/IRLS — the plain
     * logistic regression of the GLM shelf ([[logregTrainHashed]] is the
     * HASHED-feature corpus classifier trained by SGD; this is the
@@ -1494,6 +1648,118 @@ object LinearModel {
           2.0 * graft.profile.Drift.normalSfAS(math.abs(x))))))
       .toDF("n", "n_treated", "mu_treated", "mu_control", "ate", "se",
         "z", "p_value")
+  }
+
+  /** Augmented inverse-propensity-weighted (AIPW) average treatment
+    * effect — the DOUBLY-ROBUST estimator ([[ipwAte]] leans entirely on
+    * the propensity; AIPW adds per-arm outcome regressions and stays
+    * consistent if EITHER model is right, with the propensity only
+    * reweighting the outcome-model RESIDUALS — the efficient
+    * influence-function construction):
+    * ψ = m̂₁(x) − m̂₀(x) + t·(y−m̂₁)/ê − (1−t)·(y−m̂₀)/(1−ê),
+    * ATE = ψ̄, SE = √(Σ(ψ−ψ̄)²)/n. The propensity ê is the
+    * [[binomialGlm]] logistic fit clipped to [clip, 1−clip]; the
+    * outcome models m̂ₐ are per-arm closed-form OLS on the single
+    * covariate (exactly one covariate — the closed-form/oracle
+    * surface; more covariates want [[ipwAte]] or a model join). One
+    * row: `(n, n_treated, ate, se, z, p_value)`. NULL stats when the
+    * propensity fit degenerates, an arm has < 3 units, or an outcome
+    * design is constant.
+    *
+    * Determinism contract: the [[binomialGlm]] decimal Newton replays
+    * the propensity; arm OLS coefficients come from exact long/decimal
+    * moment sums and re-round to 12 dp; per-row ψ rounds to 12 dp (ψ²
+    * to 9 dp) before exact decimal sums; the final algebra is shared
+    * driver doubles — an external engine replays fit, models, and
+    * variance bit-for-bit.
+    *
+    * Scale: the [[binomialGlm]] passes + ONE arm-moment reduce + ONE
+    * ψ reduce — nothing data-sized on the driver. */
+  def aipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
+      covariate: String, iterations: Int = 4,
+      clip: Double = 0.01): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5): $clip")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow(n: Long, nt: Long) = Seq((n, nt, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "n_treated", "ate", "se", "z", "p_value")
+    val cc = df.filter(col(treatCol).isNotNull &&
+      col(outcomeCol).isNotNull && col(covariate).isNotNull)
+    val fit = binomialGlm(cc, treatCol, Seq(covariate), iterations)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("beta"))) None
+         else Some(r.getAs[Double]("beta")))).toMap
+    val base = cc.select(col(treatCol).cast("long").as("__t"),
+      col(outcomeCol).cast("long").as("__yo"),
+      col(covariate).cast("decimal(8,4)").as("__x"))
+    if (fit.values.exists(_.isEmpty))
+      return nullRow(base.count(), -1L)
+    val (b0, b1) = (fit("intercept").get, fit(covariate).get)
+    // per-arm OLS moments in one exact reduce
+    val tD = col("__t")
+    def armAggs(t1: Boolean) = {
+      val m = if (t1) tD =!= 0 else tD === 0
+      val tag = if (t1) "1" else "0"
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"__n$tag"),
+        sum(when(m, col("__x")).otherwise(lit(0).cast("decimal(8,4)")))
+          .as(s"__sx$tag"),
+        sum(when(m, col("__yo")).otherwise(0L)).as(s"__sy$tag"),
+        sum(when(m, col("__yo").cast("decimal(18,0)") * col("__x"))
+          .otherwise(lit(0).cast("decimal(26,4)"))).as(s"__sxy$tag"),
+        sum(when(m, col("__x") * col("__x"))
+          .otherwise(lit(0).cast("decimal(16,8)"))).as(s"__sxx$tag"))
+    }
+    val mAggs = armAggs(true) ++ armAggs(false)
+    val mr = base.agg(mAggs.head, mAggs.tail: _*).head()
+    def lg(o: Int): Long = if (mr.isNullAt(o)) 0L else mr.getLong(o)
+    def dc(o: Int): Double =
+      if (mr.isNullAt(o)) 0.0 else BigDecimal(mr.getDecimal(o)).toDouble
+    val (n1, sx1, sy1, sxy1, sxx1) = (lg(0), dc(1), lg(2).toDouble,
+      dc(3), dc(4))
+    val (n0, sx0, sy0, sxy0, sxx0) = (lg(5), dc(6), lg(7).toDouble,
+      dc(8), dc(9))
+    val n = n1 + n0
+    if (n1 < 3 || n0 < 3) return nullRow(n, n1)
+    def ols(na: Long, sx: Double, sy: Double, sxy: Double,
+        sxx: Double): Option[(Double, Double)] = {
+      val den = sxx - sx * sx / na
+      if (den <= 0) None
+      else {
+        val b = round12((sxy - sx * sy / na) / den)
+        Some((round12(sy / na - b * sx / na), b))
+      }
+    }
+    val (m1, m0) = (ols(n1, sx1, sy1, sxy1, sxx1),
+      ols(n0, sx0, sy0, sxy0, sxx0))
+    if (m1.isEmpty || m0.isEmpty) return nullRow(n, n1)
+    val (a1c, b1c) = m1.get; val (a0c, b0c) = m0.get
+    val xD = col("__x").cast("double")
+    val eta = lit(b0) + xD * lit(b1)
+    // the SAME 12-dp clipped mean the propensity oracle replays
+    val e = greatest(lit(clip), least(lit(1.0 - clip),
+      round(lit(1.0) / (lit(1.0) + exp(-eta)), 12)
+        .cast("decimal(14,12)").cast("double")))
+    val tDD = col("__t").cast("double")
+    val yoD = col("__yo").cast("double")
+    val mu1 = lit(a1c) + xD * lit(b1c)
+    val mu0 = lit(a0c) + xD * lit(b0c)
+    val psi = mu1 - mu0 + tDD * (yoD - mu1) / e -
+      (lit(1.0) - tDD) * (yoD - mu0) / (lit(1.0) - e)
+    val pr = base.agg(
+        sum(round(psi, 12).cast("decimal(28,12)")).as("__sp"),
+        sum(round(psi * psi, 9).cast("decimal(28,9)")).as("__sp2"))
+      .head()
+    val sp = if (pr.isNullAt(0)) 0.0 else BigDecimal(pr.getDecimal(0)).toDouble
+    val sp2 = if (pr.isNullAt(1)) 0.0 else BigDecimal(pr.getDecimal(1)).toDouble
+    val ate = round12(sp / n)
+    val se = math.sqrt(math.max(sp2 - 2.0 * ate * sp + n * ate * ate,
+      0.0)) / n
+    val z = if (se > 0) Some(ate / se) else None
+    Seq((n, n1, Some(ate), if (se > 0) Some(se) else None, z,
+        z.map(x => math.min(1.0,
+          2.0 * graft.profile.Drift.normalSfAS(math.abs(x))))))
+      .toDF("n", "n_treated", "ate", "se", "z", "p_value")
   }
 
   /** Leave-one-out target encoding with additive smoothing — the

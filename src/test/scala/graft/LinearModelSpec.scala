@@ -691,4 +691,113 @@ class LinearModelSpec extends SparkSpecBase {
       bins = 4).collect().head
     assert(rh.isNullAt(rh.fieldIndex("hl")))
   }
+
+  test("gammaGlm: exact log-linear recovery, Pearson phi, guards") {
+    def r12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // noiseless y = exp(1 + 0.5x): scoring must land on (1, 0.5) and
+    // the Pearson dispersion collapses to ~0
+    val clean = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).flatMap(x =>
+      Seq.fill(4)((math.exp(1.0 + 0.5 * x), x)))
+    val rc = LinearModel.gammaGlm(clean.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(rc("intercept").getAs[Double]("beta") - 1.0) < 1e-5)
+    assert(math.abs(rc("x").getAs[Double]("beta") - 0.5) < 1e-5)
+    // noisy data: definitional replay of the constant-XtX scoring
+    val noisy = Seq((10.0, 0.0), (14.0, 0.0), (22.0, 1.0), (18.0, 1.0),
+      (35.0, 2.0), (28.0, 2.0), (8.0, -1.0), (11.0, -1.0))
+    val rn = LinearModel.gammaGlm(noisy.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = noisy.size
+    val (s00, s01, s11) = (n.toDouble, noisy.map(_._2).sum,
+      noisy.map(d => d._2 * d._2).sum)
+    val det = s00 * s11 - s01 * s01
+    var b = Array(r12(math.log(noisy.map(_._1).sum / n)), 0.0)
+    for (_ <- 1 to 4) {
+      var (g0, g1) = (0.0, 0.0)
+      noisy.foreach { case (y, x) =>
+        val mu = math.exp(b(0) + b(1) * x)
+        g0 += r12(y / mu - 1.0); g1 += r12((y / mu - 1.0) * x)
+      }
+      b = Array(r12(b(0) + (s11 * g0 - s01 * g1) / det),
+        r12(b(1) + (s00 * g1 - s01 * g0) / det))
+    }
+    assert(math.abs(rn("intercept").getAs[Double]("beta") - b(0)) < 1e-9)
+    assert(math.abs(rn("x").getAs[Double]("beta") - b(1)) < 1e-9)
+    val x2 = noisy.map { case (y, x) =>
+      val mu = math.exp(b(0) + b(1) * x)
+      r12((y - mu) * (y - mu) / (mu * mu))
+    }.sum
+    val phi = x2 / (n - 2)
+    assert(math.abs(rn("x").getAs[Double]("phi") - phi) < 1e-9)
+    assert(math.abs(rn("x").getAs[Double]("se") -
+      math.sqrt(phi * s00 / det)) < 1e-9)
+    // y <= 0 fails loudly; constant covariate -> singular -> NULL
+    intercept[Exception] {
+      LinearModel.gammaGlm(Seq((0.0, 1.0), (2.0, 2.0)).toDF("y", "x"),
+        "y", Seq("x")).collect()
+    }
+    val const = LinearModel.gammaGlm(
+      Seq((1.0, 3.0), (2.0, 3.0), (4.0, 3.0), (8.0, 3.0)).toDF("y", "x"),
+      "y", Seq("x")).collect().head
+    assert(const.isNullAt(const.fieldIndex("beta")))
+  }
+
+  test("aipwAte: definitional replay; outcome model absorbs confounding") {
+    def r12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the ipwAte confounded design with integer outcomes
+    val data = Seq(
+      (1L, 2.0, 1L), (1L, 2.0, 1L), (1L, 2.0, 1L), (0L, 2.0, 1L),
+      (1L, 0.0, 1L), (1L, 0.0, 0L), (0L, 0.0, 1L), (0L, 0.0, 0L),
+      (1L, -2.0, 0L), (0L, -2.0, 0L), (0L, -2.0, 0L), (0L, -2.0, 0L))
+    val rr = LinearModel.aipwAte(data.toDF("t", "x", "y"), "t", "y", "x")
+      .collect().head
+    // replay: logistic propensity (the ipwAte spec recipe)
+    val sy = data.map(_._1).sum.toDouble; val n = data.size
+    var b = Array(r12(math.log(sy / (n - sy))), 0.0)
+    for (_ <- 1 to 4) {
+      val g = Array(0.0, 0.0); val h = Array.ofDim[Double](2, 2)
+      data.foreach { case (t, x, _) =>
+        val mu = r12(1.0 / (1.0 + math.exp(-(b(0) + b(1) * x))))
+        val w = mu * (1 - mu)
+        g(0) += t - mu; g(1) += (t - mu) * x
+        h(0)(0) += r12(w); h(0)(1) += r12(w * x); h(1)(1) += r12(w * x * x)
+      }
+      val det = h(0)(0) * h(1)(1) - h(0)(1) * h(0)(1)
+      b = Array(r12(b(0) + (h(1)(1) * g(0) - h(0)(1) * g(1)) / det),
+        r12(b(1) + (h(0)(0) * g(1) - h(0)(1) * g(0)) / det))
+    }
+    def e(x: Double) = math.max(0.01, math.min(0.99,
+      r12(1.0 / (1.0 + math.exp(-(b(0) + b(1) * x))))))
+    // per-arm OLS
+    def olsArm(t1: Long): (Double, Double) = {
+      val arm = data.filter(_._1 == t1)
+      val na = arm.size
+      val sx = arm.map(_._2).sum; val syA = arm.map(_._3).sum.toDouble
+      val sxy = arm.map(d => d._3 * d._2).sum
+      val sxx = arm.map(d => d._2 * d._2).sum
+      val bb = r12((sxy - sx * syA / na) / (sxx - sx * sx / na))
+      (r12(syA / na - bb * sx / na), bb)
+    }
+    val (a1, b1) = olsArm(1L); val (a0, b0) = olsArm(0L)
+    val psis = data.map { case (t, x, y) =>
+      val m1 = a1 + b1 * x; val m0 = a0 + b0 * x
+      r12(m1 - m0 + t * (y - m1) / e(x) - (1 - t) * (y - m0) / (1 - e(x)))
+    }
+    val ate = r12(psis.sum / n)
+    assert(math.abs(rr.getAs[Double]("ate") - ate) < 1e-9,
+      s"${rr.getAs[Double]("ate")} vs $ate")
+    // no effect in any stratum: AIPW must sit near zero, closer than
+    // the confounded naive difference
+    val naive = data.filter(_._1 == 1L).map(_._3).sum / sy -
+      data.filter(_._1 == 0L).map(_._3).sum / (n - sy)
+    assert(math.abs(rr.getAs[Double]("ate")) < math.abs(naive))
+    assert(rr.getAs[Double]("se") > 0)
+    // arm with < 3 units -> NULL stats
+    val tiny = Seq((1L, 0.0, 1L), (1L, 1.0, 0L), (0L, 0.0, 1L),
+      (0L, 1.0, 0L), (0L, 2.0, 1L)).toDF("t", "x", "y")
+    val rt = LinearModel.aipwAte(tiny, "t", "y", "x").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("ate")))
+  }
 }
