@@ -4323,6 +4323,42 @@ object SparkEntry {
           (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
     }),
 
+    // ---- propensity stratification: compare like with like, then average --
+    // the transparent third leg of the causal shelf (q371 IPW, q389
+    // AIPW): rank-exact propensity quintiles, per-stratum arm-mean
+    // differences, treated-share weights
+    "q390_propensity_strata" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      LinearModel.propensityStratifiedAtt(perUser, "t", "y", "x_events")
+        .select(col("n"), col("n_treated"), col("k_strata"), col("k_used"),
+          (round(col("att"), 6) + lit(0.0)).as("att"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Kish design effect: what the q358 raking weights cost ------------
+    // deff = 1 + cv^2 of the unit weights; n_eff is what the weighted
+    // corpus is WORTH for any weighted mean — the honest price tag every
+    // reweighting scheme should publish next to its margins
+    "q391_design_effect" -> ((s, dir) => {
+      val rake = Sampling.rakeWeights(read(s, dir, "documents"), "lang",
+        "source", Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15), iterations = 5)
+      Sampling.designEffect(rake, "weight", Some("n"))
+        .select(col("n_units"),
+          (round(col("sum_w"), 6) + lit(0.0)).as("sum_w"),
+          (round(col("deff"), 6) + lit(0.0)).as("deff"),
+          (round(col("n_eff"), 6) + lit(0.0)).as("n_eff"),
+          (round(col("cv_weights"), 6) + lit(0.0)).as("cv_weights"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -11794,6 +11830,72 @@ object SparkEntry {
              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
              * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
+    // the q371 propensity replay, the q344 rank-exact cutpoint idiom on
+    // the 12-dp propensity (quintile ranks ceil(i*n/5)), per-stratum
+    // exact long sums, treated-share-weighted difference + variance
+    "q390_propensity_strata" ->
+      s"""WITH ${binomialCtes(iterations = 4,
+          yExpr = "max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)",
+          extraCols = """,
+             max(CASE WHEN event_type = 'purchase' AND value > 80
+               THEN 1 ELSE 0 END)::BIGINT yo""")},
+         ee AS (SELECT y t, yo, CAST(mu AS DOUBLE) e FROM sc5),
+         dc AS (SELECT e, count(*)::BIGINT c FROM ee GROUP BY 1),
+         cm AS (SELECT e, sum(c) OVER (ORDER BY e) hi FROM dc),
+         n2 AS (SELECT count(*)::BIGINT nq FROM ee),
+         rk AS (SELECT DISTINCT ((j * nq + 4) // 5) r
+               FROM unnest(range(1, 5)) u(j), n2),
+         cuts AS (SELECT DISTINCT min(e) cut FROM cm, rk WHERE hi >= r
+               GROUP BY r),
+         sb AS (SELECT t, yo,
+                 1 + (SELECT count(*) FROM cuts WHERE ee.e > cut) s
+               FROM ee),
+         per AS (SELECT s, sum(t)::BIGINT n1,
+                 (count(*) - sum(t))::BIGINT n0,
+                 sum(t * yo)::BIGINT sy1,
+                 sum((1 - t) * yo)::BIGINT sy0
+               FROM sb GROUP BY s),
+         nt AS (SELECT sum(n1)::BIGINT ntr FROM per),
+         us AS (SELECT * FROM per WHERE n1 > 0 AND n0 > 0),
+         t1 AS (SELECT sum(n1)::BIGINT n1u, count(*)::BIGINT ku FROM us),
+         at AS (SELECT sum((n1::DOUBLE / n1u)
+                 * (sy1::DOUBLE / n1 - sy0::DOUBLE / n0)) att
+               FROM us, t1),
+         sv AS (SELECT sqrt(sum((n1::DOUBLE / n1u) * (n1::DOUBLE / n1u)
+                 * (greatest((sy1 - sy1::DOUBLE * sy1 / n1)
+                     / (n1 - 1.0), 0.0) / n1
+                   + greatest((sy0 - sy0::DOUBLE * sy0 / n0)
+                     / (n0 - 1.0), 0.0) / n0))) sev
+               FROM us, t1),
+         zz AS (SELECT att, sev, att / sev z, abs(att / sev) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(att / sev) / sqrt(2.0)) t
+               FROM at, sv)
+         SELECT nq AS n, ntr AS n_treated, 5::BIGINT AS k_strata,
+           ku AS k_used, round(att, 6) + 0.0 AS att,
+           round(sev, 6) + 0.0 AS se, round(z, 6) + 0.0 AS z,
+           round(least(1.0, t * (0.254829592 + t * (-0.284496736
+             + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+             * exp(-az * az)), 6) + 0.0 AS p_value
+         FROM zz, n2, nt, t1""",
+    // the q358 IPF replay (rakeCtes w5), per-cell unit weight w/n, and
+    // the 12/9-dp quantized Kish sums
+    "q391_design_effect" ->
+      s"""WITH ${rakeCtes(iterations = 5,
+        Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15))},
+         wu AS (SELECT n, CAST(w AS DOUBLE) / n u FROM w5),
+         ag AS (SELECT sum(n)::BIGINT nu,
+             CAST(sum(CAST(round(n * u, 12) AS DECIMAL(28,12)))
+               AS DOUBLE) s1,
+             CAST(sum(CAST(round(n * u * u, 9) AS DECIMAL(28,9)))
+               AS DOUBLE) s2
+           FROM wu),
+         f AS (SELECT nu, s1, s2, nu * s2 / (s1 * s1) deff FROM ag)
+         SELECT nu AS n_units, round(s1, 6) + 0.0 AS sum_w,
+           round(deff, 6) + 0.0 AS deff,
+           round(s1 * s1 / s2, 6) + 0.0 AS n_eff,
+           round(sqrt(greatest(deff - 1.0, 0.0)), 6) + 0.0 AS cv_weights
+         FROM f""",
     // the calendar-midpoint split, exact per-user integer change sums,
     // and the closed-form Welch algebra on the per-arm changes
     "q384_did" ->

@@ -1762,6 +1762,102 @@ object LinearModel {
       .toDF("n", "n_treated", "ate", "se", "z", "p_value")
   }
 
+  /** Propensity-score stratification ATT — the subclassification
+    * estimator (Cochran 1968; [[ipwAte]] weights every row by 1/ê and
+    * pays for propensity tails, [[aipwAte]] needs an outcome model;
+    * stratification just COMPARES LIKE WITH LIKE inside propensity
+    * quantile strata and averages, the most transparent of the three):
+    * fit ê by [[binomialGlm]], cut the units at the rank-exact
+    * propensity quantiles (the shared distributed-cumsum cutpoints),
+    * and within each stratum s take the arm-mean difference; the
+    * effect on the treated weights strata by their treated share,
+    * ATT = Σₛ (n₁ₛ/N₁)·(ȳ₁ₛ − ȳ₀ₛ), SE² = Σₛ (n₁ₛ/N₁)²·(v₁ₛ/n₁ₛ +
+    * v₀ₛ/n₀ₛ). Strata missing an arm are EXCLUDED and N₁ renormalizes
+    * over the usable strata (the standard drop-and-renormalize
+    * convention — documented, not silent: `k_used` reports it). One
+    * row: `(n, n_treated, k_strata, k_used, att, se, z, p_value)`;
+    * NULL stats when the propensity degenerates, no stratum keeps both
+    * arms, or any usable arm cell has < 2 units (the variance needs
+    * it).
+    *
+    * Determinism contract: the [[binomialGlm]] decimal Newton replays
+    * ê; ê re-rounds to 12 dp per row; cutpoints are exact ⌈i·n/k⌉
+    * order statistics via the shared deterministic-bucket cumsum (ties
+    * at a cutpoint go LOW: stratum = 1 + #{cuts < ê}... computed as
+    * ê > cut); per-stratum sums are exact longs; the ≤ k driver fold
+    * runs in stratum order.
+    *
+    * Scale: the [[binomialGlm]] passes + one per-distinct-ê count
+    * aggregate + the shared cumsum + ONE per-stratum reduce (k-bounded
+    * collect) — no global sort, no data-sized window. */
+  def propensityStratifiedAtt(df: DataFrame, treatCol: String,
+      outcomeCol: String, covariate: String, strata: Int = 5,
+      iterations: Int = 4): DataFrame = {
+    require(strata >= 2 && strata <= 64,
+      s"strata must be in [2, 64]: $strata")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow(n: Long, nt: Long, used: Long) = Seq((n, nt,
+        strata.toLong, used, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "n_treated", "k_strata", "k_used", "att", "se", "z",
+        "p_value")
+    val cc = df.filter(col(treatCol).isNotNull &&
+      col(outcomeCol).isNotNull && col(covariate).isNotNull)
+    val fit = binomialGlm(cc, treatCol, Seq(covariate), iterations)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("beta"))) None
+         else Some(r.getAs[Double]("beta")))).toMap
+    if (fit.values.exists(_.isEmpty)) return nullRow(cc.count(), -1L, 0L)
+    val (b0, b1) = (fit("intercept").get, fit(covariate).get)
+    val base = cc.select(col(treatCol).cast("long").as("__t"),
+        col(outcomeCol).cast("long").as("__yo"),
+        col(covariate).cast("decimal(8,4)").as("__x"))
+      .withColumn("__e",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(b0) + col("__x").cast("double") * lit(b1)))), 12)
+          .cast("decimal(14,12)").cast("double"))
+    val counts = base.groupBy(col("__e")).agg(count(lit(1)).as("__c"))
+    val (n, cuts) = graft.ops.ScaleOps.rankCutpoints(counts, "__e", "__c",
+      graft.ops.ScaleOps.quantileRanks(strata))
+    if (n == 0) return nullRow(0, 0, 0)
+    val stratum = cuts.foldLeft(lit(1)) { (acc, cv) =>
+      acc + when(col("__e") > lit(cv), 1).otherwise(0)
+    }
+    val per = base.groupBy(stratum.as("__s"))
+      .agg(sum(col("__t")).as("__n1"),
+        sum(lit(1L) - col("__t")).as("__n0"),
+        sum(col("__t") * col("__yo")).as("__sy1"),
+        sum((lit(1L) - col("__t")) * col("__yo")).as("__sy0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val nt = per.map(_._2).sum
+    val usable = per.filter(p => p._2 > 0 && p._3 > 0)
+    val n1u = usable.map(_._2).sum
+    if (usable.isEmpty || n1u == 0) return nullRow(n, nt, 0L)
+    val att = usable.map { case (_, n1, n0, sy1, sy0) =>
+      (n1.toDouble / n1u) * (sy1.toDouble / n1 - sy0.toDouble / n0)
+    }.sum
+    val seOpt: Option[Double] =
+      if (usable.exists(p => p._2 < 2 || p._3 < 2)) None
+      else {
+        val v = usable.map { case (_, n1, n0, sy1, sy0) =>
+          val w = n1.toDouble / n1u
+          val v1 = (sy1 - sy1.toDouble * sy1 / n1) / (n1 - 1.0)
+          val v0 = (sy0 - sy0.toDouble * sy0 / n0) / (n0 - 1.0)
+          w * w * (math.max(v1, 0.0) / n1 + math.max(v0, 0.0) / n0)
+        }.sum
+        if (v > 0) Some(math.sqrt(v)) else None
+      }
+    val z = for (s <- seOpt if s > 0) yield att / s
+    Seq((n, nt, strata.toLong, usable.length.toLong, Some(att), seOpt, z,
+        z.map(x => math.min(1.0,
+          2.0 * graft.profile.Drift.normalSfAS(math.abs(x))))))
+      .toDF("n", "n_treated", "k_strata", "k_used", "att", "se", "z",
+        "p_value")
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * leakage-free way to hand a high-cardinality categorical to a
     * model (a plain per-category mean ENCODES each row's own label;

@@ -282,6 +282,47 @@ object Sampling {
     }.toSeq.toDF("row_key", "col_key", "n", "weight", "cell_share")
   }
 
+  /** Kish design effect of a weighting scheme — what the weights COST
+    * in effective sample size ([[rakeWeights]] buys margin alignment;
+    * this prices it: unequal weights inflate the variance of every
+    * weighted mean by deff = 1 + cv²(w), so n_eff = n/deff is what the
+    * weighted sample is WORTH): deff = n·Σcᵢwᵢ²/(Σcᵢwᵢ)² over rows that
+    * each stand for `countCol` units sharing weight `weightCol`
+    * (omit countCol for per-unit rows). One row: `(n_units, sum_w,
+    * deff, n_eff, cv_weights)`. NULL stats when the weight mass is 0.
+    *
+    * Determinism: per-row terms c·w and (c·w)·w round to 12/9 dp before
+    * exact decimal sums (the order-free float-sum recipe), so both
+    * engines agree bit-for-bit on any row order.
+    *
+    * Scale: ONE whole-table reduce — works on a k-bounded cell table
+    * ([[rakeWeights]] output) or billions of per-unit weight rows
+    * alike; O(1) driver math. */
+  def designEffect(df: DataFrame, weightCol: String,
+      countCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = countCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val w = col(weightCol).cast("double")
+    val r = df.filter(w.isNotNull && c.isNotNull && c > 0)
+      .agg(sum(c).as("__n"),
+        sum(round(c * w, 12).cast("decimal(28,12)")).as("__s1"),
+        sum(round(c * w * w, 9).cast("decimal(28,9)")).as("__s2"))
+      .head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    def nullRow = Seq((n, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+      .toDF("n_units", "sum_w", "deff", "n_eff", "cv_weights")
+    if (n == 0) return nullRow
+    val s1 = BigDecimal(r.getDecimal(1)).toDouble
+    val s2 = BigDecimal(r.getDecimal(2)).toDouble
+    if (s1 <= 0 || s2 <= 0) return nullRow
+    val deff = n * s2 / (s1 * s1)
+    Seq((n, Some(s1), Some(deff), Some(s1 * s1 / s2),
+        Some(math.sqrt(math.max(deff - 1.0, 0.0)))))
+      .toDF("n_units", "sum_w", "deff", "n_eff", "cv_weights")
+  }
+
   /** Neyman-optimal stratified sampling allocation — how to SPEND a
     * fixed row budget across strata so the stratified mean's variance is
     * minimal ([[temperatureMixture]] reshapes shares by a temperature;

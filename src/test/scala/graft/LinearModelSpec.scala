@@ -800,4 +800,45 @@ class LinearModelSpec extends SparkSpecBase {
     val rt = LinearModel.aipwAte(tiny, "t", "y", "x").collect().head
     assert(rt.isNullAt(rt.fieldIndex("ate")))
   }
+
+  test("propensityStratifiedAtt: within-stratum compare kills confounding") {
+    // 3 covariate levels, treatment rate rises with x, outcome rises
+    // with x, ZERO effect within every level; balanced inner cells so
+    // every propensity stratum keeps both arms
+    val data =
+      (1 to 12).map(i => (if (i <= 4) 1L else 0L, -1.0,
+        if (i % 2 == 0) 1L else 0L)) ++
+      (1 to 12).map(i => (if (i <= 6) 1L else 0L, 0.0,
+        if (i % 3 == 0) 1L else 0L)) ++
+      (1 to 12).map(i => (if (i <= 8) 1L else 0L, 1.0,
+        if (i % 2 == 1) 1L else 0L))
+    val r = LinearModel.propensityStratifiedAtt(
+      data.toDF("t", "x", "y"), "t", "y", "x", strata = 3)
+      .collect().head
+    assert(r.getAs[Long]("n") == 36L && r.getAs[Long]("n_treated") == 18L)
+    // with only 3 distinct propensities and 3 strata, the cutpoints
+    // land on the levels: strata == covariate levels, so the ATT is a
+    // weighted sum of EXACT within-level differences
+    val att = Seq((-1.0, 4L), (0.0, 6L), (1.0, 8L)).map { case (x, n1) =>
+      val lv = data.filter(_._2 == x)
+      val (tr, ct) = lv.partition(_._1 == 1L)
+      (n1.toDouble / 18) * (tr.map(_._3).sum.toDouble / tr.size -
+        ct.map(_._3).sum.toDouble / ct.size)
+    }.sum
+    assert(math.abs(r.getAs[Double]("att") - att) < 1e-9,
+      s"${r.getAs[Double]("att")} vs $att")
+    assert(r.getAs[Long]("k_used") == 3L)
+    assert(r.getAs[Double]("se") > 0)
+    // a stratum missing an arm drops and renormalizes (k_used < k)
+    val lop = (1 to 10).map(i => (1L, 2.0, 1L)) ++ data
+    val rl = LinearModel.propensityStratifiedAtt(
+      lop.toDF("t", "x", "y"), "t", "y", "x", strata = 4)
+      .collect().head
+    assert(rl.getAs[Long]("k_used") < 4L)
+    // degenerate response (all treated) -> propensity NULL -> NULL att
+    val deg = (1 to 8).map(i => (1L, i.toDouble, i % 2L))
+    val rd = LinearModel.propensityStratifiedAtt(
+      deg.toDF("t", "x", "y"), "t", "y", "x").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("att")))
+  }
 }

@@ -471,4 +471,33 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(big("A") == 4L && big("C") == 8L)
   }
+
+  test("designEffect: Kish deff, cell and per-unit forms agree") {
+    // equal weights cost nothing: deff 1, n_eff = n
+    val eq = Seq.fill(8)(1.5).toDF("w")
+    val re = Sampling.designEffect(eq, "w").collect().head
+    assert(math.abs(re.getAs[Double]("deff") - 1.0) < 1e-9)
+    assert(math.abs(re.getAs[Double]("n_eff") - 8.0) < 1e-9)
+    assert(math.abs(re.getAs[Double]("cv_weights")) < 1e-4)
+    // textbook: half the units at w=2, half at w=1 ->
+    // deff = n*sum(w^2)/sum(w)^2 = 4*(4+4+1+1)/36 = 10/9
+    val uneq = Seq(2.0, 2.0, 1.0, 1.0).toDF("w")
+    val ru = Sampling.designEffect(uneq, "w").collect().head
+    assert(math.abs(ru.getAs[Double]("deff") - 10.0 / 9) < 1e-9)
+    assert(math.abs(ru.getAs[Double]("n_eff") - 3.6) < 1e-9)
+    assert(math.abs(ru.getAs[Double]("cv_weights") -
+      math.sqrt(1.0 / 9)) < 1e-9)
+    // the cell form (count col) must equal the expanded per-unit form
+    val cells = Seq((3L, 2.0), (5L, 0.8)).toDF("n", "w")
+    val rc = Sampling.designEffect(cells, "w", Some("n")).collect().head
+    val flat = (Seq.fill(3)(2.0) ++ Seq.fill(5)(0.8)).toDF("w")
+    val rf = Sampling.designEffect(flat, "w").collect().head
+    assert(rc.getAs[Long]("n_units") == 8L)
+    assert(math.abs(rc.getAs[Double]("deff") -
+      rf.getAs[Double]("deff")) < 1e-9)
+    // zero/empty weight mass -> NULL stats
+    val z = Sampling.designEffect(Seq(0.0, 0.0).toDF("w"), "w")
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("deff")))
+  }
 }
