@@ -4359,6 +4359,71 @@ object SparkEntry {
           (round(col("cv_weights"), 6) + lit(0.0)).as("cv_weights"))
     }),
 
+    // ---- exponential survival regression: the parametric Cox baseline -----
+    // constant-hazard AFT on the q352 duration table via the censored-
+    // exponential = Poisson-with-exposure identity: one whole-table
+    // reduce per Newton step, no risk sets — the cheap first-pass twin
+    "q392_exponential_aft" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(floor(unix_timestamp(col("ts")) / 3600)).as("__f"),
+          max(floor(unix_timestamp(col("ts")) / 3600)).as("__l"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__hmax") - col("__l") < 24).as("censored"),
+          col("x_events"))
+      Behavior.exponentialAft(durations, "duration", "censored",
+          Seq("x_events"))
+        .select(col("term"), col("n"), col("n_events"),
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+        .gateOrdered(col("term"))
+    }),
+
+    // ---- Oaxaca-Blinder: how much of the src0-src1 length gap is tokens? --
+    // twofold decomposition of the mean n_chars gap with token count as
+    // the composition covariate — explained (composition) vs
+    // unexplained (structure) from per-group closed-form OLS
+    "q393_oaxaca" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("n_tok",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))))
+      StatTests.oaxacaBlinder(docs, "source", "src0", "src1",
+          "n_chars", "n_tok")
+        .select(col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("gap"), 6) + lit(0.0)).as("gap"),
+          (round(col("explained"), 6) + lit(0.0)).as("explained"),
+          (round(col("unexplained"), 6) + lit(0.0)).as("unexplained"),
+          (round(col("pct_explained"), 6) + lit(0.0)).as("pct_explained"))
+    }),
+
+    // ---- E-value: how strong a confounder could kill the parity RR? -------
+    // the sensitivity headline next to any observational risk ratio;
+    // parity is a true null, so the CI should cross 1 and e_value_ci = 1
+    "q394_e_value" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.eValueRR(perUser, "t", "y")
+        .select(col("n_exposed"), col("n_unexposed"),
+          (round(col("rr"), 6) + lit(0.0)).as("rr"),
+          (round(col("rr_lo"), 6) + lit(0.0)).as("rr_lo"),
+          (round(col("rr_hi"), 6) + lit(0.0)).as("rr_hi"),
+          (round(col("e_value"), 6) + lit(0.0)).as("e_value"),
+          (round(col("e_value_ci"), 6) + lit(0.0)).as("e_value_ci"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -6597,6 +6662,50 @@ object SparkEntry {
              CAST(exp(b0 + CAST(x0 AS DOUBLE) * b1) AS DECIMAL(20,12)) mu
            FROM du, cb$iterations)"""
     s"$base,\n         $iters,\n         $trail"
+  }
+
+  /** q392 oracle: the censored-exponential (Poisson-with-exposure)
+    * Newton replayed as chained CTEs — the poissonCtes shape with
+    * w = t·e^η as the per-row weight, each moment term 12-dp-rounded
+    * before its exact decimal sum; β starts at the constant-hazard MLE
+    * round₁₂(ln(Σd/Σt)); trailing no-step pass prices the SE at the
+    * reported β. */
+  private def expAftCtes(iterations: Int): String = {
+    val base = """pu AS (SELECT user_id,
+             min(floor(epoch(ts) / 3600))::BIGINT f,
+             max(floor(epoch(ts) / 3600))::BIGINT l,
+             CAST((count(*) - 66) / 10.0 AS DECIMAL(8,4)) x0
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id),
+         hz AS (SELECT max(l) hmax FROM pu),
+         du AS MATERIALIZED (SELECT (l - f)::BIGINT t,
+             (CASE WHEN hmax - l < 24 THEN 0 ELSE 1 END)::BIGINT d, x0
+           FROM pu, hz),
+         nn AS (SELECT count(*)::BIGINT n, sum(d)::BIGINT sd,
+             sum(t)::BIGINT st,
+             CAST(sum(CAST(d AS DECIMAL(12,0)) * x0) AS DOUBLE) sdx
+           FROM du),
+         cb0 AS (SELECT round(ln(CAST(sd AS DOUBLE) / st), 12)::DOUBLE b0,
+             0.0::DOUBLE b1 FROM nn)"""
+    def t12(expr: String) =
+      s"CAST(sum(CAST(round($expr, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    val w = "CAST(t AS DOUBLE) * exp(b0 + CAST(x0 AS DOUBLE) * b1)"
+    val iters = (1 to iterations + 1).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""gt$i AS (SELECT
+             ${t12(s"$w * 1.0 * 1.0")} h00,
+             ${t12(s"$w * 1.0 * CAST(x0 AS DOUBLE)")} h01,
+             ${t12(s"$w * CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE)")} h11
+           FROM du, $prev)""" +
+        (if (i > iterations) "" else s""",
+         cb$i AS (SELECT
+             round(b0 + (h11 * (sd - h00) - h01 * (sdx - h01))
+               / (h00 * h11 - h01 * h01), 12) b0,
+             round(b1 + (h00 * (sdx - h01) - h01 * (sd - h00))
+               / (h00 * h11 - h01 * h01), 12) b1
+           FROM $prev, gt$i, nn)""")
+    }.mkString(",\n         ")
+    s"$base,\n         $iters"
   }
 
   /** q375 oracle: poissonCtes warm-up (sc5 = means at the converged
@@ -11830,6 +11939,118 @@ object SparkEntry {
              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
              * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
+    // expAftCtes: 4 unrolled weighted-moment reduces (w = t*e^eta),
+    // closed-form 2x2 steps, SE from the trailing gt5 at cb4
+    "q392_exponential_aft" ->
+      s"""WITH ${expAftCtes(iterations = 4)},
+         fin AS (SELECT b0, b1, h00, h01, h11,
+                 h00 * h11 - h01 * h01 det FROM cb4, gt5),
+         st AS (SELECT n, sd, b0, b1, sqrt(h11 / det) se0,
+                 sqrt(h00 / det) se1 FROM fin, nn),
+         zz AS (SELECT *, b0 / se0 z0, b1 / se1 z1 FROM st),
+         pv AS (SELECT *, abs(z0) / sqrt(2.0) az0,
+                 1.0 / (1.0 + 0.3275911 * abs(z0) / sqrt(2.0)) t0,
+                 abs(z1) / sqrt(2.0) az1,
+                 1.0 / (1.0 + 0.3275911 * abs(z1) / sqrt(2.0)) t1 FROM zz),
+         pp AS (SELECT *,
+                 CASE WHEN z0 IS NOT NULL THEN
+                   least(1.0, t0 * (0.254829592 + t0 * (-0.284496736
+                     + t0 * (1.421413741 + t0 * (-1.453152027
+                     + t0 * 1.061405429)))) * exp(-az0 * az0)) END p0,
+                 CASE WHEN z1 IS NOT NULL THEN
+                   least(1.0, t1 * (0.254829592 + t1 * (-0.284496736
+                     + t1 * (1.421413741 + t1 * (-1.453152027
+                     + t1 * 1.061405429)))) * exp(-az1 * az1)) END p1
+               FROM pv)
+         SELECT * FROM (
+           SELECT 'intercept' AS term, n, sd AS n_events,
+             round(b0, 6) + 0.0 AS beta, round(se0, 6) + 0.0 AS se,
+             round(z0, 6) + 0.0 AS z, round(p0, 6) + 0.0 AS p_value FROM pp
+           UNION ALL SELECT 'x_events', n, sd,
+             round(b1, 6) + 0.0, round(se1, 6) + 0.0, round(z1, 6) + 0.0,
+             round(p1, 6) + 0.0
+           FROM pp)
+         ORDER BY term""",
+    // per-group exact moment sums in one conditional reduce, per-group
+    // closed-form OLS, and the twofold decomposition from B's structure
+    "q393_oaxaca" ->
+      """WITH b AS (SELECT source = 'src0' ga, n_chars,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS DECIMAL(8,4)) x0
+               FROM documents
+               WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+                 AND text IS NOT NULL),
+         mo AS (SELECT
+                 sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT na,
+                 CAST(sum(CASE WHEN ga THEN x0
+                   ELSE CAST(0 AS DECIMAL(8,4)) END) AS DOUBLE) sxa,
+                 sum(CASE WHEN ga THEN n_chars ELSE 0 END)::DOUBLE sya,
+                 CAST(sum(CASE WHEN ga
+                   THEN CAST(n_chars AS DECIMAL(18,0)) * x0
+                   ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE) sxya,
+                 CAST(sum(CASE WHEN ga THEN x0 * x0
+                   ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) sxxa,
+                 sum(CASE WHEN ga THEN 0 ELSE 1 END)::BIGINT nb,
+                 CAST(sum(CASE WHEN ga THEN CAST(0 AS DECIMAL(8,4))
+                   ELSE x0 END) AS DOUBLE) sxb,
+                 sum(CASE WHEN ga THEN 0 ELSE n_chars END)::DOUBLE syb,
+                 CAST(sum(CASE WHEN ga THEN CAST(0 AS DECIMAL(26,4))
+                   ELSE CAST(n_chars AS DECIMAL(18,0)) * x0 END)
+                   AS DOUBLE) sxyb,
+                 CAST(sum(CASE WHEN ga THEN CAST(0 AS DECIMAL(16,8))
+                   ELSE x0 * x0 END) AS DOUBLE) sxxb
+               FROM b),
+         co AS (SELECT *,
+                 (sxya - sxa * sya / na) / (sxxa - sxa * sxa / na) bba,
+                 (sxyb - sxb * syb / nb) / (sxxb - sxb * sxb / nb) bbb
+               FROM mo),
+         ci AS (SELECT *, sya / na - bba * sxa / na aa,
+                 syb / nb - bbb * sxb / nb ab FROM co),
+         f AS (SELECT na, nb, sya / na ma, syb / nb mb,
+                 sya / na - syb / nb gap,
+                 bbb * (sxa / na - sxb / nb) expl,
+                 (aa - ab) + (sxa / na) * (bba - bbb) unexpl
+               FROM ci)
+         SELECT na AS n_a, nb AS n_b, round(ma, 6) + 0.0 AS mean_a,
+           round(mb, 6) + 0.0 AS mean_b, round(gap, 6) + 0.0 AS gap,
+           round(expl, 6) + 0.0 AS explained,
+           round(unexpl, 6) + 0.0 AS unexplained,
+           CASE WHEN gap <> 0 THEN round(expl / gap, 6) + 0.0 END
+             AS pct_explained
+         FROM f""",
+    // one exact 2x2 reduce, Wald log-RR interval, and the VanderWeele-
+    // Ding transform at the point and the near-null CI bound
+    "q394_e_value" ->
+      """WITH du AS (SELECT
+                 max(CASE WHEN event_type = 'purchase' AND value > 80
+                   THEN 1 ELSE 0 END)::BIGINT y,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         ag AS (SELECT sum(t)::BIGINT n1, (count(*) - sum(t))::BIGINT n0,
+                 sum(t * y)::BIGINT a, sum((1 - t) * y)::BIGINT c
+               FROM du),
+         st AS (SELECT n1, n0,
+                 (a::DOUBLE / n1) / (c::DOUBLE / n0) rr,
+                 sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0) seln
+               FROM ag),
+         ci AS (SELECT *, exp(ln(rr) - 1.959963985 * seln) lo,
+                 exp(ln(rr) + 1.959963985 * seln) hi FROM st),
+         ev AS (SELECT *,
+                 CASE WHEN rr >= 1.0 THEN rr + sqrt(rr * (rr - 1.0))
+                   ELSE (1.0 / rr)
+                     + sqrt((1.0 / rr) * (1.0 / rr - 1.0)) END e_pt,
+                 CASE WHEN lo <= 1.0 AND hi >= 1.0 THEN 1.0
+                   WHEN rr >= 1.0 THEN lo + sqrt(lo * (lo - 1.0))
+                   ELSE (1.0 / hi)
+                     + sqrt((1.0 / hi) * (1.0 / hi - 1.0)) END e_ci
+               FROM ci)
+         SELECT n1 AS n_exposed, n0 AS n_unexposed,
+           round(rr, 6) + 0.0 AS rr, round(lo, 6) + 0.0 AS rr_lo,
+           round(hi, 6) + 0.0 AS rr_hi, round(e_pt, 6) + 0.0 AS e_value,
+           round(e_ci, 6) + 0.0 AS e_value_ci
+         FROM ev""",
     // the q371 propensity replay, the q344 rank-exact cutpoint idiom on
     // the 12-dp propensity (quintile ranks ceil(i*n/5)), per-stratum
     // exact long sums, treated-share-weighted difference + variance

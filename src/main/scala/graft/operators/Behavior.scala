@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.kernels.{FunnelAdvanceTs, FunnelDepth, FunnelDepthWithin}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1005,6 +1005,149 @@ object Behavior {
       def lng(o: Int) = if (row.isNullAt(o)) 0L else row.getLong(o)
       (types(i), tau, nTotal, lng(2 * i + 1), lng(2 * i) / 1e12)
     }.toDF("event_type", "tau", "n", "events", "cif")
+  }
+
+  /** Exponential (constant-hazard) survival regression — the PARAMETRIC
+    * baseline of the survival shelf ([[coxPH]] estimates hazard ratios
+    * against an arbitrary baseline hazard; the exponential model pins
+    * the baseline to a constant rate, which buys an absolute rate
+    * intercept, full-likelihood efficiency, and a far cheaper plan):
+    * hazard λᵢ = exp(β₀ + βᵀxᵢ), right-censored likelihood
+    * ℓ = Σ dᵢηᵢ − tᵢ·e^ηᵢ — the censored-exponential ≡ Poisson-with-
+    * exposure identity, so the fit is the [[LinearModel.poissonGlm]]
+    * Newton with the duration as exposure. One row per term
+    * (`intercept` first): `(term, n, n_events, beta, se, z, p_value)` —
+    * exp(β) is the hazard RATIO per covariate unit, exp(β₀) the
+    * baseline events-per-time-unit rate; SE from the information at
+    * the REPORTED β via the trailing no-step pass. NULL stats when
+    * there are no events, no exposure, or the information is singular.
+    *
+    * Determinism contract: durations cast to long (exact), covariates
+    * to DECIMAL(8,4); each per-row moment term t·e^η·xₖ·xₗ rounds to
+    * 12 dp before its exact decimal sum (the t12 recipe — t·e^η stays
+    * a double product, no decimal-precision blowup), Σd·xₖ is an exact
+    * decimal sum, β re-rounds to 12 dp between iterations starting
+    * from the constant-hazard MLE β₀ = round₁₂(ln(Σd/Σt)). With ONE
+    * covariate the step/SE replay as closed-form 2×2 CTEs.
+    *
+    * Scale: per iteration ONE whole-table reduce to O(d²) decimal sums
+    * — no risk sets, no per-duration table, no window: the cheap
+    * survival regression a 100 TB first pass should reach for. */
+  def exponentialAft(durations: DataFrame, durationCol: String,
+      censoredCol: String, covariates: Seq[String],
+      iterations: Int = 4): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"exponentialAft needs 1..8 covariates, got ${covariates.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d = covariates.size
+    val terms = "intercept" +: covariates
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = durations
+      .filter(col(durationCol).isNotNull && col(censoredCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(durationCol).cast("long").as("__t") +:
+        (lit(1L) - col(censoredCol).cast("long")).as("__d") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = durations.sparkSession
+      import spark.implicits._
+      def nullRows(n: Long, ne: Long) = terms.map(t =>
+        (t, n, ne, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("term", "n", "n_events", "beta", "se", "z", "p_value")
+      val yAggs = count(lit(1)).as("__n") +: sum(col("__d")).as("__sd") +:
+        sum(col("__t")).as("__st") +: min(col("__t")).as("__tmin") +:
+        covariates.indices.map(i =>
+          sum(col("__d").cast("decimal(12,0)") * col(xCols(i)))
+            .as(s"__sdx$i"))
+      val yRow = base.agg(yAggs.head, yAggs.tail: _*).head()
+      val n = yRow.getLong(0)
+      if (n == 0) return nullRows(0, 0)
+      val sd = yRow.getLong(1); val st = yRow.getLong(2)
+      require(yRow.getLong(3) >= 0L,
+        s"exponentialAft needs durations >= 0, got min ${yRow.getLong(3)}")
+      if (sd == 0 || st == 0) return nullRows(n, sd)
+      val sdx = covariates.indices.map(i =>
+        BigDecimal(yRow.getDecimal(4 + i)).toDouble)
+      val dim = d + 1
+      val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      var beta = Array.fill(dim)(0.0)
+      beta(0) = round12d(math.log(sd.toDouble / st))
+      var lastInfo: Option[Array[Array[Double]]] = None
+      var singular = false
+      var it = 0
+      // iterations stepping passes + ONE no-step pass: SE at reported β
+      while (it < iterations + 1 && !singular) {
+        val finalPass = it == iterations
+        val eta = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        }
+        val w = col("__t").cast("double") * exp(eta)
+        def xD(i: Int): Column =
+          if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+        val aggs = pairIdx.map { case (i, j) =>
+          sum(round(w * xD(i) * xD(j), 12).cast("decimal(28,12)"))
+            .as(s"__s_${i}_$j")
+        } :+ sum(when(round(w, 12).cast("decimal(28,12)").isNull &&
+            col("__t") > 0, 1L).otherwise(0L)).as("__overflowed")
+        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        require(r.getLong(pairIdx.size) == 0L,
+          s"exponentialAft: ${r.getLong(pairIdx.size)} rows t*exp(eta) " +
+            "overflowed DECIMAL(28,12) — feature-scale the covariates")
+        val s = pairIdx.indices.map(p =>
+          if (r.isNullAt(p)) 0.0 else BigDecimal(r.getDecimal(p)).toDouble)
+        val info = Array.ofDim[Double](dim, dim)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = s(p); info(j)(i) = s(p)
+        }
+        val grad = Array.tabulate(dim)(i =>
+          if (i == 0) sd - info(0)(0) else sdx(i - 1) - info(0)(i))
+        lastInfo = Some(info.map(_.clone()))
+        if (!finalPass) {
+          val step: Option[Array[Double]] =
+            if (dim == 2) {
+              // the closed-form 2×2 solve the oracle mirrors verbatim
+              val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+              if (det <= 0) None
+              else Some(Array(
+                (info(1)(1) * grad(0) - info(0)(1) * grad(1)) / det,
+                (info(0)(0) * grad(1) - info(0)(1) * grad(0)) / det))
+            } else LinearModel.solveSpd(info.map(_.clone()),
+              grad.clone())
+          step match {
+            case None => singular = true
+            case Some(stp) =>
+              beta = beta.zip(stp).map { case (b, v) => round12d(b + v) }
+          }
+        }
+        it += 1
+      }
+      val seOpt: Seq[Option[Double]] = lastInfo match {
+        case _ if singular => Seq.fill(dim)(None)
+        case Some(info) if dim == 2 =>
+          val det = info(0)(0) * info(1)(1) - info(0)(1) * info(0)(1)
+          if (det <= 0) Seq.fill(dim)(None)
+          else Seq(Some(math.sqrt(info(1)(1) / det)),
+            Some(math.sqrt(info(0)(0) / det)))
+        case Some(info) =>
+          LinearModel.invertSpd(info.map(_.clone())) match {
+            case Some(inv) => (0 until dim).map(i =>
+              if (inv(i)(i) > 0) Some(math.sqrt(inv(i)(i))) else None)
+            case None => Seq.fill(dim)(None)
+          }
+        case None => Seq.fill(dim)(None)
+      }
+      terms.zipWithIndex.map { case (t, i) =>
+        val b = if (singular) None else Some(beta(i))
+        val se = seOpt(i)
+        val z = for (bv <- b; s <- se if s > 0) yield bv / s
+        (t, n, sd, b, se, z,
+          z.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))))
+      }.toDF("term", "n", "n_events", "beta", "se", "z", "p_value")
+    } finally base.unpersist(false)
   }
 
   /** Cox proportional-hazards regression with Breslow tie handling — the

@@ -1901,7 +1901,7 @@ object LinearModel {
 
   /** Solve A·x = b for a small symmetric positive-definite A by in-place
     * Gaussian elimination with partial pivoting; None when singular. */
-  private def solveSpd(a: Array[Array[Double]],
+  private[operators] def solveSpd(a: Array[Array[Double]],
       b: Array[Double]): Option[Array[Double]] = {
     val dm = a.length
     for (c <- 0 until dm) {
@@ -1929,7 +1929,7 @@ object LinearModel {
 
   /** Invert a small symmetric positive-definite matrix column by column
     * via [[solveSpd]]; None when singular. */
-  private def invertSpd(a: Array[Array[Double]])
+  private[operators] def invertSpd(a: Array[Array[Double]])
       : Option[Array[Array[Double]]] = {
     val dm = a.length
     val cols = (0 until dm).map { j =>

@@ -306,6 +306,146 @@ object StatTests {
       "boundary", "crossed")
   }
 
+  /** Oaxaca–Blinder twofold decomposition — HOW MUCH of a group gap the
+    * covariate explains ([[diffInDiff]] nets out time, this nets out
+    * COMPOSITION: two sources can differ in mean document length simply
+    * because one carries longer-tokenized text): fit y = aᵍ + bᵍ·x per
+    * group by closed-form OLS; with group B's structure as reference,
+    * gap = ȳ_A − ȳ_B = explained + unexplained, where
+    * explained = b_B·(x̄_A − x̄_B) (the part composition accounts for)
+    * and unexplained = (a_A − a_B) + x̄_A·(b_A − b_B) (the structural
+    * part). One row: `(n_a, n_b, mean_a, mean_b, gap, explained,
+    * unexplained, pct_explained)`; NULL decomposition when either
+    * group's design is degenerate (constant x, n < 3) — pct NULL when
+    * the gap is 0.
+    *
+    * Determinism contract: y casts to long, x quantizes to
+    * DECIMAL(8,4); per-group moments are exact long/decimal sums in
+    * ONE conditional reduce; the decomposition is closed-form driver
+    * algebra both engines replay from identical sums.
+    *
+    * Scale: ONE whole-table reduce to 10 exact sums. */
+  def oaxacaBlinder(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, outcomeCol: String,
+      covariateCol: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol).cast("string")
+    val base = df.filter((g === groupA || g === groupB) &&
+        col(outcomeCol).isNotNull && col(covariateCol).isNotNull)
+      .select((g === groupA).as("__a"),
+        col(outcomeCol).cast("long").as("__y"),
+        col(covariateCol).cast("decimal(8,4)").as("__x"))
+    def armAggs(a: Boolean) = {
+      val m = if (a) col("__a") else !col("__a")
+      val tag = if (a) "a" else "b"
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"__n$tag"),
+        sum(when(m, col("__x")).otherwise(lit(0).cast("decimal(8,4)")))
+          .as(s"__sx$tag"),
+        sum(when(m, col("__y")).otherwise(0L)).as(s"__sy$tag"),
+        sum(when(m, col("__y").cast("decimal(18,0)") * col("__x"))
+          .otherwise(lit(0).cast("decimal(26,4)"))).as(s"__sxy$tag"),
+        sum(when(m, col("__x") * col("__x"))
+          .otherwise(lit(0).cast("decimal(16,8)"))).as(s"__sxx$tag"))
+    }
+    val aggs = armAggs(true) ++ armAggs(false)
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    def lg(o: Int): Long = if (r.isNullAt(o)) 0L else r.getLong(o)
+    def dc(o: Int): Double =
+      if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+    val (na, sxa, sya, sxya, sxxa) = (lg(0), dc(1), lg(2).toDouble,
+      dc(3), dc(4))
+    val (nb, sxb, syb, sxyb, sxxb) = (lg(5), dc(6), lg(7).toDouble,
+      dc(8), dc(9))
+    def nullRow = Seq((na, nb,
+        if (na > 0) Some(sya / na) else None,
+        if (nb > 0) Some(syb / nb) else None,
+        if (na > 0 && nb > 0) Some(sya / na - syb / nb) else None,
+        Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "gap", "explained",
+        "unexplained", "pct_explained")
+    if (na < 3 || nb < 3) return nullRow
+    def ols(nn: Long, sx: Double, sy: Double, sxy: Double,
+        sxx: Double): Option[(Double, Double)] = {
+      val den = sxx - sx * sx / nn
+      if (den <= 0) None
+      else {
+        val b = (sxy - sx * sy / nn) / den
+        Some((sy / nn - b * sx / nn, b))
+      }
+    }
+    (ols(na, sxa, sya, sxya, sxxa), ols(nb, sxb, syb, sxyb, sxxb)) match {
+      case (Some((aA, bA)), Some((aB, bB))) =>
+        val gap = sya / na - syb / nb
+        val explained = bB * (sxa / na - sxb / nb)
+        val unexplained = (aA - aB) + (sxa / na) * (bA - bB)
+        Seq((na, nb, Some(sya / na), Some(syb / nb), Some(gap),
+            Some(explained), Some(unexplained),
+            if (gap != 0) Some(explained / gap) else None))
+          .toDF("n_a", "n_b", "mean_a", "mean_b", "gap", "explained",
+            "unexplained", "pct_explained")
+      case _ => nullRow
+    }
+  }
+
+  /** E-value for unmeasured confounding (VanderWeele & Ding 2017) —
+    * how STRONG a lurking confounder would have to be to explain an
+    * observed risk ratio away — the modern sensitivity-analysis
+    * headline ("an unmeasured confounder associated with both exposure
+    * and outcome by RR ≥ E could nullify this"), the natural companion
+    * of the q289 risk-ratio shelf: for RR ≥ 1,
+    * E = RR + √(RR·(RR−1)); RR < 1 transforms
+    * through 1/RR first. Reported for the point estimate AND for the
+    * CI bound closer to the null (E = 1 when the CI crosses 1 — no
+    * strength needed). One row: `(n_exposed, n_unexposed, rr, rr_lo,
+    * rr_hi, e_value, e_value_ci)` with the Wald log-RR interval. NULL
+    * stats when any margin or risk is degenerate.
+    *
+    * Determinism: ONE reduce to four exact longs; closed-form doubles
+    * after (ln/exp/√ replay in oracle SQL).
+    *
+    * Scale: one whole-table reduce, O(1) driver math. */
+  def eValueRR(df: DataFrame, exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(exposureCol).cast("long")
+    val y = col(outcomeCol).cast("long")
+    val r = df.filter(t.isNotNull && y.isNotNull)
+      .agg(sum(when(t =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(t === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(t =!= 0, y).otherwise(0L)).as("a"),
+        sum(when(t === 0, y).otherwise(0L)).as("c"))
+      .head()
+    val (n1, n0) = (r.getLong(0), r.getLong(1))
+    val a = if (r.isNullAt(2)) 0L else r.getLong(2)
+    val c = if (r.isNullAt(3)) 0L else r.getLong(3)
+    def nullRow = Seq((n1, n0, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n_exposed", "n_unexposed", "rr", "rr_lo", "rr_hi",
+        "e_value", "e_value_ci")
+    if (n1 == 0 || n0 == 0 || a == 0 || c == 0 || a == n1 || c == n0)
+      return nullRow
+    val rr = (a.toDouble / n1) / (c.toDouble / n0)
+    val seLn = math.sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0)
+    val lo = math.exp(math.log(rr) - 1.959963985 * seLn)
+    val hi = math.exp(math.log(rr) + 1.959963985 * seLn)
+    def eOf(v: Double): Double = {
+      val w = if (v >= 1.0) v else 1.0 / v
+      w + math.sqrt(w * (w - 1.0))
+    }
+    // CI bound closer to the null; crossing 1 needs no confounding at all
+    val eCi =
+      if (lo <= 1.0 && hi >= 1.0) 1.0
+      else if (rr >= 1.0) eOf(lo)
+      else eOf(hi)
+    Seq((n1, n0, Some(rr), Some(lo), Some(hi), Some(eOf(rr)), Some(eCi)))
+      .toDF("n_exposed", "n_unexposed", "rr", "rr_lo", "rr_hi",
+        "e_value", "e_value_ci")
+  }
+
   /** Mixture sequential probability ratio test (mSPRT) for a two-arm
     * proportion difference — the ALWAYS-VALID p-value that lets an
     * experimenter peek continuously without inflating false positives

@@ -749,4 +749,55 @@ class BehaviorSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("quantization headroom"))
   }
+
+  test("exponentialAft: definitional Newton replay, MLE start, guards") {
+    def r12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mixed events/censoring, covariate shifts the hazard
+    val data = Seq(
+      (10L, false, 1.0), (25L, false, 1.0), (40L, true, 1.0),
+      (8L, false, 2.0), (12L, false, 2.0), (30L, true, 2.0),
+      (50L, false, 0.0), (70L, true, 0.0), (65L, false, 0.0))
+    val out = Behavior.exponentialAft(
+      data.toDF("dur", "cens", "x"), "dur", "cens", Seq("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sd = data.count(!_._2); val st = data.map(_._1).sum
+    var b = Array(r12(math.log(sd.toDouble / st)), 0.0)
+    val sdx = data.filter(!_._2).map(_._3).sum
+    for (_ <- 1 to 4) {
+      var (h00, h01, h11) = (0.0, 0.0, 0.0)
+      data.foreach { case (t, _, x) =>
+        val w = t * math.exp(b(0) + b(1) * x)
+        h00 += r12(w); h01 += r12(w * x); h11 += r12(w * x * x)
+      }
+      val det = h00 * h11 - h01 * h01
+      b = Array(r12(b(0) + (h11 * (sd - h00) - h01 * (sdx - h01)) / det),
+        r12(b(1) + (h00 * (sdx - h01) - h01 * (sd - h00)) / det))
+    }
+    assert(out("intercept").getAs[Long]("n_events") == sd.toLong)
+    assert(math.abs(out("intercept").getAs[Double]("beta") - b(0)) < 1e-9)
+    assert(math.abs(out("x").getAs[Double]("beta") - b(1)) < 1e-9)
+    // SE at the reported beta (trailing pass)
+    var (h00, h01, h11) = (0.0, 0.0, 0.0)
+    data.foreach { case (t, _, x) =>
+      val w = t * math.exp(b(0) + b(1) * x)
+      h00 += r12(w); h01 += r12(w * x); h11 += r12(w * x * x)
+    }
+    val det = h00 * h11 - h01 * h01
+    assert(math.abs(out("x").getAs[Double]("se") -
+      math.sqrt(h00 / det)) < 1e-9)
+    // more events per unit time at higher x here -> positive hazard slope
+    assert(out("x").getAs[Double]("beta") > 0)
+    // constant covariate -> singular -> NULL; no events -> NULL
+    val const = Behavior.exponentialAft(
+      Seq((5L, false, 1.0), (7L, true, 1.0), (9L, false, 1.0))
+        .toDF("dur", "cens", "x"), "dur", "cens", Seq("x"))
+      .collect().head
+    assert(const.isNullAt(const.fieldIndex("beta")))
+    val none = Behavior.exponentialAft(
+      Seq((5L, true, 1.0), (7L, true, 2.0)).toDF("dur", "cens", "x"),
+      "dur", "cens", Seq("x")).collect().head
+    assert(none.getAs[Long]("n_events") == 0L &&
+      none.isNullAt(none.fieldIndex("beta")))
+  }
 }

@@ -1993,6 +1993,70 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
+  test("oaxacaBlinder: pure composition vs pure structure") {
+    // SAME structure y = 10 + 2x in both groups, group A richer in x:
+    // the whole gap is composition -> explained = gap, unexplained ~ 0
+    val comp = Seq(("a", 14L, 2.0), ("a", 16L, 3.0), ("a", 18L, 4.0),
+      ("a", 20L, 5.0), ("b", 10L, 0.0), ("b", 12L, 1.0), ("b", 14L, 2.0),
+      ("b", 16L, 3.0))
+    val rc = StatTests.oaxacaBlinder(comp.toDF("g", "y", "x"), "g",
+      "a", "b", "y", "x").collect().head
+    assert(math.abs(rc.getAs[Double]("gap") - 4.0) < 1e-9)
+    assert(math.abs(rc.getAs[Double]("explained") - 4.0) < 1e-9)
+    assert(math.abs(rc.getAs[Double]("unexplained")) < 1e-9)
+    assert(math.abs(rc.getAs[Double]("pct_explained") - 1.0) < 1e-9)
+    // SAME x in both groups, level shift only: all structural
+    val struct = Seq(("a", 15L, 1.0), ("a", 17L, 2.0), ("a", 19L, 3.0),
+      ("b", 10L, 1.0), ("b", 12L, 2.0), ("b", 14L, 3.0))
+    val rs = StatTests.oaxacaBlinder(struct.toDF("g", "y", "x"), "g",
+      "a", "b", "y", "x").collect().head
+    assert(math.abs(rs.getAs[Double]("gap") - 5.0) < 1e-9)
+    assert(math.abs(rs.getAs[Double]("explained")) < 1e-9)
+    assert(math.abs(rs.getAs[Double]("unexplained") - 5.0) < 1e-9)
+    // degenerate group (constant x) -> NULL decomposition, means kept
+    val deg = Seq(("a", 10L, 1.0), ("a", 12L, 1.0), ("a", 14L, 1.0),
+      ("b", 10L, 0.0), ("b", 12L, 1.0), ("b", 14L, 2.0))
+    val rd = StatTests.oaxacaBlinder(deg.toDF("g", "y", "x"), "g",
+      "a", "b", "y", "x").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("explained")))
+    assert(math.abs(rd.getAs[Double]("gap")) < 1e-9)
+  }
+
+  test("eValueRR: VanderWeele-Ding transform at point and CI bound") {
+    // 30% vs 10% on 100/arm: RR 3, E = 3 + sqrt(6)
+    val d = (1 to 100).flatMap(i => Seq(
+      (1L, if (i <= 30) 1L else 0L), (0L, if (i <= 10) 1L else 0L)))
+    val r = StatTests.eValueRR(d.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("rr") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e_value") -
+      (3.0 + math.sqrt(6.0))) < 1e-12)
+    // CI excludes 1 here: e_value_ci = E(lo) with lo > 1
+    val seLn = math.sqrt(1.0 / 30 - 1.0 / 100 + 1.0 / 10 - 1.0 / 100)
+    val lo = math.exp(math.log(3.0) - 1.959963985 * seLn)
+    assert(lo > 1.0)
+    assert(math.abs(r.getAs[Double]("e_value_ci") -
+      (lo + math.sqrt(lo * (lo - 1.0)))) < 1e-12)
+    // protective exposure: RR < 1 transforms through 1/RR — the E-value
+    // is symmetric under swapping the arms
+    val p = d.map { case (t, y) => (1L - t, y) }
+    val rp = StatTests.eValueRR(p.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(math.abs(rp.getAs[Double]("rr") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(rp.getAs[Double]("e_value") -
+      r.getAs[Double]("e_value")) < 1e-12)
+    // identical arms: RR 1, both E-values 1
+    val eq = (1 to 50).flatMap(i => Seq((1L, i % 5L / 4L), (0L, i % 5L / 4L)))
+    val re = StatTests.eValueRR(eq.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(re.getAs[Double]("e_value") == 1.0 &&
+      re.getAs[Double]("e_value_ci") == 1.0)
+    // degenerate cell -> NULL
+    val z = StatTests.eValueRR(Seq((1L, 0L), (0L, 1L)).toDF("t", "y"),
+      "t", "y").collect().head
+    assert(z.isNullAt(z.fieldIndex("rr")))
+  }
+
   test("groupSequentialObf: cumulative z per look, OBF boundary shape") {
     // 5 looks, 100 users per look per arm; treated converts at 30% vs
     // control 10% -> z grows with information, boundary shrinks
