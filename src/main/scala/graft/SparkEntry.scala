@@ -4424,6 +4424,19 @@ object SparkEntry {
           (round(col("e_value_ci"), 6) + lit(0.0)).as("e_value_ci"))
     }),
 
+    // ---- 32-core of the supplier-part graph: the dense trading nucleus ----
+    // iterative peeling on the prefixed bipartite graph; the fringe
+    // (thin parts) strips away and drags weakly-attached rounds with it
+    // until every survivor keeps >= 32 in-core connections
+    "q395_kcore" -> ((s, dir) => {
+      val edges = read(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      graft.operators.GraphFeatures.kCore(edges, "src", "dst", k = 32)
+        .select(col("node"), col("degree"))
+        .gateOrdered(col("node"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -11939,6 +11952,25 @@ object SparkEntry {
              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
              * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
+    // 8 statically-unrolled MATERIALIZED peel rounds (>= the measured
+    // fixpoint depth; extra rounds are idempotent on the fixed point),
+    // then in-core degrees from the surviving subgraph
+    "q395_kcore" -> {
+      val rounds = (1 to 8).map(i =>
+        s"""a$i AS MATERIALIZED (SELECT s.a node FROM sym s
+               JOIN a${i - 1} x ON s.a = x.node
+               JOIN a${i - 1} y ON s.b = y.node
+               GROUP BY s.a HAVING count(*) >= 32)""").mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+                 's' || l_suppkey a, 'p' || l_partkey b FROM lineitem),
+         sym AS MATERIALIZED (SELECT a, b FROM e
+               UNION SELECT b, a FROM e),
+         a0 AS MATERIALIZED (SELECT DISTINCT a node FROM sym),
+         $rounds
+         SELECT s.a AS node, count(*)::BIGINT AS degree
+         FROM sym s JOIN a8 x ON s.a = x.node JOIN a8 y ON s.b = y.node
+         GROUP BY s.a ORDER BY node"""
+    },
     // expAftCtes: 4 unrolled weighted-moment reduces (w = t*e^eta),
     // closed-form 2x2 steps, SE from the trailing gt5 at cb4
     "q392_exponential_aft" ->

@@ -21,6 +21,78 @@ import org.apache.spark.sql.functions._
   */
 object GraphFeatures {
 
+  /** k-core decomposition by iterative peeling — the DENSITY filter of
+    * the graph shelf ([[coOccurrencePairs]] scores pairs,
+    * [[Components]] finds connectivity; the k-core finds the subgraph
+    * where EVERY member keeps ≥ k connections after the weakly-attached
+    * fringe is stripped — the standard "dense collusion/community
+    * nucleus" and spam-farm primitive): repeatedly drop nodes whose
+    * degree WITHIN the surviving subgraph falls below k until nothing
+    * changes. Works on bipartite data directly (prefix the two node
+    * spaces so ids cannot collide). Output: `(node, degree)` for the
+    * surviving core — every degree ≥ k by construction; empty when the
+    * graph has no k-core.
+    *
+    * Correctness: the alive set shrinks monotonically, so a round that
+    * removes nothing is THE fixpoint (count-compare suffices — no
+    * old-vs-new join); a run that hits `maxIters` without converging
+    * THROWS rather than returning a partial core.
+    *
+    * Scale (the [[Components]] loop discipline): per round ONE join of
+    * the edge list onto the alive set (both endpoints) + one keyed
+    * count — the shuffle is |surviving edges|, never all-pairs; each
+    * round localCheckpoints (or durably checkpoints with
+    * `reliable = true` on a real cluster) so plan depth stays constant,
+    * and releases the previous round's blocks. Peeling depth is the
+    * cascade length — single digits on natural graphs. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 30, reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIters >= 1 && maxIters <= 100,
+      s"maxIters must be in [1, 100]: $maxIters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else graft.ops.ScaleOps.registerInternalCheckpoint(
+        df.localCheckpoint(true))
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var alive = cut(sym.select(col("a").as("node")).distinct())
+      var prevN = alive.count()
+      var converged = prevN == 0
+      var it = 0
+      while (!converged && it < maxIters) {
+        val next = cut(
+          sym.join(alive.select(col("node").as("a")), "a")
+            .join(alive.select(col("node").as("b")), "b")
+            .groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+            .filter(col("__deg") >= k)
+            .select(col("a").as("node")))
+        val n = next.count()
+        val old = alive
+        alive = next
+        graft.ops.ScaleOps.releaseCheckpointBlocks(old)
+        if (n == prevN || n == 0) converged = true
+        prevN = n
+        it += 1
+      }
+      require(converged,
+        s"kCore did not reach a fixpoint within $maxIters rounds")
+      // final in-core degrees from the surviving subgraph; the returned
+      // plan reads the final checkpoint (the Components convention)
+      sym.join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy(col("a")).agg(count(lit(1)).as("degree"))
+        .select(col("a").as("node"), col("degree"))
+    } finally sym.unpersist(false)
+  }
+
   /** Node pairs ranked by shared neighbors, with the classic
     * link-prediction scores: `common` (co-occurrence count),
     * `adamic_adar` (Σ 1/ln(deg(shared neighbor)) — rare shared neighbors

@@ -213,4 +213,38 @@ class ComponentsSpec extends SparkSpecBase {
     assert(GraphFeatures.degreeAssortativity(star, "u", "v", directed = true)
       .collect().head.isNullAt(3))
   }
+
+  test("kCore: cascade peeling, fixpoint, empty core, guards") {
+    import graft.operators.GraphFeatures
+    // K4 clique (every degree 3) + a tail hanging off it: the tail is
+    // 1-degree, peels first, and the clique survives as the 2-core AND
+    // 3-core intact
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (s"c$a", s"c$b")
+    val tail = Seq(("c1", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val g = (k4 ++ tail).toDF("u", "v")
+    val core3 = GraphFeatures.kCore(g, "u", "v", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3.keySet == Set("c1", "c2", "c3", "c4"), s"$core3")
+    assert(core3.values.forall(_ == 3L))
+    // the 2-core also drops the whole tail (t3 deg 1 -> t2 -> t1
+    // cascades), proving multi-round peeling
+    val core2 = GraphFeatures.kCore(g, "u", "v", k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(core2 == Set("c1", "c2", "c3", "c4"))
+    // k above the max degree: empty core, empty output
+    assert(GraphFeatures.kCore(g, "u", "v", k = 5).collect().isEmpty)
+    // duplicate and reversed edges collapse; self-loops drop
+    val dup = (k4 ++ k4.map(_.swap) ++ Seq(("c1", "c1"))).toDF("u", "v")
+    val cd = GraphFeatures.kCore(dup, "u", "v", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd.keySet.size == 4 && cd.values.forall(_ == 3L))
+    // a chain needs maxIters rounds to peel end-to-end: starving the
+    // budget must throw, not return a partial core
+    val chain = (1 to 12).sliding(2).map(p => (s"n${p.head}", s"n${p(1)}"))
+      .toSeq.toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      GraphFeatures.kCore(chain, "u", "v", k = 2, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
 }
