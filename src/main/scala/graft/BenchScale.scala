@@ -104,7 +104,19 @@ object BenchScale {
     "q375_negative_binomial", "q376_hodges_lehmann",
     "q377_canonical_dedup", "q378_neyman_allocation",
     "q379_regression_ate", "q380_msprt", "q381_eb_rates", "q382_chapman",
-    "q383_qte")
+    "q383_qte",
+    // round-14 session 2: the experimentation-design one-reduce shapes
+    // (DiD, power, SRM, the K-bounded OBF looks, E-value, the
+    // agreement/calibration moment reduces), the propensity-fit
+    // composites (AIPW = GLM passes + two reduces; stratification = GLM
+    // + cutpoint cumsum + per-stratum reduce), the constant-information
+    // gamma GLM, the exposure-weighted exponential AFT, the bounded-cell
+    // Kish reduce over the IPF table, and the iterative k-core peel
+    // (per round: one edge-alive join + keyed count, cascade-bounded)
+    "q384_did", "q385_power_mde", "q386_srm", "q387_obf_sequential",
+    "q388_gamma_glm", "q389_aipw_ate", "q390_propensity_strata",
+    "q391_design_effect", "q392_exponential_aft", "q393_oaxaca",
+    "q394_e_value", "q395_kcore", "q396_deming", "q397_method_agreement")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

@@ -4437,6 +4437,105 @@ object SparkEntry {
         .gateOrdered(col("node"))
     }),
 
+    // ---- Deming regression: calibrate chars-per-doc against token count ---
+    // both measures are noisy views of document size, so OLS would
+    // attenuate the slope; lambda = 1 orthogonal regression is the
+    // instrument-calibration convention
+    "q396_deming" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("n_tok",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))))
+      StatTests.demingRegression(docs, "n_tok", "n_chars")
+        .select(col("n"),
+          (round(col("mean_x"), 6) + lit(0.0)).as("mean_x"),
+          (round(col("mean_y"), 6) + lit(0.0)).as("mean_y"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+          (round(col("pearson_r"), 6) + lit(0.0)).as("pearson_r"))
+    }),
+
+    // ---- method agreement: does 6*tokens actually measure n_chars? --------
+    // Lin's CCC (penalizes scale AND location shift where Pearson
+    // forgives both) + the Bland-Altman bias and 95% limits of agreement
+    "q397_method_agreement" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("est6",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))) * 6)
+      StatTests.methodAgreement(docs, "est6", "n_chars")
+        .select(col("n"),
+          (round(col("mean_x"), 6) + lit(0.0)).as("mean_x"),
+          (round(col("mean_y"), 6) + lit(0.0)).as("mean_y"),
+          (round(col("ccc"), 6) + lit(0.0)).as("ccc"),
+          (round(col("pearson_r"), 6) + lit(0.0)).as("pearson_r"),
+          (round(col("bias"), 6) + lit(0.0)).as("bias"),
+          (round(col("loa_lo"), 6) + lit(0.0)).as("loa_lo"),
+          (round(col("loa_hi"), 6) + lit(0.0)).as("loa_hi"))
+    }),
+
+    // ---- Page's trend: does per-user activity GROW week over week? --------
+    // the ordered-alternative twin of Friedman on complete user-week
+    // blocks; mid-ranks within each user, L weights late weeks more
+    "q398_page_trend" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).as("wk"),
+          lit(1L).as("one"))
+      StatTests.pageTrend(ev, "user_id", "wk", "one")
+        .select(col("n_items"), col("k"),
+          (round(col("l_stat"), 6) + lit(0.0)).as("l_stat"),
+          (round(col("mean_l"), 6) + lit(0.0)).as("mean_l"),
+          (round(col("var_l"), 6) + lit(0.0)).as("var_l"),
+          (round(col("z"), 6) + lit(0.0)).as("z"),
+          (round(col("p_value"), 6) + lit(0.0)).as("p_value"))
+    }),
+
+    // ---- Newcombe-Wilson CI for the parity conversion difference ----------
+    // the proportion-difference interval that behaves at boundary rates
+    // where Wald collapses; per-arm Wilson bounds squared into the diff
+    "q399_newcombe_ci" -> ((s, dir) => {
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 80, 1L).otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2 === 0).cast("long"))
+      StatTests.newcombeDiffCI(perUser, "t", "y")
+        .select(col("n_a"), col("n_b"),
+          (round(col("p_a"), 6) + lit(0.0)).as("p_a"),
+          (round(col("p_b"), 6) + lit(0.0)).as("p_b"),
+          (round(col("wilson_lo_a"), 6) + lit(0.0)).as("wilson_lo_a"),
+          (round(col("wilson_hi_a"), 6) + lit(0.0)).as("wilson_hi_a"),
+          (round(col("wilson_lo_b"), 6) + lit(0.0)).as("wilson_lo_b"),
+          (round(col("wilson_hi_b"), 6) + lit(0.0)).as("wilson_hi_b"),
+          (round(col("delta"), 6) + lit(0.0)).as("delta"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
+    // ---- survey-weighted mean: what the raked corpus actually measures ----
+    // the q358 weights put to work: Hajek mean of n_chars under the
+    // lang-margin design with the Taylor-linearized SE
+    "q400_weighted_mean" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val rake = Sampling.rakeWeights(docs, "lang", "source",
+          Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+            "zh" -> 0.15), iterations = 5)
+        .select(col("row_key"), col("col_key"), col("weight"))
+      val joined = docs.join(rake,
+        docs("lang") === rake("row_key") &&
+          docs("source") === rake("col_key"))
+      Sampling.weightedMeanSurvey(joined, "n_chars", "weight")
+        .select(col("n"),
+          (round(col("sum_w"), 6) + lit(0.0)).as("sum_w"),
+          (round(col("wmean"), 6) + lit(0.0)).as("wmean"),
+          (round(col("se"), 6) + lit(0.0)).as("se"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -11952,6 +12051,174 @@ object SparkEntry {
              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
              * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
+    // generic mid-rank Page replay: item-keyed self-join for doubled
+    // ranks (exact longs), row_number condition order, closed-form
+    // moments, one-sided reflected A&S p
+    "q398_page_trend" ->
+      """WITH pv AS (SELECT user_id it,
+                 floor(epoch(ts) / 604800)::BIGINT c, count(*)::BIGINT v
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT c)::BIGINT k FROM pv),
+         cm AS (SELECT it FROM pv GROUP BY it
+               HAVING count(*) = (SELECT k FROM kk)),
+         fl AS (SELECT pv.* FROM pv JOIN cm USING (it)),
+         ji AS (SELECT c, row_number() OVER (ORDER BY c)::BIGINT j
+               FROM (SELECT DISTINCT c FROM pv)),
+         r2 AS (SELECT a.it, a.c,
+                 2 + sum(CASE WHEN b.v < a.v THEN 2
+                   WHEN b.v = a.v THEN 1 ELSE 0 END)::BIGINT r2
+               FROM fl a JOIN fl b ON a.it = b.it AND a.c <> b.c
+               GROUP BY a.it, a.c, a.v),
+         ag AS (SELECT sum(j * r2)::BIGINT l2,
+                 count(DISTINCT it)::BIGINT nb
+               FROM r2 JOIN ji USING (c)),
+         st AS (SELECT l2 / 2.0 l, nb, k,
+                 nb * k * (k + 1.0) * (k + 1.0) / 4.0 ml,
+                 nb * k * k * (k + 1.0) * (k + 1.0) * (k - 1.0) / 144.0 vl
+               FROM ag, kk),
+         zz AS (SELECT *, (l - ml) / sqrt(vl) z FROM st),
+         sf AS (SELECT *, abs(z) / sqrt(2.0) az,
+                 1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) tt FROM zz),
+         pw AS (SELECT *, 0.5 * tt * (0.254829592 + tt * (-0.284496736
+                 + tt * (1.421413741 + tt * (-1.453152027
+                 + tt * 1.061405429)))) * exp(-az * az) half FROM sf)
+         SELECT nb AS n_items, k, round(l, 6) + 0.0 AS l_stat,
+           round(ml, 6) + 0.0 AS mean_l, round(vl, 6) + 0.0 AS var_l,
+           round(z, 6) + 0.0 AS z,
+           round(least(1.0, CASE WHEN z >= 0 THEN half
+             ELSE 1.0 - half END), 6) + 0.0 AS p_value
+         FROM pw""",
+    // one exact count reduce; per-arm Wilson score bounds; the Newcombe
+    // square-and-add difference interval
+    "q399_newcombe_ci" ->
+      """WITH du AS (SELECT
+                 max(CASE WHEN event_type = 'purchase' AND value > 80
+                   THEN 1 ELSE 0 END)::BIGINT y,
+                 (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT t
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id),
+         ag AS (SELECT sum(1 - t)::BIGINT na, sum(t)::BIGINT nb,
+                 sum((1 - t) * y)::BIGINT sa, sum(t * y)::BIGINT sb
+               FROM du),
+         zz AS (SELECT 1.959963985 zc, 1.959963985 * 1.959963985 z2),
+         wa AS (SELECT na, nb, sa, sb, zc, z2, sa::DOUBLE / na pa,
+                 (sa::DOUBLE / na + z2 / (2.0 * na)) / (1.0 + z2 / na) ca,
+                 zc * sqrt((sa::DOUBLE / na) * (1.0 - sa::DOUBLE / na)
+                   / na + z2 / (4.0 * na * na)) / (1.0 + z2 / na) ha
+               FROM ag, zz),
+         wb AS (SELECT *, sb::DOUBLE / nb pb,
+                 (sb::DOUBLE / nb + z2 / (2.0 * nb)) / (1.0 + z2 / nb) cb,
+                 zc * sqrt((sb::DOUBLE / nb) * (1.0 - sb::DOUBLE / nb)
+                   / nb + z2 / (4.0 * nb * nb)) / (1.0 + z2 / nb) hb
+               FROM wa),
+         f AS (SELECT na, nb, pa, pb, ca - ha la, ca + ha ua,
+                 cb - hb lb, cb + hb ub, pb - pa delta FROM wb)
+         SELECT na AS n_a, nb AS n_b, round(pa, 6) + 0.0 AS p_a,
+           round(pb, 6) + 0.0 AS p_b,
+           round(la, 6) + 0.0 AS wilson_lo_a,
+           round(ua, 6) + 0.0 AS wilson_hi_a,
+           round(lb, 6) + 0.0 AS wilson_lo_b,
+           round(ub, 6) + 0.0 AS wilson_hi_b,
+           round(delta, 6) + 0.0 AS delta,
+           round(delta - sqrt((pb - lb) * (pb - lb)
+             + (ua - pa) * (ua - pa)), 6) + 0.0 AS ci_lo,
+           round(delta + sqrt((ub - pb) * (ub - pb)
+             + (pa - la) * (pa - la)), 6) + 0.0 AS ci_hi
+         FROM f""",
+    // the q358 IPF replay joined back onto documents by cell, then the
+    // two-pass Hajek mean + linearized-residual reduce (ipwAte recipe)
+    "q400_weighted_mean" ->
+      s"""WITH ${rakeCtes(iterations = 5,
+        Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15))},
+         wu AS (SELECT r, c, CAST(w AS DOUBLE) / n u FROM w5),
+         j AS (SELECT d.n_chars y, wu.u w FROM documents d
+               JOIN wu ON d.lang = wu.r AND d.source = wu.c),
+         m AS (SELECT count(*)::BIGINT n,
+             CAST(sum(CAST(round(w, 12) AS DECIMAL(28,12)))
+               AS DOUBLE) sw,
+             CAST(sum(CAST(round(w * y, 12) AS DECIMAL(28,12)))
+               AS DOUBLE) swy
+           FROM j),
+         mm AS (SELECT n, sw, round(swy / sw, 12) wm FROM m),
+         v AS (SELECT CAST(sum(CAST(round((w * (y - wm))
+                 * (w * (y - wm)), 9) AS DECIMAL(28,9))) AS DOUBLE) sr
+               FROM j, mm),
+         f AS (SELECT n, sw, wm,
+                 sqrt(greatest(sr, 0.0)) / sw se FROM mm, v)
+         SELECT n, round(sw, 6) + 0.0 AS sum_w,
+           round(wm, 6) + 0.0 AS wmean, round(se, 6) + 0.0 AS se,
+           round(wm - 1.959963985 * se, 6) + 0.0 AS ci_lo,
+           round(wm + 1.959963985 * se, 6) + 0.0 AS ci_hi
+         FROM f""",
+    // six exact HUGEINT moments -> doubles -> the closed Deming root
+    // (lambda = 1), Pearson r from the same centered moments
+    "q396_deming" ->
+      """WITH b AS (SELECT n_chars y,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END x
+               FROM documents
+               WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         mo AS (SELECT count(*)::BIGINT n,
+                 CAST(sum(x::HUGEINT) AS DOUBLE) sx,
+                 CAST(sum(y::HUGEINT) AS DOUBLE) sy,
+                 CAST(sum(x::HUGEINT * x) AS DOUBLE) sxx,
+                 CAST(sum(y::HUGEINT * y) AS DOUBLE) syy,
+                 CAST(sum(x::HUGEINT * y) AS DOUBLE) sxy
+               FROM b),
+         cm AS (SELECT n, sx / n mx, sy / n my,
+                 sxx - sx * sx / n cxx, syy - sy * sy / n cyy,
+                 sxy - sx * sy / n cxy
+               FROM mo),
+         f AS (SELECT n, mx, my,
+                 CASE WHEN cxx > 0 AND cyy > 0
+                   THEN cxy / sqrt(cxx * cyy) END pr,
+                 CASE WHEN cxy <> 0 THEN
+                   ((cyy - 1.0 * cxx) + sqrt((cyy - 1.0 * cxx)
+                     * (cyy - 1.0 * cxx) + 4.0 * 1.0 * cxy * cxy))
+                   / (2.0 * cxy) END slope
+               FROM cm)
+         SELECT n, round(mx, 6) + 0.0 AS mean_x,
+           round(my, 6) + 0.0 AS mean_y, round(slope, 6) + 0.0 AS slope,
+           round(my - slope * mx, 6) + 0.0 AS intercept,
+           round(pr, 6) + 0.0 AS pearson_r
+         FROM f""",
+    // the same six moments with the 6x token estimate; population-moment
+    // CCC (Lin's form) and the sample-sd Bland-Altman limits
+    "q397_method_agreement" ->
+      """WITH b AS (SELECT n_chars y,
+                 6 * (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END) x
+               FROM documents
+               WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         mo AS (SELECT count(*)::BIGINT n,
+                 CAST(sum(x::HUGEINT) AS DOUBLE) sx,
+                 CAST(sum(y::HUGEINT) AS DOUBLE) sy,
+                 CAST(sum(x::HUGEINT * x) AS DOUBLE) sxx,
+                 CAST(sum(y::HUGEINT * y) AS DOUBLE) syy,
+                 CAST(sum(x::HUGEINT * y) AS DOUBLE) sxy
+               FROM b),
+         cm AS (SELECT n, sx / n mx, sy / n my,
+                 sxx / n - (sx / n) * (sx / n) vx,
+                 syy / n - (sy / n) * (sy / n) vy,
+                 sxy / n - (sx / n) * (sy / n) cxy,
+                 syy - 2.0 * sxy + sxx sdd, sy - sx sd2
+               FROM mo),
+         f AS (SELECT n, mx, my,
+                 CASE WHEN vx + vy + (mx - my) * (mx - my) > 0 THEN
+                   2.0 * cxy / (vx + vy + (mx - my) * (mx - my)) END ccc,
+                 CASE WHEN vx > 0 AND vy > 0
+                   THEN cxy / sqrt(vx * vy) END pr,
+                 my - mx bias,
+                 sqrt(greatest((sdd - sd2 * sd2 / n) / (n - 1.0), 0.0)) sdd2
+               FROM cm)
+         SELECT n, round(mx, 6) + 0.0 AS mean_x,
+           round(my, 6) + 0.0 AS mean_y, round(ccc, 6) + 0.0 AS ccc,
+           round(pr, 6) + 0.0 AS pearson_r, round(bias, 6) + 0.0 AS bias,
+           round(bias - 1.959963985 * sdd2, 6) + 0.0 AS loa_lo,
+           round(bias + 1.959963985 * sdd2, 6) + 0.0 AS loa_hi
+         FROM f""",
     // 8 statically-unrolled MATERIALIZED peel rounds (>= the measured
     // fixpoint depth; extra rounds are idempotent on the fixed point),
     // then in-core degrees from the surviving subgraph

@@ -323,6 +323,56 @@ object Sampling {
       .toDF("n_units", "sum_w", "deff", "n_eff", "cv_weights")
   }
 
+  /** Survey-weighted mean with the Taylor-linearized SE — the ESTIMATE
+    * the weights exist for ([[rakeWeights]] aligns the margins,
+    * [[designEffect]] prices the weights; this actually reports the
+    * reweighted metric with an honest error bar): the Hájek ratio mean
+    * ŷ = Σwᵢyᵢ/Σwᵢ and SE = √(Σ(wᵢ(yᵢ−ŷ))²)/Σwᵢ — the standard
+    * linearization of the ratio estimator (with-replacement
+    * approximation) — plus the zCrit CI. One row: `(n, sum_w, wmean,
+    * se, ci_lo, ci_hi)`; NULL stats when the weight mass is 0.
+    *
+    * Determinism contract: per-row w·y rounds to 12 dp and the
+    * residual square (w(y−ŷ))² to 9 dp before exact decimal sums; ŷ
+    * re-rounds to 12 dp between the two passes (the [[graft.operators
+    * .LinearModel.ipwAte]] recipe) — both engines replay bit-for-bit.
+    *
+    * Scale: TWO whole-table reduces (mean, then residuals) — no
+    * window, no driver state. */
+  def weightedMeanSurvey(df: DataFrame, valueCol: String,
+      weightCol: String, zCrit: Double = 1.959963985): DataFrame = {
+    require(zCrit > 0, s"zCrit must be > 0: $zCrit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(valueCol).cast("double").as("__y"),
+        col(weightCol).cast("double").as("__w"))
+    val r = base.agg(count(lit(1)).as("n"),
+        sum(round(col("__w"), 12).cast("decimal(28,12)")).as("sw"),
+        sum(round(col("__w") * col("__y"), 12).cast("decimal(28,12)"))
+          .as("swy"))
+      .head()
+    val n = r.getLong(0)
+    def nullRow = Seq((n, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "sum_w", "wmean", "se", "ci_lo", "ci_hi")
+    if (n == 0 || r.isNullAt(1)) return nullRow
+    val sw = BigDecimal(r.getDecimal(1)).toDouble
+    if (sw <= 0) return nullRow
+    val swy = BigDecimal(r.getDecimal(2)).toDouble
+    val wmean = BigDecimal(swy / sw)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val resid = col("__w") * (col("__y") - lit(wmean))
+    val v = base.agg(sum(round(resid * resid, 9).cast("decimal(28,9)"))
+      .as("sr")).head()
+    val sr = if (v.isNullAt(0)) 0.0 else BigDecimal(v.getDecimal(0)).toDouble
+    val se = math.sqrt(math.max(sr, 0.0)) / sw
+    Seq((n, Some(sw), Some(wmean), Some(se),
+        Some(wmean - zCrit * se), Some(wmean + zCrit * se)))
+      .toDF("n", "sum_w", "wmean", "se", "ci_lo", "ci_hi")
+  }
+
   /** Neyman-optimal stratified sampling allocation — how to SPEND a
     * fixed row budget across strata so the stratified mean's variance is
     * minimal ([[temperatureMixture]] reshapes shares by a temperature;

@@ -390,6 +390,256 @@ object StatTests {
     }
   }
 
+  /** Page's trend test — the ORDERED-alternative twin of Friedman
+    * ([[graft.profile.Association.friedmanTest]] asks "do the k
+    * repeated conditions differ at
+    * all"; Page asks for a MONOTONE trend along a specified condition
+    * order — week-over-week growth per user, dose response — exactly
+    * as [[jonckheereTerpstra]] sharpens Kruskal–Wallis for independent
+    * groups): within each complete block (an item observed under ALL k
+    * conditions), mid-rank the k values; L = Σⱼ j·R̄ⱼ over blocks,
+    * z = (L − μ_L)/σ_L with μ_L = b·k(k+1)²/4 and
+    * σ²_L = b·k²(k+1)²(k−1)/144, one-sided p (trend in the given
+    * ascending-condition order; ties use mid-ranks with the no-tie
+    * variance — the standard conservative approximation, documented).
+    * One row: `(n_items, k, l_stat, mean_l, var_l, z, p_value)`. NULL
+    * stats when fewer than 2 complete blocks or k < 3.
+    *
+    * Determinism contract: condition labels cast to LONG and order
+    * numerically; per-(item, condition) values aggregate to exact long
+    * sums; mid-ranks double to stay integer (R2 = 2R), so L2 = 2L is
+    * an exact long sum — no float enters before the final closed-form
+    * z.
+    *
+    * Scale: one keyed aggregation to (item, condition), one item-keyed
+    * self-join with fan-out k ≤ `maxConditions` per item (bounded, no
+    * window), one reduce. */
+  def pageTrend(df: DataFrame, itemCol: String, conditionCol: String,
+      valueCol: String, maxConditions: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pv = df.filter(col(itemCol).isNotNull &&
+        col(conditionCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(itemCol).cast("string").as("__it"),
+        col(conditionCol).cast("long").as("__c"))
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+    val conds = pv.select(col("__c")).distinct()
+      .orderBy(col("__c")).collect().map(_.getLong(0))
+    val k = conds.length
+    require(k <= maxConditions,
+      s"pageTrend: $k conditions exceed maxConditions $maxConditions")
+    def nullRow(b: Long) = Seq((b, k.toLong, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+      .toDF("n_items", "k", "l_stat", "mean_l", "var_l", "z", "p_value")
+    if (k < 3) return nullRow(0)
+    val condIdx = conds.zipWithIndex.map { case (c, i) => c -> (i + 1L) }
+    // complete blocks only: the item appears under ALL k conditions
+    val complete = pv.groupBy(col("__it"))
+      .agg(count(lit(1)).as("__kc")).filter(col("__kc") === k)
+      .select(col("__it"))
+    val full = pv.join(complete, "__it")
+    // doubled mid-ranks from the item-keyed self-join: R2 = 2R is exact
+    val a = full.select(col("__it"), col("__c"), col("__v"))
+    val b = full.select(col("__it").as("__it2"), col("__c").as("__c2"),
+      col("__v").as("__v2"))
+    val r2 = a.join(b, col("__it") === col("__it2") &&
+        col("__c") =!= col("__c2"))
+      .groupBy(col("__it"), col("__c"))
+      .agg((lit(2L) + sum(when(col("__v2") < col("__v"), 2L)
+        .when(col("__v2") === col("__v"), 1L).otherwise(0L))).as("__r2"))
+    val jIdx = typedLit(condIdx.toMap)
+    val agg = r2.agg(sum(jIdx(col("__c")) * col("__r2")).as("__l2"),
+        countDistinct(col("__it")).as("__b"))
+      .head()
+    val bN = agg.getLong(1)
+    if (bN < 2) return nullRow(bN)
+    val l = agg.getLong(0).toDouble / 2.0
+    val kD = k.toDouble
+    val meanL = bN * kD * (kD + 1) * (kD + 1) / 4.0
+    val varL = bN * kD * kD * (kD + 1) * (kD + 1) * (kD - 1) / 144.0
+    val z = (l - meanL) / math.sqrt(varL)
+    Seq((bN, k.toLong, Some(l), Some(meanL), Some(varL), Some(z),
+        Some(math.min(1.0, normalSfAS(z)))))
+      .toDF("n_items", "k", "l_stat", "mean_l", "var_l", "z", "p_value")
+  }
+
+  /** Newcombe hybrid-Wilson confidence interval for a proportion
+    * difference — the CI the Wald interval should have been (Wald
+    * collapses to zero width at p̂ ∈ {0,1} and undercovers small
+    * samples; Newcombe 1998 squares the per-arm WILSON score intervals
+    * into the difference, the method comparative-rate reports should
+    * quote): per arm the Wilson bounds
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), then for
+    * δ = p_b − p_a: lo = δ − √((p_b−l_b)² + (u_a−p_a)²),
+    * hi = δ + √((u_b−p_b)² + (p_a−l_a)²). One row: `(n_a, n_b, p_a,
+    * p_b, wilson_lo_a, wilson_hi_a, wilson_lo_b, wilson_hi_b, delta,
+    * ci_lo, ci_hi)`. NULL stats when an arm is empty. Works at the
+    * boundary rates Wald cannot handle.
+    *
+    * Determinism: ONE reduce to four exact longs; closed-form doubles
+    * both engines share.
+    *
+    * Scale: one whole-table reduce, O(1) driver math. */
+  def newcombeDiffCI(df: DataFrame, armCol: String, successCol: String,
+      zCrit: Double = 1.959963985): DataFrame = {
+    require(zCrit > 0, s"zCrit must be > 0: $zCrit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(armCol).cast("long"); val y = col(successCol).cast("long")
+    val r = df.filter(t.isNotNull && y.isNotNull)
+      .agg(sum(when(t === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(t =!= 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(t === 0, y).otherwise(0L)).as("sa"),
+        sum(when(t =!= 0, y).otherwise(0L)).as("sb"))
+      .head()
+    val (na, nb, sa, sb) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+    def nullRow = Seq((na, nb, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+      .toDF("n_a", "n_b", "p_a", "p_b", "wilson_lo_a", "wilson_hi_a",
+        "wilson_lo_b", "wilson_hi_b", "delta", "ci_lo", "ci_hi")
+    if (na == 0 || nb == 0) return nullRow
+    val z2 = zCrit * zCrit
+    def wilson(s: Long, n: Long): (Double, Double, Double) = {
+      val p = s.toDouble / n
+      val center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+      val half = zCrit * math.sqrt(p * (1.0 - p) / n +
+        z2 / (4.0 * n * n)) / (1.0 + z2 / n)
+      (p, center - half, center + half)
+    }
+    val (pA, lA, uA) = wilson(sa, na)
+    val (pB, lB, uB) = wilson(sb, nb)
+    val delta = pB - pA
+    val lo = delta - math.sqrt((pB - lB) * (pB - lB) +
+      (uA - pA) * (uA - pA))
+    val hi = delta + math.sqrt((uB - pB) * (uB - pB) +
+      (pA - lA) * (pA - lA))
+    Seq((na, nb, Some(pA), Some(pB), Some(lA), Some(uA), Some(lB),
+        Some(uB), Some(delta), Some(lo), Some(hi)))
+      .toDF("n_a", "n_b", "p_a", "p_b", "wilson_lo_a", "wilson_hi_a",
+        "wilson_lo_b", "wilson_hi_b", "delta", "ci_lo", "ci_hi")
+  }
+
+  /** Deming regression — the ERRORS-IN-BOTH-VARIABLES line (ordinary
+    * OLS assumes x is exact and attenuates the slope when x carries
+    * measurement noise; when CALIBRATING one instrument/pipeline
+    * against another, both sides are noisy and Deming splits the error
+    * by the variance ratio λ): with centered moments cxx, cyy, cxy,
+    * β = (cyy − λ·cxx + √((cyy − λ·cxx)² + 4λ·cxy²)) / (2·cxy),
+    * α = ȳ − β·x̄ (λ = 1 is orthogonal regression). One row:
+    * `(n, mean_x, mean_y, slope, intercept, pearson_r)`. NULL
+    * slope/intercept when cxy = 0 (no association — the line is
+    * degenerate), NULL r when either variance vanishes.
+    *
+    * Determinism contract: both variables cast to LONG (pre-quantize
+    * fractional measures), all six raw moments are exact long/decimal
+    * sums; the closed form is shared driver algebra.
+    *
+    * Scale: ONE whole-table reduce to six exact sums. */
+  def demingRegression(df: DataFrame, xCol: String, yCol: String,
+      lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0: $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val r = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("sxx"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("syy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("sxy"))
+      .head()
+    val n = r.getLong(0)
+    def nullRow(mx: Option[Double], my: Option[Double]) = Seq((n, mx, my,
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "mean_x", "mean_y", "slope", "intercept", "pearson_r")
+    if (n < 2) return nullRow(None, None)
+    def dec(o: Int): Double = BigDecimal(r.getDecimal(o)).toDouble
+    val (sx, sy, sxx, syy, sxy) = (dec(1), dec(2), dec(3), dec(4), dec(5))
+    val nD = n.toDouble
+    val cxx = sxx - sx * sx / nD
+    val cyy = syy - sy * sy / nD
+    val cxy = sxy - sx * sy / nD
+    val mx = sx / nD; val my = sy / nD
+    val rOpt = if (cxx > 0 && cyy > 0)
+      Some(cxy / math.sqrt(cxx * cyy)) else None
+    if (cxy == 0) return Seq((n, Some(mx), Some(my),
+        Option.empty[Double], Option.empty[Double], rOpt))
+      .toDF("n", "mean_x", "mean_y", "slope", "intercept", "pearson_r")
+    val d = cyy - lambda * cxx
+    val slope = (d + math.sqrt(d * d + 4.0 * lambda * cxy * cxy)) /
+      (2.0 * cxy)
+    Seq((n, Some(mx), Some(my), Some(slope), Some(my - slope * mx), rOpt))
+      .toDF("n", "mean_x", "mean_y", "slope", "intercept", "pearson_r")
+  }
+
+  /** Method-agreement summary: Lin's concordance correlation + the
+    * Bland–Altman limits — do two pipelines measuring the SAME quantity
+    * actually agree ([[demingRegression]] fits the calibration line;
+    * this scores agreement with the identity line and brackets the
+    * per-row disagreement): CCC = 2·σxy / (σxx + σyy + (x̄−ȳ)²) with
+    * POPULATION (1/n) moments — Lin's original form, penalizing both
+    * scale and location shift where Pearson's r forgives them — and
+    * bias = ȳ−x̄ with the 95% limits of agreement bias ± 1.96·sd(d)
+    * (sample sd of the paired differences). One row: `(n, mean_x,
+    * mean_y, ccc, pearson_r, bias, loa_lo, loa_hi)`. NULL ccc/r when
+    * the denominators vanish, NULL limits when n < 2.
+    *
+    * Determinism contract: LONG-cast inputs, six exact moment sums,
+    * shared closed-form driver algebra (the [[demingRegression]]
+    * reduce — one scan serves both when composed).
+    *
+    * Scale: ONE whole-table reduce to six exact sums. */
+  def methodAgreement(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val r = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("sxx"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("syy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("sxy"))
+      .head()
+    val n = r.getLong(0)
+    def nullAll = Seq((n, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+      .toDF("n", "mean_x", "mean_y", "ccc", "pearson_r", "bias",
+        "loa_lo", "loa_hi")
+    if (n < 2) return nullAll
+    def dec(o: Int): Double = BigDecimal(r.getDecimal(o)).toDouble
+    val (sx, sy, sxx, syy, sxy) = (dec(1), dec(2), dec(3), dec(4), dec(5))
+    val nD = n.toDouble
+    val mx = sx / nD; val my = sy / nD
+    // population (1/n) moments — Lin's original CCC convention
+    val vx = sxx / nD - mx * mx
+    val vy = syy / nD - my * my
+    val cxy = sxy / nD - mx * my
+    val cccDen = vx + vy + (mx - my) * (mx - my)
+    val ccc = if (cccDen > 0) Some(2.0 * cxy / cccDen) else None
+    val rP = if (vx > 0 && vy > 0) Some(cxy / math.sqrt(vx * vy)) else None
+    val bias = my - mx
+    // sample variance of the paired differences from the same moments
+    val sdd = syy - 2.0 * sxy + sxx
+    val sd2 = sy - sx
+    val varD = (sdd - sd2 * sd2 / nD) / (nD - 1.0)
+    val sdD = math.sqrt(math.max(varD, 0.0))
+    Seq((n, Some(mx), Some(my), ccc, rP, Some(bias),
+        Some(bias - 1.959963985 * sdD), Some(bias + 1.959963985 * sdD)))
+      .toDF("n", "mean_x", "mean_y", "ccc", "pearson_r", "bias",
+        "loa_lo", "loa_hi")
+  }
+
   /** E-value for unmeasured confounding (VanderWeele & Ding 2017) —
     * how STRONG a lurking confounder would have to be to explain an
     * observed risk ratio away — the modern sensitivity-analysis

@@ -2057,6 +2057,166 @@ class DriftSpec extends SparkSpecBase {
     assert(z.isNullAt(z.fieldIndex("rr")))
   }
 
+  test("pageTrend: monotone blocks max out L; null trend centers it") {
+    // 10 users, 4 weeks, strictly increasing per-user activity: every
+    // block ranks 1..4 in order, L = b * sum(j * j) = 10 * 30 = 300 —
+    // the maximum possible
+    val up = for { u <- 1 to 10; w <- 1 to 4 } yield (s"u$u", w.toLong, w.toLong)
+    val ru = StatTests.pageTrend(up.toDF("it", "wk", "v"), "it", "wk", "v")
+      .collect().head
+    assert(ru.getAs[Long]("n_items") == 10L && ru.getAs[Long]("k") == 4L)
+    assert(ru.getAs[Double]("l_stat") == 300.0)
+    assert(ru.getAs[Double]("mean_l") == 10 * 4 * 25 / 4.0)
+    assert(ru.getAs[Double]("z") > 0 && ru.getAs[Double]("p_value") < 0.01)
+    // reversed trend: L minimal, z < 0, one-sided p near 1
+    val down = up.map { case (u, w, _) => (u, w, 5L - w) }
+    val rd = StatTests.pageTrend(down.toDF("it", "wk", "v"), "it", "wk", "v")
+      .collect().head
+    assert(rd.getAs[Double]("z") < 0 && rd.getAs[Double]("p_value") > 0.99)
+    // all-tied blocks: every mid-rank is (k+1)/2, L = mean_l exactly
+    val flat = for { u <- 1 to 6; w <- 1 to 4 } yield (s"u$u", w.toLong, 7L)
+    val rf = StatTests.pageTrend(flat.toDF("it", "wk", "v"), "it", "wk", "v")
+      .collect().head
+    assert(rf.getAs[Double]("l_stat") == rf.getAs[Double]("mean_l"))
+    // incomplete blocks drop: a user missing week 4 must not count
+    val mixed = up ++ Seq(("ux", 1L, 9L), ("ux", 2L, 9L), ("ux", 3L, 9L))
+    val rm = StatTests.pageTrend(mixed.toDF("it", "wk", "v"), "it", "wk", "v")
+      .collect().head
+    assert(rm.getAs[Long]("n_items") == 10L)
+    // k < 3 -> NULL
+    val two = for { u <- 1 to 5; w <- 1 to 2 } yield (s"u$u", w.toLong, w.toLong)
+    val r2 = StatTests.pageTrend(two.toDF("it", "wk", "v"), "it", "wk", "v")
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("l_stat")))
+  }
+
+  test("newcombeDiffCI: Wilson bounds, boundary sanity, hand replay") {
+    // 20/100 vs 30/100
+    val d = (1 to 100).flatMap(i => Seq(
+      (0L, if (i <= 20) 1L else 0L), (1L, if (i <= 30) 1L else 0L)))
+    val r = StatTests.newcombeDiffCI(d.toDF("t", "y"), "t", "y")
+      .collect().head
+    val z = 1.959963985; val z2 = z * z
+    def wilson(s: Double, n: Double) = {
+      val p = s / n
+      val c = (p + z2 / (2 * n)) / (1 + z2 / n)
+      val h = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+      (p, c - h, c + h)
+    }
+    val (pa, la, ua) = wilson(20, 100); val (pb, lb, ub) = wilson(30, 100)
+    assert(math.abs(r.getAs[Double]("wilson_lo_a") - la) < 1e-12)
+    assert(math.abs(r.getAs[Double]("wilson_hi_b") - ub) < 1e-12)
+    val lo = (pb - pa) - math.sqrt((pb - lb) * (pb - lb) + (ua - pa) * (ua - pa))
+    val hi = (pb - pa) + math.sqrt((ub - pb) * (ub - pb) + (pa - la) * (pa - la))
+    assert(math.abs(r.getAs[Double]("ci_lo") - lo) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_hi") - hi) < 1e-12)
+    // the interval contains the point difference and has positive width
+    assert(lo < 0.1 && hi > 0.1)
+    // boundary rate 0%: Wald would collapse to zero width; Wilson lower
+    // bound is 0-ish but the upper bound stays strictly positive
+    val zero = (1 to 50).flatMap(i => Seq((0L, 0L),
+      (1L, if (i <= 10) 1L else 0L)))
+    val rz = StatTests.newcombeDiffCI(zero.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(rz.getAs[Double]("p_a") == 0.0)
+    assert(rz.getAs[Double]("wilson_hi_a") > 0.0)
+    assert(rz.getAs[Double]("ci_lo") < rz.getAs[Double]("delta"))
+    // empty arm -> NULL
+    val r0 = StatTests.newcombeDiffCI(Seq((1L, 1L)).toDF("t", "y"),
+      "t", "y").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("p_a")))
+  }
+
+  test("weightedMeanSurvey: Hajek mean, linearized SE, guards") {
+    // uniform weights reduce to the plain mean; linearized SE matches
+    // the population-moment sd/sqrt-ish identity computed by hand
+    val d = Seq((10L, 1.0), (20L, 1.0), (30L, 1.0), (40L, 1.0))
+    val r = Sampling.weightedMeanSurvey(d.toDF("y", "w"), "y", "w")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("wmean") - 25.0) < 1e-9)
+    val sr = Seq(10.0, 20.0, 30.0, 40.0).map(y => (y - 25) * (y - 25)).sum
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(sr) / 4.0) < 1e-9)
+    // upweighting the large values pulls the mean up
+    val up = Seq((10L, 1.0), (20L, 1.0), (30L, 3.0), (40L, 3.0))
+    val ru = Sampling.weightedMeanSurvey(up.toDF("y", "w"), "y", "w")
+      .collect().head
+    assert(ru.getAs[Double]("wmean") > 25.0)
+    // hand Hajek: (10 + 20 + 90 + 120) / 8 = 30
+    assert(math.abs(ru.getAs[Double]("wmean") - 30.0) < 1e-9)
+    // CI brackets the estimate symmetrically
+    assert(math.abs((ru.getAs[Double]("ci_hi") + ru.getAs[Double]("ci_lo"))
+      / 2 - ru.getAs[Double]("wmean")) < 1e-9)
+    // zero/negative weights drop; all-zero mass -> NULL
+    val z = Sampling.weightedMeanSurvey(
+      Seq((10L, 0.0), (20L, -1.0)).toDF("y", "w"), "y", "w")
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("wmean")))
+  }
+
+  test("demingRegression: exact line, symmetry, attenuation resistance") {
+    // perfect y = 2x + 3: the orthogonal fit recovers it exactly
+    val line = (1 to 10).map(i => (i.toLong, 2L * i + 3))
+    val rl = StatTests.demingRegression(line.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(rl.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(rl.getAs[Double]("intercept") - 3.0) < 1e-12)
+    assert(math.abs(rl.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    // lambda = 1 orthogonal regression is symmetric: slope(y~x) =
+    // 1/slope(x~y) — OLS famously is NOT
+    val noisy = Seq((1L, 5L), (2L, 4L), (3L, 9L), (4L, 7L), (5L, 12L),
+      (6L, 10L), (7L, 16L), (8L, 13L))
+    val fwd = StatTests.demingRegression(noisy.toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("slope")
+    val bwd = StatTests.demingRegression(noisy.toDF("x", "y"), "y", "x")
+      .collect().head.getAs[Double]("slope")
+    assert(math.abs(fwd - 1.0 / bwd) < 1e-9, s"$fwd vs 1/$bwd")
+    // and it sits ABOVE the attenuated OLS slope for noisy-x data
+    val n = noisy.size.toDouble
+    val sx = noisy.map(_._1).sum.toDouble; val sy = noisy.map(_._2).sum.toDouble
+    val cxx = noisy.map(d => d._1 * d._1).sum - sx * sx / n
+    val cxy = noisy.map(d => d._1 * d._2).sum - sx * sy / n
+    assert(fwd > cxy / cxx)
+    // independent x/y (cxy = 0): NULL slope
+    val ind = Seq((1L, 1L), (1L, -1L), (-1L, 1L), (-1L, -1L))
+    val ri = StatTests.demingRegression(ind.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(ri.isNullAt(ri.fieldIndex("slope")))
+  }
+
+  test("methodAgreement: CCC penalizes shift and scale; Bland-Altman") {
+    // identical measurements: perfect agreement on every axis
+    val same = (1 to 10).map(i => (i.toLong, i.toLong))
+    val rs = StatTests.methodAgreement(same.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(rs.getAs[Double]("ccc") - 1.0) < 1e-12)
+    assert(math.abs(rs.getAs[Double]("bias")) < 1e-12)
+    assert(math.abs(rs.getAs[Double]("loa_lo")) < 1e-12 &&
+      math.abs(rs.getAs[Double]("loa_hi")) < 1e-12)
+    // constant shift y = x + 5: Pearson forgives (r = 1), CCC does not;
+    // the differences are constant, so the limits collapse onto the bias
+    val shift = (1 to 10).map(i => (i.toLong, i + 5L))
+    val rh = StatTests.methodAgreement(shift.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(rh.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    val vx = (1 to 10).map(i => i * i).sum / 10.0 - 5.5 * 5.5
+    val cccExp = 2.0 * vx / (2.0 * vx + 25.0)
+    assert(math.abs(rh.getAs[Double]("ccc") - cccExp) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("bias") - 5.0) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("loa_lo") - 5.0) < 1e-12)
+    // scale disagreement y = 2x: r stays 1, CCC drops below 1, and the
+    // limits of agreement widen around the mean bias
+    val scale = (1 to 10).map(i => (i.toLong, 2L * i))
+    val rc = StatTests.methodAgreement(scale.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(rc.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    assert(rc.getAs[Double]("ccc") < 1.0)
+    assert(rc.getAs[Double]("loa_hi") - rc.getAs[Double]("loa_lo") > 1.0)
+    // n < 2 -> NULL everything
+    val r0 = StatTests.methodAgreement(Seq((1L, 1L)).toDF("x", "y"),
+      "x", "y").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("ccc")))
+  }
+
   test("groupSequentialObf: cumulative z per look, OBF boundary shape") {
     // 5 looks, 100 users per look per arm; treated converts at 30% vs
     // control 10% -> z grows with information, boundary shrinks
