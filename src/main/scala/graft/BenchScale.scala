@@ -116,7 +116,10 @@ object BenchScale {
     "q384_did", "q385_power_mde", "q386_srm", "q387_obf_sequential",
     "q388_gamma_glm", "q389_aipw_ate", "q390_propensity_strata",
     "q391_design_effect", "q392_exponential_aft", "q393_oaxaca",
-    "q394_e_value", "q395_kcore", "q396_deming", "q397_method_agreement")
+    "q394_e_value", "q395_kcore", "q396_deming", "q397_method_agreement",
+    // the k-bounded item-keyed self-join (Page), the one-reduce
+    // Newcombe, and the rake-join + two-pass Hajek mean
+    "q398_page_trend", "q399_newcombe_ci", "q400_weighted_mean")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation

@@ -4536,6 +4536,41 @@ object SparkEntry {
           (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
     }),
 
+    // ---- Weibull AFT: the non-constant-hazard contract (q369 pattern) -----
+    // 3-parameter (mu, beta, ln sigma) Newton cannot replay as closed
+    // CTEs, but its fixed point CAN be pinned: score-at-reported-theta
+    // vanishes, SEs positive, theta finite; anchors recomputed
+    "q401_weibull_aft" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventsSource.read(s, s"$dir/events.parquet")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(floor(unix_timestamp(col("ts")) / 3600)).as("__f"),
+          max(floor(unix_timestamp(col("ts")) / 3600)).as("__l"),
+          ((count(lit(1)) - 66) / 10.0).as("x_events"))
+      val horizon = perUser.agg(max(col("__l")).as("__hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__hmax") - col("__l") < 24).as("censored"),
+          col("x_events"))
+        .filter(col("duration") >= 1)
+      val rows = Behavior.weibullAft(durations, "duration", "censored",
+        Seq("x_events")).collect()
+      rows.map { r =>
+        val ne = r.getLong(2)
+        val converged = !r.isNullAt(r.fieldIndex("grad")) && ne > 0 &&
+          math.abs(r.getAs[Double]("grad")) / ne < 1e-6
+        val sePos = !r.isNullAt(r.fieldIndex("se")) &&
+          r.getAs[Double]("se") > 0
+        val thetaFin = !r.isNullAt(r.fieldIndex("beta")) &&
+          java.lang.Double.isFinite(r.getAs[Double]("beta"))
+        (r.getString(0), r.getLong(1), ne, converged, sePos, thetaFin)
+      }.toSeq
+        .toDF("term", "n", "n_events", "converged", "se_positive",
+          "theta_finite")
+        .gateOrdered(col("term"))
+    }),
+
     // ---- Welch's ANOVA: doc length across languages, unequal variances ----
     // the heteroscedastic twin of the plain one-way F (language slices
     // rarely share a variance); Welch-Satterthwaite df2
@@ -12051,6 +12086,24 @@ object SparkEntry {
              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
              * exp(-az * az)), 6) + 0.0 AS p_value
          FROM zz""",
+    // the q369 anchor recipe: recompute (n, n_events) over the
+    // positive-duration subjects from the parquet, pin the booleans
+    "q401_weibull_aft" ->
+      """WITH pu AS (SELECT user_id,
+                  min(floor(epoch(ts) / 3600))::BIGINT f,
+                  max(floor(epoch(ts) / 3600))::BIGINT l
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1),
+         hz AS (SELECT max(l) hm FROM pu),
+         du AS (SELECT l - f t,
+                 CASE WHEN (hm - l) < 24 THEN 0 ELSE 1 END ev
+               FROM pu, hz),
+         fl AS (SELECT * FROM du WHERE t >= 1),
+         nn AS (SELECT count(*)::BIGINT n, sum(ev)::BIGINT ne FROM fl)
+         SELECT c AS term, n, ne AS n_events, true AS converged,
+           true AS se_positive, true AS theta_finite
+         FROM nn, (VALUES ('intercept'), ('ln_scale'), ('x_events')) t(c)
+         ORDER BY term""",
     // generic mid-rank Page replay: item-keyed self-join for doubled
     // ranks (exact longs), row_number condition order, closed-form
     // moments, one-sided reflected A&S p

@@ -1150,6 +1150,210 @@ object Behavior {
     } finally base.unpersist(false)
   }
 
+  /** Weibull accelerated-failure-time regression — the NON-constant-
+    * hazard parametric survival model completing the shelf
+    * ([[exponentialAft]] pins the hazard flat; Weibull lets it rise or
+    * fall as a power of time, and its AFT reading says each covariate
+    * unit STRETCHES survival time by e^β — the natural churn/failure
+    * model when risk wears in or wears out): ln T = μ + βᵀx + σ·W with
+    * W standard Gumbel(min); right-censored log-likelihood
+    * ℓ = Σ d(−s + z) − e^z at z = (ln t − μ − βᵀx)/σ, s = ln σ.
+    * Levenberg-damped Newton ascent in (μ, β, s) — steps solve
+    * (I + λ·diag I)·δ = g and are accepted only when ℓ improves (raw
+    * Newton on the observed information diverges under heavy
+    * censoring; the damping collapses to pure Newton near the optimum)
+    * — up to `iterations` accepted steps from the event-only moment
+    * warm start (μ₀ = mean ln t over events, s₀ from their spread via
+    * Gumbel's σ√6/π, slopes 0), stopping early at max|g| ≤ 1e-8·n_events. One row per term
+    * (`intercept`, covariates, then `ln_scale`): `(term, n, n_events,
+    * beta, se, z, p_value, grad)` — SE from the observed information at
+    * the REPORTED θ via the trailing no-step pass, and `grad` the score
+    * at that θ: the replayable Newton FIXED-POINT CONTRACT
+    * (|grad|/n_events ≈ 0 — the q369 convention for dimensions an
+    * external engine cannot re-solve). NULL stats when the information
+    * goes singular or there are no events. Durations must be > 0 (the
+    * log needs it) — zero/negative rows fail loudly.
+    *
+    * Determinism contract: durations cast to long, covariates to
+    * DECIMAL(8,4); every per-row gradient/Hessian term rounds to 12 dp
+    * before its exact decimal sum; θ re-rounds to 12 dp between
+    * iterations. The d×d solve is in-place Gaussian elimination —
+    * value-level oracle replay is NOT attempted; the oracle pins the
+    * gradient contract and recomputed anchors instead.
+    *
+    * Scale: per accepted step ONE score/information reduce plus one
+    * ℓ-only reduce per damping trial (single-digit trials in practice)
+    * — every pass a whole-table partial aggregation to O(d²) decimal
+    * sums; no risk sets, no window. */
+  def weibullAft(durations: DataFrame, durationCol: String,
+      censoredCol: String, covariates: Seq[String],
+      iterations: Int = 40): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 6,
+      s"weibullAft needs 1..6 covariates, got ${covariates.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d = covariates.size
+    val terms = ("intercept" +: covariates) :+ "ln_scale"
+    val xCols = covariates.indices.map(i => s"__x$i")
+    val base = durations
+      .filter(col(durationCol).isNotNull && col(censoredCol).isNotNull &&
+        covariates.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(durationCol).cast("long").as("__t") +:
+        (lit(1L) - col(censoredCol).cast("long")).as("__d") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = durations.sparkSession
+      import spark.implicits._
+      val dim = d + 2 // mu, betas, s = ln sigma
+      def nullRows(n: Long, ne: Long) = terms.map(t =>
+        (t, n, ne, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double]))
+        .toDF("term", "n", "n_events", "beta", "se", "z", "p_value",
+          "grad")
+      // positivity guard + event-moment warm start (exact sums of
+      // 12-dp-quantized ln t over events)
+      val lnT = log(col("__t").cast("double"))
+      val w0 = base.agg(count(lit(1)).as("__n"), sum(col("__d")).as("__sd"),
+          min(col("__t")).as("__tmin"),
+          sum(when(col("__d") === 1, round(lnT, 12))
+            .otherwise(0.0).cast("decimal(28,12)")).as("__sl"),
+          sum(when(col("__d") === 1, round(lnT * lnT, 9))
+            .otherwise(0.0).cast("decimal(28,9)")).as("__sll"))
+        .head()
+      val n = w0.getLong(0)
+      if (n == 0) return nullRows(0, 0)
+      require(w0.getLong(2) > 0L,
+        s"weibullAft needs durations > 0, got min ${w0.getLong(2)}")
+      val ne = w0.getLong(1)
+      if (ne < 2) return nullRows(n, ne)
+      val sl = BigDecimal(w0.getDecimal(3)).toDouble
+      val sll = BigDecimal(w0.getDecimal(4)).toDouble
+      val mu0 = sl / ne
+      val varLn = math.max((sll - sl * sl / ne) / (ne - 1.0), 1e-4)
+      // Gumbel residual: sd(ln T) = sigma * pi / sqrt(6)
+      val s0 = 0.5 * math.log(varLn * 6.0 / (math.Pi * math.Pi))
+      var theta = Array.fill(dim)(0.0)
+      theta(0) = round12d(mu0)
+      theta(dim - 1) = round12d(s0)
+      val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      val dD = col("__d").cast("double")
+      def xD(i: Int): Column =
+        if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+      def t12(c: Column, scale: Int = 12) =
+        sum(round(c, scale).cast(s"decimal(28,$scale)"))
+      def zCol(th: Array[Double]): (Column, Double) = {
+        val sig = math.exp(th(dim - 1))
+        val eta = covariates.indices.foldLeft(lit(th(0))) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * lit(th(i + 1))
+        }
+        ((lnT - eta) / lit(sig), sig)
+      }
+      // one pass: log-likelihood only (the damped-step acceptance test)
+      def llAt(th: Array[Double]): Double = {
+        val (z, _) = zCol(th)
+        val r = base.agg(t12(dD * (lit(-th(dim - 1)) + z) - exp(z))
+          .as("__ll")).head()
+        if (r.isNullAt(0)) Double.NegativeInfinity
+        else BigDecimal(r.getDecimal(0)).toDouble
+      }
+      // one pass: gradient + observed information (+ ℓ) at θ
+      def scoreAt(th: Array[Double])
+          : (Array[Double], Array[Array[Double]], Double) = {
+        val (z, sig) = zCol(th)
+        val e = exp(z)
+        // gradient: location block (e − d)/σ·xᵢ, scale −d + z(e − d)
+        val gAggs = (0 to d).map(i =>
+          t12((e - dD) / lit(sig) * xD(i)).as(s"__g$i")) :+
+          t12(-dD + z * (e - dD)).as(s"__g${d + 1}")
+        // observed information (−Hessian): location block e·xᵢxⱼ/σ²,
+        // cross (z·e + e − d)·xᵢ/σ, scale z(e−d) + z²·e
+        val hAggs = pairIdx.map { case (i, j) =>
+          val term: Column =
+            if (i < dim - 1 && j < dim - 1)
+              e * xD(i) * xD(j) / lit(sig * sig)
+            else if (i < dim - 1)
+              (z * e + e - dD) * xD(i) / lit(sig)
+            else z * (e - dD) + z * z * e
+          t12(term).as(s"__h_${i}_$j")
+        }
+        val llAgg = t12(dD * (lit(-th(dim - 1)) + z) - exp(z)).as("__ll")
+        val aggs = (gAggs ++ hAggs) :+ llAgg
+        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        def dec(o: Int): Double =
+          if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+        val grad = Array.tabulate(dim)(i => dec(i))
+        val info = Array.ofDim[Double](dim, dim)
+        pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
+          info(i)(j) = dec(dim + p); info(j)(i) = info(i)(j)
+        }
+        (grad, info, dec(dim + pairIdx.size))
+      }
+      // Levenberg-damped Newton ascent: raw Newton on the observed
+      // information DIVERGES under heavy censoring (the quadratic model
+      // is poor far from the optimum and nothing checks ascent — the
+      // measured failure mode on the events table); ridging the
+      // information by λ·diag and accepting a step ONLY when ℓ improves
+      // is the classic fix, fully deterministic, and collapses to pure
+      // Newton (λ → 0) near the optimum where convergence is quadratic
+      var (grad, info, ll) = scoreAt(theta)
+      var lambda = 1e-3
+      var it = 0
+      var stalled = false
+      while (it < iterations && !stalled &&
+          grad.map(math.abs).max > 1e-8 * ne) {
+        var accepted = false
+        var tries = 0
+        while (!accepted && tries < 30) {
+          val ridged = Array.tabulate(dim, dim)((i, j) =>
+            if (i == j) info(i)(j) +
+              lambda * math.max(info(i)(i), 1e-8)
+            else info(i)(j))
+          LinearModel.solveSpd(ridged, grad.clone()) match {
+            case None => lambda *= 8
+            case Some(st) =>
+              val cand = theta.zip(st).map { case (b, v) =>
+                round12d(b + v) }
+              val llc = llAt(cand)
+              if (java.lang.Double.isFinite(llc) && llc > ll) {
+                theta = cand
+                lambda = math.max(lambda / 4, 1e-10)
+                accepted = true
+              } else lambda *= 8
+          }
+          tries += 1
+        }
+        if (!accepted) stalled = true
+        else {
+          val next = scoreAt(theta)
+          grad = next._1; info = next._2; ll = next._3
+        }
+        it += 1
+      }
+      val singular = false
+      val lastInfo = Some(info)
+      val lastGrad = Some(grad)
+      val seOpt: Seq[Option[Double]] =
+        if (singular) Seq.fill(dim)(None)
+        else lastInfo.flatMap(LinearModel.invertSpd) match {
+          case Some(inv) => (0 until dim).map(i =>
+            if (inv(i)(i) > 0) Some(math.sqrt(inv(i)(i))) else None)
+          case None => Seq.fill(dim)(None)
+        }
+      terms.zipWithIndex.map { case (t, i) =>
+        val b = if (singular) None else Some(theta(i))
+        val se = seOpt(i)
+        val zS = for (bv <- b; s <- se if s > 0) yield bv / s
+        (t, n, ne, b, se, zS,
+          zS.map(x => math.min(1.0,
+            2.0 * graft.profile.Drift.normalSfAS(math.abs(x)))),
+          if (singular) None else lastGrad.map(_(i)))
+      }.toDF("term", "n", "n_events", "beta", "se", "z", "p_value",
+        "grad")
+    } finally base.unpersist(false)
+  }
+
   /** Cox proportional-hazards regression with Breslow tie handling — the
     * covariate-adjusted member of the survival shelf ([[kmCurve]] draws
     * one curve, [[logRankTest]] compares two groups; Cox answers "how

@@ -750,6 +750,56 @@ class BehaviorSpec extends SparkSpecBase {
     assert(e.getMessage.contains("quantization headroom"))
   }
 
+  test("weibullAft: planted AFT recovery, censoring, contract, guards") {
+    // plant ln T = 5 + 0.8x + 0.5*Gumbel(min) on a deterministic
+    // quantile grid (u = (i-0.5)/n per x level): the damped Newton must
+    // recover (mu, beta, ln sigma) near the plant with tiny gradient
+    val data = for {
+      x <- Seq(-1.0, 0.0, 1.0, 2.0)
+      i <- 1 to 25
+    } yield {
+      val u = (i - 0.5) / 25.0
+      val lnT = 5.0 + 0.8 * x + 0.5 * math.log(-math.log(1.0 - u))
+      (math.max(1L, math.round(math.exp(lnT))), false, x)
+    }
+    val out = Behavior.weibullAft(data.toDF("dur", "cens", "x"),
+      "dur", "cens", Seq("x")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("intercept").getAs[Long]("n_events") == 100L)
+    assert(math.abs(out("intercept").getAs[Double]("beta") - 5.0) < 0.2)
+    assert(math.abs(out("x").getAs[Double]("beta") - 0.8) < 0.15)
+    assert(math.abs(out("ln_scale").getAs[Double]("beta") -
+      math.log(0.5)) < 0.25)
+    // the fixed-point contract: score at the reported theta ~ 0
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("grad")) / 100.0 < 1e-6, s"$r")
+      assert(r.getAs[Double]("se") > 0)
+    }
+    // censoring shifts the fit: censor the top half of each level's
+    // grid at its observed time — the fit must still converge with
+    // positive SEs and the same contract
+    val cens = data.zipWithIndex.map { case ((t, _, x), i) =>
+      (t, i % 2 == 0, x) }
+    val oc = Behavior.weibullAft(cens.toDF("dur", "cens", "x"),
+      "dur", "cens", Seq("x")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(oc("intercept").getAs[Long]("n_events") == 50L)
+    oc.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("grad")) / 50.0 < 1e-6)
+      assert(r.getAs[Double]("se") > 0)
+    }
+    // durations must be positive; too few events -> NULL stats
+    intercept[IllegalArgumentException] {
+      Behavior.weibullAft(Seq((0L, false, 1.0), (5L, false, 2.0))
+        .toDF("dur", "cens", "x"), "dur", "cens", Seq("x")).collect()
+    }
+    val few = Behavior.weibullAft(
+      Seq((5L, true, 1.0), (7L, false, 2.0), (9L, true, 0.0))
+        .toDF("dur", "cens", "x"), "dur", "cens", Seq("x"))
+      .collect().head
+    assert(few.isNullAt(few.fieldIndex("beta")))
+  }
+
   test("exponentialAft: definitional Newton replay, MLE start, guards") {
     def r12(v: Double) =
       BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
