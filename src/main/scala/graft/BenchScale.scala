@@ -119,7 +119,10 @@ object BenchScale {
     "q394_e_value", "q395_kcore", "q396_deming", "q397_method_agreement",
     // the k-bounded item-keyed self-join (Page), the one-reduce
     // Newcombe, and the rake-join + two-pass Hajek mean
-    "q398_page_trend", "q399_newcombe_ci", "q400_weighted_mean")
+    "q398_page_trend", "q399_newcombe_ci", "q400_weighted_mean",
+    // the damped-Newton Weibull AFT: ~all cost is the per-step score
+    // reduce + per-trial ll reduces — pass count, not data volume
+    "q401_weibull_aft")
 
   /** Queries whose super-linear sf1 cost is the cost of a SUPER-LINEAR
     * RESULT on this derived set, not a plan cliff: the 10× derivation
