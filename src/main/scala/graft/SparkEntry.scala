@@ -4558,12 +4558,18 @@ object SparkEntry {
         Seq("x_events")).collect()
       rows.map { r =>
         val ne = r.getLong(2)
-        val converged = !r.isNullAt(r.fieldIndex("grad")) && ne > 0 &&
-          math.abs(r.getAs[Double]("grad")) / ne < 1e-6
-        val sePos = !r.isNullAt(r.fieldIndex("se")) &&
-          r.getAs[Double]("se") > 0
-        val thetaFin = !r.isNullAt(r.fieldIndex("beta")) &&
-          java.lang.Double.isFinite(r.getAs[Double]("beta"))
+        // ne < 2 is the operator's DOCUMENTED degenerate path (weibullAft
+        // returns all-NULL rows — one event cannot identify two shape
+        // parameters); the contract booleans are vacuously true there so
+        // the fixed-point assertion only bites where a fit is claimed
+        val degenerate = ne < 2
+        val converged = degenerate ||
+          (!r.isNullAt(r.fieldIndex("grad")) && ne > 0 &&
+            math.abs(r.getAs[Double]("grad")) / ne < 1e-6)
+        val sePos = degenerate || (!r.isNullAt(r.fieldIndex("se")) &&
+          r.getAs[Double]("se") > 0)
+        val thetaFin = degenerate || (!r.isNullAt(r.fieldIndex("beta")) &&
+          java.lang.Double.isFinite(r.getAs[Double]("beta")))
         (r.getString(0), r.getLong(1), ne, converged, sePos, thetaFin)
       }.toSeq
         .toDF("term", "n", "n_events", "converged", "se_positive",

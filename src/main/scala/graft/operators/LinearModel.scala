@@ -1776,9 +1776,10 @@ object LinearModel {
     * over the usable strata (the standard drop-and-renormalize
     * convention — documented, not silent: `k_used` reports it). One
     * row: `(n, n_treated, k_strata, k_used, att, se, z, p_value)`;
-    * NULL stats when the propensity degenerates, no stratum keeps both
-    * arms, or any usable arm cell has < 2 units (the variance needs
-    * it).
+    * NULL stats when the propensity degenerates or no stratum keeps
+    * both arms. A singleton arm cell (n < 2) contributes ZERO variance
+    * for that side (its sample variance is undefined; both engines
+    * share the convention), and z/p are NULL when the SE lands on 0.
     *
     * Determinism contract: the [[binomialGlm]] decimal Newton replays
     * ê; ê re-rounds to 12 dp per row; cutpoints are exact ⌈i·n/k⌉
@@ -1839,17 +1840,19 @@ object LinearModel {
     val att = usable.map { case (_, n1, n0, sy1, sy0) =>
       (n1.toDouble / n1u) * (sy1.toDouble / n1 - sy0.toDouble / n0)
     }.sum
-    val seOpt: Option[Double] =
-      if (usable.exists(p => p._2 < 2 || p._3 < 2)) None
-      else {
-        val v = usable.map { case (_, n1, n0, sy1, sy0) =>
-          val w = n1.toDouble / n1u
-          val v1 = (sy1 - sy1.toDouble * sy1 / n1) / (n1 - 1.0)
-          val v0 = (sy0 - sy0.toDouble * sy0 / n0) / (n0 - 1.0)
-          w * w * (math.max(v1, 0.0) / n1 + math.max(v0, 0.0) / n0)
-        }.sum
-        if (v > 0) Some(math.sqrt(v)) else None
-      }
+    // singleton arms (n < 2) contribute ZERO variance for that side —
+    // the sample variance is undefined there and the stratum weight is
+    // tiny; the oracle's (x−x²/n)/(n−1) lands on NULL at n = 1 and its
+    // greatest(NULL, 0) = 0, so both engines share this convention
+    val v = usable.map { case (_, n1, n0, sy1, sy0) =>
+      val w = n1.toDouble / n1u
+      val v1 = if (n1 < 2) 0.0
+        else math.max((sy1 - sy1.toDouble * sy1 / n1) / (n1 - 1.0), 0.0)
+      val v0 = if (n0 < 2) 0.0
+        else math.max((sy0 - sy0.toDouble * sy0 / n0) / (n0 - 1.0), 0.0)
+      w * w * (v1 / n1 + v0 / n0)
+    }.sum
+    val seOpt: Option[Double] = Some(math.sqrt(v))
     val z = for (s <- seOpt if s > 0) yield att / s
     Seq((n, nt, strata.toLong, usable.length.toLong, Some(att), seOpt, z,
         z.map(x => math.min(1.0,

@@ -651,7 +651,8 @@ object StatTests {
     * CI bound closer to the null (E = 1 when the CI crosses 1 — no
     * strength needed). One row: `(n_exposed, n_unexposed, rr, rr_lo,
     * rr_hi, e_value, e_value_ci)` with the Wald log-RR interval. NULL
-    * stats when any margin or risk is degenerate.
+    * stats when a margin is empty or an arm is event-free (log of 0);
+    * an arm at risk exactly 1 stays defined — its Wald term vanishes.
     *
     * Determinism: ONE reduce to four exact longs; closed-form doubles
     * after (ln/exp/√ replay in oracle SQL).
@@ -676,7 +677,10 @@ object StatTests {
         Option.empty[Double], Option.empty[Double], Option.empty[Double]))
       .toDF("n_exposed", "n_unexposed", "rr", "rr_lo", "rr_hi",
         "e_value", "e_value_ci")
-    if (n1 == 0 || n0 == 0 || a == 0 || c == 0 || a == n1 || c == n0)
+    // a == n1 / c == n0 (risk exactly 1 in an arm) stays DEFINED: the
+    // Wald term 1/a − 1/n1 just vanishes — only an empty margin or an
+    // event-free arm (log of 0) is degenerate, mirroring the oracle
+    if (n1 == 0 || n0 == 0 || a == 0 || c == 0)
       return nullRow
     val rr = (a.toDouble / n1) / (c.toDouble / n0)
     val seLn = math.sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0)
