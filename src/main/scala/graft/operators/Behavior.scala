@@ -1181,10 +1181,13 @@ object Behavior {
     * value-level oracle replay is NOT attempted; the oracle pins the
     * gradient contract and recomputed anchors instead.
     *
-    * Scale: per accepted step ONE score/information reduce plus one
-    * ℓ-only reduce per damping trial (single-digit trials in practice)
+    * Scale: per accepted step ONE score/information reduce plus ONE
+    * batched ℓ reduce covering the whole damping λ-ladder (the ladder is
+    * resolved driver-side, so all trial candidates price in one pass)
     * — every pass a whole-table partial aggregation to O(d²) decimal
-    * sums; no risk sets, no window. */
+    * sums; no risk sets, no window. θ enters via a broadcast one-row
+    * parameter frame, keeping the generated code iteration-invariant
+    * (one codegen compile per shape, not per Newton pass). */
   def weibullAft(durations: DataFrame, durationCol: String,
       censoredCol: String, covariates: Seq[String],
       iterations: Int = 40): DataFrame = {
@@ -1243,52 +1246,105 @@ object Behavior {
         if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
       def t12(c: Column, scale: Int = 12) =
         sum(round(c, scale).cast(s"decimal(28,$scale)"))
-      def zCol(th: Array[Double]): (Column, Double) = {
-        val sig = math.exp(th(dim - 1))
-        val eta = covariates.indices.foldLeft(lit(th(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(th(i + 1))
+      // θ enters every pass through a BROADCAST one-row parameter frame,
+      // not as embedded literals: literal θ changes the generated source
+      // each Newton pass, so every pass paid a fresh whole-stage-codegen
+      // compile (the dominant cost of this operator — q401 measured 22.3s
+      // at sf0.1, ~210 jobs each recompiling). With AttributeReference
+      // parameters the plan source is iteration-invariant: Janino's cache
+      // compiles each of the two shapes (trial-ll batch, score pass) once.
+      // The arithmetic is value-identical — exp/negate/divide run on the
+      // same doubles whether they arrive as literal or column.
+      def paramDf(vals: Seq[Double], pfx: String): DataFrame = {
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val schema = StructType(vals.indices.map(i =>
+          StructField(s"$pfx$i", DoubleType, nullable = false)))
+        spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(vals)), schema)
+      }
+      def zColP(p: Int => Column): (Column, Column) = {
+        val sig = exp(p(dim - 1))
+        val eta = covariates.indices.foldLeft(p(0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * p(i + 1)
         }
-        ((lnT - eta) / lit(sig), sig)
+        ((lnT - eta) / sig, sig)
       }
-      // one pass: log-likelihood only (the damped-step acceptance test)
-      def llAt(th: Array[Double]): Double = {
-        val (z, _) = zCol(th)
-        val r = base.agg(t12(dD * (lit(-th(dim - 1)) + z) - exp(z))
-          .as("__ll")).head()
-        if (r.isNullAt(0)) Double.NegativeInfinity
-        else BigDecimal(r.getDecimal(0)).toDouble
-      }
-      // one pass: gradient + observed information (+ ℓ) at θ
-      def scoreAt(th: Array[Double])
-          : (Array[Double], Array[Array[Double]], Double) = {
-        val (z, sig) = zCol(th)
+      // score block (gradient, observed information, ℓ) at parameter
+      // columns p — dim + dim(dim+1)/2 + 1 aggregate columns.
+      // gradient: location block (e − d)/σ·xᵢ, scale −d + z(e − d);
+      // observed information (−Hessian): location block e·xᵢxⱼ/σ²,
+      // cross (z·e + e − d)·xᵢ/σ, scale z(e−d) + z²·e
+      def scoreAggs(p: Int => Column, sfx: String): Seq[Column] = {
+        val (z, sig) = zColP(p)
         val e = exp(z)
-        // gradient: location block (e − d)/σ·xᵢ, scale −d + z(e − d)
         val gAggs = (0 to d).map(i =>
-          t12((e - dD) / lit(sig) * xD(i)).as(s"__g$i")) :+
-          t12(-dD + z * (e - dD)).as(s"__g${d + 1}")
-        // observed information (−Hessian): location block e·xᵢxⱼ/σ²,
-        // cross (z·e + e − d)·xᵢ/σ, scale z(e−d) + z²·e
+          t12((e - dD) / sig * xD(i)).as(s"__g$i$sfx")) :+
+          t12(-dD + z * (e - dD)).as(s"__g${d + 1}$sfx")
         val hAggs = pairIdx.map { case (i, j) =>
           val term: Column =
             if (i < dim - 1 && j < dim - 1)
-              e * xD(i) * xD(j) / lit(sig * sig)
+              e * xD(i) * xD(j) / (sig * sig)
             else if (i < dim - 1)
-              (z * e + e - dD) * xD(i) / lit(sig)
+              (z * e + e - dD) * xD(i) / sig
             else z * (e - dD) + z * z * e
-          t12(term).as(s"__h_${i}_$j")
+          t12(term).as(s"__h_${i}_$j$sfx")
         }
-        val llAgg = t12(dD * (lit(-th(dim - 1)) + z) - exp(z)).as("__ll")
-        val aggs = (gAggs ++ hAggs) :+ llAgg
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val llAgg = t12(dD * (-p(dim - 1) + z) - exp(z)).as(s"__ll$sfx")
+        (gAggs ++ hAggs) :+ llAgg
+      }
+      val blockW = dim + pairIdx.size + 1
+      def decodeBlock(r: org.apache.spark.sql.Row, off: Int)
+          : (Array[Double], Array[Array[Double]], Double) = {
         def dec(o: Int): Double =
-          if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
+          if (r.isNullAt(off + o)) 0.0
+          else BigDecimal(r.getDecimal(off + o)).toDouble
         val grad = Array.tabulate(dim)(i => dec(i))
         val info = Array.ofDim[Double](dim, dim)
         pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
           info(i)(j) = dec(dim + p); info(j)(i) = info(i)(j)
         }
-        (grad, info, dec(dim + pairIdx.size))
+        // ℓ NULL (decimal overflow far from the optimum) reads −∞: such a
+        // candidate can never be accepted, matching the old llAt guard
+        (grad, info,
+          if (r.isNullAt(off + dim + pairIdx.size)) Double.NegativeInfinity
+          else dec(dim + pairIdx.size))
+      }
+      // ONE pass: the log-likelihood at EVERY damping candidate (the
+      // sequential trial loop this replaces paid one whole job per
+      // candidate). ℓ-only keeps the aggregate narrow — the full score
+      // block at every rung was measured to fall off the whole-stage
+      // codegen fast path (>100 fields) and ran 10× slower per task.
+      def trialLls(cands: Seq[Array[Double]]): IndexedSeq[Double] = {
+        val pdf = paramDf(cands.flatten.toSeq, "__tp")
+        val aggs = cands.indices.map { t =>
+          def p(k: Int) = col(s"__tp${t * dim + k}")
+          val (z, _) = zColP(p)
+          val raw = dD * (-p(dim - 1) + z) - exp(z)
+          // wild candidates (a low-λ rung probing a near-singular
+          // information) can push a per-row term past DECIMAL(28,12) —
+          // the ANSI cast would throw mid-trial. Clamping per row is
+          // deterministic (row value → same clamp everywhere), and any
+          // clamped candidate sums to a hopeless ℓ and is rejected, the
+          // same outcome the unclamped trial would have reached.
+          val safe = when(isnull(raw) || isnan(raw) || raw < -1e15,
+            lit(-1e15)).when(raw > lit(1e15), lit(1e15)).otherwise(raw)
+          t12(safe).as(s"__ll$t")
+        }
+        val r = base.crossJoin(broadcast(pdf))
+          .agg(aggs.head, aggs.tail: _*).head()
+        cands.indices.map(t =>
+          if (r.isNullAt(t)) Double.NegativeInfinity
+          else BigDecimal(r.getDecimal(t)).toDouble)
+      }
+      // one pass: gradient + observed information (+ ℓ) at a single θ
+      def scoreAt(th: Array[Double])
+          : (Array[Double], Array[Array[Double]], Double) = {
+        val pdf = paramDf(th.toSeq, "__sp")
+        val aggs = scoreAggs(k => col(s"__sp$k"), "")
+        val r = base.crossJoin(broadcast(pdf))
+          .agg(aggs.head, aggs.tail: _*).head()
+        decodeBlock(r, 0)
       }
       // Levenberg-damped Newton ascent: raw Newton on the observed
       // information DIVERGES under heavy censoring (the quadratic model
@@ -1301,33 +1357,56 @@ object Behavior {
       var lambda = 1e-3
       var it = 0
       var stalled = false
+      // rung count per pass: enough ladder span to re-anneal λ quickly
+      // after a damping excursion
+      val rungs = 12
       while (it < iterations && !stalled &&
           grad.map(math.abs).max > 1e-8 * ne) {
+        // λ-ladder per pass: rungs of λ·8^(t−2), so each pass probes two
+        // rungs BELOW the current damping as well as above — after a heavy
+        // excursion λ re-anneals by up to 8² per accepted step instead of
+        // the ÷4 crawl (measured on the events fit: a λ→1e10 excursion
+        // cost 16 recovery iterations under first-improving/÷4). The BEST
+        // improving candidate is accepted — still strict ℓ ascent, so the
+        // same fixed point, reached in fewer whole-table passes. Ladder
+        // windows climb on total rejection, mirroring the old 30-try cap.
         var accepted = false
-        var tries = 0
-        while (!accepted && tries < 30) {
-          val ridged = Array.tabulate(dim, dim)((i, j) =>
-            if (i == j) info(i)(j) +
-              lambda * math.max(info(i)(i), 1e-8)
-            else info(i)(j))
-          LinearModel.solveSpd(ridged, grad.clone()) match {
-            case None => lambda *= 8
-            case Some(st) =>
-              val cand = theta.zip(st).map { case (b, v) =>
-                round12d(b + v) }
-              val llc = llAt(cand)
-              if (java.lang.Double.isFinite(llc) && llc > ll) {
-                theta = cand
-                lambda = math.max(lambda / 4, 1e-10)
-                accepted = true
-              } else lambda *= 8
+        var window = 0
+        while (!accepted && !stalled) {
+          val lams = Array.tabulate(rungs)(t => math.max(1e-10,
+            lambda * math.pow(8.0, (window * rungs + t - 2).toDouble)))
+          val cands: Array[Option[Array[Double]]] = lams.map { lam =>
+            val ridged = Array.tabulate(dim, dim)((i, j) =>
+              if (i == j) info(i)(j) + lam * math.max(info(i)(i), 1e-8)
+              else info(i)(j))
+            LinearModel.solveSpd(ridged, grad.clone()).map(st =>
+              theta.zip(st).map { case (b, v) => round12d(b + v) })
           }
-          tries += 1
-        }
-        if (!accepted) stalled = true
-        else {
-          val next = scoreAt(theta)
-          grad = next._1; info = next._2; ll = next._3
+          // padding failed solves with the current θ keeps the batch shape
+          // (and so the compiled plan) fixed; they are never accepted
+          val lls = trialLls(cands.map(_.getOrElse(theta)).toSeq)
+          val best = cands.indices
+            .filter(t => cands(t).isDefined &&
+              java.lang.Double.isFinite(lls(t)) && lls(t) > ll)
+            .sortBy(t => (-lls(t), t)).headOption
+          best match {
+            case Some(t) =>
+              theta = cands(t).get
+              lambda = math.max(lams(t) / 4, 1e-10)
+              val next = scoreAt(theta)
+              grad = next._1; info = next._2; ll = next._3
+              accepted = true
+              if (sys.env.contains("GRAFT_AFT_DEBUG"))
+                System.err.println(f"[aft] it=$it acc=$t ll=$ll%.6f gmax=${grad.map(math.abs).max}%.3e lam=$lambda%.1e th=${theta.mkString(",")}")
+            case None =>
+              // 3 windows ≈ the old 30-try ladder before declaring a stall
+              if (window >= 2) {
+                stalled = true
+                if (sys.env.contains("GRAFT_AFT_DEBUG"))
+                  System.err.println(s"[aft] it=$it STALLED")
+              }
+              window += 1
+          }
         }
         it += 1
       }
