@@ -1081,8 +1081,10 @@ object Behavior {
       // iterations stepping passes + ONE no-step pass: SE at reported β
       while (it < iterations + 1 && !singular) {
         val finalPass = it == iterations
-        val eta = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        // β via a broadcast one-row parameter frame (not literals) so the
+        // generated code is iteration-invariant — see [[graft.ops.ParamFrame]]
+        val eta = covariates.indices.foldLeft(graft.ops.ParamFrame.p("__eb", 0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__eb", i + 1)
         }
         val w = col("__t").cast("double") * exp(eta)
         def xD(i: Int): Column =
@@ -1092,7 +1094,8 @@ object Behavior {
             .as(s"__s_${i}_$j")
         } :+ sum(when(round(w, 12).cast("decimal(28,12)").isNull &&
             col("__t") > 0, 1L).otherwise(0L)).as("__overflowed")
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__eb")
+          .agg(aggs.head, aggs.tail: _*).head()
         require(r.getLong(pairIdx.size) == 0L,
           s"exponentialAft: ${r.getLong(pairIdx.size)} rows t*exp(eta) " +
             "overflowed DECIMAL(28,12) — feature-scale the covariates")
@@ -1255,14 +1258,8 @@ object Behavior {
       // compiles each of the two shapes (trial-ll batch, score pass) once.
       // The arithmetic is value-identical — exp/negate/divide run on the
       // same doubles whether they arrive as literal or column.
-      def paramDf(vals: Seq[Double], pfx: String): DataFrame = {
-        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-        val schema = StructType(vals.indices.map(i =>
-          StructField(s"$pfx$i", DoubleType, nullable = false)))
-        spark.createDataFrame(
-          java.util.Collections.singletonList(
-            org.apache.spark.sql.Row.fromSeq(vals)), schema)
-      }
+      def paramDf(vals: Seq[Double], pfx: String): DataFrame =
+        graft.ops.ParamFrame.oneRow(spark, vals, pfx)
       def zColP(p: Int => Column): (Column, Column) = {
         val sig = exp(p(dim - 1))
         val eta = covariates.indices.foldLeft(p(0)) { (acc, i) =>
@@ -1527,15 +1524,21 @@ object Behavior {
       var lastGrad: Array[Double] = Array.fill(d)(0.0)
       var it = 0
       var singular = false
+      // the subject count is iteration-invariant (base is persisted):
+      // counting it once instead of once per pass saves a job per step
+      val n = base.count()
       // iterations stepping passes + ONE no-step pass that re-evaluates
       // the observed information at the converged β for the SEs
       while (it < iterations + 1 && !singular) {
         val finalPass = it == iterations
-        // exp(βᵀx) with the dot accumulated left-to-right in double from
-        // the 4-dp decimal covariates — the identical expression the
-        // oracle writes — then quantized so every sum below is exact
+        // β enters through a broadcast one-row parameter frame, NOT as
+        // literals — see [[graft.ops.ParamFrame]]: literal β regenerated
+        // the whole-stage codegen source every Newton pass. The dot
+        // accumulates left-to-right in double from the 4-dp decimal
+        // covariates — the identical expression (and values) the oracle
+        // writes — then quantizes so every sum below is exact
         val dot = covariates.indices.map(i =>
-          col(xCols(i)).cast("double") * lit(beta(i)))
+          col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__cb", i))
           .reduce(_ + _)
         val s = exp(dot).cast("decimal(20,12)")
         val pairIdx = for { i <- 0 until d; j <- i until d } yield (i, j)
@@ -1551,7 +1554,8 @@ object Behavior {
              sum(s * col(xCols(i)) * col(xCols(j))).as(s"__s2_${i}_$j") } ++
            Seq(sum(when(s.isNull, lit(1L)).otherwise(lit(0L)))
              .as("__overflowed")))
-        val perLife = base.groupBy(col("__life"))
+        val perLife = graft.ops.ParamFrame.attach(base, beta.toSeq, "__cb")
+          .groupBy(col("__life"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
         require(perLife.length <= maxDurations,
@@ -1570,7 +1574,6 @@ object Behavior {
             covariates.indices.map(i => BigDecimal(r.getDecimal(3 + d + i))),
             pairIdx.indices.map(p => BigDecimal(r.getDecimal(3 + 2 * d + p))))
         }.sortBy(-_._1)
-        val n = base.count()
         val nEvents = rows.map(_._2).sum
         if (nEvents == 0) return nullRows(n, 0)
         var s0 = BigDecimal(0)
@@ -1626,8 +1629,8 @@ object Behavior {
         }
         it += 1
       }
-      val (info, n, nEvents) = lastInfo.getOrElse(
-        return nullRows(base.count(), 0))
+      val (info, _, nEvents) = lastInfo.getOrElse(
+        return nullRows(n, 0))
       val seOpt: Seq[Option[Double]] =
         if (singular) Seq.fill(d)(None)
         else if (d == 2) {

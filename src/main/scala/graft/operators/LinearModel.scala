@@ -953,10 +953,12 @@ object LinearModel {
       while (it < iterations + 1 && !singular) {
         val finalPass = it == iterations
         // η = β₀ + Σ βₖxₖ accumulated left-to-right in double — the
-        // identical expression the oracle writes — then μ quantized so
-        // every sum below is exact
-        val eta = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        // identical expression (and values) the oracle writes — then μ
+        // quantized so every sum below is exact. β arrives via a
+        // broadcast one-row parameter frame, not literals, so the
+        // generated code is iteration-invariant ([[graft.ops.ParamFrame]])
+        val eta = covariates.indices.foldLeft(graft.ops.ParamFrame.p("__pb", 0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__pb", i + 1)
         }
         val mu = exp(eta).cast("decimal(20,12)")
         def x(i: Int): Column =
@@ -967,7 +969,8 @@ object LinearModel {
               .as(s"__s_${i}_$j")
           }) :+ sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
             .as("__overflowed")
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__pb")
+          .agg(aggs.head, aggs.tail: _*).head()
         // fail loudly on the non-ANSI decimal overflow: a NULL μ would
         // silently drop its row from every moment sum and bias β/SE
         require(r.getLong(pairIdx.size) == 0L,
@@ -1116,11 +1119,16 @@ object LinearModel {
         BigDecimal(yRow.getDecimal(2 + i)).toDouble)
       val dim = d + 1
       val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-      def etaOf(beta: Array[Double]) =
-        covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+      // β via a broadcast one-row parameter frame (not literals) so the
+      // generated code is iteration-invariant ([[graft.ops.ParamFrame]]);
+      // call sites attach the current β with nbAt(beta)
+      def etaOf() =
+        covariates.indices.foldLeft(graft.ops.ParamFrame.p("__nb", 0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__nb", i + 1)
         }
-      def muOf(beta: Array[Double]) = exp(etaOf(beta)).cast("decimal(20,12)")
+      def muOf() = exp(etaOf()).cast("decimal(20,12)")
+      def nbAt(beta: Array[Double]) =
+        graft.ops.ParamFrame.attach(base, beta.toSeq, "__nb")
       def xD(i: Int): Column =
         if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
       def guard(r: org.apache.spark.sql.Row, o: Int): Unit =
@@ -1133,7 +1141,7 @@ object LinearModel {
       var singular = false
       var it = 0
       while (it < poissonIterations && !singular) {
-        val mu = muOf(beta)
+        val mu = muOf()
         def x(i: Int): Column =
           if (i == 0) lit(1).cast("decimal(2,0)") else col(xCols(i - 1))
         val aggs = (sum(mu).as("__s_0_0") +:
@@ -1142,7 +1150,7 @@ object LinearModel {
               .as(s"__s_${i}_$j")
           }) :+ sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
             .as("__overflowed")
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val r = nbAt(beta).agg(aggs.head, aggs.tail: _*).head()
         guard(r, pairIdx.size)
         val s = pairIdx.indices.map(p =>
           if (r.isNullAt(p)) 0.0 else BigDecimal(r.getDecimal(p)).toDouble)
@@ -1170,9 +1178,9 @@ object LinearModel {
       if (singular) return nullRows(n)
       // ---- moment dispersion at the Poisson fit ----
       val alpha = {
-        val mu = muOf(beta)
+        val mu = muOf()
         val muD = mu.cast("double"); val yD = col("__y").cast("double")
-        val r = base.agg(
+        val r = nbAt(beta).agg(
           sum(round((yD - muD) * (yD - muD) - muD, 12)
             .cast("decimal(28,12)")).as("__num"),
           sum(round(muD * muD, 12).cast("decimal(28,12)")).as("__den"),
@@ -1190,7 +1198,7 @@ object LinearModel {
       it = 0
       while (it < iterations + 1 && !singular) {
         val finalPass = it == iterations
-        val mu = muOf(beta)
+        val mu = muOf()
         val muD = mu.cast("double"); val yD = col("__y").cast("double")
         val denomW = lit(1.0) + lit(alpha) * muD
         val gradAggs = (0 until dim).map(i =>
@@ -1203,7 +1211,7 @@ object LinearModel {
         val aggs = (gradAggs ++ infoAggs) :+
           sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
             .as("__overflowed")
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val r = nbAt(beta).agg(aggs.head, aggs.tail: _*).head()
         guard(r, dim + pairIdx.size)
         def dec(o: Int): Double =
           if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
@@ -1336,21 +1344,24 @@ object LinearModel {
       beta(0) = round12(math.log(sy / n))
       var singular = false
       var it = 0
-      def etaOf(b: Array[Double]) =
-        covariates.indices.foldLeft(lit(b(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(b(i + 1))
+      // β via a broadcast one-row parameter frame (not literals) so the
+      // generated code is iteration-invariant ([[graft.ops.ParamFrame]])
+      def etaOf() =
+        covariates.indices.foldLeft(graft.ops.ParamFrame.p("__gb", 0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__gb", i + 1)
         }
       while (it < iterations && !singular) {
-        val muD = exp(etaOf(beta)).cast("decimal(20,12)").cast("double")
+        val muD = exp(etaOf()).cast("decimal(20,12)").cast("double")
         val yD = col("__y").cast("double")
         val scoreAggs = covariates.indices.map(i =>
           sum(round((yD / muD - lit(1.0)) * xD(i + 1), 12)
             .cast("decimal(28,12)")).as(s"__g${i + 1}")) :+
           sum(round(yD / muD - lit(1.0), 12).cast("decimal(28,12)"))
             .as("__g0") :+
-          sum(when(exp(etaOf(beta)).cast("decimal(20,12)").isNull, 1L)
+          sum(when(exp(etaOf()).cast("decimal(20,12)").isNull, 1L)
             .otherwise(0L)).as("__overflowed")
-        val r = base.agg(scoreAggs.head, scoreAggs.tail: _*).head()
+        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__gb")
+          .agg(scoreAggs.head, scoreAggs.tail: _*).head()
         require(r.getLong(d + 1) == 0L,
           s"gammaGlm: ${r.getLong(d + 1)} row means exp(eta) overflowed " +
             "DECIMAL(20,12) (|eta| > ~18.4) — feature-scale the covariates")
@@ -1377,12 +1388,12 @@ object LinearModel {
       if (singular) return nullRows(n)
       // trailing pass at the REPORTED β: Pearson dispersion for gamma,
       // Σ((y−μ)/μ)² — each term 12-dp-rounded before the exact sum
-      val muF = exp(etaOf(beta)).cast("decimal(20,12)").cast("double")
+      val muF = exp(etaOf()).cast("decimal(20,12)").cast("double")
       val yD = col("__y").cast("double")
-      val x2Row = base.agg(
+      val x2Row = graft.ops.ParamFrame.attach(base, beta.toSeq, "__gb").agg(
         sum(round((yD - muF) * (yD - muF) / (muF * muF), 12)
           .cast("decimal(28,12)")).as("__x2"),
-        sum(when(exp(etaOf(beta)).cast("decimal(20,12)").isNull, 1L)
+        sum(when(exp(etaOf()).cast("decimal(20,12)").isNull, 1L)
           .otherwise(0L)).as("__ovf")).head()
       require(x2Row.getLong(1) == 0L,
         "gammaGlm: final-pass exp(eta) overflowed DECIMAL(20,12)")
@@ -1487,8 +1498,10 @@ object LinearModel {
       // iterations stepping passes + ONE no-step pass: SE at reported β
       while (it < iterations + 1 && !singular) {
         val finalPass = it == iterations
-        val eta = covariates.indices.foldLeft(lit(beta(0))) { (acc, i) =>
-          acc + col(xCols(i)).cast("double") * lit(beta(i + 1))
+        // β via a broadcast one-row parameter frame (not literals) so the
+        // generated code is iteration-invariant ([[graft.ops.ParamFrame]])
+        val eta = covariates.indices.foldLeft(graft.ops.ParamFrame.p("__bb", 0)) { (acc, i) =>
+          acc + col(xCols(i)).cast("double") * graft.ops.ParamFrame.p("__bb", i + 1)
         }
         // μ rounds to 12 dp BEFORE every use, so both engines derive the
         // IRLS weight w = μ(1−μ) from the identical decimal
@@ -1508,7 +1521,8 @@ object LinearModel {
             .cast("decimal(28,12)")).as(s"__h_${i}_$j")
         }
         val aggs = gradAggs ++ infoAggs
-        val r = base.agg(aggs.head, aggs.tail: _*).head()
+        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__bb")
+          .agg(aggs.head, aggs.tail: _*).head()
         def dec(o: Int): Double =
           if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble
         val grad = Array.tabulate(dim)(i =>
