@@ -6241,7 +6241,16 @@ object SparkEntry {
       stream: DataFrame): DataFrame = {
     s.catalog.dropTempView(name) // re-runs in one session
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Stateful-stage parallelism for the CLOSED-SET replay harness (this
+    // helper is the oracle-gate tail, not a production operator): each
+    // state partition pays per-micro-batch store init/commit file I/O,
+    // and the replayed state here is tiny (hundreds of windows/sessions),
+    // so fewer partitions win — measured at sf0.1: 8 → 2 cut the stream
+    // family ~30% (q67 3.4→2.2s, q81 2.5→1.8s). A real deployment sizes
+    // spark.sql.shuffle.partitions for throughput instead; the env
+    // override keeps larger replays tunable without a rebuild.
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", "2"))
     try {
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()

@@ -44,9 +44,19 @@ object GraphFeatures {
     * round localCheckpoints (or durably checkpoints with
     * `reliable = true` on a real cluster) so plan depth stays constant,
     * and releases the previous round's blocks. Peeling depth is the
-    * cascade length — single digits on natural graphs. */
+    * cascade length — single digits on natural graphs.
+    *
+    * Join strategy (guide §3.1, measured): the alive set's COUNT is
+    * already on the driver each round (the fixpoint test needs it).
+    * While it fits a broadcast (`broadcastNodes`, default 10⁶ ≈ tens of
+    * MB), both endpoint joins broadcast the alive set and the cached
+    * edge list is never re-shuffled — a checkpointed alive set has no
+    * catalog stats, so the planner otherwise falls back to shuffling
+    * |surviving edges| TWICE per round (measured 70 MB/round at sf0.1).
+    * Past the gate it degrades to exactly the old shuffle plan. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 30, reliable: Boolean = false): DataFrame = {
+      maxIters: Int = 30, reliable: Boolean = false,
+      broadcastNodes: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIters >= 1 && maxIters <= 100,
       s"maxIters must be in [1, 100]: $maxIters")
@@ -67,10 +77,12 @@ object GraphFeatures {
       var prevN = alive.count()
       var converged = prevN == 0
       var it = 0
+      def gate(df: DataFrame): DataFrame =
+        if (prevN <= broadcastNodes) broadcast(df) else df
       while (!converged && it < maxIters) {
         val next = cut(
-          sym.join(alive.select(col("node").as("a")), "a")
-            .join(alive.select(col("node").as("b")), "b")
+          sym.join(gate(alive.select(col("node").as("a"))), "a")
+            .join(gate(alive.select(col("node").as("b"))), "b")
             .groupBy(col("a")).agg(count(lit(1)).as("__deg"))
             .filter(col("__deg") >= k)
             .select(col("a").as("node")))
@@ -86,8 +98,8 @@ object GraphFeatures {
         s"kCore did not reach a fixpoint within $maxIters rounds")
       // final in-core degrees from the surviving subgraph; the returned
       // plan reads the final checkpoint (the Components convention)
-      sym.join(alive.select(col("node").as("a")), "a")
-        .join(alive.select(col("node").as("b")), "b")
+      sym.join(gate(alive.select(col("node").as("a"))), "a")
+        .join(gate(alive.select(col("node").as("b"))), "b")
         .groupBy(col("a")).agg(count(lit(1)).as("degree"))
         .select(col("a").as("node"), col("degree"))
     } finally sym.unpersist(false)
