@@ -57,10 +57,17 @@ object LinearModel {
       label: Column, numBuckets: Int = 64, lr: Double = 0.1,
       iterations: Int = 2, roundTo: Int = 6): DataFrame = {
     val spark = docs.sparkSession
-    val (xc, yv) = features(docs, idCol, textCol, label, numBuckets)
+    val (xc0, yv0) = features(docs, idCol, textCol, label, numBuckets)
     // BOTH sides persist: each iteration reads the counts twice (margin +
     // gradient) and the label/length table once — without the caches the
-    // token explode re-runs 3× per iteration
+    // token explode re-runs 3× per iteration. Both caches are
+    // REPARTITIONED BY id first (guide §2.4 — establish the partitioning
+    // once): every per-iteration hop keys by id (margin groupBy, the
+    // label join, the gradient join), so co-partitioned caches make each
+    // epoch shuffle only the B-row gradient aggregate instead of
+    // re-exchanging the feature counts twice per iteration.
+    val xc = xc0.repartition(col("id"))
+    val yv = yv0.repartition(col("id"))
     xc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     yv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
