@@ -596,11 +596,21 @@ object Dedup {
       shingleSet: Column, maxDocFreq: Option[Long]): DataFrame = {
     val base = df.select(col(idCol).as("id"), shingleSet.as("shingles"))
       .withColumn("sz", size(col("shingles")))
-    val exAll = base.select(col("id"), col("sz"), explode(col("shingles")).as("h"))
-    // anti-join against the hot-shingle set: both sides hash-partition on
-    // `h`, the same key as the pair self-join below, so AQE/exchange reuse
-    // keeps this to one extra pass, and the df aggregation is partial
-    // (map-side) before its shuffle.
+    // The exploded (id, sz, h) rows PERSIST (the [[lshBase]] contract —
+    // released by the session's block sweep): they feed the hot-shingle
+    // aggregation AND both sides of the pair self-join, and without the
+    // cache boundary the planner re-evaluates the shingle kernel in each
+    // consumer subtree — and the explode's implicit size/notnull filter
+    // pushes the kernel into the scan filter too, multiplying the full
+    // per-document hashing up to ~12× across the q60 plan (measured; the
+    // cache cuts it to one evaluation per row).
+    val exAll = base
+      .select(col("id"), col("sz"), explode(col("shingles")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
+    // anti-join against the hot-shingle set: the df aggregation is
+    // partial (map-side) before its shuffle, and the hot set is tiny
+    // (shingles with df > cap), so both anti-joins broadcast it.
     val ex = maxDocFreq.fold(exAll) { cap =>
       val hot = exAll.groupBy(col("h"))
         .agg(count(lit(1)).as("df"))
