@@ -38,22 +38,30 @@ object GraphFeatures {
     * old-vs-new join); a run that hits `maxIters` without converging
     * THROWS rather than returning a partial core.
     *
-    * Scale (the [[Components]] loop discipline): per round ONE join of
-    * the edge list onto the alive set (both endpoints) + one keyed
-    * count — the shuffle is |surviving edges|, never all-pairs; each
-    * round localCheckpoints (or durably checkpoints with
+    * Scale (incremental delta peeling — guide §2.3/§2.4, measured): the
+    * loop maintains the per-node WITHIN-SUBGRAPH degree table instead of
+    * recomputing it; per round only the edges INCIDENT TO JUST-REMOVED
+    * nodes are touched (one hash-join-filtered pass over the cached edge
+    * list + a keyed count of those edges), and survivors subtract the
+    * decrement — the recompute-everything plan shuffled and re-aggregated
+    * ALL |surviving edges| twice per round (measured 70 MB/round at
+    * sf0.1) for removal sets that shrink to a handful of nodes after the
+    * first round. Removed sets are disjoint across rounds and the edge
+    * list is distinct, so the running degree is exactly the degree within
+    * the surviving subgraph — the same alive-set sequence, the same
+    * fixpoint (the k-core is removal-order independent). Each round
+    * localCheckpoints the degree table (or durably checkpoints with
     * `reliable = true` on a real cluster) so plan depth stays constant,
     * and releases the previous round's blocks. Peeling depth is the
     * cascade length — single digits on natural graphs.
     *
-    * Join strategy (guide §3.1, measured): the alive set's COUNT is
-    * already on the driver each round (the fixpoint test needs it).
-    * While it fits a broadcast (`broadcastNodes`, default 10⁶ ≈ tens of
-    * MB), both endpoint joins broadcast the alive set and the cached
-    * edge list is never re-shuffled — a checkpointed alive set has no
-    * catalog stats, so the planner otherwise falls back to shuffling
-    * |surviving edges| TWICE per round (measured 70 MB/round at sf0.1).
-    * Past the gate it degrades to exactly the old shuffle plan. */
+    * Join strategy (guide §3.1): the removal count is already on the
+    * driver each round (the fixpoint test needs it). While the removed
+    * set / decrement table fit a broadcast (`broadcastNodes`, default
+    * 10⁶ ≈ tens of MB), the incident-edge join and the survivor
+    * decrement join broadcast — a checkpointed frame has no catalog
+    * stats, so the planner otherwise shuffles the cached edge list.
+    * Past the gate both degrade to plain shuffled equi-joins. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 30, reliable: Boolean = false,
       broadcastNodes: Long = 1000000L): DataFrame = {
@@ -73,35 +81,52 @@ object GraphFeatures {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var alive = cut(sym.select(col("a").as("node")).distinct())
-      var prevN = alive.count()
-      var converged = prevN == 0
+      // full within-graph degrees: ONE keyed count over the distinct
+      // symmetric edges (sym lists every node as `a`)
+      var degs = cut(sym.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+        .select(col("a").as("node"), col("degree")))
+      var aliveN = degs.count()
+      var converged = aliveN == 0
       var it = 0
-      def gate(df: DataFrame): DataFrame =
-        if (prevN <= broadcastNodes) broadcast(df) else df
       while (!converged && it < maxIters) {
-        val next = cut(
-          sym.join(gate(alive.select(col("node").as("a"))), "a")
-            .join(gate(alive.select(col("node").as("b"))), "b")
-            .groupBy(col("a")).agg(count(lit(1)).as("__deg"))
-            .filter(col("__deg") >= k)
-            .select(col("a").as("node")))
-        val n = next.count()
-        val old = alive
-        alive = next
-        graft.ops.ScaleOps.releaseCheckpointBlocks(old)
-        if (n == prevN || n == 0) converged = true
-        prevN = n
+        val removed = degs.filter(col("degree") < k)
+        val nRem = removed.count()
+        if (nRem == 0) converged = true
+        else if (aliveN - nRem <= 0) {
+          // everything peeled this round: the k-core is empty
+          val old = degs
+          degs = cut(degs.filter(col("degree") >= k))
+          graft.ops.ScaleOps.releaseCheckpointBlocks(old)
+          aliveN = 0
+          converged = true
+        } else {
+          aliveN -= nRem
+          def gate(df: DataFrame): DataFrame =
+            if (nRem <= broadcastNodes && aliveN <= broadcastNodes)
+              broadcast(df)
+            else df
+          // decrement = #neighbors removed THIS round, counted over only
+          // the incident edges (hash-filter scan of the cached edge list)
+          val dec = sym
+            .join(gate(removed.select(col("node").as("b"))), "b")
+            .groupBy(col("a")).agg(count(lit(1)).as("__dec"))
+            .select(col("a").as("node"), col("__dec"))
+          val old = degs
+          degs = cut(degs.filter(col("degree") >= k)
+            .join(gate(dec), Seq("node"), "left")
+            .select(col("node"),
+              (col("degree") - coalesce(col("__dec"), lit(0L)))
+                .as("degree")))
+          graft.ops.ScaleOps.releaseCheckpointBlocks(old)
+        }
         it += 1
       }
       require(converged,
         s"kCore did not reach a fixpoint within $maxIters rounds")
-      // final in-core degrees from the surviving subgraph; the returned
-      // plan reads the final checkpoint (the Components convention)
-      sym.join(gate(alive.select(col("node").as("a"))), "a")
-        .join(gate(alive.select(col("node").as("b"))), "b")
-        .groupBy(col("a")).agg(count(lit(1)).as("degree"))
-        .select(col("a").as("node"), col("degree"))
+      // the maintained degree table IS the answer: within-core degrees of
+      // the survivors (the returned plan reads the final checkpoint — the
+      // Components convention; no final re-aggregation pass)
+      degs
     } finally sym.unpersist(false)
   }
 
@@ -123,7 +148,13 @@ object GraphFeatures {
     * size is a per-node fact, not a pair enumeration).
     *
     * Scale: distinct + two keyed aggregations + one neighbor-keyed
-    * self-join (Σ deg² bounded, cappable) + two degree joins. */
+    * self-join (Σ deg² bounded, cappable) + two degree joins. The
+    * distinct edge list PERSISTS (the lshBase internal-persist contract
+    * — released by the session's block sweep): it feeds the neighbor
+    * degrees, BOTH sides of the pair self-join, and the source degrees,
+    * and without the cache boundary the planner re-ran the scan +
+    * distinct exchange in every consumer subtree — six full input scans
+    * in the q313 plan (measured; the cache cuts it to one). */
   def coOccurrencePairs(edges: DataFrame, srcCol: String, nbrCol: String,
       minCommon: Int = 2, maxDegree: Option[Long] = None): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
@@ -131,6 +162,8 @@ object GraphFeatures {
     val e = edges.select(col(srcCol).as("a"), col(nbrCol).as("_nb"))
       .filter(col("a").isNotNull && col("_nb").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.ScaleOps.registerInternalPersist)
     val nbrDeg = e.groupBy(col("_nb")).agg(count(lit(1)).as("_dn"))
     val kept = maxDegree.map(c => nbrDeg.filter(col("_dn") <= c))
       .getOrElse(nbrDeg)
