@@ -1069,6 +1069,9 @@ object Behavior {
       require(yRow.getLong(3) >= 0L,
         s"exponentialAft needs durations >= 0, got min ${yRow.getLong(3)}")
       if (sd == 0 || st == 0) return nullRows(n, sd)
+      // n is on the driver: narrow every Newton pass to as many tasks as
+      // the cached base warrants (see [[graft.ops.ParamFrame.compactForIteration]])
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val sdx = covariates.indices.map(i =>
         BigDecimal(yRow.getDecimal(4 + i)).toDouble)
       val dim = d + 1
@@ -1094,7 +1097,7 @@ object Behavior {
             .as(s"__s_${i}_$j")
         } :+ sum(when(round(w, 12).cast("decimal(28,12)").isNull &&
             col("__t") > 0, 1L).otherwise(0L)).as("__overflowed")
-        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__eb")
+        val r = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__eb")
           .agg(aggs.head, aggs.tail: _*).head()
         require(r.getLong(pairIdx.size) == 0L,
           s"exponentialAft: ${r.getLong(pairIdx.size)} rows t*exp(eta) " +
@@ -1200,14 +1203,20 @@ object Behavior {
     val d = covariates.size
     val terms = ("intercept" +: covariates) :+ "ln_scale"
     val xCols = covariates.indices.map(i => s"__x$i")
-    val base = durations
+    // materialize ONCE with the lineage CUT (localCheckpoint, the kCore /
+    // cumsum convention) rather than persist: ~35 Newton passes each
+    // re-analyze the frame's logical plan, and over the raw upstream tree
+    // (scan → groupBy → crossJoin → …) that planning overhead dominated
+    // the per-pass cost at bench scale; over a LogicalRDD leaf it is nil.
+    // The blocks release in the finally through the registry sweep.
+    val base = graft.ops.ScaleOps.registerInternalCheckpoint(durations
       .filter(col(durationCol).isNotNull && col(censoredCol).isNotNull &&
         covariates.map(col(_).isNotNull).reduce(_ && _))
       .select((col(durationCol).cast("long").as("__t") +:
         (lit(1L) - col(censoredCol).cast("long")).as("__d") +:
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true))
     try {
       val spark = durations.sparkSession
       import spark.implicits._
@@ -1234,6 +1243,10 @@ object Behavior {
         s"weibullAft needs durations > 0, got min ${w0.getLong(2)}")
       val ne = w0.getLong(1)
       if (ne < 2) return nullRows(n, ne)
+      // n is now on the driver: narrow every Newton pass to as many
+      // tasks as the cached base actually warrants (guide §2 — derive
+      // partitioning from input size, not the session constant)
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val sl = BigDecimal(w0.getDecimal(3)).toDouble
       val sll = BigDecimal(w0.getDecimal(4)).toDouble
       val mu0 = sl / ne
@@ -1328,7 +1341,7 @@ object Behavior {
             lit(-1e15)).when(raw > lit(1e15), lit(1e15)).otherwise(raw)
           t12(safe).as(s"__ll$t")
         }
-        val r = base.crossJoin(broadcast(pdf))
+        val r = baseIt.crossJoin(broadcast(pdf))
           .agg(aggs.head, aggs.tail: _*).head()
         cands.indices.map(t =>
           if (r.isNullAt(t)) Double.NegativeInfinity
@@ -1339,7 +1352,7 @@ object Behavior {
           : (Array[Double], Array[Array[Double]], Double) = {
         val pdf = paramDf(th.toSeq, "__sp")
         val aggs = scoreAggs(k => col(s"__sp$k"), "")
-        val r = base.crossJoin(broadcast(pdf))
+        val r = baseIt.crossJoin(broadcast(pdf))
           .agg(aggs.head, aggs.tail: _*).head()
         decodeBlock(r, 0)
       }
@@ -1355,7 +1368,11 @@ object Behavior {
       var it = 0
       var stalled = false
       // rung count per pass: enough ladder span to re-anneal λ quickly
-      // after a damping excursion
+      // after a damping excursion. (A fused ladder computing the FULL
+      // score block at every rung was tried and measured 59 s vs 7.7 s
+      // at sf0.1: 9 rungs × 10 fields of clamped decimal sums blows the
+      // generated aggregate past the JIT method limit and the whole pass
+      // runs interpreted — the ℓ-only ladder + one score pass stands.)
       val rungs = 12
       while (it < iterations && !stalled &&
           grad.map(math.abs).max > 1e-8 * ne) {
@@ -1427,7 +1444,7 @@ object Behavior {
           if (singular) None else lastGrad.map(_(i)))
       }.toDF("term", "n", "n_events", "beta", "se", "z", "p_value",
         "grad")
-    } finally base.unpersist(false)
+    } finally graft.ops.ScaleOps.releaseCheckpointBlocks(base)
   }
 
   /** Cox proportional-hazards regression with Breslow tie handling — the
@@ -1527,6 +1544,7 @@ object Behavior {
       // the subject count is iteration-invariant (base is persisted):
       // counting it once instead of once per pass saves a job per step
       val n = base.count()
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       // iterations stepping passes + ONE no-step pass that re-evaluates
       // the observed information at the converged β for the SEs
       while (it < iterations + 1 && !singular) {
@@ -1554,7 +1572,7 @@ object Behavior {
              sum(s * col(xCols(i)) * col(xCols(j))).as(s"__s2_${i}_$j") } ++
            Seq(sum(when(s.isNull, lit(1L)).otherwise(lit(0L)))
              .as("__overflowed")))
-        val perLife = graft.ops.ParamFrame.attach(base, beta.toSeq, "__cb")
+        val perLife = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__cb")
           .groupBy(col("__life"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()

@@ -944,6 +944,7 @@ object LinearModel {
       if (sy == 0) return nullRows(n)
       val syx = covariates.indices.map(i =>
         BigDecimal(yRow.getDecimal(2 + i)).toDouble)
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val dim = d + 1
       val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
       // standard GLM start — intercept at ln(ȳ), slopes 0: from β = 0 a
@@ -976,7 +977,7 @@ object LinearModel {
               .as(s"__s_${i}_$j")
           }) :+ sum(when(mu.isNull, lit(1L)).otherwise(lit(0L)))
             .as("__overflowed")
-        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__pb")
+        val r = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__pb")
           .agg(aggs.head, aggs.tail: _*).head()
         // fail loudly on the non-ANSI decimal overflow: a NULL μ would
         // silently drop its row from every moment sum and bias β/SE
@@ -1046,7 +1047,7 @@ object LinearModel {
             }
             val muD = exp(etaF).cast("decimal(20,12)").cast("double")
             val yD = col("__y").cast("double")
-            val x2Row = base.agg(
+            val x2Row = baseIt.agg(
               sum(round((yD - muD) * (yD - muD) / muD, 12)
                 .cast("decimal(28,12)")).as("__x2")).head()
             if (x2Row.isNullAt(0)) None
@@ -1124,6 +1125,7 @@ object LinearModel {
       if (sy == 0) return nullRows(n)
       val syx = covariates.indices.map(i =>
         BigDecimal(yRow.getDecimal(2 + i)).toDouble)
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val dim = d + 1
       val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
       // β via a broadcast one-row parameter frame (not literals) so the
@@ -1135,7 +1137,7 @@ object LinearModel {
         }
       def muOf() = exp(etaOf()).cast("decimal(20,12)")
       def nbAt(beta: Array[Double]) =
-        graft.ops.ParamFrame.attach(base, beta.toSeq, "__nb")
+        graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__nb")
       def xD(i: Int): Column =
         if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
       def guard(r: org.apache.spark.sql.Row, o: Int): Unit =
@@ -1340,6 +1342,7 @@ object LinearModel {
       require(BigDecimal(r0.getDecimal(2)) > 0,
         s"gammaGlm needs y > 0, got min(y) = ${r0.getDecimal(2)}")
       val sy = BigDecimal(r0.getDecimal(1)).toDouble
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val info = Array.ofDim[Double](dim, dim)
       pairIdx.zipWithIndex.foreach { case ((i, j), p) =>
         val v = if (r0.isNullAt(3 + p)) 0.0
@@ -1367,7 +1370,7 @@ object LinearModel {
             .as("__g0") :+
           sum(when(exp(etaOf()).cast("decimal(20,12)").isNull, 1L)
             .otherwise(0L)).as("__overflowed")
-        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__gb")
+        val r = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__gb")
           .agg(scoreAggs.head, scoreAggs.tail: _*).head()
         require(r.getLong(d + 1) == 0L,
           s"gammaGlm: ${r.getLong(d + 1)} row means exp(eta) overflowed " +
@@ -1397,7 +1400,7 @@ object LinearModel {
       // Σ((y−μ)/μ)² — each term 12-dp-rounded before the exact sum
       val muF = exp(etaOf()).cast("decimal(20,12)").cast("double")
       val yD = col("__y").cast("double")
-      val x2Row = graft.ops.ParamFrame.attach(base, beta.toSeq, "__gb").agg(
+      val x2Row = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__gb").agg(
         sum(round((yD - muF) * (yD - muF) / (muF * muF), 12)
           .cast("decimal(28,12)")).as("__x2"),
         sum(when(exp(etaOf()).cast("decimal(20,12)").isNull, 1L)
@@ -1495,6 +1498,7 @@ object LinearModel {
       if (sy == 0 || sy == n) return nullRows(n)
       val syx = covariates.indices.map(i =>
         BigDecimal(yRow.getDecimal(4 + i)).toDouble)
+      val baseIt = graft.ops.ParamFrame.compactForIteration(base, n)
       val dim = d + 1
       val pairIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
       var beta = Array.fill(dim)(0.0)
@@ -1528,7 +1532,7 @@ object LinearModel {
             .cast("decimal(28,12)")).as(s"__h_${i}_$j")
         }
         val aggs = gradAggs ++ infoAggs
-        val r = graft.ops.ParamFrame.attach(base, beta.toSeq, "__bb")
+        val r = graft.ops.ParamFrame.attach(baseIt, beta.toSeq, "__bb")
           .agg(aggs.head, aggs.tail: _*).head()
         def dec(o: Int): Double =
           if (r.isNullAt(o)) 0.0 else BigDecimal(r.getDecimal(o)).toDouble

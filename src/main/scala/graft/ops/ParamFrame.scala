@@ -38,4 +38,32 @@ private[graft] object ParamFrame {
     df.crossJoin(broadcast(oneRow(df.sparkSession, vals, pfx)))
 
   def p(pfx: String, i: Int): Column = col(s"$pfx$i")
+
+  /** Scale-adaptive task-count compaction for a PERSISTED iteration base
+    * whose row count is already on the driver (every Newton/IRLS fit
+    * counts its base before looping).
+    *
+    * Why: the cached base inherits the session's shuffle partitioning
+    * (AQE cannot re-partition a cached plan under the default
+    * `canChangeCachedPlanOutputPartitioning=false`), so a 1,500-row fit
+    * base is cached as 32 near-empty blocks and EVERY Newton pass
+    * launches 32 partial-aggregation tasks whose fixed cost dwarfs the
+    * arithmetic — measured ~35 passes × 33 tasks for q401 at sf0.1.
+    * `coalesce` to ceil(rows / rowsPerTask) narrows each pass to as many
+    * tasks as the data warrants (derived from the measured row count,
+    * not from the core count — a 10⁹-row base at 100 TB keeps full
+    * parallelism) without re-persisting: the narrow dependency reads the
+    * same cached blocks. Aggregation-only consumers lose nothing from
+    * the reduced parallelism by construction (rowsPerTask of per-row
+    * kernel work is far below one task's scheduling quantum). */
+  def compactForIteration(df: DataFrame, rows: Long,
+      rowsPerTask: Long = 262144L): DataFrame = {
+    if (rows <= 0) df
+    else {
+      val current = df.rdd.getNumPartitions
+      val target = math.min(current.toLong,
+        (rows + rowsPerTask - 1) / rowsPerTask).toInt
+      if (target < current) df.coalesce(math.max(1, target)) else df
+    }
+  }
 }
