@@ -134,7 +134,21 @@ object Decontaminate {
       s"threshold must be a cosine in [-1, 1]: $threshold")
     val probeBase = test.select(col(testVec).as("__tvec"))
     val probe = if (broadcastTest) broadcast(probeBase) else probeBase
-    train.select(col(trainId).as("id"), col(trainVec).as("__vec"))
+    // The broadcast nested-loop EXPLODES per train row (#test cosines), so
+    // scan parallelism is the stage's parallelism — a train corpus small
+    // enough to arrive in fewer splits than the session's shuffle setting
+    // (locally: one 0.8 MB file = ONE task doing every dot product) spreads
+    // first; at real scale the scan already has more splits than the
+    // setting and no extra shuffle of the vectors is paid (guide §2.5: the
+    // planner sizes from input bytes and cannot see the explosion).
+    val trainBase = train.select(col(trainId).as("id"),
+      col(trainVec).as("__vec"))
+    val spread = train.sparkSession.sessionState.conf.numShufflePartitions
+    val trainSpread =
+      if (trainBase.rdd.getNumPartitions < spread)
+        trainBase.repartition(spread)
+      else trainBase
+    trainSpread
       .crossJoin(probe)
       .select(col("id"),
         graft.functions.VectorFunctions.cosine(col("__vec"), col("__tvec")).as("__cos"))

@@ -33,6 +33,18 @@ object Linkage {
   def prefixBlocker(n: Int): Column => Column = k => substring(k, 1, n)
   val soundexBlocker: Column => Column = k => soundex(k)
 
+  /** Partition count for the candidate-pair self-join. The block join is
+    * an EXPLODING join: its input is small (ids + keys) but its output is
+    * Σ l·r pairs each paying an edit-distance kernel, and AQE coalesces
+    * the shuffle from the INPUT bytes — measured at sf0.1 it folded the
+    * q142 join to 2 partitions and ran 1.5M levenshteins on two tasks
+    * (guide §2.5: the optimizer cannot see the explosion). Pinning the
+    * exchange to the session's shuffle-partition setting restores
+    * output-side parallelism and stays scale-configured (the setting, not
+    * the local core count, is the contract on a cluster). */
+  private def pairJoinPartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Fuzzy inner join of two tables on an edit-distance-≤-`maxDistance`
     * match of their key columns, candidates generated per `blocker` key.
     *
@@ -88,7 +100,8 @@ object Linkage {
     // evaluate levenshtein twice per candidate (join condition + output
     // projection) and run it BEFORE the other conjuncts' short-circuit —
     // measured 1.7× slower on the q142 block-join at sf0.1.
-    l.join(r, Seq("__block"))
+    l.repartition(pairJoinPartitions(left), col("__block"))
+      .join(r, Seq("__block"))
       .filter(abs(length(col("left_key")) - length(col("right_key"))) <= maxDistance)
       .select(col("left_id"), col("right_id"), col("left_key"), col("right_key"),
         levenshtein(col("left_key"), col("right_key"), maxDistance).as("dist"))
@@ -120,7 +133,8 @@ object Linkage {
     }
     // Same single-evaluation shape as [[fuzzyJoin]]: id ordering + length
     // band prune in the join condition, levenshtein once in the projection.
-    a.join(b, Seq("__block"))
+    a.repartition(pairJoinPartitions(df), col("__block"))
+      .join(b, Seq("__block"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDistance)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
@@ -160,7 +174,8 @@ object Linkage {
         .select(col("__block"))
       (a0.join(small, Seq("__block")), b0.join(small, Seq("__block")))
     }
-    a.join(b, Seq("__block"))
+    a.repartition(pairJoinPartitions(df), col("__block"))
+      .join(b, Seq("__block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         graft.functions.kernels.TextKernelFunctions
