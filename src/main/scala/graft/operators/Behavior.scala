@@ -845,22 +845,40 @@ object Behavior {
       .select(col(groupCol).cast("string").as("g"),
         col(durationCol).cast("long").as("life"),
         coalesce(col(censoredCol), lit(false)).as("__cens"))
-    val groups = base.select(col("g")).distinct().orderBy(col("g"))
+    // ONE pass over the subject table: the (life, group) cell table is
+    // CALENDAR×16-bounded, so checkpointing it — and each chain link
+    // below — is 100 TB-safe; groups and the pivoted spine both derive
+    // from the cells (previously the group collect and the pivot each
+    // re-scanned the subject table). Without the cuts, each of the three
+    // chained cumsums re-derived the whole deepening lineage for its
+    // totals pass and every AQE stage of the replay ran as its own job
+    // (measured 61 sequential jobs at sf0.1). The range splits over
+    // `life` compute once and feed all three cumsums (same order column,
+    // same spine rows).
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
+    val cells = cp(base.groupBy(col("life"), col("g"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(!col("__cens"), 1L).otherwise(0L)).as("__dc")))
+    val groups = cells.select(col("g")).distinct().orderBy(col("g"))
       .collect().map(_.getString(0))
     require(groups.nonEmpty && groups.length <= 16,
       s"rmst needs 1..16 groups, got ${groups.length}")
     val gi = groups.indices
     val pivots = gi.flatMap(i => Seq(
-      sum(when(col("g") === groups(i) && !col("__cens"), 1L)
-        .otherwise(0L)).as(s"__d$i"),
-      sum(when(col("g") === groups(i), 1L).otherwise(0L))
+      sum(when(col("g") === groups(i), col("__dc")).otherwise(0L))
+        .as(s"__d$i"),
+      sum(when(col("g") === groups(i), col("__c")).otherwise(0L))
         .as(s"__all$i")))
-    val byLife = base.groupBy(col("life")).agg(pivots.head, pivots.tail: _*)
+    val byLife = cp(cells.groupBy(col("life"))
+      .agg(pivots.head, pivots.tail: _*))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cells)
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     // cumsum 1: per-group exits strictly before each lifetime → n_risk
     val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
       byLife, col("life"), gi.map(i => s"__all$i"), gi.map(i => s"__b$i"),
-      persistInput = false)
-    val withLn = gi.foldLeft(cum1) { (df, i) =>
+      splitsHint = lifeSplits, persistInput = false)
+    val withLn = cp(gi.foldLeft(cum1) { (df, i) =>
       val nRisk = lit(grand(i)) - col(s"__b$i")
       val d = col(s"__d$i").cast("double")
       df.withColumn(s"__nr$i", nRisk)
@@ -869,12 +887,13 @@ object Behavior {
           when(col(s"__d$i") > 0 && !col(s"__dead$i"),
             round(log(lit(1.0) - d / nRisk.cast("double")) * 1e12, 0)
               .cast("long")).otherwise(lit(0L)))
-    }
+    })
+    graft.ops.ScaleOps.releaseCheckpointBlocks(byLife)
     // cumsum 2: per-group running Σ ln(1 − d/n_risk) (exclusive = Ŝ(t⁻))
     val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
       withLn, col("life"), gi.map(i => s"__lnQ$i"), gi.map(i => s"__lb$i"),
-      persistInput = false)._1
-    val withDrop = gi.foldLeft(cum2) { (df, i) =>
+      splitsHint = lifeSplits, persistInput = false)._1
+    val withDrop = cp(gi.foldLeft(cum2) { (df, i) =>
       val sBef = exp(col(s"__lb$i").cast("double") / 1e12)
       val s = when(col(s"__dead$i"), lit(0.0)).otherwise(
         exp((col(s"__lb$i") + col(s"__lnQ$i")).cast("double") / 1e12))
@@ -884,11 +903,12 @@ object Behavior {
           when(col(s"__d$i") > 0,
             round(col("life").cast("double") * (sBef - s) * 1e12, 0)
               .cast("long")).otherwise(lit(0L)))
-    }
+    })
+    graft.ops.ScaleOps.releaseCheckpointBlocks(withLn)
     // cumsum 3: per-group running Σ tⱼ·ΔŜⱼ → area(0→tᵢ) by parts
     val cum3 = graft.ops.ScaleOps.withExclusiveRunningSums(
       withDrop, col("life"), gi.map(i => s"__aQ$i"), gi.map(i => s"__ab$i"),
-      persistInput = false)._1
+      splitsHint = lifeSplits, persistInput = false)._1
     val withVarTerms = gi.foldLeft(cum3) { (df, i) =>
       val area = col("life").cast("double") * col(s"__s$i") +
         (col(s"__ab$i") + col(s"__aQ$i")).cast("double") / 1e12
@@ -954,23 +974,37 @@ object Behavior {
       .filter(col(durationCol).isNotNull)
       .select(col(durationCol).cast("long").as("life"),
         col(eventCol).cast("string").as("__k"))
-    val types = base.filter(col("__k").isNotNull)
+    // ONE pass over the subject table + checkpointed calendar-bounded
+    // spine + shared splits — the [[rmst]] chain discipline: types and
+    // the pivoted spine both derive from the (life, type) cell table,
+    // and without the lineage cuts each chained cumsum replayed the
+    // whole deepening plan for its totals pass (measured 49 sequential
+    // jobs at sf0.1)
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
+    val cells = cp(base.groupBy(col("life"), col("__k"))
+      .agg(count(lit(1)).as("__c")))
+    val types = cells.filter(col("__k").isNotNull)
       .select(col("__k")).distinct().orderBy(col("__k"))
       .collect().map(_.getString(0))
     require(types.nonEmpty && types.length <= 8,
       s"cumulativeIncidence needs 1..8 event types, got ${types.length}")
     val ti = types.indices
-    val pivots = (sum(when(col("__k").isNotNull, 1L).otherwise(0L))
+    val pivots = (sum(when(col("__k").isNotNull, col("__c")).otherwise(0L))
         .as("__dall") +:
-      count(lit(1)).as("__all") +:
-      ti.map(i => sum(when(col("__k") === types(i), 1L).otherwise(0L))
-        .as(s"__d$i")))
-    val byLife = base.groupBy(col("life")).agg(pivots.head, pivots.tail: _*)
+      sum(col("__c")).as("__all") +:
+      ti.map(i => sum(when(col("__k") === types(i), col("__c"))
+        .otherwise(0L)).as(s"__d$i")))
+    val byLife = cp(cells.groupBy(col("life"))
+      .agg(pivots.head, pivots.tail: _*))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cells)
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     // cumsum 1: exits strictly before each lifetime → n_risk
     val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
-      byLife, col("life"), Seq("__all"), Seq("__b"), persistInput = false)
+      byLife, col("life"), Seq("__all"), Seq("__b"),
+      splitsHint = lifeSplits, persistInput = false)
     val nTotal = grand(0)
-    val withLn = {
+    val withLn = cp {
       val nRisk = lit(nTotal) - col("__b")
       val d = col("__dall").cast("double")
       cum1.withColumn("__nr", nRisk)
@@ -981,10 +1015,11 @@ object Behavior {
             round(log(lit(1.0) - d / nRisk.cast("double")) * 1e12, 0)
               .cast("long")).otherwise(lit(0L)))
     }
+    graft.ops.ScaleOps.releaseCheckpointBlocks(byLife)
     // cumsum 2: running Σ ln(1 − d/n_risk) exclusive = ln Ŝ(t⁻)
     val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
       withLn, col("life"), Seq("__lnQ"), Seq("__lb"),
-      persistInput = false)._1
+      splitsHint = lifeSplits, persistInput = false)._1
     val sBef = exp(col("__lb").cast("double") / 1e12)
     val withInc = ti.foldLeft(cum2) { (df, i) =>
       df.withColumn(s"__incQ$i",
