@@ -190,6 +190,8 @@ object Association {
     * sort of the data. */
   def spearmanCorrelation(df: DataFrame, colX: String,
       colY: String): DataFrame = {
+    // NOT persisted (measured at sf0.1: caching the paired rows cost more
+    // than the column-pruned re-scans it saves — 2.8 s → 3.9 s)
     val pairs = df
       .select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)

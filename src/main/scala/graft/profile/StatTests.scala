@@ -894,17 +894,31 @@ object StatTests {
     * sort of the pair multiset. Exact integer weights throughout. */
   def hodgesLehmann(a: DataFrame, b: DataFrame, column: String,
       maxPairCells: Long = 10000000L): DataFrame = {
-    val ca = a.filter(col(column).isNotNull)
+    // Both per-distinct-value cell tables CHECKPOINT (value-bounded —
+    // the maxPairCells contract), and the difference table persists
+    // through the cumsum (persistInput = true; distinct differences are
+    // ≤ cellsA·cellsB ≤ maxPairCells, so the cache is cell-bounded too):
+    // previously the size probes, the cumsum totals pass and the final
+    // order-statistic aggregate each re-derived the inputs and the
+    // CELL CROSS JOIN ran twice (measured 27 sequential jobs for q376
+    // at sf0.1).
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
+    val ca = cp(a.filter(col(column).isNotNull)
       .select(col(column).cast("double").as("va"))
-      .groupBy(col("va")).agg(count(lit(1)).as("wa"))
-    val cb = b.filter(col(column).isNotNull)
+      .groupBy(col("va")).agg(count(lit(1)).as("wa")))
+    val cb = cp(b.filter(col(column).isNotNull)
       .select(col(column).cast("double").as("vb"))
-      .groupBy(col("vb")).agg(count(lit(1)).as("wb"))
+      .groupBy(col("vb")).agg(count(lit(1)).as("wb")))
     val spark = a.sparkSession
     import spark.implicits._
-    def nullRow(na: Long, nb: Long) = Seq((na, nb, 0L,
+    def nullRow(na: Long, nb: Long) = {
+      graft.ops.ScaleOps.releaseCheckpointBlocks(ca)
+      graft.ops.ScaleOps.releaseCheckpointBlocks(cb)
+      Seq((na, nb, 0L,
         Option.empty[Double], Option.empty[Double], Option.empty[Double]))
-      .toDF("n_a", "n_b", "n_pairs", "hl_shift", "ci_lo", "ci_hi")
+        .toDF("n_a", "n_b", "n_pairs", "hl_shift", "ci_lo", "ci_hi")
+    }
     val sizes = ca.agg(sum(col("wa")), count(lit(1))).head()
     val sizesB = cb.agg(sum(col("wb")), count(lit(1))).head()
     val na = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
@@ -918,7 +932,7 @@ object StatTests {
       .groupBy((col("vb") - col("va")).as("d"))
       .agg(sum(col("wb") * col("wa")).as("c"))
     val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
-      diffs, col("d"), Seq("c"), Seq("b"), persistInput = false)
+      diffs, col("d"), Seq("c"), Seq("b"), persistInput = true)
     val nPairs = grand(0)
     // rank targets: the two middles (equal when N is odd) and the
     // Lehmann normal-approximation CI ranks
