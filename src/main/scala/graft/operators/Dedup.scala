@@ -576,7 +576,7 @@ object Dedup {
     val prefix = ranked.filter(col("pos") <= col("sz") - minOverlap + 1)
     val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val cands = a.join(b, Seq("h"))
+    val cands = graft.ops.ScaleOps.spreadPairJoin(a, col("h")).join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("sz_b") * lit(threshold) - lit(1e-9) <= col("sz_a") &&
         col("sz_a") * lit(threshold) - lit(1e-9) <= col("sz_b"))
@@ -620,7 +620,7 @@ object Dedup {
     }
     val a = ex.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = ex.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("h"))
+    graft.ops.ScaleOps.spreadPairJoin(a, col("h")).join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
@@ -700,7 +700,8 @@ object Dedup {
       }: _*)).as(Seq("chunk", "value")))
     val a = chunked.select(col("chunk"), col("value"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("value"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "value"))
+    graft.ops.ScaleOps.spreadPairJoin(a, col("chunk"), col("value"))
+      .join(b, Seq("chunk", "value"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .select(col("id_a"), col("id_b"),
@@ -798,7 +799,9 @@ object Dedup {
       Seq(col("chunk"), col("value"), col("id").as(s"id_$suffix"),
         col("sz").as(s"sz_$suffix")) ++
         (if (carrySh) Seq(col("sh").as(s"sh_$suffix")) else Nil): _*)
-    val joined = side("a").join(side("b"), Seq("chunk", "value"))
+    val joined = graft.ops.ScaleOps
+      .spreadPairJoin(side("a"), col("chunk"), col("value"))
+      .join(side("b"), Seq("chunk", "value"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
@@ -864,7 +867,9 @@ object Dedup {
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // distinct id pairs FIRST: cosine runs once per unique pair, and the
     // band join shuffles only 16-byte rows
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = graft.ops.ScaleOps
+      .spreadPairJoin(a, col("band"), col("bucket"))
+      .join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))

@@ -197,6 +197,19 @@ object ScaleOps {
     cached.unpersist(false)
   }
 
+  /** Pin the exchange feeding an EXPLODING equi-self-join to the session
+    * shuffle-partition setting. AQE sizes post-shuffle partitions from the
+    * exchange's INPUT bytes and cannot see that a band/block self-join
+    * multiplies them (Σ per-key size² candidate rows, each paying a verify
+    * kernel) — measured at sf0.1 it folded several pair cores to 1-2
+    * partitions and serialized megabytes of kernel work onto one task
+    * (guide §2.5). The session setting, not the local core count, is the
+    * contract on a cluster, so this stays scale-configured. */
+  private[graft] def spreadPairJoin(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions),
+      keys: _*)
+
   // ---- bloom-prefiltered joins -----------------------------------------
   //
   // The selective-join lever for 100 TB: when a big fact side joins a
