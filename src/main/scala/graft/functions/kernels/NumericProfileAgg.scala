@@ -2,8 +2,6 @@ package graft.functions.kernels
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -46,7 +44,7 @@ case class NumericProfileAgg(
     histBins: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[Double, Long]] {
+  extends TypedImperativeAggregate[DoubleCountMap] {
 
   require(percentages.nonEmpty && percentages.forall(p => p >= 0.0 && p <= 1.0),
     s"percentages must be in [0,1]: $percentages")
@@ -62,28 +60,24 @@ case class NumericProfileAgg(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"numeric_profile input must be cast to double, got ${child.dataType}")
 
-  override def createAggregationBuffer(): mutable.HashMap[Double, Long] =
-    mutable.HashMap.empty[Double, Long]
+  override def createAggregationBuffer(): DoubleCountMap = new DoubleCountMap()
 
-  override def update(buf: mutable.HashMap[Double, Long],
-      input: InternalRow): mutable.HashMap[Double, Long] = {
+  override def update(buf: DoubleCountMap,
+      input: InternalRow): DoubleCountMap = {
     val v = child.eval(input)
-    if (v != null) {
-      val d = v.asInstanceOf[Double]
-      buf.update(d, buf.getOrElse(d, 0L) + 1L)
-    }
+    if (v != null) buf.add(v.asInstanceOf[Double], 1L)
     buf
   }
 
-  override def merge(buf: mutable.HashMap[Double, Long],
-      other: mutable.HashMap[Double, Long]): mutable.HashMap[Double, Long] = {
-    other.foreach { case (v, c) => buf.update(v, buf.getOrElse(v, 0L) + c) }
+  override def merge(buf: DoubleCountMap,
+      other: DoubleCountMap): DoubleCountMap = {
+    other.foreachBits((bits, c) => buf.addBits(bits, c))
     buf
   }
 
-  override def eval(buf: mutable.HashMap[Double, Long]): Any = {
-    if (buf.isEmpty) return null
-    val entries = buf.toArray.sortBy(_._1)
+  override def eval(buf: DoubleCountMap): Any = {
+    if (buf.size == 0) return null
+    val entries = buf.sortedEntries()
     val n = entries.iterator.map(_._2).sum
     val lo = entries.head._1
     val hi = entries.last._1
@@ -125,23 +119,23 @@ case class NumericProfileAgg(
       lo, hi))
   }
 
-  override def serialize(buf: mutable.HashMap[Double, Long]): Array[Byte] = {
+  override def serialize(buf: DoubleCountMap): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (v, c) => out.writeDouble(v); out.writeLong(c) }
+    buf.foreachBits { (bits, c) => out.writeLong(bits); out.writeLong(c) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Double, Long] = {
+  override def deserialize(bytes: Array[Byte]): DoubleCountMap = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val v = in.readDouble(); val c = in.readLong()
-      buf.update(v, c)
+      val bits = in.readLong(); val c = in.readLong()
+      buf.addBits(bits, c)
       i += 1
     }
     buf

@@ -443,6 +443,12 @@ object CorpusStats {
       .select(col("syms"), col("cnt"))
     vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // vocab is distinct-word-bounded; size-derive the per-step read
+      // parallelism (the cache inherits the session shuffle constant, so
+      // each of the `merges` steps otherwise scans 32 near-empty blocks —
+      // the ParamFrame.compactForIteration discipline)
+      val vocabIt = graft.ops.ParamFrame.compactForIteration(
+        vocab, vocab.count())
       val learned = scala.collection.mutable.ArrayBuffer
         .empty[(Int, String, String, Long, String)]
       for (step <- 1 to merges) {
@@ -450,7 +456,7 @@ object CorpusStats {
         val cur = learned.foldLeft("syms") { case (sql, (_, l, r, _, m)) =>
           s"replace($sql, '|$l||$r|', '|$m|')"
         }
-        val top = vocab
+        val top = vocabIt
           .select(expr(s"split(trim(BOTH '|' FROM $cur), '\\\\|\\\\|')")
             .as("arr"), col("cnt"))
           .filter(size(col("arr")) >= 2)

@@ -492,7 +492,12 @@ object ColumnProfiler {
     * excluded (the kernel buffers doubles; >15-significant-digit decimals
     * could merge) and keep the legacy expression path. */
   private def kernelEligible(dt: DataType): Boolean = dt match {
-    case _: DecimalType => false
+    // a decimal of ≤ 15 significant digits converts to double EXACTLY
+    // (< 2^53), so the double-buffered kernel is value-identical to the
+    // legacy decimal expression path for it — and the legacy SECOND scan
+    // (exact percentile + conditional-sum histogram) disappears; wider
+    // decimals could merge in the buffer and keep the legacy path
+    case d: DecimalType => d.precision <= 15
     case _: NumericType => true
     case _ => false
   }
