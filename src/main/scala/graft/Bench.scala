@@ -364,6 +364,16 @@ object Bench {
       try fw.println(
         s"""{"total_sec":${f"$total%.3f"},"sf":"$sfDir","calib_ms":$calibMs,"regressions":$regJson,"rebaseline":$carriedJson,"rebaselined":$rebasedJson,"queries_ms":$bestMs,"queries_sec":$bestSec,"last_run_ms":$qsVerbose,"last_run_gc_ms":$gcJson}""")
       finally fw.close()
+      // Per-ROUND per-query snapshot (additions-only; VERDICT r14 item 2):
+      // BENCH_LOCAL.json is a rolling best-known ratchet that every full
+      // run min-merges, so no per-run record existed for the driver's
+      // round-over-round and 8-vs-32-core scaling comparisons. This file
+      // holds THIS run's seconds verbatim, keyed by cpu count so the
+      // driver's low-core pass doesn't clobber the main one.
+      val runFw = new java.io.PrintWriter(s"BENCH_RUN_sf${sfTag}_c$cpus.json")
+      try runFw.println(
+        s"""{"sf":"$sfTag","cpus":$cpus,"total_sec":${f"$total%.3f"},"calib_pre_ms":${math.round(calibPre * 1000)},"calib_min_ms":${math.round(calib * 1000)},"queries_sec":$verbose}""")
+      finally runFw.close()
     }
 
     // narrowed local runs don't write the artifact — echo per-query times
@@ -377,7 +387,7 @@ object Bench {
     // Per-query times live in the queries_file artifact (last_run_ms =
     // this run, queries_ms = best-known minima) — committed to the repo,
     // so nothing is lost by keeping the contract line fixed-size.
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"regr":${regressions.size},"queries_file":"${prevFile.getName}","sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"regr":${regressions.size},"queries_file":"${prevFile.getName}","run_file":"BENCH_RUN_sf${sfTag}_c$cpus.json","sf":"$sfTag"}""")
     spark.stop()
   }
 }
