@@ -489,7 +489,7 @@ object SparkEntry {
       val schema = s.read.parquet(staged).schema
       val out = runToCompletion(s, "q195_probe",
         EventStream.dedupProbeStream(s, staged, schema, "doc_id", "text",
-          prefix, threshold = 0.7))
+          prefix, threshold = 0.7), parquetRows(s, staged))
       out.select(col("new_id"), col("corpus_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -1006,13 +1006,22 @@ object SparkEntry {
     "q34_profile_compare" -> ((s, dir) => {
       // C3: profile two slices of lineitem, emit per-column status
       val li = read(s, dir, "lineitem")
-      val cols = Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))
+      val colNames = Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+      val cols = Some(colNames)
       // approx distinct (deterministic HLL): statuses compare two profiles
       // computed the same way, and the single-pass plan avoids the
-      // count_distinct expand — the 100 TB-appropriate profiling mode
-      val p1 = ColumnProfiler.profile(li, cols, exactDistinct = false)
-      val p2 = ColumnProfiler.profile(li.filter(col("l_quantity") > 25.0), cols,
-        exactDistinct = false)
+      // count_distinct expand — the 100 TB-appropriate profiling mode.
+      // The two profile passes share ONE column-pruned scan (persisted
+      // projection of just the profiled columns): sketch inputs are
+      // unchanged — the filter and both aggregations see the same values —
+      // so the oracle-pinned statuses are byte-identical while the second
+      // full input scan disappears.
+      val pruned = graft.ops.ScaleOps.registerInternalPersist(
+        li.select(colNames.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val p1 = ColumnProfiler.profile(pruned, cols, exactDistinct = false)
+      val p2 = ColumnProfiler.profile(pruned.filter(col("l_quantity") > 25.0),
+        cols, exactDistinct = false)
       val summary = graft.profile.ProfileComparison.compare(
         Seq(p1, p2), Seq("all", "high_qty"), absTol = 0.0, relTol = 0.0)
       import s.implicits._
@@ -1384,7 +1393,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
       val sessions = runToCompletion(s, "q65_sess",
-        EventStream.sessionizeStream(s, staged, schema, gapMinutes = 30))
+        EventStream.sessionizeStream(s, staged, schema, gapMinutes = 30), parquetRows(s, staged))
       // emitted ⟺ the final watermark (max ts, ms-floored, minus the gap
       // delay) is strictly past session_end + gap — watermark-complete
       sessions.select(col("user_id"),
@@ -1399,7 +1408,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir, duplicate = true)
       val schema = s.read.parquet(staged).schema
       val out = runToCompletion(s, "q66_dedup",
-        EventStream.dedupStream(s, staged, schema, Seq("event_id")))
+        EventStream.dedupStream(s, staged, schema, Seq("event_id")), parquetRows(s, staged))
       out.select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy(col("event_id"))
@@ -1485,7 +1494,7 @@ object SparkEntry {
       val rates = (0 to edges.length).map(b => base.getLong(b + 1).toDouble / n)
       val out = runToCompletion(s, "q221_psi",
         EventStream.psiDriftStream(s, staged, schema, "value", edges,
-          rates.toArray))
+          rates.toArray), parquetRows(s, staged))
       out.select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("n"), col("psi"))
@@ -1496,7 +1505,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
       val agg = runToCompletion(s, "q81_hourly",
-        EventStream.hourlyAggStream(s, staged, schema))
+        EventStream.hourlyAggStream(s, staged, schema), parquetRows(s, staged))
       agg.select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -1506,7 +1515,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
       val pairs = runToCompletion(s, "q67_attr",
-        EventStream.attributionJoinStream(s, staged, schema, maxLagMinutes = 30))
+        EventStream.attributionJoinStream(s, staged, schema, maxLagMinutes = 30), parquetRows(s, staged))
       // stream-stream inner join with both-sided watermarks emits every
       // matched pair on a closed input — same oracle as the batch twin q54
       pairs.select(col("purchase_id"), col("user_id"),
@@ -1521,7 +1530,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
       val pairs = runToCompletion(s, "q176_attr_left",
-        EventStream.attributionJoinLeftStream(s, staged, schema, maxLagMinutes = 30))
+        EventStream.attributionJoinLeftStream(s, staged, schema, maxLagMinutes = 30), parquetRows(s, staged))
       // matched rows emit like the inner join; unmatched purchases emit
       // null view columns once the final watermark (max ts, ms-floored,
       // minus the 1-hour delay) passes their timestamp — purchases inside
@@ -2881,13 +2890,22 @@ object SparkEntry {
     // one-sided guarantee audited key by key, summarized
     "q291_count_min" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
-      val cells = ScaleOps.countMinCells(li, "l_suppkey", depth = 4, width = 64)
-      val keys = li.select(col("l_suppkey")).distinct()
-      val est = ScaleOps.countMinEstimates(cells, keys, "l_suppkey",
+      // ONE keyed aggregation feeds all three consumers (sketch build,
+      // probe keys, exact counts) instead of three separate input scans:
+      // the cells are value-identical (a bucket's row count = the sum of
+      // per-key counts hashing there), the probe key set is identical,
+      // and the exact table IS the aggregate — the oracle replays the
+      // same numbers bit-for-bit.
+      val perKey = graft.ops.ScaleOps.registerInternalPersist(
+        li.filter(col("l_suppkey").isNotNull)
+          .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("exact"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cells = ScaleOps.countMinCellsFromCounts(perKey, "key", "exact",
         depth = 4, width = 64)
-      val exact = li.filter(col("l_suppkey").isNotNull)
-        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("exact"))
-      est.join(exact, Seq("key"))
+      val est = ScaleOps.countMinEstimates(cells,
+        perKey.select(col("key").as("l_suppkey")), "l_suppkey",
+        depth = 4, width = 64)
+      est.join(perKey, Seq("key"))
         .agg(count(lit(1)).as("n_keys"),
           sum(col("exact")).as("sum_exact"),
           sum(col("estimate")).as("sum_est"),
@@ -5477,7 +5495,7 @@ object SparkEntry {
       val staged = stageEventsMicros(s, dir)
       val schema = s.read.parquet(staged).schema
       val agg = runToCompletion(s, "q165_sliding",
-        EventStream.slidingAggStream(s, staged, schema))
+        EventStream.slidingAggStream(s, staged, schema), parquetRows(s, staged))
       agg.select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -5905,7 +5923,7 @@ object SparkEntry {
       val dim = read(s, dir, "customer").select(
         col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
       val out = runToCompletion(s, "q73_enrich",
-        EventStream.enrichStream(stream, dim, Seq("user_id")))
+        EventStream.enrichStream(stream, dim, Seq("user_id")), parquetRows(s, staged))
       out.select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_nationkey"))
         .orderBy(col("event_id"))
@@ -6237,20 +6255,36 @@ object SparkEntry {
   private val psiStreamEdges: Array[Double] =
     Array(5.0, 10.0, 20.0, 50.0, 100.0, 200.0)
 
+  /** Replay row count of a staged parquet dir, cached per path per JVM —
+    * a parquet `count()` is footer-metadata only, but 9 streaming queries
+    * × 3 bench passes need not repeat even that. */
+  private val stagedRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def parquetRows(s: SparkSession, path: String): Long =
+    stagedRowsCache.computeIfAbsent(path,
+      p => s.read.parquet(p).count()).longValue
+
   private def runToCompletion(s: SparkSession, name: String,
-      stream: DataFrame): DataFrame = {
+      stream: DataFrame, replayRows: Long): DataFrame = {
     s.catalog.dropTempView(name) // re-runs in one session
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // Stateful-stage parallelism for the CLOSED-SET replay harness (this
     // helper is the oracle-gate tail, not a production operator): each
     // state partition pays per-micro-batch store init/commit file I/O,
-    // and the replayed state here is tiny (hundreds of windows/sessions),
-    // so fewer partitions win — measured at sf0.1: 8 → 2 cut the stream
-    // family ~30% (q67 3.4→2.2s, q81 2.5→1.8s). A real deployment sizes
-    // spark.sql.shuffle.partitions for throughput instead; the env
-    // override keeps larger replays tunable without a rebuild.
+    // and the replayed state is a bounded function of the replay volume
+    // (sessions/windows/pairs ≪ rows), so the count DERIVES from the
+    // replay's row count — one state partition per ~64k replayed rows,
+    // clamped to the session shuffle setting (the cluster-sized lever a
+    // real deployment raises for throughput). Measured at sf0.1 (100k
+    // rows → 2 partitions): same numbers as the previous hand-tuned
+    // constant 2, which this derivation replaces (a constant only made
+    // sense at exactly this bench scale). The env override keeps odd
+    // replays tunable without a rebuild.
+    val derived = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (replayRows + 65535) / 65536))
     s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_STREAM_PARTS", "2"))
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", derived.toString))
     try {
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()

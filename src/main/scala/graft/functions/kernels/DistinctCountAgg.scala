@@ -22,6 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns the partials were data-sized). The all-zero slot marks
   * emptiness; a genuine (0,0) hash pair is tracked by a side flag. */
 final class Hash128Set(initialCapacity: Int) {
+  // PER-INSTANCE probe seed — the [[DoubleCountMap]] lesson verbatim:
+  // without it, merging one set into another inserts pairs in the
+  // SOURCE's slot order, which under a shared probe function is
+  // home-slot-sorted order in the target too — every insert packs a
+  // dense run the next inserts must traverse and the final-stage merge
+  // goes quadratic. The seed only moves slot layout; contents and the
+  // exact count are unchanged.
+  private val seed = {
+    var z = Hash128Set.instanceCounter.incrementAndGet() *
+      -7046029254386353131L
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
   private var a = new Array[Long](initialCapacity)
   private var b = new Array[Long](initialCapacity)
   private var used = 0
@@ -29,13 +44,22 @@ final class Hash128Set(initialCapacity: Int) {
 
   def size: Int = used + (if (hasZero) 1 else 0)
 
+  private def home(h1: Long, h2: Long, mask: Int): Int = {
+    // fmix64 over the seeded pair mix: full avalanche before masking
+    var h = (h1 * 0x9E3779B97F4A7C15L ^ h2) ^ seed
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (h & mask).toInt
+  }
+
   def add(h1: Long, h2: Long): Unit = {
     if (h1 == 0L && h2 == 0L) { hasZero = true; return }
     // grow at 70% load BEFORE probing, so the probe always terminates
     // (Long arithmetic: the Int product wraps negative past ~188M entries)
     if ((used + 1).toLong * 10 >= a.length.toLong * 7) grow()
     val mask = a.length - 1
-    var i = java.lang.Long.hashCode(h1 * 0x9E3779B97F4A7C15L ^ h2) & mask
+    var i = home(h1, h2, mask)
     while (!(a(i) == 0L && b(i) == 0L)) {
       if (a(i) == h1 && b(i) == h2) return
       i = (i + 1) & mask
@@ -74,6 +98,7 @@ final class Hash128Set(initialCapacity: Int) {
 }
 
 object Hash128Set {
+  private val instanceCounter = new java.util.concurrent.atomic.AtomicLong()
   def empty: Hash128Set = new Hash128Set(64)
 }
 

@@ -538,7 +538,7 @@ object Behavior {
     * ambiguity). No global window; nothing after the first aggregation
     * is user-sized. */
   def kmSurvival(events: DataFrame, userCol: String, tsCol: String,
-      censorDays: Int = 7): DataFrame = {
+      censorDays: Int = 7, reliable: Boolean = false): DataFrame = {
     require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
     val perUser = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
@@ -550,7 +550,7 @@ object Behavior {
       .select(datediff(col("__last"), col("__first")).cast("long")
           .as("duration"),
         (datediff(col("__hmax"), col("__last")) < censorDays).as("censored"))
-    kmCurve(durations, "duration", "censored")
+    kmCurve(durations, "duration", "censored", reliable)
       .withColumnRenamed("duration", "lifetime_days")
   }
 
@@ -576,25 +576,37 @@ object Behavior {
     * distinct-duration counts, ONE multi-column deterministic-bucket
     * cumsum, one scalar reduce over event times. */
   def logRankTest(durations: DataFrame, durationCol: String,
-      censoredCol: String, groupCol: String): DataFrame = {
+      censoredCol: String, groupCol: String,
+      reliable: Boolean = false): DataFrame = {
     val base = durations
       .filter(col(durationCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(durationCol).cast("long").as("life"),
         coalesce(col(censoredCol), lit(false)).as("__cens"))
-    val groups = base.select(col("g")).distinct().orderBy(col("g"))
+    // ONE pass over the subject table into a calendar×2-bounded cell
+    // table ([[rmst]]'s chain discipline): the group collect and the
+    // per-duration pivot both derive from the checkpointed cells instead
+    // of re-scanning subjects, and the shared range splits feed the cumsum
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
+    val cells = cp(base.groupBy(col("life"), col("g"))
+      .agg(sum(when(!col("__cens"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__all")))
+    val groups = cells.select(col("g")).distinct().orderBy(col("g"))
       .collect().map(_.getString(0))
     require(groups.length == 2,
       s"log-rank needs exactly 2 groups, got ${groups.toSeq}")
     val (ga, gb) = (groups(0), groups(1))
-    val byLife = base.groupBy(col("life")).agg(
-      sum(when(col("g") === ga && !col("__cens"), 1L).otherwise(0L)).as("da"),
-      sum(when(col("g") === gb && !col("__cens"), 1L).otherwise(0L)).as("db"),
-      sum(when(col("g") === ga, 1L).otherwise(0L)).as("alla"),
-      sum(when(col("g") === gb, 1L).otherwise(0L)).as("allb"))
+    val byLife = cp(cells.groupBy(col("life")).agg(
+      sum(when(col("g") === ga, col("__d")).otherwise(0L)).as("da"),
+      sum(when(col("g") === gb, col("__d")).otherwise(0L)).as("db"),
+      sum(when(col("g") === ga, col("__all")).otherwise(0L)).as("alla"),
+      sum(when(col("g") === gb, col("__all")).otherwise(0L)).as("allb")))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(cells)
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     val (cum, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
       byLife, col("life"), Seq("alla", "allb"), Seq("_ba", "_bb"),
-      persistInput = false)
+      splitsHint = lifeSplits, persistInput = false)
     val (nA, nB) = (grand(0), grand(1))
     val nra = lit(nA) - col("_ba")
     val nrb = lit(nB) - col("_bb")
@@ -631,39 +643,51 @@ object Behavior {
   }
 
   def kmCurve(durations: DataFrame, durationCol: String,
-      censoredCol: String): DataFrame = {
-    val byLife = durations
+      censoredCol: String, reliable: Boolean = false): DataFrame = {
+    // The [[rmst]] chain discipline: the per-distinct-duration spine is
+    // calendar-bounded, so it (and the cumsum-1 output below) checkpoints —
+    // without the cuts, each chained cumsum's splits/totals pass replayed
+    // the whole subject-table aggregation again (measured at sf0.1: the
+    // byLife aggregation ran ~5× per curve), and the range splits over
+    // `life` compute once and feed both cumsums (same order column, same
+    // spine rows). `reliable` swaps the local checkpoint for a durable one
+    // on a real cluster.
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
+    val byLife = cp(durations
       .filter(col(durationCol).isNotNull)
       .select(col(durationCol).cast("long").as("life"),
         coalesce(col(censoredCol), lit(false)).as("__cens"))
       .groupBy(col("life"))
       .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
         sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
-        count(lit(1)).as("all"))
+        count(lit(1)).as("all")))
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     // cumsum 1: exits (churned + censored) strictly BEFORE each lifetime
     val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
       byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
-      persistInput = false)
+      splitsHint = lifeSplits, persistInput = false)
     val n = grand.head
     val nRisk = lit(n) - col("__exitsBefore")
     // ln(1 − d/n_risk): d = n_risk only at the terminal lifetime where
     // everyone remaining churns — survival is exactly 0 there, flagged and
     // excluded from the log (ln(0) is undefined under ANSI)
-    val withTerm = cum1
+    val withTerm = cp(cum1
       .withColumn("__nRisk", nRisk)
       .withColumn("__dead", col("d") === col("__nRisk"))
       .withColumn("__lnTerm",
         when(col("d") > 0 && !col("__dead"),
           log(lit(1.0) - col("d").cast("double") / col("__nRisk")))
           .otherwise(lit(0.0)))
-    // cumsum 2: running Σ ln-terms (inclusive = exclusive + own)
-    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSum(
-      withTerm.withColumn("__lnQ",
+      .withColumn("__lnQ",
         // fixed-point (12 dp) so the long-typed cumsum machinery carries
         // it exactly; 1e-12 granularity is far below the 6-dp report
-        round(col("__lnTerm") * 1e12, 0).cast("long")),
-      col("life"), "__lnQ", "__lnBefore",
-      persistInput = false)
+        round(col("__lnTerm") * 1e12, 0).cast("long")))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(byLife)
+    // cumsum 2: running Σ ln-terms (inclusive = exclusive + own)
+    val cum2 = graft.ops.ScaleOps.withExclusiveRunningSum(
+      withTerm, col("life"), "__lnQ", "__lnBefore",
+      splitsHint = lifeSplits, persistInput = false)
     cum2
       .withColumn("__lnCum",
         (col("__lnBefore") + col("__lnQ")).cast("double") / 1e12)
@@ -692,24 +716,30 @@ object Behavior {
     * pass as the ln-survival prefix (one more long column, no extra
     * shuffle), so both engines exponentiate identical doubles. */
   def kmCurveCI(durations: DataFrame, durationCol: String,
-      censoredCol: String, z: Double = 1.959964): DataFrame = {
+      censoredCol: String, z: Double = 1.959964,
+      reliable: Boolean = false): DataFrame = {
     require(z > 0, s"z must be > 0: $z")
-    val byLife = durations
+    // checkpointed calendar-bounded spine + shared splits — the [[kmCurve]]
+    // chain discipline (see the note there)
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
+    val byLife = cp(durations
       .filter(col(durationCol).isNotNull)
       .select(col(durationCol).cast("long").as("life"),
         coalesce(col(censoredCol), lit(false)).as("__cens"))
       .groupBy(col("life"))
       .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
         sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
-        count(lit(1)).as("all"))
+        count(lit(1)).as("all")))
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
       byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
-      persistInput = false)
+      splitsHint = lifeSplits, persistInput = false)
     val n = grand.head
     val nRisk = lit(n) - col("__exitsBefore")
     val dD = col("d").cast("double")
     val nrD = nRisk.cast("double")
-    val withTerm = cum1
+    val withTerm = cp(cum1
       .withColumn("__nRisk", nRisk)
       .withColumn("__dead", col("d") === col("__nRisk"))
       .withColumn("__lnQ",
@@ -720,10 +750,12 @@ object Behavior {
       .withColumn("__gQ",
         when(col("d") > 0 && !col("__dead"),
           round(dD / (nrD * (nrD - dD)) * 1e12, 0).cast("long"))
-          .otherwise(lit(0L)))
+          .otherwise(lit(0L))))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(byLife)
     val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
       withTerm, col("life"), Seq("__lnQ", "__gQ"),
-      Seq("__lnBefore", "__gBefore"), persistInput = false)._1
+      Seq("__lnBefore", "__gBefore"), splitsHint = lifeSplits,
+      persistInput = false)._1
     val s = when(col("__dead"), lit(0.0)).otherwise(
       exp((col("__lnBefore") + col("__lnQ")).cast("double") / 1e12))
     val g = (col("__gBefore") + col("__gQ")).cast("double") / 1e12
@@ -756,29 +788,36 @@ object Behavior {
     * the hazard and its variance ride ONE two-column fixed-point (12 dp)
     * cumsum pass; no global window, no sort. */
   def naCurve(durations: DataFrame, durationCol: String,
-      censoredCol: String): DataFrame = {
-    val byLife = durations
+      censoredCol: String, reliable: Boolean = false): DataFrame = {
+    // checkpointed calendar-bounded spine + shared splits — the [[kmCurve]]
+    // chain discipline (see the note there)
+    def cp(df: DataFrame): DataFrame =
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
+    val byLife = cp(durations
       .filter(col(durationCol).isNotNull)
       .select(col(durationCol).cast("long").as("life"),
         coalesce(col(censoredCol), lit(false)).as("__cens"))
       .groupBy(col("life"))
       .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
         sum(when(col("__cens"), 1L).otherwise(0L)).as("cns"),
-        count(lit(1)).as("all"))
+        count(lit(1)).as("all")))
+    val lifeSplits = Some(graft.ops.ScaleOps.rangeSplits(byLife, col("life")))
     val (cum1, grand) = graft.ops.ScaleOps.withExclusiveRunningSums(
       byLife, col("life"), Seq("all"), Seq("__exitsBefore"),
-      persistInput = false)
+      splitsHint = lifeSplits, persistInput = false)
     val n = grand.head
-    val withTerms = cum1
+    val withTerms = cp(cum1
       .withColumn("__nRisk", lit(n) - col("__exitsBefore"))
       .withColumn("__hQ", round(col("d").cast("double") / col("__nRisk")
         * 1e12, 0).cast("long"))
       .withColumn("__vQ", round(col("d").cast("double")
         / (col("__nRisk").cast("double") * col("__nRisk")) * 1e12, 0)
-        .cast("long"))
+        .cast("long")))
+    graft.ops.ScaleOps.releaseCheckpointBlocks(byLife)
     val cum2 = graft.ops.ScaleOps.withExclusiveRunningSums(
       withTerms, col("life"), Seq("__hQ", "__vQ"),
-      Seq("__hBefore", "__vBefore"), persistInput = false)._1
+      Seq("__hBefore", "__vBefore"), splitsHint = lifeSplits,
+      persistInput = false)._1
     cum2
       .withColumn("__h", (col("__hBefore") + col("__hQ")).cast("double") / 1e12)
       .withColumn("__v", (col("__vBefore") + col("__vQ")).cast("double") / 1e12)
@@ -826,7 +865,7 @@ object Behavior {
     * (at-risk, ln-survival, area), one single-row final aggregate. No
     * unkeyed window, no data-sized driver state. */
   def rmst(durations: DataFrame, durationCol: String, censoredCol: String,
-      groupCol: String, tau: Long): DataFrame = {
+      groupCol: String, tau: Long, reliable: Boolean = false): DataFrame = {
     require(tau > 0, s"tau must be > 0: $tau")
     // Long-headroom fail-stop for the fixed quantization scales: the
     // variance terms quantize area²·w at 9 dp (area ≤ τ, w < 1), so a
@@ -854,9 +893,10 @@ object Behavior {
     // totals pass and every AQE stage of the replay ran as its own job
     // (measured 61 sequential jobs at sf0.1). The range splits over
     // `life` compute once and feed all three cumsums (same order column,
-    // same spine rows).
+    // same spine rows). `reliable` swaps the local checkpoints for durable
+    // ones on a real cluster (executor loss cannot brick the chain).
     def cp(df: DataFrame): DataFrame =
-      graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
     val cells = cp(base.groupBy(col("life"), col("g"))
       .agg(count(lit(1)).as("__c"),
         sum(when(!col("__cens"), 1L).otherwise(0L)).as("__dc")))
@@ -968,7 +1008,7 @@ object Behavior {
     * τ-filtered aggregate. No unkeyed window, no data-sized driver
     * state. */
   def cumulativeIncidence(durations: DataFrame, durationCol: String,
-      eventCol: String, tau: Long): DataFrame = {
+      eventCol: String, tau: Long, reliable: Boolean = false): DataFrame = {
     require(tau > 0, s"tau must be > 0: $tau")
     val base = durations
       .filter(col(durationCol).isNotNull)
@@ -979,9 +1019,9 @@ object Behavior {
     // the pivoted spine both derive from the (life, type) cell table,
     // and without the lineage cuts each chained cumsum replayed the
     // whole deepening plan for its totals pass (measured 49 sequential
-    // jobs at sf0.1)
+    // jobs at sf0.1); `reliable` swaps local checkpoints for durable ones
     def cp(df: DataFrame): DataFrame =
-      graft.ops.ScaleOps.registerInternalCheckpoint(df.localCheckpoint(true))
+      graft.ops.ScaleOps.cutLineageBounded(df, reliable)
     val cells = cp(base.groupBy(col("life"), col("__k"))
       .agg(count(lit(1)).as("__c")))
     val types = cells.filter(col("__k").isNotNull)
@@ -1231,7 +1271,7 @@ object Behavior {
     * (one codegen compile per shape, not per Newton pass). */
   def weibullAft(durations: DataFrame, durationCol: String,
       censoredCol: String, covariates: Seq[String],
-      iterations: Int = 40): DataFrame = {
+      iterations: Int = 40, reliable: Boolean = false): DataFrame = {
     require(covariates.nonEmpty && covariates.size <= 6,
       s"weibullAft needs 1..6 covariates, got ${covariates.size}")
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
@@ -1243,15 +1283,16 @@ object Behavior {
     // re-analyze the frame's logical plan, and over the raw upstream tree
     // (scan → groupBy → crossJoin → …) that planning overhead dominated
     // the per-pass cost at bench scale; over a LogicalRDD leaf it is nil.
-    // The blocks release in the finally through the registry sweep.
-    val base = graft.ops.ScaleOps.registerInternalCheckpoint(durations
+    // The blocks release in the finally through the registry sweep;
+    // `reliable` swaps in a durable checkpoint (this base is data-sized,
+    // so executor loss under localCheckpoint fails the whole fit).
+    val base = graft.ops.ScaleOps.cutLineageBounded(durations
       .filter(col(durationCol).isNotNull && col(censoredCol).isNotNull &&
         covariates.map(col(_).isNotNull).reduce(_ && _))
       .select((col(durationCol).cast("long").as("__t") +:
         (lit(1L) - col(censoredCol).cast("long")).as("__d") +:
         covariates.zipWithIndex.map { case (c, i) =>
-          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
-      .localCheckpoint(true))
+          col(c).cast("decimal(8,4)").as(xCols(i)) }): _*), reliable)
     try {
       val spark = durations.sparkSession
       import spark.implicits._

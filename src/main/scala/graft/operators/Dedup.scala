@@ -799,8 +799,14 @@ object Dedup {
       Seq(col("chunk"), col("value"), col("id").as(s"id_$suffix"),
         col("sz").as(s"sz_$suffix")) ++
         (if (carrySh) Seq(col("sh").as(s"sh_$suffix")) else Nil): _*)
-    val joined = graft.ops.ScaleOps
-      .spreadPairJoin(side("a"), col("chunk"), col("value"))
+    // the pin is CONDITIONAL on the absence of a bucket cap: with
+    // maxBucket set the candidate volume is ≤ chunks·cap² (bounded by
+    // contract), and pinning the join to the full session width was
+    // measured costing the capped variant ~2× (q346: every post-join
+    // stage inherits near-empty pinned partitions); uncapped, the
+    // explosion is unbounded and the pin is what keeps it parallel
+    val joined = (if (maxBucket.isDefined) side("a")
+      else graft.ops.ScaleOps.spreadPairJoin(side("a"), col("chunk"), col("value")))
       .join(side("b"), Seq("chunk", "value"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
@@ -867,8 +873,10 @@ object Dedup {
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // distinct id pairs FIRST: cosine runs once per unique pair, and the
     // band join shuffles only 16-byte rows
-    val candidates = graft.ops.ScaleOps
-      .spreadPairJoin(a, col("band"), col("bucket"))
+    // conditional pin — see simhashNearDup: a maxBucket cap bounds the
+    // candidate volume, so the spread is only paid on the uncapped path
+    val candidates = (if (maxBucket.isDefined) a
+      else graft.ops.ScaleOps.spreadPairJoin(a, col("band"), col("bucket")))
       .join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -130,6 +130,23 @@ object ScaleOps {
     df
   }
 
+  /** Cut lineage on an intermediate (usually calendar/cell/spine-BOUNDED;
+    * the Weibull fit base is the one data-sized-but-compact exception)
+    * inside a multi-phase estimator chain, so each later
+    * totals/consumer pass replans a leaf instead of replaying the whole
+    * deepening plan. `reliable = false` (local default) uses
+    * `localCheckpoint`: executor-memory blocks, lost unrecoverably with an
+    * executor — acceptable for provably tiny frames and single-process
+    * runs. `reliable = true` writes a durable checkpoint (requires
+    * `SparkContext.setCheckpointDir`) — the cluster-mode escape hatch,
+    * mirroring [[graft.operators.GraphFeatures.kCore]]'s flag. Local
+    * checkpoints register for [[releaseCheckpointBlocks]]; reliable ones
+    * are files, not blocks, and need no release. */
+  private[graft] def cutLineageBounded(df: DataFrame,
+      reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = true)
+    else registerInternalCheckpoint(df.localCheckpoint(true))
+
   /** Release EVERY block a DataFrame's plan pinned by THIS LIBRARY, both
     * kinds: `localCheckpoint` leaves (`LogicalRDD` — registered with the
     * RDD, unreachable from `Dataset.unpersist`/`Catalog.clearCache`) AND
@@ -807,6 +824,24 @@ object ScaleOps {
         .as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[countMinCells]] from a precomputed `(key, count)` aggregate —
+    * value-identical (a bucket's row count is exactly the sum of the
+    * per-key counts hashing there), for callers that already hold the
+    * keyed counts and must not scan the raw table again. */
+  private[graft] def countMinCellsFromCounts(perKey: DataFrame,
+      keyCol: String, cntCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"depth in [1,4] (one md5 supplies four 32-bit row hashes): $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    perKey.filter(col(keyCol).isNotNull)
+      .select(col(cntCol).as("__cmsc"),
+        posexplode(cmsBuckets(col(keyCol), depth, width))
+          .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("__cmsc")).as("cnt"))
   }
 
   /** Point-query estimates from [[countMinCells]]: for each key in

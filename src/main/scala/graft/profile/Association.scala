@@ -1018,14 +1018,27 @@ object Association {
         col(b).cast("double").as("vb"))
       .filter(col("va").isNotNull && col("vb").isNotNull)
     val spark = df.sparkSession
+    // ONE pass over the data into a distinct-(va,vb) pair-count table:
+    // both cutpoint derivations and the binned contingency are exact
+    // functions of it (marginal counts = sums of pair counts), so the
+    // upstream scan — often carrying an expensive derived column like a
+    // text-kernel token count — runs once instead of once per cutpoint/
+    // contingency pass (measured ~6 scans for q342 at sf0.1). The cache
+    // is smaller than the input (3 numeric columns, distinct pairs only)
+    // and releases as soon as the bins²-bounded contingency checkpoints.
+    val pairCells = graft.ops.ScaleOps.registerInternalPersist(
+      base.groupBy(col("va"), col("vb")).agg(count(lit(1)).as("pc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def cuts(c: String): Seq[Double] = {
-      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val counts = pairCells.groupBy(col(c).as("v"))
+        .agg(sum(col("pc")).as("cnt"))
       graft.ops.ScaleOps.rankCutpoints(counts, "v", "cnt",
         graft.ops.ScaleOps.quantileRanks(bins))._2
     }
     val (ca, cb) = (cuts("va"), cuts("vb"))
     def dNull = lit(null).cast("double")
-    if (ca.isEmpty && cb.isEmpty && base.isEmpty) {
+    if (ca.isEmpty && cb.isEmpty && pairCells.isEmpty) {
+      graft.ops.ScaleOps.deregisterInternalPersist(pairCells)
       return spark.range(1).select(lit(0L).as("n"), lit(0L).as("bins_a"),
         lit(0L).as("bins_b"), dNull.as("mi_nats"), dNull.as("nmi"))
     }
@@ -1033,9 +1046,14 @@ object Association {
       cs.foldLeft(lit(0)) { (acc, cut) =>
         acc + when(col(c) > cut, 1).otherwise(0)
       }
-    val cells = base
-      .select(binOf("va", ca).as("ba"), binOf("vb", cb).as("bb"))
-      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).cast("double").as("o"))
+    // bins²-bounded — checkpointing cuts the lineage so the marginal and
+    // total aggregates below (four separate subtrees) read ≤ bins² rows
+    // instead of each replaying the contingency aggregation
+    val cells = graft.ops.ScaleOps.cutLineageBounded(pairCells
+      .select(binOf("va", ca).as("ba"), binOf("vb", cb).as("bb"), col("pc"))
+      .groupBy(col("ba"), col("bb"))
+      .agg(sum(col("pc")).cast("double").as("o")), reliable = false)
+    graft.ops.ScaleOps.deregisterInternalPersist(pairCells)
     val ma = cells.groupBy(col("ba")).agg(sum(col("o")).as("ra"))
     val mb = cells.groupBy(col("bb")).agg(sum(col("o")).as("cb2"))
     val totals = cells.agg(sum(col("o")).as("nn"),

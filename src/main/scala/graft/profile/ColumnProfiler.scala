@@ -492,11 +492,19 @@ object ColumnProfiler {
     * excluded (the kernel buffers doubles; >15-significant-digit decimals
     * could merge) and keep the legacy expression path. */
   private def kernelEligible(dt: DataType): Boolean = dt match {
-    // a decimal of ≤ 15 significant digits converts to double EXACTLY
-    // (< 2^53), so the double-buffered kernel is value-identical to the
-    // legacy decimal expression path for it — and the legacy SECOND scan
-    // (exact percentile + conditional-sum histogram) disappears; wider
-    // decimals could merge in the buffer and keep the legacy path
+    // a decimal of ≤ 15 significant digits round-trips through double
+    // INJECTIVELY (IEEE-754 guarantees 15 significant decimal digits
+    // survive a decimal→double→decimal trip, so distinct decimals stay
+    // distinct — NOT that the binary value is exact: 0.1 has no finite
+    // binary form). Injectivity is what the kernel needs: its outputs are
+    // value COUNTS (distinct count, histogram membership) and order
+    // statistics (percentiles = actual data values, and the double order
+    // matches the decimal order under a monotone conversion), all of
+    // which are value-identical to the legacy decimal expression path —
+    // confirmed against the DuckDB oracle on every profile query. The
+    // legacy SECOND scan (exact percentile + conditional-sum histogram)
+    // disappears; wider decimals could merge in the buffer and keep the
+    // legacy path.
     case d: DecimalType => d.precision <= 15
     case _: NumericType => true
     case _ => false
