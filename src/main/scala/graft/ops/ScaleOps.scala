@@ -616,8 +616,9 @@ object ScaleOps {
     // silently renumber on recompute, so THAT case always freezes a
     // localCheckpoint (fail-stop on block loss beats corruption); release
     // via [[releaseCheckpointBlocks]].
+    val nondetInput = hasNondeterministicPlan(perV)
     val cached =
-      if (hasNondeterministicPlan(perV))
+      if (nondetInput)
         registerInternalCheckpoint(perV.localCheckpoint())
       else if (persistInput) registerInternalPersist(
         perV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -633,16 +634,44 @@ object ScaleOps {
     val splits = splitsHint.map(_.distinct.sorted)
       .orElse(orderName.flatMap(n => footerRangeSplits(perV, n)))
       .getOrElse(rangeSplits(cached, orderVal))
-    val parts = cached.withColumn("__rs_pid",
+    def withPid(src: DataFrame) = src.withColumn("__rs_pid",
       rangeBucketExpr(splits, orderVal.cast("double"), desc, nullsFirst))
-    val totals = parts.groupBy("__rs_pid")
-      .agg(sum(col(cntCols.head)).cast("long").as("__rs_t0"),
-        cntCols.tail.zipWithIndex.map { case (c, i) =>
-          sum(col(c)).cast("long").as(s"__rs_t${i + 1}") }: _*)
+    // the totals pass also counts rows per bucket (one more agg column on
+    // a job that runs anyway) so the consumer plan below can be compacted
+    // from the MEASURED size — never from the core count
+    val totalsRows = withPid(cached).groupBy("__rs_pid")
+      .agg(count(lit(1)).as("__rs_n"),
+        cntCols.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).cast("long").as(s"__rs_t$i") }: _*)
       .collect()
-      .map(r => r.getInt(0) -> cntCols.indices.map(i => r.getLong(i + 1)))
+    val totals = totalsRows
+      .map(r => r.getInt(0) -> cntCols.indices.map(i => r.getLong(i + 2)))
       .toMap
     val grand = cntCols.indices.map(i => totals.valuesIterator.map(_(i)).sum)
+    // Materialized-input compaction (the ParamFrame.compactForIteration
+    // family): a MATERIALIZED input (library persist or checkpoint — both
+    // pin the session-constant partitioning, which AQE cannot re-coalesce
+    // under the default canChangeCachedPlanOutputPartitioning=false) whose
+    // measured row count is tiny re-reads as ceil(rows/256k) blocks in the
+    // window/consumer plan instead of `numShufflePartitions` near-empty
+    // ones. The totals job already priced the full layout once (it
+    // materialized the cache); every LATER pass over the result — and the
+    // q202/q205-style estimators run 3-4 of them — drops to the compacted
+    // task count. A raw (persistInput=false, deterministic) input is left
+    // alone: coalescing it would narrow the upstream COMPUTATION.
+    val nRows = totalsRows.map(_.getLong(1)).sum
+    // a caller-checkpointed input (bare LogicalRDD leaf — the KM-family
+    // spines) is ALSO materialized and compactable even under
+    // persistInput = false
+    val materializedLeaf = perV.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    val src =
+      if (nondetInput || persistInput || materializedLeaf)
+        ParamFrame.compactForIteration(cached, nRows)
+      else cached // nothing materialized — don't narrow the computation
+    val parts = withPid(src)
     // exclusive prefixes indexed by bucket id (empty buckets carry the
     // running total forward) — inlined as array literals + element_at:
     // O(1) projections, no broadcast-join stage in the plan

@@ -195,17 +195,23 @@ object Association {
     val pairs = df
       .select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    def ranks(c: String): DataFrame = {
+    def ranks(c: String, raw: String): DataFrame = {
       val perV = pairs.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      // splits from the RAW column's parquet footer statistics (zero jobs
+      // — the withExclusiveRunningSums caller contract): the per-value agg
+      // hides the scan from the tracer, so without the hint each rank
+      // cumsum paid a full quantile-probe scan of the input first.
+      // Placement only balances buckets; correctness is placement-free.
+      val hint = graft.ops.ScaleOps.footerRangeSplits(df, raw)
       graft.ops.ScaleOps.withExclusiveRunningSum(
-          perV, col(c), "cnt", "_before",
+          perV, col(c), "cnt", "_before", splitsHint = hint,
           persistInput = false) // counts-per-value replay is one cheap agg
         .select(col(c), (col("_before") + (col("cnt") + 1) / lit(2.0))
           .as(s"_r$c"))
     }
     pairs
-      .join(ranks("x"), Seq("x"))
-      .join(ranks("y"), Seq("y"))
+      .join(ranks("x", colX), Seq("x"))
+      .join(ranks("y", colY), Seq("y"))
       .agg(count(lit(1)).cast("long").as("n"),
         corr(col("_rx"), col("_ry")).as("rho"))
   }
@@ -769,10 +775,14 @@ object Association {
     * Scale: one cell-bounded contingency aggregation; marginals and the
     * diagonal reduce from the broadcast cell table. */
   def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
-    val cells = df
+    // label×label-bounded contingency CHECKPOINTS: the marginal (ma/mb)
+    // and agreement subtrees otherwise each replay the full input scan —
+    // with a per-row kernel in the label expression (q251 feeds langId
+    // through here) that was 3-4 evaluations of the kernel per row
+    val cells = graft.ops.ScaleOps.cutLineageBounded(df
       .filter(col(a).isNotNull && col(b).isNotNull)
       .groupBy(col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
-      .agg(count(lit(1)).cast("double").as("o"))
+      .agg(count(lit(1)).cast("double").as("o")), reliable = false)
     val ma = cells.groupBy(col("va")).agg(sum(col("o")).as("ca"))
     val mb = cells.groupBy(col("vb")).agg(sum(col("o")).as("cb"))
     // pe = Σ_label (ca/n)(cb/n) over labels PRESENT FOR BOTH labelers
