@@ -1125,7 +1125,7 @@ object Behavior {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(durations.sparkSession) {
       val spark = durations.sparkSession
       import spark.implicits._
       def nullRows(n: Long, ne: Long) = terms.map(t =>
@@ -1293,7 +1293,7 @@ object Behavior {
         (lit(1L) - col(censoredCol).cast("long")).as("__d") +:
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*), reliable)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(durations.sparkSession) {
       val spark = durations.sparkSession
       import spark.implicits._
       val dim = d + 2 // mu, betas, s = ln sigma
@@ -1600,7 +1600,7 @@ object Behavior {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(durations.sparkSession) {
       val spark = durations.sparkSession
       import spark.implicits._
       def nullRows(n: Long, nEvents: Long) = {

@@ -79,7 +79,7 @@ object LinearModel {
     val yv = yv0.repartition(pT, col("id"))
     xc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     yv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(spark) {
       val n = yv.count().toDouble
       var w = Array.fill(numBuckets)(0.0)
       for (_ <- 1 to iterations) {
@@ -928,7 +928,7 @@ object LinearModel {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(df.sparkSession) {
       val spark = df.sparkSession
       import spark.implicits._
       def nullRows(n: Long) =
@@ -1115,7 +1115,7 @@ object LinearModel {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(df.sparkSession) {
       val spark = df.sparkSession
       import spark.implicits._
       def nullRows(n: Long) = terms.map(t =>
@@ -1326,7 +1326,7 @@ object LinearModel {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(df.sparkSession) {
       val spark = df.sparkSession
       import spark.implicits._
       def nullRows(n: Long) = terms.map(t =>
@@ -1485,7 +1485,7 @@ object LinearModel {
         covariates.zipWithIndex.map { case (c, i) =>
           col(c).cast("decimal(8,4)").as(xCols(i)) }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try graft.ops.ParamFrame.withFixedPlan(df.sparkSession) {
       val spark = df.sparkSession
       import spark.implicits._
       def nullRows(n: Long) = terms.map(t =>

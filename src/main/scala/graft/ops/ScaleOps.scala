@@ -738,6 +738,8 @@ object ScaleOps {
     } finally releaseCheckpointBlocks(cum)
   }
 
+
+
   /** The shared ⌈i·n/bins⌉ rank spine (i = 1..bins−1) every
     * decile/quantile-bin consumer of [[rankCutpoints]] uses — ONE home
     * for the ceiling convention so the operators cannot silently
